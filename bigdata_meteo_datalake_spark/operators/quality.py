@@ -1,0 +1,81 @@
+"""Data-quality check runner (SURVEY.md section 2.6, Q1-Q3).
+
+The reference declares dbt ``not_null`` / ``unique`` tests
+(models/staging/schema.yml:15-40, models/marts/schema.yml:11-29,106-115).
+Here each check is a tiny aggregate returning a violation count; the runner
+unions them into one report DataFrame so a pipeline can assert on it.
+
+Scale notes: a not_null check is a scan with a pushed-down IS NULL filter +
+count; a unique check is one hash aggregate on the key. Both are partial-
+aggregated map-side; no data leaves the executors except one long per check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    table: str
+    kind: str  # "not_null" | "unique"
+    columns: tuple[str, ...]
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}__{self.table}__{'_'.join(self.columns)}"
+
+
+def not_null_violations(df: DataFrame, column: str) -> DataFrame:
+    return df.select(
+        F.sum(F.when(F.col(column).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations")
+    )
+
+
+def unique_violations(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Rows belonging to a key that occurs more than once (dbt `unique`
+    counts duplicated *values*; we count keys with count>1)."""
+    return (
+        df.groupBy(*columns)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n_violations"))
+    )
+
+
+def run_checks(
+    tables: dict[str, DataFrame], checks: Sequence[Check], spark: SparkSession
+) -> DataFrame:
+    """Run every check; returns (check_name, table_name, kind, n_violations)."""
+    parts: list[DataFrame] = []
+    for chk in checks:
+        df = tables[chk.table]
+        viol = (
+            not_null_violations(df, chk.columns[0])
+            if chk.kind == "not_null"
+            else unique_violations(df, chk.columns)
+        )
+        parts.append(
+            viol.select(
+                F.lit(chk.name).alias("check_name"),
+                F.lit(chk.table).alias("table_name"),
+                F.lit(chk.kind).alias("kind"),
+                F.col("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def assert_checks(report: DataFrame) -> None:
+    bad = [r.check_name for r in report.where(F.col("n_violations") > 0).collect()]
+    if bad:
+        raise AssertionError(f"quality checks failed: {bad}")

@@ -1,0 +1,189 @@
+"""Text-analysis extension queries over the ``documents`` table
+(SURVEY.md section 2.7 — north-star LLM-pipeline operators, no reference
+citation; designed Spark-first).
+
+All operators are pure built-in column expressions (split/regexp/aggregate)
+— JVM-side, codegen'd, trivially data-parallel: at 100 TB each document row
+is independent, so these scale linearly with executors and never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from . import register
+
+# Polynomial rolling-hash coefficients 31^i — shared constants between the
+# Spark expression and the oracle SQL so both engines compute identical
+# fingerprints with plain bigint arithmetic.
+_POLY_COEF = [31**i for i in range(8)]
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+
+
+# --- token counting + basic stats --------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       lang,
+       cast(length(text) AS integer) AS n_chars_calc,
+       cast(len(string_split_regex(trim(text), '\\s+')) AS integer) AS n_ws_tokens,
+       cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS integer) AS n_word_tokens,
+       cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS integer) AS n_punct
+FROM documents
+""",
+    tags=("extension", "text"),
+)
+def text_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish word/punct regex
+    tokenizer, plus punctuation counts for quality scoring."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("int").alias("n_chars_calc"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+        .cast("int")
+        .alias("n_punct"),
+    )
+
+
+# --- language-ID heuristic -----------------------------------------------------
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       floor(cast(len(list_filter(t, x -> x IN ({_stop_list_sql()}))) AS double)
+             / len(t) * 10000 + 0.5) / 10000 AS en_stop_ratio,
+       CASE WHEN cast(len(list_filter(t, x -> x IN ({_stop_list_sql()}))) AS double)
+                 / len(t) >= 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM toks
+""",
+    tags=("extension", "text", "langid"),
+)
+def text_language_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio over whitespace tokens with
+    a threshold classifier (n-gram/stopword heuristic per the extension
+    spec). Ratio is int/int -> one double division, bit-stable vs oracle."""
+    from ..functions.numeric import round_half_up
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
+    ratio = hits.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        round_half_up(ratio, 4).alias("en_stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+# --- quality scoring ------------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id,
+         cast(length(text) AS double) AS n_chars,
+         cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS n_tokens,
+         cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS double) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       floor((0.5 * least(n_chars / 400.0, 1.0)
+            + 0.3 * least(n_tokens / 80.0, 1.0)
+            + 0.2 * (1.0 - least(n_punct / n_tokens, 1.0))) * 10000 + 0.5) / 10000
+         AS quality_score,
+       (n_chars >= 200 AND n_punct / n_tokens < 0.5) AS is_high_quality
+FROM feat
+""",
+    tags=("extension", "text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring from length / token-count / punctuation-ratio features
+    (the classic pretraining-data heuristic filter), plus a keep/drop flag."""
+    d = read_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0))
+    ).cast("double")
+    score = (
+        0.5 * F.least(n_chars / 400.0, F.lit(1.0))
+        + 0.3 * F.least(n_tokens / 80.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(n_punct / n_tokens, F.lit(1.0)))
+    )
+    from ..functions.numeric import round_half_up
+
+    return d.select(
+        "doc_id",
+        round_half_up(score, 4).alias("quality_score"),
+        ((n_chars >= 200) & (n_punct / n_tokens < 0.5)).alias("is_high_quality"),
+    )
+
+
+# --- document fingerprinting -----------------------------------------------------
+
+
+def _poly_sql() -> str:
+    terms = [
+        f"(CASE WHEN length(text) >= {i + 1} "
+        f"THEN cast(ascii(substr(text, {i + 1}, 1)) AS bigint) * {c} ELSE 0 END)"
+        for i, c in enumerate(_POLY_COEF)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       cast({_poly_sql()} AS bigint) AS fp_poly_prefix
+FROM documents
+""",
+    tags=("extension", "text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content md5 plus a polynomial rolling
+    hash (base-31) over the first 8 chars — the rolling-hash building block
+    the dedup operators reuse, in plain bigint arithmetic so the oracle
+    computes the identical value."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    poly = None
+    for i, c in enumerate(_POLY_COEF):
+        # long arithmetic throughout: with ANSI off an int32 overflow would
+        # wrap silently (ascii * 31^5 already exceeds 2^31)
+        term = F.when(
+            F.length(text) >= i + 1,
+            F.ascii(F.substring(text, i + 1, 1)).cast("long") * F.lit(c).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        poly = term if poly is None else poly + term
+    return d.select(
+        "doc_id",
+        F.md5(text).alias("fp_md5"),
+        poly.cast("long").alias("fp_poly_prefix"),
+    )

@@ -1,0 +1,83 @@
+"""Lake parquet zones: partition-pruned scans and partitioned snappy writes.
+
+Reference parity: S11 partitioned Parquet sink (export_to_parquet.py:52-60,
+100,109) and S12 partition-pruned Parquet scan (index_elasticsearch.py:19-20,
+236-237). Spark-first: Hive partition discovery gives pruning for free when
+the predicate hits the partition column; writes use dynamic partition
+overwrite so re-running one snapshot day replaces only that partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain parquet scan — Catalyst handles column
+    pruning and predicate pushdown from whatever the caller stacks on top.
+
+    Nanosecond-timestamp columns (events.ts is INT64 TIMESTAMP(NANOS), which
+    Spark cannot represent) arrive as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted here to
+    microsecond timestamps with integer arithmetic (`div`, no double
+    round-trip — ns epochs exceed 2^53). DuckDB's ns->us cast truncates the
+    same way, so oracle comparisons stay exact.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register each table as a temp view so SQL-path queries can run —
+    mirrors the DuckDB oracle's pre-registered views."""
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str | list[str] = "snapshot_date",
+    mode: str = "overwrite",
+) -> None:
+    """S11: `.../<zone>/<name>/snapshot_date=<d>/...` snappy parquet.
+
+    With ``partitionOverwriteMode=dynamic`` (session policy) mode="overwrite"
+    only replaces the partitions present in ``df`` — the idempotent re-run
+    semantics of the reference (export_to_parquet.py:100).
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def read_partition(spark: SparkSession, path: str, **partition_values) -> DataFrame:
+    """S12: partition-pruned read, e.g. ``read_partition(spark, p,
+    snapshot_date='2026-02-18')``. The equality predicates land on partition
+    columns, so Spark prunes directories instead of listing/reading them."""
+    df = spark.read.parquet(path)
+    for col, val in partition_values.items():
+        df = df.where(df[col] == val)
+    return df
