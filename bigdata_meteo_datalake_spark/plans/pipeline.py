@@ -1,0 +1,122 @@
+"""Daily pipeline orchestrator (SURVEY.md section 2.5, O1-O6).
+
+The reference's Airflow DAG (dags/movies_analytics.py:6-105) collapses to
+one driver program: ingest -> bronze upsert -> staging -> marts -> quality
+-> zones -> search projection. Each stage is a DataFrame write+read of a
+lake table partitioned by snapshot_date, so:
+- O2 logical-date watermark == the snapshot_date partition predicate,
+- O6 idempotent re-runs == last-write-wins upsert + dynamic partition
+  overwrite (re-running a day replaces exactly that day),
+- O4/O5 ordering == plain function composition (Catalyst orders the rest).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..models import (
+    kpi_daily_summary,
+    movies_enriched_daily,
+    stg_omdb_ratings,
+    stg_tmdb_details,
+    stg_tmdb_popular,
+)
+from ..operators.quality import Check, assert_checks, run_checks
+from ..sources.lake import write_partitioned
+from ..sources.raw_tables import (
+    load_raw_omdb_ratings,
+    load_raw_tmdb_details,
+    load_raw_tmdb_popular,
+)
+from ..sources.search import search_projection
+
+QUALITY_CHECKS = [
+    # models/staging/schema.yml:15-40 + models/marts/schema.yml:11-29,106-115
+    Check("raw_tmdb_popular", "not_null", ("tmdb_id",)),
+    Check("raw_tmdb_details", "not_null", ("tmdb_id",)),
+    Check("raw_tmdb_details", "unique", ("snapshot_date", "tmdb_id")),
+    Check("raw_omdb_ratings", "not_null", ("imdb_id",)),
+    Check("raw_omdb_ratings", "unique", ("snapshot_date", "imdb_id")),
+    Check("movies_enriched_daily", "not_null", ("snapshot_date",)),
+    Check("movies_enriched_daily", "not_null", ("tmdb_id",)),
+    Check("movies_enriched_daily", "not_null", ("title",)),
+    Check("movies_enriched_daily", "unique", ("snapshot_date", "tmdb_id")),
+    Check("kpi_daily_summary", "not_null", ("nb_movies",)),
+    Check("kpi_daily_summary", "unique", ("snapshot_date",)),
+]
+
+
+@dataclass
+class RunResult:
+    snapshot_date: str
+    run_id: str
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    quality_report: DataFrame | None = None
+
+
+def run(
+    spark: SparkSession,
+    lake_root: str,
+    snapshot_date: str,
+    *,
+    run_id: str = "manual",
+    write_zones: bool = True,
+    enforce_quality: bool = True,
+) -> RunResult:
+    """One daily batch over `<lake_root>/raw/...` for `snapshot_date`
+    (ingestion into the raw lake happens upstream via sources/rest.py)."""
+    res = RunResult(snapshot_date, run_id)
+    t = res.tables
+
+    # bronze (S4-S9)
+    t["raw_tmdb_popular"] = load_raw_tmdb_popular(spark, lake_root, snapshot_date)
+    t["raw_tmdb_details"] = load_raw_tmdb_details(spark, lake_root, snapshot_date)
+    t["raw_omdb_ratings"] = load_raw_omdb_ratings(spark, lake_root, snapshot_date)
+
+    if write_zones:
+        for name in ("raw_tmdb_popular", "raw_tmdb_details", "raw_omdb_ratings"):
+            write_partitioned(t[name], f"{lake_root}/bronze/{name}")
+            t[name] = spark.read.parquet(f"{lake_root}/bronze/{name}").where(
+                F.col("snapshot_date") == snapshot_date
+            )
+
+    # silver (staging models)
+    t["stg_tmdb_popular"] = stg_tmdb_popular(t["raw_tmdb_popular"])
+    t["stg_tmdb_details"] = stg_tmdb_details(t["raw_tmdb_details"])
+    t["stg_omdb_ratings"] = stg_omdb_ratings(t["raw_omdb_ratings"])
+
+    # gold (marts)
+    t["movies_enriched_daily"] = movies_enriched_daily(
+        t["stg_tmdb_popular"], t["stg_tmdb_details"], t["stg_omdb_ratings"]
+    )
+    t["kpi_daily_summary"] = kpi_daily_summary(t["movies_enriched_daily"])
+
+    if write_zones:
+        # formatted zone = staging, usage zone = marts (export_to_parquet.py:27-37)
+        for name in ("stg_tmdb_popular", "stg_tmdb_details", "stg_omdb_ratings"):
+            write_partitioned(t[name], f"{lake_root}/formatted/{name}")
+        for name in ("movies_enriched_daily", "kpi_daily_summary"):
+            write_partitioned(t[name], f"{lake_root}/usage/{name}")
+            t[name] = spark.read.parquet(f"{lake_root}/usage/{name}").where(
+                F.col("snapshot_date") == snapshot_date
+            )
+        # search projection gold table (S13-S14 offline form)
+        proj = search_projection(
+            t["movies_enriched_daily"],
+            ["snapshot_date", "tmdb_id"],
+            text_cols=["title", "director", "actors"],
+            date_cols=["release_date"],
+        )
+        # partitioned + dynamic overwrite: a day's re-run replaces only its
+        # own partition of the search table (same O6 semantics as the marts)
+        write_partitioned(proj, f"{lake_root}/usage/search_movies_enriched_daily")
+        t["search_movies_enriched_daily"] = proj
+
+    # quality gate (Q1-Q3)
+    res.quality_report = run_checks(t, QUALITY_CHECKS, spark)
+    if enforce_quality:
+        assert_checks(res.quality_report)
+    return res

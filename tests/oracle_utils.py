@@ -27,11 +27,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if s.dtype == object:
-            df[c] = s.map(
+            s = s.map(
                 lambda v: float(v)
                 if isinstance(v, Decimal)
                 else (_dt.datetime(v.year, v.month, v.day) if type(v) is _dt.date else v)
             )
+            if s.map(lambda v: v is None or isinstance(v, _dt.datetime)).all() and not s.isna().all():
+                s = pd.to_datetime(s).astype("datetime64[us]")
+            df[c] = s
         elif str(s.dtype).startswith("datetime64"):
             df[c] = s.astype("datetime64[us]")
         elif str(s.dtype) in ("float32",):
@@ -47,18 +50,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> None:
+    """Driver-style compare: sorted-column schema, row count, exact values
+    order-insensitively."""
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"columns differ: actual={sorted(actual.columns)} expected={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"row counts differ: actual={len(actual)} expected={len(expected)}"
+    )
+    a, e = _normalize(actual), _normalize(expected)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
+
+
 def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     con = duckdb_connect(sf_dir)
     try:
         expected = con.execute(oracle_sql).df()
     finally:
         con.close()
-    actual = spark_df.toPandas()
-    assert sorted(actual.columns) == sorted(expected.columns), (
-        f"columns differ: spark={sorted(actual.columns)} oracle={sorted(expected.columns)}"
-    )
-    assert len(actual) == len(expected), (
-        f"row counts differ: spark={len(actual)} oracle={len(expected)}"
-    )
-    a, e = _normalize(actual), _normalize(expected)
-    pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
+    compare_frames(spark_df.toPandas(), expected)
