@@ -1,0 +1,214 @@
+"""Near-duplicate detection operators over text (SURVEY.md section 2.7):
+MinHash-LSH and SimHash, built from composable DataFrame primitives.
+
+Design constraints:
+- Deterministic: every hash is derived from md5 (identical in Spark and
+  DuckDB) plus integer arithmetic inlined from constants below, so each
+  operator has an *exact* SQL oracle.
+- Spark-first at 100 TB: shingle/explode is map-side; signatures are one
+  hash aggregate per doc; LSH banding turns the quadratic all-pairs problem
+  into an equi-join on (band_idx, band_key) — the only shuffles are the
+  signature groupBy and the band join. Hot bands (huge buckets) are the
+  skew risk: `max_bucket_size` drops degenerate buckets, the standard
+  production guard.
+
+MinHash math: h_j(x) = (a_j * x + b_j) mod P over 61-bit token hashes
+reduced mod P (P = 2^31 - 1 keeps every product within int64).
+Band config r=2, b=8 (16 perms): P(candidate | s=0.6) = 1-(1-0.6^2)^8 ~ 0.97.
+Candidates are verified with the exact n-gram Jaccard, so banding affects
+recall only, never correctness of reported pairs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+N_PERM = 16
+LSH_ROWS = 2  # rows per band
+LSH_BANDS = N_PERM // LSH_ROWS
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(N_PERM)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(N_PERM)]
+
+SIMHASH_BITS = 32  # 16 bits collides wildly on small-vocab corpora
+SIMHASH_BAND_BITS = 8
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+SIMHASH_MAX_HAMMING = 3  # <= bands-1, so pigeonhole guarantees a shared band
+
+
+def token_hash(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string, identical in DuckDB:
+    first 15 hex chars of md5 -> bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`token_hash`."""
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) AS bigint)"
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(id, gram): distinct word n-gram shingles per document."""
+    toks = word_tokens(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+
+
+def minhash_signature(grams: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with columns mh0..mh{k-1}."""
+    x = token_hash(F.col("gram")) % MINHASH_P
+    mins = [
+        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return grams.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
+    """Band the signature and equi-join on (band_idx, band_key):
+    (doc_a, doc_b) candidate pairs, doc_a < doc_b."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        banded = banded.join(
+            sizes.where(F.col("__n") <= max_bucket_size), ["band_idx", "band_key"]
+        ).drop("__n")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, grams: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (doc_a, doc_b, jaccard_raw)."""
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col(id_col).alias("doc_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard_raw"),
+        )
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 32-bit SimHash over word unigrams, unit weights.
+    bit_b(doc) = 1 iff sum over tokens of (2*bit_b(h(token)) - 1) > 0."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok")
+    )
+    h = token_hash(F.col("tok"))
+    contribs = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy(id_col).agg(*contribs)
+    sh = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return sums.select(F.col(id_col), sh.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """SimHash-LSH: band the 32 bits into 4 bytes; hamming <= 3 guarantees
+    (pigeonhole) one shared byte-band, so the band join loses no true pair.
+    Returns (doc_a, doc_b, hamming)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"),
+                F.shiftright(F.col("simhash"), k * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("band_key"),
+            )
+            for k in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        id_col, "simhash", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

@@ -60,7 +60,9 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         ext_dedup,
+        ext_relational,
         ext_similarity,
+        ext_streaming,
         ext_text,
         parity_agg,
         parity_joins,

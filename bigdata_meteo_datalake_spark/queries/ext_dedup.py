@@ -11,9 +11,9 @@ Implemented here:
   dropping ultra-frequent shingles (a WHERE on shingle doc-frequency),
   which also bounds the candidate-pair blowup.
 
-MinHash-LSH and SimHash live in operators/dedup.py with rows-only checks
-(see ext_dedup_lsh queries) — their banding hashes are deterministic
-bigint arithmetic, shared with the oracle where expressible.
+- MinHash-LSH and SimHash (operators/dedup.py): banding hashes are
+  md5-derived deterministic bigint arithmetic, shared with fully exact SQL
+  oracles generated from the same constants.
 """
 
 from __future__ import annotations
@@ -22,6 +22,24 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
+from ..operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    doc_shingles,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    simhash_near_pairs,
+    token_hash_sql,
+)
 from ..sources.lake import read_table
 from . import register
 
@@ -126,4 +144,123 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH near-dup pairs ------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    hx = f"{token_hash_sql('gram')} % {MINHASH_P}"
+    sig_cols = ",\n         ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, concat_ws('_', {cols}) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+hx AS (SELECT doc_id, gram, {hx} AS x FROM grams),
+sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       floor(cast(n_inter AS double) / (sa.n + sb.n - n_inter) * 1000000 + 0.5)
+         / 1000000 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE cast(n_inter AS double) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("extension", "dedup", "minhash"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + LSH banding (r=2, b=8) + exact-Jaccard verify:
+    shingle -> minhash signature (one hash aggregate) -> band equi-join ->
+    candidate pairs -> verify >= 0.6. The banding join replaces the
+    quadratic all-pairs shuffle of dedup_ngram_jaccard — the 100 TB path.
+    Hashes are md5-derived integer arithmetic, bit-identical to the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    grams = doc_shingles(d)
+    sig = minhash_signature(grams)
+    pairs = lsh_candidate_pairs(sig)
+    verified = jaccard_verify(pairs, grams)
+    return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+# --- SimHash near-dup pairs -------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    h = token_hash_sql("tok")
+    sum_cols = ",\n         ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    nib_mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS band_idx,"
+        f" (simhash >> {k * SIMHASH_BAND_BITS}) & {nib_mask} AS band_key FROM sh"
+        for k in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {h} AS h FROM toks),
+sums AS (SELECT doc_id, {sum_cols} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, cast({sh_expr} AS bigint) AS simhash FROM sums),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.simhash, b.simhash)) AS integer) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("extension", "dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash (32-bit, word unigrams) near-dup pairs with hamming <= 3 via
+    byte banding — pigeonhole over 4 bands guarantees no true pair is
+    missed by the band equi-join, so LSH here is exact, not approximate."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = simhash(d)
+    return simhash_near_pairs(sh).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )

@@ -93,3 +93,171 @@ def knn_cosine_bruteforce(spark, sf_dir):
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# --- embedding-cosine near-dup pairs ---------------------------------------------
+
+_NEAR_DUP_THRESHOLD = 0.35
+_NEAR_DUP_MAX_ID = 1000  # bound the all-pairs cost at higher scale factors
+
+_NEAR_DUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings WHERE vec_id < {_NEAR_DUP_MAX_ID}
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+           / (a.nrm * b.nrm) AS cos_raw
+  FROM n a, n b WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine
+FROM p WHERE cos_raw >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+@register("embedding_near_dup_pairs", oracle=_NEAR_DUP_ORACLE, tags=("extension", "dedup", "similarity"))
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup operator):
+    all-pairs cosine >= threshold over a bounded id range. The quadratic
+    form is the correctness baseline; emb_lsh_topk below is the scale path."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _NEAR_DUP_MAX_ID
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("nrm"))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_raw = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos_raw >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", round_half_up(cos_raw, 4).alias("cosine"))
+    )
+
+
+# --- LSH-bucketed ANN (the scale path) ---------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane shared with the oracle:
+    LCG over (j, i) mapped to [-1, 1)."""
+    return [
+        (((1103515245 * (j * _DIM + i) + 12345) % 2001) - 1000) / 1000.0
+        for i in range(_DIM)
+    ]
+
+
+_PLANES = [_plane(j) for j in range(_N_PLANES)]
+
+
+def _lsh_oracle() -> str:
+    bucket_terms = []
+    for j, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        bucket_terms.append(
+            f"(CASE WHEN list_aggregate(list_transform(list_zip(v, {lit}),"
+            f" p -> p[1] * p[2]), 'sum') > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
+         cast({bucket} AS bigint) AS bucket
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         floor(list_aggregate(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]), 'sum')
+               / (q.nrm * c.nrm) * 10000 + 0.5) / 10000 AS cosine
+  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, bucket, cosine
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_TOP_K}
+"""
+
+
+@register("emb_lsh_topk", oracle=_lsh_oracle(), tags=("extension", "similarity", "lsh"))
+def emb_lsh_topk(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH — 8 deterministic planes give a
+    256-bucket signature; candidates are an equi-join on the bucket instead
+    of a cross product (quadratic -> ~quadratic/256 at uniform load).
+    Planes are LCG-derived constants inlined into both engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    bucket = None
+    for j, plane in enumerate(_PLANES):
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        dot_j = F.aggregate(
+            F.zip_with(F.col("v"), plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    base = base.select(
+        "vec_id", "v", norm.alias("nrm"), bucket.cast("long").alias("bucket")
+    )
+    q = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            round_half_up(dot / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine")
+    )

@@ -1,0 +1,122 @@
+"""Structured-Streaming windowed aggregation over event tables
+(SURVEY.md section 2.5 extension — the reference has no true streaming
+engine; its daily partition reprocessing maps to watermark + windows here).
+
+Every streaming aggregation has a batch twin built from the SAME column
+expressions, so correctness is checked two ways: the batch twin against a
+DuckDB oracle (queries/ext_streaming.py), and the streaming output against
+the batch twin (tests/test_streaming.py, file source + availableNow).
+
+Scale notes: windowed streaming aggs keep state per (window, key) in the
+state store; the watermark bounds state size by evicting windows older
+than max-event-time - delay. `applyInPandasWithState` is the custom-
+stateful escape hatch (arbitrary per-key state, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts+sums per event_type. Works on batch and
+    streaming frames alike (same expressions)."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("win"), "event_type")
+        # decimal accumulator: exact, partition-order-insensitive sums
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window counts: each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after `gap` of silence.
+    Batch-mode session_window matches the streaming operator's semantics."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_events(spark, source_dir: str, schema) -> DataFrame:
+    """File-source stream of event rows (one file per micro-batch drop)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def stream_tumbling_counts(
+    stream: DataFrame,
+    *,
+    duration: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked streaming twin of :func:`tumbling_counts`: late rows
+    beyond `watermark` are dropped and closed windows' state is evicted."""
+    return tumbling_counts(stream.withWatermark("ts", watermark), duration)
+
+
+def run_available_now(agg: DataFrame, query_name: str, checkpoint: str):
+    """Drain everything currently in the source and stop (the reference's
+    daily-batch trigger O1, expressed as trigger(availableNow=True))."""
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    (n_events, sum_value) per user across micro-batches — the arbitrary-
+    state path for operators windows can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

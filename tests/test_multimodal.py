@@ -1,0 +1,67 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape,
+deterministic fake decode, and the stubbed real-codec path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_meteo_datalake_spark.operators.multimodal import (
+    attach_blob,
+    decode_image_features,
+    repartition_by_bytes,
+    sample_frames,
+)
+from bigdata_meteo_datalake_spark.sources.lake import read_table
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = read_table(spark, SF0001, "documents").limit(50)
+    return attach_blob(docs)
+
+
+def test_blob_schema_and_metadata(media):
+    assert dict(media.dtypes)["blob"] == "binary"
+    row = media.select("media_meta", F.length("blob").alias("n")).first()
+    assert row["media_meta"]["media_type"] == "image"
+    assert row["media_meta"]["n_bytes"] == row["n"]
+
+
+def test_decode_image_features_deterministic(media):
+    feats = decode_image_features(media, decode="fake")
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 50
+    again = {r["doc_id"]: r for r in decode_image_features(media).collect()}
+    for k in rows:
+        assert rows[k] == again[k]  # bytes -> features is pure
+    r = next(iter(rows.values()))
+    assert 64 <= r["width"] < 128 and 64 <= r["height"] < 128
+    assert 0.0 <= r["mean_intensity"] <= 1.0
+
+
+def test_decode_real_is_stubbed(media):
+    with pytest.raises(Exception) as exc_info:
+        decode_image_features(media, decode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_shape(media):
+    frames = sample_frames(media, every_n_bytes=64, max_frames=3)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "frame_hash"}
+    per_doc = pdf.groupby("doc_id")["frame_idx"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["count"] <= 3).all()
+    assert pdf["frame_hash"].str.len().eq(32).all()
+
+
+def test_repartition_by_bytes(media):
+    total = media.select(F.sum(F.length("blob"))).first()[0]
+    sized = repartition_by_bytes(media, target_bytes_per_partition=total // 4,
+                                 total_bytes=total)
+    assert sized.rdd.getNumPartitions() == 4

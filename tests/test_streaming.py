@@ -1,0 +1,136 @@
+"""Structured-Streaming execution: the streaming twins must reproduce the
+batch operators over a file source (availableNow), drop late rows past the
+watermark across micro-batches, and run custom state (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_meteo_datalake_spark.sources.lake import read_table
+from bigdata_meteo_datalake_spark.streaming.windows import (
+    run_available_now,
+    running_user_totals,
+    stream_events,
+    stream_tumbling_counts,
+    tumbling_counts,
+)
+
+from .conftest import SF0001
+
+
+@pytest.fixture()
+def event_source(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    events = read_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    return src, events
+
+
+def test_stream_tumbling_matches_batch(spark, event_source, tmp_path):
+    src, events = event_source
+    stream = stream_events(spark, src, events.schema)
+    agg = stream_tumbling_counts(stream, duration="1 hour", watermark="1 hour")
+    run_available_now(agg, "stream_tumbling", str(tmp_path / "ckpt"))
+    got = (
+        spark.table("stream_tumbling")
+        .select("window_start", "event_type", "n_events", F.col("sum_value").cast("double"))
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        tumbling_counts(events, "1 hour")
+        .select("window_start", "event_type", "n_events", F.col("sum_value").cast("double"))
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def mk(rows):
+        import datetime as dt
+
+        rows = [
+            (e, dt.datetime.fromisoformat(ts), u, t, v) for (e, ts, u, t, v) in rows
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    out = str(tmp_path / "late_out")
+
+    def run_once(name):
+        stream = stream_events(spark, src, mk([]).schema)
+        agg = stream_tumbling_counts(stream, duration="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("update")
+            # foreachBatch sink: supports checkpoint recovery (memory sink
+            # doesn't), so the watermark survives across the two runs
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events at 10:10-11:00 -> watermark persisted = 10:00
+    mk(
+        [
+            (1, "2024-03-01 10:10:00", 1, "view", 1.0),
+            (2, "2024-03-01 11:00:00", 1, "view", 1.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once("r1")
+
+    # run 2 (same checkpoint): one too-late row and one acceptable row
+    mk(
+        [
+            (3, "2024-03-01 08:30:00", 1, "view", 1.0),  # < 10:00 -> dropped
+            (4, "2024-03-01 10:20:00", 1, "view", 1.0),  # counted
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once("r2")
+
+    updates = spark.read.parquet(out).collect()
+    by_window = {}
+    for r in updates:
+        key = str(r["window_start"])
+        by_window[key] = max(by_window.get(key, 0), r["n_events"])
+    assert by_window.get("2024-03-01 10:00:00") == 2  # event 1 + late-but-ok 4
+    assert "2024-03-01 08:00:00" not in by_window  # too-late row dropped
+
+
+def test_running_user_totals_stateful(spark, event_source, tmp_path):
+    src, events = event_source
+    stream = stream_events(spark, src, events.schema)
+    totals = running_user_totals(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table("user_totals").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
