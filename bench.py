@@ -28,7 +28,11 @@ BENCH_QUERIES = [
     "json_payload_extract",
     "text_quality_score",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
+    "window_tumbling_hourly",
+    "sessionize_events",
+    "topk_orders_per_status",
 ]
 
 

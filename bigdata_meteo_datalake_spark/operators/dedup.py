@@ -56,6 +56,17 @@ def word_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages don't run on a handful of partitions:
+    a small parquet table arrives as ONE input split (maxPartitionBytes),
+    which serializes shingling/hashing on a single core. Only widens —
+    never reduces an already-parallel input (at real scale the scan is
+    already wide and this is a no-op)."""
+    current = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if current < target else df
+
+
 def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
     """(id, gram): distinct word n-gram shingles per document."""
@@ -68,19 +79,25 @@ def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
             ),
         )
     )
-    return df.where(F.size(toks) >= n).select(
+    return widen(df.where(F.size(toks) >= n)).select(
         F.col(id_col), F.explode(grams).alias("gram")
     )
 
 
 def minhash_signature(grams: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """One row per doc with columns mh0..mh{k-1}."""
-    x = token_hash(F.col("gram")) % MINHASH_P
+    """One row per doc with columns mh0..mh{k-1}.
+
+    The md5-based gram hash is projected ONCE before the aggregate —
+    inlining it into the k min() expressions would evaluate md5 k times
+    per row."""
+    hx = grams.select(
+        F.col(id_col), (token_hash(F.col("gram")) % MINHASH_P).alias("x")
+    )
     mins = [
-        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return grams.groupBy(id_col).agg(*mins)
+    return hx.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -159,7 +176,7 @@ def jaccard_verify(
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): 32-bit SimHash over word unigrams, unit weights.
     bit_b(doc) = 1 iff sum over tokens of (2*bit_b(h(token)) - 1) > 0."""
-    toks = df.select(
+    toks = widen(df).select(
         F.col(id_col), F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok")
     )
     h = token_hash(F.col("tok"))

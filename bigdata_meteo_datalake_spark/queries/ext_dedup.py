@@ -122,9 +122,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
             ),
         )
     )
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import widen
+
     grams = (
-        d.where(F.size(toks) >= 3)
+        widen(d.where(F.size(toks) >= 3))
         .select("doc_id", F.explode(grams_arr).alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # reused by sizes + both join sides
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
@@ -207,10 +212,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     candidate pairs -> verify >= 0.6. The banding join replaces the
     quadratic all-pairs shuffle of dedup_ngram_jaccard — the 100 TB path.
     Hashes are md5-derived integer arithmetic, bit-identical to the oracle."""
+    from pyspark import StorageLevel
+
     d = read_table(spark, sf_dir, "documents")
-    grams = doc_shingles(d)
+    # the gram relation feeds the signature AND both sides of the verify
+    # join — persist it once instead of recomputing the shingle+hash
+    # subtree four times (ContextCleaner unpersists when the plan is GC'd)
+    grams = doc_shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(grams)
-    pairs = lsh_candidate_pairs(sig)
+    pairs = lsh_candidate_pairs(sig).persist(StorageLevel.MEMORY_AND_DISK)
     verified = jaccard_verify(pairs, grams)
     return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 6).alias("jaccard")

@@ -73,6 +73,23 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    n_buckets: int,
+    keys: list[str],
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: later equi-joins/aggs on ``keys`` between
+    tables with matching bucketing need NO shuffle — the pre-partitioning
+    strategy for repeatedly-joined 100 TB facts (SURVEY section 4)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def read_partition(spark: SparkSession, path: str, **partition_values) -> DataFrame:
     """S12: partition-pruned read, e.g. ``read_partition(spark, p,
     snapshot_date='2026-02-18')``. The equality predicates land on partition

@@ -20,5 +20,12 @@ TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF0001)
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("engine-tests", cpus=8, shuffle_partitions=8)
+    import tempfile
+
+    s = get_spark(
+        "engine-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_")},
+    )
     yield s

@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions: the scale properties (pushdown, pruning,
+broadcast, bucketed co-location) are checked structurally, not by timing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_meteo_datalake_spark.plans.explain import (
+    has_pushed_filter,
+    n_broadcast_joins,
+    n_shuffle_exchanges,
+    scan_read_columns,
+)
+from bigdata_meteo_datalake_spark.queries import queries
+from bigdata_meteo_datalake_spark.sources.lake import read_table, write_bucketed
+
+from .conftest import SF0001
+
+QS = queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = QS["pricing_summary"](spark, SF0001)
+    # the shipdate predicate reaches the parquet scan
+    assert has_pushed_filter(df, "l_shipdate")
+    # column pruning: the scan reads only the 7 referenced columns
+    cols = scan_read_columns(df, "lineitem")
+    assert set(cols) == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    # one aggregation shuffle, nothing else
+    assert n_shuffle_exchanges(df) == 1
+
+
+def test_enriched_orders_broadcasts_dims(spark):
+    df = QS["enriched_orders_daily"](spark, SF0001)
+    assert n_broadcast_joins(df) == 2  # customer + nation
+    assert n_shuffle_exchanges(df) == 0  # fact never shuffles
+
+
+def test_projection_pushdown_project_filter(spark):
+    df = QS["project_filter_rename"](spark, SF0001)
+    cols = scan_read_columns(df, "events")
+    assert set(cols) <= {"event_id", "user_id", "event_type", "value"}
+    assert has_pushed_filter(df, "event_type")
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the same key join WITHOUT any exchange."""
+    orders = read_table(spark, SF0001, "orders")
+    li = read_table(spark, SF0001, "lineitem")
+    write_bucketed(orders, "b_orders", n_buckets=4, keys=["o_orderkey"],
+                   sort_by=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", n_buckets=4, keys=["l_orderkey"],
+                   sort_by=["l_orderkey"])
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).agg(F.sum("l_quantity").alias("q"))
+        # join itself is exchange-free; only the final agg shuffles
+        assert n_shuffle_exchanges(joined) == 1
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_upsert_single_shuffle(spark):
+    df = QS["upsert_last_write_wins"](spark, SF0001)
+    # window dedup = exactly the one hash shuffle a MERGE would need
+    assert n_shuffle_exchanges(df) == 1
