@@ -68,6 +68,7 @@ def _load_all() -> None:
         parity_joins,
         parity_scalar,
         parity_sources,
+        parity_tpch,
     )
 
     _LOADED = True

@@ -261,3 +261,128 @@ def emb_lsh_topk(spark, sf_dir):
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "bucket", "cosine")
     )
+
+
+# --- IVF (inverted-file) ANN: coarse quantizer + probed cells -----------------------
+
+_IVF_CENTROID_MOD = 23  # centroids = vectors with vec_id % 23 == 0 (~4%)
+_IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+-- assign every vector to its nearest centroid (L2; ties -> lower cent_id)
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(n.v, c.cv),
+                                     p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'),
+                      c.cent_id) AS rn
+    FROM n, cent c
+  ) WHERE rn = 1
+),
+-- each query probes its {_IVF_NPROBE} nearest cells
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(n.v, c.cv),
+                                     p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'),
+                      c.cent_id) AS rn
+    FROM n, cent c
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         floor(list_aggregate(list_transform(list_zip(q.v, t.v), z -> z[1] * z[2]), 'sum')
+               / (q.nrm * t.nrm) * 10000 + 0.5) / 10000 AS cosine
+  FROM probes p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n t ON t.vec_id = a.vec_id
+  WHERE p.query_id < {_N_QUERIES} AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_TOP_K}
+"""
+
+
+@register("emb_ivf_topk", oracle=_ivf_oracle(), tags=("extension", "similarity", "ivf"))
+def emb_ivf_topk(spark, sf_dir):
+    """IVF ANN: a coarse quantizer (deterministic centroid sample, nearest-
+    centroid assignment) partitions the corpus into cells; queries probe
+    their nprobe=2 nearest cells only. At scale the assignment is one
+    broadcast of the centroid table and the probe is an equi-join on
+    cent_id — the classic inverted-file layout on a lake."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    n = base.select("vec_id", "v", norm.alias("nrm"))
+    cent = base.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", l2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked.where(
+        (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+
+    q = n.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    t = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("tv"), F.col("nrm").alias("tn")
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cent_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("tv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(t, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(dot / (F.col("qn") * F.col("tn")), 4).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -187,3 +187,36 @@ def text_fingerprint(spark, sf_dir):
         F.md5(text).alias("fp_md5"),
         poly.cast("long").alias("fp_poly_prefix"),
     )
+
+
+# --- PII-style redaction ---------------------------------------------------------
+
+
+@register(
+    "redact_payload_numbers",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+       regexp_replace(lower(props), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                      '<EMAIL>', 'g') AS props_no_email,
+       (regexp_matches(props, '[0-9]'))  AS had_number
+FROM events
+""",
+    tags=("extension", "text", "redaction"),
+)
+def redact_payload_numbers(spark, sf_dir):
+    """PII-style scrubbing (the training-data redaction primitive): global
+    regexp_replace of numbers and email-shaped spans, plus a had-PII flag.
+    Spark's regexp_replace is global by default; DuckDB's needs the 'g'
+    option — pinned in the oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>").alias("props_redacted"),
+        F.regexp_replace(
+            F.lower(F.col("props")),
+            r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+            "<EMAIL>",
+        ).alias("props_no_email"),
+        F.col("props").rlike("[0-9]").alias("had_number"),
+    )

@@ -198,3 +198,35 @@ def test_rerun_idempotent_and_partition_scoped(spark, lake):
         str(r[0]) for r in search.select("snapshot_date").distinct().collect()
     )
     assert search_days == [DAY1, DAY2]
+
+
+def test_sql_twins_match_dataframe_models(spark, results):
+    """SURVEY section 3.2: the SQL-string path must produce the same frames
+    as the DataFrame-API path (same Catalyst semantics, two front-ends).
+    Reads bronze fresh — earlier tests may have rewritten the zone files,
+    and a cached plan's file listing would dangle."""
+    from bigdata_meteo_datalake_spark import models
+    from bigdata_meteo_datalake_spark.models.sql import run_models_sql
+
+    lake = results["lake"]
+    for day in (DAY1, DAY2):
+        raw = {
+            name: spark.read.parquet(f"{lake}/bronze/{name}").where(
+                F.col("snapshot_date") == day
+            )
+            for name in ("raw_tmdb_popular", "raw_tmdb_details", "raw_omdb_ratings")
+        }
+        sql_out = run_models_sql(spark, raw)
+        stg_pop = models.stg_tmdb_popular(raw["raw_tmdb_popular"])
+        stg_det = models.stg_tmdb_details(raw["raw_tmdb_details"])
+        stg_omdb = models.stg_omdb_ratings(raw["raw_omdb_ratings"])
+        enriched = models.movies_enriched_daily(stg_pop, stg_det, stg_omdb)
+        df_out = {
+            "stg_tmdb_popular": stg_pop,
+            "stg_tmdb_details": stg_det,
+            "stg_omdb_ratings": stg_omdb,
+            "movies_enriched_daily": enriched,
+            "kpi_daily_summary": models.kpi_daily_summary(enriched),
+        }
+        for model, df in df_out.items():
+            compare_frames(sql_out[model].toPandas(), df.toPandas())
