@@ -59,6 +59,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        ext_asof,
         ext_dedup,
         ext_relational,
         ext_similarity,

@@ -1,0 +1,146 @@
+"""As-of / range-join / profiling queries (operators Spark lacks natively,
+composed from built-ins — checked against DuckDB's native forms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import as_of_join, range_join_buckets
+from ..sources.lake import read_table
+from . import register
+
+# --- as-of join: latest order at-or-before each event ------------------------------
+
+_ASOF_ORACLE = """
+WITH r AS (
+  SELECT o_custkey AS user_id,
+         o_orderdate,
+         arg_max(o_orderkey, o_orderkey)   AS last_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS last_order_total
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id,
+       e.user_id,
+       cast(e.ts AS timestamp) AS ts,
+       r.last_orderkey,
+       r.last_order_total
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+@register("asof_latest_order_per_event", oracle=_ASOF_ORACLE, tags=("extension", "asof"))
+def asof_latest_order_per_event(spark, sf_dir):
+    """As-of join: for each event, the latest order of the same user at or
+    before the event time. Spark side = union + ordered window (one
+    shuffle); oracle = DuckDB's native ASOF JOIN. The right side is
+    pre-deduped to one row per (user, time) with max_by so both engines
+    break ties identically."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_total"),
+        )
+    )
+    return as_of_join(
+        ev,
+        orders,
+        ["user_id"],
+        left_time="ts",
+        right_time="order_ts",
+        right_values=["last_orderkey", "last_order_total"],
+    )
+
+
+# --- range join via bucket decomposition --------------------------------------------
+
+_RANGE_ORACLE = """
+WITH bands(band_name, lo, hi) AS (
+  VALUES ('low', 0.0, 100000.0),
+         ('mid', 100000.0, 300000.0),
+         ('high', 300000.0, 600000.0)
+)
+SELECT b.band_name, count(*) AS n_orders,
+       cast(round(sum(cast(o.o_totalprice AS decimal(28,6))), 2) AS double) AS band_total
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_name
+"""
+
+
+@register("range_join_price_bands", oracle=_RANGE_ORACLE, tags=("extension", "rangejoin"))
+def range_join_price_bands(spark, sf_dir):
+    """Interval-containment join decomposed into fixed-width buckets +
+    equi-join + residual filter (the non-broadcast scale path; the oracle
+    uses the naive theta join)."""
+    o = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+         ("high", 300000.0, 600000.0)],
+        "band_name string, lo double, hi double",
+    )
+    joined = range_join_buckets(
+        o, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        bucket_width=50000.0,
+    )
+    return joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("band_total"),
+    )
+
+
+# --- table profiling (ANALYZE-style column stats) -----------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       cast(min(o_orderkey) AS varchar) AS min_value,
+       cast(max(o_orderkey) AS varchar) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS bigint),
+       count(DISTINCT o_orderstatus),
+       cast(min(o_orderstatus) AS varchar),
+       cast(max(o_orderstatus) AS varchar)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS bigint),
+       count(DISTINCT o_totalprice),
+       cast(min(o_totalprice) AS varchar),
+       cast(max(o_totalprice) AS varchar)
+FROM orders
+"""
+
+
+@register("profile_orders_columns", oracle=_PROFILE_ORACLE, tags=("extension", "profiling"))
+def profile_orders_columns(spark, sf_dir):
+    """ANALYZE-style column profile (null count, distinct count, min/max) —
+    the stats a lakehouse maintains for pruning and CBO, computed in one
+    pass per column set."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def profile(col: str):
+        return o.agg(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    out = profile("o_orderkey")
+    for c in ("o_orderstatus", "o_totalprice"):
+        out = out.unionByName(profile(c))
+    return out
