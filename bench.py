@@ -22,6 +22,9 @@ from bigdata_meteo_datalake_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "largest_orders",
     "kpi_daily_order_summary",
     "enriched_orders_daily",
     "upsert_last_write_wins",
@@ -33,6 +36,7 @@ BENCH_QUERIES = [
     "window_tumbling_hourly",
     "sessionize_events",
     "topk_orders_per_status",
+    "asof_latest_order_per_event",
 ]
 
 

@@ -62,14 +62,22 @@ def write_partitioned(
     *,
     partition_by: str | list[str] = "snapshot_date",
     mode: str = "overwrite",
+    single_file: bool = False,
 ) -> None:
     """S11: `.../<zone>/<name>/snapshot_date=<d>/...` snappy parquet.
 
     With ``partitionOverwriteMode=dynamic`` (session policy) mode="overwrite"
     only replaces the partitions present in ``df`` — the idempotent re-run
     semantics of the reference (export_to_parquet.py:100).
+
+    ``single_file=True`` reproduces the reference's one-file-per-partition
+    layout (export_to_parquet.py:55-60) by hash-repartitioning on the
+    partition columns first — small-file control for dimension-sized
+    outputs; leave False for large facts (one task per output file).
     """
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if single_file:
+        df = df.repartition(*[F.col(c) for c in cols])
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
