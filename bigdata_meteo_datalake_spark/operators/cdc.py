@@ -1,0 +1,53 @@
+"""Snapshot diff / change-data-capture over the lake
+(the reference's world is daily snapshot partitions — SURVEY.md section 1.2;
+the natural derived operator is "what changed between two snapshots", the
+lake-side substitute for a database change feed).
+
+One full-outer equi-join on the key, change classification from null-ness
+and column comparison. At 100 TB both sides are day partitions of the same
+table — partition pruning makes the diff proportional to two days, and the
+join key is the table's primary key (uniform, no skew).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key as insert / delete / update / unchanged between
+    two snapshots. Output: keys..., change_type, plus old_<c>/new_<c> for
+    each compared column. NULL-safe comparison (`<=>`) so NULL->value and
+    value->NULL count as updates."""
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    for c in compare_cols:
+        o = o.withColumnRenamed(c, f"old_{c}")
+        n = n.withColumnRenamed(c, f"new_{c}")
+    o = o.withColumn("__in_old", F.lit(True))
+    n = n.withColumn("__in_new", F.lit(True))
+    joined = o.join(n, list(keys), "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(
+        *keys,
+        change.alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

@@ -144,3 +144,56 @@ def profile_orders_columns(spark, sf_dir):
     for c in ("o_orderstatus", "o_totalprice"):
         out = out.unionByName(profile(c))
     return out
+
+
+# --- snapshot diff (CDC over day partitions) ----------------------------------------
+
+_CDC_ORACLE = """
+WITH d1 AS (
+  SELECT user_id, count(*) AS n_events,
+         cast(round(sum(cast(value AS decimal(28,6))), 2) AS double) AS day_value
+  FROM events WHERE cast(ts AS date) = DATE '2024-01-01' GROUP BY user_id
+),
+d2 AS (
+  SELECT user_id, count(*) AS n_events,
+         cast(round(sum(cast(value AS decimal(28,6))), 2) AS double) AS day_value
+  FROM events WHERE cast(ts AS date) = DATE '2024-01-02' GROUP BY user_id
+)
+SELECT coalesce(d1.user_id, d2.user_id) AS user_id,
+       CASE WHEN d1.user_id IS NULL THEN 'insert'
+            WHEN d2.user_id IS NULL THEN 'delete'
+            WHEN d1.n_events IS NOT DISTINCT FROM d2.n_events
+                 AND d1.day_value IS NOT DISTINCT FROM d2.day_value THEN 'unchanged'
+            ELSE 'update' END AS change_type,
+       d1.n_events AS old_n_events,
+       d1.day_value AS old_day_value,
+       d2.n_events AS new_n_events,
+       d2.day_value AS new_day_value
+FROM d1 FULL OUTER JOIN d2 ON d1.user_id = d2.user_id
+"""
+
+
+@register("snapshot_diff_daily_users", oracle=_CDC_ORACLE, tags=("extension", "cdc"))
+def snapshot_diff_daily_users(spark, sf_dir):
+    """CDC over snapshot partitions: classify per-user daily aggregates
+    between two days as insert/delete/update/unchanged — one full-outer
+    join on the key with null-safe column comparison (operators/cdc.py)."""
+    from ..operators.cdc import snapshot_diff
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def day(d):
+        return (
+            ev.where(F.col("ts").cast("date") == d)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                .cast("double")
+                .alias("day_value"),
+            )
+        )
+
+    return snapshot_diff(
+        day("2024-01-01"), day("2024-01-02"), ["user_id"], ["n_events", "day_value"]
+    )

@@ -206,3 +206,24 @@ def approx_distinct_counts(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.approx_count_distinct("o_orderkey").alias("approx_orders"),
     )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("free", "cube"),
+)
+def cube_order_stats(spark, sf_dir):
+    """CUBE over (status, priority): all 2^2 grouping sets in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
