@@ -229,3 +229,65 @@ def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# --- connected components (cluster the near-dup pair graph) -------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list: every node ends
+    with label = min node id reachable from it (its cluster representative).
+    Returns (node, cluster_rep).
+
+    Iterative Spark algorithm (the engine's one loop): each round joins
+    labels to neighbors and takes the min — O(graph diameter) rounds, each
+    one shuffle on node id. `localCheckpoint` truncates the growing lineage
+    per round. Raises if not converged within `max_iter` (near-dup cluster
+    diameters are tiny in practice)."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("node", F.col("label").alias("new_label"))
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_rep"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -61,6 +61,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         ext_asof,
         ext_dedup,
+        ext_events,
         ext_multimodal,
         ext_relational,
         ext_similarity,

@@ -274,3 +274,41 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(sh).select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# --- near-dup clusters: connected components over the pair graph ------------------
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) t
+),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, target) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.node, y.d FROM reach r JOIN sym y ON y.s = r.target
+)
+SELECT node AS doc_id, min(target) AS cluster_rep
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle(), tags=("extension", "dedup", "iterative"))
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the Jaccard>=0.6
+    pair graph via iterative min-label propagation (operators/dedup.py) —
+    the engine's iterative-algorithm path, checked against a recursive-CTE
+    transitive closure in the oracle. Every clustered doc maps to its
+    cluster representative (min doc_id)."""
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )

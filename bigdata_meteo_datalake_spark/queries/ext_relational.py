@@ -227,3 +227,31 @@ def cube_order_stats(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "order_price_quantiles",
+    oracle="""
+SELECT floor(quantile_cont(cast(o_totalprice AS double), 0.25) * 100 + 0.5) / 100 AS p25,
+       floor(quantile_cont(cast(o_totalprice AS double), 0.50) * 100 + 0.5) / 100 AS p50,
+       floor(quantile_cont(cast(o_totalprice AS double), 0.75) * 100 + 0.5) / 100 AS p75,
+       floor(quantile_cont(cast(o_totalprice AS double), 0.95) * 100 + 0.5) / 100 AS p95
+FROM orders
+""",
+    tags=("free", "percentile"),
+)
+def order_price_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines use the (n-1)*p
+    continuous-quantile definition); percentile_approx is the sketch-based
+    scale path when exactness isn't required."""
+    from ..functions.numeric import round_half_up
+
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        *[
+            round_half_up(
+                F.expr(f"percentile(o_totalprice, {p})"), 2
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
