@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
+from ..operators.dedup import widen
 from ..sources.lake import read_table
 from . import register
 
@@ -61,7 +62,7 @@ def knn_cosine_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k: query set (vec_id < 20) broadcast against
     the corpus; dot product via zip_with + sequential aggregate fold (same
     fold order as the oracle); top-k per query via one window."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
@@ -126,8 +127,10 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the semantic-dedup operator):
     all-pairs cosine >= threshold over a bounded id range. The quadratic
     form is the correctness baseline; emb_lsh_topk below is the scale path."""
-    emb = read_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < _NEAR_DUP_MAX_ID
+    emb = widen(
+        read_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < _NEAR_DUP_MAX_ID
+        )
     )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -212,7 +215,7 @@ def emb_lsh_topk(spark, sf_dir):
     256-bucket signature; candidates are an equi-join on the bucket instead
     of a cross product (quadratic -> ~quadratic/256 at uniform load).
     Planes are LCG-derived constants inlined into both engines."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), v.alias("v"))
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
@@ -331,7 +334,7 @@ def emb_ivf_topk(spark, sf_dir):
     their nprobe=2 nearest cells only. At scale the assignment is one
     broadcast of the centroid table and the probe is an equi-join on
     cent_id — the classic inverted-file layout on a lake."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), v.alias("v"))
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))

@@ -39,6 +39,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     round-trip — ns epochs exceed 2^53). DuckDB's ns->us cast truncates the
     same way, so oracle comparisons stay exact.
     """
+    from ..session import apply_session_policy
+
+    # self-sufficient under ANY caller session: the driver may invoke a
+    # query without entry() having applied the engine policy first, and
+    # events.parquet is unreadable without the nanos conf
+    apply_session_policy(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
