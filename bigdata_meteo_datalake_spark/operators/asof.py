@@ -38,11 +38,15 @@ def as_of_join(
     so <= semantics hold."""
     lcols = left.columns
     l2 = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
+    # pack the right row's values into ONE struct so the window fill picks
+    # the latest right ROW atomically — per-column last(ignorenulls) would
+    # skip NULL values and stitch together a row that never existed
     r2 = (
         right.select(*keys, right_time, *right_values)
         .withColumn("__t", F.col(right_time))
         .withColumn("__side", F.lit(0))
-        .drop(right_time)
+        .withColumn("__rv", F.struct(*[F.col(v) for v in right_values]))
+        .drop(right_time, *right_values)
     )
     merged = l2.unionByName(r2, allowMissingColumns=True)
     w = (
@@ -50,15 +54,11 @@ def as_of_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = merged.select(
-        "*",
-        *[
-            F.last(F.col(v), ignorenulls=True).over(w).alias(f"__asof_{v}")
-            for v in right_values
-        ],
+    filled = merged.withColumn(
+        "__asof_rv", F.last(F.col("__rv"), ignorenulls=True).over(w)
     )
     out = filled.where(F.col("__side") == 1).select(
-        *lcols, *[F.col(f"__asof_{v}").alias(v) for v in right_values]
+        *lcols, *[F.col(f"__asof_rv.{v}").alias(v) for v in right_values]
     )
     return out
 
@@ -78,7 +78,7 @@ def range_join_buckets(
     then apply the residual containment filter."""
     w = float(bucket_width)
     ranges_b = ranges.withColumn(
-        "__bucket",
+        "__rbucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w).cast("long"),
@@ -87,7 +87,12 @@ def range_join_buckets(
         ),
     )
     fact_b = fact.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
-    joined = fact_b.join(ranges_b, "__bucket", how).where(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    # containment belongs in the JOIN condition, not a post-filter — a
+    # post-filter would drop the null-extended rows an outer join preserves
+    cond = (
+        (F.col("__bucket") == F.col("__rbucket"))
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
     )
-    return joined.drop("__bucket")
+    joined = fact_b.join(ranges_b, cond, how)
+    return joined.drop("__bucket", "__rbucket")

@@ -38,14 +38,15 @@ def compact_partition(
         ]
 
     df = spark.read.parquet(path).where(F.col(partition_col) == partition_value)
-    import os
-    from urllib.parse import urlparse
-
-    total = sum(
-        os.path.getsize(urlparse(f).path)
-        for f in partition_files(df)
-        if urlparse(f).scheme in ("file", "")
-    )
+    # size through the Hadoop FileSystem API so any scheme (file/s3a/hdfs)
+    # is measured — a local-only stat would see 0 bytes remotely and
+    # collapse a huge partition into one serialized write
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in partition_files(df):
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     (
         df.repartition(n_files)

@@ -84,12 +84,16 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                 b = bytes(blob)
                 h = hashlib.md5(b).digest()
                 feats["doc_id"].append(doc_id)
-                # deterministic fake: dimensions/intensity derived from bytes
+                # deterministic fake: dimensions from digest bytes; the
+                # intensity averages Unicode code points of the DECODED
+                # text so the SQL oracle (ascii over characters) matches
+                # on non-ASCII payloads too; n_bytes stays byte-accurate
+                chars = b.decode("utf-8", errors="replace")[:256]
                 feats["width"].append(64 + h[0] % 64)
                 feats["height"].append(64 + h[1] % 64)
                 feats["n_bytes"].append(len(b))
                 feats["mean_intensity"].append(
-                    (sum(b[:256]) / max(1, min(len(b), 256))) / 255.0
+                    (sum(ord(c) for c in chars) / max(1, len(chars))) / 255.0
                 )
             yield pd.DataFrame(feats)
 

@@ -30,12 +30,14 @@ class Check:
         return f"{self.kind}__{self.table}__{'_'.join(self.columns)}"
 
 
-def not_null_violations(df: DataFrame, column: str) -> DataFrame:
-    return df.select(
-        F.sum(F.when(F.col(column).isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_violations")
-    )
+def not_null_violations(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Total NULLs across every listed column (dbt runs one test per
+    column; a multi-column Check aggregates them — no column is ignored)."""
+    total = None
+    for column in columns:
+        term = F.sum(F.when(F.col(column).isNull(), 1).otherwise(0))
+        total = term if total is None else total + term
+    return df.select(total.cast("long").alias("n_violations"))
 
 
 def unique_violations(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -57,7 +59,7 @@ def run_checks(
     for chk in checks:
         df = tables[chk.table]
         viol = (
-            not_null_violations(df, chk.columns[0])
+            not_null_violations(df, chk.columns)
             if chk.kind == "not_null"
             else unique_violations(df, chk.columns)
         )

@@ -74,11 +74,19 @@ def maintain_rollup(
     recompute it from source and overwrite that partition instead
     (`rollup_increment(day_events).write...` with dynamic overwrite) —
     the reference's O6 rerun semantics, not this function's."""
+    from pyspark.errors import AnalysisException
+
     inc = rollup_increment(increment, bucket)
     days = [r["day"] for r in inc.select("day").distinct().collect()]
     try:
         existing = spark.read.parquet(rollup_path).where(F.col("day").isin(days))
-    except Exception:
+        existing.schema  # force analysis so a missing table surfaces here
+    except AnalysisException as exc:
+        # only "table does not exist yet" may be treated as empty history —
+        # any other failure must abort, or the overwrite would silently
+        # replace real partials with increment-only ones
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         existing = None
     merged = merge_rollup(existing, inc)
     merged.write.mode("overwrite").partitionBy("day").parquet(rollup_path)

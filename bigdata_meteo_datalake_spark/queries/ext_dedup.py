@@ -109,27 +109,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     explode distinct shingles -> self-join on shingle -> intersection
     counts -> Jaccard. Integer-only arithmetic until one final double
     division, so the oracle matches bit-for-bit."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
     from pyspark import StorageLevel
 
-    from ..operators.dedup import widen
-
-    grams = (
-        widen(d.where(F.size(toks) >= 3))
-        .select("doc_id", F.explode(grams_arr).alias("gram"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # reused by sizes + both join sides
+    d = read_table(spark, sf_dir, "documents")
+    # same shingle relation the MinHash path uses — ONE definition of the
+    # gram set so the two Jaccard queries can't drift apart
+    grams = doc_shingles(d).persist(
+        StorageLevel.MEMORY_AND_DISK  # reused by sizes + both join sides
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")

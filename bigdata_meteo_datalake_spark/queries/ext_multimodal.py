@@ -17,18 +17,19 @@ _MM_ORACLE = """
 WITH b AS (
   SELECT doc_id,
          text,
-         length(text) AS n,
+         length(text) AS n_chars,
+         octet_length(encode(text)) AS n_bytes,
          md5(text) AS h
   FROM documents
 )
 SELECT doc_id,
        cast(64 + (('0x' || substr(h, 1, 2))::int % 64) AS int) AS width,
        cast(64 + (('0x' || substr(h, 3, 2))::int % 64) AS int) AS height,
-       cast(n AS bigint) AS n_bytes,
-       (cast(list_aggregate(list_transform(range(1, least(n, 256) + 1),
+       cast(n_bytes AS bigint) AS n_bytes,
+       (cast(list_aggregate(list_transform(range(1, least(n_chars, 256) + 1),
                                            i -> ascii(substr(text, i, 1))), 'sum')
              AS double)
-        / greatest(1, least(n, 256))) / 255.0 AS mean_intensity
+        / greatest(1, least(n_chars, 256))) / 255.0 AS mean_intensity
 FROM b
 """
 

@@ -127,10 +127,12 @@ UNION ALL SELECT 'events', count(*) FROM events
 def load_row_counts(spark, sf_dir):
     """A6: per-table loaded-row metrics (load_raw_to_postgres.py:213-220) —
     expressed as distributed counts, not driver-side counters."""
+    # global agg + select(lit): an empty table still yields one row with 0,
+    # matching the oracle's scalar count(*) (groupBy(lit) would yield none)
     rows = [
         read_table(spark, sf_dir, t)
-        .groupBy(F.lit(t).alias("table_name"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
         for t in ("orders", "lineitem", "events")
     ]
     out = rows[0]

@@ -1,0 +1,66 @@
+"""Regression tests for as-of join row-atomicity and outer range joins
+(bugs found in review: per-column ignorenulls fill stitched together rows
+that never existed; post-join containment filters dropped null-extended
+outer rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdata_meteo_datalake_spark.operators.asof import as_of_join, range_join_buckets
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_takes_latest_row_atomically(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 5.0, 50.0),
+            (1, _ts("2024-01-01 11:00:00"), None, 70.0),  # latest: v1 is NULL
+        ],
+        "k long, rt timestamp, v1 double, v2 double",
+    )
+    out = as_of_join(
+        left, right, ["k"], left_time="t", right_time="rt", right_values=["v1", "v2"]
+    ).collect()[0]
+    # the latest right ROW wins wholesale: v1 must be NULL (not 5.0 from
+    # the older row) and v2 must be 70.0
+    assert out["v1"] is None
+    assert out["v2"] == 70.0
+
+
+def test_asof_no_match_yields_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0)], "k long, rt timestamp, v double"
+    )
+    out = as_of_join(
+        left, right, ["k"], left_time="t", right_time="rt", right_values=["v"]
+    ).collect()[0]
+    assert out["v"] is None  # right row is later than the left row
+
+
+def test_range_join_left_preserves_unmatched(spark):
+    fact = spark.createDataFrame([(1, 50.0), (2, 999.0)], "id long, x double")
+    ranges = spark.createDataFrame([("band", 0.0, 100.0)], "name string, lo double, hi double")
+    out = range_join_buckets(
+        fact, ranges, value_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=10.0, how="left",
+    )
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows == {1: "band", 2: None}  # unmatched fact row survives
+
+    inner = range_join_buckets(
+        fact, ranges, value_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=10.0,
+    )
+    assert {r["id"] for r in inner.collect()} == {1}
