@@ -67,6 +67,7 @@ def _load_all() -> None:
         ext_similarity,
         ext_streaming,
         ext_text,
+        ext_training,
         parity_agg,
         parity_joins,
         parity_scalar,

@@ -1,0 +1,186 @@
+"""Training-data pipeline operators (SURVEY.md section 2.7 north star):
+deterministic dataset splitting, sequence packing, source mixing, and
+benchmark-contamination checks — the operations between "deduped corpus"
+and "training batches". All hash-deterministic (md5-derived), so every one
+is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import token_hash, token_hash_sql
+from ..sources.lake import read_table
+from . import register
+
+# --- deterministic train/val/test split ---------------------------------------------
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         {token_hash_sql("cast(doc_id AS varchar)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    tags=("extension", "training", "split"),
+)
+def train_val_test_split(spark, sf_dir):
+    """80/10/10 split by a content-stable hash bucket — membership is a
+    pure function of the id, so re-runs, backfills, and different cluster
+    sizes all agree (never rand()/randomSplit for dataset membership)."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- sequence packing under a token budget ------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_documents_token_budget",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       cast(floor((cum - 1) / {_PACK_BUDGET}) AS bigint) AS pack_id
+FROM runs
+""",
+    tags=("extension", "training", "packing"),
+)
+def pack_documents_token_budget(spark, sf_dir):
+    """Greedy sequence packing: documents in id order are assigned to packs
+    by running token count / budget — the batch-construction step before
+    training. (Single global window here for oracle determinism; at 100 TB
+    the same expression runs per shard — partitionBy(shard) — since packs
+    never need to span shards.)"""
+    d = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _PACK_BUDGET)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+# --- deterministic source mixing -----------------------------------------------------
+
+
+@register(
+    "mix_sources_deterministic",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         {token_hash_sql("cast(doc_id AS varchar)")} % 100 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, source FROM b
+  WHERE (source IN ('src0','src1','src2') AND bucket < 100)
+     OR (source NOT IN ('src0','src1','src2') AND bucket < 25)
+)
+SELECT source, cast(count(*) AS bigint) AS n_docs
+FROM kept GROUP BY source
+""",
+    tags=("extension", "training", "mixing"),
+)
+def mix_sources_deterministic(spark, sf_dir):
+    """Source-weighted corpus mixing: keep 100% of the priority sources and
+    a deterministic 25% hash-sample of the rest — the up/down-sampling step
+    of corpus recipes, reproducible across runs by construction."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    priority = F.col("source").isin("src0", "src1", "src2")
+    kept = d.where((priority & (bucket < 100)) | (~priority & (bucket < 25)))
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- benchmark-contamination check ---------------------------------------------------
+
+_CONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         cast(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
+  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id >= 10
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       floor(cast(n_hit AS double) / n_grams * 10000 + 0.5) / 10000 AS contamination,
+       (cast(n_hit AS double) / n_grams >= 0.8) AS is_contaminated
+FROM scored
+"""
+
+
+@register("benchmark_contamination", oracle=_CONTAM_ORACLE, tags=("extension", "training", "contamination"))
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: fraction of each corpus document's
+    distinct 3-gram shingles that appear anywhere in the benchmark set
+    (docs 0-9 stand in). The benchmark gram set broadcasts; the corpus side
+    never shuffles — the shape that scales to a 100 TB crawl vs a fixed
+    eval suite."""
+    from ..operators.dedup import doc_shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    grams = doc_shingles(d)
+    bench = (
+        grams.where(F.col("doc_id") < 10).select("gram").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = grams.where(F.col("doc_id") >= 10)
+    scored = (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_grams")
+    from ..functions.numeric import round_half_up
+
+    return scored.select(
+        "doc_id",
+        round_half_up(ratio, 4).alias("contamination"),
+        (ratio >= 0.8).alias("is_contaminated"),
+    )
