@@ -70,3 +70,66 @@ def test_fetch_keyed_distributed(spark):
     assert len(out) == 3
     payloads = {r["imdb_id"]: json.loads(r["payload_json"]) for r in out}
     assert payloads["tt2"]["endpoint"] == "omdb/tt2"
+
+
+def test_single_file_partition_layout(spark, tmp_path):
+    """S11 exact layout parity: one parquet file per snapshot partition."""
+    import os
+
+    from bigdata_meteo_datalake_spark.sources.lake import write_partitioned
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("snapshot_date"),
+    ).repartition(8)
+    out = str(tmp_path / "single")
+    write_partitioned(df, out, single_file=True)
+    for d in os.listdir(out):
+        if d.startswith("snapshot_date="):
+            parts = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+            assert len(parts) == 1, (d, parts)
+
+
+def test_bulk_index_http_poster(spark):
+    """S13 transport path: executors POST NDJSON _bulk bodies over HTTP."""
+    import http.server
+    import json as _json
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, body.decode()))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"errors": false}')
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from bigdata_meteo_datalake_spark.sources.gateways import es_bulk_sink
+        from bigdata_meteo_datalake_spark.sources.search import search_projection
+
+        proj = search_projection(_gold(spark), ["snapshot_date", "tmdb_id"])
+        es_bulk_sink(proj, "movies_idx", f"http://127.0.0.1:{port}", batch_size=1)
+    finally:
+        srv.shutdown()
+
+    assert received, "no bulk requests arrived"
+    assert all(path == "/_bulk" for path, _ in received)
+    actions = []
+    for _, body in received:
+        for line in body.strip().splitlines():
+            doc = _json.loads(line)
+            if "index" in doc and "_id" in doc.get("index", {}):
+                actions.append(doc["index"])
+    assert {a["_id"] for a in actions} == {"2026-02-18_101", "2026-02-18_102"}
+    assert all(a["_index"] == "movies_idx" for a in actions)
