@@ -220,3 +220,43 @@ def redact_payload_numbers(spark, sf_dir):
         ).alias("props_no_email"),
         F.col("props").rlike("[0-9]").alias("had_number"),
     )
+
+
+# --- full-text search consumption (SURVEY section 3.3) ---------------------------
+
+
+@register(
+    "search_documents_match",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         string_split_regex(lower(text), '[^a-z0-9]+') AS t
+  FROM documents
+)
+SELECT lang,
+       cast(count(*) AS bigint) AS n_matching_docs,
+       cast(round(sum(cast(n_chars AS decimal(28,6))), 2) AS double) AS total_chars
+FROM toks
+WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
+GROUP BY lang
+""",
+    tags=("extension", "search"),
+)
+def search_documents_match(spark, sf_dir):
+    """The ad-hoc consumption surface (SURVEY 3.3): a Kibana-style
+    full-text match (both terms present) + keyword filter + aggregation,
+    served straight from the lake with tokenized match semantics
+    (sources/search.py full_text_match is the reusable operator form)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    matched = d.where(
+        F.array_contains(toks, "spark") & F.array_contains(toks, "join")
+    )
+    return matched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_matching_docs"),
+        F.round(F.sum(F.col("n_chars").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("total_chars"),
+    )

@@ -120,3 +120,10 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (re-read)
+    static dimension — the streaming twin of the marts' enrich joins. The
+    dim side broadcasts per micro-batch; no stream state is kept."""
+    return stream.join(F.broadcast(dim), key, "left")

@@ -134,3 +134,24 @@ def test_running_user_totals_stateful(spark, event_source, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich(spark, event_source, tmp_path):
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_static_enrich
+
+    src, events = event_source
+    dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    stream = stream_events(spark, src, events.schema)
+    enriched = stream_static_enrich(stream, dim, "user_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("enrich_out")
+    assert out.count() == events.count()
+    assert out.where(F.col("user_total").isNull()).count() == 0
