@@ -255,3 +255,47 @@ def order_price_quantiles(spark, sf_dir):
             for p in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+@register(
+    "customer_order_window_stats",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       o_totalprice,
+       cast(row_number() OVER w AS bigint)                    AS order_seq,
+       cast(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey) AS int) AS price_quartile,
+       lag(o_totalprice) OVER w                               AS prev_price,
+       lead(o_totalprice) OVER w                              AS next_price,
+       first_value(o_totalprice) OVER w                       AS first_price,
+       cast(round(sum(cast(o_totalprice AS decimal(28,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS double) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("free", "window-fn"),
+)
+def customer_order_window_stats(spark, sf_dir):
+    """Analytic-window breadth: row_number / ntile / lag / lead /
+    first_value / running sum over per-customer order history — the window
+    surface beyond the parity row_number (one shuffle on the customer key
+    serves every function)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(running), 2)
+        .cast("double")
+        .alias("running_total"),
+    )
