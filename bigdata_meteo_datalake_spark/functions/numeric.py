@@ -50,6 +50,12 @@ def rounded_sum(col: Column | str, scale: int = 2) -> Column:
     return F.round(exact_sum(col), scale).cast("double")
 
 
+def dec_round(col: Column, scale: int = 2) -> Column:
+    """Exact-decimal rounding of a scalar expression -> double (engine-
+    native round is safe here because the value is decimal, not double)."""
+    return F.round(col.cast(DEC), scale).cast("double")
+
+
 def round_half_up(col: Column, scale: int = 2) -> Column:
     """Cross-engine-stable double rounding: floor(x * 10^s + 0.5) / 10^s."""
     p = 10**scale

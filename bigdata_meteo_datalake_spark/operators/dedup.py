@@ -56,15 +56,9 @@ def word_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def widen(df: DataFrame) -> DataFrame:
-    """Ensure CPU-heavy per-row stages don't run on a handful of partitions:
-    a small parquet table arrives as ONE input split (maxPartitionBytes),
-    which serializes shingling/hashing on a single core. Only widens —
-    never reduces an already-parallel input (at real scale the scan is
-    already wide and this is a no-op)."""
-    current = df.rdd.getNumPartitions()
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if current < target else df
+# widen() graduated to sources/lake.py (generic scan utility, also used by
+# the similarity queries); re-exported here for its original callers.
+from ..sources.lake import widen  # noqa: E402,F401
 
 
 def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",

@@ -47,7 +47,7 @@ def unique_violations(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         df.groupBy(*columns)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
-        .select(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.count(F.lit(1)).cast("long").alias("n_violations"))
     )
 
 

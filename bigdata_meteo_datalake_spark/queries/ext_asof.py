@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numeric import rounded_sum
 from ..operators.asof import as_of_join, range_join_buckets
 from ..sources.lake import read_table
 from . import register
@@ -91,9 +92,7 @@ def range_join_price_bands(spark, sf_dir):
     )
     return joined.groupBy("band_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
-        .cast("double")
-        .alias("band_total"),
+        rounded_sum("o_totalprice").alias("band_total"),
     )
 
 
@@ -188,9 +187,7 @@ def snapshot_diff_daily_users(spark, sf_dir):
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
-                .cast("double")
-                .alias("day_value"),
+                rounded_sum("value").alias("day_value"),
             )
         )
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import rounded_sum
 from ..sources.lake import read_table
 from . import register
 
@@ -170,9 +171,7 @@ def rollup_lineitem_flags(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("l_quantity").cast("decimal(28,6)")), 2)
-        .cast("double")
-        .alias("sum_qty"),
+        rounded_sum("l_quantity").alias("sum_qty"),
     )
 
 
@@ -223,9 +222,7 @@ def cube_order_stats(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
-        .cast("double")
-        .alias("total"),
+        rounded_sum("o_totalprice").alias("total"),
     )
 
 

@@ -28,6 +28,24 @@ from . import register
 _N_QUERIES = 20  # vec_id < 20 form the query set
 _TOP_K = 5
 
+
+def _double_vec():
+    """embedding (array<float>) cast element-wise to double."""
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    """Sequential left-fold dot product — same fold order as the oracle's
+    list_aggregate, hence bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 _KNN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id,
@@ -63,22 +81,15 @@ def knn_cosine_bruteforce(spark, sf_dir):
     the corpus; dot product via zip_with + sequential aggregate fold (same
     fold order as the oracle); top-k per query via one window."""
     emb = widen(read_table(spark, sf_dir, "embeddings"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    base = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("nrm"))
+    v = _double_vec()
+    base = emb.select(F.col("vec_id"), v.alias("v"), _norm(v).alias("nrm"))
     q = base.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("qv"), F.col("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -132,21 +143,15 @@ def embedding_near_dup_pairs(spark, sf_dir):
             F.col("vec_id") < _NEAR_DUP_MAX_ID
         )
     )
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("nrm"))
+    v = _double_vec()
+    base = emb.select(F.col("vec_id"), v.alias("v"), _norm(v).alias("nrm"))
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
     b = base.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos_raw = dot / (F.col("na") * F.col("nb"))
+    cos_raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
@@ -216,17 +221,12 @@ def emb_lsh_topk(spark, sf_dir):
     of a cross product (quadratic -> ~quadratic/256 at uniform load).
     Planes are LCG-derived constants inlined into both engines."""
     emb = widen(read_table(spark, sf_dir, "embeddings"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), v.alias("v"))
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
+    norm = _norm(F.col("v"))
     bucket = None
     for j, plane in enumerate(_PLANES):
         plane_lit = F.array(*[F.lit(x) for x in plane])
-        dot_j = F.aggregate(
-            F.zip_with(F.col("v"), plane_lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot_j = _dot(F.col("v"), plane_lit)
         term = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     base = base.select(
@@ -244,11 +244,7 @@ def emb_lsh_topk(spark, sf_dir):
         F.col("nrm").alias("cn"),
         F.col("bucket").alias("cbucket"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("qv"), F.col("cv"))
     scored = (
         q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
         .select(
@@ -335,9 +331,8 @@ def emb_ivf_topk(spark, sf_dir):
     broadcast of the centroid table and the probe is an equi-join on
     cent_id — the classic inverted-file layout on a lake."""
     emb = widen(read_table(spark, sf_dir, "embeddings"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), v.alias("v"))
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
+    norm = _norm(F.col("v"))
     n = base.select("vec_id", "v", norm.alias("nrm"))
     cent = base.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
@@ -346,7 +341,7 @@ def emb_ivf_topk(spark, sf_dir):
         F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
+    )  # squared-L2 fold (distinct from _dot: different element combiner)
     ranked = n.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", l2.alias("d2")
     )
@@ -369,11 +364,7 @@ def emb_ivf_topk(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("tv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("qv"), F.col("tv"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(t, "neighbor_id")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_up, rounded_sum
 from ..sources.lake import read_table
 from . import register
 
@@ -85,8 +86,6 @@ def text_language_id(spark, sf_dir):
     """Language-ID heuristic: stopword-hit ratio over whitespace tokens with
     a threshold classifier (n-gram/stopword heuristic per the extension
     spec). Ratio is int/int -> one double division, bit-stable vs oracle."""
-    from ..functions.numeric import round_half_up
-
     d = read_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
@@ -135,8 +134,6 @@ def text_quality_score(spark, sf_dir):
         + 0.3 * F.least(n_tokens / 80.0, F.lit(1.0))
         + 0.2 * (1.0 - F.least(n_punct / n_tokens, F.lit(1.0)))
     )
-    from ..functions.numeric import round_half_up
-
     return d.select(
         "doc_id",
         round_half_up(score, 4).alias("quality_score"),
@@ -256,7 +253,5 @@ def search_documents_match(spark, sf_dir):
     )
     return matched.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_matching_docs"),
-        F.round(F.sum(F.col("n_chars").cast("decimal(28,6)")), 2)
-        .cast("double")
-        .alias("total_chars"),
+        rounded_sum("n_chars").alias("total_chars"),
     )

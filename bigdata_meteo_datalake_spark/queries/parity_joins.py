@@ -135,11 +135,11 @@ def enriched_orders_daily(spark, sf_dir):
     fact LEFT JOIN dim LEFT JOIN dim with derived score cascade and boundary
     flags. J3's dbt ref() DAG edge is the function composition here. Both
     dims broadcast — zero shuffles on the fact at any scale."""
+    from ..functions.numeric import dec_round as r2
+
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
-    dec = "decimal(28,6)"
-    r2 = lambda col: F.round(col.cast(dec), 2).cast("double")  # noqa: E731
     joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left").join(
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left"
     )

@@ -176,9 +176,9 @@ def derived_scores_and_flags(spark, sf_dir):
     .sql:99-102), P12 conditional cascade, P13 NULL-test flag, P14 predicate
     flags with boundary comparisons (>=/<, movies_enriched_daily.sql:106-114),
     P15 coalesce. Weighted-score mirrors `imdb*0.6 + metascore/10*0.4`."""
+    from ..functions.numeric import dec_round as r2
+
     li = read_table(spark, sf_dir, "lineitem")
-    dec = "decimal(28,6)"
-    r2 = lambda c: F.round(c.cast(dec), 2).cast("double")  # noqa: E731
     qty, disc, tax = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
     return li.select(
         "l_orderkey",

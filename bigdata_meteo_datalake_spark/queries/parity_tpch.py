@@ -141,9 +141,7 @@ def largest_orders(spark, sf_dir):
         .groupBy(F.col("o_orderkey").alias("order_key"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
-            .cast("double")
-            .alias("order_total"),
+            rounded_sum("l_extendedprice").alias("order_total"),
         )
     )
     w = Window.orderBy(F.desc("order_total"), F.asc("order_key"))

@@ -87,6 +87,17 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages don't run on a handful of partitions:
+    a small parquet table arrives as ONE input split (maxPartitionBytes),
+    which serializes expression-heavy work on a single core. Only widens —
+    never reduces an already-parallel input (at real scale the scan is
+    already wide and this is a no-op)."""
+    current = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if current < target else df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -83,7 +83,7 @@ def load_raw_omdb_ratings(
     path = f"{lake_root}/raw/omdb/ratings/date={snapshot_date}/*.json"
     env = _meta_cols(drop_corrupt(read_envelope_json(spark, path, OMDB_RATINGS)))
     out = (
-        env.withColumn("imdb_id", F.regexp_extract(F.col("src_file"), r"(.+)", 1))
+        env.withColumn("imdb_id", F.col("src_file"))
         .where(F.col("payload.Response") == "True")
         .where(F.col("imdb_id") != "")
         .select(

@@ -67,7 +67,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
     out = str(tmp_path / "late_out")
 
-    def run_once(name):
+    def run_once():
         stream = stream_events(spark, src, mk([]).schema)
         agg = stream_tumbling_counts(stream, duration="1 hour", watermark="1 hour")
         q = (
@@ -90,7 +90,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             (2, "2024-03-01 11:00:00", 1, "view", 1.0),
         ]
     ).coalesce(1).write.mode("append").parquet(src)
-    run_once("r1")
+    run_once()
 
     # run 2 (same checkpoint): one too-late row and one acceptable row
     mk(
@@ -99,7 +99,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             (4, "2024-03-01 10:20:00", 1, "view", 1.0),  # counted
         ]
     ).coalesce(1).write.mode("append").parquet(src)
-    run_once("r2")
+    run_once()
 
     updates = spark.read.parquet(out).collect()
     by_window = {}
