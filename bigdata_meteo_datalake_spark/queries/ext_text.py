@@ -255,3 +255,126 @@ def search_documents_match(spark, sf_dir):
         F.count(F.lit(1)).alias("n_matching_docs"),
         rounded_sum("n_chars").alias("total_chars"),
     )
+
+
+# --- vocabulary statistics ---------------------------------------------------------
+
+
+@register(
+    "token_frequency_topk",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok, n
+FROM (
+  SELECT tok, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+  FROM toks GROUP BY tok
+) WHERE rn <= 20
+""",
+    tags=("extension", "text", "vocab"),
+)
+def token_frequency_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: global top-20 tokens by frequency
+    (explode -> count -> top-k; the map-side partial aggregate means the
+    shuffle carries one row per distinct token per task, not the corpus)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("tok", "n")
+    )
+
+
+# --- bigram language-model scoring ---------------------------------------------------
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+model AS (
+  SELECT bg, count(*) AS c FROM bigrams GROUP BY bg
+),
+totals AS (SELECT count(*) AS total FROM bigrams),
+scored AS (
+  -- each log term is scaled to an int64 BEFORE summing: float sums are
+  -- partition-order-dependent, integer sums are exact and order-free
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         sum(cast(floor(ln(cast(m.c AS double) / t.total) * 1000000000 - 0.5) AS bigint))
+           AS log_prob_scaled
+  FROM bigrams b JOIN model m ON b.bg = m.bg CROSS JOIN totals t
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       floor((cast(log_prob_scaled AS double) / 1000000000) / n_bigrams * 10000 + 0.5)
+         / 10000 AS avg_logprob
+FROM scored
+""",
+    tags=("extension", "text", "lm"),
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM perplexity proxy: per-doc mean log
+    probability of its bigrams under the corpus bigram distribution — the
+    model-based quality-scoring flavor (fluent/common text scores high,
+    anomalous text low). The 'model' is itself a DataFrame aggregate, so
+    training and scoring are one plan; at 100 TB the model table is the
+    broadcast side of the scoring join."""
+    d = read_table(spark, sf_dir, "documents")
+    # not doc_shingles: that dedups shingles per doc, the LM needs multiplicity
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    from ..sources.lake import widen
+
+    bigrams = (
+        widen(d.where(F.size(toks) >= 2))
+        .select("doc_id", F.explode(bg_arr).alias("bg"))
+    )
+    from pyspark import StorageLevel
+
+    bigrams = bigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = bigrams.count()  # scalar: the corpus bigram count
+    scored = (
+        bigrams.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # int64-scaled log terms: exact, partition-order-free sum
+            F.sum(
+                F.floor(
+                    F.log(F.col("c").cast("double") / F.lit(float(total)))
+                    * 1_000_000_000
+                    - 0.5
+                ).cast("long")
+            ).alias("log_prob_scaled"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        round_half_up(
+            (F.col("log_prob_scaled").cast("double") / 1_000_000_000)
+            / F.col("n_bigrams"),
+            4,
+        ).alias("avg_logprob"),
+    )
