@@ -40,6 +40,14 @@ SIMHASH_BAND_BITS = 8
 SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 SIMHASH_MAX_HAMMING = 3  # <= bands-1, so pigeonhole guarantees a shared band
 
+# Hot-band guard: an LSH bucket larger than this is degenerate (boilerplate
+# text hashing to one band key) and is dropped before the candidate
+# self-join — a bucket of n docs contributes n*(n-1)/2 candidates, so one
+# boilerplate band at 100 TB otherwise dominates the whole join. 64 is far
+# above any honest bucket at bench scale (max observed: 3 at sf0.01, 11 at
+# sf0.1), so the guard costs no recall where we can measure it.
+LSH_MAX_BUCKET = 64
+
 
 def token_hash(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a string, identical in DuckDB:
@@ -78,15 +86,33 @@ def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def minhash_signature(grams: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """One row per doc with columns mh0..mh{k-1}.
+def doc_shingle_hashes(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, x): distinct *hashed* word n-gram shingles per document,
+    x = token_hash(gram) mod P.
 
-    The md5-based gram hash is projected ONCE before the aggregate —
-    inlining it into the k min() expressions would evaluate md5 k times
-    per row."""
-    hx = grams.select(
-        F.col(id_col), (token_hash(F.col("gram")) % MINHASH_P).alias("x")
+    The hash is applied inside the shingle array BEFORE the explode, so the
+    exploded relation (the big one — it feeds the signature aggregate and
+    both sides of the Jaccard verify join) carries 8-byte longs instead of
+    shingle strings: less shuffle/cache volume and long equi-joins instead
+    of string equi-joins. Downstream Jaccard is over hashed shingle sets —
+    the standard MinHash formulation (the oracle hashes identically, so
+    the rare mod-P collision is bit-identical on both engines)."""
+    toks = word_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
+    hashes = F.array_distinct(F.transform(grams, lambda g: token_hash(g) % MINHASH_P))
+    return widen(df.where(F.size(toks) >= n)).select(
+        F.col(id_col), F.explode(hashes).alias("x")
+    )
+
+
+def minhash_signature(hx: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with columns mh0..mh{k-1}, from the pre-hashed gram
+    relation of :func:`doc_shingle_hashes` (column ``x``) — one hash
+    aggregate, 16 integer min() expressions over the same projected x."""
     mins = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -115,12 +141,18 @@ def lsh_candidate_pairs(
         F.col("band.band_key").alias("band_key"),
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("__n")
+        # window count over the SAME (band_idx, band_key) partitioning the
+        # candidate self-join shuffles on — one pass, no extra join, and the
+        # exchange is reusable; a groupBy+join guard would re-aggregate the
+        # signature relation a third time
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
-        banded = banded.join(
-            sizes.where(F.col("__n") <= max_bucket_size), ["band_idx", "band_key"]
-        ).drop("__n")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import round_half_up
 from ..operators.dedup import (
     LSH_BANDS,
+    LSH_MAX_BUCKET,
     LSH_ROWS,
     MINHASH_A,
     MINHASH_B,
@@ -32,6 +33,7 @@ from ..operators.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
+    doc_shingle_hashes,
     doc_shingles,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -142,7 +144,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
-    hx = f"{token_hash_sql('gram')} % {MINHASH_P}"
     sig_cols = ",\n         ".join(
         f"min(({a} * x + {b}) % {MINHASH_P}) AS mh{j}"
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -165,20 +166,24 @@ grams AS (
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
   FROM toks WHERE len(t) >= 3
 ),
-hx AS (SELECT doc_id, gram, {hx} AS x FROM grams),
+hx AS (SELECT DISTINCT doc_id, {token_hash_sql('gram')} % {MINHASH_P} AS x FROM grams),
 sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
-bands AS ({band_selects}),
+bands_all AS ({band_selects}),
+bands AS (
+  SELECT * FROM bands_all
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {LSH_MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter
   FROM pairs p
-  JOIN grams ga ON ga.doc_id = p.doc_a
-  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+  JOIN hx ga ON ga.doc_id = p.doc_a
+  JOIN hx gb ON gb.doc_id = p.doc_b AND gb.x = ga.x
   GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -193,21 +198,27 @@ WHERE cast(n_inter AS double) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("extension", "dedup", "minhash"))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (16 perms) + LSH banding (r=2, b=8) + exact-Jaccard verify:
-    shingle -> minhash signature (one hash aggregate) -> band equi-join ->
-    candidate pairs -> verify >= 0.6. The banding join replaces the
-    quadratic all-pairs shuffle of dedup_ngram_jaccard — the 100 TB path.
-    Hashes are md5-derived integer arithmetic, bit-identical to the oracle."""
+    """MinHash (16 perms) + LSH banding (r=2, b=8) + Jaccard verify over
+    hashed shingle sets: shingle-hash -> minhash signature (one hash
+    aggregate) -> band equi-join (hot buckets > LSH_MAX_BUCKET dropped —
+    the guard is mirrored in the oracle SQL, so its semantics are checked,
+    not just its presence) -> candidate pairs -> verify >= 0.6. The
+    banding join replaces the quadratic all-pairs shuffle of
+    dedup_ngram_jaccard — the 100 TB path. Hashes are md5-derived integer
+    arithmetic, bit-identical to the oracle."""
     from pyspark import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
-    # the gram relation feeds the signature AND both sides of the verify
-    # join — persist it once instead of recomputing the shingle+hash
-    # subtree four times (ContextCleaner unpersists when the plan is GC'd)
-    grams = doc_shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signature(grams)
-    pairs = lsh_candidate_pairs(sig).persist(StorageLevel.MEMORY_AND_DISK)
-    verified = jaccard_verify(pairs, grams)
+    # the hashed-gram relation feeds the signature AND both sides of the
+    # verify join — persist it once instead of recomputing the
+    # shingle+hash subtree three times; it stores (long, long) rows, not
+    # shingle strings (ContextCleaner unpersists when the plan is GC'd)
+    hx = doc_shingle_hashes(d).persist(StorageLevel.MEMORY_AND_DISK)
+    # sig is tiny (one 17-column row per doc) but feeds BOTH sides of the
+    # band self-join — persist it so the 16-way min aggregate runs once
+    sig = minhash_signature(hx).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
+    verified = jaccard_verify(pairs, hx.withColumnRenamed("x", "gram"))
     return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 6).alias("jaccard")
     )

@@ -35,6 +35,34 @@ def test_salted_aggregate_equals_plain(spark):
     compare_frames(salted.toPandas(), plain.toPandas())
 
 
+def test_lsh_hot_band_guard_skips_degenerate_bucket(spark):
+    """A degenerate LSH bucket (70 identical boilerplate docs -> one band
+    key) is dropped by max_bucket_size, while an honest small bucket's pair
+    survives — the skew guard wired into dedup_minhash_lsh."""
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        doc_shingle_hashes,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(70)]
+    near = [
+        (100, "spark shuffles partition data across the cluster nodes tonight"),
+        (101, "spark shuffles partition data across the cluster nodes today"),
+    ]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    sig = minhash_signature(doc_shingle_hashes(docs))
+
+    unguarded = lsh_candidate_pairs(sig)
+    # identical docs collide in every band: 70*69/2 boilerplate pairs
+    assert unguarded.where(F.col("doc_a") < 100).count() == 70 * 69 // 2
+
+    guarded = lsh_candidate_pairs(sig, max_bucket_size=64)
+    got = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    assert all(a >= 100 for a, _ in got), "hot bucket must be skipped"
+    assert (100, 101) in got, "honest small bucket must survive the guard"
+
+
 def test_salted_join_equals_plain(spark):
     df = _skewed(spark).select("event_id", "skew_key")
     dim = (
