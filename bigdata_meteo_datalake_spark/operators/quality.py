@@ -51,8 +51,39 @@ def unique_violations(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     )
 
 
+@dataclass
+class Contract:
+    """dbt-style model contract: every declared column must exist with the
+    declared Spark type, and no undeclared column may appear
+    (models/marts/schema.yml:3-135 documents the two mart surfaces).
+    A tuple of types allows the partitioned-readback form (e.g. the
+    snapshot_date partition column re-infers as `date`)."""
+
+    table: str
+    columns: dict[str, str | tuple[str, ...]]
+
+
+def contract_violations(df: DataFrame, contract: Contract) -> list[str]:
+    """Named violations: missing / type-mismatched / undeclared columns.
+    Pure schema comparison — no data is scanned."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out: list[str] = []
+    for name, want in contract.columns.items():
+        allowed = (want,) if isinstance(want, str) else tuple(want)
+        if name not in actual:
+            out.append(f"missing column {name!r}")
+        elif actual[name] not in allowed:
+            out.append(f"column {name!r} is {actual[name]}, expected {'/'.join(allowed)}")
+    out.extend(f"undeclared column {name!r}" for name in actual if name not in contract.columns)
+    return out
+
+
 def run_checks(
-    tables: dict[str, DataFrame], checks: Sequence[Check], spark: SparkSession
+    tables: dict[str, DataFrame],
+    checks: Sequence[Check],
+    spark: SparkSession,
+    *,
+    contracts: Sequence[Contract] = (),
 ) -> DataFrame:
     """Run every check; returns (check_name, table_name, kind, n_violations)."""
     parts: list[DataFrame] = []
@@ -69,6 +100,16 @@ def run_checks(
                 F.lit(chk.table).alias("table_name"),
                 F.lit(chk.kind).alias("kind"),
                 F.col("n_violations"),
+            )
+        )
+    for con in contracts:
+        n = len(contract_violations(tables[con.table], con))
+        parts.append(
+            spark.range(1).select(
+                F.lit(f"contract__{con.table}").alias("check_name"),
+                F.lit(con.table).alias("table_name"),
+                F.lit("contract").alias("kind"),
+                F.lit(n).cast("long").alias("n_violations"),
             )
         )
     out = parts[0]

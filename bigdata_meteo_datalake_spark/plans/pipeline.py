@@ -12,6 +12,8 @@ lake table partitioned by snapshot_date, so:
 
 from __future__ import annotations
 
+import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,7 +26,7 @@ from ..models import (
     stg_tmdb_details,
     stg_tmdb_popular,
 )
-from ..operators.quality import Check, assert_checks, run_checks
+from ..operators.quality import Check, Contract, assert_checks, run_checks
 from ..sources.lake import write_partitioned
 from ..sources.raw_tables import (
     load_raw_omdb_ratings,
@@ -48,6 +50,96 @@ QUALITY_CHECKS = [
     Check("kpi_daily_summary", "unique", ("snapshot_date",)),
 ]
 
+# models/marts/schema.yml:3-135: the full declared mart surfaces, enforced
+# as name+type contracts (snapshot_date also accepts the `date` form it
+# re-infers to when read back from the partitioned usage zone).
+_SNAPSHOT_T = ("string", "date")
+MART_CONTRACTS = [
+    Contract(
+        "movies_enriched_daily",
+        {
+            "snapshot_date": _SNAPSHOT_T,
+            "tmdb_id": "bigint",
+            "title": "string",
+            "release_date": "date",
+            "release_year": "int",
+            "popularity": "double",
+            "tmdb_rating": "double",
+            "tmdb_vote_count": "int",
+            "original_language": "string",
+            "genre_ids_json": "string",
+            "imdb_id": "string",
+            "runtime_minutes": "int",
+            "status": "string",
+            "imdb_rating": "double",
+            "imdb_votes": "bigint",
+            "metascore": "int",
+            "rated": "string",
+            "type": "string",
+            "omdb_country": "string",
+            "omdb_genre": "string",
+            "director": "string",
+            "actors": "string",
+            "omdb_ratings_json": "string",
+            "missing_omdb_data": "boolean",
+            "composite_score": "double",
+            "is_overhyped": "boolean",
+            "is_hidden_gem": "boolean",
+        },
+    ),
+    Contract(
+        "kpi_daily_summary",
+        {
+            "snapshot_date": _SNAPSHOT_T,
+            "nb_movies": "bigint",
+            "nb_movies_with_omdb": "bigint",
+            "omdb_coverage_ratio": "double",
+            "avg_tmdb_rating": "double",
+            "avg_imdb_rating": "double",
+            "avg_popularity": "double",
+            "nb_overhyped": "bigint",
+            "nb_hidden_gems": "bigint",
+        },
+    ),
+]
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Task retry policy (dags/movies_analytics.py:8-9: retries=1,
+    retry_delay=3 min). Applied per STAGE — every stage is idempotent
+    (last-write-wins upsert + dynamic partition overwrite), so a retried
+    stage re-runs safely; a quality-gate AssertionError is deterministic
+    and is never retried."""
+
+    retries: int = 1
+    delay_s: float = 180.0
+
+
+def run_stage(
+    name: str,
+    fn: Callable[[], None],
+    policy: RetryPolicy | None,
+    *,
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    """Run one pipeline stage under the retry policy; transient failures
+    re-run after `delay_s`, the terminal failure propagates with the stage
+    name attached."""
+    attempts = 1 + (policy.retries if policy else 0)
+    for attempt in range(1, attempts + 1):
+        try:
+            fn()
+            return
+        except AssertionError:
+            raise  # quality gate: deterministic, retry can't help
+        except Exception as exc:
+            if attempt == attempts:
+                raise RuntimeError(
+                    f"stage {name!r} failed after {attempts} attempt(s): {exc}"
+                ) from exc
+            sleep(policy.delay_s)
+
 
 @dataclass
 class RunResult:
@@ -65,9 +157,13 @@ def run(
     run_id: str = "manual",
     write_zones: bool = True,
     enforce_quality: bool = True,
+    retry: RetryPolicy | None = RetryPolicy(),
+    sleep: Callable[[float], None] = time.sleep,
 ) -> RunResult:
     """One daily batch over `<lake_root>/raw/...` for `snapshot_date`
-    (ingestion into the raw lake happens upstream via sources/rest.py)."""
+    (ingestion into the raw lake happens upstream via sources/rest.py).
+    Each materializing stage runs under `retry` (O6 idempotence is what
+    makes the re-run safe)."""
     res = RunResult(snapshot_date, run_id)
     t = res.tables
 
@@ -78,7 +174,14 @@ def run(
 
     if write_zones:
         for name in ("raw_tmdb_popular", "raw_tmdb_details", "raw_omdb_ratings"):
-            write_partitioned(t[name], f"{lake_root}/bronze/{name}")
+            run_stage(
+                f"bronze_write__{name}",
+                lambda name=name: write_partitioned(
+                    t[name], f"{lake_root}/bronze/{name}"
+                ),
+                retry,
+                sleep=sleep,
+            )
             t[name] = spark.read.parquet(f"{lake_root}/bronze/{name}").where(
                 F.col("snapshot_date") == snapshot_date
             )
@@ -97,9 +200,23 @@ def run(
     if write_zones:
         # formatted zone = staging, usage zone = marts (export_to_parquet.py:27-37)
         for name in ("stg_tmdb_popular", "stg_tmdb_details", "stg_omdb_ratings"):
-            write_partitioned(t[name], f"{lake_root}/formatted/{name}")
+            run_stage(
+                f"formatted_write__{name}",
+                lambda name=name: write_partitioned(
+                    t[name], f"{lake_root}/formatted/{name}"
+                ),
+                retry,
+                sleep=sleep,
+            )
         for name in ("movies_enriched_daily", "kpi_daily_summary"):
-            write_partitioned(t[name], f"{lake_root}/usage/{name}")
+            run_stage(
+                f"usage_write__{name}",
+                lambda name=name: write_partitioned(
+                    t[name], f"{lake_root}/usage/{name}"
+                ),
+                retry,
+                sleep=sleep,
+            )
             t[name] = spark.read.parquet(f"{lake_root}/usage/{name}").where(
                 F.col("snapshot_date") == snapshot_date
             )
@@ -112,11 +229,18 @@ def run(
         )
         # partitioned + dynamic overwrite: a day's re-run replaces only its
         # own partition of the search table (same O6 semantics as the marts)
-        write_partitioned(proj, f"{lake_root}/usage/search_movies_enriched_daily")
+        run_stage(
+            "usage_write__search_movies_enriched_daily",
+            lambda: write_partitioned(
+                proj, f"{lake_root}/usage/search_movies_enriched_daily"
+            ),
+            retry,
+            sleep=sleep,
+        )
         t["search_movies_enriched_daily"] = proj
 
-    # quality gate (Q1-Q3)
-    res.quality_report = run_checks(t, QUALITY_CHECKS, spark)
+    # quality gate (Q1-Q3 + mart contracts)
+    res.quality_report = run_checks(t, QUALITY_CHECKS, spark, contracts=MART_CONTRACTS)
     if enforce_quality:
         assert_checks(res.quality_report)
     return res

@@ -230,3 +230,119 @@ def test_sql_twins_match_dataframe_models(spark, results):
         }
         for model, df in df_out.items():
             compare_frames(sql_out[model].toPandas(), df.toPandas())
+
+
+def test_index_mapping_matches_reference(results):
+    """The generated ES index DDL must carry the reference's exact field
+    types for both indices (index_elasticsearch.py:179-225)."""
+    from bigdata_meteo_datalake_spark.sources.search import (
+        kpi_index_mapping,
+        movies_enriched_index_mapping,
+    )
+
+    enriched = results[DAY1].tables["movies_enriched_daily"]
+    kpi = results[DAY1].tables["kpi_daily_summary"]
+
+    movies = movies_enriched_index_mapping(enriched)
+    assert movies["settings"] == {"number_of_shards": 1, "number_of_replicas": 0}
+    assert movies["mappings"]["properties"] == {
+        "snapshot_date": {"type": "date"},
+        "tmdb_id": {"type": "long"},
+        "imdb_id": {"type": "keyword"},
+        "title": {"type": "text", "fields": {"keyword": {"type": "keyword"}}},
+        "original_language": {"type": "keyword"},
+        "release_date": {"type": "date"},
+        "release_year": {"type": "integer"},
+        "popularity": {"type": "double"},
+        "tmdb_rating": {"type": "double"},
+        "tmdb_vote_count": {"type": "integer"},
+        "imdb_rating": {"type": "double"},
+        "imdb_votes": {"type": "integer"},
+        "metascore": {"type": "double"},
+        "composite_score": {"type": "double"},
+        "runtime_minutes": {"type": "integer"},
+        "status": {"type": "keyword"},
+        "rated": {"type": "keyword"},
+        "director": {"type": "text", "fields": {"keyword": {"type": "keyword"}}},
+        "actors": {"type": "text"},
+        "missing_omdb_data": {"type": "boolean"},
+        "is_overhyped": {"type": "boolean"},
+        "is_hidden_gem": {"type": "boolean"},
+    }
+
+    kpis = kpi_index_mapping(kpi)
+    assert kpis["mappings"]["properties"] == {
+        "snapshot_date": {"type": "date"},
+        "nb_movies": {"type": "integer"},
+        "nb_movies_with_omdb": {"type": "integer"},
+        "omdb_coverage_ratio": {"type": "double"},
+        "avg_tmdb_rating": {"type": "double"},
+        "avg_imdb_rating": {"type": "double"},
+        "avg_popularity": {"type": "double"},
+        "nb_overhyped": {"type": "integer"},
+        "nb_hidden_gems": {"type": "integer"},
+    }
+
+
+def test_create_index_if_missing(results):
+    """DDL is create-iff-missing: PUT only after a 404 GET, skip on 200."""
+    from bigdata_meteo_datalake_spark.sources.search import (
+        create_index_if_missing,
+        movies_enriched_index_mapping,
+    )
+
+    mapping = movies_enriched_index_mapping(
+        results[DAY1].tables["movies_enriched_daily"]
+    )
+    calls = []
+    existing: set[str] = set()
+
+    def http(method, path, body):
+        calls.append((method, path))
+        if method == "GET":
+            return (200, "{}") if path.lstrip("/") in existing else (404, "")
+        existing.add(path.lstrip("/"))
+        import json as _json
+
+        assert _json.loads(body) == mapping  # the typed DDL is what's PUT
+        return 200, "{}"
+
+    assert create_index_if_missing("movies_enriched_daily", mapping, http=http)
+    assert calls == [
+        ("GET", "/movies_enriched_daily"),
+        ("PUT", "/movies_enriched_daily"),
+    ]
+    assert not create_index_if_missing("movies_enriched_daily", mapping, http=http)
+    assert calls[-1] == ("GET", "/movies_enriched_daily")
+
+
+def test_mart_contract_violation_fails_gate(spark, results):
+    """A contract break (wrong type, dropped column, undeclared extra) must
+    fail assert_checks with the named contract row."""
+    from bigdata_meteo_datalake_spark.operators.quality import (
+        assert_checks,
+        contract_violations,
+        run_checks,
+    )
+    from bigdata_meteo_datalake_spark.plans.pipeline import MART_CONTRACTS
+
+    enriched = results[DAY1].tables["movies_enriched_daily"]
+    con = next(c for c in MART_CONTRACTS if c.table == "movies_enriched_daily")
+    assert contract_violations(enriched, con) == []
+
+    broken = (
+        enriched.drop("title")  # missing declared column
+        .withColumn("tmdb_rating", F.col("tmdb_rating").cast("string"))  # wrong type
+        .withColumn("debug_col", F.lit(1))  # undeclared extra
+    )
+    viols = contract_violations(broken, con)
+    assert len(viols) == 3
+    assert any("missing column 'title'" in v for v in viols)
+    assert any("'tmdb_rating' is string" in v for v in viols)
+    assert any("undeclared column 'debug_col'" in v for v in viols)
+
+    report = run_checks(
+        {"movies_enriched_daily": broken}, [], spark, contracts=[con]
+    )
+    with pytest.raises(AssertionError, match="contract__movies_enriched_daily"):
+        assert_checks(report)
