@@ -45,6 +45,46 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     )
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose partition spec is empty — at scale these move the
+    ENTIRE input onto one task (the `WindowExec: No Partition Defined`
+    warning), so the engine bans them outright: global top-k must be
+    orderBy().limit() (TakeOrderedAndProject) and global running totals
+    must shard. Returns the offending optimized-plan lines.
+
+    Plan grammar: `Window [exprs], [partitionSpec], [orderSpec]`; with no
+    partition the middle group is absent, leaving the order spec (its
+    entries carry ASC/DESC) — or a single group when there is neither."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad: list[str] = []
+    for raw in plan.splitlines():
+        line = raw.lstrip(" :+-")
+        if not line.startswith("Window "):
+            continue
+        groups: list[str] = []
+        depth = 0
+        buf: list[str] = []
+        for ch in line:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # partitionSpec present, no order spec
+        bad.append(line)
+    return bad
+
+
 def scan_read_columns(df: DataFrame, table_fragment: str) -> list[str]:
     """Columns actually read by the scan whose location matches
     `table_fragment` (column-pruning check)."""

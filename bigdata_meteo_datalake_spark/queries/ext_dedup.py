@@ -309,3 +309,36 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_rep"
     )
+
+
+# --- survivors: the corpus after near-dup removal ----------------------------------
+
+
+def _survivors_oracle() -> str:
+    return f"""
+WITH dropped AS (
+  SELECT doc_id FROM ({_clusters_oracle()}) c WHERE doc_id != cluster_rep
+)
+SELECT d.doc_id
+FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@register("dedup_survivors", oracle=_survivors_oracle(), tags=("extension", "dedup"))
+def dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus itself — the artifact a training pipeline
+    actually consumes: every unclustered document plus each near-dup
+    cluster's canonical representative (min doc_id). Composes pair
+    generation -> connected components -> anti-join; the anti-join is on
+    doc_id, so it co-partitions with any downstream doc_id-keyed work."""
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    dropped = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("cluster_rep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(dropped, "doc_id", "left_anti")

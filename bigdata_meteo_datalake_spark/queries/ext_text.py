@@ -372,3 +372,90 @@ def text_bigram_lm_score(spark, sf_dir):
             4,
         ).alias("avg_logprob"),
     )
+
+
+# --- repetition metrics (Gopher-style quality rules) ---------------------------------
+
+
+@register(
+    "text_repetition_metrics",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM toks
+),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n,
+         len(list_distinct(t)) AS nd,
+         cast(list_max(list_transform(list_distinct(t),
+              x -> len(list_filter(t, y -> y = x)))) AS double) AS topc,
+         CASE WHEN len(t) >= 2 THEN
+           cast(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))) AS double)
+         END AS topbg
+  FROM grams
+)
+SELECT doc_id,
+       cast(n AS integer) AS n_tokens,
+       floor(cast(nd AS double) / n * 10000 + 0.5) / 10000 AS distinct_ratio,
+       floor(topc / n * 10000 + 0.5) / 10000 AS top_token_frac,
+       CASE WHEN n >= 2
+            THEN floor(topbg / (n - 1) * 10000 + 0.5) / 10000 END AS top_bigram_frac,
+       (topc / n > 0.2 OR coalesce(topbg / (n - 1) > 0.18, false)) AS is_repetitive
+FROM feat
+""",
+    tags=("extension", "text", "quality", "repetition"),
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality rules: per-doc distinct-token ratio,
+    most-frequent-token fraction, most-frequent-bigram fraction, and a
+    repetitive-document flag. Computed entirely with array expressions
+    (nested higher-order lambdas) — zero shuffles, the whole operator is a
+    map over the corpus scan; at 100 TB it parallelizes perfectly and never
+    moves a byte. (The per-doc count is O(distinct x n) on ~100-token web
+    docs; an explode+groupBy twin would trade that for a corpus shuffle.)"""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    g = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            ),
+        ).alias("bg"),
+    )
+    n = F.size("t")
+    topc = F.array_max(
+        F.transform(
+            F.array_distinct("t"), lambda x: F.size(F.filter(F.col("t"), lambda y: y == x))
+        )
+    ).cast("double")
+    topbg = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    ).cast("double")
+    return g.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        round_half_up(F.size(F.array_distinct("t")).cast("double") / n, 4).alias(
+            "distinct_ratio"
+        ),
+        round_half_up(topc / n, 4).alias("top_token_frac"),
+        F.when(n >= 2, round_half_up(topbg / (n - 1), 4)).alias("top_bigram_frac"),
+        (
+            (topc / n > 0.2)
+            | F.coalesce(topbg / (n - 1) > 0.18, F.lit(False))
+        ).alias("is_repetitive"),
+    )

@@ -196,3 +196,40 @@ def benchmark_contamination(spark, sf_dir):
         round_half_up(ratio, 4).alias("contamination"),
         (ratio >= 0.8).alias("is_contaminated"),
     )
+
+
+# --- corpus-calibrated quality filtering ---------------------------------------------
+
+
+@register(
+    "quality_percentile_filter",
+    oracle="""
+WITH thr AS (SELECT quantile_cont(n_chars, 0.25) AS p25 FROM documents)
+SELECT d.doc_id,
+       d.n_chars,
+       floor(t.p25 * 10000 + 0.5) / 10000 AS p25_threshold
+FROM documents d CROSS JOIN thr t
+WHERE d.n_chars >= t.p25
+""",
+    tags=("extension", "training", "quality"),
+)
+def quality_percentile_filter(spark, sf_dir):
+    """Corpus-calibrated quality filter: drop the shortest quartile, where
+    the threshold is the corpus's own exact interpolated p25 — the two-pass
+    shape (tiny global aggregate, broadcast back over the scan) every
+    distribution-relative filter uses at 100 TB. The p25 interpolation
+    weights are dyadic (0/.25/.5/.75), so Spark's percentile() and
+    DuckDB's quantile_cont() agree bit-for-bit on integer inputs."""
+    from ..functions.numeric import round_half_up
+
+    d = read_table(spark, sf_dir, "documents")
+    thr = d.agg(F.expr("percentile(n_chars, 0.25)").alias("p25"))
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .where(F.col("n_chars") >= F.col("p25"))
+        .select(
+            "doc_id",
+            "n_chars",
+            round_half_up(F.col("p25"), 4).alias("p25_threshold"),
+        )
+    )

@@ -74,3 +74,24 @@ def test_upsert_single_shuffle(spark):
     df = QS["upsert_last_write_wins"](spark, SF0001)
     # window dedup = exactly the one hash shuffle a MERGE would need
     assert n_shuffle_exchanges(df) == 1
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark):
+    """Scale guard: no registered query may plan a partition-less Window —
+    the single-task shape that dies at 100x. Global top-k must compile to
+    TakeOrderedAndProject, running totals must shard."""
+    from bigdata_meteo_datalake_spark.plans.explain import unpartitioned_windows
+
+    offenders = {}
+    for name, fn in QS.items():
+        bad = unpartitioned_windows(fn(spark, SF0001))
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
+
+
+def test_global_topk_compiles_to_take_ordered(spark):
+    from bigdata_meteo_datalake_spark.plans.explain import n_nodes
+
+    for name in ("largest_orders", "token_frequency_topk", "q3_shipping_priority"):
+        assert n_nodes(QS[name](spark, SF0001), "TakeOrderedAndProject") == 1, name
