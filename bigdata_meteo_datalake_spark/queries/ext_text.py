@@ -459,3 +459,75 @@ def text_repetition_metrics(spark, sf_dir):
             | F.coalesce(topbg / (n - 1) > 0.18, F.lit(False))
         ).alias("is_repetitive"),
     )
+
+
+# --- TF-IDF keyword extraction -------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+-- idf quantized to int64 BEFORE any arithmetic: float products are
+-- engine-order-sensitive, integer products are exact and order-free
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         t.tf * cast(floor(ln(cast(n.n_docs + 1 AS double) / (d.df + 1))
+                           * 1000000000 - 0.5) AS bigint) AS s
+  FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, cast(tf AS bigint) AS tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS rank,
+         floor(cast(s AS double) / 1000000000 * 10000 + 0.5) / 10000 AS tfidf
+  FROM scored
+)
+SELECT doc_id, tok, tf, cast(rank AS integer) AS rank, tfidf
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+""",
+    tags=("extension", "text", "tfidf"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by smoothed
+    tf·idf. The document-frequency table is corpus-aggregate-sized and
+    broadcasts back over the per-doc term counts; ranking is a window
+    PARTITIONED by doc_id (bounded per-doc state). The idf log term is
+    int64-quantized before the tf product, so ranking and values are exact
+    integer arithmetic — bit-identical to the oracle, no float-order
+    sensitivity (same convention as text_bigram_lm_score)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar: one tiny count, reused as a literal
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf_scaled = F.floor(
+        F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) * 1_000_000_000 - 0.5
+    ).cast("long")
+    scored = tf.join(F.broadcast(df.select("tok", idf_scaled.alias("idf_s"))), "tok")
+    s = F.col("tf") * F.col("idf_s")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("tok"))
+    return (
+        scored.select("doc_id", "tok", F.col("tf").cast("long").alias("tf"), s.alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.col("rank").cast("int").alias("rank"),
+            round_half_up(F.col("s").cast("double") / 1_000_000_000, 4).alias("tfidf"),
+        )
+    )

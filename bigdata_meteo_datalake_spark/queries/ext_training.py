@@ -233,3 +233,47 @@ def quality_percentile_filter(spark, sf_dir):
             round_half_up(F.col("p25"), 4).alias("p25_threshold"),
         )
     )
+
+
+# --- document chunking (fixed window + stride) ---------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_documents_stride",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       cast(s // {_CHUNK_STRIDE} AS bigint) AS chunk_idx,
+       cast(len(t[s+1:s+{_CHUNK_SIZE}]) AS integer) AS n_chunk_tokens,
+       array_to_string(t[s+1:s+{_CHUNK_SIZE}], ' ') AS chunk_text
+FROM toks, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS u(s)
+""",
+    tags=("extension", "training", "chunking"),
+)
+def chunk_documents_stride(spark, sf_dir):
+    """Document chunking into fixed-size overlapping token windows
+    (size {size}, stride {stride}) — the context-window preparation step
+    between cleaning and packing. Pure array expressions: windows are
+    slices of the in-row token array, so the operator is a flatMap over
+    the corpus scan with zero shuffles at any scale; chunk identity
+    (doc_id, chunk_idx) is deterministic for resumable backfills.""".format(
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    d = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_STRIDE))
+    chunks = d.select(
+        "doc_id", t.alias("t"), F.explode(starts).alias("s")
+    )
+    piece = F.slice(F.col("t"), F.col("s") + 1, _CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

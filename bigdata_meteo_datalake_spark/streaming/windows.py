@@ -127,3 +127,54 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str) -> DataFra
     static dimension — the streaming twin of the marts' enrich joins. The
     dim side broadcasts per micro-batch; no stream state is kept."""
     return stream.join(F.broadcast(dim), key, "left")
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    watermark: str = DEFAULT_WATERMARK,
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of dedup_exact. With
+    `within_watermark` (the 100 TB form) the state store only remembers
+    keys for the watermark horizon: duplicates arriving within the horizon
+    are dropped, state is evicted after it, so state size is bounded by
+    arrival rate x horizon instead of growing with total distinct keys
+    forever (plain dropDuplicates keeps every key seen, which OOMs an
+    unbounded stream)."""
+    s = stream.withWatermark("ts", watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    watermark: str = DEFAULT_WATERMARK,
+    interval: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join on `key` with a time-range condition:
+    right rows match left rows at most `interval` after them. BOTH sides
+    are watermarked and the range bound lets the state store evict rows
+    once no future match is possible — the unbounded-state guard every
+    production stream-stream join needs. Returns the joined frame with the
+    two timestamps as l_ts / r_ts."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        lts.alias("l_ts"),
+        rts.alias("r_ts"),
+    )

@@ -155,3 +155,83 @@ def test_stream_static_enrich(spark, event_source, tmp_path):
     out = spark.table("enrich_out")
     assert out.count() == events.count()
     assert out.where(F.col("user_total").isNull()).count() == 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving across micro-batches within the watermark
+    horizon are dropped; each key survives exactly once."""
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def mk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2026, 3, 1, 10, m)
+
+    mk([(1, t(0), 7, "click", 1.0), (2, t(1), 7, "click", 2.0)])
+    mk([(1, t(2), 7, "click", 1.0), (3, t(3), 8, "view", 3.0)])  # id 1 is a dup
+
+    stream = stream_events(spark, src, spark.createDataFrame([], schema).schema)
+    dedup = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.table("stream_dedup_t").collect())
+    assert got == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join produces exactly the
+    batch join's row set over the same drained source."""
+    from bigdata_meteo_datalake_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    events = read_table(spark, SF0001, "events").select("ts", "user_id")
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    events.coalesce(1).write.mode("overwrite").parquet(lsrc)
+    events.coalesce(1).write.mode("overwrite").parquet(rsrc)
+
+    ls = stream_events(spark, lsrc, events.schema)
+    rs = stream_events(spark, rsrc, events.schema)
+    joined = stream_stream_interval_join(
+        ls, rs, "user_id", watermark="2 hours", interval="30 minutes"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ss_join_t").toPandas()
+
+    l, r = events.alias("l"), events.alias("r")
+    want = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(F.col("l.user_id").alias("user_id"), F.col("l.ts").alias("l_ts"), F.col("r.ts").alias("r_ts"))
+        .toPandas()
+    )
+    key = ["user_id", "l_ts", "r_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
