@@ -80,9 +80,9 @@ def _load_all() -> None:
         ext_similarity,
         ext_text,
         ext_training,
+        ext_multimodal,
         ext_asof,
         ext_events,
-        ext_multimodal,
         ext_streaming,
         ext_relational,
     )

@@ -296,3 +296,31 @@ def customer_order_window_stats(spark, sf_dir):
         .cast("double")
         .alias("running_total"),
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus, o_orderpriority) AS bigint) AS gset,
+       count(*) AS n,
+       cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("free", "grouping-sets"),
+)
+def grouping_sets_order_stats(spark, sf_dir):
+    """Explicit GROUPING SETS (status / priority / grand total) in one
+    pass, with grouping_id disambiguating genuine NULL group keys from
+    rolled-up ones — the general form behind rollup/cube."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("gset"),
+        F.count(F.lit(1)).alias("n"),
+        rounded_sum("o_totalprice").alias("total"),
+    )

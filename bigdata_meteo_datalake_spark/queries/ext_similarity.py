@@ -380,3 +380,57 @@ def emb_ivf_topk(spark, sf_dir):
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# --- ANN quality evaluation: recall@k vs brute force --------------------------------
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH bf AS ({_KNN_ORACLE}),
+lsh AS ({_lsh_oracle()}),
+ivf AS ({_ivf_oracle()})
+SELECT b.query_id,
+       cast(count(l.neighbor_id) AS bigint) AS n_lsh_hits,
+       cast(count(i.neighbor_id) AS bigint) AS n_ivf_hits,
+       floor(count(l.neighbor_id) / cast({_TOP_K} AS double) * 10000 + 0.5) / 10000
+         AS recall_lsh,
+       floor(count(i.neighbor_id) / cast({_TOP_K} AS double) * 10000 + 0.5) / 10000
+         AS recall_ivf
+FROM bf b
+LEFT JOIN lsh l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@register("ann_recall_report", oracle=_recall_oracle(), tags=("extension", "similarity", "eval"))
+def ann_recall_report(spark, sf_dir):
+    """ANN quality evaluation: per-query recall@k of the LSH and IVF paths
+    against the brute-force ground truth — the acceptance gate every
+    approximate index needs before replacing the exact path in a pipeline.
+    Composes the three registered operators; the top-k sets are tiny
+    (queries x k rows), so the comparison joins broadcast and the cost is
+    the three underlying searches themselves."""
+    bf = knn_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        emb_lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("h_lsh", F.lit(1))
+    )
+    ivf = (
+        emb_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("h_ivf", F.lit(1))
+    )
+    joined = bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left").join(
+        F.broadcast(ivf), ["query_id", "neighbor_id"], "left"
+    )
+    n_lsh = F.sum(F.coalesce(F.col("h_lsh"), F.lit(0))).cast("long")
+    n_ivf = F.sum(F.coalesce(F.col("h_ivf"), F.lit(0))).cast("long")
+    return joined.groupBy("query_id").agg(
+        n_lsh.alias("n_lsh_hits"),
+        n_ivf.alias("n_ivf_hits"),
+        round_half_up(n_lsh.cast("double") / _TOP_K, 4).alias("recall_lsh"),
+        round_half_up(n_ivf.cast("double") / _TOP_K, 4).alias("recall_ivf"),
+    )

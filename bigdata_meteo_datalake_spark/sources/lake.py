@@ -123,3 +123,41 @@ def read_partition(spark: SparkSession, path: str, **partition_values) -> DataFr
     for col, val in partition_values.items():
         df = df.where(df[col] == val)
     return df
+
+
+# --- multi-format boundary (ORC / CSV / JSON round-trips) ----------------------------
+
+_FORMAT_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+    "json": {},
+    "orc": {},
+    "parquet": {},
+}
+
+
+def write_format(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Format-generic lake write (ORC for Hive-heavy estates, CSV/JSON for
+    interchange, parquet as the native zone format). Same overwrite
+    semantics as the parquet sink; Catalyst's datasource writers keep the
+    write distributed regardless of format."""
+    opts = {**_FORMAT_DEFAULTS.get(fmt, {}), **options}
+    df.write.format(fmt).options(**opts).mode("overwrite").save(path)
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Format-generic lake read. CSV/JSON demand the explicit schema (schema
+    inference is a full extra pass over the data and type-lossy — never
+    acceptable on a 100 TB path); ORC/parquet carry their own schema."""
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(f"{fmt} reads require an explicit schema (no inference)")
+    opts = {**_FORMAT_DEFAULTS.get(fmt, {}), **options}
+    reader = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

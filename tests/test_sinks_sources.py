@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_meteo_datalake_spark.sources.rest import fetch_keyed_distributed
@@ -14,6 +16,8 @@ from bigdata_meteo_datalake_spark.sources.search import (
     full_text_match,
     search_projection,
 )
+
+from .conftest import SF0001
 
 
 def _gold(spark):
@@ -133,3 +137,32 @@ def test_bulk_index_http_poster(spark):
                 actions.append(doc["index"])
     assert {a["_id"] for a in actions} == {"2026-02-18_101", "2026-02-18_102"}
     assert all(a["_index"] == "movies_idx" for a in actions)
+
+
+def test_multi_format_round_trip(spark, tmp_path):
+    """ORC / CSV / JSON / parquet round-trips preserve rows and (with the
+    explicit schema contract) types."""
+    from bigdata_meteo_datalake_spark.sources.lake import (
+        read_format,
+        read_table,
+        write_format,
+    )
+
+    orders = read_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = orders.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    for fmt in ("orc", "parquet", "csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_format(orders, path, fmt)
+        schema = orders.schema if fmt in ("csv", "json") else None
+        got = (
+            read_format(spark, path, fmt, schema=schema)
+            .toPandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_format(spark, str(tmp_path / "rt_csv"), "csv")
