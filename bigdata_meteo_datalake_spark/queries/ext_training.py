@@ -257,13 +257,11 @@ FROM toks, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS u(s)
 )
 def chunk_documents_stride(spark, sf_dir):
     """Document chunking into fixed-size overlapping token windows
-    (size {size}, stride {stride}) — the context-window preparation step
-    between cleaning and packing. Pure array expressions: windows are
-    slices of the in-row token array, so the operator is a flatMap over
-    the corpus scan with zero shuffles at any scale; chunk identity
-    (doc_id, chunk_idx) is deterministic for resumable backfills.""".format(
-        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
-    )
+    (size 64, stride 48) — the context-window preparation step between
+    cleaning and packing. Pure array expressions: windows are slices of
+    the in-row token array, so the operator is a flatMap over the corpus
+    scan with zero shuffles at any scale; chunk identity
+    (doc_id, chunk_idx) is deterministic for resumable backfills."""
     d = read_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_STRIDE))
