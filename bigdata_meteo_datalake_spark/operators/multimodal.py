@@ -37,6 +37,10 @@ IMAGE_FEATURES_SCHEMA = (
     "doc_id long, width int, height int, n_bytes long, mean_intensity double"
 )
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+RESIZED_SCHEMA = "doc_id long, blob binary, width int, height int"
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, duration_s double, sample_rate int, rms double"
+)
 
 
 def attach_blob(df: DataFrame, text_col: str = "text", *, media_type: str = "image",
@@ -98,6 +102,77 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
             yield pd.DataFrame(feats)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
+                  decode: str = "fake") -> DataFrame:
+    """Image resize -> (doc_id, blob, width, height) via mapInPandas; the
+    output blob REPLACES the input payload, so downstream batches shrink to
+    the target size (the point of resizing early in a media pipeline).
+    `decode="real"` is the PIL `Image.resize` insertion point (stubbed);
+    the fake kernel emits a deterministic byte-budget crop/pad so batch
+    sizing and schema are exercised for real."""
+
+    target = width * height // 8  # fake: resized payload budget in bytes
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real resize needs PIL (not in this container); swap for "
+                    "Image.open(...).resize((width, height)).tobytes()"
+                )
+            out = {"doc_id": [], "blob": [], "width": [], "height": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                resized = (b * (target // max(1, len(b)) + 1))[:target]
+                out["doc_id"].append(doc_id)
+                out["blob"].append(resized)
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
+                   decode: str = "fake") -> DataFrame:
+    """Audio feature extraction -> (doc_id, duration_s, sample_rate, rms)
+    via mapInPandas; `decode="real"` is the soundfile/librosa insertion
+    point (stubbed). The fake kernel treats the payload as 16-bit PCM so
+    duration/rms are deterministic pure functions of the bytes."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real audio decode needs soundfile/librosa (not in this "
+                    "container); swap for sf.read(io.BytesIO(b))"
+                )
+            out = {"doc_id": [], "duration_s": [], "sample_rate": [], "rms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_samples = len(b) // 2
+                samples = [
+                    int.from_bytes(b[2 * i : 2 * i + 2], "little", signed=True)
+                    for i in range(n_samples)
+                ]
+                rms = (
+                    (sum(s * s for s in samples) / n_samples) ** 0.5 / 32768.0
+                    if n_samples
+                    else 0.0
+                )
+                out["doc_id"].append(doc_id)
+                out["duration_s"].append(n_samples / sample_rate)
+                out["sample_rate"].append(sample_rate)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4,

@@ -65,3 +65,35 @@ def test_repartition_by_bytes(media):
     sized = repartition_by_bytes(media, target_bytes_per_partition=total // 4,
                                  total_bytes=total)
     assert sized.rdd.getNumPartitions() == 4
+
+
+def test_resize_images_replaces_payload(media):
+    from bigdata_meteo_datalake_spark.operators.multimodal import resize_images
+
+    resized = resize_images(media, width=32, height=32)
+    pdf = resized.toPandas()
+    assert set(pdf.columns) == {"doc_id", "blob", "width", "height"}
+    assert (pdf["width"] == 32).all() and (pdf["height"] == 32).all()
+    assert pdf["blob"].map(len).eq(32 * 32 // 8).all()  # byte budget enforced
+    again = resize_images(media, width=32, height=32).toPandas()
+    assert pdf.sort_values("doc_id")["blob"].tolist() == again.sort_values("doc_id")["blob"].tolist()
+    with pytest.raises(Exception) as e:
+        resize_images(media, decode="real").collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(e.value, NotImplementedError)
+
+
+def test_audio_features_deterministic(media):
+    from bigdata_meteo_datalake_spark.operators.multimodal import audio_features
+
+    feats = audio_features(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(feats.columns) == {"doc_id", "duration_s", "sample_rate", "rms"}
+    assert (feats["sample_rate"] == 16_000).all()
+    assert (feats["duration_s"] > 0).all()
+    assert feats["rms"].between(0.0, 1.0).all()
+    again = audio_features(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(feats, again)
+    with pytest.raises(Exception) as e:
+        audio_features(media, decode="real").collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(e.value, NotImplementedError)
