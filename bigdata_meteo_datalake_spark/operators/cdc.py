@@ -51,3 +51,44 @@ def snapshot_diff(
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
     )
+
+
+def scd2_from_snapshots(
+    snaps: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    *,
+    date_col: str = "snap_date",
+) -> DataFrame:
+    """Collapse per-date snapshots into SCD2 validity intervals: one row
+    per (key, attribute-run) with valid_from / valid_to / is_current —
+    the slowly-changing-dimension builder a daily-snapshot lake feeds.
+
+    Change detection is a null-safe lag comparison per key; versions are a
+    running count of changes; valid_to is the next version's valid_from
+    (NULL = current). Every window partitions by the key — per-key state
+    only, no global ordering, so the operator scales with the dimension's
+    key cardinality."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(date_col)
+    changed = None
+    for c in attr_cols:
+        neq = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = neq if changed is None else (changed | neq)
+    versioned = snaps.withColumn(
+        "version",
+        F.sum(changed.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = versioned.groupBy(*keys, "version", *attr_cols).agg(
+        F.min(date_col).alias("valid_from")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("version")
+    return runs.select(
+        *keys,
+        "version",
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -194,3 +194,68 @@ def snapshot_diff_daily_users(spark, sf_dir):
     return snapshot_diff(
         day("2024-01-01"), day("2024-01-02"), ["user_id"], ["n_events", "day_value"]
     )
+
+
+# --- SCD2: validity intervals from daily snapshots -----------------------------------
+
+_SCD2_ORACLE = """
+WITH snaps AS (
+  SELECT user_id, cast(ts AS date) AS snap_date,
+         CASE WHEN count(*) >= 3 THEN 'high'
+              WHEN count(*) = 2 THEN 'mid'
+              ELSE 'low' END AS activity_level
+  FROM events GROUP BY user_id, cast(ts AS date)
+),
+flagged AS (
+  SELECT user_id, snap_date, activity_level,
+         CASE WHEN activity_level IS DISTINCT FROM
+                   lag(activity_level) OVER (PARTITION BY user_id ORDER BY snap_date)
+              THEN 1 ELSE 0 END AS chg
+  FROM snaps
+),
+runs AS (
+  SELECT user_id, snap_date, activity_level,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY snap_date
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+grp AS (
+  SELECT user_id, cast(version AS bigint) AS version, activity_level,
+         min(snap_date) AS valid_from
+  FROM runs GROUP BY user_id, version, activity_level
+)
+SELECT user_id, version, activity_level, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+         AS is_current
+FROM grp
+"""
+
+
+@register("scd2_user_activity", oracle=_SCD2_ORACLE, tags=("extension", "cdc", "scd2"))
+def scd2_user_activity(spark, sf_dir):
+    """SCD2 dimension build from daily snapshots: per-user daily activity
+    level collapsed into validity intervals (valid_from / valid_to /
+    is_current) via operators/cdc.scd2_from_snapshots — the slowly-
+    changing-dimension history a snapshot-partitioned lake feeds. Every
+    window partitions by user_id; per-key state only."""
+    from ..operators.cdc import scd2_from_snapshots
+
+    ev = read_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    snaps = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("snap_date")
+    ).agg(
+        F.when(n >= 3, "high").when(n == 2, "mid").otherwise("low").alias(
+            "activity_level"
+        )
+    )
+    out = scd2_from_snapshots(snaps, ["user_id"], ["activity_level"])
+    return out.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "activity_level",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

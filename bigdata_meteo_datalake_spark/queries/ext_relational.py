@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rounded_sum
+from ..operators.dedup import token_hash_sql
 from ..sources.lake import read_table
 from . import register
 
@@ -323,4 +324,37 @@ def grouping_sets_order_stats(spark, sf_dir):
         F.grouping_id().cast("long").alias("gset"),
         F.count(F.lit(1)).alias("n"),
         rounded_sum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "table_checksum",
+    oracle=f"""
+WITH h AS (
+  SELECT {token_hash_sql("concat_ws('|', cast(o_orderkey AS varchar), cast(o_custkey AS varchar), o_orderstatus, o_orderpriority)")} AS h
+  FROM orders
+)
+SELECT cast(count(*) AS bigint) AS n_rows, bit_xor(h) AS checksum FROM h
+""",
+    tags=("free", "checksum"),
+)
+def table_checksum(spark, sf_dir):
+    """Order-free table fingerprint: per-row md5-derived hash folded with
+    bit_xor — identical no matter how rows are partitioned or ordered, so
+    two replicas (or an engine migration) can be compared with one
+    aggregate each. XOR never overflows and needs no decimal widening."""
+    from ..operators.dedup import token_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = o.select(token_hash(row).alias("h"))
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
     )
