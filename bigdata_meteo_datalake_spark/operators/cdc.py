@@ -92,3 +92,25 @@ def scd2_from_snapshots(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def apply_changes(
+    diff: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    *,
+    side: str = "new",
+) -> DataFrame:
+    """Reconstruct a snapshot from a :func:`snapshot_diff` change feed —
+    the inverse operator, and the consumer side of a CDC pipeline (apply
+    the feed to a replica). ``side="new"`` rebuilds the newer snapshot
+    (drop deletes, take new_*); ``side="old"`` rebuilds the older one
+    (drop inserts, take old_*). snapshot_diff ∘ apply_changes is the
+    identity on snapshots — asserted in tests."""
+    if side not in ("new", "old"):
+        raise ValueError(f"side must be 'new' or 'old', got {side!r}")
+    drop = "delete" if side == "new" else "insert"
+    prefix = f"{side}_"
+    return diff.where(F.col("change_type") != drop).select(
+        *keys, *[F.col(f"{prefix}{c}").alias(c) for c in compare_cols]
+    )

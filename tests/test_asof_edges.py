@@ -64,3 +64,33 @@ def test_range_join_left_preserves_unmatched(spark):
         bucket_width=10.0,
     )
     assert {r["id"] for r in inner.collect()} == {1}
+
+
+def test_cdc_diff_apply_round_trip(spark):
+    """snapshot_diff ∘ apply_changes is the identity: both snapshots are
+    exactly reconstructable from the change feed."""
+    from bigdata_meteo_datalake_spark.operators.cdc import apply_changes, snapshot_diff
+    from bigdata_meteo_datalake_spark.sources.lake import read_table
+
+    from .conftest import SF0001
+    from .oracle_utils import compare_frames
+
+    ev = read_table(spark, SF0001, "events")
+
+    def day(d):
+        return (
+            ev.where(F.col("ts").cast("date") == d)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    old, new = day("2024-01-01"), day("2024-01-02")
+    diff = snapshot_diff(old, new, ["user_id"], ["n_events"])
+    compare_frames(
+        apply_changes(diff, ["user_id"], ["n_events"], side="new").toPandas(),
+        new.toPandas(),
+    )
+    compare_frames(
+        apply_changes(diff, ["user_id"], ["n_events"], side="old").toPandas(),
+        old.toPandas(),
+    )
