@@ -358,3 +358,69 @@ def table_checksum(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr("bit_xor(h)").alias("checksum"),
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT greatest(0, least(9, cast(floor(value / 100.0) AS integer))) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket, count(*) AS n,
+       cast(bucket * 100 AS double) AS lo,
+       cast((bucket + 1) * 100 AS double) AS hi
+FROM b GROUP BY bucket
+""",
+    tags=("free", "histogram"),
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram of events.value (10 clamped 100-wide buckets)
+    — the profiling primitive behind data-drift monitors. One map-side
+    bucket expression + one aggregate; the shuffle carries at most 10 rows
+    per task at any scale."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.greatest(
+        F.lit(0), F.least(F.lit(9), F.floor(F.col("value") / 100.0).cast("int"))
+    )
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            (F.col("bucket") * 100).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * 100).cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "latest_order_max_by",
+    oracle="""
+-- DuckDB arg_max has no composite comparator; (date, key) lexicographic
+-- order is encoded as one bigint (keys are far below the 1e8 radix)
+SELECT o_custkey,
+       arg_max(o_orderkey,
+               cast(epoch(o_orderdate) AS bigint) * 100000000 + o_orderkey)
+         AS latest_orderkey,
+       max(o_orderdate) AS latest_orderdate
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("free", "maxby"),
+)
+def latest_order_max_by(spark, sf_dir):
+    """Top-1-per-group WITHOUT a window: max_by on a (date, key) struct is
+    a plain hash aggregate — map-side partial, no sort, no per-group row
+    buffering — the scale-preferred form of 'latest row per key' when only
+    one row is needed (the window form in upsert_last_write_wins is for
+    full-row dedup). Tie-break on the higher orderkey, encoded in the
+    comparator struct on both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    cmp = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderkey"), cmp).alias("latest_orderkey"),
+        F.max(F.col("o_orderdate")).alias("latest_orderdate"),
+    )
