@@ -86,18 +86,19 @@ def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def doc_shingle_hashes(df: DataFrame, *, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, x): distinct *hashed* word n-gram shingles per document,
-    x = token_hash(gram) mod P.
+def doc_shingle_hash_sets(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, xs): the document's distinct hashed word-n-gram shingle SET as
+    one array<long> column, x = token_hash(gram) mod P.
 
-    The hash is applied inside the shingle array BEFORE the explode, so the
-    exploded relation (the big one — it feeds the signature aggregate and
-    both sides of the Jaccard verify join) carries 8-byte longs instead of
-    shingle strings: less shuffle/cache volume and long equi-joins instead
-    of string equi-joins. Downstream Jaccard is over hashed shingle sets —
-    the standard MinHash formulation (the oracle hashes identically, so
-    the rare mod-P collision is bit-identical on both engines)."""
+    Keeping the set in-row (instead of exploding it) makes the whole
+    MinHash pipeline shuffle-free until the band join: the signature is an
+    array fold per row, set sizes are `size(xs)`, and the Jaccard verify is
+    `array_intersect` on the two docs' arrays. A web-scale doc carries a
+    few thousand shingles (~tens of KB) — far below any row-size concern.
+    Jaccard over hashed shingle sets is the standard MinHash formulation;
+    the oracle hashes identically, so the rare mod-P collision is
+    bit-identical on both engines."""
     toks = word_tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -105,19 +106,22 @@ def doc_shingle_hashes(df: DataFrame, *, id_col: str = "doc_id",
     )
     hashes = F.array_distinct(F.transform(grams, lambda g: token_hash(g) % MINHASH_P))
     return widen(df.where(F.size(toks) >= n)).select(
-        F.col(id_col), F.explode(hashes).alias("x")
+        F.col(id_col), hashes.alias("xs")
     )
 
 
-def minhash_signature(hx: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """One row per doc with columns mh0..mh{k-1}, from the pre-hashed gram
-    relation of :func:`doc_shingle_hashes` (column ``x``) — one hash
-    aggregate, 16 integer min() expressions over the same projected x."""
+def minhash_signature(sets: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with columns mh0..mh{k-1}, computed as in-row array
+    folds over the shingle-hash set of :func:`doc_shingle_hash_sets` —
+    a pure map, NO aggregate and NO shuffle (the groupBy formulation moves
+    every (doc, shingle) pair through an exchange; this moves nothing)."""
     mins = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        F.array_min(
+            F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+        ).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return hx.groupBy(id_col).agg(*mins)
+    return sets.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(
@@ -170,7 +174,10 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, grams: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs: (doc_a, doc_b, jaccard_raw)."""
+    """Exact Jaccard for candidate pairs from an EXPLODED gram relation
+    (id, gram): (doc_a, doc_b, jaccard_raw). Kept for callers that already
+    hold the exploded form (dedup_ngram_jaccard); the MinHash path uses
+    :func:`jaccard_verify_sets`."""
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col(id_col).alias("doc_a"), "gram")
     gb = grams.select(F.col(id_col).alias("doc_b"), "gram")
@@ -191,6 +198,31 @@ def jaccard_verify(
             (
                 F.col("n_inter").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard_raw"),
+        )
+    )
+
+
+def jaccard_verify_sets(
+    pairs: DataFrame, sets: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from in-row shingle-hash SETS
+    (:func:`doc_shingle_hash_sets`): two joins on doc id bring both arrays
+    onto the pair row, then `array_intersect` computes the overlap in-row —
+    no explode, no per-gram shuffle; the joined volume is (candidate pairs
+    x two arrays), tiny next to the corpus."""
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("xs").alias("xa"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("xs").alias("xb"))
+    n_inter = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_inter.cast("double")
+                / (F.size("xa") + F.size("xb") - n_inter)
             ).alias("jaccard_raw"),
         )
     )

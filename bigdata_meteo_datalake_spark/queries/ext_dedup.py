@@ -33,9 +33,10 @@ from ..operators.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
-    doc_shingle_hashes,
+    doc_shingle_hash_sets,
     doc_shingles,
     jaccard_verify,
+    jaccard_verify_sets,
     lsh_candidate_pairs,
     minhash_signature,
     simhash,
@@ -199,26 +200,25 @@ WHERE cast(n_inter AS double) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("extension", "dedup", "minhash"))
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash (16 perms) + LSH banding (r=2, b=8) + Jaccard verify over
-    hashed shingle sets: shingle-hash -> minhash signature (one hash
-    aggregate) -> band equi-join (hot buckets > LSH_MAX_BUCKET dropped —
-    the guard is mirrored in the oracle SQL, so its semantics are checked,
-    not just its presence) -> candidate pairs -> verify >= 0.6. The
-    banding join replaces the quadratic all-pairs shuffle of
-    dedup_ngram_jaccard — the 100 TB path. Hashes are md5-derived integer
-    arithmetic, bit-identical to the oracle."""
+    hashed shingle sets, all computed on IN-ROW arrays: shingle-hash set
+    (one map) -> signature (16 array folds, NO aggregate shuffle) -> band
+    equi-join (hot buckets > LSH_MAX_BUCKET dropped — the guard is
+    mirrored in the oracle SQL, so its semantics are checked, not just its
+    presence) -> candidate pairs -> array_intersect verify >= 0.6. The
+    only corpus-sized shuffle in the whole operator is the band self-join;
+    the explode/groupBy formulation this replaces shuffled every
+    (doc, shingle) pair twice. Hashes are md5-derived integer arithmetic,
+    bit-identical to the oracle (which keeps the equivalent exploded
+    GROUP BY form — same values, independent derivation)."""
     from pyspark import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
-    # the hashed-gram relation feeds the signature AND both sides of the
-    # verify join — persist it once instead of recomputing the
-    # shingle+hash subtree three times; it stores (long, long) rows, not
-    # shingle strings (ContextCleaner unpersists when the plan is GC'd)
-    hx = doc_shingle_hashes(d).persist(StorageLevel.MEMORY_AND_DISK)
-    # sig is tiny (one 17-column row per doc) but feeds BOTH sides of the
-    # band self-join — persist it so the 16-way min aggregate runs once
-    sig = minhash_signature(hx).persist(StorageLevel.MEMORY_AND_DISK)
+    # the per-doc shingle-hash set feeds the signature AND both verify
+    # sides — one small cached relation (doc_id, array<long>)
+    sets = doc_shingle_hash_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature(sets)
     pairs = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
-    verified = jaccard_verify(pairs, hx.withColumnRenamed("x", "gram"))
+    verified = jaccard_verify_sets(pairs, sets)
     return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 6).alias("jaccard")
     )

@@ -40,7 +40,7 @@ def test_lsh_hot_band_guard_skips_degenerate_bucket(spark):
     key) is dropped by max_bucket_size, while an honest small bucket's pair
     survives — the skew guard wired into dedup_minhash_lsh."""
     from bigdata_meteo_datalake_spark.operators.dedup import (
-        doc_shingle_hashes,
+        doc_shingle_hash_sets,
         lsh_candidate_pairs,
         minhash_signature,
     )
@@ -51,7 +51,7 @@ def test_lsh_hot_band_guard_skips_degenerate_bucket(spark):
         (101, "spark shuffles partition data across the cluster nodes today"),
     ]
     docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
-    sig = minhash_signature(doc_shingle_hashes(docs))
+    sig = minhash_signature(doc_shingle_hash_sets(docs))
 
     unguarded = lsh_candidate_pairs(sig)
     # identical docs collide in every band: 70*69/2 boilerplate pairs
