@@ -233,21 +233,26 @@ def jaccard_verify_sets(
 
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): 32-bit SimHash over word unigrams, unit weights.
-    bit_b(doc) = 1 iff sum over tokens of (2*bit_b(h(token)) - 1) > 0."""
-    toks = widen(df).select(
-        F.col(id_col), F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok")
+    bit_b(doc) = 1 iff sum over tokens of (2*bit_b(h(token)) - 1) > 0.
+
+    Computed entirely on the in-row token array (hash once per distinct
+    token, then 32 bit-sum folds) — a pure map over the corpus scan, like
+    the MinHash signature: the whole dedup family shuffles nothing until
+    its banding self-join."""
+    hs = F.transform(
+        F.array_distinct(word_tokens(F.col(text_col))), lambda t: token_hash(t)
     )
-    h = token_hash(F.col("tok"))
-    contribs = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = toks.groupBy(id_col).agg(*contribs)
+    base = widen(df).select(F.col(id_col), hs.alias("hs"))
     sh = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        s_b = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bit = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sh = bit if sh is None else sh + bit
-    return sums.select(F.col(id_col), sh.cast("long").alias("simhash"))
+    return base.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
