@@ -171,38 +171,6 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(
-    pairs: DataFrame, grams: DataFrame, *, id_col: str = "doc_id"
-) -> DataFrame:
-    """Exact Jaccard for candidate pairs from an EXPLODED gram relation
-    (id, gram): (doc_a, doc_b, jaccard_raw). Kept for callers that already
-    hold the exploded form (dedup_ngram_jaccard); the MinHash path uses
-    :func:`jaccard_verify_sets`."""
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.select(F.col(id_col).alias("doc_a"), "gram")
-    gb = grams.select(F.col(id_col).alias("doc_b"), "gram")
-    inter = (
-        pairs.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).alias("jaccard_raw"),
-        )
-    )
-
-
 def jaccard_verify_sets(
     pairs: DataFrame, sets: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:

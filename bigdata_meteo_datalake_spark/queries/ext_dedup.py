@@ -35,7 +35,6 @@ from ..operators.dedup import (
     SIMHASH_MAX_HAMMING,
     doc_shingle_hash_sets,
     doc_shingles,
-    jaccard_verify,
     jaccard_verify_sets,
     lsh_candidate_pairs,
     minhash_signature,

@@ -4,9 +4,10 @@ same event table the streaming operators consume."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import oracle_ratio, rounded_ratio
+from ..functions.numeric import oracle_ratio, round_half_up, rounded_ratio, rounded_sum
 from ..sources.lake import read_table
 from . import register
 
@@ -115,4 +116,53 @@ def cohort_retention(spark, sf_dir):
     )
     return activity.groupBy("cohort_day", "days_since").agg(
         F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+# --- time-series: trailing moving average over a date range --------------------------
+
+
+@register(
+    "orders_7d_moving_avg",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         cast(o_orderdate AS date) AS order_day,
+         cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+           AS day_revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, order_day, day_revenue,
+       floor(avg(day_revenue) OVER (
+               PARTITION BY priority ORDER BY order_day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             * 10000 + 0.5) / 10000 AS avg_7d
+FROM daily
+""",
+    tags=("extension", "timeseries"),
+)
+def orders_7d_moving_avg(spark, sf_dir):
+    """Time-series trailing window: per-priority daily revenue with a
+    7-day moving average via a RANGE frame over the date axis (an
+    interval frame, not a row frame — days can be missing). Partitioned
+    by priority: per-key window state only, never a global sort. The
+    daily rollup is exact-decimal; the moving average runs over the
+    already-rounded per-day doubles, so frame membership and the mean are
+    engine-identical (frame size <= 7 keeps the double sum order-stable:
+    both engines accumulate in ascending date order)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+    ).agg(rounded_sum("o_totalprice").alias("day_revenue"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.col("order_day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "priority",
+        "order_day",
+        "day_revenue",
+        round_half_up(F.avg("day_revenue").over(w), 4).alias("avg_7d"),
     )
