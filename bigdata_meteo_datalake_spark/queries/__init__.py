@@ -52,18 +52,58 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+#: Every query the driver's round-1 sweep confirmed green (the keys of
+#: CORRECTNESS_r01.json — hash-matched vs the DuckDB oracle, except
+#: approx_distinct_counts whose only possible check, rows-only, also ran).
+#: The sweep caps at 50 registry entries, so these rotate BEHIND queries
+#: that have never had a driver row: by the end of round 2 every registered
+#: query has a driver-confirmed row in round 1 or round 2. The pytest
+#: oracle gate (tests/test_queries.py) still checks all of them every run.
+_DRIVER_CONFIRMED_R1 = frozenset(
+    {
+        "kpi_daily_order_summary", "pricing_summary", "load_row_counts",
+        "join_enrich_composite_key", "join_nullable_key", "enriched_orders_daily",
+        "project_filter_rename", "json_payload_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_clusters",
+        "knn_cosine_bruteforce", "embedding_near_dup_pairs", "emb_lsh_topk",
+        "emb_ivf_topk",
+        "text_stats", "text_language_id", "text_quality_score",
+        "text_fingerprint", "redact_payload_numbers", "search_documents_match",
+        "token_frequency_topk", "text_bigram_lm_score",
+        "train_val_test_split", "pack_documents_token_budget",
+        "mix_sources_deterministic", "benchmark_contamination",
+        "multimodal_image_features",
+        "asof_latest_order_per_event", "range_join_price_bands",
+        "profile_orders_columns", "snapshot_diff_daily_users",
+        "funnel_signup_purchase_7d", "cohort_retention",
+        "window_tumbling_hourly", "window_sliding_2h_1h", "window_session_30m",
+        "sessionize_events",
+        "topk_orders_per_status", "customers_semi_anti", "user_set_ops",
+        "pivot_event_types_daily", "rollup_lineitem_flags", "distinct_counts",
+        "approx_distinct_counts", "cube_order_stats", "order_price_quantiles",
+        "customer_order_window_stats",
+    }
+)
+
+
+def _sweep_group(name: str, q: Query) -> int:
+    """Driver-sweep priority: 0 = core parity surface (always inside the
+    cap — it is the heart of the parity claim and stays hard-checked every
+    round), 1 = queries with no driver correctness row yet, 2 = extension
+    queries already driver-confirmed in round 1 (safe overflow)."""
+    module = q.fn.__module__.rsplit(".", 1)[-1]
+    if module.startswith("parity_"):
+        return 0
+    return 1 if name not in _DRIVER_CONFIRMED_R1 else 2
+
 
 def _load_all() -> None:
-    """Import every query module exactly once (population side-effect).
-
-    Import order IS registration order IS the order the driver's correctness
-    sweep walks the registry — and the sweep caps at 50 entries. The core
-    parity surface (the reference's own semantics) therefore registers
-    FIRST, then the extension operators in descending novelty; the
-    ``ext_relational`` showcase set registers last and absorbs the overflow
-    beyond the cap (each of its queries was driver-confirmed green in
-    CORRECTNESS_r01.json, so it is the safest surface to leave to the
-    pytest oracle gate).
+    """Import every query module exactly once (population side-effect),
+    then order the registry for the driver's 50-entry correctness sweep
+    (registry order IS sweep order): parity surface first, then queries
+    that have never had a driver row, then round-1-confirmed overflow —
+    stable within each group, so registration order still breaks ties.
     """
     global _LOADED
     if _LOADED:
@@ -76,6 +116,7 @@ def _load_all() -> None:
         parity_tpch,
     )
     from . import (  # noqa: F401
+        ext_timeseries,
         ext_dedup,
         ext_similarity,
         ext_text,
@@ -87,4 +128,7 @@ def _load_all() -> None:
         ext_relational,
     )
 
+    ordered = sorted(REGISTRY.items(), key=lambda kv: _sweep_group(*kv))
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _LOADED = True
