@@ -275,3 +275,131 @@ def chunk_documents_stride(spark, sf_dir):
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+# --- per-domain quota sampling -------------------------------------------------------
+
+_QUOTA_PER_DOMAIN = 10
+
+
+@register(
+    "domain_quota_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       cast(row_number() OVER (
+         PARTITION BY source
+         ORDER BY {token_hash_sql("cast(doc_id AS varchar)")}, doc_id
+       ) AS bigint) AS domain_rank
+FROM documents
+QUALIFY domain_rank <= {_QUOTA_PER_DOMAIN}
+""",
+    tags=("extension", "training", "sampling"),
+)
+def domain_quota_sample(spark, sf_dir):
+    """Per-domain quota sampling: cap every source domain at N documents,
+    chosen by deterministic hash order (not arrival order, which is
+    crawl-dependent; not rand(), which is irreproducible). This is the
+    host-level cap crawl pipelines apply so no single domain dominates the
+    corpus. The window partitions by domain — per-partition state is one
+    domain's docs, and a 100 TB crawl has millions of domains to spread
+    across executors."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        token_hash(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("domain_rank"),
+        )
+        .where(F.col("domain_rank") <= _QUOTA_PER_DOMAIN)
+    )
+
+
+# --- content-defined chunking (rolling-hash boundaries) ------------------------------
+
+_CDC_MASK = 8  # boundary where hash(3-gram) % 8 == 0 -> ~1 boundary per 8 tokens
+
+
+@register(
+    "chunk_documents_content_defined",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+bounds AS (
+  SELECT doc_id, t,
+         [cast(0 AS bigint)]
+           || list_transform(
+                list_filter(range(1, len(t) - 1),
+                            i -> {token_hash_sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}
+                                 % {_CDC_MASK} = 0),
+                i -> cast(i AS bigint))
+           || [cast(len(t) AS bigint)] AS b
+  FROM toks
+)
+SELECT doc_id,
+       cast(j AS bigint) AS chunk_idx,
+       cast(b[j+1] AS bigint) AS chunk_start,
+       cast(b[j+2] - b[j+1] AS integer) AS n_chunk_tokens,
+       array_to_string(t[b[j+1]+1:b[j+2]], ' ') AS chunk_text
+FROM bounds, unnest(range(0, len(b) - 1)) AS u(j)
+WHERE b[j+2] > b[j+1]
+""",
+    tags=("extension", "training", "chunking"),
+)
+def chunk_documents_content_defined(spark, sf_dir):
+    """Content-defined chunking: a chunk boundary falls BEFORE token i
+    whenever the rolling 3-gram hash at i lands in a fixed residue class
+    (~1/8 of positions). Unlike fixed-stride windows, inserting or deleting
+    a sentence only perturbs the neighboring chunks — every other chunk's
+    content (and hash) is unchanged, which is what makes chunk-level dedup
+    and embedding caches survive document edits. Entirely in-row array
+    lambdas (filter over positions, slices between successive boundaries):
+    a zero-shuffle flatMap at any scale. Duplicate-heavy inputs keep
+    identical boundaries, so chunk_text is dedupable downstream."""
+    from ..operators.dedup import token_hash as _th
+
+    d = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = d.select("doc_id", t.alias("t"))
+    gram = lambda i: F.concat_ws(
+        " ",
+        F.element_at(F.col("t"), i),
+        F.element_at(F.col("t"), i + F.lit(1)),
+        F.element_at(F.col("t"), i + F.lit(2)),
+    )
+    # guard: Spark sequence(1, n) with n < 1 DESCENDS (DuckDB range is empty)
+    positions = F.when(
+        F.size(F.col("t")) >= 3, F.sequence(F.lit(1), F.size(F.col("t")) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    inner = F.filter(positions, lambda i: _th(gram(i)) % _CDC_MASK == 0)
+    bounds = toks.select(
+        "doc_id",
+        "t",
+        F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.transform(inner, lambda i: i.cast("long")),
+            F.array(F.size(F.col("t")).cast("long")),
+        ).alias("b"),
+    )
+    exploded = bounds.select(
+        "doc_id",
+        "t",
+        "b",
+        F.explode(F.sequence(F.lit(0), F.size(F.col("b")) - 2)).alias("j"),
+    )
+    start = F.element_at(F.col("b"), F.col("j") + 1)
+    end = F.element_at(F.col("b"), F.col("j") + 2)
+    piece = F.slice(F.col("t"), (start + 1).cast("int"), (end - start).cast("int"))
+    return (
+        exploded.where(end > start)
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("chunk_start"),
+            (end - start).cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+        )
+    )
