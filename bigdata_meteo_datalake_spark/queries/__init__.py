@@ -117,6 +117,7 @@ def _load_all() -> None:
     )
     from . import (  # noqa: F401
         ext_timeseries,
+        ext_graph,
         ext_dedup,
         ext_similarity,
         ext_text,

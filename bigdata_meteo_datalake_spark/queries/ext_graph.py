@@ -1,0 +1,209 @@
+"""Graph analytics over relationships implied by the star schema.
+
+Two operators that exercise shapes the rest of the registry doesn't:
+
+- ``pagerank_trade_graph``: a fixed-iteration ITERATIVE algorithm (the
+  class connected components also belongs to) with the numerics made
+  order-free so an oracle can hash-check every rank: the only
+  order-sensitive operation in PageRank is the per-node SUM of neighbor
+  contributions, so each contribution is quantized to 1e-12 with the
+  floor-form round and summed as exact int64 — both engines fold the same
+  integers, so five iterations stay bit-identical.
+- ``event_path_top_trigrams``: sequence mining — the most common 3-step
+  event paths. Per-user ordering is a deterministic in-row sort (never a
+  bare collect_list, whose order is partition-dependent), trigrams are
+  in-row array lambdas, and the global top-k is orderBy().limit().
+
+Scale: PageRank's per-iteration cost is one edges x ranks equi-join plus
+a groupBy on dst — both hash-partition on node keys and AQE handles hub
+skew; iterations localCheckpoint so the plan stays shallow (same policy
+as operators/dedup.connected_components). Path mining shuffles once per
+user grouping, then only vocabulary-sized aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window  # noqa: F401  (kept for parity with sibling modules)
+from pyspark.sql import functions as F
+
+from ..functions.numeric import oracle_round_half_up, round_half_up
+from ..sources.lake import read_table
+from . import register
+
+_DAMPING = 0.85
+_PR_ITERS = 5
+_PR_SCALE = 1000000000000  # contribution quantum: 1e-12
+_SUPP_OFFSET = 1000000  # supplier node ids live above customer keys
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (aggregation over
+    a recursive reference is not portable, so the loop is generated)."""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT n.node,
+         (1.0 - {_DAMPING}) / cast(nn.n AS double)
+           + {_DAMPING} * (cast(coalesce(s.contrib, 0) AS double) / {_PR_SCALE}.0)
+           AS r
+  FROM nodes n
+  CROSS JOIN ncount nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(cast(floor(p.r / cast(d.deg AS double) * {_PR_SCALE}.0 + 0.5)
+                    AS bigint)) AS contrib
+    FROM edges e
+    JOIN it{k - 1} p ON p.node = e.src
+    JOIN degs d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp + {_SUPP_OFFSET} AS dst FROM pairs
+  UNION ALL
+  SELECT supp + {_SUPP_OFFSET} AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+ncount AS (SELECT cast(count(*) AS bigint) AS n FROM nodes),
+degs AS (SELECT src AS node, cast(count(*) AS bigint) AS deg FROM edges GROUP BY src),
+it0 AS (
+  SELECT n.node, 1.0 / cast(nn.n AS double) AS r FROM nodes n CROSS JOIN ncount nn
+),
+{",".join(its)}
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       {oracle_round_half_up("r", 8)} AS rank
+FROM it{_PR_ITERS}
+"""
+
+
+@register("pagerank_trade_graph", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def pagerank_trade_graph(spark, sf_dir):
+    """PageRank over the undirected customer-supplier trade graph (edges =
+    distinct (custkey, suppkey) pairs appearing on the same order, both
+    directions). Five damped iterations from a uniform start; each
+    iteration is edges-join-ranks -> quantized contribution -> int64 sum
+    per destination. localCheckpoint per iteration keeps lineage flat, the
+    same policy as connected components."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ncount = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    degs = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(degs.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select(
+                "dst",
+                F.floor(
+                    F.col("r") / F.col("deg").cast("double") * _PR_SCALE + 0.5
+                ).cast("long").alias("q"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("q").alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(ncount))
+            .join(contrib, F.col("node") == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    (1.0 - _DAMPING) / F.col("n").cast("double")
+                    + _DAMPING
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                        / _PR_SCALE
+                    )
+                ).alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        round_half_up(F.col("r"), 8).alias("rank"),
+    )
+
+
+_PATHS_TOPK = 10
+
+_PATHS_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+  FROM events GROUP BY user_id
+),
+tris AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || '>' || t[i+1] || '>' || t[i+2])) AS path
+  FROM seqs WHERE len(t) >= 3
+)
+SELECT path, cast(count(*) AS bigint) AS n_users_paths
+FROM tris GROUP BY path
+ORDER BY n_users_paths DESC, path
+LIMIT {_PATHS_TOPK}
+"""
+
+
+@register("event_path_top_trigrams", oracle=_PATHS_ORACLE, tags=("graph", "sequence"))
+def event_path_top_trigrams(spark, sf_dir):
+    """Most common 3-step event paths across all users. The per-user
+    sequence is sort_array over (ts, event_id, type) structs — an in-row
+    sort with a total tie-break, deterministic on any cluster, where a
+    bare collect_list would depend on partition arrival order. Trigrams
+    are in-row lambdas; the only large shuffle is the user grouping, and
+    the top-k is TakeOrderedAndProject."""
+    ev = read_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("t")
+    )
+    positions = F.when(
+        F.size(F.col("t")) >= 3, F.sequence(F.lit(1), F.size(F.col("t")) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(
+        positions,
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + F.lit(1)),
+            F.element_at(F.col("t"), i + F.lit(2)),
+        ),
+    )
+    return (
+        seqs.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_paths"))
+        .orderBy(F.desc("n_users_paths"), F.asc("path"))
+        .limit(_PATHS_TOPK)
+    )
