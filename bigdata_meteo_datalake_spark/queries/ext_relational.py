@@ -424,3 +424,63 @@ def latest_order_max_by(spark, sf_dir):
         F.max_by(F.col("o_orderkey"), cmp).alias("latest_orderkey"),
         F.max(F.col("o_orderdate")).alias("latest_orderdate"),
     )
+
+
+# --- IQR winsorization (robust outlier clipping) ----------------------------------
+
+
+@register(
+    "winsorize_order_totals",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderkey, o_totalprice,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS c
+  FROM orders
+),
+q AS (
+  SELECT quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3 FROM cents
+),
+b AS (
+  SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q
+)
+SELECT o_orderkey AS order_key,
+       o_totalprice AS total_price,
+       floor((least(greatest(cast(c AS double), lo), hi) / 100) * 100 + 0.5) / 100
+         AS clipped_price,
+       (cast(c AS double) < lo OR cast(c AS double) > hi) AS was_clipped
+FROM cents CROSS JOIN b
+""",
+    tags=("extension", "relational", "robust"),
+)
+def winsorize_order_totals(spark, sf_dir):
+    """IQR winsorization: clip order totals to [Q1 - 1.5*IQR, Q3 + 1.5*IQR]
+    — the robust-statistics guard training pipelines apply to numeric
+    features before normalization. Prices are quantized to integer cents
+    BEFORE the quantile, so the quartile interpolation (dyadic 0.25/0.75
+    weights over exact int64 values) is exact in both engines no matter
+    which algebraic interpolation form each uses. Tiny two-row aggregate
+    broadcast back over the scan — the same two-pass shape as the
+    percentile filter."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    q = cents.agg(
+        F.expr("percentile(c, 0.25d)").alias("q1"),
+        F.expr("percentile(c, 0.75d)").alias("q3"),
+    )
+    b = q.select(
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    from ..functions.numeric import round_half_up
+
+    clipped = F.least(F.greatest(F.col("c").cast("double"), F.col("lo")), F.col("hi"))
+    return cents.crossJoin(F.broadcast(b)).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        round_half_up(clipped / 100, 2).alias("clipped_price"),
+        ((F.col("c").cast("double") < F.col("lo")) | (F.col("c").cast("double") > F.col("hi"))).alias("was_clipped"),
+    )

@@ -531,3 +531,58 @@ def tfidf_top_terms(spark, sf_dir):
             round_half_up(F.col("s").cast("double") / 1_000_000_000, 4).alias("tfidf"),
         )
     )
+
+
+# --- per-document unigram entropy ----------------------------------------------------
+
+
+@register(
+    "text_unigram_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         cast(len(t) AS bigint) AS n_tokens,
+         cast(list_sum(list_transform(
+           list_distinct(t),
+           w -> cast(floor(
+                  (len(list_filter(t, x -> x = w)) / cast(len(t) AS double))
+                  * ln(len(list_filter(t, x -> x = w)) / cast(len(t) AS double))
+                  * 1000000000 - 0.5) AS bigint))) AS double) AS h_scaled
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       floor(-(h_scaled / 1000000000) * 10000 + 0.5) / 10000 AS entropy
+FROM scored
+""",
+    tags=("extension", "text", "quality"),
+)
+def text_unigram_entropy(spark, sf_dir):
+    """Per-document unigram (token) Shannon entropy — low entropy flags
+    repetitive/boilerplate text, complementing the Gopher repetition rules
+    and the bigram LM. Computed ENTIRELY in-row: distinct tokens, counts,
+    and the -sum(p ln p) fold are array lambdas over the doc's own token
+    array, so the operator is shuffle-free at any corpus size. Each p*ln(p)
+    term is int64-quantized before the fold, making the sum independent of
+    the (engine-specific) distinct-token enumeration order."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(t).cast("double")
+
+    def term(w):
+        cnt = F.size(F.filter(t, lambda x: x == w)).cast("double")
+        p = cnt / n
+        return F.floor(p * F.log(p) * 1_000_000_000 - 0.5).cast("long")
+
+    h_scaled = F.aggregate(
+        F.transform(F.array_distinct(t), term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        round_half_up(-(h_scaled / 1_000_000_000), 4).alias("entropy"),
+    )

@@ -271,3 +271,73 @@ def ts_zscore_anomaly(spark, sf_dir):
         round_half_up(z, 4).alias("z_score"),
         (F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+_CUSUM_THRESHOLD = 10.0
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         {oracle_avg("value")} AS day_avg
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+stats AS (
+  SELECT event_type,
+         cast(sum(cast(day_avg AS decimal(28,6))) AS double) / count(*) AS mean_avg
+  FROM daily GROUP BY event_type
+),
+devs AS (
+  SELECT d.event_type, d.day, d.day_avg,
+         cast(floor((d.day_avg - s.mean_avg) * 1000000 + 0.5) AS bigint) AS dev_q
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+)
+SELECT event_type, day, day_avg,
+       floor((cast(sum(dev_q) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS double) / 1000000) * 10000 + 0.5)
+         / 10000 AS cusum,
+       abs(cast(sum(dev_q) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS double) / 1000000)
+         > {_CUSUM_THRESHOLD} AS is_shifted
+FROM devs
+"""
+
+
+@register("ts_cusum_shift", oracle=_CUSUM_ORACLE, tags=("timeseries", "window"))
+def ts_cusum_shift(spark, sf_dir):
+    """CUSUM level-shift detection: the running sum of each day's deviation
+    from the series mean. A sustained drift accumulates where single-day
+    z-scores stay small — the change-point complement to
+    ``ts_zscore_anomaly``. Deviations are quantized to 1e-6 ints before the
+    running window sum, so the cumulative values are exact in both engines
+    regardless of fold order; the window partitions by series."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(rounded_avg("value").alias("day_avg"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        (exact_sum("day_avg").cast("double") / F.count(F.lit(1))).alias("mean_avg")
+    )
+    devs = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "day_avg",
+        F.floor((F.col("day_avg") - F.col("mean_avg")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("dev_q"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.sum("dev_q").over(w).cast("double") / 1000000
+    return devs.select(
+        "event_type",
+        "day",
+        "day_avg",
+        round_half_up(cusum, 4).alias("cusum"),
+        (F.abs(cusum) > _CUSUM_THRESHOLD).alias("is_shifted"),
+    )
