@@ -484,3 +484,145 @@ def winsorize_order_totals(spark, sf_dir):
         round_half_up(clipped / 100, 2).alias("clipped_price"),
         ((F.col("c").cast("double") < F.col("lo")) | (F.col("c").cast("double") > F.col("hi"))).alias("was_clipped"),
     )
+
+
+# --- per-group OLS trend (regression over the date axis) --------------------------
+
+
+@register(
+    "ols_revenue_trend",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate AS date))
+              AS bigint) AS x,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint) AS y
+  FROM orders
+  GROUP BY o_orderpriority, date_diff('day', DATE '1995-01-01', cast(o_orderdate AS date))
+),
+s AS (
+  -- hugeint moments: products like n*sxy exceed int64 at larger SFs
+  SELECT priority,
+         cast(count(*) AS hugeint) AS n,
+         cast(sum(x) AS hugeint) AS sx,
+         cast(sum(y) AS hugeint) AS sy,
+         cast(sum(x * y) AS hugeint) AS sxy,
+         cast(sum(x * x) AS hugeint) AS sxx
+  FROM daily GROUP BY priority
+)
+SELECT priority, cast(n AS bigint) AS n_days,
+       floor(cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double)
+             * 1000000 + 0.5) / 1000000 AS slope_cents_per_day
+FROM s
+""",
+    tags=("extension", "relational", "regression"),
+)
+def ols_revenue_trend(spark, sf_dir):
+    """Per-priority revenue trend: the OLS slope of daily revenue over the
+    date axis — trend detection as a first-class aggregate. Never
+    ``regr_slope`` over doubles (its sums fold in partition order): x is an
+    integer day index and y integer cents, so Sx/Sy/Sxy/Sxx are EXACT int64
+    sums and the slope is one double division of two exact integers —
+    bit-identical across engines and cluster sizes. Moment products are
+    computed in decimal(38,0) (hugeint in the oracle): |n*Sxy| passes
+    int64 around sf0.1, far inside 38 digits."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("y"))
+    )
+    # decimal(38,0) moments: exact, and products like n*sxy exceed int64
+    # at larger SFs (DuckDB side accumulates in hugeint)
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))
+    s = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    from ..functions.numeric import round_half_up
+
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select(
+        "priority",
+        F.col("n").cast("long").alias("n_days"),
+        round_half_up(slope, 6).alias("slope_cents_per_day"),
+    )
+
+
+# --- per-group Pearson correlation ------------------------------------------------
+
+
+@register(
+    "pearson_qty_price",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         cast(floor(l_quantity + 0.5) AS bigint) AS x,
+         cast(floor(l_extendedprice + 0.5) AS bigint) AS y
+  FROM lineitem
+),
+s AS (
+  -- hugeint moments: n*syy exceeds int64 beyond sf0.01
+  SELECT flag,
+         cast(count(*) AS hugeint) AS n,
+         cast(sum(x) AS hugeint) AS sx,
+         cast(sum(y) AS hugeint) AS sy,
+         cast(sum(x * y) AS hugeint) AS sxy,
+         cast(sum(x * x) AS hugeint) AS sxx,
+         cast(sum(y * y) AS hugeint) AS syy
+  FROM q GROUP BY flag
+)
+SELECT flag, cast(n AS bigint) AS n_lines,
+       floor(cast(n * sxy - sx * sy AS double)
+             / sqrt(cast(n * sxx - sx * sx AS double)
+                    * cast(n * syy - sy * sy AS double))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price
+FROM s
+""",
+    tags=("extension", "relational", "regression"),
+)
+def pearson_qty_price(spark, sf_dir):
+    """Pearson correlation between line quantity and extended price, per
+    return flag — feature-correlation profiling with the same order-free
+    integer-moment machinery as the OLS slope (never ``corr()``, whose
+    double sums are fold-order-dependent). Inputs quantize to whole units /
+    whole dollars; moment products run in decimal(38,0) (hugeint in the
+    oracle) because |n*Syy| passes int64 just beyond sf0.01. One shuffle
+    to the 3-row moment table, one double expression out."""
+    l = read_table(spark, sf_dir, "lineitem")
+    q = l.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") + 0.5).cast("long").alias("y"),
+    )
+    # decimal(38,0) moments — n*syy alone passes int64 beyond sf0.01
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))
+    s = q.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    from ..functions.numeric import round_half_up
+
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n_lines"),
+        round_half_up(num / den, 6).alias("corr_qty_price"),
+    )
