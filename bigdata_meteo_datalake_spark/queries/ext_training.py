@@ -355,13 +355,18 @@ def chunk_documents_content_defined(spark, sf_dir):
     (~1/8 of positions). Unlike fixed-stride windows, inserting or deleting
     a sentence only perturbs the neighboring chunks — every other chunk's
     content (and hash) is unchanged, which is what makes chunk-level dedup
-    and embedding caches survive document edits. Entirely in-row array
-    lambdas (filter over positions, slices between successive boundaries):
-    a zero-shuffle flatMap at any scale. Duplicate-heavy inputs keep
+    and embedding caches survive document edits (edit-stability is asserted
+    by ``tests/test_session2_ops.py``). Entirely in-row array lambdas
+    (filter over positions, slices between successive boundaries): a
+    zero-shuffle flatMap at any scale. Duplicate-heavy inputs keep
     identical boundaries, so chunk_text is dedupable downstream."""
+    return content_defined_chunks(read_table(spark, sf_dir, "documents"))
+
+
+def content_defined_chunks(d):
+    """The operator itself, over any DataFrame with (doc_id, text)."""
     from ..operators.dedup import token_hash as _th
 
-    d = read_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     toks = d.select("doc_id", t.alias("t"))
     gram = lambda i: F.concat_ws(
