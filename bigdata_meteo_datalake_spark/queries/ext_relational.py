@@ -626,3 +626,82 @@ def pearson_qty_price(spark, sf_dir):
         F.col("n").cast("long").alias("n_lines"),
         round_half_up(num / den, 6).alias("corr_qty_price"),
     )
+
+
+# --- rank-family window analytics (ntile / percent_rank / cume_dist) --------------
+
+
+@register(
+    "order_rank_analytics",
+    oracle="""
+SELECT o_orderkey AS order_key,
+       o_orderstatus AS status,
+       ntile(10)      OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("extension", "relational", "window"),
+)
+def order_rank_analytics(spark, sf_dir):
+    """Rank-family windows per order status: decile bucketing (ntile),
+    relative rank (percent_rank) and cumulative distribution (cume_dist).
+    The ORDER BY appends the key column so the sort is total — with unique
+    keys rank == row_number, making percent_rank (rn-1)/(N-1) and cume_dist
+    rn/N one exact-integer double division each, bit-identical across
+    engines. Always PARTITION BY status (repo rule: a partition-less window
+    would serialize the table onto one task); percentiles at 100 TB come
+    from this shape, never a global sort."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --- unpivot (melt) round-trip ----------------------------------------------------
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+WITH days AS (SELECT DISTINCT cast(ts AS date) AS event_day FROM events),
+types AS (SELECT unnest(['purchase','error','click','view','signup']) AS event_type),
+counts AS (
+  SELECT cast(ts AS date) AS event_day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_day, t.event_type, cast(coalesce(c.n, 0) AS bigint) AS n
+FROM days d
+CROSS JOIN types t
+LEFT JOIN counts c ON c.event_day = d.event_day AND c.event_type = t.event_type
+""",
+    tags=("extension", "relational", "unpivot"),
+)
+def unpivot_event_counts(spark, sf_dir):
+    """Unpivot (melt): the daily event-type matrix back to long form via
+    ``stack`` — the inverse of pivot_event_types_daily, producing an
+    explicit zero row for absent (day, type) cells exactly like the
+    oracle's day x type spine. stack() is a generator projection (one pass,
+    no shuffle beyond the pivot's own aggregate); wide-to-long at 100 TB
+    never needs a join against a spine table."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["purchase", "error", "click", "view", "signup"]
+    pivoted = (
+        ev.groupBy(F.col("ts").cast("date").alias("event_day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        pivoted = pivoted.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    stack_expr = "stack({n}, {args}) as (event_type, n)".format(
+        n=len(types), args=", ".join(f"'{t}', {t}" for t in types)
+    )
+    return pivoted.selectExpr("event_day", stack_expr)
