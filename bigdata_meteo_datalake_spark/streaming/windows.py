@@ -178,3 +178,71 @@ def stream_stream_interval_join(
         lts.alias("l_ts"),
         rts.alias("r_ts"),
     )
+
+
+def stream_gapfill_locf(obs: DataFrame, step: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch gap-fill (queries/ext_timeseries.py
+    ts_gapfill_locf): consumes PRE-AGGREGATED per-slot observations — at
+    most one row per (event_type, bucket), buckets arriving in order per
+    key — and emits one row per slot, inserting the missing slots between
+    consecutive observations with the last value carried forward.
+
+    Custom state via applyInPandasWithState: per key, (last_slot,
+    last_value) — constant-size state regardless of stream length, which
+    is the property that lets this run forever at 100 TB (the batch form's
+    dense-spine join needs the whole horizon). Hours before a key's first
+    observation are not emitted (LOCF has nothing to carry), and slots
+    after its last observation wait for the next batch — a streaming
+    operator cannot fill toward a future it has not seen.
+
+    Slot arithmetic is pure wall-clock pandas Timedelta on the naive
+    timestamps Spark hands the UDF, so session-timezone conversion applies
+    identically on input and output.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    step_td = pd.Timedelta(step)
+    out_schema = (
+        "event_type string, bucket timestamp, obs_avg double, "
+        "filled_avg double, is_gap boolean"
+    )
+    state_schema = "last_slot long, last_value double"
+    _EPOCH = pd.Timestamp(0)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_slot_ns, last_val = state.get
+            last_bucket = _EPOCH + pd.Timedelta(last_slot_ns, unit="ns")
+        else:
+            last_bucket, last_val = None, None
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+        out_bucket, out_obs, out_filled, out_gap = [], [], [], []
+        for bucket, val in zip(rows["bucket"], rows["obs_avg"]):
+            if last_bucket is not None:
+                gap = last_bucket + step_td
+                while gap < bucket:
+                    out_bucket.append(gap)
+                    out_obs.append(None)
+                    out_filled.append(last_val)
+                    out_gap.append(True)
+                    gap += step_td
+            out_bucket.append(bucket)
+            out_obs.append(val)
+            out_filled.append(val)
+            out_gap.append(False)
+            last_bucket, last_val = bucket, val
+        state.update(((last_bucket - _EPOCH).value, last_val))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "bucket": out_bucket,
+                "obs_avg": out_obs,
+                "filled_avg": out_filled,
+                "is_gap": out_gap,
+            }
+        )
+
+    return obs.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

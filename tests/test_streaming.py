@@ -235,3 +235,96 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_gapfill_locf_matches_batch(spark, tmp_path):
+    """The stateful streaming gap-fill must equal the batch LOCF twin on
+    each key's observed range, with gaps spanning micro-batch boundaries
+    carried through state."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_gapfill_locf
+
+    schema = "event_type string, bucket timestamp, obs_avg double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime.fromisoformat(ts), v) for (k, ts, v) in rows], schema
+        )
+
+    src = str(tmp_path / "gap_src")
+    # batch 1: click has a 2h hole (10->13), view ends at 11
+    mk(
+        [
+            ("click", "2024-03-01 10:00:00", 1.0),
+            ("click", "2024-03-01 13:00:00", 4.0),
+            ("view", "2024-03-01 11:00:00", 7.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "gap_out")
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory doesn't),
+        # so the (last_slot, last_value) state survives across the two runs
+        stream = spark.readStream.schema(mk([]).schema).parquet(src)
+        filled = stream_gapfill_locf(stream, step="1 hour")
+        q = (
+            filled.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: the 14h click row and a LATE-ARRIVING view hole 11->15 that
+    # must be filled from state carried across the restart
+    mk(
+        [
+            ("click", "2024-03-01 14:00:00", 5.0),
+            ("view", "2024-03-01 15:00:00", 9.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    # batch twin: dense spine per key between its first and last observation
+    all_obs = spark.read.parquet(src)
+    spine = (
+        all_obs.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        spine.join(all_obs, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            "obs_avg",
+            F.last("obs_avg", ignorenulls=True).over(w).alias("filled_avg"),
+            F.col("obs_avg").isNull().alias("is_gap"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
