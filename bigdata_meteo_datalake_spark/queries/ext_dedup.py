@@ -341,3 +341,93 @@ def dedup_survivors(spark, sf_dir):
     )
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     return d.join(dropped, "doc_id", "left_anti")
+
+
+# --- quality-aware survivor selection ---------------------------------------------
+
+
+def _quality_survivors_oracle() -> str:
+    # the quality CTE duplicates text_quality_score's formula verbatim
+    # (ext_text.py) — keep the two in sync
+    return f"""
+WITH quality AS (
+  SELECT doc_id,
+         floor((0.5 * least(cast(length(text) AS double) / 400.0, 1.0)
+              + 0.3 * least(cast(len(string_split_regex(trim(text), '\\s+'))
+                                 AS double) / 80.0, 1.0)
+              + 0.2 * (1.0 - least(
+                    cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS double)
+                    / cast(len(string_split_regex(trim(text), '\\s+')) AS double),
+                    1.0))) * 10000 + 0.5) / 10000 AS quality_score
+  FROM documents
+),
+members AS (
+  SELECT c.doc_id, c.cluster_rep, q.quality_score
+  FROM ({_clusters_oracle()}) c JOIN quality q ON q.doc_id = c.doc_id
+),
+best AS (
+  SELECT doc_id FROM members
+  QUALIFY row_number() OVER (PARTITION BY cluster_rep
+                             ORDER BY quality_score DESC, doc_id) = 1
+),
+dropped AS (
+  SELECT m.doc_id FROM members m LEFT JOIN best b ON b.doc_id = m.doc_id
+  WHERE b.doc_id IS NULL
+)
+SELECT d.doc_id, q.quality_score,
+       (m.doc_id IS NOT NULL) AS was_clustered
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN members m ON m.doc_id = d.doc_id
+LEFT JOIN dropped x ON x.doc_id = d.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@register(
+    "dedup_survivors_by_quality",
+    oracle=_quality_survivors_oracle(),
+    tags=("extension", "dedup", "quality"),
+)
+def dedup_survivors_by_quality(spark, sf_dir):
+    """Quality-aware dedup: each near-dup cluster keeps its HIGHEST-quality
+    member (tie-break lowest doc_id) instead of the arbitrary min-id rep —
+    what a pretraining pipeline actually wants, since boilerplate clusters
+    usually contain one clean copy and many mangled ones. Composes the
+    cluster assignment with the quality score, picks the winner with a
+    cluster-partitioned row_number (clusters are small, the window never
+    degenerates), and anti-joins the losers off the corpus. Quality scores
+    are convention-rounded doubles, so the DESC ordering agrees with the
+    oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from .ext_text import text_quality_score
+
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    members = (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_rep")
+        .join(quality, "doc_id")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    dropped = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    clustered = members.select("doc_id", F.lit(True).alias("was_clustered"))
+    return (
+        d.join(dropped, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_score",
+            F.coalesce(F.col("was_clustered"), F.lit(False)).alias("was_clustered"),
+        )
+    )

@@ -586,3 +586,58 @@ def text_unigram_entropy(spark, sf_dir):
         F.size(t).cast("long").alias("n_tokens"),
         round_half_up(-(h_scaled / 1_000_000_000), 4).alias("entropy"),
     )
+
+
+# --- OOV rate against a frequency-ranked vocabulary -------------------------------
+
+
+@register(
+    "oov_rate_top_vocab",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY count(*) DESC, tok
+  LIMIT 100
+)
+SELECT t.doc_id,
+       cast(count(*) AS bigint) AS n_tokens,
+       cast(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+       floor((cast(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS double)
+              / count(*)) * 10000 + 0.5) / 10000 AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+""",
+    tags=("extension", "text", "vocab"),
+)
+def oov_rate_top_vocab(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus' own top-100
+    token vocabulary — the tokenizer-coverage diagnostic run before
+    committing to a vocab size. Two passes over the token relation: the
+    vocabulary is a TakeOrdered top-k (tiny, broadcast back), then the
+    per-doc OOV flags aggregate on doc_id. The fact-side token relation
+    never shuffles on the token — vocab membership is a broadcast hash
+    probe — so at 100 TB the cost is the explode plus one doc_id
+    aggregation, both map-heavy."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        round_half_up(n_oov.cast("double") / F.count(F.lit(1)), 4).alias("oov_rate"),
+    )
