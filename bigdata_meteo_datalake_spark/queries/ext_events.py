@@ -166,3 +166,36 @@ def orders_7d_moving_avg(spark, sf_dir):
         "day_revenue",
         round_half_up(F.avg("day_revenue").over(w), 4).alias("avg_7d"),
     )
+
+
+# --- salted two-phase aggregation (skew mitigation, same answer) ------------------
+
+
+@register(
+    "salted_user_event_stats",
+    oracle="""
+SELECT event_type,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(round(sum(cast(value AS decimal(28,6))), 2) AS double) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("extension", "events", "skew"),
+)
+def salted_user_event_stats(spark, sf_dir):
+    """Two-phase salted aggregation over the (low-cardinality, skewed)
+    event_type key: phase 1 fans each hot key over 16 salt buckets, phase 2
+    merges partials on the true key — the declarative skew remedy for the
+    one-reducer-per-hot-key collapse a plain groupBy suffers at 100 TB.
+    The salt must not change the answer: sums accumulate in exact decimal
+    through BOTH phases, and this query is hash-checked against the plain
+    single-phase GROUP BY oracle."""
+    from ..operators.skew import salted_count_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_count_sum(ev, ["event_type"], ["value"], n_salts=16)
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+    )

@@ -641,3 +641,51 @@ def oov_rate_top_vocab(spark, sf_dir):
         n_oov.cast("long").alias("n_oov"),
         round_half_up(n_oov.cast("double") / F.count(F.lit(1)), 4).alias("oov_rate"),
     )
+
+
+# --- edit-distance verification of candidate pairs --------------------------------
+
+
+@register(
+    "edit_distance_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 120) AS prefix FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(levenshtein(a.prefix, b.prefix) AS bigint) AS edit_dist,
+       floor((1.0 - cast(levenshtein(a.prefix, b.prefix) AS double)
+                    / greatest(length(a.prefix), length(b.prefix))) * 10000 + 0.5)
+         / 10000 AS edit_sim
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+""",
+    tags=("extension", "text", "dedup"),
+)
+def edit_distance_pairs(spark, sf_dir):
+    """Character-level edit distance over candidate document pairs — the
+    expensive exact verifier a near-dup pipeline runs AFTER cheap banding
+    (LSH/SimHash) has cut candidates to a tractable set; the doc_id bound
+    here is that candidate cap. Prefix-truncated to 120 chars so the DP
+    cost per pair is constant; levenshtein is an exact integer in both
+    engines, and the normalized similarity is one double division. The
+    pair generation is a bounded self-join, never all-pairs over the
+    corpus."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", F.substring("text", 1, 120).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    longest = F.greatest(F.length("a.prefix"), F.length("b.prefix"))
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+            round_half_up(
+                1.0 - dist.cast("double") / longest.cast("double"), 4
+            ).alias("edit_sim"),
+        )
+    )
