@@ -434,3 +434,134 @@ def ann_recall_report(spark, sf_dir):
         round_half_up(n_lsh.cast("double") / _TOP_K, 4).alias("recall_lsh"),
         round_half_up(n_ivf.cast("double") / _TOP_K, 4).alias("recall_ivf"),
     )
+
+
+# --- k-means training for the IVF coarse quantizer ----------------------------------
+
+_KM_K_MOD = 64  # vec_id % 64 == 0 -> 8 deterministic seed centroids
+_KM_SCALE = 1_000_000_000  # 1e-9 component grid: int64 sums stay exact
+
+
+def _km_assign_sql(points: str, cents: str) -> str:
+    """Nearest-centroid assignment CTE body (L2, ties -> lower cent_id)."""
+    return f"""
+  SELECT vec_id, cent_id FROM (
+    SELECT p.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(p.v, c.cv),
+                                     z -> (z[1]-z[2])*(z[1]-z[2])), 'sum'),
+                      c.cent_id) AS rn
+    FROM {points} p, {cents} c
+  ) WHERE rn = 1"""
+
+
+def _km_update_sql(assign: str) -> str:
+    """Centroid-update CTE body: exact int64 component sums -> one double
+    division -> re-quantize to the grid -> rebuild the list in dim order."""
+    return f"""
+  SELECT cent_id, list(comp ORDER BY dim) AS cv FROM (
+    SELECT a.cent_id, d.dim,
+           cast(floor(cast(cast(sum(cast(floor(e.v[d.dim] * {_KM_SCALE} + 0.5)
+                                        AS bigint)) AS bigint) AS double)
+                      / count(*) + 0.5) AS bigint) / {_KM_SCALE}.0 AS comp
+    FROM {assign} a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d
+    GROUP BY a.cent_id, d.dim
+  ) GROUP BY cent_id"""
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS dim),
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {_KM_K_MOD} = 0),
+a1 AS ({_km_assign_sql("e", "c0")}),
+c1 AS ({_km_update_sql("a1")}),
+a2 AS ({_km_assign_sql("e", "c1")}),
+c2 AS ({_km_update_sql("a2")}),
+a3 AS ({_km_assign_sql("e", "c2")}),
+sizes AS (SELECT cent_id, cast(count(*) AS bigint) AS n_members FROM a3 GROUP BY cent_id)
+SELECT c.cent_id, s.n_members, d.dim, c.cv[d.dim] AS comp
+FROM c2 c JOIN sizes s ON s.cent_id = c.cent_id CROSS JOIN dims d
+"""
+
+
+@register(
+    "kmeans_ivf_train",
+    oracle=_KMEANS_ORACLE,
+    tags=("extension", "similarity", "iterative"),
+)
+def kmeans_ivf_train(spark, sf_dir):
+    """Lloyd's k-means (2 unrolled iterations, deterministic seeds) — the
+    trainer for emb_ivf_topk's coarse quantizer, run as a distributed
+    iterative algorithm. Per iteration: assignment is a broadcast of the
+    k-row centroid table probed map-side (argmin L2 via an in-row fold,
+    ties to the lower cent_id); the update shuffles quantized int64
+    components once on (cent_id, dim) — sums are exact and order-free, the
+    mean is one double division re-quantized to the 1e-9 grid, and the
+    centroid vector is rebuilt with a deterministic struct sort. The same
+    quantize-to-integers trick that makes PageRank hash-checkable makes an
+    iterative ML trainer exact against the unrolled-CTE oracle. At 100 TB:
+    k centroids always broadcast; the only corpus-sized exchange per
+    iteration is the (cent_id, dim)-keyed partial-aggregated update."""
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", _double_vec().alias("v"))
+
+    def assign(cents):
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ranked = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cent_id", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+        return (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+
+    def update(assigned):
+        comps = (
+            assigned.join(e, "vec_id")
+            .select("cent_id", F.posexplode("v").alias("pos", "val"))
+            .select(
+                "cent_id",
+                (F.col("pos") + 1).alias("dim"),
+                F.floor(F.col("val") * _KM_SCALE + 0.5).cast("long").alias("q"),
+            )
+            .groupBy("cent_id", "dim")
+            .agg(
+                (
+                    F.floor(
+                        F.sum("q").cast("double") / F.count(F.lit(1)) + 0.5
+                    ).cast("long")
+                    / float(_KM_SCALE)
+                ).alias("comp")
+            )
+        )
+        return comps.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s.comp,
+            ).alias("cv")
+        )
+
+    c0 = e.where(F.col("vec_id") % _KM_K_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    c2 = update(assign(update(assign(c0))))
+    sizes = assign(c2).groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        c2.join(sizes, "cent_id")
+        .select(
+            "cent_id",
+            "n_members",
+            F.posexplode("cv").alias("pos", "comp"),
+        )
+        .select("cent_id", "n_members", (F.col("pos") + 1).alias("dim"), "comp")
+    )
