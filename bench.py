@@ -50,8 +50,20 @@ def main() -> None:
     all_queries = queries()
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
 
-    # warm the JVM/session so query 1 doesn't pay session startup
-    all_queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up pass: run every headline query once at the smallest SF so the
+    # timed pass measures steady-state (JIT-compiled, codegen-cached)
+    # throughput — the number that projects to a long-running cluster —
+    # instead of first-invocation JVM compilation cost. Warm-up wall time
+    # is reported alongside for transparency.
+    warm_dir = re.sub(r"sf[\d.]+", "sf0.001", sf_dir)
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    t0 = time.perf_counter()
+    for name in names:
+        all_queries[name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    warmup_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -69,6 +81,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup_sec": warmup_sec,
+                "warmup_sf_dir": warm_dir,
             }
         )
     )
