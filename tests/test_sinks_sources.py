@@ -166,3 +166,53 @@ def test_multi_format_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_format(spark, str(tmp_path / "rt_csv"), "csv")
+
+
+def test_paged_rest_datasource(spark, tmp_path):
+    """The Python DataSource form of the paged REST list: one input
+    partition per page (executor-side fetch), envelope unwrap, lineage
+    columns."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.sources.pyds import register_paged_rest
+
+    for page in (1, 2, 3):
+        recs = [{"id": page * 10 + i, "title": f"m{page}-{i}"} for i in range(4)]
+        (tmp_path / f"page-{page}.json").write_text(
+            _json.dumps({"page": page, "results": recs})
+        )
+    register_paged_rest(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .option("url", f"file://{tmp_path}/page-{{page}}.json")
+        .option("pages", "3")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one executor task per page
+    rows = df.collect()
+    assert len(rows) == 12
+    parsed = df.select(
+        "page", F.get_json_object("record", "$.id").cast("int").alias("id")
+    )
+    ids = sorted(r["id"] for r in parsed.collect())
+    assert ids == sorted(p * 10 + i for p in (1, 2, 3) for i in range(4))
+    # every record is attributed to the page file it came from
+    bad = parsed.where((F.col("id") / 10).cast("int") != F.col("page")).count()
+    assert bad == 0
+
+
+def test_paged_rest_bare_list_and_single_object(spark, tmp_path):
+    from bigdata_meteo_datalake_spark.sources.pyds import register_paged_rest
+
+    (tmp_path / "page-1.json").write_text('[{"a": 1}, {"a": 2}]')
+    (tmp_path / "page-2.json").write_text('{"a": 3}')
+    register_paged_rest(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .option("url", f"file://{tmp_path}/page-{{page}}.json")
+        .option("pages", "2")
+        .load()
+    )
+    assert df.count() == 3
