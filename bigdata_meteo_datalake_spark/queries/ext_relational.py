@@ -705,3 +705,35 @@ def unpivot_event_counts(spark, sf_dir):
         n=len(types), args=", ".join(f"'{t}', {t}" for t in types)
     )
     return pivoted.selectExpr("event_day", stack_expr)
+
+
+# --- VariantType JSON extraction (Spark 4 engine-native semi-structured) ----------
+
+
+@register(
+    "variant_payload_extract",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                  AS k_text,
+       cast(json_extract_string(props, '$.k') AS integer) AS k_int,
+       (json_extract(props, '$.k') IS NOT NULL)           AS has_k
+FROM events
+""",
+    tags=("extension", "relational", "variant"),
+)
+def variant_payload_extract(spark, sf_dir):
+    """The VariantType twin of json_payload_extract: parse_json once into
+    Spark 4's binary variant encoding, then typed try_variant_get paths —
+    the engine-native semi-structured layout that replaces per-expression
+    string re-parsing (each get_json_object call re-parses the string;
+    variant parses once and navigates an indexed binary tree, the layout
+    a 100 TB JSON column wants). Values match the string-path oracle
+    exactly; extraction misses yield NULL via the try_ form."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "string").alias("k_text"),
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "int").isNotNull().alias("has_k"),
+    )
