@@ -328,3 +328,77 @@ def test_stream_gapfill_locf_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_expiry_timer_closes_idle_sessions(spark, tmp_path):
+    """transformWithStateInPandas with event-time timers: a session closes
+    (emits exactly one summary) when the watermark passes last_event + gap;
+    a key that keeps receiving events stays open across micro-batches.
+
+    Availability-gated: the TWS state protocol speaks protobuf between the
+    JVM and the Python runner; this container ships pyspark without
+    google.protobuf, so the operator can only execute where protobuf is
+    installed (any standard Spark deployment). The operator itself is
+    plain public-API code — this test runs it end-to-end when it can."""
+    pytest.importorskip("google.protobuf")
+    import datetime as dt
+
+    from bigdata_meteo_datalake_spark.streaming.windows import (
+        session_expiry_summaries,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(e, dt.datetime.fromisoformat(ts), u, "view", v) for (e, ts, u, v) in rows],
+            schema,
+        )
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+
+    def run_once():
+        stream = spark.readStream.schema(mk([]).schema).parquet(src)
+        summaries = session_expiry_summaries(stream, gap="30 minutes")
+        q = (
+            summaries.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 1 (2 events to 10:10), user 2 (1 event at 10:05)
+    mk(
+        [
+            (1, "2024-03-01 10:00:00", 1, 1.0),
+            (2, "2024-03-01 10:10:00", 1, 2.0),
+            (3, "2024-03-01 10:05:00", 2, 5.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    # batch 2: user 1 keeps going at 12:00 -> watermark jumps to 12:00,
+    # expiring BOTH 10:xx timers; user 1's new event re-opens a session
+    # (its first session closes too — gap-based sessions, same as
+    # session_window semantics), user 2 stays closed
+    mk([(4, "2024-03-01 12:00:00", 1, 3.0)]).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {
+        (r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(2) == (1, 5.0)  # idle session closed by the timer
+    assert got.get(1) == (2, 3.0)  # first session (1.0+2.0) closed... see below
+
+    # exact per-session check: collect all emitted rows per user
+    rows = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # user 1's FIRST session (events 1+2, sum 3.0) closed when the
+    # watermark passed 10:40; its 12:00 session is still open (no later
+    # watermark advance), so exactly two summaries exist
+    assert rows == [(1, 2, 3.0), (2, 1, 5.0)]
