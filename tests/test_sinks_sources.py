@@ -216,3 +216,51 @@ def test_paged_rest_bare_list_and_single_object(spark, tmp_path):
         .load()
     )
     assert df.count() == 3
+
+
+def test_paged_rest_stream_ingests_new_pages(spark, tmp_path):
+    """Streaming paged-REST: each availableNow run drains exactly the pages
+    that appeared since the committed offset — no re-reads, no gaps."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.sources.pyds import register_paged_rest
+
+    register_paged_rest(spark)
+    out = str(tmp_path / "stream_out")
+
+    def write_page(page):
+        (tmp_path / f"page-{page}.json").write_text(
+            _json.dumps({"results": [{"id": page * 10 + i} for i in range(3)]})
+        )
+
+    def run_once():
+        df = (
+            spark.readStream.format("paged_rest")
+            .option("url", f"file://{tmp_path}/page-{{page}}.json")
+            .load()
+        )
+        q = (
+            df.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_page(1)
+    write_page(2)
+    run_once()
+    write_page(3)  # appears after the first drain
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 9
+    pages = sorted(
+        r["page"] for r in got.select("page").distinct().collect()
+    )
+    assert pages == [1, 2, 3]
+    # exactly-once: no page ingested twice
+    assert got.select("page", "record").distinct().count() == 9
