@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Worked example: a pretraining-data pipeline end to end over the
+documents table — the LLM-scale workflow this engine's extension surface
+exists for.
+
+    python examples/pretraining_corpus_run.py [sf_dir]
+
+Stages (each one a registered, oracle-checked operator — this script only
+composes them):
+
+1. quality filtering    — heuristic score + corpus-calibrated percentile cut
+2. near-dup dedup       — MinHash-LSH candidates, cluster, keep the
+                          best-quality representative per cluster
+3. contamination scan   — drop documents overlapping the benchmark gram set
+4. train/val/test split — deterministic hash buckets (rerun-stable)
+5. sequence packing     — greedy token-budget packing per shard
+6. manifest             — per-split/source counts written as the run's
+                          parquet artifact
+
+Every stage is lazy until the final writes; the composed job is one Spark
+DAG — filters reach the scans, dims broadcast, and the only corpus-sized
+shuffles are the dedup band join and the packing shard window.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bigdata_meteo_datalake_spark.queries.ext_dedup import dedup_survivors_by_quality
+from bigdata_meteo_datalake_spark.queries.ext_text import text_quality_score
+from bigdata_meteo_datalake_spark.queries.ext_training import (
+    benchmark_contamination,
+    pack_documents_token_budget,
+    train_val_test_split,
+)
+from bigdata_meteo_datalake_spark.session import get_spark
+from bigdata_meteo_datalake_spark.sources.lake import read_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_root = tempfile.mkdtemp(prefix="corpus_run_")
+    spark = get_spark("pretraining-corpus", cpus=8, shuffle_partitions=8)
+
+    docs = read_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality: keep high-quality docs (score + flag from the registered op)
+    quality = text_quality_score(spark, sf_dir)
+    kept_q = quality.where(F.col("is_high_quality")).select("doc_id")
+
+    # 2. dedup: best-quality survivor per near-dup cluster
+    survivors = dedup_survivors_by_quality(spark, sf_dir).select("doc_id")
+
+    # 3. contamination: registered scan flags contaminated docs
+    clean = benchmark_contamination(spark, sf_dir).where(
+        ~F.col("is_contaminated")
+    ).select("doc_id")
+
+    corpus = (
+        docs.join(F.broadcast(kept_q), "doc_id")
+        .join(F.broadcast(survivors), "doc_id")
+        .join(F.broadcast(clean), "doc_id")
+    )
+    n1 = corpus.count()
+
+    # 4. deterministic split (hash-bucket, rerun-stable)
+    split = train_val_test_split(spark, sf_dir).select("doc_id", "split")
+    final = corpus.join(split, "doc_id")
+
+    # 5. packing plan for the training split
+    packs = pack_documents_token_budget(spark, sf_dir).join(
+        final.where(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    n_packs = packs.select("pack_id").distinct().count()
+
+    # 6. manifest artifact
+    manifest = (
+        final.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split", "source")
+    )
+    manifest_path = os.path.join(out_root, "manifest")
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    final.select("doc_id", "split", "source").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(os.path.join(out_root, "corpus"))
+
+    rows = manifest.collect()
+    print(f"corpus: {n0} docs -> {n1} after quality+dedup+contamination")
+    print(f"training packs: {n_packs}")
+    for r in rows:
+        print(f"  {r['split']:>5} / {r['source']:<12} {r['n_docs']:>6} docs")
+    print(f"artifacts: {out_root}")
+    assert n1 <= n0 and n1 > 0 and n_packs > 0
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
