@@ -87,15 +87,42 @@ _DRIVER_CONFIRMED_R1 = frozenset(
 )
 
 
-def _sweep_group(name: str, q: Query) -> int:
+def _driver_confirmed() -> frozenset[str]:
+    """Union of every green row in every CORRECTNESS_r*.json the driver has
+    written so far (rows_match/schema_match/hash_match all true, or the
+    rows-only no_oracle check) — plus the frozen round-1 set as a floor.
+    Reading the files at import time makes the sweep rotation automatic:
+    each round, queries that have never had a driver row sort ahead of
+    already-confirmed ones without hand-maintaining a list."""
+    import json
+    from pathlib import Path
+
+    confirmed = set(_DRIVER_CONFIRMED_R1)
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+            rows_only_ok = r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            if green or rows_only_ok:
+                confirmed.add(name)
+    return frozenset(confirmed)
+
+
+def _sweep_group(name: str, q: Query, confirmed: frozenset[str]) -> int:
     """Driver-sweep priority: 0 = core parity surface (always inside the
     cap — it is the heart of the parity claim and stays hard-checked every
-    round), 1 = queries with no driver correctness row yet, 2 = extension
-    queries already driver-confirmed in round 1 (safe overflow)."""
+    round), 1 = queries with no driver correctness row yet, 2 = queries
+    already driver-confirmed in a previous round (safe overflow)."""
     module = q.fn.__module__.rsplit(".", 1)[-1]
     if module.startswith("parity_"):
         return 0
-    return 1 if name not in _DRIVER_CONFIRMED_R1 else 2
+    return 1 if name not in confirmed else 2
 
 
 def _load_all() -> None:
@@ -134,7 +161,8 @@ def _load_all() -> None:
     # these rotate into the sweep next round.
     from . import ext_tpch  # noqa: F401
 
-    ordered = sorted(REGISTRY.items(), key=lambda kv: _sweep_group(*kv))
+    confirmed = _driver_confirmed()
+    ordered = sorted(REGISTRY.items(), key=lambda kv: _sweep_group(*kv, confirmed))
     REGISTRY.clear()
     REGISTRY.update(ordered)
     _LOADED = True
