@@ -431,3 +431,44 @@ def dedup_survivors_by_quality(spark, sf_dir):
             F.coalesce(F.col("was_clustered"), F.lit(False)).alias("was_clustered"),
         )
     )
+
+
+# --- triangle counting over the near-dup graph ------------------------------------
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+WITH pairs AS ({_NGRAM_ORACLE}),
+e AS (SELECT doc_a AS s1, doc_b AS s2 FROM pairs)
+SELECT cast((SELECT count(*) FROM e) AS bigint) AS n_edges,
+       cast((SELECT count(*)
+             FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+                       JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) AS bigint)
+         AS n_triangles
+""",
+    tags=("extension", "dedup", "graph"),
+)
+def dedup_graph_triangles(spark, sf_dir):
+    """Triangle count over the near-duplicate graph — the cohesion metric
+    for dedup QA: triangle-dense components are true boilerplate families,
+    triangle-free chains are transitive-similarity artifacts worth manual
+    review. Distributed triangle counting in its standard two-join form:
+    edges are canonically ordered (doc_a < doc_b, guaranteed by the pair
+    generator), wedges come from joining edge lists on the shared middle
+    vertex, and a final join closes each wedge — every join an equi-join
+    on vertex keys, so the whole count is hash-partitioned work with no
+    vertex ever needing global state. Each triangle is counted exactly
+    once thanks to the canonical ordering."""
+    e = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("s1"), F.col("doc_b").alias("s2")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(n_tri).select("n_edges", "n_triangles")
