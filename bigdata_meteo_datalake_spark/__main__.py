@@ -2,6 +2,7 @@
 
     list                         list registered queries (name, oracle?, tags)
     query NAME [--sf-dir DIR]    run one registry query, print rows
+    verify [NAME...] [--sf-dir D] run queries against their DuckDB oracles
     run --lake-root DIR --date D run the daily movies pipeline on a raw lake
     profile NAME [--sf-dir DIR]  print the formatted physical plan
 """
@@ -26,6 +27,10 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("profile")
     pp.add_argument("name")
     pp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    vp = sub.add_parser("verify")
+    vp.add_argument("names", nargs="*")
+    vp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     rp = sub.add_parser("run")
     rp.add_argument("--lake-root", required=True)
@@ -52,6 +57,25 @@ def main(argv: list[str] | None = None) -> int:
         df = queries()[args.name](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
         print(f"[{df.count()} rows]")
+    elif args.cmd == "verify":
+        from .oracle import compare_to_oracle
+
+        qs = queries()
+        names = args.names or [n for n in sorted(qs) if REGISTRY[n].oracle]
+        failed = 0
+        for name in names:
+            q = REGISTRY[name]
+            if q.oracle is None:
+                print(f"SKIP  {name} (rows-only: no oracle by design)")
+                continue
+            try:
+                compare_to_oracle(q.fn(spark, args.sf_dir), q.oracle, args.sf_dir)
+                print(f"OK    {name}")
+            except AssertionError as exc:
+                failed += 1
+                print(f"FAIL  {name}: {str(exc).splitlines()[0][:120]}")
+        print(f"[{len(names) - failed}/{len(names)} verified]")
+        return 1 if failed else 0
     elif args.cmd == "profile":
         from .plans.explain import plan_string
 

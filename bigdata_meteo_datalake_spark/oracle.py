@@ -1,0 +1,75 @@
+"""DuckDB-oracle comparison mirroring the driver's correctness gate:
+row count + schema (sorted column names) + order-insensitive values.
+
+Lives in the package (not just the test tree) so the CLI ``verify``
+subcommand gives users the same gate the driver and pytest apply.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from .sources.lake import TESTDATA_TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            s = s.map(
+                lambda v: float(v)
+                if isinstance(v, Decimal)
+                else (_dt.datetime(v.year, v.month, v.day) if type(v) is _dt.date else v)
+            )
+            if s.map(lambda v: v is None or isinstance(v, _dt.datetime)).all() and not s.isna().all():
+                s = pd.to_datetime(s).astype("datetime64[us]")
+            df[c] = s
+        elif str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("datetime64[us]")
+        elif str(s.dtype) in ("float32",):
+            df[c] = s.astype("float64")
+        elif str(s.dtype).startswith(("int", "uint", "Int")):
+            df[c] = s.astype("int64")
+        elif str(s.dtype) == "bool":
+            df[c] = s.astype("bool")
+    # order-insensitive: sort rows by the string form of every column
+    if len(df):
+        key = df.astype(str).agg("|".join, axis=1)
+        df = df.loc[key.sort_values(kind="mergesort").index]
+    return df.reset_index(drop=True)
+
+
+def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> None:
+    """Driver-style compare: sorted-column schema, row count, exact values
+    order-insensitively."""
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"columns differ: actual={sorted(actual.columns)} expected={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"row counts differ: actual={len(actual)} expected={len(expected)}"
+    )
+    a, e = _normalize(actual), _normalize(expected)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
+
+
+def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    con = duckdb_connect(sf_dir)
+    try:
+        expected = con.execute(oracle_sql).df()
+    finally:
+        con.close()
+    compare_frames(spark_df.toPandas(), expected)
