@@ -87,6 +87,30 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
+def write_observed(
+    df: DataFrame,
+    path: str,
+    *,
+    metrics: dict[str, "F.Column"] | None = None,
+    partition_by: str | list[str] = "snapshot_date",
+    mode: str = "overwrite",
+) -> dict:
+    """A6 per-run metrics the 100 TB way: ``df.observe`` accumulates the
+    metric expressions ON the write pass itself, so row counts / sums /
+    null tallies cost zero extra scans (the reference re-queries the table
+    for its load stats, load_raw_to_postgres.py:179; a separate count()
+    doubles the I/O at scale). Returns the observed metrics dict after the
+    write completes."""
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    write_partitioned(observed, path, partition_by=partition_by, mode=mode)
+    return obs.get
+
+
 def widen(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row stages don't run on a handful of partitions:
     a small parquet table arrives as ONE input split (maxPartitionBytes),

@@ -264,3 +264,30 @@ def test_paged_rest_stream_ingests_new_pages(spark, tmp_path):
     assert pages == [1, 2, 3]
     # exactly-once: no page ingested twice
     assert got.select("page", "record").distinct().count() == 9
+
+
+def test_write_observed_single_pass_metrics(spark, tmp_path):
+    """observe() metrics ride the write pass: counts/sums match a direct
+    recount without a second scan of the input."""
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.sources.lake import read_table, write_observed
+
+    ev = read_table(spark, SF0001, "events").withColumn(
+        "snapshot_date", F.col("ts").cast("date")
+    )
+    got = write_observed(
+        ev,
+        str(tmp_path / "observed"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_props": F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)),
+            "sum_value": F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2).cast(
+                "double"
+            ),
+        },
+    )
+    assert got["n_rows"] == ev.count()
+    assert got["n_null_props"] == ev.where(F.col("props").isNull()).count()
+    back = spark.read.parquet(str(tmp_path / "observed"))
+    assert back.count() == got["n_rows"]
