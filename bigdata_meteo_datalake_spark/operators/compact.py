@@ -56,3 +56,49 @@ def compact_partition(
     )
     out = spark.read.parquet(path).where(F.col(partition_col) == partition_value)
     return len(partition_files(out))
+
+
+def zorder_key(x, y, *, bits: int = 16):
+    """Morton / Z-order interleave of two non-negative integer columns:
+    bit i of x lands at position 2i, bit i of y at 2i+1. Sorting (or
+    range-partitioning) by this key gives file-level min/max locality on
+    BOTH source columns at once — the mechanism behind OPTIMIZE ZORDER /
+    liquid clustering: a parquet reader can then skip files on either
+    predicate column, where a single-column sort only skips on one.
+
+    Pure integer bit arithmetic (32 shiftleft/shiftright terms for 16
+    bits) — identical in any engine; ``zorder_key_sql`` emits the DuckDB
+    twin for oracle checks."""
+    import functools
+    import operator as op
+
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+    return functools.reduce(op.add, terms)
+
+
+def zorder_key_sql(x: str, y: str, *, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(df, x_col: str, y_col: str, *, n_files: int, bits: int = 16):
+    """Cluster a DataFrame for a z-ordered write: range-partition on the
+    interleaved key so each output file covers one contiguous z-range —
+    i.e. a bounded rectangle in (x, y) space, giving min/max skipping on
+    both columns. ``repartitionByRange`` samples partition bounds
+    distributedly (no global sort, no driver collect); within-file order
+    doesn't matter for footer stats, so no sortWithinPartitions is
+    needed."""
+    keyed = df.withColumn("__z", zorder_key(F.col(x_col), F.col(y_col), bits=bits))
+    return keyed.repartitionByRange(n_files, "__z").drop("__z")

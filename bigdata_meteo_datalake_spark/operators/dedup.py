@@ -171,6 +171,57 @@ def lsh_candidate_pairs(
     )
 
 
+def prefix_filter_candidates(
+    sets: DataFrame, *, id_col: str = "doc_id", t_num: int = 3, t_den: int = 5
+) -> DataFrame:
+    """PPJoin-style prefix-filtered candidate pairs for Jaccard >= t
+    (t = t_num/t_den, a rational so the prefix length is exact integer
+    arithmetic in both engines).
+
+    Sort each document's shingle-hash set by a global total order —
+    ascending document frequency, rarest first, ties by hash value — and
+    keep only the first ``|s| - ceil(t*|s|) + 1`` elements (the prefix).
+    Any pair with Jaccard >= t must share at least one prefix element
+    (if all o >= ceil(t*|s|) common elements sat outside the prefix, the
+    suffix would need ceil(t*|s|) - 1 >= o slots — contradiction), so the
+    prefix self-equi-join is a COMPLETE candidate generator: unlike LSH
+    banding it can never drop a true pair, and unlike the full shingle
+    self-join it joins on ~(1-t) of the set mass, and on the *rarest*
+    tokens — the frequency sort steers the join away from hot keys, which
+    is the built-in skew guard (the hottest shingles land in suffixes).
+
+    Cost: one groupBy for document frequencies, one per-doc window to
+    rank, one equi-join on prefix hashes. At 100 TB this is the standard
+    exact set-similarity-join plan (PPJoin without the positional filter;
+    adding pos/length filters would only shrink candidates further).
+    """
+    from pyspark.sql import Window
+
+    ex = sets.select(
+        F.col(id_col), F.size("xs").alias("n"), F.explode("xs").alias("x")
+    )
+    dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "x")
+    prefix_len = F.col("n") - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}") + 1
+    prefix = (
+        ex.join(dfreq, "x")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= prefix_len)
+        .select(id_col, "x")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
 def jaccard_verify_sets(
     pairs: DataFrame, sets: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:

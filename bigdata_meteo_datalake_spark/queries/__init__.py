@@ -161,6 +161,11 @@ def _load_all() -> None:
     # these rotate into the sweep next round.
     from . import ext_tpch  # noqa: F401
 
+    # session-4 additions (deterministic sketches, prefix-filter dedup,
+    # stratified sampling) — same tail-of-group-1 reasoning as above.
+    from . import ext_sketch  # noqa: F401
+    from . import ext_layout  # noqa: F401
+
     confirmed = _driver_confirmed()
     ordered = sorted(REGISTRY.items(), key=lambda kv: _sweep_group(*kv, confirmed))
     REGISTRY.clear()

@@ -38,6 +38,7 @@ from ..operators.dedup import (
     jaccard_verify_sets,
     lsh_candidate_pairs,
     minhash_signature,
+    prefix_filter_candidates,
     simhash,
     simhash_near_pairs,
     token_hash_sql,
@@ -217,6 +218,78 @@ def dedup_minhash_lsh(spark, sf_dir):
     sets = doc_shingle_hash_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sets)
     pairs = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
+    verified = jaccard_verify_sets(pairs, sets)
+    return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+# --- prefix-filtered exact set-similarity join (PPJoin family) -------------------
+
+
+def _prefix_filter_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+hx AS (SELECT DISTINCT doc_id, {token_hash_sql('gram')} % {MINHASH_P} AS x FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+dfreq AS (SELECT x, count(*) AS df FROM hx GROUP BY x),
+ranked AS (
+  SELECT h.doc_id, h.x, s.n,
+         row_number() OVER (PARTITION BY h.doc_id ORDER BY d.df, h.x) AS pos
+  FROM hx h JOIN dfreq d ON d.x = h.x JOIN sizes s ON s.doc_id = h.doc_id
+),
+prefix AS (SELECT doc_id, x FROM ranked WHERE pos <= n - ((3 * n + 4) // 5) + 1),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.x = b.x AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN hx ga ON ga.doc_id = p.doc_a
+  JOIN hx gb ON gb.doc_id = p.doc_b AND gb.x = ga.x
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       floor(cast(n_inter AS double) / (sa.n + sb.n - n_inter) * 1000000 + 0.5)
+         / 1000000 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE cast(n_inter AS double) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=_prefix_filter_oracle(),
+    tags=("extension", "dedup", "prefix-filter"),
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """Exact near-dup pairs (Jaccard >= 0.6) via PPJoin-style prefix
+    filtering — the third scale family next to LSH banding (probabilistic)
+    and the full shingle self-join (exact but joins on every shingle):
+    sort each hashed shingle set rarest-first, join only on the first
+    |s| - ceil(0.6|s|) + 1 elements. Complete by the prefix-filter
+    theorem (operators/dedup.py:prefix_filter_candidates), so unlike
+    MinHash this loses NOTHING, yet the join keys are the rarest ~40% of
+    each set — hot shingles (the skew risk dedup_ngram_jaccard documents)
+    are structurally excluded from the join. Verification reuses the
+    in-row array_intersect path shared with the MinHash query."""
+    from pyspark import StorageLevel
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = doc_shingle_hash_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = prefix_filter_candidates(sets, t_num=3, t_den=5)
     verified = jaccard_verify_sets(pairs, sets)
     return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 6).alias("jaccard")

@@ -1,0 +1,420 @@
+"""Probabilistic-sketch operators, made deterministic and oracle-checked.
+
+Sketches are the 100 TB workhorses for cardinality, frequency, and
+membership questions — a fixed-size summary replaces a corpus-sized
+shuffle. Spark's built-ins (``approx_count_distinct``,
+``count_min_sketch``, ``bloom_filter_agg``) are real HLL/CMS/Bloom
+implementations but their register layouts are engine-private, so they
+can never be hash-checked against another engine. These queries instead
+build the textbook sketches from the repo's shared md5→bigint hash
+(operators/dedup.py:52 ``token_hash``), with every register fold in
+exact integer arithmetic — which makes an *approximate* algorithm
+*bit-reproducible*, so the DuckDB oracle computes the identical sketch
+and the driver's value-hash gate applies. Each query also carries the
+exact answer next to the estimate, so the error the sketch trades away
+is visible in the result instead of asserted in prose.
+
+Scale shapes (the reason sketches exist):
+- HLL / KMV: one groupBy over (group, register) — state per group is m
+  integers (HLL) or k hashes (KMV), mergeable across partitions, so the
+  map-side partial aggregation does almost all the work.
+- Count-Min: the table is depth x width counters (256 rows here) —
+  broadcast back for point queries; no corpus-sized join anywhere.
+- Bloom pre-filter join: the build side collapses to <= k x |build|
+  distinct bit positions, broadcast to the probe scan — the declarative
+  form of the runtime bloom-pruned join Spark's planner applies when the
+  build side is big enough to matter (probed at sf0.1: planner declines,
+  creation side too small — this keeps the pattern testable).
+
+Reference anchor: the reference aggregates distincts/counts exactly at
+its ~20 rows/day scale (movies_analytics KPI marts); these are the
+operators that answer the same questions when exact is no longer
+affordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import count_if, round_half_up
+from ..operators.dedup import token_hash, token_hash_sql
+from ..sources.lake import read_table
+from . import register
+
+# --- HyperLogLog ------------------------------------------------------------------
+
+#: 2^5 = 32 registers; alpha_32 = 0.697 (Flajolet et al. 2007, published
+#: constant for m = 32). The 60-bit hash splits 5 bucket bits + 55
+#: pattern bits, so rho ranges 1..56 (56 = all-zero pattern).
+_HLL_P = 5
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.697
+_HLL_W_BITS = 60 - _HLL_P
+_HLL_RHO_MAX = _HLL_W_BITS + 1
+#: alpha * m^2 * 2^(rho_max): the estimator numerator as ONE Python float
+#: literal inlined into both engines, so the multiply order can't drift.
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_MAX)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {token_hash_sql("cast(user_id AS varchar)")} AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, (hv & {_HLL_M - 1}) AS bucket,
+         CASE WHEN (hv >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+              ELSE strpos(lpad(bin(hv >> {_HLL_P}), {_HLL_W_BITS}, '0'), '1')
+         END AS rho
+  FROM h
+),
+reg AS (SELECT event_type, bucket, max(rho) AS m_j FROM r GROUP BY event_type, bucket),
+spine AS (
+  SELECT t.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+),
+full_reg AS (
+  SELECT s.event_type, coalesce(reg.m_j, 0) AS m_j
+  FROM spine s LEFT JOIN reg ON reg.event_type = s.event_type AND reg.bucket = s.bucket
+),
+acc AS (
+  SELECT event_type,
+         cast(sum(1::BIGINT << ({_HLL_RHO_MAX} - m_j)) AS bigint) AS s
+  FROM full_reg GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS exact_distinct_users
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT acc.event_type,
+         floor({_HLL_NUMER!r} / cast(s AS double) * 100 + 0.5) / 100 AS est_distinct_users,
+         ex.exact_distinct_users
+  FROM acc JOIN ex ON acc.event_type = ex.event_type
+)
+SELECT event_type, est_distinct_users, exact_distinct_users,
+       floor(abs(est_distinct_users - exact_distinct_users) / exact_distinct_users
+             * 10000 + 0.5) / 10000 AS rel_err
+FROM est
+"""
+
+
+@register("hll_distinct_users", oracle=_HLL_ORACLE, tags=("extension", "sketch", "hll"))
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-count estimate per event_type, bit-reproducible:
+    60-bit md5 hash -> 5 bucket bits + rho = leading-zero rank of the 55
+    pattern bits (via bin/lpad/instr — identical string semantics in both
+    engines), register max per (group, bucket), and the harmonic fold
+    sum(2^-M_j) scaled by 2^56 so it is an EXACT int64 sum (max 32 * 2^56
+    = 2^61). One double division at the end. Raw estimator only — the
+    small-range linear-counting correction needs ln(), whose libm rounding
+    is not guaranteed identical across engines, so it is intentionally
+    omitted and the exact count + relative error ship in the result.
+
+    Scale: per-group state is 32 integers, partial-aggregatable — the
+    canonical 100 TB distinct-count plan. approx_distinct_counts
+    (parity_agg) shows Spark's native HLL; this one is oracle-checkable.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hv = token_hash(F.col("user_id").cast("string"))
+    w = F.shiftright(hv, _HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.instr(F.lpad(F.bin(w), _HLL_W_BITS, "0"), "1")
+    )
+    r = ev.select(
+        "event_type", hv.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"), rho.alias("rho")
+    )
+    reg = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("b"),
+        )
+        .select("event_type", F.col("b").cast("long").alias("bucket"))
+    )
+    full_reg = spine.join(reg, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+    )
+    acc = full_reg.groupBy("event_type").agg(
+        # F.shiftleft needs a literal shift amount; the SQL form takes an
+        # expression for both operands
+        F.sum(F.expr(f"shiftleft(cast(1 AS bigint), {_HLL_RHO_MAX} - m_j)")).alias("s")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    est = round_half_up(F.lit(_HLL_NUMER) / F.col("s").cast("double"), 2)
+    out = acc.join(ex, "event_type").select(
+        "event_type", est.alias("est_distinct_users"), "exact_distinct_users"
+    )
+    rel = F.abs(F.col("est_distinct_users") - F.col("exact_distinct_users")) / F.col(
+        "exact_distinct_users"
+    )
+    return out.select("*", round_half_up(rel, 4).alias("rel_err"))
+
+
+# --- KMV (k minimum values) -------------------------------------------------------
+
+_KMV_K = 32
+#: (k-1) * 2^60: hashes are uniform on [0, 2^60), so the k-th smallest
+#: distinct hash estimates the quantile k/n — n_hat = (k-1) * 2^60 / h_(k).
+_KMV_NUMER = float((_KMV_K - 1) * (1 << 60))
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {token_hash_sql("cast(user_id AS varchar)")} AS hv
+  FROM events
+),
+kth AS (
+  SELECT event_type, hv FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY hv) = {_KMV_K}
+),
+ex AS (
+  SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS exact_distinct_users
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT kth.event_type,
+         floor({_KMV_NUMER!r} / cast(hv AS double) * 100 + 0.5) / 100 AS est_distinct_users,
+         ex.exact_distinct_users
+  FROM kth JOIN ex ON kth.event_type = ex.event_type
+)
+SELECT event_type, est_distinct_users, exact_distinct_users,
+       floor(abs(est_distinct_users - exact_distinct_users) / exact_distinct_users
+             * 10000 + 0.5) / 10000 AS rel_err
+FROM est
+"""
+
+
+@register("kmv_distinct_users", oracle=_KMV_ORACLE, tags=("extension", "sketch", "kmv"))
+def kmv_distinct_users(spark, sf_dir):
+    """K-minimum-values distinct estimate per event_type: keep the k = 32
+    smallest distinct 60-bit hashes; the k-th one pins the quantile, so
+    n_hat = (k-1) * 2^60 / h_(k). Groups with fewer than k distinct
+    values have no k-th hash and are (identically, in both engines)
+    absent — KMV is undefined there; use the exact count. All-integer
+    until one double division.
+
+    Scale: per-group state is k hashes (a bounded priority queue in a real
+    accumulator; here a partitioned row_number over the distinct relation)
+    — like HLL, mergeable by unioning and re-truncating to k."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type", token_hash(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == _KMV_K)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    est = round_half_up(F.lit(_KMV_NUMER) / F.col("hv").cast("double"), 2)
+    out = kth.join(ex, "event_type").select(
+        "event_type", est.alias("est_distinct_users"), "exact_distinct_users"
+    )
+    rel = F.abs(F.col("est_distinct_users") - F.col("exact_distinct_users")) / F.col(
+        "exact_distinct_users"
+    )
+    return out.select("*", round_half_up(rel, 4).alias("rel_err"))
+
+
+# --- Count-Min frequency sketch ---------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64  # power of two so bucket = hash & (width-1)
+
+
+def _cms_hash_sql(depth_expr: str, key_expr: str) -> str:
+    return (
+        f"({token_hash_sql(f'concat(cast({depth_expr} AS varchar), {chr(39)}:{chr(39)}, {key_expr})')} "
+        f"& {_CMS_WIDTH - 1})"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id, cast(user_id AS varchar) AS u FROM events),
+hashed AS (
+  SELECT user_id, u, d.d AS depth, {_cms_hash_sql("d.d", "u")} AS bucket
+  FROM ev, (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) d
+),
+tbl AS (
+  SELECT depth, bucket, cast(count(*) AS bigint) AS c
+  FROM hashed GROUP BY depth, bucket
+),
+pts AS (SELECT DISTINCT user_id, depth, bucket FROM hashed),
+est AS (
+  SELECT user_id, cast(min(c) AS bigint) AS est_count
+  FROM pts JOIN tbl USING (depth, bucket) GROUP BY user_id
+),
+ex AS (SELECT user_id, cast(count(*) AS bigint) AS exact_count FROM events GROUP BY user_id)
+SELECT est.user_id, est_count, ex.exact_count,
+       est_count - exact_count AS overcount
+FROM est JOIN ex ON est.user_id = ex.user_id
+"""
+
+
+@register(
+    "countmin_user_frequencies",
+    oracle=_CMS_ORACLE,
+    tags=("extension", "sketch", "countmin"),
+)
+def countmin_user_frequencies(spark, sf_dir):
+    """Count-Min sketch point queries: a depth x width (4 x 64) counter
+    table — each event increments one bucket per depth row, an estimate is
+    the min over the 4 rows. Pure integer arithmetic end to end, so the
+    sketch (and every estimate) is bit-identical to the oracle's. The
+    result carries est vs exact per user; ``overcount`` is provably >= 0
+    (CMS never underestimates — asserted in tests).
+
+    Scale: the sketch is 256 counters regardless of input size; the point
+    query is a broadcast join of the table against the (tiny) distinct key
+    relation. At 100 TB the table build is one map-side-combined groupBy."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("user_id").cast("string").alias("u")
+    )
+    depths = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+    hashed = ev.select(
+        "user_id",
+        F.explode(depths).alias("depth"),
+        "u",
+    ).select(
+        "user_id",
+        "depth",
+        token_hash(F.concat(F.col("depth").cast("string"), F.lit(":"), F.col("u")))
+        .bitwiseAND(F.lit(_CMS_WIDTH - 1))
+        .alias("bucket"),
+    )
+    tbl = hashed.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    pts = hashed.distinct()
+    est = (
+        pts.join(F.broadcast(tbl), ["depth", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    ex = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(ex, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+# --- Bloom-filter pre-filter join -------------------------------------------------
+
+_BLOOM_BITS = 1024
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(j_expr: str, key_expr: str) -> str:
+    return (
+        f"({token_hash_sql(f'concat(cast({j_expr} AS varchar), {chr(39)}:{chr(39)}, cast({key_expr} AS varchar))')} "
+        f"& {_BLOOM_BITS - 1})"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0),
+pos AS (
+  SELECT DISTINCT {_bloom_pos_sql("j.j", "c_custkey")} AS pos
+  FROM build, (SELECT unnest(range(0, {_BLOOM_K})) AS j) j
+),
+probe_pos AS (
+  SELECT o_orderkey, {_bloom_pos_sql("j.j", "o_custkey")} AS pos
+  FROM orders, (SELECT unnest(range(0, {_BLOOM_K})) AS j) j
+),
+hits AS (
+  SELECT o_orderkey, count(*) AS nhit
+  FROM probe_pos JOIN pos USING (pos) GROUP BY o_orderkey
+),
+flags AS (
+  SELECT o.o_orderkey,
+         coalesce(h.nhit, 0) = {_BLOOM_K} AS bloom_pass,
+         b.c_custkey IS NOT NULL AS exact_match
+  FROM orders o
+  LEFT JOIN hits h ON h.o_orderkey = o.o_orderkey
+  LEFT JOIN build b ON b.c_custkey = o.o_custkey
+)
+SELECT cast(count(*) AS bigint) AS n_probe_orders,
+       cast(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS bigint) AS n_bloom_pass,
+       cast(sum(CASE WHEN exact_match THEN 1 ELSE 0 END) AS bigint) AS n_exact_match,
+       cast(sum(CASE WHEN bloom_pass AND NOT exact_match THEN 1 ELSE 0 END) AS bigint)
+         AS n_false_positive
+FROM flags
+"""
+
+
+@register(
+    "bloom_prefilter_orders",
+    oracle=_BLOOM_ORACLE,
+    tags=("extension", "sketch", "bloom"),
+)
+def bloom_prefilter_orders(spark, sf_dir):
+    """Bloom-filter pre-filter for a semi join: the build side (customers
+    with negative balance) collapses to its set bits — k = 3 md5-derived
+    positions in a 1024-bit space, materialized as a distinct-positions
+    relation and broadcast. A probe order "bloom-passes" iff all 3 of its
+    positions are set. The result quantifies the filter: probe count,
+    bloom passes, exact matches, and false positives (passes that the
+    exact semi join rejects). No false negatives by construction — every
+    exact match bloom-passes, so n_bloom_pass >= n_exact_match always.
+
+    Scale: this is the declarative twin of Spark's runtime bloom-pruned
+    join (spark.sql.optimizer.runtime.bloomFilter.enabled) — at 100 TB the
+    broadcast bit-set prunes the probe scan before the expensive shuffle
+    join; here the same effect is a broadcast equi-join on bit position."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .distinct()
+    )
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+
+    def positions(df, key):
+        return df.select(
+            "*", F.explode(js).alias("j")
+        ).select(
+            "*",
+            token_hash(
+                F.concat(
+                    F.col("j").cast("string"), F.lit(":"), F.col(key).cast("string")
+                )
+            )
+            .bitwiseAND(F.lit(_BLOOM_BITS - 1))
+            .alias("pos"),
+        )
+
+    bits = positions(cust, "c_custkey").select("pos").distinct()
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe_pos = positions(orders, "o_custkey").select("o_orderkey", "pos")
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    build_flag = cust.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "in_set", F.lit(1)
+    )
+    flags = (
+        orders.join(hits, "o_orderkey", "left")
+        .join(F.broadcast(build_flag), "o_custkey", "left")
+        .select(
+            (F.coalesce(F.col("nhit"), F.lit(0)) == _BLOOM_K).alias("bloom_pass"),
+            F.col("in_set").isNotNull().alias("exact_match"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probe_orders"),
+        count_if(F.col("bloom_pass")).alias("n_bloom_pass"),
+        count_if(F.col("exact_match")).alias("n_exact_match"),
+        count_if(F.col("bloom_pass") & ~F.col("exact_match")).alias("n_false_positive"),
+    )

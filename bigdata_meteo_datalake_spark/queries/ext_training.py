@@ -408,3 +408,46 @@ def content_defined_chunks(d):
             F.concat_ws(" ", piece).alias("chunk_text"),
         )
     )
+
+
+# --- exact stratified sampling ---------------------------------------------------
+
+
+@register(
+    "stratified_sample_exact",
+    oracle=f"""
+WITH h AS (
+  SELECT event_id, event_type,
+         {token_hash_sql("cast(event_id AS varchar)")} AS hv
+  FROM events
+)
+SELECT event_id, event_type FROM h
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id)
+        <= (count(*) OVER (PARTITION BY event_type) + 4) // 5
+""",
+    tags=("extension", "training", "sampling"),
+)
+def stratified_sample_exact(spark, sf_dir):
+    """Exact-rate stratified sample: EXACTLY ceil(n_g / 5) rows from every
+    event_type stratum (20%), chosen by ranking each stratum on the md5
+    hash of the row id. ``df.sample``/``sampleBy`` only hit the fraction
+    in expectation (binomial per row) and depend on partitioning+seed;
+    training-data quotas need the deterministic worst-case-exact form —
+    same motivation as train_val_test_split's hash buckets, but with a
+    per-stratum cardinality GUARANTEE rather than a per-row probability.
+
+    Scale: one partitioned window per stratum (rank by hash) — the same
+    shape as any per-key top-k; no global sort, no driver-side counting.
+    ceil is integer arithmetic ((n*1 + 4) div 5) so both engines agree on
+    the cutoff for every stratum size."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    hv = token_hash(F.col("event_id").cast("string"))
+    w_rank = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    w_all = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("hv", hv)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+        .where(F.col("rn") <= F.expr("(cnt + 4) div 5"))
+        .select("event_id", "event_type")
+    )
