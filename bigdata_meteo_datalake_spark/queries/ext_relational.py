@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import rounded_sum
+from ..functions.numeric import round_half_up, rounded_sum
 from ..operators.dedup import token_hash_sql
 from ..sources.lake import read_table
 from . import register
@@ -736,4 +736,114 @@ def variant_payload_extract(spark, sf_dir):
         F.try_variant_get(v, "$.k", "string").alias("k_text"),
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.k", "int").isNotNull().alias("has_k"),
+    )
+
+
+# --- join-key skew diagnostic -----------------------------------------------------
+
+
+@register(
+    "skew_report_custkey",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT cast(count(*) AS bigint) AS n_keys,
+         cast(sum(n) AS bigint) AS n_rows,
+         cast(max(n) AS bigint) AS max_rows_per_key
+  FROM per_key
+),
+topk AS (SELECT key, n FROM per_key ORDER BY n DESC, key LIMIT 5)
+SELECT s.n_keys, s.n_rows, s.max_rows_per_key,
+       floor(cast(s.max_rows_per_key AS double)
+             / (cast(s.n_rows AS double) / s.n_keys) * 100 + 0.5) / 100
+         AS max_over_mean,
+       cast(sum(t.n) AS bigint) AS top5_rows,
+       floor(cast(sum(t.n) AS double) / s.n_rows * 10000 + 0.5) / 10000
+         AS top5_share
+FROM stats s, topk t
+GROUP BY s.n_keys, s.n_rows, s.max_rows_per_key
+""",
+    tags=("extension", "relational", "skew"),
+)
+def skew_report_custkey(spark, sf_dir):
+    """Pre-flight skew diagnostic for a join/aggregation key: keys, rows,
+    the hottest key's row count, its ratio to the mean, and the top-5
+    keys' share of all rows. This is the measurement that decides the
+    remedy — max_over_mean near 1 = plain hash join; a hot handful =
+    salting (operators/skew.py) or AQE skew-join; one mega-key =
+    broadcast the rest and handle the key separately. One groupBy plus a
+    TakeOrdered top-5 over the (already small) per-key relation — the
+    diagnostic never costs more than the aggregation it protects."""
+    o = read_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows_per_key"),
+    )
+    topk = per_key.orderBy(F.desc("n"), F.asc("key")).limit(5)
+    top_stats = topk.agg(F.sum("n").alias("top5_rows"))
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    return (
+        stats.crossJoin(top_stats)
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            round_half_up(F.col("max_rows_per_key").cast("double") / mean, 2).alias(
+                "max_over_mean"
+            ),
+            "top5_rows",
+            round_half_up(
+                F.col("top5_rows").cast("double") / F.col("n_rows"), 4
+            ).alias("top5_share"),
+        )
+    )
+
+
+# --- per-partition checksums (incremental replica sync) ---------------------------
+
+
+@register(
+    "partition_checksums_monthly",
+    oracle=f"""
+WITH h AS (
+  SELECT cast(date_trunc('month', o_orderdate) AS date) AS order_month,
+         {token_hash_sql("concat_ws('|', cast(o_orderkey AS varchar), cast(o_custkey AS varchar), o_orderstatus, o_orderpriority)")} AS h
+  FROM orders
+)
+SELECT order_month, cast(count(*) AS bigint) AS n_rows, bit_xor(h) AS checksum
+FROM h GROUP BY order_month
+""",
+    tags=("extension", "relational", "checksum"),
+)
+def partition_checksums_monthly(spark, sf_dir):
+    """table_checksum, partition-grained: one order-free bit_xor
+    fingerprint per month. Two replicas (or an engine migration, or a CDC
+    target) diff their checksum vectors and re-sync ONLY the months that
+    disagree — the anti-entropy pattern that turns a full-table compare
+    into |partitions| comparisons. Same shuffle as any monthly rollup;
+    XOR is commutative/associative so partial aggregation does the heavy
+    folding map-side."""
+    from ..operators.dedup import token_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            token_hash(row).alias("h"),
+        )
+        .groupBy("order_month")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("checksum"))
     )

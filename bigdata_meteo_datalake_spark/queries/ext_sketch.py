@@ -418,3 +418,121 @@ def bloom_prefilter_orders(spark, sf_dir):
         count_if(F.col("exact_match")).alias("n_exact_match"),
         count_if(F.col("bloom_pass") & ~F.col("exact_match")).alias("n_false_positive"),
     )
+
+
+# --- KMV set operations (sketch union / intersection) -----------------------------
+
+#: 2^60 as a float literal shared by both engines (the hash domain size).
+_KMV_DOMAIN = float(1 << 60)
+
+_KMV_SETOPS_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {token_hash_sql("cast(user_id AS varchar)")} AS hv
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+ka AS (
+  SELECT hv FROM h WHERE event_type = 'view'
+  QUALIFY row_number() OVER (ORDER BY hv) <= {_KMV_K}
+),
+kb AS (
+  SELECT hv FROM h WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (ORDER BY hv) <= {_KMV_K}
+),
+uk AS (
+  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  QUALIFY row_number() OVER (ORDER BY hv) <= {_KMV_K}
+),
+acc AS (
+  SELECT max(hv) AS hk, cast(count(*) AS bigint) AS kcnt,
+         cast(sum(CASE WHEN hv IN (SELECT hv FROM ka)
+                        AND hv IN (SELECT hv FROM kb) THEN 1 ELSE 0 END) AS bigint)
+           AS cnt_both
+  FROM uk
+),
+ex AS (
+  SELECT cast(count(DISTINCT user_id) AS bigint) AS exact_union,
+         cast(count(DISTINCT CASE WHEN n_types = 2 THEN user_id END) AS bigint)
+           AS exact_intersection
+  FROM (
+    SELECT user_id, count(DISTINCT event_type) AS n_types
+    FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id
+  )
+)
+SELECT floor(cast(kcnt - 1 AS double) * {_KMV_DOMAIN!r} / cast(hk AS double)
+             * 100 + 0.5) / 100 AS est_union_users,
+       ex.exact_union,
+       floor(cast(kcnt - 1 AS double) * {_KMV_DOMAIN!r} / cast(hk AS double)
+             * cnt_both / kcnt * 100 + 0.5) / 100 AS est_intersection_users,
+       ex.exact_intersection
+FROM acc, ex
+"""
+
+
+@register(
+    "kmv_set_operations",
+    oracle=_KMV_SETOPS_ORACLE,
+    tags=("extension", "sketch", "kmv"),
+)
+def kmv_set_operations(spark, sf_dir):
+    """Set algebra ON the sketches: estimate |view-users UNION
+    purchase-users| and their intersection from two KMV sketches alone —
+    the reason KMV (and theta sketches generally) beat HLL for audience
+    overlap: union = re-truncate the merged minima to k; intersection =
+    union_est * (fraction of the union's k minima present in BOTH input
+    sketches). The merge touches only 2k hashes (orderBy().limit(k) —
+    TakeOrdered, no global window); exact answers ride along for the
+    error columns. One double-division chain in a fixed order keeps both
+    engines bit-identical."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+    )
+    h = ev.select(
+        "event_type", token_hash(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    ka = h.where(F.col("event_type") == "view").select("hv").orderBy("hv").limit(_KMV_K)
+    kb = (
+        h.where(F.col("event_type") == "purchase")
+        .select("hv")
+        .orderBy("hv")
+        .limit(_KMV_K)
+    )
+    uk = ka.union(kb).distinct().orderBy("hv").limit(_KMV_K)
+    in_a = ka.withColumnRenamed("hv", "hv_a")
+    in_b = kb.withColumnRenamed("hv", "hv_b")
+    marked = (
+        uk.join(F.broadcast(in_a), uk["hv"] == in_a["hv_a"], "left")
+        .join(F.broadcast(in_b), uk["hv"] == in_b["hv_b"], "left")
+        .select(
+            "hv",
+            (F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull()).alias("in_both"),
+        )
+    )
+    acc = marked.agg(
+        F.max("hv").alias("hk"),
+        F.count(F.lit(1)).alias("kcnt"),
+        count_if(F.col("in_both")).alias("cnt_both"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    ex = per_user.agg(
+        F.countDistinct("user_id").alias("exact_union"),
+        F.countDistinct(F.when(F.col("n_types") == 2, F.col("user_id"))).alias(
+            "exact_intersection"
+        ),
+    )
+    est_union = (
+        (F.col("kcnt") - 1).cast("double")
+        * F.lit(_KMV_DOMAIN)
+        / F.col("hk").cast("double")
+    )
+    est_inter = est_union * F.col("cnt_both") / F.col("kcnt")
+    return acc.crossJoin(ex).select(
+        round_half_up(est_union, 2).alias("est_union_users"),
+        "exact_union",
+        round_half_up(est_inter, 2).alias("est_intersection_users"),
+        "exact_intersection",
+    )

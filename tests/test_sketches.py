@@ -94,3 +94,62 @@ def test_stratified_sample_exact_quota(spark):
     )
     for etype, n in full.items():
         assert sample[etype] == -(-n // 5)  # ceil(n/5), exactly
+
+
+def test_hll_registers_merge(spark):
+    """HLL registers are max-mergeable: merging the per-event_type register
+    tables (max per bucket) must give EXACTLY the registers of a direct
+    global sketch — the property that lets partial sketches roll up
+    without touching raw data (same algebra the re-aggregation query
+    proves for sums)."""
+    from bigdata_meteo_datalake_spark.operators.dedup import token_hash
+    from bigdata_meteo_datalake_spark.queries.ext_sketch import (
+        _HLL_M,
+        _HLL_P,
+        _HLL_RHO_MAX,
+        _HLL_W_BITS,
+    )
+    from bigdata_meteo_datalake_spark.sources.lake import read_table
+
+    ev = read_table(spark, TEST_SF_DIR, "events").select("event_type", "user_id")
+    hv = token_hash(F.col("user_id").cast("string"))
+    w = F.shiftright(hv, _HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.instr(F.lpad(F.bin(w), _HLL_W_BITS, "0"), "1")
+    )
+    r = ev.select(
+        "event_type",
+        hv.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        rho.alias("rho"),
+    )
+    per_group = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    merged = {
+        row.bucket: row.m
+        for row in per_group.groupBy("bucket").agg(F.max("m_j").alias("m")).collect()
+    }
+    direct = {
+        row.bucket: row.m
+        for row in r.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    assert merged == direct
+
+
+def test_sketch_and_join_plan_shapes(spark):
+    """The scale claims, checked structurally: CMS/Bloom point lookups are
+    broadcast joins; the prefix-filter join never degenerates to a nested
+    loop; z-order stats is one aggregation shuffle over the scan; the
+    skew report's top-k is a TakeOrdered, not a global window."""
+    from bigdata_meteo_datalake_spark.plans.explain import (
+        n_broadcast_joins,
+        n_shuffle_exchanges,
+        plan_string,
+    )
+
+    assert n_broadcast_joins(_q("countmin_user_frequencies")(spark, TEST_SF_DIR)) >= 1
+    assert n_broadcast_joins(_q("bloom_prefilter_orders")(spark, TEST_SF_DIR)) >= 2
+    pf = plan_string(_q("dedup_jaccard_prefix_filter")(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in pf and "NestedLoop" not in pf
+    # 2 = the distinct-aggregate's expand phase ((zbucket,user) then zbucket)
+    assert n_shuffle_exchanges(_q("zorder_cluster_stats")(spark, TEST_SF_DIR)) <= 2
+    sk = plan_string(_q("skew_report_custkey")(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in sk
