@@ -199,3 +199,39 @@ def salted_user_event_stats(spark, sf_dir):
         "n_rows",
         F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
     )
+
+
+# --- gaps-and-islands: consecutive-day activity streaks ---------------------------
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS integer) AS grp
+  FROM days
+)
+SELECT user_id, min(day) AS streak_start, cast(count(*) AS bigint) AS streak_days
+FROM g GROUP BY user_id, grp
+""",
+    tags=("extension", "events", "gaps-islands"),
+)
+def user_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: consecutive-day activity streaks per user via the
+    classic date-minus-row_number trick — consecutive days share a
+    constant (day - rank), so one partitioned window plus one groupBy
+    finds every island with no self-join and no iteration. Window state
+    is one user's distinct days; never a global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.expr("date_sub(day, rn)")
+    )
+    return g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("grp")

@@ -207,3 +207,91 @@ def event_path_top_trigrams(spark, sf_dir):
         .orderBy(F.desc("n_users_paths"), F.asc("path"))
         .limit(_PATHS_TOPK)
     )
+
+
+# --- BFS hop distance (frontier expansion) ---------------------------------------
+
+_BFS_ITERS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS: dist_k = per-node min over (dist_{k-1} UNION ALL
+    one-step relaxations) — integer-only, so no numeric care needed."""
+    its = []
+    for k in range(1, _BFS_ITERS + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM it{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + 1 AS d
+    FROM edges e JOIN it{k - 1} p ON p.node = e.src
+  ) GROUP BY node
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp + {_SUPP_OFFSET} AS dst FROM pairs
+  UNION ALL
+  SELECT supp + {_SUPP_OFFSET} AS src, cust AS dst FROM pairs
+),
+it0 AS (SELECT min(cust) AS node, 0 AS d FROM pairs),
+{",".join(its)}
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       cast(d AS bigint) AS hops
+FROM it{_BFS_ITERS}
+"""
+
+
+@register("trade_graph_bfs_hops", oracle=_bfs_oracle(), tags=("graph", "iterative"))
+def trade_graph_bfs_hops(spark, sf_dir):
+    """BFS hop distance from the lowest customer key over the same
+    undirected trade graph as PageRank: 3 unrolled frontier expansions,
+    each one edges-join-frontier plus a min-aggregate — all integers, so
+    unlike PageRank no quantization is needed at all. Nodes not reached
+    within 3 hops are absent (identically in both engines).
+
+    Scale: per iteration one equi-join on src + one groupBy on node —
+    the textbook Pregel step as DataFrame ops; localCheckpoint per round
+    keeps the lineage flat so iteration count can grow to graph diameter."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    dist = pairs.agg(F.min("cust").alias("node")).select(
+        "node", F.lit(0).alias("d")
+    )
+    for _ in range(_BFS_ITERS):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.select("node", "d")
+            .union(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = dist.localCheckpoint(eager=True)
+    return dist.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.col("d").cast("long").alias("hops"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_half_up, rounded_sum
+from ..functions.numeric import count_if, round_half_up, rounded_sum
 from ..operators.dedup import token_hash_sql
 from ..sources.lake import read_table
 from . import register
@@ -846,4 +846,65 @@ def partition_checksums_monthly(spark, sf_dir):
         )
         .groupBy("order_month")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("checksum"))
+    )
+
+
+# --- functional-dependency discovery / verification -------------------------------
+
+
+@register(
+    "fd_check_orders",
+    oracle="""
+WITH fd1 AS (
+  SELECT o_orderkey AS lhs, count(DISTINCT o_custkey) AS c
+  FROM orders GROUP BY o_orderkey
+),
+fd2 AS (
+  SELECT cast(o_orderdate AS date) AS lhs, count(DISTINCT o_orderpriority) AS c
+  FROM orders GROUP BY cast(o_orderdate AS date)
+)
+SELECT 'o_orderkey->o_custkey' AS fd,
+       cast(count(*) AS bigint) AS n_groups,
+       cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS bigint) AS n_violating_groups,
+       (sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM fd1
+UNION ALL
+SELECT 'o_orderdate->o_orderpriority' AS fd,
+       cast(count(*) AS bigint) AS n_groups,
+       cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS bigint) AS n_violating_groups,
+       (sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM fd2
+""",
+    tags=("extension", "relational", "quality"),
+)
+def fd_check_orders(spark, sf_dir):
+    """Functional-dependency verification — the schema-inference /
+    data-quality primitive behind key discovery and denormalization
+    safety: lhs -> rhs holds iff no lhs group sees more than one distinct
+    rhs. Checks a dependency that must hold (o_orderkey -> o_custkey: the
+    key really is a key) and one that must not (order date -> priority),
+    reporting group and violation counts for both. Each check is one
+    distinct-aggregate — the same two-exchange plan as any countDistinct,
+    nothing row-level leaves the executors."""
+
+    def check(name, lhs_col, rhs_col):
+        o = read_table(spark, sf_dir, "orders")
+        per = o.groupBy(lhs_col.alias("lhs")).agg(
+            F.countDistinct(rhs_col).alias("c")
+        )
+        viol = count_if(F.col("c") > 1)
+        return per.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            viol.alias("n_violating_groups"),
+            (viol == 0).alias("holds"),
+        ).select(F.lit(name).alias("fd"), "n_groups", "n_violating_groups", "holds")
+
+    return check(
+        "o_orderkey->o_custkey", F.col("o_orderkey"), F.col("o_custkey")
+    ).union(
+        check(
+            "o_orderdate->o_orderpriority",
+            F.col("o_orderdate").cast("date"),
+            F.col("o_orderpriority"),
+        )
     )
