@@ -82,11 +82,27 @@ def stream_tumbling_counts(
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
 
 
-def run_available_now(agg: DataFrame, query_name: str, checkpoint: str):
+def stream_session_counts(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked streaming twin of :func:`session_counts`: session
+    windows MERGE as events arrive (unlike fixed windows, a session's
+    bounds move), so state per (user, open session) is held until the
+    watermark passes the session end + gap and the session can no longer
+    grow."""
+    return session_counts(stream.withWatermark("ts", watermark), gap)
+
+
+def run_available_now(
+    agg: DataFrame, query_name: str, checkpoint: str, *, output_mode: str = "update"
+):
     """Drain everything currently in the source and stop (the reference's
     daily-batch trigger O1, expressed as trigger(availableNow=True))."""
     q = (
-        agg.writeStream.outputMode("update")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)

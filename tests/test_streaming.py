@@ -402,3 +402,36 @@ def test_session_expiry_timer_closes_idle_sessions(spark, tmp_path):
     # watermark passed 10:40; its 12:00 session is still open (no later
     # watermark advance), so exactly two summaries exist
     assert rows == [(1, 2, 3.0), (2, 1, 5.0)]
+
+
+def test_stream_session_window_matches_batch(spark, event_source, tmp_path):
+    """Streaming session windows (merging state) reproduce the batch
+    operator: the whole fixture arrives as one availableNow micro-batch,
+    so every session is final when emitted."""
+    from bigdata_meteo_datalake_spark.streaming.windows import (
+        session_counts,
+        stream_session_counts,
+    )
+
+    src, events = event_source
+    stream = stream_events(spark, src, events.schema)
+    agg = stream_session_counts(stream, gap="30 minutes", watermark="1 hour")
+    run_available_now(
+        agg, "stream_sessions", str(tmp_path / "ckpt_sess"), output_mode="complete"
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    got = (
+        spark.table("stream_sessions")
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = (
+        session_counts(events, "30 minutes")
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
