@@ -235,3 +235,43 @@ def user_activity_streaks(spark, sf_dir):
         F.min("day").alias("streak_start"),
         F.count(F.lit(1)).alias("streak_days"),
     ).drop("grp")
+
+
+# --- rolling 7-day active users (sliding distinct) --------------------------------
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events),
+c AS (
+  SELECT user_id, cast(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS date)
+           AS result_day
+  FROM a
+)
+SELECT result_day, cast(count(DISTINCT user_id) AS bigint) AS active_users_7d
+FROM c GROUP BY result_day
+""",
+    tags=("extension", "events", "rolling-distinct"),
+)
+def rolling_7d_active_users(spark, sf_dir):
+    """Trailing 7-day active users (WAU) for every day: COUNT(DISTINCT)
+    over a sliding interval can't ride an ordinary window frame (distinct
+    isn't frame-decomposable), so each (user, active-day) fact is fanned
+    out to the 7 result days it supports and the distinct count groups on
+    result day. The fan-out factor is the window length — 7x on the
+    (already deduplicated) daily activity relation, which is |users x
+    days| at most, far below the raw event table it summarizes; the same
+    shape computes any trailing-distinct metric at 100 TB without a
+    per-day self-join of the full history."""
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    contrib = activity.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "result_day"
+        ),
+    )
+    return contrib.groupBy("result_day").agg(
+        F.countDistinct("user_id").alias("active_users_7d")
+    )
