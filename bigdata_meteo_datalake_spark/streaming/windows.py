@@ -264,6 +264,68 @@ def stream_gapfill_locf(obs: DataFrame, step: str = "1 hour") -> DataFrame:
     )
 
 
+def stream_interpolate_linear(obs: DataFrame, step: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch linear interpolation (ext_timeseries
+    ts_interpolate_linear): unlike LOCF, a gap needs BOTH neighbors, so a
+    hole is emitted only when its right neighbor arrives — each new
+    observation finalizes every slot since the previous one (value =
+    pv + (nv - pv) * i/n, the identical IEEE sequence the batch operator
+    runs, floor-rounded to 4). State per key is the same constant-size
+    (last_slot, last_value) pair as the gap-fill; slots before a key's
+    first observation are never emitted (no left neighbor), and trailing
+    slots wait for the observation that closes them.
+    """
+    import math
+
+    import pandas as pd
+
+    step_td = pd.Timedelta(step)
+    out_schema = (
+        "event_type string, bucket timestamp, obs_avg double, "
+        "interp_avg double, is_gap boolean"
+    )
+    state_schema = "last_slot long, last_value double"
+    _EPOCH = pd.Timestamp(0)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            last_slot_ns, last_val = state.get
+            last_bucket = _EPOCH + pd.Timedelta(last_slot_ns, unit="ns")
+        else:
+            last_bucket, last_val = None, None
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+        out_bucket, out_obs, out_interp, out_gap = [], [], [], []
+        for bucket, val in zip(rows["bucket"], rows["obs_avg"]):
+            if last_bucket is not None:
+                n = int(round((bucket - last_bucket) / step_td))
+                for i in range(1, n):
+                    frac = float(i) / float(n)
+                    v = last_val + (val - last_val) * frac
+                    out_bucket.append(last_bucket + i * step_td)
+                    out_obs.append(None)
+                    out_interp.append(math.floor(v * 10000 + 0.5) / 10000)
+                    out_gap.append(True)
+            out_bucket.append(bucket)
+            out_obs.append(val)
+            out_interp.append(val)
+            out_gap.append(False)
+            last_bucket, last_val = bucket, val
+        state.update(((last_bucket - _EPOCH).value, last_val))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "bucket": out_bucket,
+                "obs_avg": out_obs,
+                "interp_avg": out_interp,
+                "is_gap": out_gap,
+            }
+        )
+
+    return obs.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 

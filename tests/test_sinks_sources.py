@@ -291,3 +291,31 @@ def test_write_observed_single_pass_metrics(spark, tmp_path):
     assert got["n_null_props"] == ev.where(F.col("props").isNull()).count()
     back = spark.read.parquet(str(tmp_path / "observed"))
     assert back.count() == got["n_rows"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake tables grow columns over time: files written before the column
+    existed must read back as NULL under mergeSchema, and the pre-evolution
+    reader path (explicit schema) must still work against mixed files."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    v1.write.mode("append").parquet(path)
+    v2 = spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit("b").alias("s"), F.lit(1.5).alias("score")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "s", "score"}
+    assert merged.count() == 6
+    # pre-evolution rows surface the new column as NULL
+    assert merged.where(F.col("score").isNull()).count() == 3
+    assert merged.where(F.col("score") == 1.5).count() == 3
+
+    # an explicit-schema reader (the contract form the CSV/JSON sources
+    # use) pins the evolved schema regardless of which file is which
+    explicit = spark.read.schema("k long, s string, score double").parquet(path)
+    assert explicit.count() == 6
+    assert explicit.where(F.col("score").isNull()).count() == 3

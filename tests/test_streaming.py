@@ -435,3 +435,114 @@ def test_stream_session_window_matches_batch(spark, event_source, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_interpolate_linear_matches_batch(spark, tmp_path):
+    """The stateful streaming interpolator must equal the batch
+    neighbor-window formula on every slot both can see, including a hole
+    spanning the micro-batch/restart boundary (right neighbor arrives one
+    run later)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from bigdata_meteo_datalake_spark.streaming.windows import (
+        stream_interpolate_linear,
+    )
+
+    schema = "event_type string, bucket timestamp, obs_avg double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime.fromisoformat(ts), v) for (k, ts, v) in rows], schema
+        )
+
+    src = str(tmp_path / "interp_src")
+    mk(
+        [
+            ("click", "2024-03-01 10:00:00", 1.0),
+            ("click", "2024-03-01 13:00:00", 4.0),  # 2-slot hole 11,12
+            ("view", "2024-03-01 11:00:00", 7.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "interp_out")
+
+    def run_once():
+        stream = spark.readStream.schema(mk([]).schema).parquet(src)
+        filled = stream_interpolate_linear(stream, step="1 hour")
+        q = (
+            filled.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "interp_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # the view hole 11->15 closes only now, from state across the restart
+    mk(
+        [
+            ("click", "2024-03-01 14:00:00", 5.0),
+            ("view", "2024-03-01 15:00:00", 9.0),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    # batch twin: the ts_interpolate_linear neighbor-window formula over a
+    # dense spine per key (every interior slot has both neighbors, so the
+    # coverage equals exactly what the stream emitted)
+    all_obs = spark.read.parquet(src)
+    spine = (
+        all_obs.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("bucket")
+    w_past = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_future = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = spine.join(all_obs, ["event_type", "bucket"], "left").withColumn(
+        "idx", F.row_number().over(w_ord)
+    )
+    obs_idx = F.when(F.col("obs_avg").isNotNull(), F.col("idx"))
+    nb = filled.select(
+        "event_type",
+        "bucket",
+        "obs_avg",
+        "idx",
+        F.last("obs_avg", ignorenulls=True).over(w_past).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(w_past).alias("pt"),
+        F.first("obs_avg", ignorenulls=True).over(w_future).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(w_future).alias("nt"),
+    )
+    frac = (F.col("idx") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    want = (
+        nb.select(
+            "event_type",
+            "bucket",
+            "obs_avg",
+            F.when(F.col("obs_avg").isNotNull(), F.col("obs_avg"))
+            .otherwise(F.floor(interp * 10000 + F.lit(0.5)) / 10000)
+            .alias("interp_avg"),
+            F.col("obs_avg").isNull().alias("is_gap"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
