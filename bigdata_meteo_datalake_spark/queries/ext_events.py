@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import oracle_ratio, round_half_up, rounded_ratio, rounded_sum
+from ..functions.numeric import count_if, oracle_ratio, round_half_up, rounded_ratio, rounded_sum
 from ..sources.lake import read_table
 from . import register
 
@@ -274,4 +274,109 @@ def rolling_7d_active_users(spark, sf_dir):
     )
     return contrib.groupBy("result_day").agg(
         F.countDistinct("user_id").alias("active_users_7d")
+    )
+
+
+# --- daily new vs returning users -------------------------------------------------
+
+
+@register(
+    "daily_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(cast(ts AS date)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT e.user_id, cast(e.ts AS date) AS day FROM events e
+)
+SELECT d.day,
+       cast(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS bigint)
+         AS new_users,
+       cast(sum(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END) AS bigint)
+         AS returning_users
+FROM daily d JOIN firsts f ON f.user_id = d.user_id
+GROUP BY d.day
+""",
+    tags=("extension", "events", "growth"),
+)
+def daily_new_vs_returning(spark, sf_dir):
+    """Daily active users split into new (first-ever activity today) vs
+    returning — the growth-accounting companion to cohort_retention,
+    computed from the same first-activity relation. The firsts aggregate
+    is |users| rows; joined back to daily activity it classifies without
+    rescanning history per day."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    joined = daily.join(firsts, "user_id")
+    return joined.groupBy("day").agg(
+        count_if(F.col("first_day") == F.col("day")).alias("new_users"),
+        count_if(F.col("first_day") < F.col("day")).alias("returning_users"),
+    )
+
+
+# --- distribution drift between two periods (exact integer L1) --------------------
+
+
+@register(
+    "value_drift_report",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN cast(ts AS date) < DATE '2024-01-16' THEN 0 ELSE 1 END AS period,
+         greatest(0, least(9, cast(trunc(value / 100.0) AS integer))) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, bucket,
+         cast(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS bigint) AS c1,
+         cast(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS bigint) AS c2
+  FROM b GROUP BY event_type, bucket
+),
+totals AS (
+  SELECT event_type, cast(sum(c1) AS bigint) AS n1, cast(sum(c2) AS bigint) AS n2
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, t.n1, t.n2,
+       cast(sum(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS bigint) AS l1_cross
+FROM counts c JOIN totals t ON t.event_type = c.event_type
+GROUP BY c.event_type, t.n1, t.n2
+""",
+    tags=("extension", "events", "drift"),
+)
+def value_drift_report(spark, sf_dir):
+    """Input-distribution drift between the first and second half of the
+    month, per event_type — the monitoring primitive that catches a
+    feature pipeline silently changing under a model. The L1 distance
+    between the two histograms is kept EXACT by cross-multiplying instead
+    of dividing: sum |c1*n2 - c2*n1| over buckets (the true L1 times
+    n1*n2) — pure int64, no float anywhere, so the oracle hash matches by
+    construction. Consumers divide by n1*n2 at display time."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.greatest(
+            F.lit(0), F.least(F.lit(9), (F.col("value") / 100.0).cast("int"))
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("event_type", "bucket").agg(
+        count_if(F.col("period") == 0).alias("c1"),
+        count_if(F.col("period") == 1).alias("c2"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        counts.join(totals, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias(
+                "l1_cross"
+            )
+        )
     )
