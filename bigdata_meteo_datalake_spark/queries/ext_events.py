@@ -380,3 +380,105 @@ def value_drift_report(spark, sf_dir):
             )
         )
     )
+
+
+# --- within-session funnel conversion ---------------------------------------------
+
+
+@register(
+    "session_funnel_conversion",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_no,
+         min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us
+  FROM sess GROUP BY user_id, session_no
+),
+converted AS (
+  SELECT p.user_id, p.session_no, p.first_view_us,
+         max(CASE WHEN s.event_type = 'purchase' AND s.us >= p.first_view_us
+                  THEN 1 ELSE 0 END) AS did_convert
+  FROM per_session p
+  JOIN sess s ON s.user_id = p.user_id AND s.session_no = p.session_no
+  GROUP BY p.user_id, p.session_no, p.first_view_us
+)
+SELECT cast(count(*) AS bigint) AS n_sessions,
+       cast(sum(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_sessions_with_view,
+       cast(sum(CASE WHEN first_view_us IS NOT NULL THEN did_convert ELSE 0 END)
+            AS bigint) AS n_converted_sessions,
+       {{ratio}} AS conversion_ratio
+FROM converted
+""".replace(
+        "{ratio}",
+        "floor(cast(sum(CASE WHEN first_view_us IS NOT NULL THEN did_convert ELSE 0 END) AS double)"
+        " / sum(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END)"
+        " * 10000 + 0.5) / 10000",
+    ),
+    tags=("extension", "events", "funnel", "session"),
+)
+def session_funnel_conversion(spark, sf_dir):
+    """Funnel scoped to the session, not the user lifetime: of all
+    sessions, how many contain a view, and how many of those convert to a
+    purchase AT OR AFTER the session's first view. Composes the
+    sessionization window (lag + running sum, microsecond-exact gap) with
+    a per-session two-phase aggregate: first-view timestamp per session,
+    then a conditional max over the session's events — the
+    order-sensitive step no single groupBy can express. All windows
+    partition by user; the session relation joined back is keyed on
+    (user, session_no), so co-partitioning holds through both phases."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.sum(F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0))
+        .over(running)
+        .alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view_us"
+        )
+    )
+    converted = (
+        per_session.join(sess, ["user_id", "session_no"])
+        .groupBy("user_id", "session_no", "first_view_us")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("first_view_us")),
+                    1,
+                ).otherwise(0)
+            ).alias("did_convert")
+        )
+    )
+    with_view = count_if(F.col("first_view_us").isNotNull())
+    conv = F.sum(
+        F.when(F.col("first_view_us").isNotNull(), F.col("did_convert")).otherwise(0)
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        with_view.alias("n_sessions_with_view"),
+        conv.alias("n_converted_sessions"),
+        round_half_up(conv.cast("double") / with_view, 4).alias("conversion_ratio"),
+    )
