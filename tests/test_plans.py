@@ -95,3 +95,20 @@ def test_global_topk_compiles_to_take_ordered(spark):
 
     for name in ("largest_orders", "token_frequency_topk", "q3_shipping_priority"):
         assert n_nodes(QS[name](spark, SF0001), "TakeOrderedAndProject") == 1, name
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Scale guard, join edition: no registered query may plan a
+    CartesianProduct — the partitioned NxM join that explodes at scale.
+    (BroadcastNestedLoopJoin against singleton-aggregate sides — bounds,
+    totals, query sets — is legitimate and remains allowed; this bans the
+    shuffle-side cross join specifically.) Every explicit crossJoin in
+    the registry must therefore ride a broadcast."""
+    from bigdata_meteo_datalake_spark.plans.explain import plan_string
+
+    offenders = [
+        name
+        for name, fn in QS.items()
+        if "CartesianProduct" in plan_string(fn(spark, SF0001))
+    ]
+    assert offenders == []
