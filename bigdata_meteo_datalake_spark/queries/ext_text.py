@@ -689,3 +689,118 @@ def edit_distance_pairs(spark, sf_dir):
             ).alias("edit_sim"),
         )
     )
+
+
+# --- token co-occurrence / PMI lift ------------------------------------------------
+
+_PMI_VOCAB = 40
+_PMI_TOPK = 20
+
+_PMI_ORACLE = f"""
+WITH tokd AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+df AS (SELECT tok, cast(count(*) AS bigint) AS df FROM tokd GROUP BY tok),
+vocab AS (
+  SELECT tok, df FROM df
+  QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= {_PMI_VOCAB}
+),
+tv AS (SELECT t.doc_id, t.tok FROM tokd t JOIN vocab v ON v.tok = t.tok),
+pairs AS (
+  SELECT a.tok AS tok1, b.tok AS tok2, cast(count(*) AS bigint) AS n_docs_both
+  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+),
+n AS (SELECT cast(count(*) AS bigint) AS n_docs FROM documents)
+SELECT p.tok1, p.tok2, p.n_docs_both, v1.df AS df1, v2.df AS df2,
+       floor(cast(p.n_docs_both * n.n_docs AS double)
+             / cast(v1.df * v2.df AS double) * 1000000 + 0.5) / 1000000 AS lift
+FROM pairs p
+JOIN vocab v1 ON v1.tok = p.tok1
+JOIN vocab v2 ON v2.tok = p.tok2
+CROSS JOIN n
+ORDER BY lift DESC, tok1, tok2
+LIMIT {_PMI_TOPK}
+"""
+
+
+@register(
+    "token_pmi_top_pairs",
+    oracle=_PMI_ORACLE,
+    tags=("extension", "text", "vocab", "cooccurrence"),
+)
+def token_pmi_top_pairs(spark, sf_dir):
+    """Top token pairs by PMI lift — which words co-occur in the same
+    document far more than their individual frequencies predict. Lift
+    ``P(x,y)/(P(x)P(y))`` orders identically to PMI (log is monotone), so
+    no cross-engine-unsafe ``ln`` ever runs: both products are exact int64
+    and the lift is ONE double division, floor-rounded.
+
+    The pair space is bounded by a top-40 document-frequency vocabulary —
+    chosen with ``orderBy().limit()`` (TakeOrderedAndProject, deterministic
+    via the (df desc, tok) total order), then broadcast. Pair generation is
+    IN-ROW: each doc's qualifying tokens become one sorted array and the
+    (i<j) pairs come from nested array lambdas — the corpus shuffles once
+    (the doc grouping); no token-level self-join ever touches an executor
+    boundary. At 100 TB the vocabulary cap is the knob: candidate pairs
+    scale with docs x C(vocab_hits, 2), independent of corpus vocabulary
+    size."""
+    d = read_table(spark, sf_dir, "documents")
+    tokd = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df_counts = tokd.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab = df_counts.orderBy(F.desc("df"), F.asc("tok")).limit(_PMI_VOCAB)
+    tv = tokd.join(F.broadcast(vocab.select("tok")), "tok")
+    per_doc = tv.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("t")
+    )
+    sz = F.size(F.col("t"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), sz),
+                lambda j: F.struct(
+                    F.element_at(F.col("t"), i).alias("tok1"),
+                    F.element_at(F.col("t"), j).alias("tok2"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        per_doc.where(sz >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.tok1", "p.tok2")
+        .groupBy("tok1", "tok2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_both"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    v1 = vocab.select(F.col("tok").alias("tok1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("tok").alias("tok2"), F.col("df").alias("df2"))
+    lift = (F.col("n_docs_both") * F.col("n_docs")).cast("double") / (
+        F.col("df1") * F.col("df2")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(v1), "tok1")
+        .join(F.broadcast(v2), "tok2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok1",
+            "tok2",
+            "n_docs_both",
+            "df1",
+            "df2",
+            round_half_up(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("tok1"), F.asc("tok2"))
+        .limit(_PMI_TOPK)
+    )

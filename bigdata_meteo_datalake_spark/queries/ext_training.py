@@ -451,3 +451,215 @@ def stratified_sample_exact(spark, sf_dir):
         .where(F.col("rn") <= F.expr("(cnt + 4) div 5"))
         .select("event_id", "event_type")
     )
+
+
+# --- cross-split contamination (shingle leakage val/test -> train) -----------------
+
+
+_LEAK_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN {token_hash_sql("cast(doc_id AS varchar)")} % 100 < 80
+                THEN 'train'
+              WHEN {token_hash_sql("cast(doc_id AS varchar)")} % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+hx AS (
+  SELECT g.doc_id, s.split, {token_hash_sql("gram")} % 2147483647 AS x
+  FROM grams g JOIN split s ON s.doc_id = g.doc_id
+),
+train_sh AS (SELECT DISTINCT x FROM hx WHERE split = 'train'),
+leaked AS (
+  SELECT DISTINCT h.split, h.doc_id
+  FROM hx h JOIN train_sh t ON t.x = h.x
+  WHERE h.split <> 'train'
+)
+SELECT s.split, cast(count(*) AS bigint) AS n_docs,
+       cast(count(l.doc_id) AS bigint) AS n_leaked_docs,
+       floor(cast(count(l.doc_id) AS double) / count(*) * 10000 + 0.5) / 10000
+         AS leak_ratio
+FROM split s
+LEFT JOIN leaked l ON l.split = s.split AND l.doc_id = s.doc_id
+WHERE s.split <> 'train'
+GROUP BY s.split
+"""
+
+
+@register(
+    "split_leakage_report",
+    oracle=_LEAK_ORACLE,
+    tags=("extension", "training", "dedup", "contamination"),
+)
+def split_leakage_report(spark, sf_dir):
+    """Train-to-eval contamination audit: of the val/test documents (same
+    hash-bucket split as ``train_val_test_split``), how many share at least
+    one word-3-gram shingle with ANY train document. This is the eval-split
+    twin of ``benchmark_contamination`` — run it before trusting a held-out
+    loss, because hash-split membership is independent of content, and
+    near-duplicate documents land in different splits.
+
+    Scale: the train shingle set stays distributed (distinct on the hashed
+    shingle key — one uniform-key shuffle), and the probe is a left-semi
+    equi-join of the val/test shingles against it; no doc-level all-pairs
+    anywhere. The report is a 2-row aggregate."""
+    from ..operators.dedup import doc_shingle_hash_sets
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    split = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    hx = (
+        doc_shingle_hash_sets(d)
+        .select("doc_id", F.explode("xs").alias("x"))
+        .join(split, "doc_id")
+    )
+    train_sh = hx.where(F.col("split") == "train").select("x").distinct()
+    leaked = (
+        hx.where(F.col("split") != "train")
+        .join(train_sh, "x", "left_semi")
+        .select("split", "doc_id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_docs"))
+    )
+    totals = (
+        split.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return totals.join(leaked, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_leaked_docs"), F.lit(0)).cast("long").alias(
+            "n_leaked_docs"
+        ),
+        (
+            F.floor(
+                F.coalesce(F.col("n_leaked_docs"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("leak_ratio"),
+    )
+
+
+# --- deterministic weighted sampling (quality-proportional) ------------------------
+
+
+_WS_RATE_PPM = 500_000  # base acceptance rate at weight == 1 (max-length doc)
+
+
+_WS_ORACLE = f"""
+WITH mx AS (SELECT cast(max(n_chars) AS bigint) AS maxc FROM documents)
+SELECT doc_id, source, cast(n_chars AS bigint) AS n_chars
+FROM documents CROSS JOIN mx
+WHERE ({token_hash_sql("concat('ws:', cast(doc_id AS varchar))")} % 1000000) * maxc
+      < cast(n_chars AS bigint) * {_WS_RATE_PPM}
+"""
+
+
+@register(
+    "weighted_sample_by_quality",
+    oracle=_WS_ORACLE,
+    tags=("extension", "training", "sampling"),
+)
+def weighted_sample_by_quality(spark, sf_dir):
+    """Weight-proportional Bernoulli sample: each document is kept with
+    probability ``rate * n_chars / max(n_chars)`` — the standard
+    quality-weighted corpus downsampling, done DETERMINISTICALLY: the coin
+    is the doc-id hash (never ``rand()``), and the acceptance test is the
+    pure-integer comparison ``(h % 1e6) * maxc < n_chars * rate_ppm`` —
+    no floating point anywhere, so membership is reproducible across
+    re-runs, engines, and cluster sizes.
+
+    Scale: the max is a singleton aggregate broadcast to the scan; the
+    filter is a map-side predicate — zero shuffles beyond the 1-row max."""
+    d = read_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").cast("long").alias("maxc"))
+    h = token_hash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) % 1000000
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .where(h * F.col("maxc") < F.col("n_chars").cast("long") * _WS_RATE_PPM)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+# --- length-bucketed batching (padding-waste accounting) ---------------------------
+
+
+_LB_BATCH = 16
+_LB_CAPS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def _lb_cap_sql(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {expr} <= {c} THEN {c}" for c in _LB_CAPS
+    )
+    return f"CASE {cases} ELSE {2 * _LB_CAPS[-1]} END"
+
+
+_LB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens, cast({_lb_cap_sql("n_tokens")} AS bigint) AS bucket_cap
+  FROM toks
+)
+SELECT bucket_cap,
+       cast(count(*) AS bigint) AS n_docs,
+       cast((count(*) + {_LB_BATCH - 1}) // {_LB_BATCH} AS bigint) AS n_batches,
+       cast(sum(bucket_cap - n_tokens) AS bigint) AS pad_waste_tokens
+FROM b GROUP BY bucket_cap
+"""
+
+
+@register(
+    "length_bucket_batches",
+    oracle=_LB_ORACLE,
+    tags=("extension", "training", "batching"),
+)
+def length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batching plan: documents go to power-of-two token
+    buckets (the standard trick that keeps padding bounded below 2x), and
+    the report prices it — docs, batches of 16, and total padding
+    waste per bucket. Everything is integer arithmetic (the bucket ladder
+    is a CASE cascade, the batch count a ceil-div), so the plan hashes
+    exactly cross-engine. One map-side projection plus one tiny aggregate;
+    the whitespace token count matches pack_documents_token_budget's
+    formula so the two operators compose."""
+    d = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    cap = F.lit(2 * _LB_CAPS[-1])
+    for c in reversed(_LB_CAPS):
+        cap = F.when(n_tokens <= c, c).otherwise(cap)
+    b = d.select(n_tokens.alias("n_tokens"), cap.cast("long").alias("bucket_cap"))
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(f"cast((count(1) + {_LB_BATCH - 1}) div {_LB_BATCH} AS bigint)").alias(
+            "n_batches"
+        ),
+        F.sum(F.col("bucket_cap") - F.col("n_tokens")).cast("long").alias(
+            "pad_waste_tokens"
+        ),
+    )
