@@ -536,3 +536,107 @@ def kmv_set_operations(spark, sf_dir):
         round_half_up(est_inter, 2).alias("est_intersection_users"),
         "exact_intersection",
     )
+
+
+# --- KMV join-cardinality estimation ----------------------------------------------
+
+
+_JSE_ORACLE = f"""
+WITH he AS (
+  SELECT DISTINCT {token_hash_sql("cast(user_id AS varchar)")} AS hv FROM events
+),
+ho AS (
+  SELECT DISTINCT {token_hash_sql("cast(o_custkey AS varchar)")} AS hv FROM orders
+),
+ke AS (SELECT hv FROM he QUALIFY row_number() OVER (ORDER BY hv) = {_KMV_K}),
+ko AS (SELECT hv FROM ho QUALIFY row_number() OVER (ORDER BY hv) = {_KMV_K}),
+ests AS (
+  SELECT floor({_KMV_NUMER!r} / cast(ke.hv AS double) * 100 + 0.5) / 100
+           AS est_ndv_users,
+         floor({_KMV_NUMER!r} / cast(ko.hv AS double) * 100 + 0.5) / 100
+           AS est_ndv_custs
+  FROM ke, ko
+),
+counts AS (
+  SELECT (SELECT cast(count(*) AS bigint) FROM events) AS n_events,
+         (SELECT cast(count(*) AS bigint) FROM orders) AS n_orders
+),
+exact AS (
+  SELECT cast(coalesce(sum(ce.n * co.n), 0) AS bigint) AS exact_join_rows
+  FROM (SELECT user_id AS k, count(*) AS n FROM events GROUP BY user_id) ce
+  JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY o_custkey) co
+    ON ce.k = co.k
+)
+SELECT c.n_events, c.n_orders, e.est_ndv_users, e.est_ndv_custs,
+       floor(cast(c.n_events AS double) * cast(c.n_orders AS double)
+             / greatest(e.est_ndv_users, e.est_ndv_custs) * 100 + 0.5) / 100
+         AS est_join_rows,
+       x.exact_join_rows
+FROM counts c, ests e, exact x
+"""
+
+
+@register(
+    "join_size_estimate_kmv",
+    oracle=_JSE_ORACLE,
+    tags=("extension", "sketch", "kmv", "optimizer"),
+)
+def join_size_estimate_kmv(spark, sf_dir):
+    """Join-cardinality estimation, the optimizer primitive, as a query:
+    estimate |events JOIN orders ON user_id = o_custkey| from two KMV
+    sketches using the System-R uniform-frequency model
+    ``|L|*|R| / max(ndv_L, ndv_R)`` — then audit it against the exact join
+    size. The exact size never materializes the join: it is
+    ``sum(cnt_L(k) * cnt_R(k))`` over the two per-key count aggregates —
+    an aggregate-sized equi-join, the scalable way to measure a join you
+    are deciding whether to run.
+
+    Determinism: both sketch estimates are the KMV single-division form,
+    floor-rounded BEFORE entering the estimate formula, so every engine
+    sees identical doubles; the final estimate is one more
+    multiply-divide-round of those."""
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    od = read_table(spark, sf_dir, "orders").select("o_custkey")
+
+    def kth_min(df, col):
+        h = df.select(token_hash(F.col(col).cast("string")).alias("hv")).distinct()
+        return (
+            h.orderBy("hv")
+            .limit(_KMV_K)
+            .agg(F.max("hv").alias("hv"))
+            .select(
+                round_half_up(F.lit(_KMV_NUMER) / F.col("hv").cast("double"), 2)
+            )
+        )
+
+    est_e = kth_min(ev, "user_id").toDF("est_ndv_users")
+    est_o = kth_min(od, "o_custkey").toDF("est_ndv_custs")
+    counts = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events")).crossJoin(
+        od.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    ce = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    co = od.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        ce.join(co, "k")
+        .select((ce["n"] * co["n"]).alias("prod"))
+        .agg(F.coalesce(F.sum("prod"), F.lit(0)).cast("long").alias("exact_join_rows"))
+    )
+    est_join = round_half_up(
+        F.col("n_events").cast("double")
+        * F.col("n_orders").cast("double")
+        / F.greatest(F.col("est_ndv_users"), F.col("est_ndv_custs")),
+        2,
+    )
+    return (
+        counts.crossJoin(F.broadcast(est_e))
+        .crossJoin(F.broadcast(est_o))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_events",
+            "n_orders",
+            "est_ndv_users",
+            "est_ndv_custs",
+            est_join.alias("est_join_rows"),
+            "exact_join_rows",
+        )
+    )
