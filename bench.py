@@ -58,34 +58,47 @@ def main() -> None:
     warm_dir = re.sub(r"sf[\d.]+", "sf0.001", sf_dir)
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # One broken query must never zero out the whole bench (round-2 failure
+    # mode: a single analysis error in warm-up crashed the harness before
+    # any timing was recorded). Each query is isolated in try/except in
+    # BOTH loops; failures are reported per-query and the JSON line still
+    # prints with the total over the queries that ran.
+    errors: dict[str, str] = {}
     t0 = time.perf_counter()
     for name in names:
-        all_queries[name](spark, warm_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            all_queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 - bench must survive any query
+            errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
     warmup_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         t0 = time.perf_counter()
-        df = all_queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = all_queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "warmup_sec": warmup_sec,
-                "warmup_sf_dir": warm_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warmup_sec": warmup_sec,
+        "warmup_sf_dir": warm_dir,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

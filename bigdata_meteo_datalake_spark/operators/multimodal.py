@@ -2,11 +2,14 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched Pandas
 functions over mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode=fake`` produces deterministic features derived from the bytes
-(so the Spark-side plumbing — schema, batch iteration, partition sizing —
-is real and tested); ``decode=real`` raises NotImplementedError at the
-exact point a codec (PIL/ffmpeg) would be called.
+The container has no PIL/ffmpeg, so ``decode=fake`` produces deterministic
+features derived from the bytes (the Spark-side plumbing — schema, batch
+iteration, partition sizing — is real and tested either way).
+``decode=real`` now genuinely decodes the two formats expressible with
+stdlib+numpy — uncompressed 24-bit BMP and PCM WAV
+(operators/media_codecs.py) — and raises NotImplementedError only for
+formats that truly need a codec library (PNG/JPEG/MP4/...), sniffed by
+magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -67,7 +70,10 @@ def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
 
 def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     """Image decode -> (width, height, n_bytes, mean_intensity) via
-    mapInPandas. `decode="real"` is the PIL insertion point (stubbed)."""
+    mapInPandas. `decode="real"` decodes uncompressed 24-bit BMP with the
+    stdlib codec (media_codecs.decode_bmp) — actual pixel dimensions and
+    actual mean pixel intensity in [0, 1]; other formats raise at the
+    codec boundary (PIL insertion point)."""
     if decode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode: {decode}")
 
@@ -76,16 +82,27 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
 
         import pandas as pd
 
+        from .media_codecs import decode_bmp, sniff_format
+
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image decode needs PIL/opencv (not in this container); "
-                    "swap this branch for Image.open(io.BytesIO(b))"
-                )
             feats = {"doc_id": [], "width": [], "height": [], "n_bytes": [],
                      "mean_intensity": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
+                if decode == "real":
+                    if sniff_format(b) != "bmp":
+                        raise NotImplementedError(
+                            "real image decode beyond BMP needs PIL/opencv "
+                            "(not in this container); swap this branch for "
+                            "Image.open(io.BytesIO(b))"
+                        )
+                    pix = decode_bmp(b)
+                    feats["doc_id"].append(doc_id)
+                    feats["width"].append(pix.shape[1])
+                    feats["height"].append(pix.shape[0])
+                    feats["n_bytes"].append(len(b))
+                    feats["mean_intensity"].append(float(pix.mean()) / 255.0)
+                    continue
                 h = hashlib.md5(b).digest()
                 feats["doc_id"].append(doc_id)
                 # deterministic fake: dimensions from digest bytes; the
@@ -109,25 +126,31 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
     """Image resize -> (doc_id, blob, width, height) via mapInPandas; the
     output blob REPLACES the input payload, so downstream batches shrink to
     the target size (the point of resizing early in a media pipeline).
-    `decode="real"` is the PIL `Image.resize` insertion point (stubbed);
-    the fake kernel emits a deterministic byte-budget crop/pad so batch
-    sizing and schema are exercised for real."""
+    `decode="real"` decodes BMP, nearest-neighbor-resizes in numpy, and
+    re-encodes BMP (media_codecs); non-BMP formats raise at the PIL
+    insertion point. The fake kernel emits a deterministic byte-budget
+    crop/pad so batch sizing and schema are exercised without a codec."""
 
     target = width * height // 8  # fake: resized payload budget in bytes
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .media_codecs import decode_bmp, encode_bmp, resize_nearest, sniff_format
+
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real resize needs PIL (not in this container); swap for "
-                    "Image.open(...).resize((width, height)).tobytes()"
-                )
             out = {"doc_id": [], "blob": [], "width": [], "height": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
-                resized = (b * (target // max(1, len(b)) + 1))[:target]
+                if decode == "real":
+                    if sniff_format(b) != "bmp":
+                        raise NotImplementedError(
+                            "real resize beyond BMP needs PIL (not in this "
+                            "container); swap for Image.open(...).resize(...)"
+                        )
+                    resized = encode_bmp(resize_nearest(decode_bmp(b), width, height))
+                else:
+                    resized = (b * (target // max(1, len(b)) + 1))[:target]
                 out["doc_id"].append(doc_id)
                 out["blob"].append(resized)
                 out["width"].append(width)
@@ -140,20 +163,38 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
 def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
                    decode: str = "fake") -> DataFrame:
     """Audio feature extraction -> (doc_id, duration_s, sample_rate, rms)
-    via mapInPandas; `decode="real"` is the soundfile/librosa insertion
-    point (stubbed). The fake kernel treats the payload as 16-bit PCM so
-    duration/rms are deterministic pure functions of the bytes."""
+    via mapInPandas; `decode="real"` decodes PCM WAV with the stdlib
+    `wave` codec (media_codecs.decode_wav) — actual container sample rate,
+    frame-count duration, and RMS over normalized samples; compressed
+    audio raises at the soundfile/librosa insertion point. The fake kernel
+    treats the payload as 16-bit PCM so duration/rms are deterministic
+    pure functions of the bytes."""
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .media_codecs import decode_wav, sniff_format
+
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real audio decode needs soundfile/librosa (not in this "
-                    "container); swap for sf.read(io.BytesIO(b))"
-                )
             out = {"doc_id": [], "duration_s": [], "sample_rate": [], "rms": []}
+            if decode == "real":
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    b = bytes(blob)
+                    if sniff_format(b) != "wav":
+                        raise NotImplementedError(
+                            "real audio decode beyond PCM WAV needs "
+                            "soundfile/librosa (not in this container); swap "
+                            "for sf.read(io.BytesIO(b))"
+                        )
+                    samples, sr = decode_wav(b)
+                    n_frames = samples.shape[0]
+                    rms = float((samples**2).mean() ** 0.5) if n_frames else 0.0
+                    out["doc_id"].append(doc_id)
+                    out["duration_s"].append(n_frames / sr)
+                    out["sample_rate"].append(sr)
+                    out["rms"].append(rms)
+                yield pd.DataFrame(out)
+                continue
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
                 n_samples = len(b) // 2

@@ -52,52 +52,18 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-#: Every query the driver's round-1 sweep confirmed green (the keys of
-#: CORRECTNESS_r01.json — hash-matched vs the DuckDB oracle, except
-#: approx_distinct_counts whose only possible check, rows-only, also ran).
-#: The sweep caps at 50 registry entries, so these rotate BEHIND queries
-#: that have never had a driver row: by the end of round 2 every registered
-#: query has a driver-confirmed row in round 1 or round 2. The pytest
-#: oracle gate (tests/test_queries.py) still checks all of them every run.
-_DRIVER_CONFIRMED_R1 = frozenset(
-    {
-        "kpi_daily_order_summary", "pricing_summary", "load_row_counts",
-        "join_enrich_composite_key", "join_nullable_key", "enriched_orders_daily",
-        "project_filter_rename", "json_payload_extract",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_clusters",
-        "knn_cosine_bruteforce", "embedding_near_dup_pairs", "emb_lsh_topk",
-        "emb_ivf_topk",
-        "text_stats", "text_language_id", "text_quality_score",
-        "text_fingerprint", "redact_payload_numbers", "search_documents_match",
-        "token_frequency_topk", "text_bigram_lm_score",
-        "train_val_test_split", "pack_documents_token_budget",
-        "mix_sources_deterministic", "benchmark_contamination",
-        "multimodal_image_features",
-        "asof_latest_order_per_event", "range_join_price_bands",
-        "profile_orders_columns", "snapshot_diff_daily_users",
-        "funnel_signup_purchase_7d", "cohort_retention",
-        "window_tumbling_hourly", "window_sliding_2h_1h", "window_session_30m",
-        "sessionize_events",
-        "topk_orders_per_status", "customers_semi_anti", "user_set_ops",
-        "pivot_event_types_daily", "rollup_lineitem_flags", "distinct_counts",
-        "approx_distinct_counts", "cube_order_stats", "order_price_quantiles",
-        "customer_order_window_stats",
-    }
-)
-
 
 def _driver_confirmed() -> frozenset[str]:
     """Union of every green row in every CORRECTNESS_r*.json the driver has
     written so far (rows_match/schema_match/hash_match all true, or the
-    rows-only no_oracle check) — plus the frozen round-1 set as a floor.
-    Reading the files at import time makes the sweep rotation automatic:
-    each round, queries that have never had a driver row sort ahead of
-    already-confirmed ones without hand-maintaining a list."""
+    rows-only no_oracle check). Reading the files at import time makes the
+    sweep rotation automatic: each round, queries that have never had a
+    driver row sort ahead of already-confirmed ones, driven purely by the
+    on-disk driver artifacts (no hand-maintained list to drift)."""
     import json
     from pathlib import Path
 
-    confirmed = set(_DRIVER_CONFIRMED_R1)
+    confirmed: set[str] = set()
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -115,14 +81,16 @@ def _driver_confirmed() -> frozenset[str]:
 
 
 def _sweep_group(name: str, q: Query, confirmed: frozenset[str]) -> int:
-    """Driver-sweep priority: 0 = core parity surface (always inside the
-    cap — it is the heart of the parity claim and stays hard-checked every
-    round), 1 = queries with no driver correctness row yet, 2 = queries
-    already driver-confirmed in a previous round (safe overflow)."""
-    module = q.fn.__module__.rsplit(".", 1)[-1]
-    if module.startswith("parity_"):
+    """Driver-sweep priority: 0 = queries with no driver correctness row
+    yet (a first row is the highest-value evidence the cap can buy; stable
+    sort keeps earlier-registered queries ahead of same-round additions),
+    1 = core parity surface (re-confirmed whenever the cap has room — and
+    automatically back at the front once everything has a row), 2 =
+    already-driver-confirmed overflow."""
+    if name not in confirmed:
         return 0
-    return 1 if name not in confirmed else 2
+    module = q.fn.__module__.rsplit(".", 1)[-1]
+    return 1 if module.startswith("parity_") else 2
 
 
 def _load_all() -> None:

@@ -459,11 +459,15 @@ ex AS (
     FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id
   )
 )
-SELECT floor(cast(kcnt - 1 AS double) * {_KMV_DOMAIN!r} / cast(hk AS double)
-             * 100 + 0.5) / 100 AS est_union_users,
+SELECT CASE WHEN kcnt < {_KMV_K} THEN cast(kcnt AS double)
+            ELSE floor(cast(kcnt - 1 AS double) * {_KMV_DOMAIN!r}
+                       / cast(hk AS double) * 100 + 0.5) / 100
+       END AS est_union_users,
        ex.exact_union,
-       floor(cast(kcnt - 1 AS double) * {_KMV_DOMAIN!r} / cast(hk AS double)
-             * cnt_both / kcnt * 100 + 0.5) / 100 AS est_intersection_users,
+       CASE WHEN kcnt < {_KMV_K} THEN cast(cnt_both AS double)
+            ELSE floor(cast(kcnt - 1 AS double) * {_KMV_DOMAIN!r}
+                       / cast(hk AS double) * cnt_both / kcnt * 100 + 0.5) / 100
+       END AS est_intersection_users,
        ex.exact_intersection
 FROM acc, ex
 """
@@ -530,10 +534,18 @@ def kmv_set_operations(spark, sf_dir):
         / F.col("hk").cast("double")
     )
     est_inter = est_union * F.col("cnt_both") / F.col("kcnt")
+    # under-full sketch (kcnt < k): the merged minima ARE the whole key
+    # set — report the exact counts instead of an estimate (KMV's exact
+    # small-cardinality regime, mirrored in the oracle)
+    small = F.col("kcnt") < _KMV_K
     return acc.crossJoin(ex).select(
-        round_half_up(est_union, 2).alias("est_union_users"),
+        F.when(small, F.col("kcnt").cast("double"))
+        .otherwise(round_half_up(est_union, 2))
+        .alias("est_union_users"),
         "exact_union",
-        round_half_up(est_inter, 2).alias("est_intersection_users"),
+        F.when(small, F.col("cnt_both").cast("double"))
+        .otherwise(round_half_up(est_inter, 2))
+        .alias("est_intersection_users"),
         "exact_intersection",
     )
 
@@ -548,13 +560,21 @@ WITH he AS (
 ho AS (
   SELECT DISTINCT {token_hash_sql("cast(o_custkey AS varchar)")} AS hv FROM orders
 ),
-ke AS (SELECT hv FROM he QUALIFY row_number() OVER (ORDER BY hv) = {_KMV_K}),
-ko AS (SELECT hv FROM ho QUALIFY row_number() OVER (ORDER BY hv) = {_KMV_K}),
+ke AS (
+  SELECT max(hv) AS hv, count(*) AS n
+  FROM (SELECT hv FROM he ORDER BY hv LIMIT {_KMV_K}) t
+),
+ko AS (
+  SELECT max(hv) AS hv, count(*) AS n
+  FROM (SELECT hv FROM ho ORDER BY hv LIMIT {_KMV_K}) t
+),
 ests AS (
-  SELECT floor({_KMV_NUMER!r} / cast(ke.hv AS double) * 100 + 0.5) / 100
-           AS est_ndv_users,
-         floor({_KMV_NUMER!r} / cast(ko.hv AS double) * 100 + 0.5) / 100
-           AS est_ndv_custs
+  SELECT CASE WHEN ke.n < {_KMV_K} THEN cast(ke.n AS double)
+              ELSE floor({_KMV_NUMER!r} / cast(ke.hv AS double) * 100 + 0.5) / 100
+         END AS est_ndv_users,
+         CASE WHEN ko.n < {_KMV_K} THEN cast(ko.n AS double)
+              ELSE floor({_KMV_NUMER!r} / cast(ko.hv AS double) * 100 + 0.5) / 100
+         END AS est_ndv_custs
   FROM ke, ko
 ),
 counts AS (
@@ -594,7 +614,11 @@ def join_size_estimate_kmv(spark, sf_dir):
     Determinism: both sketch estimates are the KMV single-division form,
     floor-rounded BEFORE entering the estimate formula, so every engine
     sees identical doubles; the final estimate is one more
-    multiply-divide-round of those."""
+    multiply-divide-round of those. When a side holds fewer than K
+    distinct hashes the sketch contains the WHOLE key set, so the
+    estimator returns the exact retained count — the standard KMV
+    small-cardinality regime (estimating from the last-seen minimum
+    instead would bias high on exactly the inputs a sketch gets right)."""
     ev = read_table(spark, sf_dir, "events").select("user_id")
     od = read_table(spark, sf_dir, "orders").select("o_custkey")
 
@@ -603,9 +627,11 @@ def join_size_estimate_kmv(spark, sf_dir):
         return (
             h.orderBy("hv")
             .limit(_KMV_K)
-            .agg(F.max("hv").alias("hv"))
+            .agg(F.max("hv").alias("hv"), F.count(F.lit(1)).alias("n"))
             .select(
-                round_half_up(F.lit(_KMV_NUMER) / F.col("hv").cast("double"), 2)
+                F.when(F.col("n") < _KMV_K, F.col("n").cast("double")).otherwise(
+                    round_half_up(F.lit(_KMV_NUMER) / F.col("hv").cast("double"), 2)
+                )
             )
         )
 

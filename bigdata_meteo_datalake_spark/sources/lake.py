@@ -32,22 +32,36 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain parquet scan — Catalyst handles column
     pruning and predicate pushdown from whatever the caller stacks on top.
 
-    Nanosecond-timestamp columns (events.ts is INT64 TIMESTAMP(NANOS), which
-    Spark cannot represent) arrive as LongType under
-    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted here to
-    microsecond timestamps with integer arithmetic (`div`, no double
-    round-trip — ns epochs exceed 2^53). DuckDB's ns->us cast truncates the
-    same way, so oracle comparisons stay exact.
+    Timestamp normalization — every query sees ONE canonical type
+    (``TimestampType``) no matter which writer produced the parquet. The
+    driver has regenerated testdata with a different physical timestamp
+    per round, so the reader absorbs all known encodings:
+
+    - INT64 TIMESTAMP(NANOS) (round-1 testdata): Spark cannot represent
+      nanos, so it arrives as LongType under
+      ``spark.sql.legacy.parquet.nanosAsLong`` and is converted with
+      integer arithmetic (`div`, no double round-trip — ns epochs exceed
+      2^53). DuckDB's ns->us cast truncates the same way, so oracle
+      comparisons stay exact.
+    - timestamp[us/ms] WITHOUT timezone (round-2+ testdata): Spark >=3.4
+      reads it as ``TimestampNTZType``, which half the timestamp function
+      surface (unix_micros, watermarks over file streams, ...) rejects.
+      Cast to ``TimestampType``: under the UTC session policy the naive
+      value is interpreted as UTC, which is bit-identical to how DuckDB
+      treats the same naive value — oracle comparisons stay exact.
     """
     from ..session import apply_session_policy
 
     # self-sufficient under ANY caller session: the driver may invoke a
     # query without entry() having applied the engine policy first, and
-    # events.parquet is unreadable without the nanos conf
+    # round-1-era events.parquet is unreadable without the nanos conf
     apply_session_policy(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast(T.TimestampType()))
     return df
 
 

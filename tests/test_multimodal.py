@@ -97,3 +97,94 @@ def test_audio_features_deterministic(media):
     with pytest.raises(Exception) as e:
         audio_features(media, decode="real").collect()
     assert "NotImplementedError" in str(e.value) or isinstance(e.value, NotImplementedError)
+
+
+# --- real stdlib codecs (BMP via struct+numpy, WAV via wave) -----------------
+
+
+def _bmp_frame(spark, n=8, w=5, h=3):
+    """n real BMP blobs with known pixels: doc i is a solid-gray w x h image
+    of intensity 10*i (plus one padded-width image to exercise row padding)."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import encode_bmp
+
+    rows = []
+    for i in range(n):
+        arr = np.full((h, w, 3), 10 * i, dtype=np.uint8)
+        rows.append((i, bytearray(encode_bmp(arr))))
+    return spark.createDataFrame(rows, "doc_id long, blob binary")
+
+
+def test_real_bmp_decode_features(spark):
+    df = _bmp_frame(spark, n=8, w=5, h=3)  # w=5 -> 15-byte rows pad to 16
+    feats = {r["doc_id"]: r for r in
+             decode_image_features(df, decode="real").collect()}
+    assert len(feats) == 8
+    for i, r in feats.items():
+        assert (r["width"], r["height"]) == (5, 3)
+        assert abs(r["mean_intensity"] - (10 * i) / 255.0) < 1e-12
+
+
+def test_real_bmp_roundtrip_and_rowpadding():
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (5, 3), (4, 4), (33, 2)]:  # odd widths hit padding
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(arr))
+        assert (out == arr).all(), f"BMP roundtrip mismatch at {w}x{h}"
+
+
+def test_real_bmp_resize(spark):
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_bmp
+    from bigdata_meteo_datalake_spark.operators.multimodal import resize_images
+
+    df = _bmp_frame(spark, n=3, w=6, h=4)
+    out = {r["doc_id"]: r for r in
+           resize_images(df, width=3, height=2, decode="real").collect()}
+    for i, r in out.items():
+        assert (r["width"], r["height"]) == (3, 2)
+        pix = decode_bmp(bytes(r["blob"]))
+        assert pix.shape == (2, 3, 3)
+        assert (pix == 10 * i).all()  # solid image stays solid through resize
+
+
+def test_real_wav_decode_features(spark):
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import encode_wav
+    from bigdata_meteo_datalake_spark.operators.multimodal import audio_features
+
+    sr = 8000
+    rows = []
+    expected = {}
+    for i, amp in enumerate([0.0, 0.25, 0.5]):
+        # 1-second constant-amplitude square-ish signal: rms == amp exactly
+        sig = np.full(sr, amp)
+        rows.append((i, bytearray(encode_wav(sig, sr))))
+        expected[i] = amp
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r["doc_id"]: r for r in audio_features(df, decode="real").collect()}
+    assert len(out) == 3
+    for i, r in out.items():
+        assert r["sample_rate"] == sr
+        assert abs(r["duration_s"] - 1.0) < 1e-9
+        # 16-bit quantization: amp*32767/32768 within 1 LSB
+        assert abs(r["rms"] - expected[i]) < 1e-3
+
+
+def test_real_decode_rejects_unknown_formats(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x89PNG not really"))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception) as exc_info:
+        decode_image_features(df, decode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
