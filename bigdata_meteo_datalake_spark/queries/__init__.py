@@ -134,6 +134,10 @@ def _load_all() -> None:
     from . import ext_sketch  # noqa: F401
     from . import ext_layout  # noqa: F401
 
+    # round-3 additions (corpus governance): import last so the 42 queries
+    # still waiting for their first driver row keep sweep priority.
+    from . import ext_corpus  # noqa: F401
+
     confirmed = _driver_confirmed()
     ordered = sorted(REGISTRY.items(), key=lambda kv: _sweep_group(*kv, confirmed))
     REGISTRY.clear()

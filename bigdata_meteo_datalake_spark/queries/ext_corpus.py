@@ -1,0 +1,470 @@
+"""Corpus-governance extension queries (round 3): cross-document span
+dedup, language-balance sampling weights, truncated EWMA smoothing,
+GDPR-style erasure cascade audit, and embedding centroid outlier flags —
+the operations between "raw corpus" and "curated training mix" that the
+earlier dedup/chunking/sampling modules don't cover. No reference
+counterpart (north-star LLM-pipeline surface, SURVEY.md section 2.7);
+designed Spark-first.
+
+Float discipline follows functions/numeric.py: integer/decimal
+accumulators wherever a sum crosses rows (order-free), single double
+divisions, sqrt only (IEEE-exact, unlike pow), fixed left-fold order for
+in-row array math, floor-form rounding — so every query hash-matches its
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import oracle_avg, round_half_up, rounded_avg
+from ..sources.lake import read_table
+from . import register
+
+# --- cross-corpus span dedup --------------------------------------------------------
+
+_SPAN_TOKENS = 8
+
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+spans_list AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(t) // {_SPAN_TOKENS} + 1),
+           i -> md5(array_to_string(
+                  list_slice(t, (i - 1) * {_SPAN_TOKENS} + 1,
+                             (i - 1) * {_SPAN_TOKENS} + {_SPAN_TOKENS}), ' '))
+         ) AS hs
+  FROM toks
+),
+flat AS (
+  SELECT doc_id, generate_subscripts(hs, 1) AS span_idx, unnest(hs) AS h
+  FROM spans_list
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+  FROM flat
+),
+agg AS (
+  SELECT doc_id,
+         cast(count(*) AS bigint) AS n_spans,
+         cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_spans
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN a.n_spans > 0 THEN
+         floor(cast(a.n_dup_spans AS double) / a.n_spans * 10000 + 0.5) / 10000
+       END AS dup_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register(
+    "span_dedup_report",
+    oracle=_SPAN_ORACLE,
+    tags=("extension", "corpus", "dedup", "span"),
+)
+def span_dedup_report(spark, sf_dir):
+    """Sub-document exact span dedup (ExactSubstr-lite): tile each document
+    into non-overlapping 8-token windows, fingerprint each with md5, and
+    count how many of a document's spans already occurred earlier in the
+    corpus (first occurrence wins, ordered by doc_id then position) — the
+    span-level duplicate-contamination signal whole-doc dedup misses when
+    boilerplate is stitched into otherwise-novel pages.
+
+    Scale: the only corpus-sized shuffle is the window over the 128-bit
+    span fingerprint (keyed, uniformly distributed — no skew partition:
+    short docs produce zero spans and never enter the exchange; they are
+    restored by the doc_id-keyed left join). Everything before it is
+    in-row array math inside codegen."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nsp = F.floor(F.size(toks) / F.lit(_SPAN_TOKENS)).cast("int")
+    spans = F.when(
+        nsp >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nsp),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(toks, (i - 1) * _SPAN_TOKENS + 1, _SPAN_TOKENS),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flat = d.select("doc_id", spans.alias("hs")).select(
+        "doc_id", F.posexplode("hs").alias("span_idx", "h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "span_idx")
+    agg = (
+        flat.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                round_half_up(
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4
+                ),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# --- language-balance sampling weights ----------------------------------------------
+
+_LANG_BALANCE_ORACLE = """
+WITH counts AS (
+  SELECT lang, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT cast(sum(n_docs) AS bigint) AS n_total,
+         cast(max(n_docs) AS bigint) AS n_max
+  FROM counts
+)
+SELECT lang, n_docs,
+       floor(cast(n_docs AS double) / n_total * 1000000 + 0.5) / 1000000
+         AS share_pct,
+       floor(sqrt(cast(n_docs AS double) / n_max) * 1000000 + 0.5) / 1000000
+         AS rel_weight,
+       floor(sqrt(cast(n_max AS double) / n_docs) * 1000000 + 0.5) / 1000000
+         AS upsample_factor
+FROM counts, tot
+"""
+
+
+@register(
+    "lang_balance_weights",
+    oracle=_LANG_BALANCE_ORACLE,
+    tags=("extension", "corpus", "sampling", "multilingual"),
+)
+def lang_balance_weights(spark, sf_dir):
+    """Temperature-balanced multilingual sampling weights (the multilingual
+    pretraining recipe: raise per-language probabilities to T=0.5 so
+    low-resource languages are upsampled without drowning the head): per
+    language, corpus share, relative sampling weight sqrt(n/n_max), and
+    the upsampling factor sqrt(n_max/n) vs proportional sampling.
+
+    T=0.5 exactly BECAUSE sqrt is IEEE-correctly-rounded in every engine
+    while pow(x, 0.3) is libm-dependent — the one temperature with
+    bit-reproducible weights. All cross-row math is integer counts; the
+    per-row double chain is division -> sqrt -> floor-round, each exact.
+
+    Scale: one count aggregate over the corpus (map-side combined), one
+    broadcast of the per-language rows against a 1-row total."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.max("n_docs").alias("n_max")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        round_half_up(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+            "share_pct"
+        ),
+        round_half_up(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("n_max")), 6
+        ).alias("rel_weight"),
+        round_half_up(
+            F.sqrt(F.col("n_max").cast("double") / F.col("n_docs")), 6
+        ).alias("upsample_factor"),
+    )
+
+
+# --- truncated EWMA smoothing -------------------------------------------------------
+
+_EWMA_DECAY = 0.8
+_EWMA_LAGS = 12  # includes the current bucket: j = 0 .. 11
+#: decay^j as repr'd Python floats: both engines parse the same decimal
+#: literal to the same nearest double, so the weight set is bit-identical.
+_EWMA_COEF = [_EWMA_DECAY**j for j in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    numer = ["0.0"]
+    denom = ["0.0"]
+    for j, c in enumerate(_EWMA_COEF):
+        lag = "obs_avg" if j == 0 else f"lag(obs_avg, {j}) OVER wdw"
+        numer.append(f"{c!r} * coalesce({lag}, 0.0)")
+        denom.append(f"CASE WHEN {lag} IS NOT NULL THEN {c!r} ELSE 0.0 END")
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {oracle_avg("value")} AS obs_avg
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, bucket, obs_avg,
+       floor(({' + '.join(numer)}) / ({' + '.join(denom)}) * 10000 + 0.5) / 10000
+         AS ewma_12h
+FROM hourly
+WINDOW wdw AS (PARTITION BY event_type ORDER BY bucket)
+"""
+
+
+@register(
+    "ts_ewma_12h",
+    oracle=_ewma_oracle(),
+    tags=("extension", "timeseries", "smoothing"),
+)
+def ts_ewma_12h(spark, sf_dir):
+    """Truncated exponentially-weighted moving average over hourly buckets
+    per event_type: ewma_i = sum_j 0.8^j * x_(i-j) / sum_j 0.8^j over the
+    last 12 present buckets. Truncating the horizon is what makes EWMA
+    scale-shaped: the recursive form forces a sequential scan per series,
+    while the 12-lag form is a bounded window — rows beyond 12 buckets
+    never interact, so Spark executes it as one keyed window with finite
+    frames, partition-parallel across series.
+
+    Determinism: hourly means use the decimal accumulator; the weighted
+    sum is a FIXED left-assoc expression of 12 terms whose coefficients
+    are shared repr'd literals, so both engines run the identical IEEE
+    sequence (missing leading lags contribute exact +0.0 and drop out of
+    the weight normalizer)."""
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(rounded_avg("value").alias("obs_avg"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    numer = F.lit(0.0)
+    denom = F.lit(0.0)
+    for j, c in enumerate(_EWMA_COEF):
+        lag = F.col("obs_avg") if j == 0 else F.lag("obs_avg", j).over(w)
+        numer = numer + F.lit(c) * F.coalesce(lag, F.lit(0.0))
+        denom = denom + F.when(lag.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "obs_avg",
+        round_half_up(numer / denom, 4).alias("ewma_12h"),
+    )
+
+
+# --- GDPR-style erasure cascade audit -----------------------------------------------
+
+_ERASE_MOD = 97
+
+_ERASURE_ORACLE = f"""
+WITH erased AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0
+),
+eo AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM erased)
+),
+cnt AS (
+  SELECT
+    (SELECT cast(count(*) AS bigint) FROM erased) AS n_customers_erased,
+    (SELECT cast(count(*) AS bigint) FROM eo) AS n_orders_erased,
+    (SELECT cast(count(*) AS bigint) FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM eo)) AS n_lineitems_erased,
+    (SELECT cast(count(*) AS bigint) FROM events
+      WHERE user_id IN (SELECT c_custkey FROM erased)) AS n_events_erased,
+    (SELECT cast(count(*) AS bigint) FROM customer)
+      + (SELECT cast(count(*) AS bigint) FROM orders)
+      + (SELECT cast(count(*) AS bigint) FROM lineitem)
+      + (SELECT cast(count(*) AS bigint) FROM events) AS n_rows_total
+)
+SELECT n_customers_erased, n_orders_erased, n_lineitems_erased,
+       n_events_erased,
+       floor(cast(n_customers_erased + n_orders_erased + n_lineitems_erased
+                  + n_events_erased AS double) / n_rows_total * 1000000 + 0.5)
+         / 1000000 AS erased_row_pct
+FROM cnt
+"""
+
+
+@register(
+    "user_erasure_cascade",
+    oracle=_ERASURE_ORACLE,
+    tags=("extension", "corpus", "governance", "erasure"),
+)
+def user_erasure_cascade(spark, sf_dir):
+    """Right-to-erasure impact audit: given a deletion cohort (here the
+    deterministic c_custkey % 97 = 0 stand-in for a consent-revocation
+    list), count every row that the cascade must delete — the customer
+    rows, their orders, those orders' line items, and the cohort's event
+    rows — plus the total fraction of the lake affected. The dry-run every
+    compliant deletion pipeline executes before mutating 100 TB.
+
+    Scale shape: the cohort key set broadcasts to semi-join each fact
+    exactly once (no fact ever shuffles); the order->lineitem hop reuses
+    the erased-orders keys as a second broadcast. Counts are single-row
+    aggregates crossed together at the end."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+
+    erased = cust.where(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    eo = orders.join(
+        F.broadcast(erased), orders["o_custkey"] == erased["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    el = li.join(
+        F.broadcast(eo), li["l_orderkey"] == eo["o_orderkey"], "left_semi"
+    )
+    ee = ev.join(
+        F.broadcast(erased), ev["user_id"] == erased["c_custkey"], "left_semi"
+    )
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    totals = (
+        cnt(cust, "n_cust")
+        .crossJoin(cnt(orders, "n_ord"))
+        .crossJoin(cnt(li, "n_li"))
+        .crossJoin(cnt(ev, "n_ev"))
+    )
+    out = (
+        cnt(erased, "n_customers_erased")
+        .crossJoin(cnt(eo, "n_orders_erased"))
+        .crossJoin(cnt(el, "n_lineitems_erased"))
+        .crossJoin(cnt(ee, "n_events_erased"))
+        .crossJoin(F.broadcast(totals))
+    )
+    n_rows_total = (
+        F.col("n_cust") + F.col("n_ord") + F.col("n_li") + F.col("n_ev")
+    )
+    n_erased = (
+        F.col("n_customers_erased")
+        + F.col("n_orders_erased")
+        + F.col("n_lineitems_erased")
+        + F.col("n_events_erased")
+    )
+    return out.select(
+        "n_customers_erased",
+        "n_orders_erased",
+        "n_lineitems_erased",
+        "n_events_erased",
+        round_half_up(n_erased.cast("double") / n_rows_total, 6).alias(
+            "erased_row_pct"
+        ),
+    )
+
+
+# --- embedding centroid outliers ----------------------------------------------------
+
+_CENT_SCALE = 1_000_000  # 1e-6 component grid: int64 sums exact at 100 TB rows
+_OUTLIER_FRAC = 0.05
+
+_CENTROID_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM e
+),
+cent AS (
+  SELECT label, dim,
+         cast(floor(cast(sum(cast(floor(val * {_CENT_SCALE} + 0.5) AS bigint))
+                          AS double) / count(*) + 0.5) AS bigint)
+           / {float(_CENT_SCALE)!r} AS comp
+  FROM comp GROUP BY label, dim
+),
+cv AS (SELECT label, list(comp ORDER BY dim) AS cvec FROM cent GROUP BY label),
+dist AS (
+  SELECT e.vec_id, e.label,
+         sqrt(list_aggregate(list_transform(list_zip(e.v, cv.cvec),
+                                            p -> (p[1] - p[2]) * (p[1] - p[2])),
+                             'sum')) AS d
+  FROM e JOIN cv ON e.label = cv.label
+),
+n AS (SELECT label, cast(count(*) AS bigint) AS n_label FROM e GROUP BY label),
+ranked AS (
+  SELECT vec_id, dist.label, d, n_label,
+         row_number() OVER (PARTITION BY dist.label ORDER BY d DESC, vec_id)
+           AS rk
+  FROM dist JOIN n ON dist.label = n.label
+)
+SELECT vec_id, label,
+       floor(d * 10000 + 0.5) / 10000 AS dist_centroid,
+       rk <= cast(ceil(n_label * {_OUTLIER_FRAC!r}) AS bigint) AS is_outlier
+FROM ranked
+"""
+
+
+@register(
+    "emb_centroid_outliers",
+    oracle=_CENTROID_ORACLE,
+    tags=("extension", "corpus", "similarity", "quality"),
+)
+def emb_centroid_outliers(spark, sf_dir):
+    """Embedding-space quality filter: per label, the exact class centroid
+    (components quantized to a 1e-6 integer grid so the cross-row sums are
+    order-free, mirroring the k-means trainer); per vector, L2 distance to
+    its own centroid (fixed left-fold) and an outlier flag for the top 5%
+    most-distant vectors per label — rank-based, so no cross-row float
+    statistics enter the decision. The standard mislabeled/off-domain
+    screen before embeddings feed curriculum sampling or ANN indexes.
+
+    Scale: centroid update shuffles (label, dim)-keyed quantized partials
+    (map-side combined); the k centroids broadcast back; ranking is a
+    keyed window per label."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    comp = e.select("label", F.posexplode("v").alias("pos", "val")).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val") * _CENT_SCALE + 0.5).cast("long").alias("q"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        (
+            F.floor(F.sum("q").cast("double") / F.count(F.lit(1)) + 0.5).cast(
+                "long"
+            )
+            / float(_CENT_SCALE)
+        ).alias("comp")
+    )
+    cv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+            lambda s: s.comp,
+        ).alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = e.join(F.broadcast(cv), "label").select(
+        "vec_id", "label", F.sqrt(d2).alias("d")
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    w = Window.partitionBy("label").orderBy(F.desc("d"), F.asc("vec_id"))
+    return (
+        dist.join(F.broadcast(n), "label")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            round_half_up(F.col("d"), 4).alias("dist_centroid"),
+            (F.col("rk") <= F.ceil(F.col("n_label") * _OUTLIER_FRAC)).alias(
+                "is_outlier"
+            ),
+        )
+    )
