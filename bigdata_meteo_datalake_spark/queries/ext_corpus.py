@@ -468,3 +468,204 @@ def emb_centroid_outliers(spark, sf_dir):
             ),
         )
     )
+
+
+# --- BPE merge training (first 3 merges) --------------------------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE iteration over tok{i-1} -> tok{i} (see the Spark
+    twin for the greedy-merge island logic)."""
+    p = i - 1
+    return f"""
+pair{i} AS (
+  SELECT word, freq, pos, tok,
+         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM tok{p}
+),
+cnt{i} AS (
+  SELECT tok AS a, nxt AS b, cast(sum(freq) AS bigint) AS pair_count
+  FROM pair{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+),
+top{i} AS (
+  SELECT a, b, pair_count FROM cnt{i}
+  QUALIFY row_number() OVER (ORDER BY pair_count DESC, a, b) = 1
+),
+m{i} AS (
+  SELECT p.word, p.pos
+  FROM pair{i} p, top{i} t
+  WHERE p.tok = t.a AND p.nxt = t.b
+),
+st{i} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - min(pos) OVER (PARTITION BY word, island) AS off
+    FROM (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS island
+      FROM m{i}
+    )
+  ) WHERE off % 2 = 0
+),
+tok{i} AS (
+  SELECT p.word, p.freq,
+         row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS pos,
+         CASE WHEN s.pos IS NOT NULL THEN t.a || t.b ELSE p.tok END AS tok
+  FROM pair{i} p
+  CROSS JOIN top{i} t
+  LEFT JOIN st{i} s ON p.word = s.word AND p.pos = s.pos
+  LEFT JOIN st{i} s2 ON p.word = s2.word AND p.pos = s2.pos + 1
+  WHERE s2.pos IS NULL
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH words AS (
+  SELECT w AS word, cast(count(*) AS bigint) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  )
+  WHERE length(w) > 0 GROUP BY w
+),
+tok0 AS (
+  SELECT word, freq, generate_subscripts(cs, 1) AS pos, unnest(cs) AS tok
+  FROM (SELECT word, freq, regexp_extract_all(word, '.') AS cs FROM words)
+)"""
+    + ","
+    + ",".join(_bpe_iter_sql(i) for i in range(1, _BPE_ITERS + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT cast({i} AS integer) AS merge_rank, a AS left_tok,"
+        f" b AS right_tok, pair_count FROM top{i}"
+        for i in range(1, _BPE_ITERS + 1)
+    )
+)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_BPE_ORACLE,
+    tags=("extension", "corpus", "tokenizer", "bpe"),
+)
+def bpe_train_merges(spark, sf_dir):
+    """Byte-pair-encoding tokenizer training, first 3 merges: count
+    adjacent-token pairs weighted by word frequency, pick the most frequent
+    pair (ties to lexicographic order), greedily merge it left-to-right
+    non-overlapping in every word, repeat. Output: one row per learned
+    merge (merge_rank, left_tok, right_tok, pair_count).
+
+    The greedy non-overlap rule (critical when the pair is a repeated
+    character, e.g. 'aa' in 'aaaa' merges positions 1-2 and 3-4, never
+    2-3) is pure integer window logic — gaps-and-islands: consecutive
+    match positions form an island (pos - row_number is constant), and a
+    match starts a merge iff its offset within the island is even. For
+    distinct-character pairs matches are never adjacent, islands have size
+    1, and the rule degenerates to "merge every match" — one code path,
+    no special case.
+
+    Scale: state per iteration is the tokenized word table keyed by word
+    (windows partition by word — bounded frames, partition-parallel); the
+    pair count is a map-side-combined aggregate; the winning pair
+    broadcasts. Unrolled to a fixed depth like the k-means trainer, so the
+    whole plan is static and oracle-checkable."""
+    d = read_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks = words.select(
+        "word",
+        "freq",
+        F.posexplode(F.expr("regexp_extract_all(word, '.', 0)")).alias(
+            "pos0", "tok"
+        ),
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    tops = []
+    for _ in range(_BPE_ITERS):
+        wnd = Window.partitionBy("word").orderBy("pos")
+        pairs = toks.withColumn("nxt", F.lead("tok").over(wnd))
+        counts = (
+            pairs.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = counts.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1)
+        tops.append(top)
+
+        tm = pairs.crossJoin(F.broadcast(top.select("a", "b")))
+        matches = tm.where(
+            (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
+        ).select("word", "pos")
+        isl = matches.withColumn(
+            "island",
+            F.col("pos") - F.row_number().over(wnd),
+        )
+        starts = (
+            isl.withColumn(
+                "off",
+                F.col("pos")
+                - F.min("pos").over(Window.partitionBy("word", "island")),
+            )
+            .where(F.col("off") % 2 == 0)
+            .select(
+                F.col("word").alias("s_word"), F.col("pos").alias("spos")
+            )
+        )
+        second = starts.select(
+            F.col("s_word").alias("d_word"), (F.col("spos") + 1).alias("dpos")
+        )
+        merged = (
+            tm.join(
+                starts,
+                (F.col("word") == F.col("s_word"))
+                & (F.col("pos") == F.col("spos")),
+                "left",
+            )
+            .join(
+                second,
+                (F.col("word") == F.col("d_word"))
+                & (F.col("pos") == F.col("dpos")),
+                "left",
+            )
+            .where(F.col("dpos").isNull())
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("spos").isNotNull(), F.concat(F.col("a"), F.col("b"))
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+        toks = merged.select(
+            "word",
+            "freq",
+            F.row_number().over(wnd).alias("pos"),
+            "tok",
+        )
+
+    out = None
+    for rank, top in enumerate(tops, start=1):
+        row = top.select(
+            F.lit(rank).cast("int").alias("merge_rank"),
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1,0 +1,136 @@
+"""Round-3 corpus-governance operators: independent (non-SQL) checks.
+
+The oracle gate proves Spark == DuckDB; these tests prove the SHARED
+semantics are right by re-deriving results in plain Python — important for
+bpe_train_merges, where both engines run the same greedy-merge window
+logic and could in principle agree on a wrong greedy rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bigdata_meteo_datalake_spark.queries import queries
+
+from .conftest import SF0001
+
+
+def _python_bpe_merges(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Reference BPE: word-frequency-weighted pair counts, greedy
+    left-to-right non-overlapping merges, ties to lexicographic order."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    out = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, freq in words.items():
+            toks = vocab[w]
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += freq
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((a, b, cnt))
+        for w in words:
+            toks = vocab[w]
+            new = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    new.append(a + b)
+                    i += 2  # greedy non-overlapping
+                else:
+                    new.append(toks[i])
+                    i += 1
+            vocab[w] = new
+    return out
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    texts = pd.read_parquet(f"{SF0001}/documents.parquet")["text"].tolist()
+    want = _python_bpe_merges(texts, 3)
+    got = (
+        queries()["bpe_train_merges"](spark, SF0001)
+        .toPandas()
+        .sort_values("merge_rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 3
+    for i, (a, b, cnt) in enumerate(want):
+        row = got.iloc[i]
+        assert (row["left_tok"], row["right_tok"]) == (a, b), (
+            f"merge {i + 1}: engine learned ({row['left_tok']},"
+            f" {row['right_tok']}), python reference ({a}, {b})"
+        )
+        assert int(row["pair_count"]) == cnt
+
+
+def test_python_bpe_reference_greedy_nonoverlap():
+    """Sanity-pin the reference itself: pair COUNTING sees every adjacent
+    pair ('aaaa' -> 3 occurrences of (a,a), x3 words = 9), but the MERGE is
+    greedy non-overlapping: 'aaaa' -> [aa, aa] (never the middle pair), so
+    merge 2 is (aa, aa) with count 3."""
+    merges = _python_bpe_merges(["aaaa aaaa aaaa"], 2)
+    assert merges[0] == ("a", "a", 9)
+    assert merges[1] == ("aa", "aa", 3)
+
+
+def test_span_dedup_matches_pure_python(spark):
+    docs = pd.read_parquet(f"{SF0001}/documents.parquet")[["doc_id", "text"]]
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int]] = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].strip().lower().split()
+        spans = [
+            " ".join(toks[i * 8 : i * 8 + 8]) for i in range(len(toks) // 8)
+        ]
+        dup = 0
+        for s in spans:
+            if s in seen:
+                dup += 1
+            else:
+                seen.add(s)
+        want[int(r["doc_id"])] = (len(spans), dup)
+    got = queries()["span_dedup_report"](spark, SF0001).toPandas()
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        n, d = want[int(r["doc_id"])]
+        assert (int(r["n_spans"]), int(r["n_dup_spans"])) == (n, d), (
+            f"doc {r['doc_id']}: got ({r['n_spans']}, {r['n_dup_spans']}),"
+            f" python reference ({n}, {d})"
+        )
+
+
+def test_erasure_cascade_counts(spark):
+    """Erasure audit vs direct pandas recount at sf0.001."""
+    cust = pd.read_parquet(f"{SF0001}/customer.parquet")
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet")
+    li = pd.read_parquet(f"{SF0001}/lineitem.parquet")
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ck = set(cust[cust["c_custkey"] % 97 == 0]["c_custkey"])
+    eo = orders[orders["o_custkey"].isin(ck)]
+    row = queries()["user_erasure_cascade"](spark, SF0001).toPandas().iloc[0]
+    assert int(row["n_customers_erased"]) == len(ck)
+    assert int(row["n_orders_erased"]) == len(eo)
+    assert int(row["n_lineitems_erased"]) == int(
+        li["l_orderkey"].isin(set(eo["o_orderkey"])).sum()
+    )
+    assert int(row["n_events_erased"]) == int(ev["user_id"].isin(ck).sum())
+
+
+def test_centroid_outlier_fraction(spark):
+    """Exactly ceil(5%) of each label's vectors are flagged."""
+    got = queries()["emb_centroid_outliers"](spark, SF0001).toPandas()
+    import math
+
+    for label, grp in got.groupby("label"):
+        want = math.ceil(len(grp) * 0.05)
+        assert int(grp["is_outlier"].sum()) == want
