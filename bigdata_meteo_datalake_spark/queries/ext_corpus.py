@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import oracle_avg, round_half_up, rounded_avg
+from ..functions.numeric import oracle_avg, round_half_up, rounded_avg, rounded_sum
 from ..sources.lake import read_table
 from . import register
 
@@ -669,3 +669,205 @@ def bpe_train_merges(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- last-touch attribution ---------------------------------------------------------
+
+_ATTR_LOOKBACK_DAYS = 7
+
+_ATTR_ORACLE = f"""
+WITH cand AS (
+  SELECT o.o_orderkey, o.o_totalprice, e.event_type, e.ts, e.event_id
+  FROM orders o
+  JOIN events e ON e.user_id = o.o_custkey
+   AND e.ts < cast(o.o_orderdate AS timestamp) + INTERVAL 1 DAY
+   AND e.ts >= cast(o.o_orderdate AS timestamp)
+               - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+),
+last AS (
+  SELECT o_orderkey, o_totalprice, event_type
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                             ORDER BY ts DESC, event_id DESC) = 1
+),
+att AS (
+  SELECT event_type,
+         cast(count(*) AS bigint) AS n_orders,
+         cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+           AS revenue
+  FROM last GROUP BY event_type
+),
+direct AS (
+  SELECT 'direct' AS event_type,
+         cast(count(*) AS bigint) AS n_orders,
+         cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+           AS revenue
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM last)
+)
+SELECT * FROM att UNION ALL SELECT * FROM direct
+"""
+
+
+@register(
+    "attribution_last_touch",
+    oracle=_ATTR_ORACLE,
+    tags=("extension", "events", "attribution"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: each order is credited to the LAST
+    event of its customer in the 7 days up to and including the order date
+    (ties to the higher event_id); orders with no qualifying event fall in
+    the 'direct' bucket. Output: per attributed channel, order count and
+    exact-decimal revenue.
+
+    Scale shape: the candidate join is an equi-join on the customer key
+    with a range predicate — never a cross product; the per-order pick is
+    a keyed window (partition by orderkey); the unattributed remainder is
+    a left-anti join on the same key, not a NOT IN scan."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    od = F.col("o_orderdate").cast("timestamp")
+    cand = o.join(
+        e,
+        (e["user_id"] == o["o_custkey"])
+        & (e["ts"] < od + F.expr("INTERVAL 1 DAY"))
+        & (e["ts"] >= od - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "o_totalprice", "event_type")
+    )
+    att = last.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rounded_sum("o_totalprice", 2).alias("revenue"),
+    )
+    direct = (
+        o.join(last.select("o_orderkey"), "o_orderkey", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rounded_sum("o_totalprice", 2).alias("revenue"),
+        )
+        .select(F.lit("direct").alias("event_type"), "n_orders", "revenue")
+    )
+    return att.unionAll(direct)
+
+
+# --- histogram quantile sketch ------------------------------------------------------
+
+_QH_WIDTH = 2500.0
+_QH_PS = (0.5, 0.9, 0.99)
+
+_QSKETCH_ORACLE = f"""
+WITH n AS (SELECT cast(count(*) AS bigint) AS n FROM orders),
+hist AS (
+  SELECT cast(floor(o_totalprice / {_QH_WIDTH!r}) AS bigint) AS bucket,
+         cast(count(*) AS bigint) AS n_b
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT a.bucket, cast(sum(b.n_b) AS bigint) AS c
+  FROM hist a JOIN hist b ON b.bucket <= a.bucket
+  GROUP BY a.bucket
+),
+ps AS (SELECT unnest([{", ".join(repr(p) for p in _QH_PS)}]) AS p),
+est AS (
+  SELECT p, min(bucket) AS mb
+  FROM ps, cum, n
+  WHERE cum.c >= ceil(p * n.n)
+  GROUP BY p
+),
+ex AS (
+  SELECT
+    {", ".join(
+        f"floor(quantile_cont(cast(o_totalprice AS double), {p!r}) * 100 + 0.5)"
+        f" / 100 AS ex_{int(p * 100)}"
+        for p in _QH_PS
+    )}
+  FROM orders
+)
+SELECT p,
+       (mb + 1) * {_QH_WIDTH!r} AS est_value,
+       CASE {" ".join(
+           f"WHEN p = {p!r} THEN ex_{int(p * 100)}" for p in _QH_PS
+       )} END AS exact_value,
+       floor(abs((mb + 1) * {_QH_WIDTH!r}
+                 - CASE {" ".join(
+                     f"WHEN p = {p!r} THEN ex_{int(p * 100)}" for p in _QH_PS
+                 )} END)
+             / CASE {" ".join(
+                 f"WHEN p = {p!r} THEN ex_{int(p * 100)}" for p in _QH_PS
+             )} END * 1000000 + 0.5) / 1000000 AS abs_err_pct
+FROM est, ex
+"""
+
+
+@register(
+    "quantile_histogram_sketch",
+    oracle=_QSKETCH_ORACLE,
+    tags=("extension", "sketch", "quantile"),
+)
+def quantile_histogram_sketch(spark, sf_dir):
+    """Fixed-width histogram quantile sketch vs exact quantiles: bucket
+    o_totalprice into 2500-wide bins, estimate p50/p90/p99 as the upper
+    edge of the first bucket whose cumulative count reaches ceil(p*n), and
+    report the error against the exact interpolated quantile. The
+    histogram is the mergeable-partials scale path (per-partition maps of
+    a few hundred int counters, map-side combined — the same reason
+    engines ship percentile_approx); the exact side is the audit.
+
+    The cumulative count is a triangular join over the BUCKET TABLE (a few
+    hundred rows, broadcast) — never a partition-less window over the
+    data, which is the unscalable way to write a CDF."""
+    o = read_table(spark, sf_dir, "orders")
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hist = (
+        o.select(
+            F.floor(F.col("o_totalprice") / _QH_WIDTH).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    cum = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.col("b.bucket") <= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.sum("b.n_b").cast("long").alias("c"))
+    )
+    ps = spark.createDataFrame([(p,) for p in _QH_PS], "p double")
+    est = (
+        ps.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("c") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("mb"))
+    )
+    ex = o.agg(
+        *[
+            round_half_up(
+                F.expr(f"percentile(o_totalprice, {p!r})"), 2
+            ).alias(f"ex_{int(p * 100)}")
+            for p in _QH_PS
+        ]
+    )
+    exact = F.coalesce(
+        *[
+            F.when(F.col("p") == F.lit(p), F.col(f"ex_{int(p * 100)}"))
+            for p in _QH_PS
+        ]
+    )
+    est_value = (F.col("mb") + 1) * _QH_WIDTH
+    return est.crossJoin(F.broadcast(ex)).select(
+        "p",
+        est_value.alias("est_value"),
+        exact.alias("exact_value"),
+        round_half_up(F.abs(est_value - exact) / exact, 6).alias("abs_err_pct"),
+    )
