@@ -560,18 +560,21 @@ def bpe_train_merges(spark, sf_dir):
 
     The greedy non-overlap rule (critical when the pair is a repeated
     character, e.g. 'aa' in 'aaaa' merges positions 1-2 and 3-4, never
-    2-3) is pure integer window logic — gaps-and-islands: consecutive
-    match positions form an island (pos - row_number is constant), and a
-    match starts a merge iff its offset within the island is even. For
-    distinct-character pairs matches are never adjacent, islands have size
-    1, and the rule degenerates to "merge every match" — one code path,
-    no special case.
+    2-3) is pure integer window logic — gaps-and-islands: positions are
+    dense, so consecutive match positions form a chain; a chain starts
+    where the previous position doesn't match (lag), the running max of
+    chain-start positions gives each match its chain offset, and a match
+    merges iff that offset is even. For distinct-character pairs matches
+    are never adjacent, every chain has size 1, and the rule degenerates
+    to "merge every match" — one code path, no special case.
 
-    Scale: state per iteration is the tokenized word table keyed by word
-    (windows partition by word — bounded frames, partition-parallel); the
-    pair count is a map-side-combined aggregate; the winning pair
-    broadcasts. Unrolled to a fixed depth like the k-means trainer, so the
-    whole plan is static and oracle-checkable."""
+    Scale: everything per iteration happens inside ONE word-keyed window
+    pipeline over the token table — no join ever touches the corpus-sized
+    relation again (the winning pair is a 1-row broadcast), so the only
+    per-iteration exchanges are the word-hash shuffle reused across the
+    chained windows and the map-side-combined pair count. Unrolled to a
+    fixed depth like the k-means trainer, so the whole plan is static and
+    oracle-checkable."""
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -605,49 +608,37 @@ def bpe_train_merges(spark, sf_dir):
         ).limit(1)
         tops.append(top)
 
+        # Greedy-merge decisions computed entirely inside the word-keyed
+        # window pipeline (no joins back onto the corpus-sized token
+        # table): positions are dense, so a match chain is consecutive
+        # positions with m=true; a chain starts where the previous
+        # position had m=false; the running max of chain-start positions
+        # gives each match its chain offset, and even offsets merge.
+        running = wnd.rowsBetween(Window.unboundedPreceding, 0)
         tm = pairs.crossJoin(F.broadcast(top.select("a", "b")))
-        matches = tm.where(
-            (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
-        ).select("word", "pos")
-        isl = matches.withColumn(
-            "island",
-            F.col("pos") - F.row_number().over(wnd),
-        )
-        starts = (
-            isl.withColumn(
-                "off",
-                F.col("pos")
-                - F.min("pos").over(Window.partitionBy("word", "island")),
-            )
-            .where(F.col("off") % 2 == 0)
-            .select(
-                F.col("word").alias("s_word"), F.col("pos").alias("spos")
-            )
-        )
-        second = starts.select(
-            F.col("s_word").alias("d_word"), (F.col("spos") + 1).alias("dpos")
-        )
         merged = (
-            tm.join(
-                starts,
-                (F.col("word") == F.col("s_word"))
-                & (F.col("pos") == F.col("spos")),
-                "left",
+            tm.withColumn(
+                "m", (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
             )
-            .join(
-                second,
-                (F.col("word") == F.col("d_word"))
-                & (F.col("pos") == F.col("dpos")),
-                "left",
+            .withColumn(
+                "island_start",
+                F.col("m") & ~F.lag("m", 1, False).over(wnd),
             )
-            .where(F.col("dpos").isNull())
+            .withColumn(
+                "last_start",
+                F.max(F.when(F.col("island_start"), F.col("pos"))).over(running),
+            )
+            .withColumn(
+                "is_start",
+                F.col("m") & ((F.col("pos") - F.col("last_start")) % 2 == 0),
+            )
+            .withColumn("is_second", F.lag("is_start", 1, False).over(wnd))
+            .where(~F.col("is_second"))
             .select(
                 "word",
                 "freq",
                 "pos",
-                F.when(
-                    F.col("spos").isNotNull(), F.concat(F.col("a"), F.col("b"))
-                )
+                F.when(F.col("is_start"), F.concat(F.col("a"), F.col("b")))
                 .otherwise(F.col("tok"))
                 .alias("tok"),
             )
