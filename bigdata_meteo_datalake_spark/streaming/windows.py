@@ -264,6 +264,68 @@ def stream_gapfill_locf(obs: DataFrame, step: str = "1 hour") -> DataFrame:
     )
 
 
+def stream_ewma_truncated(
+    obs: DataFrame, *, decay: float = 0.8, lags: int = 12
+) -> DataFrame:
+    """Streaming twin of the batch truncated EWMA (queries/ext_corpus.py
+    ts_ewma_12h): consumes pre-aggregated (event_type, bucket, obs_avg)
+    rows — at most one per (key, bucket), buckets arriving in order per
+    key — and emits each bucket's 12-lag weighted average as it arrives.
+
+    State per key is the last lags-1 observed values in bucket order: a
+    CONSTANT-size list regardless of stream length, which is what lets
+    this run forever (the batch form's window needs the whole series
+    resident per partition). The weighted sum replays the batch
+    expression's exact IEEE order — left-assoc over the same decay**j
+    Python-float coefficients, missing lags contributing the same +0.0
+    terms — so emitted rows equal the batch operator bit-for-bit,
+    including across micro-batch and checkpoint-restart boundaries
+    (tests/test_streaming.py)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    coefs = [decay**j for j in range(lags)]
+    out_schema = (
+        "event_type string, bucket timestamp, obs_avg double, ewma_12h double"
+    )
+    state_schema = "vals array<double>"
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []  # most-recent first
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+        out_b, out_v, out_e = [], [], []
+        for bucket, val in zip(rows["bucket"], rows["obs_avg"]):
+            vals = [float(val)] + hist
+            numer = 0.0
+            denom = 0.0
+            for j, c in enumerate(coefs):
+                if j < len(vals):
+                    numer = numer + c * vals[j]
+                    denom = denom + c
+                else:
+                    numer = numer + c * 0.0
+                    denom = denom + 0.0
+            out_b.append(bucket)
+            out_v.append(val)
+            out_e.append(math.floor(numer / denom * 10000 + 0.5) / 10000)
+            hist = vals[: lags - 1]
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "bucket": out_b,
+                "obs_avg": out_v,
+                "ewma_12h": out_e,
+            }
+        )
+
+    return obs.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def stream_interpolate_linear(obs: DataFrame, step: str = "1 hour") -> DataFrame:
     """Streaming twin of the batch linear interpolation (ext_timeseries
     ts_interpolate_linear): unlike LOCF, a gap needs BOTH neighbors, so a

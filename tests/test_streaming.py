@@ -546,3 +546,68 @@ def test_stream_interpolate_linear_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_ewma_matches_batch(spark, tmp_path):
+    """The stateful streaming EWMA must equal the batch 12-lag operator
+    bit-for-bit on every emitted row, with lag history carried across
+    micro-batches and a checkpoint restart."""
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.functions.numeric import rounded_avg
+    from bigdata_meteo_datalake_spark.queries import queries
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_ewma_truncated
+
+    # the same hourly pre-aggregate the batch query starts from
+    hourly = (
+        read_table(spark, SF0001, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(rounded_avg("value").alias("obs_avg"))
+    )
+    split_ts = hourly.agg(
+        F.percentile_approx("bucket", 0.5).alias("m")
+    ).collect()[0]["m"]
+
+    src = str(tmp_path / "ewma_src")
+    out = str(tmp_path / "ewma_out")
+    hourly.where(F.col("bucket") <= F.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(hourly.schema).parquet(src)
+        q = (
+            stream_ewma_truncated(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    hourly.where(F.col("bucket") > F.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = (
+        queries()["ts_ewma_12h"](spark, SF0001)
+        .toPandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "bucket", "obs_avg", "ewma_12h"]],
+        want[["event_type", "bucket", "obs_avg", "ewma_12h"]],
+        check_dtype=False,
+        check_exact=True,  # IEEE-identical, not approximately equal
+    )
