@@ -12,9 +12,14 @@ composes them):
 2. near-dup dedup       — MinHash-LSH candidates, cluster, keep the
                           best-quality representative per cluster
 3. contamination scan   — drop documents overlapping the benchmark gram set
-4. train/val/test split — deterministic hash buckets (rerun-stable)
-5. sequence packing     — greedy token-budget packing per shard
-6. manifest             — per-split/source counts written as the run's
+4. span-dup screen      — drop docs whose 8-token spans are mostly
+                          already-seen boilerplate (sub-doc contamination
+                          whole-doc dedup misses)
+5. train/val/test split — deterministic hash buckets (rerun-stable)
+6. sequence packing     — greedy token-budget packing per shard
+7. language balance     — T=0.5 temperature sampling weights for the mix
+8. tokenizer seed       — first BPE merges learned from the final corpus
+9. manifest             — per-split/source counts written as the run's
                           parquet artifact
 
 Every stage is lazy until the final writes; the composed job is one Spark
@@ -32,6 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from bigdata_meteo_datalake_spark.queries.ext_corpus import (
+    bpe_train_merges,
+    lang_balance_weights,
+    span_dedup_report,
+)
 from bigdata_meteo_datalake_spark.queries.ext_dedup import dedup_survivors_by_quality
 from bigdata_meteo_datalake_spark.queries.ext_text import text_quality_score
 from bigdata_meteo_datalake_spark.queries.ext_training import (
@@ -63,24 +73,36 @@ def main() -> None:
         ~F.col("is_contaminated")
     ).select("doc_id")
 
+    # 4. span-dup screen: drop docs that are >60% already-seen spans
+    span_ok = span_dedup_report(spark, sf_dir).where(
+        F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= 0.6
+    ).select("doc_id")
+
     corpus = (
         docs.join(F.broadcast(kept_q), "doc_id")
         .join(F.broadcast(survivors), "doc_id")
         .join(F.broadcast(clean), "doc_id")
+        .join(F.broadcast(span_ok), "doc_id")
     )
     n1 = corpus.count()
 
-    # 4. deterministic split (hash-bucket, rerun-stable)
+    # 5. deterministic split (hash-bucket, rerun-stable)
     split = train_val_test_split(spark, sf_dir).select("doc_id", "split")
     final = corpus.join(split, "doc_id")
 
-    # 5. packing plan for the training split
+    # 6. packing plan for the training split
     packs = pack_documents_token_budget(spark, sf_dir).join(
         final.where(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     n_packs = packs.select("pack_id").distinct().count()
 
-    # 6. manifest artifact
+    # 7. language-balance weights for the training mix
+    weights = lang_balance_weights(spark, sf_dir)
+
+    # 8. tokenizer seed: first BPE merges over the corpus
+    merges = bpe_train_merges(spark, sf_dir).collect()
+
+    # 9. manifest artifact
     manifest = (
         final.groupBy("split", "source")
         .agg(
@@ -96,12 +118,22 @@ def main() -> None:
     ).parquet(os.path.join(out_root, "corpus"))
 
     rows = manifest.collect()
-    print(f"corpus: {n0} docs -> {n1} after quality+dedup+contamination")
+    print(f"corpus: {n0} docs -> {n1} after quality+dedup+contamination+span-dup")
     print(f"training packs: {n_packs}")
     for r in rows:
         print(f"  {r['split']:>5} / {r['source']:<12} {r['n_docs']:>6} docs")
+    for r in weights.orderBy("lang").collect():
+        print(
+            f"  lang {r['lang']}: share {r['share_pct']:.4f} "
+            f"upsample x{r['upsample_factor']:.3f}"
+        )
+    print(
+        "  bpe merges: "
+        + ", ".join(f"({m['left_tok']}+{m['right_tok']})x{m['pair_count']}" for m in merges)
+    )
     print(f"artifacts: {out_root}")
     assert n1 <= n0 and n1 > 0 and n_packs > 0
+    assert len(merges) == 3
     spark.stop()
 
 
