@@ -862,3 +862,267 @@ def quantile_histogram_sketch(spark, sf_dir):
         exact.alias("exact_value"),
         round_half_up(F.abs(est_value - exact) / exact, 6).alias("abs_err_pct"),
     )
+
+
+# --- multi-touch (linear) attribution -----------------------------------------------
+
+_MT_ATTR_ORACLE = f"""
+WITH cand AS (
+  SELECT o.o_orderkey, o.o_totalprice, e.event_type
+  FROM orders o
+  JOIN events e ON e.user_id = o.o_custkey
+   AND e.ts < cast(o.o_orderdate AS timestamp) + INTERVAL 1 DAY
+   AND e.ts >= cast(o.o_orderdate AS timestamp)
+               - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+),
+shares AS (
+  SELECT o_orderkey, event_type,
+         cast(count(*) AS bigint) AS n_touches_type,
+         sum(cast(count(*) AS bigint))
+           OVER (PARTITION BY o_orderkey) AS n_touches_total,
+         any_value(o_totalprice) AS o_totalprice
+  FROM cand GROUP BY o_orderkey, event_type
+),
+credited AS (
+  SELECT event_type,
+         -- exact decimal: price * touches_type / touches_total per order,
+         -- quantized to 1e-6 BEFORE the cross-order sum (order-free ints)
+         sum(cast(floor(o_totalprice * n_touches_type / n_touches_total
+                        * 1000000 + 0.5) AS bigint)) AS rev_q,
+         cast(count(*) AS bigint) AS n_orders_touched
+  FROM shares GROUP BY event_type
+)
+SELECT event_type, n_orders_touched,
+       floor(cast(rev_q AS double) / 1000000 * 100 + 0.5) / 100
+         AS attributed_revenue
+FROM credited
+"""
+
+
+@register(
+    "attribution_linear_multi_touch",
+    oracle=_MT_ATTR_ORACLE,
+    tags=("extension", "events", "attribution"),
+)
+def attribution_linear_multi_touch(spark, sf_dir):
+    """Linear multi-touch attribution — the complement of
+    :func:`attribution_last_touch`: every event touching an order inside
+    the 7-day lookback shares the order's revenue proportionally to its
+    touch count, so channels that assist (rather than close) get credit.
+    Per-order shares are quantized to 1e-6 integers BEFORE the cross-order
+    sum, keeping the corpus-wide aggregation order-free and the oracle
+    comparison exact.
+
+    Scale shape: same customer-key equi-join + range predicate as
+    last-touch; the share computation is a keyed aggregate + same-key
+    window (one shuffle on orderkey, reused); final channel rollup is
+    map-side combined."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    od = F.col("o_orderdate").cast("timestamp")
+    cand = o.join(
+        e,
+        (e["user_id"] == o["o_custkey"])
+        & (e["ts"] < od + F.expr("INTERVAL 1 DAY"))
+        & (e["ts"] >= od - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")),
+    )
+    shares = cand.groupBy("o_orderkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_touches_type"),
+        F.any_value("o_totalprice").alias("o_totalprice"),
+    )
+    w = Window.partitionBy("o_orderkey")
+    shares = shares.withColumn(
+        "n_touches_total", F.sum("n_touches_type").over(w)
+    )
+    rev_q = F.floor(
+        F.col("o_totalprice")
+        * F.col("n_touches_type")
+        / F.col("n_touches_total")
+        * 1000000
+        + 0.5
+    ).cast("long")
+    return (
+        shares.select("event_type", rev_q.alias("rev_q"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_touched"),
+            F.sum("rev_q").alias("rev_q"),
+        )
+        .select(
+            "event_type",
+            "n_orders_touched",
+            round_half_up(F.col("rev_q").cast("double") / 1000000, 2).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
+
+
+# --- quantile feature binning -------------------------------------------------------
+
+_BIN_DECILES = [i / 10.0 for i in range(1, 10)]
+
+_QBIN_ORACLE = f"""
+WITH bounds AS (
+  SELECT [{", ".join(
+      f"quantile_cont(cast(o_totalprice AS double), {p!r})" for p in _BIN_DECILES
+  )}] AS bs
+  FROM orders
+),
+binned AS (
+  SELECT o.o_totalprice,
+         1 + len(list_filter(b.bs, x -> x <= o.o_totalprice)) AS decile
+  FROM orders o, bounds b
+)
+SELECT decile,
+       cast(count(*) AS bigint) AS n_orders,
+       cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+         AS sum_price
+FROM binned GROUP BY decile
+"""
+
+
+@register(
+    "feature_quantile_binning",
+    oracle=_QBIN_ORACLE,
+    tags=("extension", "corpus", "features", "binning"),
+)
+def feature_quantile_binning(spark, sf_dir):
+    """Quantile binning, the ML feature transform: cut o_totalprice into
+    deciles using exact interpolated quantile bounds, assign each row its
+    bin with an in-row comparison fold against the broadcast 9-value
+    bounds array, and report per-bin counts + exact-decimal sums. This is
+    the scale-correct global binning shape: ONE tiny aggregate produces
+    the bounds, rows never rank against each other (a global ntile needs
+    a partition-less window — unusable at 100 TB), and the bin assignment
+    is a map over the scan.
+
+    Bound values are exact interpolated quantiles (parity proven by
+    order_price_quantiles); boundary ties use <= on identical doubles in
+    both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.array(
+            *[
+                F.expr(f"percentile(o_totalprice, {p!r})")
+                for p in _BIN_DECILES
+            ]
+        ).alias("bs")
+    )
+    decile = (
+        F.lit(1)
+        + F.size(
+            F.filter(F.col("bs"), lambda x: x <= F.col("o_totalprice"))
+        )
+    )
+    return (
+        o.select("o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(decile.alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rounded_sum("o_totalprice", 2).alias("sum_price"),
+        )
+    )
+
+
+# --- hard-negative mining -----------------------------------------------------------
+
+_HN_QUERIES = 20
+_HN_K = 3
+
+_HARD_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         floor(list_aggregate(list_transform(list_zip(q.v, c.v),
+                                             p -> p[1] * p[2]), 'sum')
+               / (q.nrm * c.nrm) * 10000 + 0.5) / 10000 AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < {_HN_QUERIES} AND q.label <> c.label
+)
+SELECT query_id, query_label, negative_id, negative_label, cosine
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rn
+  FROM scored
+) WHERE rn <= {_HN_K}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("extension", "similarity", "training", "contrastive"),
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    near-misses that teach an embedding model its decision boundary
+    (random negatives are trivially separable and carry no gradient).
+    Same broadcast-query/corpus-scan shape as the brute-force kNN
+    baseline, plus the label-mismatch predicate; at scale the candidate
+    generation swaps to the LSH/IVF path with the same filter.
+
+    Cosines use the fixed left-fold dot product (bit-identical to the
+    oracle's list_aggregate) and are rounded before ranking with a
+    deterministic id tie-break."""
+    from ..operators.dedup import widen
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    n = e.select("vec_id", "label", "v", nrm.alias("nrm"))
+    q = (
+        n.where(F.col("vec_id") < _HN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    c = widen(n)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_label") != F.col("label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            round_half_up(dot / (F.col("qnrm") * F.col("nrm")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HN_K)
+        .drop("rn")
+    )
