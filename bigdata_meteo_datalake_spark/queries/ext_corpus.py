@@ -755,12 +755,18 @@ def attribution_last_touch(spark, sf_dir):
 # --- histogram quantile sketch ------------------------------------------------------
 
 _QH_WIDTH = 2500.0
+#: bucket-domain clamp: keeps the histogram (and its triangular CDF join)
+#: bounded no matter how the value range drifts - the tail collapses into
+#: the last bucket, exactly like a sketch's overflow bin. 4096 buckets x
+#: 2500 covers >10M, far past any o_totalprice.
+_QH_MAX_BUCKET = 4095
 _QH_PS = (0.5, 0.9, 0.99)
 
 _QSKETCH_ORACLE = f"""
 WITH n AS (SELECT cast(count(*) AS bigint) AS n FROM orders),
 hist AS (
-  SELECT cast(floor(o_totalprice / {_QH_WIDTH!r}) AS bigint) AS bucket,
+  SELECT least(cast(floor(o_totalprice / {_QH_WIDTH!r}) AS bigint),
+               {_QH_MAX_BUCKET}) AS bucket,
          cast(count(*) AS bigint) AS n_b
   FROM orders GROUP BY 1
 ),
@@ -822,7 +828,10 @@ def quantile_histogram_sketch(spark, sf_dir):
     n = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
     hist = (
         o.select(
-            F.floor(F.col("o_totalprice") / _QH_WIDTH).cast("long").alias("bucket")
+            F.least(
+                F.floor(F.col("o_totalprice") / _QH_WIDTH).cast("long"),
+                F.lit(_QH_MAX_BUCKET),
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
