@@ -667,34 +667,41 @@ def bpe_train_merges(spark, sf_dir):
 _ATTR_LOOKBACK_DAYS = 7
 
 _ATTR_ORACLE = f"""
-WITH cand AS (
-  SELECT o.o_orderkey, o.o_totalprice, e.event_type, e.ts, e.event_id
-  FROM orders o
-  JOIN events e ON e.user_id = o.o_custkey
-   AND e.ts < cast(o.o_orderdate AS timestamp) + INTERVAL 1 DAY
-   AND e.ts >= cast(o.o_orderdate AS timestamp)
-               - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id, event_type, ts
+  FROM events WHERE event_type <> 'purchase'
+),
+cand AS (
+  SELECT c.conv_id, c.value, t.event_type, t.ts, t.event_id
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+   AND t.ts < c.ts
+   AND t.ts >= c.ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
 ),
 last AS (
-  SELECT o_orderkey, o_totalprice, event_type
+  SELECT conv_id, value, event_type
   FROM cand
-  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+  QUALIFY row_number() OVER (PARTITION BY conv_id
                              ORDER BY ts DESC, event_id DESC) = 1
 ),
 att AS (
   SELECT event_type,
-         cast(count(*) AS bigint) AS n_orders,
-         cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+         cast(count(*) AS bigint) AS n_conversions,
+         cast(round(sum(cast(value AS decimal(28,6))), 2) AS double)
            AS revenue
   FROM last GROUP BY event_type
 ),
 direct AS (
   SELECT 'direct' AS event_type,
-         cast(count(*) AS bigint) AS n_orders,
-         cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+         cast(count(*) AS bigint) AS n_conversions,
+         cast(round(sum(cast(value AS decimal(28,6))), 2) AS double)
            AS revenue
-  FROM orders
-  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM last)
+  FROM conv
+  WHERE conv_id NOT IN (SELECT conv_id FROM last)
 )
 SELECT * FROM att UNION ALL SELECT * FROM direct
 """
@@ -706,48 +713,52 @@ SELECT * FROM att UNION ALL SELECT * FROM direct
     tags=("extension", "events", "attribution"),
 )
 def attribution_last_touch(spark, sf_dir):
-    """Last-touch revenue attribution: each order is credited to the LAST
-    event of its customer in the 7 days up to and including the order date
-    (ties to the higher event_id); orders with no qualifying event fall in
-    the 'direct' bucket. Output: per attributed channel, order count and
-    exact-decimal revenue.
+    """Last-touch conversion attribution: each 'purchase' event (the
+    conversion) is credited to the user's LAST non-purchase event in the
+    preceding 7 days (ties to the higher event_id); conversions with no
+    qualifying touch fall in the 'direct' bucket. Output per channel:
+    conversion count and exact-decimal revenue (sum of purchase values).
 
-    Scale shape: the candidate join is an equi-join on the customer key
-    with a range predicate — never a cross product; the per-order pick is
-    a keyed window (partition by orderkey); the unattributed remainder is
-    a left-anti join on the same key, not a NOT IN scan."""
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    Scale shape: the candidate join is an equi-join on the user key with
+    a range predicate - never a cross product; the per-conversion pick is
+    a keyed window (partition by conversion id); the unattributed
+    remainder is a left-anti join on the same key, not a NOT IN scan."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        "value",
     )
-    e = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "event_type", "ts"
     )
-    od = F.col("o_orderdate").cast("timestamp")
-    cand = o.join(
-        e,
-        (e["user_id"] == o["o_custkey"])
-        & (e["ts"] < od + F.expr("INTERVAL 1 DAY"))
-        & (e["ts"] >= od - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")),
+    cand = conv.join(
+        touch,
+        (touch["user_id"] == conv["c_user"])
+        & (touch["ts"] < conv["c_ts"])
+        & (
+            touch["ts"]
+            >= conv["c_ts"] - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        ),
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("event_id"))
     last = (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("o_orderkey", "o_totalprice", "event_type")
+        .select("conv_id", "value", "event_type")
     )
     att = last.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        rounded_sum("o_totalprice", 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_conversions"),
+        rounded_sum("value", 2).alias("revenue"),
     )
     direct = (
-        o.join(last.select("o_orderkey"), "o_orderkey", "left_anti")
+        conv.join(last.select("conv_id"), "conv_id", "left_anti")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            rounded_sum("o_totalprice", 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_conversions"),
+            rounded_sum("value", 2).alias("revenue"),
         )
-        .select(F.lit("direct").alias("event_type"), "n_orders", "revenue")
+        .select(F.lit("direct").alias("event_type"), "n_conversions", "revenue")
     )
     return att.unionAll(direct)
 
@@ -876,32 +887,38 @@ def quantile_histogram_sketch(spark, sf_dir):
 # --- multi-touch (linear) attribution -----------------------------------------------
 
 _MT_ATTR_ORACLE = f"""
-WITH cand AS (
-  SELECT o.o_orderkey, o.o_totalprice, e.event_type
-  FROM orders o
-  JOIN events e ON e.user_id = o.o_custkey
-   AND e.ts < cast(o.o_orderdate AS timestamp) + INTERVAL 1 DAY
-   AND e.ts >= cast(o.o_orderdate AS timestamp)
-               - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type, ts FROM events WHERE event_type <> 'purchase'
+),
+cand AS (
+  SELECT c.conv_id, c.value, t.event_type
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+   AND t.ts < c.ts
+   AND t.ts >= c.ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
 ),
 shares AS (
-  SELECT o_orderkey, event_type,
+  SELECT conv_id, event_type,
          cast(count(*) AS bigint) AS n_touches_type,
          sum(cast(count(*) AS bigint))
-           OVER (PARTITION BY o_orderkey) AS n_touches_total,
-         any_value(o_totalprice) AS o_totalprice
-  FROM cand GROUP BY o_orderkey, event_type
+           OVER (PARTITION BY conv_id) AS n_touches_total,
+         any_value(value) AS value
+  FROM cand GROUP BY conv_id, event_type
 ),
 credited AS (
   SELECT event_type,
-         -- exact decimal: price * touches_type / touches_total per order,
-         -- quantized to 1e-6 BEFORE the cross-order sum (order-free ints)
-         sum(cast(floor(o_totalprice * n_touches_type / n_touches_total
+         -- exact decimal: value * touches_type / touches_total per
+         -- conversion, quantized to 1e-6 BEFORE the cross-conversion sum
+         sum(cast(floor(value * n_touches_type / n_touches_total
                         * 1000000 + 0.5) AS bigint)) AS rev_q,
-         cast(count(*) AS bigint) AS n_orders_touched
+         cast(count(*) AS bigint) AS n_conversions_touched
   FROM shares GROUP BY event_type
 )
-SELECT event_type, n_orders_touched,
+SELECT event_type, n_conversions_touched,
        floor(cast(rev_q AS double) / 1000000 * 100 + 0.5) / 100
          AS attributed_revenue
 FROM credited
@@ -914,39 +931,47 @@ FROM credited
     tags=("extension", "events", "attribution"),
 )
 def attribution_linear_multi_touch(spark, sf_dir):
-    """Linear multi-touch attribution — the complement of
-    :func:`attribution_last_touch`: every event touching an order inside
-    the 7-day lookback shares the order's revenue proportionally to its
-    touch count, so channels that assist (rather than close) get credit.
-    Per-order shares are quantized to 1e-6 integers BEFORE the cross-order
-    sum, keeping the corpus-wide aggregation order-free and the oracle
-    comparison exact.
+    """Linear multi-touch attribution - the complement of
+    :func:`attribution_last_touch`: every non-purchase event touching a
+    conversion inside the 7-day lookback shares the purchase value
+    proportionally to its touch count, so channels that assist (rather
+    than close) get credit. Per-conversion shares are quantized to 1e-6
+    integers BEFORE the cross-conversion sum, keeping the corpus-wide
+    aggregation order-free and the oracle comparison exact.
 
-    Scale shape: same customer-key equi-join + range predicate as
-    last-touch; the share computation is a keyed aggregate + same-key
-    window (one shuffle on orderkey, reused); final channel rollup is
+    Scale shape: same user-key equi-join + range predicate as last-touch;
+    the share computation is a keyed aggregate + same-key window (one
+    shuffle on the conversion id, reused); final channel rollup is
     map-side combined."""
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        "value",
     )
-    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    od = F.col("o_orderdate").cast("timestamp")
-    cand = o.join(
-        e,
-        (e["user_id"] == o["o_custkey"])
-        & (e["ts"] < od + F.expr("INTERVAL 1 DAY"))
-        & (e["ts"] >= od - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")),
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts"
     )
-    shares = cand.groupBy("o_orderkey", "event_type").agg(
+    cand = conv.join(
+        touch,
+        (touch["user_id"] == conv["c_user"])
+        & (touch["ts"] < conv["c_ts"])
+        & (
+            touch["ts"]
+            >= conv["c_ts"] - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        ),
+    )
+    shares = cand.groupBy("conv_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_touches_type"),
-        F.any_value("o_totalprice").alias("o_totalprice"),
+        F.any_value("value").alias("value"),
     )
-    w = Window.partitionBy("o_orderkey")
+    w = Window.partitionBy("conv_id")
     shares = shares.withColumn(
         "n_touches_total", F.sum("n_touches_type").over(w)
     )
     rev_q = F.floor(
-        F.col("o_totalprice")
+        F.col("value")
         * F.col("n_touches_type")
         / F.col("n_touches_total")
         * 1000000
@@ -956,12 +981,12 @@ def attribution_linear_multi_touch(spark, sf_dir):
         shares.select("event_type", rev_q.alias("rev_q"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_orders_touched"),
+            F.count(F.lit(1)).alias("n_conversions_touched"),
             F.sum("rev_q").alias("rev_q"),
         )
         .select(
             "event_type",
-            "n_orders_touched",
+            "n_conversions_touched",
             round_half_up(F.col("rev_q").cast("double") / 1000000, 2).alias(
                 "attributed_revenue"
             ),
