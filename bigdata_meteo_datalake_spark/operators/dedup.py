@@ -373,3 +373,88 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_rep"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the 100 TB replacement for plain min-label propagation:
+    label propagation needs O(graph diameter) rounds (a path graph of n
+    nodes needs n rounds), while star contractions converge in
+    O(log^2 n) regardless of diameter. Returns (node, cluster_rep).
+
+    Per round over the symmetrized edge list:
+    - large-star: every node points its STRICTLY LARGER neighbors at the
+      minimum of its closed neighborhood m(u) = min(N(u) + {u});
+    - small-star: every node points its smaller-or-equal neighbors and
+      itself at m(u).
+    Both are one groupBy(min) + one join keyed on node id — hash
+    partitioned, hub skew handled by AQE. Convergence is detected by an
+    order-free edge-set checksum (count + sum of a symmetric hash), and
+    the final star edges read out as (node, component-min) directly."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def nmin(ed):
+        return (
+            ed.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+
+    def resym(ed):
+        ed = ed.where(F.col("u") != F.col("v"))
+        return ed.union(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def checksum(ed):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        m = nmin(e)
+        large = (
+            e.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = resym(large.union(m.select("u", F.col("m").alias("v")))).localCheckpoint(
+            eager=True
+        )
+        m = nmin(e)
+        small = (
+            e.join(m, "u")
+            .where(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = resym(small.union(m.select("u", F.col("m").alias("v")))).localCheckpoint(
+            eager=True
+        )
+        cur = checksum(e)
+        if cur == prev:
+            final = nmin(e)
+            return final.select(
+                F.col("u").alias("node"), F.col("m").alias("cluster_rep")
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components_two_phase did not converge in {max_iter} rounds"
+    )

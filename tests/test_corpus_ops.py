@@ -134,3 +134,60 @@ def test_centroid_outlier_fraction(spark):
     for label, grp in got.groupby("label"):
         want = math.ceil(len(grp) * 0.05)
         assert int(grp["is_outlier"].sum()) == want
+
+
+# --- two-phase connected components ------------------------------------------
+
+
+def test_two_phase_cc_agrees_with_label_propagation(spark):
+    """Both CC algorithms must produce identical components on the trade
+    graph (independent algorithms, shared answer)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+    from bigdata_meteo_datalake_spark.sources.lake import read_table
+
+    o = read_table(spark, SF0001, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, SF0001, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    lp = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components(pairs, src_col="a", dst_col="b").collect()
+    }
+    tp = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components_two_phase(
+            pairs, src_col="a", dst_col="b"
+        ).collect()
+    }
+    assert lp == tp
+
+
+def test_two_phase_cc_long_path(spark):
+    """A 60-node path graph: diameter 59. Label propagation needs ~59
+    rounds (more than its cap); star contraction must finish well inside
+    20 and still find the single component."""
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(100, 101), (101, 102)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components_two_phase(edges).collect()
+    }
+    assert all(got[i] == 0 for i in range(61))
+    assert all(got[i] == 100 for i in (100, 101, 102))
