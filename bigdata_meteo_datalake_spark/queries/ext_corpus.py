@@ -1216,3 +1216,91 @@ def cc_trade_graph_two_phase(spark, sf_dir):
     return connected_components_two_phase(
         pairs, src_col="cust", dst_col="supp"
     ).select("node", "cluster_rep")
+
+
+# --- co-purchase item-item similarity -----------------------------------------------
+
+_COP_TOP_K = 3
+
+_COPURCHASE_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+co AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, cast(count(*) AS bigint) AS n_ab
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+freq AS (
+  SELECT pk, cast(count(*) AS bigint) AS n FROM op GROUP BY pk
+),
+scored AS (
+  SELECT co.part_a, co.part_b, co.n_ab,
+         floor(cast(co.n_ab AS double)
+               / sqrt(cast(fa.n * fb.n AS double)) * 1000000 + 0.5) / 1000000
+           AS cosine
+  FROM co
+  JOIN freq fa ON fa.pk = co.part_a
+  JOIN freq fb ON fb.pk = co.part_b
+)
+SELECT part_a, part_b, n_ab, cosine
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY part_a ORDER BY cosine DESC, part_b) AS rn
+  FROM scored
+) WHERE rn <= {_COP_TOP_K}
+"""
+
+
+@register(
+    "copurchase_item_similarity",
+    oracle=_COPURCHASE_ORACLE,
+    tags=("extension", "similarity", "recsys"),
+)
+def copurchase_item_similarity(spark, sf_dir):
+    """Item-item co-purchase similarity (the classic recommender
+    primitive): for every part, the top-3 parts most often bought in the
+    same order, scored by cosine over co-occurrence counts
+    n_ab / sqrt(n_a * n_b).
+
+    Scale shape: the pair generation is a SELF-JOIN ON THE ORDER KEY,
+    whose cost is sum over orders of (parts-per-order choose 2) — linear
+    in orders because basket size is bounded (TPC-H: <= 7 lineitems), the
+    property that makes co-occurrence mining feasible at 100 TB where an
+    item-item cross join never is. Count aggregates are map-side combined;
+    the per-item frequency table joins back keyed; top-k is a keyed
+    window. All-integer counts until one double division and an
+    IEEE-exact sqrt."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    freq = li.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("n"))
+    fa = freq.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))
+    scored = (
+        co.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            round_half_up(
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("cosine"), F.asc("part_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _COP_TOP_K)
+        .drop("rn")
+    )
