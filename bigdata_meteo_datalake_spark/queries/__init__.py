@@ -53,19 +53,24 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 
-def _driver_confirmed() -> frozenset[str]:
-    """Union of every green row in every CORRECTNESS_r*.json the driver has
-    written so far (rows_match/schema_match/hash_match all true, or the
+def _driver_confirmed_rounds() -> dict[str, int]:
+    """Map query name -> the NEWEST round whose CORRECTNESS_r*.json holds a
+    green row for it (rows_match/schema_match/hash_match all true, or the
     rows-only no_oracle check). Reading the files at import time makes the
-    sweep rotation automatic: each round, queries that have never had a
-    driver row sort ahead of already-confirmed ones, driven purely by the
-    on-disk driver artifacts (no hand-maintained list to drift)."""
+    sweep rotation automatic and age-aware: queries with no driver row ever
+    sort first, then confirmed ones oldest-evidence-first — so rows that
+    predate a testdata regeneration age back into the sweep instead of
+    counting as confirmed forever. Driven purely by the on-disk driver
+    artifacts (no hand-maintained list to drift)."""
     import json
+    import re
     from pathlib import Path
 
-    confirmed: set[str] = set()
+    newest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.stem)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -76,29 +81,17 @@ def _driver_confirmed() -> frozenset[str]:
             green = r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
             rows_only_ok = r.get("err") == "no_oracle" and r.get("spark_rows") is not None
             if green or rows_only_ok:
-                confirmed.add(name)
-    return frozenset(confirmed)
-
-
-def _sweep_group(name: str, q: Query, confirmed: frozenset[str]) -> int:
-    """Driver-sweep priority: 0 = queries with no driver correctness row
-    yet (a first row is the highest-value evidence the cap can buy; stable
-    sort keeps earlier-registered queries ahead of same-round additions),
-    1 = core parity surface (re-confirmed whenever the cap has room — and
-    automatically back at the front once everything has a row), 2 =
-    already-driver-confirmed overflow."""
-    if name not in confirmed:
-        return 0
-    module = q.fn.__module__.rsplit(".", 1)[-1]
-    return 1 if module.startswith("parity_") else 2
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
 
 
 def _load_all() -> None:
     """Import every query module exactly once (population side-effect),
     then order the registry for the driver's 50-entry correctness sweep
-    (registry order IS sweep order): parity surface first, then queries
-    that have never had a driver row, then round-1-confirmed overflow —
-    stable within each group, so registration order still breaks ties.
+    (registry order IS sweep order): never-driver-confirmed queries first,
+    then confirmed queries by the round of their newest green row ascending
+    (oldest evidence re-confirms first) — stable within each age bucket, so
+    registration order still breaks ties.
     """
     global _LOADED
     if _LOADED:
@@ -138,8 +131,10 @@ def _load_all() -> None:
     # still waiting for their first driver row keep sweep priority.
     from . import ext_corpus  # noqa: F401
 
-    confirmed = _driver_confirmed()
-    ordered = sorted(REGISTRY.items(), key=lambda kv: _sweep_group(*kv, confirmed))
+    newest = _driver_confirmed_rounds()
+    # never-confirmed queries carry round 0, sorting ahead of everything;
+    # among confirmed ones, round-1-era evidence re-sweeps before round-3's.
+    ordered = sorted(REGISTRY.items(), key=lambda kv: newest.get(kv[0], 0))
     REGISTRY.clear()
     REGISTRY.update(ordered)
     _LOADED = True
