@@ -61,7 +61,7 @@ def token_hash_sql(expr: str) -> str:
 
 
 def word_tokens(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+")
 
 
 # widen() graduated to sources/lake.py (generic scan utility, also used by
@@ -381,6 +381,7 @@ def connected_components_two_phase(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 20,
+    distinct_bipartite_input: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce and
@@ -396,8 +397,26 @@ def connected_components_two_phase(
       itself at m(u).
     Both are one groupBy(min) + one join keyed on node id — hash
     partitioned, hub skew handled by AQE. Convergence is detected by an
-    order-free edge-set checksum (count + sum of a symmetric hash), and
-    the final star edges read out as (node, component-min) directly."""
+    order-free edge-set checksum (count + sum of a symmetric hash) that
+    rides the checkpoint materialization job via ``df.observe`` — zero
+    extra scans per round — and the final star edges read out as
+    (node, component-min) directly."""
+    from pyspark.sql import Observation
+
+    def checkpoint_with_checksum(ed):
+        """Materialize one round's edge set eagerly (cuts lineage so each
+        round's plan stays constant-size) and collect the convergence
+        checksum ON the same job: the Observation accumulates during the
+        checkpoint scan, so convergence detection costs no extra action."""
+        obs = Observation()
+        observed = ed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return observed, (got["n"], got["h"])
+
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("u"),
@@ -405,8 +424,15 @@ def connected_components_two_phase(
         )
         .where(F.col("u") != F.col("v"))
     )
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # ``distinct_bipartite_input``: the caller guarantees the edge list is
+    # already distinct AND src/dst draw from disjoint id spaces — then the
+    # symmetrized union cannot contain duplicates and the initial
+    # corpus-wide dedup exchange is pure waste. (The per-round resym
+    # distincts below always run: they ARE the contraction.)
+    if not distinct_bipartite_input:
+        e = e.distinct()
+    e, prev = checkpoint_with_checksum(e)
 
     def nmin(ed):
         return (
@@ -421,14 +447,6 @@ def connected_components_two_phase(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
 
-    def checksum(ed):
-        row = ed.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev = checksum(e)
     for _ in range(max_iter):
         m = nmin(e)
         large = (
@@ -445,10 +463,9 @@ def connected_components_two_phase(
             .where(F.col("v") < F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = resym(small.union(m.select("u", F.col("m").alias("v")))).localCheckpoint(
-            eager=True
+        e, cur = checkpoint_with_checksum(
+            resym(small.union(m.select("u", F.col("m").alias("v"))))
         )
-        cur = checksum(e)
         if cur == prev:
             final = nmin(e)
             return final.select(

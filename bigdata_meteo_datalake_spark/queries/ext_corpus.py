@@ -29,7 +29,7 @@ _SPAN_TOKENS = 8
 
 _SPAN_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
   FROM documents
 ),
 spans_list AS (
@@ -86,7 +86,7 @@ def span_dedup_report(spark, sf_dir):
     restored by the doc_id-keyed left join). Everything before it is
     in-row array math inside codegen."""
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     nsp = F.floor(F.size(toks) / F.lit(_SPAN_TOKENS)).cast("int")
     spans = F.when(
         nsp >= 1,
@@ -142,7 +142,7 @@ tot AS (
 )
 SELECT lang, n_docs,
        floor(cast(n_docs AS double) / n_total * 1000000 + 0.5) / 1000000
-         AS share_pct,
+         AS share_frac,
        floor(sqrt(cast(n_docs AS double) / n_max) * 1000000 + 0.5) / 1000000
          AS rel_weight,
        floor(sqrt(cast(n_max AS double) / n_docs) * 1000000 + 0.5) / 1000000
@@ -160,8 +160,14 @@ def lang_balance_weights(spark, sf_dir):
     """Temperature-balanced multilingual sampling weights (the multilingual
     pretraining recipe: raise per-language probabilities to T=0.5 so
     low-resource languages are upsampled without drowning the head): per
-    language, corpus share, relative sampling weight sqrt(n/n_max), and
-    the upsampling factor sqrt(n_max/n) vs proportional sampling.
+    language, corpus share (``share_frac``, a 0-1 fraction), relative
+    sampling weight sqrt(n/n_max), and the upsampling factor sqrt(n_max/n)
+    vs proportional sampling.
+
+    Naming convention: ratio columns in this repo are 0-1 fractions; new
+    columns say ``_frac``. The surviving ``_pct`` names (``mkt_share_pct``,
+    ``erased_row_pct``) are also fractions — kept for TPC-H Q8 naming
+    parity, documented here once.
 
     T=0.5 exactly BECAUSE sqrt is IEEE-correctly-rounded in every engine
     while pow(x, 0.3) is libm-dependent — the one temperature with
@@ -179,7 +185,7 @@ def lang_balance_weights(spark, sf_dir):
         "lang",
         "n_docs",
         round_half_up(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
-            "share_pct"
+            "share_frac"
         ),
         round_half_up(
             F.sqrt(F.col("n_docs").cast("double") / F.col("n_max")), 6
@@ -526,7 +532,7 @@ _BPE_ORACLE = (
 WITH words AS (
   SELECT w AS word, cast(count(*) AS bigint) AS freq
   FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS w
     FROM documents
   )
   WHERE length(w) > 0 GROUP BY w
@@ -578,7 +584,7 @@ def bpe_train_merges(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias(
                 "word"
             )
         )
@@ -1214,7 +1220,12 @@ def cc_trade_graph_two_phase(spark, sf_dir):
         .distinct()
     )
     return connected_components_two_phase(
-        pairs, src_col="cust", dst_col="supp"
+        pairs,
+        src_col="cust",
+        dst_col="supp",
+        # pairs is .distinct() and cust/supp id spaces are disjoint (supp
+        # offset), so the operator skips its initial dedup exchange
+        distinct_bipartite_input=True,
     ).select("node", "cluster_rep")
 
 

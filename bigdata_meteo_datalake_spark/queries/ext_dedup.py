@@ -77,7 +77,7 @@ _JACCARD_THRESHOLD = 0.6
 
 _NGRAM_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
   FROM documents
 ),
 grams AS (
@@ -158,7 +158,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -230,7 +230,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 def _prefix_filter_oracle() -> str:
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -316,7 +316,7 @@ def _simhash_oracle() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+'))) AS tok
   FROM documents
 ),
 h AS (SELECT doc_id, {h} AS h FROM toks),
@@ -426,11 +426,11 @@ def _quality_survivors_oracle() -> str:
 WITH quality AS (
   SELECT doc_id,
          floor((0.5 * least(cast(length(text) AS double) / 400.0, 1.0)
-              + 0.3 * least(cast(len(string_split_regex(trim(text), '\\s+'))
+              + 0.3 * least(cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))
                                  AS double) / 80.0, 1.0)
               + 0.2 * (1.0 - least(
-                    cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS double)
-                    / cast(len(string_split_regex(trim(text), '\\s+')) AS double),
+                    cast(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS double)
+                    / cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS double),
                     1.0))) * 10000 + 0.5) / 10000 AS quality_score
   FROM documents
 ),

@@ -127,9 +127,16 @@ p AS (
          list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
            / (a.nrm * b.nrm) AS cos_raw
   FROM n a, n b WHERE a.vec_id < b.vec_id
+),
+cov AS (
+  SELECT cast(sum(CASE WHEN vec_id < {_NEAR_DUP_MAX_ID} THEN 1 ELSE 0 END)
+              AS bigint) AS n_vecs_covered,
+         cast(count(*) AS bigint) AS n_vecs_total
+  FROM embeddings
 )
-SELECT vec_a, vec_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine
-FROM p WHERE cos_raw >= {_NEAR_DUP_THRESHOLD}
+SELECT vec_a, vec_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine,
+       n_vecs_covered, n_vecs_total
+FROM p, cov WHERE cos_raw >= {_NEAR_DUP_THRESHOLD}
 """
 
 
@@ -137,12 +144,20 @@ FROM p WHERE cos_raw >= {_NEAR_DUP_THRESHOLD}
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the semantic-dedup operator):
     all-pairs cosine >= threshold over a bounded id range. The quadratic
-    form is the correctness baseline; emb_lsh_topk below is the scale path."""
-    emb = widen(
-        read_table(spark, sf_dir, "embeddings").where(
-            F.col("vec_id") < _NEAR_DUP_MAX_ID
-        )
+    form is the correctness baseline; emb_lsh_topk below is the scale path.
+
+    No silent caps: the vec_id < {cap} bound covers a shrinking corpus
+    fraction at larger SFs, so every emitted pair carries the coverage as
+    (n_vecs_covered, n_vecs_total) columns — a consumer can see exactly how
+    much of the corpus the quadratic baseline scanned."""
+    emb_all = read_table(spark, sf_dir, "embeddings")
+    cover = emb_all.agg(
+        F.sum(
+            F.when(F.col("vec_id") < _NEAR_DUP_MAX_ID, 1).otherwise(0)
+        ).cast("long").alias("n_vecs_covered"),
+        F.count(F.lit(1)).alias("n_vecs_total"),
     )
+    emb = widen(emb_all.where(F.col("vec_id") < _NEAR_DUP_MAX_ID))
     v = _double_vec()
     base = emb.select(F.col("vec_id"), v.alias("v"), _norm(v).alias("nrm"))
     a = base.select(
@@ -157,6 +172,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
         .where(F.col("vec_a") < F.col("vec_b"))
         .where(cos_raw >= _NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(cos_raw, 4).alias("cosine"))
+        .crossJoin(F.broadcast(cover))
     )
 
 

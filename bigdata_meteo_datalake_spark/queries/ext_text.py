@@ -36,9 +36,9 @@ def _stop_list_sql() -> str:
 SELECT doc_id,
        lang,
        cast(length(text) AS integer) AS n_chars_calc,
-       cast(len(string_split_regex(trim(text), '\\s+')) AS integer) AS n_ws_tokens,
+       cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS integer) AS n_ws_tokens,
        cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS integer) AS n_word_tokens,
-       cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS integer) AS n_punct
+       cast(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS integer) AS n_punct
 FROM documents
 """,
     tags=("extension", "text"),
@@ -51,11 +51,11 @@ def text_stats(spark, sf_dir):
         "doc_id",
         "lang",
         F.length("text").cast("int").alias("n_chars_calc"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("int").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)))
         .cast("int")
         .alias("n_word_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9 \t\n\r\f]"), F.lit(0)))
         .cast("int")
         .alias("n_punct"),
     )
@@ -69,7 +69,7 @@ def text_stats(spark, sf_dir):
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') AS t
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
   FROM documents
 )
 SELECT doc_id,
@@ -87,7 +87,7 @@ def text_language_id(spark, sf_dir):
     a threshold classifier (n-gram/stopword heuristic per the extension
     spec). Ratio is int/int -> one double division, bit-stable vs oracle."""
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
     ratio = hits.cast("double") / F.size(toks)
     return d.select(
@@ -106,8 +106,8 @@ def text_language_id(spark, sf_dir):
 WITH feat AS (
   SELECT doc_id,
          cast(length(text) AS double) AS n_chars,
-         cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS n_tokens,
-         cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS double) AS n_punct
+         cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS double) AS n_tokens,
+         cast(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS double) AS n_punct
   FROM documents
 )
 SELECT doc_id,
@@ -125,9 +125,9 @@ def text_quality_score(spark, sf_dir):
     (the classic pretraining-data heuristic filter), plus a keep/drop flag."""
     d = read_table(spark, sf_dir, "documents")
     n_chars = F.length("text").cast("double")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("double")
     n_punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0))
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9 \t\n\r\f]"), F.lit(0))
     ).cast("double")
     score = (
         0.5 * F.least(n_chars / 400.0, F.lit(1.0))
@@ -264,7 +264,7 @@ def search_documents_match(spark, sf_dir):
     "token_frequency_topk",
     oracle="""
 WITH toks AS (
-  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 )
 SELECT tok, count(*) AS n
@@ -283,7 +283,7 @@ def token_frequency_topk(spark, sf_dir):
     the whole vocabulary on a single task."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("tok")).limit(20).select("tok", "n")
@@ -296,7 +296,7 @@ def token_frequency_topk(spark, sf_dir):
     "text_bigram_lm_score",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 bigrams AS (
   SELECT doc_id,
@@ -333,7 +333,7 @@ def text_bigram_lm_score(spark, sf_dir):
     broadcast side of the scoring join."""
     d = read_table(spark, sf_dir, "documents")
     # not doc_shingles: that dedups shingles per doc, the LM needs multiplicity
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     bg_arr = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
@@ -381,7 +381,7 @@ def text_bigram_lm_score(spark, sf_dir):
     "text_repetition_metrics",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id, t,
@@ -420,7 +420,7 @@ def text_repetition_metrics(spark, sf_dir):
     moves a byte. (The per-doc count is O(distinct x n) on ~100-token web
     docs; an explode+groupBy twin would trade that for a corpus shuffle.)"""
     d = read_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     g = d.select(
         "doc_id",
         t.alias("t"),
@@ -470,7 +470,7 @@ _TFIDF_TOPK = 3
     "tfidf_top_terms",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 ),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -509,7 +509,7 @@ def tfidf_top_terms(spark, sf_dir):
     n_docs = d.count()  # driver-side scalar: one tiny count, reused as a literal
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
@@ -540,7 +540,7 @@ def tfidf_top_terms(spark, sf_dir):
     "text_unigram_entropy",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 scored AS (
   SELECT doc_id,
@@ -568,7 +568,7 @@ def text_unigram_entropy(spark, sf_dir):
     term is int64-quantized before the fold, making the sum independent of
     the (engine-specific) distinct-token enumeration order."""
     d = read_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     n = F.size(t).cast("double")
 
     def term(w):
@@ -595,7 +595,7 @@ def text_unigram_entropy(spark, sf_dir):
     "oov_rate_top_vocab",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 ),
 vocab AS (
@@ -625,7 +625,7 @@ def oov_rate_top_vocab(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("tok"),
     )
     vocab = (
         toks.groupBy("tok")
@@ -699,7 +699,7 @@ _PMI_TOPK = 20
 _PMI_ORACLE = f"""
 WITH tokd AS (
   SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS tok
     FROM documents
   ) WHERE tok <> ''
 ),
@@ -752,7 +752,7 @@ def token_pmi_top_pairs(spark, sf_dir):
     tokd = (
         d.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("tok"),
         )
         .where(F.col("tok") != "")
         .distinct()

@@ -62,7 +62,7 @@ _PACK_SHARDS = 16
 WITH toks AS (
   SELECT doc_id,
          {token_hash_sql("cast(doc_id AS varchar)")} % {_PACK_SHARDS} AS shard,
-         cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens
+         cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS bigint) AS n_tokens
   FROM documents
 ),
 runs AS (
@@ -86,7 +86,7 @@ def pack_documents_token_budget(spark, sf_dir):
     onto one task. pack_id composes (shard, pack-within-shard) so ids stay
     globally unique and reproducible across runs and cluster sizes."""
     d = read_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long")
     shard = token_hash(F.col("doc_id").cast("string")) % _PACK_SHARDS
     toks = d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
     w = (
@@ -139,7 +139,7 @@ def mix_sources_deterministic(spark, sf_dir):
 
 _CONTAM_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -245,7 +245,7 @@ _CHUNK_STRIDE = 48
     "chunk_documents_stride",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 )
 SELECT doc_id,
        cast(s // {_CHUNK_STRIDE} AS bigint) AS chunk_idx,
@@ -263,7 +263,7 @@ def chunk_documents_stride(spark, sf_dir):
     scan with zero shuffles at any scale; chunk identity
     (doc_id, chunk_idx) is deterministic for resumable backfills."""
     d = read_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_STRIDE))
     chunks = d.select(
         "doc_id", t.alias("t"), F.explode(starts).alias("s")
@@ -326,7 +326,7 @@ _CDC_MASK = 8  # boundary where hash(3-gram) % 8 == 0 -> ~1 boundary per 8 token
     "chunk_documents_content_defined",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 bounds AS (
   SELECT doc_id, t,
@@ -367,7 +367,7 @@ def content_defined_chunks(d):
     """The operator itself, over any DataFrame with (doc_id, text)."""
     from ..operators.dedup import token_hash as _th
 
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     toks = d.select("doc_id", t.alias("t"))
     gram = lambda i: F.concat_ws(
         " ",
@@ -467,7 +467,7 @@ WITH split AS (
   FROM documents
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -619,7 +619,7 @@ def _lb_cap_sql(expr: str) -> str:
 _LB_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
-         cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens
+         cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS bigint) AS n_tokens
   FROM documents
 ),
 b AS (
@@ -649,7 +649,7 @@ def length_bucket_batches(spark, sf_dir):
     the whitespace token count matches pack_documents_token_budget's
     formula so the two operators compose."""
     d = read_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long")
     cap = F.lit(2 * _LB_CAPS[-1])
     for c in reversed(_LB_CAPS):
         cap = F.when(n_tokens <= c, c).otherwise(cap)

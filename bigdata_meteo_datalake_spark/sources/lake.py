@@ -127,13 +127,25 @@ def write_observed(
 
 def widen(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row stages don't run on a handful of partitions:
-    a small parquet table arrives as ONE input split (maxPartitionBytes),
-    which serializes expression-heavy work on a single core. Only widens —
-    never reduces an already-parallel input (at real scale the scan is
-    already wide and this is a no-op)."""
-    current = df.rdd.getNumPartitions()
+    a small parquet table arrives as ONE input split — and a single-row-group
+    file cannot be split finer by ``maxPartitionBytes``, so only an explicit
+    repartition redistributes its rows — which serializes expression-heavy
+    work on a single core. Only widens — never reduces an already-parallel
+    input (at real scale the scan has >= cores files and this is a no-op).
+
+    The probe is ``df.inputFiles()``: a driver-side read of the scan's
+    already-materialized file index — no RDD conversion, no job, unlike the
+    previous ``df.rdd.getNumPartitions()`` which built the Python RDD
+    bridge on every read (round-3 advice). File count lower-bounds split
+    count, so the no-op branch is taken exactly when the scan is provably
+    wide; non-file inputs (in-memory relations) report 0 files and widen,
+    which is the safe direction for a CPU-heavy downstream stage."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if current < target else df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans: treat as narrow
+        n_files = 0
+    return df.repartition(target) if n_files < target else df
 
 
 def write_bucketed(

@@ -297,19 +297,28 @@ def stream_ewma_truncated(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
         out_b, out_v, out_e = [], [], []
         for bucket, val in zip(rows["bucket"], rows["obs_avg"]):
+            # a NULL hourly obs_avg arrives as NaN: the batch expression
+            # coalesces the term to +0.0 and drops its coefficient from the
+            # normalizer, so a NaN lag must behave exactly like a missing
+            # one here — it is carried in hist (it occupies a bucket slot)
+            # but never enters the weighted sum.
             vals = [float(val)] + hist
             numer = 0.0
             denom = 0.0
             for j, c in enumerate(coefs):
-                if j < len(vals):
+                if j < len(vals) and not math.isnan(vals[j]):
                     numer = numer + c * vals[j]
                     denom = denom + c
                 else:
                     numer = numer + c * 0.0
                     denom = denom + 0.0
             out_b.append(bucket)
-            out_v.append(val)
-            out_e.append(math.floor(numer / denom * 10000 + 0.5) / 10000)
+            out_v.append(None if math.isnan(float(val)) else val)
+            ewma = numer / denom  # NaN when every lag in the horizon is NULL,
+            out_e.append(         # matching the batch 0.0/0.0 division
+                ewma if math.isnan(ewma)
+                else math.floor(ewma * 10000 + 0.5) / 10000
+            )
             hist = vals[: lags - 1]
         state.update((hist,))
         yield pd.DataFrame(

@@ -124,7 +124,7 @@ def main() -> None:
         print(f"  {r['split']:>5} / {r['source']:<12} {r['n_docs']:>6} docs")
     for r in weights.orderBy("lang").collect():
         print(
-            f"  lang {r['lang']}: share {r['share_pct']:.4f} "
+            f"  lang {r['lang']}: share {r['share_frac']:.4f} "
             f"upsample x{r['upsample_factor']:.3f}"
         )
     print(

@@ -611,3 +611,86 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
         check_dtype=False,
         check_exact=True,  # IEEE-identical, not approximately equal
     )
+
+
+def test_stream_ewma_null_obs_matches_batch(spark, tmp_path):
+    """A NULL hourly obs_avg (NaN in the pandas kernel) must mirror the
+    batch semantics — contribute +0.0 to the weighted sum and drop its
+    coefficient from the normalizer — including when the NULL is carried
+    in state across a micro-batch boundary (round-3 advice)."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.functions.numeric import round_half_up
+    from bigdata_meteo_datalake_spark.queries.ext_corpus import _EWMA_COEF
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_ewma_truncated
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    series = [1.0, None, 2.0, None, None, 4.0, 0.5, None]
+    rows = [
+        ("click", t0 + datetime.timedelta(hours=i), v)
+        for i, v in enumerate(series)
+    ]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, obs_avg double"
+    )
+
+    # the batch 12-lag expression from ts_ewma_12h, applied to the same series
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    numer, denom = F.lit(0.0), F.lit(0.0)
+    for j, c in enumerate(_EWMA_COEF):
+        lag = F.col("obs_avg") if j == 0 else F.lag("obs_avg", j).over(w)
+        numer = numer + F.lit(c) * F.coalesce(lag, F.lit(0.0))
+        denom = denom + F.when(lag.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
+    want = (
+        hourly.select(
+            "event_type", "bucket", "obs_avg",
+            round_half_up(numer / denom, 4).alias("ewma_12h"),
+        )
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+    # stream the series in two micro-batches split right after a NULL, so
+    # the NaN sits in carried state when the second batch arrives
+    src = str(tmp_path / "ewma_null_src")
+    out = str(tmp_path / "ewma_null_out")
+    split = t0 + datetime.timedelta(hours=3)  # rows 0-3 (ends on a NULL)
+    hourly.where(F.col("bucket") <= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(hourly.schema).parquet(src)
+        q = (
+            stream_ewma_truncated(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "ewma_null_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    hourly.where(F.col("bucket") > F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "bucket", "obs_avg", "ewma_12h"]],
+        want[["event_type", "bucket", "obs_avg", "ewma_12h"]],
+        check_dtype=False,
+        check_exact=True,
+    )
