@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "sessionize_events",
     "topk_orders_per_status",
     "asof_latest_order_per_event",
+    # round-4 additions: the newer scale-critical paths (round-3 verdict #5)
+    "dedup_jaccard_prefix_filter",
+    "span_dedup_report",
+    "cc_trade_graph_two_phase",
+    "hll_distinct_users",
 ]
 
 
