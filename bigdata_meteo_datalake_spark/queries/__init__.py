@@ -131,6 +131,10 @@ def _load_all() -> None:
     # still waiting for their first driver row keep sweep priority.
     from . import ext_corpus  # noqa: F401
 
+    # round-4 additions (PII, filter cascade, incremental dedup, shard
+    # manifests) — never-confirmed queries auto-sort to the sweep head.
+    from . import ext_governance  # noqa: F401
+
     newest = _driver_confirmed_rounds()
     # never-confirmed queries carry round 0, sorting ahead of everything;
     # among confirmed ones, round-1-era evidence re-sweeps before round-3's.

@@ -1,0 +1,420 @@
+"""Corpus-governance extension queries (round 4): PII scan/redaction,
+C4/Gopher-style filter cascade, incremental batch dedup, and content-stable
+shard manifests — the governance layer between "curated corpus" and
+"shippable training data". No reference counterpart (north-star
+LLM-pipeline surface, SURVEY.md section 2.7); designed Spark-first.
+
+Determinism: every hash is md5-derived (identical in Spark and DuckDB),
+regexes use only the cross-engine-identical subset (explicit character
+classes — Java regex and RE2 agree; never ``\\s``/``\\w``/``\\b`` shorthand,
+whose class membership differs between engines), and ratio thresholds
+compare doubles produced by the identical division in both engines.
+
+The test corpus contains no real PII (synthetic word-salad, digit-free),
+so the PII queries inject deterministic doc_id-derived PII into a fixed
+subset of documents first — mirrored exactly in the oracle — making the
+scan/redact logic verifiable with non-zero matches. The injection is the
+fixture; the operator under test is the scan/redaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+from ..operators.dedup import token_hash, token_hash_sql, word_tokens
+from ..sources.lake import read_table, widen
+from . import register
+
+# --- PII scan + redaction ------------------------------------------------------------
+
+#: cross-engine-identical patterns (explicit classes only; no shorthand)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _augmented_sql() -> str:
+    """Deterministic PII injection, SQL form (the DuckDB twin of
+    :func:`_augmented_col`): emails into doc_id % 5 == 0, phones into
+    % 7 == 0, IPv4 into % 11 == 0."""
+    return """
+  concat(text,
+    CASE WHEN doc_id % 5 = 0 THEN
+      concat(' reach user', cast(doc_id AS varchar), '@mail.example.com soon')
+    ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN
+      concat(' call 555-', lpad(cast((doc_id * 37) % 1000 AS varchar), 3, '0'),
+             '-', lpad(cast((doc_id * 91) % 10000 AS varchar), 4, '0'))
+    ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN
+      concat(' host 10.', cast(doc_id % 256 AS varchar),
+             '.', cast((doc_id * 3) % 256 AS varchar),
+             '.', cast((doc_id * 7) % 256 AS varchar), ' up')
+    ELSE '' END)
+"""
+
+
+def _augmented_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@mail.example.com soon"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(((did * 37) % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((did * 91) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 3) % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit(" up"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, {_augmented_sql()} AS t FROM documents
+)
+SELECT doc_id,
+       cast(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS bigint) AS n_emails,
+       cast(len(regexp_extract_all(t, '{_PHONE_RE}')) AS bigint) AS n_phones,
+       cast(len(regexp_extract_all(t, '{_IP_RE}')) AS bigint) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+@register(
+    "pii_scan_report",
+    oracle=_PII_ORACLE,
+    tags=("extension", "governance", "pii"),
+)
+def pii_scan_report(spark, sf_dir):
+    """PII scan + redaction over the corpus: per document, counts of
+    email / phone / IPv4 matches and the md5 fingerprint of the fully
+    redacted text (emails -> <EMAIL>, phones -> <PHONE>, IPs -> <IP>,
+    applied in that fixed order). The fingerprint proves the redaction
+    byte-for-byte, not just the match counts.
+
+    Scale shape: pure in-row regex work inside whole-stage codegen — zero
+    shuffles, embarrassingly parallel over input splits; the exact shape
+    a 100 TB PII pass needs. Patterns stick to the cross-engine-safe
+    explicit-class subset."""
+    d = widen(read_table(spark, sf_dir, "documents"))
+    t = _augmented_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- C4/Gopher-style filter cascade --------------------------------------------------
+
+_MIN_TOKENS = 20
+_MAX_UNIGRAM_FRAC = 0.14
+_TARGET_LANG = "en"
+
+_CASCADE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, lang, len(t) AS n_tok,
+         list_max(list_transform(list_distinct(t),
+                                 x -> len(list_filter(t, y -> y = x)))) AS max_cnt
+  FROM toks
+),
+verdicts AS (
+  SELECT doc_id,
+         CASE WHEN n_tok < {_MIN_TOKENS} THEN 'too_short'
+              WHEN lang <> '{_TARGET_LANG}' THEN 'non_target_lang'
+              WHEN cast(max_cnt AS double) / n_tok > {_MAX_UNIGRAM_FRAC!r}
+                THEN 'repetitive'
+              ELSE 'pass' END AS verdict
+  FROM stats
+)
+"""
+
+
+def _cascade_verdicts(spark, sf_dir):
+    d = widen(read_table(spark, sf_dir, "documents"))
+    t = word_tokens(F.col("text"))
+    stats = d.select(
+        "doc_id",
+        "lang",
+        F.size(t).alias("n_tok"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda x: F.size(F.filter(t, lambda y: y == x)),
+            )
+        ).alias("max_cnt"),
+    )
+    return stats.select(
+        "doc_id",
+        F.when(F.col("n_tok") < _MIN_TOKENS, "too_short")
+        .when(F.col("lang") != _TARGET_LANG, "non_target_lang")
+        .when(
+            F.col("max_cnt").cast("double") / F.col("n_tok")
+            > F.lit(_MAX_UNIGRAM_FRAC),
+            "repetitive",
+        )
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "filter_cascade_report",
+    oracle=_CASCADE_CTE + "SELECT doc_id, verdict FROM verdicts",
+    tags=("extension", "governance", "quality", "filter"),
+)
+def filter_cascade_report(spark, sf_dir):
+    """C4/Gopher-style quality filter cascade with first-failing-rule
+    attribution: every document gets exactly one verdict — the first rule
+    it fails (too_short -> non_target_lang -> repetitive) or 'pass'.
+    First-fail attribution is what makes rule-tuning possible: it tells
+    you which rule to loosen to recover the most data.
+
+    The repetition signal (max unigram fraction) is computed IN-ROW via a
+    transform over the distinct-token array — O(v*n) per row with tiny v,
+    zero shuffles; the whole cascade is one codegen stage over the scan."""
+    return _cascade_verdicts(spark, sf_dir)
+
+
+@register(
+    "filter_cascade_summary",
+    oracle=_CASCADE_CTE
+    + """
+SELECT verdict, cast(count(*) AS bigint) AS n_docs,
+       floor(cast(count(*) AS double)
+             / (SELECT count(*) FROM documents) * 1000000 + 0.5) / 1000000
+         AS share_frac
+FROM verdicts GROUP BY verdict
+""",
+    tags=("extension", "governance", "quality", "filter"),
+)
+def filter_cascade_summary(spark, sf_dir):
+    """Aggregate view of the filter cascade: documents and corpus share
+    per verdict — the rejection-budget dashboard a data curator reads
+    before shipping a corpus snapshot (one count aggregate, map-side
+    combined, over the in-row cascade)."""
+    verdicts = _cascade_verdicts(spark, sf_dir)
+    tot = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        verdicts.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "verdict",
+            "n_docs",
+            round_half_up(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("share_frac"),
+        )
+    )
+
+
+# --- incremental batch dedup ---------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 is the incoming batch (~20%), rest is the corpus
+_TILE_TOKENS = 8
+
+_INC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(t) // {_TILE_TOKENS} + 1),
+           i -> md5(array_to_string(
+                  list_slice(t, (i - 1) * {_TILE_TOKENS} + 1,
+                             (i - 1) * {_TILE_TOKENS} + {_TILE_TOKENS}), ' '))
+         )) AS hs
+  FROM toks
+),
+new_tiles AS (
+  SELECT doc_id, unnest(hs) AS h FROM tiles WHERE doc_id % {_INC_MOD} = 0
+),
+old_tiles AS (
+  SELECT DISTINCT unnest(hs) AS h FROM tiles WHERE doc_id % {_INC_MOD} <> 0
+),
+shared AS (
+  SELECT n.doc_id, cast(count(*) AS bigint) AS n_shared_tiles
+  FROM new_tiles n JOIN old_tiles o ON n.h = o.h
+  GROUP BY n.doc_id
+),
+old_md5 AS (
+  SELECT DISTINCT md5(text) AS m FROM documents WHERE doc_id % {_INC_MOD} <> 0
+)
+SELECT d.doc_id,
+       (om.m IS NOT NULL) AS is_exact_dup,
+       coalesce(s.n_shared_tiles, 0) AS n_shared_tiles,
+       (coalesce(s.n_shared_tiles, 0) >= 1) AS is_near_dup
+FROM documents d
+LEFT JOIN old_md5 om ON md5(d.text) = om.m
+LEFT JOIN shared s ON s.doc_id = d.doc_id
+WHERE d.doc_id % {_INC_MOD} = 0
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_INC_ORACLE,
+    tags=("extension", "governance", "dedup", "incremental"),
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup: screen an incoming batch (doc_id % 5 == 0 — a
+    scale-invariant stand-in for "today's crawl") against the existing
+    corpus WITHOUT re-deduping the corpus against itself. Per new doc:
+    exact duplicate (full-text md5 seen before), shared 8-token tile
+    count, and the near-dup flag.
+
+    Scale shape: this is THE production dedup loop — the corpus-vs-corpus
+    pass runs once, then each daily batch runs this. Both probes are hash
+    equi-joins keyed on md5 fingerprints (uniform, no skew); the batch
+    side is small, so at cluster scale Spark broadcasts it and the
+    existing-corpus tile store is scanned once, map-side."""
+    d = widen(read_table(spark, sf_dir, "documents"))
+    t = word_tokens(F.col("text"))
+    ntiles = F.floor(F.size(t) / F.lit(_TILE_TOKENS)).cast("int")
+    tiles = F.when(
+        ntiles >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ntiles),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(t, (i - 1) * _TILE_TOKENS + 1, _TILE_TOKENS)
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", F.md5("text").alias("m"), tiles.alias("hs"))
+    is_new = F.col("doc_id") % _INC_MOD == 0
+    new_tiles = base.where(is_new).select("doc_id", F.explode("hs").alias("h"))
+    old_tiles = base.where(~is_new).select(F.explode("hs").alias("h")).distinct()
+    shared = (
+        new_tiles.join(old_tiles, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_tiles"))
+    )
+    old_md5 = base.where(~is_new).select("m").distinct()
+    return (
+        base.where(is_new)
+        .join(old_md5.withColumn("seen", F.lit(True)), "m", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("seen", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("n_shared_tiles", F.lit(0)).alias("n_shared_tiles"),
+            (F.coalesce("n_shared_tiles", F.lit(0)) >= 1).alias("is_near_dup"),
+        )
+    )
+
+
+# --- content-stable shard manifest ---------------------------------------------------
+
+_N_SHARDS = 8
+_CHECKSUM_MOD = 1_000_000_007
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+  SELECT {token_hash_sql("cast(doc_id AS varchar)")} % {_N_SHARDS} AS shard_id,
+         cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS bigint)
+           AS n_tok,
+         n_chars,
+         {token_hash_sql("text")} % {_CHECKSUM_MOD} AS h
+  FROM documents
+)
+SELECT shard_id, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_tok) AS bigint) AS n_tokens,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       cast(sum(h) AS bigint) AS checksum
+FROM s GROUP BY shard_id
+"""
+
+
+@register(
+    "shard_manifest",
+    oracle=_SHARD_ORACLE,
+    tags=("extension", "governance", "layout", "manifest"),
+)
+def shard_manifest(spark, sf_dir):
+    """Content-stable training-data shard manifest: assign every document
+    to one of N shards by a doc_id hash (stable across re-runs, backfills
+    and cluster sizes — never round-robin or rand()), and emit per shard
+    the doc count, token count, byte volume, and an order-free content
+    checksum (sum of bounded per-doc md5 folds). The manifest is what a
+    downstream trainer validates before streaming a shard — and two
+    manifests diff cheaply to detect silent corpus drift.
+
+    Scale shape: one map-side-combined aggregate keyed on the shard id;
+    checksum terms are mod-reduced so a shard of any realistic size stays
+    inside int64."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (token_hash(F.col("doc_id").cast("string")) % _N_SHARDS).alias(
+                "shard_id"
+            ),
+            F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"))
+            .cast("long")
+            .alias("n_tok"),
+            "n_chars",
+            (token_hash(F.col("text")) % _CHECKSUM_MOD).alias("h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("h").alias("checksum"),
+        )
+    )
