@@ -418,3 +418,87 @@ def shard_manifest(spark, sf_dir):
             F.sum("h").alias("checksum"),
         )
     )
+
+
+# --- corpus mix planning -------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH counts AS (
+  SELECT lang, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT cast(sum(n_docs) AS bigint) AS n_total,
+         cast(count(*) AS bigint) AS n_langs
+  FROM counts
+),
+plan AS (
+  SELECT lang, n_docs,
+         least(1.0, (cast(n_total AS double) / n_langs) / n_docs)
+           AS rate_raw
+  FROM counts, tot
+),
+kept AS (
+  SELECT lang, n_docs, rate_raw,
+         cast(floor(n_docs * rate_raw) AS bigint) AS docs_kept
+  FROM plan
+),
+tot2 AS (
+  SELECT cast(sum(docs_kept) AS bigint) AS n_kept FROM kept
+)
+SELECT lang, n_docs,
+       floor(rate_raw * 1000000 + 0.5) / 1000000 AS sampling_rate,
+       docs_kept,
+       floor(cast(docs_kept AS double) / n_kept * 1000000 + 0.5) / 1000000
+         AS share_after_frac
+FROM kept, tot2
+"""
+
+
+@register(
+    "mix_plan_report",
+    oracle=_MIX_ORACLE,
+    tags=("extension", "governance", "sampling", "mix"),
+)
+def mix_plan_report(spark, sf_dir):
+    """Corpus mix planning toward a uniform language target: per language,
+    the downsampling rate min(1, target/actual) that moves the mix toward
+    equal shares without upsampling, the resulting document count, and the
+    post-plan share. The curator's what-if before committing a sampled
+    snapshot — run it, eyeball share_after_frac, adjust the target.
+
+    All cross-row math is integer counts; rates are single double
+    divisions in a fixed order, so both engines produce bit-identical
+    plans. Scale: one count aggregate, then two 1-row broadcasts."""
+    counts = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rate_raw = F.least(
+        F.lit(1.0),
+        (F.col("n_total").cast("double") / F.col("n_langs")) / F.col("n_docs"),
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            rate_raw.alias("rate_raw"),
+        )
+        .withColumn(
+            "docs_kept", F.floor(F.col("n_docs") * F.col("rate_raw")).cast("long")
+        )
+    )
+    tot2 = kept.agg(F.sum("docs_kept").alias("n_kept"))
+    return kept.crossJoin(F.broadcast(tot2)).select(
+        "lang",
+        "n_docs",
+        round_half_up(F.col("rate_raw"), 6).alias("sampling_rate"),
+        "docs_kept",
+        round_half_up(
+            F.col("docs_kept").cast("double") / F.col("n_kept"), 6
+        ).alias("share_after_frac"),
+    )

@@ -581,3 +581,99 @@ def kmeans_ivf_train(spark, sf_dir):
         )
         .select("cent_id", "n_members", (F.col("pos") + 1).alias("dim"), "comp")
     )
+
+
+# --- semantic dedup (SemDeDup-style): near-dup pair graph -> clusters -> survivors --
+
+_SEMANTIC_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings WHERE vec_id < {_NEAR_DUP_MAX_ID}
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a, n b
+  WHERE a.vec_id < b.vec_id
+    AND list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                       'sum') / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+),
+sym AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, target) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.node, y.d FROM reach r JOIN sym y ON y.s = r.target
+),
+cc AS (
+  SELECT node, min(target) AS rep FROM reach GROUP BY node
+)
+SELECT emb.vec_id,
+       coalesce(cc.rep, emb.vec_id) AS cluster_rep,
+       (coalesce(cc.rep, emb.vec_id) = emb.vec_id) AS is_survivor
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_NEAR_DUP_MAX_ID}) emb
+LEFT JOIN cc ON cc.node = emb.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=_SEMANTIC_ORACLE,
+    tags=("extension", "dedup", "similarity", "iterative"),
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    """Semantic dedup, SemDeDup-style end-to-end: embedding-cosine
+    near-dup pairs -> connected components over the pair graph (two-phase
+    star contraction, the O(log^2 n) operator) -> keep one representative
+    (the minimum vec_id) per semantic cluster. Output: every covered
+    vector with its cluster rep and survivor flag.
+
+    This composes the correctness-baseline pair generator with the
+    scale-path graph operator; at 100 TB the pair stage swaps to the LSH /
+    IVF bucketed generators (emb_lsh_topk / ivf_topk below) with the rest
+    of the pipeline unchanged — the composition, not the bounded pair
+    scan, is what this query locks down. Oracle: recursive-CTE transitive
+    closure."""
+    from ..operators.dedup import connected_components_two_phase
+
+    emb = widen(
+        read_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < _NEAR_DUP_MAX_ID
+        )
+    )
+    v = _double_vec()
+    base = emb.select(F.col("vec_id"), v.alias("v"), _norm(v).alias("nrm"))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos_raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos_raw >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    cc = connected_components_two_phase(
+        pairs, src_col="vec_a", dst_col="vec_b"
+    ).withColumnRenamed("node", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_rep", F.col("vec_id")).alias("cluster_rep"),
+            (F.coalesce("cluster_rep", F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_survivor"
+            ),
+        )
+    )
