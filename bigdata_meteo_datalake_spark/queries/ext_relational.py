@@ -908,3 +908,106 @@ def fd_check_orders(spark, sf_dir):
             F.col("o_orderpriority"),
         )
     )
+
+
+# --- RFM customer segmentation ------------------------------------------------------
+
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+
+
+def _rfm_oracle() -> str:
+    qlist = ", ".join(f"quantile_cont(x, {q!r})" for q in _RFM_QS)
+
+    def bounds(expr):
+        return qlist.replace("x", expr)
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         cast(date_diff('day', max(cast(o_orderdate AS date)),
+              (SELECT max(cast(o_orderdate AS date)) FROM orders)) AS bigint)
+           AS recency_days,
+         cast(count(*) AS bigint) AS n_orders,
+         cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT [{bounds("cast(recency_days AS double)")}] AS rb,
+         [{bounds("cast(n_orders AS double)")}] AS fb,
+         [{bounds("monetary")}] AS mb
+  FROM per_cust
+)
+SELECT c.o_custkey AS custkey, c.recency_days, c.n_orders, c.monetary,
+       cast(1 + len(list_filter(b.rb, x -> x <= c.recency_days)) AS bigint)
+         AS r_bin,
+       cast(1 + len(list_filter(b.fb, x -> x <= c.n_orders)) AS bigint)
+         AS f_bin,
+       cast(1 + len(list_filter(b.mb, x -> x <= c.monetary)) AS bigint)
+         AS m_bin
+FROM per_cust c, bounds b
+"""
+
+
+@register(
+    "rfm_segments",
+    oracle=_rfm_oracle(),
+    tags=("extension", "relational", "segmentation"),
+)
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per customer, recency (days since last
+    order, vs the corpus max date), frequency (order count) and monetary
+    (exact-decimal lifetime spend), each quintile-binned against exact
+    interpolated quantile bounds. Bin 1 = lowest value of the metric, so
+    r_bin 1 is the MOST recent buyer; segment semantics are in the column
+    names, not re-coded.
+
+    Scale shape (same as feature_quantile_binning): one customer-keyed
+    aggregate, one tiny bounds aggregate broadcast back, bin assignment
+    as an in-row fold — never a partition-less ntile. Quantile parity:
+    Spark percentile() and DuckDB quantile_cont both interpolate
+    linearly on sorted doubles."""
+    o = read_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    per_cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("maxd"), F.max(F.col("o_orderdate").cast("date"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+            rounded_sum("o_totalprice", 2).alias("monetary"),
+        )
+    )
+    bounds = per_cust.agg(
+        F.array(
+            *[F.expr(f"percentile(cast(recency_days AS double), {q!r})") for q in _RFM_QS]
+        ).alias("rb"),
+        F.array(
+            *[F.expr(f"percentile(cast(n_orders AS double), {q!r})") for q in _RFM_QS]
+        ).alias("fb"),
+        F.array(
+            *[F.expr(f"percentile(monetary, {q!r})") for q in _RFM_QS]
+        ).alias("mb"),
+    )
+
+    def bin_of(barr, val):
+        return (
+            F.lit(1) + F.size(F.filter(F.col(barr), lambda x: x <= F.col(val)))
+        ).cast("long")
+
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days",
+            "n_orders",
+            "monetary",
+            bin_of("rb", "recency_days").alias("r_bin"),
+            bin_of("fb", "n_orders").alias("f_bin"),
+            bin_of("mb", "monetary").alias("m_bin"),
+        )
+    )

@@ -8,19 +8,25 @@ exists for.
 Stages (each one a registered, oracle-checked operator — this script only
 composes them):
 
-1. quality filtering    — heuristic score + corpus-calibrated percentile cut
-2. near-dup dedup       — MinHash-LSH candidates, cluster, keep the
+1. filter cascade       — C4/Gopher-style rules with first-failing-rule
+                          attribution (round-4 governance surface)
+2. PII screen           — scan + redaction fingerprint; docs with any
+                          match are flagged for the redacted variant
+3. quality filtering    — heuristic score + corpus-calibrated percentile cut
+4. near-dup dedup       — MinHash-LSH candidates, cluster, keep the
                           best-quality representative per cluster
-3. contamination scan   — drop documents overlapping the benchmark gram set
-4. span-dup screen      — drop docs whose 8-token spans are mostly
+5. contamination scan   — drop documents overlapping the benchmark gram set
+6. span-dup screen      — drop docs whose 8-token spans are mostly
                           already-seen boilerplate (sub-doc contamination
                           whole-doc dedup misses)
-5. train/val/test split — deterministic hash buckets (rerun-stable)
-6. sequence packing     — greedy token-budget packing per shard
-7. language balance     — T=0.5 temperature sampling weights for the mix
-8. tokenizer seed       — first BPE merges learned from the final corpus
-9. manifest             — per-split/source counts written as the run's
-                          parquet artifact
+7. train/val/test split — deterministic hash buckets (rerun-stable)
+8. sequence packing     — greedy token-budget packing per shard
+9. language balance     — T=0.5 temperature sampling weights for the mix
+10. mix plan            — downsampling rates toward a uniform language mix
+11. tokenizer seed      — first BPE merges learned from the final corpus
+12. shard manifest      — content-stable shard assignment + checksums,
+                          plus per-split/source counts, written as the
+                          run's parquet artifacts
 
 Every stage is lazy until the final writes; the composed job is one Spark
 DAG — filters reach the scans, dims broadcast, and the only corpus-sized
@@ -43,6 +49,12 @@ from bigdata_meteo_datalake_spark.queries.ext_corpus import (
     span_dedup_report,
 )
 from bigdata_meteo_datalake_spark.queries.ext_dedup import dedup_survivors_by_quality
+from bigdata_meteo_datalake_spark.queries.ext_governance import (
+    filter_cascade_report,
+    mix_plan_report,
+    pii_scan_report,
+    shard_manifest,
+)
 from bigdata_meteo_datalake_spark.queries.ext_text import text_quality_score
 from bigdata_meteo_datalake_spark.queries.ext_training import (
     benchmark_contamination,
@@ -61,7 +73,20 @@ def main() -> None:
     docs = read_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. quality: keep high-quality docs (score + flag from the registered op)
+    # 1. filter cascade: keep only docs that pass every rule; the verdict
+    # histogram tells the curator which rule is eating the corpus
+    cascade = filter_cascade_report(spark, sf_dir)
+    passed = cascade.where(F.col("verdict") == "pass").select("doc_id")
+
+    # 2. PII screen: count matches per doc; a real pipeline would swap in
+    # the redacted text for flagged docs — here we track the flag
+    pii = pii_scan_report(spark, sf_dir)
+    pii_flagged = pii.where(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")) > 0
+    ).select("doc_id")
+    n_pii = pii_flagged.count()
+
+    # 3. quality: keep high-quality docs (score + flag from the registered op)
     quality = text_quality_score(spark, sf_dir)
     kept_q = quality.where(F.col("is_high_quality")).select("doc_id")
 
@@ -79,7 +104,8 @@ def main() -> None:
     ).select("doc_id")
 
     corpus = (
-        docs.join(F.broadcast(kept_q), "doc_id")
+        docs.join(F.broadcast(passed), "doc_id")
+        .join(F.broadcast(kept_q), "doc_id")
         .join(F.broadcast(survivors), "doc_id")
         .join(F.broadcast(clean), "doc_id")
         .join(F.broadcast(span_ok), "doc_id")
@@ -96,13 +122,19 @@ def main() -> None:
     )
     n_packs = packs.select("pack_id").distinct().count()
 
-    # 7. language-balance weights for the training mix
+    # 9. language-balance weights for the training mix
     weights = lang_balance_weights(spark, sf_dir)
 
-    # 8. tokenizer seed: first BPE merges over the corpus
+    # 10. mix plan: downsampling rates toward a uniform language target
+    mix = mix_plan_report(spark, sf_dir)
+
+    # 11. tokenizer seed: first BPE merges over the corpus
     merges = bpe_train_merges(spark, sf_dir).collect()
 
-    # 9. manifest artifact
+    # 12. shard manifest: content-stable shards + checksums
+    shards = shard_manifest(spark, sf_dir)
+    shards.write.mode("overwrite").parquet(os.path.join(out_root, "shards"))
+
     manifest = (
         final.groupBy("split", "source")
         .agg(
@@ -118,7 +150,18 @@ def main() -> None:
     ).parquet(os.path.join(out_root, "corpus"))
 
     rows = manifest.collect()
-    print(f"corpus: {n0} docs -> {n1} after quality+dedup+contamination+span-dup")
+    print(
+        f"corpus: {n0} docs -> {n1} after "
+        "cascade+quality+dedup+contamination+span-dup"
+    )
+    print(f"pii-flagged docs (redacted variant would ship): {n_pii}")
+    for r in cascade.groupBy("verdict").count().orderBy("verdict").collect():
+        print(f"  cascade {r['verdict']:>15}: {r['count']:>6}")
+    for r in mix.orderBy("lang").collect():
+        print(
+            f"  mix {r['lang']}: rate {r['sampling_rate']:.4f} "
+            f"keep {r['docs_kept']} (after-share {r['share_after_frac']:.4f})"
+        )
     print(f"training packs: {n_packs}")
     for r in rows:
         print(f"  {r['split']:>5} / {r['source']:<12} {r['n_docs']:>6} docs")
