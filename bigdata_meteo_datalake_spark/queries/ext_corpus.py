@@ -1315,3 +1315,111 @@ def copurchase_item_similarity(spark, sf_dir):
         .where(F.col("rn") <= _COP_TOP_K)
         .drop("rn")
     )
+
+
+# --- time-decay attribution ---------------------------------------------------------
+
+_TD_ATTR_ORACLE = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type, ts FROM events WHERE event_type <> 'purchase'
+),
+cand AS (
+  SELECT c.conv_id, c.value, t.event_type,
+         (1 << (6 - least(cast((epoch_us(c.ts) - epoch_us(t.ts))
+                               // 86400000000 AS bigint), 6))) AS iw
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+   AND t.ts < c.ts
+   AND t.ts >= c.ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+),
+shares AS (
+  SELECT conv_id, event_type,
+         cast(sum(iw) AS bigint) AS iw_type,
+         sum(cast(sum(iw) AS bigint)) OVER (PARTITION BY conv_id) AS iw_total,
+         any_value(value) AS value
+  FROM cand GROUP BY conv_id, event_type
+),
+credited AS (
+  SELECT event_type,
+         sum(cast(floor(value * iw_type / iw_total * 1000000 + 0.5)
+                  AS bigint)) AS rev_q,
+         cast(count(*) AS bigint) AS n_conversions_touched
+  FROM shares GROUP BY event_type
+)
+SELECT event_type, n_conversions_touched,
+       floor(cast(rev_q AS double) / 1000000 * 100 + 0.5) / 100
+         AS attributed_revenue
+FROM credited
+"""
+
+
+@register(
+    "attribution_time_decay",
+    oracle=_TD_ATTR_ORACLE,
+    tags=("extension", "events", "attribution"),
+)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay attribution — the third classic model next to
+    last-touch and linear: each touch's credit halves per day of age
+    (weight 2^-age_days), so recent touches dominate without zeroing the
+    assist channels. Halving per integer day is chosen deliberately: the
+    weights are exact powers of two, so the integer weight 2^(6-age)
+    (lookback 7 days -> age 0..6, clamped) makes every per-conversion
+    share a ratio of exact integers — no libm pow() anywhere, and the
+    1e-6 quantization before the cross-conversion sum keeps the rollup
+    order-free, same as the linear model.
+
+    Scale shape: identical to the other attribution queries — user-key
+    equi-join with a range predicate, one conversion-id shuffle shared by
+    the aggregate and the window, map-side-combined channel rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        "value",
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts"
+    )
+    iw = F.expr(
+        "cast(shiftleft(1, cast(6 - least((unix_micros(c_ts) - unix_micros(ts))"
+        " div 86400000000, 6) AS int)) AS bigint)"
+    )
+    cand = conv.join(
+        touch,
+        (touch["user_id"] == conv["c_user"])
+        & (touch["ts"] < conv["c_ts"])
+        & (
+            touch["ts"]
+            >= conv["c_ts"] - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        ),
+    ).select("conv_id", "value", "event_type", iw.alias("iw"))
+    shares = cand.groupBy("conv_id", "event_type").agg(
+        F.sum("iw").alias("iw_type"),
+        F.any_value("value").alias("value"),
+    )
+    w = Window.partitionBy("conv_id")
+    shares = shares.withColumn("iw_total", F.sum("iw_type").over(w))
+    rev_q = F.floor(
+        F.col("value") * F.col("iw_type") / F.col("iw_total") * 1000000 + 0.5
+    ).cast("long")
+    return (
+        shares.select("event_type", rev_q.alias("rev_q"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions_touched"),
+            F.sum("rev_q").alias("rev_q"),
+        )
+        .select(
+            "event_type",
+            "n_conversions_touched",
+            round_half_up(F.col("rev_q").cast("double") / 1000000, 2).alias(
+                "attributed_revenue"
+            ),
+        )
+    )

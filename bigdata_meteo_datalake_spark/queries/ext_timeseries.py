@@ -341,3 +341,113 @@ def ts_cusum_shift(spark, sf_dir):
         round_half_up(cusum, 4).alias("cusum"),
         (F.abs(cusum) > _CUSUM_THRESHOLD).alias("is_shifted"),
     )
+
+
+# --- time-weighted average (TWAP) ---------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH seg AS (
+  SELECT event_type,
+         cast(floor(value * 1000000 + 0.5) AS bigint) AS value_q,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         sum(cast(value_q AS decimal(38,0)) * cast(dt_us AS decimal(38,0)))
+           AS sp,
+         cast(sum(dt_us) AS bigint) AS sd,
+         cast(count(*) AS bigint) AS n_segments
+  FROM seg WHERE dt_us IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_segments,
+       floor(cast(sp AS double) / cast(sd AS double) / 1000000 * 10000 + 0.5)
+         / 10000 AS twap
+FROM agg
+"""
+
+
+@register(
+    "twap_event_values",
+    oracle=_TWAP_ORACLE,
+    tags=("extension", "timeseries", "twap"),
+)
+def twap_event_values(spark, sf_dir):
+    """Time-weighted average value per event_type: each observation is
+    weighted by how long it remained the latest one (microseconds until
+    the next event of the same type; the final observation carries no
+    weight). The honest mean for irregularly-sampled series — an
+    arithmetic mean over-counts bursts.
+
+    Determinism: weights are integer microsecond spans from a keyed lead
+    window; values quantize to 1e-6 integers; the weighted sum runs in
+    decimal(38,0) so the cross-row accumulation is exact and order-free;
+    ONE double division at the end. Scale: one shuffle on the series key
+    shared by the window and the aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("value_q"),
+        (
+            F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    agg = seg.groupBy("event_type").agg(
+        F.sum(
+            F.col("value_q").cast("decimal(38,0)") * F.col("dt_us").cast("decimal(38,0)")
+        ).alias("sp"),
+        F.sum("dt_us").alias("sd"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return agg.select(
+        "event_type",
+        "n_segments",
+        round_half_up(
+            F.col("sp").cast("double") / F.col("sd").cast("double") / 1000000, 4
+        ).alias("twap"),
+    )
+
+
+# --- grouped exact percentiles ------------------------------------------------------
+
+_PCT_PS = (0.5, 0.9, 0.99)
+
+_PCT_ORACLE = f"""
+SELECT event_type,
+       {", ".join(
+           f"floor(quantile_cont(value, {p!r}) * 10000 + 0.5) / 10000 AS p{int(p*100)}"
+           for p in _PCT_PS
+       )}
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "event_value_percentiles",
+    oracle=_PCT_ORACLE,
+    tags=("extension", "timeseries", "percentiles"),
+)
+def event_value_percentiles(spark, sf_dir):
+    """Per-series latency-band style percentiles (p50/p90/p99) of the
+    event value, exact interpolated — the SLO readout. Parity: Spark
+    percentile() and DuckDB quantile_cont both linearly interpolate on
+    the sorted doubles (the primitive feature_quantile_binning proved);
+    floor-form round to 4.
+
+    Scale: grouped exact percentiles sort within each series partition —
+    fine while one series fits an executor (true for telemetry keyed by
+    type/station). Beyond that, the histogram sketch
+    (quantile_histogram_sketch) is the mergeable path."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            round_half_up(F.expr(f"percentile(value, {p!r})"), 4).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in _PCT_PS
+        ]
+    )
