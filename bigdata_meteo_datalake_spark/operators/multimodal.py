@@ -171,6 +171,8 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
     pure functions of the bytes."""
 
     def kernel(batches: Iterator) -> Iterator:
+        import math
+
         import pandas as pd
 
         from .media_codecs import decode_wav, sniff_format
@@ -202,8 +204,10 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
                     int.from_bytes(b[2 * i : 2 * i + 2], "little", signed=True)
                     for i in range(n_samples)
                 ]
+                # math.sqrt, not ** 0.5: IEEE-correctly-rounded in every
+                # runtime, so the SQL oracle's sqrt() matches bit-for-bit
                 rms = (
-                    (sum(s * s for s in samples) / n_samples) ** 0.5 / 32768.0
+                    math.sqrt(sum(s * s for s in samples) / n_samples) / 32768.0
                     if n_samples
                     else 0.0
                 )

@@ -43,3 +43,64 @@ def multimodal_image_features(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     media = attach_blob(d)
     return decode_image_features(media, decode="fake")
+
+
+# --- audio features through the same Arrow kernel gate ------------------------------
+
+_AUDIO_SR = 16_000
+
+_AUDIO_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+),
+s AS (
+  SELECT doc_id, nb // 2 AS n_samples,
+         list_transform(range(1, nb // 2 + 1),
+           i -> ascii(substr(text, 2 * i - 1, 1))
+                + 256 * ascii(substr(text, 2 * i, 1))) AS smp
+  FROM b
+)
+SELECT doc_id,
+       floor(cast(n_samples AS double) / {_AUDIO_SR} * 1000000 + 0.5)
+         / 1000000 AS duration_s,
+       cast({_AUDIO_SR} AS int) AS sample_rate,
+       CASE WHEN n_samples > 0 THEN
+         floor(sqrt(cast(list_aggregate(list_transform(smp, x -> x * x),
+                                        'sum') AS double) / n_samples)
+               / 32768.0 * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS rms
+FROM s
+"""
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=_AUDIO_ORACLE,
+    tags=("extension", "multimodal", "audio"),
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio twin of multimodal_image_features: the payload runs through
+    the mapInPandas audio kernel (operators/multimodal.py:audio_features,
+    fake mode: bytes as 16-bit little-endian PCM), and the oracle
+    replicates the exact sample arithmetic — pairs of utf-8 bytes as
+    little-endian ints, integer square sums, one division, IEEE sqrt.
+    Data contract: documents.text is ASCII (byte == char, verified across
+    all SFs by the oracle's own encode() arithmetic), so ascii(substr())
+    addresses the same bytes the kernel sees. A batching/schema bug in
+    the Arrow plumbing cannot hide behind the fake codec: the hash gate
+    checks every value. `decode="real"` decodes actual PCM WAV
+    (media_codecs.decode_wav); compressed formats raise at the
+    soundfile/librosa insertion point."""
+    from ..operators.multimodal import audio_features
+
+    d = read_table(spark, sf_dir, "documents")
+    media = attach_blob(d, media_type="audio")
+    feats = audio_features(media, sample_rate=_AUDIO_SR, decode="fake")
+    from ..functions.numeric import round_half_up
+
+    return feats.select(
+        "doc_id",
+        round_half_up(F.col("duration_s"), 6).alias("duration_s"),
+        "sample_rate",
+        round_half_up(F.col("rms"), 6).alias("rms"),
+    )
