@@ -93,3 +93,116 @@ def test_exact_decimal_sum_is_partition_order_insensitive(spark, xs):
     ).fetchone()[0]
     con.close()
     assert a == want
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: the union+window as-of join equals pandas.merge_asof
+    (an entirely independent implementation) on random keyed event/quote
+    frames — backward direction, <= semantics, ties to the latest right
+    row."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_meteo_datalake_spark.operators.asof import as_of_join
+
+    ts = st.integers(min_value=0, max_value=50)
+    key = st.integers(min_value=0, max_value=3)
+
+    @given(
+        left=st.lists(st.tuples(key, ts), min_size=1, max_size=25),
+        right=st.lists(st.tuples(key, ts, st.integers(0, 1000)), min_size=1, max_size=25),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def check(left, right):
+        import pandas as pd
+
+        # as_of_join requires the right side unique per (key, time):
+        # keep the max value per (k, t), exactly what the docstring asks
+        rdedup = {}
+        for k, t, v in right:
+            rdedup[(k, t)] = max(v, rdedup.get((k, t), v))
+        rrows = [(k, t, v) for (k, t), v in sorted(rdedup.items())]
+        lid = [(i, k, t) for i, (k, t) in enumerate(left)]
+
+        ldf = spark.createDataFrame(lid, "row_id long, k long, lt long")
+        rdf = spark.createDataFrame(rrows, "k long, rt long, quote long")
+        got = {
+            r["row_id"]: r["quote"]
+            for r in as_of_join(
+                ldf, rdf, ["k"], left_time="lt", right_time="rt",
+                right_values=["quote"],
+            ).collect()
+        }
+
+        lpd = pd.DataFrame(lid, columns=["row_id", "k", "lt"]).sort_values("lt")
+        rpd = pd.DataFrame(rrows, columns=["k", "rt", "quote"]).sort_values("rt")
+        want_df = pd.merge_asof(
+            lpd, rpd, left_on="lt", right_on="rt", by="k", direction="backward"
+        )
+        want = {
+            int(r.row_id): (None if pd.isna(r.quote) else int(r.quote))
+            for r in want_df.itertuples()
+        }
+        assert got == want
+
+    check()
+
+
+def test_sessionize_matches_pure_python(spark):
+    """Property: the lag+running-sum sessionization equals a pure-Python
+    single-pass reference on random per-user event streams (30-unit gap,
+    ties broken by event_id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    GAP = 30
+
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 200)),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def check(events):
+        rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, t long")
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        gap = F.col("t") - F.lag("t").over(w)
+        is_new = F.when(gap > GAP, 1).otherwise(0)
+        running = w.rowsBetween(Window.unboundedPreceding, 0)
+        got = {
+            r["event_id"]: r["session_no"]
+            for r in df.select(
+                "event_id", F.sum(is_new).over(running).alias("session_no")
+            ).collect()
+        }
+
+        want = {}
+        by_user: dict = {}
+        for i, u, t in rows:
+            by_user.setdefault(u, []).append((t, i))
+        for u, evs in by_user.items():
+            evs.sort()
+            sess, last_t = 0, None
+            for t, i in evs:
+                if last_t is not None and t - last_t > GAP:
+                    sess += 1
+                want[i] = sess
+                last_t = t
+        assert got == want
+
+    check()

@@ -111,3 +111,20 @@ def test_no_raw_events_scan_outside_reader():
         if _RAW_TS_PATTERN.search(py.read_text()):
             offenders.append(str(py))
     assert not offenders, f"raw events.parquet scan outside read_table: {offenders}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_documents_text_is_ascii(spark, sf_dir):
+    """Data contract behind the byte-level oracles
+    (multimodal_audio_features pairs utf-8 BYTES; the oracle addresses
+    CHARACTERS via ascii(substr())): documents.text must stay pure ASCII,
+    i.e. char length == encoded byte length for every row. If the driver
+    regenerates documents with multi-byte text, this fails before the
+    correctness sweep does."""
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    n_bad = d.where(
+        F.length("text") != F.octet_length(F.encode(F.col("text"), "utf-8"))
+    ).count()
+    assert n_bad == 0, f"non-ASCII documents.text rows in {sf_dir}: {n_bad}"
