@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import oracle_avg, round_half_up, rounded_avg, rounded_sum
-from ..sources.lake import read_table
+from ..sources.lake import read_table, widen
 from . import register
 
 # --- cross-corpus span dedup --------------------------------------------------------
@@ -86,7 +86,15 @@ def span_dedup_report(spark, sf_dir):
     restored by the doc_id-keyed left join). Everything before it is
     in-row array math inside codegen."""
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+    # materialize the token array as its own projection so the regex split
+    # runs ONCE per row (referenced inside the tile lambda, it would
+    # otherwise re-split per tile), and widen so the per-row md5/regex
+    # work uses every core instead of the scan's single input split
+    tokd = widen(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+").alias("t"),
+    )
+    toks = F.col("t")
     nsp = F.floor(F.size(toks) / F.lit(_SPAN_TOKENS)).cast("int")
     spans = F.when(
         nsp >= 1,
@@ -100,7 +108,7 @@ def span_dedup_report(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    flat = d.select("doc_id", spans.alias("hs")).select(
+    flat = tokd.select("doc_id", spans.alias("hs")).select(
         "doc_id", F.posexplode("hs").alias("span_idx", "h")
     )
     w = Window.partitionBy("h").orderBy("doc_id", "span_idx")

@@ -112,3 +112,33 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if "CartesianProduct" in plan_string(fn(spark, SF0001))
     ]
     assert offenders == []
+
+
+def test_governance_scans_are_map_only(spark):
+    """The PII scan and the filter cascade must stay map-only: all their
+    work is in-row regex/array math, so the plan may contain no hash
+    shuffle at all (the widen round-robin repartition is not a
+    hashpartitioning exchange). A shuffle appearing here means someone
+    turned an in-row computation into an aggregate."""
+    from bigdata_meteo_datalake_spark.plans.explain import plan_string
+
+    for name in ("pii_scan_report", "filter_cascade_report"):
+        plan = plan_string(QS[name](spark, SF0001))
+        assert "hashpartitioning" not in plan, name
+
+
+def test_twap_single_series_exchange(spark):
+    """twap_event_values: ONE hash exchange on the series key, shared by
+    the lead window and the aggregate (AQE may add query-stage wrappers
+    but not extra hash exchanges)."""
+    from bigdata_meteo_datalake_spark.plans.explain import plan_string
+
+    plan = plan_string(QS["twap_event_values"](spark, SF0001))
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_shard_manifest_single_aggregate_exchange(spark):
+    from bigdata_meteo_datalake_spark.plans.explain import plan_string
+
+    plan = plan_string(QS["shard_manifest"](spark, SF0001))
+    assert plan.count("hashpartitioning") == 1
