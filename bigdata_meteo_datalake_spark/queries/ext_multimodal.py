@@ -104,3 +104,46 @@ def multimodal_audio_features(spark, sf_dir):
         "sample_rate",
         round_half_up(F.col("rms"), 6).alias("rms"),
     )
+
+
+# --- frame sampling through the same gate -------------------------------------------
+
+_FRAME_BYTES = 64
+_MAX_FRAMES = 4
+
+_FRAME_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least({_MAX_FRAMES}, greatest(1, nb // {_FRAME_BYTES}))))
+           AS frame_idx
+  FROM b
+)
+SELECT doc_id, cast(frame_idx AS int) AS frame_idx,
+       md5(substr(text, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))
+         AS frame_hash
+FROM f
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_FRAME_ORACLE,
+    tags=("extension", "multimodal", "video"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling through the mapInPandas kernel
+    (operators/multimodal.py:sample_frames): fixed-stride byte windows
+    stand in for decoded frames, each fingerprinted with md5 — the
+    dedup-ready frame signature a video pipeline extracts before any
+    model sees pixels. The oracle re-slices the same bytes with substr
+    (documents.text is ASCII — drift-guarded), so the kernel's batching,
+    per-row fan-out, and hashing are all value-checked. `decode="real"`
+    is the ffmpeg insertion point and raises here."""
+    from ..operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    media = attach_blob(d, media_type="video")
+    return sample_frames(media, every_n_bytes=_FRAME_BYTES, max_frames=_MAX_FRAMES)

@@ -1011,3 +1011,153 @@ def rfm_segments(spark, sf_dir):
             bin_of("mb", "monetary").alias("m_bin"),
         )
     )
+
+
+# --- Benford first-digit audit ------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, precomputed once in Python: both engines
+#: parse the same repr'd decimal literals to the same doubles, so no libm
+#: log enters either side of the hash gate.
+_BENFORD_EXP = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+
+
+def _benford_oracle() -> str:
+    exp_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS digit, {e!r} AS expected_frac"
+        for d, e in enumerate(_BENFORD_EXP, start=1)
+    )
+    return f"""
+WITH exp AS ({exp_rows}),
+obs AS (
+  SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar), 1, 1)
+              AS bigint) AS digit,
+         cast(count(*) AS bigint) AS n_obs
+  FROM orders GROUP BY 1
+),
+n AS (SELECT cast(count(*) AS bigint) AS n_total FROM orders)
+SELECT e.digit,
+       coalesce(o.n_obs, 0) AS n_obs,
+       e.expected_frac,
+       floor(cast(coalesce(o.n_obs, 0) AS double) / n.n_total * 1000000 + 0.5)
+         / 1000000 AS observed_frac,
+       floor((cast(coalesce(o.n_obs, 0) AS double)
+              - cast(n.n_total AS double) * e.expected_frac)
+             * (cast(coalesce(o.n_obs, 0) AS double)
+                - cast(n.n_total AS double) * e.expected_frac)
+             / (cast(n.n_total AS double) * e.expected_frac) * 1000000 + 0.5)
+         / 1000000 AS chi2_term
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit, n
+"""
+
+
+@register(
+    "benford_first_digit",
+    oracle=_benford_oracle(),
+    tags=("extension", "relational", "audit", "benford"),
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the classic
+    anomaly screen for fabricated numeric data: per leading digit, the
+    observed count/fraction against the Benford expectation and the
+    chi-square contribution. Expected fractions are precomputed Python
+    literals (log10 never runs in either engine), the digit spine is
+    explicit so zero-count digits still appear, and the chi2 term is one
+    fixed-order double expression.
+
+    Scale: one map-side-combined count by digit + a 9-row broadcast."""
+    o = read_table(spark, sf_dir, "orders")
+    spine = spark.createDataFrame(
+        [(d, e) for d, e in enumerate(_BENFORD_EXP, start=1)],
+        "digit long, expected_frac double",
+    )
+    obs = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n_total"))
+    n_obs = F.coalesce("n_obs", F.lit(0))
+    dev = n_obs.cast("double") - F.col("n_total").cast("double") * F.col(
+        "expected_frac"
+    )
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            "expected_frac",
+            round_half_up(n_obs.cast("double") / F.col("n_total"), 6).alias(
+                "observed_frac"
+            ),
+            round_half_up(
+                dev * dev / (F.col("n_total").cast("double") * F.col("expected_frac")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# --- monthly seasonal index ---------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+  SELECT cast(date_part('month', cast(o_orderdate AS date)) AS bigint) AS month,
+         cast(count(*) AS bigint) AS n_orders,
+         sum(cast(o_totalprice AS decimal(28,6))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS total_rev FROM monthly)
+SELECT month, n_orders,
+       cast(round(rev, 2) AS double) AS sum_rev,
+       floor(cast(rev AS double) / (cast(total_rev AS double) / 12) * 1000000
+             + 0.5) / 1000000 AS seasonal_index
+FROM monthly, tot
+"""
+
+
+@register(
+    "seasonal_index_monthly",
+    oracle=_SEASONAL_ORACLE,
+    tags=("extension", "relational", "seasonality"),
+)
+def seasonal_index_monthly(spark, sf_dir):
+    """Month-of-year seasonal index over order revenue: each calendar
+    month's share of revenue relative to a flat 1/12 baseline (index 1.0 =
+    no seasonality). Revenue accumulates in exact decimals across years;
+    the index is a fixed-order double division chain against the 1-row
+    broadcast total — the warehouse seasonality readout that feeds
+    demand-planning models.
+
+    Scale: one month-keyed aggregate (12 groups, map-side combined)."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.month(F.col("o_orderdate").cast("date")).cast("long").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"),
+        )
+    )
+    tot = monthly.agg(F.sum("rev").alias("total_rev"))
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev"), 2).cast("double").alias("sum_rev"),
+        round_half_up(
+            F.col("rev").cast("double")
+            / (F.col("total_rev").cast("double") / 12),
+            6,
+        ).alias("seasonal_index"),
+    )
