@@ -135,6 +135,10 @@ def _load_all() -> None:
     # manifests) — never-confirmed queries auto-sort to the sweep head.
     from . import ext_governance  # noqa: F401
 
+    # round-4 additions, second wave (lakehouse table services: zone maps,
+    # compaction planning, k-anonymity, bucketed interval join).
+    from . import ext_lakehouse  # noqa: F401
+
     newest = _driver_confirmed_rounds()
     # never-confirmed queries carry round 0, sorting ahead of everything;
     # among confirmed ones, round-1-era evidence re-sweeps before round-3's.

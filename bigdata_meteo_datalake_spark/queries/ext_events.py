@@ -680,3 +680,76 @@ def event_value_mad_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+# --- bucketed interval join: event bursts -------------------------------------------
+
+#: interval width (seconds): each event counts the OTHER events in the
+#: preceding 5 minutes, across all users
+_BURST_WINDOW_S = 300
+
+_BURST_ORACLE = f"""
+SELECT e.event_id,
+       cast(count(s.event_id) AS bigint) AS n_prior_5m
+FROM events e
+LEFT JOIN events s
+  ON s.ts >= e.ts - INTERVAL {_BURST_WINDOW_S} SECOND
+ AND s.ts <= e.ts
+ AND s.event_id <> e.event_id
+GROUP BY e.event_id
+"""
+
+
+@register(
+    "interval_join_event_bursts",
+    oracle=_BURST_ORACLE,
+    tags=("extension", "events", "interval-join"),
+)
+def interval_join_event_bursts(spark, sf_dir):
+    """Time-interval join with NO equi key — the Flink interval-join
+    shape: for every event, how many other events (any user) fall in the
+    preceding 5 minutes. Naively this is a range-predicate self-join,
+    which Spark plans as a nested-loop product; instead the interval is
+    bucketized: the build side lands in one 5-minute bucket
+    (``floor(epoch_us / window_us)``), the probe side explodes into the
+    <=2 buckets its lookback interval can touch, and the join becomes a
+    plain bucket equi-join followed by the exact range filter. Each
+    matching pair is produced exactly once (the build event lives in
+    exactly one bucket), so no dedup step is needed.
+
+    Scale: the only corpus-sized exchange is the bucket hash shuffle;
+    probe amplification is a constant 2x. A hot bucket (burst skew) is
+    AQE skew-join territory, not a plan defect. At 100 TB this is the
+    shape stream-stream interval joins compile to under the hood —
+    expressed here as a batch query with an exact oracle."""
+    us = _BURST_WINDOW_S * 1_000_000
+    e = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    build = e.select(
+        F.col("event_id").alias("s_id"),
+        F.col("ts").alias("s_ts"),
+        F.expr(f"unix_micros(ts) div {us}").alias("bucket"),
+    )
+    probe = e.select(
+        "event_id",
+        "ts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(unix_micros(ts) - {us}) div {us}"),
+                    F.expr(f"unix_micros(ts) div {us}"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    matched = probe.join(build, "bucket", "left").select(
+        "event_id",
+        F.when(
+            (F.col("s_ts") >= F.col("ts") - F.expr(f"INTERVAL {_BURST_WINDOW_S} SECOND"))
+            & (F.col("s_ts") <= F.col("ts"))
+            & (F.col("s_id") != F.col("event_id")),
+            1,
+        ).alias("hit"),
+    )
+    return matched.groupBy("event_id").agg(
+        F.count("hit").cast("long").alias("n_prior_5m")
+    )

@@ -1,0 +1,196 @@
+"""Lakehouse-maintenance extension queries (round 4): zone-map data
+skipping and partition-scoped compaction planning — the table-services
+layer every 100 TB lake needs between "data landed" and "queries are
+fast". No reference counterpart (the reference's lake is a handful of
+~20-row parquet files, `scripts/export/export_to_parquet.py:52-60`);
+designed Spark-first as pure aggregation/window plans.
+
+Determinism: all planning math is integer (row counts, byte estimates,
+floor divisions), so the oracle hash gate is exact with no float
+discipline needed. Zone min/max are the stored doubles themselves —
+compared, never recomputed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from . import register
+
+# --- zone maps / data skipping ------------------------------------------------------
+
+#: the sample pruning predicate the report evaluates: `o_totalprice >= HIGH`
+_HIGH_VALUE = 400000.0
+
+_ZONE_MAP_ORACLE = f"""
+SELECT cast(date_trunc('month', o_orderdate) AS date) AS zone_month,
+       cast(count(*) AS bigint) AS n_rows,
+       min(o_totalprice) AS min_tp,
+       max(o_totalprice) AS max_tp,
+       max(o_totalprice) < {_HIGH_VALUE} AS prunable_high_value
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "zone_map_prune_report",
+    oracle=_ZONE_MAP_ORACLE,
+    tags=("extension", "lakehouse", "data-skipping"),
+)
+def zone_map_prune_report(spark, sf_dir):
+    """Zone-map (min/max statistics) report over monthly zones of
+    ``orders``: per zone, row count, min/max ``o_totalprice``, and whether
+    the zone is prunable for the predicate ``o_totalprice >= 400000`` —
+    i.e. whether a reader carrying file-level statistics would skip it
+    entirely. This is the data-skipping decision parquet row-group stats /
+    Delta file stats make; materializing it as a query makes the skipping
+    rate measurable per table.
+
+    Scale: one map-side-combined hash aggregate over the fact — the same
+    plan shape as pricing_summary; min/max are the stored doubles
+    (no arithmetic), so the oracle comparison is exact."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("zone_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_totalprice").alias("min_tp"),
+        F.max("o_totalprice").alias("max_tp"),
+        (F.max("o_totalprice") < F.lit(_HIGH_VALUE)).alias("prunable_high_value"),
+    )
+
+
+# --- compaction planning ------------------------------------------------------------
+
+#: estimated on-disk bytes per lineitem row (planning constant, not measured)
+_ROW_BYTES = 128
+#: bins per year-partition the greedy packer targets
+_BINS_PER_YEAR = 3
+
+_COMPACTION_ORACLE = f"""
+WITH files AS (
+  SELECT cast(extract(year FROM l_shipdate) AS int) AS yr,
+         cast(date_trunc('month', l_shipdate) AS date) AS file_month,
+         cast(count(*) * {_ROW_BYTES} AS bigint) AS est_bytes
+  FROM lineitem
+  GROUP BY 1, 2
+),
+planned AS (
+  SELECT yr, file_month, est_bytes,
+         sum(est_bytes) OVER (PARTITION BY yr
+                              ORDER BY file_month
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         (sum(est_bytes) OVER (PARTITION BY yr) + {_BINS_PER_YEAR - 1})
+           // {_BINS_PER_YEAR} AS target
+  FROM files
+)
+SELECT yr,
+       cast((cum - est_bytes) // target AS int) AS bin_id,
+       cast(count(*) AS bigint) AS n_files,
+       cast(sum(est_bytes) AS bigint) AS bin_bytes,
+       min(file_month) AS month_from,
+       max(file_month) AS month_to
+FROM planned
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "compaction_plan",
+    oracle=_COMPACTION_ORACLE,
+    tags=("extension", "lakehouse", "compaction"),
+)
+def compaction_plan(spark, sf_dir):
+    """Greedy small-file compaction planner, partition-scoped: treat each
+    (ship-year, ship-month) slice of ``lineitem`` as one small file with an
+    estimated size (rows x 128 B), then bin-pack the files of each
+    year-partition into ~3 equal byte targets by running-sum assignment:
+    ``bin = floor(bytes_before_this_file / target)``. Output: one row per
+    (year, bin) with file count, packed bytes, and the month span — the
+    exact work-list a compaction job would execute.
+
+    The cumulative-sum window is partitioned by year (the table's real
+    partition key): compaction never crosses partition boundaries, so the
+    plan has no partition-less window — per-partition packing is both the
+    correct semantics and the scale-safe shape. All math is integer
+    (floor-div via `div`), so the oracle hash is exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("file_month"),
+    ).agg((F.count(F.lit(1)) * _ROW_BYTES).cast("long").alias("est_bytes"))
+
+    by_yr = Window.partitionBy("yr")
+    running = by_yr.orderBy("file_month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = files.select(
+        "yr",
+        "file_month",
+        "est_bytes",
+        F.sum("est_bytes").over(running).alias("cum"),
+        F.expr(
+            f"(sum(est_bytes) OVER (PARTITION BY yr) + {_BINS_PER_YEAR - 1})"
+            f" div {_BINS_PER_YEAR}"
+        ).alias("target"),
+    )
+    return (
+        planned.withColumn(
+            "bin_id", F.expr("(cum - est_bytes) div target").cast("int")
+        )
+        .groupBy("yr", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("est_bytes").cast("long").alias("bin_bytes"),
+            F.min("file_month").alias("month_from"),
+            F.max("file_month").alias("month_to"),
+        )
+    )
+
+
+# --- k-anonymity --------------------------------------------------------------------
+
+_K_ANON = 5
+#: account-balance bucket width for the quasi-identifier
+_BAL_BUCKET = 500.0
+
+_K_ANON_ORACLE = f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       cast(floor(c_acctbal / {_BAL_BUCKET}) AS int) AS bal_bucket,
+       cast(count(*) AS bigint) AS group_n,
+       count(*) < {_K_ANON} AS suppressed
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "k_anonymity_report",
+    oracle=_K_ANON_ORACLE,
+    tags=("extension", "governance", "privacy"),
+)
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (nation, market
+    segment, account-balance bucket of width 500): per equivalence class,
+    its size and whether it falls below k=5 — the classes a release would
+    have to suppress or generalize. The standard pre-release privacy gate
+    for tabular training data.
+
+    Scale: single map-side-combined hash aggregate; the bucket floor is
+    one IEEE division of stored doubles (deterministic in both engines),
+    everything else integer."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(_BAL_BUCKET)).cast("int").alias(
+            "bal_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        (F.count(F.lit(1)) < F.lit(_K_ANON)).alias("suppressed"),
+    )
