@@ -535,7 +535,9 @@ tok{i} AS (
 )"""
 
 
-_BPE_ORACLE = (
+#: shared CTE chain (word freqs -> char tokens -> 3 unrolled merge
+#: iterations); the trainer and the encoder put different SELECTs on top
+_BPE_CTE = (
     """
 WITH words AS (
   SELECT w AS word, cast(count(*) AS bigint) AS freq
@@ -551,12 +553,39 @@ tok0 AS (
 )"""
     + ","
     + ",".join(_bpe_iter_sql(i) for i in range(1, _BPE_ITERS + 1))
+)
+
+_BPE_ORACLE = (
+    _BPE_CTE
     + "\n"
     + "\nUNION ALL ".join(
         f"SELECT cast({i} AS integer) AS merge_rank, a AS left_tok,"
         f" b AS right_tok, pair_count FROM top{i}"
         for i in range(1, _BPE_ITERS + 1)
     )
+)
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_CTE
+    + f""",
+enc AS (
+  SELECT word, cast(count(*) AS bigint) AS n_toks
+  FROM tok{_BPE_ITERS} GROUP BY word
+),
+docw AS (
+  SELECT doc_id, w AS word
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS w
+    FROM documents
+  )
+  WHERE length(w) > 0
+)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_words,
+       cast(sum(n_toks) AS bigint) AS n_bpe_tokens
+FROM docw JOIN enc USING (word)
+GROUP BY doc_id"""
 )
 
 
@@ -589,6 +618,25 @@ def bpe_train_merges(spark, sf_dir):
     chained windows and the map-side-combined pair count. Unrolled to a
     fixed depth like the k-means trainer, so the whole plan is static and
     oracle-checkable."""
+    tops, _toks = _bpe_pipeline(spark, sf_dir)
+    out = None
+    for rank, top in enumerate(tops, start=1):
+        row = top.select(
+            F.lit(rank).cast("int").alias("merge_rank"),
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _bpe_pipeline(spark, sf_dir):
+    """Shared BPE train pipeline (the whole train loop): returns
+    ``(tops, toks)`` — the list of 1-row winning-pair DataFrames per
+    iteration, and the final (word, freq, pos, tok) relation after all
+    merges have been applied. ``bpe_train_merges`` reads the tops;
+    ``bpe_encode_token_counts`` reads the final token table."""
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -664,16 +712,45 @@ def bpe_train_merges(spark, sf_dir):
             "tok",
         )
 
-    out = None
-    for rank, top in enumerate(tops, start=1):
-        row = top.select(
-            F.lit(rank).cast("int").alias("merge_rank"),
-            F.col("a").alias("left_tok"),
-            F.col("b").alias("right_tok"),
-            "pair_count",
+    return tops, toks
+
+
+@register(
+    "bpe_encode_token_counts",
+    oracle=_BPE_ENCODE_ORACLE,
+    tags=("extension", "corpus", "tokenizer", "bpe"),
+)
+def bpe_encode_token_counts(spark, sf_dir):
+    """BPE tokenizer APPLICATION: encode every document with the merges
+    learned by :func:`bpe_train_merges` and report, per document, its
+    whitespace word count and its post-merge BPE token count — the
+    "how many tokens is this corpus" question every training-data budget
+    starts with. Train and encode share one pipeline: the final merged
+    token table (per distinct word) collapses to word -> n_tokens, and the
+    corpus re-tokenized to (doc_id, word) joins against it.
+
+    Scale: encoding adds exactly two exchanges on top of training — the
+    word-hash shuffle of the (doc_id, word) relation for the join (the
+    dictionary side is per-distinct-word, far smaller than the corpus) and
+    the doc_id aggregate. Token counts are integers, so the oracle hash is
+    exact."""
+    _tops, toks = _bpe_pipeline(spark, sf_dir)
+    enc = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    d = read_table(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias(
+            "word"
+        ),
+    ).where(F.length("word") > 0)
+    return (
+        docw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
 
 
 # --- last-touch attribution ---------------------------------------------------------

@@ -677,3 +677,165 @@ def semantic_dedup_survivors(spark, sf_dir):
             ),
         )
     )
+
+
+# --- product quantization (PQ) ANN: codes + asymmetric distance ---------------------
+
+_PQ_M = 16  # subspaces; embedding dim 64 -> 4 dims each
+_PQ_SUB = 4
+_PQ_CMOD = 16  # sub-codebook = subvectors of vec_id % 16 == 0, vec_id < 512
+_PQ_NCENT = 32  # ... giving 32 centroids per subspace, fixed across SFs
+_PQ_TOPK = 5
+
+_PQ_DIST_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+)
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> cast(floor(cast(x AS double) * 1000 + 0.5) AS bigint))
+           AS v
+  FROM embeddings
+),
+ms AS (SELECT unnest([{", ".join(str(i) for i in range(_PQ_M))}]) AS m),
+sub AS (
+  SELECT vec_id, m,
+         array_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+  FROM e CROSS JOIN ms
+),
+cent AS (
+  SELECT vec_id // {_PQ_CMOD} AS crank, m, sv AS cv
+  FROM sub WHERE vec_id % {_PQ_CMOD} = 0 AND vec_id < {_PQ_CMOD * _PQ_NCENT}
+),
+codes AS (
+  SELECT s.vec_id, s.m,
+         min({_PQ_DIST_SQL.format(a="s.sv", b="c.cv")} * {_PQ_NCENT} + c.crank)
+           % {_PQ_NCENT} AS code
+  FROM sub s JOIN cent c USING (m)
+  GROUP BY s.vec_id, s.m
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.crank,
+         {_PQ_DIST_SQL.format(a="q.sv", b="c.cv")} AS qd
+  FROM sub q JOIN cent c USING (m)
+  WHERE q.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         cast(sum(l.qd) AS bigint) AS adc_dist
+  FROM codes k JOIN lut l ON l.m = k.m AND l.crank = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@register(
+    "pq_ann_topk",
+    oracle=_PQ_ORACLE,
+    tags=("extension", "similarity", "ann", "pq"),
+)
+def pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (the FAISS-PQ shape): embeddings are
+    split into 16 subspaces of 4 dims; each subvector is assigned to the
+    nearest of 32 per-subspace centroids (a deterministic sample of the
+    corpus — vec_id multiples of 16 below 512 — standing in for a trained
+    codebook, same plan shape); a vector's PQ code is its 16 centroid ids
+    (16 bytes, a 16x compression of the 64-float vector). Queries score
+    candidates by asymmetric distance (ADC): per subspace, the exact
+    query-subvector-to-centroid distance, summed via the code — never
+    touching the original vectors. Top-5 neighbors per query
+    (vec_id < 20), ties to the lower neighbor id.
+
+    Float discipline: components are half-up-quantized to a 1e-3 integer
+    grid FIRST, so every distance, argmin, and ranking is exact int64
+    math — no cross-engine float risk anywhere, including the argmin
+    (encoded as min(dist * 32 + rank) so ties break to the lower rank).
+
+    Scale: codes are built with one broadcast of the 512-row codebook and
+    one (vec, subspace)-keyed aggregate; the ADC scan joins the tiny
+    (queries x 16 x 32) lookup table broadcast against the code table —
+    per-candidate work is a hash probe + integer add, the reason PQ is
+    THE 100 TB ANN layout. The corpus-sized relations shuffle only on
+    their own keys (vec_id, m); nothing all-pairs ever materializes."""
+    e = widen(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+        ).alias("v"),
+    )
+    sub = e.select(
+        "vec_id",
+        "v",
+        F.explode(F.array(*[F.lit(i) for i in range(_PQ_M)])).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(
+            F.col("v"), F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)
+        ).alias("sv"),
+    )
+    cent = sub.where(
+        (F.col("vec_id") % _PQ_CMOD == 0)
+        & (F.col("vec_id") < _PQ_CMOD * _PQ_NCENT)
+    ).select(
+        F.expr(f"vec_id div {_PQ_CMOD}").alias("crank"),
+        "m",
+        F.col("sv").alias("cv"),
+    )
+
+    zero = F.lit(0).cast("long")
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    codes = (
+        sub.join(F.broadcast(cent), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            (
+                F.min(sqdist(F.col("sv"), F.col("cv")) * _PQ_NCENT + F.col("crank"))
+                % _PQ_NCENT
+            ).alias("code")
+        )
+    )
+    lut = (
+        sub.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cent), "m")
+        .select(
+            "query_id",
+            F.col("m").alias("l_m"),
+            "crank",
+            sqdist(F.col("sv"), F.col("cv")).alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("l_m")) & (F.col("code") == F.col("crank")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up, rounded_sum
-from ..sources.lake import read_table
+from ..sources.lake import read_table, widen
 from . import register
 
 # Polynomial rolling-hash coefficients 31^i — shared constants between the
@@ -803,4 +803,130 @@ def token_pmi_top_pairs(spark, sf_dir):
         )
         .orderBy(F.desc("lift"), F.asc("tok1"), F.asc("tok2"))
         .limit(_PMI_TOPK)
+    )
+
+
+# --- fasttext-style quality classifier inference ------------------------------------
+
+#: hashed feature space size (unigrams + bigrams share it, fasttext-style)
+_QC_DIM = 512
+#: Knuth multiplicative constant deriving a pseudo-random weight per feature
+_QC_MIX = 2654435761
+#: weight grid: w = ((f * MIX) % GRID) - GRID/2, i.e. in [-GRID/2, GRID/2)
+_QC_GRID = 1048576
+
+
+def _qc_wint_sql(expr: str) -> str:
+    """Integer weight of one token expression, DuckDB form."""
+    return (
+        f"((cast(concat('0x', substr(md5({expr}), 1, 15)) AS bigint)"
+        f" % {_QC_DIM}) * {_QC_MIX}) % {_QC_GRID} - {_QC_GRID // 2}"
+    )
+
+
+_QC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         list_transform(toks, x -> {_qc_wint_sql('x')}) AS uw,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> {_qc_wint_sql("toks[i] || ' ' || toks[i+1]")}) AS bw
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         cast(len(uw) + len(bw) AS bigint) AS n_features,
+         cast(coalesce(list_aggregate(uw, 'sum'), 0)
+              + coalesce(list_aggregate(bw, 'sum'), 0) AS bigint) AS sum_w
+  FROM f
+)
+SELECT doc_id, n_features,
+       CASE WHEN n_features = 0 THEN NULL
+            ELSE floor(cast(sum_w AS double) / (n_features * {_QC_GRID}.0)
+                       * 1000000 + 0.5) / 1000000 END AS quality_score,
+       CASE WHEN n_features = 0 THEN NULL ELSE sum_w > 0 END AS keep
+FROM s
+"""
+
+
+def _qc_wint(col):
+    """Integer weight of one token column: hash to a {_QC_DIM}-dim feature
+    space, then a multiplicative-mix pseudo-weight on an integer grid —
+    exact in both engines (all ops stay far below int64 range)."""
+    from ..operators.dedup import token_hash
+
+    return (token_hash(col) % _QC_DIM) * _QC_MIX % _QC_GRID - _QC_GRID // 2
+
+
+@register(
+    "quality_classifier_score",
+    oracle=_QC_ORACLE,
+    tags=("extension", "text", "classifier"),
+)
+def quality_classifier_score(spark, sf_dir):
+    """Fasttext-shaped linear quality classifier, inference path: hash
+    unigrams AND bigrams into a 512-dim feature space, look up an integer
+    weight per feature (derived from the feature id by multiplicative
+    mixing — standing in for broadcast trained weights, same plan shape),
+    average them, and keep documents whose mean weight is positive.
+    Output per doc: feature count, mean weight in [-0.5, 0.5) rounded to
+    6 decimals, and the keep/drop verdict.
+
+    The verdict is computed on the INTEGER weight sum (exact in both
+    engines); only the reported score touches doubles — one division of
+    an exact int by an exact int, then half-up rounding, deterministic.
+
+    Scale: entirely in-row (transform/aggregate over the token array —
+    no explode, no shuffle, no UDF); this is the map-only plan a quality
+    filter must have to run inline with a 100 TB corpus scan. A real
+    trained model swaps the weight derivation for a broadcast array
+    lookup; nothing else changes."""
+    d = widen(read_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+        lambda x: F.length(x) > 0,
+    )
+    e = d.select("doc_id", toks.alias("toks"))
+    zero = F.lit(0).cast("long")
+    uw = F.transform(F.col("toks"), _qc_wint)
+    bw = F.when(
+        F.size("toks") > 1,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: _qc_wint(F.concat(a, F.lit(" "), b)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s = e.select(
+        "doc_id",
+        uw.alias("uw"),
+        bw.alias("bw"),
+    ).select(
+        "doc_id",
+        (F.size("uw") + F.size("bw")).cast("long").alias("n_features"),
+        (
+            F.aggregate(F.col("uw"), zero, lambda acc, x: acc + x)
+            + F.aggregate(F.col("bw"), zero, lambda acc, x: acc + x)
+        ).alias("sum_w"),
+    )
+    score = F.floor(
+        F.col("sum_w").cast("double")
+        / (F.col("n_features") * F.lit(float(_QC_GRID)))
+        * 1000000
+        + 0.5
+    ) / 1000000
+    return s.select(
+        "doc_id",
+        "n_features",
+        F.when(F.col("n_features") == 0, F.lit(None).cast("double"))
+        .otherwise(score)
+        .alias("quality_score"),
+        F.when(F.col("n_features") == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("sum_w") > 0)
+        .alias("keep"),
     )
