@@ -502,3 +502,67 @@ def mix_plan_report(spark, sf_dir):
             F.col("docs_kept").cast("double") / F.col("n_kept"), 6
         ).alias("share_after_frac"),
     )
+
+
+# --- differentially-private-style noisy release -------------------------------------
+
+#: noise support: uniform integer in [-3, 3] derived from the group key
+_DP_NOISE_MOD = 7
+_DP_K_SUPPRESS = 10
+
+_DP_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, cast(ts AS date) AS day, cast(count(*) AS bigint) AS n_true
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       n_true,
+       cast({token_hash_sql("concat(event_type, '|', strftime(day, '%Y-%m-%d'))")}
+            % {_DP_NOISE_MOD} - {_DP_NOISE_MOD // 2} AS bigint) AS noise,
+       greatest(n_true + {token_hash_sql("concat(event_type, '|', strftime(day, '%Y-%m-%d'))")}
+            % {_DP_NOISE_MOD} - {_DP_NOISE_MOD // 2}, 0) AS n_released,
+       n_true < {_DP_K_SUPPRESS} AS suppressed
+FROM g
+"""
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=_DP_ORACLE,
+    tags=("extension", "governance", "privacy"),
+)
+def dp_noisy_counts(spark, sf_dir):
+    """Differential-privacy-style noisy count release over
+    (event_type, day): per group, the true count, an additive integer
+    noise term, the clamped released count, and a small-count
+    suppression flag (n < 10 — groups a release would withhold entirely,
+    since noise alone cannot protect them).
+
+    The noise here is a DETERMINISTIC stand-in — a uniform integer in
+    [-3, 3] derived by md5 from the group key — so the release logic
+    (noise addition, clamping at zero, suppression) is oracle-checkable
+    bit-for-bit. A production release swaps the derivation for seeded
+    Laplace(1/epsilon) draws keyed the same way; the plan is identical:
+    noise is a per-group scalar expression, never a second pass.
+
+    Scale: one map-side-combined aggregate; the noise adds zero
+    exchanges. True counts are kept in the output for verification only
+    — a real release ships (day, event_type, n_released) alone."""
+    e = read_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    keystr = F.concat(
+        F.col("event_type"), F.lit("|"), F.date_format("day", "yyyy-MM-dd")
+    )
+    noise = (token_hash(keystr) % _DP_NOISE_MOD - _DP_NOISE_MOD // 2).cast("long")
+    return g.select(
+        "event_type",
+        "day",
+        "n_true",
+        noise.alias("noise"),
+        F.greatest(F.col("n_true") + noise, F.lit(0).cast("long")).alias(
+            "n_released"
+        ),
+        (F.col("n_true") < _DP_K_SUPPRESS).alias("suppressed"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_half_up, rounded_sum
+from ..functions.numeric import count_if, round_half_up, rounded_sum
 from ..sources.lake import read_table, widen
 from . import register
 
@@ -929,4 +929,143 @@ def quality_classifier_score(spark, sf_dir):
         F.when(F.col("n_features") == 0, F.lit(None).cast("boolean"))
         .otherwise(F.col("sum_w") > 0)
         .alias("keep"),
+    )
+
+
+# --- classifier calibration bins ----------------------------------------------------
+
+_CAL_ORACLE = f"""
+WITH qc AS ({_QC_ORACLE}),
+j AS (
+  SELECT qc.quality_score, d.lang
+  FROM qc JOIN documents d USING (doc_id)
+  WHERE qc.n_features > 0
+)
+SELECT cast(least(greatest(floor((quality_score + 0.5) * 10), 0), 9) AS int)
+         AS bin_id,
+       cast(count(*) AS bigint) AS n_docs,
+       {{mean_score}} AS mean_score,
+       {{en_rate}} AS en_rate
+FROM j
+GROUP BY 1
+""".format(
+    mean_score="cast(round(sum(cast(quality_score AS decimal(28,6)))"
+    " / count(*), 4) AS double)",
+    en_rate="floor(cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS double)"
+    " / cast(count(*) AS double) * 10000 + 0.5) / 10000",
+)
+
+
+@register(
+    "calibration_bins",
+    oracle=_CAL_ORACLE,
+    tags=("extension", "text", "classifier", "evaluation"),
+)
+def calibration_bins(spark, sf_dir):
+    """Reliability table for :func:`quality_classifier_score`: scores
+    (range [-0.5, 0.5)) are cut into 10 equal bins; per bin, the doc
+    count, the mean score, and the rate of a reference attribute
+    (``lang = 'en'``) standing in for a ground-truth label. This is the
+    calibration readout every score-based corpus filter ships with — the
+    same query shape works for any (score, label) pair.
+
+    Determinism: scores are already on a 1e-6 grid, so the per-bin mean
+    is an exact decimal sum over grid points divided once; the label
+    rate is one integer/integer division, half-up rounded.
+
+    Scale: the classifier stays map-only; this adds one doc_id-keyed
+    equi-join against the label source and a 10-group aggregate."""
+    qc = quality_classifier_score(spark, sf_dir).where(F.col("n_features") > 0)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = qc.join(d, "doc_id")
+    bin_id = (
+        F.least(
+            F.greatest(F.floor((F.col("quality_score") + 0.5) * 10), F.lit(0)),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bin_id")
+    )
+    return j.groupBy(bin_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(28,6)"))
+                / F.count(F.lit(1)),
+                4,
+            )
+        )
+        .cast("double")
+        .alias("mean_score"),
+        round_half_up(
+            count_if(F.col("lang") == "en").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("en_rate"),
+    )
+
+
+# --- inverted-index postings summary ------------------------------------------------
+
+_POSTINGS_ORACLE = """
+WITH tf AS (
+  SELECT w AS token, doc_id, cast(count(*) AS bigint) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS w
+    FROM documents
+  )
+  WHERE length(w) > 0
+  GROUP BY w, doc_id
+)
+SELECT token,
+       cast(count(*) AS bigint) AS df,
+       cast(sum(tf) AS bigint) AS total_tf,
+       cast(max(tf) AS bigint) AS max_tf,
+       cast(((max(tf * 1099511627776 - doc_id) + 1099511627775)
+             // 1099511627776) * 1099511627776
+            - max(tf * 1099511627776 - doc_id) AS bigint) AS top_doc_id
+FROM tf
+GROUP BY token
+"""
+
+
+@register(
+    "inverted_index_postings",
+    oracle=_POSTINGS_ORACLE,
+    tags=("extension", "text", "search-index"),
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build, posting-summary form (the distributed core
+    of the reference's Elasticsearch hop, `index_elasticsearch.py` —
+    what the engine materializes instead of shipping rows to a search
+    service): per token, document frequency, total/max term frequency,
+    and the top-scoring document (highest tf, ties to the lowest
+    doc_id — the argmax encoded as max(tf * 2^40 - doc_id), exact int64).
+
+    Scale: (token, doc) tf aggregate, then a token-keyed aggregate — two
+    shuffles on the natural index keys, identical to how a search engine
+    shards postings. No collect, no UDF."""
+    d = widen(read_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+        ).alias("token"),
+    ).where(F.length("token") > 0)
+    tf = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    big = 1 << 40
+    key = F.col("tf") * big - F.col("doc_id")
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        (
+            ((F.max(key) + big - 1) - ((F.max(key) + big - 1) % big))
+            - F.max(key)
+        )
+        .cast("long")
+        .alias("top_doc_id"),
     )

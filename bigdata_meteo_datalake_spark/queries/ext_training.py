@@ -663,3 +663,88 @@ def length_bucket_batches(spark, sf_dir):
             "pad_waste_tokens"
         ),
     )
+
+
+# --- temporal-cutoff churn labeling -------------------------------------------------
+
+_CHURN_HOLDOUT_DAYS = 7
+
+_CHURN_ORACLE = f"""
+WITH cut AS (SELECT max(ts) - INTERVAL {_CHURN_HOLDOUT_DAYS} DAY AS cutoff
+             FROM events)
+SELECT user_id,
+       cast(sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END) AS bigint)
+         AS n_events_pre,
+       cast(sum(CASE WHEN ts < cutoff AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS bigint) AS n_purchase_pre,
+       cast(round(sum(CASE WHEN ts < cutoff
+                           THEN cast(value AS decimal(28,6)) END), 2)
+            AS double) AS sum_value_pre,
+       cast(count(DISTINCT CASE WHEN ts < cutoff THEN cast(ts AS date) END)
+            AS bigint) AS days_active_pre,
+       cast(datediff('day',
+                     max(CASE WHEN ts < cutoff THEN cast(ts AS date) END),
+                     cast(cutoff AS date)) AS int) AS recency_days,
+       sum(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END) > 0 AS label_active
+FROM events, cut
+GROUP BY user_id, cutoff
+HAVING sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register(
+    "churn_label_dataset",
+    oracle=_CHURN_ORACLE,
+    tags=("extension", "training", "labeling"),
+)
+def churn_label_dataset(spark, sf_dir):
+    """Leakage-safe temporal-cutoff label generation — the supervised-
+    dataset factory: features come strictly from BEFORE the cutoff
+    (last observed timestamp minus 7 days), the label strictly from the
+    holdout week after it. Per user: pre-cutoff event/purchase counts,
+    exact-decimal spend, distinct active days, recency in days, and
+    ``label_active`` = any holdout-week event. Users first seen inside
+    the holdout are excluded (no features to learn from).
+
+    One pass, one shuffle: every feature AND the label are conditional
+    aggregates in the same user-keyed groupBy — no self-join of the
+    event table against its future. The cutoff is a 1-row broadcast
+    (data-derived, so the query is stable across testdata regenerations).
+
+    Scale: user-hash aggregate with map-side combine; the only other
+    exchange is the singleton cutoff. Spend sums ride decimal(28,6)."""
+    e = read_table(spark, sf_dir, "events")
+    cut = e.agg(F.max("ts").alias("mx")).select(
+        (F.col("mx") - F.expr(f"INTERVAL {_CHURN_HOLDOUT_DAYS} DAYS")).alias(
+            "cutoff"
+        )
+    )
+    pre = F.col("ts") < F.col("cutoff")
+    return (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_events_pre"),
+            F.sum(
+                F.when(pre & (F.col("event_type") == "purchase"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchase_pre"),
+            F.round(
+                F.sum(F.when(pre, F.col("value").cast("decimal(28,6)"))), 2
+            )
+            .cast("double")
+            .alias("sum_value_pre"),
+            F.countDistinct(F.when(pre, F.col("ts").cast("date")))
+            .cast("long")
+            .alias("days_active_pre"),
+            F.datediff(
+                F.max(F.col("cutoff")).cast("date"),
+                F.max(F.when(pre, F.col("ts").cast("date"))),
+            )
+            .cast("int")
+            .alias("recency_days"),
+            (F.sum(F.when(pre, 0).otherwise(1)) > 0).alias("label_active"),
+        )
+        .where(F.col("n_events_pre") > 0)
+    )
