@@ -401,33 +401,101 @@ def emb_ivf_topk(spark, sf_dir):
 # --- ANN quality evaluation: recall@k vs brute force --------------------------------
 
 
+# --- product quantization constants + oracle (operator defined at file end) ---------
+
+_PQ_M = 16  # subspaces; embedding dim 64 -> 4 dims each
+_PQ_SUB = 4
+_PQ_CMOD = 16  # sub-codebook = subvectors of vec_id % 16 == 0, vec_id < 512
+_PQ_NCENT = 32  # ... giving 32 centroids per subspace, fixed across SFs
+_PQ_TOPK = 5
+
+_PQ_DIST_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+)
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> cast(floor(cast(x AS double) * 1000 + 0.5) AS bigint))
+           AS v
+  FROM embeddings
+),
+ms AS (SELECT unnest([{", ".join(str(i) for i in range(_PQ_M))}]) AS m),
+sub AS (
+  SELECT vec_id, m,
+         array_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+  FROM e CROSS JOIN ms
+),
+cent AS (
+  SELECT vec_id // {_PQ_CMOD} AS crank, m, sv AS cv
+  FROM sub WHERE vec_id % {_PQ_CMOD} = 0 AND vec_id < {_PQ_CMOD * _PQ_NCENT}
+),
+codes AS (
+  SELECT s.vec_id, s.m,
+         min({_PQ_DIST_SQL.format(a="s.sv", b="c.cv")} * {_PQ_NCENT} + c.crank)
+           % {_PQ_NCENT} AS code
+  FROM sub s JOIN cent c USING (m)
+  GROUP BY s.vec_id, s.m
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.crank,
+         {_PQ_DIST_SQL.format(a="q.sv", b="c.cv")} AS qd
+  FROM sub q JOIN cent c USING (m)
+  WHERE q.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         cast(sum(l.qd) AS bigint) AS adc_dist
+  FROM codes k JOIN lut l ON l.m = k.m AND l.crank = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_PQ_TOPK}
+"""
+
+
 def _recall_oracle() -> str:
     return f"""
 WITH bf AS ({_KNN_ORACLE}),
 lsh AS ({_lsh_oracle()}),
-ivf AS ({_ivf_oracle()})
+ivf AS ({_ivf_oracle()}),
+pq AS ({_PQ_ORACLE})
 SELECT b.query_id,
        cast(count(l.neighbor_id) AS bigint) AS n_lsh_hits,
        cast(count(i.neighbor_id) AS bigint) AS n_ivf_hits,
+       cast(count(p.neighbor_id) AS bigint) AS n_pq_hits,
        floor(count(l.neighbor_id) / cast({_TOP_K} AS double) * 10000 + 0.5) / 10000
          AS recall_lsh,
        floor(count(i.neighbor_id) / cast({_TOP_K} AS double) * 10000 + 0.5) / 10000
-         AS recall_ivf
+         AS recall_ivf,
+       floor(count(p.neighbor_id) / cast({_TOP_K} AS double) * 10000 + 0.5) / 10000
+         AS recall_pq
 FROM bf b
 LEFT JOIN lsh l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
 LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+LEFT JOIN pq p ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
 """
 
 
 @register("ann_recall_report", oracle=_recall_oracle(), tags=("extension", "similarity", "eval"))
 def ann_recall_report(spark, sf_dir):
-    """ANN quality evaluation: per-query recall@k of the LSH and IVF paths
-    against the brute-force ground truth — the acceptance gate every
+    """ANN quality evaluation: per-query recall@k of the LSH, IVF, and PQ
+    paths against the brute-force ground truth — the acceptance gate every
     approximate index needs before replacing the exact path in a pipeline.
-    Composes the three registered operators; the top-k sets are tiny
+    (PQ recall is measured against the COSINE ground truth like the other
+    two, even though ADC ranks by euclidean distance on the quantized
+    grid — the report shows what a consumer of the exact path would lose.)
+    Composes the four registered operators; the top-k sets are tiny
     (queries x k rows), so the comparison joins broadcast and the cost is
-    the three underlying searches themselves."""
+    the underlying searches themselves."""
     bf = knn_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = (
         emb_lsh_topk(spark, sf_dir)
@@ -439,16 +507,26 @@ def ann_recall_report(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .withColumn("h_ivf", F.lit(1))
     )
-    joined = bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left").join(
-        F.broadcast(ivf), ["query_id", "neighbor_id"], "left"
+    pq = (
+        pq_ann_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("h_pq", F.lit(1))
+    )
+    joined = (
+        bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
     )
     n_lsh = F.sum(F.coalesce(F.col("h_lsh"), F.lit(0))).cast("long")
     n_ivf = F.sum(F.coalesce(F.col("h_ivf"), F.lit(0))).cast("long")
+    n_pq = F.sum(F.coalesce(F.col("h_pq"), F.lit(0))).cast("long")
     return joined.groupBy("query_id").agg(
         n_lsh.alias("n_lsh_hits"),
         n_ivf.alias("n_ivf_hits"),
+        n_pq.alias("n_pq_hits"),
         round_half_up(n_lsh.cast("double") / _TOP_K, 4).alias("recall_lsh"),
         round_half_up(n_ivf.cast("double") / _TOP_K, 4).alias("recall_ivf"),
+        round_half_up(n_pq.cast("double") / _TOP_K, 4).alias("recall_pq"),
     )
 
 
@@ -680,63 +758,8 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 # --- product quantization (PQ) ANN: codes + asymmetric distance ---------------------
-
-_PQ_M = 16  # subspaces; embedding dim 64 -> 4 dims each
-_PQ_SUB = 4
-_PQ_CMOD = 16  # sub-codebook = subvectors of vec_id % 16 == 0, vec_id < 512
-_PQ_NCENT = 32  # ... giving 32 centroids per subspace, fixed across SFs
-_PQ_TOPK = 5
-
-_PQ_DIST_SQL = (
-    "list_aggregate(list_transform(list_zip({a}, {b}),"
-    " p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
-)
-
-_PQ_ORACLE = f"""
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> cast(floor(cast(x AS double) * 1000 + 0.5) AS bigint))
-           AS v
-  FROM embeddings
-),
-ms AS (SELECT unnest([{", ".join(str(i) for i in range(_PQ_M))}]) AS m),
-sub AS (
-  SELECT vec_id, m,
-         array_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sv
-  FROM e CROSS JOIN ms
-),
-cent AS (
-  SELECT vec_id // {_PQ_CMOD} AS crank, m, sv AS cv
-  FROM sub WHERE vec_id % {_PQ_CMOD} = 0 AND vec_id < {_PQ_CMOD * _PQ_NCENT}
-),
-codes AS (
-  SELECT s.vec_id, s.m,
-         min({_PQ_DIST_SQL.format(a="s.sv", b="c.cv")} * {_PQ_NCENT} + c.crank)
-           % {_PQ_NCENT} AS code
-  FROM sub s JOIN cent c USING (m)
-  GROUP BY s.vec_id, s.m
-),
-lut AS (
-  SELECT q.vec_id AS query_id, c.m, c.crank,
-         {_PQ_DIST_SQL.format(a="q.sv", b="c.cv")} AS qd
-  FROM sub q JOIN cent c USING (m)
-  WHERE q.vec_id < {_N_QUERIES}
-),
-adc AS (
-  SELECT l.query_id, k.vec_id AS neighbor_id,
-         cast(sum(l.qd) AS bigint) AS adc_dist
-  FROM codes k JOIN lut l ON l.m = k.m AND l.crank = k.code
-  WHERE k.vec_id <> l.query_id
-  GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, adc_dist
-FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
-  FROM adc
-) WHERE rn <= {_PQ_TOPK}
-"""
+# (constants + oracle live earlier in the file so ann_recall_report's oracle
+# can embed the PQ CTE; the operator itself is defined here)
 
 
 @register(
