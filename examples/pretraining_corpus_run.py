@@ -12,7 +12,10 @@ composes them):
                           attribution (round-4 governance surface)
 2. PII screen           — scan + redaction fingerprint; docs with any
                           match are flagged for the redacted variant
-3. quality filtering    — heuristic score + corpus-calibrated percentile cut
+3. quality filtering    — heuristic score AND the fasttext-shaped hashed
+                          classifier (both must pass), with the
+                          classifier's calibration bins printed so the
+                          cut is auditable
 4. near-dup dedup       — MinHash-LSH candidates, cluster, keep the
                           best-quality representative per cluster
 5. contamination scan   — drop documents overlapping the benchmark gram set
@@ -23,7 +26,8 @@ composes them):
 8. sequence packing     — greedy token-budget packing per shard
 9. language balance     — T=0.5 temperature sampling weights for the mix
 10. mix plan            — downsampling rates toward a uniform language mix
-11. tokenizer seed      — first BPE merges learned from the final corpus
+11. tokenizer seed      — first BPE merges learned from the corpus, then
+                          applied back to it for the real token budget
 12. shard manifest      — content-stable shard assignment + checksums,
                           plus per-split/source counts, written as the
                           run's parquet artifacts
@@ -44,6 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from bigdata_meteo_datalake_spark.queries.ext_corpus import (
+    bpe_encode_token_counts,
     bpe_train_merges,
     lang_balance_weights,
     span_dedup_report,
@@ -55,7 +60,11 @@ from bigdata_meteo_datalake_spark.queries.ext_governance import (
     pii_scan_report,
     shard_manifest,
 )
-from bigdata_meteo_datalake_spark.queries.ext_text import text_quality_score
+from bigdata_meteo_datalake_spark.queries.ext_text import (
+    calibration_bins,
+    quality_classifier_score,
+    text_quality_score,
+)
 from bigdata_meteo_datalake_spark.queries.ext_training import (
     benchmark_contamination,
     pack_documents_token_budget,
@@ -86,9 +95,15 @@ def main() -> None:
     ).select("doc_id")
     n_pii = pii_flagged.count()
 
-    # 3. quality: keep high-quality docs (score + flag from the registered op)
+    # 3. quality: the heuristic gate AND the hashed linear classifier must
+    # both pass (the classic two-filter stack: cheap rules, then a model)
     quality = text_quality_score(spark, sf_dir)
-    kept_q = quality.where(F.col("is_high_quality")).select("doc_id")
+    clf = quality_classifier_score(spark, sf_dir)
+    kept_q = (
+        quality.where(F.col("is_high_quality"))
+        .select("doc_id")
+        .join(clf.where(F.col("keep")).select("doc_id"), "doc_id")
+    )
 
     # 2. dedup: best-quality survivor per near-dup cluster
     survivors = dedup_survivors_by_quality(spark, sf_dir).select("doc_id")
@@ -128,8 +143,13 @@ def main() -> None:
     # 10. mix plan: downsampling rates toward a uniform language target
     mix = mix_plan_report(spark, sf_dir)
 
-    # 11. tokenizer seed: first BPE merges over the corpus
+    # 11. tokenizer seed: first BPE merges over the corpus, then applied
+    # back to every document for the real (post-merge) token budget
     merges = bpe_train_merges(spark, sf_dir).collect()
+    budget = bpe_encode_token_counts(spark, sf_dir).agg(
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_words").alias("total_words"),
+    ).collect()[0]
 
     # 12. shard manifest: content-stable shards + checksums
     shards = shard_manifest(spark, sf_dir)
@@ -174,6 +194,15 @@ def main() -> None:
         "  bpe merges: "
         + ", ".join(f"({m['left_tok']}+{m['right_tok']})x{m['pair_count']}" for m in merges)
     )
+    print(
+        f"  token budget: {budget['total_bpe_tokens']} bpe tokens over "
+        f"{budget['total_words']} words"
+    )
+    for r in calibration_bins(spark, sf_dir).orderBy("bin_id").collect():
+        print(
+            f"  clf bin {r['bin_id']}: {r['n_docs']:>6} docs "
+            f"mean {r['mean_score']:+.4f} en-rate {r['en_rate']:.4f}"
+        )
     print(f"artifacts: {out_root}")
     assert n1 <= n0 and n1 > 0 and n_packs > 0
     assert len(merges) == 3
