@@ -194,3 +194,99 @@ def k_anonymity_report(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("group_n"),
         (F.count(F.lit(1)) < F.lit(_K_ANON)).alias("suppressed"),
     )
+
+
+# --- CDC changelog application ------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         1 AS seq, 'I' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0,
+         2 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         3 AS seq, 'D' AS op
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+latest AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, op
+  FROM log
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+)
+SELECT o_orderstatus,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(round(sum(cast(o_totalprice AS decimal(28,6))), 2) AS double)
+         AS sum_totalprice,
+       cast(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS bigint) AS n_updated
+FROM latest
+WHERE op <> 'D'
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle=_CDC_ORACLE,
+    tags=("extension", "lakehouse", "cdc"),
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """CDC changelog application — the general MERGE the last-write-wins
+    upsert (S8, `operators/upsert.py`) is a special case of: a changelog
+    of (key, seq, op in I/U/D) rows collapses to current state by taking
+    the highest-seq op per key and dropping keys whose last op is a
+    delete. The changelog here is synthesized deterministically from
+    ``orders`` (every row inserted at seq 1, every 10th key updated with
+    +1000 at seq 2, every 100th deleted at seq 3) so the apply semantics
+    — update visibility, delete wins over its earlier update, decimal
+    sums over the surviving state — are oracle-checked end to end.
+    Output: per-status row counts, exact-decimal totals, and how many
+    surviving rows carry the update.
+
+    Scale: one key-hash window (identical shape to the S8 upsert dedup)
+    + one aggregate; a real CDC feed (Debezium topic, Delta CDF) swaps
+    the synthesized unions for its reader and nothing else changes. At
+    100 TB the window shuffles the changelog once on the key — the same
+    cost MERGE INTO pays."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ins = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log = ins.unionAll(upd).unionAll(dele)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("sum_totalprice"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+    )
