@@ -244,3 +244,43 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+PHASH_BANDS_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def image_phash_bands(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of an image blob, emitted as four
+    16-bit bands via mapInPandas: 64 "cells" are read cyclically from the
+    blob bytes (the stand-in for an 8x8 grayscale downsample — with a real
+    codec the resize output feeds the same thresholding), each bit is
+    cell > mean (compared as ``cell * 64 > sum`` so the threshold is
+    exact integer math), and bits 16b..16b+15 fold into band b. Bands —
+    not one 64-bit value — because the near-dup join needs them anyway
+    (pigeonhole: hamming <= 3 over 4 bands forces at least one equal
+    band) and because bit 63 would overflow a signed int64."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                if not b:
+                    continue
+                cells = [b[i % len(b)] for i in range(64)]
+                s = sum(cells)
+                bands = []
+                for band in range(4):
+                    v = 0
+                    for i in range(16):
+                        if cells[band * 16 + i] * 64 > s:
+                            v |= 1 << i
+                    bands.append(v)
+                out["doc_id"].append(doc_id)
+                for k, v in zip(("b0", "b1", "b2", "b3"), bands):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, PHASH_BANDS_SCHEMA)

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_blob, decode_image_features
+from ..operators.multimodal import (
+    attach_blob,
+    decode_image_features,
+    image_phash_bands,
+)
 from ..sources.lake import read_table
 from . import register
 
@@ -147,3 +151,112 @@ def multimodal_frame_sample(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     media = attach_blob(d, media_type="video")
     return sample_frames(media, every_n_bytes=_FRAME_BYTES, max_frames=_MAX_FRAMES)
+
+
+# --- perceptual-hash near-dup through the same gate ---------------------------------
+
+_PHASH_HOT = 64  # buckets with more members are boilerplate, dropped
+_PHASH_MAX_HD = 3  # pigeonhole-safe for 4 bands: hd <= 3 forces a band match
+
+_PHASH_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> ascii(substr(text, (i % length(text)) + 1, 1))) AS cells
+  FROM documents WHERE length(text) > 0
+),
+h AS (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS s FROM c),
+bands AS (
+  SELECT doc_id, b,
+         list_aggregate(list_transform(range(0, 16),
+           i -> CASE WHEN cells[b * 16 + i + 1] * 64 > s
+                THEN 1 << i ELSE 0 END), 'sum') AS bv
+  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+hot AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) > {_PHASH_HOT}),
+bands2 AS (SELECT * FROM bands ANTI JOIN hot USING (b, bv)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands2 x JOIN bands2 y ON x.b = y.b AND x.bv = y.bv
+  WHERE x.doc_id < y.doc_id
+),
+bv AS (SELECT doc_id, list(bv ORDER BY b) AS bvs FROM bands GROUP BY doc_id)
+SELECT c2.doc_a, c2.doc_b,
+       cast(bit_count(xor(x.bvs[1], y.bvs[1]))
+          + bit_count(xor(x.bvs[2], y.bvs[2]))
+          + bit_count(xor(x.bvs[3], y.bvs[3]))
+          + bit_count(xor(x.bvs[4], y.bvs[4])) AS int) AS hamming
+FROM cand c2
+JOIN bv x ON x.doc_id = c2.doc_a
+JOIN bv y ON y.doc_id = c2.doc_b
+WHERE bit_count(xor(x.bvs[1], y.bvs[1])) + bit_count(xor(x.bvs[2], y.bvs[2]))
+    + bit_count(xor(x.bvs[3], y.bvs[3])) + bit_count(xor(x.bvs[4], y.bvs[4]))
+    <= {_PHASH_MAX_HD}
+"""
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=_PHASH_ORACLE,
+    tags=("extension", "multimodal", "dedup"),
+)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate detection by perceptual hash, end to end
+    through the Arrow kernel gate: blobs -> 64-bit average-hash as four
+    16-bit bands (operators/multimodal.py:image_phash_bands, mapInPandas)
+    -> LSH-style band equi-join (pigeonhole: hamming <= 3 over 4 bands
+    guarantees a shared band) -> exact hamming refilter via bit_count.
+    Hot bands (> 64 members — boilerplate imagery) are dropped before the
+    self-join, the same structural guard the MinHash and SimHash dedups
+    use, so the candidate set stays near-linear at corpus scale. Output:
+    (doc_a, doc_b, hamming) for every pair within distance 3.
+
+    The oracle recomputes the kernel's byte arithmetic in SQL (ASCII
+    contract on documents.text, as with the audio kernel), so an Arrow
+    batching or banding bug cannot hide behind the Python path. With a
+    real codec the resize stage feeds the same thresholding — the plan
+    does not change."""
+    d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    feats = image_phash_bands(attach_blob(d))
+    bands = feats.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("b", "bv"),
+    )
+    hot = (
+        bands.groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > _PHASH_HOT)
+        .select("b", "bv")
+    )
+    bands2 = bands.join(F.broadcast(hot), ["b", "bv"], "left_anti")
+    x, y = bands2.alias("x"), bands2.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hd = None
+    for c in ("b0", "b1", "b2", "b3"):
+        t = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hd = t if hd is None else hd + t
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= _PHASH_MAX_HD)
+    )
