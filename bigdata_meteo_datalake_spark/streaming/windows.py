@@ -493,3 +493,50 @@ def session_expiry_summaries(
             timeMode="eventTime",
         )
     )
+
+
+def stream_cdc_apply(log: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming CDC apply — the stateful twin of the batch
+    queries/ext_lakehouse.py:cdc_apply_changelog window: a changelog
+    stream of (key, seq, op in I/U/D, payload) collapses to current state
+    per key. State = (best_seq, op, payload) of the highest seq seen; a
+    batch only advances it (late/replayed lower-seq ops are no-ops, which
+    is exactly the idempotence CDC replay needs). Each update emits the
+    key's current row with is_deleted reflecting whether the latest op is
+    a delete — downstream sinks overwrite by key, so emitting tombstones
+    (rather than suppressing deleted keys) is what lets the sink delete.
+
+    Scale: per-key state is one (long, string, double) — constant bytes
+    per key, no growth with stream length; the state-store shuffle on the
+    key is the same exchange the batch window pays."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        "o_orderkey long, seq long, op string, o_totalprice double,"
+        " is_deleted boolean"
+    )
+    state_schema = "seq long, op string, price double"
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for seq, op, price in zip(
+                pdf["seq"], pdf["op"], pdf["o_totalprice"]
+            ):
+                if best is None or int(seq) > int(best[0]):
+                    best = (int(seq), str(op), float(price))
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "seq": [best[0]],
+                "op": [best[1]],
+                "o_totalprice": [best[2]],
+                "is_deleted": [best[1] == "D"],
+            }
+        )
+
+    return log.groupBy("o_orderkey").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -694,3 +694,67 @@ def test_stream_ewma_null_obs_matches_batch(spark, tmp_path):
         check_dtype=False,
         check_exact=True,
     )
+
+
+def test_stream_cdc_apply_matches_batch(spark, tmp_path):
+    """The stateful CDC apply, fed the synthesized I/U/D changelog as
+    three separate micro-batches (inserts, then updates, then deletes —
+    maxFilesPerTrigger=1), converges to exactly the batch
+    cdc_apply_changelog semantics: highest seq wins, delete beats its
+    earlier update, lower-seq replays are no-ops."""
+    from bigdata_meteo_datalake_spark.sources.lake import read_table
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_cdc_apply
+
+    o = read_table(spark, SF0001, "orders").select("o_orderkey", "o_totalprice")
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    ins = o.select(
+        "o_orderkey", F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"), "o_totalprice",
+    )
+    upd = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    dele = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.lit(3).cast("long").alias("seq"),
+        F.lit("D").alias("op"), "o_totalprice",
+    )
+    for i, part in enumerate((ins, upd, dele)):
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+
+    schema = ins.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stream_cdc_apply(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_state")
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("cdc_state").collect()
+    final = {}
+    for r in rows:
+        if r.o_orderkey not in final or r.seq > final[r.o_orderkey].seq:
+            final[r.o_orderkey] = r
+    base = {r.o_orderkey: r.o_totalprice for r in o.collect()}
+    assert len(final) == len(base)
+    for k, price in base.items():
+        f = final[k]
+        if k % 100 == 0:
+            assert f.is_deleted and f.op == "D"
+        elif k % 10 == 0:
+            assert not f.is_deleted and f.op == "U"
+            assert abs(f.o_totalprice - (price + 1000.0)) < 1e-9
+        else:
+            assert not f.is_deleted and f.op == "I"
+            assert abs(f.o_totalprice - price) < 1e-9
