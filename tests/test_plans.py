@@ -142,3 +142,32 @@ def test_shard_manifest_single_aggregate_exchange(spark):
 
     plan = plan_string(QS["shard_manifest"](spark, SF0001))
     assert plan.count("hashpartitioning") == 1
+
+
+def test_cdc_apply_two_exchanges(spark):
+    """cdc_apply_changelog: the changelog union shuffles ONCE on the key
+    for the latest-op window (the MERGE-equivalent exchange), then once
+    for the status aggregate — never more."""
+    from bigdata_meteo_datalake_spark.plans.explain import plan_string
+
+    plan = plan_string(QS["cdc_apply_changelog"](spark, SF0001))
+    assert plan.count("hashpartitioning") == 2
+
+
+def test_zone_map_single_exchange(spark):
+    """zone_map_prune_report is one two-phase hash aggregate: exactly one
+    shuffle, partial aggregation before it (the pricing_summary shape)."""
+    from bigdata_meteo_datalake_spark.plans.explain import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QS["zone_map_prune_report"](spark, SF0001)) == 1
+
+
+def test_phash_near_dup_no_nested_loop(spark):
+    """The pHash band join must be an equi-join (hash/sort-merge), never
+    a nested-loop over the corpus: the inequality and hamming predicates
+    ride as post-join filters on the (b, bv) key join."""
+    from bigdata_meteo_datalake_spark.plans.explain import plan_string
+
+    plan = plan_string(QS["multimodal_phash_near_dup"](spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
