@@ -748,3 +748,160 @@ def churn_label_dataset(spark, sf_dir):
         )
         .where(F.col("n_events_pre") > 0)
     )
+
+
+# --- smoothed target encoding -------------------------------------------------------
+
+_TE_ALPHA = 10  # additive-smoothing pseudo-count toward the global prior
+
+_TE_ORACLE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (SELECT cast(sum(y) AS bigint) AS pos_all,
+             cast(count(*) AS bigint) AS n_all FROM base)
+SELECT segment,
+       cast(count(*) AS bigint) AS n_orders,
+       cast(sum(y) AS bigint) AS n_pos,
+       floor(cast(sum(y) AS double) / count(*) * 1000000 + 0.5) / 1000000
+         AS raw_rate,
+       floor((cast(sum(y) AS double)
+              + {_TE_ALPHA} * (cast(pos_all AS double) / n_all))
+             / (count(*) + {_TE_ALPHA}) * 1000000 + 0.5) / 1000000
+         AS encoded
+FROM base, g
+GROUP BY segment, pos_all, n_all
+"""
+
+
+@register(
+    "target_encoding_smoothed",
+    oracle=_TE_ORACLE,
+    tags=("extension", "training", "features"),
+)
+def target_encoding_smoothed(spark, sf_dir):
+    """Smoothed target encoding — the standard categorical feature for
+    tabular models: per market segment, the rate of finished orders
+    shrunk toward the global prior with 10 pseudo-counts
+    (``(pos + a*prior) / (n + a)``), so rare categories don't memorize
+    their few labels. Output per category: counts, raw rate, encoded
+    value. (Per-fold / leave-one-out variants reuse this exact plan with
+    the split column from train_val_test_split as an extra grouping key.)
+
+    Determinism: integer counts aggregate exactly; the prior and the
+    encoded value are each one double division + half-up rounding,
+    identical in both engines.
+
+    Scale: fact-side hash aggregate with a broadcast customer dimension
+    join and a 1-row global-prior broadcast — the fact never shuffles
+    twice."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    base = o.join(F.broadcast(c), "o_custkey").select(
+        "segment",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = base.agg(
+        F.sum("y").cast("long").alias("pos_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    from ..functions.numeric import round_half_up
+
+    prior = F.col("pos_all").cast("double") / F.col("n_all")
+    return (
+        base.crossJoin(F.broadcast(g))
+        .groupBy("segment", "pos_all", "n_all")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            "n_pos",
+            round_half_up(
+                F.col("n_pos").cast("double") / F.col("n_orders"), 6
+            ).alias("raw_rate"),
+            round_half_up(
+                (F.col("n_pos").cast("double") + _TE_ALPHA * prior)
+                / (F.col("n_orders") + _TE_ALPHA),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+# --- deterministic A/B assignment + uplift readout ----------------------------------
+
+_AB_ORACLE = f"""
+WITH assign AS (
+  SELECT user_id,
+         cast({token_hash_sql("concat('ab1|', cast(user_id AS varchar))")}
+              % 2 AS int) AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+agg AS (
+  SELECT a.arm,
+         cast(count(DISTINCT e.user_id) AS bigint) AS n_users,
+         cast(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS bigint) AS n_purchases,
+         cast(count(*) AS bigint) AS n_events
+  FROM events e JOIN assign a USING (user_id)
+  GROUP BY a.arm
+)
+SELECT arm, n_users, n_purchases, n_events,
+       floor(cast(n_purchases AS double) / n_users * 1000000 + 0.5) / 1000000
+         AS purchases_per_user
+FROM agg
+"""
+
+
+@register(
+    "ab_assignment_report",
+    oracle=_AB_ORACLE,
+    tags=("extension", "training", "experimentation"),
+)
+def ab_assignment_report(spark, sf_dir):
+    """Deterministic A/B experiment assignment + readout: users hash into
+    two arms by md5 of a salted key (rerun-stable, no stored assignment
+    table needed — the hash IS the table), then per arm: user count,
+    purchase count, events, purchases per user. The uplift between arms
+    of an un-treated metric doubles as the experiment's A/A sanity check.
+
+    Scale: the assignment is an in-row hash on the event stream (no join
+    against an assignment table at all — the oracle's explicit join is
+    the semantic spec, the Spark plan fuses it into the scan); one
+    user-keyed aggregate then a 2-group rollup."""
+    e = read_table(spark, sf_dir, "events")
+    arm = (
+        token_hash(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))) % 2
+    ).cast("int")
+    per_user = (
+        e.select("user_id", "event_type", arm.alias("arm"))
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pur"),
+        )
+    )
+    from ..functions.numeric import round_half_up
+
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_pur").cast("long").alias("n_purchases"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    ).select(
+        "arm",
+        "n_users",
+        "n_purchases",
+        "n_events",
+        round_half_up(
+            F.col("n_purchases").cast("double") / F.col("n_users"), 6
+        ).alias("purchases_per_user"),
+    )
