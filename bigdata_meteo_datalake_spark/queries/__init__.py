@@ -139,6 +139,10 @@ def _load_all() -> None:
     # compaction planning, k-anonymity, bucketed interval join).
     from . import ext_lakehouse  # noqa: F401
 
+    # round-4 additions, third wave (data selection / corpus curation:
+    # DSIR, boilerplate coverage, Heaps/Zipf diagnostics, record linkage).
+    from . import ext_selection  # noqa: F401
+
     newest = _driver_confirmed_rounds()
     # never-confirmed queries carry round 0, sorting ahead of everything;
     # among confirmed ones, round-1-era evidence re-sweeps before round-3's.

@@ -1,0 +1,607 @@
+"""Data-selection / corpus-curation extension queries (SURVEY.md section 2.7
+north-star LLM-pipeline operators; no reference citation — the reference has
+no corpus tooling, these are designed Spark-first from the public methods):
+
+- DSIR importance resampling (Xie et al. 2023, "Data Selection for Language
+  Models via Importance Resampling"): hashed-n-gram importance weights of
+  each raw document against a target domain.
+- Boilerplate n-gram coverage (the CCNet/RefinedWeb cleaning signal):
+  corpus-frequent 5-gram spans and the fraction of each document they cover.
+- Heaps-law vocabulary growth: distinct-vocabulary size as a function of
+  corpus prefix, the sub-linearity every tokenizer-budget plan relies on.
+- Zipf rank-frequency fit: OLS of log(freq) on log(rank) over the top
+  token ranks — the corpus-health diagnostic (natural text: slope near -1).
+- Fellegi-Sunter record linkage (Fellegi & Sunter 1969): blocked candidate
+  pairs scored by integer-quantized log-likelihood agreement weights.
+
+Cross-engine determinism discipline (same as ext_text's bigram-LM scorer):
+every per-feature float (a single ln()) is quantized to an integer
+micro/milli unit IMMEDIATELY, so all cross-row sums are order-free integer
+arithmetic; the only residual risk is a ~1-ulp libm ln() difference landing
+exactly on a 0.5e-6 rounding boundary, which the driver gate would surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import count_if, round_half_up
+from ..operators.dedup import token_hash, token_hash_sql
+from ..sources.lake import read_table, widen
+from . import register
+
+#: tokenizer shared by every query here — identical character class in
+#: Spark (Java regex) and DuckDB (RE2); empties filtered on both sides.
+_TOK_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+'),"
+    " x -> length(x) > 0)"
+)
+
+
+def _toks():
+    return F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+# --- DSIR hashed-n-gram importance weights ------------------------------------------
+
+_DSIR_DIM = 1024
+_DSIR_TOPK = 200
+_DSIR_TARGET_SOURCE = "src0"
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOK_SQL} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, source = '{_DSIR_TARGET_SOURCE}' AS is_target,
+         unnest(list_concat(
+           list_transform(toks, x -> {token_hash_sql('x')} % {_DSIR_DIM}),
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> {token_hash_sql("toks[i] || ' ' || toks[i+1]")}
+                               % {_DSIR_DIM})
+         )) AS fb
+  FROM t
+),
+c AS (
+  SELECT fb,
+         cast(count(*) AS bigint) AS q_f,
+         cast(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS bigint) AS t_f
+  FROM f GROUP BY fb
+),
+tot AS (
+  SELECT cast(sum(q_f) AS bigint) AS qn, cast(sum(t_f) AS bigint) AS tn FROM c
+),
+r AS (
+  SELECT fb,
+         cast(floor((ln((t_f + 1.0) / (tn + {_DSIR_DIM}.0))
+                     - ln((q_f + 1.0) / (qn + {_DSIR_DIM}.0))) * 1000000 + 0.5)
+              AS bigint) AS wq
+  FROM c, tot
+),
+s AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_feats,
+         cast(sum(wq) AS bigint) AS w_micro
+  FROM f JOIN r ON f.fb = r.fb GROUP BY doc_id
+)
+SELECT doc_id, n_feats, w_micro, cast(w_micro AS double) / 1000000 AS logw
+FROM s ORDER BY w_micro DESC, doc_id LIMIT {_DSIR_TOPK}
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("extension", "corpus", "selection", "dsir"),
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023): estimate hashed-bigram feature distributions
+    for a target domain (here ``source = 'src0'``, the stand-in for "looks
+    like Wikipedia") and for the raw corpus, and score every document by
+    its log importance weight sum_f log(p_target(f)/p_raw(f)) with add-1
+    smoothing over a {dim}-bucket hashed feature space; emit the top {k}
+    documents by weight (the resampling pool), tie-broken by doc_id.
+
+    Determinism: each bucket's log-ratio is quantized to an integer
+    micro-unit once (one ln per bucket, from exact integer counts); the
+    per-document score is then an order-free integer sum, and the top-k
+    cut is total-ordered (w_micro desc, doc_id).
+
+    Scale: feature counting is one map-side-combined aggregate over the
+    exploded feature stream; the ratio table is at most {dim} rows and is
+    BROADCAST back onto the stream, so the only corpus-sized shuffle is
+    the per-document integer sum; the top-k compiles to
+    TakeOrderedAndProject (no global sort). Documents with zero tokens
+    have no features and are not scored — DSIR resamples from the scored
+    pool by construction.
+    """.format(dim=_DSIR_DIM, k=_DSIR_TOPK)
+    d = widen(read_table(spark, sf_dir, "documents"))
+    toks = _toks()
+    uni = F.transform(F.col("toks"), lambda x: token_hash(x) % _DSIR_DIM)
+    bi = F.when(
+        F.size("toks") > 1,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: token_hash(F.concat(a, F.lit(" "), b)) % _DSIR_DIM,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    feats = (
+        d.select(
+            "doc_id",
+            (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
+            toks.alias("toks"),
+        )
+        .select("doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("fb"))
+    )
+    counts = feats.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("q_f"), count_if(F.col("is_target")).alias("t_f")
+    )
+    tot = counts.agg(F.sum("q_f").alias("qn"), F.sum("t_f").alias("tn"))
+    dim = float(_DSIR_DIM)
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "fb",
+        F.floor(
+            (
+                F.log((F.col("t_f") + 1.0) / (F.col("tn") + dim))
+                - F.log((F.col("q_f") + 1.0) / (F.col("qn") + dim))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "fb")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("wq").alias("w_micro"))
+    )
+    return (
+        scored.orderBy(F.desc("w_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "n_feats",
+            "w_micro",
+            (F.col("w_micro").cast("double") / 1000000).alias("logw"),
+        )
+    )
+
+
+# --- boilerplate n-gram coverage ----------------------------------------------------
+
+_BP_N = 5
+_BP_DF_MIN = 10
+
+_BP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {_BP_N - 1}),
+           i -> {token_hash_sql(f"array_to_string(list_slice(toks, i, i + {_BP_N - 1}), ' ')")}
+         )) AS gh
+  FROM t
+),
+df AS (
+  SELECT gh FROM g GROUP BY gh
+  HAVING count(DISTINCT doc_id) >= {_BP_DF_MIN}
+),
+a AS (
+  SELECT g.doc_id,
+         cast(count(*) AS bigint) AS n_grams,
+         cast(sum(CASE WHEN df.gh IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           AS n_boiler
+  FROM g LEFT JOIN df ON g.gh = df.gh
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_boiler, 0) AS n_boiler,
+       CASE WHEN a.n_grams > 0 THEN
+         floor(cast(a.n_boiler AS double) / a.n_grams * 1000000 + 0.5) / 1000000
+       END AS boiler_frac,
+       CASE WHEN a.n_grams > 0 THEN
+         cast(a.n_boiler AS double) / a.n_grams >= 0.5
+       END AS is_boilerplate_doc
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+"""
+
+
+@register(
+    "boilerplate_ngram_coverage",
+    oracle=_BP_ORACLE,
+    tags=("extension", "corpus", "quality", "boilerplate"),
+)
+def boilerplate_ngram_coverage(spark, sf_dir):
+    """Boilerplate detection, the CCNet/RefinedWeb cleaning signal: a
+    5-gram that occurs in >= {df} distinct documents is corpus boilerplate
+    (navigation chrome, license headers, templated spans); each document
+    reports how many of its 5-gram positions are boilerplate and the
+    covered fraction, with docs at >= 50% coverage flagged for removal.
+
+    Scale: grams are built in-row (no per-position explode until the
+    single hashed-gram stream), document frequency is one
+    count-distinct aggregate on the 60-bit gram hash (two-phase, int
+    keys), and the surviving boilerplate set — small by construction,
+    it's the grams shared by many documents — is BROADCAST back, so the
+    only corpus-sized shuffles are the gram-stream aggregates, never a
+    gram-string shuffle.
+    """.format(df=_BP_DF_MIN)
+    d = widen(read_table(spark, sf_dir, "documents"))
+    toks = _toks()
+    grams = F.when(
+        F.size("toks") >= _BP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_BP_N - 1)),
+            lambda i: token_hash(F.concat_ws(" ", F.slice(F.col("toks"), i, _BP_N))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gh"))
+    )
+    boiler = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF_MIN)
+        .select("gh", F.lit(1).alias("is_boiler"))
+    )
+    agg = (
+        g.join(F.broadcast(boiler), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            count_if(F.col("is_boiler").isNotNull()).alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler").cast("double") / F.col("n_grams")
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.when(F.col("n_grams") > 0, round_half_up(frac, 6)).alias("boiler_frac"),
+            F.when(F.col("n_grams") > 0, frac >= 0.5).alias("is_boilerplate_doc"),
+        )
+    )
+
+
+# --- Heaps-law vocabulary growth ----------------------------------------------------
+
+_HEAPS_PCTS = (10, 25, 50, 75, 100)
+
+_HEAPS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+o AS (
+  SELECT doc_id, {token_hash_sql('unnest(toks)')} AS th FROM t
+),
+per_doc_occ AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_occ FROM o GROUP BY doc_id
+),
+per_doc_new AS (
+  SELECT first_seen AS doc_id, cast(count(*) AS bigint) AS n_new
+  FROM (SELECT th, min(doc_id) AS first_seen FROM o GROUP BY th)
+  GROUP BY first_seen
+),
+base AS (
+  SELECT d.doc_id, coalesce(po.n_occ, 0) AS n_occ, coalesce(pn.n_new, 0) AS n_new
+  FROM documents d
+  LEFT JOIN per_doc_occ po ON d.doc_id = po.doc_id
+  LEFT JOIN per_doc_new pn ON d.doc_id = pn.doc_id
+),
+m AS (SELECT cast(max(doc_id) AS bigint) AS max_id FROM documents),
+cps AS (
+  SELECT pct, cast(floor((max_id + 1) * pct / 100.0) AS bigint) AS cutoff_doc
+  FROM (VALUES {", ".join(f"({p})" for p in _HEAPS_PCTS)}) v(pct), m
+)
+SELECT cps.pct AS pct, cps.cutoff_doc,
+       cast(count(*) AS bigint) AS n_docs_covered,
+       cast(sum(base.n_occ) AS bigint) AS n_token_occ,
+       cast(sum(base.n_new) AS bigint) AS vocab_size
+FROM base JOIN cps ON base.doc_id < cps.cutoff_doc
+GROUP BY cps.pct, cps.cutoff_doc
+"""
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle=_HEAPS_ORACLE,
+    tags=("extension", "corpus", "vocab"),
+)
+def heaps_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth: for corpus prefixes at 10/25/50/75/100%
+    of the doc_id range, the cumulative token occurrences and distinct
+    vocabulary size (tokens whose FIRST occurrence falls inside the
+    prefix). The sub-linear vocab curve is what tokenizer-vocabulary and
+    corpus-budget planning read off.
+
+    Scale: token occurrences and first-seen reduce the corpus to two
+    per-document aggregates (one shuffle each, map-side combined, int
+    keys); the 5-row checkpoint frame is then BROADCAST onto the per-doc
+    frame (a non-equi prefix join), so checkpoint count multiplies only
+    n_docs rows, never token rows. No window, no collect — the cutoffs
+    derive from max(doc_id) inside the plan.
+    """
+    d = widen(read_table(spark, sf_dir, "documents"))
+    o = d.select("doc_id", F.explode(_toks()).alias("tok")).select(
+        "doc_id", token_hash(F.col("tok")).alias("th")
+    )
+    per_doc_occ = o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc_new = (
+        o.groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    base = (
+        d.select("doc_id")
+        .join(per_doc_occ, "doc_id", "left")
+        .join(per_doc_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    m = d.agg(F.max("doc_id").alias("max_id"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _HEAPS_PCTS])).alias("pct")
+    )
+    cps = pcts.crossJoin(F.broadcast(m)).select(
+        F.col("pct").cast("int").alias("pct"),
+        F.floor((F.col("max_id") + 1) * F.col("pct") / 100.0)
+        .cast("long")
+        .alias("cutoff_doc"),
+    )
+    return (
+        base.join(F.broadcast(cps), F.col("doc_id") < F.col("cutoff_doc"))
+        .groupBy("pct", "cutoff_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_covered"),
+            F.sum("n_occ").alias("n_token_occ"),
+            F.sum("n_new").alias("vocab_size"),
+        )
+    )
+
+
+# --- Zipf rank-frequency fit --------------------------------------------------------
+
+_ZIPF_TOPK = 1000
+
+_ZIPF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+o AS (SELECT {token_hash_sql('unnest(toks)')} AS th FROM t),
+freqs AS (
+  SELECT th, cast(count(*) AS bigint) AS freq FROM o GROUP BY th
+  ORDER BY freq DESC, th LIMIT {_ZIPF_TOPK}
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, th) AS rnk FROM freqs
+),
+q AS (
+  SELECT cast(floor(ln(rnk) * 1000 + 0.5) AS bigint) AS x,
+         cast(floor(ln(freq) * 1000 + 0.5) AS bigint) AS y
+  FROM ranked
+),
+s AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * y) AS bigint) AS sxy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y * y) AS bigint) AS syy
+  FROM q
+)
+SELECT n AS n_tokens,
+       floor(cast(n * sxy - sx * sy AS double)
+             / cast(n * sxx - sx * sx AS double) * 1000000 + 0.5) / 1000000
+         AS slope,
+       floor((cast(sy AS double) / n
+              - cast(n * sxy - sx * sy AS double)
+                / cast(n * sxx - sx * sx AS double)
+                * cast(sx AS double) / n) / 1000.0 * 1000000 + 0.5) / 1000000
+         AS intercept,
+       floor(cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double)
+             / (cast(n * sxx - sx * sx AS double) * cast(n * syy - sy * sy AS double))
+             * 1000000 + 0.5) / 1000000
+         AS r2
+FROM s
+"""
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle=_ZIPF_ORACLE,
+    tags=("extension", "corpus", "vocab", "zipf"),
+)
+def zipf_fit_tokens(spark, sf_dir):
+    """Zipf rank-frequency fit: OLS of log(freq) on log(rank) over the top
+    {k} token ranks — slope near -1 with high r2 is the natural-language
+    signature; a flat or broken fit flags synthetic or degenerate text.
+
+    Determinism: log(rank) and log(freq) are quantized to integer
+    milli-units per row (one ln each, from exact integer rank/freq), so
+    every OLS sum is order-free int64 arithmetic; the final slope/
+    intercept/r2 are fixed IEEE expressions over those exact integers —
+    bit-identical across engines (milli-quantization keeps all products
+    below 2^53).
+
+    Scale: one map-side-combined frequency aggregate on the 60-bit token
+    hash, a TakeOrderedAndProject top-{k} cut, then rank via a {k}x{k}
+    BROADCAST tie-broken count-join (no partition-less window anywhere),
+    and a single-row reduction.
+    """.format(k=_ZIPF_TOPK)
+    d = widen(read_table(spark, sf_dir, "documents"))
+    o = d.select(F.explode(_toks()).alias("tok")).select(
+        token_hash(F.col("tok")).alias("th")
+    )
+    top = (
+        o.groupBy("th")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("th"))
+        .limit(_ZIPF_TOPK)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.freq") > F.col("a.freq"))
+            | ((F.col("b.freq") == F.col("a.freq")) & (F.col("b.th") < F.col("a.th"))),
+            "left",
+        )
+        .groupBy(F.col("a.th"), F.col("a.freq"))
+        .agg((F.count(F.col("b.th")) + 1).alias("rnk"))
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000 + 0.5).cast("long").alias("x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000 + 0.5).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cden = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cdeny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cnum / cden
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * F.col("sx").cast("double") / F.col("n")
+    ) / 1000.0
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        round_half_up(slope, 6).alias("slope"),
+        round_half_up(intercept, 6).alias("intercept"),
+        round_half_up(cnum * cnum / (cden * cdeny), 6).alias("r2"),
+    )
+
+
+# --- Fellegi-Sunter record linkage --------------------------------------------------
+
+#: comparator -> (m, u): P(agree | match), P(agree | non-match). Stand-in
+#: priors (a production linker EM-estimates these); quantized ONCE in Python
+#: to integer micro log-likelihood weights embedded in BOTH engines, so the
+#: score arithmetic is pure int64 — zero cross-engine float risk.
+_FS_MU = {
+    "seg": (0.90, 0.20),
+    "bal": (0.85, 0.05),
+    "sign": (0.95, 0.70),
+}
+_FS_W = {
+    k: (
+        round(math.log(m / u) * 1_000_000),
+        round(math.log((1 - m) / (1 - u)) * 1_000_000),
+    )
+    for k, (m, u) in _FS_MU.items()
+}
+_FS_LINK_MIN = 1_500_000
+
+
+def _fs_score_sql() -> str:
+    terms = []
+    for key, cond in (
+        ("seg", "a.c_mktsegment = b.c_mktsegment"),
+        ("bal", "abs(a.c_acctbal - b.c_acctbal) <= 50.0"),
+        ("sign", "(a.c_acctbal < 0) = (b.c_acctbal < 0)"),
+    ):
+        wa, wd = _FS_W[key]
+        terms.append(f"(CASE WHEN {cond} THEN {wa} ELSE {wd} END)")
+    return " + ".join(terms)
+
+
+_FS_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         a.c_nationkey AS nationkey,
+         a.c_mktsegment = b.c_mktsegment AS seg_agree,
+         abs(a.c_acctbal - b.c_acctbal) <= 50.0 AS bal_agree,
+         (a.c_acctbal < 0) = (b.c_acctbal < 0) AS sign_agree,
+         cast({_fs_score_sql()} AS bigint) AS score_micro
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT custkey_a, custkey_b, nationkey, seg_agree, bal_agree, sign_agree,
+       score_micro,
+       CASE WHEN score_micro >= {_FS_LINK_MIN} THEN 'link'
+            ELSE 'possible' END AS match_class
+FROM pairs WHERE score_micro >= 0
+"""
+
+
+@register(
+    "record_linkage_fs",
+    oracle=_FS_ORACLE,
+    tags=("extension", "linkage", "dedup"),
+)
+def record_linkage_fs(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969),
+    the scoring half of entity resolution: candidate pairs blocked on
+    nation, three field comparators (market segment equality, account
+    balance within 50, balance-sign agreement), each contributing its
+    log2-likelihood-ratio weight log(m/u) on agreement or
+    log((1-m)/(1-u)) on disagreement; pairs scoring >= 0 survive,
+    split into 'link' vs 'possible' at the upper threshold.
+
+    Weights are integer micro-units computed once at import from the
+    documented (m, u) priors and embedded identically in both engines —
+    the whole score is int64 arithmetic.
+
+    Scale: blocking IS the scale strategy — the join is an equi-join on
+    the block key (shuffle-partitioned, never a cartesian product), so
+    pair count is sum of per-block n^2, bounded by the blocking choice;
+    a skewed block would be re-blocked on a composite key (the same
+    salting pattern as salted_user_event_stats). Comparators and scoring
+    are in-row codegen'd expressions.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    conds = {
+        "seg": F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+        "bal": F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 50.0,
+        "sign": (F.col("a.c_acctbal") < 0) == (F.col("b.c_acctbal") < 0),
+    }
+    score = None
+    for key, cond in conds.items():
+        wa, wd = _FS_W[key]
+        term = F.when(cond, F.lit(wa)).otherwise(F.lit(wd))
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            conds["seg"].alias("seg_agree"),
+            conds["bal"].alias("bal_agree"),
+            conds["sign"].alias("sign_agree"),
+            score.cast("long").alias("score_micro"),
+        )
+        .filter(F.col("score_micro") >= 0)
+        .withColumn(
+            "match_class",
+            F.when(F.col("score_micro") >= _FS_LINK_MIN, F.lit("link")).otherwise(
+                F.lit("possible")
+            ),
+        )
+    )
