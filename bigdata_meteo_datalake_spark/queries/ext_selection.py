@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import count_if, round_half_up
 from ..operators.dedup import token_hash, token_hash_sql
@@ -130,6 +131,8 @@ def dsir_importance_weights(spark, sf_dir):
             lambda a, b: token_hash(F.concat(a, F.lit(" "), b)) % _DSIR_DIM,
         ),
     ).otherwise(F.array().cast("array<long>"))
+    # the feature stream feeds BOTH the bucket counts and the score join —
+    # persist so the corpus is tokenized/hashed once, not twice.
     feats = (
         d.select(
             "doc_id",
@@ -137,6 +140,7 @@ def dsir_importance_weights(spark, sf_dir):
             toks.alias("toks"),
         )
         .select("doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("fb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = feats.groupBy("fb").agg(
         F.count(F.lit(1)).alias("q_f"), count_if(F.col("is_target")).alias("t_f")
@@ -244,9 +248,12 @@ def boilerplate_ngram_coverage(spark, sf_dir):
             lambda i: token_hash(F.concat_ws(" ", F.slice(F.col("toks"), i, _BP_N))),
         ),
     ).otherwise(F.array().cast("array<long>"))
+    # gram stream feeds both the DF aggregate and the coverage join —
+    # persist so grams are built and hashed once.
     g = (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode(grams).alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     boiler = (
         g.groupBy("gh")
@@ -335,8 +342,12 @@ def heaps_vocab_growth(spark, sf_dir):
     derive from max(doc_id) inside the plan.
     """
     d = widen(read_table(spark, sf_dir, "documents"))
-    o = d.select("doc_id", F.explode(_toks()).alias("tok")).select(
-        "doc_id", token_hash(F.col("tok")).alias("th")
+    # the token stream feeds two aggregates (occurrences, first-seen) —
+    # persist so the corpus is tokenized/hashed once.
+    o = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .select("doc_id", token_hash(F.col("tok")).alias("th"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_doc_occ = o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc_new = (
@@ -448,11 +459,15 @@ def zipf_fit_tokens(spark, sf_dir):
     o = d.select(F.explode(_toks()).alias("tok")).select(
         token_hash(F.col("tok")).alias("th")
     )
+    # both sides of the rank self-join read the top-k cut; localCheckpoint
+    # materializes the corpus aggregate ONCE (<= {k} rows) so the corpus
+    # is never scanned twice (same idiom as the iterative CC operators).
     top = (
         o.groupBy("th")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("th"))
         .limit(_ZIPF_TOPK)
+        .localCheckpoint()
     )
     a, b = top.alias("a"), top.alias("b")
     ranked = (

@@ -1,0 +1,210 @@
+"""Round-4 data-selection operators: independent (non-SQL) checks.
+
+The oracle gate proves Spark == DuckDB; these re-derive the SHARED
+semantics in plain Python on synthetic corpora — the guard against both
+engines agreeing on a wrong formula (same rationale as test_corpus_ops).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+import pytest
+
+from bigdata_meteo_datalake_spark.queries import queries
+
+from .conftest import SF0001
+
+QS = queries()
+
+
+def _th(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"[ \t\n\r\f]+", text.strip().lower()) if t]
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    import os
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": lang,
+                "source": src,
+                "n_chars": len(t),
+            }
+            for i, t, lang, src in rows
+        ]
+    ).to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _python_dsir(rows, dim=1024, topk=200):
+    """Reference DSIR: hashed uni+bigram buckets, add-1 smoothed
+    micro-quantized log-ratios, integer doc sums, total-ordered top-k."""
+    from collections import Counter, defaultdict
+
+    q_c: Counter = Counter()
+    t_c: Counter = Counter()
+    doc_feats: dict[int, list[int]] = defaultdict(list)
+    for doc_id, text, _lang, src in rows:
+        toks = _toks(text)
+        feats = [_th(t) % dim for t in toks] + [
+            _th(f"{a} {b}") % dim for a, b in zip(toks, toks[1:])
+        ]
+        doc_feats[doc_id] = feats
+        for f in feats:
+            q_c[f] += 1
+            if src == "src0":
+                t_c[f] += 1
+    qn, tn = sum(q_c.values()), sum(t_c.values())
+    wq = {
+        f: math.floor(
+            (
+                math.log((t_c[f] + 1.0) / (tn + dim))
+                - math.log((q_c[f] + 1.0) / (qn + dim))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        for f in q_c
+    }
+    scored = [
+        (doc_id, len(fs), sum(wq[f] for f in fs))
+        for doc_id, fs in doc_feats.items()
+        if fs
+    ]
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:topk]
+
+
+def test_dsir_matches_python_reference(spark, tmp_path):
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en", "src0"),
+        (1, "alpha beta gamma delta", "en", "src0"),
+        (2, "zeta eta theta zeta eta", "en", "src1"),
+        (3, "alpha beta alpha beta alpha", "en", "src1"),  # target-like text, raw src
+        (4, "theta zeta eta iota", "en", "src2"),
+        (5, "", "en", "src2"),  # zero tokens -> unscored
+        (6, "alpha gamma beta", "en", "src0"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = [
+        (r.doc_id, r.n_feats, r.w_micro)
+        for r in QS["dsir_importance_weights"](spark, d).collect()
+    ]
+    assert got == _python_dsir(rows)
+    # target-distribution text scores above off-target text regardless of
+    # which source bucket it sits in (the whole point of DSIR):
+    by_doc = {doc: w for doc, _n, w in got}
+    assert by_doc[3] > by_doc[2] and by_doc[3] > by_doc[4]
+
+
+def test_boilerplate_flags_shared_spans(spark, tmp_path):
+    chrome = "all rights reserved contact us today"  # 6 tokens -> two 5-grams
+    rows = [(i, f"{chrome} body{i} text{i}", "en", "src0") for i in range(12)] + [
+        (50, "entirely unique document body here now", "en", "src1"),
+        (51, "tiny", "en", "src1"),  # < 5 tokens -> zero grams
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = {r.doc_id: r for r in QS["boilerplate_ngram_coverage"](spark, d).collect()}
+    # 8 tokens -> 4 gram positions; the two chrome-only grams appear in all
+    # 12 docs (df=12 >= 10) -> 2 of 4 positions boilerplate, frac 0.5 -> flag
+    assert out[0].n_grams == 4 and out[0].n_boiler == 2
+    assert out[0].boiler_frac == 0.5 and out[0].is_boilerplate_doc is True
+    assert out[50].n_boiler == 0 and out[50].is_boilerplate_doc is False
+    assert out[51].n_grams == 0 and out[51].boiler_frac is None
+
+
+def test_heaps_growth_monotone_and_exact_at_full(spark):
+    rows = QS["heaps_vocab_growth"](spark, SF0001).collect()
+    by_pct = {r.pct: r for r in rows}
+    assert sorted(by_pct) == [10, 25, 50, 75, 100]
+    prev = None
+    for pct in sorted(by_pct):
+        r = by_pct[pct]
+        assert r.vocab_size <= r.n_token_occ
+        if prev is not None:
+            assert r.n_docs_covered >= prev.n_docs_covered
+            assert r.n_token_occ >= prev.n_token_occ
+            assert r.vocab_size >= prev.vocab_size
+        prev = r
+    # at 100% the cumulative numbers equal the straight corpus totals
+    docs = pd.read_parquet(f"{SF0001}/documents.parquet")
+    all_toks = [t for text in docs["text"] for t in _toks(text)]
+    assert by_pct[100].n_token_occ == len(all_toks)
+    assert by_pct[100].vocab_size == len({_th(t) for t in all_toks})
+    assert by_pct[100].n_docs_covered == len(docs)
+
+
+def test_zipf_recovers_synthetic_power_law(spark, tmp_path):
+    # token k (1-based) appears floor(512 / k) times -> exact slope -1 law
+    words = []
+    for k in range(1, 65):
+        words += [f"w{k:03d}"] * (512 // k)
+    # spread across docs so the corpus shape is realistic
+    rows = [
+        (i, " ".join(words[i::8]), "en", "src0") for i in range(8)
+    ]
+    d = _write_docs(tmp_path, rows)
+    r = QS["zipf_fit_tokens"](spark, d).collect()[0]
+    assert r.n_tokens == 64
+    assert r.slope == pytest.approx(-1.0, abs=0.05)
+    assert r.r2 > 0.999
+    assert r.intercept == pytest.approx(math.log(512), abs=0.1)
+
+
+def test_fs_linkage_classes(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "cust")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        [
+            # same nation, same segment, balances within 50, same sign -> link
+            {"c_custkey": 1, "c_name": "a", "c_nationkey": 7, "c_acctbal": 100.0, "c_mktsegment": "AUTO"},
+            {"c_custkey": 2, "c_name": "b", "c_nationkey": 7, "c_acctbal": 120.0, "c_mktsegment": "AUTO"},
+            # same nation, bal within 50 + sign agree but segment differs ->
+            # possible (ln(.1/.8) + ln(.85/.05) + ln(.95/.7) ~= +1.06)
+            {"c_custkey": 3, "c_name": "c", "c_nationkey": 7, "c_acctbal": 130.0, "c_mktsegment": "HOUSEHOLD"},
+            # different nation -> never a candidate pair
+            {"c_custkey": 4, "c_name": "d", "c_nationkey": 8, "c_acctbal": 100.0, "c_mktsegment": "AUTO"},
+            # same nation but only seg+sign agree -> score ~= -0.036, excluded
+            {"c_custkey": 5, "c_name": "e", "c_nationkey": 7, "c_acctbal": 5000.0, "c_mktsegment": "AUTO"},
+        ]
+    ).to_parquet(f"{d}/customer.parquet")
+    out = {(r.custkey_a, r.custkey_b): r for r in QS["record_linkage_fs"](spark, d).collect()}
+    assert out[(1, 2)].match_class == "link"
+    assert out[(1, 3)].match_class == "possible" and out[(2, 3)].match_class == "possible"
+    assert not any(4 in k for k in out)
+    assert not any(5 in k for k in out)
+
+
+def test_selection_plan_shapes(spark):
+    """Scale shapes pinned: DSIR and Zipf end in TakeOrderedAndProject /
+    single-row reductions with their corpus-side joins broadcast; the
+    boilerplate join back onto the gram stream is broadcast too."""
+    from bigdata_meteo_datalake_spark.plans.explain import n_nodes, plan_string
+
+    dsir = QS["dsir_importance_weights"](spark, SF0001)
+    assert n_nodes(dsir, "TakeOrderedAndProject") == 1
+    assert "BroadcastHashJoin" in plan_string(dsir)  # ratio table join
+    # zipf checkpoints the top-k cut, so the final plan joins two scans of
+    # the materialized <=1000-row relation — the corpus appears ZERO times
+    # (a TakeOrdered over the corpus would mean a second full scan).
+    zp = plan_string(QS["zipf_fit_tokens"](spark, SF0001))
+    assert "Scan parquet" not in zp and "ExistingRDD" in zp
+    bp = plan_string(QS["boilerplate_ngram_coverage"](spark, SF0001))
+    assert "BroadcastHashJoin" in bp
+    assert "CartesianProduct" not in bp
