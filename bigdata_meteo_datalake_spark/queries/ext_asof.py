@@ -259,3 +259,92 @@ def scd2_user_activity(spark, sf_dir):
         "valid_to",
         "is_current",
     )
+
+
+# --- as-of join with staleness tolerance --------------------------------------------
+
+_ASOF_TOL_DAYS = 7
+
+_ASOF_TOL_ORACLE = f"""
+WITH r AS (
+  SELECT o_custkey AS user_id,
+         o_orderdate,
+         arg_max(o_orderkey, o_orderkey)   AS last_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS last_order_total
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+j AS (
+  SELECT e.event_id, e.user_id, cast(e.ts AS timestamp) AS ts,
+         r.last_orderkey, r.last_order_total, r.o_orderdate
+  FROM events e
+  ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+)
+SELECT event_id, user_id, ts,
+       cast(date_diff('day', cast(o_orderdate AS date), cast(ts AS date))
+            AS integer) AS age_days,
+       CASE WHEN date_diff('day', cast(o_orderdate AS date), cast(ts AS date))
+                 <= {_ASOF_TOL_DAYS}
+            THEN last_orderkey END AS last_orderkey_fresh,
+       CASE WHEN date_diff('day', cast(o_orderdate AS date), cast(ts AS date))
+                 <= {_ASOF_TOL_DAYS}
+            THEN last_order_total END AS last_order_total_fresh,
+       date_diff('day', cast(o_orderdate AS date), cast(ts AS date))
+         <= {_ASOF_TOL_DAYS} AS is_fresh
+FROM j
+"""
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=_ASOF_TOL_ORACLE,
+    tags=("extension", "asof"),
+)
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a max-staleness tolerance (the kdb/QuestDB
+    ``ASOF ... TOLERANCE`` form): each event still finds the latest order
+    at-or-before its time, but matches older than {d} days are reported
+    stale — their value columns NULL out while the match age stays
+    visible. The standard guard against joining against arbitrarily old
+    state in feature pipelines.
+
+    Same union + ordered-window plan as asof_latest_order_per_event (one
+    shuffle on the key, no per-group pandas); the tolerance is a pure
+    post-join in-row predicate, so it adds zero shuffles. Age is computed
+    in calendar days (date arithmetic — identical in both engines,
+    no timezone dependence). Oracle = DuckDB's native ASOF JOIN plus the
+    same staleness CASE.
+    """.format(d=_ASOF_TOL_DAYS)
+    from ..operators.asof import as_of_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_total"),
+        )
+        .withColumn("last_order_d", F.col("order_ts"))
+    )
+    j = as_of_join(
+        ev,
+        orders,
+        ["user_id"],
+        left_time="ts",
+        right_time="order_ts",
+        right_values=["last_orderkey", "last_order_total", "last_order_d"],
+    )
+    age = F.datediff(F.to_date("ts"), F.col("last_order_d"))
+    fresh = age <= _ASOF_TOL_DAYS
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        age.cast("int").alias("age_days"),
+        F.when(fresh, F.col("last_orderkey")).alias("last_orderkey_fresh"),
+        F.when(fresh, F.col("last_order_total")).alias("last_order_total_fresh"),
+        fresh.alias("is_fresh"),
+    )

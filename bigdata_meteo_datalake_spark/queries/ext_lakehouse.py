@@ -290,3 +290,122 @@ def cdc_apply_changelog(spark, sf_dir):
         .cast("long")
         .alias("n_updated"),
     )
+
+
+# --- l-diversity audit --------------------------------------------------------------
+
+_L_DIV = 2
+
+_LDIV_ORACLE = f"""
+SELECT cast(year(o_orderdate) AS integer) AS order_year,
+       o_orderpriority,
+       cast(count(*) AS bigint) AS group_n,
+       cast(count(DISTINCT o_orderstatus) AS bigint) AS n_sensitive,
+       count(DISTINCT o_orderstatus) >= {_L_DIV} AS l_diverse
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register(
+    "l_diversity_report",
+    oracle=_LDIV_ORACLE,
+    tags=("extension", "governance", "privacy"),
+)
+def l_diversity_report(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007), the follow-on to
+    the k-anonymity gate: k-anonymity bounds re-identification but a
+    class whose SENSITIVE attribute is constant still leaks it
+    (homogeneity attack). Per quasi-identifier class (order year,
+    priority): size, count of distinct sensitive values (order status),
+    and the l >= {l} verdict a release gate would enforce.
+
+    Scale: one hash aggregate with a distinct-count (two-phase,
+    map-side partial) — same shape as k_anonymity_report.
+    """.format(l=_L_DIV)
+    o = read_table(spark, sf_dir, "orders")
+    nd = F.countDistinct("o_orderstatus")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        nd.cast("long").alias("n_sensitive"),
+        (nd >= _L_DIV).alias("l_diverse"),
+    )
+
+
+# --- referential-integrity audit ----------------------------------------------------
+
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_edge_sql(child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+SELECT '{child}.{ckey}->{parent}.{pkey}' AS edge,
+       cast(count(*) AS bigint) AS n_child_rows,
+       cast(sum(CASE WHEN c.{ckey} IS NOT NULL AND p.__pk IS NULL
+                     THEN 1 ELSE 0 END) AS bigint) AS n_orphan_rows,
+       cast(count(DISTINCT CASE WHEN p.__pk IS NULL THEN c.{ckey} END)
+            AS bigint) AS n_orphan_keys
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} AS __pk FROM {parent}) p
+  ON c.{ckey} = p.__pk"""
+
+
+_RI_ORACLE = "\nUNION ALL\n".join(_ri_edge_sql(*e) for e in _RI_EDGES)
+
+
+@register(
+    "ri_audit_counts",
+    oracle=_RI_ORACLE,
+    tags=("extension", "quality", "contracts"),
+)
+def ri_audit_counts(spark, sf_dir):
+    """Referential-integrity audit across every foreign-key edge of the
+    schema: per edge, child row count, rows whose non-NULL key has no
+    parent (orphans), and distinct orphan keys — the cross-table data
+    contract that the per-table not_null/unique checks (Q1/Q2) cannot
+    express. Clean data reports zero orphans; the counts quantify the
+    blast radius when ingestion breaks.
+
+    Scale: each edge is one equi-join of the child key stream against
+    the DISTINCT parent-key set (Spark broadcasts the small dims,
+    shuffles the fact-fact edges on the key), followed by a map-side
+    combined count — the union is 6 independent branches the scheduler
+    runs concurrently. No edge materializes orphan rows, only counts."""
+    frames = []
+    for child, ckey, parent, pkey in _RI_EDGES:
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("__pk")
+        ).distinct()
+        j = c.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        frames.append(
+            j.agg(
+                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("edge"),
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                F.sum(
+                    F.when(
+                        F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.countDistinct(F.when(F.col("__pk").isNull(), F.col("__ck")))
+                .cast("long")
+                .alias("n_orphan_keys"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -94,3 +94,32 @@ def test_cdc_diff_apply_round_trip(spark):
         apply_changes(diff, ["user_id"], ["n_events"], side="old").toPandas(),
         old.toPandas(),
     )
+
+
+def test_asof_tolerance_boundary(spark, tmp_path):
+    """Exactly-at-tolerance matches stay fresh; one day past goes stale
+    (values NULL, age still reported); no-match rows are NULL throughout."""
+    from bigdata_meteo_datalake_spark.queries import queries
+
+    d = str(tmp_path / "asoftol")
+    spark.createDataFrame(
+        [
+            (0, _ts("2024-01-08 00:00:00"), 1, "a", 0.0, "{}"),  # age 7 -> fresh
+            (1, _ts("2024-01-09 00:00:00"), 1, "a", 0.0, "{}"),  # age 8 -> stale
+            (2, _ts("2024-01-01 00:00:00"), 2, "a", 0.0, "{}"),  # no match
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 99.0, _ts("2024-01-01 00:00:00"), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = {r.event_id: r for r in queries()["asof_join_tolerance"](spark, d).collect()}
+    assert out[0].age_days == 7 and out[0].is_fresh is True
+    assert out[0].last_orderkey_fresh == 10
+    assert out[1].age_days == 8 and out[1].is_fresh is False
+    assert out[1].last_orderkey_fresh is None and out[1].last_order_total_fresh is None
+    assert out[2].age_days is None and out[2].is_fresh is None
+    assert out[2].last_orderkey_fresh is None
