@@ -12,7 +12,12 @@ are re-expressed over existing columns ("late" = shipped >30 days after the
 order date; country code = nation key; ship mode = return flag) — the join
 topology, decorrelation strategy, and aggregate structure of each original
 query are preserved, which is what matters for the engine. Q2/Q11/Q16/Q20
-need ``partsupp`` as the driving fact and are out of scope for this schema.
+need ``partsupp`` as the driving fact; they run over a deterministic
+SYNTHESIZED partsupp (one row per distinct lineitem (part, supp) pair,
+hash-derived availqty / integer-cents cost, definition shared verbatim with
+the oracles) — see the section comment above ``_PS_SQL``. That completes
+the 22-query suite in operator-shape terms; swap ``_partsupp``/``_PS_SQL``
+for the real table when the testdata grows one.
 
 Scale notes: every dimension side broadcasts; the only big shuffles are
 lineitem⋈orders on orderkey, which semi/anti probes then reuse. Top-k is
@@ -537,4 +542,304 @@ def q22_sales_opportunity(spark, sf_dir):
             rounded_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntry_code")
+    )
+
+
+# --- synthesized partsupp: Q2 / Q11 / Q16 / Q20 -------------------------------------
+#
+# The testdata omits the partsupp table, so the four queries that drive off
+# it run over a DETERMINISTIC SYNTHESIZED partsupp derived identically in
+# both engines: one row per distinct (l_partkey, l_suppkey) pair observed in
+# lineitem, with availqty and supply cost drawn from the 60-bit md5 hash of
+# the key pair (cost carried as integer CENTS so every aggregate below is
+# exact int64 arithmetic). The point is the operator shapes — correlated
+# min subquery (Q2), HAVING vs a scalar-subquery threshold (Q11), NOT IN
+# anti-join under a distinct count (Q16), EXISTS over a half-sum (Q20) —
+# which are preserved exactly; predicates on columns the schema lacks are
+# re-expressed like the rest of this module (documented per query).
+
+from ..operators.dedup import token_hash, token_hash_sql  # noqa: E402
+
+_PS_SQL = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         cast({token_hash_sql("cast(l_partkey AS varchar) || '|' || cast(l_suppkey AS varchar)")}
+              % 9999 + 1 AS bigint) AS ps_availqty,
+         cast({token_hash_sql("'c|' || cast(l_partkey AS varchar) || '|' || cast(l_suppkey AS varchar)")}
+              % 100000 + 100 AS bigint) AS ps_cost_cents
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _partsupp(spark, sf_dir):
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    key = F.concat_ws("|", F.col("ps_partkey"), F.col("ps_suppkey"))
+    ckey = F.concat_ws("|", F.lit("c"), F.col("ps_partkey"), F.col("ps_suppkey"))
+    return l.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (token_hash(key) % 9999 + 1).alias("ps_availqty"),
+        (token_hash(ckey) % 100000 + 100).alias("ps_cost_cents"),
+    )
+
+
+_Q2_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+eps AS (
+  SELECT ps.ps_partkey, ps.ps_cost_cents,
+         s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+  FROM ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+mn AS (
+  SELECT ps_partkey, min(ps_cost_cents) AS min_cost_cents
+  FROM eps GROUP BY ps_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.s_suppkey,
+       cast(e.ps_cost_cents AS double) / 100.0 AS supply_cost
+FROM part p
+JOIN eps e ON p.p_partkey = e.ps_partkey
+JOIN mn   ON mn.ps_partkey = e.ps_partkey
+         AND e.ps_cost_cents = mn.min_cost_cents
+WHERE p.p_type = 'LARGE' AND p.p_size <= 25
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, e.s_suppkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("tpch", "J1", "A1"))
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part (type LARGE, size <= 25 —
+    stands in for '%BRASS'), the EUROPE supplier(s) offering the minimum
+    supply cost; correlated MIN subquery decorrelated as a per-part min
+    aggregate joined back on (part, cost). Top 100 by account balance,
+    fully tie-broken (acctbal desc, nation, supplier name, part, suppkey)
+    so the LIMIT is deterministic.
+
+    Scale: supplier/nation/region chain broadcasts onto the synthesized
+    partsupp fact; the min aggregate and the join-back shuffle on
+    ps_partkey only; final cut is TakeOrderedAndProject."""
+    ps = _partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    eps = (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("ps_partkey", "ps_cost_cents", "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    mn = eps.groupBy("ps_partkey").agg(
+        F.min("ps_cost_cents").alias("min_cost_cents")
+    )
+    out = (
+        eps.join(mn, "ps_partkey")
+        .where(F.col("ps_cost_cents") == F.col("min_cost_cents"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p["p_partkey"])
+    )
+    return (
+        out.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            (F.col("ps_cost_cents").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+_Q11_FRACTION_PERMILLE = 1  # HAVING value > 0.001 * total, in exact integers
+
+_Q11_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+v AS (
+  SELECT ps.ps_partkey, ps.ps_cost_cents * ps.ps_availqty AS val_cents
+  FROM ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 3
+),
+g AS (
+  SELECT ps_partkey, cast(sum(val_cents) AS bigint) AS value_cents
+  FROM v GROUP BY ps_partkey
+),
+t AS (SELECT cast(sum(val_cents) AS bigint) AS total_cents FROM v)
+SELECT g.ps_partkey,
+       cast(g.value_cents AS double) / 100.0 AS part_value
+FROM g, t
+WHERE g.value_cents * 1000 > t.total_cents * {_Q11_FRACTION_PERMILLE}
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE, tags=("tpch", "A1", "A4"))
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part stock value (cost x availqty) for
+    suppliers of one region (region 3 stands in for 'GERMANY'), keeping
+    parts whose value exceeds 0.001 of the regional total — HAVING
+    against a scalar-subquery threshold, decorrelated as a 1-row
+    broadcast. Cost rides as integer cents so the sums AND the
+    threshold comparison (value*1000 > total) are exact int64 — no
+    decimal/float boundary risk in either engine.
+
+    Scale: the fact aggregates on ps_partkey (map-side combined); the
+    total is a second 1-row reduction of the SAME persisted value stream
+    broadcast back — never a global sort."""
+    from pyspark.storagelevel import StorageLevel
+
+    ps = _partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    v = (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("val_cents"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    g = v.groupBy("ps_partkey").agg(F.sum("val_cents").alias("value_cents"))
+    t = v.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .where(
+            F.col("value_cents") * 1000
+            > F.col("total_cents") * _Q11_FRACTION_PERMILLE
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+_Q16_ORACLE = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       cast(count(DISTINCT ps.ps_suppkey) AS bigint) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 5, 9, 15, 23, 31, 40, 49)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_parts_supplier_counts", oracle=_Q16_ORACLE, tags=("tpch", "J2", "A2"))
+def q16_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    over negated part predicates, excluding blacklisted suppliers via a
+    NOT IN anti-join (negative account balance stands in for the
+    'customer complaints' comment scan the schema lacks).
+
+    Scale: the blacklist is a broadcast anti-join (its cardinality is a
+    fraction of suppliers); part broadcasts; the distinct count is the
+    only fact shuffle (two-phase on the group key + suppkey)."""
+    ps = _partsupp(spark, sf_dir)
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 5, 9, 15, 23, 31, 40, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            ps["ps_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+q AS (
+  SELECT l_partkey, l_suppkey,
+         sum(cast(l_quantity AS decimal(28,6))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+    AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM ps
+  JOIN q ON ps.ps_partkey = q.l_partkey AND ps.ps_suppkey = q.l_suppkey
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_name LIKE 'large%'
+    AND ps.ps_availqty * 2 > q.qty
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN excess e ON e.ps_suppkey = s.s_suppkey
+WHERE n.n_regionkey = 3
+"""
+
+
+@register("q20_excess_stock_suppliers", oracle=_Q20_ORACLE, tags=("tpch", "J1", "A1"))
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers (of one region — stands in for the
+    single-nation filter) holding more than half a year's shipped
+    quantity of some 'large%' part — nested EXISTS over a per-(part,
+    supplier) half-sum, decorrelated as aggregate -> join -> DISTINCT
+    semi side. The half test is availqty*2 > qty with qty an exact
+    decimal sum, so the boundary is engine-stable.
+
+    Scale: the lineitem aggregate shuffles on its own (part, supp) key;
+    part broadcasts into the excess probe; the final supplier join is a
+    broadcast of the small distinct suppkey set."""
+    ps = _partsupp(spark, sf_dir)
+    l = read_table(spark, sf_dir, "lineitem")
+    q = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(exact_sum("l_quantity").alias("qty"))
+    )
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    excess = (
+        ps.join(
+            q,
+            (ps["ps_partkey"] == q["l_partkey"])
+            & (ps["ps_suppkey"] == q["l_suppkey"]),
+        )
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .where(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(excess), s["s_suppkey"] == excess["ps_suppkey"])
+        .select("s_suppkey", "s_name", "n_name")
     )
