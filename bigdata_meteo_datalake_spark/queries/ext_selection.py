@@ -620,3 +620,374 @@ def record_linkage_fs(spark, sf_dir):
             ),
         )
     )
+
+
+# --- mutual information between categorical columns ---------------------------------
+
+#: (pair label, table, x expr spark/sql, y expr) — MI in nats per pair.
+_MI_PAIRS = (
+    ("orders:priority~status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem:returnflag~linestatus", "lineitem", "l_returnflag", "l_linestatus"),
+    ("part:type~brand", "part", "p_type", "p_brand"),
+)
+
+
+def _mi_pair_sql(label: str, table: str, xc: str, yc: str) -> str:
+    return f"""
+SELECT '{label}' AS pair, n_rows,
+       floor(cast(mi_micro_sum AS double) / n_rows + 0.5) / 1000000 AS mi_nats
+FROM (
+  SELECT cast(sum(n_xy) AS bigint) AS n_rows,
+         cast(sum(n_xy * wq) AS bigint) AS mi_micro_sum
+  FROM (
+    SELECT j.n_xy,
+           cast(floor(ln(cast(j.n_xy AS double) * t.n
+                         / (mx.n_x * my.n_y)) * 1000000 + 0.5) AS bigint) AS wq
+    FROM (SELECT {xc} AS x, {yc} AS y, cast(count(*) AS bigint) AS n_xy
+          FROM {table} GROUP BY 1, 2) j
+    JOIN (SELECT {xc} AS x, cast(count(*) AS bigint) AS n_x
+          FROM {table} GROUP BY 1) mx ON j.x = mx.x
+    JOIN (SELECT {yc} AS y, cast(count(*) AS bigint) AS n_y
+          FROM {table} GROUP BY 1) my ON j.y = my.y
+    CROSS JOIN (SELECT cast(count(*) AS bigint) AS n FROM {table}) t
+  )
+)"""
+
+
+_MI_ORACLE = "\nUNION ALL\n".join(_mi_pair_sql(*p) for p in _MI_PAIRS)
+
+
+@register(
+    "mutual_information_report",
+    oracle=_MI_ORACLE,
+    tags=("extension", "features", "selection"),
+)
+def mutual_information_report(spark, sf_dir):
+    """Mutual information between categorical column pairs — the
+    feature-selection / redundancy screen run before training tabular
+    models: MI(X;Y) = sum_xy p(xy) ln(p(xy)/(p(x)p(y))) in nats, one row
+    per audited pair. Near-zero MI: independent columns; MI near the
+    marginal entropy: one column determines the other (drop it).
+
+    Determinism: the per-cell log-ratio is quantized to integer
+    micro-nats once (its inputs are exact integer counts), weighted by
+    the exact cell count, and summed as int64 — order-free; the final
+    division by N is one IEEE op.
+
+    Scale: per pair, one map-side-combined joint-count aggregate over
+    the fact; marginals derive from the joint table (already tiny) and
+    the scalar total rides a 1-row broadcast, so the corpus is scanned
+    once per pair and shuffled only on the (x, y) group key."""
+    frames = []
+    for label, table, xc, yc in _MI_PAIRS:
+        t = read_table(spark, sf_dir, table)
+        j = (
+            t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
+            .agg(F.count(F.lit(1)).alias("n_xy"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+        my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+        tot = j.agg(F.sum("n_xy").alias("n"))
+        cells = (
+            j.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "n_xy",
+                F.floor(
+                    F.log(
+                        F.col("n_xy").cast("double")
+                        * F.col("n")
+                        / (F.col("n_x") * F.col("n_y"))
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                .cast("long")
+                .alias("wq"),
+            )
+        )
+        agg = cells.agg(
+            F.sum("n_xy").alias("n_rows"),
+            F.sum(F.col("n_xy") * F.col("wq")).alias("mi_micro_sum"),
+        )
+        frames.append(
+            agg.select(
+                F.lit(label).alias("pair"),
+                F.col("n_rows"),
+                (
+                    F.floor(
+                        F.col("mi_micro_sum").cast("double") / F.col("n_rows") + 0.5
+                    )
+                    / 1000000
+                ).alias("mi_nats"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+# --- purged time-series cross-validation folds --------------------------------------
+
+_CV_K = 5
+_CV_EMBARGO_DAYS = 3
+
+_CV_ORACLE = f"""
+WITH span AS (
+  SELECT cast(min(ts) AS date) AS d0,
+         date_diff('day', cast(min(ts) AS date), cast(max(ts) AS date)) + 1
+           AS n_days
+  FROM events
+),
+ev AS (
+  SELECT date_diff('day', s.d0, cast(e.ts AS date)) AS day_idx, s.n_days
+  FROM events e, span s
+),
+folds AS (
+  SELECT f, n_days,
+         (n_days * f) // {_CV_K} AS fstart,
+         (n_days * (f + 1)) // {_CV_K} AS fend
+  FROM (SELECT unnest(generate_series(0, {_CV_K - 1})) AS f), span
+)
+SELECT cast(folds.f AS integer) AS fold,
+       cast(folds.fstart AS bigint) AS fold_start_day,
+       cast(folds.fend AS bigint) AS fold_end_day,
+       cast(sum(CASE WHEN ev.day_idx >= folds.fstart AND ev.day_idx < folds.fend
+                     THEN 1 ELSE 0 END) AS bigint) AS test_n,
+       cast(sum(CASE WHEN NOT (ev.day_idx >= folds.fstart AND ev.day_idx < folds.fend)
+                      AND ev.day_idx >= folds.fstart - {_CV_EMBARGO_DAYS}
+                      AND ev.day_idx <  folds.fend + {_CV_EMBARGO_DAYS}
+                     THEN 1 ELSE 0 END) AS bigint) AS embargo_n,
+       cast(sum(CASE WHEN ev.day_idx < folds.fstart - {_CV_EMBARGO_DAYS}
+                       OR ev.day_idx >= folds.fend + {_CV_EMBARGO_DAYS}
+                     THEN 1 ELSE 0 END) AS bigint) AS train_n
+FROM ev JOIN folds ON ev.n_days = folds.n_days
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "purged_timeseries_folds",
+    oracle=_CV_ORACLE,
+    tags=("extension", "training", "cv"),
+)
+def purged_timeseries_folds(spark, sf_dir):
+    """Purged K-fold time-series cross-validation accounting (the
+    Lopez de Prado scheme): the event span splits into {k} contiguous
+    day-range folds; per fold, the test count, the embargoed count
+    (within {e} days of the fold boundary — excluded from training to
+    stop look-ahead leakage through serially-correlated labels), and
+    the clean training count. All boundaries are exact integer day
+    arithmetic derived from min/max(ts) inside the plan.
+
+    Scale: events reduce to integer day indices in-row; the {k}-row fold
+    spine is BROADCAST onto the stream (linear x{k}); one final
+    aggregate. No windows, no collect."""
+    ev = read_table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    span = ev.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("n_days"),
+    )
+    e = ev.crossJoin(F.broadcast(span)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_idx"),
+        "n_days",
+    )
+    folds = (
+        spark.range(_CV_K)
+        .select(F.col("id").cast("int").alias("f"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "f",
+            "n_days",
+            F.floor(F.col("n_days") * F.col("f") / _CV_K).cast("long").alias("fstart"),
+            F.floor(F.col("n_days") * (F.col("f") + 1) / _CV_K)
+            .cast("long")
+            .alias("fend"),
+        )
+    )
+    j = e.join(F.broadcast(folds), "n_days")
+    in_fold = (F.col("day_idx") >= F.col("fstart")) & (
+        F.col("day_idx") < F.col("fend")
+    )
+    in_embargo = (
+        ~in_fold
+        & (F.col("day_idx") >= F.col("fstart") - _CV_EMBARGO_DAYS)
+        & (F.col("day_idx") < F.col("fend") + _CV_EMBARGO_DAYS)
+    )
+    in_train = (F.col("day_idx") < F.col("fstart") - _CV_EMBARGO_DAYS) | (
+        F.col("day_idx") >= F.col("fend") + _CV_EMBARGO_DAYS
+    )
+    return j.groupBy(
+        F.col("f").alias("fold"),
+        F.col("fstart").alias("fold_start_day"),
+        F.col("fend").alias("fold_end_day"),
+    ).agg(
+        count_if(in_fold).cast("long").alias("test_n"),
+        count_if(in_embargo).cast("long").alias("embargo_n"),
+        count_if(in_train).cast("long").alias("train_n"),
+    )
+
+
+# --- popularity-based negative sampling ---------------------------------------------
+
+_NEG_TOP_PARTS = 20
+
+_NEG_ORACLE = f"""
+WITH pop AS (
+  SELECT l_partkey AS partkey, cast(count(*) AS bigint) AS n_lines
+  FROM lineitem GROUP BY 1
+  ORDER BY n_lines DESC, partkey LIMIT {_NEG_TOP_PARTS}
+),
+purch AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_partkey IN (SELECT partkey FROM pop)
+),
+buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+SELECT b.custkey, p.partkey, p.n_lines AS part_popularity
+FROM buyers b
+CROSS JOIN pop p
+ANTI JOIN purch ON purch.custkey = b.custkey AND purch.partkey = p.partkey
+"""
+
+
+@register(
+    "negative_sampling_popularity",
+    oracle=_NEG_ORACLE,
+    tags=("extension", "training", "recsys"),
+)
+def negative_sampling_popularity(spark, sf_dir):
+    """Popularity-based negative sampling for recommender training data:
+    for every customer who has ordered, the top-{n} most-purchased parts
+    they have NEVER bought — the standard hard-ish negatives (popular
+    items the user ignored carry more signal than uniform negatives).
+    Fully deterministic: the popularity cut is tie-broken by partkey and
+    the output is the complete candidate set, not a random draw.
+
+    Scale: the popularity top-{n} localCheckpoints (one lineitem
+    aggregate) and BROADCASTS both into the purchase-pair filter and the
+    customer cross join (x{n} linear amplification); the anti-join
+    shuffles on (custkey, partkey) — the output key. Never an
+    item-catalog cross join.""".format(n=_NEG_TOP_PARTS)
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    pop = (
+        l.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("n_lines"), F.asc("partkey"))
+        .limit(_NEG_TOP_PARTS)
+        .localCheckpoint()
+    )
+    purch = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(pop), l["l_partkey"] == pop["partkey"], "left_semi")
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    buyers = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    cand = buyers.crossJoin(F.broadcast(pop)).select(
+        "custkey", "partkey", F.col("n_lines").alias("part_popularity")
+    )
+    return cand.join(purch, ["custkey", "partkey"], "left_anti")
+
+
+# --- spatial radius join via grid-cell bucketing ------------------------------------
+
+_GEO_SPAN = 1_000_000  # synthetic planar world, meters
+_GEO_RADIUS = 10_000   # pair radius, meters == cell size
+
+_GEO_PT_SQL = f"""
+  SELECT c_custkey AS key,
+         cast({token_hash_sql("'x|' || cast(c_custkey AS varchar)")}
+              % {_GEO_SPAN} AS bigint) AS x,
+         cast({token_hash_sql("'y|' || cast(c_custkey AS varchar)")}
+              % {_GEO_SPAN} AS bigint) AS y
+  FROM customer
+"""
+
+_GEO_ORACLE = f"""
+WITH pts AS ({_GEO_PT_SQL}),
+probe AS (
+  SELECT p.key, p.x, p.y,
+         p.x // {_GEO_RADIUS} + dx.v AS cx,
+         p.y // {_GEO_RADIUS} + dy.v AS cy
+  FROM pts p,
+       (VALUES (-1), (0), (1)) dx(v),
+       (VALUES (-1), (0), (1)) dy(v)
+),
+home AS (
+  SELECT key, x, y, x // {_GEO_RADIUS} AS cx, y // {_GEO_RADIUS} AS cy
+  FROM pts
+)
+SELECT a.key AS custkey_a, b.key AS custkey_b,
+       floor(sqrt(cast((a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS double)) * 1000 + 0.5)
+         / 1000 AS dist_m
+FROM probe a JOIN home b ON a.cx = b.cx AND a.cy = b.cy
+WHERE a.key < b.key
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_GEO_RADIUS} * {_GEO_RADIUS}
+"""
+
+
+@register(
+    "spatial_radius_pairs",
+    oracle=_GEO_ORACLE,
+    tags=("extension", "spatial", "join"),
+)
+def spatial_radius_pairs(spark, sf_dir):
+    """Spatial radius self-join via grid-cell bucketing — the geohash /
+    space-filling-curve pattern that replaces the O(n^2) "all points
+    within r of each other" nested loop: bucket the plane into r-sized
+    cells, replicate each PROBE point into its 3x3 cell neighborhood,
+    equi-join against build points in their home cell (each candidate
+    pair meets exactly once: b lives in one home cell, a's replicas hit
+    it once), and refilter on the exact squared distance. Coordinates
+    are hash-derived planar integers, so the only float op is one
+    correctly-rounded sqrt for the reported distance — the filter itself
+    is pure int64.
+
+    Scale: replication is a constant 9x of the point set (not data^2);
+    the join shuffles on the cell key; skewed cells (urban hot spots)
+    would salt the cell key exactly like salted_user_event_stats."""
+    pts = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (token_hash(F.concat_ws("|", F.lit("x"), F.col("c_custkey"))) % _GEO_SPAN)
+        .alias("x"),
+        (token_hash(F.concat_ws("|", F.lit("y"), F.col("c_custkey"))) % _GEO_SPAN)
+        .alias("y"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").cast("long").alias("v"))
+    probe = (
+        pts.crossJoin(F.broadcast(off.select(F.col("v").alias("dxv"))))
+        .crossJoin(F.broadcast(off.select(F.col("v").alias("dyv"))))
+        .select(
+            "key",
+            "x",
+            "y",
+            (F.floor(F.col("x") / _GEO_RADIUS) + F.col("dxv")).alias("cx"),
+            (F.floor(F.col("y") / _GEO_RADIUS) + F.col("dyv")).alias("cy"),
+        )
+    )
+    home = pts.select(
+        F.col("key").alias("bkey"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.floor(F.col("x") / _GEO_RADIUS).alias("cx"),
+        F.floor(F.col("y") / _GEO_RADIUS).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        probe.join(home, ["cx", "cy"])
+        .where((F.col("key") < F.col("bkey")) & (d2 <= _GEO_RADIUS * _GEO_RADIUS))
+        .select(
+            F.col("key").alias("custkey_a"),
+            F.col("bkey").alias("custkey_b"),
+            (F.floor(F.sqrt(d2.cast("double")) * 1000 + 0.5) / 1000).alias("dist_m"),
+        )
+    )

@@ -208,3 +208,81 @@ def test_selection_plan_shapes(spark):
     bp = plan_string(QS["boilerplate_ngram_coverage"](spark, SF0001))
     assert "BroadcastHashJoin" in bp
     assert "CartesianProduct" not in bp
+
+
+def test_mutual_information_independent_vs_dependent(spark, tmp_path):
+    """MI ~ 0 for independent columns; MI == H(X) when Y determines X.
+    Built on the orders pair (priority ~ status) with synthetic data."""
+    import itertools
+    import os
+
+    d = str(tmp_path / "mi")
+    os.makedirs(d, exist_ok=True)
+    # independent: every (priority, status) combo equally often
+    rows = []
+    k = 0
+    for p, s in itertools.product(["A", "B"], ["X", "Y"]):
+        for _ in range(25):
+            rows.append({"o_orderkey": k, "o_custkey": 0, "o_orderstatus": s,
+                         "o_totalprice": 1.0, "o_orderdate": None,
+                         "o_orderpriority": p})
+            k += 1
+    pd.DataFrame(rows).to_parquet(f"{d}/orders.parquet")
+    # the other two pairs need their tables present
+    pd.DataFrame(
+        [{"l_orderkey": 0, "l_partkey": 0, "l_suppkey": 0, "l_linenumber": 1,
+          "l_quantity": 1.0, "l_extendedprice": 1.0, "l_discount": 0.0,
+          "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+          "l_shipdate": None}]
+    ).to_parquet(f"{d}/lineitem.parquet")
+    pd.DataFrame(
+        [{"p_partkey": 0, "p_name": "x", "p_brand": "B", "p_type": "T",
+          "p_size": 1, "p_retailprice": 1.0}]
+    ).to_parquet(f"{d}/part.parquet")
+    out = {r.pair: r.mi_nats for r in QS["mutual_information_report"](spark, d).collect()}
+    assert out["orders:priority~status"] == pytest.approx(0.0, abs=1e-6)
+
+    # dependent: status == f(priority) exactly -> MI = H(priority) = ln 2.
+    # NB: a fresh directory, not an overwrite — Spark's FileStatusCache
+    # keys on (path, size, mtime) and a same-second same-size rewrite
+    # would serve the stale file listing.
+    d2 = str(tmp_path / "mi2")
+    os.makedirs(d2, exist_ok=True)
+    for r in rows:
+        r["o_orderstatus"] = "X" if r["o_orderpriority"] == "A" else "Y"
+    pd.DataFrame(rows).to_parquet(f"{d2}/orders.parquet")
+    for t in ("lineitem", "part"):
+        import shutil
+
+        shutil.copy(f"{d}/{t}.parquet", f"{d2}/{t}.parquet")
+    out = {r.pair: r.mi_nats for r in QS["mutual_information_report"](spark, d2).collect()}
+    assert out["orders:priority~status"] == pytest.approx(math.log(2), abs=1e-5)
+
+
+def test_purged_folds_conserve_and_embargo(spark):
+    rows = QS["purged_timeseries_folds"](spark, SF0001).collect()
+    assert len(rows) == 5
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    total = len(ev)
+    for r in rows:
+        assert r.test_n + r.embargo_n + r.train_n == total
+        assert r.fold_end_day > r.fold_start_day
+        assert r.test_n > 0
+    # contiguous cover of the whole span
+    bounds = sorted((r.fold_start_day, r.fold_end_day) for r in rows)
+    assert bounds[0][0] == 0
+    for (s0, e0), (s1, e1) in zip(bounds, bounds[1:]):
+        assert e0 == s1
+
+
+def test_negative_sampling_excludes_purchases(spark):
+    out = QS["negative_sampling_popularity"](spark, SF0001).toPandas()
+    lineitem = pd.read_parquet(f"{SF0001}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet")
+    purch = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    purchased = set(map(tuple, purch.values))
+    assert not any((c, p) in purchased for c, p in zip(out.custkey, out.partkey))
+    # per customer at most top-N candidates
+    assert out.groupby("custkey").size().max() <= 20
