@@ -991,3 +991,112 @@ def spatial_radius_pairs(spark, sf_dir):
             (F.floor(F.sqrt(d2.cast("double")) * 1000 + 0.5) / 1000).alias("dist_m"),
         )
     )
+
+
+# --- embedding covariance (PCA prep) ------------------------------------------------
+
+_COV_DIM = 64
+_COV_SCALE = 10_000  # quantization: q = floor(v * 1e4 + 0.5)
+
+_COV_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           v -> cast(floor(cast(v AS double) * {_COV_SCALE} + 0.5) AS bigint))
+         AS q
+  FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(0, {_COV_DIM - 1})) AS i),
+cells AS (
+  SELECT a.i AS i, b.i AS j, q.q[a.i + 1] * q.q[b.i + 1] AS p
+  FROM q, idx a, idx b
+  WHERE b.i >= a.i
+),
+m2 AS (SELECT i, j, cast(sum(p) AS bigint) AS s_ij FROM cells GROUP BY i, j),
+m1 AS (
+  SELECT a.i AS i, cast(sum(q.q[a.i + 1]) AS bigint) AS s_i
+  FROM q, idx a GROUP BY 1
+),
+nn AS (SELECT cast(count(*) AS bigint) AS n FROM q)
+SELECT cast(m2.i AS integer) AS i, cast(m2.j AS integer) AS j,
+       floor(cast(m2.s_ij * nn.n - a.s_i * b.s_i AS double)
+             / (nn.n * nn.n) / {_COV_SCALE * _COV_SCALE}.0
+             * 1000000000 + 0.5) / 1000000000 AS cov
+FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i CROSS JOIN nn
+"""
+
+
+@register(
+    "embedding_covariance",
+    oracle=_COV_ORACLE,
+    tags=("extension", "embeddings", "ml"),
+)
+def embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance matrix of the embedding columns — the
+    PCA / whitening / Mahalanobis prep primitive: cov_ij =
+    E[x_i x_j] - E[x_i] E[x_j], computed from integer-quantized first and
+    second moments so every cross-row sum is exact int64 and the final
+    covariance is a fixed IEEE expression over exact integers (identical
+    in both engines). Quantization 1e-4 per coordinate bounds the sums
+    inside int64 up to ~1e11 rows; past that, shard and merge moments.
+
+    Scale: the in-row quantized vector expands to its {t} upper-triangle
+    products (CPU-linear — that IS the Gram computation), and the ONLY
+    shuffle is the map-side-combined groupBy over {t} (i, j) cells; first
+    moments ride the same persisted relation; n is a 1-row broadcast.
+    This is the classic distributed moment-accumulation plan.""".format(
+        t=_COV_DIM * (_COV_DIM + 1) // 2
+    )
+    e = read_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * _COV_SCALE + 0.5).cast("long"),
+    )
+    rows = e.select(q.alias("q")).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_COV_DIM - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_COV_DIM - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at(F.col("q"), i + 1) * F.element_at(F.col("q"), j + 1)).alias("p"),
+                ),
+            ),
+        )
+    )
+    m2 = (
+        rows.select(F.explode(pairs).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s_ij"))
+    )
+    m1 = (
+        rows.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s_i"))
+        .select(F.col("i").cast("int").alias("i"), "s_i")
+    )
+    nn = rows.agg(F.count(F.lit(1)).alias("n"))
+    a = m1.select(F.col("i").alias("ai"), F.col("s_i").alias("sa"))
+    b = m1.select(F.col("i").alias("bi"), F.col("s_i").alias("sb"))
+    num = (F.col("s_ij") * F.col("n") - F.col("sa") * F.col("sb")).cast("double")
+    return (
+        m2.join(F.broadcast(a), m2["i"] == a["ai"])
+        .join(F.broadcast(b), m2["j"] == b["bi"])
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                F.floor(
+                    num
+                    / (F.col("n") * F.col("n"))
+                    / float(_COV_SCALE * _COV_SCALE)
+                    * 1000000000
+                    + 0.5
+                )
+                / 1000000000
+            ).alias("cov"),
+        )
+    )

@@ -286,3 +286,19 @@ def test_negative_sampling_excludes_purchases(spark):
     assert not any((c, p) in purchased for c, p in zip(out.custkey, out.partkey))
     # per customer at most top-N candidates
     assert out.groupby("custkey").size().max() <= 20
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Quantized integer-moment covariance tracks the float covariance to
+    within quantization error (1e-4 per coordinate -> ~1e-6 per cell),
+    and the diagonal is the per-dimension variance (non-negative)."""
+    import numpy as np
+
+    out = QS["embedding_covariance"](spark, SF0001).toPandas()
+    emb = np.stack(pd.read_parquet(f"{SF0001}/embeddings.parquet")["embedding"].values)
+    ref = np.cov(emb.astype(np.float64), rowvar=False, bias=True)
+    assert len(out) == 64 * 65 // 2
+    for r in out.itertuples():
+        assert abs(r.cov - ref[r.i, r.j]) < 1e-6, (r.i, r.j)
+        if r.i == r.j:
+            assert r.cov >= 0
