@@ -22,6 +22,9 @@ composes them):
 6. span-dup screen      — drop docs whose 8-token spans are mostly
                           already-seen boilerplate (sub-doc contamination
                           whole-doc dedup misses)
+6b. boilerplate screen  — drop docs mostly covered by corpus-frequent
+                          5-grams; plus a DSIR readout of how much of the
+                          importance-resampling pool survives the stack
 7. train/val/test split — deterministic hash buckets (rerun-stable)
 8. sequence packing     — greedy token-budget packing per shard
 9. language balance     — T=0.5 temperature sampling weights for the mix
@@ -59,6 +62,10 @@ from bigdata_meteo_datalake_spark.queries.ext_governance import (
     mix_plan_report,
     pii_scan_report,
     shard_manifest,
+)
+from bigdata_meteo_datalake_spark.queries.ext_selection import (
+    boilerplate_ngram_coverage,
+    dsir_importance_weights,
 )
 from bigdata_meteo_datalake_spark.queries.ext_text import (
     calibration_bins,
@@ -118,14 +125,28 @@ def main() -> None:
         F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= 0.6
     ).select("doc_id")
 
+    # 4b. boilerplate screen: drop docs mostly covered by corpus-frequent
+    # 5-grams (chrome, templates) — the CCNet-style cleaning signal
+    not_boiler = boilerplate_ngram_coverage(spark, sf_dir).where(
+        ~F.coalesce(F.col("is_boilerplate_doc"), F.lit(False))
+    ).select("doc_id")
+
     corpus = (
         docs.join(F.broadcast(passed), "doc_id")
         .join(F.broadcast(kept_q), "doc_id")
         .join(F.broadcast(survivors), "doc_id")
         .join(F.broadcast(clean), "doc_id")
         .join(F.broadcast(span_ok), "doc_id")
+        .join(F.broadcast(not_boiler), "doc_id")
     )
     n1 = corpus.count()
+
+    # 4c. DSIR readout: how much of the importance-resampling pool (top
+    # docs by target-domain likelihood ratio) survives the filter stack —
+    # low overlap means the filters and the target distribution disagree
+    dsir_pool = dsir_importance_weights(spark, sf_dir).select("doc_id")
+    n_dsir_kept = dsir_pool.join(corpus.select("doc_id"), "doc_id").count()
+    n_dsir = dsir_pool.count()
 
     # 5. deterministic split (hash-bucket, rerun-stable)
     split = train_val_test_split(spark, sf_dir).select("doc_id", "split")
@@ -172,8 +193,9 @@ def main() -> None:
     rows = manifest.collect()
     print(
         f"corpus: {n0} docs -> {n1} after "
-        "cascade+quality+dedup+contamination+span-dup"
+        "cascade+quality+dedup+contamination+span-dup+boilerplate"
     )
+    print(f"dsir pool overlap with final corpus: {n_dsir_kept}/{n_dsir}")
     print(f"pii-flagged docs (redacted variant would ship): {n_pii}")
     for r in cascade.groupBy("verdict").count().orderBy("verdict").collect():
         print(f"  cascade {r['verdict']:>15}: {r['count']:>6}")
