@@ -666,3 +666,133 @@ def join_size_estimate_kmv(spark, sf_dir):
             "exact_join_rows",
         )
     )
+
+
+# --- HLL register merge over rolling windows ----------------------------------------
+
+_HLL7_ORACLE = f"""
+WITH h AS (
+  SELECT cast(ts AS date) AS day,
+         {token_hash_sql("cast(user_id AS varchar)")} AS hv,
+         user_id
+  FROM events
+),
+r AS (
+  SELECT day, (hv & {_HLL_M - 1}) AS bucket,
+         CASE WHEN (hv >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+              ELSE strpos(lpad(bin(hv >> {_HLL_P}), {_HLL_W_BITS}, '0'), '1')
+         END AS rho
+  FROM h
+),
+daily AS (SELECT day, bucket, max(rho) AS m_j FROM r GROUP BY day, bucket),
+spine AS (SELECT DISTINCT day FROM h),
+merged AS (
+  SELECT s.day, d.bucket, max(d.m_j) AS m_j
+  FROM spine s
+  JOIN daily d ON d.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+  GROUP BY s.day, d.bucket
+),
+full_reg AS (
+  SELECT s.day, coalesce(m.m_j, 0) AS m_j
+  FROM (SELECT spine.day, b.bucket
+        FROM spine, (SELECT unnest(range(0, {_HLL_M})) AS bucket) b) s
+  LEFT JOIN merged m ON m.day = s.day AND m.bucket = s.bucket
+),
+acc AS (
+  SELECT day, cast(sum(1::BIGINT << ({_HLL_RHO_MAX} - m_j)) AS bigint) AS s
+  FROM full_reg GROUP BY day
+),
+ex AS (
+  SELECT s.day, cast(count(DISTINCT h.user_id) AS bigint) AS exact_users_7d
+  FROM spine s JOIN h ON h.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+  GROUP BY s.day
+)
+SELECT acc.day,
+       floor({_HLL_NUMER!r} / cast(acc.s AS double) * 100 + 0.5) / 100
+         AS est_users_7d,
+       ex.exact_users_7d,
+       floor(abs(floor({_HLL_NUMER!r} / cast(acc.s AS double) * 100 + 0.5) / 100
+                 - ex.exact_users_7d) / ex.exact_users_7d * 10000 + 0.5) / 10000
+         AS rel_err
+FROM acc JOIN ex ON acc.day = ex.day
+"""
+
+
+@register(
+    "hll_rolling_7d_users",
+    oracle=_HLL7_ORACLE,
+    tags=("extension", "sketch", "hll", "window"),
+)
+def hll_rolling_7d_users(spark, sf_dir):
+    """Rolling 7-day distinct users per day via HLL REGISTER MERGE — the
+    operation that makes sketches the 100 TB answer: daily 32-register
+    summaries are computed ONCE from the events, and every window query
+    after that merges 7 register sets (elementwise max, associative and
+    idempotent) instead of re-scanning a week of raw data. Because max
+    is associative, the merged estimate is bit-identical to the
+    from-scratch estimate over the window (pinned in
+    tests/test_sketches.py).
+
+    Scale: the corpus-sized work is the one (day, bucket) aggregate —
+    everything downstream joins day-spine-sized relations (days x 32
+    registers). The exact rolling count beside it re-scans the week per
+    day, which is exactly the cost the sketch removes; it ships in the
+    result to keep the traded error visible.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    hv = token_hash(F.col("user_id").cast("string"))
+    w = F.shiftright(hv, _HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.instr(F.lpad(F.bin(w), _HLL_W_BITS, "0"), "1")
+    )
+    r = ev.select(
+        "day", hv.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"), rho.alias("rho")
+    )
+    daily = r.groupBy("day", "bucket").agg(F.max("rho").alias("m_j"))
+    spine = ev.select("day").distinct()
+    d = daily.select(
+        F.col("day").alias("dday"), F.col("bucket"), F.col("m_j")
+    )
+    merged = (
+        spine.join(
+            F.broadcast(d),
+            (F.col("dday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("dday") <= F.col("day")),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    full_spine = spine.select(
+        "day", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("b")
+    ).select("day", F.col("b").cast("long").alias("bucket"))
+    full_reg = full_spine.join(merged, ["day", "bucket"], "left").select(
+        "day", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+    )
+    acc = full_reg.groupBy("day").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 AS bigint), {_HLL_RHO_MAX} - m_j)")).alias("s")
+    )
+    ex = (
+        spine.join(
+            ev.select(F.col("day").alias("eday"), "user_id"),
+            (F.col("eday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    est = round_half_up(F.lit(_HLL_NUMER) / F.col("s").cast("double"), 2)
+    return (
+        acc.join(ex, "day")
+        .select(
+            "day",
+            est.alias("est_users_7d"),
+            "exact_users_7d",
+            round_half_up(
+                F.abs(est - F.col("exact_users_7d"))
+                / F.col("exact_users_7d"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -153,3 +153,27 @@ def test_sketch_and_join_plan_shapes(spark):
     assert n_shuffle_exchanges(_q("zorder_cluster_stats")(spark, TEST_SF_DIR)) <= 2
     sk = plan_string(_q("skew_report_custkey")(spark, TEST_SF_DIR))
     assert "TakeOrderedAndProject" in sk
+
+
+def test_hll_rolling_merge_equals_from_scratch(spark, tmp_path):
+    """Register-merge associativity: the merged 7-day estimate for a day
+    must be BIT-IDENTICAL to the estimate computed from scratch over just
+    that window's events (max over daily maxes == max over raw rows)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.sources.lake import read_table
+
+    fn = _q("hll_rolling_7d_users")
+    full = {r.day: r for r in fn(spark, TEST_SF_DIR).collect()}
+    target = max(full)
+    lo = target - dt.timedelta(days=6)
+    ev = read_table(spark, TEST_SF_DIR, "events").where(
+        (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(target))
+    )
+    d = str(tmp_path / "hllwin")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    scratch = {r.day: r for r in fn(spark, d).collect()}
+    assert scratch[target].est_users_7d == full[target].est_users_7d
+    assert scratch[target].exact_users_7d == full[target].exact_users_7d
