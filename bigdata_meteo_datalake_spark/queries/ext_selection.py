@@ -1100,3 +1100,116 @@ def embedding_covariance(spark, sf_dir):
             ).alias("cov"),
         )
     )
+
+
+# --- AUC via binned rank statistic --------------------------------------------------
+
+_AUC_BINS = 1024
+
+_AUC_ORACLE = f"""
+WITH scored AS (
+  SELECT n_chars AS s, (lang = 'en') AS pos FROM documents
+),
+rng AS (
+  SELECT cast(min(s) AS bigint) AS lo, cast(max(s) AS bigint) AS hi FROM scored
+),
+b AS (
+  SELECT cast((s - lo) * {_AUC_BINS} / (hi - lo + 1) AS bigint) AS bin, pos
+  FROM scored, rng
+),
+h AS (
+  SELECT bin,
+         cast(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS n_pos,
+         cast(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS bigint) AS n_neg
+  FROM b GROUP BY bin
+),
+pairs AS (
+  SELECT cast(sum(CASE WHEN p.bin > n.bin THEN p.n_pos * n.n_neg ELSE 0 END)
+              AS bigint) AS gt,
+         cast(sum(CASE WHEN p.bin = n.bin THEN p.n_pos * n.n_neg ELSE 0 END)
+              AS bigint) AS eq
+  FROM h p, h n
+),
+tot AS (
+  SELECT cast(sum(n_pos) AS bigint) AS np, cast(sum(n_neg) AS bigint) AS nn FROM h
+)
+SELECT np AS n_pos, nn AS n_neg,
+       floor(cast(2 * gt + eq AS double) / (2.0 * np * nn) * 1000000 + 0.5)
+         / 1000000 AS auc
+FROM pairs, tot
+"""
+
+
+@register(
+    "auc_binned_report",
+    oracle=_AUC_ORACLE,
+    tags=("extension", "training", "eval"),
+)
+def auc_binned_report(spark, sf_dir):
+    """ROC AUC of a score against a binary label via the binned
+    Mann-Whitney rank statistic — the classifier-eval primitive:
+    AUC = P(score_pos > score_neg) + 0.5 P(tie), with ties resolved at
+    bin granularity ({b} equi-width bins over the observed range). The
+    demo scores n_chars against lang='en'; any (score, label) pair
+    plugs into the same plan.
+
+    Exactness: bin ids, histogram counts, and the pair sums
+    (2*gt + eq over bin-product terms) are all int64; AUC is one final
+    IEEE division, half-up rounded — identical in both engines.
+
+    Scale: ONE corpus aggregate builds the {b}-bin histogram
+    (map-side combined); the pairwise term is a {b}x{b} broadcast
+    self-join of the histogram — constant work independent of corpus
+    size. The exact-rank AUC would need a global sort; binning is the
+    standard large-scale substitute, and the bin count bounds the tie
+    error.""".format(b=_AUC_BINS)
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"), (F.col("lang") == "en").alias("pos")
+    )
+    rng = d.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    b = d.crossJoin(F.broadcast(rng)).select(
+        ((F.col("s") - F.col("lo")) * _AUC_BINS / (F.col("hi") - F.col("lo") + 1))
+        .cast("long")
+        .alias("bin"),
+        "pos",
+    )
+    h = (
+        b.groupBy("bin")
+        .agg(
+            count_if(F.col("pos")).alias("n_pos"),
+            count_if(~F.col("pos")).alias("n_neg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    p = h.select(F.col("bin").alias("pb"), F.col("n_pos").alias("np_b"))
+    n = h.select(F.col("bin").alias("nb"), F.col("n_neg").alias("nn_b"))
+    pairs = (
+        p.crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.when(F.col("pb") > F.col("nb"), F.col("np_b") * F.col("nn_b"))
+                .otherwise(0)
+            ).alias("gt"),
+            F.sum(
+                F.when(F.col("pb") == F.col("nb"), F.col("np_b") * F.col("nn_b"))
+                .otherwise(0)
+            ).alias("eq"),
+        )
+    )
+    tot = h.agg(F.sum("n_pos").alias("np"), F.sum("n_neg").alias("nn"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            (
+                F.floor(
+                    (2 * F.col("gt") + F.col("eq")).cast("double")
+                    / (2.0 * F.col("np") * F.col("nn"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("auc"),
+        )
+    )

@@ -540,3 +540,66 @@ def stream_cdc_apply(log: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     return log.groupBy("o_orderkey").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def stream_hll_registers(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming HLL maintenance via applyInPandasWithState: per
+    event_type, the 32-register distinct-user sketch is held as state and
+    folded forward every micro-batch (elementwise max — associative +
+    idempotent, so replays and out-of-order batches cannot corrupt it).
+    Emits (event_type, n_seen, regs, est_distinct_users) per update;
+    the registers and estimator are BIT-IDENTICAL to the batch
+    ``hll_distinct_users`` query over the same rows (same md5 hash, same
+    integer folds — pinned in tests/test_streaming.py).
+
+    This is the streaming half of the sketch story: the batch side
+    merges daily registers (hll_rolling_7d_users); this side maintains
+    the same registers incrementally, so a landing zone can serve
+    "distinct users so far" at O(32 ints) state per key."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from ..queries.ext_sketch import _HLL_M, _HLL_NUMER, _HLL_P, _HLL_RHO_MAX
+
+    out_schema = (
+        "event_type string, n_seen long, regs array<long>, est_distinct_users double"
+    )
+    state_schema = "n long, regs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, regs = state.get
+            regs = list(regs)
+        else:
+            n, regs = 0, [0] * _HLL_M
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                hv = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+                bucket = hv & (_HLL_M - 1)
+                w = hv >> _HLL_P
+                if w == 0:
+                    rho = _HLL_RHO_MAX
+                else:
+                    rho = (60 - _HLL_P) - w.bit_length() + 1
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+                n += 1
+        state.update((n, regs))
+        s = sum(1 << (_HLL_RHO_MAX - m) for m in regs)
+        import math
+
+        est = math.floor(_HLL_NUMER / float(s) * 100 + 0.5) / 100
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "regs": [regs],
+                "est_distinct_users": [est],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

