@@ -295,3 +295,79 @@ def trade_graph_bfs_hops(spark, sf_dir):
         .alias("node_type"),
         F.col("d").cast("long").alias("hops"),
     )
+
+
+# --- hierarchy resolution via pointer doubling --------------------------------------
+
+_HIER_ORACLE = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, (cur - 1) // 2 AS cur, depth + 1
+  FROM walk WHERE cur > 0
+)
+SELECT node AS custkey,
+       cast(max(depth) AS bigint) AS depth,
+       cast(0 AS bigint) AS root
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "hierarchy_depths_doubling",
+    oracle=_HIER_ORACLE,
+    tags=("extension", "graph", "recursive", "hierarchy"),
+)
+def hierarchy_depths_doubling(spark, sf_dir):
+    """Hierarchy resolution (the BOM-explosion / org-chart primitive):
+    every customer sits in a synthetic tree with parent(k) = (k-1)//2
+    (root 0); the query reports each node's depth and root. A recursive
+    CTE walks one parent edge per iteration — O(depth) rounds; this
+    plan POINTER-DOUBLES instead: each round joins every node's current
+    jump target onto that target's own jump, doubling the distance
+    covered, so a depth-d hierarchy resolves in ceil(log2 d) + 1
+    self-joins. That is the difference between ~14 rounds and ~4 at a
+    2^14-deep chain — and between feasible and not at 100 TB, where
+    every round is a full shuffle of the frontier.
+
+    Each round localCheckpoints (constant-size plans, same idiom as the
+    CC operators) and the loop exits when every jump has reached the
+    root — an isEmpty probe on the already-materialized checkpoint, a
+    limit-1 scan of cached partitions. Oracle: DuckDB WITH RECURSIVE.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    # (node, jump, dist): jump = ancestor dist edges up (or root, capped)
+    cur = c.select(
+        "node",
+        F.when(F.col("node") > 0, F.floor((F.col("node") - 1) / 2).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("jump"),
+        F.when(F.col("node") > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(40):  # 2^40 depth bound — structurally unreachable
+        if cur.where(F.col("jump") != 0).isEmpty():
+            break
+        nxt = cur.select(
+            F.col("node").alias("jnode"),
+            F.col("jump").alias("jjump"),
+            F.col("dist").alias("jdist"),
+        )
+        cur = (
+            cur.join(nxt, cur["jump"] == nxt["jnode"])
+            .select(
+                "node",
+                F.col("jjump").alias("jump"),
+                (F.col("dist") + F.col("jdist")).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("node").alias("custkey"),
+        F.col("dist").alias("depth"),
+        F.lit(0).cast("long").alias("root"),
+    )
