@@ -17,8 +17,11 @@ doubles are bit-identical; scores rounded to 4 decimals for rank stability.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import round_half_up
 from ..operators.dedup import widen
@@ -861,4 +864,149 @@ def pq_ann_topk(spark, sf_dir):
         adc.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
+# --- NDCG@10 ranking evaluation -----------------------------------------------------
+
+_NDCG_K = 10
+#: integer micro discounts 1/log2(pos+1) for positions 1..10 — computed ONCE
+#: in Python and inlined as literals in both engines (no runtime log).
+_NDCG_DISC = [round(1_000_000 / math.log2(p + 1)) for p in range(1, _NDCG_K + 1)]
+#: prefix sums: _NDCG_PREF[j] = sum of the first j discounts (j = 0..10)
+_NDCG_PREF = [0]
+for _d in _NDCG_DISC:
+    _NDCG_PREF.append(_NDCG_PREF[-1] + _d)
+
+_NDCG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS neighbor_id, c.label AS clabel,
+         floor(list_aggregate(list_transform(list_zip(q.v, c.v),
+                                             p -> p[1] * p[2]), 'sum')
+               / (q.nrm * c.nrm) * 10000 + 0.5) / 10000 AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, qlabel, clabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+),
+dcg AS (
+  SELECT query_id,
+         cast(sum(CASE WHEN clabel = qlabel
+                       THEN {_NDCG_DISC}[rn] ELSE 0 END) AS bigint) AS dcg_micro
+  FROM ranked WHERE rn <= {_NDCG_K} GROUP BY query_id
+),
+rel AS (
+  SELECT query_id,
+         cast(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS bigint) AS n_rel
+  FROM scored GROUP BY query_id
+)
+SELECT r.query_id, r.n_rel,
+       CASE WHEN r.n_rel > 0 THEN
+         floor(cast(coalesce(d.dcg_micro, 0) AS double)
+               / {_NDCG_PREF}[least(r.n_rel, {_NDCG_K}) + 1]
+               * 1000000 + 0.5) / 1000000
+       END AS ndcg10
+FROM rel r LEFT JOIN dcg d ON r.query_id = d.query_id
+"""
+
+
+@register(
+    "ndcg_at10_report",
+    oracle=_NDCG_ORACLE,
+    tags=("extension", "similarity", "eval"),
+)
+def ndcg_at10_report(spark, sf_dir):
+    """NDCG@10 of the brute-force cosine ranking against label relevance
+    (same-label neighbor = relevant) — the ranking-eval primitive beside
+    AUC: DCG discounts 1/log2(pos+1) are inlined as integer micro
+    literals (positions 1..10, computed once in Python, shared with the
+    oracle — no runtime log in either engine), so DCG and the ideal DCG
+    (a prefix-sum lookup at min(n_rel, 10)) are exact int64; the final
+    normalization is one IEEE division.
+
+    Scale: same shape as knn_cosine_bruteforce (bounded query set
+    broadcast against the corpus, per-query window with group-limit
+    pushdown) plus two per-query aggregates; the discount/prefix tables
+    are constant literals, not data."""
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
+    v = _double_vec()
+    base = emb.select(F.col("vec_id"), F.col("label"), v.alias("v"), _norm(v).alias("nrm"))
+    q = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = _dot(F.col("qv"), F.col("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "clabel",
+            round_half_up(dot / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    pref = F.array(*[F.lit(p) for p in _NDCG_PREF])
+    dcg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("clabel") == F.col("qlabel"),
+                    F.element_at(disc, F.col("rn")),
+                ).otherwise(0)
+            ).alias("dcg_micro")
+        )
+    )
+    rel = scored.groupBy("query_id").agg(
+        F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)).alias(
+            "n_rel"
+        )
+    )
+    idcg = F.element_at(pref, (F.least(F.col("n_rel"), F.lit(_NDCG_K)) + 1).cast("int"))
+    return (
+        rel.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.when(
+                F.col("n_rel") > 0,
+                F.floor(
+                    F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("double")
+                    / idcg
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000,
+            ).alias("ndcg10"),
+        )
     )

@@ -330,3 +330,28 @@ def test_auc_binned_boundary_values(spark, tmp_path):
     # every score identical -> one bin, all ties -> 0.5
     r = fn(spark, write([(42, "en")] * 3 + [(42, "fr")] * 4, "tie")).collect()[0]
     assert r.auc == 0.5
+
+
+def test_ndcg_perfect_and_empty(spark, tmp_path):
+    """Identical same-label vectors rank first -> NDCG 1.0; a query with
+    no same-label candidates has undefined (NULL) NDCG."""
+    import os
+
+    import numpy as np
+
+    d = str(tmp_path / "ndcg")
+    os.makedirs(d, exist_ok=True)
+    rng = [0.1 * (i + 1) for i in range(8)]
+    rows = []
+    # queries are vec_id < 20; give query 0 label 1 with 3 exact clones,
+    # query 1 label 9 with no other label-9 vector
+    rows.append({"vec_id": 0, "embedding": rng, "label": 1})
+    rows.append({"vec_id": 1, "embedding": [x + 1 for x in rng], "label": 9})
+    for i in range(3):
+        rows.append({"vec_id": 100 + i, "embedding": rng, "label": 1})
+    for i in range(5):
+        rows.append({"vec_id": 200 + i, "embedding": [x * (2 + i) for x in rng][::-1], "label": 2})
+    pd.DataFrame(rows).to_parquet(f"{d}/embeddings.parquet")
+    out = {r.query_id: r for r in QS["ndcg_at10_report"](spark, d).collect()}
+    assert out[0].n_rel == 3 and out[0].ndcg10 == 1.0
+    assert out[1].n_rel == 0 and out[1].ndcg10 is None
