@@ -18,6 +18,9 @@ utility; this script only composes them):
 5. cardinality sketches — HLL + KMV distinct-user estimates next to
                           exact counts (what you'd keep when exact stops
                           being affordable)
+6. RI audit             — orphan counts per FK edge (cross-table
+                          contracts the per-table checks can't express)
+7. l-diversity gate     — sensitive-value diversity per QI class
 
 The decisions a production job would make from thresholds are printed,
 not hidden: the point of the ops pillar is that every lever (salt,
@@ -128,6 +131,24 @@ def main(sf_dir: str) -> None:
             f"KMV {row.event_type}: est {row.est_distinct_users} "
             f"exact {row.exact_distinct_users} (rel_err {row.rel_err})"
         )
+
+    # 6. cross-table contracts: orphan counts per FK edge (release gate —
+    # a clean lake prints zeros; non-zero quantifies the ingestion break)
+    from bigdata_meteo_datalake_spark.queries.ext_lakehouse import (
+        l_diversity_report,
+        ri_audit_counts,
+    )
+
+    for r in ri_audit_counts(spark, sf_dir).collect():
+        print(
+            f"RI {r.edge}: {r.n_orphan_rows}/{r.n_child_rows} orphan rows "
+            f"({r.n_orphan_keys} keys)"
+        )
+
+    # 7. privacy gate: l-diversity of the sensitive column per QI class
+    ldiv = l_diversity_report(spark, sf_dir)
+    n_bad = ldiv.where(~F.col("l_diverse")).count()
+    print(f"l-diversity: {ldiv.count()} QI classes, {n_bad} below l=2")
 
 
 if __name__ == "__main__":
