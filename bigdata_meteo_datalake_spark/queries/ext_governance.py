@@ -566,3 +566,116 @@ def dp_noisy_counts(spark, sf_dir):
         ),
         (F.col("n_true") < _DP_K_SUPPRESS).alias("suppressed"),
     )
+
+
+# --- GDPR access export (DSAR) ------------------------------------------------------
+
+_DSAR_SUBJECT = 97
+#: per-row hashes reduce mod 2^40 before summing so the order-free checksum
+#: stays inside int64 for up to ~2^23 rows per subject in BOTH engines
+#: (DuckDB sums bigints into INT128; Spark would wrap int64)
+_DSAR_MOD = 1 << 40
+
+_DSAR_ORACLE = f"""
+WITH eo AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey = {_DSAR_SUBJECT}
+)
+SELECT 'customer' AS tbl,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(coalesce(sum({token_hash_sql(
+           "cast(c_custkey AS varchar) || '|' || c_name || '|' || "
+           "cast(c_nationkey AS varchar) || '|' || c_mktsegment")}
+           % {_DSAR_MOD}), 0) AS bigint) AS payload_checksum
+FROM customer WHERE c_custkey = {_DSAR_SUBJECT}
+UNION ALL
+SELECT 'orders',
+       cast(count(*) AS bigint),
+       cast(coalesce(sum({token_hash_sql(
+           "cast(o_orderkey AS varchar) || '|' || cast(o_custkey AS varchar)"
+           " || '|' || o_orderstatus || '|' || o_orderpriority")}
+           % {_DSAR_MOD}), 0) AS bigint)
+FROM orders WHERE o_custkey = {_DSAR_SUBJECT}
+UNION ALL
+SELECT 'lineitem',
+       cast(count(*) AS bigint),
+       cast(coalesce(sum({token_hash_sql(
+           "cast(l_orderkey AS varchar) || '|' || cast(l_linenumber AS varchar)"
+           " || '|' || l_returnflag || '|' || l_linestatus")}
+           % {_DSAR_MOD}), 0) AS bigint)
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM eo)
+UNION ALL
+SELECT 'events',
+       cast(count(*) AS bigint),
+       cast(coalesce(sum({token_hash_sql(
+           "cast(event_id AS varchar) || '|' || cast(user_id AS varchar)"
+           " || '|' || event_type")}
+           % {_DSAR_MOD}), 0) AS bigint)
+FROM events WHERE user_id = {_DSAR_SUBJECT}
+"""
+
+
+@register(
+    "user_access_export",
+    oracle=_DSAR_ORACLE,
+    tags=("extension", "governance", "dsar"),
+)
+def user_access_export(spark, sf_dir):
+    """Right-of-access export audit (the DSAR read twin of
+    user_erasure_cascade): for one data subject, the per-table row counts
+    and an order-free payload checksum (sum of 60-bit md5 hashes of the
+    canonical key fields — integer/string columns only, so the canonical
+    string is byte-identical in both engines) across every table holding
+    the subject's data. The checksum is what the export job and the
+    verification job compare without shipping the payload twice.
+
+    Scale: one subject key (or a broadcast cohort) semi-joins each fact
+    exactly once — the facts never shuffle; with key-partitioned or
+    bucketed tables the scan prunes to the subject's partitions."""
+    from ..operators.dedup import token_hash
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+
+    eo = orders.where(F.col("o_custkey") == _DSAR_SUBJECT).select("o_orderkey")
+
+    def export(df, tbl, canon):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(token_hash(canon) % _DSAR_MOD), F.lit(0))
+            .cast("long")
+            .alias("payload_checksum"),
+        )
+
+    c = export(
+        cust.where(F.col("c_custkey") == _DSAR_SUBJECT),
+        "customer",
+        F.concat_ws(
+            "|", F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+        ),
+    )
+    o = export(
+        orders.where(F.col("o_custkey") == _DSAR_SUBJECT),
+        "orders",
+        F.concat_ws(
+            "|", F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ),
+    )
+    l = export(
+        li.join(F.broadcast(eo), li["l_orderkey"] == eo["o_orderkey"], "left_semi"),
+        "lineitem",
+        F.concat_ws(
+            "|", F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        ),
+    )
+    e = export(
+        ev.where(F.col("user_id") == _DSAR_SUBJECT),
+        "events",
+        F.concat_ws("|", F.col("event_id"), F.col("user_id"), F.col("event_type")),
+    )
+    return c.unionByName(o).unionByName(l).unionByName(e)
