@@ -355,3 +355,121 @@ def test_ndcg_perfect_and_empty(spark, tmp_path):
     out = {r.query_id: r for r in QS["ndcg_at10_report"](spark, d).collect()}
     assert out[0].n_rel == 3 and out[0].ndcg10 == 1.0
     assert out[1].n_rel == 0 and out[1].ndcg10 is None
+
+
+def _py_binned_auc(pairs, bins=1024):
+    """Pure-Python reference of the binned AUC (same binning rule)."""
+    lo, hi = min(s for s, _ in pairs), max(s for s, _ in pairs)
+    hist_p: dict[int, int] = {}
+    hist_n: dict[int, int] = {}
+    for s, pos in pairs:
+        b = (s - lo) * bins // (hi - lo + 1)
+        (hist_p if pos else hist_n)[b] = (hist_p if pos else hist_n).get(b, 0) + 1
+    gt = sum(
+        np_ * nn for bp, np_ in hist_p.items() for bn, nn in hist_n.items() if bp > bn
+    )
+    eq = sum(np_ * hist_n.get(bp, 0) for bp, np_ in hist_p.items())
+    n_pos, n_neg = sum(hist_p.values()), sum(hist_n.values())
+    return math.floor((2 * gt + eq) / (2.0 * n_pos * n_neg) * 1e6 + 0.5) / 1e6
+
+
+def test_auc_property_random_scores(spark, tmp_path):
+    """Random integer scores + labels: the Spark AUC equals the pure-Python
+    binned reference exactly (hypothesis, bounded examples — each runs
+    real Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = [0]
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=5000), st.booleans()),
+            min_size=4,
+            max_size=60,
+        ).filter(lambda xs: any(p for _, p in xs) and any(not p for _, p in xs))
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def check(pairs):
+        import os
+
+        counter[0] += 1
+        d = str(tmp_path / f"aucp{counter[0]}")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            [
+                {"doc_id": i, "text": "", "lang": "en" if pos else "fr",
+                 "source": "s", "n_chars": s}
+                for i, (s, pos) in enumerate(pairs)
+            ]
+        ).to_parquet(f"{d}/documents.parquet")
+        r = QS["auc_binned_report"](spark, d).collect()[0]
+        assert r.auc == _py_binned_auc(pairs)
+
+    check()
+
+
+def test_mi_property_bounds(spark, tmp_path):
+    """Random joint distributions: MI within quantization error of the
+    direct float computation, non-negative, and bounded by min marginal
+    entropy."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = [0]
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("AB"), st.sampled_from("XYZ")),
+            min_size=5,
+            max_size=80,
+        )
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def check(cells):
+        import os
+        from collections import Counter
+
+        counter[0] += 1
+        d = str(tmp_path / f"mip{counter[0]}")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            [
+                {"o_orderkey": i, "o_custkey": 0, "o_orderstatus": y,
+                 "o_totalprice": 1.0, "o_orderdate": None, "o_orderpriority": x}
+                for i, (x, y) in enumerate(cells)
+            ]
+        ).to_parquet(f"{d}/orders.parquet")
+        pd.DataFrame(
+            [{"l_orderkey": 0, "l_partkey": 0, "l_suppkey": 0, "l_linenumber": 1,
+              "l_quantity": 1.0, "l_extendedprice": 1.0, "l_discount": 0.0,
+              "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+              "l_shipdate": None}]
+        ).to_parquet(f"{d}/lineitem.parquet")
+        pd.DataFrame(
+            [{"p_partkey": 0, "p_name": "x", "p_brand": "B", "p_type": "T",
+              "p_size": 1, "p_retailprice": 1.0}]
+        ).to_parquet(f"{d}/part.parquet")
+        out = {r.pair: r.mi_nats
+               for r in QS["mutual_information_report"](spark, d).collect()}
+        got = out["orders:priority~status"]
+        n = len(cells)
+        jx, jy, jxy = Counter(x for x, _ in cells), Counter(y for _, y in cells), Counter(cells)
+        mi = sum(
+            c / n * math.log(c * n / (jx[x] * jy[y])) for (x, y), c in jxy.items()
+        )
+        hx = -sum(c / n * math.log(c / n) for c in jx.values())
+        hy = -sum(c / n * math.log(c / n) for c in jy.values())
+        assert abs(got - mi) < 1e-5
+        assert got >= -1e-6
+        assert got <= min(hx, hy) + 1e-5
+
+    check()
