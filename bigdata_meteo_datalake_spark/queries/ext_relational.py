@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import count_if, round_half_up, rounded_sum
 from ..operators.dedup import token_hash_sql
@@ -1160,4 +1161,111 @@ def seasonal_index_monthly(spark, sf_dir):
             / (F.col("total_rev").cast("double") / 12),
             6,
         ).alias("seasonal_index"),
+    )
+
+
+# --- binned Gini concentration ------------------------------------------------------
+
+_GINI_BINS = 1024
+
+_GINI_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+rng AS (
+  SELECT cast(min(cents) AS bigint) AS lo, cast(max(cents) AS bigint) AS hi
+  FROM spend
+),
+h AS (
+  SELECT cast(bin AS bigint) AS bin, cast(count(*) AS bigint) AS n
+  FROM (SELECT (cents - lo) * {_GINI_BINS} // (hi - lo + 1) AS bin
+        FROM spend, rng)
+  GROUP BY 1
+),
+hv AS (
+  SELECT h.bin, h.n,
+         rng.lo + h.bin * ((rng.hi - rng.lo + 1) // {_GINI_BINS} + 1) AS v
+  FROM h, rng
+),
+agg AS (
+  SELECT cast(sum(n) AS bigint) AS nn, cast(sum(n * v) AS bigint) AS sv
+  FROM hv
+),
+mad AS (
+  SELECT cast(sum(a.n * b.n * abs(a.v - b.v)) AS bigint) AS num
+  FROM hv a, hv b
+)
+SELECT agg.nn AS n_customers,
+       floor(cast(agg.sv AS double) / agg.nn + 0.5) / 100 AS mean_spend,
+       floor(cast(mad.num AS double) / (2.0 * agg.nn * agg.sv) * 1000000 + 0.5)
+         / 1000000 AS gini
+FROM agg, mad
+"""
+
+
+@register(
+    "gini_customer_spend",
+    oracle=_GINI_ORACLE,
+    tags=("extension", "analytics", "concentration"),
+)
+def gini_customer_spend(spark, sf_dir):
+    """Gini coefficient of per-customer spend — the revenue-concentration
+    diagnostic (0 = perfectly equal, ->1 = one whale) — computed at bin
+    granularity without a global sort: per-customer totals in integer
+    cents bucket into {b} equi-width bins, each bin represented by its
+    lower bound, and Gini = mean absolute difference / (2 * mean) over
+    the binned histogram. Every sum (bin counts, n_i*n_j*|v_i - v_j|
+    pair terms) is exact int64; two IEEE divisions finish.
+
+    Scale: one fact aggregate (per-customer sums), one histogram
+    aggregate, then a constant {b}x{b} broadcast self-join — the same
+    shape as auc_binned_report; the exact Gini would need a global sort
+    (Lorenz curve), which binning replaces at bounded resolution.
+    """.format(b=_GINI_BINS)
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    rng = spend.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    width = ((F.col("hi") - F.col("lo") + 1) / _GINI_BINS).cast("long") + 1
+    hv = (
+        spend.crossJoin(F.broadcast(rng))
+        .select(
+            ((F.col("cents") - F.col("lo")) * _GINI_BINS / (F.col("hi") - F.col("lo") + 1))
+            .cast("long")
+            .alias("bin"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", "n", (F.col("lo") + F.col("bin") * width).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    agg = hv.agg(F.sum("n").alias("nn"), F.sum(F.col("n") * F.col("v")).alias("sv"))
+    a = hv.select(F.col("n").alias("na"), F.col("v").alias("va"))
+    b = hv.select(F.col("n").alias("nb"), F.col("v").alias("vb"))
+    mad = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.col("na") * F.col("nb") * F.abs(F.col("va") - F.col("vb"))).alias("num")
+    )
+    return (
+        agg.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("nn").alias("n_customers"),
+            (F.floor(F.col("sv").cast("double") / F.col("nn") + 0.5) / 100).alias(
+                "mean_spend"
+            ),
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / (2.0 * F.col("nn") * F.col("sv"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("gini"),
+        )
     )

@@ -473,3 +473,25 @@ def test_mi_property_bounds(spark, tmp_path):
         assert got <= min(hx, hy) + 1e-5
 
     check()
+
+
+def test_gini_boundary_cases(spark, tmp_path):
+    """Equal spends -> Gini 0; one whale holding almost everything ->
+    Gini near (n-1)/n."""
+    import os
+
+    def write(totals, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            [{"o_orderkey": i, "o_custkey": i, "o_orderstatus": "O",
+              "o_totalprice": float(v), "o_orderdate": None,
+              "o_orderpriority": "1"} for i, v in enumerate(totals)]
+        ).to_parquet(f"{d}/orders.parquet")
+        return d
+
+    fn = QS["gini_customer_spend"]
+    r = fn(spark, write([500.0] * 10, "eq")).collect()[0]
+    assert r.gini == 0.0 and r.n_customers == 10
+    r = fn(spark, write([1.0] * 9 + [1_000_000.0], "whale")).collect()[0]
+    assert r.gini > 0.85
