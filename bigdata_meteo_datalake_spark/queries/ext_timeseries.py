@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import (
     exact_sum,
@@ -450,4 +451,131 @@ def event_value_percentiles(spark, sf_dir):
             )
             for p in _PCT_PS
         ]
+    )
+
+
+# --- STL-lite additive decomposition of monthly revenue -----------------------------
+
+_STL_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT m, cents,
+         (year(m) * 12 + month(m)) AS mi
+  FROM monthly
+),
+tr AS (
+  SELECT a.m, a.mi, a.cents,
+         cast(sum(CASE WHEN abs(b.mi - a.mi) = 6 THEN b.cents
+                       ELSE 2 * b.cents END) AS bigint) AS num24,
+         cast(count(*) AS bigint) AS n_terms
+  FROM idx a JOIN idx b ON b.mi BETWEEN a.mi - 6 AND a.mi + 6
+  GROUP BY a.m, a.mi, a.cents
+),
+det AS (
+  SELECT m, mi, cents,
+         CASE WHEN n_terms = 13 THEN num24 END AS num24
+  FROM tr
+),
+seas AS (
+  SELECT month(m) AS moy,
+         cast(sum(24 * cents - num24) AS bigint) AS d24_sum,
+         cast(count(*) AS bigint) AS d_n
+  FROM det WHERE num24 IS NOT NULL GROUP BY 1
+)
+SELECT det.m AS month,
+       floor(cast(det.cents AS double) + 0.5) / 100 AS revenue,
+       CASE WHEN det.num24 IS NOT NULL THEN
+         floor(cast(det.num24 AS double) / 24 + 0.5) / 100 END AS trend,
+       floor(cast(seas.d24_sum AS double) / (24 * seas.d_n) + 0.5) / 100
+         AS seasonal,
+       CASE WHEN det.num24 IS NOT NULL THEN
+         floor(cast(det.cents AS double)
+               - cast(det.num24 AS double) / 24
+               - cast(seas.d24_sum AS double) / (24 * seas.d_n) + 0.5) / 100
+       END AS residual
+FROM det JOIN seas ON month(det.m) = seas.moy
+"""
+
+
+@register(
+    "stl_decompose_monthly",
+    oracle=_STL_ORACLE,
+    tags=("extension", "timeseries", "decomposition"),
+)
+def stl_decompose_monthly(spark, sf_dir):
+    """STL-lite additive decomposition of monthly revenue: trend = the
+    classic 13-point centered moving average with half weights at the
+    ends (x2/24 inner, x1/24 ends — the standard 12-month seasonal MA),
+    seasonal = month-of-year mean of the detrended series, residual =
+    revenue - trend - seasonal. Months without the full +/-6 window have
+    NULL trend/residual (standard edge behavior).
+
+    Exactness: revenue carries as integer cents; the MA numerator and
+    the detrended values (24*cents - num24, i.e. 1/24-cent units) are
+    exact int64, so the seasonal group sums are order-free; trend/
+    seasonal/residual are fixed IEEE divisions of exact integers.
+
+    Scale: one fact aggregate to months, then a month-spine self-join
+    (|months|^2 at worst, months are tiny) — the decomposition never
+    touches fact rows again, and no partition-less window exists: the
+    centered MA is the +/-6 band join."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    idx = monthly.select(
+        "m", "cents", (F.year("m") * 12 + F.month("m")).alias("mi")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b = idx.select(
+        F.col("mi").alias("bmi"), F.col("cents").alias("bcents")
+    )
+    tr = (
+        idx.join(
+            F.broadcast(b),
+            (F.col("bmi") >= F.col("mi") - 6) & (F.col("bmi") <= F.col("mi") + 6),
+        )
+        .groupBy("m", "mi", "cents")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("bmi") - F.col("mi")) == 6, F.col("bcents"))
+                .otherwise(2 * F.col("bcents"))
+            ).alias("num24"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .select(
+            "m",
+            "cents",
+            F.when(F.col("n_terms") == 13, F.col("num24")).alias("num24"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seas = (
+        tr.where(F.col("num24").isNotNull())
+        .groupBy(F.month("m").alias("moy"))
+        .agg(
+            F.sum(24 * F.col("cents") - F.col("num24")).alias("d24_sum"),
+            F.count(F.lit(1)).alias("d_n"),
+        )
+    )
+    t_dbl = F.col("num24").cast("double") / 24
+    s_dbl = F.col("d24_sum").cast("double") / (24 * F.col("d_n"))
+    return (
+        tr.join(F.broadcast(seas), F.month("m") == F.col("moy"))
+        .select(
+            F.col("m").alias("month"),
+            (F.floor(F.col("cents").cast("double") + 0.5) / 100).alias("revenue"),
+            F.when(
+                F.col("num24").isNotNull(), F.floor(t_dbl + 0.5) / 100
+            ).alias("trend"),
+            (F.floor(s_dbl + 0.5) / 100).alias("seasonal"),
+            F.when(
+                F.col("num24").isNotNull(),
+                F.floor(F.col("cents").cast("double") - t_dbl - s_dbl + 0.5) / 100,
+            ).alias("residual"),
+        )
     )

@@ -495,3 +495,21 @@ def test_gini_boundary_cases(spark, tmp_path):
     assert r.gini == 0.0 and r.n_customers == 10
     r = fn(spark, write([1.0] * 9 + [1_000_000.0], "whale")).collect()[0]
     assert r.gini > 0.85
+
+
+def test_stl_reconstruction_identity(spark):
+    """For interior months: trend + seasonal + residual reconstructs the
+    revenue (within component rounding); seasonal repeats with period 12;
+    edge months (incomplete +/-6 window) have NULL trend and residual."""
+    rows = QS["stl_decompose_monthly"](spark, SF0001).collect()
+    assert len(rows) == 80
+    interior = [r for r in rows if r.trend is not None]
+    assert len(interior) == 80 - 12  # 6 months lost at each end
+    for r in interior:
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 0.03
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.month.month, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in by_month.values())  # period-12 constant
+    for r in rows:
+        assert (r.trend is None) == (r.residual is None)
