@@ -1213,3 +1213,101 @@ def auc_binned_report(spark, sf_dir):
             ).alias("auc"),
         )
     )
+
+
+# --- deterministic token-dropout augmentation ---------------------------------------
+
+_AUG_DROP_MOD = 10  # drop ~1/10 of token positions
+_AUG_CK_MOD = 1 << 40
+
+_AUG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+kept AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_filter(
+           list_transform(generate_series(1, len(toks)),
+                          i -> CASE WHEN {token_hash_sql(
+                              "toks[i] || '|' || cast(doc_id AS varchar)"
+                              " || '|' || cast(i AS varchar)")}
+                                    % {_AUG_DROP_MOD} <> 0
+                               THEN toks[i] END),
+           x -> x IS NOT NULL) AS kt
+  FROM t
+)
+SELECT doc_id,
+       cast(n_tokens AS bigint) AS n_tokens,
+       cast(len(kt) AS bigint) AS n_kept,
+       CASE WHEN n_tokens > 0 THEN
+         floor(cast(len(kt) AS double) / n_tokens * 1000000 + 0.5) / 1000000
+       END AS kept_frac,
+       cast({token_hash_sql("array_to_string(kt, ' ')")} % {_AUG_CK_MOD}
+            AS bigint) AS aug_checksum
+FROM kept
+"""
+
+
+@register(
+    "augment_token_dropout",
+    oracle=_AUG_ORACLE,
+    tags=("extension", "corpus", "augmentation"),
+)
+def augment_token_dropout(spark, sf_dir):
+    """Deterministic token-dropout augmentation (the reproducible form of
+    the random word-dropout regularizer): each token POSITION drops when
+    hash(token | doc | position) lands in 1/{m} of the space — position-
+    dependent, so repeated tokens drop independently, and re-running the
+    pipeline regenerates the identical augmented corpus (the property
+    random dropout can't give a resumable 100 TB job). Output: per doc,
+    original/kept token counts, kept fraction, and a checksum of the
+    augmented text (mod 2^40) so downstream shards can verify the
+    augmentation without re-reading it.
+
+    Scale: entirely in-row (transform/filter over the token array — no
+    explode, no shuffle beyond the scan) — augmentation runs inline with
+    the corpus read, the map-only shape a 100 TB rewrite needs.
+    """.format(m=_AUG_DROP_MOD)
+    d = widen(read_table(spark, sf_dir, "documents"))
+    toks = _toks()
+    e = d.select("doc_id", toks.alias("toks"))
+    keep = lambda tok, i: (  # noqa: E731
+        token_hash(
+            F.concat(
+                tok, F.lit("|"), F.col("doc_id").cast("string"), F.lit("|"),
+                i.cast("string"),
+            )
+        )
+        % _AUG_DROP_MOD
+        != 0
+    )
+    # guard: F.sequence(1, 0) DESCENDS on an empty array and element_at(_, 0)
+    # throws -- gate the whole transform on size > 0
+    kt = F.when(
+        F.size("toks") > 0,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda i: F.when(keep(F.element_at(F.col("toks"), i), i),
+                                 F.element_at(F.col("toks"), i)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = e.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        kt.alias("kt"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kt").cast("long").alias("n_kept"),
+        F.when(
+            F.col("n_tokens") > 0,
+            round_half_up(F.size("kt").cast("double") / F.col("n_tokens"), 6),
+        ).alias("kept_frac"),
+        (token_hash(F.concat_ws(" ", F.col("kt"))) % _AUG_CK_MOD).alias(
+            "aug_checksum"
+        ),
+    )

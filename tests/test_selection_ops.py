@@ -513,3 +513,21 @@ def test_stl_reconstruction_identity(spark):
     assert all(len(v) == 1 for v in by_month.values())  # period-12 constant
     for r in rows:
         assert (r.trend is None) == (r.residual is None)
+
+
+def test_token_dropout_rate_and_determinism(spark, tmp_path):
+    """Drop rate lands near 1/10 over a large corpus, reruns are
+    bit-identical, and empty docs survive with NULL kept_frac."""
+    rows = [(0, "", "en", "s")] + [
+        (i, " ".join(f"tok{i}w{j}" for j in range(50)), "en", "s")
+        for i in range(1, 41)
+    ]
+    d = _write_docs(tmp_path, rows)
+    a = QS["augment_token_dropout"](spark, d).toPandas().sort_values("doc_id")
+    b = QS["augment_token_dropout"](spark, d).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    empty = a[a.doc_id == 0].iloc[0]
+    assert empty.n_tokens == 0 and pd.isna(empty.kept_frac)
+    body = a[a.doc_id > 0]
+    rate = 1 - body.n_kept.sum() / body.n_tokens.sum()
+    assert 0.05 < rate < 0.15  # 2000 positions at p=0.1
