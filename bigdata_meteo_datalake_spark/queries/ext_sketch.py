@@ -796,3 +796,123 @@ def hll_rolling_7d_users(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+# --- priority sampling (weighted bottom-k with unbiased estimator) ------------------
+
+_PRIO_K = 64
+_PRIO_U_SPAN = float(1 << 60)
+
+_PRIO_ORACLE = f"""
+WITH w AS (
+  SELECT o_orderkey AS k,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS w_cents,
+         {token_hash_sql("cast(o_orderkey AS varchar)")} + 1 AS u_scaled
+  FROM orders
+),
+q AS (
+  SELECT k, w_cents,
+         cast(w_cents AS double) * {_PRIO_U_SPAN!r} / u_scaled AS q
+  FROM w
+),
+top AS (
+  SELECT k, w_cents, q,
+         row_number() OVER (ORDER BY q DESC, k) AS rn
+  FROM q ORDER BY q DESC, k LIMIT {_PRIO_K + 1}
+),
+tau AS (SELECT q AS tau FROM top WHERE rn = {_PRIO_K + 1}),
+est AS (
+  SELECT cast(sum(cast(floor(greatest(cast(w_cents AS double), tau.tau) + 0.5)
+                       AS bigint)) AS bigint) AS est_cents
+  FROM top, tau WHERE rn <= {_PRIO_K}
+),
+ex AS (SELECT cast(sum(w_cents) AS bigint) AS exact_cents FROM w)
+SELECT {_PRIO_K} AS k_sample,
+       floor(cast(est.est_cents AS double) + 0.5) / 100 AS est_total,
+       floor(cast(ex.exact_cents AS double) + 0.5) / 100 AS exact_total,
+       floor(abs(cast(est.est_cents AS double) - ex.exact_cents)
+             / ex.exact_cents * 1000000 + 0.5) / 1000000 AS rel_err
+FROM est, ex
+"""
+
+
+@register(
+    "priority_sample_total",
+    oracle=_PRIO_ORACLE,
+    tags=("extension", "sketch", "sampling"),
+)
+def priority_sample_total(spark, sf_dir):
+    """Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+    bottom-k sample of orders with the UNBIASED subset-sum estimator —
+    priority q_i = w_i / u_i (u_i a deterministic hash uniform), keep
+    the top {k} priorities, and estimate the total as
+    sum(max(w_i, tau)) over the sample, tau = the (k+1)-th priority.
+    The exact total and relative error ship beside the estimate, like
+    every sketch here. Requires > {k}+1 rows (holds at every SF).
+
+    Determinism: u_i derives from the 60-bit md5 hash; priorities are
+    fixed IEEE doubles over exact ints, the top cut is total-ordered
+    (q desc, key), and each estimator term quantizes to integer cents
+    before the order-free sum.
+
+    Scale: ONE TakeOrdered top-({k}+1) over the fact (no global sort,
+    no window — rank within the {k}+1 survivors is a tiny broadcast
+    count-join); the estimate then touches {k} rows. This is the
+    classic "estimate a 100 TB sum from a fixed-size weighted sample"
+    primitive, mergeable by re-ranking unions of samples.
+    """.format(k=_PRIO_K)
+    o = read_table(spark, sf_dir, "orders")
+    w = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("w_cents"),
+        (token_hash(F.col("o_orderkey").cast("string")) + 1).alias("u_scaled"),
+    )
+    q = w.select(
+        "k",
+        "w_cents",
+        (F.col("w_cents").cast("double") * _PRIO_U_SPAN / F.col("u_scaled")).alias("q"),
+    )
+    top = (
+        q.orderBy(F.desc("q"), F.asc("k")).limit(_PRIO_K + 1).localCheckpoint()
+    )
+    a, b = top.alias("a"), top.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.q") > F.col("a.q"))
+            | ((F.col("b.q") == F.col("a.q")) & (F.col("b.k") < F.col("a.k"))),
+            "left",
+        )
+        .groupBy(F.col("a.k"), F.col("a.w_cents"), F.col("a.q"))
+        .agg((F.count(F.col("b.k")) + 1).alias("rn"))
+    )
+    tau = ranked.where(F.col("rn") == _PRIO_K + 1).select(F.col("q").alias("tau"))
+    est = (
+        ranked.where(F.col("rn") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.greatest(F.col("w_cents").cast("double"), F.col("tau")) + 0.5
+                ).cast("long")
+            ).alias("est_cents")
+        )
+    )
+    ex = w.agg(F.sum("w_cents").alias("exact_cents"))
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_PRIO_K).alias("k_sample"),
+            (F.floor(F.col("est_cents").cast("double") + 0.5) / 100).alias(
+                "est_total"
+            ),
+            (F.floor(F.col("exact_cents").cast("double") + 0.5) / 100).alias(
+                "exact_total"
+            ),
+            round_half_up(
+                F.abs(F.col("est_cents").cast("double") - F.col("exact_cents"))
+                / F.col("exact_cents"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -177,3 +177,25 @@ def test_hll_rolling_merge_equals_from_scratch(spark, tmp_path):
     scratch = {r.day: r for r in fn(spark, d).collect()}
     assert scratch[target].est_users_7d == full[target].est_users_7d
     assert scratch[target].exact_users_7d == full[target].exact_users_7d
+
+
+def test_priority_sample_equal_weights(spark, tmp_path):
+    """Equal weights reduce priority sampling to hash bottom-k count
+    estimation: the estimate must be n_total * w within the ~1/sqrt(k)
+    band (deterministic here — the hash fixes the draw)."""
+    import pandas as pd
+
+    d = str(tmp_path / "prio")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        [{"o_orderkey": i, "o_custkey": 0, "o_orderstatus": "O",
+          "o_totalprice": 100.0, "o_orderdate": None, "o_orderpriority": "1"}
+         for i in range(1000)]
+    ).to_parquet(f"{d}/orders.parquet")
+    r = _q("priority_sample_total")(spark, d).collect()[0]
+    assert r.k_sample == 64
+    assert r.exact_total == 100000.0
+    assert abs(r.est_total / r.exact_total - 1) < 0.4  # ~3 sigma at k=64
+    assert r.est_total > 0
