@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "span_dedup_report",
     "cc_trade_graph_two_phase",
     "hll_distinct_users",
+    # round-4 fifth-wave additions: data-selection + ML-primitive paths
+    # (baseline restated for the 24-query set in BASELINE.md, same session)
+    "dsir_importance_weights",
+    "boilerplate_ngram_coverage",
+    "embedding_covariance",
+    "spatial_radius_pairs",
 ]
 
 
