@@ -531,3 +531,38 @@ def test_token_dropout_rate_and_determinism(spark, tmp_path):
     body = a[a.doc_id > 0]
     rate = 1 - body.n_kept.sum() / body.n_tokens.sum()
     assert 0.05 < rate < 0.15  # 2000 positions at p=0.1
+
+
+def test_kcore_peels_pendants_keeps_clique(spark, tmp_path):
+    """K4,4 complete bipartite survives the 3-core; a pendant customer and
+    its low-degree supplier peel away (cascade), and the run converges."""
+    import os
+
+    d = str(tmp_path / "kcore")
+    os.makedirs(d, exist_ok=True)
+    orders, lines, ok = [], [], 0
+    # complete bipartite: customers 1-4 x suppliers 1-4 (degrees 4 >= 3)
+    for c in range(1, 5):
+        for s in range(1, 5):
+            orders.append({"o_orderkey": ok, "o_custkey": c, "o_orderstatus": "O",
+                           "o_totalprice": 1.0, "o_orderdate": None,
+                           "o_orderpriority": "1"})
+            lines.append({"l_orderkey": ok, "l_partkey": 0, "l_suppkey": s,
+                          "l_linenumber": 1, "l_quantity": 1.0,
+                          "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                          "l_returnflag": "N", "l_linestatus": "O",
+                          "l_shipdate": None})
+            ok += 1
+    # pendant: customer 9 -> supplier 9 only (both degree 1 -> peel)
+    orders.append({"o_orderkey": ok, "o_custkey": 9, "o_orderstatus": "O",
+                   "o_totalprice": 1.0, "o_orderdate": None, "o_orderpriority": "1"})
+    lines.append({"l_orderkey": ok, "l_partkey": 0, "l_suppkey": 9,
+                  "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 1.0,
+                  "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+                  "l_linestatus": "O", "l_shipdate": None})
+    pd.DataFrame(orders).to_parquet(f"{d}/orders.parquet")
+    pd.DataFrame(lines).to_parquet(f"{d}/lineitem.parquet")
+    rows = QS["kcore_trade_graph"](spark, d).collect()
+    nodes = {r.node for r in rows}
+    assert nodes == {1, 2, 3, 4, 10_000_001, 10_000_002, 10_000_003, 10_000_004}
+    assert all(r.degree == 4 and r.converged for r in rows)
