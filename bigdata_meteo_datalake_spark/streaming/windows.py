@@ -603,3 +603,78 @@ def stream_hll_registers(events: DataFrame, timeout: str = "NoTimeout") -> DataF
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def stream_priority_sample(
+    events: DataFrame, k: int = 16, timeout: str = "NoTimeout"
+) -> DataFrame:
+    """Streaming priority sampling via applyInPandasWithState: per
+    event_type, the top-(k+1) hash-priorities (q = w/u, Duffield-Lund-
+    Thorup) are held as state and folded forward every micro-batch —
+    priorities are fixed by the event hash, and top-(k+1) of a set is
+    ORDER-INDEPENDENT, so the streamed sample and its subset-sum
+    estimate are bit-identical to a batch pass over the same rows
+    (pinned in tests/test_streaming.py). Emits (event_type, n_seen,
+    est_total, the current tau) per update.
+
+    This is the weighted-sample twin of stream_hll_registers: together
+    they maintain the two mergeable summaries (distinct count, weighted
+    sample) a landing zone serves without re-scanning history. State is
+    O(k) per key."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        "event_type string, n_seen long, est_total double, tau double"
+    )
+    state_schema = (
+        "n long, qs array<double>, ks array<long>, ws array<long>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, qs, kids, ws = state.get
+            entries = list(zip(qs, kids, ws))
+        else:
+            n, entries = 0, []
+        for pdf in pdfs:
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                w = int(val * 100 + 0.5) if val == val else 0
+                h = int(hashlib.md5(str(int(eid)).encode()).hexdigest()[:15], 16)
+                q = float(w) * float(1 << 60) / (h + 1)
+                entries.append((q, int(eid), w))
+                n += 1
+        # keep top-(k+1) by (q desc, event_id asc) — a set operation, so
+        # arrival order across batches cannot change the result
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        entries = entries[: k + 1]
+        state.update(
+            (
+                n,
+                [e[0] for e in entries],
+                [e[1] for e in entries],
+                [e[2] for e in entries],
+            )
+        )
+        if len(entries) > k:
+            tau = entries[k][0]
+            est_cents = sum(
+                int(max(float(w), tau) + 0.5) for _q, _i, w in entries[:k]
+            )
+        else:
+            tau = 0.0
+            est_cents = sum(w for _q, _i, w in entries)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "est_total": [est_cents / 100.0],
+                "tau": [tau],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

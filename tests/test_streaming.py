@@ -800,3 +800,47 @@ def test_stream_hll_matches_batch_registers(spark, tmp_path):
         assert n_seen == int((ev.event_type == et).sum())
         assert est == want_est[et], et
         assert len(regs) == 32 and all(0 <= m <= 56 for m in regs)
+
+
+def test_stream_priority_sample_order_independent(spark, tmp_path):
+    """The streamed priority sample equals a single-pass Python reference
+    over the same events, regardless of micro-batch split — top-(k+1) of
+    a set is order-independent."""
+    import hashlib
+
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_priority_sample
+
+    src = str(tmp_path / "prio_src")
+    events = read_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.where(F.col("event_id") % 3 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = stream_events(spark, src, events.schema)
+    run_available_now(
+        stream_priority_sample(stream), "stream_prio", str(tmp_path / "prio_ckpt")
+    )
+    rows = spark.table("stream_prio").toPandas()
+    final = rows.loc[rows.groupby("event_type")["n_seen"].idxmax()]
+
+    ev = events.toPandas()
+    for r in final.itertuples():
+        sub = ev[ev.event_type == r.event_type]
+        entries = []
+        for eid, val in zip(sub.event_id, sub.value):
+            w = int(val * 100 + 0.5) if val == val else 0
+            h = int(hashlib.md5(str(int(eid)).encode()).hexdigest()[:15], 16)
+            entries.append((float(w) * float(1 << 60) / (h + 1), int(eid), w))
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        assert r.n_seen == len(sub)
+        if len(entries) > 16:
+            tau = entries[16][0]
+            est = sum(int(max(float(w), tau) + 0.5) for _q, _i, w in entries[:16]) / 100.0
+        else:
+            tau = 0.0
+            est = sum(w for _q, _i, w in entries) / 100.0
+        assert r.tau == tau and r.est_total == est
