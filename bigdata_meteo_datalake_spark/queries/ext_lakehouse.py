@@ -409,3 +409,78 @@ def ri_audit_counts(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# --- incremental view maintenance (aggregate merge with retractions) ----------------
+
+_IVM_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       o_orderstatus,
+       cast(count(*) AS bigint) AS n_rows,
+       floor(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                  AS double) + 0.5) / 100 AS total
+FROM orders
+WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 100 <> 7) OR o_orderkey % 10 = 0
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "ivm_apply_delta",
+    oracle=_IVM_ORACLE,
+    tags=("extension", "lakehouse", "ivm"),
+)
+def ivm_apply_delta(spark, sf_dir):
+    """Incremental view maintenance at the AGGREGATE level (the
+    Materialize / Delta-Live primitive; cdc_apply_changelog is its
+    row-level cousin): a materialized monthly-by-status rollup is
+    updated from a delta batch WITHOUT recomputing the base — inserts
+    contribute (+1, +cents) partials, deletes contribute (-1, -cents)
+    retractions, the merge is one full-outer join of tiny aggregate
+    states, and groups whose count reaches zero VANISH from the view.
+    Deterministic synthesized delta (orderkey % 10 = 0 inserts,
+    orderkey % 100 = 7 deletes from the base) so the oracle can verify
+    the MERGE PATH against the direct computation over the post-delta
+    row set — merge == recompute is the IVM correctness property.
+
+    Scale: the base is already aggregated (months x statuses); the
+    delta aggregates once on its own (map-side combined) and the merge
+    joins two aggregate-sized relations — a 100 TB base table is never
+    re-read. All counts and cents are exact int64."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+
+    base_rows = o.where(F.col("o_orderkey") % 10 != 0)
+    inserts = o.where(F.col("o_orderkey") % 10 == 0)
+    deletes = base_rows.where(F.col("o_orderkey") % 100 == 7)
+
+    base_agg = base_rows.groupBy(month, "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum(cents).alias("bc")
+    )
+    delta = inserts.select(
+        month, "o_orderstatus", F.lit(1).alias("dn"), cents.alias("dc")
+    ).unionByName(
+        deletes.select(
+            month, "o_orderstatus", F.lit(-1).alias("dn"), (-cents).alias("dc")
+        )
+    )
+    delta_agg = delta.groupBy("month", "o_orderstatus").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    merged = (
+        base_agg.join(delta_agg, ["month", "o_orderstatus"], "full_outer")
+        .select(
+            "month",
+            "o_orderstatus",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("cents"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        "n_rows",
+        (F.floor(F.col("cents").cast("double") + 0.5) / 100).alias("total"),
+    )

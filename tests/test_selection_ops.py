@@ -566,3 +566,32 @@ def test_kcore_peels_pendants_keeps_clique(spark, tmp_path):
     nodes = {r.node for r in rows}
     assert nodes == {1, 2, 3, 4, 10_000_001, 10_000_002, 10_000_003, 10_000_004}
     assert all(r.degree == 4 and r.converged for r in rows)
+
+
+def test_ivm_retraction_vanishes_group(spark, tmp_path):
+    """A group whose every base row is deleted must disappear from the
+    maintained view (count reaches zero), and inserted-only groups appear."""
+    import datetime as dt
+    import os
+
+    d = str(tmp_path / "ivm")
+    os.makedirs(d, exist_ok=True)
+    jan, feb, mar = dt.datetime(2024, 1, 15), dt.datetime(2024, 2, 15), dt.datetime(2024, 3, 15)
+    # written via Spark so o_orderdate is a real TIMESTAMP (pandas writes
+    # nanos, which the reader surfaces as long — the drift guard's domain)
+    spark.createDataFrame(
+        [
+            # group (Jan, X): single base row with orderkey % 100 == 7 -> deleted
+            (107, 0, "X", 10.0, jan, "1"),
+            # group (Feb, Y): base row that stays
+            (11, 0, "Y", 20.0, feb, "1"),
+            # group (Mar, Z): insert-only (orderkey % 10 == 0)
+            (30, 0, "Z", 30.0, mar, "1"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = {(r.month.month, r.o_orderstatus): r for r in QS["ivm_apply_delta"](spark, d).collect()}
+    assert (1, "X") not in out          # fully retracted group vanished
+    assert out[(2, "Y")].n_rows == 1 and out[(2, "Y")].total == 20.0
+    assert out[(3, "Z")].n_rows == 1 and out[(3, "Z")].total == 30.0
