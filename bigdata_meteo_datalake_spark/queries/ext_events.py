@@ -753,3 +753,85 @@ def interval_join_event_bursts(spark, sf_dir):
     return matched.groupBy("event_id").agg(
         F.count("hit").cast("long").alias("n_prior_5m")
     )
+
+
+# --- late-arrival audit via blocked running max -------------------------------------
+
+_LATE_BLOCK = 1000
+_LATE_WM_US = 1_800_000_000  # 30-minute watermark
+
+_LATE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, ts, epoch_us(ts) AS us FROM events
+),
+r AS (
+  SELECT ts, us,
+         max(us) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_max
+  FROM e
+)
+SELECT date_trunc('hour', ts) AS hour,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(CASE WHEN run_max - us > {_LATE_WM_US} THEN 1 ELSE 0 END)
+            AS bigint) AS n_late,
+       cast(floor(max(run_max - us) / 1000000) AS bigint) AS max_lateness_s
+FROM r GROUP BY 1
+"""
+
+
+@register(
+    "late_arrival_report",
+    oracle=_LATE_ORACLE,
+    tags=("extension", "events", "watermark"),
+)
+def late_arrival_report(spark, sf_dir):
+    """Watermark planning audit: treating event_id as arrival order, an
+    event is LATE when some already-arrived event carries a timestamp
+    more than 30 minutes ahead of it — exactly the rows a streaming
+    watermark of 30 minutes would drop. Per event-time hour: event
+    count, late count, and the maximum observed lateness; the report a
+    team reads to size the watermark before turning on the stream.
+
+    The global running maximum is the interesting part at scale: the
+    naive plan is a partition-less window (banned repo-wide — single
+    task at 100 TB). This plan uses the two-phase BLOCK DECOMPOSITION
+    instead: a per-block running max (window PARTITIONED by the
+    event_id div {b} block — parallel), block maxima (tiny aggregate),
+    a prefix max over prior blocks (non-equi self-join of the tiny
+    block relation), and greatest() of the two — the same scan-style
+    rewrite that turns any running aggregate distributed.
+    """.format(b=_LATE_BLOCK)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    block = (F.col("event_id") / _LATE_BLOCK).cast("long")
+    e = ev.withColumn("block", block)
+    w = (
+        Window.partitionBy("block")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = e.withColumn("in_max", F.max("us").over(w))
+    bm = e.groupBy("block").agg(F.max("us").alias("b_max"))
+    a, b = bm.alias("a"), bm.alias("b")
+    prev = (
+        a.join(F.broadcast(b), F.col("b.block") < F.col("a.block"), "left")
+        .groupBy(F.col("a.block").alias("pblock"))
+        .agg(F.max(F.col("b.b_max")).alias("prev_max"))
+    )
+    r = within.join(F.broadcast(prev), within["block"] == prev["pblock"]).select(
+        "ts",
+        "us",
+        F.greatest(F.col("in_max"), F.coalesce(F.col("prev_max"), F.lit(0))).alias(
+            "run_max"
+        ),
+    )
+    late = F.col("run_max") - F.col("us") > _LATE_WM_US
+    return r.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        count_if(late).cast("long").alias("n_late"),
+        F.floor(F.max(F.col("run_max") - F.col("us")) / 1000000)
+        .cast("long")
+        .alias("max_lateness_s"),
+    )
