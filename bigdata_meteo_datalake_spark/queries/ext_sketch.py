@@ -841,7 +841,7 @@ FROM est, ex
     oracle=_PRIO_ORACLE,
     tags=("extension", "sketch", "sampling"),
 )
-def priority_sample_total(spark, sf_dir):
+def priority_sample_total(spark, sf_dir, salt: str = ""):
     """Priority sampling (Duffield, Lund & Thorup 2007): a weighted
     bottom-k sample of orders with the UNBIASED subset-sum estimator —
     priority q_i = w_i / u_i (u_i a deterministic hash uniform), keep
@@ -865,7 +865,10 @@ def priority_sample_total(spark, sf_dir):
     w = o.select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("w_cents"),
-        (token_hash(F.col("o_orderkey").cast("string")) + 1).alias("u_scaled"),
+        (
+            token_hash(F.concat(F.col("o_orderkey").cast("string"), F.lit(salt)))
+            + 1
+        ).alias("u_scaled"),
     )
     q = w.select(
         "k",

@@ -199,3 +199,27 @@ def test_priority_sample_equal_weights(spark, tmp_path):
     assert r.exact_total == 100000.0
     assert abs(r.est_total / r.exact_total - 1) < 0.4  # ~3 sigma at k=64
     assert r.est_total > 0
+
+
+def test_priority_sample_unbiased_across_salts(spark, tmp_path):
+    """Unbiasedness: averaging the estimator over many independent hash
+    draws (salts) must converge toward the exact total much tighter than
+    a single draw's error band — the statistical property the estimator
+    formula exists for."""
+    import statistics
+
+    from bigdata_meteo_datalake_spark.queries.ext_sketch import (
+        priority_sample_total,
+    )
+
+    ests, exact = [], None
+    for s in range(12):
+        r = priority_sample_total(spark, SF001, salt=f"#s{s}").collect()[0]
+        ests.append(r.est_total)
+        exact = r.exact_total
+    mean_est = statistics.fmean(ests)
+    # single-draw errors run 10-25% at k=64; the 12-draw mean must be
+    # well inside that band around the exact value
+    assert abs(mean_est / exact - 1) < 0.08, (mean_est, exact, ests)
+    # and the draws genuinely differ (the salt actually changes the sample)
+    assert len(set(ests)) > 6
