@@ -469,17 +469,9 @@ def zipf_fit_tokens(spark, sf_dir):
         .limit(_ZIPF_TOPK)
         .localCheckpoint()
     )
-    a, b = top.alias("a"), top.alias("b")
-    ranked = (
-        a.join(
-            F.broadcast(b),
-            (F.col("b.freq") > F.col("a.freq"))
-            | ((F.col("b.freq") == F.col("a.freq")) & (F.col("b.th") < F.col("a.th"))),
-            "left",
-        )
-        .groupBy(F.col("a.th"), F.col("a.freq"))
-        .agg((F.count(F.col("b.th")) + 1).alias("rnk"))
-    )
+    from ..operators.ranking import rank_by_count_join
+
+    ranked = rank_by_count_join(top, value_col="freq", id_col="th", rank_col="rnk")
     q = ranked.select(
         F.floor(F.log(F.col("rnk").cast("double")) * 1000 + 0.5).cast("long").alias("x"),
         F.floor(F.log(F.col("freq").cast("double")) * 1000 + 0.5).cast("long").alias("y"),

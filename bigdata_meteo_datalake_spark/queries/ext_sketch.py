@@ -878,17 +878,9 @@ def priority_sample_total(spark, sf_dir, salt: str = ""):
     top = (
         q.orderBy(F.desc("q"), F.asc("k")).limit(_PRIO_K + 1).localCheckpoint()
     )
-    a, b = top.alias("a"), top.alias("b")
-    ranked = (
-        a.join(
-            F.broadcast(b),
-            (F.col("b.q") > F.col("a.q"))
-            | ((F.col("b.q") == F.col("a.q")) & (F.col("b.k") < F.col("a.k"))),
-            "left",
-        )
-        .groupBy(F.col("a.k"), F.col("a.w_cents"), F.col("a.q"))
-        .agg((F.count(F.col("b.k")) + 1).alias("rn"))
-    )
+    from ..operators.ranking import rank_by_count_join
+
+    ranked = rank_by_count_join(top, value_col="q", id_col="k")
     tau = ranked.where(F.col("rn") == _PRIO_K + 1).select(F.col("q").alias("tau"))
     est = (
         ranked.where(F.col("rn") <= _PRIO_K)
