@@ -595,3 +595,32 @@ def test_ivm_retraction_vanishes_group(spark, tmp_path):
     assert (1, "X") not in out          # fully retracted group vanished
     assert out[(2, "Y")].n_rows == 1 and out[(2, "Y")].total == 20.0
     assert out[(3, "Z")].n_rows == 1 and out[(3, "Z")].total == 30.0
+
+
+def test_results_invariant_under_shuffle_parallelism(spark):
+    """Order-free-arithmetic claims, tested directly: re-running the
+    float-adjacent queries under a different shuffle partition count must
+    produce BIT-IDENTICAL results — if any cross-row float sum slipped
+    through the integer-quantization discipline, varying the partitioning
+    would reorder it and flip low bits."""
+    names = [
+        "dsir_importance_weights",
+        "zipf_fit_tokens",
+        "gini_customer_spend",
+        "priority_sample_total",
+        "mutual_information_report",
+        "embedding_covariance",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = QS[n](spark, SF0001).toPandas()
+                df = df.sort_values(list(df.columns)).reset_index(drop=True)
+                results.setdefault(n, []).append(df)
+        for n, (a, b) in results.items():
+            pd.testing.assert_frame_equal(a, b, check_exact=True), n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
