@@ -905,3 +905,128 @@ def ab_assignment_report(spark, sf_dir):
             F.col("n_purchases").cast("double") / F.col("n_users"), 6
         ).alias("purchases_per_user"),
     )
+
+
+# --- split-conformal prediction intervals -------------------------------------------
+
+_CONF_ALPHA_PCT = 0.9
+
+_CONF_ORACLE = f"""
+WITH s AS (
+  SELECT o_orderpriority AS grp,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS cents,
+         o_totalprice AS price,
+         {token_hash_sql("cast(o_orderkey AS varchar)")} % 10 AS b
+  FROM orders
+),
+tr AS (
+  SELECT grp, cast(sum(cents) AS bigint) AS sc, cast(count(*) AS bigint) AS n_train
+  FROM s WHERE b < 6 GROUP BY grp
+),
+mu AS (SELECT grp, n_train, cast(sc AS double) / (100.0 * n_train) AS mean_price FROM tr),
+cal AS (
+  SELECT s.grp, mu.n_train, mu.mean_price,
+         cast(count(*) AS bigint) AS n_cal,
+         quantile_cont(abs(s.price - mu.mean_price), {_CONF_ALPHA_PCT}) AS q_res
+  FROM s JOIN mu ON s.grp = mu.grp
+  WHERE s.b >= 6 AND s.b < 8
+  GROUP BY s.grp, mu.n_train, mu.mean_price
+),
+test AS (
+  SELECT s.grp,
+         cast(count(*) AS bigint) AS n_test,
+         cast(sum(CASE WHEN abs(s.price - cal.mean_price) <= cal.q_res
+                       THEN 1 ELSE 0 END) AS bigint) AS n_covered
+  FROM s JOIN cal ON s.grp = cal.grp
+  WHERE s.b >= 8
+  GROUP BY s.grp
+)
+SELECT cal.grp AS priority, cal.n_train, cal.n_cal, test.n_test,
+       floor(cal.mean_price * 100 + 0.5) / 100 AS mean_price,
+       floor(cal.q_res * 100 + 0.5) / 100 AS q90_residual,
+       floor(cast(test.n_covered AS double) / test.n_test * 10000 + 0.5) / 10000
+         AS coverage
+FROM cal JOIN test ON cal.grp = test.grp
+"""
+
+
+@register(
+    "conformal_interval_report",
+    oracle=_CONF_ORACLE,
+    tags=("extension", "training", "eval", "conformal"),
+)
+def conformal_interval_report(spark, sf_dir):
+    """Split conformal prediction (Papadopoulos et al. / Vovk): a
+    group-conditional interval around the train-split group mean, sized
+    by the 90th percentile of calibration-split absolute residuals, with
+    the empirical test-split coverage beside it — the
+    distribution-free-guarantee eval every deployed regressor report
+    needs (coverage should land near 0.9 regardless of the price
+    distribution). Splits are deterministic hash buckets (60/20/20, the
+    train_val_test_split idiom), so reruns reproduce the report.
+
+    Exactness: group means derive from integer-cent sums; residuals are
+    fixed IEEE expressions over identical doubles in both engines, so
+    the exact interpolated percentile (Spark percentile ==
+    DuckDB quantile_cont, the order_price_quantiles idiom) sorts
+    identical inputs; coverage compares identical doubles.
+
+    Scale: three conditional aggregates over one fact scan shape (the
+    split predicate is in-row), a broadcast of per-group means, and the
+    grouped exact percentile — swap percentile_approx in when groups
+    get large enough to spill."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("o_totalprice").alias("price"),
+        (token_hash(F.col("o_orderkey").cast("string")) % 10).alias("b"),
+    )
+    tr = (
+        s.where(F.col("b") < 6)
+        .groupBy("grp")
+        .agg(F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n_train"))
+        .select(
+            "grp",
+            "n_train",
+            (F.col("sc").cast("double") / (100.0 * F.col("n_train"))).alias(
+                "mean_price"
+            ),
+        )
+    )
+    cal = (
+        s.where((F.col("b") >= 6) & (F.col("b") < 8))
+        .join(F.broadcast(tr), "grp")
+        .groupBy("grp", "n_train", "mean_price")
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.expr(
+                f"percentile(abs(price - mean_price), {_CONF_ALPHA_PCT!r})"
+            ).alias("q_res"),
+        )
+    )
+    test = (
+        s.where(F.col("b") >= 8)
+        .join(F.broadcast(cal.select("grp", "mean_price", "q_res")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("price") - F.col("mean_price")) <= F.col("q_res"), 1
+                ).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return cal.join(test, "grp").select(
+        F.col("grp").alias("priority"),
+        "n_train",
+        "n_cal",
+        "n_test",
+        (F.floor(F.col("mean_price") * 100 + 0.5) / 100).alias("mean_price"),
+        (F.floor(F.col("q_res") * 100 + 0.5) / 100).alias("q90_residual"),
+        (
+            F.floor(F.col("n_covered").cast("double") / F.col("n_test") * 10000 + 0.5)
+            / 10000
+        ).alias("coverage"),
+    )

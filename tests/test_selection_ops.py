@@ -624,3 +624,17 @@ def test_results_invariant_under_shuffle_parallelism(spark):
             pd.testing.assert_frame_equal(a, b, check_exact=True), n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_conformal_coverage_near_target(spark):
+    """The split-conformal guarantee: empirical test coverage per group
+    should land near the 0.9 target (finite-sample wobble bounded at
+    sf0.001's group sizes) and the splits must partition the table."""
+    rows = QS["conformal_interval_report"](spark, SF0001).collect()
+    assert len(rows) == 5
+    total = sum(r.n_train + r.n_cal + r.n_test for r in rows)
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet")
+    assert total == len(orders)
+    for r in rows:
+        assert 0.75 <= r.coverage <= 1.0, r
+        assert r.q90_residual > 0
