@@ -911,3 +911,98 @@ def priority_sample_total(spark, sf_dir, salt: str = ""):
             ).alias("rel_err"),
         )
     )
+
+
+# --- jackknife standard error via hash buckets --------------------------------------
+
+_JK_B = 20
+
+_JK_ORACLE = f"""
+WITH s AS (
+  SELECT {token_hash_sql("cast(o_orderkey AS varchar)")} % {_JK_B} AS b,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS cents
+  FROM orders
+),
+bk AS (
+  SELECT b, cast(sum(cents) AS bigint) AS sc, cast(count(*) AS bigint) AS n
+  FROM s GROUP BY b
+),
+tot AS (
+  SELECT cast(sum(sc) AS bigint) AS sc_all, cast(sum(n) AS bigint) AS n_all,
+         cast(count(*) AS bigint) AS nb
+  FROM bk
+),
+loo AS (
+  SELECT cast(tot.sc_all - bk.sc AS double) / (tot.n_all - bk.n) AS m_i,
+         cast(tot.sc_all AS double) / tot.n_all AS m_full, tot.nb
+  FROM bk, tot
+),
+v AS (
+  SELECT nb, m_full,
+         sum((m_i - avg_m) * (m_i - avg_m)) AS ss
+  FROM (SELECT nb, m_full, m_i, avg(m_i) OVER () AS avg_m FROM loo)
+  GROUP BY nb, m_full
+)
+SELECT floor(m_full + 0.5) / 100 AS mean_price,
+       floor(sqrt((nb - 1.0) / nb * ss) + 0.5) / 100 AS jackknife_se,
+       floor(m_full - 1.96 * sqrt((nb - 1.0) / nb * ss) + 0.5) / 100 AS ci_low,
+       floor(m_full + 1.96 * sqrt((nb - 1.0) / nb * ss) + 0.5) / 100 AS ci_high,
+       cast(nb AS bigint) AS n_buckets
+FROM v
+"""
+
+
+@register(
+    "jackknife_mean_se",
+    oracle=_JK_ORACLE,
+    tags=("extension", "sketch", "uncertainty"),
+)
+def jackknife_mean_se(spark, sf_dir):
+    """Delete-one-bucket jackknife standard error of the mean order price
+    (Efron's grouped jackknife): rows hash into {b} buckets, each
+    leave-one-bucket-out mean recomputes FROM THE BUCKET SUMS (never a
+    second data pass), and the spread of the {b} replicates gives the SE
+    and a 1.96-sigma interval — the error bar any reported aggregate
+    should carry, with one extra tiny aggregate as its whole cost.
+
+    Exactness: bucket sums are integer cents; the replicate means and
+    the variance of {b} replicates are fixed IEEE expressions over those
+    exact integers (the {b}-row mean uses a window over the complete
+    {b}-row relation in the oracle and a 1-row broadcast here — same
+    arithmetic).
+
+    Scale: ONE map-side-combined {b}-group aggregate over the fact; the
+    jackknife algebra runs on {b} rows. Mergeable: shard bucket sums
+    union and re-aggregate.""".format(b=_JK_B)
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        (token_hash(F.col("o_orderkey").cast("string")) % _JK_B).alias("b"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    bk = s.groupBy("b").agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n")
+    )
+    tot = bk.agg(
+        F.sum("sc").alias("sc_all"), F.sum("n").alias("n_all"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    loo = bk.crossJoin(F.broadcast(tot)).select(
+        ((F.col("sc_all") - F.col("sc")).cast("double") / (F.col("n_all") - F.col("n")))
+        .alias("m_i"),
+        (F.col("sc_all").cast("double") / F.col("n_all")).alias("m_full"),
+        "nb",
+    )
+    avg_m = loo.agg(F.avg("m_i").alias("avg_m"))
+    v = (
+        loo.crossJoin(F.broadcast(avg_m))
+        .groupBy("nb", "m_full")
+        .agg(F.sum((F.col("m_i") - F.col("avg_m")) * (F.col("m_i") - F.col("avg_m"))).alias("ss"))
+    )
+    se = F.sqrt((F.col("nb") - 1.0) / F.col("nb") * F.col("ss"))
+    return v.select(
+        (F.floor(F.col("m_full") + 0.5) / 100).alias("mean_price"),
+        (F.floor(se + 0.5) / 100).alias("jackknife_se"),
+        (F.floor(F.col("m_full") - 1.96 * se + 0.5) / 100).alias("ci_low"),
+        (F.floor(F.col("m_full") + 1.96 * se + 0.5) / 100).alias("ci_high"),
+        F.col("nb").cast("long").alias("n_buckets"),
+    )

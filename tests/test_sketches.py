@@ -223,3 +223,17 @@ def test_priority_sample_unbiased_across_salts(spark, tmp_path):
     assert abs(mean_est / exact - 1) < 0.08, (mean_est, exact, ests)
     # and the draws genuinely differ (the salt actually changes the sample)
     assert len(set(ests)) > 6
+
+
+def test_jackknife_se_tracks_classic_formula(spark):
+    """The grouped jackknife SE must agree with the classic sd/sqrt(n)
+    within sampling wobble, and the CI must bracket the mean."""
+    import numpy as np
+    import pandas as pd
+
+    r = _q("jackknife_mean_se")(spark, TEST_SF_DIR).collect()[0]
+    prices = pd.read_parquet(f"{TEST_SF_DIR}/orders.parquet")["o_totalprice"].values
+    classic = np.std(prices, ddof=1) / np.sqrt(len(prices))
+    assert 0.5 < r.jackknife_se / classic < 2.0, (r.jackknife_se, classic)
+    assert r.ci_low < r.mean_price < r.ci_high
+    assert abs(r.mean_price - prices.mean()) < 1.0
