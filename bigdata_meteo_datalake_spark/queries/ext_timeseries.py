@@ -579,3 +579,125 @@ def stl_decompose_monthly(spark, sf_dir):
             ).alias("residual"),
         )
     )
+
+
+# --- Mann-Kendall trend test --------------------------------------------------------
+
+_MK_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM monthly a JOIN monthly b ON a.m < b.m
+),
+s AS (SELECT cast(sum(sgn) AS bigint) AS s_stat FROM pairs),
+n AS (SELECT cast(count(*) AS bigint) AS n FROM monthly),
+ties AS (
+  SELECT cast(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS bigint) AS tie_term
+  FROM (SELECT cast(count(*) AS bigint) AS t FROM monthly GROUP BY cents)
+  WHERE t > 1
+),
+v AS (
+  SELECT s.s_stat, n.n,
+         (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0 AS var_s
+  FROM s, n, ties
+)
+SELECT n AS n_months, s_stat,
+       floor(var_s * 100 + 0.5) / 100 AS var_s,
+       floor(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000 AS z,
+       CASE WHEN abs(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                          WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                          ELSE 0.0 END) > 1.96
+            THEN CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+            ELSE 'no_trend' END AS verdict
+FROM v
+"""
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=_MK_ORACLE,
+    tags=("extension", "timeseries", "trend"),
+)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall nonparametric trend test on monthly revenue: the
+    integer S statistic (sum of pairwise sign comparisons in time
+    order), tie-corrected variance, and the continuity-corrected z — no
+    distributional assumption, the standard monotone-trend gate before
+    anyone fits a line. Verdict at the 5% two-sided level.
+
+    Exactness: S and the tie term are pure int64 over exact cents; the
+    variance and z are fixed IEEE expressions over those ints (sqrt is
+    correctly rounded).
+
+    Scale: one fact aggregate to months; the pairwise sign sum is a
+    self-join of the TINY month spine (n^2 on dozens of rows) — the fact
+    is never touched again. For per-key trend screens, the same shape
+    runs keyed (group the spine per key)."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s = (
+        a.join(F.broadcast(b), F.col("a.m") < F.col("b.m"))
+        .select(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+            .alias("sgn")
+        )
+        .agg(F.sum("sgn").alias("s_stat"))
+    )
+    n = monthly.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        monthly.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "n",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_months"),
+        "s_stat",
+        (F.floor(F.col("var_s") * 100 + 0.5) / 100).alias("var_s"),
+        (F.floor(z * 1000000 + 0.5) / 1000000).alias("z"),
+        F.when(
+            F.abs(z) > 1.96,
+            F.when(F.col("s_stat") > 0, F.lit("increasing")).otherwise(
+                F.lit("decreasing")
+            ),
+        )
+        .otherwise(F.lit("no_trend"))
+        .alias("verdict"),
+    )

@@ -638,3 +638,31 @@ def test_conformal_coverage_near_target(spark):
     for r in rows:
         assert 0.75 <= r.coverage <= 1.0, r
         assert r.q90_residual > 0
+
+
+def test_mann_kendall_detects_monotone_trend(spark, tmp_path):
+    """A strictly increasing monthly series must report 'increasing' with
+    S = n(n-1)/2; a constant series has S = 0 and 'no_trend'."""
+    import datetime as dt
+    import os
+
+    def write(vals, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            [
+                (i, 0, "O", float(v), dt.datetime(2020 + i // 12, i % 12 + 1, 5), "1")
+                for i, v in enumerate(vals)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        return d
+
+    fn = QS["mann_kendall_trend"]
+    r = fn(spark, write([100.0 + 10 * i for i in range(24)], "up")).collect()[0]
+    assert r.verdict == "increasing" and r.s_stat == 24 * 23 // 2
+    r = fn(spark, write([100.0] * 24, "flat")).collect()[0]
+    assert r.verdict == "no_trend" and r.s_stat == 0
+    r = fn(spark, write([100.0 - 2 * i for i in range(24)], "down")).collect()[0]
+    assert r.verdict == "decreasing" and r.s_stat == -(24 * 23 // 2)
