@@ -701,3 +701,80 @@ def mann_kendall_trend(spark, sf_dir):
         .otherwise(F.lit("no_trend"))
         .alias("verdict"),
     )
+
+
+# --- Theil-Sen robust slope ---------------------------------------------------------
+
+_TS_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+slopes AS (
+  SELECT cast(b.cents - a.cents AS double) / (b.mi - a.mi) / 100.0 AS slope
+  FROM monthly a JOIN monthly b ON a.mi < b.mi
+)
+SELECT cast(count(*) AS bigint) AS n_pairs,
+       floor(quantile_cont(slope, 0.5) * 100 + 0.5) / 100 AS theil_sen_slope,
+       floor(quantile_cont(slope, 0.05) * 100 + 0.5) / 100 AS slope_p05,
+       floor(quantile_cont(slope, 0.95) * 100 + 0.5) / 100 AS slope_p95
+FROM slopes
+"""
+
+
+@register(
+    "theil_sen_slope",
+    oracle=_TS_ORACLE,
+    tags=("extension", "timeseries", "trend"),
+)
+def theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust slope of monthly revenue: the median of all
+    pairwise slopes (dollars per month), with the 5th/95th percentile
+    slope band — the outlier-proof companion to mann_kendall_trend's
+    verdict (one corrupted month moves OLS arbitrarily, moves the
+    median slope almost not at all).
+
+    Exactness: each pairwise slope is one IEEE division of exact
+    integer cent/month deltas; the exact interpolated percentile sorts
+    identical doubles in both engines (the order_price_quantiles idiom).
+
+    Scale: one fact aggregate to months; the n^2 pairwise slopes live
+    on the tiny month spine. At very long horizons the repeated-median
+    or sampling variant bounds the pair count — noted, not needed at
+    a month spine's size."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "cents"
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.mi") < F.col("b.mi")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.mi") - F.col("a.mi"))
+            / 100.0
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.floor(F.expr("percentile(slope, 0.5)") * 100 + 0.5) / 100).alias(
+            "theil_sen_slope"
+        ),
+        (F.floor(F.expr("percentile(slope, 0.05)") * 100 + 0.5) / 100).alias(
+            "slope_p05"
+        ),
+        (F.floor(F.expr("percentile(slope, 0.95)") * 100 + 0.5) / 100).alias(
+            "slope_p95"
+        ),
+    )

@@ -666,3 +666,33 @@ def test_mann_kendall_detects_monotone_trend(spark, tmp_path):
     assert r.verdict == "no_trend" and r.s_stat == 0
     r = fn(spark, write([100.0 - 2 * i for i in range(24)], "down")).collect()[0]
     assert r.verdict == "decreasing" and r.s_stat == -(24 * 23 // 2)
+
+
+def test_theil_sen_robust_to_outlier(spark, tmp_path):
+    """A clean linear series recovers its slope exactly; corrupting ONE
+    month by 100x moves the Theil-Sen slope only marginally (the
+    robustness OLS lacks)."""
+    import datetime as dt
+    import os
+
+    def write(vals, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            [
+                (i, 0, "O", float(v), dt.datetime(2020 + i // 12, i % 12 + 1, 5), "1")
+                for i, v in enumerate(vals)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        return d
+
+    fn = QS["theil_sen_slope"]
+    clean = [1000.0 + 50 * i for i in range(24)]
+    r = fn(spark, write(clean, "clean")).collect()[0]
+    assert r.theil_sen_slope == 50.0 and r.n_pairs == 24 * 23 // 2
+    dirty = list(clean)
+    dirty[12] *= 100  # one corrupted month
+    r2 = fn(spark, write(dirty, "dirty")).collect()[0]
+    assert abs(r2.theil_sen_slope - 50.0) < 15.0  # median barely moves
