@@ -1030,3 +1030,156 @@ def conformal_interval_report(spark, sf_dir):
             / 10000
         ).alias("coverage"),
     )
+
+
+# --- CUPED variance reduction -------------------------------------------------------
+
+_CUPED_CUTOFF = "2024-01-16 00:00:00"
+_CUPED_SALT = "cuped-v1"
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN {token_hash_sql(f"cast(user_id AS varchar) || '|{_CUPED_SALT}'")}
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         cast(sum(CASE WHEN ts < timestamp '{_CUPED_CUTOFF}'
+                       THEN cast(floor(value * 100 + 0.5) AS bigint)
+                       ELSE 0 END) AS bigint) AS x,
+         cast(sum(CASE WHEN ts >= timestamp '{_CUPED_CUTOFF}'
+                       THEN cast(floor(value * 100 + 0.5) AS bigint)
+                       ELSE 0 END) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * y) AS bigint) AS sxy, cast(sum(x * x) AS bigint) AS sxx
+  FROM u
+),
+th AS (
+  SELECT cast(n * sxy - sx * sy AS double) / (n * sxx - sx * sx) AS theta,
+         cast(sx AS double) / n AS x_pool
+  FROM m
+),
+arm AS (
+  SELECT u.arm, th.theta, th.x_pool,
+         cast(count(*) AS bigint) AS n_users,
+         cast(sum(u.x) AS bigint) AS asx, cast(sum(u.y) AS bigint) AS asy,
+         cast(sum(u.x * u.y) AS bigint) AS asxy,
+         cast(sum(u.x * u.x) AS bigint) AS asxx,
+         cast(sum(u.y * u.y) AS bigint) AS asyy
+  FROM u, th GROUP BY 1, 2, 3
+)
+SELECT arm, n_users, theta_r, mean_y, mean_y_cuped, var_y, var_y_cuped,
+       floor((1 - var_y_cuped / var_y) * 10000 + 0.5) / 10000 AS var_reduction
+FROM (
+  SELECT arm, n_users,
+         floor(theta * 1000000 + 0.5) / 1000000 AS theta_r,
+         floor(cast(asy AS double) / n_users + 0.5) / 100 AS mean_y,
+         floor((cast(asy AS double) / n_users
+                - theta * (cast(asx AS double) / n_users - x_pool)) + 0.5) / 100
+           AS mean_y_cuped,
+         floor((cast(asyy AS double) / n_users
+                - (cast(asy AS double) / n_users) * (cast(asy AS double) / n_users))
+               / 10000 + 0.5) AS var_y,
+         floor(((cast(asyy AS double) / n_users
+                 - (cast(asy AS double) / n_users) * (cast(asy AS double) / n_users))
+                - 2 * theta * (cast(asxy AS double) / n_users
+                               - (cast(asx AS double) / n_users)
+                                 * (cast(asy AS double) / n_users))
+                + theta * theta
+                  * (cast(asxx AS double) / n_users
+                     - (cast(asx AS double) / n_users)
+                       * (cast(asx AS double) / n_users)))
+               / 10000 + 0.5) AS var_y_cuped
+  FROM arm
+)
+"""
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=_CUPED_ORACLE,
+    tags=("extension", "training", "experiment", "cuped"),
+)
+def cuped_variance_reduction(spark, sf_dir):
+    """CUPED (Deng et al. 2013), the industry-standard experiment
+    variance reduction: per user, pre-period value (x, the covariate)
+    and post-period value (y, the metric), theta = cov(x,y)/var(x)
+    POOLED across arms (assignment-independent, so the adjustment is
+    unbiased), adjusted metric y - theta(x - x_pool). Per arm: the raw
+    and adjusted means, raw and adjusted variances (in whole dollars^2),
+    and the variance reduction fraction — the number that says how much
+    smaller an experiment this covariate buys.
+
+    Exactness: all moments are int64 sums of integer cents; theta and
+    every variance are fixed IEEE expressions over those exact integers.
+
+    Scale: one user-keyed conditional aggregate over the event stream
+    (the split predicate is in-row), a 1-row theta broadcast, and a
+    2-group arm rollup — no joins on the fact."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    pre = F.col("ts") < F.lit(_CUPED_CUTOFF).cast("timestamp")
+    u = ev.groupBy(
+        "user_id",
+        F.when(
+            token_hash(
+                F.concat(F.col("user_id").cast("string"), F.lit(f"|{_CUPED_SALT}"))
+            )
+            % 2
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    ).agg(
+        F.sum(F.when(pre, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(0)).alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    th = m.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("x_pool"),
+    )
+    arm = (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm", "theta", "x_pool")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("x").alias("asx"),
+            F.sum("y").alias("asy"),
+            F.sum(F.col("x") * F.col("y")).alias("asxy"),
+            F.sum(F.col("x") * F.col("x")).alias("asxx"),
+            F.sum(F.col("y") * F.col("y")).alias("asyy"),
+        )
+    )
+    mx = F.col("asx").cast("double") / F.col("n_users")
+    my = F.col("asy").cast("double") / F.col("n_users")
+    var_y = F.col("asyy").cast("double") / F.col("n_users") - my * my
+    cov = F.col("asxy").cast("double") / F.col("n_users") - mx * my
+    var_x = F.col("asxx").cast("double") / F.col("n_users") - mx * mx
+    var_c = var_y - 2 * F.col("theta") * cov + F.col("theta") * F.col("theta") * var_x
+    vy_r = F.floor(var_y / 10000 + 0.5)
+    vc_r = F.floor(var_c / 10000 + 0.5)
+    return arm.select(
+        "arm",
+        "n_users",
+        (F.floor(F.col("theta") * 1000000 + 0.5) / 1000000).alias("theta_r"),
+        (F.floor(my + 0.5) / 100).alias("mean_y"),
+        (F.floor(my - F.col("theta") * (mx - F.col("x_pool")) + 0.5) / 100).alias(
+            "mean_y_cuped"
+        ),
+        vy_r.alias("var_y"),
+        vc_r.alias("var_y_cuped"),
+        (F.floor((1 - vc_r / vy_r) * 10000 + 0.5) / 10000).alias("var_reduction"),
+    )

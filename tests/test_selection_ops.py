@@ -696,3 +696,34 @@ def test_theil_sen_robust_to_outlier(spark, tmp_path):
     dirty[12] *= 100  # one corrupted month
     r2 = fn(spark, write(dirty, "dirty")).collect()[0]
     assert abs(r2.theil_sen_slope - 50.0) < 15.0  # median barely moves
+
+
+def test_cuped_reduces_variance_under_user_persistence(spark, tmp_path):
+    """When users have stable spending levels (pre-period predicts
+    post-period), CUPED must cut the adjusted variance substantially;
+    the adjustment must not move the pooled mean materially."""
+    import datetime as dt
+    import os
+
+    d = str(tmp_path / "cuped")
+    os.makedirs(d, exist_ok=True)
+    rows, eid = [], 0
+    for u in range(40):
+        level = 10.0 + 5.0 * (u % 10)  # persistent per-user level
+        for day in range(1, 29):
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12), u, "purchase", level, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QS["cuped_variance_reduction"](spark, d).collect()
+    assert {r.arm for r in out} == {"A", "B"}
+    for r in out:
+        # perfectly persistent users -> theta ~ y/x ratio, near-total
+        # variance elimination within each arm
+        assert r.var_reduction > 0.95, r
+        assert abs(r.mean_y_cuped - r.mean_y) / r.mean_y < 0.5
