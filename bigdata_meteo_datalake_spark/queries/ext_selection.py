@@ -1303,3 +1303,147 @@ def augment_token_dropout(spark, sf_dir):
             "aug_checksum"
         ),
     )
+
+
+# --- chi-square independence + Cramer's V -------------------------------------------
+
+
+def _chi2_pair_sql(label: str, table: str, xc: str, yc: str) -> str:
+    return f"""
+SELECT '{label}' AS pair, n_rows,
+       cast(r_cats AS bigint) AS r_cats, cast(c_cats AS bigint) AS c_cats,
+       floor(cast(chi2_micro AS double) / 1000000 * 10000 + 0.5) / 10000 AS chi2,
+       floor(sqrt(cast(chi2_micro AS double) / 1000000
+                  / (n_rows * least(r_cats - 1, c_cats - 1)))
+             * 1000000 + 0.5) / 1000000 AS cramers_v
+FROM (
+  SELECT cast(sum(n_xy) AS bigint) AS n_rows,
+         cast(sum(cast(floor(
+           cast(d AS double) * d / (t.n * mx.n_x * my.n_y) * 1000000 + 0.5)
+           AS bigint))
+              + max(t.n) * 1000000
+              - sum(cast(floor(cast(mx.n_x AS double) * my.n_y / t.n * 1000000
+                               + 0.5) AS bigint))
+              AS bigint) AS chi2_micro,
+         max(t.r_cats) AS r_cats, max(t.c_cats) AS c_cats
+  FROM (
+    SELECT j.n_xy, j.n_xy * t0.n - mx0.n_x * my0.n_y AS d,
+           mx0.x AS x, my0.y AS y
+    FROM (SELECT {xc} AS x, {yc} AS y, cast(count(*) AS bigint) AS n_xy
+          FROM {table} GROUP BY 1, 2) j
+    JOIN (SELECT {xc} AS x, cast(count(*) AS bigint) AS n_x
+          FROM {table} GROUP BY 1) mx0 ON j.x = mx0.x
+    JOIN (SELECT {yc} AS y, cast(count(*) AS bigint) AS n_y
+          FROM {table} GROUP BY 1) my0 ON j.y = my0.y
+    CROSS JOIN (SELECT cast(count(*) AS bigint) AS n FROM {table}) t0
+  ) cells
+  JOIN (SELECT {xc} AS x, cast(count(*) AS bigint) AS n_x
+        FROM {table} GROUP BY 1) mx ON cells.x = mx.x
+  JOIN (SELECT {yc} AS y, cast(count(*) AS bigint) AS n_y
+        FROM {table} GROUP BY 1) my ON cells.y = my.y
+  CROSS JOIN (SELECT cast(count(*) AS bigint) AS n,
+                     cast(count(DISTINCT {xc}) AS bigint) AS r_cats,
+                     cast(count(DISTINCT {yc}) AS bigint) AS c_cats
+              FROM {table}) t
+)"""
+
+
+_CHI2_ORACLE = "\nUNION ALL\n".join(_chi2_pair_sql(*p) for p in _MI_PAIRS)
+
+
+@register(
+    "chi2_independence_report",
+    oracle=_CHI2_ORACLE,
+    tags=("extension", "features", "selection"),
+)
+def chi2_independence_report(spark, sf_dir):
+    """Pearson chi-square independence statistic + Cramer's V for the same
+    categorical pairs the MI screen audits — the frequentist companion:
+    chi2 sums (observed - expected)^2 / expected over the contingency
+    table (expected = n_x * n_y / n), and V = sqrt(chi2 / (n * min(r-1,
+    c-1))) normalizes it to [0, 1] for cross-pair comparison. Zero cells
+    are accounted WITHOUT materializing them: an unobserved (x, y)
+    contributes exactly its expectation e, and sum_all(e) = n, so their
+    total is n - sum_observed(e).
+
+    Determinism: the per-cell deviation d = o*n - n_x*n_y is exact
+    int64; each cell's term quantizes to micro units from one fixed
+    IEEE expression over exact ints, so the cross-cell sum is
+    order-free; V adds one correctly-rounded sqrt.
+
+    Scale: identical shape to mutual_information_report — one
+    joint-count aggregate per pair, marginals from the joint table,
+    scalar totals broadcast."""
+    frames = []
+    for label, table, xc, yc in _MI_PAIRS:
+        t = read_table(spark, sf_dir, table)
+        j = (
+            t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
+            .agg(F.count(F.lit(1)).alias("n_xy"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+        my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+        tot = j.agg(
+            F.sum("n_xy").alias("n"),
+            F.countDistinct("x").alias("r_cats"),
+            F.countDistinct("y").alias("c_cats"),
+        )
+        d = F.col("n_xy") * F.col("n") - F.col("n_x") * F.col("n_y")
+        term_micro = F.floor(
+            d.cast("double")
+            * d
+            / (F.col("n") * F.col("n_x") * F.col("n_y"))
+            * 1000000
+            + 0.5
+        ).cast("long")
+        e_micro = F.floor(
+            F.col("n_x").cast("double") * F.col("n_y") / F.col("n") * 1000000 + 0.5
+        ).cast("long")
+        agg = (
+            j.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum("n_xy").alias("n_rows"),
+                # observed-cell terms + the zero-cell mass: an unobserved
+                # (x, y) contributes exactly its expectation e, and
+                # sum_all(e) = n, so the zero-cell total is
+                # n - sum_observed(e)
+                (
+                    F.sum(term_micro)
+                    + F.max("n") * 1000000
+                    - F.sum(e_micro)
+                ).alias("chi2_micro"),
+                F.max("r_cats").alias("r_cats"),
+                F.max("c_cats").alias("c_cats"),
+            )
+        )
+        chi2 = F.col("chi2_micro").cast("double") / 1000000
+        frames.append(
+            agg.select(
+                F.lit(label).alias("pair"),
+                F.col("n_rows"),
+                F.col("r_cats").cast("long").alias("r_cats"),
+                F.col("c_cats").cast("long").alias("c_cats"),
+                (F.floor(chi2 * 10000 + 0.5) / 10000).alias("chi2"),
+                (
+                    F.floor(
+                        F.sqrt(
+                            chi2
+                            / (
+                                F.col("n_rows")
+                                * F.least(F.col("r_cats") - 1, F.col("c_cats") - 1)
+                            )
+                        )
+                        * 1000000
+                        + 0.5
+                    )
+                    / 1000000
+                ).alias("cramers_v"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

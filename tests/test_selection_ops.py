@@ -727,3 +727,49 @@ def test_cuped_reduces_variance_under_user_persistence(spark, tmp_path):
         # variance elimination within each arm
         assert r.var_reduction > 0.95, r
         assert abs(r.mean_y_cuped - r.mean_y) / r.mean_y < 0.5
+
+
+def test_chi2_matches_scipy_free_reference(spark, tmp_path):
+    """Chi-square and Cramer's V agree with a direct Python computation;
+    a deterministic column gives V = 1, an independent one V ~ 0."""
+    import itertools
+    import os
+
+    d = str(tmp_path / "chi2")
+    os.makedirs(d, exist_ok=True)
+    rows, k = [], 0
+    for p, s in itertools.product(["A", "B"], ["X", "Y"]):
+        for _ in range(25):
+            rows.append({"o_orderkey": k, "o_custkey": 0, "o_orderstatus": s,
+                         "o_totalprice": 1.0, "o_orderdate": None,
+                         "o_orderpriority": p})
+            k += 1
+    pd.DataFrame(rows).to_parquet(f"{d}/orders.parquet")
+    pd.DataFrame(
+        [{"l_orderkey": 0, "l_partkey": 0, "l_suppkey": 0, "l_linenumber": 1,
+          "l_quantity": 1.0, "l_extendedprice": 1.0, "l_discount": 0.0,
+          "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+          "l_shipdate": None}]
+    ).to_parquet(f"{d}/lineitem.parquet")
+    pd.DataFrame(
+        [{"p_partkey": 0, "p_name": "x", "p_brand": "B", "p_type": "T",
+          "p_size": 1, "p_retailprice": 1.0}]
+    ).to_parquet(f"{d}/part.parquet")
+    out = {r.pair: r for r in QS["chi2_independence_report"](spark, d).collect()}
+    r = out["orders:priority~status"]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-4) and r.cramers_v == pytest.approx(0.0, abs=1e-4)
+
+    import shutil
+
+    d2 = str(tmp_path / "chi2b")
+    os.makedirs(d2, exist_ok=True)
+    for row in rows:
+        row["o_orderstatus"] = "X" if row["o_orderpriority"] == "A" else "Y"
+    pd.DataFrame(rows).to_parquet(f"{d2}/orders.parquet")
+    for tname in ("lineitem", "part"):
+        shutil.copy(f"{d}/{tname}.parquet", f"{d2}/{tname}.parquet")
+    r = {x.pair: x for x in QS["chi2_independence_report"](spark, d2).collect()}[
+        "orders:priority~status"
+    ]
+    assert r.chi2 == pytest.approx(100.0, abs=0.01)  # chi2 == n at determinism
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-4)
