@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import count_if, oracle_ratio, round_half_up, rounded_ratio, rounded_sum
 from ..sources.lake import read_table
@@ -834,4 +835,130 @@ def late_arrival_report(spark, sf_dir):
         F.floor(F.max(F.col("run_max") - F.col("us")) / 1000000)
         .cast("long")
         .alias("max_lateness_s"),
+    )
+
+
+# --- Kaplan-Meier survival of user lifetimes ----------------------------------------
+
+_KM_CENSOR_DAYS = 90
+
+_KM_ORACLE = f"""
+WITH life AS (
+  SELECT o_custkey,
+         date_diff('day', cast(min(o_orderdate) AS date),
+                   cast(max(o_orderdate) AS date)) AS dur,
+         cast(max(o_orderdate) AS date)
+           >= (SELECT cast(max(o_orderdate) AS date) FROM orders)
+              - INTERVAL {_KM_CENSOR_DAYS} DAY AS censored
+  FROM orders GROUP BY o_custkey
+),
+dt AS (
+  SELECT dur AS t, cast(count(*) AS bigint) AS n_deaths
+  FROM life WHERE NOT censored GROUP BY dur
+),
+risk AS (
+  SELECT dt.t, dt.n_deaths,
+         (SELECT cast(count(*) AS bigint) FROM life WHERE life.dur >= dt.t)
+           AS n_risk
+  FROM dt
+),
+f AS (
+  SELECT t, n_deaths, n_risk,
+         cast(floor(ln(1.0 - cast(n_deaths AS double) / n_risk) * 1000000
+                    - 0.5) AS bigint) AS lf_micro
+  FROM risk WHERE n_deaths < n_risk
+),
+s AS (
+  SELECT a.t, a.n_deaths, a.n_risk,
+         cast(sum(b.lf_micro) AS bigint) AS log_s_micro
+  FROM f a JOIN f b ON b.t <= a.t
+  GROUP BY a.t, a.n_deaths, a.n_risk
+)
+SELECT t AS t_days, n_risk, n_deaths, log_s_micro,
+       floor(exp(cast(log_s_micro AS double) / 1000000) * 1000000 + 0.5)
+         / 1000000 AS survival
+FROM s
+"""
+
+
+@register(
+    "kaplan_meier_lifetimes",
+    oracle=_KM_ORACLE,
+    tags=("extension", "events", "survival"),
+)
+def kaplan_meier_lifetimes(spark, sf_dir):
+    """Kaplan-Meier survival estimator over customer order lifetimes
+    (first to last order, in days), right-censoring customers still
+    ordering within {c} days of the corpus end — the churn-analysis primitive that a
+    naive "mean lifetime" silently biases by counting censored users as
+    dead. Per death time: the at-risk count, deaths, the EXACT integer
+    log-survival (sum of micro-quantized ln(1 - d/n) factors — the
+    cumulative product kept order-free in log domain), and the survival
+    probability.
+
+    Scale: lifetimes are one user-keyed aggregate; everything after
+    operates on the tiny distinct-death-time relation (at-risk counts
+    and the cumulative log-sum are non-equi joins over it — the no-
+    window prefix pattern). Death times where the whole risk set dies
+    (survival hits exact 0) are excluded from the log-domain factors,
+    standard KM practice.""".format(c=_KM_CENSOR_DAYS)
+    ev = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    end = ev.agg(F.max("d").alias("dmax"))
+    life = (
+        ev.groupBy("o_custkey")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.datediff("d1", "d0").cast("long").alias("dur"),
+            (F.col("d1") >= F.date_sub(F.col("dmax"), _KM_CENSOR_DAYS)).alias(
+                "censored"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dt = (
+        life.where(~F.col("censored"))
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n_deaths"))
+    )
+    durs = life.groupBy("dur").agg(F.count(F.lit(1)).alias("n_at"))
+    risk = (
+        dt.join(F.broadcast(durs), F.col("dur") >= F.col("t"))
+        .groupBy("t", "n_deaths")
+        .agg(F.sum("n_at").alias("n_risk"))
+    )
+    f = risk.where(F.col("n_deaths") < F.col("n_risk")).select(
+        "t",
+        "n_deaths",
+        "n_risk",
+        F.floor(
+            F.log(1.0 - F.col("n_deaths").cast("double") / F.col("n_risk")) * 1000000
+            - 0.5
+        )
+        .cast("long")
+        .alias("lf_micro"),
+    ).localCheckpoint()
+    a, b = f.alias("a"), f.alias("b")
+    s = (
+        a.join(F.broadcast(b), F.col("b.t") <= F.col("a.t"))
+        .groupBy(
+            F.col("a.t").alias("t_days"),
+            F.col("a.n_deaths").alias("n_deaths"),
+            F.col("a.n_risk").alias("n_risk"),
+        )
+        .agg(F.sum(F.col("b.lf_micro")).alias("log_s_micro"))
+    )
+    return s.select(
+        "t_days",
+        "n_risk",
+        "n_deaths",
+        "log_s_micro",
+        (
+            F.floor(
+                F.exp(F.col("log_s_micro").cast("double") / 1000000) * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("survival"),
     )

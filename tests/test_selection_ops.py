@@ -773,3 +773,24 @@ def test_chi2_matches_scipy_free_reference(spark, tmp_path):
     ]
     assert r.chi2 == pytest.approx(100.0, abs=0.01)  # chi2 == n at determinism
     assert r.cramers_v == pytest.approx(1.0, abs=1e-4)
+
+
+def test_kaplan_meier_monotone(spark):
+    """Survival is non-increasing in time, stays in (0, 1], the at-risk
+    count is non-increasing, and every step's factor matches
+    (1 - d/n) within log-quantization error."""
+    import math
+
+    rows = sorted(
+        QS["kaplan_meier_lifetimes"](spark, SF0001).collect(), key=lambda r: r.t_days
+    )
+    assert rows
+    prev_s, prev_risk, log_prev = 1.0 + 1e-12, None, 0
+    for r in rows:
+        assert 0 < r.survival <= prev_s + 1e-9
+        if prev_risk is not None:
+            assert r.n_risk <= prev_risk
+        expected_factor = math.log(1 - r.n_deaths / r.n_risk)
+        got_factor = (r.log_s_micro - log_prev) / 1e6
+        assert abs(got_factor - expected_factor) < 2e-6
+        prev_s, prev_risk, log_prev = r.survival, r.n_risk, r.log_s_micro
