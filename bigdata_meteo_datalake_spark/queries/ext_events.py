@@ -962,3 +962,163 @@ def kaplan_meier_lifetimes(spark, sf_dir):
             / 1000000
         ).alias("survival"),
     )
+
+
+# --- log-rank test between segment survival curves ----------------------------------
+
+_LR_SEGMENT = "BUILDING"
+
+_LR_ORACLE = f"""
+WITH life AS (
+  SELECT o.o_custkey,
+         c.c_mktsegment = '{_LR_SEGMENT}' AS g1,
+         date_diff('day', cast(min(o.o_orderdate) AS date),
+                   cast(max(o.o_orderdate) AS date)) AS dur,
+         cast(max(o.o_orderdate) AS date)
+           >= (SELECT cast(max(o_orderdate) AS date) FROM orders)
+              - INTERVAL {_KM_CENSOR_DAYS} DAY AS censored
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+),
+dt AS (
+  SELECT dur AS t,
+         cast(count(*) AS bigint) AS d_t,
+         cast(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS bigint) AS d1_t
+  FROM life WHERE NOT censored GROUP BY dur
+),
+risk AS (
+  SELECT dt.t, dt.d_t, dt.d1_t,
+         (SELECT cast(count(*) AS bigint) FROM life WHERE dur >= dt.t) AS n_t,
+         (SELECT cast(count(*) AS bigint) FROM life
+           WHERE dur >= dt.t AND g1) AS n1_t
+  FROM dt
+),
+terms AS (
+  SELECT d1_t,
+         cast(floor(cast(d_t AS double) * n1_t / n_t * 1000000 + 0.5)
+              AS bigint) AS e1_micro,
+         CASE WHEN n_t > 1 THEN
+           cast(floor(cast(d_t AS double) * n1_t / n_t
+                      * (1.0 - cast(n1_t AS double) / n_t)
+                      * (n_t - d_t) / (n_t - 1) * 1000000 + 0.5) AS bigint)
+         ELSE 0 END AS v_micro
+  FROM risk
+),
+agg AS (
+  SELECT cast(sum(d1_t) AS bigint) AS o1,
+         cast(sum(e1_micro) AS bigint) AS e1m,
+         cast(sum(v_micro) AS bigint) AS vm
+  FROM terms
+),
+grp AS (
+  SELECT cast(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS bigint) AS n_g1,
+         cast(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS bigint) AS n_g0
+  FROM life
+)
+SELECT grp.n_g1, grp.n_g0, agg.o1,
+       floor(cast(agg.e1m AS double) / 1000000 * 10000 + 0.5) / 10000 AS e1,
+       floor(cast(agg.vm AS double) / 1000000 * 10000 + 0.5) / 10000 AS var_lr,
+       floor((agg.o1 - cast(agg.e1m AS double) / 1000000)
+             / sqrt(cast(agg.vm AS double) / 1000000) * 1000000 + 0.5)
+         / 1000000 AS z,
+       abs((agg.o1 - cast(agg.e1m AS double) / 1000000)
+           / sqrt(cast(agg.vm AS double) / 1000000)) > 1.96 AS curves_differ
+FROM agg, grp
+"""
+
+
+@register(
+    "logrank_segment_survival",
+    oracle=_LR_ORACLE,
+    tags=("extension", "events", "survival", "logrank"),
+)
+def logrank_segment_survival(spark, sf_dir):
+    """Log-rank test (Mantel-Cox) comparing the {s} segment's customer
+    survival curve against everyone else — the hypothesis-test companion
+    to kaplan_meier_lifetimes: at every pooled death time, the observed
+    group-1 deaths vs the hypergeometric expectation d*n1/n, summed into
+    the z statistic (O - E)/sqrt(V). Same censoring rule as the KM
+    query.
+
+    Determinism: every expectation/variance term derives from exact
+    integer counts and quantizes to micro units before the order-free
+    sums; O is pure int64; z is one final fixed IEEE expression.
+
+    Scale: lifetimes are one join + aggregate; everything else lives on
+    the tiny death-time relation (group at-risk counts via the same
+    non-equi prefix pattern as KM).""".format(s=_LR_SEGMENT)
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == _LR_SEGMENT).alias("g1")
+    )
+    ev = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_custkey", "g1", F.to_date("o_orderdate").alias("d")
+    )
+    end = ev.agg(F.max("d").alias("dmax"))
+    life = (
+        ev.groupBy("o_custkey", "g1")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .crossJoin(F.broadcast(end))
+        .select(
+            "g1",
+            F.datediff("d1", "d0").cast("long").alias("dur"),
+            (F.col("d1") >= F.date_sub(F.col("dmax"), _KM_CENSOR_DAYS)).alias(
+                "censored"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dt = (
+        life.where(~F.col("censored"))
+        .groupBy(F.col("dur").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("d_t"),
+            F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("d1_t"),
+        )
+    )
+    durs = life.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("n1_at"),
+    )
+    risk = (
+        dt.join(F.broadcast(durs), F.col("dur") >= F.col("t"))
+        .groupBy("t", "d_t", "d1_t")
+        .agg(F.sum("n_at").alias("n_t"), F.sum("n1_at").alias("n1_t"))
+    )
+    frac1 = F.col("n1_t").cast("double") / F.col("n_t")
+    e1_micro = F.floor(F.col("d_t").cast("double") * frac1 * 1000000 + 0.5).cast(
+        "long"
+    )
+    v_micro = F.when(
+        F.col("n_t") > 1,
+        F.floor(
+            F.col("d_t").cast("double")
+            * frac1
+            * (1.0 - frac1)
+            * (F.col("n_t") - F.col("d_t"))
+            / (F.col("n_t") - 1)
+            * 1000000
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = risk.agg(
+        F.sum("d1_t").alias("o1"),
+        F.sum(e1_micro).alias("e1m"),
+        F.sum(v_micro).alias("vm"),
+    )
+    grp = life.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("n_g1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("n_g0"),
+    )
+    e1 = F.col("e1m").cast("double") / 1000000
+    v = F.col("vm").cast("double") / 1000000
+    z = (F.col("o1") - e1) / F.sqrt(v)
+    return agg.crossJoin(F.broadcast(grp)).select(
+        "n_g1",
+        "n_g0",
+        "o1",
+        (F.floor(e1 * 10000 + 0.5) / 10000).alias("e1"),
+        (F.floor(v * 10000 + 0.5) / 10000).alias("var_lr"),
+        (F.floor(z * 1000000 + 0.5) / 1000000).alias("z"),
+        (F.abs(z) > 1.96).alias("curves_differ"),
+    )

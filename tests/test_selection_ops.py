@@ -794,3 +794,39 @@ def test_kaplan_meier_monotone(spark):
         got_factor = (r.log_s_micro - log_prev) / 1e6
         assert abs(got_factor - expected_factor) < 2e-6
         prev_s, prev_risk, log_prev = r.survival, r.n_risk, r.log_s_micro
+
+
+def test_logrank_detects_group_difference(spark, tmp_path):
+    """BUILDING customers engineered to churn at 30 days vs 1000 days for
+    everyone else -> the log-rank test must reject (curves_differ)."""
+    import datetime as dt
+    import os
+
+    d = str(tmp_path / "logrank")
+    os.makedirs(d, exist_ok=True)
+    cust, orders, ok = [], [], 0
+
+    def add(ck, seg, start, span_days):
+        nonlocal ok
+        cust.append({"c_custkey": ck, "c_name": f"c{ck}", "c_nationkey": 0,
+                     "c_acctbal": 0.0, "c_mktsegment": seg})
+        for dd in (0, span_days):
+            orders.append((ok, ck, "O", 1.0, start + dt.timedelta(days=dd), "1"))
+            ok += 1
+
+    t0 = dt.datetime(2020, 1, 1)
+    for ck in range(1, 21):
+        add(ck, "BUILDING", t0, 30)     # early churn
+    for ck in range(21, 41):
+        add(ck, "AUTO", t0, 1000)       # late churn
+    # anchor sets the censor horizon far past every death
+    add(99, "AUTO", dt.datetime(2024, 1, 1), 1)
+    pd.DataFrame(cust).to_parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    r = QS["logrank_segment_survival"](spark, d).collect()[0]
+    assert r.n_g1 == 20 and r.o1 == 20
+    assert r.curves_differ and abs(r.z) > 1.96
