@@ -1447,3 +1447,151 @@ def chi2_independence_report(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# --- Benjamini-Hochberg FDR stability screen ----------------------------------------
+
+_FDR_ALPHA = 0.05
+_FDR_M = 5  # event types
+_FDR_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _z_crit(p_two_sided: float) -> float:
+    """Inverse normal for a two-sided tail probability, via bisection on
+    math.erf — computed ONCE at import; the engines only ever compare
+    against these embedded constants (no runtime Phi anywhere)."""
+    lo, hi = 0.0, 40.0
+    target = 1.0 - p_two_sided / 2.0  # Phi(z) target
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if 0.5 * (1.0 + math.erf(mid / math.sqrt(2.0))) < target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+#: BH critical |z| per rank i (1-based, most significant first): reject
+#: rank i when |z|_(i) >= crit of p = i * alpha / m.
+_FDR_CRITS = [round(_z_crit(i * _FDR_ALPHA / _FDR_M), 6) for i in range(1, _FDR_M + 1)]
+_BONF_CRIT = round(_z_crit(_FDR_ALPHA / _FDR_M), 6)
+
+_FDR_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         ts < timestamp '{_FDR_CUTOFF}' AS h1,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         cast(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS bigint) AS n1,
+         cast(sum(CASE WHEN h1 THEN cents ELSE 0 END) AS bigint) AS s1,
+         cast(sum(CASE WHEN h1 THEN cents * cents ELSE 0 END) AS bigint) AS q1,
+         cast(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS bigint) AS n2,
+         cast(sum(CASE WHEN h1 THEN 0 ELSE cents END) AS bigint) AS s2,
+         cast(sum(CASE WHEN h1 THEN 0 ELSE cents * cents END) AS bigint) AS q2
+  FROM s GROUP BY event_type
+),
+z AS (
+  SELECT event_type,
+         floor((cast(s2 AS double) / n2 - cast(s1 AS double) / n1)
+               / sqrt((cast(q1 AS double) / n1
+                       - (cast(s1 AS double) / n1) * (cast(s1 AS double) / n1)) / n1
+                      + (cast(q2 AS double) / n2
+                         - (cast(s2 AS double) / n2) * (cast(s2 AS double) / n2)) / n2)
+               * 1000000 + 0.5) / 1000000 AS z
+  FROM m
+),
+ranked AS (
+  SELECT event_type, z,
+         row_number() OVER (ORDER BY abs(z) DESC, event_type) AS rnk
+  FROM z
+),
+crit AS (
+  SELECT rnk, c FROM (VALUES
+    {", ".join(f"({i + 1}, {c!r})" for i, c in enumerate(_FDR_CRITS))}) v(rnk, c)
+),
+flagged AS (
+  SELECT r.event_type, r.z, r.rnk, crit.c AS z_crit,
+         abs(r.z) >= crit.c AS passes
+  FROM ranked r JOIN crit ON r.rnk = crit.rnk
+)
+SELECT f.event_type, f.z, cast(f.rnk AS integer) AS rnk, f.z_crit,
+       EXISTS (SELECT 1 FROM flagged g
+               WHERE g.rnk >= f.rnk AND g.passes) AS rejected_bh,
+       abs(f.z) >= {_BONF_CRIT!r} AS rejected_bonferroni
+FROM flagged f
+"""
+
+
+@register(
+    "fdr_stability_screen",
+    oracle=_FDR_ORACLE,
+    tags=("extension", "quality", "multiple-testing"),
+)
+def fdr_stability_screen(spark, sf_dir):
+    """Multiple-testing-corrected temporal stability screen: per event
+    type, a two-sample z of mean value (first half vs second half of the
+    window, from integer-cent moments), then Benjamini-Hochberg at
+    alpha = {a} across the {m} simultaneous tests — with the Bonferroni
+    verdict beside it for comparison. This is the correction every
+    many-metrics drift dashboard needs: at {m} tests, one naive 5%
+    threshold false-alarms ~{m}x too often.
+
+    The BH step needs inverse-normal critical values; they compute ONCE
+    at import by bisection on math.erf and embed as literals in both
+    engines, so no runtime Phi exists anywhere. BH rejection uses the
+    step-up rule: a test rejects if ANY rank at-or-below it (less
+    significant) passes its own threshold — a tiny self-join on the
+    {m}-row ranked relation (rank itself via the shared window-free
+    count-join).
+
+    Scale: one conditional-moment aggregate over the events, then
+    {m}-row algebra.""".format(a=_FDR_ALPHA, m=_FDR_M)
+    from ..operators.ranking import rank_by_count_join
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    h1 = F.col("ts") < F.lit(_FDR_CUTOFF).cast("timestamp")
+    m = ev.select(F.col("event_type"), h1.alias("h1"), cents.alias("cents")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("h1"), F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("h1"), F.col("cents") * F.col("cents")).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("h1"), 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(F.col("h1"), 0).otherwise(F.col("cents"))).alias("s2"),
+        F.sum(F.when(F.col("h1"), 0).otherwise(F.col("cents") * F.col("cents"))).alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (F.col("q1").cast("double") / F.col("n1") - m1 * m1) / F.col("n1")
+    v2 = (F.col("q2").cast("double") / F.col("n2") - m2 * m2) / F.col("n2")
+    z = m.select(
+        "event_type",
+        (F.floor((m2 - m1) / F.sqrt(v1 + v2) * 1000000 + 0.5) / 1000000).alias("z"),
+    ).withColumn("absz", F.abs(F.col("z"))).localCheckpoint()
+    ranked = rank_by_count_join(z, value_col="absz", id_col="event_type", rank_col="rnk")
+    crit = F.element_at(
+        F.array(*[F.lit(c) for c in _FDR_CRITS]), F.col("rnk").cast("int")
+    )
+    flagged = ranked.select(
+        "event_type", "z", F.col("rnk").cast("int").alias("rnk"),
+        crit.alias("z_crit"),
+        (F.abs(F.col("z")) >= crit).alias("passes"),
+    ).localCheckpoint()
+    g = flagged.select(F.col("rnk").alias("grnk"), F.col("passes").alias("gp"))
+    bh = (
+        flagged.join(F.broadcast(g), F.col("grnk") >= F.col("rnk"), "left")
+        .groupBy("event_type", "z", "rnk", "z_crit")
+        .agg(F.max(F.when(F.col("gp"), 1).otherwise(0)).alias("anypass"))
+    )
+    return bh.select(
+        "event_type",
+        "z",
+        "rnk",
+        "z_crit",
+        (F.col("anypass") == 1).alias("rejected_bh"),
+        (F.abs(F.col("z")) >= _BONF_CRIT).alias("rejected_bonferroni"),
+    )

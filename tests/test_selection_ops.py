@@ -830,3 +830,33 @@ def test_logrank_detects_group_difference(spark, tmp_path):
     r = QS["logrank_segment_survival"](spark, d).collect()[0]
     assert r.n_g1 == 20 and r.o1 == 20
     assert r.curves_differ and abs(r.z) > 1.96
+
+
+def test_fdr_screen_detects_engineered_shift(spark, tmp_path):
+    """One event type's mean doubles after the cutoff -> it must be
+    rejected by BH and Bonferroni; the stable types must not."""
+    import datetime as dt
+    import os
+
+    d = str(tmp_path / "fdr")
+    os.makedirs(d, exist_ok=True)
+    rows, eid = [], 0
+    for et in ("click", "view", "purchase", "signup", "error"):
+        for day in range(1, 29):
+            for k in range(8):
+                val = 10.0 + (k % 3)
+                if et == "purchase" and day >= 16:
+                    val += 20.0  # the shifted metric
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 6 + k), eid % 40, et, val, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.event_type: r for r in QS["fdr_stability_screen"](spark, d).collect()}
+    assert out["purchase"].rejected_bh and out["purchase"].rejected_bonferroni
+    for et in ("click", "view", "signup", "error"):
+        assert not out[et].rejected_bh, out[et]
