@@ -1595,3 +1595,115 @@ def fdr_stability_screen(spark, sf_dir):
         (F.col("anypass") == 1).alias("rejected_bh"),
         (F.abs(F.col("z")) >= _BONF_CRIT).alias("rejected_bonferroni"),
     )
+
+
+# --- binned two-sample Kolmogorov-Smirnov -------------------------------------------
+
+_KS_BINS = 1024
+_KS_C05 = 1.358  # two-sided alpha=0.05 asymptotic coefficient
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT ts < timestamp '{_FDR_CUTOFF}' AS h1,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events
+),
+rng AS (SELECT cast(min(cents) AS bigint) AS lo, cast(max(cents) AS bigint) AS hi FROM s),
+b AS (
+  SELECT (cents - lo) * {_KS_BINS} // (hi - lo + 1) AS bin, h1 FROM s, rng
+),
+h AS (
+  SELECT bin,
+         cast(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS bigint) AS n1_b,
+         cast(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS bigint) AS n2_b
+  FROM b GROUP BY bin
+),
+tot AS (SELECT cast(sum(n1_b) AS bigint) AS n1, cast(sum(n2_b) AS bigint) AS n2 FROM h),
+cum AS (
+  SELECT a.bin,
+         cast(sum(b.n1_b) AS bigint) AS c1,
+         cast(sum(b.n2_b) AS bigint) AS c2
+  FROM h a JOIN h b ON b.bin <= a.bin
+  GROUP BY a.bin
+),
+d AS (
+  SELECT cast(max(abs(c1 * tot.n2 - c2 * tot.n1)) AS bigint) AS d_num
+  FROM cum, tot
+)
+SELECT tot.n1, tot.n2,
+       floor(cast(d.d_num AS double) / (tot.n1 * tot.n2) * 1000000 + 0.5)
+         / 1000000 AS ks_d,
+       floor({_KS_C05!r} * sqrt(cast(tot.n1 + tot.n2 AS double)
+                                / (tot.n1 * tot.n2)) * 1000000 + 0.5)
+         / 1000000 AS d_crit,
+       cast(d.d_num AS double) / (tot.n1 * tot.n2)
+         > {_KS_C05!r} * sqrt(cast(tot.n1 + tot.n2 AS double) / (tot.n1 * tot.n2))
+         AS distributions_differ
+FROM d, tot
+"""
+
+
+@register(
+    "ks_two_sample_drift",
+    oracle=_KS_ORACLE,
+    tags=("extension", "quality", "drift", "ks"),
+)
+def ks_two_sample_drift(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov test of the event-value
+    distribution, first half vs second half of the window — the
+    DISTRIBUTION-level drift gate beside the mean-level FDR screen (a
+    variance or shape change with a stable mean passes a z-test and
+    fails this one). D = max ECDF gap at {b} bin edges, computed as an
+    EXACT integer maximum (|c1*n2 - c2*n1|, all int64) before one final
+    division; the 5% asymptotic critical value rides the published
+    1.358 coefficient. Bin-edge evaluation lower-bounds the continuous
+    D by at most one bin's mass — the standard large-scale tradeoff.
+
+    Scale: one histogram aggregate over the events; the ECDF prefix is
+    a non-equi self-join of the {b}-row histogram (the no-window prefix
+    pattern); everything after is single-row algebra.""".format(b=_KS_BINS)
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        (F.col("ts") < F.lit(_FDR_CUTOFF).cast("timestamp")).alias("h1"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    rng = s.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    h = (
+        s.crossJoin(F.broadcast(rng))
+        .select(
+            ((F.col("cents") - F.col("lo")) * _KS_BINS / (F.col("hi") - F.col("lo") + 1))
+            .cast("long")
+            .alias("bin"),
+            "h1",
+        )
+        .groupBy("bin")
+        .agg(
+            count_if(F.col("h1")).alias("n1_b"),
+            count_if(~F.col("h1")).alias("n2_b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = h.agg(F.sum("n1_b").alias("n1"), F.sum("n2_b").alias("n2"))
+    a = h.select(F.col("bin").alias("abin"))
+    b = h.select(F.col("bin").alias("bbin"), "n1_b", "n2_b")
+    cum = (
+        a.join(F.broadcast(b), F.col("bbin") <= F.col("abin"))
+        .groupBy("abin")
+        .agg(F.sum("n1_b").alias("c1"), F.sum("n2_b").alias("c2"))
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        ).alias("d_num")
+    )
+    ks = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = _KS_C05 * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        (F.floor(ks * 1000000 + 0.5) / 1000000).alias("ks_d"),
+        (F.floor(crit * 1000000 + 0.5) / 1000000).alias("d_crit"),
+        (ks > crit).alias("distributions_differ"),
+    )

@@ -860,3 +860,37 @@ def test_fdr_screen_detects_engineered_shift(spark, tmp_path):
     assert out["purchase"].rejected_bh and out["purchase"].rejected_bonferroni
     for et in ("click", "view", "signup", "error"):
         assert not out[et].rejected_bh, out[et]
+
+
+def test_ks_detects_distribution_shift(spark, tmp_path):
+    """A variance doubling with an unchanged mean after the cutoff — the
+    drift a mean-based z-test misses — must trip the KS gate; identical
+    halves must not."""
+    import datetime as dt
+    import os
+
+    def write(shift, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        rows, eid = [], 0
+        for day in range(1, 29):
+            for k in range(40):
+                # mean 20 in both halves; post-cutoff spread doubles
+                base = (k % 9) - 4  # -4..4, mean 0
+                v = 20.0 + (2 * base if (shift and day >= 16) else base)
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 6 + k % 12), k, "click", v, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    fn = QS["ks_two_sample_drift"]
+    r = fn(spark, write(True, "shifted")).collect()[0]
+    assert r.distributions_differ, r
+    r = fn(spark, write(False, "stable")).collect()[0]
+    assert not r.distributions_differ, r
