@@ -1707,3 +1707,149 @@ def ks_two_sample_drift(spark, sf_dir):
         (F.floor(crit * 1000000 + 0.5) / 1000000).alias("d_crit"),
         (ks > crit).alias("distributions_differ"),
     )
+
+
+# --- binned Spearman rank correlation -----------------------------------------------
+
+_SP_BINS = 256
+
+_SP_ORACLE = f"""
+WITH s AS (
+  SELECT cast(l_quantity AS bigint) AS qx,
+         cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS pc
+  FROM lineitem
+),
+rng AS (SELECT cast(min(pc) AS bigint) AS lo, cast(max(pc) AS bigint) AS hi FROM s),
+b AS (
+  SELECT qx, (pc - lo) * {_SP_BINS} // (hi - lo + 1) AS qy FROM s, rng
+),
+j AS (SELECT qx, qy, cast(count(*) AS bigint) AS w FROM b GROUP BY qx, qy),
+hx AS (SELECT qx, cast(sum(w) AS bigint) AS fx FROM j GROUP BY qx),
+hy AS (SELECT qy, cast(sum(w) AS bigint) AS fy FROM j GROUP BY qy),
+-- doubled midrank: 2*(count of strictly smaller) + freq + 1 (an integer)
+rx AS (
+  SELECT a.qx,
+         2 * cast(coalesce(sum(CASE WHEN b.qx < a.qx THEN b.fx END), 0) AS bigint)
+           + a.fx + 1 AS mrx
+  FROM hx a LEFT JOIN hx b ON b.qx <= a.qx
+  GROUP BY a.qx, a.fx
+),
+ry AS (
+  SELECT a.qy,
+         2 * cast(coalesce(sum(CASE WHEN b.qy < a.qy THEN b.fy END), 0) AS bigint)
+           + a.fy + 1 AS mry
+  FROM hy a LEFT JOIN hy b ON b.qy <= a.qy
+  GROUP BY a.qy, a.fy
+),
+m AS (
+  SELECT cast(sum(j.w) AS bigint) AS n,
+         cast(sum(j.w * rx.mrx) AS bigint) AS sx,
+         cast(sum(j.w * ry.mry) AS bigint) AS sy,
+         cast(sum(j.w * rx.mrx * ry.mry) AS bigint) AS sxy,
+         cast(sum(j.w * rx.mrx * rx.mrx) AS bigint) AS sxx,
+         cast(sum(j.w * ry.mry * ry.mry) AS bigint) AS syy
+  FROM j JOIN rx ON j.qx = rx.qx JOIN ry ON j.qy = ry.qy
+)
+SELECT n AS n_rows,
+       floor((cast(sxy AS double) / n
+              - (cast(sx AS double) / n) * (cast(sy AS double) / n))
+             / sqrt(cast(sxx AS double) / n
+                    - (cast(sx AS double) / n) * (cast(sx AS double) / n))
+             / sqrt(cast(syy AS double) / n
+                    - (cast(sy AS double) / n) * (cast(sy AS double) / n))
+             * 1000000 + 0.5) / 1000000 AS spearman_rho
+FROM m
+"""
+
+
+@register(
+    "spearman_qty_price",
+    oracle=_SP_ORACLE,
+    tags=("extension", "analytics", "correlation"),
+)
+def spearman_qty_price(spark, sf_dir):
+    """Spearman rank correlation between line quantity and extended
+    price — the robust companion to pearson_qty_price (rank correlation
+    ignores the price distribution's shape and any monotone transform).
+    Quantity's ~50 discrete levels rank exactly; price ranks at {b}-bin
+    granularity (binned Spearman, the large-scale form). Tied values
+    take midranks, carried as DOUBLED midranks so every rank is an
+    integer and all moment SUMS are exact int64; rho then evaluates in
+    the centered double-domain form (the raw integer cross-products
+    overflow int64 at scale) — int64->double casts and the division
+    chain are IEEE-identical in both engines, and rho is invariant to
+    the doubling.
+
+    Scale: one joint-histogram aggregate over the fact; midranks and
+    moments live on the tiny (levels x bins) cell relation with
+    non-equi prefix joins — the same no-window discipline as the rest
+    of the stats family.""".format(b=_SP_BINS)
+    l = read_table(spark, sf_dir, "lineitem")
+    s = l.select(
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("pc"),
+    )
+    rng = s.agg(F.min("pc").alias("lo"), F.max("pc").alias("hi"))
+    j = (
+        s.crossJoin(F.broadcast(rng))
+        .select(
+            "qx",
+            ((F.col("pc") - F.col("lo")) * _SP_BINS / (F.col("hi") - F.col("lo") + 1))
+            .cast("long")
+            .alias("qy"),
+        )
+        .groupBy("qx", "qy")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hx = j.groupBy("qx").agg(F.sum("w").alias("fx"))
+    hy = j.groupBy("qy").agg(F.sum("w").alias("fy"))
+
+    def midranks(h, key, f):
+        a = h.select(F.col(key).alias("ak"), F.col(f).alias("af"))
+        b = h.select(F.col(key).alias("bk"), F.col(f).alias("bf"))
+        return (
+            a.join(F.broadcast(b), F.col("bk") <= F.col("ak"), "left")
+            .groupBy("ak", "af")
+            .agg(
+                (
+                    2
+                    * F.coalesce(
+                        F.sum(F.when(F.col("bk") < F.col("ak"), F.col("bf"))),
+                        F.lit(0),
+                    )
+                    + F.col("af")
+                    + 1
+                ).alias("mr")
+            )
+            .select(F.col("ak").alias(key), F.col("mr"))
+        )
+
+    rx = midranks(hx, "qx", "fx").select("qx", F.col("mr").alias("mrx"))
+    ry = midranks(hy, "qy", "fy").select("qy", F.col("mr").alias("mry"))
+    m = (
+        j.join(F.broadcast(rx), "qx")
+        .join(F.broadcast(ry), "qy")
+        .agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("mrx")).alias("sx"),
+            F.sum(F.col("w") * F.col("mry")).alias("sy"),
+            F.sum(F.col("w") * F.col("mrx") * F.col("mry")).alias("sxy"),
+            F.sum(F.col("w") * F.col("mrx") * F.col("mrx")).alias("sxx"),
+            F.sum(F.col("w") * F.col("mry") * F.col("mry")).alias("syy"),
+        )
+    )
+    # centered double-domain form: the raw n*Sxy - Sx*Sy integers overflow
+    # int64 at sf0.01+ (doubled midranks reach 1.2e6); int64 -> double
+    # casts and the arithmetic below are IEEE-identical in both engines
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    rho = (
+        (F.col("sxy").cast("double") / F.col("n") - mx * my)
+        / F.sqrt(F.col("sxx").cast("double") / F.col("n") - mx * mx)
+        / F.sqrt(F.col("syy").cast("double") / F.col("n") - my * my)
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        (F.floor(rho * 1000000 + 0.5) / 1000000).alias("spearman_rho"),
+    )

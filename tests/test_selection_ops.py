@@ -894,3 +894,52 @@ def test_ks_detects_distribution_shift(spark, tmp_path):
     assert r.distributions_differ, r
     r = fn(spark, write(False, "stable")).collect()[0]
     assert not r.distributions_differ, r
+
+
+def test_spearman_monotone_and_reference(spark, tmp_path):
+    """Monotone (even nonlinear) relation -> rho ~ +1; anti-monotone ->
+    -1; a noisy case tracks numpy's exact Spearman within binning error."""
+    import os
+
+    import numpy as np
+
+    def write(qs, ps, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            [{"l_orderkey": i, "l_partkey": 0, "l_suppkey": 0, "l_linenumber": 1,
+              "l_quantity": float(q), "l_extendedprice": float(p),
+              "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+              "l_linestatus": "O", "l_shipdate": None}
+             for i, (q, p) in enumerate(zip(qs, ps))]
+        ).to_parquet(f"{d}/lineitem.parquet")
+        return d
+
+    fn = QS["spearman_qty_price"]
+    qs = [float(1 + i % 50) for i in range(500)]
+    ps = [q ** 3 * 7 + 100 for q in qs]  # nonlinear but monotone
+    r = fn(spark, write(qs, ps, "mono")).collect()[0]
+    assert r.spearman_rho > 0.99
+    r = fn(spark, write(qs, [-p for p in ps], "anti")).collect()[0]
+    assert r.spearman_rho < -0.99
+    # noisy linear: compare to numpy rank correlation (exact, unbinned)
+    rng = np.random.RandomState(7)
+    qs = rng.randint(1, 51, 800).astype(float)
+    ps = qs * 100 + rng.normal(0, 400, 800)
+    r = fn(spark, write(qs, np.round(ps, 2), "noisy")).collect()[0]
+
+    def rankdata(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = np.array(v)[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    ref = np.corrcoef(rankdata(qs), rankdata(ps))[0, 1]
+    assert abs(r.spearman_rho - ref) < 0.02  # binning tolerance
