@@ -1183,3 +1183,109 @@ def cuped_variance_reduction(spark, sf_dir):
         vc_r.alias("var_y_cuped"),
         (F.floor((1 - vc_r / vy_r) * 10000 + 0.5) / 10000).alias("var_reduction"),
     )
+
+
+# --- A/B two-proportion significance test -------------------------------------------
+
+_AB_Z95 = 1.959964  # two-sided 5% normal quantile, published constant
+
+_ABZ_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         {token_hash_sql("'ab1|' || cast(user_id AS varchar)")} % 2 AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                   > count(*) THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a,
+         cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS bigint) AS c_a,
+         cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b,
+         cast(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS bigint) AS c_b
+  FROM per_user
+),
+calc AS (
+  SELECT n_a, n_b, c_a, c_b,
+         cast(c_a AS double) / n_a AS pa,
+         cast(c_b AS double) / n_b AS pb,
+         cast(c_a + c_b AS double) / (n_a + n_b) AS pp
+  FROM a
+)
+SELECT n_a, n_b,
+       floor(pa * 1000000 + 0.5) / 1000000 AS conv_a,
+       floor(pb * 1000000 + 0.5) / 1000000 AS conv_b,
+       floor((pb - pa) * 1000000 + 0.5) / 1000000 AS uplift,
+       floor((pb - pa - {_AB_Z95!r} * sqrt(pa * (1 - pa) / n_a
+                                           + pb * (1 - pb) / n_b))
+             * 1000000 + 0.5) / 1000000 AS ci_low,
+       floor((pb - pa + {_AB_Z95!r} * sqrt(pa * (1 - pa) / n_a
+                                           + pb * (1 - pb) / n_b))
+             * 1000000 + 0.5) / 1000000 AS ci_high,
+       floor((pb - pa) / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))
+             * 1000000 + 0.5) / 1000000 AS z,
+       abs((pb - pa) / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)))
+         > {_AB_Z95!r} AS significant
+FROM calc
+"""
+
+
+@register(
+    "ab_uplift_ztest",
+    oracle=_ABZ_ORACLE,
+    tags=("extension", "training", "experimentation"),
+)
+def ab_uplift_ztest(spark, sf_dir):
+    """Two-proportion z-test on the A/B arms' user conversion (purchase
+    share above the 1-in-5 base rate — a non-degenerate ~50% metric on
+    this data) — the significance readout that closes the experimentation
+    trio (deterministic assignment -> CUPED variance reduction -> this):
+    pooled-SE z statistic, unpooled-SE 95% CI on the uplift, and the
+    5%-level verdict. On the untreated synthetic data this doubles as
+    the A/A test: it must NOT reject.
+
+    Determinism: conversions are integer counts; every proportion and
+    the z/CI chain are fixed IEEE expressions over exact ints; the
+    normal quantile is a published literal in both engines.
+
+    Scale: one user-keyed aggregate (the assignment hash fuses into the
+    scan), one 4-counter reduction, single-row algebra."""
+    e = read_table(spark, sf_dir, "events")
+    arm = (
+        token_hash(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))) % 2
+    ).cast("int")
+    per_user = (
+        e.select("user_id", arm.alias("arm"), F.col("event_type"))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 5
+                > F.count(F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
+    a = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    se_un = F.sqrt(pa * (1 - pa) / F.col("n_a") + pb * (1 - pb) / F.col("n_b"))
+    z = (pb - pa) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return a.select(
+        "n_a",
+        "n_b",
+        r6(pa).alias("conv_a"),
+        r6(pb).alias("conv_b"),
+        r6(pb - pa).alias("uplift"),
+        r6(pb - pa - _AB_Z95 * se_un).alias("ci_low"),
+        r6(pb - pa + _AB_Z95 * se_un).alias("ci_high"),
+        r6(z).alias("z"),
+        (F.abs(z) > _AB_Z95).alias("significant"),
+    )

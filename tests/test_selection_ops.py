@@ -943,3 +943,32 @@ def test_spearman_monotone_and_reference(spark, tmp_path):
 
     ref = np.corrcoef(rankdata(qs), rankdata(ps))[0, 1]
     assert abs(r.spearman_rho - ref) < 0.02  # binning tolerance
+
+
+def test_ab_ztest_detects_engineered_uplift(spark, tmp_path):
+    """Arms engineered so arm-1 users purchase far above the base rate ->
+    significant positive uplift with a CI excluding zero; balanced data
+    (the A/A case above on real testdata) must not reject."""
+    import datetime as dt
+    import hashlib
+    import os
+
+    d = str(tmp_path / "abz")
+    os.makedirs(d, exist_ok=True)
+    rows, eid = [], 0
+    for u in range(200):
+        arm = int(hashlib.md5(f"ab1|{u}".encode()).hexdigest()[:15], 16) % 2
+        # arm 1: 3 of 5 events are purchases (60%); arm 0: 1 of 5 (20%)
+        kinds = (["purchase"] * 3 + ["view"] * 2) if arm else (["purchase"] + ["view"] * 4)
+        for k, et in enumerate(kinds * 4):
+            rows.append((eid, dt.datetime(2024, 1, 1 + k % 20), u, et, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QS["ab_uplift_ztest"](spark, d).collect()[0]
+    assert r.conv_a == 0.0 and r.conv_b == 1.0  # 20% vs 60% purchase share
+    assert r.significant and r.z > 1.96
+    assert r.ci_low > 0
