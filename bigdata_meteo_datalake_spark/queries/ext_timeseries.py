@@ -778,3 +778,104 @@ def theil_sen_slope(spark, sf_dir):
             "slope_p95"
         ),
     )
+
+
+# --- Gumbel block-maxima return levels ----------------------------------------------
+
+import math as _math
+
+#: Gumbel method-of-moments constants and return-level factors
+#: k_T = -ln(-ln(1 - 1/T)), computed ONCE in Python and embedded as
+#: literals in both engines (no runtime double-log anywhere)
+_GUM_EULER = 0.5772156649015329
+_GUM_SQRT6_PI = _math.sqrt(6.0) / _math.pi
+_GUM_K12 = round(-_math.log(-_math.log(1.0 - 1.0 / 12.0)), 9)
+_GUM_K120 = round(-_math.log(-_math.log(1.0 - 1.0 / 120.0)), 9)
+
+_GUM_ORACLE = f"""
+WITH daily AS (
+  SELECT cast(o_orderdate AS date) AS d,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM orders GROUP BY 1
+),
+blocks AS (
+  -- whole dollars: cents^2 sums overflow int64 at large SFs
+  SELECT date_trunc('month', d) AS m, cast(max(cents) // 100 AS bigint) AS mx
+  FROM daily GROUP BY 1
+),
+mom AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(mx) AS bigint) AS s1,
+         cast(sum(mx * mx) AS bigint) AS s2
+  FROM blocks
+),
+fit AS (
+  SELECT n,
+         cast(s1 AS double) / n AS mean_mx,
+         sqrt(cast(s2 AS double) / n
+              - (cast(s1 AS double) / n) * (cast(s1 AS double) / n))
+           AS sd_mx
+  FROM mom
+)
+SELECT n AS n_blocks,
+       floor(mean_mx + 0.5) AS mean_block_max,
+       floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx) + 0.5)
+         AS gumbel_mu,
+       floor({_GUM_SQRT6_PI!r} * sd_mx + 0.5) AS gumbel_beta,
+       floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx
+              + {_GUM_SQRT6_PI!r} * sd_mx * {_GUM_K12!r}) + 0.5)
+         AS return_level_12,
+       floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx
+              + {_GUM_SQRT6_PI!r} * sd_mx * {_GUM_K120!r}) + 0.5)
+         AS return_level_120
+FROM fit
+"""
+
+
+@register(
+    "gumbel_return_levels",
+    oracle=_GUM_ORACLE,
+    tags=("extension", "timeseries", "extremes"),
+)
+def gumbel_return_levels(spark, sf_dir):
+    """Extreme-value capacity planning: monthly block maxima of daily
+    revenue, a Gumbel fit by method of moments (beta = s*sqrt(6)/pi,
+    mu = mean - gamma*beta), and the 12-block / 120-block return levels
+    x_T = mu + beta * k_T — "the daily peak to provision for once a
+    year / once a decade", reported in whole dollars (block maxima
+    descale from cents so the squared-moment sums stay inside int64 at
+    any SF). The k_T = -ln(-ln(1 - 1/T)) factors and the
+    Euler-Mascheroni / sqrt(6)/pi constants compute once in Python and
+    embed as literals, so both engines run only +-*/ and one sqrt over
+    exact integer moments.
+
+    Scale: the fact reduces to daily sums (one aggregate), daily to
+    monthly maxima (tiny), and the fit is single-row algebra — the
+    classic block-maxima pipeline."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    # whole dollars: cents^2 moment sums overflow int64 at large SFs
+    blocks = daily.groupBy(F.date_trunc("month", "d").alias("m")).agg(
+        F.floor(F.max("cents") / 100).cast("long").alias("mx")
+    )
+    mom = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+    )
+    mean_mx = F.col("s1").cast("double") / F.col("n")
+    sd_mx = F.sqrt(F.col("s2").cast("double") / F.col("n") - mean_mx * mean_mx)
+    beta = _GUM_SQRT6_PI * sd_mx
+    mu = mean_mx - _GUM_EULER * beta
+    r2 = lambda c: F.floor(c + 0.5)  # whole dollars  # noqa: E731
+    return mom.select(
+        F.col("n").alias("n_blocks"),
+        r2(mean_mx).alias("mean_block_max"),
+        r2(mu).alias("gumbel_mu"),
+        r2(beta).alias("gumbel_beta"),
+        r2(mu + beta * _GUM_K12).alias("return_level_12"),
+        r2(mu + beta * _GUM_K120).alias("return_level_120"),
+    )

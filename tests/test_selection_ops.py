@@ -972,3 +972,14 @@ def test_ab_ztest_detects_engineered_uplift(spark, tmp_path):
     assert r.conv_a == 0.0 and r.conv_b == 1.0  # 20% vs 60% purchase share
     assert r.significant and r.z > 1.96
     assert r.ci_low > 0
+
+
+def test_gumbel_return_levels_ordered(spark):
+    """Return levels are ordered above the mean block max (the 1-in-120
+    peak exceeds the 1-in-12, which exceeds the typical month's peak),
+    and beta is positive."""
+    r = QS["gumbel_return_levels"](spark, SF0001).collect()[0]
+    assert r.n_blocks == 80
+    assert r.gumbel_beta > 0
+    assert r.mean_block_max < r.return_level_12 < r.return_level_120
+    assert r.gumbel_mu < r.mean_block_max  # mode below mean for Gumbel
