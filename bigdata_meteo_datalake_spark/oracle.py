@@ -53,9 +53,27 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype kind: the driver's value hash distinguishes 3 from 3.0,
+    so int-vs-float (and bool/datetime/object) must match even after
+    ``_normalize`` widened widths."""
+    k = s.dtype.kind  # 'i','u','f','b','M','O',...
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> None:
-    """Driver-style compare: sorted-column schema, row count, exact values
-    order-insensitively."""
+    """Driver-style compare: sorted-column schema, row count, dtype *kind*
+    per column (int/float/bool/datetime/object — the driver's value hash
+    distinguishes 3 from 3.0, so ``check_dtype=False`` alone is weaker than
+    the driver's gate), then exact values order-insensitively."""
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"columns differ: actual={sorted(actual.columns)} expected={sorted(expected.columns)}"
     )
@@ -63,6 +81,15 @@ def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> None:
         f"row counts differ: actual={len(actual)} expected={len(expected)}"
     )
     a, e = _normalize(actual), _normalize(expected)
+    kind_diffs = {
+        c: (_dtype_kind(a[c]), _dtype_kind(e[c]))
+        for c in a.columns
+        if _dtype_kind(a[c]) != _dtype_kind(e[c])
+    }
+    assert not kind_diffs, (
+        "dtype kinds differ (spark, oracle) — the driver's value hash would "
+        f"mismatch even on equal values: {kind_diffs}"
+    )
     pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
 
 

@@ -819,16 +819,16 @@ fit AS (
   FROM mom
 )
 SELECT n AS n_blocks,
-       floor(mean_mx + 0.5) AS mean_block_max,
-       floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx) + 0.5)
-         AS gumbel_mu,
-       floor({_GUM_SQRT6_PI!r} * sd_mx + 0.5) AS gumbel_beta,
-       floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx
-              + {_GUM_SQRT6_PI!r} * sd_mx * {_GUM_K12!r}) + 0.5)
-         AS return_level_12,
-       floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx
-              + {_GUM_SQRT6_PI!r} * sd_mx * {_GUM_K120!r}) + 0.5)
-         AS return_level_120
+       cast(floor(mean_mx + 0.5) AS bigint) AS mean_block_max,
+       cast(floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx) + 0.5)
+            AS bigint) AS gumbel_mu,
+       cast(floor({_GUM_SQRT6_PI!r} * sd_mx + 0.5) AS bigint) AS gumbel_beta,
+       cast(floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx
+                   + {_GUM_SQRT6_PI!r} * sd_mx * {_GUM_K12!r}) + 0.5)
+            AS bigint) AS return_level_12,
+       cast(floor((mean_mx - {_GUM_EULER!r} * {_GUM_SQRT6_PI!r} * sd_mx
+                   + {_GUM_SQRT6_PI!r} * sd_mx * {_GUM_K120!r}) + 0.5)
+            AS bigint) AS return_level_120
 FROM fit
 """
 

@@ -1079,10 +1079,10 @@ FROM (
          floor((cast(asy AS double) / n_users
                 - theta * (cast(asx AS double) / n_users - x_pool)) + 0.5) / 100
            AS mean_y_cuped,
-         floor((cast(asyy AS double) / n_users
+         cast(floor((cast(asyy AS double) / n_users
                 - (cast(asy AS double) / n_users) * (cast(asy AS double) / n_users))
-               / 10000 + 0.5) AS var_y,
-         floor(((cast(asyy AS double) / n_users
+               / 10000 + 0.5) AS bigint) AS var_y,
+         cast(floor(((cast(asyy AS double) / n_users
                  - (cast(asy AS double) / n_users) * (cast(asy AS double) / n_users))
                 - 2 * theta * (cast(asxy AS double) / n_users
                                - (cast(asx AS double) / n_users)
@@ -1091,7 +1091,7 @@ FROM (
                   * (cast(asxx AS double) / n_users
                      - (cast(asx AS double) / n_users)
                        * (cast(asx AS double) / n_users)))
-               / 10000 + 0.5) AS var_y_cuped
+               / 10000 + 0.5) AS bigint) AS var_y_cuped
   FROM arm
 )
 """
