@@ -143,6 +143,11 @@ def _load_all() -> None:
     # DSIR, boilerplate coverage, Heaps/Zipf diagnostics, record linkage).
     from . import ext_selection  # noqa: F401
 
+    # round-5 additions (search ranking: BM25 + reciprocal-rank hybrid
+    # fusion) — never-confirmed, so they sort into the sweep head after
+    # the 29 queries already waiting there.
+    from . import ext_search  # noqa: F401
+
     newest = _driver_confirmed_rounds()
     # never-confirmed queries carry round 0, sorting ahead of everything;
     # among confirmed ones, round-1-era evidence re-sweeps before round-3's.

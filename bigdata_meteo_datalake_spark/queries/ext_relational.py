@@ -1269,3 +1269,104 @@ def gini_customer_spend(spark, sf_dir):
             ).alias("gini"),
         )
     )
+
+
+# --- Pareto frontier (skyline) over supplier performance -----------------------------
+
+_SKY_BUCKETS = 32
+
+_SKYLINE_ORACLE = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS bigint)) AS bigint) AS rev_cents,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) AS qty
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT p.l_suppkey AS s_suppkey, s.s_name,
+       cast(p.rev_cents AS double) / 100 AS revenue,
+       p.qty
+FROM per_supp p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_supp o
+  WHERE o.rev_cents >= p.rev_cents AND o.qty >= p.qty
+    AND (o.rev_cents > p.rev_cents OR o.qty > p.qty)
+)
+"""
+
+
+@register(
+    "pareto_frontier_suppliers",
+    oracle=_SKYLINE_ORACLE,
+    tags=("extension", "relational", "skyline"),
+)
+def pareto_frontier_suppliers(spark, sf_dir):
+    """Skyline (Pareto frontier) query: the suppliers no other supplier
+    strictly dominates on (total revenue, total quantity) — "who is
+    efficient on at least one trade-off" (Borzsony, Kossmann & Stocker,
+    ICDE 2001). Strict dominance: >= on both dimensions, > on at least
+    one; coordinate-duplicates survive together.
+
+    Plan, the distributed two-phase skyline: (1) the fact reduces to one
+    per-supplier aggregate (map-side combined — the only fact-sized op);
+    (2) a partition-local pre-skyline per hash bucket: within a bucket,
+    a point survives iff it has the max qty among its revenue ties AND
+    no strictly-higher-revenue point in the bucket has >= its qty —
+    computed with two bucket-partitioned windows, exact for strict
+    dominance, and sound for ANY bucketing because skyline(S) is a
+    subset of the union of per-bucket skylines; (3) the surviving
+    frontier-sized candidate set resolves exactly with one broadcast
+    self-anti-join on the dominance predicate. No global sort, no
+    partition-less window, no O(n^2) on the full dimension.
+
+    Exactness: both dimensions are exact int64 (revenue cents, whole
+    quantities); the only double is the display descale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+            .cast("long")
+        ).alias("rev_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    bucketed = per_supp.withColumn("bkt", F.col("l_suppkey") % _SKY_BUCKETS)
+    # max qty among revenue ties (same bucket, same revenue)
+    w_ties = Window.partitionBy("bkt", "rev_cents")
+    with_ties = bucketed.withColumn("mqr", F.max("qty").over(w_ties))
+    # distinct (bucket, revenue) level: max tie-qty over strictly higher revenues
+    rev_level = with_ties.groupBy("bkt", "rev_cents").agg(F.max("qty").alias("rq"))
+    w_higher = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("rev_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rev_higher = rev_level.select(
+        "bkt", "rev_cents", F.max("rq").over(w_higher).alias("mq_higher")
+    )
+    local = (
+        with_ties.join(rev_higher, ["bkt", "rev_cents"])
+        .where(
+            (F.col("qty") == F.col("mqr"))
+            & (F.col("mq_higher").isNull() | (F.col("mq_higher") < F.col("qty")))
+        )
+        .select("l_suppkey", "rev_cents", "qty")
+    )
+    dom = local.select(
+        F.col("rev_cents").alias("o_rev"), F.col("qty").alias("o_qty")
+    )
+    frontier = local.join(
+        F.broadcast(dom),
+        (F.col("o_rev") >= F.col("rev_cents"))
+        & (F.col("o_qty") >= F.col("qty"))
+        & ((F.col("o_rev") > F.col("rev_cents")) | (F.col("o_qty") > F.col("qty"))),
+        "left_anti",
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return frontier.join(
+        F.broadcast(supp), frontier["l_suppkey"] == supp["s_suppkey"]
+    ).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        "qty",
+    )

@@ -1006,3 +1006,103 @@ def jackknife_mean_se(spark, sf_dir):
         (F.floor(F.col("m_full") + 1.96 * se + 0.5) / 100).alias("ci_high"),
         F.col("nb").cast("long").alias("n_buckets"),
     )
+
+
+# --- Poisson bootstrap confidence interval -------------------------------------------
+
+# Poisson(1) CDF * 1e6, floored — P(X <= k) for k = 0..9; a uniform draw
+# u in [0, 1e6) maps to weight w = #{thresholds <= u}, capping at 10.
+_BOOT_CDF = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989, 999998, 999999]
+_BOOT_B = 200
+_BOOT_LO = 5  # ceil(0.025 * B)
+_BOOT_HI = 195  # ceil(0.975 * B)
+
+_BOOT_ORACLE = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint) AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT cast(sum(cents) AS bigint) AS sc, cast(count(*) AS bigint) AS n FROM cust
+),
+reps AS (SELECT cast(unnest(range(1, {_BOOT_B + 1})) AS integer) AS b),
+weighted AS (
+  SELECT r.b,
+         cast(len(list_filter({list(_BOOT_CDF)},
+              t -> ({token_hash_sql("concat(cast(c.o_custkey AS varchar), '|boot|', cast(r.b AS varchar))")}) % 1000000 >= t)) AS bigint) AS w,
+         c.cents
+  FROM cust c JOIN reps r ON true
+),
+means AS (
+  SELECT b, cast(sum(w * cents) AS double) / sum(w) AS m
+  FROM weighted GROUP BY b
+),
+arr AS (SELECT list_sort(list(m)) AS a, cast(count(*) AS bigint) AS n_reps FROM means)
+SELECT n_reps,
+       floor(cast(t.sc AS double) / t.n + 0.5) / 100 AS mean_spend,
+       floor(a[{_BOOT_LO}] + 0.5) / 100 AS ci_lo,
+       floor(a[{_BOOT_HI}] + 0.5) / 100 AS ci_hi
+FROM arr, tot t
+"""
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=_BOOT_ORACLE,
+    tags=("extension", "sketch", "uncertainty", "bootstrap"),
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for mean customer spend: each (customer,
+    replicate) draws a Poisson(1) resampling weight from a deterministic
+    hash (the distributed bootstrap — resample by weight, never by copy;
+    Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams"), each of the 200 replicates averages w*x/w, and the 2.5/97.5
+    percentile replicate means bound the interval.
+
+    Exactness: weights come from integer thresholds on a shared 60-bit
+    hash; replicate sums are exact int64; each replicate mean is one
+    double division; percentile selection is by exact sort position
+    (never an interpolating percentile function).
+
+    Scale: weights are in-row; the per-replicate aggregate is map-side
+    combined, so only B x n_partitions partial rows shuffle; the final
+    percentile runs over B=200 rows. The grain deliberately bootstraps
+    the per-customer rollup (cluster-bootstrap over customers), so the
+    replicate stage is dimension-sized, not fact-sized."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    tot = cust.agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n")
+    )
+    reps = F.explode(F.array(*[F.lit(b) for b in range(1, _BOOT_B + 1)])).alias("b")
+    u = token_hash(
+        F.concat(
+            F.col("o_custkey").cast("string"), F.lit("|boot|"), F.col("b").cast("string")
+        )
+    ) % 1000000
+    w = F.size(
+        F.filter(
+            F.array(*[F.lit(t) for t in _BOOT_CDF]), lambda t: u >= t
+        )
+    ).cast("long")
+    weighted = cust.select("o_custkey", "cents", reps).select(
+        "b", w.alias("w"), "cents"
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w")).alias("m")
+    )
+    arr = means.agg(
+        F.sort_array(F.collect_list("m")).alias("a"),
+        F.count(F.lit(1)).alias("n_reps"),
+    )
+    return arr.crossJoin(F.broadcast(tot)).select(
+        "n_reps",
+        (F.floor(F.col("sc").cast("double") / F.col("n") + 0.5) / 100).alias(
+            "mean_spend"
+        ),
+        (F.floor(F.element_at("a", _BOOT_LO) + 0.5) / 100).alias("ci_lo"),
+        (F.floor(F.element_at("a", _BOOT_HI) + 0.5) / 100).alias("ci_hi"),
+    )

@@ -879,3 +879,112 @@ def gumbel_return_levels(spark, sf_dir):
         r2(mu + beta * _GUM_K12).alias("return_level_12"),
         r2(mu + beta * _GUM_K120).alias("return_level_120"),
     )
+
+
+# --- autocorrelation function of daily revenue ---------------------------------------
+
+_ACF_MAX_LAG = 10
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT cast(o_orderdate AS date) AS d,
+         cast(floor(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                         AS double) / 100000.0) AS bigint) AS x
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS s1,
+         cast(sum(x * x) AS bigint) AS s2
+  FROM daily
+),
+lags AS (SELECT cast(unnest(range(1, {_ACF_MAX_LAG + 1})) AS integer) AS k),
+pairs AS (
+  SELECT l.k,
+         cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(a.x * b.x) AS bigint) AS sxy,
+         cast(sum(a.x) AS bigint) AS sa,
+         cast(sum(b.x) AS bigint) AS sb
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + l.k
+  GROUP BY l.k
+)
+SELECT p.k AS lag, p.n_pairs,
+       floor((cast(p.sxy AS double)
+              - (cast(s.s1 AS double) / s.n) * cast(p.sa + p.sb AS double)
+              + cast(p.n_pairs AS double)
+                * (cast(s.s1 AS double) / s.n) * (cast(s.s1 AS double) / s.n))
+             / (cast(s.s2 AS double)
+                - cast(s.n AS double)
+                  * (cast(s.s1 AS double) / s.n) * (cast(s.s1 AS double) / s.n))
+             * 10000 + 0.5) / 10000 AS acf
+FROM pairs p, stats s
+"""
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=_ACF_ORACLE,
+    tags=("extension", "timeseries", "acf"),
+)
+def acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation function of daily revenue at calendar lags 1..10 —
+    the seasonality/persistence diagnostic behind every forecasting model
+    choice (a weekly cycle shows as a lag-7 peak). Calendar-lag
+    semantics: a pair exists when both day d and day d+k are present;
+    mean and variance are over all observed days (the standard ACF
+    estimator with the global mean).
+
+    Exactness: daily revenue descales to thousands of dollars (squared
+    sums stay inside int64 up to SF ~1e6); all sums are exact integers;
+    the ratio is one fixed IEEE expression written identically in both
+    engines, floor-rounded to 4 decimals.
+
+    Scale: the fact reduces to one daily aggregate (map-side combined);
+    the lag pairing is a self-equi-join on the date key of the tiny
+    daily relation with the 10 lags exploded on the probe side — never
+    a window over the whole series, no global sort."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100000.0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    b = daily.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])).alias("k"),
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    ).select("k", F.date_sub(F.col("db"), F.col("k")).alias("d"), "xb")
+    pairs = (
+        daily.join(b, "d")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("x") * F.col("xb")).alias("sxy"),
+            F.sum("x").alias("sa"),
+            F.sum("xb").alias("sb"),
+        )
+    )
+    xbar = F.col("s1").cast("double") / F.col("n")
+    num = (
+        F.col("sxy").cast("double")
+        - xbar * (F.col("sa") + F.col("sb")).cast("double")
+        + F.col("n_pairs").cast("double") * xbar * xbar
+    )
+    den = F.col("s2").cast("double") - F.col("n").cast("double") * xbar * xbar
+    return pairs.crossJoin(F.broadcast(stats)).select(
+        F.col("k").alias("lag"),
+        "n_pairs",
+        (F.floor(num / den * 10000 + 0.5) / 10000).alias("acf"),
+    )
