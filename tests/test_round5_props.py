@@ -1,0 +1,152 @@
+"""Property tests for the round-5 operators: skyline vs brute force on
+adversarial point sets, BM25 monotonicity, RRF score reconstruction,
+ACF on a perfectly periodic series, and bootstrap CI sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdata_meteo_datalake_spark.queries import queries
+
+from .conftest import SF0001
+
+QS = queries()
+
+
+# --- skyline ------------------------------------------------------------------------
+
+
+def _write_trade(spark, path, points):
+    """One lineitem row per supplier encoding exact (rev_cents, qty):
+    discount 0, extendedprice = rev_cents/100."""
+    li = [
+        (int(sk), float(rev_cents) / 100.0, 0.0, float(qty))
+        for sk, (rev_cents, qty) in enumerate(points, start=1)
+    ]
+    spark.createDataFrame(
+        li, "l_suppkey long, l_extendedprice double, l_discount double, l_quantity double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(int(sk), f"S{sk}") for sk in range(1, len(points) + 1)],
+        "s_suppkey long, s_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/supplier.parquet")
+
+
+def _brute_skyline(points):
+    out = set()
+    for i, (r, q) in enumerate(points):
+        dominated = any(
+            (r2 >= r and q2 >= q and (r2 > r or q2 > q))
+            for j, (r2, q2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.add(i + 1)  # suppkeys are 1-based
+    return out
+
+
+def test_skyline_matches_bruteforce_adversarial(spark, tmp_path):
+    """Exact-duplicate coordinates survive together; one-dimension ties
+    resolve by the other dimension; a diagonal (everything on the
+    frontier — worst case for the local pre-filter) passes through."""
+    cases = [
+        # duplicates + dominated interior + ties
+        [(100, 5), (100, 5), (90, 5), (100, 4), (50, 50), (50, 49), (101, 1)],
+        # pure diagonal: every point is on the frontier
+        [(i * 10, 100 - i * 10) for i in range(1, 10)],
+        # single dominator
+        [(10, 10), (9, 9), (8, 8), (1, 1)],
+        # same revenue everywhere: only max-qty points survive
+        [(70, 1), (70, 2), (70, 3), (70, 3)],
+    ]
+    for n, points in enumerate(cases):
+        path = str(tmp_path / f"case{n}")
+        _write_trade(spark, path, points)
+        got = {r.s_suppkey for r in QS["pareto_frontier_suppliers"](spark, path).collect()}
+        assert got == _brute_skyline(points), (n, points)
+
+
+# --- BM25 ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, path, texts):
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_bm25_monotone_in_tf_and_length(spark, tmp_path):
+    """Same length, more query-term hits -> higher score; same hits,
+    longer doc -> lower score; no query terms -> score 0."""
+    path = str(tmp_path / "bm25")
+    texts = [
+        "hash merge vector pad1 pad2",  # all three terms
+        "hash merge pad0 pad1 pad2",  # two terms, same length
+        "hash pad9 pad0 pad1 pad2",  # one term, same length
+        "hash " + " ".join(f"pad{i}" for i in range(20)),  # one term, longer
+        "pad0 pad1 pad2 pad3 pad4",  # no terms
+    ]
+    _write_docs(spark, path, texts)
+    rows = {r.doc_id: r for r in QS["bm25_doc_scores"](spark, path).collect()}
+    assert rows[0].bm25 > rows[1].bm25 > rows[2].bm25 > 0
+    assert rows[2].bm25 > rows[3].bm25 > 0
+    assert rows[4].bm25 == 0.0
+    assert (rows[0].tf_hash, rows[0].tf_merge, rows[0].tf_vector) == (1, 1, 1)
+
+
+# --- RRF ----------------------------------------------------------------------------
+
+
+def test_rrf_scores_reconstruct_from_ranks(spark):
+    """Every fused row's score equals 1/(60+text_rank) + 1/(60+vec_rank)
+    with absent-list terms contributing 0, quantized the way the query
+    quantizes; output is the top-20 by that score."""
+    rows = QS["rrf_hybrid_fusion"](spark, SF0001).collect()
+    assert len(rows) == 20
+    import math
+
+    for r in rows:
+        expect = 0.0
+        if r.text_rank is not None:
+            expect += 1.0 / (60 + r.text_rank)
+        if r.vec_rank is not None:
+            expect += 1.0 / (60 + r.vec_rank)
+        assert abs(r.rrf_score - math.floor(expect * 1e12 + 0.5) / 1e12) < 1e-15
+        assert r.text_rank is not None or r.vec_rank is not None
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --- ACF ----------------------------------------------------------------------------
+
+
+def test_acf_periodic_series(spark, tmp_path):
+    """A period-3 daily revenue series: ACF at lag 3 ~ (n-3)/n (near 1),
+    ACF at lag 1 negative."""
+    path = str(tmp_path / "acf")
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [100_000.0, 200_000.0, 300_000.0]  # dollars -> 100/200/300 k$
+    rows = [
+        (i, t0 + dt.timedelta(days=i), vals[i % 3]) for i in range(90)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    acf = {r.lag: r for r in QS["acf_daily_revenue"](spark, path).collect()}
+    assert acf[3].acf > 0.9
+    assert acf[1].acf < 0.0
+    assert acf[3].n_pairs == 87
+
+
+# --- bootstrap ----------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """On real sf0.001 data the 95% interval must contain the point
+    estimate and be properly ordered and non-degenerate."""
+    r = QS["poisson_bootstrap_ci"](spark, SF0001).collect()[0]
+    assert r.n_reps == 200
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.mean_spend <= r.ci_hi
