@@ -1528,3 +1528,149 @@ def attribution_time_decay(spark, sf_dir):
             ),
         )
     )
+
+
+# --- Shapley-value channel attribution ------------------------------------------------
+
+# n=4 channels: Shapley coalition weights |S|!(n-|S|-1)!/n! in 24ths,
+# keyed by |S| (the coalition WITHOUT the channel, so |S| = 0..3).
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+_SHAP_W24_CASE = "CASE pc WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+
+_SHAPLEY_ORACLE = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type, ts FROM events WHERE event_type <> 'purchase'
+),
+coal AS (
+  SELECT c.conv_id,
+         cast(max(CASE WHEN t.event_type = 'click' THEN 1 ELSE 0 END)
+              + 2 * max(CASE WHEN t.event_type = 'error' THEN 1 ELSE 0 END)
+              + 4 * max(CASE WHEN t.event_type = 'signup' THEN 1 ELSE 0 END)
+              + 8 * max(CASE WHEN t.event_type = 'view' THEN 1 ELSE 0 END)
+              AS bigint) AS mask
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+   AND t.ts < c.ts
+   AND t.ts >= c.ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+  GROUP BY c.conv_id
+),
+counts AS (SELECT mask, cast(count(*) AS bigint) AS c FROM coal GROUP BY mask),
+masks AS (SELECT cast(unnest(range(0, 16)) AS bigint) AS s),
+zeta AS (
+  SELECT m.s, cast(sum(coalesce(k.c, 0)) AS bigint) AS v
+  FROM masks m LEFT JOIN counts k ON (k.mask & m.s) = k.mask
+  GROUP BY m.s
+),
+ch AS (SELECT * FROM (VALUES (1, 'click'), (2, 'error'), (4, 'signup'), (8, 'view'))
+       AS t(bit, channel)),
+pairs AS (
+  SELECT ch.channel, z.s, z.v AS v_s, z2.v AS v_si,
+         ((z.s & 1) + ((z.s >> 1) & 1) + ((z.s >> 2) & 1) + ((z.s >> 3) & 1)) AS pc
+  FROM ch
+  JOIN zeta z ON (z.s & ch.bit) = 0
+  JOIN zeta z2 ON z2.s = z.s + ch.bit
+),
+tot AS (SELECT v AS v_all FROM zeta WHERE s = 15)
+SELECT p.channel,
+       cast(sum(({_SHAP_W24_CASE}) * (v_si - v_s)) AS bigint) AS phi24,
+       cast(sum(({_SHAP_W24_CASE}) * (v_si - v_s)) AS bigint) / 24.0
+         AS shapley_conversions,
+       t.v_all AS attributed_conversions
+FROM pairs p, tot t
+GROUP BY p.channel, t.v_all
+"""
+
+
+@register(
+    "attribution_shapley",
+    oracle=_SHAPLEY_ORACLE,
+    tags=("extension", "events", "attribution", "shapley"),
+)
+def attribution_shapley(spark, sf_dir):
+    """Shapley-value channel attribution (Shapley 1953; data-driven
+    marketing form as in Zhao et al. 2018): each conversion's coalition
+    is the SET of channels touched in its 7-day lookback (same window
+    as the other attribution queries); the coalition worth v(S) is the
+    number of conversions reachable with channels in S (the subset-sum
+    zeta transform of the exact-coalition counts); each channel gets
+    its exact 4-player Shapley value sum_S w(|S|)(v(S+i) - v(S)).
+    Unlike last-touch/linear/time-decay, this is the only allocation
+    that is symmetric, efficient (the values sum to v(all)) and
+    marginal — the game-theoretic gold standard.
+
+    Exactness: v is integer counts; the 24ths Shapley weights are
+    integers; phi stays int64 until one final division by 24.0.
+
+    Scale: the fact-sized work is the conversion-touch interval join
+    and one conversion-keyed aggregate (both shared with the other
+    attribution queries); everything after runs on a 16-row coalition
+    lattice (2^n is fine because n = distinct channel TYPES, not
+    users)."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts"
+    )
+    cand = conv.join(touch, "user_id").where(
+        (F.col("ts") < F.col("c_ts"))
+        & (F.col("ts") >= F.col("c_ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY"))
+    )
+    hit = lambda t: F.max(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    coal = cand.groupBy("conv_id").agg(
+        (hit("click") + 2 * hit("error") + 4 * hit("signup") + 8 * hit("view"))
+        .cast("long")
+        .alias("mask")
+    )
+    counts = coal.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    masks = spark.range(16).select(F.col("id").alias("s"))
+    zeta = (
+        masks.join(
+            F.broadcast(counts), counts["mask"].bitwiseAND(masks["s"]) == counts["mask"], "left"
+        )
+        .groupBy("s")
+        .agg(F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [(1, "click"), (2, "error"), (4, "signup"), (8, "view")], "bit long, channel string"
+    )
+    z2 = zeta.select(F.col("s").alias("s2"), F.col("v").alias("v_si"))
+    pairs = (
+        ch.join(F.broadcast(zeta), zeta["s"].bitwiseAND(ch["bit"]) == 0)
+        .join(F.broadcast(z2), F.col("s2") == F.col("s") + F.col("bit"))
+        .select(
+            "channel",
+            "s",
+            F.col("v").alias("v_s"),
+            "v_si",
+            (
+                F.col("s").bitwiseAND(F.lit(1))
+                + F.shiftright("s", 1).bitwiseAND(F.lit(1))
+                + F.shiftright("s", 2).bitwiseAND(F.lit(1))
+                + F.shiftright("s", 3).bitwiseAND(F.lit(1))
+            ).alias("pc"),
+        )
+    )
+    w24 = (
+        F.when(F.col("pc") == 0, 6)
+        .when(F.col("pc") == 1, 2)
+        .when(F.col("pc") == 2, 2)
+        .otherwise(6)
+    )
+    tot = zeta.where(F.col("s") == 15).select(F.col("v").alias("v_all"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "v_all")
+        .agg(F.sum(w24 * (F.col("v_si") - F.col("v_s"))).alias("phi24"))
+        .select(
+            "channel",
+            "phi24",
+            (F.col("phi24") / 24.0).alias("shapley_conversions"),
+            F.col("v_all").alias("attributed_conversions"),
+        )
+    )

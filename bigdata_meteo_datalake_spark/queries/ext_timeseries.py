@@ -988,3 +988,146 @@ def acf_daily_revenue(spark, sf_dir):
         "n_pairs",
         (F.floor(num / den * 10000 + 0.5) / 10000).alias("acf"),
     )
+
+
+# --- simple-exponential-smoothing forecast backtest ----------------------------------
+
+_SES_ALPHA = 0.3
+_SES_MAXK = 256
+# (1-alpha)^k for k = 0..255, computed once in Python and embedded as
+# literals in BOTH engines — engine pow() may differ in the last ulp,
+# identical literals cannot.
+_SES_POW = [(1.0 - _SES_ALPHA) ** k for k in range(_SES_MAXK)]
+
+_SES_ORACLE = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         cast(floor(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                         AS double) / 100000.0) AS bigint) AS x
+  FROM orders GROUP BY 1
+),
+lo AS (SELECT min(m) AS m0 FROM monthly),
+idxd AS (
+  SELECT cast(datediff('month', lo.m0, monthly.m) AS bigint) + 1 AS idx, x
+  FROM monthly, lo
+),
+pw AS (SELECT {list(_SES_POW)} AS p),
+-- closed-form SES: s_t = sum_{{j=2..t}} a(1-a)^(t-j) x_j + (1-a)^(t-1) x_1,
+-- each term int64-quantized so the sum is order-free
+levels AS (
+  SELECT b.idx AS t,
+         cast(sum(cast(floor(a.x * (CASE WHEN a.idx = 1
+                                         THEN pw.p[(b.idx - 1) + 1]
+                                         ELSE {_SES_ALPHA!r} * pw.p[(b.idx - a.idx) + 1]
+                                    END) * 1000000.0 + 0.5) AS bigint)) AS bigint) AS s_q
+  FROM idxd a JOIN idxd b ON a.idx <= b.idx, pw
+  GROUP BY b.idx
+),
+errs AS (
+  SELECT x.idx, cast(floor(abs(x.x - cast(l.s_q AS double) / 1000000.0)
+                           * 1000000.0 + 0.5) AS bigint) AS ae_q
+  FROM idxd x JOIN levels l ON l.t = x.idx - 1
+),
+agg AS (
+  SELECT cast(count(*) AS bigint) AS n_scored, cast(sum(ae_q) AS bigint) AS sae
+  FROM errs
+),
+fin AS (SELECT s_q FROM levels ORDER BY t DESC LIMIT 1),
+n AS (SELECT cast(count(*) AS bigint) AS n_months FROM idxd)
+SELECT n.n_months,
+       floor(cast(f.s_q AS double) / 1000000.0 * 1000 + 0.5) / 1000 AS ses_level,
+       floor(cast(f.s_q AS double) / 1000000.0 * 1000 + 0.5) / 1000 AS forecast_next,
+       floor(cast(a.sae AS double) / a.n_scored / 1000000.0 * 1000 + 0.5) / 1000
+         AS backtest_mae
+FROM fin f, agg a, n
+"""
+
+
+@register(
+    "ses_backtest_monthly",
+    oracle=_SES_ORACLE,
+    tags=("extension", "timeseries", "forecast"),
+)
+def ses_backtest_monthly(spark, sf_dir):
+    """Simple-exponential-smoothing forecast of monthly revenue with an
+    in-sample one-step-ahead backtest (alpha=0.3, s_1 = x_1 init): the
+    level after the last month is the next-month forecast, and the MAE
+    of forecasting each month from the previous level says how much to
+    trust it — the minimum honest deliverable of any forecast.
+
+    The recursion is unrolled to its closed form, so no iteration and
+    no sequential scan: every s_t is a weighted sum over months j <= t
+    with weights alpha*(1-alpha)^(t-j) (and the init weight for j=1).
+    The (1-alpha)^k table is computed once in Python and embedded as
+    literals in BOTH engines — engine pow() could differ in the last
+    ulp, identical literals cannot. Each term is int64-quantized so
+    sums are order-free.
+
+    Scale: the fact reduces to one monthly aggregate; the T^2 closed
+    form runs on the month spine (T months — tiny at any data volume;
+    the unroll trades O(T) sequential steps nobody can parallelize for
+    O(T^2) trivially-parallel terms). Spine length is capped by the
+    256-entry weight table; beyond it the result turns NULL loudly
+    rather than silently truncating."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100000.0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    lo = monthly.agg(F.min("m").alias("m0"))
+    idxd = monthly.crossJoin(F.broadcast(lo)).select(
+        (F.months_between(F.col("m"), F.col("m0")).cast("long") + 1).alias("idx"),
+        "x",
+    )
+    pw = F.array(*[F.lit(v) for v in _SES_POW])
+    a = idxd.select(F.col("idx").alias("j"), F.col("x").alias("xj"))
+    b = idxd.select(F.col("idx").alias("t"))
+    weight = F.when(
+        F.col("j") == 1, F.element_at(pw, (F.col("t") - 1 + 1).cast("int"))
+    ).otherwise(
+        _SES_ALPHA * F.element_at(pw, (F.col("t") - F.col("j") + 1).cast("int"))
+    )
+    levels = (
+        b.join(F.broadcast(a), F.col("j") <= F.col("t"))
+        .select("t", F.floor(F.col("xj") * weight * 1000000.0 + 0.5).cast("long").alias("term_q"))
+        .groupBy("t")
+        .agg(F.sum("term_q").alias("s_q"))
+    )
+    prev = levels.select((F.col("t") + 1).alias("idx"), F.col("s_q").alias("prev_q"))
+    errs = idxd.join(prev, "idx").select(
+        F.floor(
+            F.abs(F.col("x") - F.col("prev_q").cast("double") / 1000000.0)
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("ae_q")
+    )
+    agg = errs.agg(
+        F.count(F.lit(1)).alias("n_scored"), F.sum("ae_q").alias("sae")
+    )
+    fin = levels.orderBy(F.desc("t")).limit(1).select("s_q")
+    n = idxd.agg(F.count(F.lit(1)).alias("n_months"))
+    lvl = F.col("s_q").cast("double") / 1000000.0
+    return (
+        fin.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_months",
+            (F.floor(lvl * 1000 + 0.5) / 1000).alias("ses_level"),
+            (F.floor(lvl * 1000 + 0.5) / 1000).alias("forecast_next"),
+            (
+                F.floor(
+                    F.col("sae").cast("double") / F.col("n_scored") / 1000000.0 * 1000
+                    + 0.5
+                )
+                / 1000
+            ).alias("backtest_mae"),
+        )
+    )

@@ -1289,3 +1289,154 @@ def ab_uplift_ztest(spark, sf_dir):
         r6(z).alias("z"),
         (F.abs(z) > _AB_Z95).alias("significant"),
     )
+
+
+# --- inverse-propensity-weighted treatment effect ------------------------------------
+
+# activity buckets (fixed edges, in-row): total view+click events
+_IPW_EDGES = (10, 20, 30, 40)  # 5 segments
+
+
+_IPW_SEG_SQL = """
+CASE WHEN activity < 10 THEN 0 WHEN activity < 20 THEN 1
+     WHEN activity < 30 THEN 2 WHEN activity < 40 THEN 3 ELSE 4 END
+"""
+
+_IPW_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         cast(sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              AS bigint) AS activity,
+         cast(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS bigint) AS t,
+         cast(sum(CASE WHEN event_type = 'purchase'
+                       THEN cast(floor(value * 100 + 0.5) AS bigint)
+                       ELSE 0 END) AS bigint) AS y
+  FROM events GROUP BY user_id
+),
+seg AS (
+  SELECT {_IPW_SEG_SQL} AS s, t, y FROM u
+),
+per_seg AS (
+  SELECT s, cast(count(*) AS bigint) AS n_s,
+         cast(sum(t) AS bigint) AS t_s,
+         cast(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS bigint) AS y1_s,
+         cast(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS bigint) AS y0_s
+  FROM seg GROUP BY s
+),
+-- per-segment inverse-propensity terms, int64-quantized at cent scale
+terms AS (
+  SELECT cast(sum(n_s) AS bigint) AS n_all,
+         cast(sum(t_s) AS bigint) AS t_all,
+         cast(sum(y1_s) AS bigint) AS y1_all,
+         cast(sum(y0_s) AS bigint) AS y0_all,
+         cast(sum(cast(floor(cast(y1_s AS double) * n_s / t_s + 0.5) AS bigint))
+              AS bigint) AS w1,
+         cast(sum(cast(floor(cast(y0_s AS double) * n_s / (n_s - t_s) + 0.5)
+                       AS bigint)) AS bigint) AS w0
+  FROM per_seg
+)
+SELECT n_all AS n_users, t_all AS n_treated,
+       floor(cast(y1_all AS double) / t_all
+             - cast(y0_all AS double) / (n_all - t_all) + 0.5) / 100 AS naive_diff,
+       floor(cast(w1 AS double) / n_all + 0.5) / 100 AS mu_treated,
+       floor(cast(w0 AS double) / n_all + 0.5) / 100 AS mu_control,
+       floor(cast(w1 AS double) / n_all
+             - cast(w0 AS double) / n_all + 0.5) / 100 AS ate
+FROM terms
+"""
+
+
+@register(
+    "ipw_treatment_effect",
+    oracle=_IPW_ORACLE,
+    tags=("extension", "training", "experiment", "causal"),
+)
+def ipw_treatment_effect(spark, sf_dir):
+    """Inverse-propensity-weighted (stratified Hajek) treatment effect
+    from observational data: treatment = user ever signed up, outcome =
+    total purchase value, propensity = the exact per-activity-segment
+    treatment rate (Horvitz-Thompson 1952 / Rosenbaum-Rubin 1983
+    stratification). With exact within-stratum propensities the Hajek
+    normalizer telescopes to N (sum over strata of t_s * n_s/t_s), so
+    mu_hat = sum_s Y_s * n_s/t_s / N — no per-row weights ever
+    materialize. The unadjusted difference rides along to show what the
+    adjustment moved.
+
+    Exactness: strata sums are exact int64 cents; each stratum's
+    inverse-propensity term is one double expression quantized back to
+    int cents before the cross-strata sum.
+
+    Scale: one user-keyed conditional aggregate over the fact (map-side
+    combined), a 5-row stratum rollup, single-row algebra. Degenerate
+    strata (all-treated / all-control) would yield NULL terms and
+    surface as NULL rather than silently dropping — acceptable for the
+    diagnostic; a production gate would trim propensities."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("activity"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("y"),
+    )
+    s = (
+        F.when(F.col("activity") < _IPW_EDGES[0], 0)
+        .when(F.col("activity") < _IPW_EDGES[1], 1)
+        .when(F.col("activity") < _IPW_EDGES[2], 2)
+        .when(F.col("activity") < _IPW_EDGES[3], 3)
+        .otherwise(4)
+    )
+    per_seg = u.select(s.alias("s"), "t", "y").groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("t").alias("t_s"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("y1_s"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("y0_s"),
+    )
+    terms = per_seg.agg(
+        F.sum("n_s").alias("n_all"),
+        F.sum("t_s").alias("t_all"),
+        F.sum("y1_s").alias("y1_all"),
+        F.sum("y0_s").alias("y0_all"),
+        F.sum(
+            F.floor(
+                F.col("y1_s").cast("double") * F.col("n_s") / F.col("t_s") + 0.5
+            ).cast("long")
+        ).alias("w1"),
+        F.sum(
+            F.floor(
+                F.col("y0_s").cast("double") * F.col("n_s")
+                / (F.col("n_s") - F.col("t_s"))
+                + 0.5
+            ).cast("long")
+        ).alias("w0"),
+    )
+    return terms.select(
+        F.col("n_all").alias("n_users"),
+        F.col("t_all").alias("n_treated"),
+        (
+            F.floor(
+                F.col("y1_all").cast("double") / F.col("t_all")
+                - F.col("y0_all").cast("double") / (F.col("n_all") - F.col("t_all"))
+                + 0.5
+            )
+            / 100
+        ).alias("naive_diff"),
+        (F.floor(F.col("w1").cast("double") / F.col("n_all") + 0.5) / 100).alias(
+            "mu_treated"
+        ),
+        (F.floor(F.col("w0").cast("double") / F.col("n_all") + 0.5) / 100).alias(
+            "mu_control"
+        ),
+        (
+            F.floor(
+                F.col("w1").cast("double") / F.col("n_all")
+                - F.col("w0").cast("double") / F.col("n_all")
+                + 0.5
+            )
+            / 100
+        ).alias("ate"),
+    )

@@ -150,3 +150,99 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r.n_reps == 200
     assert r.ci_lo < r.ci_hi
     assert r.ci_lo <= r.mean_spend <= r.ci_hi
+
+
+# --- Shapley attribution ------------------------------------------------------------
+
+
+def test_shapley_efficiency_on_real_data(spark):
+    """The Shapley axioms' teeth: per-channel values must sum exactly to
+    v(all channels) = total attributable conversions (efficiency)."""
+    rows = QS["attribution_shapley"](spark, SF0001).collect()
+    assert rows
+    total24 = sum(r.phi24 for r in rows)
+    assert total24 == rows[0].attributed_conversions * 24
+
+
+def test_shapley_symmetry_and_null_player(spark, tmp_path):
+    """Two channels that appear in identical coalitions get identical
+    values (symmetry); a channel that never appears gets zero (null
+    player). Users u0/u1: click+error together before purchase; 'view'
+    and 'signup' never touch."""
+    path = str(tmp_path / "shap")
+    t0 = dt.datetime(2024, 1, 10)
+    rows = []
+    eid = 0
+    for u in (0, 1):
+        for ch in ("click", "error"):
+            rows.append((eid, t0 + dt.timedelta(hours=u), u, ch, 0.0, "{}"))
+            eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=1, hours=u), u, "purchase", 50.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double,"
+        " props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.channel: r for r in QS["attribution_shapley"](spark, path).collect()}
+    assert got["click"].phi24 == got["error"].phi24 > 0
+    assert got["view"].phi24 == 0 and got["signup"].phi24 == 0
+    assert got["click"].attributed_conversions == 2
+
+
+# --- IPW ----------------------------------------------------------------------------
+
+
+def test_ipw_removes_confounding(spark, tmp_path):
+    """Engineered confounder: high-activity users are mostly treated AND
+    spend 100; low-activity users are mostly control AND spend 10 —
+    within each stratum treatment does nothing, so the true effect is 0.
+    The naive difference must be large; the IPW estimate ~0."""
+    path = str(tmp_path / "ipw")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(200):
+        high = u < 100
+        # activity: 45 views (segment 4) vs 2 views (segment 0)
+        for i in range(45 if high else 2):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "view", 1.0, "{}"))
+            eid += 1
+        treated = (u % 10) < (9 if high else 1)  # 90% vs 10% treated
+        if treated:
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "signup", 0.0, "{}"))
+            eid += 1
+        rows.append(
+            (eid, t0 + dt.timedelta(minutes=eid), u, "purchase",
+             100.0 if high else 10.0, "{}")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double,"
+        " props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    r = QS["ipw_treatment_effect"](spark, path).collect()[0]
+    assert r.naive_diff > 50  # confounded gap ~72
+    assert abs(r.ate) < 1e-9  # stratified IPW recovers the true 0
+
+
+# --- SES ----------------------------------------------------------------------------
+
+
+def test_ses_constant_series_is_exact(spark, tmp_path):
+    """On a constant monthly series the SES level equals the constant and
+    the one-step-ahead backtest error is 0 (up to the term quantization,
+    which is exact for integer levels)."""
+    path = str(tmp_path / "ses")
+    rows = [
+        (i, dt.datetime(2024 + i // 12, 1 + i % 12, 15), 500_000.0)
+        for i in range(24)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    r = QS["ses_backtest_monthly"](spark, path).collect()[0]
+    assert r.n_months == 24
+    assert r.ses_level == 500.0  # 500 k$
+    assert r.backtest_mae == 0.0
