@@ -1674,3 +1674,126 @@ def attribution_shapley(spark, sf_dir):
             F.col("v_all").alias("attributed_conversions"),
         )
     )
+
+
+# --- association rules (market-basket) ------------------------------------------------
+
+_AR_MINSUP = 3  # minimum co-occurrence count for a rule
+_AR_TOPK = 20
+
+_ASSOC_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT cast(count(DISTINCT ok) AS bigint) AS n_orders FROM op),
+freq AS (SELECT pk, cast(count(*) AS bigint) AS n FROM op GROUP BY pk),
+co AS (
+  SELECT a.pk AS pa, b.pk AS pb, cast(count(*) AS bigint) AS n_ab
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_AR_MINSUP}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab, fa.n AS n_a, fb.n AS n_b
+  FROM co JOIN freq fa ON fa.pk = co.pa JOIN freq fb ON fb.pk = co.pb
+  UNION ALL
+  SELECT pb, pa, n_ab, fb.n, fa.n
+  FROM co JOIN freq fa ON fa.pk = co.pa JOIN freq fb ON fb.pk = co.pb
+),
+scored AS (
+  SELECT antecedent, consequent, n_ab, n_a, n_b,
+         cast(floor(cast(n_ab AS double) / n_a * 1000000 + 0.5) AS bigint) AS conf_q,
+         cast(floor(cast(n.n_orders AS double) * n_ab / (n_a * n_b) * 1000000 + 0.5)
+              AS bigint) AS lift_q
+  FROM rules, n
+)
+SELECT antecedent, consequent, n_ab,
+       cast(conf_q AS double) / 1000000 AS confidence,
+       cast(lift_q AS double) / 1000000 AS lift
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY lift_q DESC, conf_q DESC, antecedent, consequent) AS rn
+  FROM scored
+) WHERE rn <= {_AR_TOPK}
+"""
+
+
+@register(
+    "association_rules_pairs",
+    oracle=_ASSOC_ORACLE,
+    tags=("extension", "recsys", "association"),
+)
+def association_rules_pairs(spark, sf_dir):
+    """Pairwise association rules (Agrawal & Srikant 1994, the 2-itemset
+    core of Apriori): antecedent -> consequent with support count,
+    confidence supp(ab)/supp(a) and lift N*supp(ab)/(supp(a)*supp(b));
+    both directions of each frequent pair, global top-20 by lift.
+
+    Plan: the pair generator is the per-order self-join — bounded by
+    basket size (max ~13 items/order here and in any real register
+    data), NOT corpus size, so candidate volume is sum_orders k^2 — the
+    classic market-basket plan that scales linearly in orders. The
+    minimum-support HAVING prunes before the frequency joins; item
+    frequencies are dimension-sized and broadcast; the global top-k is
+    orderBy().limit() (TakeOrderedAndProject).
+
+    Exactness: all counts exact int64; confidence and lift quantized to
+    1e-6 with identical double expressions before ranking."""
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    n = op.agg(F.countDistinct("ok").alias("n_orders"))
+    freq = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    b = op.select(F.col("ok"), F.col("pk").alias("pk2"))
+    co = (
+        op.join(b, "ok")
+        .where(F.col("pk") < F.col("pk2"))
+        .groupBy(F.col("pk").alias("pa"), F.col("pk2").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _AR_MINSUP)
+    )
+    fa = freq.select(F.col("pk").alias("pa"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("pb"), F.col("n").alias("n_b"))
+    joined = co.join(F.broadcast(fa), "pa").join(F.broadcast(fb), "pb")
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_ab",
+        "n_a",
+        "n_b",
+    )
+    rev = joined.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "n_ab",
+        F.col("n_b").alias("n_a"),
+        F.col("n_a").alias("n_b"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n))
+    conf_q = F.floor(
+        F.col("n_ab").cast("double") / F.col("n_a") * 1000000 + 0.5
+    ).cast("long")
+    lift_q = F.floor(
+        F.col("n_orders").cast("double") * F.col("n_ab") / (F.col("n_a") * F.col("n_b"))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    scored = rules.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        conf_q.alias("conf_q"),
+        lift_q.alias("lift_q"),
+    )
+    return (
+        scored.orderBy(
+            F.desc("lift_q"), F.desc("conf_q"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(_AR_TOPK)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            (F.col("conf_q").cast("double") / 1000000).alias("confidence"),
+            (F.col("lift_q").cast("double") / 1000000).alias("lift"),
+        )
+    )

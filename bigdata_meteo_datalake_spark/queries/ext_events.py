@@ -1122,3 +1122,120 @@ def logrank_segment_survival(spark, sf_dir):
         (F.floor(z * 1000000 + 0.5) / 1000000).alias("z"),
         (F.abs(z) > 1.96).alias("curves_differ"),
     )
+
+
+# --- windowFunnel: ordered multi-step funnel within an anchored window ---------------
+
+_WF_STEPS = ("signup", "view", "click", "purchase")
+_WF_WINDOW_DAYS = 7
+
+
+def _wf_oracle() -> str:
+    """Chained-CTE funnel: step k's per-user timestamp is the min event
+    time of its type strictly after step k-1 and inside the window
+    anchored at step 1."""
+    ctes = ["""
+u1 AS (
+  SELECT user_id, min(ts) AS s1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)"""]
+    for k in range(2, len(_WF_STEPS) + 1):
+        ctes.append(f"""
+u{k} AS (
+  SELECT e.user_id, min(e.ts) AS s{k}
+  FROM events e JOIN u{k - 1} p ON p.user_id = e.user_id
+  JOIN u1 ON u1.user_id = e.user_id
+  WHERE e.event_type = '{_WF_STEPS[k - 1]}'
+    AND e.ts > p.s{k - 1}
+    AND e.ts <= u1.s1 + INTERVAL {_WF_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+)""")
+    counts = ", ".join(
+        f"(SELECT cast(count(*) AS bigint) FROM u{k}) AS n{k}"
+        for k in range(1, len(_WF_STEPS) + 1)
+    )
+    selects = []
+    for k, name in enumerate(_WF_STEPS, start=1):
+        prev = "n1" if k == 1 else f"n{k - 1}"
+        conv = (
+            "1.0"
+            if k == 1
+            else f"floor(cast(n{k} AS double) / {prev} * 10000 + 0.5) / 10000"
+        )
+        selects.append(
+            f"SELECT {k} AS step, '{name}' AS step_name, n{k} AS n_users,"
+            f" {conv} AS conv_from_prev FROM c"
+        )
+    return (
+        "WITH " + ",".join(ctes) + f", c AS (SELECT {counts})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "window_funnel_steps",
+    oracle=_wf_oracle(),
+    tags=("extension", "events", "funnel"),
+)
+def window_funnel_steps(spark, sf_dir):
+    """ClickHouse-style windowFunnel: how many users complete
+    signup -> view -> click -> purchase IN ORDER within 7 days of their
+    first signup (each step strictly after the previous one, window
+    anchored at step 1), with per-step conversion from the previous
+    step. The strict-order semantics is what separates a funnel from
+    four independent existence checks.
+
+    Plan: step k is one user-keyed equi-join of the (type-filtered,
+    pushed-down) event scan against step k-1's per-user frame plus a
+    min aggregate — K-1 co-partitioned joins on the SAME key, so after
+    the first shuffle every later stage reuses the user partitioning
+    (AQE-coalesced); no window functions, no per-user event arrays
+    (the collect-sort-fold alternative holds a user's whole history in
+    one row — this shape never does).
+
+    Exactness: counts are exact; conversion ratios are single double
+    divisions of exact counts, floor-rounded to 4 decimals."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = (
+        ev.where(F.col("event_type") == _WF_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    frames = [u1]
+    deadline = F.col("s1") + F.expr(f"INTERVAL {_WF_WINDOW_DAYS} DAY")
+    for k in range(2, len(_WF_STEPS) + 1):
+        prev = frames[-1].select("user_id", F.col(f"s{k - 1}").alias("prev_ts"))
+        base = ev.where(F.col("event_type") == _WF_STEPS[k - 1]).join(prev, "user_id")
+        # re-attach the step-1 anchor for the window deadline
+        base = base.join(u1.select("user_id", "s1"), "user_id")
+        frames.append(
+            base.where((F.col("ts") > F.col("prev_ts")) & (F.col("ts") <= deadline))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"s{k}"))
+        )
+    counts = None
+    for k, fr in enumerate(frames, start=1):
+        c = fr.agg(F.count(F.lit(1)).alias(f"n{k}"))
+        counts = c if counts is None else counts.crossJoin(F.broadcast(c))
+    rows = []
+    for k, name in enumerate(_WF_STEPS, start=1):
+        conv = (
+            F.lit(1.0)
+            if k == 1
+            else F.floor(
+                F.col(f"n{k}").cast("double") / F.col(f"n{k - 1}") * 10000 + 0.5
+            )
+            / 10000
+        )
+        rows.append(
+            counts.select(
+                F.lit(k).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"n{k}").alias("n_users"),
+                conv.alias("conv_from_prev"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -246,3 +246,67 @@ def test_ses_constant_series_is_exact(spark, tmp_path):
     assert r.n_months == 24
     assert r.ses_level == 500.0  # 500 k$
     assert r.backtest_mae == 0.0
+
+
+# --- association rules ---------------------------------------------------------------
+
+
+def test_association_rules_values(spark, tmp_path):
+    """Hand-computable baskets: items 1,2 co-occur in 3 of 6 orders,
+    item 1 appears in 4, item 2 in 3 -> conf(1->2)=0.75, conf(2->1)=1.0,
+    lift = 6*3/(4*3) = 1.5 both ways."""
+    path = str(tmp_path / "ar")
+    # item 1 in orders 1-4; item 2 in orders 1-3 only; pair {1,2} in 1-3
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 2], 4: [1, 3], 5: [3, 4], 6: [3, 4]}
+    rows = [
+        (ok, pk, 1.0) for ok, items in baskets.items() for pk in items
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in QS["association_rules_pairs"](spark, path).collect()
+    }
+    assert set(got) == {(1, 2), (2, 1)}
+    assert got[(1, 2)].n_ab == 3
+    assert got[(1, 2)].confidence == 0.75  # 3/4
+    assert got[(2, 1)].confidence == 1.0  # 3/3
+    assert got[(1, 2)].lift == 1.5  # 6*3/(4*3)
+    assert got[(2, 1)].lift == 1.5
+
+
+# --- window funnel -------------------------------------------------------------------
+
+
+def test_window_funnel_order_and_deadline(spark, tmp_path):
+    """u0 completes all 4 steps in order inside the window; u1 has the
+    click BEFORE the view (order violated at step 3); u2's purchase
+    lands after the 7-day anchor deadline (drops at step 4)."""
+    path = str(tmp_path / "wf")
+    t0 = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+
+    def ev(eid, u, ty, t):
+        return (eid, t, u, ty, 1.0, "{}")
+
+    rows = [
+        # u0: full ordered funnel
+        ev(0, 0, "signup", t0), ev(1, 0, "view", t0 + h),
+        ev(2, 0, "click", t0 + 2 * h), ev(3, 0, "purchase", t0 + 3 * h),
+        # u1: click precedes view -> funnel stops after view
+        ev(4, 1, "signup", t0), ev(5, 1, "click", t0 + h),
+        ev(6, 1, "view", t0 + 2 * h),
+        # u2: purchase outside the 7-day anchored window
+        ev(7, 2, "signup", t0), ev(8, 2, "view", t0 + h),
+        ev(9, 2, "click", t0 + 2 * h),
+        ev(10, 2, "purchase", t0 + dt.timedelta(days=8)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double,"
+        " props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.step: r for r in QS["window_funnel_steps"](spark, path).collect()}
+    assert [got[k].n_users for k in (1, 2, 3, 4)] == [3, 3, 2, 1]
+    assert got[4].conv_from_prev == 0.5
