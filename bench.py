@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "boilerplate_ngram_coverage",
     "embedding_covariance",
     "spatial_radius_pairs",
+    # round-5 additions: search-ranking paths (baseline restated for the
+    # 26-query set in BASELINE.md, same session as the set change)
+    "bm25_doc_scores",
+    "rrf_hybrid_fusion",
 ]
 
 
