@@ -623,3 +623,85 @@ def fuzzy_match_customer_names(spark, sf_dir):
     return cand.where(dist <= 1).select(
         "cust1", "cust2", "name1", "name2", dist.cast("long").alias("dist")
     )
+
+
+# --- asymmetric containment near-dup pairs -------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks
+  WHERE len(t) >= 3
+),
+sizes AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n FROM grams GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+         cast(count(*) AS bigint) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT contained_doc, container_doc, n_inter, sa.n AS n_contained,
+       floor(cast(n_inter AS double) / sa.n * 1000000 + 0.5) / 1000000 AS containment
+FROM inter JOIN sizes sa ON contained_doc = sa.doc_id
+WHERE cast(n_inter AS double) / sa.n >= {_CONTAIN_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    tags=("extension", "dedup", "containment"),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (Broder 1997's containment
+    c(A,B) = |A n B| / |A| over 3-gram shingles): catches a document
+    EMBEDDED in a larger one — quote-plus-commentary, boilerplate-wrapped
+    copies — which symmetric Jaccard misses entirely (a small doc inside
+    a big one has low Jaccard but containment 1.0). Ordered pairs with
+    c >= 0.8; the contained side's shingle count rides along.
+
+    Plan: the same inverted-index pair generator as dedup_ngram_jaccard
+    (shingle equi-join, pair-keyed count) with the contained side's size
+    broadcast back; the scale path is the PPJoin-family prefix filter
+    adapted to containment (an L-prefix bound on the CONTAINED side
+    only), the same machinery as operators/dedup.py:174 — at bench
+    corpus sizes the exact generator is the honest baseline, as with
+    the Jaccard twin.
+
+    Exactness: intersection and size counts are exact int64; one double
+    division, floor-quantized to 1e-6."""
+    d = read_table(spark, sf_dir, "documents")
+    grams = doc_shingles(d)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    b = grams.select(F.col("doc_id").alias("container_doc"), "gram")
+    inter = (
+        grams.select(F.col("doc_id").alias("contained_doc"), "gram")
+        .join(b, "gram")
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained_doc"), F.col("n").alias("n_contained"))
+    c = F.col("n_inter").cast("double") / F.col("n_contained")
+    return (
+        inter.join(F.broadcast(sa), "contained_doc")
+        .where(c >= _CONTAIN_THRESHOLD)
+        .select(
+            "contained_doc",
+            "container_doc",
+            "n_inter",
+            "n_contained",
+            (F.floor(c * 1000000 + 0.5) / 1000000).alias("containment"),
+        )
+    )

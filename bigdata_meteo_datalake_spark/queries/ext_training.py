@@ -1440,3 +1440,126 @@ def ipw_treatment_effect(spark, sf_dir):
             / 100
         ).alias("ate"),
     )
+
+
+# --- Simpson's paradox check ---------------------------------------------------------
+
+_SIMPSON_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         cast(sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              AS bigint) AS activity,
+         cast(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS bigint) AS t,
+         cast(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS bigint) AS conv
+  FROM events GROUP BY user_id
+),
+seg AS (
+  SELECT {_IPW_SEG_SQL} AS segment, t, conv FROM u
+),
+per_seg AS (
+  SELECT segment,
+         cast(sum(t) AS bigint) AS n_t,
+         cast(sum(1 - t) AS bigint) AS n_c,
+         cast(sum(CASE WHEN t = 1 THEN conv ELSE 0 END) AS bigint) AS conv_t,
+         cast(sum(CASE WHEN t = 0 THEN conv ELSE 0 END) AS bigint) AS conv_c
+  FROM seg GROUP BY segment
+),
+allrows AS (
+  SELECT segment, n_t, n_c, conv_t, conv_c FROM per_seg
+  UNION ALL
+  SELECT -1, cast(sum(n_t) AS bigint), cast(sum(n_c) AS bigint),
+         cast(sum(conv_t) AS bigint), cast(sum(conv_c) AS bigint)
+  FROM per_seg
+),
+pooled AS (
+  -- exact integer sign of the pooled rate difference: conv_t*n_c - conv_c*n_t
+  SELECT cast(sign(conv_t * n_c - conv_c * n_t) AS bigint) AS pooled_sign
+  FROM allrows WHERE segment = -1
+)
+SELECT b.segment, b.n_t, b.n_c,
+       floor(cast(b.conv_t AS double) / b.n_t * 10000 + 0.5) / 10000 AS rate_t,
+       floor(cast(b.conv_c AS double) / b.n_c * 10000 + 0.5) / 10000 AS rate_c,
+       cast(sign(b.conv_t * b.n_c - b.conv_c * b.n_t) AS bigint) AS diff_sign,
+       (b.segment >= 0
+        AND sign(b.conv_t * b.n_c - b.conv_c * b.n_t) * p.pooled_sign < 0)
+         AS is_reversed
+FROM allrows b, pooled p
+"""
+
+
+@register(
+    "simpsons_paradox_check",
+    oracle=_SIMPSON_ORACLE,
+    tags=("extension", "training", "experiment", "diagnostics"),
+)
+def simpsons_paradox_check(spark, sf_dir):
+    """Simpson's-paradox screen for the signup->conversion comparison:
+    per activity stratum (the same strata the IPW estimator uses) the
+    treated and control conversion RATES and the exact integer sign of
+    their difference, plus the pooled row (segment -1) — a stratum is
+    flagged ``is_reversed`` when its direction contradicts the pooled
+    direction, the aggregation reversal that makes pooled comparisons
+    lie (Simpson 1951; the diagnostic that should gate any pooled
+    metric read).
+
+    Exactness: rate-difference signs compare the exact integer cross
+    products conv_t*n_c - conv_c*n_t — never two rounded doubles;
+    displayed rates are single quantized divisions.
+
+    Scale: one user-keyed conditional aggregate, a 5-row stratum
+    rollup, and a 1-row pooled broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("activity"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    s = (
+        F.when(F.col("activity") < _IPW_EDGES[0], 0)
+        .when(F.col("activity") < _IPW_EDGES[1], 1)
+        .when(F.col("activity") < _IPW_EDGES[2], 2)
+        .when(F.col("activity") < _IPW_EDGES[3], 3)
+        .otherwise(4)
+    )
+    per_seg = u.select(s.alias("segment"), "t", "conv").groupBy("segment").agg(
+        F.sum("t").alias("n_t"),
+        F.sum(1 - F.col("t")).alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0)).alias("conv_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0)).alias("conv_c"),
+    )
+    pooled_row = per_seg.agg(
+        F.lit(-1).cast("int").alias("segment"),
+        F.sum("n_t").alias("n_t"),
+        F.sum("n_c").alias("n_c"),
+        F.sum("conv_t").alias("conv_t"),
+        F.sum("conv_c").alias("conv_c"),
+    )
+    both = per_seg.select(
+        F.col("segment").cast("int").alias("segment"), "n_t", "n_c", "conv_t", "conv_c"
+    ).unionByName(pooled_row)
+    cross = F.col("conv_t") * F.col("n_c") - F.col("conv_c") * F.col("n_t")
+    pooled = pooled_row.select(
+        F.signum(
+            (F.col("conv_t") * F.col("n_c") - F.col("conv_c") * F.col("n_t")).cast(
+                "double"
+            )
+        )
+        .cast("long")
+        .alias("pooled_sign")
+    )
+    return both.crossJoin(F.broadcast(pooled)).select(
+        "segment",
+        "n_t",
+        "n_c",
+        (F.floor(F.col("conv_t").cast("double") / F.col("n_t") * 10000 + 0.5) / 10000).alias("rate_t"),
+        (F.floor(F.col("conv_c").cast("double") / F.col("n_c") * 10000 + 0.5) / 10000).alias("rate_c"),
+        F.signum(cross.cast("double")).cast("long").alias("diff_sign"),
+        (
+            (F.col("segment") >= 0)
+            & (F.signum(cross.cast("double")).cast("long") * F.col("pooled_sign") < 0)
+        ).alias("is_reversed"),
+    )

@@ -310,3 +310,77 @@ def test_window_funnel_order_and_deadline(spark, tmp_path):
     got = {r.step: r for r in QS["window_funnel_steps"](spark, path).collect()}
     assert [got[k].n_users for k in (1, 2, 3, 4)] == [3, 3, 2, 1]
     assert got[4].conv_from_prev == 0.5
+
+
+# --- containment dedup ---------------------------------------------------------------
+
+
+def test_containment_catches_embedded_doc(spark, tmp_path):
+    """A document embedded verbatim inside a larger one has containment
+    1.0 in the embed direction only — the asymmetric case symmetric
+    Jaccard misses (here Jaccard ~ 0.47, below any dedup threshold)."""
+    path = str(tmp_path / "contain")
+    core = " ".join(f"w{i}" for i in range(20))
+    texts = [
+        core,  # doc 0: the contained document
+        core + " " + " ".join(f"x{i}" for i in range(20)),  # doc 1: wraps doc 0
+        " ".join(f"z{i}" for i in range(20)),  # doc 2: unrelated
+    ]
+    _write_docs(spark, path, texts)
+    rows = {
+        (r.contained_doc, r.container_doc): r
+        for r in QS["dedup_containment_pairs"](spark, path).collect()
+    }
+    assert set(rows) == {(0, 1)}
+    assert rows[(0, 1)].containment == 1.0
+    assert rows[(0, 1)].n_contained == 18  # 20 tokens -> 18 trigrams
+
+
+# --- Simpson's paradox ---------------------------------------------------------------
+
+
+def test_simpsons_reversal_detected(spark, tmp_path):
+    """Engineered reversal: within BOTH activity strata the control
+    converts better, but treatment concentrates in the high-rate
+    stratum, so the pooled comparison says treatment wins — every
+    stratum must flag is_reversed, the pooled row must not."""
+    path = str(tmp_path / "simpson")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add_user(u, high, treated, converts):
+        nonlocal eid
+        for i in range(45 if high else 2):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "view", 1.0, "{}"))
+            eid += 1
+        if treated:
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "signup", 0.0, "{}"))
+            eid += 1
+        if converts:
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "purchase", 9.0, "{}"))
+            eid += 1
+
+    u = 0
+    # high stratum: 100 treated (80% convert), 10 control (90% convert)
+    for i in range(100):
+        add_user(u, True, True, i < 80); u += 1
+    for i in range(10):
+        add_user(u, True, False, i < 9); u += 1
+    # low stratum: 10 treated (10% convert), 100 control (20% convert)
+    for i in range(10):
+        add_user(u, False, True, i < 1); u += 1
+    for i in range(100):
+        add_user(u, False, False, i < 20); u += 1
+
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double,"
+        " props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.segment: r for r in QS["simpsons_paradox_check"](spark, path).collect()}
+    pooled = got[-1]
+    assert pooled.diff_sign == 1 and not pooled.is_reversed  # pooled: treated "wins"
+    for seg, r in got.items():
+        if seg >= 0:
+            assert r.diff_sign == -1 and r.is_reversed, seg  # every stratum reversed
