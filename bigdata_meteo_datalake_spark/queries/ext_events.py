@@ -1239,3 +1239,168 @@ def window_funnel_steps(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- burstiness (Fano factor) of hourly event arrivals --------------------------------
+
+_FANO_THRESHOLD = 1.5
+
+_FANO_ORACLE = f"""
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  -- the shared observation window: every type is judged over the same spine
+  SELECT cast(datediff('hour', min(h), max(h)) AS bigint) + 1 AS n_hours
+  FROM hours
+),
+mom AS (
+  SELECT event_type,
+         cast(sum(c) AS bigint) AS s1,
+         cast(sum(c * c) AS bigint) AS s2
+  FROM hours GROUP BY event_type
+)
+SELECT m.event_type, m.s1 AS n_events, sp.n_hours,
+       floor(((cast(m.s2 AS double) / sp.n_hours
+               - (cast(m.s1 AS double) / sp.n_hours)
+                 * (cast(m.s1 AS double) / sp.n_hours))
+              / (cast(m.s1 AS double) / sp.n_hours)) * 10000 + 0.5) / 10000
+         AS fano,
+       ((cast(m.s2 AS double) / sp.n_hours
+         - (cast(m.s1 AS double) / sp.n_hours)
+           * (cast(m.s1 AS double) / sp.n_hours))
+        / (cast(m.s1 AS double) / sp.n_hours)) > {_FANO_THRESHOLD!r} AS is_bursty
+FROM mom m, span sp
+"""
+
+
+@register(
+    "fano_burstiness_report",
+    oracle=_FANO_ORACLE,
+    tags=("extension", "events", "burstiness"),
+)
+def fano_burstiness_report(spark, sf_dir):
+    """Burstiness of hourly event arrivals per type: the Fano factor
+    (index of dispersion, var/mean of hourly counts over the shared
+    observation window) — ~1 for Poisson-like arrivals, >> 1 for bursty
+    traffic; the dispersion diagnostic behind rate-limit and capacity
+    sizing. Empty hours count as zero WITHOUT materializing a spine:
+    population moments over the full n_hours window follow from the
+    observed-hour sums alone (missing hours add nothing to s1/s2).
+
+    Exactness: hour counts and both moment sums are exact int64; the
+    Fano ratio is a fixed IEEE expression over them, floor-rounded.
+
+    Scale: one hour-keyed aggregate over the fact (map-side combined),
+    a per-type moment rollup, a 1-row span broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hours.agg(
+        (
+            (F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h"))) / 3600
+        ).cast("long").alias("dh")
+    ).select((F.col("dh") + 1).alias("n_hours"))
+    mom = hours.groupBy("event_type").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    fano = (F.col("s2").cast("double") / F.col("n_hours") - mean * mean) / mean
+    return mom.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("s1").alias("n_events"),
+        "n_hours",
+        (F.floor(fano * 10000 + 0.5) / 10000).alias("fano"),
+        (fano > _FANO_THRESHOLD).alias("is_bursty"),
+    )
+
+
+# --- cohort LTV curve -----------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('month', min(ts)) AS cohort_m FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_m, cast(count(*) AS bigint) AS cohort_users FROM firsts GROUP BY cohort_m
+),
+rev AS (
+  SELECT f.cohort_m,
+         cast(datediff('month', f.cohort_m, date_trunc('month', e.ts)) AS integer)
+           AS age_months,
+         cast(sum(cast(floor(e.value * 100 + 0.5) AS bigint)) AS bigint) AS cents
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_m, age_months, cents,
+         cast(sum(cents) OVER (PARTITION BY cohort_m ORDER BY age_months
+                               ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_cents
+  FROM rev
+)
+SELECT c.cohort_m, c.age_months, s.cohort_users,
+       floor(cast(c.cents AS double) + 0.5) / 100 AS month_revenue,
+       floor(cast(c.cum_cents AS double) / s.cohort_users + 0.5) / 100
+         AS cum_ltv_per_user
+FROM cum c JOIN sizes s ON s.cohort_m = c.cohort_m
+"""
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle=_LTV_ORACLE,
+    tags=("extension", "events", "cohort", "ltv"),
+)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: users grouped by first-activity
+    month, purchase revenue accumulated by cohort age, divided by cohort
+    size — the cumulative-LTV-per-user readout that payback-period and
+    acquisition-spend decisions read off (the money companion to
+    cohort_retention's activity triangle).
+
+    Exactness: revenue accumulates as exact int64 cents; the per-user
+    division is one double expression, floor-rounded to cents.
+
+    Scale: one user-keyed first-touch aggregate, one (cohort, age)
+    aggregate over the purchase slice (filter pushed to the scan), and
+    a COHORT-partitioned running sum — per-cohort window state only,
+    never a global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_m")
+    )
+    sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_users"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_m",
+            F.months_between(
+                F.date_trunc("month", F.col("ts")), F.col("cohort_m")
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_m").select(
+        "cohort_m",
+        "age_months",
+        "cohort_users",
+        (F.floor(F.col("cents").cast("double") + 0.5) / 100).alias("month_revenue"),
+        (
+            F.floor(F.col("cum_cents").cast("double") / F.col("cohort_users") + 0.5)
+            / 100
+        ).alias("cum_ltv_per_user"),
+    )

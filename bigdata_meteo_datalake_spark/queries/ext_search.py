@@ -182,6 +182,53 @@ def bm25_doc_scores(spark, sf_dir):
     )
 
 
+def _candidate_ranks(spark, sf_dir):
+    """(id, list_id, r): within-list ranks 1..N of the lexical (BM25) and
+    dense (cosine-to-query-vector) top-{N} candidate lists — the shared
+    retrieval front-end of rrf_hybrid_fusion and rank_biased_overlap.
+
+    Both retrievers end in TakeOrderedAndProject, so the rank window sees
+    <= 2N rows by construction (partitioned by list_id)."""
+    bm = _bm25_scored(spark, sf_dir)
+    text_cand = (
+        bm.orderBy(F.desc("s_q"), F.asc("doc_id"))
+        .limit(_RRF_LIST_N)
+        .select(F.col("doc_id").alias("id"), F.lit("text").alias("list_id"), F.col("s_q").alias("sort_q"))
+    )
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    q = base.where(F.col("vec_id") == _RRF_QVEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    # sequential left-fold dot product: same fold order as the oracle's
+    # list_aggregate, hence bit-identical doubles (ext_similarity convention)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vec_cand = (
+        base.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.floor(dot / (F.col("qn") * F.col("nrm")) * 1000000000.0 + 0.5)
+            .cast("long")
+            .alias("sort_q"),
+        )
+        .orderBy(F.desc("sort_q"), F.asc("id"))
+        .limit(_RRF_LIST_N)
+        .select("id", F.lit("vec").alias("list_id"), "sort_q")
+    )
+    cand = text_cand.unionByName(vec_cand)
+    w = Window.partitionBy("list_id").orderBy(F.desc("sort_q"), F.asc("id"))
+    return cand.select("id", "list_id", F.row_number().over(w).cast("long").alias("r"))
+
+
 _RRF_ORACLE = f"""
 WITH {_bm25_sql_cte()},
 tr AS (
@@ -259,44 +306,7 @@ def rrf_hybrid_fusion(spark, sf_dir):
     Exactness: both rankings order by int64-quantized scores with id
     tie-breaks; the RRF sum is two identically-written double divisions
     of exact integers, quantized again before the final rank."""
-    bm = _bm25_scored(spark, sf_dir)
-    text_cand = (
-        bm.orderBy(F.desc("s_q"), F.asc("doc_id"))
-        .limit(_RRF_LIST_N)
-        .select(F.col("doc_id").alias("id"), F.lit("text").alias("list_id"), F.col("s_q").alias("sort_q"))
-    )
-    emb = widen(read_table(spark, sf_dir, "embeddings"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
-    )
-    q = base.where(F.col("vec_id") == _RRF_QVEC_ID).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    # sequential left-fold dot product: same fold order as the oracle's
-    # list_aggregate, hence bit-identical doubles (ext_similarity convention)
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    vec_cand = (
-        base.crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("id"),
-            F.floor(dot / (F.col("qn") * F.col("nrm")) * 1000000000.0 + 0.5)
-            .cast("long")
-            .alias("sort_q"),
-        )
-        .orderBy(F.desc("sort_q"), F.asc("id"))
-        .limit(_RRF_LIST_N)
-        .select("id", F.lit("vec").alias("list_id"), "sort_q")
-    )
-    cand = text_cand.unionByName(vec_cand)
-    w = Window.partitionBy("list_id").orderBy(F.desc("sort_q"), F.asc("id"))
-    ranked = cand.select("id", "list_id", F.row_number().over(w).cast("long").alias("r"))
+    ranked = _candidate_ranks(spark, sf_dir)
     fused = ranked.groupBy("id").agg(
         F.min(F.when(F.col("list_id") == "text", F.col("r"))).alias("text_rank"),
         F.min(F.when(F.col("list_id") == "vec", F.col("r"))).alias("vec_rank"),
@@ -319,4 +329,113 @@ def rrf_hybrid_fusion(spark, sf_dir):
             F.col("vec_rank").cast("int").alias("vec_rank"),
             (F.col("rrf_q").cast("double") / 1000000000000.0).alias("rrf_score"),
         )
+    )
+
+
+# --- rank-biased overlap between the two retrievers -----------------------------------
+
+_RBO_P = 0.9
+# per-depth weights (1-p) p^(d-1) / d for d = 1..N, computed once in
+# Python and embedded as literals in both engines (engine pow() may
+# differ in the last ulp, identical literals cannot)
+_RBO_W = [(1.0 - _RBO_P) * _RBO_P ** (d - 1) / d for d in range(1, _RRF_LIST_N + 1)]
+
+_RBO_ORACLE = f"""
+WITH {_bm25_sql_cte()},
+tr AS (
+  SELECT doc_id AS id, cast(row_number() OVER (ORDER BY s_q DESC, doc_id) AS bigint) AS r
+  FROM bm
+),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM ev
+),
+cosq AS (
+  SELECT c.vec_id AS id,
+         cast(floor(list_aggregate(list_transform(list_zip(q.v, c.v),
+                                                  p -> p[1] * p[2]), 'sum')
+                    / (q.nrm * c.nrm) * 1000000000.0 + 0.5) AS bigint) AS cq
+  FROM en c, (SELECT v, nrm FROM en WHERE vec_id = {_RRF_QVEC_ID}) q
+),
+vr AS (
+  SELECT id, cast(row_number() OVER (ORDER BY cq DESC, id) AS bigint) AS r
+  FROM cosq
+),
+pairs AS (
+  SELECT greatest(t.r, v.r) AS m
+  FROM (SELECT id, r FROM tr WHERE r <= {_RRF_LIST_N}) t
+  JOIN (SELECT id, r FROM vr WHERE r <= {_RRF_LIST_N}) v USING (id)
+),
+w AS (SELECT {list(_RBO_W)} AS wts),
+depths AS (SELECT cast(unnest(range(1, {_RRF_LIST_N + 1})) AS bigint) AS d),
+per_depth AS (
+  SELECT d.d, cast(count(p.m) AS bigint) AS overlap
+  FROM depths d LEFT JOIN pairs p ON p.m <= d.d
+  GROUP BY d.d
+),
+terms AS (
+  SELECT cast(sum(cast(floor(overlap * wts[cast(d AS integer)] * 1000000000000.0
+                             + 0.5) AS bigint)) AS bigint) AS rbo_q,
+         cast(max(CASE WHEN d = {_RRF_LIST_N} THEN overlap END) AS bigint) AS n_both
+  FROM per_depth, w
+)
+SELECT cast({_RRF_LIST_N} AS bigint) AS depth,
+       n_both,
+       cast(rbo_q AS double) / 1000000000000.0 AS rbo
+FROM terms
+"""
+
+
+@register(
+    "rank_biased_overlap",
+    oracle=_RBO_ORACLE,
+    tags=("extension", "search", "eval", "rbo"),
+)
+def rank_biased_overlap(spark, sf_dir):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010, p=0.9) between
+    the lexical and dense top-100 rankings — the top-weighted agreement
+    measure for comparing retrievers (Kendall/Spearman treat all ranks
+    equally and need conjoint lists; RBO weights early ranks and handles
+    non-overlapping lists, which is exactly the hybrid-search situation).
+    Truncated at depth 100: the agreement A_d = |intersection at d| / d
+    under the (1-p)p^(d-1) weight profile.
+
+    Exactness: intersection sizes come from exact ranks (the same
+    quantized-score row_numbers the RRF query uses); the per-depth
+    weights are Python-computed literals shared by both engines; each
+    depth's term is int64-quantized before the sum.
+
+    Scale: both candidate lists are TakeOrderedAndProject top-100, so
+    everything after the retrievers runs on <= 100 pair rows joined to a
+    100-row depth spine — constant-sized regardless of corpus."""
+    ranked = _candidate_ranks(spark, sf_dir)
+    t = ranked.where(F.col("list_id") == "text").select("id", F.col("r").alias("rt"))
+    v = ranked.where(F.col("list_id") == "vec").select("id", F.col("r").alias("rv"))
+    pairs = t.join(v, "id").select(F.greatest("rt", "rv").alias("m"))
+    depths = spark.range(1, _RRF_LIST_N + 1).select(F.col("id").alias("d"))
+    per_depth = (
+        depths.join(F.broadcast(pairs), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count(F.col("m")).alias("overlap"))
+    )
+    wts = F.array(*[F.lit(w) for w in _RBO_W])
+    term_q = F.floor(
+        F.col("overlap") * F.element_at(wts, F.col("d").cast("int")) * 1000000000000.0
+        + 0.5
+    ).cast("long")
+    terms = per_depth.agg(
+        F.sum(term_q).alias("rbo_q"),
+        F.max(
+            F.when(F.col("d") == _RRF_LIST_N, F.col("overlap"))
+        ).alias("n_both"),
+    )
+    return terms.select(
+        F.lit(_RRF_LIST_N).cast("long").alias("depth"),
+        F.col("n_both"),
+        (F.col("rbo_q").cast("double") / 1000000000000.0).alias("rbo"),
     )

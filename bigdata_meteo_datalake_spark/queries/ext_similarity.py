@@ -1010,3 +1010,117 @@ def ndcg_at10_report(spark, sf_dir):
             ).alias("ndcg10"),
         )
     )
+
+
+# --- MRR@10 ranking eval --------------------------------------------------------------
+
+_MRR_K = 10
+# reciprocal ranks 1/r for r = 1..10 as integer micro literals (shared
+# with the oracle; no runtime division on the rank in either engine)
+_MRR_MICRO = [round(1000000 / r) for r in range(1, _MRR_K + 1)]
+
+_MRR_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS neighbor_id, c.label AS clabel,
+         floor(list_aggregate(list_transform(list_zip(q.v, c.v),
+                                             p -> p[1] * p[2]), 'sum')
+               / (q.nrm * c.nrm) * 10000 + 0.5) / 10000 AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, qlabel, clabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+),
+firstrel AS (
+  SELECT query_id, cast(min(rn) AS bigint) AS first_rel
+  FROM ranked WHERE rn <= {_MRR_K} AND clabel = qlabel
+  GROUP BY query_id
+),
+qs AS (SELECT DISTINCT query_id FROM scored)
+SELECT q.query_id,
+       cast(coalesce(f.first_rel, 0) AS bigint) AS first_rel_rank,
+       cast(coalesce({_MRR_MICRO}[f.first_rel], 0) AS double) / 1000000
+         AS reciprocal_rank
+FROM qs q LEFT JOIN firstrel f ON f.query_id = q.query_id
+"""
+
+
+@register(
+    "mrr_at10_report",
+    oracle=_MRR_ORACLE,
+    tags=("extension", "similarity", "eval"),
+)
+def mrr_at10_report(spark, sf_dir):
+    """MRR@10 of the brute-force cosine ranking against label relevance —
+    the first-relevant-hit eval beside nDCG (nDCG grades the whole list,
+    reciprocal rank grades how fast a user reaches ONE good answer; the
+    pair disagreeing flags rankings that pack relevance late). Queries
+    with no relevant neighbor in the top 10 contribute 0 with
+    first_rel_rank 0 — visible, never dropped.
+
+    Exactness: the 1/r reciprocals for r = 1..10 are integer micro
+    literals shared with the oracle; no runtime rank division anywhere.
+
+    Scale: identical shape to ndcg_at10_report — bounded query set
+    broadcast against the corpus, one per-query window, one tiny
+    aggregate."""
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
+    v = _double_vec()
+    base = emb.select(F.col("vec_id"), F.col("label"), v.alias("v"), _norm(v).alias("nrm"))
+    q = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = _dot(F.col("qv"), F.col("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "clabel",
+            round_half_up(dot / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    firstrel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= _MRR_K) & (F.col("clabel") == F.col("qlabel")))
+        .groupBy("query_id")
+        .agg(F.min("rn").cast("long").alias("first_rel"))
+    )
+    qs = scored.select("query_id").distinct()
+    micro = F.array(*[F.lit(m) for m in _MRR_MICRO])
+    return qs.join(firstrel, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        (
+            F.coalesce(
+                F.element_at(micro, F.col("first_rel").cast("int")), F.lit(0)
+            ).cast("double")
+            / 1000000
+        ).alias("reciprocal_rank"),
+    )

@@ -384,3 +384,149 @@ def test_simpsons_reversal_detected(spark, tmp_path):
     for seg, r in got.items():
         if seg >= 0:
             assert r.diff_sign == -1 and r.is_reversed, seg  # every stratum reversed
+
+
+# --- parallelism invariance ----------------------------------------------------------
+
+
+def test_round5_results_invariant_under_shuffle_parallelism(spark):
+    """Order-free-arithmetic claims for the round-5 float-adjacent
+    queries: bit-identical results at shuffle partition counts 3 vs 17
+    (same discipline as test_selection_ops — any cross-row float sum
+    that escaped integer quantization would flip low bits here)."""
+    import pandas as pd
+
+    names = [
+        "bm25_doc_scores",
+        "rrf_hybrid_fusion",
+        "acf_daily_revenue",
+        "poisson_bootstrap_ci",
+        "ses_backtest_monthly",
+        "ipw_treatment_effect",
+        "attribution_shapley",
+        "simpsons_paradox_check",
+        "pareto_frontier_suppliers",
+        "association_rules_pairs",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = QS[n](spark, SF0001).toPandas()
+                df = df.sort_values(list(df.columns)).reset_index(drop=True)
+                results.setdefault(n, []).append(df)
+        for n, (a, b) in results.items():
+            pd.testing.assert_frame_equal(a, b, check_exact=True), n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+# --- MRR ----------------------------------------------------------------------------
+
+
+def test_mrr_reciprocals_consistent(spark):
+    """first_rel_rank 0 <=> reciprocal_rank 0; otherwise the reciprocal
+    equals the shared micro literal for that rank."""
+    rows = QS["mrr_at10_report"](spark, SF0001).collect()
+    assert rows
+    micro = [round(1000000 / r) / 1000000 for r in range(1, 11)]
+    for r in rows:
+        if r.first_rel_rank == 0:
+            assert r.reciprocal_rank == 0.0
+        else:
+            assert 1 <= r.first_rel_rank <= 10
+            assert r.reciprocal_rank == micro[r.first_rel_rank - 1]
+
+
+# --- Fano burstiness -----------------------------------------------------------------
+
+
+def test_fano_constant_vs_bursty(spark, tmp_path):
+    """A metronome stream (exactly 2 events every hour) has Fano 0; a
+    stream with all events packed into one hour of a 100-hour span has
+    Fano ~ n_events (99.x here) and flags bursty."""
+    path = str(tmp_path / "fano")
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for hr in range(100):
+        for j in range(2):
+            rows.append((eid, t0 + dt.timedelta(hours=hr, minutes=j), 1,
+                         "steady", 1.0, "{}"))
+            eid += 1
+    for j in range(100):
+        rows.append((eid, t0 + dt.timedelta(minutes=j % 60), 2, "bursty", 1.0, "{}"))
+        eid += 1
+    # pin the shared span with one late bursty-type event at hour 99
+    rows.append((eid, t0 + dt.timedelta(hours=99, minutes=30), 2, "bursty", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double,"
+        " props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.event_type: r for r in QS["fano_burstiness_report"](spark, path).collect()}
+    assert got["steady"].fano == 0.0 and not got["steady"].is_bursty
+    assert got["bursty"].fano > 90 and got["bursty"].is_bursty
+    assert got["steady"].n_hours == got["bursty"].n_hours == 100
+
+
+# --- RBO ----------------------------------------------------------------------------
+
+
+def test_rbo_identical_rankings(spark, tmp_path):
+    """Five documents engineered so the BM25 order and the cosine order
+    are the SAME list [0..4]: RBO must equal the closed-form truncated
+    value sum_d W[d]*min(d,5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_meteo_datalake_spark.queries.ext_search import _RBO_W
+
+    path = str(tmp_path / "rbo")
+    # bm25 order: more 'hash' hits first (equal length)
+    texts = [
+        " ".join(["hash"] * (5 - i) + [f"pad{j}" for j in range(5 + i)]) for i in range(5)
+    ]
+    _write_docs(spark, path, texts)
+    # cosine order vs vec 0: v_i = [1, 0.1*i, 0, ...] -> decreasing cosine in i
+    vecs = [[1.0] + [0.1 * i] + [0.0] * 62 for i in range(5)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{path}/embeddings.parquet")
+    r = QS["rank_biased_overlap"](spark, path).collect()[0]
+    assert r.n_both == 5
+    import math
+
+    expect_q = sum(
+        math.floor(min(d, 5) * _RBO_W[d - 1] * 1e12 + 0.5) for d in range(1, 101)
+    )
+    assert r.rbo == expect_q / 1e12
+
+
+# --- cohort LTV ----------------------------------------------------------------------
+
+
+def test_ltv_curve_monotone_and_consistent(spark):
+    """Within every cohort the cumulative LTV is non-decreasing in age
+    and the final value matches the cohort's total monthly revenue per
+    user (within cent rounding)."""
+    import collections
+
+    rows = QS["cohort_ltv_curve"](spark, SF0001).collect()
+    assert rows
+    by_cohort = collections.defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_m].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        ltvs = [r.cum_ltv_per_user for r in rs]
+        assert ltvs == sorted(ltvs), cohort
+        total = sum(r.month_revenue for r in rs)
+        assert abs(ltvs[-1] - total / rs[0].cohort_users) < 0.02, cohort
