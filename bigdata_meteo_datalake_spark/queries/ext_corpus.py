@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import oracle_avg, round_half_up, rounded_avg, rounded_sum
 from ..sources.lake import read_table, widen
@@ -1740,7 +1741,14 @@ def association_rules_pairs(spark, sf_dir):
     Exactness: all counts exact int64; confidence and lift quantized to
     1e-6 with identical double expressions before ranking."""
     li = read_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    # one distinct-basket shuffle, reused by all four consumers (total
+    # count, item frequencies, both sides of the pair join) instead of
+    # four recomputations of the same distinct()
+    op = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = op.agg(F.countDistinct("ok").alias("n_orders"))
     freq = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     b = op.select(F.col("ok"), F.col("pk").alias("pk2"))

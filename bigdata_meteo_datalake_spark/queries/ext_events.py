@@ -1185,38 +1185,50 @@ def window_funnel_steps(spark, sf_dir):
     step. The strict-order semantics is what separates a funnel from
     four independent existence checks.
 
-    Plan: step k is one user-keyed equi-join of the (type-filtered,
-    pushed-down) event scan against step k-1's per-user frame plus a
-    min aggregate — K-1 co-partitioned joins on the SAME key, so after
-    the first shuffle every later stage reuses the user partitioning
-    (AQE-coalesced); no window functions, no per-user event arrays
-    (the collect-sort-fold alternative holds a user's whole history in
-    one row — this shape never does).
+    Plan: ONE per-user frame carries every step timestamp — step k is a
+    LEFT join of the (type-filtered, pushed-down) event slice onto the
+    frame plus a conditional min, all K-1 joins co-partitioned on the
+    user key, and users who stall simply carry NULLs forward. All four
+    step counts then come from a SINGLE count aggregate over that one
+    frame, and the 4-row funnel readout explodes from the 1-row count
+    frame — the whole funnel evaluates each event slice exactly once
+    (the earlier per-step-count formulation re-evaluated the chain per
+    step and planned 64 shuffles; this one plans ~10). No window
+    functions, no per-user event arrays.
 
     Exactness: counts are exact; conversion ratios are single double
     divisions of exact counts, floor-rounded to 4 decimals."""
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    u1 = (
+    frame = (
         ev.where(F.col("event_type") == _WF_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("s1"))
     )
-    frames = [u1]
     deadline = F.col("s1") + F.expr(f"INTERVAL {_WF_WINDOW_DAYS} DAY")
     for k in range(2, len(_WF_STEPS) + 1):
-        prev = frames[-1].select("user_id", F.col(f"s{k - 1}").alias("prev_ts"))
-        base = ev.where(F.col("event_type") == _WF_STEPS[k - 1]).join(prev, "user_id")
-        # re-attach the step-1 anchor for the window deadline
-        base = base.join(u1.select("user_id", "s1"), "user_id")
-        frames.append(
-            base.where((F.col("ts") > F.col("prev_ts")) & (F.col("ts") <= deadline))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(f"s{k}"))
+        step_ev = ev.where(F.col("event_type") == _WF_STEPS[k - 1]).select(
+            "user_id", F.col("ts").alias("ev_ts")
         )
-    counts = None
-    for k, fr in enumerate(frames, start=1):
-        c = fr.agg(F.count(F.lit(1)).alias(f"n{k}"))
-        counts = c if counts is None else counts.crossJoin(F.broadcast(c))
+        carried = [f"s{i}" for i in range(1, k)]
+        frame = (
+            frame.join(step_ev, "user_id", "left")
+            .groupBy("user_id", *carried)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("ev_ts") > F.col(f"s{k - 1}"))
+                        & (F.col("ev_ts") <= deadline),
+                        F.col("ev_ts"),
+                    )
+                ).alias(f"s{k}")
+            )
+        )
+    counts = frame.agg(
+        *[
+            F.count(F.col(f"s{k}")).alias(f"n{k}")
+            for k in range(1, len(_WF_STEPS) + 1)
+        ]
+    )
     rows = []
     for k, name in enumerate(_WF_STEPS, start=1):
         conv = (
@@ -1228,17 +1240,16 @@ def window_funnel_steps(spark, sf_dir):
             / 10000
         )
         rows.append(
-            counts.select(
+            F.struct(
                 F.lit(k).alias("step"),
                 F.lit(name).alias("step_name"),
                 F.col(f"n{k}").alias("n_users"),
                 conv.alias("conv_from_prev"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.step", "s.step_name", "s.n_users", "s.conv_from_prev"
+    )
 
 
 # --- burstiness (Fano factor) of hourly event arrivals --------------------------------
@@ -1369,9 +1380,11 @@ def cohort_ltv_curve(spark, sf_dir):
     a COHORT-partitioned running sum — per-cohort window state only,
     never a global sort."""
     ev = read_table(spark, sf_dir, "events")
+    # user-keyed first-touch frame, persisted: consumed by both the
+    # cohort-size rollup and the revenue join
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("month", F.min("ts")).alias("cohort_m")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_users"))
     rev = (
         ev.where(F.col("event_type") == "purchase")

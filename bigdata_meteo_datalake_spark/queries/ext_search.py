@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.lake import read_table, widen
 from . import register
@@ -226,7 +227,12 @@ def _candidate_ranks(spark, sf_dir):
     )
     cand = text_cand.unionByName(vec_cand)
     w = Window.partitionBy("list_id").orderBy(F.desc("sort_q"), F.asc("id"))
-    return cand.select("id", "list_id", F.row_number().over(w).cast("long").alias("r"))
+    # <= 2N rows; persisted because RBO consumes it twice (text and vec
+    # branches) — without this each branch would re-run both retrievers
+    return (
+        cand.select("id", "list_id", F.row_number().over(w).cast("long").alias("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 _RRF_ORACLE = f"""
