@@ -124,11 +124,11 @@ def minhash_signature(sets: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return sets.select(F.col(id_col), *mins)
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, *, id_col: str = "doc_id", max_bucket_size: int | None = None
-) -> DataFrame:
-    """Band the signature and equi-join on (band_idx, band_key):
-    (doc_a, doc_b) candidate pairs, doc_a < doc_b."""
+def lsh_banded(sig: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Explode a minhash signature into its LSH band rows:
+    (id, band_idx, band_key) — the relation both the candidate join and the
+    band-load diagnostic (queries/ext_metrics.lsh_band_load_report) group
+    on. In-row struct-array explode, no shuffle."""
     bands = F.array(
         *[
             F.struct(
@@ -140,10 +140,18 @@ def lsh_candidate_pairs(
             for b in range(LSH_BANDS)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
+    """Band the signature and equi-join on (band_idx, band_key):
+    (doc_a, doc_b) candidate pairs, doc_a < doc_b."""
+    banded = lsh_banded(sig, id_col=id_col)
     if max_bucket_size is not None:
         # window count over the SAME (band_idx, band_key) partitioning the
         # candidate self-join shuffles on — one pass, no extra join, and the

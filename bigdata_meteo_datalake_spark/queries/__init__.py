@@ -148,6 +148,12 @@ def _load_all() -> None:
     # the 29 queries already waiting there.
     from . import ext_search  # noqa: F401
 
+    # round-5 additions, second wave (OHLC bars, assortativity, tokenizer
+    # fertility, MASE backtest, Bayesian A/B, LSH band-load audit, grouped
+    # elasticity, blocking-quality audit) — imported last so they queue
+    # BEHIND the older never-confirmed queries in the sweep head.
+    from . import ext_metrics  # noqa: F401
+
     newest = _driver_confirmed_rounds()
     # never-confirmed queries carry round 0, sorting ahead of everything;
     # among confirmed ones, round-1-era evidence re-sweeps before round-3's.

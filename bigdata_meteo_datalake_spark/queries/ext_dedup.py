@@ -144,7 +144,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # --- MinHash + LSH near-dup pairs ------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def minhash_bands_sql_ctes() -> str:
+    """The ``toks``/``grams``/``hx``/``sig``/``bands_all`` CTE block shared
+    by the minhash-LSH oracle and the band-load diagnostic oracle
+    (ext_metrics.lsh_band_load_report) — generated from the same constants
+    as the Spark operators so both oracles stay in lockstep with
+    operators/dedup.py by construction."""
     sig_cols = ",\n         ".join(
         f"min(({a} * x + {b}) % {MINHASH_P}) AS mh{j}"
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -156,8 +161,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ),
 grams AS (
@@ -169,7 +173,12 @@ grams AS (
 ),
 hx AS (SELECT DISTINCT doc_id, {token_hash_sql('gram')} % {MINHASH_P} AS x FROM grams),
 sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
-bands_all AS ({band_selects}),
+bands_all AS ({band_selects})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {minhash_bands_sql_ctes()},
 bands AS (
   SELECT * FROM bands_all
   QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {LSH_MAX_BUCKET}

@@ -1,0 +1,730 @@
+"""Round-5 second-wave metric operators — cross-domain analytics shapes
+the registry didn't cover yet (no reference citation: SURVEY.md section 2
+extension surface, designed Spark-first):
+
+- ``ohlc_hourly_bars``: the market-data bar aggregation (open/high/low/
+  close) via ``min_by``/``max_by`` on a deterministic composite order key —
+  one hash aggregate, no window, no shuffle beyond the groupBy.
+- ``degree_assortativity``: Newman (2002) degree assortativity of the
+  customer-supplier trade graph from exact integer moment sums.
+- ``tokenizer_fertility_by_lang``: bytes-per-token / tokens-per-doc by
+  language — the tokenizer-budget diagnostic every multilingual LLM corpus
+  is balanced with (fertility in the sense of SentencePiece reports).
+- ``forecast_backtest_mase``: naive vs drift one-step backtest with MASE
+  (Hyndman & Koehler 2006) on the monthly revenue spine.
+- ``bayes_ab_posterior``: Beta-Binomial posterior summary of the A/B arms
+  (posterior mean/sd per arm + normal-approximation P(B>A) significance).
+- ``lsh_band_load_report``: per-band bucket-load histogram of the MinHash
+  LSH banding — the capacity-planning diagnostic that says how many
+  candidate pairs the band join will generate and whether the hot-bucket
+  guard is binding, BEFORE running the join.
+- ``price_elasticity_by_brand``: grouped log-log OLS (quantity on unit
+  price) per part brand — grouped regression from quantized-log integer
+  moments.
+- ``blocking_quality_report``: reduction ratio / block-size audit of three
+  candidate blocking keys for record linkage — the planning step before
+  ``record_linkage_fs`` commits to a blocking strategy.
+
+Float discipline (repo convention): every engine-order-sensitive float is
+derived from exact integer moment sums with an identical expression shape
+in Spark and DuckDB, then quantized with the floor-form round; moment
+products that pass int64 run in decimal(38,0) (hugeint in the oracle).
+
+Scale notes per operator are in the docstrings; none of these plans has a
+cartesian product, a partition-less window, or a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import count_if, round_half_up
+from ..operators.dedup import (
+    LSH_MAX_BUCKET,
+    doc_shingle_hash_sets,
+    lsh_banded,
+    minhash_signature,
+    token_hash,
+    token_hash_sql,
+)
+from ..sources.lake import read_table
+from . import register
+from .ext_dedup import minhash_bands_sql_ctes
+
+# --- OHLC hourly bars ---------------------------------------------------------------
+
+# open/close tie-break: the composite (epoch_us, event_id) order key encoded
+# as a fixed-width string so DuckDB's arg_min (scalar keys only) and Spark's
+# min_by compare identically; event_id is unique so the key is total.
+_OHLC_KEY_SQL = (
+    "lpad(cast(epoch_us(ts) AS varchar), 20, '0') || '_' || "
+    "lpad(cast(event_id AS varchar), 12, '0')"
+)
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents,
+         {_OHLC_KEY_SQL} AS k
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, hr,
+       arg_min(cents, k) AS open_cents,
+       cast(max(cents) AS bigint) AS high_cents,
+       cast(min(cents) AS bigint) AS low_cents,
+       arg_max(cents, k) AS close_cents,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(cents) AS bigint) AS volume_cents
+FROM e GROUP BY event_type, hr
+""",
+    tags=("extension", "events", "timeseries"),
+)
+def ohlc_hourly_bars(spark, sf_dir):
+    """OHLC bar aggregation per (event_type, hour) — the time-series
+    downsampling primitive of every market-data / metrics pipeline. Open
+    and close are ``min_by``/``max_by`` on a deterministic composite
+    (epoch_us, event_id) key (fixed-width string so both engines compare
+    lexicographically; never ``first()``, whose result is
+    partition-order-dependent). Values quantize to int64 cents before the
+    aggregate, so min/max/sum are exact and the quantization is monotone.
+
+    Scale: one hash aggregate keyed on (event_type, hour) — map-side
+    combined, time-bucketed keys are unskewed by construction, and the
+    plan is a single exchange at any data volume."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("_"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        k.alias("k"),
+    )
+    return e.groupBy("event_type", "hr").agg(
+        F.min_by("cents", "k").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "k").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("volume_cents"),
+    )
+
+
+# --- degree assortativity of the trade graph ----------------------------------------
+
+
+@register(
+    "degree_assortativity",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+dc AS (SELECT cust, cast(count(*) AS bigint) AS d FROM pairs GROUP BY cust),
+ds AS (SELECT supp, cast(count(*) AS bigint) AS d FROM pairs GROUP BY supp),
+j AS (
+  SELECT dc.d AS x, ds.d AS y FROM pairs p
+  JOIN dc ON dc.cust = p.cust
+  JOIN ds ON ds.supp = p.supp
+),
+m AS (
+  -- hugeint moments: 4*E*Scs passes int64 well before bench scale
+  SELECT cast(count(*) AS hugeint) AS e,
+         cast(sum(x) AS hugeint) AS sc1,
+         cast(sum(y) AS hugeint) AS ss1,
+         cast(sum(x * y) AS hugeint) AS scs,
+         cast(sum(x * x) AS hugeint) AS sc2,
+         cast(sum(y * y) AS hugeint) AS ss2
+  FROM j
+),
+cnt AS (
+  SELECT cast(count(DISTINCT cust) AS bigint) AS n_cust,
+         cast(count(DISTINCT supp) AS bigint) AS n_supp
+  FROM pairs
+)
+SELECT cast(m.e AS bigint) AS n_edges, cnt.n_cust, cnt.n_supp,
+       floor(cast(4 * m.e * m.scs - (m.sc1 + m.ss1) * (m.sc1 + m.ss1) AS double)
+             / cast(2 * m.e * (m.sc2 + m.ss2)
+                    - (m.sc1 + m.ss1) * (m.sc1 + m.ss1) AS double)
+             * 1000000 + 0.5) / 1000000 AS assortativity
+FROM m, cnt
+""",
+    tags=("extension", "graph", "statistics"),
+)
+def degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the undirected bipartite
+    customer-supplier trade graph: the Pearson correlation of endpoint
+    degrees over the directed edge list. Because every undirected edge
+    contributes both orientations, the correlation reduces to closed form
+    over single-orientation sums (n = 2E, sx = sy = S1c + S1s,
+    sxy = 2*Scs, sxx = syy = S2c + S2s) — so the moments are one aggregate
+    over the pair list joined to the two degree tables. Whole-degree
+    integers; moment products run in decimal(38,0) (hugeint in the
+    oracle); only the final ratio is a double, floor-quantized to 1e-6.
+
+    Scale: the pair distinct and the two degree aggregates hash-partition
+    on node keys; the degree joins are standard key equi-joins (AQE
+    handles hub skew). No iteration, no window, no cartesian."""
+    from pyspark.storagelevel import StorageLevel
+
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    # persisted: the pair list feeds both degree aggregates and the moment
+    # join — without it the orders-lineitem join runs three times
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dc = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("x"))
+    ds = pairs.groupBy("supp").agg(F.count(F.lit(1)).alias("y"))
+    j = pairs.join(dc, "cust").join(ds, "supp")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("e"),
+        F.count_distinct(F.col("cust")).alias("n_cust"),
+        F.count_distinct(F.col("supp")).alias("n_supp"),
+        dec(F.col("x")).alias("sc1"),
+        dec(F.col("y")).alias("ss1"),
+        dec(F.col("x") * F.col("y")).alias("scs"),
+        dec(F.col("x") * F.col("x")).alias("sc2"),
+        dec(F.col("y") * F.col("y")).alias("ss2"),
+    )
+    sx = F.col("sc1") + F.col("ss1")
+    num = (4 * F.col("e") * F.col("scs") - sx * sx).cast("double")
+    den = (2 * F.col("e") * (F.col("sc2") + F.col("ss2")) - sx * sx).cast("double")
+    return m.select(
+        F.col("e").cast("long").alias("n_edges"),
+        "n_cust",
+        "n_supp",
+        round_half_up(num / den, 6).alias("assortativity"),
+    )
+
+
+# --- tokenizer fertility by language ------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         cast(strlen(text) AS bigint) AS nb,
+         cast(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS bigint) AS nws,
+         cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS bigint) AS nw
+  FROM documents
+)
+SELECT lang,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(nb) AS bigint) AS n_bytes,
+       cast(sum(nws) AS bigint) AS n_ws_tokens,
+       cast(sum(nw) AS bigint) AS n_word_tokens,
+       floor(cast(sum(nb) AS double) / sum(nw) * 10000 + 0.5) / 10000
+         AS bytes_per_token,
+       floor(cast(sum(nw) AS double) / count(*) * 10000 + 0.5) / 10000
+         AS tokens_per_doc
+FROM d GROUP BY lang
+""",
+    tags=("extension", "text", "llm"),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language: UTF-8 bytes per word token and
+    tokens per document — the corpus-budget diagnostic multilingual LLM
+    pipelines balance sampling weights with (a language with high
+    bytes-per-token is under-served by the tokenizer and over-billed per
+    unit of text). Uses the repo's standard whitespace and ``[a-z0-9]+``
+    word tokenizers (identical regex class in both engines) and byte
+    lengths (``octet_length`` / ``strlen``), so every sum is an exact
+    int64 and only the two final ratios are quantized doubles.
+
+    Scale: in-row token counting (zero shuffle), one tiny per-language
+    aggregate — linear in executors at any corpus size."""
+    d = read_table(spark, sf_dir, "documents")
+    rows = d.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("nb"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"))
+        .cast("long")
+        .alias("nws"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("nw"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("n_bytes"),
+        F.sum("nws").alias("n_ws_tokens"),
+        F.sum("nw").alias("n_word_tokens"),
+        round_half_up(F.sum("nb").cast("double") / F.sum("nw"), 4).alias(
+            "bytes_per_token"
+        ),
+        round_half_up(F.sum("nw").cast("double") / F.count(F.lit(1)), 4).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+# --- naive vs drift forecast backtest with MASE -------------------------------------
+
+
+@register(
+    "forecast_backtest_mase",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         cast(floor(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                         AS double) / 100000.0) AS bigint) AS x
+  FROM orders GROUP BY 1
+),
+lo AS (SELECT min(m) AS m0 FROM monthly),
+idxd AS (
+  SELECT cast(datediff('month', lo.m0, monthly.m) AS bigint) + 1 AS idx, x
+  FROM monthly, lo
+),
+x1 AS (SELECT x AS xf FROM idxd WHERE idx = 1),
+e AS (
+  SELECT c.idx, c.x, p.x AS xp, x1.xf,
+         abs(c.x - p.x) AS ae_n,
+         CASE WHEN c.idx >= 3 THEN
+           cast(floor(abs(c.x - (p.x + cast(p.x - x1.xf AS double) / (c.idx - 2)))
+                      * 1000000 + 0.5) AS bigint)
+         ELSE 0 END AS ae_d_q
+  FROM idxd c JOIN idxd p ON p.idx = c.idx - 1, x1
+),
+agg AS (
+  SELECT cast(count(*) AS bigint) AS cn,
+         cast(sum(ae_n) AS bigint) AS san,
+         cast(sum(CASE WHEN idx >= 3 THEN 1 ELSE 0 END) AS bigint) AS cd,
+         cast(sum(ae_d_q) AS bigint) AS sad
+  FROM e
+),
+n AS (SELECT cast(count(*) AS bigint) AS n_months FROM idxd)
+SELECT n.n_months,
+       floor(cast(san AS double) / cn * 1000 + 0.5) / 1000 AS mae_naive,
+       floor(cast(sad AS double) / cd / 1000000.0 * 1000 + 0.5) / 1000 AS mae_drift,
+       floor((cast(sad AS double) / cd / 1000000.0)
+             / (cast(san AS double) / cn) * 1000000 + 0.5) / 1000000 AS mase_drift
+FROM agg, n
+""",
+    tags=("extension", "timeseries", "forecast"),
+)
+def forecast_backtest_mase(spark, sf_dir):
+    """One-step in-sample backtest of the two canonical baseline
+    forecasters on the monthly revenue spine — naive (x_{t-1}) and drift
+    (x_{t-1} + (x_{t-1}-x_1)/(t-2), Hyndman's drift method) — reported as
+    MAE each plus MASE (Hyndman & Koehler 2006): drift MAE scaled by the
+    in-sample naive MAE. MASE < 1 means the drift line beats persistence;
+    it is THE scale-free skill score a forecast (ses_backtest_monthly)
+    must clear before anyone trusts it. Naive absolute errors are exact
+    int64; drift errors are 1e-6-quantized before summing so the fold is
+    order-free.
+
+    Scale: the fact table reduces to one monthly aggregate; everything
+    after runs on the T-row month spine (self-join on idx-1 and a
+    broadcast of x_1) — negligible at any data volume, no window."""
+    o = read_table(spark, sf_dir, "orders")
+    # localCheckpoint: the T-row month spine feeds four frames (current,
+    # previous, x_1, count) — materialize the fact aggregate ONCE so the
+    # orders scan never repeats (same idiom as zipf_fit_tokens).
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 100000.0
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    lo = monthly.agg(F.min("m").alias("m0"))
+    idxd = monthly.crossJoin(F.broadcast(lo)).select(
+        (F.months_between(F.col("m"), F.col("m0")).cast("long") + 1).alias("idx"),
+        "x",
+    )
+    x1 = idxd.where(F.col("idx") == 1).select(F.col("x").alias("xf"))
+    c = idxd.alias("c")
+    p = idxd.select((F.col("idx") + 1).alias("idx"), F.col("x").alias("xp"))
+    e = (
+        c.join(F.broadcast(p), "idx")
+        .crossJoin(F.broadcast(x1))
+        .select(
+            "idx",
+            F.abs(F.col("x") - F.col("xp")).alias("ae_n"),
+            F.when(
+                F.col("idx") >= 3,
+                F.floor(
+                    F.abs(
+                        F.col("x")
+                        - (
+                            F.col("xp")
+                            + (F.col("xp") - F.col("xf")).cast("double")
+                            / (F.col("idx") - 2)
+                        )
+                    )
+                    * 1000000
+                    + 0.5
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("ae_d_q"),
+        )
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum("ae_n").alias("san"),
+        count_if(F.col("idx") >= 3).alias("cd"),
+        F.sum("ae_d_q").alias("sad"),
+    )
+    n = idxd.agg(F.count(F.lit(1)).alias("n_months"))
+    mae_n = F.col("san").cast("double") / F.col("cn")
+    mae_d = F.col("sad").cast("double") / F.col("cd") / 1000000.0
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_months",
+        round_half_up(mae_n, 3).alias("mae_naive"),
+        round_half_up(mae_d, 3).alias("mae_drift"),
+        round_half_up(mae_d / mae_n, 6).alias("mase_drift"),
+    )
+
+
+# --- Bayesian A/B posterior summary -------------------------------------------------
+
+_BAYES_SALT = "bayes1"
+_Z95_1S = 1.644854  # one-sided 5% normal quantile, published constant
+
+_BAYES_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         {token_hash_sql(f"'{_BAYES_SALT}|' || cast(user_id AS varchar)")} % 2 AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                   > count(*) THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a,
+         cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS bigint) AS c_a,
+         cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b,
+         cast(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS bigint) AS c_b
+  FROM per_user
+),
+post AS (
+  SELECT n_a, c_a, n_b, c_b,
+         cast(1 + c_a AS double) / (2 + n_a) AS ma,
+         cast(1 + c_b AS double) / (2 + n_b) AS mb,
+         cast(1 + c_a AS double) * (1 + n_a - c_a)
+           / (cast(2 + n_a AS double) * (2 + n_a) * (3 + n_a)) AS va,
+         cast(1 + c_b AS double) * (1 + n_b - c_b)
+           / (cast(2 + n_b AS double) * (2 + n_b) * (3 + n_b)) AS vb
+  FROM counts
+)
+SELECT n_a, c_a, n_b, c_b,
+       floor(ma * 1000000 + 0.5) / 1000000 AS post_mean_a,
+       floor(mb * 1000000 + 0.5) / 1000000 AS post_mean_b,
+       floor(sqrt(va) * 100000000 + 0.5) / 100000000 AS post_sd_a,
+       floor(sqrt(vb) * 100000000 + 0.5) / 100000000 AS post_sd_b,
+       floor((mb - ma) / sqrt(va + vb) * 10000 + 0.5) / 10000 AS z_ab,
+       (mb - ma) / sqrt(va + vb) > {_Z95_1S!r} AS b_beats_a_95
+FROM post
+"""
+
+
+@register(
+    "bayes_ab_posterior",
+    oracle=_BAYES_ORACLE,
+    tags=("extension", "training", "experimentation", "bayesian"),
+)
+def bayes_ab_posterior(spark, sf_dir):
+    """Beta-Binomial Bayesian read of the A/B arms (uniform Beta(1,1)
+    prior): per-arm posterior mean (c+1)/(n+2) and posterior sd from the
+    exact Beta variance a*b/((a+b)^2 (a+b+1)), plus the normal-
+    approximation z of the posterior difference and the one-sided-95%
+    "B beats A" flag — the decision summary a Bayesian experimentation
+    stack reports next to the frequentist z-test (ab_uplift_ztest, same
+    conversion metric, independent salt). Every input to the float
+    expressions is an exact int64 count, and both engines evaluate the
+    identical expression tree; posterior moments quantize at 1e-6/1e-8.
+    The double-precision bound: the variance denominator reaches 2^53 only
+    past n ~ 2e5 users per arm at which point the posterior is a point
+    mass and a production report switches to the z-test anyway.
+
+    Scale: one user-keyed conditional aggregate (the same single-shuffle
+    shape as ab_uplift_ztest) and a 1-row reduction."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        count_if(F.col("event_type") == "purchase").alias("n_purch"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    arm = (
+        token_hash(
+            F.concat(F.lit(f"{_BAYES_SALT}|"), F.col("user_id").cast("string"))
+        )
+        % 2
+    ).alias("arm")
+    conv = (F.col("n_purch") * 5 > F.col("n_ev")).cast("int").alias("converted")
+    u = per_user.select(arm, conv)
+    counts = u.agg(
+        count_if(F.col("arm") == 0).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        count_if(F.col("arm") == 1).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    ma = (1 + F.col("c_a")).cast("double") / (2 + F.col("n_a"))
+    mb = (1 + F.col("c_b")).cast("double") / (2 + F.col("n_b"))
+    va = (
+        (1 + F.col("c_a")).cast("double")
+        * (1 + F.col("n_a") - F.col("c_a"))
+        / ((2 + F.col("n_a")).cast("double") * (2 + F.col("n_a")) * (3 + F.col("n_a")))
+    )
+    vb = (
+        (1 + F.col("c_b")).cast("double")
+        * (1 + F.col("n_b") - F.col("c_b"))
+        / ((2 + F.col("n_b")).cast("double") * (2 + F.col("n_b")) * (3 + F.col("n_b")))
+    )
+    z = (mb - ma) / F.sqrt(va + vb)
+    return counts.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        round_half_up(ma, 6).alias("post_mean_a"),
+        round_half_up(mb, 6).alias("post_mean_b"),
+        round_half_up(F.sqrt(va), 8).alias("post_sd_a"),
+        round_half_up(F.sqrt(vb), 8).alias("post_sd_b"),
+        round_half_up(z, 4).alias("z_ab"),
+        (z > _Z95_1S).alias("b_beats_a_95"),
+    )
+
+
+# --- LSH band-load diagnostic -------------------------------------------------------
+
+
+@register(
+    "lsh_band_load_report",
+    oracle=f"""
+WITH {minhash_bands_sql_ctes()},
+sz AS (
+  SELECT band_idx, band_key, cast(count(*) AS bigint) AS sz
+  FROM bands_all GROUP BY band_idx, band_key
+)
+SELECT band_idx,
+       cast(count(*) AS bigint) AS n_buckets,
+       cast(sum(sz) AS bigint) AS n_docs,
+       cast(max(sz) AS bigint) AS max_bucket,
+       cast(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_buckets_ge2,
+       cast(sum(sz * (sz - 1) // 2) AS bigint) AS candidate_pairs,
+       cast(sum(CASE WHEN sz > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS bigint) AS n_hot
+FROM sz GROUP BY band_idx
+""",
+    tags=("extension", "dedup", "diagnostic"),
+)
+def lsh_band_load_report(spark, sf_dir):
+    """Bucket-load audit of the MinHash LSH banding — per band: bucket
+    count, max bucket size, buckets with >= 2 docs, the candidate-pair
+    budget sum n*(n-1)/2 the band self-join would generate, and how many
+    buckets the hot-bucket guard (> LSH_MAX_BUCKET = 64) would drop. This is the
+    capacity-planning readout run BEFORE dedup_minhash_lsh commits a
+    100 TB candidate join: a skewed band shows up here as one huge
+    max_bucket / candidate_pairs row, at the cost of one aggregate instead
+    of the join itself. Same signatures and banding constants as the dedup
+    operator (operators/dedup.py), so the report describes exactly the
+    join that would run; the oracle shares the signature SQL with the
+    dedup oracle by construction.
+
+    Scale: signature is an in-row array fold (no shuffle); the only
+    exchanges are the (band_idx, band_key) size aggregate and the 8-row
+    band rollup — strictly cheaper than the join it plans for."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signature(doc_shingle_hash_sets(d))
+    banded = lsh_banded(sig)
+    sz = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("sz"))
+    return sz.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").alias("n_docs"),
+        F.max("sz").alias("max_bucket"),
+        count_if(F.col("sz") >= 2).alias("n_buckets_ge2"),
+        F.sum(F.expr("(sz * (sz - 1)) div 2")).alias("candidate_pairs"),
+        count_if(F.col("sz") > LSH_MAX_BUCKET).alias("n_hot"),
+    )
+
+
+# --- price elasticity by brand ------------------------------------------------------
+
+
+@register(
+    "price_elasticity_by_brand",
+    oracle="""
+WITH q AS (
+  SELECT p.p_brand AS brand,
+         cast(floor(ln(l.l_quantity) * 10000 + 0.5) AS bigint) AS y,
+         cast(floor(ln(l.l_extendedprice / l.l_quantity) * 10000 + 0.5) AS bigint) AS x
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+),
+s AS (
+  -- hugeint moments: n*sxx passes int64 beyond bench scale
+  SELECT brand,
+         cast(count(*) AS hugeint) AS n,
+         cast(sum(x) AS hugeint) AS sx,
+         cast(sum(y) AS hugeint) AS sy,
+         cast(sum(x * y) AS hugeint) AS sxy,
+         cast(sum(x * x) AS hugeint) AS sxx,
+         cast(sum(y * y) AS hugeint) AS syy
+  FROM q GROUP BY brand
+)
+SELECT brand, cast(n AS bigint) AS n_lines,
+       floor(cast(n * sxy - sx * sy AS double)
+             / cast(n * sxx - sx * sx AS double) * 1000000 + 0.5) / 1000000
+         AS elasticity,
+       floor(cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double)
+             / (cast(n * sxx - sx * sx AS double)
+                * cast(n * syy - sy * sy AS double)) * 1000000 + 0.5) / 1000000
+         AS r2
+FROM s
+""",
+    tags=("extension", "relational", "regression"),
+)
+def price_elasticity_by_brand(spark, sf_dir):
+    """Grouped log-log OLS per part brand: regress ln(quantity) on
+    ln(unit price) — the slope IS the price elasticity of demand, the
+    grouped-regression shape every pricing team runs (one regression per
+    segment in a single pass, never a per-group loop). Log values
+    quantize to 1e-4 integers BEFORE the moment sums (identical
+    ``floor(ln(..)*1e4+0.5)`` in both engines), making every sum an exact
+    integer fold; moment products run in decimal(38,0) (hugeint in the
+    oracle) since n*sxx passes int64 past bench scale; slope and R^2 are
+    single double expressions quantized at 1e-6 (the quantization scale
+    cancels in the slope, so elasticity is in natural units).
+
+    Scale: one fact-dim equi-join on partkey (AQE broadcasts the dim
+    while it fits, shuffle-joins beyond), then a map-side-combined
+    aggregate to one moment row per brand (~25 groups at any SF)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    q = (
+        l.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(p, l["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.floor(F.log(F.col("l_quantity")) * 10000 + 0.5).cast("long").alias("y"),
+            F.floor(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 10000 + 0.5
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    s = q.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        round_half_up(num / den, 6).alias("elasticity"),
+        round_half_up(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
+# --- blocking-quality audit for record linkage --------------------------------------
+
+#: (strategy label, blocking key columns)
+_BLOCK_STRATEGIES = (
+    ("nation", ("c_nationkey",)),
+    ("segment", ("c_mktsegment",)),
+    ("nation_segment", ("c_nationkey", "c_mktsegment")),
+)
+
+
+def _blocking_oracle() -> str:
+    parts = []
+    for label, keys in _BLOCK_STRATEGIES:
+        keycols = ", ".join(keys)
+        parts.append(f"""
+SELECT '{label}' AS strategy,
+       b.n_records,
+       b.n_blocks,
+       b.max_block,
+       b.candidate_pairs,
+       floor((1.0 - cast(b.candidate_pairs AS double)
+                    / (cast(b.n_records AS double) * (b.n_records - 1) / 2))
+             * 1000000 + 0.5) / 1000000 AS reduction_ratio
+FROM (
+  SELECT cast(sum(n) AS bigint) AS n_records,
+         cast(count(*) AS bigint) AS n_blocks,
+         cast(max(n) AS bigint) AS max_block,
+         cast(sum(n * (n - 1) // 2) AS bigint) AS candidate_pairs
+  FROM (SELECT cast(count(*) AS bigint) AS n FROM customer GROUP BY {keycols})
+) b""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "blocking_quality_report",
+    oracle=_blocking_oracle(),
+    tags=("extension", "linkage", "diagnostic"),
+)
+def blocking_quality_report(spark, sf_dir):
+    """Blocking-strategy audit for record linkage: for each candidate
+    blocking key (nation, market segment, and their composite) the block
+    count, the largest block, the candidate-pair budget sum n*(n-1)/2,
+    and the reduction ratio vs the full N*(N-1)/2 cross product — the
+    planning readout that picks record_linkage_fs's blocking key before
+    committing to the pair join (Christen 2012's standard blocking
+    metrics). Pure integer aggregates; only the reduction ratio is a
+    quantized double.
+
+    Scale: per strategy one map-side-combined groupBy on the block key
+    and a single-row rollup — the audit costs three cheap aggregates vs
+    the quadratic join it de-risks. The same report at 100 TB drives the
+    re-block decision for any block whose max_block makes n^2 infeasible."""
+    c = read_table(spark, sf_dir, "customer")
+    outs = []
+    for label, keys in _BLOCK_STRATEGIES:
+        blocks = c.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # n_records folds into the same rollup (sum of block sizes), so each
+        # strategy is exactly two aggregates over one scan — no count join
+        b = blocks.agg(
+            F.sum("n").alias("n_records"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("n").alias("max_block"),
+            F.sum(F.expr("(n * (n - 1)) div 2")).alias("candidate_pairs"),
+        )
+        rr = 1.0 - F.col("candidate_pairs").cast("double") / (
+            F.col("n_records").cast("double") * (F.col("n_records") - 1) / 2
+        )
+        outs.append(
+            b.select(
+                F.lit(label).alias("strategy"),
+                "n_records",
+                "n_blocks",
+                "max_block",
+                "candidate_pairs",
+                round_half_up(rr, 6).alias("reduction_ratio"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

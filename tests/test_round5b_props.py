@@ -1,0 +1,216 @@
+"""Property tests for the round-5 second-wave operators (ext_metrics):
+OHLC tie-breaking, assortativity vs brute force, MASE on a perfectly
+linear series, Bayesian posterior reconstruction, LSH band-load
+consistency, elasticity on a constructed power law, blocking-audit
+arithmetic, and tokenizer fertility on hand-counted docs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from bigdata_meteo_datalake_spark.queries import queries
+
+from .conftest import SF0001
+
+QS = queries()
+
+
+# --- OHLC ---------------------------------------------------------------------------
+
+
+def test_ohlc_open_close_tiebreak(spark, tmp_path):
+    """Open/close follow (ts, event_id) order — including two events at
+    the SAME timestamp, where event_id must break the tie."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # (event_id, ts, value) — all in the same hour, one type
+        (5, t0.replace(minute=30), 9.00),   # middle
+        (2, t0.replace(minute=1), 1.00),    # earliest ts -> open
+        (9, t0.replace(minute=59), 4.00),   # latest ts, higher id
+        (8, t0.replace(minute=59), 3.00),   # same ts, lower id
+        (1, t0.replace(minute=1), 2.00),    # same ts as open, lower id -> open
+    ]
+    spark.createDataFrame(
+        [(eid, ts, "trade", float(v)) for eid, ts, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QS["ohlc_hourly_bars"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open_cents"] == 200  # event_id 1 wins the ts tie
+    assert r["close_cents"] == 400  # event_id 9 wins the ts tie
+    assert r["high_cents"] == 900 and r["low_cents"] == 100
+    assert r["n_events"] == 5 and r["volume_cents"] == 1900
+
+
+# --- degree assortativity -----------------------------------------------------------
+
+
+def _brute_assortativity(pairs):
+    from collections import Counter
+
+    dc = Counter(c for c, _ in pairs)
+    ds = Counter(s for _, s in pairs)
+    xs, ys = [], []
+    for c, s in pairs:
+        xs += [dc[c], ds[s]]
+        ys += [ds[s], dc[c]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    return (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+
+
+def test_assortativity_matches_bruteforce(spark, tmp_path):
+    # c1-{s1,s2}, c2-{s2,s3}, c3-{s3}: mixed degrees, no zero-variance
+    orders = [(1, 1), (2, 2), (3, 3)]  # (orderkey, custkey)
+    items = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3)]  # (orderkey, suppkey)
+    pairs = {(1, 1), (1, 2), (2, 2), (2, 3), (3, 3)}
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        items, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = QS["degree_assortativity"](spark, str(tmp_path)).collect()[0]
+    want = _brute_assortativity(sorted(pairs))
+    assert out["n_edges"] == 5 and out["n_cust"] == 3 and out["n_supp"] == 3
+    assert abs(out["assortativity"] - want) < 1e-6 + 1e-9
+
+
+# --- MASE on a linear series --------------------------------------------------------
+
+
+def test_mase_zero_on_linear_series(spark, tmp_path):
+    """x_t exactly linear -> the drift forecast is exact for t >= 3:
+    mae_drift = mase = 0 and mae_naive = |slope|."""
+    rows = []
+    for t in range(12):
+        # monthly scaled value x = 1000 + 10*t (x = floor(price*100/100000))
+        price = float((1000 + 10 * t) * 1000)
+        rows.append((t + 1, price, dt.datetime(2024, 1 + t % 12, 15)))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = QS["forecast_backtest_mase"](spark, str(tmp_path)).collect()[0]
+    assert out["n_months"] == 12
+    assert out["mae_naive"] == 10.0
+    assert out["mae_drift"] == 0.0
+    assert out["mase_drift"] == 0.0
+
+
+# --- Bayesian posterior reconstruction ----------------------------------------------
+
+
+def test_bayes_posterior_reconstructs_from_counts(spark):
+    out = QS["bayes_ab_posterior"](spark, SF0001).collect()[0]
+    for arm in ("a", "b"):
+        n, c = out[f"n_{arm}"], out[f"c_{arm}"]
+        a, b = 1 + c, 1 + n - c
+        mean = a / (a + b)
+        sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+        assert abs(out[f"post_mean_{arm}"] - mean) < 1e-6 + 1e-9
+        assert abs(out[f"post_sd_{arm}"] - sd) < 1e-8 + 1e-9
+        assert 0.0 < out[f"post_mean_{arm}"] < 1.0
+    # z sign agrees with the mean difference
+    diff = out["post_mean_b"] - out["post_mean_a"]
+    if abs(diff) > 1e-4:
+        assert (out["z_ab"] > 0) == (diff > 0)
+
+
+# --- LSH band-load consistency ------------------------------------------------------
+
+
+def test_lsh_band_load_consistency(spark, tmp_path):
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, dup), (2, dup), (3, "one two three four five six seven")]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    rows = QS["lsh_band_load_report"](spark, str(tmp_path)).collect()
+    assert len(rows) == 8  # LSH_BANDS
+    for r in rows:
+        # every doc lands in every band exactly once
+        assert r["n_docs"] == 3
+        # identical docs share identical signatures -> a >=2 bucket per band
+        assert r["n_buckets_ge2"] >= 1
+        assert r["candidate_pairs"] >= 1
+        assert r["max_bucket"] >= 2
+        assert r["n_hot"] == 0
+        # pair budget consistent with bucket sizes: C(max,2) <= pairs
+        assert r["candidate_pairs"] >= r["max_bucket"] * (r["max_bucket"] - 1) // 2
+
+
+# --- elasticity on a constructed power law ------------------------------------------
+
+
+def test_elasticity_recovers_power_law(spark, tmp_path):
+    """qty = K * unitprice^-2 exactly -> slope -2, r2 ~ 1."""
+    prices = [1.0, 2.0, 4.0, 8.0]
+    rows = []
+    for i, p in enumerate(prices):
+        qty = 1024.0 / (p * p)
+        rows.append((i + 1, 1, qty, p * qty))  # extendedprice = unit * qty
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "BRAND#1")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    out = QS["price_elasticity_by_brand"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_lines"] == 4
+    assert abs(r["elasticity"] - (-2.0)) < 1e-3  # 1e-4 log quantization
+    assert r["r2"] > 0.999999 - 1e-6
+
+
+# --- blocking audit arithmetic ------------------------------------------------------
+
+
+def test_blocking_quality_exact_counts(spark, tmp_path):
+    custs = [
+        (1, 1, "A"),
+        (2, 1, "B"),
+        (3, 2, "A"),
+        (4, 2, "B"),
+    ]
+    spark.createDataFrame(
+        custs, "c_custkey long, c_nationkey int, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    rows = {r["strategy"]: r for r in QS["blocking_quality_report"](spark, str(tmp_path)).collect()}
+    total_pairs = 4 * 3 // 2  # 6
+    for strat in ("nation", "segment"):
+        r = rows[strat]
+        assert r["n_records"] == 4 and r["n_blocks"] == 2
+        assert r["max_block"] == 2 and r["candidate_pairs"] == 2
+        assert abs(r["reduction_ratio"] - (1 - 2 / total_pairs)) < 1e-6 + 1e-9
+    r = rows["nation_segment"]
+    assert r["n_blocks"] == 4 and r["candidate_pairs"] == 0
+    assert abs(r["reduction_ratio"] - 1.0) < 1e-9
+
+
+# --- tokenizer fertility ------------------------------------------------------------
+
+
+def test_fertility_hand_counted(spark, tmp_path):
+    docs = [
+        (1, "aa bb", "en"),   # 5 bytes, 2 word tokens
+        (2, "ccc d", "en"),   # 5 bytes, 2 word tokens
+        (3, "xyzzy", "fr"),   # 5 bytes, 1 word token
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["lang"]: r for r in QS["tokenizer_fertility_by_lang"](spark, str(tmp_path)).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 2 and en["n_bytes"] == 10
+    assert en["n_word_tokens"] == 4
+    assert abs(en["bytes_per_token"] - 2.5) < 1e-9
+    assert abs(en["tokens_per_doc"] - 2.0) < 1e-9
+    fr = rows["fr"]
+    assert fr["n_bytes"] == 5 and fr["n_word_tokens"] == 1
+    assert abs(fr["bytes_per_token"] - 5.0) < 1e-9
