@@ -42,6 +42,7 @@ from ..functions.numeric import count_if, round_half_up
 from ..operators.dedup import (
     LSH_MAX_BUCKET,
     doc_shingle_hash_sets,
+    doc_shingles,
     lsh_banded,
     minhash_signature,
     token_hash,
@@ -728,3 +729,278 @@ def blocking_quality_report(spark, sf_dir):
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --- T5-style span corruption sample builder ----------------------------------------
+
+_SPAN_MOD = 15  # a position starts a span when H(doc,pos) % 15 == 0 (~7%)
+_SPAN_LEN = 3  # fixed span length; overlapping spans merge into one run
+
+
+def _span_corruption_oracle() -> str:
+    h = token_hash_sql("cast(doc_id AS varchar) || '|' || cast(p AS varchar)")
+    sent = (
+        "'<extra_id_' || cast(len(list_filter(rs[1:p], x -> x = 1)) AS varchar) || '>'"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+arr AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_transform(range(1, len(t) + 1),
+           p -> CASE WHEN {h} % {_SPAN_MOD} = 0 THEN 1 ELSE 0 END) AS st
+  FROM toks
+),
+msk AS (
+  SELECT doc_id, t, n, st,
+         list_transform(range(1, n + 1),
+           p -> CASE WHEN len(list_filter(st[greatest(1, p - {_SPAN_LEN - 1}):p],
+                                          x -> x = 1)) > 0
+                     THEN 1 ELSE 0 END) AS mk
+  FROM arr
+),
+runs AS (
+  SELECT doc_id, t, n, mk,
+         list_transform(range(1, n + 1),
+           p -> CASE WHEN mk[p] = 1 AND (p = 1 OR mk[p - 1] = 0) THEN 1 ELSE 0 END) AS rs
+  FROM msk
+)
+SELECT doc_id,
+       cast(n AS bigint) AS n_tokens,
+       cast(len(list_filter(mk, x -> x = 1)) AS bigint) AS n_masked,
+       cast(len(list_filter(rs, x -> x = 1)) AS bigint) AS n_spans,
+       coalesce(array_to_string(list_filter(list_transform(range(1, n + 1),
+         p -> CASE WHEN mk[p] = 0 THEN t[p]
+                   WHEN rs[p] = 1 THEN {sent}
+                   ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS corrupted_text,
+       coalesce(array_to_string(flatten(list_transform(range(1, n + 1),
+         p -> CASE WHEN mk[p] = 0 THEN []
+                   WHEN rs[p] = 1 THEN [{sent}, t[p]]
+                   ELSE [t[p]] END)), ' '), '') AS target_text
+FROM runs
+"""
+
+
+@register(
+    "span_corruption_build",
+    oracle=_span_corruption_oracle(),
+    tags=("extension", "training", "llm", "augmentation"),
+)
+def span_corruption_build(spark, sf_dir):
+    """T5-style span-corruption sample builder (Raffel et al. 2020): mask
+    deterministic token spans with numbered sentinels and emit the
+    (corrupted input, target) pair per document — the denoising-objective
+    materialization step of an LLM pre-training pipeline, run as a plain
+    column transform. Span starts come from the shared 60-bit token hash
+    of (doc_id, position) mod 15 with fixed length 3 (overlapping spans
+    merge into one sentinel run, as in the reference implementation);
+    sentinels are numbered 1..K left to right, and the target is the
+    concatenation of sentinel-prefixed masked spans. Everything — the
+    mask, the run boundaries, the running sentinel counter, and both
+    output strings — is an in-row higher-order-function expression over
+    the token array, identical in both engines; no randomness, no UDF,
+    no shuffle.
+
+    Scale: pure map over documents (one projection, zero exchanges) —
+    linear in executors at any corpus size; the in-row prefix counts are
+    O(n^2) lambdas on n <= a few hundred tokens per doc, i.e. free next
+    to the string I/O."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    seq = F.sequence(F.lit(1), F.col("n"))
+    st = F.transform(
+        seq,
+        lambda p: F.when(
+            token_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|"), p.cast("string"))
+            )
+            % _SPAN_MOD
+            == 0,
+            1,
+        ).otherwise(0),
+    )
+    w_st = base.withColumn("st", st)
+    lo = lambda p: F.greatest(F.lit(1), p - (_SPAN_LEN - 1))  # noqa: E731
+    mk = F.transform(
+        seq,
+        lambda p: F.when(
+            F.exists(
+                F.slice(F.col("st"), lo(p), p - lo(p) + 1), lambda x: x == 1
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_mk = w_st.withColumn("mk", mk)
+    rs = F.transform(
+        seq,
+        lambda p: F.when(
+            (F.element_at(F.col("mk"), p) == 1)
+            & ((p == 1) | (F.element_at(F.col("mk"), (p - 1).cast("int")) == 0)),
+            1,
+        ).otherwise(0),
+    )
+    w_rs = w_mk.withColumn("rs", rs)
+    sent = lambda p: F.concat(  # noqa: E731
+        F.lit("<extra_id_"),
+        F.size(F.filter(F.slice(F.col("rs"), 1, p), lambda x: x == 1)).cast("string"),
+        F.lit(">"),
+    )
+    tok_at = lambda p: F.element_at(F.col("t"), p.cast("int"))  # noqa: E731
+    corrupted = F.array_join(
+        F.filter(
+            F.transform(
+                seq,
+                lambda p: F.when(F.element_at(F.col("mk"), p) == 0, tok_at(p))
+                .when(F.element_at(F.col("rs"), p) == 1, sent(p))
+                .otherwise(F.lit(None).cast("string")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    target = F.array_join(
+        F.flatten(
+            F.transform(
+                seq,
+                lambda p: F.when(
+                    F.element_at(F.col("mk"), p) == 0,
+                    F.array().cast("array<string>"),
+                )
+                .when(
+                    F.element_at(F.col("rs"), p) == 1, F.array(sent(p), tok_at(p))
+                )
+                .otherwise(F.array(tok_at(p))),
+            )
+        ),
+        " ",
+    )
+    return w_rs.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("mk"), lambda x: x == 1)).cast("long").alias("n_masked"),
+        F.size(F.filter(F.col("rs"), lambda x: x == 1)).cast("long").alias("n_spans"),
+        F.coalesce(corrupted, F.lit("")).alias("corrupted_text"),
+        F.coalesce(target, F.lit("")).alias("target_text"),
+    )
+
+
+# --- n-gram novelty rate (graded memorization scan) ---------------------------------
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN {token_hash_sql("cast(doc_id AS varchar)")} % 100 < 80
+                THEN 'train'
+              WHEN {token_hash_sql("cast(doc_id AS varchar)")} % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+hx AS (
+  SELECT g.doc_id, s.split, {token_hash_sql("gram")} % 2147483647 AS x
+  FROM grams g JOIN split s ON s.doc_id = g.doc_id
+),
+train_sh AS (SELECT DISTINCT x FROM hx WHERE split = 'train'),
+per_doc AS (
+  SELECT h.split, h.doc_id,
+         cast(count(*) AS bigint) AS n_grams,
+         cast(sum(CASE WHEN t.x IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_seen
+  FROM hx h LEFT JOIN train_sh t ON t.x = h.x
+  WHERE h.split <> 'train'
+  GROUP BY h.split, h.doc_id
+)
+SELECT split,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_grams) AS bigint) AS n_grams_total,
+       cast(sum(n_seen) AS bigint) AS n_grams_seen,
+       floor((1.0 - cast(sum(n_seen) AS double) / sum(n_grams)) * 1000000 + 0.5)
+         / 1000000 AS micro_novelty,
+       floor(cast(sum(floor((1.0 - cast(n_seen AS double) / n_grams)
+                            * 1000000 + 0.5)) AS double) / count(*) + 0.5)
+         / 1000000 AS macro_novelty
+FROM per_doc GROUP BY split
+""",
+    tags=("extension", "training", "contamination", "llm"),
+)
+def ngram_novelty_rate(spark, sf_dir):
+    """Graded memorization scan: for each held-out document, the fraction
+    of its distinct word-3-gram shingles NOT present anywhere in the train
+    split, aggregated per split as micro (gram-weighted) and macro
+    (doc-averaged) novelty. The graded twin of ``split_leakage_report``
+    (which only flags "shares >= 1 shingle"): novelty near 0 means the
+    held-out loss measures memorization, not generalization. Same
+    hash-bucket split and shingle hash as the leakage scan, so the two
+    reports reconcile. Per-doc fractions quantize at 1e-6 before the
+    macro average so the fold is order-free.
+
+    Scale: the join is held-out grams against the DISTINCT train shingle
+    set, an equi-join on the 60-bit gram hash — hash-partitioned, no
+    skew (gram hashes are uniform; the ultra-frequent-shingle guard of
+    the dedup family applies if a corpus needs it). The train set never
+    materializes per-doc, only as the distinct join side."""
+    d = read_table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        F.when(
+            token_hash(F.col("doc_id").cast("string")) % 100 < 80, F.lit("train")
+        )
+        .when(token_hash(F.col("doc_id").cast("string")) % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    grams = doc_shingles(d)
+    # persisted: the (doc, split, gram-hash) stream feeds BOTH join sides
+    # (train distinct set + held-out probe) — without it the documents
+    # scan and shingle explode run twice
+    hx = (
+        grams.join(split, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            (token_hash(F.col("gram")) % 2147483647).alias("x"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train_sh = hx.where(F.col("split") == "train").select("x").distinct()
+    held = hx.where(F.col("split") != "train")
+    t = train_sh.withColumn("seen", F.lit(1))
+    per_doc = (
+        held.join(t, "x", "left")
+        .groupBy("split", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            count_if(F.col("seen").isNotNull()).alias("n_seen"),
+        )
+    )
+    doc_novelty_q = F.floor(
+        (1.0 - F.col("n_seen").cast("double") / F.col("n_grams")) * 1000000 + 0.5
+    )
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("n_grams_total"),
+        F.sum("n_seen").alias("n_grams_seen"),
+        round_half_up(
+            1.0 - F.sum("n_seen").cast("double") / F.sum("n_grams"), 6
+        ).alias("micro_novelty"),
+        (
+            F.floor(F.sum(doc_novelty_q).cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1000000
+        ).alias("macro_novelty"),
+    )

@@ -214,3 +214,58 @@ def test_fertility_hand_counted(spark, tmp_path):
     fr = rows["fr"]
     assert fr["n_bytes"] == 5 and fr["n_word_tokens"] == 1
     assert abs(fr["bytes_per_token"] - 5.0) < 1e-9
+
+
+# --- span corruption invariants -----------------------------------------------------
+
+
+def test_span_corruption_reconstruction(spark):
+    """Non-sentinel corrupted tokens + target span tokens reconstruct the
+    original token multiset; sentinel numbering is consistent on both
+    sides; counts reconcile."""
+    rows = QS["span_corruption_build"](spark, SF0001).collect()
+    assert rows
+    masked_docs = 0
+    for r in rows:
+        corr = r["corrupted_text"].split() if r["corrupted_text"] else []
+        targ = r["target_text"].split() if r["target_text"] else []
+        sent_c = [t for t in corr if t.startswith("<extra_id_")]
+        sent_t = [t for t in targ if t.startswith("<extra_id_")]
+        plain_c = [t for t in corr if not t.startswith("<extra_id_")]
+        plain_t = [t for t in targ if not t.startswith("<extra_id_")]
+        assert len(sent_c) == r["n_spans"] == len(sent_t)
+        assert sent_c == [f"<extra_id_{k}>" for k in range(1, r["n_spans"] + 1)]
+        assert sent_t == sent_c  # same order left to right
+        assert len(plain_t) == r["n_masked"]
+        assert len(plain_c) + len(plain_t) == r["n_tokens"]
+        if r["n_spans"]:
+            masked_docs += 1
+    assert masked_docs > 0  # the corpus actually exercises masking
+
+
+# --- n-gram novelty extremes --------------------------------------------------------
+
+
+def test_novelty_extremes(spark, tmp_path):
+    """A val doc copied verbatim from train has novelty 0; a val doc with
+    disjoint vocabulary has novelty 1. doc_ids 1/2/3 hash to train and
+    6/31 to val under the shared split hash."""
+    dup = "red orange yellow green blue indigo violet"
+    docs = [
+        (1, dup),                     # train
+        (2, "aa bb cc dd ee ff gg"),  # train
+        (6, dup),                     # val, fully seen -> novelty 0
+        (31, "qq ww rr tt yy uu ii"), # val, fully novel -> novelty 1
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["split"]: r for r in QS["ngram_novelty_rate"](spark, str(tmp_path)).collect()}
+    val = rows["val"]
+    assert val["n_docs"] == 2
+    n_grams_each = 5  # 7 tokens -> 5 distinct trigrams
+    assert val["n_grams_total"] == 2 * n_grams_each
+    assert val["n_grams_seen"] == n_grams_each
+    assert abs(val["micro_novelty"] - 0.5) < 1e-6 + 1e-9
+    assert abs(val["macro_novelty"] - 0.5) < 1e-6 + 1e-9
+    assert "test" not in rows  # no test-split docs in the fixture
