@@ -50,7 +50,8 @@ from ..operators.dedup import (
 )
 from ..sources.lake import read_table
 from . import register
-from .ext_dedup import minhash_bands_sql_ctes
+from .ext_dedup import _minhash_oracle, dedup_minhash_lsh, minhash_bands_sql_ctes
+from .ext_text import _QC_ORACLE, quality_classifier_score
 
 # --- OHLC hourly bars ---------------------------------------------------------------
 
@@ -1003,4 +1004,477 @@ def ngram_novelty_rate(spark, sf_dir):
             F.floor(F.sum(doc_novelty_q).cast("double") / F.count(F.lit(1)) + 0.5)
             / 1000000
         ).alias("macro_novelty"),
+    )
+
+
+# --- cross-source near-duplicate matrix ---------------------------------------------
+
+
+@register(
+    "near_dup_source_matrix",
+    oracle=f"""
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       cast(count(*) AS bigint) AS n_pairs
+FROM ({_minhash_oracle()}) p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+""",
+    tags=("extension", "dedup", "governance"),
+)
+def near_dup_source_matrix(spark, sf_dir):
+    """Cross-source near-duplicate matrix: the verified MinHash-LSH pair
+    list (same pipeline, constants, and 0.6 Jaccard threshold as
+    ``dedup_minhash_lsh`` — called directly, so the two can never drift)
+    rolled up to unordered (source, source) cells. This is the corpus-
+    governance readout that says WHICH crawls/feeds duplicate each other
+    — the input to dedup-aware source mixing weights and to "drop feed B,
+    it is 90% feed A" decisions.
+
+    Scale: everything corpus-sized is inherited from the audited dedup
+    plan (in-row signatures, guarded band join); this adds two doc-keyed
+    dim joins for the source labels and a source^2-bounded aggregate."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    j = pairs.join(da, "doc_a").join(db, "doc_b")
+    return (
+        j.select(
+            F.least(F.col("sa"), F.col("sb")).alias("src_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- time-series motif discovery (matrix-profile-lite) ------------------------------
+
+_MOTIF_W = 7  # window length, days
+_MOTIF_MIN_LAG = 7  # exclusion zone: no overlapping windows
+_MOTIF_MAX_LAG = 120  # bounded search horizon, days
+_MOTIF_TOPK = 3
+
+
+def _motif_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, "
+        f"{_MOTIF_W + 1}), i -> a.vec[i] * b.vec[i]))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT cast(date_trunc('day', o_orderdate) AS date) AS d,
+         cast(floor(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                         AS double) / 100000.0) AS bigint) AS x
+  FROM orders GROUP BY 1
+),
+memb AS (
+  SELECT daily.d - cast(k AS integer) AS s, k, x
+  FROM daily, (SELECT unnest(range(0, {_MOTIF_W})) AS k)
+),
+w AS (
+  SELECT s,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS sx,
+         cast(sum(x * x) AS bigint) AS sxx,
+         list(x ORDER BY k) AS vec
+  FROM memb GROUP BY s
+),
+full_w AS (
+  SELECT * FROM w
+  WHERE n = {_MOTIF_W} AND {_MOTIF_W} * sxx - sx * sx > 0
+),
+pairs AS (
+  SELECT a.s AS start_a, b.s AS start_b,
+         floor(cast({_MOTIF_W} * {dot} - a.sx * b.sx AS double)
+               / sqrt(cast({_MOTIF_W} * a.sxx - a.sx * a.sx AS double)
+                      * cast({_MOTIF_W} * b.sxx - b.sx * b.sx AS double))
+               * 1000000 + 0.5) / 1000000 AS corr
+  FROM full_w a
+  JOIN (SELECT unnest(range({_MOTIF_MIN_LAG}, {_MOTIF_MAX_LAG + 1})) AS g) gaps ON true
+  JOIN full_w b ON b.s = a.s + cast(g AS integer)
+)
+SELECT start_a, start_b, corr FROM pairs
+ORDER BY corr DESC, start_a, start_b LIMIT {_MOTIF_TOPK}
+"""
+
+
+@register(
+    "ts_motif_top_pairs",
+    oracle=_motif_oracle(),
+    tags=("extension", "timeseries", "motif"),
+)
+def ts_motif_top_pairs(spark, sf_dir):
+    """Motif discovery on daily revenue (matrix-profile-lite, Yeh et al.
+    2016's problem statement): the top-3 most-correlated pairs of
+    non-overlapping 7-day windows within a 120-day search horizon —
+    "which week does this week repeat?". Pearson correlation of the two
+    windows comes from exact integer moments (daily sums descaled to
+    thousand-dollar units so all products stay in int64 far past bench
+    scale) plus one in-row dot product over the 7-element vectors;
+    zero-variance windows are excluded before pairing.
+
+    Scale: motif search is quadratic in the SERIES length, not the data
+    volume — the fact collapses to one daily aggregate (D rows for D
+    days), windows build from a 7-way in-row explode + one D-key
+    aggregate, and pairing is a bounded-fanout (114 gaps) equi-join on
+    the window-start date, never a cartesian. The spine is
+    localCheckpointed so the orders scan runs once."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100000.0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    memb = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_MOTIF_W - 1))).alias("k"), "d", "x"
+    ).select(F.date_sub(F.col("d"), F.col("k")).alias("s"), "k", "x")
+    w = (
+        memb.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("k", "x"))), lambda t: t["x"]
+            ).alias("vec"),
+        )
+        .where(
+            (F.col("n") == _MOTIF_W)
+            & (_MOTIF_W * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .localCheckpoint()
+    )
+    a = w.select(
+        F.col("s").alias("start_a"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+        F.col("vec").alias("va"),
+        F.explode(
+            F.sequence(F.lit(_MOTIF_MIN_LAG), F.lit(_MOTIF_MAX_LAG))
+        ).alias("g"),
+    )
+    b = w.select(
+        F.col("s").alias("start_b"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+        F.col("vec").alias("vb"),
+    )
+    j = a.join(b, F.col("start_b") == F.date_add(F.col("start_a"), F.col("g")))
+    sxy = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    num = (_MOTIF_W * sxy - F.col("sxa") * F.col("sxb")).cast("double")
+    dena = (_MOTIF_W * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast("double")
+    denb = (_MOTIF_W * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast("double")
+    return (
+        j.select(
+            "start_a",
+            "start_b",
+            round_half_up(num / F.sqrt(dena * denb), 6).alias("corr"),
+        )
+        .orderBy(F.desc("corr"), F.asc("start_a"), F.asc("start_b"))
+        .limit(_MOTIF_TOPK)
+    )
+
+
+# --- off-policy bandit replay evaluation --------------------------------------------
+
+_BANDIT_CUTOFF = "2024-01-16 00:00:00"
+_BANDIT_REWARD_MIN = 100.0  # reward = 1 when event value >= this
+
+
+def _bandit_oracle() -> str:
+    h = token_hash_sql(
+        "cast(user_id AS varchar) || '|' || cast(cast(ts AS date) AS varchar)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN value >= {_BANDIT_REWARD_MIN!r} THEN 1 ELSE 0 END AS r
+  FROM events WHERE value IS NOT NULL
+),
+arms AS (SELECT DISTINCT event_type FROM ev),
+idx AS (
+  SELECT a.event_type, cast(count(b.event_type) AS bigint) AS arm_idx
+  FROM arms a LEFT JOIN arms b ON b.event_type < a.event_type
+  GROUP BY a.event_type
+),
+kk AS (SELECT cast(count(*) AS bigint) AS k FROM arms),
+fh AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n1, cast(sum(r) AS bigint) AS s1
+  FROM ev WHERE ts < TIMESTAMP '{_BANDIT_CUTOFF}' GROUP BY event_type
+),
+best AS (
+  SELECT event_type AS best_et FROM fh
+  ORDER BY cast(s1 AS double) / n1 DESC, event_type LIMIT 1
+),
+e2 AS (
+  SELECT ev.user_id, ev.ts, ev.event_type, ev.r, i.arm_idx, kk.k, best.best_et,
+         {h} % kk.k AS chosen
+  FROM ev JOIN idx i ON i.event_type = ev.event_type, kk, best
+  WHERE ev.ts >= TIMESTAMP '{_BANDIT_CUTOFF}'
+),
+agg AS (
+  SELECT cast(sum(CASE WHEN chosen = arm_idx THEN 1 ELSE 0 END) AS bigint) AS u_n,
+         cast(sum(CASE WHEN chosen = arm_idx THEN r ELSE 0 END) AS bigint) AS u_s,
+         cast(sum(CASE WHEN event_type = best_et THEN 1 ELSE 0 END) AS bigint) AS g_n,
+         cast(sum(CASE WHEN event_type = best_et THEN r ELSE 0 END) AS bigint) AS g_s,
+         cast(count(*) AS bigint) AS l_n,
+         cast(sum(r) AS bigint) AS l_s
+  FROM e2
+)
+SELECT 'uniform' AS policy, u_n AS n_matched, u_s AS n_rewarded,
+       floor(cast(u_s AS double) / u_n * 1000000 + 0.5) / 1000000 AS reward_rate
+FROM agg
+UNION ALL
+SELECT 'greedy', g_n, g_s,
+       floor(cast(g_s AS double) / g_n * 1000000 + 0.5) / 1000000 FROM agg
+UNION ALL
+SELECT 'logging', l_n, l_s,
+       floor(cast(l_s AS double) / l_n * 1000000 + 0.5) / 1000000 FROM agg
+"""
+
+
+@register(
+    "bandit_replay_eval",
+    oracle=_bandit_oracle(),
+    tags=("extension", "training", "bandit", "evaluation"),
+)
+def bandit_replay_eval(spark, sf_dir):
+    """Off-policy bandit evaluation by replay (Li et al. 2011): score
+    candidate arm-selection policies on the logged event stream WITHOUT
+    deploying them — keep only logged events whose arm matches what the
+    policy would have chosen, and average their rewards. Three policies
+    over the event-type arms on the second half of the month: 'uniform'
+    (deterministic hash of (user, day) picks an arm — the unbiased
+    replay estimator, since logging here is arm-independent), 'greedy'
+    (the single best arm by first-half reward rate — the train/eval
+    temporal split prevents peeking), and 'logging' (the logged stream
+    itself, the baseline). Rewards and matches are exact integer
+    conditional sums; only the final rates are quantized doubles.
+
+    Scale: one pass — the arm index (|arms| rows) and the 1-row best-arm
+    and K broadcast onto the stream, then a single conditional aggregate
+    computes all three policies' counters; no per-policy rescan."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        (F.col("value") >= _BANDIT_REWARD_MIN).cast("int").alias("r"),
+    )
+    arms = ev.select("event_type").distinct()
+    a1, a2 = arms.alias("a"), arms.alias("b")
+    idx = (
+        a1.join(F.broadcast(a2), F.col("b.event_type") < F.col("a.event_type"), "left")
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count(F.col("b.event_type")).alias("arm_idx"))
+    )
+    kk = arms.agg(F.count(F.lit(1)).alias("k"))
+    cutoff = F.lit(_BANDIT_CUTOFF).cast("timestamp")
+    fh = (
+        ev.where(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n1"), F.sum("r").alias("s1"))
+    )
+    best = (
+        fh.orderBy(
+            F.desc(F.col("s1").cast("double") / F.col("n1")), F.asc("event_type")
+        )
+        .limit(1)
+        .select(F.col("event_type").alias("best_et"))
+    )
+    chosen = (
+        token_hash(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.col("ts").cast("date").cast("string"),
+            )
+        )
+        % F.col("k")
+    )
+    e2 = (
+        ev.where(F.col("ts") >= cutoff)
+        .join(F.broadcast(idx), "event_type")
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(best))
+        .withColumn("chosen", chosen)
+    )
+    u_match = F.col("chosen") == F.col("arm_idx")
+    g_match = F.col("event_type") == F.col("best_et")
+    agg = e2.agg(
+        count_if(u_match).alias("u_n"),
+        F.sum(F.when(u_match, F.col("r")).otherwise(0)).alias("u_s"),
+        count_if(g_match).alias("g_n"),
+        F.sum(F.when(g_match, F.col("r")).otherwise(0)).alias("g_s"),
+        F.count(F.lit(1)).alias("l_n"),
+        F.sum("r").alias("l_s"),
+    )
+    rate = lambda s, n: round_half_up(  # noqa: E731
+        F.col(s).cast("double") / F.col(n), 6
+    )
+    row = lambda p, n, s: F.struct(  # noqa: E731
+        F.lit(p).alias("policy"),
+        F.col(n).alias("n_matched"),
+        F.col(s).alias("n_rewarded"),
+        rate(s, n).alias("reward_rate"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                row("uniform", "u_n", "u_s"),
+                row("greedy", "g_n", "g_s"),
+                row("logging", "l_n", "l_s"),
+            )
+        ).alias("p")
+    ).select("p.policy", "p.n_matched", "p.n_rewarded", "p.reward_rate")
+
+
+# --- Brier score decomposition ------------------------------------------------------
+
+
+@register(
+    "brier_score_decomposition",
+    oracle=f"""
+WITH qc AS ({_QC_ORACLE}),
+j AS (
+  SELECT cast(floor((qc.quality_score + 0.5) * 1000000 + 0.5) AS bigint) AS p_q,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         cast(least(greatest(floor((qc.quality_score + 0.5) * 10), 0), 9) AS int)
+           AS bin_id
+  FROM qc JOIN documents d USING (doc_id)
+  WHERE qc.n_features > 0
+),
+g AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(y) AS bigint) AS sy,
+         cast(sum((p_q - y * 1000000) * (p_q - y * 1000000)) AS hugeint) AS ssq
+  FROM j
+),
+bins AS (
+  SELECT bin_id, cast(count(*) AS bigint) AS nk,
+         cast(sum(p_q) AS bigint) AS spk,
+         cast(sum(y) AS bigint) AS syk
+  FROM j GROUP BY bin_id
+),
+terms AS (
+  SELECT cast(sum(cast(floor(cast(nk AS double) / g.n
+           * (cast(spk AS double) / nk / 1000000.0 - cast(syk AS double) / nk)
+           * (cast(spk AS double) / nk / 1000000.0 - cast(syk AS double) / nk)
+           * 1000000000000 + 0.5) AS bigint)) AS bigint) AS rel_p,
+         cast(sum(cast(floor(cast(nk AS double) / g.n
+           * (cast(syk AS double) / nk - cast(g.sy AS double) / g.n)
+           * (cast(syk AS double) / nk - cast(g.sy AS double) / g.n)
+           * 1000000000000 + 0.5) AS bigint)) AS bigint) AS res_p
+  FROM bins, g GROUP BY g.n, g.sy
+)
+SELECT g.n AS n_docs,
+       floor(cast(g.sy AS double) / g.n * 1000000 + 0.5) / 1000000 AS base_rate,
+       floor(cast(g.ssq AS double) / g.n / 1000000000000.0 * 1000000 + 0.5)
+         / 1000000 AS brier,
+       floor(cast(t.rel_p AS double) / 1000000000000.0 * 1000000 + 0.5)
+         / 1000000 AS reliability,
+       floor(cast(t.res_p AS double) / 1000000000000.0 * 1000000 + 0.5)
+         / 1000000 AS resolution,
+       floor((cast(g.sy AS double) / g.n) * (1.0 - cast(g.sy AS double) / g.n)
+             * 1000000 + 0.5) / 1000000 AS uncertainty,
+       floor((cast(t.rel_p - t.res_p AS double) / 1000000000000.0
+              + (cast(g.sy AS double) / g.n) * (1.0 - cast(g.sy AS double) / g.n))
+             * 1000000 + 0.5) / 1000000 AS brier_binned
+FROM g, terms t
+""",
+    tags=("extension", "text", "classifier", "evaluation"),
+)
+def brier_score_decomposition(spark, sf_dir):
+    """Murphy (1973) decomposition of the Brier score for the corpus
+    quality classifier against the ``lang = 'en'`` reference label (the
+    same (score, label) pair as ``calibration_bins``): raw Brier, plus
+    reliability (calibration error), resolution (how much the bins
+    separate the base rate), and uncertainty (base-rate variance), with
+    the binned identity brier_binned = REL - RES + UNC reported
+    alongside. Scores live on a 1e-6 grid, so p quantizes exactly to
+    int64 micro-units; the raw Brier sum of squares is pure integer
+    (decimal(38,0) / hugeint past int64); per-bin REL/RES terms quantize
+    at 1e-12 before the 10-row fold so every sum is order-free.
+
+    Scale: the classifier stays map-only; this adds one doc-keyed label
+    join, a 10-group aggregate, and single-row algebra."""
+    from pyspark.storagelevel import StorageLevel
+
+    qc = quality_classifier_score(spark, sf_dir).where(F.col("n_features") > 0)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # persisted: the (p, y, bin) stream feeds the global moments AND the
+    # bin rollup — one classifier pass instead of two
+    j = (
+        qc.join(d, "doc_id")
+        .select(
+            F.floor((F.col("quality_score") + 0.5) * 1000000 + 0.5)
+            .cast("long")
+            .alias("p_q"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.least(
+                F.greatest(F.floor((F.col("quality_score") + 0.5) * 10), F.lit(0)),
+                F.lit(9),
+            )
+            .cast("int")
+            .alias("bin_id"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    err = F.col("p_q") - F.col("y").cast("long") * 1000000
+    g = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum((err * err).cast("decimal(38,0)")).alias("ssq"),
+    )
+    bins = j.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("p_q").alias("spk"),
+        F.sum("y").alias("syk"),
+    )
+    pbar = F.col("spk").cast("double") / F.col("nk") / 1000000.0
+    ybar_k = F.col("syk").cast("double") / F.col("nk")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    wfrac = F.col("nk").cast("double") / F.col("n")
+    q12 = lambda c: F.floor(c * 1000000000000 + 0.5).cast("long")  # noqa: E731
+    # ssq rides the rollup keys so the 1-row global frame is evaluated once
+    terms = (
+        bins.crossJoin(F.broadcast(g))
+        .groupBy("n", "sy", "ssq")
+        .agg(
+            F.sum(q12(wfrac * (pbar - ybar_k) * (pbar - ybar_k))).alias("rel_p"),
+            F.sum(q12(wfrac * (ybar_k - ybar) * (ybar_k - ybar))).alias("res_p"),
+        )
+    )
+    unc = ybar * (1.0 - ybar)
+    return terms.select(
+        F.col("n").alias("n_docs"),
+        round_half_up(ybar, 6).alias("base_rate"),
+        round_half_up(
+            F.col("ssq").cast("double") / F.col("n") / 1000000000000.0, 6
+        ).alias("brier"),
+        round_half_up(F.col("rel_p").cast("double") / 1000000000000.0, 6).alias(
+            "reliability"
+        ),
+        round_half_up(F.col("res_p").cast("double") / 1000000000000.0, 6).alias(
+            "resolution"
+        ),
+        round_half_up(unc, 6).alias("uncertainty"),
+        round_half_up(
+            (F.col("rel_p") - F.col("res_p")).cast("double") / 1000000000000.0 + unc,
+            6,
+        ).alias("brier_binned"),
     )

@@ -269,3 +269,95 @@ def test_novelty_extremes(spark, tmp_path):
     assert abs(val["micro_novelty"] - 0.5) < 1e-6 + 1e-9
     assert abs(val["macro_novelty"] - 0.5) < 1e-6 + 1e-9
     assert "test" not in rows  # no test-split docs in the fixture
+
+
+# --- cross-source near-dup matrix ---------------------------------------------------
+
+
+def test_near_dup_matrix_planted_pair(spark, tmp_path):
+    dup = " ".join(f"tok{i}" for i in range(30))
+    docs = [
+        (1, dup, "srcA"),
+        (2, dup, "srcB"),
+        (3, " ".join(f"other{i}" for i in range(30)), "srcC"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = QS["near_dup_source_matrix"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"], r["n_pairs"]) == ("srcA", "srcB", 1)
+
+
+# --- motif discovery ----------------------------------------------------------------
+
+
+def test_motif_finds_planted_repeat(spark, tmp_path):
+    """A 7-day pattern planted at day 0 and day 30 -> top pair is exactly
+    that (corr 1.0), ahead of all incidental pairs."""
+    pattern = [100, 300, 200, 500, 400, 700, 600]
+    base = dt.datetime(2024, 1, 1)
+    daily = {}
+    for t in range(90):
+        # irregular filler, strictly positive, no affine repeats
+        daily[t] = 10 + 3 * t + (t % 5) * 17 + (t % 11) * 7
+    for k, v in enumerate(pattern):
+        daily[k] = v
+        daily[30 + k] = v
+    rows = [
+        (t + 1, float(x * 1000), base + dt.timedelta(days=t))
+        for t, x in daily.items()
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = QS["ts_motif_top_pairs"](spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    top = out[0]
+    assert top["corr"] == 1.0
+    assert top["start_a"] == dt.date(2024, 1, 1)
+    assert top["start_b"] == dt.date(2024, 1, 31)
+
+
+# --- bandit replay ------------------------------------------------------------------
+
+
+def test_bandit_greedy_picks_planted_best_arm(spark, tmp_path):
+    rows = []
+    eid = 0
+    for day in (5, 20):  # one first-half day, one second-half day
+        for u in range(20):
+            for et, val in (("good", 150.0), ("bad", 10.0)):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 12, 0, 0), u, et, val)
+                )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["policy"]: r for r in QS["bandit_replay_eval"](spark, str(tmp_path)).collect()}
+    assert out["greedy"]["n_matched"] == 20  # all second-half 'good' events
+    assert out["greedy"]["reward_rate"] == 1.0
+    assert out["logging"]["n_matched"] == 40
+    assert abs(out["logging"]["reward_rate"] - 0.5) < 1e-9
+    u = out["uniform"]
+    assert 0 <= u["n_rewarded"] <= u["n_matched"] <= 40
+
+
+# --- Brier decomposition ------------------------------------------------------------
+
+
+def test_brier_decomposition_identities(spark):
+    r = QS["brier_score_decomposition"](spark, SF0001).collect()[0]
+    y = r["base_rate"]
+    assert abs(r["uncertainty"] - round(y * (1 - y), 6)) < 2e-6
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    # binned identity holds by construction
+    assert (
+        abs(r["brier_binned"] - (r["reliability"] - r["resolution"] + r["uncertainty"]))
+        < 3e-6
+    )
+    # raw Brier differs from the binned one only by within-bin variance of p
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["resolution"] <= r["uncertainty"] + 1e-9
