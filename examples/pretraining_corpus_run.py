@@ -63,6 +63,10 @@ from bigdata_meteo_datalake_spark.queries.ext_governance import (
     pii_scan_report,
     shard_manifest,
 )
+from bigdata_meteo_datalake_spark.queries.ext_metrics import (
+    ngram_novelty_rate,
+    span_corruption_build,
+)
 from bigdata_meteo_datalake_spark.queries.ext_selection import (
     boilerplate_ngram_coverage,
     dsir_importance_weights,
@@ -190,11 +194,29 @@ def main() -> None:
         "split"
     ).parquet(os.path.join(out_root, "corpus"))
 
+    # 13. denoising objective — materialize T5-style span-corruption pairs
+    # for the surviving train docs (join prunes to the corpus cut)
+    samples = span_corruption_build(spark, sf_dir).join(
+        final.where(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    samples.write.mode("overwrite").parquet(os.path.join(out_root, "denoise_pairs"))
+    n_samples = samples.count()
+
+    # 14. memorization readout — graded n-gram novelty of the held-out
+    # splits vs train (the honest companion to the binary leakage flag)
+    novelty = {r["split"]: r for r in ngram_novelty_rate(spark, sf_dir).collect()}
+
     rows = manifest.collect()
     print(
         f"corpus: {n0} docs -> {n1} after "
         "cascade+quality+dedup+contamination+span-dup+boilerplate"
     )
+    print(f"denoising pairs materialized for train split: {n_samples}")
+    for split, r in sorted(novelty.items()):
+        print(
+            f"  novelty {split}: micro {r['micro_novelty']:.4f} "
+            f"macro {r['macro_novelty']:.4f} over {r['n_docs']} docs"
+        )
     print(f"dsir pool overlap with final corpus: {n_dsir_kept}/{n_dsir}")
     print(f"pii-flagged docs (redacted variant would ship): {n_pii}")
     for r in cascade.groupBy("verdict").count().orderBy("verdict").collect():
