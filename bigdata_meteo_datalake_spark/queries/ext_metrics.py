@@ -1478,3 +1478,156 @@ def brier_score_decomposition(spark, sf_dir):
             6,
         ).alias("brier_binned"),
     )
+
+
+# --- decision-stump training (distributed, exact) -----------------------------------
+
+#: candidate (feature, threshold) grid — literal in both engines. Features
+#: are per-user integers; thresholds span each feature's realistic range.
+_STUMP_GRID = (
+    ("n_events", (2, 4, 6, 8, 12, 16, 24)),
+    ("total_cents", (50_000, 100_000, 200_000, 400_000, 800_000, 1_600_000)),
+    ("active_days", (2, 4, 6, 8, 12, 16)),
+)
+
+
+def _stump_oracle() -> str:
+    cand_rows = ",\n         ".join(
+        f"('{feat}', {thr})" for feat, thrs in _STUMP_GRID for thr in thrs
+    )
+    feat_expr = " ".join(
+        f"WHEN c.feature = '{feat}' THEN u.{feat}" for feat, _ in _STUMP_GRID
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         cast(count(*) AS bigint) AS n_events,
+         cast(sum(CASE WHEN value IS NOT NULL
+                       THEN cast(floor(value * 100 + 0.5) AS bigint)
+                       ELSE 0 END) AS bigint) AS total_cents,
+         cast(count(DISTINCT cast(ts AS date)) AS bigint) AS active_days,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                   > count(*) THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+cand AS (SELECT * FROM (VALUES {cand_rows}) c(feature, threshold)),
+split AS (
+  SELECT c.feature, cast(c.threshold AS bigint) AS threshold,
+         cast(sum(CASE WHEN (CASE {feat_expr} END) <= c.threshold
+                       THEN 1 ELSE 0 END) AS bigint) AS n_left,
+         cast(sum(CASE WHEN (CASE {feat_expr} END) <= c.threshold
+                       THEN u.y ELSE 0 END) AS bigint) AS s_left,
+         cast(count(*) AS bigint) AS n_all,
+         cast(sum(u.y) AS bigint) AS s_all
+  FROM u, cand c
+  GROUP BY c.feature, c.threshold
+),
+scored AS (
+  SELECT feature, threshold, n_left, s_left,
+         n_all - n_left AS n_right, s_all - s_left AS s_right,
+         cast(floor((CASE WHEN n_left = 0 THEN 0.0
+                 ELSE cast(s_left * (n_left - s_left) AS double) / n_left END
+               + CASE WHEN n_all - n_left = 0 THEN 0.0
+                 ELSE cast((s_all - s_left) * ((n_all - n_left) - (s_all - s_left))
+                           AS double) / (n_all - n_left) END)
+               / n_all * 1000000000 + 0.5) AS bigint) AS gini_q
+  FROM split
+),
+best AS (SELECT min(gini_q) AS g FROM scored)
+SELECT s.feature, s.threshold, s.n_left, s.s_left, s.n_right, s.s_right,
+       s.gini_q, s.gini_q = b.g AS is_best
+FROM scored s, best b
+"""
+
+
+@register(
+    "decision_stump_train",
+    oracle=_stump_oracle(),
+    tags=("extension", "training", "ml"),
+)
+def decision_stump_train(spark, sf_dir):
+    """Distributed decision-stump training — the inner loop of every
+    tree ensemble (CART split search, Breiman et al. 1984), run as one
+    Spark aggregate: per user the integer features (event count, total
+    cents, active days) and the conversion label, then every candidate
+    (feature, threshold) from a literal grid scored by weighted Gini
+    impurity in a single conditional-aggregate pass. The Gini score
+    s_l(n_l-s_l)/n_l + s_r(n_r-s_r)/n_r (normalized by N) is a rational
+    of exact int64 counts, quantized at 1e-9; the winning split is
+    flagged with is_best so the full search surface stays auditable.
+
+    Scale: one user-keyed feature aggregate over the fact, then a
+    19-candidate broadcast explode and a map-side-combined aggregate to
+    19 rows — the canonical "histogram method" split search (what
+    XGBoost/LightGBM do per node), linear in the data, one shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        ).alias("total_cents"),
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
+        (count_if(F.col("event_type") == "purchase") * 5 > F.count(F.lit(1)))
+        .cast("int")
+        .alias("y"),
+    )
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(feat).alias("feature"), F.lit(thr).cast("long").alias("threshold")
+            )
+            for feat, thrs in _STUMP_GRID
+            for thr in thrs
+        ]
+    )
+    e = u.select(
+        "n_events", "total_cents", "active_days", "y", F.explode(cand).alias("c")
+    )
+    fval = (
+        F.when(F.col("c.feature") == "n_events", F.col("n_events"))
+        .when(F.col("c.feature") == "total_cents", F.col("total_cents"))
+        .otherwise(F.col("active_days"))
+    )
+    left = fval <= F.col("c.threshold")
+    split = e.groupBy(
+        F.col("c.feature").alias("feature"), F.col("c.threshold").alias("threshold")
+    ).agg(
+        count_if(left).alias("n_left"),
+        F.sum(F.when(left, F.col("y")).otherwise(0)).alias("s_left"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("y").alias("s_all"),
+    )
+    n_r = F.col("n_all") - F.col("n_left")
+    s_r = F.col("s_all") - F.col("s_left")
+    gl = F.when(F.col("n_left") == 0, F.lit(0.0)).otherwise(
+        (F.col("s_left") * (F.col("n_left") - F.col("s_left"))).cast("double")
+        / F.col("n_left")
+    )
+    gr = F.when(n_r == 0, F.lit(0.0)).otherwise(
+        (s_r * (n_r - s_r)).cast("double") / n_r
+    )
+    scored = split.select(
+        "feature",
+        "threshold",
+        "n_left",
+        "s_left",
+        n_r.alias("n_right"),
+        s_r.alias("s_right"),
+        F.floor((gl + gr) / F.col("n_all") * 1000000000 + 0.5)
+        .cast("long")
+        .alias("gini_q"),
+    ).localCheckpoint()  # 19 rows feed both the min and the output
+    best = scored.agg(F.min("gini_q").alias("g"))
+    return scored.crossJoin(F.broadcast(best)).select(
+        "feature",
+        "threshold",
+        "n_left",
+        "s_left",
+        "n_right",
+        "s_right",
+        "gini_q",
+        (F.col("gini_q") == F.col("g")).alias("is_best"),
+    )

@@ -361,3 +361,33 @@ def test_brier_decomposition_identities(spark):
     # raw Brier differs from the binned one only by within-bin variance of p
     assert 0.0 <= r["brier"] <= 1.0
     assert r["resolution"] <= r["uncertainty"] + 1e-9
+
+
+# --- decision stump -----------------------------------------------------------------
+
+
+def test_stump_finds_perfect_split(spark, tmp_path):
+    """Converted users have 10 events, non-converted have 2 -> any
+    n_events threshold in [2,8] splits perfectly (gini 0) and is_best."""
+    rows = []
+    eid = 0
+    for u in range(1, 11):  # converters: all purchases
+        for i in range(10):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 2, 10, 0, i), u, "purchase", 150.0))
+    for u in range(11, 21):  # non-converters: two views
+        for i in range(2):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 2, 11, 0, i), u, "view", 10.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QS["decision_stump_train"](spark, str(tmp_path)).collect()
+    assert len(out) == 19  # full candidate grid emitted
+    perfect = [r for r in out if r["gini_q"] == 0 and r["is_best"]]
+    assert perfect  # a perfect split exists and is flagged best
+    at4 = next(r for r in out if r["feature"] == "n_events" and r["threshold"] == 4)
+    assert (at4["n_left"], at4["s_left"], at4["n_right"], at4["s_right"]) == (10, 0, 10, 10)
+    assert at4["gini_q"] == 0 and at4["is_best"]
+    # no imperfect candidate may be flagged best when a perfect one exists
+    assert all(r["gini_q"] == 0 for r in out if r["is_best"])
