@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     # 26-query set in BASELINE.md, same session as the set change)
     "bm25_doc_scores",
     "rrf_hybrid_fusion",
+    # round-5 second wave: LLM objective materialization (pure map) and
+    # bounded-horizon motif search (baseline restated for the 28-query set
+    # in BASELINE.md, same session as the set change)
+    "span_corruption_build",
+    "ts_motif_top_pairs",
 ]
 
 

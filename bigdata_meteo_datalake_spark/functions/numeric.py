@@ -104,3 +104,23 @@ def oracle_ratio(num: str, den: str, scale: int = 2) -> str:
     return oracle_round_half_up(
         f"cast(({num}) as double) / cast(({den}) as double)", scale
     )
+
+
+def project_fence(df):
+    """Optimizer fence between chained projections of expensive
+    higher-order-function columns.
+
+    ``CollapseProject`` merges adjacent projections by inlining an
+    aliased expression into every reference site — and a reference
+    INSIDE a later lambda multiplies the inlined tree by the array
+    length. Three chained array stages (each a ``transform``/``filter``
+    over the previous stage's column) therefore collapse into an
+    O(n^3)-per-row expression (measured 25x slower on
+    span_corruption_build at sf0.1). A one-element ``explode`` inserts a
+    Generate node projections cannot merge across, so each stage's
+    arrays materialize exactly once per row; the plan stays a pure map
+    (no shuffle, no memory barrier) and column pruning still works.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_fence", F.explode(F.array(F.lit(1)))).drop("_fence")

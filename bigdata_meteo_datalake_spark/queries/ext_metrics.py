@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.numeric import count_if, round_half_up
+from ..functions.numeric import count_if, project_fence, round_half_up
 from ..operators.dedup import (
     LSH_MAX_BUCKET,
     doc_shingle_hash_sets,
@@ -740,9 +740,6 @@ _SPAN_LEN = 3  # fixed span length; overlapping spans merge into one run
 
 def _span_corruption_oracle() -> str:
     h = token_hash_sql("cast(doc_id AS varchar) || '|' || cast(p AS varchar)")
-    sent = (
-        "'<extra_id_' || cast(len(list_filter(rs[1:p], x -> x = 1)) AS varchar) || '>'"
-    )
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS t
@@ -762,25 +759,30 @@ msk AS (
                      THEN 1 ELSE 0 END) AS mk
   FROM arr
 ),
-runs AS (
+-- run boundaries as position LISTS (ss = starts, ee = ends): sentinel k is
+-- just the index into ss, so the construction is O(n) per doc instead of
+-- the O(n^2) per-position prefix count
+seg AS (
   SELECT doc_id, t, n, mk,
-         list_transform(range(1, n + 1),
-           p -> CASE WHEN mk[p] = 1 AND (p = 1 OR mk[p - 1] = 0) THEN 1 ELSE 0 END) AS rs
+         list_filter(range(1, n + 1),
+           p -> mk[p] = 1 AND (p = 1 OR mk[p - 1] = 0)) AS ss,
+         list_filter(range(1, n + 1),
+           p -> mk[p] = 1 AND (p = n OR mk[p + 1] = 0)) AS ee
   FROM msk
 )
 SELECT doc_id,
        cast(n AS bigint) AS n_tokens,
        cast(len(list_filter(mk, x -> x = 1)) AS bigint) AS n_masked,
-       cast(len(list_filter(rs, x -> x = 1)) AS bigint) AS n_spans,
-       coalesce(array_to_string(list_filter(list_transform(range(1, n + 1),
-         p -> CASE WHEN mk[p] = 0 THEN t[p]
-                   WHEN rs[p] = 1 THEN {sent}
-                   ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS corrupted_text,
+       cast(len(ss) AS bigint) AS n_spans,
        coalesce(array_to_string(flatten(list_transform(range(1, n + 1),
-         p -> CASE WHEN mk[p] = 0 THEN []
-                   WHEN rs[p] = 1 THEN [{sent}, t[p]]
-                   ELSE [t[p]] END)), ' '), '') AS target_text
-FROM runs
+         p -> CASE WHEN mk[p] = 0 THEN [t[p]]
+                   WHEN list_position(ss, p) > 0
+                     THEN ['<extra_id_' || cast(list_position(ss, p) AS varchar) || '>']
+                   ELSE [] END)), ' '), '') AS corrupted_text,
+       coalesce(array_to_string(flatten(list_transform(range(1, len(ss) + 1),
+         i -> list_concat(['<extra_id_' || cast(i AS varchar) || '>'],
+                          t[ss[i]:ee[i]]))), ' '), '') AS target_text
+FROM seg
 """
 
 
@@ -805,9 +807,9 @@ def span_corruption_build(spark, sf_dir):
     no shuffle.
 
     Scale: pure map over documents (one projection, zero exchanges) —
-    linear in executors at any corpus size; the in-row prefix counts are
-    O(n^2) lambdas on n <= a few hundred tokens per doc, i.e. free next
-    to the string I/O."""
+    linear in executors at any corpus size; run boundaries are position
+    LISTS so the whole in-row construction is O(n tokens) per doc (the
+    per-position prefix-count form was O(n^2) and 20x slower at sf0.1)."""
     d = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
@@ -823,7 +825,9 @@ def span_corruption_build(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    w_st = base.withColumn("st", st)
+    # project_fence between the array stages: without it CollapseProject
+    # inlines each stage into the next stage's lambdas (O(n^3) per row)
+    w_st = project_fence(base.withColumn("st", st))
     lo = lambda p: F.greatest(F.lit(1), p - (_SPAN_LEN - 1))  # noqa: E731
     mk = F.transform(
         seq,
@@ -834,55 +838,58 @@ def span_corruption_build(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    w_mk = w_st.withColumn("mk", mk)
-    rs = F.transform(
-        seq,
-        lambda p: F.when(
-            (F.element_at(F.col("mk"), p) == 1)
-            & ((p == 1) | (F.element_at(F.col("mk"), (p - 1).cast("int")) == 0)),
-            1,
-        ).otherwise(0),
+    w_mk = project_fence(w_st.withColumn("mk", mk))
+    # run boundaries as position LISTS (ss = starts, ee = ends): sentinel k
+    # is just the index into ss, so the whole construction is O(n) per doc
+    # (the per-position prefix-count form was O(n^2) and 20x slower)
+    at_mk = lambda p: F.element_at(F.col("mk"), p.cast("int"))  # noqa: E731
+    ss = F.filter(
+        seq, lambda p: (at_mk(p) == 1) & ((p == 1) | (at_mk(p - 1) == 0))
     )
-    w_rs = w_mk.withColumn("rs", rs)
-    sent = lambda p: F.concat(  # noqa: E731
-        F.lit("<extra_id_"),
-        F.size(F.filter(F.slice(F.col("rs"), 1, p), lambda x: x == 1)).cast("string"),
-        F.lit(">"),
+    ee = F.filter(
+        seq,
+        lambda p: (at_mk(p) == 1) & ((p == F.col("n")) | (at_mk(p + 1) == 0)),
+    )
+    w_seg = project_fence(w_mk.withColumn("ss", ss).withColumn("ee", ee))
+    sent_no = lambda i: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), i.cast("string"), F.lit(">")
     )
     tok_at = lambda p: F.element_at(F.col("t"), p.cast("int"))  # noqa: E731
+    pos_in_ss = lambda p: F.array_position(F.col("ss"), p)  # noqa: E731
     corrupted = F.array_join(
-        F.filter(
+        F.flatten(
             F.transform(
                 seq,
-                lambda p: F.when(F.element_at(F.col("mk"), p) == 0, tok_at(p))
-                .when(F.element_at(F.col("rs"), p) == 1, sent(p))
-                .otherwise(F.lit(None).cast("string")),
-            ),
-            lambda x: x.isNotNull(),
+                lambda p: F.when(at_mk(p) == 0, F.array(tok_at(p)))
+                .when(pos_in_ss(p) > 0, F.array(sent_no(pos_in_ss(p))))
+                .otherwise(F.array().cast("array<string>")),
+            )
         ),
         " ",
     )
     target = F.array_join(
         F.flatten(
             F.transform(
-                seq,
-                lambda p: F.when(
-                    F.element_at(F.col("mk"), p) == 0,
-                    F.array().cast("array<string>"),
-                )
-                .when(
-                    F.element_at(F.col("rs"), p) == 1, F.array(sent(p), tok_at(p))
-                )
-                .otherwise(F.array(tok_at(p))),
+                F.col("ss"),
+                lambda s, i: F.concat(
+                    F.array(sent_no(i + 1)),
+                    F.slice(
+                        F.col("t"),
+                        s.cast("int"),
+                        (F.element_at(F.col("ee"), (i + 1).cast("int")) - s + 1).cast(
+                            "int"
+                        ),
+                    ),
+                ),
             )
         ),
         " ",
     )
-    return w_rs.select(
+    return w_seg.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
         F.size(F.filter(F.col("mk"), lambda x: x == 1)).cast("long").alias("n_masked"),
-        F.size(F.filter(F.col("rs"), lambda x: x == 1)).cast("long").alias("n_spans"),
+        F.size(F.col("ss")).cast("long").alias("n_spans"),
         F.coalesce(corrupted, F.lit("")).alias("corrupted_text"),
         F.coalesce(target, F.lit("")).alias("target_text"),
     )
