@@ -337,12 +337,22 @@ def connected_components(
 
     Iterative Spark algorithm (the engine's one loop): each round joins
     labels to neighbors and takes the min — O(graph diameter) rounds, each
-    one shuffle on node id. `localCheckpoint` truncates the growing lineage
-    per round. Raises if not converged within `max_iter` (near-dup cluster
-    diameters are tiny in practice)."""
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    one shuffle on node id. The symmetrized edge list localCheckpoints
+    ONCE before the loop (otherwise every round re-executes the upstream
+    pair generator — measured 3-4x the whole operator on the near-dup
+    compositions), per-round `localCheckpoint` truncates the growing
+    label lineage, and the convergence count rides the checkpoint job via
+    ``df.observe`` (same zero-extra-scan idiom as the two-phase variant)
+    instead of a separate join+count job per round. Raises if not
+    converged within `max_iter` (near-dup cluster diameters are tiny in
+    practice)."""
+    from pyspark.sql import Observation
+
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -361,22 +371,22 @@ def connected_components(
             .agg(F.min("dst_label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        obs = Observation()
         new_labels = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).cast("long").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .select("node", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.select("node", F.col("label").alias("new_label"))
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_rep"))
