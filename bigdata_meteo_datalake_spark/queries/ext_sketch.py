@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import count_if, round_half_up
+from ..functions.numeric import count_if, project_fence, round_half_up
 from ..operators.dedup import token_hash, token_hash_sql
 from ..sources.lake import read_table
 from . import register
@@ -1083,14 +1083,17 @@ def poisson_bootstrap_ci(spark, sf_dir):
             F.col("o_custkey").cast("string"), F.lit("|boot|"), F.col("b").cast("string")
         )
     ) % 1000000
+    # the hash computes ONCE per (customer, replicate) row behind a
+    # project_fence — inlined into the CDF filter lambda it would run
+    # once per CDF element (10x the md5 work)
     w = F.size(
         F.filter(
-            F.array(*[F.lit(t) for t in _BOOT_CDF]), lambda t: u >= t
+            F.array(*[F.lit(t) for t in _BOOT_CDF]), lambda t: F.col("u") >= t
         )
     ).cast("long")
-    weighted = cust.select("o_custkey", "cents", reps).select(
-        "b", w.alias("w"), "cents"
-    )
+    weighted = project_fence(
+        cust.select("o_custkey", "cents", reps).select("b", u.alias("u"), "cents")
+    ).select("b", w.alias("w"), "cents")
     means = weighted.groupBy("b").agg(
         (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w")).alias("m")
     )
