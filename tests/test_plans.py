@@ -171,3 +171,28 @@ def test_phash_near_dup_no_nested_loop(spark):
     plan = plan_string(QS["multimodal_phash_near_dup"](spark, SF0001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_corruption_is_pure_map_with_fences(spark):
+    """The denoising builder must stay a zero-shuffle map, and the
+    project_fence Generate nodes must survive optimization — without them
+    CollapseProject inlines each array stage into the next stage's
+    lambdas (O(n^3) per row; 15x slower measured at sf0.1)."""
+    df = QS["span_corruption_build"](spark, SF0001)
+    assert n_shuffle_exchanges(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") >= 3  # one fence per array stage
+
+
+def test_fertility_and_ohlc_single_aggregate(spark):
+    for name in ("tokenizer_fertility_by_lang", "ohlc_hourly_bars"):
+        df = QS[name](spark, SF0001)
+        assert n_shuffle_exchanges(df) == 1, name  # one hash aggregate only
+
+
+def test_bootstrap_hash_behind_fence(spark):
+    """The Poisson-weight md5 must materialize once per (customer,
+    replicate) row — the fence keeps it out of the CDF filter lambda."""
+    df = QS["poisson_bootstrap_ci"](spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") >= 1
