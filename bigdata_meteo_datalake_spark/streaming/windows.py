@@ -678,3 +678,59 @@ def stream_priority_sample(
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def ohlc_bars(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
+    """OHLC bar aggregation over a time window — the SHARED transform both
+    the batch query (queries/ext_metrics.ohlc_hourly_bars, which groups by
+    the equivalent date_trunc) and the streaming twin run: open/close via
+    min_by/max_by on the deterministic fixed-width (epoch_us, event_id)
+    key, high/low/volume as plain aggregates over int64 cents. min_by/
+    max_by are declarative aggregates, so the SAME expression tree is
+    legal in a watermarked streaming aggregation — one code path, two
+    execution modes."""
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("_"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        k.alias("k"),
+    )
+    return (
+        e.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.min_by("cents", "k").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "k").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .select(
+            F.col("w.start").alias("hr"),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "volume_cents",
+        )
+    )
+
+
+def stream_ohlc_bars(
+    stream: DataFrame,
+    *,
+    duration: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked streaming twin of :func:`ohlc_bars`: bars finalize when
+    the watermark passes the window end (append-mode eviction), late rows
+    beyond `watermark` are dropped — live market-data bar building on the
+    exact batch semantics."""
+    return ohlc_bars(stream.withWatermark("ts", watermark), duration=duration)

@@ -844,3 +844,33 @@ def test_stream_priority_sample_order_independent(spark, tmp_path):
             tau = 0.0
             est = sum(w for _q, _i, w in entries) / 100.0
         assert r.tau == tau and r.est_total == est
+
+
+def test_stream_ohlc_matches_batch_query(spark, event_source, tmp_path):
+    """The streaming OHLC twin drained with availableNow reproduces the
+    registered batch query ohlc_hourly_bars row for row (open/close
+    tie-breaks included)."""
+    from bigdata_meteo_datalake_spark.queries import queries
+    from bigdata_meteo_datalake_spark.streaming.windows import stream_ohlc_bars
+
+    src, events = event_source
+    stream = stream_events(spark, src, events.schema)
+    agg = stream_ohlc_bars(stream, duration="1 hour", watermark="1 hour")
+    run_available_now(agg, "stream_ohlc", str(tmp_path / "ckpt_ohlc"))
+    cols = ["hr", "event_type", "open_cents", "high_cents", "low_cents",
+            "close_cents", "n_events", "volume_cents"]
+    got = (
+        spark.table("stream_ohlc")
+        .select(*cols)
+        .toPandas()
+        .sort_values(["hr", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        queries()["ohlc_hourly_bars"](spark, SF0001)
+        .select(F.col("hr").alias("hr"), *cols[1:])
+        .toPandas()
+        .sort_values(["hr", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
