@@ -1638,3 +1638,131 @@ def decision_stump_train(spark, sf_dir):
         "gini_q",
         (F.col("gini_q") == F.col("g")).alias("is_best"),
     )
+
+
+# --- logistic-regression gradient step ----------------------------------------------
+
+#: fixed evaluation point w (literals in both engines): intercept + one
+#: weight per feature, on the scaled-feature space below.
+_LR_W = (-1.0, 0.25, 0.125, 0.5)  # w0, w_events, w_cents, w_days
+_LR_FEATS = ("n_events", "cents_k", "active_days")
+
+
+def _lr_oracle() -> str:
+    z = (
+        f"{_LR_W[0]!r} + {_LR_W[1]!r} * u.n_events"
+        f" + {_LR_W[2]!r} * u.cents_k + {_LR_W[3]!r} * u.active_days"
+    )
+    g_rows = "\n  UNION ALL ".join(
+        f"SELECT '{f}' AS feature, cast(sum(cast(floor(r * {f} * 1000000000 + 0.5)"
+        " AS bigint)) AS bigint) AS g_q,"
+        " cast(sum(l_q) AS bigint) AS loss_q,"
+        " cast(count(*) AS bigint) AS n_users FROM resid"
+        for f in _LR_FEATS
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         cast(count(*) AS bigint) AS n_events,
+         floor(cast(sum(CASE WHEN value IS NOT NULL
+                             THEN cast(floor(value * 100 + 0.5) AS bigint)
+                             ELSE 0 END) AS double) / 100000.0) AS cents_k,
+         cast(count(DISTINCT cast(ts AS date)) AS bigint) AS active_days,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                   > count(*) THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+resid AS (
+  SELECT n_events, cents_k, active_days,
+         1.0 / (1.0 + exp(-({z}))) - y AS r,
+         cast(floor((CASE WHEN y = 1 THEN ln(1.0 + exp(-({z})))
+                          ELSE ln(1.0 + exp({z})) END) * 1000000 + 0.5)
+              AS bigint) AS l_q
+  FROM u
+)
+{g_rows}
+"""
+
+
+@register(
+    "logreg_gradient_step",
+    oracle=_lr_oracle(),
+    tags=("extension", "training", "ml"),
+)
+def logreg_gradient_step(spark, sf_dir):
+    """One distributed gradient evaluation of logistic regression at a
+    fixed literal weight vector — the inner loop of every full-batch /
+    L-BFGS logistic trainer (and of MLlib's LogisticRegression): per user
+    the scaled integer features and conversion label, residual
+    r = sigmoid(w.x) - y, and the gradient g_j = sum r * x_j per feature,
+    with the log-loss sum alongside. Per-row gradient contributions and
+    losses quantize (1e-9 / 1e-6) BEFORE the sum so the fold is
+    order-free; the weight vector is embedded as identical literals in
+    both engines, so both evaluate the same IEEE expression tree.
+
+    Scale: one user-keyed aggregate over the fact, then one map-side-
+    combined reduction to |features| rows — gradient evaluation is
+    embarrassingly data-parallel, which is exactly why logistic trainers
+    scale; a trainer would loop this query, updating the literals."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).cast("double")
+            / 100000.0
+        ).alias("cents_k"),
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
+        (count_if(F.col("event_type") == "purchase") * 5 > F.count(F.lit(1)))
+        .cast("int")
+        .alias("y"),
+    )
+    z = (
+        F.lit(_LR_W[0])
+        + _LR_W[1] * F.col("n_events")
+        + _LR_W[2] * F.col("cents_k")
+        + _LR_W[3] * F.col("active_days")
+    )
+    r = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+    l_q = (
+        F.floor(
+            F.when(F.col("y") == 1, F.log(1.0 + F.exp(-z)))
+            .otherwise(F.log(1.0 + F.exp(z)))
+            * 1000000
+            + 0.5
+        )
+    ).cast("long")
+    resid = u.select(
+        "n_events", "cents_k", "active_days", r.alias("r"), l_q.alias("l_q")
+    )
+    # ONE pass: all three gradient components reduce in the same aggregate,
+    # then explode to rows (a union of per-feature aggregates would rescan
+    # the user rollup once per feature)
+    agg = resid.agg(
+        *[
+            F.sum(
+                F.floor(F.col("r") * F.col(f) * 1000000000 + 0.5).cast("long")
+            ).alias(f"g_{f}")
+            for f in _LR_FEATS
+        ],
+        F.sum("l_q").alias("loss_q"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("feature"),
+                F.col(f"g_{f}").alias("g_q"),
+                F.col("loss_q").alias("loss_q"),
+                F.col("n_users").alias("n_users"),
+            )
+            for f in _LR_FEATS
+        ]
+    )
+    return agg.select(F.explode(rows).alias("p")).select(
+        "p.feature", "p.g_q", "p.loss_q", "p.n_users"
+    )

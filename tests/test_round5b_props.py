@@ -391,3 +391,52 @@ def test_stump_finds_perfect_split(spark, tmp_path):
     assert at4["gini_q"] == 0 and at4["is_best"]
     # no imperfect candidate may be flagged best when a perfect one exists
     assert all(r["gini_q"] == 0 for r in out if r["is_best"])
+
+
+# --- logistic gradient --------------------------------------------------------------
+
+
+def test_logreg_gradient_matches_hand_computation(spark, tmp_path):
+    """Two planted users with known features -> gradient and loss match
+    the hand-computed sums (within one quantization ulp for engine exp)."""
+    rows = []
+    eid = 0
+    # user 1: 4 purchase events of 250.00 on one day -> y=1,
+    #   n_events=4, cents_k=floor(100000/100000)=1, active_days=1
+    for i in range(4):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 3, 10, 0, i), 1, "purchase", 250.0))
+    # user 2: 2 view events of 50.00 on two days -> y=0,
+    #   n_events=2, cents_k=0, active_days=2
+    for d in (4, 5):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, d, 10, 0, 0), 2, "view", 50.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["feature"]: r for r in QS["logreg_gradient_step"](spark, str(tmp_path)).collect()}
+
+    import math
+
+    W = (-1.0, 0.25, 0.125, 0.5)
+    users = [  # (n_events, cents_k, active_days, y)
+        (4, 1, 1, 1),
+        (2, 0, 2, 0),
+    ]
+    feats = {"n_events": 0, "cents_k": 1, "active_days": 2}
+    for fname, fi in feats.items():
+        g = 0
+        loss = 0
+        for ne, ck, ad, y in users:
+            z = W[0] + W[1] * ne + W[2] * ck + W[3] * ad
+            r = 1.0 / (1.0 + math.exp(-z)) - y
+            x = (ne, ck, ad)[fi]
+            g += math.floor(r * x * 1e9 + 0.5)
+            loss += math.floor(
+                (math.log(1 + math.exp(-z)) if y else math.log(1 + math.exp(z)))
+                * 1e6 + 0.5
+            )
+        row = out[fname]
+        assert abs(row["g_q"] - g) <= 2, fname
+        assert abs(row["loss_q"] - loss) <= 2, fname
+        assert row["n_users"] == 2
