@@ -1766,3 +1766,86 @@ def logreg_gradient_step(spark, sf_dir):
     return agg.select(F.explode(rows).alias("p")).select(
         "p.feature", "p.g_q", "p.loss_q", "p.n_users"
     )
+
+
+# --- quantile normalization across series -------------------------------------------
+
+_QN_GRID = [round(k / 100.0, 2) for k in range(101)]
+
+
+@register(
+    "quantile_normalize_report",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+g AS (SELECT quantile_cont(value, {_QN_GRID}) AS g FROM v),
+r AS (
+  SELECT event_type, value,
+         cast(floor(percent_rank() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) * 100 + 0.5)
+              AS bigint) AS k
+  FROM v
+),
+nr AS (SELECT event_type, value, g.g[k + 1] AS norm FROM r, g)
+SELECT event_type,
+       cast(count(*) AS bigint) AS n_events,
+       floor(cast(sum(cast(floor(value * 10000 + 0.5) AS bigint)) AS double)
+             / count(*) + 0.5) / 10000 AS mean_raw,
+       floor(cast(sum(cast(floor(norm * 10000 + 0.5) AS bigint)) AS double)
+             / count(*) + 0.5) / 10000 AS mean_norm
+FROM nr GROUP BY event_type
+""",
+    tags=("extension", "events", "harmonization"),
+)
+def quantile_normalize_report(spark, sf_dir):
+    """Quantile normalization across series (the batch-effect correction
+    of bioinformatics, Bolstad et al. 2003, applied to telemetry): every
+    event value maps to the POOLED distribution's quantile at its
+    within-series percent rank, so all series share one marginal
+    distribution afterwards — reported as per-series raw vs normalized
+    means (which converge when normalization works). The pooled quantile
+    function is a 101-point exact interpolated grid (the percentile /
+    quantile_cont parity feature_quantile_binning already pinned)
+    computed ONCE and broadcast; ranks come from a series-partitioned
+    window with a deterministic (value, event_id) tie-break; per-row
+    normalized values quantize at 1e-4 before summing so the means are
+    order-free.
+
+    Scale: one window shuffle on the series key, a 1-row grid broadcast,
+    and a per-series aggregate. The grid aggregate sorts the pooled
+    values once — beyond single-executor pooled sorts, swap the grid for
+    quantile_histogram_sketch's mergeable histogram."""
+    from pyspark.sql import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    grid = ev.agg(
+        F.expr(
+            "percentile(value, array({}))".format(
+                ", ".join(repr(p) for p in _QN_GRID)
+            )
+        ).alias("g")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.floor(F.percent_rank().over(w) * 100 + 0.5).cast("long").alias("k"),
+    )
+    nr = r.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        "value",
+        F.element_at(F.col("g"), (F.col("k") + 1).cast("int")).alias("norm"),
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5).cast("long")  # noqa: E731
+    return nr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.sum(q4(F.col("value"))).cast("double") / F.count(F.lit(1)) + 0.5) / 10000)
+        .alias("mean_raw"),
+        (F.floor(F.sum(q4(F.col("norm"))).cast("double") / F.count(F.lit(1)) + 0.5) / 10000)
+        .alias("mean_norm"),
+    )

@@ -440,3 +440,30 @@ def test_logreg_gradient_matches_hand_computation(spark, tmp_path):
         assert abs(row["g_q"] - g) <= 2, fname
         assert abs(row["loss_q"] - loss) <= 2, fname
         assert row["n_users"] == 2
+
+
+# --- quantile normalization ---------------------------------------------------------
+
+
+def test_quantile_normalization_converges_means(spark, tmp_path):
+    """Two series with shifted distributions -> after normalization both
+    means sit near the pooled mean (and exactly equal each other when the
+    series are order-isomorphic)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(101):
+        eid += 1
+        rows.append((eid, t0, "low", float(i)))          # 0..100
+    for i in range(101):
+        eid += 1
+        rows.append((eid, t0, "high", float(i + 1000)))  # 1000..1100
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["event_type"]: r for r in QS["quantile_normalize_report"](spark, str(tmp_path)).collect()}
+    lo, hi = out["low"], out["high"]
+    assert hi["mean_raw"] - lo["mean_raw"] > 900  # raw shift visible
+    # both series are uniform 101-pointers -> identical rank profiles ->
+    # identical normalized values -> equal means
+    assert lo["mean_norm"] == hi["mean_norm"]
