@@ -1849,3 +1849,188 @@ def quantile_normalize_report(spark, sf_dir):
         (F.floor(F.sum(q4(F.col("norm"))).cast("double") / F.count(F.lit(1)) + 0.5) / 10000)
         .alias("mean_norm"),
     )
+
+
+# --- seasonal-naive backtest (M-competition baseline) -------------------------------
+
+
+@register(
+    "seasonal_backtest_mase12",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         cast(floor(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                         AS double) / 100000.0) AS bigint) AS x
+  FROM orders GROUP BY 1
+),
+lo AS (SELECT min(m) AS m0 FROM monthly),
+idxd AS (
+  SELECT cast(datediff('month', lo.m0, monthly.m) AS bigint) + 1 AS idx, x
+  FROM monthly, lo
+),
+nv AS (
+  SELECT cast(count(*) AS bigint) AS cn, cast(sum(abs(c.x - p.x)) AS bigint) AS san
+  FROM idxd c JOIN idxd p ON p.idx = c.idx - 1
+),
+sn AS (
+  SELECT cast(count(*) AS bigint) AS cs, cast(sum(abs(c.x - s.x)) AS bigint) AS sas
+  FROM idxd c JOIN idxd s ON s.idx = c.idx - 12
+),
+n AS (SELECT cast(count(*) AS bigint) AS n_months FROM idxd)
+SELECT n.n_months, sn.cs AS n_scored,
+       floor(cast(sas AS double) / cs * 1000 + 0.5) / 1000 AS mae_seasonal,
+       floor((cast(sas AS double) / cs) / (cast(san AS double) / cn)
+             * 1000000 + 0.5) / 1000000 AS mase12
+FROM sn, nv, n
+""",
+    tags=("extension", "timeseries", "forecast"),
+)
+def seasonal_backtest_mase12(spark, sf_dir):
+    """Seasonal-naive one-step backtest at period 12 — THE M-competition
+    baseline a seasonal forecaster must beat: x_hat_t = x_{t-12} on the
+    monthly revenue spine, scored as MAE and as MASE (scaled by the
+    in-sample naive MAE, Hyndman & Koehler 2006). MASE12 < 1 says last
+    year's month predicts better than last month does — i.e. the series
+    is genuinely seasonal. Absolute errors are exact int64 on the same
+    scaled spine as forecast_backtest_mase, so the two reports reconcile.
+
+    Scale: the fact reduces to one monthly aggregate (localCheckpointed,
+    shared spine pattern); both error sets are self-joins on the tiny
+    T-row spine."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 100000.0
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    lo = monthly.agg(F.min("m").alias("m0"))
+    idxd = monthly.crossJoin(F.broadcast(lo)).select(
+        (F.months_between(F.col("m"), F.col("m0")).cast("long") + 1).alias("idx"),
+        "x",
+    )
+    p1 = idxd.select((F.col("idx") + 1).alias("idx"), F.col("x").alias("xp"))
+    s12 = idxd.select((F.col("idx") + 12).alias("idx"), F.col("x").alias("xs"))
+    nv = idxd.join(F.broadcast(p1), "idx").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.abs(F.col("x") - F.col("xp"))).alias("san"),
+    )
+    sn = idxd.join(F.broadcast(s12), "idx").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.abs(F.col("x") - F.col("xs"))).alias("sas"),
+    )
+    n = idxd.agg(F.count(F.lit(1)).alias("n_months"))
+    mae_s = F.col("sas").cast("double") / F.col("cs")
+    mae_n = F.col("san").cast("double") / F.col("cn")
+    return (
+        sn.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_months",
+            F.col("cs").alias("n_scored"),
+            round_half_up(mae_s, 3).alias("mae_seasonal"),
+            round_half_up(mae_s / mae_n, 6).alias("mase12"),
+        )
+    )
+
+
+# --- Markov chain entropy rate ------------------------------------------------------
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS src, next_type AS dst, cast(count(*) AS bigint) AS n_ij
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+rowtot AS (
+  SELECT src, cast(sum(n_ij) AS bigint) AS n_i FROM c GROUP BY src
+),
+cells AS (
+  SELECT c.n_ij,
+         cast(floor(-ln(cast(c.n_ij AS double) / r.n_i) * c.n_ij * 1000000 + 0.5)
+              AS bigint) AS h_q
+  FROM c JOIN rowtot r ON r.src = c.src
+),
+tot AS (
+  SELECT cast(sum(n_ij) AS bigint) AS n_trans,
+         cast(sum(h_q) AS bigint) AS sh_q
+  FROM cells
+),
+k AS (SELECT cast(count(*) AS bigint) AS n_states FROM rowtot)
+SELECT tot.n_trans, k.n_states,
+       floor(cast(tot.sh_q AS double) / tot.n_trans + 0.5) / 1000000
+         AS entropy_rate_nats,
+       floor(ln(cast(k.n_states AS double)) * 1000000 + 0.5) / 1000000
+         AS max_entropy_nats
+FROM tot, k
+""",
+    tags=("extension", "graph", "information"),
+)
+def markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the per-user event-type Markov chain: H = -sum_ij
+    pi_i P_ij ln P_ij with the empirical source distribution as pi —
+    equivalently the transition-count-weighted mean of -ln(n_ij / n_i).
+    This is the predictability ceiling of user behavior (how many nats a
+    next-event model can hope to save vs the ln(K) uniform bound, printed
+    alongside) and the sequence-complexity readout next to
+    markov_event_transitions' raw matrix. Per-cell terms quantize at 1e-6
+    BEFORE the sum (the fold is order-free); everything upstream is exact
+    integer counts from a deterministically tie-broken per-user lead.
+
+    Scale: one user-partitioned window (co-partitioned with every other
+    per-user sequence op), a K^2-cell aggregate, and single-row algebra."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    c = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_ij"))
+    rowtot = c.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
+    cells = c.join(rowtot, "src").select(
+        "n_ij",
+        F.floor(
+            -F.log(F.col("n_ij").cast("double") / F.col("n_i"))
+            * F.col("n_ij")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("h_q"),
+    )
+    tot = cells.agg(
+        F.sum("n_ij").alias("n_trans"), F.sum("h_q").alias("sh_q")
+    )
+    k = rowtot.agg(F.count(F.lit(1)).alias("n_states"))
+    return tot.crossJoin(F.broadcast(k)).select(
+        "n_trans",
+        "n_states",
+        (F.floor(F.col("sh_q").cast("double") / F.col("n_trans") + 0.5) / 1000000)
+        .alias("entropy_rate_nats"),
+        round_half_up(F.log(F.col("n_states").cast("double")), 6).alias(
+            "max_entropy_nats"
+        ),
+    )

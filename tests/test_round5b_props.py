@@ -467,3 +467,42 @@ def test_quantile_normalization_converges_means(spark, tmp_path):
     # both series are uniform 101-pointers -> identical rank profiles ->
     # identical normalized values -> equal means
     assert lo["mean_norm"] == hi["mean_norm"]
+
+
+# --- seasonal MASE ------------------------------------------------------------------
+
+
+def test_seasonal_mase_zero_on_periodic_series(spark, tmp_path):
+    """A perfectly 12-periodic series -> seasonal-naive errors are 0."""
+    pattern = [1000, 1200, 900, 1500, 1100, 1300, 950, 1250, 1050, 1400, 1000, 1350]
+    rows = []
+    for t in range(30):  # 2.5 cycles
+        price = float(pattern[t % 12] * 1000)
+        rows.append((t + 1, price, dt.datetime(2022 + t // 12, 1 + t % 12, 15)))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = QS["seasonal_backtest_mase12"](spark, str(tmp_path)).collect()[0]
+    assert out["n_months"] == 30 and out["n_scored"] == 18
+    assert out["mae_seasonal"] == 0.0 and out["mase12"] == 0.0
+
+
+# --- entropy rate -------------------------------------------------------------------
+
+
+def test_entropy_rate_extremes(spark, tmp_path):
+    """Deterministic alternation -> H = 0; the uniform bound is ln(K)."""
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(40):
+            eid += 1
+            et = "a" if i % 2 == 0 else "b"
+            rows.append((eid, dt.datetime(2024, 1, 2, 0, 0, 0) + dt.timedelta(minutes=i), u, et, 1.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QS["markov_entropy_rate"](spark, str(tmp_path)).collect()[0]
+    assert out["entropy_rate_nats"] == 0.0  # a->b->a-> is fully predictable
+    assert out["n_states"] == 2
+    assert abs(out["max_entropy_nats"] - 0.693147) < 1e-6
