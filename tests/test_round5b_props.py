@@ -506,3 +506,48 @@ def test_entropy_rate_extremes(spark, tmp_path):
     assert out["entropy_rate_nats"] == 0.0  # a->b->a-> is fully predictable
     assert out["n_states"] == 2
     assert abs(out["max_entropy_nats"] - 0.693147) < 1e-6
+
+
+# --- hypothesis fuzz: span corruption invariants ------------------------------------
+
+
+def test_span_corruption_fuzz_invariants(spark, tmp_path):
+    """Random corpora (single tokens, repeated tokens, long runs, unicode
+    whitespace shapes) always satisfy the structural invariants:
+    token-count partition, sentinel sequence integrity on both sides, and
+    mask-independent token preservation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=60).map(" ".join)
+
+    case = [0]
+
+    @given(st.lists(doc, min_size=1, max_size=5))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    def check(texts):
+        case[0] += 1
+        path = f"{tmp_path}/fuzz_{case[0]}"
+        spark.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        for r in QS["span_corruption_build"](spark, path).collect():
+            corr = r["corrupted_text"].split() if r["corrupted_text"] else []
+            targ = r["target_text"].split() if r["target_text"] else []
+            sent_c = [t for t in corr if t.startswith("<extra_id_")]
+            sent_t = [t for t in targ if t.startswith("<extra_id_")]
+            plain_c = [t for t in corr if not t.startswith("<extra_id_")]
+            plain_t = [t for t in targ if not t.startswith("<extra_id_")]
+            assert len(sent_c) == r["n_spans"] == len(sent_t)
+            assert sent_c == [f"<extra_id_{k}>" for k in range(1, r["n_spans"] + 1)]
+            assert sent_t == sent_c
+            assert len(plain_t) == r["n_masked"]
+            assert len(plain_c) + len(plain_t) == r["n_tokens"]
+            assert 0 <= r["n_masked"] <= r["n_tokens"]
+
+    check()
