@@ -566,9 +566,19 @@ def text_unigram_entropy(spark, sf_dir):
     and the -sum(p ln p) fold are array lambdas over the doc's own token
     array, so the operator is shuffle-free at any corpus size. Each p*ln(p)
     term is int64-quantized before the fold, making the sum independent of
-    the (engine-specific) distinct-token enumeration order."""
-    d = read_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+    the (engine-specific) distinct-token enumeration order. The token
+    array materializes as a column behind a project_fence — inlined into
+    the per-distinct-token lambda, the split/lower/trim tree would re-run
+    once per (distinct token x reference), ~5x the operator."""
+    from ..functions.numeric import project_fence
+
+    d = project_fence(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+").alias("t"),
+        )
+    )
+    t = F.col("t")
     n = F.size(t).cast("double")
 
     def term(w):
