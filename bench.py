@@ -92,6 +92,11 @@ def main() -> None:
             ).save()
         except Exception as e:  # noqa: BLE001 - bench must survive any query
             errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
+        # a few queries persist() intermediate frames (shingle sets etc.);
+        # persisted entries live in the session cacheManager until released,
+        # so drop them between queries — each timed run must pay its own
+        # materialization cost, and a long sweep must not accumulate caches
+        spark.catalog.clearCache()
     warmup_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
@@ -105,6 +110,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

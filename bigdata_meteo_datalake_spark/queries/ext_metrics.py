@@ -58,8 +58,15 @@ from .ext_text import _QC_ORACLE, quality_classifier_score
 # open/close tie-break: the composite (epoch_us, event_id) order key encoded
 # as a fixed-width string so DuckDB's arg_min (scalar keys only) and Spark's
 # min_by compare identically; event_id is unique so the key is total.
+# The epoch is biased by +1e18 before padding so pre-1970 timestamps
+# (negative epoch) still zero-pad into a lexicographically ordered field —
+# an unbiased negative epoch would put '-' inside the padded digits and
+# invert the ordering. 1e18 us ≈ year 33658, and max long is ~9.2e18, so
+# the biased value is always a positive 19-digit number for any timestamp
+# Spark can represent.
+_OHLC_EPOCH_BIAS = 10**18
 _OHLC_KEY_SQL = (
-    "lpad(cast(epoch_us(ts) AS varchar), 20, '0') || '_' || "
+    f"lpad(cast(epoch_us(ts) + {_OHLC_EPOCH_BIAS} AS varchar), 20, '0') || '_' || "
     "lpad(cast(event_id AS varchar), 12, '0')"
 )
 
@@ -98,7 +105,9 @@ def ohlc_hourly_bars(spark, sf_dir):
     plan is a single exchange at any data volume."""
     ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     k = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros("ts") + F.lit(_OHLC_EPOCH_BIAS)).cast("string"), 20, "0"
+        ),
         F.lit("_"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
@@ -843,12 +852,20 @@ def span_corruption_build(spark, sf_dir):
     # is just the index into ss, so the whole construction is O(n) per doc
     # (the per-position prefix-count form was O(n^2) and 20x slower)
     at_mk = lambda p: F.element_at(F.col("mk"), p.cast("int"))  # noqa: E731
+    # The (p == 1) / (p == n) branches are the semantic guard; the probe
+    # index is ALSO clamped into [1, n] so correctness never depends on
+    # And/Or short-circuit order — element_at(mk, 0) raises even with ANSI
+    # off, and a future optimizer change (e.g. CSE across branches) could
+    # otherwise evaluate the out-of-range probe.
     ss = F.filter(
-        seq, lambda p: (at_mk(p) == 1) & ((p == 1) | (at_mk(p - 1) == 0))
+        seq,
+        lambda p: (at_mk(p) == 1)
+        & ((p == 1) | (at_mk(F.greatest(p - 1, F.lit(1))) == 0)),
     )
     ee = F.filter(
         seq,
-        lambda p: (at_mk(p) == 1) & ((p == F.col("n")) | (at_mk(p + 1) == 0)),
+        lambda p: (at_mk(p) == 1)
+        & ((p == F.col("n")) | (at_mk(F.least(p + 1, F.col("n"))) == 0)),
     )
     w_seg = project_fence(w_mk.withColumn("ss", ss).withColumn("ee", ee))
     sent_no = lambda i: F.concat(  # noqa: E731

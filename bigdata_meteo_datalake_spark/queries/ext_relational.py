@@ -198,14 +198,50 @@ def distinct_counts(spark, sf_dir):
     )
 
 
-@register("approx_distinct_counts", tags=("free", "approx"))
+@register(
+    "approx_distinct_counts",
+    oracle="""
+SELECT count(DISTINCT o_custkey) AS n_customers_exact,
+       count(DISTINCT o_orderkey) AS n_orders_exact,
+       TRUE AS approx_within_5pct_customers,
+       TRUE AS approx_within_5pct_orders
+FROM orders
+""",
+    tags=("free", "approx"),
+)
 def approx_distinct_counts(spark, sf_dir):
-    """HyperLogLog++ approximate distinct (engine-specific sketch — no
-    cross-engine oracle; the driver records a rows-only check)."""
+    """HyperLogLog++ approximate distinct with a FALSIFIABLE error-band
+    oracle: the sketch estimate itself is engine-specific (DuckDB cannot
+    reproduce Spark's HLL++ registers), so the output carries the exact
+    distinct counts plus booleans asserting the estimate landed within
+    5% relative error — ``20*|approx - exact| <= exact`` in exact int64
+    arithmetic. The oracle recomputes the exact counts and expects the
+    booleans TRUE, so an HLL estimate drifting past the band flips a
+    value and fails the hash — unlike the previous rows-only check,
+    which could not fail on a wrong estimate. The sketch runs at
+    rsd=0.01 (1% relative standard deviation), making the 5% band a
+    5-sigma check: it fails on a broken sketch, never on routine
+    estimation noise (the default rsd=0.05 put the band at 1 sigma and
+    flaked on real data).
+
+    Scale: both the sketch and the exact count are one partial-aggregate
+    pass each (HLL merges register arrays map-side; exact distinct is
+    Spark's two-phase expand+agg)."""
     o = read_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.approx_count_distinct("o_orderkey").alias("approx_orders"),
+    a = o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("ac"),
+        F.approx_count_distinct("o_orderkey", 0.01).alias("ao"),
+        F.countDistinct("o_custkey").alias("n_customers_exact"),
+        F.countDistinct("o_orderkey").alias("n_orders_exact"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        20 * F.abs(F.col(approx) - F.col(exact)) <= F.col(exact)
+    )
+    return a.select(
+        "n_customers_exact",
+        "n_orders_exact",
+        within("ac", "n_customers_exact").alias("approx_within_5pct_customers"),
+        within("ao", "n_orders_exact").alias("approx_within_5pct_orders"),
     )
 
 

@@ -29,7 +29,6 @@ import math
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..sources.lake import read_table, widen
 from . import register
@@ -183,13 +182,22 @@ def bm25_doc_scores(spark, sf_dir):
     )
 
 
-def _candidate_ranks(spark, sf_dir):
+def _candidate_ranks(spark, sf_dir, materialize=False):
     """(id, list_id, r): within-list ranks 1..N of the lexical (BM25) and
     dense (cosine-to-query-vector) top-{N} candidate lists — the shared
     retrieval front-end of rrf_hybrid_fusion and rank_biased_overlap.
 
     Both retrievers end in TakeOrderedAndProject, so the rank window sees
-    <= 2N rows by construction (partitioned by list_id)."""
+    <= 2N rows by construction (partitioned by list_id).
+
+    ``materialize=True`` localCheckpoints the <=2N-row result for callers
+    that consume it more than once (RBO's text and vec branches) — a
+    localCheckpoint, NOT ``persist()``: persisted frames live in the
+    session cacheManager until an explicit unpersist, so a registry-wide
+    sweep in one SparkSession would accumulate a cached copy per call;
+    checkpoint blocks are released by the ContextCleaner as soon as the
+    frame is garbage-collected. Single-consumer callers (RRF) skip the
+    materialization entirely."""
     bm = _bm25_scored(spark, sf_dir)
     text_cand = (
         bm.orderBy(F.desc("s_q"), F.asc("doc_id"))
@@ -227,12 +235,10 @@ def _candidate_ranks(spark, sf_dir):
     )
     cand = text_cand.unionByName(vec_cand)
     w = Window.partitionBy("list_id").orderBy(F.desc("sort_q"), F.asc("id"))
-    # <= 2N rows; persisted because RBO consumes it twice (text and vec
-    # branches) — without this each branch would re-run both retrievers
-    return (
-        cand.select("id", "list_id", F.row_number().over(w).cast("long").alias("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = cand.select(
+        "id", "list_id", F.row_number().over(w).cast("long").alias("r")
     )
+    return ranked.localCheckpoint() if materialize else ranked
 
 
 _RRF_ORACLE = f"""
@@ -419,7 +425,7 @@ def rank_biased_overlap(spark, sf_dir):
     Scale: both candidate lists are TakeOrderedAndProject top-100, so
     everything after the retrievers runs on <= 100 pair rows joined to a
     100-row depth spine — constant-sized regardless of corpus."""
-    ranked = _candidate_ranks(spark, sf_dir)
+    ranked = _candidate_ranks(spark, sf_dir, materialize=True)
     t = ranked.where(F.col("list_id") == "text").select("id", F.col("r").alias("rt"))
     v = ranked.where(F.col("list_id") == "vec").select("id", F.col("r").alias("rv"))
     pairs = t.join(v, "id").select(F.greatest("rt", "rv").alias("m"))

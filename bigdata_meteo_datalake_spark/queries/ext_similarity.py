@@ -1050,7 +1050,7 @@ firstrel AS (
   FROM ranked WHERE rn <= {_MRR_K} AND clabel = qlabel
   GROUP BY query_id
 ),
-qs AS (SELECT DISTINCT query_id FROM scored)
+qs AS (SELECT vec_id AS query_id FROM e WHERE vec_id < {_N_QUERIES})
 SELECT q.query_id,
        cast(coalesce(f.first_rel, 0) AS bigint) AS first_rel_rank,
        cast(coalesce({_MRR_MICRO}[f.first_rel], 0) AS double) / 1000000
@@ -1112,7 +1112,10 @@ def mrr_at10_report(spark, sf_dir):
         .groupBy("query_id")
         .agg(F.min("rn").cast("long").alias("first_rel"))
     )
-    qs = scored.select("query_id").distinct()
+    # enumerate query ids from the bounded query-side frame, NOT from
+    # `scored` — deriving them from `scored` would re-execute the full
+    # corpus-sized cosine scoring pass a second time just to list ids
+    qs = q.select("query_id")
     micro = F.array(*[F.lit(m) for m in _MRR_MICRO])
     return qs.join(firstrel, "query_id", "left").select(
         "query_id",

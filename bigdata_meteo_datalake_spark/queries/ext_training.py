@@ -1330,15 +1330,16 @@ terms AS (
          cast(sum(t_s) AS bigint) AS t_all,
          cast(sum(y1_s) AS bigint) AS y1_all,
          cast(sum(y0_s) AS bigint) AS y0_all,
-         cast(sum(cast(floor(cast(y1_s AS double) * n_s / t_s + 0.5) AS bigint))
-              AS bigint) AS w1,
-         cast(sum(cast(floor(cast(y0_s AS double) * n_s / (n_s - t_s) + 0.5)
-                       AS bigint)) AS bigint) AS w0
+         cast(sum(cast(floor(cast(y1_s AS double) * n_s / nullif(t_s, 0) + 0.5)
+                       AS bigint)) AS bigint) AS w1,
+         cast(sum(cast(floor(cast(y0_s AS double) * n_s / nullif(n_s - t_s, 0)
+                             + 0.5) AS bigint)) AS bigint) AS w0
   FROM per_seg
 )
 SELECT n_all AS n_users, t_all AS n_treated,
-       floor(cast(y1_all AS double) / t_all
-             - cast(y0_all AS double) / (n_all - t_all) + 0.5) / 100 AS naive_diff,
+       floor(cast(y1_all AS double) / nullif(t_all, 0)
+             - cast(y0_all AS double) / nullif(n_all - t_all, 0) + 0.5) / 100
+         AS naive_diff,
        floor(cast(w1 AS double) / n_all + 0.5) / 100 AS mu_treated,
        floor(cast(w0 AS double) / n_all + 0.5) / 100 AS mu_control,
        floor(cast(w1 AS double) / n_all
@@ -1369,9 +1370,12 @@ def ipw_treatment_effect(spark, sf_dir):
 
     Scale: one user-keyed conditional aggregate over the fact (map-side
     combined), a 5-row stratum rollup, single-row algebra. Degenerate
-    strata (all-treated / all-control) would yield NULL terms and
-    surface as NULL rather than silently dropping — acceptable for the
-    diagnostic; a production gate would trim propensities."""
+    strata (all-treated / all-control) yield NULL terms via explicit
+    nullif guards on every denominator — identical in Spark and the
+    oracle, so both engines surface NULL rather than diverging
+    (DuckDB's IEEE division would otherwise produce inf where Spark's
+    non-ANSI Divide gives NULL); a production gate would trim
+    propensities."""
     ev = read_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     u = ev.groupBy("user_id").agg(
@@ -1403,13 +1407,15 @@ def ipw_treatment_effect(spark, sf_dir):
         F.sum("y0_s").alias("y0_all"),
         F.sum(
             F.floor(
-                F.col("y1_s").cast("double") * F.col("n_s") / F.col("t_s") + 0.5
+                F.col("y1_s").cast("double") * F.col("n_s")
+                / F.nullif(F.col("t_s"), F.lit(0))
+                + 0.5
             ).cast("long")
         ).alias("w1"),
         F.sum(
             F.floor(
                 F.col("y0_s").cast("double") * F.col("n_s")
-                / (F.col("n_s") - F.col("t_s"))
+                / F.nullif(F.col("n_s") - F.col("t_s"), F.lit(0))
                 + 0.5
             ).cast("long")
         ).alias("w0"),
@@ -1419,8 +1425,9 @@ def ipw_treatment_effect(spark, sf_dir):
         F.col("t_all").alias("n_treated"),
         (
             F.floor(
-                F.col("y1_all").cast("double") / F.col("t_all")
-                - F.col("y0_all").cast("double") / (F.col("n_all") - F.col("t_all"))
+                F.col("y1_all").cast("double") / F.nullif(F.col("t_all"), F.lit(0))
+                - F.col("y0_all").cast("double")
+                / F.nullif(F.col("n_all") - F.col("t_all"), F.lit(0))
                 + 0.5
             )
             / 100
@@ -1479,8 +1486,10 @@ pooled AS (
   FROM allrows WHERE segment = -1
 )
 SELECT b.segment, b.n_t, b.n_c,
-       floor(cast(b.conv_t AS double) / b.n_t * 10000 + 0.5) / 10000 AS rate_t,
-       floor(cast(b.conv_c AS double) / b.n_c * 10000 + 0.5) / 10000 AS rate_c,
+       floor(cast(b.conv_t AS double) / nullif(b.n_t, 0) * 10000 + 0.5) / 10000
+         AS rate_t,
+       floor(cast(b.conv_c AS double) / nullif(b.n_c, 0) * 10000 + 0.5) / 10000
+         AS rate_c,
        cast(sign(b.conv_t * b.n_c - b.conv_c * b.n_t) AS bigint) AS diff_sign,
        (b.segment >= 0
         AND sign(b.conv_t * b.n_c - b.conv_c * b.n_t) * p.pooled_sign < 0)
@@ -1509,7 +1518,9 @@ def simpsons_paradox_check(spark, sf_dir):
     displayed rates are single quantized divisions.
 
     Scale: one user-keyed conditional aggregate, a 5-row stratum
-    rollup, and a 1-row pooled broadcast."""
+    rollup, and a 1-row pooled broadcast. Degenerate all-treated /
+    all-control strata show NULL rates via identical nullif guards in
+    both engines (never inf-vs-NULL divergence)."""
     ev = read_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -1555,8 +1566,24 @@ def simpsons_paradox_check(spark, sf_dir):
         "segment",
         "n_t",
         "n_c",
-        (F.floor(F.col("conv_t").cast("double") / F.col("n_t") * 10000 + 0.5) / 10000).alias("rate_t"),
-        (F.floor(F.col("conv_c").cast("double") / F.col("n_c") * 10000 + 0.5) / 10000).alias("rate_c"),
+        (
+            F.floor(
+                F.col("conv_t").cast("double")
+                / F.nullif(F.col("n_t"), F.lit(0))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("rate_t"),
+        (
+            F.floor(
+                F.col("conv_c").cast("double")
+                / F.nullif(F.col("n_c"), F.lit(0))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("rate_c"),
         F.signum(cross.cast("double")).cast("long").alias("diff_sign"),
         (
             (F.col("segment") >= 0)

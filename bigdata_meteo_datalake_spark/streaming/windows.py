@@ -688,9 +688,15 @@ def ohlc_bars(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
     key, high/low/volume as plain aggregates over int64 cents. min_by/
     max_by are declarative aggregates, so the SAME expression tree is
     legal in a watermarked streaming aggregation — one code path, two
-    execution modes."""
+    execution modes. The epoch is biased +1e18 before padding (same
+    constant as the batch twin's oracle key) so pre-1970 timestamps,
+    whose raw epoch is negative, still sort lexicographically."""
+    from ..queries.ext_metrics import _OHLC_EPOCH_BIAS
+
     k = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros("ts") + F.lit(_OHLC_EPOCH_BIAS)).cast("string"), 20, "0"
+        ),
         F.lit("_"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )

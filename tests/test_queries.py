@@ -17,11 +17,16 @@ QUERY_NAMES = sorted(queries())
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
     q = REGISTRY[name]
-    df = q.fn(spark, TEST_SF_DIR)
-    if q.oracle is not None:
-        compare_to_oracle(df, q.oracle, TEST_SF_DIR)
-    else:
-        assert df.count() >= 0
+    try:
+        df = q.fn(spark, TEST_SF_DIR)
+        if q.oracle is not None:
+            compare_to_oracle(df, q.oracle, TEST_SF_DIR)
+        else:
+            assert df.count() >= 0
+    finally:
+        # queries that persist() intermediates leave entries in the session
+        # cacheManager; a 250+-query sweep in one session must not hoard them
+        spark.catalog.clearCache()
 
 
 def test_entry_smoke(spark):

@@ -44,6 +44,27 @@ def test_ohlc_open_close_tiebreak(spark, tmp_path):
     assert r["n_events"] == 5 and r["volume_cents"] == 1900
 
 
+def test_ohlc_pre_1970_epoch_bias(spark, tmp_path):
+    """Negative-epoch (pre-1970) timestamps order correctly: the order key
+    biases the epoch before zero-padding, so '-' never lands inside the
+    padded field (which would invert lexicographic order)."""
+    t0 = dt.datetime(1969, 12, 31, 10, 0, 0)  # epoch_us < 0 for every row
+    rows = [
+        (3, t0.replace(minute=50), 7.00),  # latest -> close
+        (1, t0.replace(minute=5), 2.00),   # earliest -> open
+        (2, t0.replace(minute=20), 5.00),  # middle
+    ]
+    spark.createDataFrame(
+        [(eid, ts, "trade", float(v)) for eid, ts, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QS["ohlc_hourly_bars"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open_cents"] == 200 and r["close_cents"] == 700
+    assert r["high_cents"] == 700 and r["low_cents"] == 200
+
+
 # --- degree assortativity -----------------------------------------------------------
 
 
