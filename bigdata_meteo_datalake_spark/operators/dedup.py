@@ -330,6 +330,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 30,
+    reliable: bool = False,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list: every node ends
     with label = min node id reachable from it (its cluster representative).
@@ -345,19 +346,28 @@ def connected_components(
     ``df.observe`` (same zero-extra-scan idiom as the two-phase variant)
     instead of a separate join+count job per round. Raises if not
     converged within `max_iter` (near-dup cluster diameters are tiny in
-    practice)."""
+    practice).
+
+    ``reliable=True`` swaps the per-round localCheckpoint for a reliable
+    ``checkpoint()`` into the registered checkpoint directory (see
+    :func:`..operators.checkpointing.cut_lineage`) so executor loss
+    mid-loop does not kill the job on a real cluster; the executor-local
+    default is right for local[n]."""
     from pyspark.sql import Observation
 
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .localCheckpoint()
+    from .checkpointing import cut_lineage
+
+    sym = cut_lineage(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        ),
+        reliable=reliable,
     )
-    labels = (
+    labels = cut_lineage(
         sym.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        reliable=reliable,
     )
     for _ in range(max_iter):
         nbr = (
@@ -375,7 +385,7 @@ def connected_components(
             F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
         )
         obs = Observation()
-        new_labels = (
+        new_labels = cut_lineage(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
@@ -383,8 +393,8 @@ def connected_components(
                 (new_label < F.col("label")).cast("long").alias("_chg"),
             )
             .observe(obs, F.sum("_chg").alias("changed"))
-            .select("node", "label")
-            .localCheckpoint()
+            .select("node", "label"),
+            reliable=reliable,
         )
         changed = obs.get["changed"] or 0
         labels = new_labels
@@ -400,6 +410,7 @@ def connected_components_two_phase(
     dst_col: str = "doc_b",
     max_iter: int = 20,
     distinct_bipartite_input: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce and
@@ -418,8 +429,16 @@ def connected_components_two_phase(
     order-free edge-set checksum (count + sum of a symmetric hash) that
     rides the checkpoint materialization job via ``df.observe`` — zero
     extra scans per round — and the final star edges read out as
-    (node, component-min) directly."""
+    (node, component-min) directly.
+
+    ``reliable=True`` swaps every per-round localCheckpoint for a
+    reliable ``checkpoint()`` into the registered checkpoint directory
+    (see :func:`..operators.checkpointing.cut_lineage`): executor-local
+    blocks die with a lost executor, which on a real cluster would kill
+    the whole loop; the local default is right for local[n]."""
     from pyspark.sql import Observation
+
+    from .checkpointing import cut_lineage
 
     def checkpoint_with_checksum(ed):
         """Materialize one round's edge set eagerly (cuts lineage so each
@@ -427,11 +446,14 @@ def connected_components_two_phase(
         checksum ON the same job: the Observation accumulates during the
         checkpoint scan, so convergence detection costs no extra action."""
         obs = Observation()
-        observed = ed.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
-        ).localCheckpoint(eager=True)
+        observed = cut_lineage(
+            ed.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+            ),
+            reliable=reliable,
+        )
         got = obs.get
         return observed, (got["n"], got["h"])
 
@@ -472,8 +494,9 @@ def connected_components_two_phase(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = resym(large.union(m.select("u", F.col("m").alias("v")))).localCheckpoint(
-            eager=True
+        e = cut_lineage(
+            resym(large.union(m.select("u", F.col("m").alias("v")))),
+            reliable=reliable,
         )
         m = nmin(e)
         small = (
