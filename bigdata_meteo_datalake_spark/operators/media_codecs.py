@@ -10,8 +10,13 @@ codec stubbed:
   beyond the reshape. Encoder included (tests generate real images).
 - **WAV** (PCM 16-bit): stdlib ``wave`` for the RIFF container, numpy for
   the sample math.
+- **PNG** (8-bit grayscale / RGB / RGBA, non-interlaced): chunk parsing
+  with ``struct`` + ``zlib.crc32``, inflate with ``zlib``, and a full
+  implementation of all five scanline filters (None/Sub/Up/Average/
+  Paeth) per the PNG spec (RFC 2083 section 6). Encoder included with a
+  selectable per-row filter so tests exercise every unfilter path.
 
-Anything else (PNG/JPEG/MP4/...) still raises NotImplementedError at the
+Anything else (JPEG/MP4/...) still raises NotImplementedError at the
 codec insertion point — a declared boundary, not silent wrong answers.
 
 Scale note: kernels are per-blob numpy (vectorized over pixels/samples);
@@ -24,22 +29,29 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
 __all__ = [
     "decode_bmp",
     "encode_bmp",
+    "decode_png",
+    "encode_png",
     "decode_wav",
     "encode_wav",
     "sniff_format",
 ]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(b: bytes) -> str | None:
     """Cheap magic-byte sniff for the formats the real path supports."""
     if b[:2] == b"BM":
         return "bmp"
+    if b[:8] == _PNG_MAGIC:
+        return "png"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     return None
@@ -104,6 +116,189 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     return arr[yi][:, xi]
+
+
+# --- PNG ----------------------------------------------------------------------
+
+#: IHDR color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec section 6.6): pick the neighbor (left a,
+    up b, upper-left c) closest to the linear prediction a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunks(b: bytes):
+    """Yield (type, data) for each chunk, verifying length bounds and CRC."""
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND chunk")
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> uint8 array: (H, W) for grayscale,
+    (H, W, 3) for RGB, (H, W, 4) for RGBA.
+
+    Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth);
+    CRCs are verified chunk by chunk. Palette, sub-8-bit depths, 16-bit
+    depths, and Adam7 interlace raise loudly — they need real codec
+    surface area this stdlib implementation intentionally does not carry.
+    """
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad signature)")
+    width = height = None
+    channels = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color_type={color})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {(stride + 1) * height}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    if channels == 1:
+        return out
+    return out.reshape(height, width, channels)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int | str = 0) -> bytes:
+    """uint8 array (H, W) / (H, W, 3) / (H, W, 4) -> non-interlaced 8-bit
+    PNG. ``filter_type`` selects the per-row scanline filter: 0..4 for a
+    fixed filter, or ``"cycle"`` to use filter ``y % 5`` on row y — the
+    test/fixture mode that forces a decoder through every unfilter path
+    in a single image."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        channels, color = 1, 0
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        channels = arr.shape[2]
+        color = 2 if channels == 3 else 6
+    else:
+        raise ValueError(f"expected (H,W), (H,W,3) or (H,W,4) array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * channels)
+    stride = w * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = bytes(flat[y])
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        raw.append(ft)
+        if ft == 0:
+            raw.extend(line)
+        elif ft == 1:
+            raw.extend(
+                (line[x] - (line[x - channels] if x >= channels else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:
+            raw.extend((line[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            raw.extend(
+                (
+                    line[x]
+                    - (((line[x - channels] if x >= channels else 0) + prev[x]) >> 1)
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 4:
+            raw.extend(
+                (
+                    line[x]
+                    - _paeth(
+                        line[x - channels] if x >= channels else 0,
+                        prev[x],
+                        prev[x - channels] if x >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            raise ValueError(f"filter_type must be 0..4 or 'cycle', got {ft}")
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 # --- WAV ----------------------------------------------------------------------

@@ -5,10 +5,11 @@ functions over mapInPandas.
 The container has no PIL/ffmpeg, so ``decode=fake`` produces deterministic
 features derived from the bytes (the Spark-side plumbing — schema, batch
 iteration, partition sizing — is real and tested either way).
-``decode=real`` now genuinely decodes the two formats expressible with
-stdlib+numpy — uncompressed 24-bit BMP and PCM WAV
+``decode=real`` now genuinely decodes the formats expressible with
+stdlib+numpy — uncompressed 24-bit BMP, non-interlaced 8-bit PNG
+(gray/RGB/RGBA, all five scanline filters), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
-formats that truly need a codec library (PNG/JPEG/MP4/...), sniffed by
+formats that truly need a codec library (JPEG/MP4/...), sniffed by
 magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
@@ -60,6 +61,50 @@ def attach_blob(df: DataFrame, text_col: str = "text", *, media_type: str = "ima
     return df.withColumn("blob", blob).withColumn("media_meta", meta)
 
 
+def synthesize_png_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-PNG source for the real-decode path: for each
+    ``doc_id`` emit (doc_id, blob) where blob is an actual 8-bit PNG
+    (media_codecs.encode_png) of a closed-form pixel pattern —
+
+      w = 4 + doc_id % 13,  h = 4 + doc_id % 11,
+      RGB when doc_id is even else grayscale,
+      value(x, y, c) = (doc_id*31 + x*7 + y*13 + c*101) % 256,
+
+    encoded with the per-row filter cycle (row y uses scanline filter
+    y % 5), so decoding exercises every unfilter path on every image.
+    The closed form is what makes the REAL decode oracle-checkable: a
+    SQL engine can recompute the expected pixel sums without a codec.
+    Runs as an Arrow-batched mapInPandas kernel — the same distribution
+    shape a real object-store media scan would have."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import encode_png
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 13, 4 + did % 11
+                ch = 3 if did % 2 == 0 else 1
+                v = (
+                    did * 31
+                    + np.arange(w)[None, :, None] * 7
+                    + np.arange(h)[:, None, None] * 13
+                    + np.arange(ch)[None, None, :] * 101
+                ) % 256
+                arr = v.astype(np.uint8)
+                if ch == 1:
+                    arr = arr[:, :, 0]
+                out["doc_id"].append(did)
+                out["blob"].append(encode_png(arr, filter_type="cycle"))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+
+
 def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
                          total_bytes: int) -> DataFrame:
     """Size partitions by payload volume, not row count — the knob that keeps
@@ -70,8 +115,9 @@ def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
 
 def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     """Image decode -> (width, height, n_bytes, mean_intensity) via
-    mapInPandas. `decode="real"` decodes uncompressed 24-bit BMP with the
-    stdlib codec (media_codecs.decode_bmp) — actual pixel dimensions and
+    mapInPandas. `decode="real"` decodes uncompressed 24-bit BMP and
+    non-interlaced 8-bit PNG (gray/RGB/RGBA) with the stdlib codecs
+    (media_codecs.decode_bmp / decode_png) — actual pixel dimensions and
     actual mean pixel intensity in [0, 1]; other formats raise at the
     codec boundary (PIL insertion point)."""
     if decode not in ("fake", "real"):
@@ -82,7 +128,7 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
 
         import pandas as pd
 
-        from .media_codecs import decode_bmp, sniff_format
+        from .media_codecs import decode_bmp, decode_png, sniff_format
 
         for pdf in batches:
             feats = {"doc_id": [], "width": [], "height": [], "n_bytes": [],
@@ -90,13 +136,17 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
                 if decode == "real":
-                    if sniff_format(b) != "bmp":
+                    fmt = sniff_format(b)
+                    if fmt == "bmp":
+                        pix = decode_bmp(b)
+                    elif fmt == "png":
+                        pix = decode_png(b)
+                    else:
                         raise NotImplementedError(
-                            "real image decode beyond BMP needs PIL/opencv "
-                            "(not in this container); swap this branch for "
-                            "Image.open(io.BytesIO(b))"
+                            "real image decode beyond BMP/PNG needs "
+                            "PIL/opencv (not in this container); swap this "
+                            "branch for Image.open(io.BytesIO(b))"
                         )
-                    pix = decode_bmp(b)
                     feats["doc_id"].append(doc_id)
                     feats["width"].append(pix.shape[1])
                     feats["height"].append(pix.shape[0])
@@ -136,19 +186,35 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .media_codecs import decode_bmp, encode_bmp, resize_nearest, sniff_format
+        from .media_codecs import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+            encode_png,
+            resize_nearest,
+            sniff_format,
+        )
 
         for pdf in batches:
             out = {"doc_id": [], "blob": [], "width": [], "height": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
                 if decode == "real":
-                    if sniff_format(b) != "bmp":
-                        raise NotImplementedError(
-                            "real resize beyond BMP needs PIL (not in this "
-                            "container); swap for Image.open(...).resize(...)"
+                    fmt = sniff_format(b)
+                    if fmt == "bmp":
+                        resized = encode_bmp(
+                            resize_nearest(decode_bmp(b), width, height)
                         )
-                    resized = encode_bmp(resize_nearest(decode_bmp(b), width, height))
+                    elif fmt == "png":
+                        resized = encode_png(
+                            resize_nearest(decode_png(b), width, height)
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "real resize beyond BMP/PNG needs PIL (not in "
+                            "this container); swap for "
+                            "Image.open(...).resize(...)"
+                        )
                 else:
                     resized = (b * (target // max(1, len(b)) + 1))[:target]
                 out["doc_id"].append(doc_id)

@@ -260,3 +260,69 @@ def multimodal_phash_near_dup(spark, sf_dir):
         .select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
         .where(F.col("hamming") <= _PHASH_MAX_HD)
     )
+
+
+# --- REAL PNG decode through the kernel gate ----------------------------------------
+
+_PNG_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         4 + doc_id % 11 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         list_aggregate(list_transform(range(0, w * h * ch),
+           i -> (doc_id * 31 + ((i // ch) % w) * 7 + (i // (ch * w)) * 13
+                 + (i % ch) * 101) % 256), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       ch = 3 AS is_rgb,
+       (cast(s AS double) / (w * h * ch)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=_PNG_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL image decode end to end: per document a genuine 8-bit PNG is
+    encoded from a closed-form pixel pattern (operators/multimodal.py:
+    synthesize_png_blobs — per-row filter CYCLES through all five PNG
+    scanline filters, RGB for even doc_ids, grayscale for odd), then the
+    production decode path (decode_image_features(decode="real") ->
+    media_codecs.decode_png: chunk+CRC parsing, inflate, Sub/Up/Average/
+    Paeth unfiltering) recovers dimensions and mean intensity. The
+    oracle recomputes the expected pixel sums from the closed form in
+    pure SQL — no codec — so any unfiltering or batching defect changes
+    mean_intensity and fails the hash. (The filter cycle matters: a
+    decoder that botched, say, Paeth would still pass on filter-0-only
+    images.) Encoder/decoder inverses are independently pinned by
+    hand-computed filter vectors in tests/test_multimodal.py, so a
+    compensating encode/decode bug cannot hide either.
+
+    Exactness: pixel sums are exact integers (< 2^53, so numpy's float64
+    mean is the exact sum); mean = (s / (w*h*ch)) / 255.0 with identical
+    division order in both engines.
+
+    Scale: two chained mapInPandas stages (encode, decode) over
+    (doc_id, blob) only — blob payloads never join anything and drop
+    before the result projection; both kernels are per-blob O(pixels)."""
+    from ..operators.multimodal import decode_image_features, synthesize_png_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    pngs = synthesize_png_blobs(d)
+    feats = decode_image_features(pngs, decode="real")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("doc_id") % 2 == 0).alias("is_rgb"),
+        "mean_intensity",
+    )

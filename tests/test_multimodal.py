@@ -188,3 +188,174 @@ def test_real_decode_rejects_unknown_formats(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+# --- real stdlib PNG codec ----------------------------------------------------
+
+
+def test_real_png_roundtrip_all_filters_and_shapes():
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(11)
+    shapes = [(1, 1), (5, 3), (7, 4, 3), (6, 6, 4), (2, 9, 3)]
+    for shape in shapes:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, "cycle"]:
+            b = encode_png(arr, filter_type=ft)
+            assert sniff_format(b) == "png"
+            out = decode_png(b)
+            assert out.shape == arr.shape and (out == arr).all(), (shape, ft)
+
+
+def test_real_png_hand_computed_filter_vectors():
+    """Pin the unfilter math against hand-computed scanlines (independent
+    of encode_png, so a compensating encode/decode bug cannot pass):
+    a PNG is assembled chunk by chunk in the test itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 3x2 grayscale: row0 Sub [10,5,250] -> [10,15,9] (wraps mod 256);
+    # row1 Up [1,2,3] over [10,15,9] -> [11,17,12]
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    raw = bytes([1, 10, 5, 250]) + bytes([2, 1, 2, 3])
+    png = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    want = np.array([[10, 15, 9], [11, 17, 12]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+    # 2x2 grayscale: row0 None [4,8]; row1 Average filt [3,7]:
+    # x0: 3 + (0+4)//2 = 5 ; x1: 7 + (5+8)//2 = 13
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 4, 8]) + bytes([3, 3, 7])
+    png = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    want = np.array([[4, 8], [5, 13]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+    # 2x2 grayscale Paeth: row0 None [100,200]; row1 Paeth filt [10,20]:
+    # x0: a=0 b=100 c=0 -> p=100, pa=100 pb=0 -> predictor b=100 -> 110
+    # x1: a=110 b=200 c=100 -> p=210, pa=100 pb=10 pc=110 -> b=200 -> 220
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 100, 200]) + bytes([4, 10, 20])
+    png = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    want = np.array([[100, 200], [110, 220]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+
+def test_real_png_rejects_bad_crc_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    good = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    # flip a byte inside the IDAT chunk data (signature 8 + IHDR chunk 25,
+    # then past the IDAT length+type header) so its CRC no longer matches
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    # interlaced header must raise NotImplementedError
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # Adam7
+    raw = bytes([0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(png)
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # palette
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="color_type"):
+        decode_png(png)
+
+
+def test_real_png_decode_features_and_resize(spark):
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import resize_images
+
+    rows = []
+    for i in range(6):
+        arr = np.full((4, 6, 3), 20 * i, dtype=np.uint8)
+        rows.append((i, bytearray(encode_png(arr, filter_type="cycle"))))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    feats = {r["doc_id"]: r for r in
+             decode_image_features(df, decode="real").collect()}
+    assert len(feats) == 6
+    for i, r in feats.items():
+        assert (r["width"], r["height"]) == (6, 4)
+        assert abs(r["mean_intensity"] - (20 * i) / 255.0) < 1e-12
+
+    out = {r["doc_id"]: r for r in
+           resize_images(df, width=3, height=2, decode="real").collect()}
+    for i, r in out.items():
+        pix = decode_png(bytes(r["blob"]))
+        assert pix.shape == (2, 3, 3) and (pix == 20 * i).all()
+
+
+def test_real_mixed_bmp_png_batch(spark):
+    """One Arrow batch with BOTH formats: the sniffing dispatch must pick
+    the right codec per blob, not per batch."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_png,
+    )
+
+    rows = [
+        (0, bytearray(encode_bmp(np.full((3, 5, 3), 40, dtype=np.uint8)))),
+        (1, bytearray(encode_png(np.full((2, 4), 80, dtype=np.uint8)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary").coalesce(1)
+    feats = {r["doc_id"]: r for r in
+             decode_image_features(df, decode="real").collect()}
+    assert (feats[0]["width"], feats[0]["height"]) == (5, 3)
+    assert abs(feats[0]["mean_intensity"] - 40 / 255.0) < 1e-12
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 2)
+    assert abs(feats[1]["mean_intensity"] - 80 / 255.0) < 1e-12
