@@ -105,6 +105,46 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
 
 
+def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-WAV source, the audio twin of
+    :func:`synthesize_png_blobs`: for each ``doc_id`` emit (doc_id, blob)
+    where blob is a genuine PCM-16 mono WAV of a closed-form signal —
+
+      n  = 200 + doc_id % 300 frames,
+      sr = 8000 + (doc_id % 4) * 2000 Hz,
+      sample(i) = ((doc_id*37 + i*11) % 65536) - 32768  (int16, full range)
+
+    written straight from int16 (never through a float re-quantization,
+    which would break the closed form a SQL oracle recomputes)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 200 + did % 300
+                sr = 8000 + (did % 4) * 2000
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((did * 37 + i * 11) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes(pcm.tobytes())
+                out["doc_id"].append(did)
+                out["blob"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+
+
 def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
                          total_bytes: int) -> DataFrame:
     """Size partitions by payload volume, not row count — the knob that keeps
@@ -256,7 +296,14 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
                         )
                     samples, sr = decode_wav(b)
                     n_frames = samples.shape[0]
-                    rms = float((samples**2).mean() ** 0.5) if n_frames else 0.0
+                    # np.sqrt, not ** 0.5: correctly-rounded IEEE sqrt, so a
+                    # SQL oracle's sqrt() matches bit-for-bit (pow(x, 0.5)
+                    # carries no such guarantee)
+                    import numpy as np
+
+                    rms = (
+                        float(np.sqrt((samples**2).mean())) if n_frames else 0.0
+                    )
                     out["doc_id"].append(doc_id)
                     out["duration_s"].append(n_frames / sr)
                     out["sample_rate"].append(sr)

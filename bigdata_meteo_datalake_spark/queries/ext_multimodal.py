@@ -326,3 +326,65 @@ def multimodal_png_decode(spark, sf_dir):
         (F.col("doc_id") % 2 == 0).alias("is_rgb"),
         "mean_intensity",
     )
+
+
+# --- REAL WAV decode through the kernel gate ----------------------------------------
+
+_WAV_REAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         200 + doc_id % 300 AS n,
+         8000 + (doc_id % 4) * 2000 AS sr
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, sr,
+         list_aggregate(list_transform(range(0, n),
+           i -> ((doc_id * 37 + i * 11) % 65536 - 32768)
+                * ((doc_id * 37 + i * 11) % 65536 - 32768)), 'sum') AS ss
+  FROM d
+)
+SELECT doc_id,
+       floor(cast(n AS double) / sr * 1000000 + 0.5) / 1000000 AS duration_s,
+       cast(sr AS int) AS sample_rate,
+       floor(sqrt((cast(ss AS double) / 1073741824.0) / n) * 1000000 + 0.5)
+         / 1000000 AS rms
+FROM s
+"""
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=_WAV_REAL_ORACLE,
+    tags=("extension", "multimodal", "codec", "audio"),
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode end to end, the WAV twin of multimodal_png_decode:
+    per document a genuine PCM-16 WAV of a closed-form full-range signal
+    (operators/multimodal.py:synthesize_wav_blobs — per-doc frame count
+    AND sample rate vary, so the duration arithmetic cannot pass by
+    accident), then the production real path (audio_features(
+    decode="real") -> media_codecs.decode_wav: RIFF container via stdlib
+    ``wave``, int16 -> [-1, 1] normalization) recovers duration, the
+    container sample rate, and RMS. The oracle recomputes the expected
+    sum of squares from the closed form in pure SQL.
+
+    Exactness: sample squares are exact integers; their float64 sum is
+    exact (< 2^53); mean and sqrt are single correctly-rounded ops with
+    identical expression shape in both engines (np.sqrt, never pow);
+    both sides quantize to 1e-6 with the floor-form round.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob); payloads
+    drop before the result projection; kernels are per-blob O(frames)."""
+    from ..functions.numeric import round_half_up
+    from ..operators.multimodal import audio_features, synthesize_wav_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    wavs = synthesize_wav_blobs(d)
+    feats = audio_features(wavs, decode="real")
+    return feats.select(
+        "doc_id",
+        round_half_up(F.col("duration_s"), 6).alias("duration_s"),
+        "sample_rate",
+        round_half_up(F.col("rms"), 6).alias("rms"),
+    )
