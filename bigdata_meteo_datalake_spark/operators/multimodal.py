@@ -362,19 +362,27 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4
 PHASH_BANDS_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
 
 
-def image_phash_bands(df: DataFrame) -> DataFrame:
+def image_phash_bands(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     """Perceptual average-hash (aHash) of an image blob, emitted as four
-    16-bit bands via mapInPandas: 64 "cells" are read cyclically from the
-    blob bytes (the stand-in for an 8x8 grayscale downsample — with a real
-    codec the resize output feeds the same thresholding), each bit is
-    cell > mean (compared as ``cell * 64 > sum`` so the threshold is
-    exact integer math), and bits 16b..16b+15 fold into band b. Bands —
-    not one 64-bit value — because the near-dup join needs them anyway
-    (pigeonhole: hamming <= 3 over 4 bands forces at least one equal
-    band) and because bit 63 would overflow a signed int64."""
+    16-bit bands via mapInPandas. ``decode="fake"``: 64 "cells" are read
+    cyclically from the blob bytes (the stand-in for an 8x8 grayscale
+    downsample). ``decode="real"``: the blob is decoded (BMP/PNG), the
+    pixels are nearest-neighbor-resized to 8x8, and each cell is the
+    per-pixel CHANNEL SUM (scale-free grayscale proxy — exact integers,
+    no division) — the textbook aHash pipeline on real pixels. Either
+    way each bit is cell > mean (compared as ``cell * 64 > sum`` so the
+    threshold is exact integer math), and bits 16b..16b+15 fold into
+    band b. Bands — not one 64-bit value — because the near-dup join
+    needs them anyway (pigeonhole: hamming <= 3 over 4 bands forces at
+    least one equal band) and because bit 63 would overflow a signed
+    int64."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {decode}")
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from .media_codecs import decode_bmp, decode_png, resize_nearest, sniff_format
 
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
@@ -382,7 +390,23 @@ def image_phash_bands(df: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 if not b:
                     continue
-                cells = [b[i % len(b)] for i in range(64)]
+                if decode == "real":
+                    fmt = sniff_format(b)
+                    if fmt == "bmp":
+                        pix = decode_bmp(b)
+                    elif fmt == "png":
+                        pix = decode_png(b)
+                    else:
+                        raise NotImplementedError(
+                            "real phash beyond BMP/PNG needs PIL (codec "
+                            "insertion point)"
+                        )
+                    small = resize_nearest(pix, 8, 8).astype(int)
+                    if small.ndim == 3:
+                        small = small.sum(axis=2)
+                    cells = [int(v) for v in small.reshape(64)]
+                else:
+                    cells = [b[i % len(b)] for i in range(64)]
                 s = sum(cells)
                 bands = []
                 for band in range(4):

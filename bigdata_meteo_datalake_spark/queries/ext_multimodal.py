@@ -388,3 +388,61 @@ def multimodal_wav_decode(spark, sf_dir):
         "sample_rate",
         round_half_up(F.col("rms"), 6).alias("rms"),
     )
+
+
+# --- REAL perceptual hash through the kernel gate -----------------------------------
+
+_PHASH_REAL_BANDS = ",\n       ".join(
+    f"cast(list_aggregate(list_transform(range(0, 16),"
+    f" i -> CASE WHEN cl[{b} * 16 + i + 1] * 64 > s THEN 1 << i ELSE 0 END),"
+    f" 'sum') AS int) AS b{b}"
+    for b in range(4)
+)
+
+_PHASH_REAL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           k -> list_aggregate(list_transform(range(0, ch),
+                  c -> (doc_id * 31 + ((k % 8) * w // 8) * 7
+                        + ((k // 8) * h // 8) * 13 + c * 101) % 256), 'sum')) AS cl
+  FROM d
+),
+h AS (SELECT doc_id, cl, list_aggregate(cl, 'sum') AS s FROM cells)
+SELECT doc_id,
+       {_PHASH_REAL_BANDS}
+FROM h
+"""
+
+
+@register(
+    "multimodal_phash_real",
+    oracle=_PHASH_REAL_ORACLE,
+    tags=("extension", "multimodal", "codec", "dedup"),
+)
+def multimodal_phash_real(spark, sf_dir):
+    """Perceptual average-hash over REAL decoded pixels: synthesized PNGs
+    (closed-form pattern, all five scanline filters) -> production real
+    path (decode_png -> nearest-neighbor 8x8 resize -> per-pixel channel
+    sums -> exact-integer mean threshold) -> four 16-bit hash bands per
+    image. The oracle replays decode+resize+threshold as pure SQL index
+    arithmetic over the closed-form pixels — every band bit is value-
+    checked, so a defect anywhere in the decode/resize/threshold chain
+    flips bits and fails the hash. Complements multimodal_phash_near_dup
+    (which gates the banded JOIN shape on fake cells): together they
+    cover signature computation on real pixels and pair generation.
+
+    Scale: two mapInPandas stages over (doc_id, blob); signatures are 4
+    ints per image — the join-ready LSH layout (pigeonhole: hamming <= 3
+    over 4 bands guarantees a shared band for the downstream equi-join).
+    """
+    from ..operators.multimodal import image_phash_bands, synthesize_png_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    pngs = synthesize_png_blobs(d)
+    return image_phash_bands(pngs, decode="real")
