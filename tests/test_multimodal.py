@@ -359,3 +359,35 @@ def test_real_mixed_bmp_png_batch(spark):
     assert abs(feats[0]["mean_intensity"] - 40 / 255.0) < 1e-12
     assert (feats[1]["width"], feats[1]["height"]) == (4, 2)
     assert abs(feats[1]["mean_intensity"] - 80 / 255.0) < 1e-12
+
+
+def test_real_png_roundtrip_hypothesis():
+    """Property fuzz: ANY uint8 array round-trips through encode/decode
+    under ANY filter choice (spark-free, pure codec)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    shapes = st.one_of(
+        st.tuples(st.integers(1, 9), st.integers(1, 9)),
+        st.tuples(st.integers(1, 9), st.integers(1, 9), st.sampled_from([3, 4])),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        shape=shapes,
+        ft=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+        data=st.data(),
+    )
+    def inner(shape, ft, data):
+        arr = data.draw(arrays(dtype=np.uint8, shape=shape))
+        out = decode_png(encode_png(arr, filter_type=ft))
+        assert out.shape == arr.shape and (out == arr).all()
+
+    inner()

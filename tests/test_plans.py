@@ -196,3 +196,16 @@ def test_bootstrap_hash_behind_fence(spark):
     df = QS["poisson_bootstrap_ci"](spark, SF0001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") >= 1
+
+
+def test_real_codec_queries_are_pure_map(spark):
+    """The real-decode pipelines (PNG/WAV synthesize -> decode -> project)
+    are embarrassingly parallel: two chained mapInPandas stages over
+    (doc_id, blob) with ZERO exchanges — at 100 TB the plan is a single
+    scan-map pass, no shuffle anywhere. phash_real shares the shape."""
+    for name in ("multimodal_png_decode", "multimodal_wav_decode",
+                 "multimodal_phash_real"):
+        df = QS[name](spark, SF0001)
+        assert n_shuffle_exchanges(df) == 0, name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 2, name
