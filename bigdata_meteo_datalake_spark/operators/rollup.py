@@ -77,7 +77,22 @@ def maintain_rollup(
     from pyspark.errors import AnalysisException
 
     inc = rollup_increment(increment, bucket)
-    days = [r["day"] for r in inc.select("day").distinct().collect()]
+    # The day-list collect is DRIVER-SIDE BY DESIGN and bounded by the
+    # increment's calendar span (a nightly delta touches a handful of
+    # days, late arrivals a few more) — it exists to push partition
+    # pruning into the read-back below, which is what keeps maintenance
+    # cost proportional to the increment at 100 TB. The cap turns a
+    # mis-use (feeding years of history as one "increment", where the
+    # pruning list itself would bloat the plan) into a loud error
+    # instead of a silent slow job.
+    days = [r["day"] for r in inc.select("day").distinct().limit(10001).collect()]
+    if len(days) > 10000:
+        raise ValueError(
+            "increment touches >10000 day partitions — that is a backfill, "
+            "not an increment; recompute those days from source with "
+            "rollup_increment(day_events) + dynamic partition overwrite "
+            "instead of merging one giant delta"
+        )
     try:
         existing = spark.read.parquet(rollup_path).where(F.col("day").isin(days))
         existing.schema  # force analysis so a missing table surfaces here
