@@ -1,0 +1,520 @@
+"""Pure stdlib+numpy baseline JPEG codec (ITU-T T.81 sequential DCT,
+Huffman entropy coding) — closes the JPEG insertion point in the
+multimodal kernels without PIL/libjpeg.
+
+Scope (declared, enforced loudly):
+- decode: baseline sequential (SOF0), 8-bit, grayscale or 3-component
+  4:4:4 (all sampling factors 1); restart markers supported; progressive
+  (SOF2), arithmetic coding, subsampled chroma, and 12-bit raise
+  NotImplementedError.
+- encode: grayscale or RGB 4:4:4 with the spec Annex K example Huffman
+  tables and IJG-scaled quantization tables (``quality`` 1..100).
+
+JPEG is lossy, so round-trips are approximate in general — EXCEPT for
+block-constant images when the DC quantization step divides 8*(v-128):
+the DCT of a constant 8x8 block is a lone DC coefficient 8*(v-128), AC
+is exactly zero, and with q_DC | 8*(v-128) the pipeline is bit-exact end
+to end. At IJG quality 75 the luminance DC step is exactly 8, which
+makes block-constant fixtures EXACTLY recoverable — that is what lets a
+SQL oracle value-check a lossy codec (see
+queries/ext_multimodal.py:multimodal_jpeg_decode).
+
+All constants below are from the public JPEG specification (ITU-T T.81:
+Annex K.1 quantization tables, K.3 typical Huffman tables) and the IJG
+quality scaling convention.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+# --- constants (ITU-T T.81 Annex K) -------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], values)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II basis: forward C = M X M^T, inverse X = M^T C M
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _ijg_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> scaled table, clamped to [1, 255]."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# --- Huffman table construction ------------------------------------------------
+
+
+def _huff_decode_table(bits, values):
+    """(code, length) -> symbol map per T.81 C.2 canonical code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, values):
+    """symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+# --- bit IO --------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 de-stuffing;
+    stops at (and reports) marker bytes for restart handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn reached mid-read: spec error
+                raise ValueError("unexpected restart marker inside block")
+            else:
+                # reached a real marker (EOI/next segment): pad with 1s
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop buffered bits and skip an expected RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        # entropy data may end with fill bits already consumed; marker next
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 EXTEND: map t-bit magnitude to signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+# --- decoder -------------------------------------------------------------------
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG -> uint8 (H, W) grayscale or (H, W, 3) RGB array."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None
+    width = height = None
+    restart_interval = 0
+    scan_map = None
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("reached EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                    bits, values
+                )
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                h_i, v_i = hv >> 4, hv & 0xF
+                if (h_i, v_i) != (1, 1):
+                    raise NotImplementedError(
+                        "subsampled chroma (only 4:4:4 / grayscale supported)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_map = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_map.append((cs, tt >> 4, tt & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+    if comps is None or scan_map is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan_map:
+        c = by_id[cs]
+        order.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]]))
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    br = _BitReader(b, pos)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_to_marker()
+                pred = [0] * len(comps)
+            for ci, (c, dtab, atab, q) in enumerate(order):
+                coef = np.zeros(64, dtype=np.int64)
+                t = _huff_read(br, dtab)
+                diff = _extend(br.read_bits(t), t)
+                pred[ci] += diff
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, atab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    coef[k] = _extend(br.read_bits(s), s)
+                    k += 1
+                block = np.zeros((8, 8), dtype=np.int64)
+                block.reshape(64)[_ZIGZAG] = coef
+                pix = _M.T @ (block * q).astype(np.float64) @ _M
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+            mcu += 1
+
+    planes = [p[:height, :width] + 128.0 for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bch], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder -------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.bitbuf = (self.bitbuf << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.bitbuf >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _mag_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int, dtab, atab) -> int:
+    dc = int(coef[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, length = dtab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(_mag_bits(diff, t), t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = atab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = atab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(_mag_bits(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, length = atab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline 4:4:4 JPEG."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        rgb = arr.astype(np.float64)
+        r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8 array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    qluma = _ijg_scale(_QUANT_LUMA, quality).reshape(8, 8)
+    qchroma = _ijg_scale(_QUANT_CHROMA, quality).reshape(8, 8)
+    tables = [qluma] + [qchroma] * (len(planes) - 1)
+    dc_enc = [_huff_encode_table(*_DC_LUMA)] + [
+        _huff_encode_table(*_DC_CHROMA)
+    ] * (len(planes) - 1)
+    ac_enc = [_huff_encode_table(*_AC_LUMA)] + [
+        _huff_encode_table(*_AC_CHROMA)
+    ] * (len(planes) - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # zigzag serialization: table entry i holds q[raster position zigzag(i)]
+    zz_luma = np.zeros(64, dtype=np.uint8)
+    zz_luma[np.arange(64)] = qluma.reshape(64)[_ZIGZAG]
+    dqt = bytes([0x00]) + zz_luma.tobytes()
+    out += _seg(0xDB, dqt)
+    if len(planes) == 3:
+        zz_ch = np.zeros(64, dtype=np.uint8)
+        zz_ch[np.arange(64)] = qchroma.reshape(64)[_ZIGZAG]
+        out += _seg(0xDB, bytes([0x01]) + zz_ch.tobytes())
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += _seg(0xC0, sof)
+    for i, (bits, values) in enumerate(
+        [_DC_LUMA, _AC_LUMA] + ([_DC_CHROMA, _AC_CHROMA] if nc == 3 else [])
+    ):
+        tc = i % 2
+        th = i // 2
+        out += _seg(0xC4, bytes([tc << 4 | th] + bits + values))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, (0 if i == 0 else 1) * 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw8 = (w + 7) // 8
+    bh8 = (h + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh8 * 8, bw8 * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp - 128.0)
+    writer = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh8):
+        for bx in range(bw8):
+            for ci, p in enumerate(padded):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _M @ block @ _M.T
+                qc = np.rint(coef / tables[ci]).astype(np.int64)
+                zz = qc.reshape(64)[_ZIGZAG]
+                pred[ci] = _encode_block(writer, zz, pred[ci], dc_enc[ci], ac_enc[ci])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -15,9 +15,14 @@ codec stubbed:
   implementation of all five scanline filters (None/Sub/Up/Average/
   Paeth) per the PNG spec (RFC 2083 section 6). Encoder included with a
   selectable per-row filter so tests exercise every unfilter path.
+- **JPEG** (baseline sequential DCT, grayscale / 4:4:4 RGB): full
+  Huffman entropy codec + 8x8 DCT in ``operators/jpeg.py`` (spec
+  Annex K tables); lossy in general, bit-exact on block-constant
+  fixtures — see that module's docstring.
 
-Anything else (JPEG/MP4/...) still raises NotImplementedError at the
-codec insertion point — a declared boundary, not silent wrong answers.
+Anything else (MP4/...; progressive or subsampled JPEG) still raises
+NotImplementedError at the codec insertion point — a declared boundary,
+not silent wrong answers.
 
 Scale note: kernels are per-blob numpy (vectorized over pixels/samples);
 the Arrow batch loop stays in operators/multimodal.py so batch sizing and
@@ -33,9 +38,13 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (re-export)
+
 __all__ = [
     "decode_bmp",
     "encode_bmp",
+    "decode_jpeg",
+    "encode_jpeg",
     "decode_png",
     "encode_png",
     "decode_wav",
@@ -52,6 +61,8 @@ def sniff_format(b: bytes) -> str | None:
         return "bmp"
     if b[:8] == _PNG_MAGIC:
         return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     return None
