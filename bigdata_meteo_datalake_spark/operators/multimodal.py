@@ -7,10 +7,11 @@ features derived from the bytes (the Spark-side plumbing — schema, batch
 iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
 stdlib+numpy — uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-(gray/RGB/RGBA, all five scanline filters), and PCM WAV
+(gray/RGB/RGBA, all five scanline filters), baseline sequential JPEG
+(grayscale / 4:4:4, operators/jpeg.py), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
-formats that truly need a codec library (JPEG/MP4/...), sniffed by
-magic bytes per blob.
+formats that truly need a codec library (MP4 video decode, progressive
+or subsampled JPEG, ...), sniffed by magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -105,6 +106,54 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
 
 
+def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
+    """Deterministic real-JPEG source for the real-decode path, the lossy
+    twin of :func:`synthesize_png_blobs`: for each ``doc_id`` emit
+    (doc_id, blob) where blob is a genuine baseline JPEG
+    (operators/jpeg.py:encode_jpeg) of a BLOCK-CONSTANT tile pattern —
+
+      w = 9 + doc_id % 16,  h = 9 + doc_id % 12   (deliberately NOT
+      multiples of 8, so MCU edge-replicate padding is exercised; padded
+      partial blocks stay constant because tiles are 8-aligned to the
+      image origin),
+      tile value v(bx, by) = (doc_id*31 + bx*7 + by*13) % 256 for the
+      8x8 block at (bx, by) = (x//8, y//8),
+      RGB with R=G=B when doc_id is even (Y=v exactly, Cb=Cr=128, so
+      chroma quantizes to zero), grayscale when odd.
+
+    JPEG is lossy in general, but for block-constant tiles the DCT is a
+    lone DC coefficient 8*(v-128) and at IJG quality 75 the luminance DC
+    quantization step is exactly 8, so encode->decode is BIT-EXACT (see
+    operators/jpeg.py's module docstring for the divisibility argument;
+    verified for all (w, h, parity) fixture shapes in
+    tests/test_multimodal.py). That exactness is what lets a SQL oracle
+    value-check a lossy codec: the closed-form tile sums are recomputable
+    without any codec (queries/ext_multimodal.py:multimodal_jpeg_decode).
+    Runs as an Arrow-batched mapInPandas kernel like the PNG/WAV twins."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 9 + did % 16, 9 + did % 12
+                bx = np.arange(w)[None, :] // 8
+                by = np.arange(h)[:, None] // 8
+                arr = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.uint8)
+                if did % 2 == 0:
+                    arr = np.stack([arr, arr, arr], axis=2)
+                out["doc_id"].append(did)
+                out["blob"].append(encode_jpeg(arr, quality=quality))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+
+
 def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
     """Deterministic real-WAV source, the audio twin of
     :func:`synthesize_png_blobs`: for each ``doc_id`` emit (doc_id, blob)
@@ -155,11 +204,12 @@ def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
 
 def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     """Image decode -> (width, height, n_bytes, mean_intensity) via
-    mapInPandas. `decode="real"` decodes uncompressed 24-bit BMP and
-    non-interlaced 8-bit PNG (gray/RGB/RGBA) with the stdlib codecs
-    (media_codecs.decode_bmp / decode_png) — actual pixel dimensions and
-    actual mean pixel intensity in [0, 1]; other formats raise at the
-    codec boundary (PIL insertion point)."""
+    mapInPandas. `decode="real"` decodes uncompressed 24-bit BMP,
+    non-interlaced 8-bit PNG (gray/RGB/RGBA), and baseline sequential
+    JPEG with the stdlib codecs (media_codecs.decode_bmp / decode_png /
+    decode_jpeg) — actual pixel dimensions and actual mean pixel
+    intensity in [0, 1]; other formats raise at the codec boundary
+    (PIL insertion point)."""
     if decode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode: {decode}")
 
@@ -168,7 +218,7 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
 
         import pandas as pd
 
-        from .media_codecs import decode_bmp, decode_png, sniff_format
+        from .media_codecs import decode_bmp, decode_jpeg, decode_png, sniff_format
 
         for pdf in batches:
             feats = {"doc_id": [], "width": [], "height": [], "n_bytes": [],
@@ -181,9 +231,11 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                         pix = decode_bmp(b)
                     elif fmt == "png":
                         pix = decode_png(b)
+                    elif fmt == "jpeg":
+                        pix = decode_jpeg(b)
                     else:
                         raise NotImplementedError(
-                            "real image decode beyond BMP/PNG needs "
+                            "real image decode beyond BMP/PNG/JPEG needs "
                             "PIL/opencv (not in this container); swap this "
                             "branch for Image.open(io.BytesIO(b))"
                         )
@@ -228,8 +280,10 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
 
         from .media_codecs import (
             decode_bmp,
+            decode_jpeg,
             decode_png,
             encode_bmp,
+            encode_jpeg,
             encode_png,
             resize_nearest,
             sniff_format,
@@ -249,10 +303,16 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
                         resized = encode_png(
                             resize_nearest(decode_png(b), width, height)
                         )
+                    elif fmt == "jpeg":
+                        # re-encode is lossy (resize misaligns the 8x8
+                        # tile grid) — fine for a thumbnail pipeline
+                        resized = encode_jpeg(
+                            resize_nearest(decode_jpeg(b), width, height)
+                        )
                     else:
                         raise NotImplementedError(
-                            "real resize beyond BMP/PNG needs PIL (not in "
-                            "this container); swap for "
+                            "real resize beyond BMP/PNG/JPEG needs PIL (not "
+                            "in this container); swap for "
                             "Image.open(...).resize(...)"
                         )
                 else:
@@ -382,7 +442,13 @@ def image_phash_bands(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .media_codecs import decode_bmp, decode_png, resize_nearest, sniff_format
+        from .media_codecs import (
+            decode_bmp,
+            decode_jpeg,
+            decode_png,
+            resize_nearest,
+            sniff_format,
+        )
 
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
@@ -396,9 +462,11 @@ def image_phash_bands(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                         pix = decode_bmp(b)
                     elif fmt == "png":
                         pix = decode_png(b)
+                    elif fmt == "jpeg":
+                        pix = decode_jpeg(b)
                     else:
                         raise NotImplementedError(
-                            "real phash beyond BMP/PNG needs PIL (codec "
+                            "real phash beyond BMP/PNG/JPEG needs PIL (codec "
                             "insertion point)"
                         )
                     small = resize_nearest(pix, 8, 8).astype(int)

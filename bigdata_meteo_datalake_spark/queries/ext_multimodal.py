@@ -328,6 +328,79 @@ def multimodal_png_decode(spark, sf_dir):
     )
 
 
+# --- REAL JPEG decode through the kernel gate ---------------------------------------
+
+_JPEG_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         9 + doc_id % 16 AS w,
+         9 + doc_id % 12 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 31 + ((i % w) // 8) * 7 + ((i // w) // 8) * 13)
+                % 256), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       ch = 3 AS is_rgb,
+       (cast(s * ch AS double) / (w * h * ch)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle=_JPEG_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL JPEG decode end to end, the lossy sibling of
+    multimodal_png_decode: per document a genuine baseline JPEG is
+    Huffman-encoded from a closed-form BLOCK-CONSTANT tile pattern
+    (operators/multimodal.py:synthesize_jpeg_blobs — dims deliberately
+    not multiples of 8 so MCU padding is exercised; RGB with R=G=B for
+    even doc_ids so chroma quantizes to exactly zero, grayscale for
+    odd), then the production decode path (decode_image_features(
+    decode="real") -> operators/jpeg.py:decode_jpeg: marker/segment
+    parsing, Huffman entropy decode, dequantize, inverse DCT, YCbCr->RGB)
+    recovers dimensions and mean intensity.
+
+    Why a LOSSY codec can carry a value-checked oracle: the DCT of a
+    constant 8x8 block is a lone DC coefficient 8*(v-128), AC exactly
+    zero, and at IJG quality 75 the luminance DC quantization step is
+    exactly 8, so quantization divides exactly and the round trip is
+    BIT-exact on these fixtures (divisibility argument in
+    operators/jpeg.py's docstring; verified across every fixture shape
+    in tests/test_multimodal.py). The oracle recomputes the expected
+    tile sums in pure SQL — no codec — so a defect anywhere in the
+    Huffman/DCT/color chain shifts pixel values and fails the hash.
+
+    Exactness: pixel sums are exact integers (< 2^53, numpy's float64
+    mean is exact); RGB sum = 3 * gray sum (R=G=B), and the oracle
+    multiplies by ch and divides by (w*h*ch) in the same order as
+    numpy's mean, so the float division is identical.
+
+    Scale: two chained mapInPandas stages (encode, decode) over
+    (doc_id, blob) — zero exchanges, pure scan-map at any scale; blob
+    payloads drop before the result projection."""
+    from ..operators.multimodal import decode_image_features, synthesize_jpeg_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    jpegs = synthesize_jpeg_blobs(d)
+    feats = decode_image_features(jpegs, decode="real")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("doc_id") % 2 == 0).alias("is_rgb"),
+        "mean_intensity",
+    )
+
+
 # --- REAL WAV decode through the kernel gate ----------------------------------------
 
 _WAV_REAL_ORACLE = """

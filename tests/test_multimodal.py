@@ -391,3 +391,187 @@ def test_real_png_roundtrip_hypothesis():
         assert out.shape == arr.shape and (out == arr).all()
 
     inner()
+
+
+# --- real stdlib JPEG codec ---------------------------------------------------
+
+
+def _jpeg_tiles(did: int):
+    """The synthesize_jpeg_blobs closed form, recomputed independently."""
+    import numpy as np
+
+    w, h = 9 + did % 16, 9 + did % 12
+    bx = np.arange(w)[None, :] // 8
+    by = np.arange(h)[:, None] // 8
+    arr = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.uint8)
+    if did % 2 == 0:
+        arr = np.stack([arr, arr, arr], axis=2)
+    return arr
+
+
+def test_real_jpeg_blockconstant_bitexact():
+    """The oracle's whole premise: block-constant fixtures at quality 75
+    round-trip BIT-exactly through the lossy codec (DC step 8 divides
+    8*(v-128); R=G=B keeps chroma at exactly 128). Covers every distinct
+    (w, h, parity) fixture shape — 48 width/height combos x both color
+    modes via doc_id 0..95."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for did in range(96):
+        arr = _jpeg_tiles(did)
+        out = decode_jpeg(encode_jpeg(arr, quality=75))
+        assert out.shape == arr.shape, did
+        assert (out == arr).all(), did
+        assert np.asarray(out).dtype == np.uint8
+
+
+def test_real_jpeg_lossy_roundtrip_close():
+    """General (non-block-constant) content is lossy but must stay close:
+    a smooth gradient at quality 90 reconstructs within a few gray
+    levels, and a random image survives encode->decode with the right
+    shape and bounded mean error (crash-freedom for arbitrary pixels)."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:24, 0:31]
+    grad = ((x * 5 + y * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=90))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.mean() < 8.0 and err.max() < 64
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=75))
+    assert out.shape == noise.shape
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 48.0
+
+
+def test_real_jpeg_rejects_nonbaseline_and_truncated():
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(encode_jpeg(_jpeg_tiles(1), quality=75))
+    # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+    sof = good.find(b"\xff\xc0")
+    assert sof >= 0
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_real_jpeg_decode_features_and_resize(spark):
+    """Spark dispatch: synthesized JPEG blobs flow through the production
+    real-decode kernel (dims + exact closed-form mean) and through
+    resize_images (decode -> nearest resize -> JPEG re-encode)."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_jpeg,
+        sniff_format,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        resize_images,
+        synthesize_jpeg_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(24)
+    jpegs = synthesize_jpeg_blobs(d)
+    feats = {
+        r["doc_id"]: r
+        for r in decode_image_features(jpegs, decode="real").collect()
+    }
+    for did, r in feats.items():
+        arr = _jpeg_tiles(did)
+        assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
+        assert r["mean_intensity"] == float(arr.mean()) / 255.0
+
+    resized = resize_images(jpegs, width=8, height=8, decode="real").collect()
+    for r in resized:
+        b = bytes(r["blob"])
+        assert sniff_format(b) == "jpeg"
+        pix = decode_jpeg(b)
+        assert pix.shape[:2] == (8, 8)
+        # nearest-resize of the source tiles, re-encoded lossily: the
+        # resized image is still block-aligned piecewise data, so the
+        # re-decode stays within JPEG quantization error of it
+        src = _jpeg_tiles(r["doc_id"])
+        yi = (np.arange(8) * src.shape[0] // 8).clip(0, src.shape[0] - 1)
+        xi = (np.arange(8) * src.shape[1] // 8).clip(0, src.shape[1] - 1)
+        want = src[yi][:, xi]
+        assert np.abs(pix.astype(int) - want.astype(int)).mean() < 32.0
+
+
+def test_real_jpeg_phash_dispatch(spark):
+    """image_phash_bands(decode='real') accepts JPEG blobs and produces
+    the same bands as on the equivalent losslessly-carried pixels."""
+    from bigdata_meteo_datalake_spark.operators.media_codecs import encode_png
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        image_phash_bands,
+        synthesize_jpeg_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(16)
+    via_jpeg = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in image_phash_bands(
+            synthesize_jpeg_blobs(d), decode="real"
+        ).collect()
+    }
+    rows = [
+        (did, bytearray(encode_png(_jpeg_tiles(did))))
+        for did in via_jpeg
+    ]
+    pngs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    via_png = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in image_phash_bands(pngs, decode="real").collect()
+    }
+    assert via_jpeg == via_png
+
+
+def test_real_jpeg_blockconstant_fuzz():
+    """Property fuzz of the exactness claim itself: ANY 8-aligned-tile
+    image whose tiles are arbitrary random values round-trips bit-exactly
+    at quality 75 (gray, and RGB with R=G=B)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 26),
+        h=st.integers(1, 22),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def inner(w, h, rgb, seed):
+        rng = np.random.default_rng(seed)
+        tiles = rng.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8))
+        arr = tiles.repeat(8, axis=0).repeat(8, axis=1)[:h, :w].astype(np.uint8)
+        if rgb:
+            arr = np.stack([arr] * 3, axis=2)
+        out = decode_jpeg(encode_jpeg(arr, quality=75))
+        assert out.shape == arr.shape and (out == arr).all()
+
+    inner()
