@@ -24,9 +24,16 @@ Anything else (MP4/...; progressive or subsampled JPEG) still raises
 NotImplementedError at the codec insertion point — a declared boundary,
 not silent wrong answers.
 
-Scale note: kernels are per-blob numpy (vectorized over pixels/samples);
-the Arrow batch loop stays in operators/multimodal.py so batch sizing and
-payload-budget partitioning are shared with the fake path.
+Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
+and PNG rows are vectorized where the spec allows — None/Up/Sub decode
+and ALL encode filters are whole-row numpy expressions, while
+Average/Paeth DECODE is inherently sequential along x (each pixel needs
+the already-unfiltered left neighbor) and loops per pixel with the
+channel group vectorized. These stdlib codecs are correctness/fixture-
+grade (tens of MB/s); for production-volume media swap PIL/libjpeg-turbo
+in at the same sniff_format dispatch points — the Spark plan (mapInPandas
+batch iteration in operators/multimodal.py, payload-budget partitioning)
+does not change.
 """
 
 from __future__ import annotations
@@ -135,16 +142,13 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """Paeth predictor (PNG spec section 6.6): pick the neighbor (left a,
-    up b, upper-left c) closest to the linear prediction a + b - c."""
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec section 6.6), elementwise over numpy int
+    arrays: pick the neighbor (left a, up b, upper-left c) closest to the
+    linear prediction a + b - c; ties break left, then up."""
     p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
 def _png_chunks(b: bytes):
@@ -205,32 +209,48 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG pixel data length {len(raw)} != expected {(stride + 1) * height}"
         )
+    # Unfiltering works on int32 rows. Vectorization by filter type:
+    # None is a copy; Up is one whole-row vector add; Sub is a per-channel
+    # cumulative sum mod 256 (out[p] = sum of raw deltas up to p), so all
+    # three are O(1) numpy calls per row. Average and Paeth have a true
+    # data dependency along x (each pixel needs the already-unfiltered
+    # left neighbor), so they loop over PIXELS with the channel group
+    # vectorized — the spec makes them inherently sequential; a constant
+    # factor beyond this needs a native codec (PIL/libpng swap-in).
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    if (bad := ftypes[ftypes > 4]).size:
+        y = int(np.argmax(ftypes > 4))
+        raise ValueError(f"unknown PNG filter type {int(bad[0])} on row {y}")
     out = np.zeros((height, stride), dtype=np.uint8)
-    prev = bytearray(stride)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
-        if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
+        ftype = int(ftypes[y])
+        line = rows[y, 1:].astype(np.int32)
+        if ftype == 1:  # Sub: prefix sum per channel lane, mod 256
+            line = (
+                np.cumsum(line.reshape(-1, channels), axis=0, dtype=np.int64)
+                .reshape(stride) & 0xFF
+            ).astype(np.int32)
         elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            line = (line + prev) & 0xFF
         elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                ul = prev[x - channels] if x >= channels else 0
-                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+            line[:channels] = (line[:channels] + (prev[:channels] >> 1)) & 0xFF
+            for x in range(channels, stride, channels):
+                line[x : x + channels] = (
+                    line[x : x + channels]
+                    + ((line[x - channels : x] + prev[x : x + channels]) >> 1)
+                ) & 0xFF
+        elif ftype == 4:  # Paeth (first pixel: a = c = 0 -> predictor is up)
+            line[:channels] = (line[:channels] + prev[:channels]) & 0xFF
+            for x in range(channels, stride, channels):
+                pred = _paeth(
+                    line[x - channels : x],
+                    prev[x : x + channels],
+                    prev[x - channels : x],
+                )
+                line[x : x + channels] = (line[x : x + channels] + pred) & 0xFF
+        out[y] = line
         prev = line
     if channels == 1:
         return out
@@ -263,45 +283,32 @@ def encode_png(arr: np.ndarray, *, filter_type: int | str = 0) -> bytes:
     h, w = arr.shape[:2]
     flat = arr.reshape(h, w * channels)
     stride = w * channels
+    # Filtering (unlike UNfiltering) reads only ORIGINAL pixel values, so
+    # every filter type is one vectorized row expression — left/up/upper-
+    # left neighbors are channel-shifted views of the raw rows.
     raw = bytearray()
-    prev = bytes(stride)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        line = bytes(flat[y])
+        line = flat[y].astype(np.int32)
+        left = np.zeros(stride, dtype=np.int32)
+        left[channels:] = line[:-channels]
         ft = (y % 5) if filter_type == "cycle" else int(filter_type)
         raw.append(ft)
         if ft == 0:
-            raw.extend(line)
+            filtered = line
         elif ft == 1:
-            raw.extend(
-                (line[x] - (line[x - channels] if x >= channels else 0)) & 0xFF
-                for x in range(stride)
-            )
+            filtered = line - left
         elif ft == 2:
-            raw.extend((line[x] - prev[x]) & 0xFF for x in range(stride))
+            filtered = line - prev
         elif ft == 3:
-            raw.extend(
-                (
-                    line[x]
-                    - (((line[x - channels] if x >= channels else 0) + prev[x]) >> 1)
-                )
-                & 0xFF
-                for x in range(stride)
-            )
+            filtered = line - ((left + prev) >> 1)
         elif ft == 4:
-            raw.extend(
-                (
-                    line[x]
-                    - _paeth(
-                        line[x - channels] if x >= channels else 0,
-                        prev[x],
-                        prev[x - channels] if x >= channels else 0,
-                    )
-                )
-                & 0xFF
-                for x in range(stride)
-            )
+            ul = np.zeros(stride, dtype=np.int32)
+            ul[channels:] = prev[:-channels]
+            filtered = line - _paeth(left, prev, ul)
         else:
             raise ValueError(f"filter_type must be 0..4 or 'cycle', got {ft}")
+        raw.extend((filtered & 0xFF).astype(np.uint8).tobytes())
         prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
