@@ -92,10 +92,10 @@ def main() -> None:
             ).save()
         except Exception as e:  # noqa: BLE001 - bench must survive any query
             errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
-        # a few queries persist() intermediate frames (shingle sets etc.);
-        # persisted entries live in the session cacheManager until released,
-        # so drop them between queries — each timed run must pay its own
-        # materialization cost, and a long sweep must not accumulate caches
+        # queries localCheckpoint (not persist) their multi-consumer
+        # intermediates, so blocks free when the frame is GC'd; clearCache
+        # stays as defense-in-depth so each timed run pays its own
+        # materialization cost even if a cacheManager entry ever appears
         spark.catalog.clearCache()
     warmup_sec = round(time.perf_counter() - t0, 3)
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import oracle_avg, round_half_up, rounded_avg, rounded_sum
 from ..sources.lake import read_table, widen
@@ -1747,7 +1746,7 @@ def association_rules_pairs(spark, sf_dir):
     op = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     n = op.agg(F.countDistinct("ok").alias("n_orders"))
     freq = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))

@@ -112,14 +112,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     explode distinct shingles -> self-join on shingle -> intersection
     counts -> Jaccard. Integer-only arithmetic until one final double
     division, so the oracle matches bit-for-bit."""
-    from pyspark import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
     # same shingle relation the MinHash path uses — ONE definition of the
     # gram set so the two Jaccard queries can't drift apart
-    grams = doc_shingles(d).persist(
-        StorageLevel.MEMORY_AND_DISK  # reused by sizes + both join sides
-    )
+    grams = doc_shingles(d).localCheckpoint(eager=False)  # reused by sizes + both join sides
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -219,12 +216,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     (doc, shingle) pair twice. Hashes are md5-derived integer arithmetic,
     bit-identical to the oracle (which keeps the equivalent exploded
     GROUP BY form — same values, independent derivation)."""
-    from pyspark import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
     # the per-doc shingle-hash set feeds the signature AND both verify
     # sides — one small cached relation (doc_id, array<long>)
-    sets = doc_shingle_hash_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = doc_shingle_hash_sets(d).localCheckpoint(eager=False)
     sig = minhash_signature(sets)
     pairs = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
     verified = jaccard_verify_sets(pairs, sets)
@@ -294,10 +290,9 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
     each set — hot shingles (the skew risk dedup_ngram_jaccard documents)
     are structurally excluded from the join. Verification reuses the
     in-row array_intersect path shared with the MinHash query."""
-    from pyspark import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
-    sets = doc_shingle_hash_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = doc_shingle_hash_sets(d).localCheckpoint(eager=False)
     pairs = prefix_filter_candidates(sets, t_num=3, t_den=5)
     verified = jaccard_verify_sets(pairs, sets)
     return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(

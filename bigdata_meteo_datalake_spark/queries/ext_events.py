@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import count_if, oracle_ratio, round_half_up, rounded_ratio, rounded_sum
 from ..sources.lake import read_table
@@ -916,7 +915,7 @@ def kaplan_meier_lifetimes(spark, sf_dir):
                 "censored"
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     dt = (
         life.where(~F.col("censored"))
@@ -1066,7 +1065,7 @@ def logrank_segment_survival(spark, sf_dir):
                 "censored"
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     dt = (
         life.where(~F.col("censored"))
@@ -1380,11 +1379,11 @@ def cohort_ltv_curve(spark, sf_dir):
     a COHORT-partitioned running sum — per-cohort window state only,
     never a global sort."""
     ev = read_table(spark, sf_dir, "events")
-    # user-keyed first-touch frame, persisted: consumed by both the
+    # user-keyed first-touch frame, lineage-cut: consumed by both the
     # cohort-size rollup and the revenue join
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("month", F.min("ts")).alias("cohort_m")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_users"))
     rev = (
         ev.where(F.col("event_type") == "purchase")

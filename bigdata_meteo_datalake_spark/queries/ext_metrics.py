@@ -182,17 +182,16 @@ def degree_assortativity(spark, sf_dir):
     Scale: the pair distinct and the two degree aggregates hash-partition
     on node keys; the degree joins are standard key equi-joins (AQE
     handles hub skew). No iteration, no window, no cartesian."""
-    from pyspark.storagelevel import StorageLevel
 
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
-    # persisted: the pair list feeds both degree aggregates and the moment
+    # lineage-cut: the pair list feeds both degree aggregates and the moment
     # join — without it the orders-lineitem join runs three times
     pairs = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     dc = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("x"))
     ds = pairs.groupBy("supp").agg(F.count(F.lit(1)).alias("y"))
@@ -988,10 +987,9 @@ def ngram_novelty_rate(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
-    from pyspark.storagelevel import StorageLevel
 
     grams = doc_shingles(d)
-    # persisted: the (doc, split, gram-hash) stream feeds BOTH join sides
+    # lineage-cut: the (doc, split, gram-hash) stream feeds BOTH join sides
     # (train distinct set + held-out probe) — without it the documents
     # scan and shingle explode run twice
     hx = (
@@ -1001,7 +999,7 @@ def ngram_novelty_rate(spark, sf_dir):
             "split",
             (token_hash(F.col("gram")) % 2147483647).alias("x"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     train_sh = hx.where(F.col("split") == "train").select("x").distinct()
     held = hx.where(F.col("split") != "train")
@@ -1436,11 +1434,10 @@ def brier_score_decomposition(spark, sf_dir):
 
     Scale: the classifier stays map-only; this adds one doc-keyed label
     join, a 10-group aggregate, and single-row algebra."""
-    from pyspark.storagelevel import StorageLevel
 
     qc = quality_classifier_score(spark, sf_dir).where(F.col("n_features") > 0)
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    # persisted: the (p, y, bin) stream feeds the global moments AND the
+    # lineage-cut: the (p, y, bin) stream feeds the global moments AND the
     # bin rollup — one classifier pass instead of two
     j = (
         qc.join(d, "doc_id")
@@ -1456,7 +1453,7 @@ def brier_score_decomposition(spark, sf_dir):
             .cast("int")
             .alias("bin_id"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     err = F.col("p_q") - F.col("y").cast("long") * 1000000
     g = j.agg(

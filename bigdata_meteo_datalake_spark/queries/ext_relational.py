@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import count_if, round_half_up, rounded_sum
 from ..operators.dedup import token_hash_sql
@@ -1279,7 +1278,7 @@ def gini_customer_spend(spark, sf_dir):
         .groupBy("bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bin", "n", (F.col("lo") + F.col("bin") * width).alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     agg = hv.agg(F.sum("n").alias("nn"), F.sum(F.col("n") * F.col("v")).alias("sv"))
     a = hv.select(F.col("n").alias("na"), F.col("v").alias("va"))

@@ -26,7 +26,6 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import count_if, round_half_up
 from ..operators.dedup import token_hash, token_hash_sql
@@ -132,7 +131,7 @@ def dsir_importance_weights(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<long>"))
     # the feature stream feeds BOTH the bucket counts and the score join —
-    # persist so the corpus is tokenized/hashed once, not twice.
+    # localCheckpoint so the corpus is tokenized/hashed once, not twice.
     feats = (
         d.select(
             "doc_id",
@@ -140,7 +139,7 @@ def dsir_importance_weights(spark, sf_dir):
             toks.alias("toks"),
         )
         .select("doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("fb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     counts = feats.groupBy("fb").agg(
         F.count(F.lit(1)).alias("q_f"), count_if(F.col("is_target")).alias("t_f")
@@ -249,11 +248,11 @@ def boilerplate_ngram_coverage(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<long>"))
     # gram stream feeds both the DF aggregate and the coverage join —
-    # persist so grams are built and hashed once.
+    # localCheckpoint so grams are built and hashed once.
     g = (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode(grams).alias("gh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     boiler = (
         g.groupBy("gh")
@@ -343,11 +342,11 @@ def heaps_vocab_growth(spark, sf_dir):
     """
     d = widen(read_table(spark, sf_dir, "documents"))
     # the token stream feeds two aggregates (occurrences, first-seen) —
-    # persist so the corpus is tokenized/hashed once.
+    # localCheckpoint so the corpus is tokenized/hashed once.
     o = (
         d.select("doc_id", F.explode(_toks()).alias("tok"))
         .select("doc_id", token_hash(F.col("tok")).alias("th"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     per_doc_occ = o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc_new = (
@@ -676,7 +675,7 @@ def mutual_information_report(spark, sf_dir):
         j = (
             t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
             .agg(F.count(F.lit(1)).alias("n_xy"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
         my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
@@ -1043,7 +1042,7 @@ def embedding_covariance(spark, sf_dir):
         F.col("embedding"),
         lambda v: F.floor(v.cast("double") * _COV_SCALE + 0.5).cast("long"),
     )
-    rows = e.select(q.alias("q")).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = e.select(q.alias("q")).localCheckpoint(eager=False)
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(_COV_DIM - 1)),
@@ -1171,7 +1170,7 @@ def auc_binned_report(spark, sf_dir):
             count_if(F.col("pos")).alias("n_pos"),
             count_if(~F.col("pos")).alias("n_neg"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     p = h.select(F.col("bin").alias("pb"), F.col("n_pos").alias("np_b"))
     n = h.select(F.col("bin").alias("nb"), F.col("n_neg").alias("nn_b"))
@@ -1380,7 +1379,7 @@ def chi2_independence_report(spark, sf_dir):
         j = (
             t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
             .agg(F.count(F.lit(1)).alias("n_xy"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
         my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
@@ -1681,7 +1680,7 @@ def ks_two_sample_drift(spark, sf_dir):
             count_if(F.col("h1")).alias("n1_b"),
             count_if(~F.col("h1")).alias("n2_b"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     tot = h.agg(F.sum("n1_b").alias("n1"), F.sum("n2_b").alias("n2"))
     a = h.select(F.col("bin").alias("abin"))
@@ -1800,7 +1799,7 @@ def spearman_qty_price(spark, sf_dir):
         )
         .groupBy("qx", "qy")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     hx = j.groupBy("qx").agg(F.sum("w").alias("fx"))
     hy = j.groupBy("qy").agg(F.sum("w").alias("fy"))

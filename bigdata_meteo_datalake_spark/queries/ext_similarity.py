@@ -21,7 +21,6 @@ import math
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import round_half_up
 from ..operators.dedup import widen
@@ -969,7 +968,7 @@ def ndcg_at10_report(spark, sf_dir):
             "clabel",
             round_half_up(dot / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC])

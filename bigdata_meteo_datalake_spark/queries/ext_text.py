@@ -344,9 +344,8 @@ def text_bigram_lm_score(spark, sf_dir):
         widen(d.where(F.size(toks) >= 2))
         .select("doc_id", F.explode(bg_arr).alias("bg"))
     )
-    from pyspark import StorageLevel
 
-    bigrams = bigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    bigrams = bigrams.localCheckpoint(eager=False)
     model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     total = bigrams.count()  # scalar: the corpus bigram count
     scored = (

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import (
     exact_sum,
@@ -530,7 +529,7 @@ def stl_decompose_monthly(spark, sf_dir):
     )
     idx = monthly.select(
         "m", "cents", (F.year("m") * 12 + F.month("m")).alias("mi")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     b = idx.select(
         F.col("mi").alias("bmi"), F.col("cents").alias("bcents")
     )
@@ -552,7 +551,7 @@ def stl_decompose_monthly(spark, sf_dir):
             "cents",
             F.when(F.col("n_terms") == 13, F.col("num24")).alias("num24"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     seas = (
         tr.where(F.col("num24").isNotNull())
@@ -644,7 +643,7 @@ def mann_kendall_trend(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     a, b = monthly.alias("a"), monthly.alias("b")
     s = (
         a.join(F.broadcast(b), F.col("a.m") < F.col("b.m"))
@@ -756,7 +755,7 @@ def theil_sen_slope(spark, sf_dir):
                 "cents"
             )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     a, b = monthly.alias("a"), monthly.alias("b")
     slopes = a.join(F.broadcast(b), F.col("a.mi") < F.col("b.mi")).select(

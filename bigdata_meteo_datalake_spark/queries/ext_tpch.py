@@ -702,7 +702,6 @@ def q11_important_stock(spark, sf_dir):
     Scale: the fact aggregates on ps_partkey (map-side combined); the
     total is a second 1-row reduction of the SAME persisted value stream
     broadcast back — never a global sort."""
-    from pyspark.storagelevel import StorageLevel
 
     ps = _partsupp(spark, sf_dir)
     s = read_table(spark, sf_dir, "supplier")
@@ -714,7 +713,7 @@ def q11_important_stock(spark, sf_dir):
             "ps_partkey",
             (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("val_cents"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     g = v.groupBy("ps_partkey").agg(F.sum("val_cents").alias("value_cents"))
     t = v.agg(F.sum("val_cents").alias("total_cents"))

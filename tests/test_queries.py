@@ -24,8 +24,10 @@ def test_query_matches_oracle(spark, name):
         else:
             assert df.count() >= 0
     finally:
-        # queries that persist() intermediates leave entries in the session
-        # cacheManager; a 250+-query sweep in one session must not hoard them
+        # queries now localCheckpoint (not persist) their multi-consumer
+        # intermediates, so blocks free on GC — clearCache stays as
+        # defense-in-depth against any future cacheManager entry hoarding
+        # across a 250+-query sweep in one session
         spark.catalog.clearCache()
 
 
