@@ -72,6 +72,8 @@ def sniff_format(b: bytes) -> str | None:
         return "jpeg"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 

@@ -194,6 +194,109 @@ def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
 
 
+def synthesize_mp4_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-ISO-BMFF source for the container-probe path:
+    for each ``doc_id`` emit (doc_id, blob) where blob is a structurally
+    valid metadata-only MP4 (operators/mp4.py:encode_mp4_skeleton) with
+    closed-form metadata —
+
+      movie: timescale 1000, duration 500 + doc_id % 5000 (ms),
+      64-bit (version 1) mvhd/mdhd time fields when doc_id % 5 == 0,
+      32-bit otherwise — so parsing exercises both box layouts,
+      tracks: 1 + doc_id % 3 of them; track k (0-based) has
+        track_id k+1, handler 'vide' for even k else 'soun',
+        media timescale 600 + 100*((doc_id + k) % 4),
+        media duration 1000 + (doc_id*7 + k*13) % 100000.
+
+    The closed form is what makes the REAL container parse
+    oracle-checkable (queries/ext_multimodal.py:multimodal_mp4_probe);
+    the blobs carry no sample data (frame DECODE stays the declared
+    ffmpeg boundary)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .mp4 import encode_mp4_skeleton
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                tracks = [
+                    {
+                        "track_id": k + 1,
+                        "handler": "vide" if k % 2 == 0 else "soun",
+                        "timescale": 600 + 100 * ((did + k) % 4),
+                        "duration": 1000 + (did * 7 + k * 13) % 100000,
+                    }
+                    for k in range(1 + did % 3)
+                ]
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_mp4_skeleton(
+                        timescale=1000,
+                        duration=500 + did % 5000,
+                        tracks=tracks,
+                        version=1 if did % 5 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+
+
+MEDIA_PROBE_SCHEMA = (
+    "doc_id long, duration_s double, n_tracks int, track_id int, "
+    "handler string, track_seconds double"
+)
+
+
+def probe_media_containers(df: DataFrame) -> DataFrame:
+    """REAL container-metadata probe over (doc_id, blob): parse the
+    ISO-BMFF box tree (operators/mp4.py:parse_mp4 — no ffmpeg needed for
+    metadata) and emit one row PER TRACK with the movie-level duration
+    and the track's handler + media-timescale duration. This is the
+    demux-free half of a video pipeline: selecting/partitioning corpora
+    by duration, track mix, or media kind before any frame is decoded.
+
+    Per-track rows (not per-movie aggregates) keep every output column a
+    single exact division — no cross-track float summation whose
+    ordering an oracle would have to replicate. Non-MP4 blobs raise at
+    the sniff boundary like every other real kernel."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import sniff_format
+        from .mp4 import parse_mp4
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "duration_s": [], "n_tracks": [],
+                "track_id": [], "handler": [], "track_seconds": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                if sniff_format(b) != "mp4":
+                    raise NotImplementedError(
+                        "container probe supports ISO-BMFF (MP4) only; "
+                        "other containers need ffmpeg/pyav at this "
+                        "insertion point"
+                    )
+                m = parse_mp4(b)
+                dur_s = m["duration"] / m["timescale"]
+                for t in m["tracks"]:
+                    out["doc_id"].append(doc_id)
+                    out["duration_s"].append(dur_s)
+                    out["n_tracks"].append(len(m["tracks"]))
+                    out["track_id"].append(t["track_id"])
+                    out["handler"].append(t["handler"])
+                    out["track_seconds"].append(t["duration"] / t["timescale"])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, MEDIA_PROBE_SCHEMA)
+
+
 def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
                          total_bytes: int) -> DataFrame:
     """Size partitions by payload volume, not row count — the knob that keeps
@@ -396,7 +499,10 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4,
                   decode: str = "fake") -> DataFrame:
     """Video frame sampling -> (doc_id, frame_idx, frame_hash) via
-    mapInPandas; the ffmpeg insertion point is stubbed like decode."""
+    mapInPandas. Frame DECODE genuinely needs ffmpeg/pyav and stays a
+    loud boundary in real mode; container METADATA (duration, track mix)
+    is real already via :func:`probe_media_containers` /
+    operators/mp4.py — the demux-free half of a video pipeline."""
 
     def kernel(batches: Iterator) -> Iterator:
         import hashlib
@@ -405,7 +511,11 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4
 
         for pdf in batches:
             if decode == "real":
-                raise NotImplementedError("real frame sampling needs ffmpeg")
+                raise NotImplementedError(
+                    "real frame sampling needs ffmpeg/pyav (codec insertion "
+                    "point); container metadata is available without it via "
+                    "probe_media_containers"
+                )
             out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)

@@ -463,6 +463,63 @@ def multimodal_wav_decode(spark, sf_dir):
     )
 
 
+# --- REAL MP4 container probe through the kernel gate -------------------------------
+
+_MP4_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         500 + doc_id % 5000 AS dur,
+         1 + doc_id % 3 AS nt
+  FROM documents
+),
+t AS (
+  SELECT doc_id, dur, nt, unnest(range(0, nt)) AS k FROM d
+)
+SELECT doc_id,
+       cast(dur AS double) / 1000 AS duration_s,
+       cast(nt AS int) AS n_tracks,
+       cast(k + 1 AS int) AS track_id,
+       CASE WHEN k % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+       cast(1000 + (doc_id * 7 + k * 13) % 100000 AS double)
+         / (600 + 100 * ((doc_id + k) % 4)) AS track_seconds
+FROM t
+"""
+
+
+@register(
+    "multimodal_mp4_probe",
+    oracle=_MP4_ORACLE,
+    tags=("extension", "multimodal", "codec", "video"),
+)
+def multimodal_mp4_probe(spark, sf_dir):
+    """REAL ISO-BMFF container parse end to end — the video-metadata
+    sibling of the PNG/WAV/JPEG codec queries: per document a
+    structurally valid metadata-only MP4 is built from closed-form
+    fields (operators/multimodal.py:synthesize_mp4_blobs — 64-bit
+    version-1 mvhd/mdhd time boxes every fifth document, 1-3 tracks of
+    alternating vide/soun handlers with per-track media timescales),
+    then the production probe path (probe_media_containers ->
+    operators/mp4.py:parse_mp4: box-tree walk, ftyp/mvhd/tkhd/mdhd/hdlr
+    extraction across both version layouts) recovers the movie duration
+    and one row per track. The oracle recomputes every field from the
+    closed form in pure SQL, so a box-offset or version-width defect
+    shifts durations/handlers and fails the hash.
+
+    Exactness: every numeric output is ONE IEEE division of exactly-
+    representable integers (python int/int and DuckDB double/int agree
+    bit-for-bit); per-track rows avoid cross-track float summation.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges; the probe is the demux-free metadata half of a video
+    pipeline (corpus selection by duration/track mix before any frame
+    decode, which remains the declared ffmpeg boundary)."""
+    from ..operators.multimodal import probe_media_containers, synthesize_mp4_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    mp4s = synthesize_mp4_blobs(d)
+    return probe_media_containers(mp4s)
+
+
 # --- REAL perceptual hash through the kernel gate -----------------------------------
 
 _PHASH_REAL_BANDS = ",\n       ".join(

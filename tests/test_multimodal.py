@@ -575,3 +575,115 @@ def test_real_jpeg_blockconstant_fuzz():
         assert out.shape == arr.shape and (out == arr).all()
 
     inner()
+
+
+# --- ISO-BMFF (MP4) container metadata ----------------------------------------
+
+
+def test_mp4_skeleton_roundtrip_both_versions():
+    """parse_mp4 recovers every field encode_mp4_skeleton wrote, through
+    both the 32-bit (v0) and 64-bit (v1) mvhd/mdhd time layouts."""
+    from bigdata_meteo_datalake_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    tracks = [
+        {"track_id": 1, "handler": "vide", "timescale": 600, "duration": 2592},
+        {"track_id": 2, "handler": "soun", "timescale": 44100, "duration": 190512},
+    ]
+    for ver in (0, 1):
+        m = parse_mp4(
+            encode_mp4_skeleton(
+                timescale=1000, duration=4321, tracks=tracks, version=ver
+            )
+        )
+        assert (m["brand"], m["timescale"], m["duration"]) == ("isom", 1000, 4321)
+        assert m["tracks"] == [
+            {"track_id": 1, "timescale": 600, "duration": 2592, "handler": "vide"},
+            {"track_id": 2, "timescale": 44100, "duration": 190512,
+             "handler": "soun"},
+        ]
+
+
+def test_mp4_64bit_duration_survives():
+    """A duration beyond 2^32 forces the largeint path in v1 boxes."""
+    from bigdata_meteo_datalake_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    big = 2**40 + 17
+    m = parse_mp4(
+        encode_mp4_skeleton(
+            timescale=90000, duration=big,
+            tracks=[{"track_id": 1, "handler": "vide", "timescale": 90000,
+                     "duration": big}],
+            version=1,
+        )
+    )
+    assert m["duration"] == big and m["tracks"][0]["duration"] == big
+
+
+def test_mp4_rejects_garbage_and_truncation():
+    from bigdata_meteo_datalake_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free" * 4)  # no ftyp
+    good = encode_mp4_skeleton(
+        timescale=1000, duration=100,
+        tracks=[{"track_id": 1, "handler": "vide", "timescale": 600,
+                 "duration": 60}],
+    )
+    with pytest.raises(ValueError):
+        parse_mp4(good[:40])  # moov overruns the truncated buffer
+    # ftyp alone, no moov -> not a movie
+    with pytest.raises(ValueError):
+        parse_mp4(good[:24])
+
+
+def test_mp4_sniff_and_probe_kernel(spark):
+    """Spark plumbing: synthesized MP4 blobs sniff as 'mp4' and the probe
+    kernel's per-track rows match the closed form."""
+    from bigdata_meteo_datalake_spark.operators.media_codecs import sniff_format
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        probe_media_containers,
+        synthesize_mp4_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(20)
+    mp4s = synthesize_mp4_blobs(d)
+    one = mp4s.first()
+    assert sniff_format(bytes(one["blob"])) == "mp4"
+    rows = probe_media_containers(mp4s).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, trs in by_doc.items():
+        assert len(trs) == 1 + did % 3
+        for r in sorted(trs, key=lambda r: r["track_id"]):
+            k = r["track_id"] - 1
+            assert r["duration_s"] == (500 + did % 5000) / 1000
+            assert r["handler"] == ("vide" if k % 2 == 0 else "soun")
+            assert r["track_seconds"] == (
+                (1000 + (did * 7 + k * 13) % 100000)
+                / (600 + 100 * ((did + k) % 4))
+            )
+
+
+def test_probe_rejects_non_mp4(spark):
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        probe_media_containers,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"RIFF....WAVEfmt "))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception) as exc_info:
+        probe_media_containers(df).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

@@ -204,7 +204,8 @@ def test_real_codec_queries_are_pure_map(spark):
     (doc_id, blob) with ZERO exchanges — at 100 TB the plan is a single
     scan-map pass, no shuffle anywhere. phash_real shares the shape."""
     for name in ("multimodal_png_decode", "multimodal_jpeg_decode",
-                 "multimodal_wav_decode", "multimodal_phash_real"):
+                 "multimodal_wav_decode", "multimodal_phash_real",
+                 "multimodal_mp4_probe"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) == 0, name
         plan = df._jdf.queryExecution().executedPlan().toString()
