@@ -198,10 +198,23 @@ def prefix_filter_candidates(
     tokens — the frequency sort steers the join away from hot keys, which
     is the built-in skew guard (the hottest shingles land in suffixes).
 
+    The join applies the full PPJoin pruning stack, all of which only
+    SHRINKS the candidate set (completeness is untouched):
+
+    - length filter, inside the join condition: Jaccard >= t forces
+      t * max(|a|, |b|) <= min(|a|, |b|), so wildly different set sizes
+      never pair at all;
+    - positional filter, per matching prefix element: the overlap is at
+      most 1 + min(|a| - pos_a, |b| - pos_b) (every common element sits
+      at or after the FIRST common position), which must reach the
+      required overlap ceil(t/(1+t) * (|a| + |b|)). A true pair always
+      survives on its first common prefix element, where the bound is
+      valid, so dropping the other join rows loses nothing.
+
     Cost: one groupBy for document frequencies, one per-doc window to
-    rank, one equi-join on prefix hashes. At 100 TB this is the standard
-    exact set-similarity-join plan (PPJoin without the positional filter;
-    adding pos/length filters would only shrink candidates further).
+    rank, one filtered equi-join on prefix hashes. At 100 TB this is the
+    standard exact set-similarity-join plan (PPJoin); the filters cut
+    candidates by orders of magnitude before the distinct + verify.
     """
     from pyspark.sql import Window
 
@@ -215,16 +228,27 @@ def prefix_filter_candidates(
         ex.join(dfreq, "x")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
-        .select(id_col, "x")
+        .select(id_col, "x", "n", "pos")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # required overlap o >= ceil(t * (na + nb) / (1 + t)), kept rational
+    o_min = F.expr(
+        f"({t_num} * (a.n + b.n) + {t_num + t_den} - 1) div {t_num + t_den}"
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
             (F.col("a.x") == F.col("b.x"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: t * max <= min, both directions
+            & (F.col("a.n") * t_num <= F.col("b.n") * t_den)
+            & (F.col("b.n") * t_num <= F.col("a.n") * t_den),
         )
+        .where(ubound >= o_min)
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )

@@ -61,9 +61,10 @@ from .ext_text import _QC_ORACLE, quality_classifier_score
 # The epoch is biased by +1e18 before padding so pre-1970 timestamps
 # (negative epoch) still zero-pad into a lexicographically ordered field —
 # an unbiased negative epoch would put '-' inside the padded digits and
-# invert the ordering. 1e18 us ≈ year 33658, and max long is ~9.2e18, so
-# the biased value is always a positive 19-digit number for any timestamp
-# Spark can represent.
+# invert the ordering. The bias guarantees a positive, fixed-width key for
+# epochs in (-1e18, +8.2e18) us — roughly years -29700 to 33650, far past
+# any realistic event time; outside that window the key would go negative
+# (mis-sorting) or overflow int64.
 _OHLC_EPOCH_BIAS = 10**18
 _OHLC_KEY_SQL = (
     f"lpad(cast(epoch_us(ts) + {_OHLC_EPOCH_BIAS} AS varchar), 20, '0') || '_' || "
