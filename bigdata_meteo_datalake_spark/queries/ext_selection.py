@@ -1030,45 +1030,64 @@ def embedding_covariance(spark, sf_dir):
     in both engines). Quantization 1e-4 per coordinate bounds the sums
     inside int64 up to ~1e11 rows; past that, shard and merge moments.
 
-    Scale: the in-row quantized vector expands to its {t} upper-triangle
-    products (CPU-linear — that IS the Gram computation), and the ONLY
-    shuffle is the map-side-combined groupBy over {t} (i, j) cells; first
-    moments ride the same persisted relation; n is a 1-row broadcast.
-    This is the classic distributed moment-accumulation plan.""".format(
+    Scale: per-partition moment ACCUMULATION, not per-row cell explosion —
+    an Arrow-batched kernel computes each batch's exact int64 Gram matrix
+    X^T X (numpy integer matmul, no floats), its column sums, and its row
+    count, then emits one keyed partial row per cell. The only shuffle is
+    the groupBy merging ~(partitions x {t}) partial rows — independent of
+    row count — versus the explode formulation's rows x {t} struct
+    stream. Integer addition is associative/commutative, so the merged
+    moments are bit-identical under any partitioning (partition-count
+    invariance is test-pinned). This is the classic distributed
+    moment-accumulation plan; at ~1e11+ rows the int64 headroom runs out
+    and the partials shard further.""".format(
         t=_COV_DIM * (_COV_DIM + 1) // 2
     )
+    from collections.abc import Iterator
+
     e = read_table(spark, sf_dir, "embeddings")
     q = F.transform(
         F.col("embedding"),
         lambda v: F.floor(v.cast("double") * _COV_SCALE + 0.5).cast("long"),
     )
-    rows = e.select(q.alias("q")).localCheckpoint(eager=False)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_COV_DIM - 1)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(_COV_DIM - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.element_at(F.col("q"), i + 1) * F.element_at(F.col("q"), j + 1)).alias("p"),
-                ),
-            ),
-        )
-    )
-    m2 = (
-        rows.select(F.explode(pairs).alias("c"))
-        .select("c.i", "c.j", "c.p")
+    rows = e.select(q.alias("q"))
+
+    def moment_kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        iu, ju = np.triu_indices(_COV_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(r, dtype=np.int64) for r in pdf["q"]])
+            g = x.T @ x  # exact: int64 matmul, no float path
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu, np.arange(_COV_DIM), [-1]]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju, np.full(_COV_DIM, -1), [-1]]
+                    ).astype(np.int32),
+                    "s": np.concatenate(
+                        [g[iu, ju], x.sum(axis=0, dtype=np.int64), [len(x)]]
+                    ),
+                }
+            )
+            yield out
+
+    partials = (
+        rows.mapInPandas(moment_kernel, "i int, j int, s long")
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("s_ij"))
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)
     )
-    m1 = (
-        rows.select(F.posexplode("q").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum("qi").alias("s_i"))
-        .select(F.col("i").cast("int").alias("i"), "s_i")
+    m2 = partials.where(F.col("j") >= 0).select("i", "j", F.col("s").alias("s_ij"))
+    m1 = partials.where((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("s").alias("s_i")
     )
-    nn = rows.agg(F.count(F.lit(1)).alias("n"))
+    nn = partials.where(F.col("i") == -1).select(F.col("s").alias("n"))
     a = m1.select(F.col("i").alias("ai"), F.col("s_i").alias("sa"))
     b = m1.select(F.col("i").alias("bi"), F.col("s_i").alias("sb"))
     num = (F.col("s_ij") * F.col("n") - F.col("sa") * F.col("sb")).cast("double")
