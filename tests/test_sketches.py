@@ -237,3 +237,54 @@ def test_jackknife_se_tracks_classic_formula(spark):
     assert 0.5 < r.jackknife_se / classic < 2.0, (r.jackknife_se, classic)
     assert r.ci_low < r.mean_price < r.ci_high
     assert abs(r.mean_price - prices.mean()) < 1.0
+
+
+def test_prefix_filter_length_and_positional_pruning(spark):
+    """The PPJoin filters must actually PRUNE, not just preserve
+    completeness: a shared prefix element is not enough to become a
+    candidate when (a) the set sizes violate t*max <= min, or (b) the
+    remaining-suffix overlap bound cannot reach the required overlap."""
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    # doc 1: 4 elements; doc 2: 40 elements sharing ALL of doc 1's —
+    # containment 1.0 but Jaccard 4/40 = 0.1 << 0.6. Doc 3 duplicates
+    # doc 2's tail so EVERY element has df = 2 and the rarest-first
+    # order reduces to x order: doc 1's prefix {100, 101} sits inside
+    # doc 2's 17-element prefix {100..116}, so the pair DOES reach the
+    # join and only the size-ratio filters can kill it.
+    small = list(range(100, 104))
+    big = list(range(100, 140))
+    sets = spark.createDataFrame(
+        [(1, small), (2, big), (3, list(range(104, 140)))],
+        "doc_id long, xs array<long>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(sets, t_num=3, t_den=5).collect()
+    }
+    assert (1, 2) not in got
+
+    # positional filter: docs 1 and 2 (n = 10 each, length filter passes)
+    # share exactly one element x=50. Every element in the corpus has
+    # df = 2 (filler docs 3-6 pair up the rest), so the rarest-first
+    # order reduces to plain x order and 50 sits at position 4 of BOTH
+    # prefixes (prefix_len = 10 - ceil(0.6*10) + 1 = 5 — it IS joined
+    # on). The overlap bound 1 + min(10-4, 10-4) = 7 cannot reach
+    # o_min = ceil(3/8 * 20) = 8, so the positional filter — and only
+    # it — must kill the pair.
+    rows = [
+        (1, [10, 11, 12, 50, 100, 101, 102, 103, 104, 105]),
+        (2, [20, 21, 22, 50, 200, 201, 202, 203, 204, 205]),
+        (3, [10, 11, 12]),
+        (4, [20, 21, 22]),
+        (5, [100, 101, 102, 103, 104, 105]),
+        (6, [200, 201, 202, 203, 204, 205]),
+    ]
+    sets2 = spark.createDataFrame(rows, "doc_id long, xs array<long>")
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(sets2, t_num=3, t_den=5).collect()
+    }
+    assert (1, 2) not in got2
