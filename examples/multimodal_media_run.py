@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Worked example: a multimodal media pipeline end to end — the
-binary-column workflow (decode, feature-extract, fingerprint, near-dup)
-a multimodal training-data curation job runs, here over REAL codecs
-(stdlib PNG + PCM WAV, operators/media_codecs.py).
+binary-column workflow (decode, feature-extract, fingerprint, near-dup,
+container probe) a multimodal training-data curation job runs, here over
+REAL codecs (stdlib PNG + baseline JPEG + PCM WAV + ISO-BMFF metadata,
+operators/media_codecs.py, operators/jpeg.py, operators/mp4.py).
 
     python examples/multimodal_media_run.py [sf_dir]
 
@@ -25,6 +26,12 @@ Stages (each piece a tested operator; this script only composes them):
 6. clusters          — connected components over the pair graph
                        (star-contraction; pass reliable=True on a real
                        cluster to checkpoint into fault-tolerant storage)
+7. JPEG cross-check  — the same feature kernel over baseline JPEGs
+                       (bit-exact on the block-constant fixtures)
+8. video probe       — probe_media_containers: ISO-BMFF box parse for
+                       duration / track mix, the demux-free selection
+                       half of a video pipeline (frame decode stays the
+                       declared ffmpeg boundary)
 
 Every stage stays lazy until the final actions; blobs live only between
 the synthesize and decode kernels (payloads never join anything), so at
@@ -46,6 +53,9 @@ from bigdata_meteo_datalake_spark.operators.multimodal import (
     audio_features,
     decode_image_features,
     image_phash_bands,
+    probe_media_containers,
+    synthesize_jpeg_blobs,
+    synthesize_mp4_blobs,
     synthesize_png_blobs,
     synthesize_wav_blobs,
 )
@@ -112,6 +122,18 @@ def main() -> None:
         n_clusters = cc.select("cluster_rep").distinct().count()
         print(f"near-dup clusters: {n_clusters}")
         cc.orderBy("cluster_rep", "node").show(10)
+
+    # 7. the same decode kernel dispatches JPEG by magic bytes
+    jpegs = synthesize_jpeg_blobs(docs)
+    jimg = decode_image_features(jpegs, decode="real")
+    print("image features (real baseline-JPEG decode):")
+    jimg.orderBy("doc_id").show(5)
+
+    # 8. video container probe: one row per track, no ffmpeg needed
+    mp4s = synthesize_mp4_blobs(docs)
+    probe = probe_media_containers(mp4s)
+    print("container metadata (ISO-BMFF probe):")
+    probe.orderBy("doc_id", "track_id").show(8)
 
     spark.stop()
 
