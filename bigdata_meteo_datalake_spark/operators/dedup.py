@@ -224,11 +224,15 @@ def prefix_filter_candidates(
     dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "x")
     prefix_len = F.col("n") - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}") + 1
+    # lineage-cut: the prefix relation feeds BOTH sides of the self-join,
+    # and without the cut the whole explode -> df-aggregate -> window
+    # chain (three shuffles) runs twice
     prefix = (
         ex.join(dfreq, "x")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
         .select(id_col, "x", "n", "pos")
+        .localCheckpoint(eager=False)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
