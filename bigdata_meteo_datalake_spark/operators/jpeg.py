@@ -170,11 +170,17 @@ class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00 de-stuffing;
     stops at (and reports) marker bytes for restart handling."""
 
+    #: legitimate decodes pad at most a few bits past the final marker
+    #: (the tail of the last block); corrupt headers (e.g. a flipped
+    #: dimension field) would otherwise decode all-1-bit "data" forever
+    _MAX_PAD_FILLS = 8
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.bitbuf = 0
         self.nbits = 0
+        self.pad_fills = 0
 
     def _fill(self):
         d = self.data
@@ -187,6 +193,12 @@ class _BitReader:
                 raise ValueError("unexpected restart marker inside block")
             else:
                 # reached a real marker (EOI/next segment): pad with 1s
+                self.pad_fills += 1
+                if self.pad_fills > self._MAX_PAD_FILLS:
+                    raise ValueError(
+                        "entropy-coded data exhausted before all blocks "
+                        "decoded (truncated or corrupt JPEG)"
+                    )
                 self.bitbuf = (self.bitbuf << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -238,7 +250,22 @@ def _huff_read(br: _BitReader, table) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (H, W) grayscale or (H, W, 3) RGB array."""
+    """Baseline JPEG -> uint8 (H, W) grayscale or (H, W, 3) RGB array.
+
+    Malformed input raises ``ValueError`` (or ``NotImplementedError`` for
+    declared out-of-scope variants) — never a raw ``IndexError`` /
+    ``KeyError`` / ``struct.error``, and never a hang: zero-length
+    segments and entropy-stream exhaustion are detected (fuzz-tested on
+    truncations and random byte flips)."""
+    try:
+        return _decode_jpeg(b)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"corrupt or truncated JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -259,6 +286,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2:  # would stall the segment walk
+            raise ValueError(f"invalid JPEG segment length {seglen} at {pos}")
         seg = b[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0

@@ -89,10 +89,13 @@ def decode_bmp(b: bytes) -> np.ndarray:
     """
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
-    (data_offset,) = struct.unpack_from("<I", b, 10)
-    width, height = struct.unpack_from("<ii", b, 18)
-    _planes, bpp = struct.unpack_from("<HH", b, 26)
-    (compression,) = struct.unpack_from("<I", b, 30)
+    try:
+        (data_offset,) = struct.unpack_from("<I", b, 10)
+        width, height = struct.unpack_from("<ii", b, 18)
+        _planes, bpp = struct.unpack_from("<HH", b, 26)
+        (compression,) = struct.unpack_from("<I", b, 30)
+    except struct.error as e:
+        raise ValueError(f"truncated BMP header ({e})") from e
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
@@ -160,7 +163,7 @@ def _png_chunks(b: bytes):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if len(data) != length or pos + 12 + length > len(b):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -188,9 +191,12 @@ def decode_png(b: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, data in _png_chunks(b):
         if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                width, height, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error as e:
+                raise ValueError(f"malformed PNG IHDR ({e})") from e
             if depth != 8 or color not in _PNG_CHANNELS:
                 raise NotImplementedError(
                     f"only 8-bit gray/RGB/RGBA PNG supported "
@@ -328,11 +334,18 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (samples float64 in [-1, 1] shaped (n_frames, channels),
     sample_rate). 16-bit and 8-bit PCM supported (stdlib `wave` rejects
     compressed WAV itself)."""
-    with wave.open(io.BytesIO(b), "rb") as wf:
-        sr = wf.getframerate()
-        ch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(b), "rb") as wf:
+            sr = wf.getframerate()
+            ch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError, OSError) as e:
+        # stdlib wave/chunk raise bare RuntimeError/OSError on some
+        # corrupt chunk offsets — normalize to the codec contract
+        raise ValueError(
+            f"corrupt or truncated WAV ({type(e).__name__}: {e})"
+        ) from e
     if sw == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:  # 8-bit WAV is unsigned

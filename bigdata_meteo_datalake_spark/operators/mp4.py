@@ -109,6 +109,15 @@ def parse_mp4(b: bytes) -> dict:
     """
     if len(b) < 12 or b[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+    try:
+        return _parse_mp4(b)
+    except (struct.error, IndexError, RecursionError) as e:
+        raise ValueError(
+            f"corrupt or truncated ISO-BMFF stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _parse_mp4(b: bytes) -> dict:
     brand = None
     movie = None
     tracks: list[dict] = []

@@ -687,3 +687,94 @@ def test_probe_rejects_non_mp4(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+# --- malformed-input contract: clean errors, no leaks, no hangs ---------------
+
+
+def _assert_clean(fn, payload):
+    """Decoding malformed bytes must either succeed or raise the declared
+    ValueError/NotImplementedError — never IndexError/KeyError/
+    struct.error, and never hang (the sweep itself is the time bound)."""
+    try:
+        fn(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_codecs_reject_malformed_input_cleanly():
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+    from bigdata_meteo_datalake_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    goods = {
+        decode_jpeg: encode_jpeg(img, quality=75),
+        decode_png: encode_png(img, filter_type="cycle"),
+        decode_bmp: encode_bmp(img),
+        decode_wav: encode_wav(rng.uniform(-1, 1, 300), 8000),
+        parse_mp4: encode_mp4_skeleton(
+            timescale=1000, duration=777,
+            tracks=[{"track_id": 1, "handler": "vide", "timescale": 600,
+                     "duration": 450}],
+        ),
+    }
+    for fn, good in goods.items():
+        # truncation sweep
+        for cut in range(0, len(good), 3):
+            _assert_clean(fn, good[:cut])
+        # single-bit flips at every 5th byte position
+        for i in range(0, len(good), 5):
+            mutated = bytearray(good)
+            mutated[i] ^= 1 << int(rng.integers(8))
+            _assert_clean(fn, bytes(mutated))
+        # random multi-byte garbage splices
+        for _ in range(40):
+            mutated = bytearray(good)
+            start = int(rng.integers(0, max(1, len(mutated) - 8)))
+            mutated[start : start + 8] = rng.integers(
+                0, 256, size=8, dtype=np.uint8
+            ).tobytes()
+            _assert_clean(fn, bytes(mutated))
+
+
+def test_jpeg_flipped_dimension_terminates_quickly():
+    """A corrupted SOF height field must not send the decoder into a
+    multi-minute all-1-bits decode: entropy exhaustion raises within the
+    padding cap."""
+    import time
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(encode_jpeg(np.full((8, 8), 50, dtype=np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2) — blow height up
+    good[sof + 5] = 0xFF
+    good[sof + 6] = 0xFF
+    t0 = time.time()
+    try:
+        decode_jpeg(bytes(good))
+    except ValueError:
+        pass
+    assert time.time() - t0 < 30.0
