@@ -223,6 +223,7 @@ class _BitReader:
         """Drop buffered bits and skip an expected RSTn marker."""
         self.bitbuf = 0
         self.nbits = 0
+        self.pad_fills = 0  # the padding cap is per restart segment
         d = self.data
         # entropy data may end with fill bits already consumed; marker next
         if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
@@ -471,8 +472,15 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline 4:4:4 JPEG."""
+def encode_jpeg(
+    arr: np.ndarray, *, quality: int = 75, restart_interval: int = 0
+) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline 4:4:4 JPEG.
+
+    ``restart_interval`` > 0 writes a DRI segment and emits an RSTn
+    marker (cycling D0..D7) every that-many MCUs, resetting the DC
+    predictors — the spec's resync mechanism, here mainly so the
+    decoder's restart path is round-trip testable."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -518,6 +526,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
         tc = i % 2
         th = i // 2
         out += _seg(0xC4, bytes([tc << 4 | th] + bits + values))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, (0 if i == 0 else 1) * 0x11])
@@ -535,14 +545,21 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
         padded.append(pp - 128.0)
     writer = _BitWriter()
     pred = [0] * nc
+    mcu = 0
     for by in range(bh8):
         for bx in range(bw8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()  # byte-align before the marker, per spec
+                out_rst = 0xD0 + (mcu // restart_interval - 1) % 8
+                writer.out += bytes([0xFF, out_rst])
+                pred = [0] * nc
             for ci, p in enumerate(padded):
                 block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 coef = _M @ block @ _M.T
                 qc = np.rint(coef / tables[ci]).astype(np.int64)
                 zz = qc.reshape(64)[_ZIGZAG]
                 pred[ci] = _encode_block(writer, zz, pred[ci], dc_enc[ci], ac_enc[ci])
+            mcu += 1
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI

@@ -778,3 +778,28 @@ def test_jpeg_flipped_dimension_terminates_quickly():
     except ValueError:
         pass
     assert time.time() - t0 < 30.0
+
+
+def test_real_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: the decoder's restart path (byte re-align, DC predictor
+    reset) round-trips bit-exactly on block-constant fixtures for every
+    restart interval, including ones that force the D0..D7 cycle to
+    wrap."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    tiles = rng.integers(0, 256, size=(4, 5))
+    arr = tiles.repeat(8, 0).repeat(8, 1).astype(np.uint8)  # 32x40: 20 MCUs
+    for ri in (1, 2, 3, 7):  # ri=1 over 20 MCUs wraps the RST cycle twice
+        b = encode_jpeg(arr, quality=75, restart_interval=ri)
+        assert b"\xff\xdd" in b
+        out = decode_jpeg(b)
+        assert (out == arr).all(), ri
+    rgbarr = np.stack([arr] * 3, axis=2)
+    out = decode_jpeg(encode_jpeg(rgbarr, quality=75, restart_interval=3))
+    assert (out == rgbarr).all()
