@@ -119,7 +119,9 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
       tile value v(bx, by) = (doc_id*31 + bx*7 + by*13) % 256 for the
       8x8 block at (bx, by) = (x//8, y//8),
       RGB with R=G=B when doc_id is even (Y=v exactly, Cb=Cr=128, so
-      chroma quantizes to zero), grayscale when odd.
+      chroma quantizes to zero), grayscale when odd; every seventh
+      document encodes with restart_interval=2 (DRI + RSTn markers), so
+      the decoder's restart/resync path sits under the oracle hash too.
 
     JPEG is lossy in general, but for block-constant tiles the DCT is a
     lone DC coefficient 8*(v-128) and at IJG quality 75 the luminance DC
@@ -148,7 +150,13 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
                 if did % 2 == 0:
                     arr = np.stack([arr, arr, arr], axis=2)
                 out["doc_id"].append(did)
-                out["blob"].append(encode_jpeg(arr, quality=quality))
+                out["blob"].append(
+                    encode_jpeg(
+                        arr,
+                        quality=quality,
+                        restart_interval=2 if did % 7 == 0 else 0,
+                    )
+                )
             yield pd.DataFrame(out)
 
     return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
