@@ -803,3 +803,65 @@ def test_real_jpeg_restart_markers_roundtrip():
     rgbarr = np.stack([arr] * 3, axis=2)
     out = decode_jpeg(encode_jpeg(rgbarr, quality=75, restart_interval=3))
     assert (out == rgbarr).all()
+
+
+def test_mp4_parser_ignores_noise_boxes_hypothesis():
+    """Property: planted mvhd/trak metadata is recovered regardless of
+    unknown/noise boxes (free, skip, uuid, mdat payloads) spliced between
+    the real ones at top level and inside moov — the parser must walk
+    sizes, not assume adjacency."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_meteo_datalake_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    noise_types = [b"free", b"skip", b"uuid", b"wide"]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ts=st.integers(1, 2**31),
+        dur=st.integers(0, 2**31),
+        n_tracks=st.integers(1, 4),
+        ver=st.sampled_from([0, 1]),
+        noise=st.lists(
+            st.tuples(st.sampled_from(noise_types), st.binary(max_size=24)),
+            max_size=4,
+        ),
+        data=st.data(),
+    )
+    def inner(ts, dur, n_tracks, ver, noise, data):
+        tracks = [
+            {"track_id": k + 1, "handler": "vide" if k % 2 == 0 else "soun",
+             "timescale": 100 + k, "duration": dur + k}
+            for k in range(n_tracks)
+        ]
+        good = encode_mp4_skeleton(
+            timescale=ts, duration=dur, tracks=tracks, version=ver
+        )
+        # splice noise boxes between top-level boxes: after ftyp, after
+        # moov, and (valid per ISO-BMFF) inside moov before mvhd is NOT
+        # exercised here — moov interior order is preserved, exterior is
+        # scrambled with noise
+        (ftyp_len,) = struct.unpack_from(">I", good, 0)
+        ftyp, rest = good[:ftyp_len], good[ftyp_len:]
+        parts = [ftyp]
+        for t, payload in noise:
+            parts.append(box(t, payload))
+        insert_at = data.draw(st.integers(0, len(parts)))
+        parts.insert(max(1, insert_at), rest)  # keep ftyp first
+        m = parse_mp4(b"".join(parts))
+        assert (m["timescale"], m["duration"]) == (ts, dur)
+        assert len(m["tracks"]) == n_tracks
+        for k, t in enumerate(m["tracks"]):
+            assert t["handler"] == ("vide" if k % 2 == 0 else "soun")
+            assert (t["timescale"], t["duration"]) == (100 + k, dur + k)
+
+    inner()
