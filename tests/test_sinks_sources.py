@@ -319,3 +319,35 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     explicit = spark.read.schema("k long, s string, score double").parquet(path)
     assert explicit.count() == 6
     assert explicit.where(F.col("score").isNull()).count() == 3
+
+
+def test_avro_round_trip_env_gated(spark, tmp_path):
+    """Avro is Spark-built-in but ships as an EXTERNAL module
+    (spark-avro jar), absent from this container — the same declared-
+    boundary pattern as the live ES/Postgres connectors: the round-trip
+    runs wherever the jar is deployed and skips (loudly, not silently
+    passing) here."""
+    from bigdata_meteo_datalake_spark.sources.lake import (
+        read_format,
+        read_table,
+        write_format,
+    )
+
+    orders = read_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "rt_avro")
+    try:
+        write_format(orders, path, "avro")
+    except Exception as e:
+        if "Failed to find data source: avro" not in str(e):
+            raise
+        pytest.skip("spark-avro jar not deployed in this environment")
+    want = orders.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    got = (
+        read_format(spark, path, "avro")
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)[want.columns]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
