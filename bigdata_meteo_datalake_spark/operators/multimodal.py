@@ -103,7 +103,14 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
                 out["blob"].append(encode_png(arr, filter_type="cycle"))
             yield pd.DataFrame(out)
 
-    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
 
 
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
@@ -159,7 +166,14 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
 
 
 def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
@@ -199,7 +213,14 @@ def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
                 out["blob"].append(buf.getvalue())
             yield pd.DataFrame(out)
 
-    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
 
 
 def synthesize_mp4_blobs(df: DataFrame) -> DataFrame:
@@ -250,7 +271,14 @@ def synthesize_mp4_blobs(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
 
 
 MEDIA_PROBE_SCHEMA = (

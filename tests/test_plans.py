@@ -199,14 +199,24 @@ def test_bootstrap_hash_behind_fence(spark):
 
 
 def test_real_codec_queries_are_pure_map(spark):
-    """The real-decode pipelines (PNG/WAV synthesize -> decode -> project)
+    """The real-decode pipelines (synthesize -> decode/probe -> project)
     are embarrassingly parallel: two chained mapInPandas stages over
-    (doc_id, blob) with ZERO exchanges — at 100 TB the plan is a single
-    scan-map pass, no shuffle anywhere. phash_real shares the shape."""
+    (doc_id, blob) whose ONLY exchange is the id-spine widen BELOW the
+    first kernel — it redistributes bare doc_id longs so a single-split
+    local table doesn't serialize the codec work on one core, and NO
+    blob payload ever crosses an exchange (at 100 TB the source arrives
+    pre-split and the widen is a no-op; the blob path stays a pure
+    scan-map pass either way)."""
     for name in ("multimodal_png_decode", "multimodal_jpeg_decode",
                  "multimodal_wav_decode", "multimodal_phash_real",
                  "multimodal_mp4_probe"):
         df = QS[name](spark, SF0001)
-        assert n_shuffle_exchanges(df) == 0, name
+        assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 2, name
+        # the exchange (if present) carries only the id spine: every
+        # Exchange node in the tree prints its output attributes, and
+        # none may include the binary payload
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "blob" not in line, (name, line)
