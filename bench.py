@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     # in BASELINE.md, same session as the set change)
     "span_corruption_build",
     "ts_motif_top_pairs",
+    # round-7 additions: the real-codec pillar's two newest paths — lossy
+    # JPEG decode (Huffman/DCT kernels) and the demux-free ISO-BMFF
+    # container probe (baseline restated for the 30-query set in
+    # BASELINE.md, same session as the set change)
+    "multimodal_jpeg_decode",
+    "multimodal_mp4_probe",
 ]
 
 
@@ -70,39 +76,45 @@ def main() -> None:
     all_queries = queries()
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
 
-    # Warm-up pass: run every headline query once at the smallest SF so the
-    # timed pass measures steady-state (JIT-compiled, codegen-cached)
-    # throughput — the number that projects to a long-running cluster —
-    # instead of first-invocation JVM compilation cost. Warm-up wall time
-    # is reported alongside for transparency.
+    # Warm-up: run each query once at the smallest SF IMMEDIATELY before
+    # its timed sf run, so the timed pass measures steady-state
+    # (JIT-compiled, codegen-cached) throughput — the number that projects
+    # to a long-running cluster — instead of first-invocation JVM
+    # compilation cost. Interleaved (warm A, time A, warm B, time B, ...)
+    # rather than two passes: Spark's generated-class cache is bounded
+    # (~100 entries), so a separate warm-everything pass lets LATER
+    # queries' compilation evict EARLIER queries' classes and the
+    # recompile lands inside the timed run (observed as 2-4x spikes on
+    # the heaviest plans once the set grew past ~28 queries). Warm-up
+    # wall time is reported alongside for transparency.
     warm_dir = re.sub(r"sf[\d.]+", "sf0.001", sf_dir)
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     # One broken query must never zero out the whole bench (round-2 failure
     # mode: a single analysis error in warm-up crashed the harness before
     # any timing was recorded). Each query is isolated in try/except in
-    # BOTH loops; failures are reported per-query and the JSON line still
+    # BOTH phases; failures are reported per-query and the JSON line still
     # prints with the total over the queries that ran.
     errors: dict[str, str] = {}
-    t0 = time.perf_counter()
+    timings: dict[str, float] = {}
+    warmup_sec = 0.0
     for name in names:
+        t0 = time.perf_counter()
         try:
             all_queries[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception as e:  # noqa: BLE001 - bench must survive any query
             errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
-        # queries localCheckpoint (not persist) their multi-consumer
-        # intermediates, so blocks free when the frame is GC'd; clearCache
-        # stays as defense-in-depth so each timed run pays its own
-        # materialization cost even if a cacheManager entry ever appears
-        spark.catalog.clearCache()
-    warmup_sec = round(time.perf_counter() - t0, 3)
-
-    timings: dict[str, float] = {}
-    for name in names:
-        if name in errors:
             continue
+        finally:
+            # queries localCheckpoint (not persist) their multi-consumer
+            # intermediates, so blocks free when the frame is GC'd;
+            # clearCache stays as defense-in-depth so each timed run pays
+            # its own materialization cost even if a cacheManager entry
+            # ever appears
+            spark.catalog.clearCache()
+            warmup_sec += time.perf_counter() - t0
         t0 = time.perf_counter()
         try:
             df = all_queries[name](spark, sf_dir)
@@ -111,6 +123,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
         spark.catalog.clearCache()
+    warmup_sec = round(warmup_sec, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
