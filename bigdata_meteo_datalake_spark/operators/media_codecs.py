@@ -10,19 +10,21 @@ codec stubbed:
   beyond the reshape. Encoder included (tests generate real images).
 - **WAV** (PCM 16-bit): stdlib ``wave`` for the RIFF container, numpy for
   the sample math.
-- **PNG** (8-bit grayscale / RGB / RGBA, non-interlaced): chunk parsing
-  with ``struct`` + ``zlib.crc32``, inflate with ``zlib``, and a full
-  implementation of all five scanline filters (None/Sub/Up/Average/
-  Paeth) per the PNG spec (RFC 2083 section 6). Encoder included with a
-  selectable per-row filter so tests exercise every unfilter path.
+- **PNG** (8-bit grayscale / RGB / RGBA; non-interlaced AND Adam7
+  interlaced): chunk parsing with ``struct`` + ``zlib.crc32``, inflate
+  with ``zlib``, and a full implementation of all five scanline filters
+  (None/Sub/Up/Average/Paeth) per the PNG spec (RFC 2083 section 6);
+  Adam7's seven passes decode as independent sub-images and scatter to
+  their pixel grids. Encoder included with a selectable per-row filter
+  (and ``interlace=True``) so tests exercise every unfilter path.
 - **JPEG** (baseline sequential DCT, grayscale / 4:4:4 RGB): full
   Huffman entropy codec + 8x8 DCT in ``operators/jpeg.py`` (spec
   Annex K tables); lossy in general, bit-exact on block-constant
   fixtures — see that module's docstring.
 
-Anything else (MP4/...; progressive or subsampled JPEG) still raises
-NotImplementedError at the codec insertion point — a declared boundary,
-not silent wrong answers.
+Anything else (MP4 frame decode; progressive or subsampled JPEG;
+palette or non-8-bit PNG) still raises NotImplementedError at the codec
+insertion point — a declared boundary, not silent wrong answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode
@@ -175,56 +177,35 @@ def _png_chunks(b: bytes):
     raise ValueError("PNG missing IEND chunk")
 
 
-def decode_png(b: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG -> uint8 array: (H, W) for grayscale,
-    (H, W, 3) for RGB, (H, W, 4) for RGBA.
+#: Adam7 interlace pass layout (x0, y0, dx, dy) per the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth);
-    CRCs are verified chunk by chunk. Palette, sub-8-bit depths, 16-bit
-    depths, and Adam7 interlace raise loudly — they need real codec
-    surface area this stdlib implementation intentionally does not carry.
-    """
-    if b[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload (bad signature)")
-    width = height = None
-    channels = None
-    idat = bytearray()
-    for ctype, data in _png_chunks(b):
-        if ctype == b"IHDR":
-            try:
-                width, height, depth, color, comp, filt, interlace = struct.unpack(
-                    ">IIBBBBB", data
-                )
-            except struct.error as e:
-                raise ValueError(f"malformed PNG IHDR ({e})") from e
-            if depth != 8 or color not in _PNG_CHANNELS:
-                raise NotImplementedError(
-                    f"only 8-bit gray/RGB/RGBA PNG supported "
-                    f"(depth={depth}, color_type={color})"
-                )
-            if comp != 0 or filt != 0:
-                raise ValueError("invalid PNG compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
-            channels = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat.extend(data)
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+
+def _unfilter_rows(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """Filtered scanlines ((stride+1) bytes per row) -> (height, stride)
+    uint8 pixel rows.
+
+    Unfiltering works on int32 rows. Vectorization by filter type:
+    None is a copy; Up is one whole-row vector add; Sub is a per-channel
+    cumulative sum mod 256 (out[p] = sum of raw deltas up to p), so all
+    three are O(1) numpy calls per row. Average and Paeth have a true
+    data dependency along x (each pixel needs the already-unfiltered
+    left neighbor), so they loop over PIXELS with the channel group
+    vectorized — the spec makes them inherently sequential; a constant
+    factor beyond this needs a native codec (PIL/libpng swap-in)."""
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"PNG pixel data length {len(raw)} != expected {(stride + 1) * height}"
         )
-    # Unfiltering works on int32 rows. Vectorization by filter type:
-    # None is a copy; Up is one whole-row vector add; Sub is a per-channel
-    # cumulative sum mod 256 (out[p] = sum of raw deltas up to p), so all
-    # three are O(1) numpy calls per row. Average and Paeth have a true
-    # data dependency along x (each pixel needs the already-unfiltered
-    # left neighbor), so they loop over PIXELS with the channel group
-    # vectorized — the spec makes them inherently sequential; a constant
-    # factor beyond this needs a native codec (PIL/libpng swap-in).
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = rows[:, 0]
     if (bad := ftypes[ftypes > 4]).size:
@@ -260,9 +241,76 @@ def decode_png(b: bytes) -> np.ndarray:
                 line[x : x + channels] = (line[x : x + channels] + pred) & 0xFF
         out[y] = line
         prev = line
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit PNG -> uint8 array: (H, W) for grayscale, (H, W, 3) for RGB,
+    (H, W, 4) for RGBA. Non-interlaced AND Adam7-interlaced streams both
+    decode (each interlace pass is unfiltered independently per the spec,
+    then scattered to its (x0 + i*dx, y0 + j*dy) grid).
+
+    Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth);
+    CRCs are verified chunk by chunk. Palette and non-8-bit depths raise
+    loudly — they need real codec surface area this stdlib
+    implementation intentionally does not carry.
+    """
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad signature)")
+    width = height = None
+    channels = None
+    interlace = 0
+    idat = bytearray()
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            try:
+                width, height, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error as e:
+                raise ValueError(f"malformed PNG IHDR ({e})") from e
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color_type={color})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out = _unfilter_rows(raw, height, width, channels)
+        if channels == 1:
+            return out
+        return out.reshape(height, width, channels)
+    # Adam7: seven independent sub-images, each filtered relative to its
+    # own previous pass row; zero-dimension passes contribute no bytes
+    out = np.zeros((height, width * channels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        ph = max(0, (height - y0 + dy - 1) // dy)
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (pw * channels + 1)
+        sub = _unfilter_rows(raw[pos : pos + need], ph, pw, channels)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        pos += need
+    if pos != len(raw):
+        raise ValueError(
+            f"interlaced PNG pixel data length {len(raw)} != expected {pos}"
+        )
     if channels == 1:
-        return out
-    return out.reshape(height, width, channels)
+        return out[:, :, 0]
+    return out
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -274,12 +322,15 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, *, filter_type: int | str = 0) -> bytes:
-    """uint8 array (H, W) / (H, W, 3) / (H, W, 4) -> non-interlaced 8-bit
-    PNG. ``filter_type`` selects the per-row scanline filter: 0..4 for a
+def encode_png(
+    arr: np.ndarray, *, filter_type: int | str = 0, interlace: bool = False
+) -> bytes:
+    """uint8 array (H, W) / (H, W, 3) / (H, W, 4) -> 8-bit PNG.
+    ``filter_type`` selects the per-row scanline filter: 0..4 for a
     fixed filter, or ``"cycle"`` to use filter ``y % 5`` on row y — the
     test/fixture mode that forces a decoder through every unfilter path
-    in a single image."""
+    in a single image. ``interlace=True`` writes Adam7 (seven passes,
+    each filtered as its own sub-image per the spec)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         channels, color = 1, 0
@@ -289,14 +340,41 @@ def encode_png(arr: np.ndarray, *, filter_type: int | str = 0) -> bytes:
     else:
         raise ValueError(f"expected (H,W), (H,W,3) or (H,W,4) array, got {arr.shape}")
     h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * channels)
-    stride = w * channels
-    # Filtering (unlike UNfiltering) reads only ORIGINAL pixel values, so
-    # every filter type is one vectorized row expression — left/up/upper-
-    # left neighbors are channel-shifted views of the raw rows.
+    if interlace:
+        # Adam7: each pass's sub-image is gathered and filtered as its own
+        # scanline stream (filter context resets per pass, per the spec)
+        full = arr.reshape(h, w, channels)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = full[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * channels),
+                channels,
+                filter_type,
+            )
+    else:
+        raw = _filter_rows(arr.reshape(h, w * channels), channels, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_rows(flat: np.ndarray, channels: int, filter_type) -> bytearray:
+    """(h, stride) uint8 pixel rows -> filtered scanline byte stream.
+
+    Filtering (unlike UNfiltering) reads only ORIGINAL pixel values, so
+    every filter type is one vectorized row expression — left/up/upper-
+    left neighbors are channel-shifted views of the raw rows."""
+    stride = flat.shape[1]
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
+    for y in range(flat.shape[0]):
         line = flat[y].astype(np.int32)
         left = np.zeros(stride, dtype=np.int32)
         left[channels:] = line[:-channels]
@@ -318,13 +396,7 @@ def encode_png(arr: np.ndarray, *, filter_type: int | str = 0) -> bytes:
             raise ValueError(f"filter_type must be 0..4 or 'cycle', got {ft}")
         raw.extend((filtered & 0xFF).astype(np.uint8).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return raw
 
 
 # --- WAV ----------------------------------------------------------------------

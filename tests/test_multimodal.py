@@ -279,7 +279,8 @@ def test_real_png_rejects_bad_crc_and_unsupported():
     with _pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
 
-    # interlaced header must raise NotImplementedError
+    # Adam7 interlace is SUPPORTED since round 7: a minimal 1x1
+    # interlaced stream (only pass 1 carries the pixel) must decode
     def chunk(t, d):
         return (
             struct.pack(">I", len(d))
@@ -289,15 +290,14 @@ def test_real_png_rejects_bad_crc_and_unsupported():
         )
 
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # Adam7
-    raw = bytes([0, 0])
+    raw = bytes([0, 7])
     png = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(png)
+    assert decode_png(png).tolist() == [[7]]
 
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # palette
     png = (
@@ -865,3 +865,75 @@ def test_mp4_parser_ignores_noise_boxes_hypothesis():
             assert (t["timescale"], t["duration"]) == (100 + k, dur + k)
 
     inner()
+
+
+def test_real_png_adam7_hand_built_stream():
+    """Decoder against the SPEC, independent of our encoder: an 8x8
+    grayscale Adam7 stream is assembled by hand from the published pass
+    layout (pass k extracts pixels at (x0 + i*dx, y0 + j*dy)), filter 0
+    on every row. A compensating encoder/decoder layout bug cannot pass
+    this."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)  # pixel = y*8 + x
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        for row in sub:
+            raw.append(0)  # filter None
+            raw.extend(row.tobytes())
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()
+
+
+def test_real_png_adam7_roundtrip_and_fake_agreement(spark):
+    """Adam7 streams flow through the production Spark decode path
+    exactly like non-interlaced ones (sniffed identically), and the two
+    encodings of the same pixels decode to identical features."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(21)
+    rows_plain, rows_adam = [], []
+    for i in range(12):
+        arr = rng.integers(0, 256, size=(5 + i, 7 + i, 3), dtype=np.uint8)
+        rows_plain.append((i, bytearray(encode_png(arr, filter_type="cycle"))))
+        rows_adam.append(
+            (i, bytearray(encode_png(arr, filter_type="cycle", interlace=True)))
+        )
+    assert sniff_format(bytes(rows_adam[0][1])) == "png"
+    schema = "doc_id long, blob binary"
+    plain = decode_image_features(
+        spark.createDataFrame(rows_plain, schema), decode="real"
+    ).collect()
+    adam = decode_image_features(
+        spark.createDataFrame(rows_adam, schema), decode="real"
+    ).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    for a, b in zip(sorted(plain, key=key), sorted(adam, key=key)):
+        assert (a["width"], a["height"], a["mean_intensity"]) == (
+            b["width"], b["height"], b["mean_intensity"]
+        )
