@@ -72,7 +72,10 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
       value(x, y, c) = (doc_id*31 + x*7 + y*13 + c*101) % 256,
 
     encoded with the per-row filter cycle (row y uses scanline filter
-    y % 5), so decoding exercises every unfilter path on every image.
+    y % 5), so decoding exercises every unfilter path on every image;
+    every fifth document writes Adam7 INTERLACED (seven independently
+    filtered passes), so the de-interlacing path sits under the oracle
+    hash too.
     The closed form is what makes the REAL decode oracle-checkable: a
     SQL engine can recompute the expected pixel sums without a codec.
     Runs as an Arrow-batched mapInPandas kernel — the same distribution
@@ -100,7 +103,13 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
                 if ch == 1:
                     arr = arr[:, :, 0]
                 out["doc_id"].append(did)
-                out["blob"].append(encode_png(arr, filter_type="cycle"))
+                out["blob"].append(
+                    encode_png(
+                        arr,
+                        filter_type="cycle",
+                        interlace=did % 5 == 0,
+                    )
+                )
             yield pd.DataFrame(out)
 
     from ..sources.lake import widen
