@@ -148,6 +148,28 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 #: IHDR color type -> samples per pixel (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
+#: decoded-pixel budget (bytes). A crafted IHDR (e.g. 100k x 100k) or a
+#: deflate bomb must fail with the codec contract's ValueError, not a
+#: MemoryError after allocating from attacker-controlled dimensions: the
+#: cap is checked BEFORE any allocation, and inflation is bounded to the
+#: IHDR-derived byte count (zlib.decompressobj max_length) so a bomb can
+#: never expand past what the header legitimately implies.
+_PNG_MAX_DECODED_BYTES = 1 << 28  # 256 MiB of raw scanlines
+
+
+def _png_expected_raw(width: int, height: int, channels: int, interlace: int) -> int:
+    """Exact decompressed scanline-stream length the IHDR implies
+    ((stride + 1) bytes per row; Adam7 sums its seven sub-images)."""
+    if interlace == 0:
+        return (width * channels + 1) * height
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        ph = max(0, (height - y0 + dy - 1) // dy)
+        if pw and ph:
+            total += (pw * channels + 1) * ph
+    return total
+
 
 def _paeth(a, b, c):
     """Paeth predictor (PNG spec section 6.6), elementwise over numpy int
@@ -283,7 +305,25 @@ def decode_png(b: bytes) -> np.ndarray:
             idat.extend(data)
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    if width == 0 or height == 0:
+        raise ValueError("PNG has zero width or height")
+    expected = _png_expected_raw(width, height, channels, interlace)
+    if expected > _PNG_MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG dimensions {width}x{height}x{channels} imply {expected} "
+            f"decoded bytes, over the {_PNG_MAX_DECODED_BYTES} budget"
+        )
+    # bounded inflate: a deflate bomb cannot expand past the IHDR-implied
+    # byte count (+1 sentinel byte to DETECT an over-long stream)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream ({e})") from e
+    if len(raw) > expected or d.unconsumed_tail:
+        raise ValueError(
+            f"PNG pixel data longer than the {expected} bytes IHDR implies"
+        )
     if interlace == 0:
         out = _unfilter_rows(raw, height, width, channels)
         if channels == 1:

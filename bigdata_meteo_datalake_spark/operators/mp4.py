@@ -150,6 +150,21 @@ def _parse_mp4(b: bytes) -> dict:
     if movie is None:
         raise ValueError("ISO-BMFF stream has no moov/mvhd (not a movie)")
     timescale, duration = movie
+    if timescale == 0:
+        raise ValueError("ISO-BMFF movie timescale is zero")
+    # a trak missing any of its mandatory child boxes (tkhd/mdhd/hdlr) or
+    # carrying a zero media timescale is malformed-but-parseable; fail it
+    # here with the codec contract's ValueError instead of letting
+    # downstream consumers hit raw KeyError / ZeroDivisionError
+    for i, t in enumerate(tracks):
+        missing = {"track_id", "handler", "timescale", "duration"} - t.keys()
+        if missing:
+            raise ValueError(
+                f"ISO-BMFF trak #{i} missing {sorted(missing)} "
+                "(no tkhd/mdhd/hdlr box)"
+            )
+        if t["timescale"] == 0:
+            raise ValueError(f"ISO-BMFF trak #{i} media timescale is zero")
     return {
         "brand": brand,
         "timescale": timescale,

@@ -937,3 +937,102 @@ def test_real_png_adam7_roundtrip_and_fake_agreement(spark):
         assert (a["width"], a["height"], a["mean_intensity"]) == (
             b["width"], b["height"], b["mean_intensity"]
         )
+
+
+def test_png_bomb_guard_rejects_before_allocating():
+    """Resource-abuse contract (round-8 hardening): a crafted IHDR
+    declaring absurd dimensions, or a deflate stream longer than the
+    IHDR implies, must raise the codec contract's ValueError quickly —
+    never MemoryError from an attacker-sized allocation. CRCs are VALID
+    on these payloads, so the chunk gate cannot be what saves us."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 100k x 100k RGB: 30 TB of scanlines from a 100-byte payload
+    bomb_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb = (magic + chunk(b"IHDR", bomb_ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    t0 = time.time()
+    with pytest.raises(ValueError, match="budget"):
+        decode_png(bomb)
+    assert time.time() - t0 < 2.0
+
+    # zero-dimension header is malformed, not a zero-byte success
+    zero_ihdr = struct.pack(">IIBBBBB", 0, 7, 8, 0, 0, 0, 0)
+    zero = (magic + chunk(b"IHDR", zero_ihdr)
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="zero"):
+        decode_png(zero)
+
+    # valid small IHDR but the deflate stream inflates PAST the implied
+    # length (a bomb hiding behind honest dimensions): bounded inflate
+    # must stop at expected+1 and reject, not materialize the megabytes
+    small_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    overlong = (magic + chunk(b"IHDR", small_ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 4_000_000))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="longer"):
+        decode_png(overlong)
+
+    # garbage deflate bytes under a VALID chunk CRC -> contract ValueError
+    bad_deflate = (magic + chunk(b"IHDR", small_ihdr)
+                   + chunk(b"IDAT", b"\x99\x98\x97\x96")
+                   + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="deflate|pixel data"):
+        decode_png(bad_deflate)
+
+
+def test_mp4_rejects_incomplete_or_zero_timescale_tracks():
+    """Error-contract hardening (round-8): a trak missing its mandatory
+    tkhd/mdhd/hdlr children, or carrying timescale 0, is
+    malformed-but-parseable — parse_mp4 must raise ValueError itself
+    rather than hand a partial track dict downstream (where it surfaced
+    as raw KeyError / ZeroDivisionError in probe_media_containers)."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    good = encode_mp4_skeleton(
+        timescale=1000, duration=100,
+        tracks=[{"track_id": 1, "handler": "vide", "timescale": 600,
+                 "duration": 60}],
+    )
+    # rebuild the file with an EMPTY trak appended inside moov
+    (ftyp_len,) = struct.unpack_from(">I", good, 0)
+    (moov_len,) = struct.unpack_from(">I", good, ftyp_len)
+    moov_payload = good[ftyp_len + 8 : ftyp_len + moov_len]
+    bad_moov = box(b"moov", moov_payload + box(b"trak", b""))
+    with pytest.raises(ValueError, match="missing"):
+        parse_mp4(good[:ftyp_len] + bad_moov)
+
+    # zero media timescale (the encoder happily writes it; the parser
+    # must be the gate)
+    zero_ts = encode_mp4_skeleton(
+        timescale=1000, duration=100,
+        tracks=[{"track_id": 1, "handler": "soun", "timescale": 0,
+                 "duration": 60}],
+    )
+    with pytest.raises(ValueError, match="timescale"):
+        parse_mp4(zero_ts)
+
+    # zero MOVIE timescale
+    zero_movie = encode_mp4_skeleton(timescale=0, duration=100, tracks=[])
+    with pytest.raises(ValueError, match="timescale"):
+        parse_mp4(zero_movie)
