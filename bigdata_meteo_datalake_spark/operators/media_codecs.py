@@ -10,21 +10,24 @@ codec stubbed:
   beyond the reshape. Encoder included (tests generate real images).
 - **WAV** (PCM 16-bit): stdlib ``wave`` for the RIFF container, numpy for
   the sample math.
-- **PNG** (8-bit grayscale / RGB / RGBA; non-interlaced AND Adam7
-  interlaced): chunk parsing with ``struct`` + ``zlib.crc32``, inflate
-  with ``zlib``, and a full implementation of all five scanline filters
-  (None/Sub/Up/Average/Paeth) per the PNG spec (RFC 2083 section 6);
-  Adam7's seven passes decode as independent sub-images and scatter to
-  their pixel grids. Encoder included with a selectable per-row filter
-  (and ``interlace=True``) so tests exercise every unfilter path.
+- **PNG** (8-bit grayscale / RGB / RGBA / palette-indexed; non-interlaced
+  AND Adam7 interlaced): chunk parsing with ``struct`` + ``zlib.crc32``,
+  inflate with ``zlib``, and a full implementation of all five scanline
+  filters (None/Sub/Up/Average/Paeth) per the PNG spec (RFC 2083
+  section 6); Adam7's seven passes decode as independent sub-images and
+  scatter to their pixel grids; color type 3 unfilters the 1-byte index
+  plane then expands through the PLTE table to RGB. Encoder included
+  with a selectable per-row filter (``interlace=True``, ``palette=``)
+  so tests exercise every unfilter path.
 - **JPEG** (baseline sequential DCT, grayscale / 4:4:4 RGB): full
   Huffman entropy codec + 8x8 DCT in ``operators/jpeg.py`` (spec
   Annex K tables); lossy in general, bit-exact on block-constant
   fixtures — see that module's docstring.
 
 Anything else (MP4 frame decode; progressive or subsampled JPEG;
-palette or non-8-bit PNG) still raises NotImplementedError at the codec
-insertion point — a declared boundary, not silent wrong answers.
+non-8-bit or tRNS-transparent PNG) still raises NotImplementedError at
+the codec insertion point — a declared boundary, not silent wrong
+answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode
@@ -267,20 +270,23 @@ def _unfilter_rows(raw: bytes, height: int, width: int, channels: int) -> np.nda
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """8-bit PNG -> uint8 array: (H, W) for grayscale, (H, W, 3) for RGB,
-    (H, W, 4) for RGBA. Non-interlaced AND Adam7-interlaced streams both
-    decode (each interlace pass is unfiltered independently per the spec,
-    then scattered to its (x0 + i*dx, y0 + j*dy) grid).
+    """8-bit PNG -> uint8 array: (H, W) for grayscale, (H, W, 3) for RGB
+    or palette-indexed (color type 3, expanded through PLTE), (H, W, 4)
+    for RGBA. Non-interlaced AND Adam7-interlaced streams both decode
+    (each interlace pass is unfiltered independently per the spec, then
+    scattered to its (x0 + i*dx, y0 + j*dy) grid).
 
     Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth);
-    CRCs are verified chunk by chunk. Palette and non-8-bit depths raise
-    loudly — they need real codec surface area this stdlib
-    implementation intentionally does not carry.
+    CRCs are verified chunk by chunk. Non-8-bit depths and tRNS
+    transparency raise loudly — they need real codec surface area this
+    stdlib implementation intentionally does not carry.
     """
     if b[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
     channels = None
+    is_palette = False
+    plte = None
     interlace = 0
     idat = bytearray()
     for ctype, data in _png_chunks(b):
@@ -291,20 +297,31 @@ def decode_png(b: bytes) -> np.ndarray:
                 )
             except struct.error as e:
                 raise ValueError(f"malformed PNG IHDR ({e})") from e
-            if depth != 8 or color not in _PNG_CHANNELS:
+            if depth != 8 or (color not in _PNG_CHANNELS and color != 3):
                 raise NotImplementedError(
-                    f"only 8-bit gray/RGB/RGBA PNG supported "
+                    f"only 8-bit gray/RGB/RGBA/palette PNG supported "
                     f"(depth={depth}, color_type={color})"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace not in (0, 1):
                 raise ValueError(f"invalid PNG interlace method {interlace}")
-            channels = _PNG_CHANNELS[color]
+            # palette images unfilter as a 1-byte index plane; PLTE
+            # expansion to RGB happens after de-interlacing
+            is_palette = color == 3
+            channels = 1 if is_palette else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3 != 0 or len(data) > 768:
+                raise ValueError(f"invalid PLTE length {len(data)}")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            raise NotImplementedError("PNG tRNS transparency not supported")
         elif ctype == b"IDAT":
             idat.extend(data)
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if is_palette and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
     if width == 0 or height == 0:
         raise ValueError("PNG has zero width or height")
     expected = _png_expected_raw(width, height, channels, interlace)
@@ -326,31 +343,37 @@ def decode_png(b: bytes) -> np.ndarray:
         )
     if interlace == 0:
         out = _unfilter_rows(raw, height, width, channels)
-        if channels == 1:
-            return out
-        return out.reshape(height, width, channels)
-    # Adam7: seven independent sub-images, each filtered relative to its
-    # own previous pass row; zero-dimension passes contribute no bytes
-    out = np.zeros((height, width * channels), dtype=np.uint8).reshape(
-        height, width, channels
-    )
-    pos = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = max(0, (width - x0 + dx - 1) // dx)
-        ph = max(0, (height - y0 + dy - 1) // dy)
-        if pw == 0 or ph == 0:
-            continue
-        need = ph * (pw * channels + 1)
-        sub = _unfilter_rows(raw[pos : pos + need], ph, pw, channels)
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-        pos += need
-    if pos != len(raw):
-        raise ValueError(
-            f"interlaced PNG pixel data length {len(raw)} != expected {pos}"
+        pix = out if channels == 1 else out.reshape(height, width, channels)
+    else:
+        # Adam7: seven independent sub-images, each filtered relative to
+        # its own previous pass row; zero-dimension passes contribute no
+        # bytes
+        out = np.zeros((height, width * channels), dtype=np.uint8).reshape(
+            height, width, channels
         )
-    if channels == 1:
-        return out[:, :, 0]
-    return out
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (width - x0 + dx - 1) // dx)
+            ph = max(0, (height - y0 + dy - 1) // dy)
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * channels + 1)
+            sub = _unfilter_rows(raw[pos : pos + need], ph, pw, channels)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            pos += need
+        if pos != len(raw):
+            raise ValueError(
+                f"interlaced PNG pixel data length {len(raw)} != expected {pos}"
+            )
+        pix = out[:, :, 0] if channels == 1 else out
+    if is_palette:
+        if int(pix.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"palette index {int(pix.max())} out of range for "
+                f"{len(plte)}-entry PLTE"
+            )
+        return plte[pix]  # (H, W) indices -> (H, W, 3) RGB
+    return pix
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -363,16 +386,39 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    arr: np.ndarray, *, filter_type: int | str = 0, interlace: bool = False
+    arr: np.ndarray,
+    *,
+    filter_type: int | str = 0,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """uint8 array (H, W) / (H, W, 3) / (H, W, 4) -> 8-bit PNG.
     ``filter_type`` selects the per-row scanline filter: 0..4 for a
     fixed filter, or ``"cycle"`` to use filter ``y % 5`` on row y — the
     test/fixture mode that forces a decoder through every unfilter path
     in a single image. ``interlace=True`` writes Adam7 (seven passes,
-    each filtered as its own sub-image per the spec)."""
+    each filtered as its own sub-image per the spec). ``palette`` (an
+    (N<=256, 3) uint8 RGB table) writes color type 3: ``arr`` must then
+    be an (H, W) INDEX plane into that table — decoding expands back to
+    the (H, W, 3) RGB image ``palette[arr]``."""
     arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+            raise ValueError(
+                f"palette must be (N<=256, 3) uint8 RGB, got {pal.shape}"
+            )
+        if arr.ndim != 2:
+            raise ValueError(
+                f"palette PNG takes an (H, W) index plane, got {arr.shape}"
+            )
+        if int(arr.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"index {int(arr.max())} out of range for "
+                f"{pal.shape[0]}-entry palette"
+            )
+        channels, color = 1, 3
+    elif arr.ndim == 2:
         channels, color = 1, 0
     elif arr.ndim == 3 and arr.shape[2] in (3, 4):
         channels = arr.shape[2]
@@ -397,9 +443,11 @@ def encode_png(
     else:
         raw = _filter_rows(arr.reshape(h, w * channels), channels, filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", pal.tobytes())
     return (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
+        out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )

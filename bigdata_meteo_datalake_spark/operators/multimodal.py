@@ -6,7 +6,7 @@ The container has no PIL/ffmpeg, so ``decode=fake`` produces deterministic
 features derived from the bytes (the Spark-side plumbing — schema, batch
 iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
-stdlib+numpy — uncompressed 24-bit BMP, 8-bit PNG (gray/RGB/RGBA,
+stdlib+numpy — uncompressed 24-bit BMP, 8-bit PNG (gray/RGB/RGBA/palette,
 all five scanline filters, Adam7 interlace included), baseline sequential JPEG
 (grayscale / 4:4:4, operators/jpeg.py), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
@@ -75,7 +75,12 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
     y % 5), so decoding exercises every unfilter path on every image;
     every fifth document writes Adam7 INTERLACED (seven independently
     filtered passes), so the de-interlacing path sits under the oracle
-    hash too.
+    hash too. Every third EVEN document writes PALETTE-indexed (color
+    type 3): the closed form makes each pixel's color a pure function of
+    its R value, so a 256-entry PLTE pal[i] = (i, (i+101)%256,
+    (i+202)%256) with the R plane as indices decodes to EXACTLY the same
+    RGB image — palette expansion sits under the same oracle hash with
+    zero oracle change (and did % 30 == 0 combines palette WITH Adam7).
     The closed form is what makes the REAL decode oracle-checkable: a
     SQL engine can recompute the expected pixel sums without a codec.
     Runs as an Arrow-batched mapInPandas kernel — the same distribution
@@ -102,14 +107,27 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
                 arr = v.astype(np.uint8)
                 if ch == 1:
                     arr = arr[:, :, 0]
-                out["doc_id"].append(did)
-                out["blob"].append(
-                    encode_png(
+                if ch == 3 and did % 3 == 0:
+                    # color-type-3 twin of the same pixels: R determines
+                    # the full color, so pal[R] reproduces (R, G, B)
+                    i = np.arange(256, dtype=np.int64)
+                    pal = np.stack(
+                        [i, (i + 101) % 256, (i + 202) % 256], axis=1
+                    ).astype(np.uint8)
+                    blob = encode_png(
+                        arr[:, :, 0],
+                        filter_type="cycle",
+                        interlace=did % 5 == 0,
+                        palette=pal,
+                    )
+                else:
+                    blob = encode_png(
                         arr,
                         filter_type="cycle",
                         interlace=did % 5 == 0,
                     )
-                )
+                out["doc_id"].append(did)
+                out["blob"].append(blob)
             yield pd.DataFrame(out)
 
     from ..sources.lake import widen

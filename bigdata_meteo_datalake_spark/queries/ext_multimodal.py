@@ -295,7 +295,11 @@ def multimodal_png_decode(spark, sf_dir):
     """REAL image decode end to end: per document a genuine 8-bit PNG is
     encoded from a closed-form pixel pattern (operators/multimodal.py:
     synthesize_png_blobs — per-row filter CYCLES through all five PNG
-    scanline filters, RGB for even doc_ids, grayscale for odd), then the
+    scanline filters, RGB for even doc_ids, grayscale for odd; every
+    fifth document Adam7-interlaced, every third even document
+    PALETTE-indexed color type 3 — the closed form makes color a pure
+    function of R, so PLTE expansion reproduces the identical RGB image
+    and rides this same oracle hash), then the
     production decode path (decode_image_features(decode="real") ->
     media_codecs.decode_png: chunk+CRC parsing, inflate, Sub/Up/Average/
     Paeth unfiltering) recovers dimensions and mean intensity. The

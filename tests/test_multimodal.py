@@ -299,6 +299,8 @@ def test_real_png_rejects_bad_crc_and_unsupported():
     )
     assert decode_png(png).tolist() == [[7]]
 
+    # palette (color type 3) is SUPPORTED since round 8 — but a palette
+    # stream with no PLTE chunk is malformed, not a boundary
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # palette
     png = (
         b"\x89PNG\r\n\x1a\n"
@@ -306,7 +308,18 @@ def test_real_png_rejects_bad_crc_and_unsupported():
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="color_type"):
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(png)
+
+    # non-8-bit depth stays the declared NotImplementedError boundary
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 7])))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="depth"):
         decode_png(png)
 
 
@@ -1036,3 +1049,128 @@ def test_mp4_rejects_incomplete_or_zero_timescale_tracks():
     zero_movie = encode_mp4_skeleton(timescale=0, duration=100, tracks=[])
     with pytest.raises(ValueError, match="timescale"):
         parse_mp4(zero_movie)
+
+
+def test_png_palette_roundtrip_and_spec_stream():
+    """Color type 3 (round-8): encode writes PLTE + a filtered index
+    plane, decode expands back to palette[indices] — for every filter
+    type and with Adam7 interlacing. A hand-built spec stream (filter 0,
+    PLTE assembled by hand) pins the decoder independently of our
+    encoder, so a compensating encode/decode bug cannot hide."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(11, 14), dtype=np.uint8)
+    for ft in (0, 1, 2, 3, 4, "cycle"):
+        b = encode_png(idx, filter_type=ft, palette=pal)
+        assert sniff_format(b) == "png"
+        assert (decode_png(b) == pal[idx]).all(), ft
+    # palette + Adam7 in the same stream
+    b = encode_png(idx, filter_type="cycle", interlace=True, palette=pal)
+    assert (decode_png(b) == pal[idx]).all()
+    # short palette with in-range indices
+    pal4 = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                    dtype=np.uint8)
+    idx4 = (np.arange(30, dtype=np.uint8).reshape(5, 6)) % 4
+    assert (decode_png(encode_png(idx4, palette=pal4)) == pal4[idx4]).all()
+
+    # spec stream assembled by hand: 3x2 image, 2-entry palette, filter 0
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytes([0, 0, 1, 0]) + bytes([0, 1, 0, 1])  # 2 rows, w=3
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", bytes([10, 20, 30, 200, 210, 220]))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    expect = np.array([[[10, 20, 30], [200, 210, 220], [10, 20, 30]],
+                       [[200, 210, 220], [10, 20, 30], [200, 210, 220]]],
+                      dtype=np.uint8)
+    assert (decode_png(png) == expect).all()
+
+
+def test_png_palette_guards():
+    """Palette error contract: missing PLTE, out-of-range index, bad
+    PLTE length, tRNS, and encoder-side misuse all fail loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+    raw = zlib.compress(bytes([0, 0, 1]))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(magic + ihdr + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # index 1 with a 1-entry palette
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(magic + ihdr + chunk(b"PLTE", bytes([9, 9, 9]))
+                   + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # PLTE length not a multiple of 3
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(magic + ihdr + chunk(b"PLTE", bytes([1, 2]))
+                   + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # tRNS stays a declared boundary
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(magic + ihdr + chunk(b"PLTE", bytes([9, 9, 9, 8, 8, 8]))
+                   + chunk(b"tRNS", bytes([128]))
+                   + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="index"):
+        encode_png(np.full((2, 2), 9, dtype=np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(np.zeros((2, 2), dtype=np.uint8),
+                   palette=np.zeros((300, 3), dtype=np.uint8))
+
+
+def test_png_palette_fixture_matches_direct_rgb(spark):
+    """The synthesized palette fixtures decode to EXACTLY the same
+    feature rows as a direct-RGB encoding of the same closed form — the
+    property that lets palette images ride the existing oracle hash."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        synthesize_png_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(40)
+    rows = synthesize_png_blobs(d).collect()
+    n_palette = 0
+    for r in rows:
+        did = r["doc_id"]
+        w, h = 4 + did % 13, 4 + did % 11
+        ch = 3 if did % 2 == 0 else 1
+        v = ((did * 31 + np.arange(w)[None, :, None] * 7
+              + np.arange(h)[:, None, None] * 13
+              + np.arange(ch)[None, None, :] * 101) % 256).astype(np.uint8)
+        expect = v if ch == 3 else v[:, :, 0]
+        got = decode_png(bytes(r["blob"]))
+        assert (got == expect).all(), did
+        if ch == 3 and did % 3 == 0:
+            n_palette += 1
+            assert b"PLTE" in bytes(r["blob"]), did
+    assert n_palette > 0
