@@ -4,11 +4,16 @@ multimodal kernels without PIL/libjpeg.
 
 Scope (declared, enforced loudly):
 - decode: baseline sequential (SOF0), 8-bit, grayscale or 3-component
-  4:4:4 (all sampling factors 1); restart markers supported; progressive
-  (SOF2), arithmetic coding, subsampled chroma, and 12-bit raise
+  with sampling factors 1..2 per axis — 4:4:4, 4:2:2 (2x1), 4:4:0
+  (1x2), and 4:2:0 (2x2, the dominant real-world variant) all decode,
+  with the interleaved-MCU block order of T.81 A.2.3 and nearest
+  (pixel-replication) chroma upsampling; restart markers supported;
+  progressive (SOF2), arithmetic coding, factors > 2, and 12-bit raise
   NotImplementedError.
-- encode: grayscale or RGB 4:4:4 with the spec Annex K example Huffman
-  tables and IJG-scaled quantization tables (``quality`` 1..100).
+- encode: grayscale or RGB with ``subsampling`` in {"444", "422",
+  "420"} (box-average chroma downsampling), the spec Annex K example
+  Huffman tables and IJG-scaled quantization tables (``quality``
+  1..100).
 
 JPEG is lossy, so round-trips are approximate in general — EXCEPT for
 block-constant images when the DC quantization step divides 8*(v-128):
@@ -260,7 +265,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     truncations and random byte flips)."""
     try:
         return _decode_jpeg(b)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
         raise ValueError(
             f"corrupt or truncated JPEG ({type(e).__name__}: {e})"
         ) from e
@@ -321,13 +326,17 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 h_i, v_i = hv >> 4, hv & 0xF
-                if (h_i, v_i) != (1, 1):
+                if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
                     raise NotImplementedError(
-                        "subsampled chroma (only 4:4:4 / grayscale supported)"
+                        f"sampling factors {h_i}x{v_i} (only 1..2 per axis)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": h_i, "v": v_i})
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
+            if nc == 1:
+                # T.81 A.2.2: a single-component (non-interleaved) scan
+                # ignores sampling factors — its MCU is one block
+                comps[0]["h"] = comps[0]["v"] = 1
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -348,49 +357,83 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0 or SOS")
 
     by_id = {c["id"]: c for c in comps}
+    if len(scan_map) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-component scan (baseline decoder "
+            "expects one SOS covering every component)"
+        )
     order = []
     for cs, td, ta in scan_map:
         c = by_id[cs]
         order.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]]))
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    # interleaved MCU geometry (T.81 A.2.3): an MCU spans 8*Hmax x 8*Vmax
+    # image pixels and carries h_i x v_i blocks of component i, emitted
+    # left-to-right then top-to-bottom within the MCU
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
     pred = [0] * len(comps)
     br = _BitReader(b, pos)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_to_marker()
                 pred = [0] * len(comps)
             for ci, (c, dtab, atab, q) in enumerate(order):
-                coef = np.zeros(64, dtype=np.int64)
-                t = _huff_read(br, dtab)
-                diff = _extend(br.read_bits(t), t)
-                pred[ci] += diff
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, atab)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    coef[k] = _extend(br.read_bits(s), s)
-                    k += 1
-                block = np.zeros((8, 8), dtype=np.int64)
-                block.reshape(64)[_ZIGZAG] = coef
-                pix = _M.T @ (block * q).astype(np.float64) @ _M
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+                for bv in range(c["v"]):
+                    for bh_ in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = _huff_read(br, dtab)
+                        if t > 15:
+                            # baseline DC categories stop at 11; a bigger
+                            # value only arises from a corrupt DHT and
+                            # would balloon read_bits/pred
+                            raise ValueError(
+                                f"invalid DC category {t} in entropy stream"
+                            )
+                        diff = _extend(br.read_bits(t), t)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, atab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            coef[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros((8, 8), dtype=np.int64)
+                        block.reshape(64)[_ZIGZAG] = coef
+                        pix = _M.T @ (block * q).astype(np.float64) @ _M
+                        y0 = (my * c["v"] + bv) * 8
+                        x0 = (mx * c["h"] + bh_) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu += 1
 
-    planes = [p[:height, :width] + 128.0 for p in planes]
+    # per-component crop to its own resolution, then nearest upsampling
+    # (pixel replication) back to full image resolution
+    up = []
+    for c, p in zip(comps, planes):
+        cw = (width * c["h"] + hmax - 1) // hmax
+        chh = (height * c["v"] + vmax - 1) // vmax
+        p = p[:chh, :cw]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            p = p.repeat(fy, axis=0).repeat(fx, axis=1)
+        up.append(p[:height, :width])
+    planes = [p + 128.0 for p in up]
     if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes
@@ -472,18 +515,42 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+#: subsampling name -> per-component (h, v) sampling factors (Y, Cb, Cr)
+_SUBSAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
 def encode_jpeg(
-    arr: np.ndarray, *, quality: int = 75, restart_interval: int = 0
+    arr: np.ndarray,
+    *,
+    quality: int = 75,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline 4:4:4 JPEG.
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG.
+
+    ``subsampling`` picks the chroma layout: "444" (full-resolution
+    chroma), "422" (chroma halved horizontally), or "420" (halved both
+    ways — the dominant real-world variant). Chroma is downsampled by a
+    box average over each factor cell (edge-replicated at odd edges);
+    grayscale input ignores the parameter.
 
     ``restart_interval`` > 0 writes a DRI segment and emits an RSTn
     marker (cycling D0..D7) every that-many MCUs, resetting the DC
     predictors — the spec's resync mechanism, here mainly so the
     decoder's restart path is round-trip testable."""
     arr = np.asarray(arr, dtype=np.uint8)
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(
+            f"subsampling must be one of {sorted(_SUBSAMPLING)}, "
+            f"got {subsampling!r}"
+        )
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
         rgb = arr.astype(np.float64)
         r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -491,9 +558,14 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
         planes = [y, cb, cr]
+        factors = _SUBSAMPLING[subsampling]
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) uint8 array, got {arr.shape}")
     h, w = arr.shape[:2]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     qluma = _ijg_scale(_QUANT_LUMA, quality).reshape(8, 8)
     qchroma = _ijg_scale(_QUANT_CHROMA, quality).reshape(8, 8)
     tables = [qluma] + [qchroma] * (len(planes) - 1)
@@ -518,7 +590,8 @@ def encode_jpeg(
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        hv = (factors[i][0] << 4) | factors[i][1]
+        sof += bytes([i + 1, hv, 0 if i == 0 else 1])
     out += _seg(0xC0, sof)
     for i, (bits, values) in enumerate(
         [_DC_LUMA, _AC_LUMA] + ([_DC_CHROMA, _AC_CHROMA] if nc == 3 else [])
@@ -534,31 +607,53 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    bw8 = (w + 7) // 8
-    bh8 = (h + 7) // 8
+    def _pad_edge(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        """Edge-replicate p out to (th, tw)."""
+        ph, pw = p.shape
+        pp = np.empty((th, tw))
+        pp[:ph, :pw] = p
+        if th > ph:
+            pp[ph:, :pw] = p[ph - 1 : ph, :]
+        if tw > pw:
+            pp[:, pw:] = pp[:, pw - 1 : pw]
+        return pp
+
     padded = []
-    for p in planes:
-        pp = np.empty((bh8 * 8, bw8 * 8))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
-        pp[:, w:] = pp[:, w - 1 : w]
+    for (fh, fv), p in zip(factors, planes):
+        # component resolution: ceil(dim * factor / max_factor) per T.81
+        cw = (w * fh + hmax - 1) // hmax
+        chh = (h * fv + vmax - 1) // vmax
+        fx, fy = hmax // fh, vmax // fv
+        if fx > 1 or fy > 1:
+            # box-average downsample over each fy x fx cell,
+            # edge-replicated so odd edges average real pixels
+            src = _pad_edge(p, chh * fy, cw * fx)
+            p = src.reshape(chh, fy, cw, fx).mean(axis=(1, 3))
+        pp = _pad_edge(p, mcuy * fv * 8, mcux * fh * 8)
         padded.append(pp - 128.0)
     writer = _BitWriter()
     pred = [0] * nc
     mcu = 0
-    for by in range(bh8):
-        for bx in range(bw8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.flush()  # byte-align before the marker, per spec
                 out_rst = 0xD0 + (mcu // restart_interval - 1) % 8
                 writer.out += bytes([0xFF, out_rst])
                 pred = [0] * nc
             for ci, p in enumerate(padded):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = _M @ block @ _M.T
-                qc = np.rint(coef / tables[ci]).astype(np.int64)
-                zz = qc.reshape(64)[_ZIGZAG]
-                pred[ci] = _encode_block(writer, zz, pred[ci], dc_enc[ci], ac_enc[ci])
+                fh, fv = factors[ci]
+                for bv in range(fv):
+                    for bh_ in range(fh):
+                        y0 = (my * fv + bv) * 8
+                        x0 = (mx * fh + bh_) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _M @ block @ _M.T
+                        qc = np.rint(coef / tables[ci]).astype(np.int64)
+                        zz = qc.reshape(64)[_ZIGZAG]
+                        pred[ci] = _encode_block(
+                            writer, zz, pred[ci], dc_enc[ci], ac_enc[ci]
+                        )
             mcu += 1
     writer.flush()
     out += writer.out

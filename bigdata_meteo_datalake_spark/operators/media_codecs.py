@@ -19,15 +19,15 @@ codec stubbed:
   plane then expands through the PLTE table to RGB. Encoder included
   with a selectable per-row filter (``interlace=True``, ``palette=``)
   so tests exercise every unfilter path.
-- **JPEG** (baseline sequential DCT, grayscale / 4:4:4 RGB): full
-  Huffman entropy codec + 8x8 DCT in ``operators/jpeg.py`` (spec
-  Annex K tables); lossy in general, bit-exact on block-constant
-  fixtures — see that module's docstring.
+- **JPEG** (baseline sequential DCT, grayscale / 4:4:4 / 4:2:2 / 4:2:0
+  RGB): full Huffman entropy codec + 8x8 DCT in ``operators/jpeg.py``
+  (spec Annex K tables), interleaved-MCU chroma subsampling with
+  box-average downsampling / replication upsampling; lossy in general,
+  bit-exact on block-constant fixtures — see that module's docstring.
 
-Anything else (MP4 frame decode; progressive or subsampled JPEG;
-non-8-bit or tRNS-transparent PNG) still raises NotImplementedError at
-the codec insertion point — a declared boundary, not silent wrong
-answers.
+Anything else (MP4 frame decode; progressive JPEG; non-8-bit or
+tRNS-transparent PNG) still raises NotImplementedError at the codec
+insertion point — a declared boundary, not silent wrong answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode

@@ -8,10 +8,10 @@ iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
 stdlib+numpy — uncompressed 24-bit BMP, 8-bit PNG (gray/RGB/RGBA/palette,
 all five scanline filters, Adam7 interlace included), baseline sequential JPEG
-(grayscale / 4:4:4, operators/jpeg.py), and PCM WAV
+(grayscale / 4:4:4 / 4:2:2 / 4:2:0, operators/jpeg.py), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
 formats that truly need a codec library (MP4 video decode, progressive
-or subsampled JPEG, ...), sniffed by magic bytes per blob.
+JPEG, ...), sniffed by magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -155,7 +155,13 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
       RGB with R=G=B when doc_id is even (Y=v exactly, Cb=Cr=128, so
       chroma quantizes to zero), grayscale when odd; every seventh
       document encodes with restart_interval=2 (DRI + RSTn markers), so
-      the decoder's restart/resync path sits under the oracle hash too.
+      the decoder's restart/resync path sits under the oracle hash too;
+      even documents cycle chroma subsampling ("444", "420", "422" by
+      (doc_id//2) % 3), so the interleaved-MCU 4:2:0/4:2:2 decode paths
+      — the dominant real-world JPEG layouts — sit under the SAME
+      oracle hash: constant-128 chroma box-averages to 128 and its
+      blocks still quantize to exactly zero, while luma stays
+      full-resolution block-constant, so bit-exactness is preserved.
 
     JPEG is lossy in general, but for block-constant tiles the DCT is a
     lone DC coefficient 8*(v-128) and at IJG quality 75 the luminance DC
@@ -181,14 +187,17 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
                 bx = np.arange(w)[None, :] // 8
                 by = np.arange(h)[:, None] // 8
                 arr = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.uint8)
+                sub = "444"
                 if did % 2 == 0:
                     arr = np.stack([arr, arr, arr], axis=2)
+                    sub = ("444", "420", "422")[(did // 2) % 3]
                 out["doc_id"].append(did)
                 out["blob"].append(
                     encode_jpeg(
                         arr,
                         quality=quality,
                         restart_interval=2 if did % 7 == 0 else 0,
+                        subsampling=sub,
                     )
                 )
             yield pd.DataFrame(out)

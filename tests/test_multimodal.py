@@ -737,18 +737,23 @@ def test_codecs_reject_malformed_input_cleanly():
 
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
-    goods = {
-        decode_jpeg: encode_jpeg(img, quality=75),
-        decode_png: encode_png(img, filter_type="cycle"),
-        decode_bmp: encode_bmp(img),
-        decode_wav: encode_wav(rng.uniform(-1, 1, 300), 8000),
-        parse_mp4: encode_mp4_skeleton(
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    goods = [
+        (decode_jpeg, encode_jpeg(img, quality=75)),
+        (decode_jpeg, encode_jpeg(img, quality=75, subsampling="420",
+                                  restart_interval=2)),
+        (decode_png, encode_png(img, filter_type="cycle")),
+        (decode_png, encode_png(img[:, :, 0] % 16, filter_type="cycle",
+                                palette=pal)),
+        (decode_bmp, encode_bmp(img)),
+        (decode_wav, encode_wav(rng.uniform(-1, 1, 300), 8000)),
+        (parse_mp4, encode_mp4_skeleton(
             timescale=1000, duration=777,
             tracks=[{"track_id": 1, "handler": "vide", "timescale": 600,
                      "duration": 450}],
-        ),
-    }
-    for fn, good in goods.items():
+        )),
+    ]
+    for fn, good in goods:
         # truncation sweep
         for cut in range(0, len(good), 3):
             _assert_clean(fn, good[:cut])
@@ -1174,3 +1179,109 @@ def test_png_palette_fixture_matches_direct_rgb(spark):
             n_palette += 1
             assert b"PLTE" in bytes(r["blob"]), did
     assert n_palette > 0
+
+
+def test_real_jpeg_420_hand_built_stream():
+    """Decoder against the SPEC, independent of our encoder: a 16x16
+    4:2:0 JPEG is assembled by hand — headers packed with struct, the
+    entropy stream written bit-by-bit from the Annex K Huffman tables.
+    The single MCU carries the four luma blocks in T.81 A.2.3 order
+    (TL, TR, BL, BR) with DISTINCT constant values, then one Cb and one
+    Cr block at 128 — a decoder with swapped in-MCU block order, wrong
+    chroma geometry, or wrong upsampling cannot pass."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        _AC_CHROMA,
+        _AC_LUMA,
+        _DC_CHROMA,
+        _DC_LUMA,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + b"\x01" * 64)  # luma quant: all ones
+    out += seg(0xDB, bytes([0x01]) + b"\x01" * 64)  # chroma quant: all ones
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0])  # Y: h=2, v=2, table 0
+    sof += bytes([2, 0x11, 1])  # Cb
+    sof += bytes([3, 0x11, 1])  # Cr
+    out += seg(0xC0, sof)
+    for i, (bits, values) in enumerate(
+        [_DC_LUMA, _AC_LUMA, _DC_CHROMA, _AC_CHROMA]
+    ):
+        out += seg(0xC4, bytes([(i % 2) << 4 | (i // 2)] + bits + values))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    # luma 129/130/132/136 (TL/TR/BL/BR): with q=1 the lone DC coef is
+    # 8*(v-128), so DC diffs are 8, 8, 16, 32 -> categories 4, 4, 5, 6.
+    # Annex K DC-luma codes: cat4='101', cat5='110', cat6='1110';
+    # AC-luma EOB='1010'. DC-chroma cat0='00', AC-chroma EOB='00'.
+    bitstr = (
+        "101" + "1000" + "1010"      # Y TL: diff +8
+        + "101" + "1000" + "1010"    # Y TR: diff +8 (DC 16)
+        + "110" + "10000" + "1010"   # Y BL: diff +16 (DC 32)
+        + "1110" + "100000" + "1010" # Y BR: diff +32 (DC 64)
+        + "00" + "00"                # Cb: diff 0, EOB
+        + "00" + "00"                # Cr: diff 0, EOB
+    )
+    bitstr += "1" * (-len(bitstr) % 8)  # pad with 1s per spec
+    entropy = bytearray()
+    for k in range(0, len(bitstr), 8):
+        byte = int(bitstr[k : k + 8], 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)
+    out += entropy + b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    expect = np.zeros((16, 16, 3), dtype=np.uint8)
+    for (y0, x0), v in {(0, 0): 129, (0, 8): 130, (8, 0): 132, (8, 8): 136}.items():
+        expect[y0 : y0 + 8, x0 : x0 + 8, :] = v
+    assert got.shape == (16, 16, 3)
+    assert (got == expect).all()
+
+
+def test_real_jpeg_subsampled_roundtrips():
+    """Encoder+decoder through every subsampling mode: bit-exact on
+    block-constant R=G=B fixtures (chroma constant 128 quantizes to
+    zero; box-average downsampling of a constant is the constant), with
+    and without restart markers, across odd/even dimension mixes; and
+    sanity-bounded on natural images."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for did in (0, 2, 4, 6, 14, 28, 30, 42):
+        w, h = 9 + did % 16, 9 + did % 12
+        bx = np.arange(w)[None, :] // 8
+        by = np.arange(h)[:, None] // 8
+        tile = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.uint8)
+        rgb = np.stack([tile] * 3, axis=2)
+        for sub in ("444", "422", "420"):
+            for ri in (0, 2):
+                out = decode_jpeg(
+                    encode_jpeg(rgb, quality=75, restart_interval=ri,
+                                subsampling=sub)
+                )
+                assert (out == rgb).all(), (did, sub, ri)
+
+    rng = np.random.default_rng(17)
+    img = (rng.integers(0, 256, size=(33, 41, 3)).astype(np.float64) * 0.2
+           + 128 * 0.8).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < 16.0, (sub, err)
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="411")
