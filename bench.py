@@ -4,7 +4,9 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is forced end-to-end with a noop-format write (full execution,
-no driver collect).
+no driver collect), warmed once at the smallest SF, then timed
+$SPARK_GRAFT_BENCH_RUNS times (default 3); per-query medians make the
+headline total, with every raw reading recorded under "query_runs".
 """
 
 from __future__ import annotations
@@ -95,8 +97,16 @@ def main() -> None:
     # any timing was recorded). Each query is isolated in try/except in
     # BOTH phases; failures are reported per-query and the JSON line still
     # prints with the total over the queries that ran.
+    # Repeated-run protocol (round-8): this host shows +/-50% noise on
+    # single readings, so every timed query runs $SPARK_GRAFT_BENCH_RUNS
+    # times (default 3) immediately after its warm-up and the HEADLINE
+    # number is the sum of per-query MEDIANS — robust to a one-off GC or
+    # host-contention spike in either direction. All raw readings are
+    # recorded in "query_runs" so a reviewer can re-derive any statistic.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     errors: dict[str, str] = {}
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     warmup_sec = 0.0
     for name in names:
         t0 = time.perf_counter()
@@ -108,21 +118,32 @@ def main() -> None:
             errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
             continue
         finally:
-            # queries localCheckpoint (not persist) their multi-consumer
-            # intermediates, so blocks free when the frame is GC'd;
-            # clearCache stays as defense-in-depth so each timed run pays
-            # its own materialization cost even if a cacheManager entry
-            # ever appears
+            # queries cut lineage with localCheckpoint (not persist), so
+            # blocks free when the frame is GC'd; clearCache stays as
+            # defense-in-depth so each timed run pays its own
+            # materialization cost even if a cacheManager entry ever
+            # appears
             spark.catalog.clearCache()
             warmup_sec += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        try:
-            df = all_queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                df = all_queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
+                break
+            finally:
+                spark.catalog.clearCache()
+        if runs:
+            query_runs[name] = runs
+            mid = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
+                (sorted(runs)[len(runs) // 2 - 1] + sorted(runs)[len(runs) // 2])
+                / 2, 3,
+            )
+            timings[name] = mid
     warmup_sec = round(warmup_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -132,6 +153,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": n_runs,
+        "query_runs": query_runs,
+        "total_min": round(sum(min(r) for r in query_runs.values()), 3)
+        if query_runs
+        else 0.0,
+        "total_max": round(sum(max(r) for r in query_runs.values()), 3)
+        if query_runs
+        else 0.0,
         "warmup_sec": warmup_sec,
         "warmup_sf_dir": warm_dir,
     }

@@ -25,6 +25,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .checkpointing import cut_lazy
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 N_PERM = 16
@@ -236,7 +237,7 @@ def prefix_filter_candidates(
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
         .select(id_col, "x", "n", "pos")
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -362,7 +363,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 30,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list: every node ends
     with label = min node id reachable from it (its cluster representative).
@@ -442,7 +443,7 @@ def connected_components_two_phase(
     dst_col: str = "doc_b",
     max_iter: int = 20,
     distinct_bipartite_input: bool = False,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce and

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import oracle_avg, round_half_up, rounded_avg, rounded_sum
 from ..sources.lake import read_table, widen
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 # --- cross-corpus span dedup --------------------------------------------------------
 
@@ -1328,7 +1329,7 @@ def cc_trade_graph_two_phase(spark, sf_dir):
             (F.col("l_suppkey") + _CC2_SUPP_OFFSET).alias("supp"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     minc = pairs.groupBy("supp").agg(F.min("cust").alias("m"))
     seeded = (
@@ -1336,7 +1337,7 @@ def cc_trade_graph_two_phase(spark, sf_dir):
         .select(F.col("cust").alias("a"), F.col("m").alias("b"))
         .union(minc.select(F.col("supp").alias("a"), F.col("m").alias("b")))
         .where(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     m2 = seeded.groupBy("a").agg(F.min("b").alias("m2"))
     contracted = (
@@ -1769,7 +1770,7 @@ def association_rules_pairs(spark, sf_dir):
     op = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     n = op.agg(F.countDistinct("ok").alias("n_orders"))
     freq = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))

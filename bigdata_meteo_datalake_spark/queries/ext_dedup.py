@@ -45,6 +45,7 @@ from ..operators.dedup import (
 )
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 # --- exact dedup ---------------------------------------------------------------
 
@@ -116,7 +117,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     # same shingle relation the MinHash path uses — ONE definition of the
     # gram set so the two Jaccard queries can't drift apart
-    grams = doc_shingles(d).localCheckpoint(eager=False)  # reused by sizes + both join sides
+    grams = doc_shingles(d).transform(cut_lazy)  # reused by sizes + both join sides
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -220,7 +221,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     # the per-doc shingle-hash set feeds the signature AND both verify
     # sides — one small cached relation (doc_id, array<long>)
-    sets = doc_shingle_hash_sets(d).localCheckpoint(eager=False)
+    sets = doc_shingle_hash_sets(d).transform(cut_lazy)
     sig = minhash_signature(sets)
     pairs = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
     verified = jaccard_verify_sets(pairs, sets)
@@ -292,7 +293,7 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
     in-row array_intersect path shared with the MinHash query."""
 
     d = read_table(spark, sf_dir, "documents")
-    sets = doc_shingle_hash_sets(d).localCheckpoint(eager=False)
+    sets = doc_shingle_hash_sets(d).transform(cut_lazy)
     pairs = prefix_filter_candidates(sets, t_num=3, t_den=5)
     verified = jaccard_verify_sets(pairs, sets)
     return verified.where(F.col("jaccard_raw") >= _JACCARD_THRESHOLD).select(

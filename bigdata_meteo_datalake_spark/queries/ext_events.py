@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import count_if, oracle_ratio, round_half_up, rounded_ratio, rounded_sum
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_eager, cut_lazy
 
 # --- funnel: signup -> purchase within 7 days ---------------------------------------
 
@@ -915,7 +916,7 @@ def kaplan_meier_lifetimes(spark, sf_dir):
                 "censored"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     dt = (
         life.where(~F.col("censored"))
@@ -938,7 +939,7 @@ def kaplan_meier_lifetimes(spark, sf_dir):
         )
         .cast("long")
         .alias("lf_micro"),
-    ).localCheckpoint()
+    ).transform(cut_eager)
     a, b = f.alias("a"), f.alias("b")
     s = (
         a.join(F.broadcast(b), F.col("b.t") <= F.col("a.t"))
@@ -1065,7 +1066,7 @@ def logrank_segment_survival(spark, sf_dir):
                 "censored"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     dt = (
         life.where(~F.col("censored"))
@@ -1383,7 +1384,7 @@ def cohort_ltv_curve(spark, sf_dir):
     # cohort-size rollup and the revenue join
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("month", F.min("ts")).alias("cohort_m")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lazy)
     sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_users"))
     rev = (
         ev.where(F.col("event_type") == "purchase")

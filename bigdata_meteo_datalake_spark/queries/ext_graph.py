@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import oracle_round_half_up, round_half_up
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_eager
 
 _DAMPING = 0.85
 _PR_ITERS = 5
@@ -105,7 +106,7 @@ def pagerank_trade_graph(spark, sf_dir):
     edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_eager)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ncount = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     degs = edges.groupBy(F.col("src").alias("node")).agg(
@@ -142,7 +143,7 @@ def pagerank_trade_graph(spark, sf_dir):
                 ).alias("r"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(cut_eager)
     return ranks.select(
         "node",
         F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
@@ -272,7 +273,7 @@ def trade_graph_bfs_hops(spark, sf_dir):
     edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_eager)
     dist = pairs.agg(F.min("cust").alias("node")).select(
         "node", F.lit(0).alias("d")
     )
@@ -287,7 +288,7 @@ def trade_graph_bfs_hops(spark, sf_dir):
             .groupBy("node")
             .agg(F.min("d").alias("d"))
         )
-        dist = dist.localCheckpoint(eager=True)
+        dist = dist.transform(cut_eager)
     return dist.select(
         "node",
         F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
@@ -348,7 +349,7 @@ def hierarchy_depths_doubling(spark, sf_dir):
         F.when(F.col("node") > 0, F.lit(1).cast("long"))
         .otherwise(F.lit(0).cast("long"))
         .alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_eager)
     for _ in range(40):  # 2^40 depth bound — structurally unreachable
         if cur.where(F.col("jump") != 0).isEmpty():
             break
@@ -364,7 +365,7 @@ def hierarchy_depths_doubling(spark, sf_dir):
                 F.col("jjump").alias("jump"),
                 (F.col("dist") + F.col("jdist")).alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_eager)
         )
     return cur.select(
         F.col("node").alias("custkey"),
@@ -445,7 +446,7 @@ def kcore_trade_graph(spark, sf_dir):
     )
     e = p.select(F.col("cust").alias("u"), F.col("supp").alias("v")).union(
         p.select(F.col("supp").alias("u"), F.col("cust").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut_eager)
     counts = [e.count()]
     for _ in range(_KCORE_ROUNDS):
         keep = (
@@ -458,7 +459,7 @@ def kcore_trade_graph(spark, sf_dir):
         e = (
             e.join(keep, "u", "left_semi")
             .join(kb, e["v"] == kb["vk"], "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_eager)
         )
         counts.append(e.count())
     converged = counts[-1] == counts[-2]

@@ -52,6 +52,7 @@ from ..sources.lake import read_table
 from . import register
 from .ext_dedup import _minhash_oracle, dedup_minhash_lsh, minhash_bands_sql_ctes
 from .ext_text import _QC_ORACLE, quality_classifier_score
+from ..operators.checkpointing import cut_eager, cut_lazy
 
 # --- OHLC hourly bars ---------------------------------------------------------------
 
@@ -192,7 +193,7 @@ def degree_assortativity(spark, sf_dir):
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     dc = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("x"))
     ds = pairs.groupBy("supp").agg(F.count(F.lit(1)).alias("y"))
@@ -358,7 +359,7 @@ def forecast_backtest_mase(spark, sf_dir):
             .cast("long")
             .alias("x")
         )
-        .localCheckpoint()
+        .transform(cut_eager)
     )
     lo = monthly.agg(F.min("m").alias("m0"))
     idxd = monthly.crossJoin(F.broadcast(lo)).select(
@@ -1000,7 +1001,7 @@ def ngram_novelty_rate(spark, sf_dir):
             "split",
             (token_hash(F.col("gram")) % 2147483647).alias("x"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     train_sh = hx.where(F.col("split") == "train").select("x").distinct()
     held = hx.where(F.col("split") != "train")
@@ -1175,7 +1176,7 @@ def ts_motif_top_pairs(spark, sf_dir):
             (F.col("n") == _MOTIF_W)
             & (_MOTIF_W * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
         )
-        .localCheckpoint()
+        .transform(cut_eager)
     )
     a = w.select(
         F.col("s").alias("start_a"),
@@ -1454,7 +1455,7 @@ def brier_score_decomposition(spark, sf_dir):
             .cast("int")
             .alias("bin_id"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     err = F.col("p_q") - F.col("y").cast("long") * 1000000
     g = j.agg(
@@ -1641,7 +1642,7 @@ def decision_stump_train(spark, sf_dir):
         F.floor((gl + gr) / F.col("n_all") * 1000000000 + 0.5)
         .cast("long")
         .alias("gini_q"),
-    ).localCheckpoint()  # 19 rows feed both the min and the output
+    ).transform(cut_eager)  # 19 rows feed both the min and the output
     best = scored.agg(F.min("gini_q").alias("g"))
     return scored.crossJoin(F.broadcast(best)).select(
         "feature",
@@ -1925,7 +1926,7 @@ def seasonal_backtest_mase12(spark, sf_dir):
             .cast("long")
             .alias("x")
         )
-        .localCheckpoint()
+        .transform(cut_eager)
     )
     lo = monthly.agg(F.min("m").alias("m0"))
     idxd = monthly.crossJoin(F.broadcast(lo)).select(

@@ -14,6 +14,7 @@ from ..functions.numeric import count_if, round_half_up, rounded_sum
 from ..operators.dedup import token_hash_sql
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 # --- top-k per group (sort + limit per partition) ---------------------------------
 
@@ -1278,7 +1279,7 @@ def gini_customer_spend(spark, sf_dir):
         .groupBy("bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bin", "n", (F.col("lo") + F.col("bin") * width).alias("v"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     agg = hv.agg(F.sum("n").alias("nn"), F.sum(F.col("n") * F.col("v")).alias("sv"))
     a = hv.select(F.col("n").alias("na"), F.col("v").alias("va"))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..sources.lake import read_table, widen
 from . import register
+from ..operators.checkpointing import cut_eager
 
 # Lucene-default BM25 parameters; products precomputed in Python so both
 # engines see the same float literal (repr round-trips exactly).
@@ -238,7 +239,7 @@ def _candidate_ranks(spark, sf_dir, materialize=False):
     ranked = cand.select(
         "id", "list_id", F.row_number().over(w).cast("long").alias("r")
     )
-    return ranked.localCheckpoint() if materialize else ranked
+    return ranked.transform(cut_eager) if materialize else ranked
 
 
 _RRF_ORACLE = f"""

@@ -31,6 +31,7 @@ from ..functions.numeric import count_if, round_half_up
 from ..operators.dedup import token_hash, token_hash_sql
 from ..sources.lake import read_table, widen
 from . import register
+from ..operators.checkpointing import cut_eager, cut_lazy
 
 #: tokenizer shared by every query here — identical character class in
 #: Spark (Java regex) and DuckDB (RE2); empties filtered on both sides.
@@ -347,7 +348,7 @@ def heaps_vocab_growth(spark, sf_dir):
     o = (
         d.select("doc_id", F.explode(_toks()).alias("tok"))
         .select("doc_id", token_hash(F.col("tok")).alias("th"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     per_doc_occ = o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc_new = (
@@ -467,7 +468,7 @@ def zipf_fit_tokens(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("th"))
         .limit(_ZIPF_TOPK)
-        .localCheckpoint()
+        .transform(cut_eager)
     )
     from ..operators.ranking import rank_by_count_join
 
@@ -676,7 +677,7 @@ def mutual_information_report(spark, sf_dir):
         j = (
             t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
             .agg(F.count(F.lit(1)).alias("n_xy"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lazy)
         )
         mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
         my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
@@ -871,7 +872,7 @@ def negative_sampling_popularity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy(F.desc("n_lines"), F.asc("partkey"))
         .limit(_NEG_TOP_PARTS)
-        .localCheckpoint()
+        .transform(cut_eager)
     )
     purch = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
@@ -1082,7 +1083,7 @@ def embedding_covariance(spark, sf_dir):
         rows.mapInPandas(moment_kernel, "i int, j int, s long")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     m2 = partials.where(F.col("j") >= 0).select("i", "j", F.col("s").alias("s_ij"))
     m1 = partials.where((F.col("j") == -1) & (F.col("i") >= 0)).select(
@@ -1190,7 +1191,7 @@ def auc_binned_report(spark, sf_dir):
             count_if(F.col("pos")).alias("n_pos"),
             count_if(~F.col("pos")).alias("n_neg"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     p = h.select(F.col("bin").alias("pb"), F.col("n_pos").alias("np_b"))
     n = h.select(F.col("bin").alias("nb"), F.col("n_neg").alias("nn_b"))
@@ -1399,7 +1400,7 @@ def chi2_independence_report(spark, sf_dir):
         j = (
             t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
             .agg(F.count(F.lit(1)).alias("n_xy"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lazy)
         )
         mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
         my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
@@ -1590,7 +1591,7 @@ def fdr_stability_screen(spark, sf_dir):
     z = m.select(
         "event_type",
         (F.floor((m2 - m1) / F.sqrt(v1 + v2) * 1000000 + 0.5) / 1000000).alias("z"),
-    ).withColumn("absz", F.abs(F.col("z"))).localCheckpoint()
+    ).withColumn("absz", F.abs(F.col("z"))).transform(cut_eager)
     ranked = rank_by_count_join(z, value_col="absz", id_col="event_type", rank_col="rnk")
     crit = F.element_at(
         F.array(*[F.lit(c) for c in _FDR_CRITS]), F.col("rnk").cast("int")
@@ -1599,7 +1600,7 @@ def fdr_stability_screen(spark, sf_dir):
         "event_type", "z", F.col("rnk").cast("int").alias("rnk"),
         crit.alias("z_crit"),
         (F.abs(F.col("z")) >= crit).alias("passes"),
-    ).localCheckpoint()
+    ).transform(cut_eager)
     g = flagged.select(F.col("rnk").alias("grnk"), F.col("passes").alias("gp"))
     bh = (
         flagged.join(F.broadcast(g), F.col("grnk") >= F.col("rnk"), "left")
@@ -1700,7 +1701,7 @@ def ks_two_sample_drift(spark, sf_dir):
             count_if(F.col("h1")).alias("n1_b"),
             count_if(~F.col("h1")).alias("n2_b"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     tot = h.agg(F.sum("n1_b").alias("n1"), F.sum("n2_b").alias("n2"))
     a = h.select(F.col("bin").alias("abin"))
@@ -1819,7 +1820,7 @@ def spearman_qty_price(spark, sf_dir):
         )
         .groupBy("qx", "qy")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     hx = j.groupBy("qx").agg(F.sum("w").alias("fx"))
     hy = j.groupBy("qy").agg(F.sum("w").alias("fy"))

@@ -26,6 +26,7 @@ from ..functions.numeric import round_half_up
 from ..operators.dedup import widen
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 _N_QUERIES = 20  # vec_id < 20 form the query set
 _TOP_K = 5
@@ -968,7 +969,7 @@ def ndcg_at10_report(spark, sf_dir):
             "clabel",
             round_half_up(dot / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC])

@@ -41,6 +41,7 @@ from ..functions.numeric import count_if, project_fence, round_half_up
 from ..operators.dedup import token_hash, token_hash_sql
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_eager
 
 # --- HyperLogLog ------------------------------------------------------------------
 
@@ -876,7 +877,7 @@ def priority_sample_total(spark, sf_dir, salt: str = ""):
         (F.col("w_cents").cast("double") * _PRIO_U_SPAN / F.col("u_scaled")).alias("q"),
     )
     top = (
-        q.orderBy(F.desc("q"), F.asc("k")).limit(_PRIO_K + 1).localCheckpoint()
+        q.orderBy(F.desc("q"), F.asc("k")).limit(_PRIO_K + 1).transform(cut_eager)
     )
     from ..operators.ranking import rank_by_count_join
 

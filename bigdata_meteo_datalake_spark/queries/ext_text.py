@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import count_if, round_half_up, rounded_sum
 from ..sources.lake import read_table, widen
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 # Polynomial rolling-hash coefficients 31^i — shared constants between the
 # Spark expression and the oracle SQL so both engines compute identical
@@ -345,7 +346,7 @@ def text_bigram_lm_score(spark, sf_dir):
         .select("doc_id", F.explode(bg_arr).alias("bg"))
     )
 
-    bigrams = bigrams.localCheckpoint(eager=False)
+    bigrams = bigrams.transform(cut_lazy)
     model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     total = bigrams.count()  # scalar: the corpus bigram count
     scored = (

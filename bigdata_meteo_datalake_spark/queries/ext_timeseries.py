@@ -37,6 +37,7 @@ from ..functions.numeric import (
 )
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 #: High-value readings only (~12% of hours have one) so the hourly series
 #: has real gaps for LOCF/interpolation to repair.
@@ -529,7 +530,7 @@ def stl_decompose_monthly(spark, sf_dir):
     )
     idx = monthly.select(
         "m", "cents", (F.year("m") * 12 + F.month("m")).alias("mi")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lazy)
     b = idx.select(
         F.col("mi").alias("bmi"), F.col("cents").alias("bcents")
     )
@@ -551,7 +552,7 @@ def stl_decompose_monthly(spark, sf_dir):
             "cents",
             F.when(F.col("n_terms") == 13, F.col("num24")).alias("num24"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     seas = (
         tr.where(F.col("num24").isNotNull())
@@ -643,7 +644,7 @@ def mann_kendall_trend(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lazy)
     a, b = monthly.alias("a"), monthly.alias("b")
     s = (
         a.join(F.broadcast(b), F.col("a.m") < F.col("b.m"))
@@ -755,7 +756,7 @@ def theil_sen_slope(spark, sf_dir):
                 "cents"
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     a, b = monthly.alias("a"), monthly.alias("b")
     slopes = a.join(F.broadcast(b), F.col("a.mi") < F.col("b.mi")).select(

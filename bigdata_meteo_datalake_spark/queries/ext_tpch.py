@@ -37,6 +37,7 @@ from ..functions.numeric import (
 )
 from ..sources.lake import read_table
 from . import register
+from ..operators.checkpointing import cut_lazy
 
 # --- Q4: order priority checking (non-equi EXISTS semi-join) ------------------------
 
@@ -713,7 +714,7 @@ def q11_important_stock(spark, sf_dir):
             "ps_partkey",
             (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("val_cents"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     g = v.groupBy("ps_partkey").agg(F.sum("val_cents").alias("value_cents"))
     t = v.agg(F.sum("val_cents").alias("total_cents"))

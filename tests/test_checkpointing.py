@@ -68,3 +68,40 @@ def test_cc_reliable_matches_local(spark, tmp_path, algo):
     local = _as_map(algo(edges, reliable=False))
     rel = _as_map(algo(edges, reliable=True))
     assert local == rel == _WANT
+
+
+def test_env_policy_flips_every_cut_site(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINTS=1 is the cluster escape hatch
+    (round-8): every policy-resolved cut (cut_eager/cut_lazy transform
+    sites across the registry, and operators defaulting reliable=None)
+    switches to reliable checkpoint() without code changes — and fails
+    loudly when no checkpoint dir is registered."""
+    from bigdata_meteo_datalake_spark.operators.checkpointing import (
+        cut_eager,
+        cut_lazy,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINTS", "1")
+    had_dir = spark.sparkContext.getCheckpointDir()
+    if had_dir is None:
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            spark.range(3).toDF("x").transform(cut_eager)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "policy_ckpt"))
+    df = _edge_df(spark).groupBy("doc_a").count()
+    out = df.transform(cut_eager)
+    assert _plan_is_rdd_scan(out) and out.count() == 6
+    lazy = df.transform(cut_lazy)
+    assert lazy.count() == 6
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(str(tmp_path / "policy_ckpt"))
+        for f in fs
+    ]
+    assert files, "env policy did not route cuts into the checkpoint dir"
+
+    # an iterative operator with reliable=None (the default) follows the
+    # same policy end to end
+    assert _as_map(connected_components(_edge_df(spark))) == _WANT
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINTS", "0")
+    assert spark.range(2).toDF("x").transform(cut_eager).count() == 2

@@ -339,7 +339,14 @@ def test_session_expiry_timer_closes_idle_sessions(spark, tmp_path):
     JVM and the Python runner; this container ships pyspark without
     google.protobuf, so the operator can only execute where protobuf is
     installed (any standard Spark deployment). The operator itself is
-    plain public-API code — this test runs it end-to-end when it can."""
+    plain public-API code — this test runs it end-to-end when it can.
+
+    Round-8 determination: the gate cannot be lifted in this sandbox —
+    package installation is disallowed here, and the protocol consumes
+    pyspark's GENERATED pb2 modules, which need the real google.protobuf
+    runtime (descriptor pool, message factory); a hand-written shim of
+    that runtime is not a faithful test of the operator. The gate stays,
+    loudly, until the environment ships protobuf."""
     pytest.importorskip("google.protobuf")
     import datetime as dt
 
