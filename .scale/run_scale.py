@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Scale spot-check: run the slowest headline queries at sf0.1 and at a
+self-generated sf1 (10x documents/orders/lineitem; copies are key-shifted
+and token-renamed so each copy is similarity-disjoint — see SCALE.md) and
+report wall-time ratios. A bucketed/near-linear operator should land near
+10x; anything >3x superlinear (ratio >30) is flagged for diagnosis."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bigdata_meteo_datalake_spark.queries import queries  # noqa: E402
+from bigdata_meteo_datalake_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "cc_trade_graph_two_phase",
+    "dedup_jaccard_prefix_filter",
+    "span_dedup_report",
+    "dedup_minhash_lsh",
+    "dsir_importance_weights",
+    "pricing_summary",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/.scale/sf1"
+WARM = "/root/testdata/sf0.001"
+
+
+def run(spark, qs, name, sf_dir):
+    t0 = time.perf_counter()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return round(dt, 3)
+
+
+def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scale", cpus=cpus, shuffle_partitions=cpus)
+    qs = queries()
+    out = {}
+    for name in QUERIES:
+        run(spark, qs, name, WARM)  # JIT/codegen warm-up
+        t01 = min(run(spark, qs, name, SF01) for _ in range(2))
+        t1 = min(run(spark, qs, name, SF1) for _ in range(2))
+        out[name] = {
+            "sf0.1_sec": t01,
+            "sf1_sec": t1,
+            "ratio": round(t1 / t01, 2),
+        }
+        print(name, out[name], flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
