@@ -32,6 +32,7 @@ quality scaling convention.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -141,17 +142,36 @@ def _ijg_scale(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _huff_decode_table(bits, values):
-    """(code, length) -> symbol map per T.81 C.2 canonical code assignment."""
-    table = {}
+    """Canonical codes (T.81 C.2) -> a flat 16-bit peek LUT: entry i
+    (the next 16 bits of the stream) holds (symbol, code_length); a
+    length of 0 marks an invalid prefix. One dict/bit-loop-free lookup
+    decodes any code — the hot-path trade for 2x64 KiB per table."""
+    return _build_huff_lut(tuple(bits), tuple(values))
+
+
+@lru_cache(maxsize=64)
+def _build_huff_lut(bits: tuple, values: tuple):
+    """Cached LUT builder — fixture corpora repeat the same DHT segments
+    (usually the Annex K tables) across every blob."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            if k >= len(values):
+                raise ValueError("corrupt DHT: fewer values than BITS claims")
+            if code >= (1 << length):
+                raise ValueError("corrupt DHT: code overflow at length "
+                                 f"{length}")
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = values[k]
+            ln[base : base + span] = length
             k += 1
             code += 1
         code <<= 1
-    return table
+    return sym, ln
 
 
 def _huff_encode_table(bits, values):
@@ -194,10 +214,11 @@ class _BitReader:
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn reached mid-read: spec error
-                raise ValueError("unexpected restart marker inside block")
             else:
-                # reached a real marker (EOI/next segment): pad with 1s
+                # reached a marker: RSTn (end of a restart segment — the
+                # 16-bit peek may legitimately prefetch past it) or a
+                # real one (EOI/next segment). Pad with 1s per spec; pos
+                # stays ON the marker for align_to_marker.
                 self.pad_fills += 1
                 if self.pad_fills > self._MAX_PAD_FILLS:
                     raise ValueError(
@@ -209,7 +230,8 @@ class _BitReader:
                 return
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
+        # trim already-consumed high bits so the int stays word-sized
+        self.bitbuf = ((self.bitbuf & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -219,10 +241,21 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        """Bulk n-bit read (MSB first) from the byte-filled buffer."""
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (pad-filled past the final
+        marker like any other read) — the Huffman LUT index."""
+        while self.nbits < 16:
+            self._fill()
+        return (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def align_to_marker(self):
         """Drop buffered bits and skip an expected RSTn marker."""
@@ -243,13 +276,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def _huff_read(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
+    """One LUT probe decodes any canonical code: peek 16 bits, the entry
+    holds (symbol, true code length), consume the length."""
+    sym, ln = table
+    idx = br.peek16()
+    length = ln[idx]
+    if length == 0:
+        raise ValueError("invalid Huffman code in entropy stream")
+    br.skip(int(length))
+    return int(sym[idx])
 
 
 # --- decoder -------------------------------------------------------------------
@@ -374,66 +409,89 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    # Entropy decode is inherently sequential (each Huffman code's start
+    # depends on the previous), so the MCU loop only COLLECTS zigzag
+    # coefficients; dequantization + IDCT run afterwards as one batched
+    # einsum per component.
+    coefs = [
+        np.zeros((mcuy * mcux * c["v"] * c["h"], 64), dtype=np.int64)
+        for (c, _dt, _at, _q) in order
     ]
+    nblk = [0] * len(comps)
     pred = [0] * len(comps)
     br = _BitReader(b, pos)
     mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    blocks_per_mcu = [(c["v"], c["h"]) for (c, _dt, _at, _q) in order]
+    for _my in range(mcuy):
+        for _mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_to_marker()
                 pred = [0] * len(comps)
             for ci, (c, dtab, atab, q) in enumerate(order):
-                for bv in range(c["v"]):
-                    for bh_ in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
-                        t = _huff_read(br, dtab)
-                        if t > 15:
-                            # baseline DC categories stop at 11; a bigger
-                            # value only arises from a corrupt DHT and
-                            # would balloon read_bits/pred
-                            raise ValueError(
-                                f"invalid DC category {t} in entropy stream"
-                            )
-                        diff = _extend(br.read_bits(t), t)
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_read(br, atab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: sixteen zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            coef[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        block = np.zeros((8, 8), dtype=np.int64)
-                        block.reshape(64)[_ZIGZAG] = coef
-                        pix = _M.T @ (block * q).astype(np.float64) @ _M
-                        y0 = (my * c["v"] + bv) * 8
-                        x0 = (mx * c["h"] + bh_) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+                nv, nh = blocks_per_mcu[ci]
+                for _blk in range(nv * nh):
+                    coef = coefs[ci][nblk[ci]]
+                    nblk[ci] += 1
+                    t = _huff_read(br, dtab)
+                    if t > 15:
+                        # baseline DC categories stop at 11; a bigger
+                        # value only arises from a corrupt DHT and
+                        # would balloon read_bits/pred
+                        raise ValueError(
+                            f"invalid DC category {t} in entropy stream"
+                        )
+                    diff = _extend(br.read_bits(t), t)
+                    pred[ci] += diff
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(br, atab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        coef[k] = _extend(br.read_bits(s), s)
+                        k += 1
             mcu += 1
 
-    # per-component crop to its own resolution, then nearest upsampling
-    # (pixel replication) back to full image resolution
-    up = []
-    for c, p in zip(comps, planes):
-        cw = (width * c["h"] + hmax - 1) // hmax
-        chh = (height * c["v"] + vmax - 1) // vmax
+    # batched per component: zigzag -> raster, dequantize, IDCT, then
+    # reorder decode-order blocks into the block-raster grid and crop /
+    # replicate-upsample to full resolution
+    planes = []
+    for ci, (c, _dt, _at, q) in enumerate(order):
+        h_i, v_i = c["h"], c["v"]
+        cols8 = mcux * h_i
+        rows8 = mcuy * v_i
+        n = coefs[ci].shape[0]
+        raster = np.zeros((n, 64), dtype=np.int64)
+        raster[:, _ZIGZAG] = coefs[ci]
+        deq = (raster.reshape(n, 8, 8) * q[None, :, :]).astype(np.float64)
+        pix = np.einsum("ij,njk,kl->nil", _M.T, deq, _M, optimize=True)
+        # decode-order block b of this component sits at block row
+        # my*v + bv, column mx*h + bh (T.81 A.2.3 in-MCU order)
+        bidx = np.arange(n)
+        m, r = bidx // (v_i * h_i), bidx % (v_i * h_i)
+        brow = (m // mcux) * v_i + r // h_i
+        bcol = (m % mcux) * h_i + r % h_i
+        grid = np.empty((rows8 * cols8, 8, 8))
+        grid[brow * cols8 + bcol] = pix
+        p = (
+            grid.reshape(rows8, cols8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows8 * 8, cols8 * 8)
+        )
+        cw = (width * h_i + hmax - 1) // hmax
+        chh = (height * v_i + vmax - 1) // vmax
         p = p[:chh, :cw]
-        fy, fx = vmax // c["v"], hmax // c["h"]
+        fy, fx = vmax // v_i, hmax // h_i
         if fy > 1 or fx > 1:
             p = p.repeat(fy, axis=0).repeat(fx, axis=1)
-        up.append(p[:height, :width])
-    planes = [p + 128.0 for p in up]
+        planes.append(p[:height, :width] + 128.0)
     if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes
@@ -485,27 +543,24 @@ def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int, dtab, atab) -> in
     bw.write(code, length)
     if t:
         bw.write(_mag_bits(diff, t), t)
-    run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if coef[k] != 0:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
-        v = int(coef[k])
-        if v == 0:
-            run += 1
-            continue
+    # iterate only the nonzero AC positions (typical quantized blocks are
+    # sparse); runs of zeros come from position gaps
+    nz = np.nonzero(coef[1:])[0]
+    prev_k = 0
+    for p in nz:
+        k = int(p) + 1
+        run = k - prev_k - 1
         while run > 15:
             code, length = atab[0xF0]  # ZRL
             bw.write(code, length)
             run -= 16
+        v = int(coef[k])
         s = _category(v)
         code, length = atab[(run << 4) | s]
         bw.write(code, length)
         bw.write(_mag_bits(v, s), s)
-        run = 0
-    if last_nz < 63:
+        prev_k = k
+    if prev_k < 63:
         code, length = atab[0x00]  # EOB
         bw.write(code, length)
     return dc
@@ -618,9 +673,13 @@ def encode_jpeg(
             pp[:, pw:] = pp[:, pw - 1 : pw]
         return pp
 
-    padded = []
-    for (fh, fv), p in zip(factors, planes):
-        # component resolution: ceil(dim * factor / max_factor) per T.81
+    # Batched transform stage: per component, downsample, pad, cut into
+    # the block-raster grid, and run DCT + quantize + zigzag as single
+    # numpy expressions. The (sequential) entropy writer then walks the
+    # precomputed coefficients in T.81 A.2.3 interleaved-MCU order.
+    zz_all = []  # per component: (n_blocks, 64) int64, block-raster order
+    geo = []  # per component: (fh, fv, cols8)
+    for (fh, fv), p, q in zip(factors, planes, tables):
         cw = (w * fh + hmax - 1) // hmax
         chh = (h * fv + vmax - 1) // vmax
         fx, fy = hmax // fh, vmax // fv
@@ -629,8 +688,17 @@ def encode_jpeg(
             # edge-replicated so odd edges average real pixels
             src = _pad_edge(p, chh * fy, cw * fx)
             p = src.reshape(chh, fy, cw, fx).mean(axis=(1, 3))
-        pp = _pad_edge(p, mcuy * fv * 8, mcux * fh * 8)
-        padded.append(pp - 128.0)
+        rows8, cols8 = mcuy * fv, mcux * fh
+        pp = _pad_edge(p, rows8 * 8, cols8 * 8) - 128.0
+        blocks = (
+            pp.reshape(rows8, 8, cols8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows8 * cols8, 8, 8)
+        )
+        coef = np.einsum("ij,njk,kl->nil", _M, blocks, _M.T, optimize=True)
+        qc = np.rint(coef / q[None, :, :]).astype(np.int64)
+        zz_all.append(qc.reshape(-1, 64)[:, _ZIGZAG])
+        geo.append((fh, fv, cols8))
     writer = _BitWriter()
     pred = [0] * nc
     mcu = 0
@@ -641,18 +709,13 @@ def encode_jpeg(
                 out_rst = 0xD0 + (mcu // restart_interval - 1) % 8
                 writer.out += bytes([0xFF, out_rst])
                 pred = [0] * nc
-            for ci, p in enumerate(padded):
-                fh, fv = factors[ci]
+            for ci, (fh, fv, cols8) in enumerate(geo):
                 for bv in range(fv):
                     for bh_ in range(fh):
-                        y0 = (my * fv + bv) * 8
-                        x0 = (mx * fh + bh_) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8]
-                        coef = _M @ block @ _M.T
-                        qc = np.rint(coef / tables[ci]).astype(np.int64)
-                        zz = qc.reshape(64)[_ZIGZAG]
+                        idx = (my * fv + bv) * cols8 + mx * fh + bh_
                         pred[ci] = _encode_block(
-                            writer, zz, pred[ci], dc_enc[ci], ac_enc[ci]
+                            writer, zz_all[ci][idx], pred[ci],
+                            dc_enc[ci], ac_enc[ci],
                         )
             mcu += 1
     writer.flush()
