@@ -10,24 +10,27 @@ codec stubbed:
   beyond the reshape. Encoder included (tests generate real images).
 - **WAV** (PCM 16-bit): stdlib ``wave`` for the RIFF container, numpy for
   the sample math.
-- **PNG** (8-bit grayscale / RGB / RGBA / palette-indexed; non-interlaced
+- **PNG** (every legal IHDR combination: gray at depths 1/2/4/8/16,
+  gray+alpha 8/16, RGB 8/16, RGBA 8/16, palette 1/2/4/8; non-interlaced
   AND Adam7 interlaced): chunk parsing with ``struct`` + ``zlib.crc32``,
   inflate with ``zlib``, and a full implementation of all five scanline
   filters (None/Sub/Up/Average/Paeth) per the PNG spec (RFC 2083
-  section 6); Adam7's seven passes decode as independent sub-images and
-  scatter to their pixel grids; color type 3 unfilters the 1-byte index
-  plane then expands through the PLTE table to RGB. Encoder included
-  with a selectable per-row filter (``interlace=True``, ``palette=``)
-  so tests exercise every unfilter path.
+  section 6) at the spec's byte-distance max(1, channels*depth/8);
+  Adam7's seven passes decode as independent sub-images and scatter to
+  their pixel grids; color type 3 unfilters the index plane then
+  expands through the PLTE table to RGB; sub-byte gray scales to the
+  full 8-bit range, depth 16 returns uint16. Encoder included with a
+  selectable per-row filter (``interlace=True``, ``palette=``,
+  ``depth=``) so tests exercise every unfilter path.
 - **JPEG** (baseline sequential DCT, grayscale / 4:4:4 / 4:2:2 / 4:2:0
   RGB): full Huffman entropy codec + 8x8 DCT in ``operators/jpeg.py``
   (spec Annex K tables), interleaved-MCU chroma subsampling with
   box-average downsampling / replication upsampling; lossy in general,
   bit-exact on block-constant fixtures — see that module's docstring.
 
-Anything else (MP4 frame decode; progressive JPEG; non-8-bit or
-tRNS-transparent PNG) still raises NotImplementedError at the codec
-insertion point — a declared boundary, not silent wrong answers.
+Anything else (MP4 frame decode; progressive JPEG; tRNS-transparent
+PNG) still raises NotImplementedError at the codec insertion point — a
+declared boundary, not silent wrong answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode
@@ -148,8 +151,57 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 # --- PNG ----------------------------------------------------------------------
 
-#: IHDR color type -> samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+#: IHDR color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG spec 11.2.2)
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_stride(width: int, channels: int, depth: int) -> int:
+    """Scanline length in bytes (sub-byte pixels pack MSB-first)."""
+    return (width * channels * depth + 7) // 8
+
+
+def _rows_to_pixels(
+    rows: np.ndarray, width: int, channels: int, depth: int
+) -> np.ndarray:
+    """(h, stride) unfiltered scanline bytes -> (h, width, channels)
+    samples: uint16 for depth 16 (big-endian pairs), uint8 otherwise
+    (sub-byte depths unpack MSB-first, values NOT yet scaled)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * channels].reshape(h, width, channels)
+    if depth == 16:
+        s = rows[:, : width * channels * 2]
+        hi = s[:, 0::2].astype(np.uint16)
+        return ((hi << 8) | s[:, 1::2]).reshape(h, width, channels)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(h, width, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(h, width, 1)
+
+
+def _pixels_to_rows(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(h, width*channels) integer samples -> (h, stride) scanline bytes
+    (inverse of _rows_to_pixels)."""
+    h, n = arr.shape
+    if depth == 8:
+        return arr.astype(np.uint8)
+    if depth == 16:
+        out = np.empty((h, n * 2), dtype=np.uint8)
+        a = arr.astype(np.uint16)
+        out[:, 0::2] = (a >> 8).astype(np.uint8)
+        out[:, 1::2] = (a & 0xFF).astype(np.uint8)
+        return out
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((arr[:, :, None] >> weights[None, None, :]) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(h, n * depth), axis=1)
 
 #: decoded-pixel budget (bytes). A crafted IHDR (e.g. 100k x 100k) or a
 #: deflate bomb must fail with the codec contract's ValueError, not a
@@ -160,17 +212,19 @@ _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 _PNG_MAX_DECODED_BYTES = 1 << 28  # 256 MiB of raw scanlines
 
 
-def _png_expected_raw(width: int, height: int, channels: int, interlace: int) -> int:
+def _png_expected_raw(
+    width: int, height: int, channels: int, depth: int, interlace: int
+) -> int:
     """Exact decompressed scanline-stream length the IHDR implies
     ((stride + 1) bytes per row; Adam7 sums its seven sub-images)."""
     if interlace == 0:
-        return (width * channels + 1) * height
+        return (_png_stride(width, channels, depth) + 1) * height
     total = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = max(0, (width - x0 + dx - 1) // dx)
         ph = max(0, (height - y0 + dy - 1) // dy)
         if pw and ph:
-            total += (pw * channels + 1) * ph
+            total += (_png_stride(pw, channels, depth) + 1) * ph
     return total
 
 
@@ -214,19 +268,20 @@ _ADAM7 = [
 ]
 
 
-def _unfilter_rows(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
+def _unfilter_rows(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Filtered scanlines ((stride+1) bytes per row) -> (height, stride)
-    uint8 pixel rows.
+    uint8 pixel-byte rows. ``stride`` is the scanline length in BYTES and
+    ``bpp`` the filter delta distance in bytes (max(1, channels*depth/8)
+    per the spec — sub-byte depths filter at distance 1).
 
     Unfiltering works on int32 rows. Vectorization by filter type:
-    None is a copy; Up is one whole-row vector add; Sub is a per-channel
+    None is a copy; Up is one whole-row vector add; Sub is a per-lane
     cumulative sum mod 256 (out[p] = sum of raw deltas up to p), so all
     three are O(1) numpy calls per row. Average and Paeth have a true
-    data dependency along x (each pixel needs the already-unfiltered
-    left neighbor), so they loop over PIXELS with the channel group
+    data dependency along x (each byte group needs the already-unfiltered
+    left neighbor), so they loop over byte groups with the group
     vectorized — the spec makes them inherently sequential; a constant
     factor beyond this needs a native codec (PIL/libpng swap-in)."""
-    stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"PNG pixel data length {len(raw)} != expected {(stride + 1) * height}"
@@ -238,53 +293,60 @@ def _unfilter_rows(raw: bytes, height: int, width: int, channels: int) -> np.nda
         raise ValueError(f"unknown PNG filter type {int(bad[0])} on row {y}")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
+    pad = (-stride) % bpp  # lane-pad so the cumsum reshape is rectangular
     for y in range(height):
         ftype = int(ftypes[y])
         line = rows[y, 1:].astype(np.int32)
-        if ftype == 1:  # Sub: prefix sum per channel lane, mod 256
+        if ftype == 1:  # Sub: prefix sum per byte lane, mod 256
+            lanes = np.concatenate([line, np.zeros(pad, dtype=np.int32)]) if pad else line
             line = (
-                np.cumsum(line.reshape(-1, channels), axis=0, dtype=np.int64)
-                .reshape(stride) & 0xFF
+                np.cumsum(lanes.reshape(-1, bpp), axis=0, dtype=np.int64)
+                .reshape(-1)[:stride] & 0xFF
             ).astype(np.int32)
         elif ftype == 2:  # Up
             line = (line + prev) & 0xFF
         elif ftype == 3:  # Average
-            line[:channels] = (line[:channels] + (prev[:channels] >> 1)) & 0xFF
-            for x in range(channels, stride, channels):
-                line[x : x + channels] = (
-                    line[x : x + channels]
-                    + ((line[x - channels : x] + prev[x : x + channels]) >> 1)
+            line[:bpp] = (line[:bpp] + (prev[:bpp] >> 1)) & 0xFF
+            for x in range(bpp, stride, bpp):
+                e = min(x + bpp, stride)
+                line[x:e] = (
+                    line[x:e]
+                    + ((line[x - bpp : e - bpp] + prev[x:e]) >> 1)
                 ) & 0xFF
-        elif ftype == 4:  # Paeth (first pixel: a = c = 0 -> predictor is up)
-            line[:channels] = (line[:channels] + prev[:channels]) & 0xFF
-            for x in range(channels, stride, channels):
+        elif ftype == 4:  # Paeth (first group: a = c = 0 -> predictor is up)
+            line[:bpp] = (line[:bpp] + prev[:bpp]) & 0xFF
+            for x in range(bpp, stride, bpp):
+                e = min(x + bpp, stride)
                 pred = _paeth(
-                    line[x - channels : x],
-                    prev[x : x + channels],
-                    prev[x - channels : x],
+                    line[x - bpp : e - bpp],
+                    prev[x:e],
+                    prev[x - bpp : e - bpp],
                 )
-                line[x : x + channels] = (line[x : x + channels] + pred) & 0xFF
+                line[x:e] = (line[x:e] + pred) & 0xFF
         out[y] = line
         prev = line
     return out
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """8-bit PNG -> uint8 array: (H, W) for grayscale, (H, W, 3) for RGB
-    or palette-indexed (color type 3, expanded through PLTE), (H, W, 4)
-    for RGBA. Non-interlaced AND Adam7-interlaced streams both decode
-    (each interlace pass is unfiltered independently per the spec, then
-    scattered to its (x0 + i*dx, y0 + j*dy) grid).
+    """PNG -> sample array: (H, W) for grayscale, (H, W, 2) gray+alpha,
+    (H, W, 3) for RGB or palette-indexed (color type 3, expanded through
+    PLTE), (H, W, 4) for RGBA. Every legal IHDR combination decodes —
+    bit depths 1/2/4 (gray and palette; MSB-first packed, gray scaled to
+    the full 8-bit range like libpng), 8, and 16 (returned as uint16,
+    big-endian samples per spec). Non-interlaced AND Adam7-interlaced
+    streams both decode (each interlace pass is unfiltered independently
+    per the spec, then scattered to its (x0 + i*dx, y0 + j*dy) grid).
 
-    Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth);
-    CRCs are verified chunk by chunk. Non-8-bit depths and tRNS
-    transparency raise loudly — they need real codec surface area this
-    stdlib implementation intentionally does not carry.
+    Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth,
+    filter distance max(1, channels*depth/8) bytes); CRCs are verified
+    chunk by chunk. tRNS transparency is the one remaining declared
+    NotImplementedError boundary.
     """
     if b[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
-    channels = None
+    channels = depth = None
     is_palette = False
     plte = None
     interlace = 0
@@ -297,19 +359,19 @@ def decode_png(b: bytes) -> np.ndarray:
                 )
             except struct.error as e:
                 raise ValueError(f"malformed PNG IHDR ({e})") from e
-            if depth != 8 or (color not in _PNG_CHANNELS and color != 3):
-                raise NotImplementedError(
-                    f"only 8-bit gray/RGB/RGBA/palette PNG supported "
+            if color not in _PNG_CHANNELS or depth not in _PNG_VALID_DEPTHS[color]:
+                raise ValueError(
+                    f"illegal PNG depth/color combination "
                     f"(depth={depth}, color_type={color})"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace not in (0, 1):
                 raise ValueError(f"invalid PNG interlace method {interlace}")
-            # palette images unfilter as a 1-byte index plane; PLTE
-            # expansion to RGB happens after de-interlacing
+            # palette images unfilter as an index plane; PLTE expansion
+            # to RGB happens after de-interlacing
             is_palette = color == 3
-            channels = 1 if is_palette else _PNG_CHANNELS[color]
+            channels = _PNG_CHANNELS[color]
         elif ctype == b"PLTE":
             if len(data) == 0 or len(data) % 3 != 0 or len(data) > 768:
                 raise ValueError(f"invalid PLTE length {len(data)}")
@@ -324,7 +386,7 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing its PLTE chunk")
     if width == 0 or height == 0:
         raise ValueError("PNG has zero width or height")
-    expected = _png_expected_raw(width, height, channels, interlace)
+    expected = _png_expected_raw(width, height, channels, depth, interlace)
     if expected > _PNG_MAX_DECODED_BYTES:
         raise ValueError(
             f"PNG dimensions {width}x{height}x{channels} imply {expected} "
@@ -341,15 +403,17 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG pixel data longer than the {expected} bytes IHDR implies"
         )
+    bpp = max(1, channels * depth // 8)
     if interlace == 0:
-        out = _unfilter_rows(raw, height, width, channels)
-        pix = out if channels == 1 else out.reshape(height, width, channels)
+        rows = _unfilter_rows(raw, height, _png_stride(width, channels, depth), bpp)
+        pix = _rows_to_pixels(rows, width, channels, depth)
     else:
         # Adam7: seven independent sub-images, each filtered relative to
         # its own previous pass row; zero-dimension passes contribute no
         # bytes
-        out = np.zeros((height, width * channels), dtype=np.uint8).reshape(
-            height, width, channels
+        pix = np.zeros(
+            (height, width, channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
         )
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -357,23 +421,28 @@ def decode_png(b: bytes) -> np.ndarray:
             ph = max(0, (height - y0 + dy - 1) // dy)
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (pw * channels + 1)
-            sub = _unfilter_rows(raw[pos : pos + need], ph, pw, channels)
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            st = _png_stride(pw, channels, depth)
+            need = ph * (st + 1)
+            sub = _unfilter_rows(raw[pos : pos + need], ph, st, bpp)
+            pix[y0::dy, x0::dx] = _rows_to_pixels(sub, pw, channels, depth)
             pos += need
         if pos != len(raw):
             raise ValueError(
                 f"interlaced PNG pixel data length {len(raw)} != expected {pos}"
             )
-        pix = out[:, :, 0] if channels == 1 else out
     if is_palette:
-        if int(pix.max(initial=0)) >= len(plte):
+        idx = pix[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
             raise ValueError(
-                f"palette index {int(pix.max())} out of range for "
+                f"palette index {int(idx.max())} out of range for "
                 f"{len(plte)}-entry PLTE"
             )
-        return plte[pix]  # (H, W) indices -> (H, W, 3) RGB
-    return pix
+        return plte[idx]  # (H, W) indices -> (H, W, 3) RGB
+    if depth < 8:
+        # scale d-bit gray to the full 8-bit range (255/(2^d - 1) is an
+        # exact integer for d in {1, 2, 4})
+        pix = (pix * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return pix[:, :, 0] if channels == 1 else pix
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -391,17 +460,29 @@ def encode_png(
     filter_type: int | str = 0,
     interlace: bool = False,
     palette: np.ndarray | None = None,
+    depth: int | None = None,
 ) -> bytes:
-    """uint8 array (H, W) / (H, W, 3) / (H, W, 4) -> 8-bit PNG.
-    ``filter_type`` selects the per-row scanline filter: 0..4 for a
-    fixed filter, or ``"cycle"`` to use filter ``y % 5`` on row y — the
-    test/fixture mode that forces a decoder through every unfilter path
-    in a single image. ``interlace=True`` writes Adam7 (seven passes,
-    each filtered as its own sub-image per the spec). ``palette`` (an
-    (N<=256, 3) uint8 RGB table) writes color type 3: ``arr`` must then
-    be an (H, W) INDEX plane into that table — decoding expands back to
-    the (H, W, 3) RGB image ``palette[arr]``."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    """sample array -> PNG, at any legal IHDR combination.
+
+    ``arr``: (H, W) grayscale, (H, W, 2) gray+alpha, (H, W, 3) RGB,
+    (H, W, 4) RGBA — uint8 writes depth 8, uint16 writes depth 16
+    (big-endian samples). ``depth`` of 1/2/4 packs sub-byte grayscale or
+    palette indices (values must fit the depth; note the DECODER scales
+    sub-byte gray to the full 8-bit range). ``filter_type`` selects the
+    per-row scanline filter: 0..4 fixed, or ``"cycle"`` for filter
+    ``y % 5`` on row y — the test/fixture mode that forces a decoder
+    through every unfilter path in a single image. ``interlace=True``
+    writes Adam7 (seven passes, each filtered as its own sub-image per
+    the spec). ``palette`` (an (N<=256, 3) uint8 RGB table) writes color
+    type 3: ``arr`` must then be an (H, W) INDEX plane into that table —
+    decoding expands back to the (H, W, 3) RGB image ``palette[arr]``."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint16:
+        if depth not in (None, 16):
+            raise ValueError("uint16 samples write depth 16")
+        depth = 16
+    elif arr.dtype != np.uint8:
+        arr = arr.astype(np.uint8)
     if palette is not None:
         pal = np.asarray(palette, dtype=np.uint8)
         if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
@@ -412,37 +493,54 @@ def encode_png(
             raise ValueError(
                 f"palette PNG takes an (H, W) index plane, got {arr.shape}"
             )
-        if int(arr.max(initial=0)) >= pal.shape[0]:
+        depth = 8 if depth is None else depth
+        if int(arr.max(initial=0)) >= min(pal.shape[0], 1 << depth):
             raise ValueError(
                 f"index {int(arr.max())} out of range for "
-                f"{pal.shape[0]}-entry palette"
+                f"{pal.shape[0]}-entry palette at depth {depth}"
             )
         channels, color = 1, 3
+        full = arr[:, :, None]
     elif arr.ndim == 2:
         channels, color = 1, 0
-    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        depth = 8 if depth is None else depth
+        if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(
+                f"gray value {int(arr.max())} does not fit depth {depth}"
+            )
+        full = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
         channels = arr.shape[2]
-        color = 2 if channels == 3 else 6
+        color = {2: 4, 3: 2, 4: 6}[channels]
+        depth = 8 if depth is None else depth
+        full = arr
     else:
-        raise ValueError(f"expected (H,W), (H,W,3) or (H,W,4) array, got {arr.shape}")
+        raise ValueError(
+            f"expected (H,W), (H,W,2), (H,W,3) or (H,W,4) array, got {arr.shape}"
+        )
+    if depth not in _PNG_VALID_DEPTHS[color]:
+        raise ValueError(
+            f"illegal PNG depth/color combination (depth={depth}, "
+            f"color_type={color})"
+        )
     h, w = arr.shape[:2]
+    bpp = max(1, channels * depth // 8)
     if interlace:
-        # Adam7: each pass's sub-image is gathered and filtered as its own
-        # scanline stream (filter context resets per pass, per the spec)
-        full = arr.reshape(h, w, channels)
+        # Adam7: each pass's sub-image is gathered, packed, and filtered
+        # as its own scanline stream (filter context resets per pass)
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = full[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            raw += _filter_rows(
-                sub.reshape(sub.shape[0], sub.shape[1] * channels),
-                channels,
-                filter_type,
+            rows = _pixels_to_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * channels), depth
             )
+            raw += _filter_rows(rows, bpp, filter_type)
     else:
-        raw = _filter_rows(arr.reshape(h, w * channels), channels, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+        rows = _pixels_to_rows(full.reshape(h, w * channels), depth)
+        raw = _filter_rows(rows, bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _png_chunk(b"PLTE", pal.tobytes())
@@ -453,19 +551,20 @@ def encode_png(
     )
 
 
-def _filter_rows(flat: np.ndarray, channels: int, filter_type) -> bytearray:
-    """(h, stride) uint8 pixel rows -> filtered scanline byte stream.
+def _filter_rows(flat: np.ndarray, bpp: int, filter_type) -> bytearray:
+    """(h, stride) uint8 scanline BYTES -> filtered scanline byte stream
+    (``bpp`` is the spec's filter delta distance in bytes).
 
-    Filtering (unlike UNfiltering) reads only ORIGINAL pixel values, so
+    Filtering (unlike UNfiltering) reads only ORIGINAL byte values, so
     every filter type is one vectorized row expression — left/up/upper-
-    left neighbors are channel-shifted views of the raw rows."""
+    left neighbors are bpp-shifted views of the raw rows."""
     stride = flat.shape[1]
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(flat.shape[0]):
         line = flat[y].astype(np.int32)
         left = np.zeros(stride, dtype=np.int32)
-        left[channels:] = line[:-channels]
+        left[bpp:] = line[:-bpp]
         ft = (y % 5) if filter_type == "cycle" else int(filter_type)
         raw.append(ft)
         if ft == 0:
@@ -478,7 +577,7 @@ def _filter_rows(flat: np.ndarray, channels: int, filter_type) -> bytearray:
             filtered = line - ((left + prev) >> 1)
         elif ft == 4:
             ul = np.zeros(stride, dtype=np.int32)
-            ul[channels:] = prev[:-channels]
+            ul[bpp:] = prev[:-bpp]
             filtered = line - _paeth(left, prev, ul)
         else:
             raise ValueError(f"filter_type must be 0..4 or 'cycle', got {ft}")

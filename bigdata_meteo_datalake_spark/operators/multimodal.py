@@ -6,7 +6,7 @@ The container has no PIL/ffmpeg, so ``decode=fake`` produces deterministic
 features derived from the bytes (the Spark-side plumbing — schema, batch
 iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
-stdlib+numpy — uncompressed 24-bit BMP, 8-bit PNG (gray/RGB/RGBA/palette,
+stdlib+numpy — uncompressed 24-bit BMP, PNG at every legal IHDR combo (gray 1/2/4/8/16, gray+alpha, RGB/RGBA 8/16, palette,
 all five scanline filters, Adam7 interlace included), baseline sequential JPEG
 (grayscale / 4:4:4 / 4:2:2 / 4:2:0, operators/jpeg.py), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
@@ -380,7 +380,7 @@ def repartition_by_bytes(df: DataFrame, *, target_bytes_per_partition: int,
 def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     """Image decode -> (width, height, n_bytes, mean_intensity) via
     mapInPandas. `decode="real"` decodes uncompressed 24-bit BMP,
-    8-bit PNG (gray/RGB/RGBA, Adam7 included), and baseline sequential
+    PNG at every legal depth/color combo (Adam7 included), and baseline sequential
     JPEG with the stdlib codecs (media_codecs.decode_bmp / decode_png /
     decode_jpeg) — actual pixel dimensions and actual mean pixel
     intensity in [0, 1]; other formats raise at the codec boundary

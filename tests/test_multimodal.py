@@ -311,16 +311,28 @@ def test_real_png_rejects_bad_crc_and_unsupported():
     with _pytest.raises(ValueError, match="PLTE"):
         decode_png(png)
 
-    # non-8-bit depth stays the declared NotImplementedError boundary
+    # every LEGAL depth/color combination decodes since round 8; an
+    # ILLEGAL one (depth 2 RGB) is malformed -> ValueError
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 2, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="depth"):
+        decode_png(png)
+    # 16-bit gray decodes, as uint16, big-endian
+    import numpy as _np
     ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     png = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 7])))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0x12, 0x34])))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="depth"):
-        decode_png(png)
+    out = decode_png(png)
+    assert out.dtype == _np.uint16 and out.tolist() == [[0x1234]]
 
 
 def test_real_png_decode_features_and_resize(spark):
@@ -1285,3 +1297,120 @@ def test_real_jpeg_subsampled_roundtrips():
 
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, subsampling="411")
+
+
+def test_png_all_legal_depth_color_combinations_roundtrip():
+    """Round-8: every legal IHDR (depth, color type) combination
+    round-trips through encode/decode, for every filter type and with
+    Adam7 — gray 1/2/4 (decoder scales to full 8-bit range), gray 8/16,
+    gray+alpha 8/16, RGB 8/16, RGBA 8/16, palette 1/2/4/8."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(41)
+    h, w = 9, 13
+    cases = []
+    for d in (1, 2, 4):  # sub-byte gray: raw values scale by 255/(2^d-1)
+        raw = rng.integers(0, 1 << d, size=(h, w), dtype=np.uint8)
+        cases.append((raw, {"depth": d}, raw * (255 // ((1 << d) - 1))))
+    g8 = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    cases.append((g8, {}, g8))
+    g16 = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    cases.append((g16, {}, g16))
+    for ch in (2, 3, 4):
+        a8 = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        cases.append((a8, {}, a8))
+        a16 = rng.integers(0, 1 << 16, size=(h, w, ch), dtype=np.uint16)
+        cases.append((a16, {}, a16))
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for d in (1, 2, 4, 8):
+        idx = rng.integers(0, min(16, 1 << d), size=(h, w), dtype=np.uint8)
+        cases.append((idx, {"depth": d, "palette": pal}, pal[idx]))
+
+    for arr, kw, want in cases:
+        for ft in (0, 1, 2, 3, 4, "cycle"):
+            got = decode_png(encode_png(arr, filter_type=ft, **kw))
+            assert got.dtype == want.dtype, (kw, ft)
+            assert (got == want).all(), (kw, ft)
+        got = decode_png(encode_png(arr, filter_type="cycle", interlace=True, **kw))
+        assert (got == want).all(), (kw, "adam7")
+
+
+def test_png_subbyte_and_16bit_hand_built_streams():
+    """Decoder against the SPEC, independent of our encoder: hand-packed
+    4-bit palette, 1-bit gray, and 16-bit RGB streams (filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    # 3x2 4-bit palette: indices (1,2,3 / 3,0,1), packed two per byte
+    # MSB-first with the last nibble of each row as padding
+    raw = bytes([0, 0x12, 0x30]) + bytes([0, 0x30, 0x10])
+    pal = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 5, 6, 7])
+    png = (magic
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    want = np.array([[[0, 20, 0], [0, 0, 30], [5, 6, 7]],
+                     [[5, 6, 7], [10, 0, 0], [0, 20, 0]]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+    # 10x1 1-bit gray: 1011010010 packs to 0xB4 0x80; decoder scales to 0/255
+    raw = bytes([0, 0xB4, 0x80])
+    png = (magic
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    want = np.array([[255, 0, 255, 255, 0, 255, 0, 0, 255, 0]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+    # 1x1 16-bit RGB, big-endian samples
+    raw = bytes([0, 0xAB, 0xCD, 0x00, 0x01, 0xFF, 0xFE])
+    png = (magic
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.dtype == np.uint16
+    assert out.tolist() == [[[0xABCD, 0x0001, 0xFFFE]]]
+
+
+def test_png_16bit_filter_distance_is_two_bytes():
+    """Spec pin: at depth 16 the filter delta distance is channels*2
+    bytes, NOT channels — a Sub-filtered 16-bit row decodes wrongly if
+    the decoder filters at 8-bit distance. Hand-built: two gray16
+    pixels (0x0102, 0x0305); Sub stores the second as a per-BYTE delta
+    at distance 2 (0x03-0x01=0x02, 0x05-0x02=0x03)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytes([1, 0x01, 0x02, 0x02, 0x03])  # filter=Sub
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.dtype == np.uint16
+    assert out.tolist() == [[0x0102, 0x0305]]
