@@ -140,6 +140,62 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_png_depth_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-PNG source sweeping BIT DEPTH, the depth twin
+    of :func:`synthesize_png_blobs`: for each ``doc_id`` emit
+    (doc_id, blob) where blob is a genuine grayscale PNG at
+
+      depth = (1, 2, 4, 8, 16)[doc_id % 5],
+      w = 4 + doc_id % 13,  h = 4 + doc_id % 11,
+      raw value v(x, y) = (doc_id*31 + x*7 + y*13) % 2^depth,
+
+    per-row filter cycle (every unfilter path at every depth), Adam7
+    interlaced when doc_id % 4 == 0 (co-prime with the depth cycle, so
+    every (depth, interlace) pair occurs). Decoding scales sub-byte
+    gray by exactly 255/(2^d - 1) and returns uint16 for depth 16, so
+    the SQL oracle recomputes the expected sums from the closed form
+    with integer arithmetic only
+    (queries/ext_multimodal.py:multimodal_png_depths_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import encode_png
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                depth = (1, 2, 4, 8, 16)[did % 5]
+                w, h = 4 + did % 13, 4 + did % 11
+                v = (
+                    did * 31
+                    + np.arange(w)[None, :] * 7
+                    + np.arange(h)[:, None] * 13
+                ) % (1 << depth)
+                arr = v.astype(np.uint16 if depth == 16 else np.uint8)
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_png(
+                        arr,
+                        filter_type="cycle",
+                        interlace=did % 4 == 0,
+                        depth=depth if depth < 16 else None,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     """Deterministic real-JPEG source for the real-decode path, the lossy
     twin of :func:`synthesize_png_blobs`: for each ``doc_id`` emit
@@ -391,6 +447,7 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     def kernel(batches: Iterator) -> Iterator:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         from .media_codecs import decode_bmp, decode_jpeg, decode_png, sniff_format
@@ -418,7 +475,11 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                     feats["width"].append(pix.shape[1])
                     feats["height"].append(pix.shape[0])
                     feats["n_bytes"].append(len(b))
-                    feats["mean_intensity"].append(float(pix.mean()) / 255.0)
+                    # normalize by the sample dtype's range (uint8 or
+                    # uint16 for 16-bit PNG); the float64 mean of integer
+                    # samples is an exact sum over an exact count
+                    maxv = float(np.iinfo(pix.dtype).max)
+                    feats["mean_intensity"].append(float(pix.mean()) / maxv)
                     continue
                 h = hashlib.md5(b).digest()
                 feats["doc_id"].append(doc_id)

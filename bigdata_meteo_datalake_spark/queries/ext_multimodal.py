@@ -332,6 +332,78 @@ def multimodal_png_decode(spark, sf_dir):
     )
 
 
+# --- REAL PNG bit-depth sweep through the kernel gate --------------------------------
+
+_PNG_DEPTHS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         4 + doc_id % 11 AS h,
+         CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                         WHEN 3 THEN 8 ELSE 16 END AS dep
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, dep,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 31 + (i % w) * 7 + (i // w) * 13)
+                % (1 << dep)), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       cast(dep AS int) AS depth,
+       CASE WHEN dep = 16
+            THEN (cast(s AS double) / (w * h)) / 65535.0
+            ELSE (cast(s * (255 // ((1 << dep) - 1)) AS double) / (w * h))
+                 / 255.0
+       END AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_png_depths_decode",
+    oracle=_PNG_DEPTHS_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_png_depths_decode(spark, sf_dir):
+    """REAL PNG decode across EVERY bit depth (round-8): per document a
+    genuine grayscale PNG at depth (1, 2, 4, 8, 16)[doc_id % 5] is
+    encoded from a closed-form pixel pattern (operators/multimodal.py:
+    synthesize_png_depth_blobs — per-row filter cycle, Adam7 when
+    doc_id % 4 == 0 so every (depth, interlace) pair occurs), then the
+    production decode path (decode_image_features(decode="real") ->
+    media_codecs.decode_png: sub-byte MSB-first unpack + exact
+    255/(2^d - 1) scaling, big-endian uint16 pairs for depth 16, filter
+    distance max(1, depth/8) bytes) recovers dimensions and mean
+    intensity normalized by the sample dtype's range.
+
+    Exactness: decoded sample sums are exact integers (< 2^53, numpy's
+    float64 mean is the exact sum over the exact count); the oracle
+    recomputes them from the closed form with integer arithmetic only —
+    scale 255/(2^d - 1) is an exact integer for d in {1, 2, 4, 8} — and
+    divides in the same order ((sum / n) / max_sample_value).
+
+    Scale: two chained mapInPandas stages (encode, decode) over
+    (doc_id, blob) — zero exchanges, pure scan-map at any scale; blob
+    payloads drop before the result projection."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        synthesize_png_depth_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    pngs = synthesize_png_depth_blobs(d)
+    feats = decode_image_features(pngs, decode="real")
+    depth = F.expr(
+        "CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 "
+        "WHEN 3 THEN 8 ELSE 16 END"
+    ).cast("int")
+    return feats.select(
+        "doc_id", "width", "height", depth.alias("depth"), "mean_intensity"
+    )
+
+
 # --- REAL JPEG decode through the kernel gate ---------------------------------------
 
 _JPEG_ORACLE = """

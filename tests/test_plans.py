@@ -207,7 +207,8 @@ def test_real_codec_queries_are_pure_map(spark):
     blob payload ever crosses an exchange (at 100 TB the source arrives
     pre-split and the widen is a no-op; the blob path stays a pure
     scan-map pass either way)."""
-    for name in ("multimodal_png_decode", "multimodal_jpeg_decode",
+    for name in ("multimodal_png_decode", "multimodal_png_depths_decode",
+                 "multimodal_jpeg_decode",
                  "multimodal_wav_decode", "multimodal_phash_real",
                  "multimodal_mp4_probe"):
         df = QS[name](spark, SF0001)
