@@ -28,9 +28,12 @@ codec stubbed:
   box-average downsampling / replication upsampling; lossy in general,
   bit-exact on block-constant fixtures — see that module's docstring.
 
-Anything else (MP4 frame decode; progressive JPEG; tRNS-transparent
-PNG) still raises NotImplementedError at the codec insertion point — a
-declared boundary, not silent wrong answers.
+  tRNS transparency expands to an alpha channel (palette alpha table,
+  or raw-sample-value keying for gray/RGB).
+
+Anything else (MP4 frame decode; progressive JPEG) still raises
+NotImplementedError at the codec insertion point — a declared boundary,
+not silent wrong answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode
@@ -340,15 +343,19 @@ def decode_png(b: bytes) -> np.ndarray:
 
     Full scanline unfiltering per the spec (None/Sub/Up/Average/Paeth,
     filter distance max(1, channels*depth/8) bytes); CRCs are verified
-    chunk by chunk. tRNS transparency is the one remaining declared
-    NotImplementedError boundary.
+    chunk by chunk. tRNS transparency expands to an alpha channel:
+    palette alpha table for color type 3 (-> RGBA), raw-sample-value
+    keying for gray/RGB (-> gray+alpha / RGBA, matched pixels fully
+    transparent).
     """
     if b[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
     channels = depth = None
+    color = None
     is_palette = False
     plte = None
+    trns = None
     interlace = 0
     idat = bytearray()
     for ctype, data in _png_chunks(b):
@@ -377,7 +384,7 @@ def decode_png(b: bytes) -> np.ndarray:
                 raise ValueError(f"invalid PLTE length {len(data)}")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            raise NotImplementedError("PNG tRNS transparency not supported")
+            trns = data
         elif ctype == b"IDAT":
             idat.extend(data)
     if width is None or not idat:
@@ -430,6 +437,8 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(
                 f"interlaced PNG pixel data length {len(raw)} != expected {pos}"
             )
+    if trns is not None and color in (4, 6):
+        raise ValueError("tRNS is illegal for color types with alpha")
     if is_palette:
         idx = pix[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -437,11 +446,36 @@ def decode_png(b: bytes) -> np.ndarray:
                 f"palette index {int(idx.max())} out of range for "
                 f"{len(plte)}-entry PLTE"
             )
-        return plte[idx]  # (H, W) indices -> (H, W, 3) RGB
+        rgb = plte[idx]  # (H, W) indices -> (H, W, 3) RGB
+        if trns is None:
+            return rgb
+        # tRNS: one alpha byte per leading palette entry, rest opaque
+        if len(trns) > len(plte):
+            raise ValueError("tRNS longer than the palette")
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.dstack([rgb, alpha[idx]])
+    tkey = None
+    if trns is not None:
+        # gray: one 16-bit sample; RGB: three — compared against RAW
+        # (pre-scaling) sample values per the spec
+        if len(trns) != 2 * channels:
+            raise ValueError(
+                f"tRNS length {len(trns)} != {2 * channels} for color "
+                f"type {color}"
+            )
+        tkey = np.frombuffer(trns, dtype=">u2").astype(
+            np.uint16 if depth == 16 else np.uint8
+        )
+        transparent = (pix == tkey[None, None, :]).all(axis=2)
     if depth < 8:
         # scale d-bit gray to the full 8-bit range (255/(2^d - 1) is an
         # exact integer for d in {1, 2, 4})
         pix = (pix * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if tkey is not None:
+        maxv = 65535 if depth == 16 else 255
+        alpha = np.where(transparent, 0, maxv).astype(pix.dtype)
+        return np.dstack([pix.reshape(height, width, channels), alpha])
     return pix[:, :, 0] if channels == 1 else pix
 
 
@@ -461,6 +495,7 @@ def encode_png(
     interlace: bool = False,
     palette: np.ndarray | None = None,
     depth: int | None = None,
+    transparency=None,
 ) -> bytes:
     """sample array -> PNG, at any legal IHDR combination.
 
@@ -475,7 +510,11 @@ def encode_png(
     writes Adam7 (seven passes, each filtered as its own sub-image per
     the spec). ``palette`` (an (N<=256, 3) uint8 RGB table) writes color
     type 3: ``arr`` must then be an (H, W) INDEX plane into that table —
-    decoding expands back to the (H, W, 3) RGB image ``palette[arr]``."""
+    decoding expands back to the (H, W, 3) RGB image ``palette[arr]``.
+    ``transparency`` writes a tRNS chunk: a 1-D alpha array for palette
+    images (decode then returns RGBA), a single RAW sample value for
+    grayscale, or an (r, g, b) triple for RGB (decode returns
+    gray+alpha / RGBA with matching pixels fully transparent)."""
     arr = np.asarray(arr)
     if arr.dtype == np.uint16:
         if depth not in (None, 16):
@@ -540,10 +579,31 @@ def encode_png(
     else:
         rows = _pixels_to_rows(full.reshape(h, w * channels), depth)
         raw = _filter_rows(rows, bpp, filter_type)
+    trns = None
+    if transparency is not None:
+        if color == 3:
+            ta = np.asarray(transparency, dtype=np.uint8)
+            if ta.ndim != 1 or len(ta) > pal.shape[0]:
+                raise ValueError(
+                    "palette transparency must be a 1-D alpha array no "
+                    "longer than the palette"
+                )
+            trns = ta.tobytes()
+        elif color == 0:
+            trns = struct.pack(">H", int(transparency))
+        elif color == 2:
+            r_, g_, b_ = (int(x) for x in transparency)
+            trns = struct.pack(">HHH", r_, g_, b_)
+        else:
+            raise ValueError(
+                "transparency (tRNS) is illegal for color types with alpha"
+            )
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
     return (
         out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))

@@ -1148,11 +1148,14 @@ def test_png_palette_guards():
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(magic + ihdr + chunk(b"PLTE", bytes([1, 2]))
                    + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
-    # tRNS stays a declared boundary
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_png(magic + ihdr + chunk(b"PLTE", bytes([9, 9, 9, 8, 8, 8]))
-                   + chunk(b"tRNS", bytes([128]))
-                   + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # tRNS on a palette image expands to RGBA (round-8): alpha 128 for
+    # entry 0, default-opaque 255 for entry 1
+    out = decode_png(magic + ihdr + chunk(b"PLTE", bytes([9, 9, 9, 8, 8, 8]))
+                     + chunk(b"tRNS", bytes([128]))
+                     + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    assert out.shape == (1, 2, 4)
+    assert out[0, 0].tolist() == [9, 9, 9, 128]
+    assert out[0, 1].tolist() == [8, 8, 8, 255]
     pal = np.zeros((4, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="index"):
         encode_png(np.full((2, 2), 9, dtype=np.uint8), palette=pal)
@@ -1414,3 +1417,67 @@ def test_png_16bit_filter_distance_is_two_bytes():
     out = decode_png(png)
     assert out.dtype == np.uint16
     assert out.tolist() == [[0x0102, 0x0305]]
+
+
+def test_png_trns_transparency_expands_alpha():
+    """Round-8: tRNS decodes to an alpha channel for all three legal
+    color types — palette alpha table (RGBA), gray sample keying
+    (gray+alpha), RGB triple keying (RGBA); keying compares RAW
+    (pre-scaling) sample values per the spec. Encoder round-trips via
+    transparency=; tRNS on alpha-bearing color types is ValueError."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(47)
+    # palette + alpha table (shorter than the palette -> rest opaque)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(6, 7), dtype=np.uint8)
+    alphas = np.array([0, 30, 255], dtype=np.uint8)
+    out = decode_png(encode_png(idx, palette=pal, transparency=alphas,
+                                filter_type="cycle"))
+    full_alpha = np.concatenate([alphas, np.full(5, 255, dtype=np.uint8)])
+    assert (out == np.dstack([pal[idx], full_alpha[idx]])).all()
+
+    # gray 8-bit: pixels equal to the key become alpha 0
+    g = rng.integers(0, 4, size=(5, 9), dtype=np.uint8) * 80  # values 0/80/160/240
+    out = decode_png(encode_png(g, transparency=160))
+    assert out.shape == (5, 9, 2)
+    assert (out[:, :, 0] == g).all()
+    assert (out[:, :, 1] == np.where(g == 160, 0, 255)).all()
+
+    # gray 4-bit: the key is the RAW sample value (here 3), but decoded
+    # gray is scaled by 17
+    g4 = (np.arange(20, dtype=np.uint8) % 6).reshape(4, 5)
+    out = decode_png(encode_png(g4, depth=4, transparency=3))
+    assert (out[:, :, 0] == g4 * 17).all()
+    assert (out[:, :, 1] == np.where(g4 == 3, 0, 255)).all()
+
+    # gray 16-bit: alpha range follows the sample dtype
+    g16 = rng.integers(0, 1 << 16, size=(3, 4), dtype=np.uint16)
+    g16[1, 2] = 0x0102
+    out = decode_png(encode_png(g16, transparency=0x0102))
+    assert out.dtype == np.uint16
+    assert (out[:, :, 1] == np.where(g16 == 0x0102, 0, 65535)).all()
+
+    # RGB triple keying
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    img[2, 3] = (1, 2, 3)
+    out = decode_png(encode_png(img, transparency=(1, 2, 3)))
+    assert out.shape == (4, 6, 4)
+    assert (out[:, :, :3] == img).all()
+    want = np.where((img == np.array([1, 2, 3])).all(axis=2), 0, 255)
+    assert (out[:, :, 3] == want).all()
+
+    # interlaced + tRNS compose
+    out = decode_png(encode_png(img, transparency=(1, 2, 3),
+                                filter_type="cycle", interlace=True))
+    assert (out[:, :, 3] == want).all()
+
+    # illegal: tRNS with an alpha-bearing color type
+    rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="alpha"):
+        encode_png(rgba, transparency=(1, 2, 3))
