@@ -3,17 +3,22 @@ Huffman entropy coding) — closes the JPEG insertion point in the
 multimodal kernels without PIL/libjpeg.
 
 Scope (declared, enforced loudly):
-- decode: baseline sequential (SOF0), 8-bit, grayscale or 3-component
-  with sampling factors 1..2 per axis — 4:4:4, 4:2:2 (2x1), 4:4:0
-  (1x2), and 4:2:0 (2x2, the dominant real-world variant) all decode,
-  with the interleaved-MCU block order of T.81 A.2.3 and nearest
-  (pixel-replication) chroma upsampling; restart markers supported;
-  progressive (SOF2), arithmetic coding, factors > 2, and 12-bit raise
-  NotImplementedError.
+- decode: baseline sequential (SOF0) AND progressive (SOF2), 8-bit,
+  grayscale or 3-component with sampling factors 1..2 per axis — 4:4:4,
+  4:2:2 (2x1), 4:4:0 (1x2), and 4:2:0 (2x2, the dominant real-world
+  variant) all decode, with the interleaved-MCU block order of T.81
+  A.2.3 and nearest (pixel-replication) chroma upsampling; restart
+  markers supported in every scan kind. Progressive handles an
+  arbitrary scan script per T.81 G: interleaved or single-component DC
+  scans, per-component AC spectral-selection bands, successive
+  approximation (DC bit refinement, AC +/-2^Al refinement with
+  correction bits), and EOB runs. Arithmetic coding, factors > 2, and
+  12-bit raise NotImplementedError.
 - encode: grayscale or RGB with ``subsampling`` in {"444", "422",
   "420"} (box-average chroma downsampling), the spec Annex K example
   Huffman tables and IJG-scaled quantization tables (``quality``
-  1..100).
+  1..100); ``progressive=True`` writes a spectral-selection scan
+  script (one interleaved DC scan + one full AC scan per component).
 
 JPEG is lossy, so round-trips are approximate in general — EXCEPT for
 block-constant images when the DC quantization step divides 8*(v-128):
@@ -290,6 +295,228 @@ def _huff_read(br: _BitReader, table) -> int:
 # --- decoder -------------------------------------------------------------------
 
 
+def _block_full(br: _BitReader, coef: np.ndarray, dtab, atab, pred: int) -> int:
+    """Baseline full-band block: DC diff + AC run/size codes (T.81 F.2)."""
+    t = _huff_read(br, dtab)
+    if t > 15:
+        # baseline DC categories stop at 11; a bigger value only arises
+        # from a corrupt DHT and would balloon read_bits/pred
+        raise ValueError(f"invalid DC category {t} in entropy stream")
+    pred += _extend(br.read_bits(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_read(br, atab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coef[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _ac_first(br, coef, ss, se, al, eobrun, atab):
+    """Progressive AC initial scan for one block (T.81 G.1.2.2): run/size
+    codes over the band, magnitudes shifted by the approximation low bit,
+    EOB runs spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(br, atab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        coef[k] = _extend(br.read_bits(s), s) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, coef, ss, se, al, eobrun, atab):
+    """Progressive AC refinement for one block (T.81 G.1.2.3): each
+    history-nonzero coefficient passed consumes a correction bit; new
+    coefficients arrive as +/-2^Al after a run of history-zero
+    positions; EOB runs refine the band remainder."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    in_eob = eobrun > 0
+    if in_eob:
+        eobrun -= 1
+    else:
+        while k <= se:
+            rs = _huff_read(br, atab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    # the CURRENT block enters the EOB run too: its
+                    # remaining band is refined below, and eobrun counts
+                    # the blocks after it
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    in_eob = True
+                    break
+                val = 0  # ZRL: sixteen history-zero positions, no new coef
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "refinement scan carries magnitudes other than 1"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                coef[k] = val
+            k += 1
+    if in_eob:
+        # refine every remaining history-nonzero coefficient in the band
+        while k <= se:
+            c = int(coef[k])
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                coef[k] = c + (p1 if c > 0 else m1)
+            k += 1
+    return eobrun
+
+
+def _decode_scan(
+    b: bytes,
+    data_pos: int,
+    scan_comps: list,
+    band: tuple,
+    huff_dc: dict,
+    huff_ac: dict,
+    coefs: list,
+    mcu_geom: tuple,
+    restart_interval: int,
+) -> int:
+    """Decode one entropy-coded scan (baseline full-band, or any
+    progressive DC/AC first/refinement scan) into the frame-level
+    raster-order coefficient store; returns the byte position of the
+    marker following the scan's entropy data.
+
+    Interleaved (multi-component) scans walk MCUs; single-component
+    scans walk the component's own block raster (T.81 A.2.2/A.2.3).
+    Restart markers reset DC predictors AND the EOB run."""
+    ss, se, ah, al = band
+    mcux, mcuy = mcu_geom
+    br = _BitReader(b, data_pos)
+    eobrun = 0
+    preds = [0] * len(scan_comps)
+    interleaved = len(scan_comps) > 1
+    baseline = (ss, se, ah, al) == (0, 63, 0, 0)
+    if interleaved and not baseline and (ss, se) != (0, 0):
+        raise ValueError(
+            "progressive interleaved scans carry only the DC band"
+        )
+
+    tabs = []
+    for c, td, ta in scan_comps:
+        dtab = huff_dc.get(td) if ss == 0 else None
+        atab = huff_ac.get(ta) if se > 0 else None
+        if ss == 0 and ah == 0 and dtab is None:
+            raise ValueError(f"scan uses undefined DC table {td}")
+        if se > 0 and atab is None:
+            raise ValueError(f"scan uses undefined AC table {ta}")
+        tabs.append((c, dtab, atab))
+
+    if interleaved:
+        units_total = mcux * mcuy
+    else:
+        c0 = scan_comps[0][0]
+        units_total = c0["nwb"] * c0["nhb"]
+
+    for unit in range(units_total):
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align_to_marker()
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci, (c, dtab, atab) in enumerate(tabs):
+                store = coefs[c["idx"]]
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        idx = ((my * c["v"] + bv) * c["cols8"]
+                               + mx * c["h"] + bh)
+                        coef = store[idx]
+                        if baseline:
+                            preds[ci] = _block_full(
+                                br, coef, dtab, atab, preds[ci]
+                            )
+                        elif ah == 0:  # progressive DC first
+                            t = _huff_read(br, dtab)
+                            if t > 15:
+                                raise ValueError(
+                                    f"invalid DC category {t} in entropy stream"
+                                )
+                            preds[ci] += _extend(br.read_bits(t), t)
+                            coef[0] = preds[ci] << al
+                        else:  # progressive DC refinement
+                            if br.read_bit():
+                                coef[0] = int(coef[0]) | (1 << al)
+        else:
+            c, dtab, atab = tabs[0]
+            brow, bcol = divmod(unit, c["nwb"])
+            coef = coefs[c["idx"]][brow * c["cols8"] + bcol]
+            if baseline:
+                preds[0] = _block_full(br, coef, dtab, atab, preds[0])
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive scan mixes DC and AC bands"
+                    )
+                if ah == 0:
+                    t = _huff_read(br, dtab)
+                    if t > 15:
+                        raise ValueError(
+                            f"invalid DC category {t} in entropy stream"
+                        )
+                    preds[0] += _extend(br.read_bits(t), t)
+                    coef[0] = preds[0] << al
+                else:
+                    if br.read_bit():
+                        coef[0] = int(coef[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(br, coef, ss, se, al, eobrun, atab)
+            else:
+                eobrun = _ac_refine(br, coef, ss, se, al, eobrun, atab)
+
+    # skip any final pad bits / stray restart markers to the next marker
+    p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("entropy stream ends without a terminating marker")
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Baseline JPEG -> uint8 (H, W) grayscale or (H, W, 3) RGB array.
 
@@ -316,14 +543,17 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     comps = None
     width = height = None
     restart_interval = 0
-    scan_map = None
+    progressive = False
+    hmax = vmax = mcux = mcuy = None
+    coefs = None  # per SOF component: (rows8*cols8, 64) zigzag, raster order
+    any_scan = False
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("reached EOI before SOS")
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         (seglen,) = struct.unpack_from(">H", b, pos)
@@ -351,7 +581,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     bits, values
                 )
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -372,116 +603,86 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 # T.81 A.2.2: a single-component (non-interleaved) scan
                 # ignores sampling factors — its MCU is one block
                 comps[0]["h"] = comps[0]["v"] = 1
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            # interleaved MCU geometry (T.81 A.2.3): an MCU spans
+            # 8*Hmax x 8*Vmax pixels and carries h_i x v_i blocks of
+            # component i, left-to-right then top-to-bottom
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            # frame-level coefficient store in BLOCK-RASTER order per
+            # component — progressive scans accumulate into it across
+            # an arbitrary scan script; baseline fills it in one scan
+            coefs = [
+                np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+            for idx, c in enumerate(comps):
+                c["idx"] = idx
+                c["cols8"] = mcux * c["h"]
+                # non-interleaved scans cover only the component's OWN
+                # block count, not the MCU-padded grid (T.81 A.2.2)
+                cw = (width * c["h"] + hmax - 1) // hmax
+                chh = (height * c["v"] + vmax - 1) // vmax
+                c["nwb"] = (cw + 7) // 8
+                c["nhb"] = (chh + 7) // 8
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X})"
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_map = []
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_map.append((cs, tt >> 4, tt & 0xF))
-            pos += seglen
-            break
+                if cs not in by_id:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                scan_comps.append((by_id[cs], tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("baseline scan must cover the full band")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive DC scan must have Se=0 (T.81 G.1)"
+                )
+            if se > 63 or ss > se:
+                raise ValueError(f"invalid spectral band {ss}..{se}")
+            pos = _decode_scan(
+                b, pos + seglen, scan_comps, (ss, se, ah, al),
+                huff_dc, huff_ac, coefs,
+                (mcux, mcuy), restart_interval,
+            )
+            any_scan = True
+            continue
         pos += seglen
-    if comps is None or scan_map is None:
+    if comps is None or not any_scan:
         raise ValueError("JPEG missing SOF0 or SOS")
 
-    by_id = {c["id"]: c for c in comps}
-    if len(scan_map) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved multi-component scan (baseline decoder "
-            "expects one SOS covering every component)"
-        )
-    order = []
-    for cs, td, ta in scan_map:
-        c = by_id[cs]
-        order.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]]))
-
-    # interleaved MCU geometry (T.81 A.2.3): an MCU spans 8*Hmax x 8*Vmax
-    # image pixels and carries h_i x v_i blocks of component i, emitted
-    # left-to-right then top-to-bottom within the MCU
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    # Entropy decode is inherently sequential (each Huffman code's start
-    # depends on the previous), so the MCU loop only COLLECTS zigzag
-    # coefficients; dequantization + IDCT run afterwards as one batched
-    # einsum per component.
-    coefs = [
-        np.zeros((mcuy * mcux * c["v"] * c["h"], 64), dtype=np.int64)
-        for (c, _dt, _at, _q) in order
-    ]
-    nblk = [0] * len(comps)
-    pred = [0] * len(comps)
-    br = _BitReader(b, pos)
-    mcu = 0
-    blocks_per_mcu = [(c["v"], c["h"]) for (c, _dt, _at, _q) in order]
-    for _my in range(mcuy):
-        for _mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.align_to_marker()
-                pred = [0] * len(comps)
-            for ci, (c, dtab, atab, q) in enumerate(order):
-                nv, nh = blocks_per_mcu[ci]
-                for _blk in range(nv * nh):
-                    coef = coefs[ci][nblk[ci]]
-                    nblk[ci] += 1
-                    t = _huff_read(br, dtab)
-                    if t > 15:
-                        # baseline DC categories stop at 11; a bigger
-                        # value only arises from a corrupt DHT and
-                        # would balloon read_bits/pred
-                        raise ValueError(
-                            f"invalid DC category {t} in entropy stream"
-                        )
-                    diff = _extend(br.read_bits(t), t)
-                    pred[ci] += diff
-                    coef[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_read(br, atab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        coef[k] = _extend(br.read_bits(s), s)
-                        k += 1
-            mcu += 1
-
-    # batched per component: zigzag -> raster, dequantize, IDCT, then
-    # reorder decode-order blocks into the block-raster grid and crop /
-    # replicate-upsample to full resolution
+    # batched per component: zigzag -> raster, dequantize, IDCT over the
+    # raster block grid, then crop / replicate-upsample to full resolution
     planes = []
-    for ci, (c, _dt, _at, q) in enumerate(order):
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError(f"missing quantization table {c['tq']}")
         h_i, v_i = c["h"], c["v"]
         cols8 = mcux * h_i
         rows8 = mcuy * v_i
-        n = coefs[ci].shape[0]
+        n = coefs[c["idx"]].shape[0]
         raster = np.zeros((n, 64), dtype=np.int64)
-        raster[:, _ZIGZAG] = coefs[ci]
+        raster[:, _ZIGZAG] = coefs[c["idx"]]
         deq = (raster.reshape(n, 8, 8) * q[None, :, :]).astype(np.float64)
         pix = np.einsum("ij,njk,kl->nil", _M.T, deq, _M, optimize=True)
-        # decode-order block b of this component sits at block row
-        # my*v + bv, column mx*h + bh (T.81 A.2.3 in-MCU order)
-        bidx = np.arange(n)
-        m, r = bidx // (v_i * h_i), bidx % (v_i * h_i)
-        brow = (m // mcux) * v_i + r // h_i
-        bcol = (m % mcux) * h_i + r % h_i
-        grid = np.empty((rows8 * cols8, 8, 8))
-        grid[brow * cols8 + bcol] = pix
         p = (
-            grid.reshape(rows8, cols8, 8, 8)
+            pix.reshape(rows8, cols8, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(rows8 * 8, cols8 * 8)
         )
@@ -578,14 +779,41 @@ _SUBSAMPLING = {
 }
 
 
+def _encode_ac_band(bw: _BitWriter, zz: np.ndarray, atab) -> None:
+    """Progressive spectral-selection AC scan for one block (band
+    1..63, Ah=Al=0): identical run/size coding to baseline except the
+    block terminator is an EOB run of length 1 (symbol 0x00, no extra
+    bits — T.81 G.1.2.2)."""
+    nz = np.nonzero(zz[1:])[0]
+    prev_k = 0
+    for p in nz:
+        k = int(p) + 1
+        run = k - prev_k - 1
+        while run > 15:
+            code, length = atab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        v = int(zz[k])
+        s = _category(v)
+        code, length = atab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(_mag_bits(v, s), s)
+        prev_k = k
+    if prev_k < 63:
+        code, length = atab[0x00]  # EOB (run of 1)
+        bw.write(code, length)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     *,
     quality: int = 75,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG.
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline or
+    progressive JPEG.
 
     ``subsampling`` picks the chroma layout: "444" (full-resolution
     chroma), "422" (chroma halved horizontally), or "420" (halved both
@@ -593,10 +821,17 @@ def encode_jpeg(
     box average over each factor cell (edge-replicated at odd edges);
     grayscale input ignores the parameter.
 
+    ``progressive=True`` writes SOF2 with a spectral-selection scan
+    script: one interleaved DC scan (Ss=Se=0), then one full AC scan
+    (Ss=1, Se=63) per component over its own block raster — the
+    coefficients are identical to the baseline encoding, only their
+    scan order differs, so block-constant fixtures stay bit-exact.
+
     ``restart_interval`` > 0 writes a DRI segment and emits an RSTn
-    marker (cycling D0..D7) every that-many MCUs, resetting the DC
-    predictors — the spec's resync mechanism, here mainly so the
-    decoder's restart path is round-trip testable."""
+    marker (cycling D0..D7) every that-many MCUs (blocks, in
+    non-interleaved progressive scans), resetting the DC predictors and
+    EOB run — the spec's resync mechanism, here mainly so the decoder's
+    restart path is round-trip testable."""
     arr = np.asarray(arr, dtype=np.uint8)
     if subsampling not in _SUBSAMPLING:
         raise ValueError(
@@ -647,7 +882,7 @@ def encode_jpeg(
     for i in range(nc):
         hv = (factors[i][0] << 4) | factors[i][1]
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     for i, (bits, values) in enumerate(
         [_DC_LUMA, _AC_LUMA] + ([_DC_CHROMA, _AC_CHROMA] if nc == 3 else [])
     ):
@@ -656,11 +891,14 @@ def encode_jpeg(
         out += _seg(0xC4, bytes([tc << 4 | th] + bits + values))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for i in range(nc):
-        sos += bytes([i + 1, (0 if i == 0 else 1) * 0x11])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
+
+    def _sos(comp_ids, ss, se_, ah, al):
+        hdr = bytes([len(comp_ids)])
+        for i in comp_ids:
+            t = 0 if i == 0 else 1
+            hdr += bytes([i + 1, (t << 4) | t])
+        hdr += bytes([ss, se_, (ah << 4) | al])
+        return _seg(0xDA, hdr)
 
     def _pad_edge(p: np.ndarray, th: int, tw: int) -> np.ndarray:
         """Edge-replicate p out to (th, tw)."""
@@ -678,7 +916,7 @@ def encode_jpeg(
     # numpy expressions. The (sequential) entropy writer then walks the
     # precomputed coefficients in T.81 A.2.3 interleaved-MCU order.
     zz_all = []  # per component: (n_blocks, 64) int64, block-raster order
-    geo = []  # per component: (fh, fv, cols8)
+    geo = []  # per component: (fh, fv, cols8, nwb, nhb)
     for (fh, fv), p, q in zip(factors, planes, tables):
         cw = (w * fh + hmax - 1) // hmax
         chh = (h * fv + vmax - 1) // vmax
@@ -698,27 +936,74 @@ def encode_jpeg(
         coef = np.einsum("ij,njk,kl->nil", _M, blocks, _M.T, optimize=True)
         qc = np.rint(coef / q[None, :, :]).astype(np.int64)
         zz_all.append(qc.reshape(-1, 64)[:, _ZIGZAG])
-        geo.append((fh, fv, cols8))
-    writer = _BitWriter()
-    pred = [0] * nc
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.flush()  # byte-align before the marker, per spec
-                out_rst = 0xD0 + (mcu // restart_interval - 1) % 8
-                writer.out += bytes([0xFF, out_rst])
-                pred = [0] * nc
-            for ci, (fh, fv, cols8) in enumerate(geo):
-                for bv in range(fv):
-                    for bh_ in range(fh):
-                        idx = (my * fv + bv) * cols8 + mx * fh + bh_
-                        pred[ci] = _encode_block(
-                            writer, zz_all[ci][idx], pred[ci],
-                            dc_enc[ci], ac_enc[ci],
-                        )
-            mcu += 1
-    writer.flush()
-    out += writer.out
+        geo.append((fh, fv, cols8, (cw + 7) // 8, (chh + 7) // 8))
+
+    def _restart(writer, unit, n_rst):
+        writer.flush()  # byte-align before the marker, per spec
+        writer.out += bytes([0xFF, 0xD0 + n_rst % 8])
+
+    if not progressive:
+        out += _sos(list(range(nc)), 0, 63, 0, 0)
+        writer = _BitWriter()
+        pred = [0] * nc
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    _restart(writer, mcu, mcu // restart_interval - 1)
+                    pred = [0] * nc
+                for ci, (fh, fv, cols8, _nwb, _nhb) in enumerate(geo):
+                    for bv in range(fv):
+                        for bh_ in range(fh):
+                            idx = (my * fv + bv) * cols8 + mx * fh + bh_
+                            pred[ci] = _encode_block(
+                                writer, zz_all[ci][idx], pred[ci],
+                                dc_enc[ci], ac_enc[ci],
+                            )
+                mcu += 1
+        writer.flush()
+        out += writer.out
+    else:
+        # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0) over MCU order
+        out += _sos(list(range(nc)), 0, 0, 0, 0)
+        writer = _BitWriter()
+        pred = [0] * nc
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    _restart(writer, mcu, mcu // restart_interval - 1)
+                    pred = [0] * nc
+                for ci, (fh, fv, cols8, _nwb, _nhb) in enumerate(geo):
+                    for bv in range(fv):
+                        for bh_ in range(fh):
+                            idx = (my * fv + bv) * cols8 + mx * fh + bh_
+                            dc = int(zz_all[ci][idx][0])
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            t = _category(diff)
+                            code, length = dc_enc[ci][t]
+                            writer.write(code, length)
+                            if t:
+                                writer.write(_mag_bits(diff, t), t)
+                mcu += 1
+        writer.flush()
+        out += writer.out
+        # one spectral-selection AC scan per component (Ss=1, Se=63)
+        # over the component's OWN block raster (T.81 A.2.2)
+        for ci, (fh, fv, cols8, nwb, nhb) in enumerate(geo):
+            out += _sos([ci], 1, 63, 0, 0)
+            writer = _BitWriter()
+            unit = 0
+            for brow in range(nhb):
+                for bcol in range(nwb):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        _restart(writer, unit, unit // restart_interval - 1)
+                    _encode_ac_band(
+                        writer, zz_all[ci][brow * cols8 + bcol], ac_enc[ci]
+                    )
+                    unit += 1
+            writer.flush()
+            out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)

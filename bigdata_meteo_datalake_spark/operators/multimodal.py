@@ -8,10 +8,11 @@ iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
 stdlib+numpy — uncompressed 24-bit BMP, PNG at every legal IHDR combo (gray 1/2/4/8/16, gray+alpha, RGB/RGBA 8/16, palette,
 all five scanline filters, Adam7 interlace included), baseline sequential JPEG
-(grayscale / 4:4:4 / 4:2:2 / 4:2:0, operators/jpeg.py), and PCM WAV
+(baseline AND progressive SOF2; grayscale / 4:4:4 / 4:2:2 / 4:2:0,
+operators/jpeg.py), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
-formats that truly need a codec library (MP4 video decode, progressive
-JPEG, ...), sniffed by magic bytes per blob.
+formats that truly need a codec library (MP4 video decode, arithmetic
+coding, 12-bit JPEG, ...), sniffed by magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -217,7 +218,12 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
       — the dominant real-world JPEG layouts — sit under the SAME
       oracle hash: constant-128 chroma box-averages to 128 and its
       blocks still quantize to exactly zero, while luma stays
-      full-resolution block-constant, so bit-exactness is preserved.
+      full-resolution block-constant, so bit-exactness is preserved;
+      every ninth document encodes PROGRESSIVE (SOF2,
+      spectral-selection scan script — same coefficients, different
+      scan order, so exactness again survives), putting the multi-scan
+      decode path under this oracle hash too (doc_id 0 stacks
+      progressive + 4:2:0 + restart markers in one stream).
 
     JPEG is lossy in general, but for block-constant tiles the DCT is a
     lone DC coefficient 8*(v-128) and at IJG quality 75 the luminance DC
@@ -254,6 +260,7 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
                         quality=quality,
                         restart_interval=2 if did % 7 == 0 else 0,
                         subsampling=sub,
+                        progressive=did % 9 == 0,
                     )
                 )
             yield pd.DataFrame(out)

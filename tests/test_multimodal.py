@@ -489,13 +489,21 @@ def test_real_jpeg_rejects_nonbaseline_and_truncated():
     )
 
     good = bytearray(encode_jpeg(_jpeg_tiles(1), quality=75))
-    # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+    # flip SOF0 (0xC0) to SOF2: progressive is SUPPORTED since round 8,
+    # but a full-band (Ss=0, Se=63) scan inside a progressive frame is
+    # malformed per T.81 G.1 -> ValueError
     sof = good.find(b"\xff\xc0")
     assert sof >= 0
     prog = bytearray(good)
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
+    # a genuinely unsupported coding process (SOF3 lossless) still
+    # raises the declared NotImplementedError
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(lossless))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
 
@@ -754,6 +762,8 @@ def test_codecs_reject_malformed_input_cleanly():
         (decode_jpeg, encode_jpeg(img, quality=75)),
         (decode_jpeg, encode_jpeg(img, quality=75, subsampling="420",
                                   restart_interval=2)),
+        (decode_jpeg, encode_jpeg(img, quality=75, subsampling="420",
+                                  progressive=True)),
         (decode_png, encode_png(img, filter_type="cycle")),
         (decode_png, encode_png(img[:, :, 0] % 16, filter_type="cycle",
                                 palette=pal)),
@@ -1481,3 +1491,104 @@ def test_png_trns_transparency_expands_alpha():
     rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
     with pytest.raises(ValueError, match="alpha"):
         encode_png(rgba, transparency=(1, 2, 3))
+
+
+def test_real_jpeg_progressive_roundtrips_match_baseline():
+    """Progressive (SOF2, spectral-selection script) round-trips: exact
+    on block-constant fixtures across subsamplings and restart
+    intervals, and pixel-identical to the baseline encoding on natural
+    images (same coefficients, different scan order)."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for did in (0, 2, 4, 6, 14, 21, 28, 35):
+        w, h = 9 + did % 16, 9 + did % 12
+        bx = np.arange(w)[None, :] // 8
+        by = np.arange(h)[:, None] // 8
+        tile = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.uint8)
+        img = np.stack([tile] * 3, axis=2) if did % 2 == 0 else tile
+        sub = ("444", "420", "422")[(did // 2) % 3] if did % 2 == 0 else "444"
+        b = encode_jpeg(img, quality=75, subsampling=sub, progressive=True,
+                        restart_interval=2 if did % 7 == 0 else 0)
+        assert b"\xff\xc2" in b and b"\xff\xc0" not in b[:200]
+        assert (decode_jpeg(b) == img).all(), (did, sub)
+
+    rng = np.random.default_rng(53)
+    for shape, sub in [((33, 41, 3), "444"), ((33, 41, 3), "420"),
+                       ((24, 17), "444")]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=85, subsampling=sub, progressive=True)
+        )
+        assert (base == prog).all(), (shape, sub)
+
+
+def test_real_jpeg_progressive_successive_approximation_hand_built():
+    """Decoder against the SPEC for the successive-approximation paths
+    our encoder does not emit: a hand-assembled 8x8 gray SOF2 stream
+    with four scans — DC first at Al=1, AC first at Al=1 (run/size +
+    EOB), DC refinement (one appended bit), AC refinement (EOB run
+    whose correction bits bump |coef| by 1). Final zigzag coefficients
+    must be DC=7, k1=+5, k3=-3 exactly; any error in shift/refine/EOB
+    bookkeeping lands elsewhere."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        _AC_LUMA,
+        _DC_LUMA,
+        _M,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    for i, (bits, values) in enumerate([_DC_LUMA, _AC_LUMA]):
+        out += seg(0xC4, bytes([(i % 2) << 4 | (i // 2)] + bits + values))
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    def entropy(bitstr):
+        bitstr += "1" * (-len(bitstr) % 8)
+        eb = bytearray()
+        for k in range(0, len(bitstr), 8):
+            byte = int(bitstr[k : k + 8], 2)
+            eb.append(byte)
+            if byte == 0xFF:
+                eb.append(0x00)
+        return bytes(eb)
+
+    # scan 1: DC first, Al=1. DC=7 -> 7>>1=3: DC-luma cat2 '011'+'11'
+    out += sos(0, 0, 0, 1) + entropy("011" + "11")
+    # scan 2: AC first Ss=1..63, Al=1. k1: 5//2=2 -> sym 0x02 '01'+'10';
+    # k3: -3 trunc-div 2 = -1 after skipping k2 -> sym 0x11 '1100'+'0';
+    # then EOB '1010'
+    out += sos(1, 63, 0, 1) + entropy("01" + "10" + "1100" + "0" + "1010")
+    # scan 3: DC refinement Ah=1,Al=0: appended bit 1 -> DC 6|1 = 7
+    out += sos(0, 0, 1, 0) + entropy("1")
+    # scan 4: AC refinement Ah=1,Al=0: EOB run of 1 ('1010'), then one
+    # correction bit per history-nonzero coef in band order:
+    # k1 4->5 (bit 1), k3 -2->-3 (bit 1)
+    out += sos(1, 63, 1, 0) + entropy("1010" + "1" + "1")
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[1], zz[3] = 7, 5, -3
+    block = np.zeros(64, dtype=np.int64)
+    block[_ZIGZAG] = zz
+    want = _M.T @ block.reshape(8, 8).astype(np.float64) @ _M + 128.0
+    want = np.clip(np.rint(want), 0, 255).astype(np.uint8)
+    assert (got == want).all()
