@@ -58,11 +58,14 @@ import zlib
 
 import numpy as np
 
+from .gif import decode_gif, encode_gif  # noqa: F401  (re-export)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (re-export)
 
 __all__ = [
     "decode_bmp",
     "encode_bmp",
+    "decode_gif",
+    "encode_gif",
     "decode_jpeg",
     "encode_jpeg",
     "decode_png",
@@ -83,6 +86,8 @@ def sniff_format(b: bytes) -> str | None:
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if len(b) >= 12 and b[4:8] == b"ftyp":

@@ -197,6 +197,110 @@ def synthesize_png_depth_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_gif_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-GIF source, the ANIMATED twin of
+    :func:`synthesize_png_blobs`: for each ``doc_id`` emit
+    (doc_id, blob) where blob is a genuine GIF89a animation of
+
+      n_frames = 1 + doc_id % 4,
+      w = 5 + doc_id % 12,  h = 5 + doc_id % 9,
+      index(x, y, frame) = (doc_id*31 + x*7 + y*13 + frame*59) % 256,
+      palette pal[i] = (i, (i+101) % 256, (i+202) % 256),
+      per-frame delay = 4 + doc_id % 11 centiseconds,
+      every fifth document INTERLACED,
+
+    real LZW-compressed. The closed form is what makes the REAL
+    multi-frame decode oracle-checkable
+    (queries/ext_multimodal.py:multimodal_gif_frames). Runs as an
+    Arrow-batched mapInPandas kernel like the PNG/JPEG/WAV twins."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .gif import encode_gif
+
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack([i, (i + 101) % 256, (i + 202) % 256], axis=1).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 1 + did % 4
+                w, h = 5 + did % 12, 5 + did % 9
+                x = np.arange(w)[None, None, :]
+                y = np.arange(h)[None, :, None]
+                k = np.arange(nf)[:, None, None]
+                idx = ((did * 31 + x * 7 + y * 13 + k * 59) % 256).astype(
+                    np.uint8
+                )
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_gif(
+                        idx,
+                        pal,
+                        delays=[4 + did % 11] * nf,
+                        interlace=did % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, delay_cs int, "
+    "mean_intensity double"
+)
+
+
+def gif_frame_features(df: DataFrame) -> DataFrame:
+    """REAL per-frame decode over (doc_id, blob) GIF animations: one row
+    PER FRAME with dimensions, the frame's graphic-control delay, and
+    its mean intensity — the demux+decode half of a video pipeline
+    (frame-level features before any model sees pixels), feasible here
+    because GIF needs no ffmpeg. Non-GIF blobs raise at the codec gate."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import decode_gif, sniff_format
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+                   "delay_cs": [], "mean_intensity": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                if sniff_format(b) != "gif":
+                    raise NotImplementedError(
+                        "real frame decode beyond GIF needs ffmpeg/pyav "
+                        "(not in this container)"
+                    )
+                frames, delays = decode_gif(b)
+                for fi in range(frames.shape[0]):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(frames.shape[2])
+                    out["height"].append(frames.shape[1])
+                    out["delay_cs"].append(delays[fi])
+                    # float64 mean of uint8 samples: exact sum / count
+                    out["mean_intensity"].append(
+                        float(frames[fi].mean()) / 255.0
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, GIF_FRAME_SCHEMA)
+
+
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     """Deterministic real-JPEG source for the real-decode path, the lossy
     twin of :func:`synthesize_png_blobs`: for each ``doc_id`` emit
@@ -457,7 +561,13 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from .media_codecs import decode_bmp, decode_jpeg, decode_png, sniff_format
+        from .media_codecs import (
+            decode_bmp,
+            decode_gif,
+            decode_jpeg,
+            decode_png,
+            sniff_format,
+        )
 
         for pdf in batches:
             feats = {"doc_id": [], "width": [], "height": [], "n_bytes": [],
@@ -472,6 +582,9 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                         pix = decode_png(b)
                     elif fmt == "jpeg":
                         pix = decode_jpeg(b)
+                    elif fmt == "gif":
+                        # image semantics for an animation: frame 0
+                        pix = decode_gif(b)[0][0]
                     else:
                         raise NotImplementedError(
                             "real image decode beyond BMP/PNG/JPEG needs "

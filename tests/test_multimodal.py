@@ -744,9 +744,11 @@ def test_codecs_reject_malformed_input_cleanly():
     )
     from bigdata_meteo_datalake_spark.operators.media_codecs import (
         decode_bmp,
+        decode_gif,
         decode_png,
         decode_wav,
         encode_bmp,
+        encode_gif,
         encode_png,
         encode_wav,
     )
@@ -768,6 +770,10 @@ def test_codecs_reject_malformed_input_cleanly():
         (decode_png, encode_png(img[:, :, 0] % 16, filter_type="cycle",
                                 palette=pal)),
         (decode_bmp, encode_bmp(img)),
+        (decode_gif, encode_gif(
+            rng.integers(0, 16, size=(3, 10, 12), dtype=np.uint8),
+            rng.integers(0, 256, size=(16, 3), dtype=np.uint8),
+            interlace=True, transparent=3)),
         (decode_wav, encode_wav(rng.uniform(-1, 1, 300), 8000)),
         (parse_mp4, encode_mp4_skeleton(
             timescale=1000, duration=777,
@@ -1592,3 +1598,136 @@ def test_real_jpeg_progressive_successive_approximation_hand_built():
     want = _M.T @ block.reshape(8, 8).astype(np.float64) @ _M + 128.0
     want = np.clip(np.rint(want), 0, 255).astype(np.uint8)
     assert (got == want).all()
+
+
+def test_real_gif_roundtrips():
+    """GIF codec (round-8): encode (real LZW) -> decode is exact for
+    stills, interlaced frames, animations, small palettes, transparency
+    composition, disposal methods, and dictionary overflow/rebuild."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(61)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+
+    for interlace in (False, True):
+        idx = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+        b = encode_gif(idx, pal, interlace=interlace)
+        assert sniff_format(b) == "gif"
+        frames, delays = decode_gif(b)
+        assert frames.shape == (1, 13, 17, 3) and delays == [0]
+        assert (frames[0] == pal[idx]).all(), interlace
+
+    idxs = rng.integers(0, 256, size=(4, 9, 11), dtype=np.uint8)
+    frames, delays = decode_gif(encode_gif(idxs, pal, delays=[10, 20, 30, 40]))
+    for f in range(4):
+        assert (frames[f] == pal[idxs[f]]).all(), f
+    assert delays == [10, 20, 30, 40]
+
+    pal5 = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx5 = rng.integers(0, 5, size=(7, 6), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx5, pal5))[0][0] == pal5[idx5]).all()
+
+    # transparency: transparent pixels keep the prior canvas visible
+    f0 = np.zeros((4, 4), dtype=np.uint8)
+    f1 = np.full((4, 4), 1, dtype=np.uint8)
+    f1[1, 1] = 2
+    frames, _ = decode_gif(encode_gif(np.stack([f0, f1]), pal, transparent=2))
+    assert (frames[1][1, 1] == pal[0]).all()
+    assert (frames[1][0, 0] == pal[1]).all()
+
+    # disposal 2 (restore background = palette entry 0 here): frame 2's
+    # transparent pixel shows the RESTORED region, not frame 1's pixels
+    frames, _ = decode_gif(
+        encode_gif(np.stack([f1, f1]), pal, transparent=2, disposal=2)
+    )
+    assert (frames[1][1, 1] == pal[0]).all()
+
+    # worst-case noise forces dictionary overflow + clear/rebuild
+    noise = rng.integers(0, 256, size=(150, 173), dtype=np.uint8)
+    assert (decode_gif(encode_gif(noise, pal))[0][0] == pal[noise]).all()
+
+
+def test_real_gif_hand_built_lzw_stream():
+    """Decoder against the SPEC, independent of our encoder: a 2x2 GIF
+    whose LZW stream is assembled bit-by-bit by hand (LSB-first packing,
+    clear code, width growth at (1<<width)-1 on the decoder side)."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_gif
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    pal[0], pal[1], pal[2], pal[3] = (9, 9, 9), (10, 20, 30), (40, 50, 60), (7, 8, 9)
+
+    # mcs=2: clear=4, end=5. Pixels [1, 2, 2, 1]: codes (after clear)
+    # 1(w3) 2(w3) 2(w4, decoder widened after adding entry 6) 1(w4) end(w4)
+    bits = []
+    def put(code, width):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+    put(4, 3); put(1, 3); put(2, 3); put(2, 4); put(1, 4); put(5, 4)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)  # GCT of 4
+    gif += pal.tobytes()
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0])
+    gif += bytes([2])  # LZW minimum code size
+    gif += bytes([len(data)]) + bytes(data) + bytes([0])
+    gif += bytes([0x3B])
+    frames, _ = decode_gif(bytes(gif))
+    want = pal[np.array([[1, 2], [2, 1]], dtype=np.uint8)]
+    assert (frames[0] == want).all()
+
+
+def test_real_gif_through_kernels(spark):
+    """Spark plumbing: synthesized animated GIFs flow through
+    decode_image_features (frame-0 semantics) and gif_frame_features
+    (per-frame rows matching the closed form)."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        gif_frame_features,
+        synthesize_gif_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(25)
+    gifs = synthesize_gif_blobs(d)
+    feats = {r["doc_id"]: r for r in
+             decode_image_features(gifs, decode="real").collect()}
+    rows = gif_frame_features(gifs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        nf = 1 + did % 4
+        w, h = 5 + did % 12, 5 + did % 9
+        assert len(rs) == nf
+        assert (feats[did]["width"], feats[did]["height"]) == (w, h)
+        for r in sorted(rs, key=lambda r: r["frame_idx"]):
+            k = r["frame_idx"]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["delay_cs"] == 4 + did % 11
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            v = (did * 31 + x * 7 + y * 13 + k * 59) % 256
+            s = int((v + (v + 101) % 256 + (v + 202) % 256).sum())
+            want = (s / (w * h * 3)) / 255.0
+            assert abs(r["mean_intensity"] - want) < 1e-12, (did, k)
+        # frame-0 feature agrees between the two kernels
+        assert abs(
+            feats[did]["mean_intensity"]
+            - min(rs, key=lambda r: r["frame_idx"])["mean_intensity"]
+        ) < 1e-12
