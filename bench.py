@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     # BASELINE.md, same session as the set change)
     "multimodal_jpeg_decode",
     "multimodal_mp4_probe",
+    # round-8 addition: animated-GIF per-frame decode (real LZW,
+    # interlace, canvas composition) — the frame-sampling path (baseline
+    # restated for the 31-query set in BASELINE.md, same session)
+    "multimodal_gif_frames",
 ]
 
 
