@@ -665,10 +665,18 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
                         resized = encode_jpeg(
                             resize_nearest(decode_jpeg(b), width, height)
                         )
+                    elif fmt == "gif":
+                        # thumbnail semantics for an animation: frame 0,
+                        # re-encoded lossless as PNG
+                        from .media_codecs import decode_gif
+
+                        resized = encode_png(
+                            resize_nearest(decode_gif(b)[0][0], width, height)
+                        )
                     else:
                         raise NotImplementedError(
-                            "real resize beyond BMP/PNG/JPEG needs PIL (not "
-                            "in this container); swap for "
+                            "real resize beyond BMP/PNG/JPEG/GIF needs PIL "
+                            "(not in this container); swap for "
                             "Image.open(...).resize(...)"
                         )
                 else:
@@ -752,26 +760,44 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4,
                   decode: str = "fake") -> DataFrame:
     """Video frame sampling -> (doc_id, frame_idx, frame_hash) via
-    mapInPandas. Frame DECODE genuinely needs ffmpeg/pyav and stays a
-    loud boundary in real mode; container METADATA (duration, track mix)
-    is real already via :func:`probe_media_containers` /
-    operators/mp4.py — the demux-free half of a video pipeline."""
+    mapInPandas. In real mode, ANIMATED GIF frames genuinely decode
+    (operators/gif.py — frame_hash is the md5 of the composed RGB frame
+    bytes, every ``max_frames``-th frame kept); MP4 frame decode needs
+    ffmpeg/pyav and stays a loud boundary, with container METADATA
+    (duration, track mix) real already via
+    :func:`probe_media_containers` / operators/mp4.py."""
 
     def kernel(batches: Iterator) -> Iterator:
         import hashlib
 
         import pandas as pd
 
+        from .media_codecs import decode_gif, sniff_format
+
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real frame sampling needs ffmpeg/pyav (codec insertion "
-                    "point); container metadata is available without it via "
-                    "probe_media_containers"
-                )
             out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
+                if decode == "real":
+                    if sniff_format(b) != "gif":
+                        raise NotImplementedError(
+                            "real frame sampling beyond GIF needs "
+                            "ffmpeg/pyav (codec insertion point); container "
+                            "metadata is available without it via "
+                            "probe_media_containers"
+                        )
+                    frames, _delays = decode_gif(b)
+                    n = frames.shape[0]
+                    step = max(1, -(-n // max_frames))  # ceil: <= max_frames kept
+                    for rank, fi in enumerate(range(0, n, step)):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(fi)
+                        out["frame_hash"].append(
+                            hashlib.md5(frames[fi].tobytes()).hexdigest()
+                        )
+                        if rank + 1 >= max_frames:
+                            break
+                    continue
                 for idx in range(min(max_frames, max(1, len(b) // every_n_bytes))):
                     chunk = b[idx * every_n_bytes : (idx + 1) * every_n_bytes]
                     out["doc_id"].append(doc_id)
@@ -827,10 +853,14 @@ def image_phash_bands(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                         pix = decode_png(b)
                     elif fmt == "jpeg":
                         pix = decode_jpeg(b)
+                    elif fmt == "gif":
+                        from .media_codecs import decode_gif
+
+                        pix = decode_gif(b)[0][0]  # frame 0
                     else:
                         raise NotImplementedError(
-                            "real phash beyond BMP/PNG/JPEG needs PIL (codec "
-                            "insertion point)"
+                            "real phash beyond BMP/PNG/JPEG/GIF needs PIL "
+                            "(codec insertion point)"
                         )
                     small = resize_nearest(pix, 8, 8).astype(int)
                     if small.ndim == 3:

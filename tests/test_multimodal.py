@@ -1731,3 +1731,53 @@ def test_real_gif_through_kernels(spark):
             feats[did]["mean_intensity"]
             - min(rs, key=lambda r: r["frame_idx"])["mean_intensity"]
         ) < 1e-12
+
+
+def test_real_gif_frame_sampling_resize_phash(spark):
+    """GIF flows through every image kernel (round-8): sample_frames
+    real mode hashes genuinely decoded frames (<= max_frames kept, even
+    stride), resize_images thumbnails frame 0 as PNG, image_phash_bands
+    hashes frame 0 — all against the closed form."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_png
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        image_phash_bands,
+        resize_images,
+        sample_frames,
+        synthesize_gif_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(20)
+    gifs = synthesize_gif_blobs(d)
+
+    def frame(did, k):
+        w, h = 5 + did % 12, 5 + did % 9
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack([i, (i + 101) % 256, (i + 202) % 256], axis=1).astype(np.uint8)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        idx = ((did * 31 + x * 7 + y * 13 + k * 59) % 256).astype(np.uint8)
+        return pal[idx]
+
+    rows = sample_frames(gifs, max_frames=2, decode="real").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        nf = 1 + did % 4
+        assert len(rs) == min(2, nf)
+        for r in rs:
+            want = hashlib.md5(frame(did, r["frame_idx"]).tobytes()).hexdigest()
+            assert r["frame_hash"] == want, (did, r["frame_idx"])
+
+    out = {r["doc_id"]: r for r in
+           resize_images(gifs, width=4, height=3, decode="real").collect()}
+    for did, r in out.items():
+        pix = decode_png(bytes(r["blob"]))
+        assert pix.shape == (3, 4, 3)
+
+    bands = image_phash_bands(gifs, decode="real").collect()
+    assert len(bands) == 20  # one hash per animation (frame-0 semantics)
