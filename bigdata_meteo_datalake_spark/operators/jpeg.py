@@ -3,7 +3,10 @@ Huffman entropy coding) — closes the JPEG insertion point in the
 multimodal kernels without PIL/libjpeg.
 
 Scope (declared, enforced loudly):
-- decode: baseline sequential (SOF0) AND progressive (SOF2), 8-bit,
+- decode: baseline sequential (SOF0), extended sequential (SOF1), AND
+  progressive (SOF2); 8-bit and 12-bit precision (16-bit DQT entries,
+  level shift 2^(P-1), 12-bit samples returned as uint16 in 0..4095 —
+  see jpeg_precision for range-aware normalization);
   grayscale or 3-component with sampling factors 1..2 per axis — 4:4:4,
   4:2:2 (2x1), 4:4:0 (1x2), and 4:2:0 (2x2, the dominant real-world
   variant) all decode, with the interleaved-MCU block order of T.81
@@ -12,13 +15,14 @@ Scope (declared, enforced loudly):
   arbitrary scan script per T.81 G: interleaved or single-component DC
   scans, per-component AC spectral-selection bands, successive
   approximation (DC bit refinement, AC +/-2^Al refinement with
-  correction bits), and EOB runs. Arithmetic coding, factors > 2, and
-  12-bit raise NotImplementedError.
+  correction bits), and EOB runs. Arithmetic coding and factors > 2
+  raise NotImplementedError.
 - encode: grayscale or RGB with ``subsampling`` in {"444", "422",
   "420"} (box-average chroma downsampling), the spec Annex K example
   Huffman tables and IJG-scaled quantization tables (``quality``
   1..100); ``progressive=True`` writes a spectral-selection scan
-  script (one interleaved DC scan + one full AC scan per component).
+  script (one interleaved DC scan + one full AC scan per component);
+  ``precision=12`` writes SOF1/SOF2 with flat 12-bit Huffman tables.
 
 JPEG is lossy, so round-trips are approximate in general — EXCEPT for
 block-constant images when the DC quantization step divides 8*(v-128):
@@ -41,7 +45,32 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "jpeg_precision"]
+
+
+def jpeg_precision(b: bytes) -> int:
+    """SOF sample precision (8 or 12) from a JPEG header — a cheap
+    segment walk, for consumers that must normalize sample values
+    (a 12-bit JPEG's uint16 samples top out at 4095, not 65535)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2:
+            raise ValueError(f"invalid JPEG segment length {seglen}")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return b[pos + 2]
+        pos += seglen
+    raise ValueError("JPEG missing SOF header")
 
 # --- constants (ITU-T T.81 Annex K) -------------------------------------------
 
@@ -544,6 +573,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     width = height = None
     restart_interval = 0
     progressive = False
+    precision = 8
     hmax = vmax = mcux = mcuy = None
     coefs = None  # per SOF component: (rows8*cols8, 64) zigzag, raster order
     any_scan = False
@@ -564,12 +594,20 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT element precision {pq}")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                if pq == 0:
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg[p + 1 : p + 65], dtype=np.uint8
+                    )
+                    p += 65
+                else:  # 16-bit entries (12-bit sample precision)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 129
                 qt[tq] = tbl.reshape(8, 8)
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -581,11 +619,17 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     bits, values
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             progressive = marker == 0xC2
             precision = seg[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError(
+                    "baseline (SOF0) JPEG is 8-bit only; 12-bit requires "
+                    "extended sequential (SOF1) or progressive (SOF2)"
+                )
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
@@ -626,7 +670,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 chh = (height * c["v"] + vmax - 1) // vmax
                 c["nwb"] = (cw + 7) // 8
                 c["nhb"] = (chh + 7) // 8
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
@@ -692,15 +736,19 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         fy, fx = vmax // v_i, hmax // h_i
         if fy > 1 or fx > 1:
             p = p.repeat(fy, axis=0).repeat(fx, axis=1)
-        planes.append(p[:height, :width] + 128.0)
+        center = float(1 << (precision - 1))
+        planes.append(p[:height, :width] + center)
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
+    center = float(1 << (precision - 1))
     if len(planes) == 1:
-        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(planes[0]), 0, maxv).astype(dtype)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bch = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bch = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, bch], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.rint(rgb), 0, maxv).astype(dtype)
 
 
 # --- encoder -------------------------------------------------------------------
@@ -771,6 +819,17 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+#: 12-bit Huffman tables (flat canonical codes — fixture-grade, valid per
+#: T.81 C.2): the Annex K tables stop at DC category 11 / AC size 10, but
+#: 12-bit precision needs DC diffs to category 15 and AC sizes to 14.
+#: DC: all 16 categories at 5 bits (all-ones 5-bit code unused).
+_DC_12 = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+#: AC: EOB + 16 runs x 14 sizes + ZRL = 226 symbols, all at 8 bits.
+_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0xF0],
+)
+
 #: subsampling name -> per-component (h, v) sampling factors (Y, Cb, Cr)
 _SUBSAMPLING = {
     "444": [(1, 1), (1, 1), (1, 1)],
@@ -811,9 +870,12 @@ def encode_jpeg(
     restart_interval: int = 0,
     subsampling: str = "444",
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline or
-    progressive JPEG.
+    progressive JPEG. ``precision=12`` takes uint16 samples in 0..4095
+    and writes extended sequential (SOF1; SOF2 when progressive) with
+    16-bit quantization-table entries, level shift 2048.
 
     ``subsampling`` picks the chroma layout: "444" (full-resolution
     chroma), "422" (chroma halved horizontally), or "420" (halved both
@@ -832,7 +894,13 @@ def encode_jpeg(
     non-interleaved progressive scans), resetting the DC predictors and
     EOB run — the spec's resync mechanism, here mainly so the decoder's
     restart path is round-trip testable."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    maxv = (1 << precision) - 1
+    center = float(1 << (precision - 1))
+    arr = np.asarray(arr, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(arr.max(initial=0)) > maxv:
+        raise ValueError(f"12-bit samples must be <= {maxv}")
     if subsampling not in _SUBSAMPLING:
         raise ValueError(
             f"subsampling must be one of {sorted(_SUBSAMPLING)}, "
@@ -845,12 +913,12 @@ def encode_jpeg(
         rgb = arr.astype(np.float64)
         r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * bch
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + center
         planes = [y, cb, cr]
         factors = _SUBSAMPLING[subsampling]
     else:
-        raise ValueError(f"expected (H,W) or (H,W,3) uint8 array, got {arr.shape}")
+        raise ValueError(f"expected (H,W) or (H,W,3) array, got {arr.shape}")
     h, w = arr.shape[:2]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -859,32 +927,43 @@ def encode_jpeg(
     qluma = _ijg_scale(_QUANT_LUMA, quality).reshape(8, 8)
     qchroma = _ijg_scale(_QUANT_CHROMA, quality).reshape(8, 8)
     tables = [qluma] + [qchroma] * (len(planes) - 1)
-    dc_enc = [_huff_encode_table(*_DC_LUMA)] + [
-        _huff_encode_table(*_DC_CHROMA)
+    if precision == 8:
+        dc_defs = [_DC_LUMA, _DC_CHROMA]
+        ac_defs = [_AC_LUMA, _AC_CHROMA]
+    else:
+        # 12-bit needs DC categories to 15 / AC sizes to 14
+        dc_defs = [_DC_12, _DC_12]
+        ac_defs = [_AC_12, _AC_12]
+    dc_enc = [_huff_encode_table(*dc_defs[0])] + [
+        _huff_encode_table(*dc_defs[1])
     ] * (len(planes) - 1)
-    ac_enc = [_huff_encode_table(*_AC_LUMA)] + [
-        _huff_encode_table(*_AC_CHROMA)
+    ac_enc = [_huff_encode_table(*ac_defs[0])] + [
+        _huff_encode_table(*ac_defs[1])
     ] * (len(planes) - 1)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    # zigzag serialization: table entry i holds q[raster position zigzag(i)]
-    zz_luma = np.zeros(64, dtype=np.uint8)
+    # zigzag serialization: table entry i holds q[raster position
+    # zigzag(i)]; 12-bit precision writes 16-bit (pq=1) entries
+    pq = 0 if precision == 8 else 1
+    qdtype = np.uint8 if pq == 0 else ">u2"
+    zz_luma = np.zeros(64, dtype=qdtype)
     zz_luma[np.arange(64)] = qluma.reshape(64)[_ZIGZAG]
-    dqt = bytes([0x00]) + zz_luma.tobytes()
-    out += _seg(0xDB, dqt)
+    out += _seg(0xDB, bytes([pq << 4]) + zz_luma.tobytes())
     if len(planes) == 3:
-        zz_ch = np.zeros(64, dtype=np.uint8)
+        zz_ch = np.zeros(64, dtype=qdtype)
         zz_ch[np.arange(64)] = qchroma.reshape(64)[_ZIGZAG]
-        out += _seg(0xDB, bytes([0x01]) + zz_ch.tobytes())
+        out += _seg(0xDB, bytes([(pq << 4) | 0x01]) + zz_ch.tobytes())
     nc = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for i in range(nc):
         hv = (factors[i][0] << 4) | factors[i][1]
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
-    out += _seg(0xC2 if progressive else 0xC0, sof)
+    sof_marker = 0xC2 if progressive else (0xC0 if precision == 8 else 0xC1)
+    out += _seg(sof_marker, sof)
     for i, (bits, values) in enumerate(
-        [_DC_LUMA, _AC_LUMA] + ([_DC_CHROMA, _AC_CHROMA] if nc == 3 else [])
+        [dc_defs[0], ac_defs[0]]
+        + ([dc_defs[1], ac_defs[1]] if nc == 3 else [])
     ):
         tc = i % 2
         th = i // 2
@@ -927,7 +1006,7 @@ def encode_jpeg(
             src = _pad_edge(p, chh * fy, cw * fx)
             p = src.reshape(chh, fy, cw, fx).mean(axis=(1, 3))
         rows8, cols8 = mcuy * fv, mcux * fh
-        pp = _pad_edge(p, rows8 * 8, cols8 * 8) - 128.0
+        pp = _pad_edge(p, rows8 * 8, cols8 * 8) - center
         blocks = (
             pp.reshape(rows8, 8, cols8, 8)
             .transpose(0, 2, 1, 3)

@@ -24,7 +24,8 @@ codec stubbed:
   ``depth=``) so tests exercise every unfilter path.
   tRNS transparency expands to an alpha channel (palette alpha table,
   or raw-sample-value keying for gray/RGB).
-- **JPEG** (baseline sequential SOF0 AND progressive SOF2; grayscale /
+- **JPEG** (baseline SOF0, extended sequential SOF1, progressive SOF2;
+  8-bit and 12-bit precision; grayscale /
   4:4:4 / 4:2:2 / 4:2:0 RGB): full Huffman entropy codec + 8x8 DCT in
   ``operators/jpeg.py`` (spec Annex K tables), interleaved-MCU chroma
   subsampling with box-average downsampling / replication upsampling;
@@ -33,9 +34,9 @@ codec stubbed:
   spectral-selection script for fixtures; lossy in general, bit-exact
   on block-constant fixtures — see that module's docstring.
 
-Anything else (MP4 frame decode; arithmetic-coded or 12-bit JPEG)
-still raises NotImplementedError at the codec insertion point — a
-declared boundary, not silent wrong answers.
+Anything else (MP4 frame decode; arithmetic-coded JPEG) still raises
+NotImplementedError at the codec insertion point — a declared boundary,
+not silent wrong answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode

@@ -12,7 +12,7 @@ all five scanline filters, Adam7 interlace included), baseline sequential JPEG
 operators/jpeg.py), and PCM WAV
 (operators/media_codecs.py) — and raises NotImplementedError only for
 formats that truly need a codec library (MP4 video decode, arithmetic
-coding, 12-bit JPEG, ...), sniffed by magic bytes per blob.
+coding, ...), sniffed by magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -379,6 +379,69 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     )
 
 
+def synthesize_jpeg12_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic 12-BIT real-JPEG source (SOF1 extended sequential /
+    SOF2 progressive, 16-bit DQT entries, level shift 2048), the
+    high-precision twin of :func:`synthesize_jpeg_blobs`:
+
+      w = 9 + doc_id % 16,  h = 9 + doc_id % 12,
+      tile value v(bx, by) = (doc_id*97 + bx*29 + by*53) % 4096 for the
+      8x8 block at (x//8, y//8),
+      RGB with R=G=B when doc_id is even (chroma constant 2048 ->
+      quantizes to zero), grayscale when odd; even documents cycle
+      subsampling 444/420/422 by (doc_id//2) % 3; every seventh document
+      restarts every 2 MCUs; every ninth encodes progressive.
+
+    Exactness carries over from the 8-bit argument: the DCT of a
+    constant block is a lone DC coefficient 8*(v - 2048), and at IJG
+    quality 75 the luminance DC step is exactly 8, so the 12-bit round
+    trip is BIT-exact on these fixtures — which is what lets the SQL
+    oracle value-check the high-precision path
+    (queries/ext_multimodal.py:multimodal_jpeg12_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 9 + did % 16, 9 + did % 12
+                bx = np.arange(w)[None, :] // 8
+                by = np.arange(h)[:, None] // 8
+                arr = ((did * 97 + bx * 29 + by * 53) % 4096).astype(
+                    np.uint16
+                )
+                sub = "444"
+                if did % 2 == 0:
+                    arr = np.stack([arr, arr, arr], axis=2)
+                    sub = ("444", "420", "422")[(did // 2) % 3]
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_jpeg(
+                        arr,
+                        quality=75,
+                        precision=12,
+                        restart_interval=2 if did % 7 == 0 else 0,
+                        subsampling=sub,
+                        progressive=did % 9 == 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
     """Deterministic real-WAV source, the audio twin of
     :func:`synthesize_png_blobs`: for each ``doc_id`` emit (doc_id, blob)
@@ -595,10 +658,17 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                     feats["width"].append(pix.shape[1])
                     feats["height"].append(pix.shape[0])
                     feats["n_bytes"].append(len(b))
-                    # normalize by the sample dtype's range (uint8 or
-                    # uint16 for 16-bit PNG); the float64 mean of integer
-                    # samples is an exact sum over an exact count
-                    maxv = float(np.iinfo(pix.dtype).max)
+                    # normalize by the sample RANGE, not blindly the dtype
+                    # max: 16-bit PNG tops out at 65535 but a 12-bit JPEG's
+                    # uint16 samples top out at 4095 (SOF precision); the
+                    # float64 mean of integer samples is an exact sum over
+                    # an exact count
+                    if fmt == "jpeg" and pix.dtype != np.uint8:
+                        from .jpeg import jpeg_precision
+
+                        maxv = float((1 << jpeg_precision(b)) - 1)
+                    else:
+                        maxv = float(np.iinfo(pix.dtype).max)
                     feats["mean_intensity"].append(float(pix.mean()) / maxv)
                     continue
                 h = hashlib.md5(b).digest()

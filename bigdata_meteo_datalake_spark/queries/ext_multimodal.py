@@ -548,6 +548,71 @@ def multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
+# --- REAL 12-bit JPEG decode through the kernel gate ---------------------------------
+
+_JPEG12_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         9 + doc_id % 16 AS w,
+         9 + doc_id % 12 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 97 + ((i % w) // 8) * 29 + ((i // w) // 8) * 53)
+                % 4096), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       ch = 3 AS is_rgb,
+       (cast(s * ch AS double) / (w * h * ch)) / 4095.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_jpeg12_decode",
+    oracle=_JPEG12_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_jpeg12_decode(spark, sf_dir):
+    """REAL 12-BIT JPEG decode end to end (round-8): per document a
+    genuine extended-sequential (SOF1) or progressive (SOF2) 12-bit
+    JPEG — 16-bit DQT entries, level shift 2048, flat 12-bit Huffman
+    tables, cycling 444/420/422 subsampling, restart markers, and
+    progressive scan scripts exactly like the 8-bit fixture mix — is
+    encoded from closed-form BLOCK-CONSTANT tiles in 0..4095
+    (operators/multimodal.py:synthesize_jpeg12_blobs), then the
+    production decode path recovers dimensions and mean intensity
+    normalized by the SOF-precision sample range (4095, via
+    operators/jpeg.py:jpeg_precision — not the uint16 dtype max).
+
+    Bit-exactness carries over from the 8-bit argument: constant tiles
+    have a lone DC coefficient 8*(v-2048) and the IJG q75 luminance DC
+    step is exactly 8. The oracle recomputes tile sums in pure SQL and
+    divides in the same order ((sum*ch / (w*h*ch)) / 4095).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        synthesize_jpeg12_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    jpegs = synthesize_jpeg12_blobs(d)
+    feats = decode_image_features(jpegs, decode="real")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("doc_id") % 2 == 0).alias("is_rgb"),
+        "mean_intensity",
+    )
+
+
 # --- REAL WAV decode through the kernel gate ----------------------------------------
 
 _WAV_REAL_ORACLE = """

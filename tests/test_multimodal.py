@@ -766,6 +766,8 @@ def test_codecs_reject_malformed_input_cleanly():
                                   restart_interval=2)),
         (decode_jpeg, encode_jpeg(img, quality=75, subsampling="420",
                                   progressive=True)),
+        (decode_jpeg, encode_jpeg(
+            (img.astype(np.uint16) * 16), quality=75, precision=12)),
         (decode_png, encode_png(img, filter_type="cycle")),
         (decode_png, encode_png(img[:, :, 0] % 16, filter_type="cycle",
                                 palette=pal)),
@@ -1781,3 +1783,46 @@ def test_real_gif_frame_sampling_resize_phash(spark):
 
     bands = image_phash_bands(gifs, decode="real").collect()
     assert len(bands) == 20  # one hash per animation (frame-0 semantics)
+
+
+def test_real_jpeg_12bit_roundtrips():
+    """12-bit JPEG (round-8): SOF1 extended sequential / SOF2
+    progressive with 16-bit DQT entries and level shift 2048 —
+    bit-exact on 0..4095 block-constant fixtures across subsamplings,
+    restart intervals, and progressive scan scripts; natural-image
+    error bounded; SOF0 with 12-bit precision rejected as malformed."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_precision,
+    )
+
+    for did in (0, 2, 4, 6, 14, 21, 28, 63):
+        w, h = 9 + did % 16, 9 + did % 12
+        bx = np.arange(w)[None, :] // 8
+        by = np.arange(h)[:, None] // 8
+        tile = ((did * 97 + bx * 29 + by * 53) % 4096).astype(np.uint16)
+        img = np.stack([tile] * 3, axis=2) if did % 2 == 0 else tile
+        sub = ("444", "420", "422")[(did // 2) % 3] if did % 2 == 0 else "444"
+        for prog in (False, True):
+            b = encode_jpeg(img, quality=75, precision=12, subsampling=sub,
+                            progressive=prog,
+                            restart_interval=2 if did % 7 == 0 else 0)
+            assert jpeg_precision(b) == 12
+            out = decode_jpeg(b)
+            assert out.dtype == np.uint16
+            assert (out == img).all(), (did, sub, prog)
+
+    rng = np.random.default_rng(67)
+    img = (rng.integers(0, 4096, size=(33, 41, 3)).astype(np.float64) * 0.2
+           + 2048 * 0.8).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(img, quality=90, precision=12))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4096 * 0.05
+
+    bad = bytearray(encode_jpeg(img, quality=90, precision=12))
+    sof = bad.find(b"\xff\xc1")
+    bad[sof + 1] = 0xC0
+    with pytest.raises(ValueError, match="8-bit only"):
+        decode_jpeg(bytes(bad))

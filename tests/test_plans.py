@@ -208,7 +208,8 @@ def test_real_codec_queries_are_pure_map(spark):
     pre-split and the widen is a no-op; the blob path stays a pure
     scan-map pass either way)."""
     for name in ("multimodal_png_decode", "multimodal_png_depths_decode",
-                 "multimodal_jpeg_decode", "multimodal_gif_frames",
+                 "multimodal_jpeg_decode", "multimodal_jpeg12_decode",
+                 "multimodal_gif_frames",
                  "multimodal_wav_decode", "multimodal_phash_real",
                  "multimodal_mp4_probe"):
         df = QS[name](spark, SF0001)
