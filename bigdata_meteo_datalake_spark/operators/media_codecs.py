@@ -8,8 +8,9 @@ codec stubbed:
   ``struct``, pixel rows are raw BGR bottom-up with 4-byte row padding —
   decoded straight into a numpy (H, W, 3) RGB array with zero copies
   beyond the reshape. Encoder included (tests generate real images).
-- **WAV** (PCM 16-bit): stdlib ``wave`` for the RIFF container, numpy for
-  the sample math.
+- **WAV** (PCM 16/8-bit via stdlib ``wave``; G.711 mu-law and A-law —
+  the telephony encodings — via a manual RIFF chunk walk and the CCITT
+  expansion tables, reference-value-pinned in tests).
 - **PNG** (every legal IHDR combination: gray at depths 1/2/4/8/16,
   gray+alpha 8/16, RGB 8/16, RGBA 8/16, palette 1/2/4/8; non-interlaced
   AND Adam7 interlaced): chunk parsing with ``struct`` + ``zlib.crc32``,
@@ -656,11 +657,77 @@ def _filter_rows(flat: np.ndarray, bpp: int, filter_type) -> bytearray:
 
 # --- WAV ----------------------------------------------------------------------
 
+#: G.711 expansion tables (CCITT G.711 / the public-domain Sun reference
+#: implementation): 8-bit companded code -> linear 16-bit sample.
+
+
+def mulaw_decode_table() -> np.ndarray:
+    """256-entry mu-law -> int16 expansion (G.711; codes are transmitted
+    bit-inverted; +/-0 collapse, max magnitude 32124)."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+
+
+def alaw_decode_table() -> np.ndarray:
+    """256-entry A-law -> int16 expansion (G.711; even bits inverted by
+    0x55 on the wire; max magnitude 32256)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    quant = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0,
+        quant + 8,
+        (quant + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int64)
+
+
+def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
+    """RIFF/WAVE chunk walk -> {chunk_id: payload} (first occurrence)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        payload = b[pos + 8 : pos + 8 + sz]
+        if len(payload) != sz:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        out.setdefault(cid, payload)
+        pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
+    return out
+
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV -> (samples float64 in [-1, 1] shaped (n_frames, channels),
-    sample_rate). 16-bit and 8-bit PCM supported (stdlib `wave` rejects
-    compressed WAV itself)."""
+    """WAV -> (samples float64 in [-1, 1] shaped (n_frames, channels),
+    sample_rate). 16-bit and 8-bit PCM, plus G.711 mu-law (format 7) and
+    A-law (format 6) companded audio — the telephony encodings — which
+    expand through the CCITT tables to 16-bit before normalizing."""
+    try:
+        chunks = _riff_chunks(b)
+        fmt = chunks.get(b"fmt ")
+        if fmt is not None and len(fmt) >= 16:
+            audio_format, ch = struct.unpack_from("<HH", fmt, 0)
+            if audio_format in (6, 7):  # G.711 A-law / mu-law
+                (sr,) = struct.unpack_from("<I", fmt, 4)
+                data = chunks.get(b"data")
+                if data is None:
+                    raise ValueError("G.711 WAV missing data chunk")
+                if ch < 1 or sr == 0:
+                    raise ValueError("invalid G.711 WAV fmt fields")
+                table = (
+                    mulaw_decode_table() if audio_format == 7
+                    else alaw_decode_table()
+                )
+                codes = np.frombuffer(data, dtype=np.uint8)
+                codes = codes[: (len(codes) // ch) * ch]
+                samples = table[codes].astype(np.float64) / 32768.0
+                return samples.reshape(-1, ch), sr
+    except ValueError:
+        raise
     try:
         with wave.open(io.BytesIO(b), "rb") as wf:
             sr = wf.getframerate()
@@ -680,6 +747,28 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(f"sample width {sw} bytes not supported")
     return samples.reshape(-1, ch), sr
+
+
+def encode_wav_g711(
+    codes: np.ndarray, sample_rate: int, *, law: str = "mulaw"
+) -> bytes:
+    """8-bit G.711 code bytes -> a mono mu-law (format 7) or A-law
+    (format 6) WAV container (fixture source for the companded path)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    if law not in ("mulaw", "alaw"):
+        raise ValueError(f"law must be 'mulaw' or 'alaw', got {law!r}")
+    audio_format = 7 if law == "mulaw" else 6
+    data = codes.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, 1, sample_rate, sample_rate, 1, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -489,6 +489,51 @@ def synthesize_wav_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_g711_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-G.711 source (telephony WAV): for each
+    ``doc_id`` emit (doc_id, blob) where blob is a genuine mono
+    mu-law (even doc_id, format 7) or A-law (odd, format 6) WAV of
+
+      n  = 150 + doc_id % 200 code bytes at 8000 Hz,
+      code(i) = (doc_id*13 + i*7) % 256
+
+    — the code bytes are synthesized DIRECTLY (no companding round
+    trip), so the decoded samples are pure table lookups a SQL oracle
+    reproduces from a 256-entry literal
+    (queries/ext_multimodal.py:multimodal_wav_g711_decode); the table
+    itself is pinned against published G.711 reference values in
+    tests/test_multimodal.py, so a shared-constant bug cannot hide."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import encode_wav_g711
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 150 + did % 200
+                codes = ((did * 13 + np.arange(n) * 7) % 256).astype(np.uint8)
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_wav_g711(
+                        codes, 8000, law="mulaw" if did % 2 == 0 else "alaw"
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_mp4_blobs(df: DataFrame) -> DataFrame:
     """Deterministic real-ISO-BMFF source for the container-probe path:
     for each ``doc_id`` emit (doc_id, blob) where blob is a structurally

@@ -548,6 +548,85 @@ def multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
+# --- REAL G.711 (mu-law / A-law) WAV decode through the kernel gate ------------------
+
+
+def _g711_sq_sql() -> tuple[str, str]:
+    """SQL list literals of the SQUARED G.711 expansion tables — the
+    oracle's per-code lookup. Generated from the same public-reference
+    tables the kernel uses; shared-constant bugs are broken by the
+    published-value pins in tests/test_multimodal.py (mu-law 0x00 ->
+    -32124, A-law 0x2A -> -32256, silence codes -> 0/+-8, per-segment
+    monotonicity)."""
+    from ..operators.media_codecs import alaw_decode_table, mulaw_decode_table
+
+    mu = "[" + ",".join(str(int(v) * int(v)) for v in mulaw_decode_table()) + "]"
+    al = "[" + ",".join(str(int(v) * int(v)) for v in alaw_decode_table()) + "]"
+    return mu, al
+
+
+_MU_SQ, _AL_SQ = _g711_sq_sql()
+
+_G711_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 150 + doc_id % 200 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_aggregate(list_transform(range(0, n),
+           i -> CASE WHEN doc_id % 2 = 0
+                THEN list_extract({_MU_SQ}, ((doc_id * 13 + i * 7) % 256) + 1)
+                ELSE list_extract({_AL_SQ}, ((doc_id * 13 + i * 7) % 256) + 1)
+                END), 'sum') AS ss
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+       cast(n AS double) / 8000.0 AS duration_s,
+       cast(8000 AS int) AS sample_rate,
+       sqrt((cast(ss AS double) / 1073741824.0) / n) AS rms
+FROM s
+"""
+
+
+@register(
+    "multimodal_wav_g711_decode",
+    oracle=_G711_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_wav_g711_decode(spark, sf_dir):
+    """REAL G.711 companded-audio decode end to end (round-8): per
+    document a genuine telephony WAV — mu-law (format 7) for even
+    doc_ids, A-law (format 6) for odd — is synthesized from closed-form
+    CODE bytes (operators/multimodal.py:synthesize_g711_blobs), then
+    the production audio path (audio_features(decode="real") ->
+    media_codecs.decode_wav: manual RIFF chunk walk, CCITT expansion
+    table, 16-bit normalization) recovers duration, sample rate, and
+    RMS.
+
+    Exactness: decoded samples are t/2^15 with |t| <= 32256, so each
+    squared sample is an exact dyadic (t^2 / 2^30, t^2 < 2^31) and
+    numpy's float64 mean is the exact integer sum of squares over n;
+    the oracle looks each code's SQUARED table value up in a 256-entry
+    list literal and divides in the same order
+    (sqrt((ss / 2^30) / n)) with IEEE-correctly-rounded sqrt on both
+    engines.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import audio_features, synthesize_g711_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    wavs = synthesize_g711_blobs(d)
+    feats = audio_features(wavs, decode="real")
+    law = F.when(F.col("doc_id") % 2 == 0, F.lit("mulaw")).otherwise(
+        F.lit("alaw")
+    )
+    return feats.select(
+        "doc_id", law.alias("law"), "duration_s", "sample_rate", "rms"
+    )
+
+
 # --- REAL 12-bit JPEG decode through the kernel gate ---------------------------------
 
 _JPEG12_ORACLE = """

@@ -751,6 +751,7 @@ def test_codecs_reject_malformed_input_cleanly():
         encode_gif,
         encode_png,
         encode_wav,
+        encode_wav_g711,
     )
     from bigdata_meteo_datalake_spark.operators.mp4 import (
         encode_mp4_skeleton,
@@ -777,6 +778,9 @@ def test_codecs_reject_malformed_input_cleanly():
             rng.integers(0, 256, size=(16, 3), dtype=np.uint8),
             interlace=True, transparent=3)),
         (decode_wav, encode_wav(rng.uniform(-1, 1, 300), 8000)),
+        (decode_wav, encode_wav_g711(
+            rng.integers(0, 256, size=200, dtype=np.uint8), 8000,
+            law="alaw")),
         (parse_mp4, encode_mp4_skeleton(
             timescale=1000, duration=777,
             tracks=[{"track_id": 1, "handler": "vide", "timescale": 600,
@@ -1826,3 +1830,52 @@ def test_real_jpeg_12bit_roundtrips():
     bad[sof + 1] = 0xC0
     with pytest.raises(ValueError, match="8-bit only"):
         decode_jpeg(bytes(bad))
+
+
+def test_wav_g711_tables_and_kernels(spark):
+    """G.711 (round-8): expansion tables pinned against PUBLISHED
+    reference values (so the shared-constant oracle generation cannot
+    hide a table bug), WAV container roundtrip for both laws, and the
+    production audio kernel over synthesized telephony blobs."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        alaw_decode_table,
+        decode_wav,
+        encode_wav_g711,
+        mulaw_decode_table,
+        sniff_format,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_features,
+        synthesize_g711_blobs,
+    )
+
+    mu, al = mulaw_decode_table(), alaw_decode_table()
+    # published G.711 reference points
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert mu[0xFF] == 0 and mu[0x7F] == 0  # +/-0 collapse
+    assert al[0x2A] == -32256 and al[0xAA] == 32256
+    assert al[0x55] == -8 and al[0xD5] == 8  # A-law silence is +/-8
+    # strict per-side monotonicity (segment boundaries included)
+    assert (np.diff(mu[:0x80]) > 0).all() and (np.diff(mu[0x80:]) < 0).all()
+
+    codes = ((np.arange(300) * 7 + 13) % 256).astype(np.uint8)
+    for law, table in (("mulaw", mu), ("alaw", al)):
+        b = encode_wav_g711(codes, 8000, law=law)
+        assert sniff_format(b) == "wav"
+        samples, sr = decode_wav(b)
+        assert sr == 8000 and samples.shape == (300, 1)
+        assert np.allclose(samples[:, 0], table[codes] / 32768.0)
+
+    d = read_table(spark, SF0001, "documents").limit(20)
+    rows = {r["doc_id"]: r for r in
+            audio_features(synthesize_g711_blobs(d), decode="real").collect()}
+    for did, r in rows.items():
+        n = 150 + did % 200
+        table = mu if did % 2 == 0 else al
+        t = table[(did * 13 + np.arange(n) * 7) % 256]
+        want = float(np.sqrt(((t / 32768.0) ** 2).mean()))
+        assert r["sample_rate"] == 8000
+        assert abs(r["duration_s"] - n / 8000) < 1e-15
+        assert abs(r["rms"] - want) < 1e-15, did
