@@ -4,10 +4,13 @@ are decodable with nothing beyond the standard library + numpy, which
 proves the ``decode="real"`` path end-to-end instead of leaving every
 codec stubbed:
 
-- **BMP** (uncompressed 24-bit BI_RGB): fixed 54-byte header parsed with
-  ``struct``, pixel rows are raw BGR bottom-up with 4-byte row padding —
-  decoded straight into a numpy (H, W, 3) RGB array with zero copies
-  beyond the reshape. Encoder included (tests generate real images).
+- **BMP** (uncompressed 24-bit BI_RGB, 8-bit palette, and
+  RLE8-compressed 8-bit palette with encoded/absolute runs and
+  end-of-line / end-of-bitmap / delta escapes): header parsed with
+  ``struct``, truecolor rows are raw BGR bottom-up with 4-byte row
+  padding decoded as a zero-copy reshape, palette indices expand
+  through the BGRX color table. Encoders included for all three
+  layouts (tests generate real images).
 - **WAV** (PCM 16/8-bit via stdlib ``wave``; G.711 mu-law and A-law —
   the telephony encodings — via a manual RIFF chunk walk and the CCITT
   expansion tables, reference-value-pinned in tests).
@@ -66,6 +69,7 @@ from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (re-export)
 __all__ = [
     "decode_bmp",
     "encode_bmp",
+    "encode_bmp_palette",
     "decode_gif",
     "encode_gif",
     "decode_jpeg",
@@ -101,37 +105,103 @@ def sniff_format(b: bytes) -> str | None:
 
 
 def decode_bmp(b: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB array.
+    """BMP -> (H, W, 3) uint8 RGB array: uncompressed 24-bit BI_RGB,
+    uncompressed 8-bit palette, and RLE8-compressed 8-bit palette
+    (encoded runs, absolute runs, end-of-line / end-of-bitmap / delta
+    escapes) all decode.
 
-    Handles both bottom-up (positive height, the common case) and top-down
-    (negative height) row orders and the 4-byte row padding the format
-    mandates. Rejects anything compressed or non-24-bit loudly.
+    Handles both bottom-up (positive height, the common case) and
+    top-down (negative height) row orders and the 4-byte row padding the
+    format mandates. Other depths/compressions raise loudly.
     """
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
     try:
         (data_offset,) = struct.unpack_from("<I", b, 10)
+        (dib_size,) = struct.unpack_from("<I", b, 14)
         width, height = struct.unpack_from("<ii", b, 18)
         _planes, bpp = struct.unpack_from("<HH", b, 26)
         (compression,) = struct.unpack_from("<I", b, 30)
+        (clr_used,) = struct.unpack_from("<I", b, 46)
     except struct.error as e:
         raise ValueError(f"truncated BMP header ({e})") from e
-    if compression != 0 or bpp != 24:
+    if (bpp, compression) not in ((24, 0), (8, 0), (8, 1)):
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"only 24-bit BI_RGB and 8-bit BI_RGB/BI_RLE8 BMP supported "
+            f"(bpp={bpp}, compression={compression})"
         )
     bottom_up = height > 0
     h = abs(height)
-    row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundary
-    need = data_offset + row_size * h
-    if len(b) < need:
-        raise ValueError(f"truncated BMP: {len(b)} bytes, need {need}")
-    rows = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=data_offset)
-    pix = rows.reshape(h, row_size)[:, : width * 3].reshape(h, width, 3)
-    if bottom_up:
-        pix = pix[::-1]
-    return np.ascontiguousarray(pix[..., ::-1])  # BGR -> RGB
+    if width <= 0 or h == 0:
+        raise ValueError("BMP has non-positive dimensions")
+    if bpp == 24:
+        row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundary
+        need = data_offset + row_size * h
+        if len(b) < need:
+            raise ValueError(f"truncated BMP: {len(b)} bytes, need {need}")
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_size * h, offset=data_offset
+        )
+        pix = rows.reshape(h, row_size)[:, : width * 3].reshape(h, width, 3)
+        if bottom_up:
+            pix = pix[::-1]
+        return np.ascontiguousarray(pix[..., ::-1])  # BGR -> RGB
+    # 8-bit palette: BGRX color table right after the DIB header
+    n_colors = clr_used or 256
+    pal_off = 14 + dib_size
+    pal_raw = np.frombuffer(
+        b, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+    ) if len(b) >= pal_off + n_colors * 4 else None
+    if pal_raw is None:
+        raise ValueError("truncated BMP color table")
+    palette = pal_raw.reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+    if compression == 0:
+        row_size = (width + 3) & ~3
+        need = data_offset + row_size * h
+        if len(b) < need:
+            raise ValueError(f"truncated BMP: {len(b)} bytes, need {need}")
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_size * h, offset=data_offset
+        )
+        idx = rows.reshape(h, row_size)[:, :width]
+    else:  # BI_RLE8 (always bottom-up per the format)
+        idx = np.zeros((h, width), dtype=np.uint8)
+        x = y = 0
+        p = data_offset
+        while True:
+            if p + 2 > len(b):
+                raise ValueError("truncated BMP RLE8 stream")
+            count, val = b[p], b[p + 1]
+            p += 2
+            if count > 0:  # encoded run
+                if y >= h or x + count > width:
+                    raise ValueError("BMP RLE8 run outside the bitmap")
+                idx[y, x : x + count] = val
+                x += count
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                if p + 2 > len(b):
+                    raise ValueError("truncated BMP RLE8 delta")
+                x += b[p]
+                y += b[p + 1]
+                p += 2
+                if x > width or y > h:
+                    raise ValueError("BMP RLE8 delta outside the bitmap")
+            else:  # absolute run of `val` index bytes, padded to even
+                if y >= h or x + val > width or p + val > len(b):
+                    raise ValueError("BMP RLE8 absolute run out of bounds")
+                idx[y, x : x + val] = np.frombuffer(
+                    b, dtype=np.uint8, count=val, offset=p
+                )
+                x += val
+                p += val + (val & 1)
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("BMP pixel index outside the color table")
+    pix = palette[idx]
+    return np.ascontiguousarray(pix[::-1] if bottom_up else pix)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -150,6 +220,52 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return file_header + dib + data
+
+
+def encode_bmp_palette(
+    idx: np.ndarray, palette: np.ndarray, *, rle: bool = False
+) -> bytes:
+    """(H, W) uint8 index plane + (N<=256, 3) RGB palette -> 8-bit
+    bottom-up BMP, uncompressed (BI_RGB) or RLE8-compressed — the
+    fixture source for the palette/RLE decode paths."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("expected (H, W) indices and (N<=256, 3) palette")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index outside the palette")
+    h, w = idx.shape
+    table = np.zeros((pal.shape[0], 4), dtype=np.uint8)
+    table[:, 2::-1] = pal  # RGB -> BGRX
+    if not rle:
+        row_size = (w + 3) & ~3
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, :w] = idx[::-1]
+        data = rows.tobytes()
+        compression = 0
+    else:
+        out = bytearray()
+        for row in idx[::-1]:  # bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                out += bytes([run, int(row[x])])
+                x += run
+            out += bytes([0, 0])  # end of line
+        out += bytes([0, 1])  # end of bitmap
+        data = bytes(out)
+        compression = 1
+    offset = 14 + 40 + table.size
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(data), 0, 0, offset
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, compression, len(data), 2835, 2835,
+        pal.shape[0], 0,
+    )
+    return file_header + dib + table.tobytes() + data
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

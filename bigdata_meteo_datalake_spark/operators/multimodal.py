@@ -141,6 +141,63 @@ def synthesize_png_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_bmp_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-BMP source cycling the format's three layouts
+    (doc_id % 3): 24-bit truecolor, 8-bit palette uncompressed, 8-bit
+    palette RLE8-compressed. Same closed form as the PNG fixture —
+
+      w = 4 + doc_id % 13,  h = 4 + doc_id % 11,
+      value(x, y, c) = (doc_id*31 + x*7 + y*13 + c*101) % 256
+
+    — with the palette trick (color a pure function of the R value, so
+    the index plane is the R plane and pal[i] = (i, (i+101)%256,
+    (i+202)%256)): all three layouts decode to the IDENTICAL RGB image,
+    letting a single SQL oracle value-check truecolor rows, color-table
+    expansion, and the RLE run/escape machinery at once
+    (queries/ext_multimodal.py:multimodal_bmp_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import encode_bmp, encode_bmp_palette
+
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack([i, (i + 101) % 256, (i + 202) % 256], axis=1).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 13, 4 + did % 11
+                r = (
+                    did * 31
+                    + np.arange(w)[None, :] * 7
+                    + np.arange(h)[:, None] * 13
+                ) % 256
+                idx = r.astype(np.uint8)
+                mode = did % 3
+                if mode == 0:
+                    blob = encode_bmp(pal[idx])
+                elif mode == 1:
+                    blob = encode_bmp_palette(idx, pal, rle=False)
+                else:
+                    blob = encode_bmp_palette(idx, pal, rle=True)
+                out["doc_id"].append(did)
+                out["blob"].append(blob)
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_png_depth_blobs(df: DataFrame) -> DataFrame:
     """Deterministic real-PNG source sweeping BIT DEPTH, the depth twin
     of :func:`synthesize_png_blobs`: for each ``doc_id`` emit

@@ -404,6 +404,71 @@ def multimodal_png_depths_decode(spark, sf_dir):
     )
 
 
+# --- REAL BMP decode (truecolor / palette / RLE8) through the kernel gate ------------
+
+_BMP_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         4 + doc_id % 11 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256
+                + ((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 + 101)
+                  % 256
+                + ((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 + 202)
+                  % 256
+         ), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       CASE doc_id % 3 WHEN 0 THEN 'truecolor' WHEN 1 THEN 'palette'
+            ELSE 'rle8' END AS layout,
+       (cast(s AS double) / (w * h * 3)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle=_BMP_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL BMP decode end to end across the format's three layouts
+    (round-8): per document a genuine BMP — 24-bit truecolor, 8-bit
+    palette, or RLE8-compressed palette by doc_id % 3 — is encoded from
+    the closed-form pixel pattern (operators/multimodal.py:
+    synthesize_bmp_blobs; the palette trick makes all three layouts
+    decode to the IDENTICAL RGB image), then the production decode path
+    (decode_image_features(decode="real") -> media_codecs.decode_bmp:
+    header parse, BGRX color-table expansion, RLE run/escape replay,
+    bottom-up flip) recovers dimensions and mean intensity.
+
+    Exactness: pixel sums are exact integers (< 2^53, numpy's float64
+    mean is exact); the oracle recomputes the palette-expanded channel
+    sums from the closed form with integer arithmetic only and divides
+    in the same order ((sum / (w*h*3)) / 255).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import decode_image_features, synthesize_bmp_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    bmps = synthesize_bmp_blobs(d)
+    feats = decode_image_features(bmps, decode="real")
+    layout = F.expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'truecolor' WHEN 1 THEN 'palette' "
+        "ELSE 'rle8' END"
+    )
+    return feats.select(
+        "doc_id", "width", "height", layout.alias("layout"), "mean_intensity"
+    )
+
+
 # --- REAL animated-GIF per-frame decode through the kernel gate ----------------------
 
 _GIF_FRAMES_ORACLE = """

@@ -748,6 +748,7 @@ def test_codecs_reject_malformed_input_cleanly():
         decode_png,
         decode_wav,
         encode_bmp,
+        encode_bmp_palette,
         encode_gif,
         encode_png,
         encode_wav,
@@ -773,6 +774,9 @@ def test_codecs_reject_malformed_input_cleanly():
         (decode_png, encode_png(img[:, :, 0] % 16, filter_type="cycle",
                                 palette=pal)),
         (decode_bmp, encode_bmp(img)),
+        (decode_bmp, encode_bmp_palette(
+            rng.integers(0, 16, size=(9, 14), dtype=np.uint8),
+            rng.integers(0, 256, size=(16, 3), dtype=np.uint8), rle=True)),
         (decode_gif, encode_gif(
             rng.integers(0, 16, size=(3, 10, 12), dtype=np.uint8),
             rng.integers(0, 256, size=(16, 3), dtype=np.uint8),
@@ -1879,3 +1883,47 @@ def test_wav_g711_tables_and_kernels(spark):
         assert r["sample_rate"] == 8000
         assert abs(r["duration_s"] - n / 8000) < 1e-15
         assert abs(r["rms"] - want) < 1e-15, did
+
+
+def test_real_bmp_palette_and_rle8():
+    """BMP 8-bit palette + RLE8 (round-8): roundtrips across shapes and
+    both layouts, run compression on constant rows, small color tables
+    via biClrUsed, and a hand-built RLE stream exercising the delta and
+    end-of-line escapes independently of our encoder."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp_palette,
+    )
+
+    rng = np.random.default_rng(71)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    for rle in (False, True):
+        for w, h in [(1, 1), (5, 3), (33, 2), (16, 16)]:
+            idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            out = decode_bmp(encode_bmp_palette(idx, pal, rle=rle))
+            assert (out == pal[idx]).all(), (rle, w, h)
+    const = np.full((7, 300), 42, dtype=np.uint8)
+    b = encode_bmp_palette(const, pal, rle=True)
+    assert len(b) < 14 + 40 + 1024 + 7 * 8 + 10  # runs actually compress
+    assert (decode_bmp(b) == pal[const]).all()
+    pal5 = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx5 = rng.integers(0, 5, size=(4, 6), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp_palette(idx5, pal5, rle=True)) == pal5[idx5]).all()
+
+    # hand-built stream: bottom row = run(2, idx1) + run(2, idx3), EOL;
+    # top row = delta(+1, 0) then run(3, idx2), EOL, EOB
+    pal2 = np.zeros((4, 3), dtype=np.uint8)
+    pal2[1], pal2[2], pal2[3] = (10, 20, 30), (40, 50, 60), (70, 80, 90)
+    table = np.zeros((4, 4), dtype=np.uint8)
+    table[:, 2::-1] = pal2
+    data = bytes([2, 1, 2, 3, 0, 0, 0, 2, 1, 0, 3, 2, 0, 0, 0, 1])
+    offset = 14 + 40 + 16
+    fh = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(data), 0, 0, 4, 0)
+    out = decode_bmp(fh + dib + table.tobytes() + data)
+    want_idx = np.array([[0, 2, 2, 2], [1, 1, 3, 3]])
+    assert (out == pal2[want_idx]).all()
