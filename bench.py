@@ -11,6 +11,7 @@ headline total, with every raw reading recorded under "query_runs".
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -141,6 +142,19 @@ def main() -> None:
                 break
             finally:
                 spark.catalog.clearCache()
+                # localCheckpoint blocks free only when the JVM GC
+                # collects the dropped frames; 30 queries x 3 runs of
+                # accumulated blocks otherwise build memory pressure that
+                # bleeds into LATER queries' readings (observed: the
+                # codec query, last in the set, read 5.3 s in-sweep vs a
+                # stable ~1.1 s solo). Explicit GC between queries keeps
+                # each reading isolated.
+                del df
+                gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:  # noqa: BLE001 - measurement hygiene only
+                    pass
         if runs:
             query_runs[name] = runs
             mid = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
