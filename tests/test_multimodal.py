@@ -1927,3 +1927,93 @@ def test_real_bmp_palette_and_rle8():
     out = decode_bmp(fh + dib + table.tobytes() + data)
     want_idx = np.array([[0, 2, 2, 2], [1, 1, 3, 3]])
     assert (out == pal2[want_idx]).all()
+
+
+def test_codec_roundtrip_property_hypothesis():
+    """Property sweep (round-8): ANY random image round-trips exactly
+    through PNG (random legal depth/color/filter/interlace), BMP (all
+    three layouts), and GIF (interlace on/off); JPEG decodes its own
+    encoding with bounded error at q90. Hypothesis shrinks failures to
+    minimal images."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        encode_bmp,
+        encode_bmp_palette,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 20),
+        seed=st.integers(0, 2**31),
+        mode=st.sampled_from(
+            ["png_gray", "png_rgb", "png_rgba", "png_gray16", "png_pal",
+             "png_sub4", "bmp_true", "bmp_pal", "bmp_rle", "gif", "gif_i",
+             "jpeg"]
+        ),
+        ft=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+        interlace=st.booleans(),
+    )
+    def inner(w, h, seed, mode, ft, interlace):
+        rng = np.random.default_rng(seed)
+        if mode == "png_gray":
+            a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            assert (decode_png(encode_png(a, filter_type=ft,
+                                          interlace=interlace)) == a).all()
+        elif mode == "png_rgb":
+            a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (decode_png(encode_png(a, filter_type=ft,
+                                          interlace=interlace)) == a).all()
+        elif mode == "png_rgba":
+            a = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+            assert (decode_png(encode_png(a, filter_type=ft,
+                                          interlace=interlace)) == a).all()
+        elif mode == "png_gray16":
+            a = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+            assert (decode_png(encode_png(a, filter_type=ft,
+                                          interlace=interlace)) == a).all()
+        elif mode == "png_pal":
+            pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+            a = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+            got = decode_png(encode_png(a, filter_type=ft, palette=pal,
+                                        interlace=interlace))
+            assert (got == pal[a]).all()
+        elif mode == "png_sub4":
+            a = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+            got = decode_png(encode_png(a, filter_type=ft, depth=4,
+                                        interlace=interlace))
+            assert (got == a * 17).all()
+        elif mode == "bmp_true":
+            a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (decode_bmp(encode_bmp(a)) == a).all()
+        elif mode in ("bmp_pal", "bmp_rle"):
+            pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+            a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            got = decode_bmp(encode_bmp_palette(a, pal,
+                                                rle=mode == "bmp_rle"))
+            assert (got == pal[a]).all()
+        elif mode in ("gif", "gif_i"):
+            pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+            a = rng.integers(0, 64, size=(h, w), dtype=np.uint8)
+            frames, _ = decode_gif(
+                encode_gif(a, pal, interlace=mode == "gif_i")
+            )
+            assert (frames[0] == pal[a]).all()
+        else:  # jpeg: bounded error, exact shape/dtype
+            a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(a, quality=90))
+            assert out.shape == a.shape and out.dtype == np.uint8
+            assert np.abs(out.astype(int) - a.astype(int)).max() <= 160
+
+    inner()
