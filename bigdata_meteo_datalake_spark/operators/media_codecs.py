@@ -28,6 +28,10 @@ codec stubbed:
   ``depth=``) so tests exercise every unfilter path.
   tRNS transparency expands to an alpha channel (palette alpha table,
   or raw-sample-value keying for gray/RGB).
+- **TIFF** (classic, both byte orders, first IFD): 8-bit gray (both
+  photometric polarities) and RGB, multi-strip, Compression 1 (none)
+  and 32773 (PackBits) — the scanned-document staple. Encoder writes
+  genuine single-/multi-strip files with a real PackBits compressor.
 - **JPEG** (baseline SOF0, extended sequential SOF1, progressive SOF2;
   8-bit and 12-bit precision; grayscale /
   4:4:4 / 4:2:2 / 4:2:0 RGB): full Huffman entropy codec + 8x8 DCT in
@@ -65,6 +69,7 @@ import numpy as np
 
 from .gif import decode_gif, encode_gif  # noqa: F401  (re-export)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (re-export)
+from .tiff import decode_tiff, encode_tiff  # noqa: F401  (re-export)
 
 __all__ = [
     "decode_bmp",
@@ -76,6 +81,8 @@ __all__ = [
     "encode_jpeg",
     "decode_png",
     "encode_png",
+    "decode_tiff",
+    "encode_tiff",
     "decode_wav",
     "encode_wav",
     "sniff_format",
@@ -94,6 +101,8 @@ def sniff_format(b: bytes) -> str | None:
         return "jpeg"
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if len(b) >= 12 and b[4:8] == b"ftyp":

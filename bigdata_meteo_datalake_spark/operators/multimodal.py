@@ -6,13 +6,13 @@ The container has no PIL/ffmpeg, so ``decode=fake`` produces deterministic
 features derived from the bytes (the Spark-side plumbing — schema, batch
 iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
-stdlib+numpy — uncompressed 24-bit BMP, PNG at every legal IHDR combo (gray 1/2/4/8/16, gray+alpha, RGB/RGBA 8/16, palette,
-all five scanline filters, Adam7 interlace included), baseline sequential JPEG
-(baseline AND progressive SOF2; grayscale / 4:4:4 / 4:2:2 / 4:2:0,
-operators/jpeg.py), and PCM WAV
-(operators/media_codecs.py) — and raises NotImplementedError only for
-formats that truly need a codec library (MP4 video decode, arithmetic
-coding, ...), sniffed by magic bytes per blob.
+stdlib+numpy — BMP (truecolor/palette/RLE8), PNG at every legal IHDR
+combination (+ tRNS), JPEG (SOF0/SOF1/SOF2, 8/12-bit, 444/422/420),
+GIF (animated, LZW), TIFF (both byte orders, strips, PackBits), and
+WAV (PCM + G.711 mu-law/A-law) — and raises NotImplementedError only
+for formats that truly need a codec library (MP4 video decode,
+arithmetic-coded JPEG, LZW-in-TIFF, compressed audio codecs), sniffed
+by magic bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -186,6 +186,65 @@ def synthesize_bmp_blobs(df: DataFrame) -> DataFrame:
                     blob = encode_bmp_palette(idx, pal, rle=True)
                 out["doc_id"].append(did)
                 out["blob"].append(blob)
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def synthesize_tiff_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-TIFF source (the scanned-document staple),
+    cycling byte order, compression, and strip layout: for each
+    ``doc_id`` emit (doc_id, blob) where blob is a genuine classic TIFF
+    of the SAME closed-form pixels as the PNG fixture —
+
+      w = 4 + doc_id % 13,  h = 4 + doc_id % 11,
+      RGB when doc_id is even else grayscale,
+      value(x, y, c) = (doc_id*31 + x*7 + y*13 + c*101) % 256,
+      byte order: II when doc_id % 4 < 2 else MM,
+      compression: PackBits when doc_id % 3 == 0 else none,
+      strips: rows_per_strip=3 when doc_id % 5 == 0 else single-strip
+
+    — so one SQL oracle value-checks IFD parsing in both byte orders,
+    multi-strip reassembly, and PackBits expansion at once
+    (queries/ext_multimodal.py:multimodal_tiff_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import encode_tiff
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 13, 4 + did % 11
+                ch = 3 if did % 2 == 0 else 1
+                v = (
+                    did * 31
+                    + np.arange(w)[None, :, None] * 7
+                    + np.arange(h)[:, None, None] * 13
+                    + np.arange(ch)[None, None, :] * 101
+                ) % 256
+                arr = v.astype(np.uint8)
+                if ch == 1:
+                    arr = arr[:, :, 0]
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_tiff(
+                        arr,
+                        byteorder="<" if did % 4 < 2 else ">",
+                        packbits=did % 3 == 0,
+                        rows_per_strip=3 if did % 5 == 0 else None,
+                    )
+                )
             yield pd.DataFrame(out)
 
     from ..sources.lake import widen
@@ -731,6 +790,7 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
             decode_gif,
             decode_jpeg,
             decode_png,
+            decode_tiff,
             sniff_format,
         )
 
@@ -750,6 +810,8 @@ def decode_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                     elif fmt == "gif":
                         # image semantics for an animation: frame 0
                         pix = decode_gif(b)[0][0]
+                    elif fmt == "tiff":
+                        pix = decode_tiff(b)
                     else:
                         raise NotImplementedError(
                             "real image decode beyond BMP/PNG/JPEG needs "
@@ -844,6 +906,12 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
 
                         resized = encode_png(
                             resize_nearest(decode_gif(b)[0][0], width, height)
+                        )
+                    elif fmt == "tiff":
+                        from .media_codecs import decode_tiff, encode_tiff
+
+                        resized = encode_tiff(
+                            resize_nearest(decode_tiff(b), width, height)
                         )
                     else:
                         raise NotImplementedError(
@@ -1029,6 +1097,10 @@ def image_phash_bands(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                         from .media_codecs import decode_gif
 
                         pix = decode_gif(b)[0][0]  # frame 0
+                    elif fmt == "tiff":
+                        from .media_codecs import decode_tiff
+
+                        pix = decode_tiff(b)
                     else:
                         raise NotImplementedError(
                             "real phash beyond BMP/PNG/JPEG/GIF needs PIL "

@@ -404,6 +404,71 @@ def multimodal_png_depths_decode(spark, sf_dir):
     )
 
 
+# --- REAL TIFF decode (byte orders / strips / PackBits) through the kernel gate ------
+
+_TIFF_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         4 + doc_id % 11 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         list_aggregate(list_transform(range(0, w * h * ch),
+           i -> (doc_id * 31 + ((i // ch) % w) * 7 + (i // (ch * w)) * 13
+                 + (i % ch) * 101) % 256), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       ch = 3 AS is_rgb,
+       doc_id % 4 >= 2 AS big_endian,
+       doc_id % 3 = 0 AS packbits,
+       (cast(s AS double) / (w * h * ch)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_tiff_decode",
+    oracle=_TIFF_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_tiff_decode(spark, sf_dir):
+    """REAL TIFF decode end to end (round-8) — the scanned-document
+    staple: per document a genuine classic TIFF cycling byte order
+    (II / MM), compression (none / PackBits), and strip layout
+    (single / rows_per_strip=3) is encoded from the closed-form pixel
+    pattern (operators/multimodal.py:synthesize_tiff_blobs), then the
+    production decode path (decode_image_features(decode="real") ->
+    operators/tiff.py:decode_tiff: IFD tag walk with inline AND
+    offset-addressed values, multi-strip reassembly, PackBits
+    run/literal expansion) recovers dimensions and mean intensity.
+
+    Exactness: pixel sums are exact integers (< 2^53, numpy's float64
+    mean is exact); the oracle recomputes the expected sums from the
+    closed form in pure SQL and divides in the same order
+    ((sum / (w*h*ch)) / 255).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import decode_image_features, synthesize_tiff_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    tiffs = synthesize_tiff_blobs(d)
+    feats = decode_image_features(tiffs, decode="real")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("doc_id") % 2 == 0).alias("is_rgb"),
+        (F.col("doc_id") % 4 >= 2).alias("big_endian"),
+        (F.col("doc_id") % 3 == 0).alias("packbits"),
+        "mean_intensity",
+    )
+
+
 # --- REAL BMP decode (truecolor / palette / RLE8) through the kernel gate ------------
 
 _BMP_ORACLE = """

@@ -746,11 +746,13 @@ def test_codecs_reject_malformed_input_cleanly():
         decode_bmp,
         decode_gif,
         decode_png,
+        decode_tiff,
         decode_wav,
         encode_bmp,
         encode_bmp_palette,
         encode_gif,
         encode_png,
+        encode_tiff,
         encode_wav,
         encode_wav_g711,
     )
@@ -781,6 +783,8 @@ def test_codecs_reject_malformed_input_cleanly():
             rng.integers(0, 16, size=(3, 10, 12), dtype=np.uint8),
             rng.integers(0, 256, size=(16, 3), dtype=np.uint8),
             interlace=True, transparent=3)),
+        (decode_tiff, encode_tiff(img, byteorder=">", packbits=True,
+                                  rows_per_strip=3)),
         (decode_wav, encode_wav(rng.uniform(-1, 1, 300), 8000)),
         (decode_wav, encode_wav_g711(
             rng.integers(0, 256, size=200, dtype=np.uint8), 8000,
@@ -2017,3 +2021,82 @@ def test_codec_roundtrip_property_hypothesis():
             assert np.abs(out.astype(int) - a.astype(int)).max() <= 160
 
     inner()
+
+
+def test_real_tiff_roundtrips_and_guards():
+    """TIFF (round-8): roundtrips across both byte orders, compression
+    modes, and strip layouts for gray/RGB; PackBits actually compresses
+    runs; white-is-zero inverts; unsupported compressions raise the
+    declared NotImplementedError; truncation raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(77)
+    for bo in ("<", ">"):
+        for pb in (False, True):
+            for rps in (None, 3):
+                g = rng.integers(0, 256, size=(11, 17), dtype=np.uint8)
+                b = encode_tiff(g, byteorder=bo, packbits=pb,
+                                rows_per_strip=rps)
+                assert sniff_format(b) == "tiff"
+                assert (decode_tiff(b) == g).all(), (bo, pb, rps)
+                c = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+                b = encode_tiff(c, byteorder=bo, packbits=pb,
+                                rows_per_strip=rps)
+                assert (decode_tiff(b) == c).all(), (bo, pb, rps)
+
+    const = np.full((20, 400), 9, dtype=np.uint8)
+    b = encode_tiff(const, packbits=True)
+    assert len(b) < 1000 and (decode_tiff(b) == const).all()
+
+    # white-is-zero photometric inverts (patch tag 262 to 0)
+    b = bytearray(encode_tiff(np.array([[0, 255]], dtype=np.uint8)))
+    n = struct.unpack_from("<H", b, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", b, off)[0] == 262:
+            struct.pack_into("<H", b, off + 8, 0)
+    assert decode_tiff(bytes(b)).tolist() == [[255, 0]]
+
+    # LZW-in-TIFF stays a declared boundary (patch tag 259 to 5)
+    b = bytearray(encode_tiff(np.zeros((2, 2), dtype=np.uint8)))
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", b, off)[0] == 259:
+            struct.pack_into("<H", b, off + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(b))
+    with pytest.raises(ValueError):
+        decode_tiff(b"II*\x00\x08\x00\x00")
+
+
+def test_real_tiff_through_kernel(spark):
+    """Spark plumbing: synthesized TIFFs (byte-order / compression /
+    strip mix) flow through the production feature kernel and match the
+    closed form exactly."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        synthesize_tiff_blobs,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(30)
+    feats = {r["doc_id"]: r for r in
+             decode_image_features(synthesize_tiff_blobs(d),
+                                   decode="real").collect()}
+    for did, r in feats.items():
+        w, h = 4 + did % 13, 4 + did % 11
+        ch = 3 if did % 2 == 0 else 1
+        v = ((did * 31 + np.arange(w)[None, :, None] * 7
+              + np.arange(h)[:, None, None] * 13
+              + np.arange(ch)[None, None, :] * 101) % 256)
+        want = (float(v.sum()) / (w * h * ch)) / 255.0
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_intensity"] - want) < 1e-12, did
