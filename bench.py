@@ -139,6 +139,10 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
+                # discard partial readings: a query that errored mid-runs
+                # must not contribute a median to the headline total
+                # (it would be double-reported as both timed and errored)
+                runs = []
                 break
             finally:
                 spark.catalog.clearCache()
@@ -165,6 +169,11 @@ def main() -> None:
     warmup_sec = round(warmup_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    # The stdout JSON line stays COMPACT (total + per-query medians): the
+    # driver tail-captures stdout and r8's line — once 3 raw readings per
+    # query rode along under "query_runs" — outgrew the capture and landed
+    # as parsed:null. All raw readings, min/max totals, and warm-up detail
+    # go to a sidecar file instead.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -172,6 +181,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,
+    }
+    if errors:
+        out["errors"] = errors
+    sidecar = {
+        **out,
         "query_runs": query_runs,
         "total_min": round(sum(min(r) for r in query_runs.values()), 3)
         if query_runs
@@ -182,8 +196,15 @@ def main() -> None:
         "warmup_sec": warmup_sec,
         "warmup_sf_dir": warm_dir,
     }
-    if errors:
-        out["errors"] = errors
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_RUNS_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write sidecar {sidecar_path}: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

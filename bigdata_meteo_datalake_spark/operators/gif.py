@@ -305,8 +305,14 @@ def _decode_gif(b: bytes):
             delays.append(int(delay))
             # disposal applies AFTER the frame is shown
             if disposal == 2:  # restore background
+                # the background index addresses the GLOBAL color table
+                # (GIF89a 19: "index into the Global Color Table"), never
+                # a frame's local table — a local table smaller than bg
+                # must not be consulted (out-of-bounds) nor used (wrong
+                # palette). No global table -> black, matching common
+                # renderers.
                 bg_rgb = (
-                    table[bg] if gct is not None and bg < len(gct) else 0
+                    gct[bg] if gct is not None and bg < len(gct) else 0
                 )
                 canvas[top : top + fh, left : left + fw] = bg_rgb
             elif disposal == 3:  # restore previous canvas

@@ -1706,6 +1706,60 @@ def test_real_gif_hand_built_lzw_stream():
     assert (frames[0] == want).all()
 
 
+def test_real_gif_disposal2_local_table_smaller_than_bg_index():
+    """Disposal-2 background restore must index the GLOBAL color table
+    (GIF89a 19), even when the disposed frame carries a local table
+    smaller than the background index (round-8 advice: this raised
+    'index 3 is out of bounds for axis 0 with size 2')."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import decode_gif
+
+    gct = np.zeros((4, 3), dtype=np.uint8)
+    gct[0], gct[1], gct[2], gct[3] = (1, 1, 1), (2, 2, 2), (3, 3, 3), (77, 88, 99)
+    lct = np.zeros((2, 3), dtype=np.uint8)
+    lct[0], lct[1] = (10, 10, 10), (20, 20, 20)
+
+    def lzw(codes_widths):
+        bits = []
+        for code, width in codes_widths:
+            for i in range(width):
+                bits.append((code >> i) & 1)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                byte |= bit << j
+            data.append(byte)
+        return bytes([2, len(data)]) + bytes(data) + bytes([0])
+
+    gif = bytearray(b"GIF89a")
+    # 2x2 screen, GCT of 4, BACKGROUND INDEX 3 (valid: addresses the GCT)
+    gif += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 3, 0)
+    gif += gct.tobytes()
+    # frame 1: full 2x2, disposal 2, LOCAL color table of only 2 entries
+    gif += bytes([0x21, 0xF9, 4, 2 << 2, 0, 0, 0, 0])  # GCE: disposal=2
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 2, 2)
+    gif += bytes([0x80 | 0x00])  # local table flag, size field 0 -> 2 entries
+    gif += lct.tobytes()
+    # pixels [0,1,1,0]: clear(w3) 0(w3) 1(w3; add#6 -> widen) 1(w4) 0(w4) end(w4)
+    gif += lzw([(4, 3), (0, 3), (1, 3), (1, 4), (0, 4), (5, 4)])
+    # frame 2: 1x1 at (0,0) from the GCT, so the restored region is visible
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0])
+    gif += lzw([(4, 3), (0, 3), (5, 3)])
+    gif += bytes([0x3B])
+
+    frames, _ = decode_gif(bytes(gif))
+    assert frames.shape == (2, 2, 2, 3)
+    assert (frames[0] == lct[np.array([[0, 1], [1, 0]])]).all()
+    # after disposal 2, the canvas outside frame 2 is gct[bg], NOT lct[...]
+    assert (frames[1][0, 0] == gct[0]).all()
+    assert (frames[1][0, 1] == gct[3]).all()
+    assert (frames[1][1] == gct[3]).all()
+
+
 def test_real_gif_through_kernels(spark):
     """Spark plumbing: synthesized animated GIFs flow through
     decode_image_features (frame-0 semantics) and gif_frame_features

@@ -53,3 +53,19 @@ def test_increment_touches_only_affected_days(spark, tmp_path):
     }
     changed = {d for d in mtimes if mtimes_after[d] != mtimes[d]}
     assert changed == {"day=2024-01-05"}
+
+
+def test_backfill_sized_increment_fails_loudly(spark, tmp_path):
+    # >10000 distinct day partitions in one "increment" is a backfill, not
+    # an increment — the day-list pruning collect must raise, never
+    # silently truncate the partition set (round-8 verdict item 7)
+    import pytest
+
+    huge = spark.range(10_001).select(
+        (F.to_timestamp(F.lit("2000-01-01")) + F.make_interval(days=F.col("id")))
+        .alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+    with pytest.raises(ValueError, match="backfill"):
+        maintain_rollup(spark, huge, str(tmp_path / "rollup3"))
