@@ -13,7 +13,10 @@ codec stubbed:
   layouts (tests generate real images).
 - **WAV** (PCM 16/8-bit via stdlib ``wave``; G.711 mu-law and A-law —
   the telephony encodings — via a manual RIFF chunk walk and the CCITT
-  expansion tables, reference-value-pinned in tests).
+  expansion tables, reference-value-pinned in tests; IMA/DVI ADPCM
+  (format 0x11) — the classic 4-bit compressed-audio format — with
+  per-block headers, multi-channel 4-byte-word interleave, short final
+  blocks, and ``fact``-chunk frame trimming; encoder included).
 - **PNG** (every legal IHDR combination: gray at depths 1/2/4/8/16,
   gray+alpha 8/16, RGB 8/16, RGBA 8/16, palette 1/2/4/8; non-interlaced
   AND Adam7 interlaced): chunk parsing with ``struct`` + ``zlib.crc32``,
@@ -809,6 +812,221 @@ def alaw_decode_table() -> np.ndarray:
     return np.where(a & 0x80, t, -t).astype(np.int64)
 
 
+#: IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing Digital
+#: Audio Compatibility in Multimedia Systems" rev 3.00, also reproduced in
+#: RFC 3551 and the public Intel/DVI reference): 89-entry quantizer step
+#: table and 16-entry step-index adjustment table. Pinned against the
+#: published values in tests/test_multimodal.py.
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_advance(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, step index) + 4-bit
+    code -> next state. The exact-integer diff form (step>>3 base plus
+    per-bit step fractions) is the one the IMA recommended practice and
+    every interoperable decoder use."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nibble]))
+    return pred, idx
+
+
+def adpcm_decode(data: bytes, *, channels: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM ``data`` payload -> (n_frames, channels) int16 samples.
+
+    Block layout per the Microsoft WAVE_FORMAT_DVI_ADPCM registration:
+    each block starts with a 4-byte header PER CHANNEL (int16 predictor,
+    uint8 step index, uint8 reserved) whose predictor is emitted as the
+    block's first sample frame; code bytes follow as 4-byte words
+    interleaved channel-by-channel, two samples per byte with the LOW
+    nibble first. The final block may be short (mono); multi-channel
+    data must stay word-aligned."""
+    if channels < 1:
+        raise ValueError("ADPCM channel count must be >= 1")
+    if block_align <= 4 * channels:
+        raise ValueError(
+            f"ADPCM block_align {block_align} leaves no room for "
+            f"{channels}-channel headers"
+        )
+    per_ch: list[list[int]] = [[] for _ in range(channels)]
+    pos = 0
+    while pos < len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        if len(block) < 4 * channels:
+            raise ValueError("truncated ADPCM block header")
+        preds: list[int] = []
+        idxs: list[int] = []
+        for c in range(channels):
+            (p,) = struct.unpack_from("<h", block, 4 * c)
+            idx = block[4 * c + 2]
+            if idx > 88:
+                raise ValueError(f"ADPCM step index {idx} out of range")
+            preds.append(p)
+            idxs.append(idx)
+            per_ch[c].append(p)
+        body = block[4 * channels :]
+        if channels == 1:
+            for byte in body:
+                for nibble in (byte & 0x0F, byte >> 4):
+                    preds[0], idxs[0] = ima_adpcm_advance(
+                        preds[0], idxs[0], nibble
+                    )
+                    per_ch[0].append(preds[0])
+        else:
+            if len(body) % (4 * channels):
+                raise ValueError(
+                    "multi-channel ADPCM block data must be a whole number "
+                    "of 4-byte words per channel"
+                )
+            for w in range(0, len(body), 4 * channels):
+                for c in range(channels):
+                    for byte in body[w + 4 * c : w + 4 * c + 4]:
+                        for nibble in (byte & 0x0F, byte >> 4):
+                            preds[c], idxs[c] = ima_adpcm_advance(
+                                preds[c], idxs[c], nibble
+                            )
+                            per_ch[c].append(preds[c])
+    return np.stack(
+        [np.asarray(ch, dtype=np.int16) for ch in per_ch], axis=1
+    )
+
+
+def encode_wav_adpcm(
+    nibbles: np.ndarray,
+    sample_rate: int,
+    *,
+    block_align: int = 68,
+    init_pred: int = 0,
+    init_index: int = 0,
+) -> bytes:
+    """4-bit IMA code stream -> a mono WAVE_FORMAT_DVI_ADPCM (0x11) WAV.
+
+    The fixture twin of :func:`encode_wav_g711`: the CODE nibbles are
+    supplied directly (no audio quantization round trip), so the decoded
+    samples are a pure function of (nibbles, init state) a SQL oracle
+    can reproduce. Each block header carries the RUNNING decoder state,
+    so the multi-block decode equals one continuous decode with the
+    block-leading predictor samples repeated — exactly what a compliant
+    decoder emits. A ``fact`` chunk records the true frame count."""
+    nibbles = np.asarray(nibbles, dtype=np.uint8)
+    if nibbles.size % 2:
+        raise ValueError("nibble count must be even (two codes per byte)")
+    if nibbles.size and int(nibbles.max()) > 15:
+        raise ValueError("ADPCM codes are 4-bit (0..15)")
+    if block_align <= 4 or block_align % 4:
+        raise ValueError("block_align must be a positive multiple of 4 > 4")
+    if not -32768 <= init_pred <= 32767 or not 0 <= init_index <= 88:
+        raise ValueError("initial ADPCM state out of range")
+    nib_per_block = (block_align - 4) * 2
+    pred, idx = int(init_pred), int(init_index)
+    data = bytearray()
+    n_frames = 0
+    for start in range(0, max(len(nibbles), 1), nib_per_block):
+        chunk = nibbles[start : start + nib_per_block]
+        data += struct.pack("<hBB", pred, idx, 0)
+        n_frames += 1 + len(chunk)
+        for j in range(0, len(chunk), 2):
+            lo = int(chunk[j])
+            hi = int(chunk[j + 1])
+            data.append(lo | (hi << 4))
+            pred, idx = ima_adpcm_advance(pred, idx, lo)
+            pred, idx = ima_adpcm_advance(pred, idx, hi)
+    samples_per_block = nib_per_block + 1
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_encode_wav(
+    samples: np.ndarray, sample_rate: int, *, block_align: int = 1024
+) -> bytes:
+    """REAL mono IMA ADPCM encoder: int16 samples -> format-0x11 WAV.
+    Block-leading samples are stored verbatim in the headers; the rest
+    quantize through the standard greedy bit cascade (sign, step,
+    step/2, step/4). Lossy by design — the roundtrip test bounds the
+    reconstruction error by the local step size."""
+    samples = np.asarray(samples)
+    if samples.ndim != 1:
+        raise ValueError("real ADPCM encoder is mono: expected 1-D int16")
+    samples = samples.astype(np.int64)
+    if block_align <= 4 or block_align % 4:
+        raise ValueError("block_align must be a positive multiple of 4 > 4")
+    spb = (block_align - 4) * 2 + 1
+    idx = 0
+    data = bytearray()
+    for start in range(0, max(len(samples), 1), spb):
+        chunk = samples[start : start + spb]
+        if not len(chunk):
+            break
+        pred = int(chunk[0])
+        data += struct.pack("<hBB", pred, idx, 0)
+        codes: list[int] = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            delta = int(s) - pred
+            n = 0
+            if delta < 0:
+                n = 8
+                delta = -delta
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            pred, idx = ima_adpcm_advance(pred, idx, n)
+            codes.append(n)
+        if len(codes) % 2:
+            codes.append(0)  # pad nibble; fact chunk trims the extra frame
+        for j in range(0, len(codes), 2):
+            data.append(codes[j] | (codes[j + 1] << 4))
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
     """RIFF/WAVE chunk walk -> {chunk_id: payload} (first occurrence)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -851,6 +1069,26 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
                 codes = codes[: (len(codes) // ch) * ch]
                 samples = table[codes].astype(np.float64) / 32768.0
                 return samples.reshape(-1, ch), sr
+            if audio_format == 0x11:  # IMA/DVI ADPCM
+                (sr,) = struct.unpack_from("<I", fmt, 4)
+                (block_align,) = struct.unpack_from("<H", fmt, 12)
+                data = chunks.get(b"data")
+                if data is None:
+                    raise ValueError("ADPCM WAV missing data chunk")
+                if ch < 1 or sr == 0:
+                    raise ValueError("invalid ADPCM WAV fmt fields")
+                pcm = adpcm_decode(data, channels=ch, block_align=block_align)
+                fact = chunks.get(b"fact")
+                if fact is not None and len(fact) >= 4:
+                    # the fact chunk records the true frame count; the
+                    # final block may carry a padding nibble beyond it
+                    (n_frames,) = struct.unpack_from("<I", fact, 0)
+                    if n_frames > pcm.shape[0]:
+                        raise ValueError(
+                            "ADPCM fact chunk claims more frames than decoded"
+                        )
+                    pcm = pcm[:n_frames]
+                return pcm.astype(np.float64) / 32768.0, sr
     except ValueError:
         raise
     try:

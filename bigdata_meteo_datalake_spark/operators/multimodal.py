@@ -650,6 +650,62 @@ def synthesize_g711_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_adpcm_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-IMA-ADPCM source (WAVE_FORMAT_DVI_ADPCM 0x11):
+    for each ``doc_id`` emit (doc_id, blob) where blob is a genuine mono
+    4-bit ADPCM WAV with
+
+      variant    v  = doc_id % 8,
+      nibbles    nb = 2 * (75 + doc_id % 100),   code(j) = (j*7 + v*5 + 3) % 16
+      init state    = (pred = v*4111 - 16000, index = (v*11) % 89),
+      sample rate   = 8000 + (doc_id % 4) * 2000 Hz,  block_align = 68.
+
+    The CODE nibbles are synthesized directly (no audio quantization
+    round trip) and every block header carries the running decoder
+    state, so the decoded int16 stream is one continuous IMA decode of
+    the variant's nibble stream with the block-leading predictor
+    repeated at each 128-nibble boundary — a pure function of
+    (v, nb) that the SQL oracle reproduces from per-variant prefix-sum
+    literals (queries/ext_multimodal.py:multimodal_wav_adpcm_decode);
+    the step/index tables are pinned against the published IMA values
+    in tests/test_multimodal.py, so a shared-constant bug cannot hide."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import encode_wav_adpcm
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                v = did % 8
+                nb = 2 * (75 + did % 100)
+                j = np.arange(nb, dtype=np.int64)
+                nibbles = ((j * 7 + v * 5 + 3) % 16).astype(np.uint8)
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_wav_adpcm(
+                        nibbles,
+                        8000 + (did % 4) * 2000,
+                        block_align=68,
+                        init_pred=v * 4111 - 16000,
+                        init_index=(v * 11) % 89,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_mp4_blobs(df: DataFrame) -> DataFrame:
     """Deterministic real-ISO-BMFF source for the container-probe path:
     for each ``doc_id`` emit (doc_id, blob) where blob is a structurally
@@ -933,9 +989,9 @@ def resize_images(df: DataFrame, *, width: int = 32, height: int = 32,
 def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
                    decode: str = "fake") -> DataFrame:
     """Audio feature extraction -> (doc_id, duration_s, sample_rate, rms)
-    via mapInPandas; `decode="real"` decodes PCM WAV with the stdlib
-    `wave` codec (media_codecs.decode_wav) — actual container sample rate,
-    frame-count duration, and RMS over normalized samples; compressed
+    via mapInPandas; `decode="real"` decodes WAV with media_codecs.decode_wav
+    (PCM 16/8-bit, G.711 mu-law/A-law, IMA ADPCM) — actual container sample
+    rate, frame-count duration, and RMS over normalized samples; non-WAV
     audio raises at the soundfile/librosa insertion point. The fake kernel
     treats the payload as 16-bit PCM so duration/rms are deterministic
     pure functions of the bytes."""

@@ -757,6 +757,116 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- REAL IMA ADPCM WAV decode through the kernel gate -------------------------------
+
+
+def _adpcm_prefix_sql() -> str:
+    """Per-variant SQL list literals of PREFIX SUMS OF SQUARES over the
+    fixture's decoded int16 stream — the oracle's closed form. Computed
+    here by an INDEPENDENT transcription of the published IMA algorithm
+    (own table literals, plain-int loop), not by importing the numpy
+    kernel in operators/media_codecs.py; the kernel's tables are pinned
+    against the same published values in tests/test_multimodal.py, so a
+    shared-constant bug cannot hide on both sides at once."""
+    step_table = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    )
+    index_table = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    nb_max = 2 * (75 + 99)  # longest fixture nibble stream
+    cases = []
+    for v in range(8):
+        pred, idx = v * 4111 - 16000, (v * 11) % 89
+        prefix, ss = [], 0
+        ss += pred * pred  # block-0 header sample
+        prefix.append(ss)
+        for j in range(nb_max):
+            if j and j % 128 == 0:  # block boundary repeats the predictor
+                ss += pred * pred
+                prefix.append(ss)
+            nibble = (j * 7 + v * 5 + 3) % 16
+            step = step_table[idx]
+            diff = step >> 3
+            if nibble & 4:
+                diff += step
+            if nibble & 2:
+                diff += step >> 1
+            if nibble & 1:
+                diff += step >> 2
+            pred = pred - diff if nibble & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + index_table[nibble]))
+            ss += pred * pred
+            prefix.append(ss)
+        lit = "[" + ",".join(str(s) for s in prefix) + "]"
+        cases.append(f"WHEN {v} THEN {lit}")
+    return "CASE v " + " ".join(cases) + " END"
+
+
+_ADPCM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 8 AS v,
+         2 * (75 + doc_id % 100) AS nb,
+         8000 + (doc_id % 4) * 2000 AS sr
+  FROM documents
+),
+n AS (
+  SELECT doc_id, v, sr, nb + (nb + 127) // 128 AS n FROM d
+)
+SELECT doc_id,
+       cast(n AS double) / sr AS duration_s,
+       cast(sr AS int) AS sample_rate,
+       sqrt((cast(list_extract({_adpcm_prefix_sql()}, n) AS double)
+             / 1073741824.0) / n) AS rms
+FROM n
+"""
+
+
+@register(
+    "multimodal_wav_adpcm_decode",
+    oracle=_ADPCM_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_wav_adpcm_decode(spark, sf_dir):
+    """REAL compressed-audio decode end to end (round-9): per document a
+    genuine mono IMA/DVI ADPCM WAV (format 0x11, 4 bits per sample,
+    68-byte blocks, fact chunk) is synthesized from closed-form CODE
+    nibbles (operators/multimodal.py:synthesize_adpcm_blobs), then the
+    production audio path (audio_features(decode="real") ->
+    media_codecs.decode_wav -> adpcm_decode: per-block headers, nibble
+    cascade, predictor/index clamps, 16-bit normalization) recovers
+    duration, sample rate, and RMS.
+
+    Exactness: decoded samples are p/2^15 with |p| <= 32768, so each
+    squared sample is an exact dyadic and numpy's float64 mean is the
+    exact integer sum of squares over n (n <= 351, sum < 2^39 < 2^53);
+    the oracle looks the per-variant PREFIX sum of squares up in a
+    351-entry list literal generated by an independent transcription of
+    the published IMA algorithm, and divides in the same order
+    (sqrt((ss / 2^30) / n)) with IEEE-correctly-rounded sqrt on both
+    engines.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale; ADPCM blocks are
+    independently decodable (each carries its own state header), which
+    is exactly the property that lets a 100 TB audio corpus split
+    inside files."""
+    from ..operators.multimodal import audio_features, synthesize_adpcm_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    wavs = synthesize_adpcm_blobs(d)
+    feats = audio_features(wavs, decode="real")
+    return feats.select("doc_id", "duration_s", "sample_rate", "rms")
+
+
 # --- REAL 12-bit JPEG decode through the kernel gate ---------------------------------
 
 _JPEG12_ORACLE = """

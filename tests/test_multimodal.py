@@ -1943,6 +1943,129 @@ def test_wav_g711_tables_and_kernels(spark):
         assert abs(r["rms"] - want) < 1e-15, did
 
 
+def test_wav_adpcm_tables_and_kernels(spark):
+    """IMA ADPCM (round-9): step/index tables pinned against the
+    PUBLISHED IMA recommended-practice values, hand-traced state
+    transitions, exact fixture (nibble-stream) decode vs a continuous
+    reference, real-encoder roundtrip with bounded steady-state error,
+    stereo word interleave, fact-chunk trimming, and loud rejection of
+    corrupt blocks — then the production audio kernel over synthesized
+    ADPCM blobs."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        adpcm_decode,
+        adpcm_encode_wav,
+        decode_wav,
+        encode_wav_adpcm,
+        ima_adpcm_advance,
+        sniff_format,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_features,
+        synthesize_adpcm_blobs,
+    )
+
+    # published IMA table pins (rev 3.00 / RFC 3551): first, last, and
+    # interior step values; the full index-adjust table
+    assert len(_IMA_STEP_TABLE) == 89
+    assert _IMA_STEP_TABLE[0] == 7 and _IMA_STEP_TABLE[88] == 32767
+    assert _IMA_STEP_TABLE[44] == 494 and _IMA_STEP_TABLE[60] == 2272
+    assert _IMA_INDEX_TABLE == (-1, -1, -1, -1, 2, 4, 6, 8,
+                                -1, -1, -1, -1, 2, 4, 6, 8)
+    # hand-traced transitions from (pred=0, idx=0), step=7:
+    # nibble 4: diff = 7>>3 + 7 = 7 -> (7, 2); nibble 0xF: diff =
+    # 0+7+3+1 = 11, sign bit -> (-11, 8); nibble 0: diff = 0 -> (0, 0)
+    assert ima_adpcm_advance(0, 0, 4) == (7, 2)
+    assert ima_adpcm_advance(0, 0, 0xF) == (-11, 8)
+    assert ima_adpcm_advance(0, 0, 0) == (0, 0)
+    # clamps: predictor saturates at int16, index at [0, 88]
+    assert ima_adpcm_advance(32767, 88, 7) == (32767, 88)
+    assert ima_adpcm_advance(-32768, 88, 0xF) == (-32768, 88)
+
+    # fixture path: nibble stream -> WAV -> decode equals a continuous
+    # reference decode with the block-leading predictor repeated
+    rng = np.random.default_rng(9)
+    nib = rng.integers(0, 16, size=300, dtype=np.uint8)
+    wav = encode_wav_adpcm(nib, 8000, block_align=68,
+                           init_pred=-1234, init_index=17)
+    assert sniff_format(wav) == "wav"
+    samples, sr = decode_wav(wav)
+    pred, idx = -1234, 17
+    ref = [pred]
+    for j, n in enumerate(nib):
+        if j and j % 128 == 0:
+            ref.append(pred)
+        pred, idx = ima_adpcm_advance(pred, idx, int(n))
+        ref.append(pred)
+    assert sr == 8000 and samples.shape == (len(ref), 1)
+    assert np.array_equal(samples[:, 0] * 32768.0, np.array(ref, float))
+
+    # real encoder roundtrip: after the cold-start adaptation ramp the
+    # reconstruction tracks the signal within a few quantizer steps
+    t = np.arange(4000)
+    sine = (10000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+    dec, sr2 = decode_wav(adpcm_encode_wav(sine, 16000, block_align=256))
+    assert sr2 == 16000 and dec.shape == (4000, 1)
+    err = np.abs(dec[:, 0] * 32768.0 - sine)
+    assert err[200:].max() < 512 and err.mean() < 100
+
+    # stereo: 4-byte words interleave per channel; headers decode per
+    # channel and both streams advance independently
+    blk = bytearray()
+    blk += struct.pack("<hBB", 100, 10, 0) + struct.pack("<hBB", -200, 20, 0)
+    blk += bytes(range(8))  # word for ch0, word for ch1
+    st = adpcm_decode(bytes(blk), channels=2, block_align=16)
+    assert st.shape == (9, 2)
+    assert st[0, 0] == 100 and st[0, 1] == -200
+    p, i = 100, 10
+    for byte in bytes(range(4)):
+        for nibble in (byte & 0x0F, byte >> 4):
+            p, i = ima_adpcm_advance(p, i, nibble)
+    assert st[-1, 0] == p
+
+    # fact-chunk trim: padding nibble's extra frame is dropped
+    sine_odd = sine[:101]
+    dec_odd, _ = decode_wav(adpcm_encode_wav(sine_odd, 8000, block_align=256))
+    assert dec_odd.shape == (101, 1)
+
+    # loud rejections
+    import pytest
+
+    with pytest.raises(ValueError, match="step index"):
+        adpcm_decode(struct.pack("<hBB", 0, 89, 0), channels=1, block_align=8)
+    with pytest.raises(ValueError, match="truncated"):
+        adpcm_decode(b"\x00\x00", channels=1, block_align=8)
+    with pytest.raises(ValueError, match="whole number"):
+        adpcm_decode(bytes(8) + bytes(2), channels=2, block_align=10)
+    with pytest.raises(ValueError, match="even"):
+        encode_wav_adpcm(np.array([1], dtype=np.uint8), 8000)
+
+    # production kernel over synthesized blobs matches the closed form
+    d = read_table(spark, SF0001, "documents").limit(20)
+    rows = {r["doc_id"]: r for r in
+            audio_features(synthesize_adpcm_blobs(d), decode="real").collect()}
+    for did, r in rows.items():
+        v = did % 8
+        nb = 2 * (75 + did % 100)
+        pred, idx = v * 4111 - 16000, (v * 11) % 89
+        seq = [pred]
+        for j in range(nb):
+            if j and j % 128 == 0:
+                seq.append(pred)
+            pred, idx = ima_adpcm_advance(pred, idx, (j * 7 + v * 5 + 3) % 16)
+            seq.append(pred)
+        arr = np.array(seq, dtype=np.float64) / 32768.0
+        sr = 8000 + (did % 4) * 2000
+        assert r["sample_rate"] == sr
+        assert abs(r["duration_s"] - len(seq) / sr) < 1e-15
+        assert abs(r["rms"] - float(np.sqrt((arr**2).mean()))) < 1e-15, did
+
+
 def test_real_bmp_palette_and_rle8():
     """BMP 8-bit palette + RLE8 (round-8): roundtrips across shapes and
     both layouts, run compression on constant rows, small color tables
