@@ -15,8 +15,12 @@ Scope (declared, enforced loudly):
   arbitrary scan script per T.81 G: interleaved or single-component DC
   scans, per-component AC spectral-selection bands, successive
   approximation (DC bit refinement, AC +/-2^Al refinement with
-  correction bits), and EOB runs. Arithmetic coding and factors > 2
-  raise NotImplementedError.
+  correction bits), and EOB runs. ARITHMETIC coding (SOF9 extended
+  sequential / SOF10 progressive, T.81 Annex D QM-coder + Annex F/G
+  models, DAC conditioning segments) decodes AND encodes via
+  operators/jpeg_arith.py (round 9). Sampling factors > 2, lossless
+  (SOF3/SOF11), and hierarchical (SOF5-7/13-15) raise
+  NotImplementedError.
 - encode: grayscale or RGB with ``subsampling`` in {"444", "422",
   "420"} (box-average chroma downsampling), the spec Annex K example
   Huffman tables and IJG-scaled quantization tables (``quality``
@@ -573,6 +577,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     width = height = None
     restart_interval = 0
     progressive = False
+    arithmetic = False
+    dac_dc: dict[int, tuple] = {}
+    dac_ac: dict[int, int] = {}
     precision = 8
     hmax = vmax = mcux = mcuy = None
     coefs = None  # per SOF component: (rows8*cols8, 64) zigzag, raster order
@@ -619,9 +626,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     bits, values
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
-            progressive = marker == 0xC2
+            # / SOF9 extended sequential arithmetic / SOF10 progressive
+            # arithmetic (QM-coder, operators/jpeg_arith.py)
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             precision = seg[0]
             if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -670,11 +680,32 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 chh = (height * c["v"] + vmax - 1) // vmax
                 c["nwb"] = (cw + 7) // 8
                 c["nhb"] = (chh + 7) // 8
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if not low <= up <= 15:
+                        raise ValueError(
+                            f"invalid DC arithmetic conditioning L={low} U={up}"
+                        )
+                    dac_dc[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(
+                            f"invalid AC arithmetic conditioning Kx={cs}"
+                        )
+                    dac_ac[tb] = cs
+                else:
+                    raise ValueError(f"invalid DAC table class {tc}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -699,11 +730,20 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 )
             if se > 63 or ss > se:
                 raise ValueError(f"invalid spectral band {ss}..{se}")
-            pos = _decode_scan(
-                b, pos + seglen, scan_comps, (ss, se, ah, al),
-                huff_dc, huff_ac, coefs,
-                (mcux, mcuy), restart_interval,
-            )
+            if arithmetic:
+                from .jpeg_arith import decode_scan_arith
+
+                pos = decode_scan_arith(
+                    b, pos + seglen, scan_comps, (ss, se, ah, al),
+                    coefs, (mcux, mcuy), restart_interval,
+                    dac_dc, dac_ac, progressive,
+                )
+            else:
+                pos = _decode_scan(
+                    b, pos + seglen, scan_comps, (ss, se, ah, al),
+                    huff_dc, huff_ac, coefs,
+                    (mcux, mcuy), restart_interval,
+                )
             any_scan = True
             continue
         pos += seglen
@@ -871,6 +911,7 @@ def encode_jpeg(
     subsampling: str = "444",
     progressive: bool = False,
     precision: int = 8,
+    arithmetic: bool = False,
 ) -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline or
     progressive JPEG. ``precision=12`` takes uint16 samples in 0..4095
@@ -893,7 +934,15 @@ def encode_jpeg(
     marker (cycling D0..D7) every that-many MCUs (blocks, in
     non-interleaved progressive scans), resetting the DC predictors and
     EOB run — the spec's resync mechanism, here mainly so the decoder's
-    restart path is round-trip testable."""
+    restart path is round-trip testable.
+
+    ``arithmetic=True`` entropy-codes with the T.81 Annex D QM-coder
+    instead of Huffman: SOF9 (sequential) / SOF10 (progressive), an
+    explicit DAC segment carrying the default conditioning (L=0, U=1,
+    Kx=5), no DHT segments. Coefficients are identical to the Huffman
+    encoding — only the entropy layer differs — so block-constant
+    fixtures stay bit-exact. Restart markers flush the coder and reset
+    all statistics areas (F.1.3.4)."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     maxv = (1 << precision) - 1
@@ -959,15 +1008,27 @@ def encode_jpeg(
     for i in range(nc):
         hv = (factors[i][0] << 4) | factors[i][1]
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
-    sof_marker = 0xC2 if progressive else (0xC0 if precision == 8 else 0xC1)
+    if arithmetic:
+        sof_marker = 0xCA if progressive else 0xC9
+    else:
+        sof_marker = 0xC2 if progressive else (0xC0 if precision == 8 else 0xC1)
     out += _seg(sof_marker, sof)
-    for i, (bits, values) in enumerate(
-        [dc_defs[0], ac_defs[0]]
-        + ([dc_defs[1], ac_defs[1]] if nc == 3 else [])
-    ):
-        tc = i % 2
-        th = i // 2
-        out += _seg(0xC4, bytes([tc << 4 | th] + bits + values))
+    if arithmetic:
+        # explicit DAC with the default conditioning, so decoders
+        # exercise the segment parse on every fixture
+        dac = b""
+        for th in range(1 if nc == 1 else 2):
+            dac += bytes([th, 0x10])  # DC: L=0, U=1
+            dac += bytes([0x10 | th, 5])  # AC: Kx=5
+        out += _seg(0xCC, dac)
+    else:
+        for i, (bits, values) in enumerate(
+            [dc_defs[0], ac_defs[0]]
+            + ([dc_defs[1], ac_defs[1]] if nc == 3 else [])
+        ):
+            tc = i % 2
+            th = i // 2
+            out += _seg(0xC4, bytes([tc << 4 | th] + bits + values))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
 
@@ -1020,6 +1081,64 @@ def encode_jpeg(
     def _restart(writer, unit, n_rst):
         writer.flush()  # byte-align before the marker, per spec
         writer.out += bytes([0xFF, 0xD0 + n_rst % 8])
+
+    if arithmetic:
+        from .jpeg_arith import ArithScanEncoder
+
+        tids = [0 if i == 0 else 1 for i in range(nc)]
+        cond_dc = {t: (0, 1) for t in tids}
+        cond_ac = {t: 5 for t in tids}
+        if not progressive:
+            out += _sos(list(range(nc)), 0, 63, 0, 0)
+            se_ = ArithScanEncoder(nc, tids, tids, cond_dc, cond_ac)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        se_.restart(mcu // restart_interval - 1)
+                    for ci, (fh, fv, cols8, _nwb, _nhb) in enumerate(geo):
+                        for bv in range(fv):
+                            for bh_ in range(fh):
+                                idx = (my * fv + bv) * cols8 + mx * fh + bh_
+                                zz = zz_all[ci][idx]
+                                se_.dc_first(ci, tids[ci], zz, 0)
+                                se_.ac_first(tids[ci], zz, 1, 63, 0)
+                    mcu += 1
+            out += se_.finish()
+        else:
+            # scan 1: interleaved DC; then one AC scan per component
+            # (the same spectral-selection script as the Huffman path)
+            out += _sos(list(range(nc)), 0, 0, 0, 0)
+            se_ = ArithScanEncoder(nc, tids, [], cond_dc, cond_ac)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        se_.restart(mcu // restart_interval - 1)
+                    for ci, (fh, fv, cols8, _nwb, _nhb) in enumerate(geo):
+                        for bv in range(fv):
+                            for bh_ in range(fh):
+                                idx = (my * fv + bv) * cols8 + mx * fh + bh_
+                                se_.dc_first(ci, tids[ci], zz_all[ci][idx], 0)
+                    mcu += 1
+            out += se_.finish()
+            for ci, (fh, fv, cols8, nwb, nhb) in enumerate(geo):
+                out += _sos([ci], 1, 63, 0, 0)
+                se_ = ArithScanEncoder(1, [], [tids[ci]], cond_dc, cond_ac)
+                unit = 0
+                for brow in range(nhb):
+                    for bcol in range(nwb):
+                        if (restart_interval and unit
+                                and unit % restart_interval == 0):
+                            se_.restart(unit // restart_interval - 1)
+                        se_.ac_first(
+                            tids[ci], zz_all[ci][brow * cols8 + bcol],
+                            1, 63, 0,
+                        )
+                        unit += 1
+                out += se_.finish()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     if not progressive:
         out += _sos(list(range(nc)), 0, 63, 0, 0)

@@ -35,8 +35,9 @@ codec stubbed:
   photometric polarities) and RGB, multi-strip, Compression 1 (none)
   and 32773 (PackBits) — the scanned-document staple. Encoder writes
   genuine single-/multi-strip files with a real PackBits compressor.
-- **JPEG** (baseline SOF0, extended sequential SOF1, progressive SOF2;
-  8-bit and 12-bit precision; grayscale /
+- **JPEG** (baseline SOF0, extended sequential SOF1, progressive SOF2,
+  AND arithmetic-coded SOF9/SOF10 via the T.81 Annex D QM-coder in
+  ``operators/jpeg_arith.py``; 8-bit and 12-bit precision; grayscale /
   4:4:4 / 4:2:2 / 4:2:0 RGB): full Huffman entropy codec + 8x8 DCT in
   ``operators/jpeg.py`` (spec Annex K tables), interleaved-MCU chroma
   subsampling with box-average downsampling / replication upsampling;
@@ -45,9 +46,9 @@ codec stubbed:
   spectral-selection script for fixtures; lossy in general, bit-exact
   on block-constant fixtures — see that module's docstring.
 
-Anything else (MP4 frame decode; arithmetic-coded JPEG) still raises
-NotImplementedError at the codec insertion point — a declared boundary,
-not silent wrong answers.
+Anything else (MP4 frame decode; lossless/hierarchical JPEG) still
+raises NotImplementedError at the codec insertion point — a declared
+boundary, not silent wrong answers.
 
 Scale note: kernels are per-blob numpy; BMP/WAV are zero-copy reshapes,
 and PNG rows are vectorized where the spec allows — None/Up/Sub decode

@@ -495,6 +495,69 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     )
 
 
+def synthesize_jpeg_arith_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic ARITHMETIC-CODED real-JPEG source (SOF9 extended
+    sequential / SOF10 progressive, T.81 Annex D QM-coder, explicit DAC
+    segment — operators/jpeg_arith.py), the entropy-layer twin of
+    :func:`synthesize_jpeg_blobs`:
+
+      w = 9 + doc_id % 14,  h = 9 + doc_id % 10,
+      tile value v(bx, by) = (doc_id*41 + bx*11 + by*17) % 256 for the
+      8x8 block at (x//8, y//8),
+      RGB with R=G=B when doc_id is even (chroma constant 128 ->
+      quantizes to zero), grayscale when odd; even documents cycle
+      subsampling 444/420/422 by (doc_id//2) % 3; every fifth document
+      restarts every 2 MCUs (QM-coder flush + statistics reset under
+      the oracle hash); every third encodes PROGRESSIVE (SOF10 —
+      arithmetic DC scan + per-component arithmetic AC scans).
+
+    Exactness carries over from the Huffman fixture argument unchanged:
+    arithmetic coding only replaces the ENTROPY layer — the quantized
+    coefficients are identical — and block-constant tiles round-trip
+    bit-exact at IJG q75 (lone DC coefficient, luma DC step exactly 8).
+    The SQL oracle recomputes the closed-form tile sums with no codec
+    (queries/ext_multimodal.py:multimodal_jpeg_arith_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 9 + did % 14, 9 + did % 10
+                bx = np.arange(w)[None, :] // 8
+                by = np.arange(h)[:, None] // 8
+                arr = ((did * 41 + bx * 11 + by * 17) % 256).astype(np.uint8)
+                sub = "444"
+                if did % 2 == 0:
+                    arr = np.stack([arr, arr, arr], axis=2)
+                    sub = ("444", "420", "422")[(did // 2) % 3]
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_jpeg(
+                        arr,
+                        restart_interval=2 if did % 5 == 0 else 0,
+                        subsampling=sub,
+                        progressive=did % 3 == 0,
+                        arithmetic=True,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_jpeg12_blobs(df: DataFrame) -> DataFrame:
     """Deterministic 12-BIT real-JPEG source (SOF1 extended sequential /
     SOF2 progressive, 16-bit DQT entries, level shift 2048), the

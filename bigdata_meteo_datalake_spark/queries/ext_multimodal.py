@@ -757,6 +757,72 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- REAL arithmetic-coded JPEG decode through the kernel gate -----------------------
+
+_JPEG_ARITH_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         9 + doc_id % 14 AS w,
+         9 + doc_id % 10 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 41 + ((i % w) // 8) * 11 + ((i // w) // 8) * 17)
+                % 256), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       ch = 3 AS is_rgb,
+       (cast(s * ch AS double) / (w * h * ch)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_jpeg_arith_decode",
+    oracle=_JPEG_ARITH_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_jpeg_arith_decode(spark, sf_dir):
+    """REAL ARITHMETIC-CODED JPEG decode end to end (round-9): per
+    document a genuine QM-coded JPEG — SOF9 extended sequential, or
+    SOF10 progressive for every third doc_id — with an explicit DAC
+    conditioning segment, cycling 444/420/422 subsampling and restart
+    markers (QM flush + statistics reset), is encoded from closed-form
+    BLOCK-CONSTANT tiles (operators/multimodal.py:
+    synthesize_jpeg_arith_blobs), then the production decode path
+    (operators/jpeg_arith.py: T.81 Annex D decoder + Annex F/G
+    statistical models) recovers dimensions and mean intensity.
+
+    Bit-exactness is the Huffman fixture argument verbatim: arithmetic
+    coding replaces only the ENTROPY layer — quantized coefficients are
+    identical — and constant tiles carry a lone DC coefficient 8*(v-128)
+    with the IJG q75 luma DC step exactly 8. The oracle recomputes tile
+    sums in pure SQL and divides in the same order
+    ((sum*ch / (w*h*ch)) / 255).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        synthesize_jpeg_arith_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    jpegs = synthesize_jpeg_arith_blobs(d)
+    feats = decode_image_features(jpegs, decode="real")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("doc_id") % 2 == 0).alias("is_rgb"),
+        "mean_intensity",
+    )
+
+
 # --- REAL IMA ADPCM WAV decode through the kernel gate -------------------------------
 
 

@@ -610,6 +610,240 @@ def test_real_jpeg_blockconstant_fuzz():
     inner()
 
 
+def test_jpeg_arith_table_pins_and_register_traces():
+    """QM-coder (round-9): Table D.3 spot-pinned against published
+    values with structural invariants over the whole state machine, and
+    the encoder/decoder register flows hand-traced step by step from
+    the T.81 Annex D flowcharts (independent of encode/decode
+    symmetry)."""
+    from bigdata_meteo_datalake_spark.operators.jpeg_arith import (
+        _ARITH_TAB,
+        ArithDecoder,
+        ArithEncoder,
+        FIXED_STATE,
+    )
+
+    # published spot values
+    assert len(_ARITH_TAB) == 114
+    assert _ARITH_TAB[0][0] == 0x5A1D and _ARITH_TAB[1][0] == 0x2586
+    assert _ARITH_TAB[13][0] == 0x0001  # smallest Qe
+    assert _ARITH_TAB[112][0] == 0x59EB
+    assert _ARITH_TAB[113] == (0x5A1D, 113, 113, 0)  # fixed half-prob bin
+    # structural invariants of the published estimation machine
+    switches = {i for i, (_, _, _, sw) in enumerate(_ARITH_TAB) if sw}
+    assert switches == {0, 14, 36, 64, 80, 88, 95, 105, 110, 112}
+    for i, (qe, nmps, nlps, _sw) in enumerate(_ARITH_TAB):
+        assert 0 < qe < 0x8000, i
+        assert 0 <= nmps <= 113 and 0 <= nlps <= 113, i
+        # MPS success never raises the LPS estimate
+        assert _ARITH_TAB[nmps][0] <= qe, i
+        # LPS always raises it, except at a switch (MPS sense flips)
+        if i not in switches and i != FIXED_STATE:
+            assert _ARITH_TAB[nlps][0] >= qe, i
+
+    # hand-traced ENCODER registers (D.1.3/D.1.6 flowcharts, state 0,
+    # Qe=0x5A1D): MPS with A still >= 0x8000 changes nothing but A;
+    # then an LPS hits the conditional-exchange branch, switches the
+    # MPS sense, moves to NLPS=1, and renormalizes once.
+    enc = ArithEncoder()
+    st = bytearray([0])
+    enc.encode(st, 0, 0)
+    assert (enc.a, enc.c, enc.ct) == (0xA5E3, 0, 11)
+    assert st[0] == 0  # no renormalization -> no estimation change
+    enc.encode(st, 0, 1)
+    assert (enc.a, enc.c, enc.ct) == (0x978C, 0, 10)
+    assert st[0] == 0x80 | 1  # switched MPS, Next_Index_LPS = 1
+
+    # hand-traced DECODER registers over the bytes AB CD EF: INITDEC
+    # loads C=0xABCD, A=0x10000; the first decision falls in the upper
+    # (Qe) region -> LPS, C -= (A-Qe), switch, A=Qe; the second decision
+    # renormalizes (one byte feed), lands in the lower region with
+    # A >= 0x8000 -> MPS with NO estimation update.
+    dec = ArithDecoder(b"\xab\xcd\xef", 0)
+    st = bytearray([0])
+    assert dec.decode(st, 0) == 1
+    assert (dec.a, dec.c, dec.ct) == (0x5A1D, 0x05EA, 0)
+    assert st[0] == 0x80 | 1
+    assert dec.decode(st, 0) == 1
+    assert (dec.a, dec.c, dec.ct) == (0x8EB4, 0x5EAEF, 7)
+    assert st[0] == 0x80 | 1
+
+    # coder self-consistency on raw decision streams: random bits over
+    # several adaptive contexts + the fixed bin round-trip exactly
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, size=500).tolist()
+    ctxs = rng.integers(0, 4, size=500).tolist()
+    enc = ArithEncoder()
+    st = bytearray(4)
+    fixed = bytearray([FIXED_STATE])
+    for b_, cx in zip(bits, ctxs):
+        enc.encode(st if cx < 3 else fixed, cx if cx < 3 else 0, b_)
+    data = enc.flush()
+    dec = ArithDecoder(data + b"\xff\xd9", 0)
+    st2 = bytearray(4)
+    fixed2 = bytearray([FIXED_STATE])
+    got = [
+        dec.decode(st2 if cx < 3 else fixed2, cx if cx < 3 else 0)
+        for cx in ctxs
+    ]
+    assert got == bits
+    assert st2[:3] == st[:3]
+
+
+def test_real_jpeg_arithmetic_roundtrips():
+    """Arithmetic-coded JPEG (round-9): SOF9/SOF10 decode the QM
+    entropy layer bit-exactly — block-constant fixtures roundtrip
+    exactly across gray/RGB, every subsampling, restart intervals,
+    progressive scan scripts, and 12-bit precision; on arbitrary images
+    the arithmetic decode equals the Huffman decode (identical
+    coefficients, different entropy layer only); arithmetic output is
+    smaller than Huffman on real payloads."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def tiles(h, w, seed, rgb=False, depth=256):
+        r = np.random.default_rng(seed)
+        t = r.integers(0, depth, size=((h + 7) // 8, (w + 7) // 8))
+        a = t.repeat(8, axis=0).repeat(8, axis=1)[:h, :w]
+        a = a.astype(np.uint8 if depth == 256 else np.uint16)
+        return np.stack([a] * 3, axis=2) if rgb else a
+
+    for seed, (h, w) in enumerate([(8, 8), (9, 17), (24, 31), (1, 1)]):
+        for rgb in (False, True):
+            for prog in (False, True):
+                for sub in ("444", "420", "422") if rgb else ("444",):
+                    for rst in (0, 2):
+                        img = tiles(h, w, seed, rgb)
+                        b = encode_jpeg(
+                            img, arithmetic=True, progressive=prog,
+                            subsampling=sub, restart_interval=rst,
+                        )
+                        got = decode_jpeg(b)
+                        assert got.shape == img.shape
+                        assert (got == img).all(), (h, w, rgb, prog, sub, rst)
+
+    # 12-bit SOF9/SOF10
+    img12 = tiles(17, 13, 5, depth=4096)
+    for prog in (False, True):
+        got = decode_jpeg(
+            encode_jpeg(img12, precision=12, arithmetic=True, progressive=prog)
+        )
+        assert got.dtype == np.uint16 and (got == img12).all()
+
+    # arbitrary (lossy) content: entropy layers must agree exactly
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16), (21, 19)]:
+        noise = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d_h = decode_jpeg(encode_jpeg(noise, quality=90))
+        b_a = encode_jpeg(noise, quality=90, arithmetic=True)
+        assert np.array_equal(decode_jpeg(b_a), d_h)
+        assert len(b_a) < len(encode_jpeg(noise, quality=90))
+
+
+def test_real_jpeg_arithmetic_sa_script_and_dac():
+    """Hand-assembled SOF10 successive-approximation scan script (DC
+    first/refine + AC first/refine through the arithmetic models) and a
+    NON-default DAC conditioning (U=2, Kx=16) honored by the decoder."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        _M,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.jpeg_arith import (
+        ArithScanEncoder,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def build(dc_cond, ac_cond, dac_payload):
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0], zz[1], zz[3] = 7, 5, -3
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + np.ones(64, dtype=np.uint8).tobytes())
+        out += seg(0xCA, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xCC, dac_payload)
+
+        def sos(ss, se, ah, al):
+            return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+        e = ArithScanEncoder(1, [0], [], dc_cond, ac_cond)
+        e.dc_first(0, 0, zz, 1)
+        out += sos(0, 0, 0, 1) + e.finish()
+        e = ArithScanEncoder(1, [0], [], dc_cond, ac_cond)
+        e.dc_refine(zz, 0)
+        out += sos(0, 0, 1, 0) + e.finish()
+        e = ArithScanEncoder(1, [], [0], dc_cond, ac_cond)
+        e.ac_first(0, zz, 1, 63, 1)
+        out += sos(1, 63, 0, 1) + e.finish()
+        e = ArithScanEncoder(1, [], [0], dc_cond, ac_cond)
+        e.ac_refine(0, zz, 1, 63, 1, 0)
+        out += sos(1, 63, 1, 0) + e.finish()
+        out += b"\xff\xd9"
+
+        block = np.zeros(64, dtype=np.int64)
+        block[_ZIGZAG] = zz
+        want = _M.T @ block.reshape(8, 8).astype(np.float64) @ _M + 128.0
+        want = np.clip(np.rint(want), 0, 255).astype(np.uint8)
+        return bytes(out), want
+
+    # default conditioning
+    b, want = build({0: (0, 1)}, {0: 5}, bytes([0x00, 0x10, 0x10, 5]))
+    assert np.array_equal(decode_jpeg(b), want)
+    # non-default conditioning: encoder and DAC agree -> exact decode
+    b, want = build({0: (1, 2)}, {0: 16}, bytes([0x00, 0x21, 0x10, 16]))
+    assert np.array_equal(decode_jpeg(b), want)
+
+
+def test_real_jpeg_arithmetic_rejects_corrupt():
+    """Fuzz the arithmetic decode contract: truncations and random byte
+    flips raise ValueError/NotImplementedError (never IndexError /
+    struct.error, never a hang)."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = (np.arange(24 * 24, dtype=np.int64) % 256).astype(np.uint8).reshape(24, 24)
+    good = encode_jpeg(img, arithmetic=True)
+    decode_jpeg(good)  # sanity
+    rng = np.random.default_rng(17)
+    for cut in (4, len(good) // 3, len(good) - 2):
+        try:
+            decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(60):
+        mut = bytearray(good)
+        i = int(rng.integers(2, len(mut)))
+        mut[i] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+    # invalid DAC bounds raise loudly
+    import pytest
+
+    bad = bytearray(good)
+    dac = bad.find(b"\xff\xcc")
+    assert dac > 0
+    bad[dac + 5] = 0x01  # DC conditioning L=1 > U=0
+    with pytest.raises(ValueError, match="conditioning"):
+        decode_jpeg(bytes(bad))
+
+
 # --- ISO-BMFF (MP4) container metadata ----------------------------------------
 
 

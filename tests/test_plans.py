@@ -209,7 +209,9 @@ def test_real_codec_queries_are_pure_map(spark):
     scan-map pass either way)."""
     for name in ("multimodal_png_decode", "multimodal_png_depths_decode",
                  "multimodal_jpeg_decode", "multimodal_jpeg12_decode",
-                 "multimodal_wav_g711_decode", "multimodal_bmp_decode",
+                 "multimodal_jpeg_arith_decode",
+                 "multimodal_wav_g711_decode", "multimodal_wav_adpcm_decode",
+                 "multimodal_bmp_decode",
                  "multimodal_tiff_decode",
                  "multimodal_gif_frames",
                  "multimodal_wav_decode", "multimodal_phash_real",
