@@ -17,14 +17,10 @@ sys.path.insert(0, "/root/repo")
 from bigdata_meteo_datalake_spark.queries import queries  # noqa: E402
 from bigdata_meteo_datalake_spark.session import get_spark  # noqa: E402
 
-QUERIES = [
-    "cc_trade_graph_two_phase",
-    "dedup_jaccard_prefix_filter",
-    "span_dedup_report",
-    "dedup_minhash_lsh",
-    "dsir_importance_weights",
-    "pricing_summary",
-]
+# the FULL headline set (round-9 verdict item 5): every continuously
+# timed query gets sf0.1 -> sf1 wall-ratio evidence, not just the six
+# slowest. Kept in lockstep with bench.py's list by importing it.
+from bench import BENCH_QUERIES as QUERIES  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/.scale/sf1"
@@ -36,6 +32,16 @@ def run(spark, qs, name, sf_dir):
     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     spark.catalog.clearCache()
+    # same GC hygiene as bench.py: localCheckpoint blocks free only on
+    # JVM GC, and the r8 sweep showed accumulated blocks inflating LATER
+    # readings (one sf1 reading read 3.6x solo until re-measured fresh)
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - measurement hygiene only
+        pass
     return round(dt, 3)
 
 

@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     # interlace, canvas composition) — the frame-sampling path (baseline
     # restated for the 31-query set in BASELINE.md, same session)
     "multimodal_gif_frames",
+    # round-9 addition: the similarity pillar's cluster-scale ANN path —
+    # PQ codebook broadcast + ADC lookup-table top-k — was the only major
+    # LLM-pipeline family not continuously timed (baseline restated for
+    # the 32-query set in BASELINE.md, same session as the set change)
+    "pq_ann_topk",
 ]
 
 
