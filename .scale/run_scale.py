@@ -13,6 +13,11 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+# the codec kernels import the package INSIDE executor python workers,
+# which inherit cwd (not the driver's sys.path) — run from the repo root
+# and export PYTHONPATH so mapInPandas kernels resolve the package
+os.chdir("/root/repo")
+os.environ["PYTHONPATH"] = "/root/repo:" + os.environ.get("PYTHONPATH", "")
 
 from bigdata_meteo_datalake_spark.queries import queries  # noqa: E402
 from bigdata_meteo_datalake_spark.session import get_spark  # noqa: E402
@@ -49,11 +54,18 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("scale", cpus=cpus, shuffle_partitions=cpus)
     qs = queries()
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    names = only.split(",") if only else QUERIES
     out = {}
-    for name in QUERIES:
-        run(spark, qs, name, WARM)  # JIT/codegen warm-up
-        t01 = min(run(spark, qs, name, SF01) for _ in range(2))
-        t1 = min(run(spark, qs, name, SF1) for _ in range(2))
+    for name in names:
+        try:
+            run(spark, qs, name, WARM)  # JIT/codegen warm-up
+            t01 = min(run(spark, qs, name, SF01) for _ in range(2))
+            t1 = min(run(spark, qs, name, SF1) for _ in range(2))
+        except Exception as e:  # noqa: BLE001 - one query must not kill the sweep
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(name, out[name], flush=True)
+            continue
         out[name] = {
             "sf0.1_sec": t01,
             "sf1_sec": t1,
