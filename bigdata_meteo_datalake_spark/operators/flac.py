@@ -1,0 +1,562 @@
+"""Pure stdlib+numpy FLAC codec — closes the "compressed audio needs a
+library" boundary for the one mainstream lossless format whose spec is
+nothing but integer arithmetic (the round-8 verdict listed FLAC as
+infeasible here; it is not: Rice coding + fixed/LPC integer predictors
++ CRCs need no external entropy library).
+
+Format per the public FLAC specification (RFC 9639 / flac.sourceforge
+format docs):
+
+- decode: "fLaC" magic, metadata walk (STREAMINFO parsed, all other
+  block types skipped), frames with CRC-8-checked headers (coded
+  UTF-8-style frame numbers, every block-size/sample-rate escape) and
+  CRC-16-checked footers; subframes CONSTANT / VERBATIM / FIXED
+  (orders 0-4) / LPC (any order, quantized coefficients with signed
+  shift); wasted-bits unary prefix; partitioned Rice residuals (both
+  4- and 5-bit parameter methods, escape partitions as raw n-bit
+  values); all four channel assignments (independent, left/side,
+  right/side, mid/side); 8/12/16/20/24-bit sample sizes; the
+  STREAMINFO MD5 of the unencoded PCM is VERIFIED when present.
+- encode: 16-bit mono/stereo, fixed 0-4 predictor search per subframe
+  (minimum absolute-residual sum), CONSTANT detection, VERBATIM
+  fallback, single-partition Rice residuals with a mean-magnitude
+  parameter estimate, correct CRC-8/CRC-16, and the STREAMINFO MD5 —
+  a compliant encoder whose output any FLAC decoder accepts, used to
+  build oracle fixtures (the roundtrip is LOSSLESS, so closed-form
+  int16 signals survive exactly; queries/ext_multimodal.py:
+  multimodal_flac_decode).
+
+CRC pins (tests/test_multimodal.py): CRC-8 poly 0x07 init 0 over
+"123456789" = 0xF4; CRC-16 poly 0x8005 (non-reflected, init 0, the
+CRC-16/UMTS a.k.a. BUYPASS variant FLAC uses) over "123456789" =
+0xFEE8 — both published check values.
+
+Reference parity note: the reference repo has no codec layer (SURVEY.md
+section 4); this module belongs to the multimodal training-data pillar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+__all__ = ["decode_flac", "decode_flac_pcm", "encode_flac"]
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0, MSB-first."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0, MSB-first (CRC-16/UMTS)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader with a byte-position cursor."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # byte position of the NEXT unbuffered byte
+        self.buf = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            self.buf = (self.buf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.buf >> self.n) & ((1 << k) - 1)
+        self.buf &= (1 << self.n) - 1
+        return v
+
+    def read_signed(self, k: int) -> int:
+        v = self.read(k)
+        return v - (1 << k) if v >> (k - 1) else v
+
+    def unary(self, limit: int = 1 << 20) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > limit:
+                raise ValueError("runaway unary code in FLAC residual")
+        return q
+
+    def align(self) -> None:
+        self.n = 0
+        self.buf = 0
+
+
+_BLOCKSIZE_CODES = {1: 192}
+for _i in range(2, 6):
+    _BLOCKSIZE_CODES[_i] = 576 << (_i - 2)
+for _i in range(8, 16):
+    _BLOCKSIZE_CODES[_i] = 256 << (_i - 8)
+
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+#: fixed-predictor coefficients (FLAC / Shorten polynomial predictors)
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _read_coded_number(br: _Bits) -> int:
+    """The UTF-8-style variable-length frame/sample number (up to 36
+    bits over 7 bytes)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("invalid coded frame number")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid coded frame number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _read_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = br.read(4)
+    if blocksize % (1 << po):
+        raise ValueError("FLAC partition order does not divide block size")
+    out: list[int] = []
+    psize = blocksize >> po
+    for p in range(1 << po):
+        n = psize - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        param = br.read(plen)
+        if param == escape:
+            raw = br.read(5)
+            if raw == 0:
+                out.extend([0] * n)
+            else:
+                out.extend(br.read_signed(raw) for _ in range(n))
+        else:
+            for _ in range(n):
+                q = br.unary()
+                u = (q << param) | br.read(param)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        out = np.full(blocksize, br.read_signed(eff), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array(
+            [br.read_signed(eff) for _ in range(blocksize)], dtype=np.int64
+        )
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        if order > blocksize:
+            raise ValueError("FLAC predictor order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        coef = _FIXED_COEF[order]
+        s = warm + [0] * len(res)
+        for i, r in enumerate(res):
+            k = order + i
+            s[k] = r + sum(c * s[k - 1 - j] for j, c in enumerate(coef))
+        out = np.array(s, dtype=np.int64)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        if order > blocksize:
+            raise ValueError("FLAC predictor order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision escape")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        qlp = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        s = warm + [0] * len(res)
+        for i, r in enumerate(res):
+            k = order + i
+            acc = sum(c * s[k - 1 - j] for j, c in enumerate(qlp))
+            s[k] = r + (acc >> shift)
+        out = np.array(s, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return out << wasted
+
+
+def decode_flac_pcm(b: bytes) -> tuple[np.ndarray, int, int]:
+    """FLAC -> (samples int64 (n_frames, channels), sample_rate,
+    bits_per_sample). Every frame's CRC-8 header and CRC-16 footer are
+    verified; the STREAMINFO MD5 of the unencoded PCM is verified when
+    present (nonzero). Malformed input raises ValueError."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    si = None
+    last = False
+    while not last:
+        if pos + 4 > len(b):
+            raise ValueError("truncated FLAC metadata")
+        head = b[pos]
+        last = bool(head & 0x80)
+        btype = head & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + b[pos + 1 : pos + 4])
+        payload = b[pos + 4 : pos + 4 + ln]
+        if len(payload) != ln:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if ln != 34:
+                raise ValueError("STREAMINFO must be 34 bytes")
+            br = _Bits(payload)
+            br.read(16)  # min block
+            br.read(16)  # max block
+            br.read(24)  # min frame
+            br.read(24)  # max frame
+            sr = br.read(20)
+            ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            md5 = payload[18:34]
+            si = {"sr": sr, "ch": ch, "bps": bps, "total": total, "md5": md5}
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        pos += 4 + ln
+    if si is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if si["sr"] == 0:
+        raise ValueError("FLAC sample rate 0")
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(si["ch"])]
+    n_frames = 0
+    while pos < len(b) and (si["total"] == 0 or n_frames < si["total"]):
+        frame_start = pos
+        br = _Bits(b, pos)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad FLAC frame sync at byte {frame_start}")
+        if br.read(1):
+            raise ValueError("reserved FLAC frame header bit set")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ca = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("reserved FLAC frame header bit set")
+        _read_coded_number(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code 0")
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_CODES[bs_code]
+        if sr_code == 0:
+            sr = si["sr"]
+        elif sr_code in _SAMPLE_RATES:
+            sr = _SAMPLE_RATES[sr_code]
+        elif sr_code == 12:
+            sr = br.read(8) * 1000
+        elif sr_code == 13:
+            sr = br.read(16)
+        elif sr_code == 14:
+            sr = br.read(16) * 10
+        else:
+            raise ValueError("invalid FLAC sample rate code 15")
+        if ss_code == 0:
+            bps = si["bps"]
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
+        # CRC-8 covers the header bytes up to (not including) the CRC byte
+        hdr_end = br.pos  # reader is byte-aligned only if no partial bits
+        if br.n:
+            raise ValueError("FLAC frame header not byte-aligned")
+        if _crc8(b[frame_start:hdr_end]) != br.read(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if ca <= 7:
+            nch = ca + 1
+            if nch != si["ch"]:
+                raise ValueError("frame channel count differs from STREAMINFO")
+            subs = [
+                _decode_subframe(br, blocksize, bps) for _ in range(nch)
+            ]
+        elif ca in (8, 9, 10):
+            if si["ch"] != 2:
+                raise ValueError("stereo decorrelation in non-stereo stream")
+            bps0 = bps + (1 if ca == 9 else 0)
+            bps1 = bps + (1 if ca in (8, 10) else 0)
+            s0 = _decode_subframe(br, blocksize, bps0)
+            s1 = _decode_subframe(br, blocksize, bps1)
+            if ca == 8:  # left/side
+                subs = [s0, s0 - s1]
+            elif ca == 9:  # right/side: s0 = side, s1 = right
+                subs = [s1 + s0, s1]
+            else:  # mid/side
+                mid2 = (s0 << 1) | (s1 & 1)
+                subs = [(mid2 + s1) >> 1, (mid2 - s1) >> 1]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ca}")
+        br.align()
+        if _crc16(b[frame_start : br.pos]) != br.read(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.pos
+        for c in range(si["ch"]):
+            chans[c].append(subs[c])
+        n_frames += blocksize
+
+    if si["total"] and n_frames < si["total"]:
+        raise ValueError(
+            f"FLAC stream ends after {n_frames} of {si['total']} samples"
+        )
+    pcm = np.stack(
+        [np.concatenate(c) if c else np.zeros(0, dtype=np.int64)
+         for c in chans],
+        axis=1,
+    )
+    if si["total"]:
+        pcm = pcm[: si["total"]]
+    if si["md5"] != b"\x00" * 16:
+        nbytes = (si["bps"] + 7) // 8
+        lo = pcm.astype(np.int64)
+        raw = bytearray()
+        flat = lo.reshape(-1)
+        # little-endian signed interleaved, bps/8 bytes per sample
+        arr = (flat & ((1 << (8 * nbytes)) - 1)).astype(object)
+        for v in arr:
+            raw += int(v).to_bytes(nbytes, "little")
+        if hashlib.md5(bytes(raw)).digest() != si["md5"]:
+            raise ValueError("FLAC decoded PCM fails the STREAMINFO MD5")
+    return pcm, si["sr"], si["bps"]
+
+
+def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
+    """FLAC -> (samples float64 in [-1, 1] shaped (n_frames, channels),
+    sample_rate) — the decode_wav contract, for the audio kernel gate."""
+    pcm, sr, bps = decode_flac_pcm(b)
+    return pcm.astype(np.float64) / float(1 << (bps - 1)), sr
+
+
+# --- encoder -------------------------------------------------------------------
+
+
+class _BitW:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, v: int, k: int) -> None:
+        self.buf = (self.buf << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.buf >> self.n) & 0xFF)
+        self.buf &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def _write_residual(bw: _BitW, res: list[int]) -> None:
+    """Single-partition 4-bit-parameter Rice residual with the parameter
+    picked by local search around the mean-magnitude estimate; escapes
+    to raw fixed-width storage when Rice would be larger (pathological
+    residuals)."""
+    bw.write(0, 2)  # method 0: 4-bit params
+    bw.write(0, 4)  # partition order 0
+    # zigzag: u = 2r for r>=0, -2r-1 for r<0
+    zig = [(-2 * int(r) - 1) if int(r) < 0 else 2 * int(r) for r in res]
+    mean = (sum(zig) / len(zig)) if zig else 0.0
+    base = max(0, min(14, int(mean).bit_length() - 1)) if mean >= 1 else 0
+    best_p, best_c = 0, None
+    for p in range(max(0, base - 1), min(15, base + 3)):
+        c = sum((u >> p) + 1 + p for u in zig)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    raw = max(2, 1 + max((abs(int(r)).bit_length() for r in res), default=1))
+    if raw <= 31 and best_c > raw * len(zig):
+        bw.write(15, 4)  # escape partition
+        bw.write(raw, 5)
+        for r in res:
+            bw.write(int(r), raw)
+        return
+    bw.write(best_p, 4)
+    for u in zig:
+        q = u >> best_p
+        bw.write(1, q + 1)  # q zeros then the terminating 1
+        bw.write(u & ((1 << best_p) - 1), best_p)
+
+
+def _encode_subframe(bw: _BitW, s: np.ndarray, bps: int) -> None:
+    s64 = s.astype(np.int64)
+    n = len(s64)
+    if n and (s64 == s64[0]).all():
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(int(s64[0]), bps)
+        return
+    # fixed-predictor search: pick the order with the smallest
+    # absolute-residual sum (the standard cheap heuristic)
+    best_order, best_res, best_cost = None, None, None
+    for order in range(0, 5):
+        if order >= n:
+            break
+        # the order-k fixed-predictor residual IS the k-th forward
+        # difference (length n-k; warm-up samples excluded naturally)
+        res = s64.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        cost = int(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    # verbatim beats a hopeless predictor on incompressible noise
+    if best_cost is not None and best_cost > (1 << (bps + 2)) * max(n, 1):
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(0, 1)
+        for v in s64:
+            bw.write(int(v), bps)
+        return
+    order = best_order
+    bw.write(0, 1)
+    bw.write(8 + order, 6)  # FIXED
+    bw.write(0, 1)
+    for v in s64[:order]:
+        bw.write(int(v), bps)
+    _write_residual(bw, list(best_res))
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int, *, block_size: int = 4096
+) -> bytes:
+    """int16 (n,) or (n, channels<=2) -> FLAC (independent channels,
+    CONSTANT/FIXED/VERBATIM subframes, single-partition Rice, correct
+    CRC-8/CRC-16 and STREAMINFO MD5). Lossless: decode_flac_pcm returns
+    the input exactly."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or not 1 <= s.shape[1] <= 2:
+        raise ValueError("encoder takes (n,) or (n, 1..2 channels)")
+    if s.dtype != np.int16:
+        raise ValueError("encoder takes int16 samples")
+    n, ch = s.shape
+    if n == 0:
+        raise ValueError("empty signal")
+    bps = 16
+    md5 = hashlib.md5(
+        s.astype("<i2").tobytes()
+    ).digest()  # interleaved little-endian, matches (n, ch) C order
+
+    frames = bytearray()
+    fi = 0
+    for start in range(0, n, block_size):
+        blk = s[start : start + block_size]
+        bs = len(blk)
+        bw = _BitW()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking strategy, frame-number coded
+        bw.write(7, 4)  # block size: 16-bit at end of header
+        bw.write(0, 4)  # sample rate: from STREAMINFO
+        bw.write(ch - 1, 4)  # independent channels
+        bw.write(4, 3)  # 16-bit
+        bw.write(0, 1)
+        # coded frame number (fits 7 bits per frame-count < 128, else
+        # the 2-byte UTF-8 form; bounded fixtures keep it small)
+        if fi < 0x80:
+            bw.write(fi, 8)
+        elif fi < 0x800:
+            bw.write(0xC0 | (fi >> 6), 8)
+            bw.write(0x80 | (fi & 0x3F), 8)
+        else:
+            bw.write(0xE0 | (fi >> 12), 8)
+            bw.write(0x80 | ((fi >> 6) & 0x3F), 8)
+            bw.write(0x80 | (fi & 0x3F), 8)
+        bw.write(bs - 1, 16)
+        bw.align()
+        hdr = bytes(bw.out)
+        frame = bytearray(hdr)
+        frame.append(_crc8(hdr))
+        bw2 = _BitW()
+        for c in range(ch):
+            _encode_subframe(bw2, blk[:, c], bps)
+        bw2.align()
+        frame += bw2.out
+        frame += struct.pack(">H", _crc16(bytes(frame)))
+        frames += frame
+        fi += 1
+
+    si = _BitW()
+    si.write(min(block_size, n), 16)
+    si.write(block_size if n > block_size else min(block_size, n), 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    si.align()
+    streaminfo = bytes(si.out) + md5
+    assert len(streaminfo) == 34
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", 34)[1:]  # last block, type 0
+    out += streaminfo
+    out += frames
+    return bytes(out)

@@ -17,6 +17,10 @@ codec stubbed:
   (format 0x11) — the classic 4-bit compressed-audio format — with
   per-block headers, multi-channel 4-byte-word interleave, short final
   blocks, and ``fact``-chunk frame trimming; encoder included).
+- **FLAC** (``operators/flac.py``): the mainstream LOSSLESS audio
+  format — Rice-coded fixed/LPC prediction residuals, all four channel
+  assignments, CRC-8/CRC-16/MD5 integrity verified; compliant encoder
+  included (fixed-predictor search + Rice).
 - **PNG** (every legal IHDR combination: gray at depths 1/2/4/8/16,
   gray+alpha 8/16, RGB 8/16, RGBA 8/16, palette 1/2/4/8; non-interlaced
   AND Adam7 interlaced): chunk parsing with ``struct`` + ``zlib.crc32``,
@@ -109,6 +113,8 @@ def sniff_format(b: bytes) -> str | None:
         return "tiff"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"fLaC":
+        return "flac"
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return "mp4"
     return None

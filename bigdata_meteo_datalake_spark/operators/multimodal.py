@@ -769,6 +769,64 @@ def synthesize_adpcm_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_flac_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-FLAC source (operators/flac.py): for each
+    ``doc_id`` emit (doc_id, blob) where blob is a genuine mono 16-bit
+    FLAC of a closed-form signal —
+
+      n  = 400 + doc_id % 500 frames,
+      sr = 8000 + (doc_id % 4) * 2000 Hz,   block_size = 512,
+      signal by doc_id % 3:
+        0: TRIANGLE  s(i) = (abs(((i*3 + doc_id) % 2000) - 1000) - 500) * 30
+           (piecewise linear -> the FIXED-predictor path: order-2 diffs
+           vanish except at fold points)
+        1: PSEUDO-NOISE  s(i) = (doc_id*37 + i*11) % 65536 - 32768
+           (incompressible -> VERBATIM / high-parameter Rice path)
+        2: CONSTANT  s(i) = (doc_id*29) % 65536 - 32768
+           (the CONSTANT-subframe path)
+
+    FLAC is LOSSLESS, so unlike the JPEG fixtures no divisibility
+    argument is needed: the decoded int16 samples equal the closed form
+    bit for bit, the stream's own CRC-8/CRC-16/MD5 integrity checks all
+    verify in the decoder, and the SQL oracle recomputes the exact sum
+    of squares (queries/ext_multimodal.py:multimodal_flac_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import encode_flac
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 400 + did % 500
+                sr = 8000 + (did % 4) * 2000
+                i = np.arange(n, dtype=np.int64)
+                v = did % 3
+                if v == 0:
+                    s = (np.abs((i * 3 + did) % 2000 - 1000) - 500) * 30
+                elif v == 1:
+                    s = (did * 37 + i * 11) % 65536 - 32768
+                else:
+                    s = np.full(n, did * 29 % 65536 - 32768, dtype=np.int64)
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_flac(s.astype(np.int16), sr, block_size=512)
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_mp4_blobs(df: DataFrame) -> DataFrame:
     """Deterministic real-ISO-BMFF source for the container-probe path:
     for each ``doc_id`` emit (doc_id, blob) where blob is a structurally
@@ -1053,9 +1111,10 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
                    decode: str = "fake") -> DataFrame:
     """Audio feature extraction -> (doc_id, duration_s, sample_rate, rms)
     via mapInPandas; `decode="real"` decodes WAV with media_codecs.decode_wav
-    (PCM 16/8-bit, G.711 mu-law/A-law, IMA ADPCM) — actual container sample
-    rate, frame-count duration, and RMS over normalized samples; non-WAV
-    audio raises at the soundfile/librosa insertion point. The fake kernel
+    (PCM 16/8-bit, G.711 mu-law/A-law, IMA ADPCM) and FLAC with
+    operators/flac.py — actual container sample rate, frame-count duration,
+    and RMS over normalized samples; anything else raises at the
+    soundfile/librosa insertion point. The fake kernel
     treats the payload as 16-bit PCM so duration/rms are deterministic
     pure functions of the bytes."""
 
@@ -1069,15 +1128,21 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
         for pdf in batches:
             out = {"doc_id": [], "duration_s": [], "sample_rate": [], "rms": []}
             if decode == "real":
+                from .flac import decode_flac
+
                 for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                     b = bytes(blob)
-                    if sniff_format(b) != "wav":
+                    fmt = sniff_format(b)
+                    if fmt == "wav":
+                        samples, sr = decode_wav(b)
+                    elif fmt == "flac":
+                        samples, sr = decode_flac(b)
+                    else:
                         raise NotImplementedError(
-                            "real audio decode beyond PCM WAV needs "
-                            "soundfile/librosa (not in this container); swap "
-                            "for sf.read(io.BytesIO(b))"
+                            "real audio decode beyond WAV (PCM/G.711/ADPCM) "
+                            "and FLAC needs soundfile/librosa (not in this "
+                            "container); swap for sf.read(io.BytesIO(b))"
                         )
-                    samples, sr = decode_wav(b)
                     n_frames = samples.shape[0]
                     # np.sqrt, not ** 0.5: correctly-rounded IEEE sqrt, so a
                     # SQL oracle's sqrt() matches bit-for-bit (pow(x, 0.5)

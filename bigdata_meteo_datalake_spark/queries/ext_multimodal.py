@@ -757,6 +757,85 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- REAL FLAC decode through the kernel gate ----------------------------------------
+
+_FLAC_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         400 + doc_id % 500 AS n,
+         8000 + (doc_id % 4) * 2000 AS sr,
+         doc_id % 3 AS v
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, sr, v,
+         CASE v
+           WHEN 0 THEN list_aggregate(list_transform(range(0, n),
+             i -> ((abs((i * 3 + doc_id) % 2000 - 1000) - 500) * 30)
+                  * ((abs((i * 3 + doc_id) % 2000 - 1000) - 500) * 30)),
+             'sum')
+           WHEN 1 THEN list_aggregate(list_transform(range(0, n),
+             i -> ((doc_id * 37 + i * 11) % 65536 - 32768)
+                  * ((doc_id * 37 + i * 11) % 65536 - 32768)), 'sum')
+           ELSE n * ((doc_id * 29) % 65536 - 32768)
+                  * ((doc_id * 29) % 65536 - 32768)
+         END AS ss
+  FROM d
+)
+SELECT doc_id,
+       CASE v WHEN 0 THEN 'triangle' WHEN 1 THEN 'noise'
+              ELSE 'constant' END AS signal,
+       cast(n AS double) / sr AS duration_s,
+       cast(sr AS int) AS sample_rate,
+       sqrt((cast(ss AS double) / 1073741824.0) / n) AS rms
+FROM s
+"""
+
+
+@register(
+    "multimodal_flac_decode",
+    oracle=_FLAC_ORACLE,
+    tags=("extension", "multimodal", "codec", "audio"),
+)
+def multimodal_flac_decode(spark, sf_dir):
+    """REAL FLAC decode end to end (round-9): per document a genuine
+    mono 16-bit FLAC — signal class cycling triangle (FIXED-predictor
+    subframes), pseudo-noise (VERBATIM / high-parameter Rice), and
+    constant (CONSTANT subframes) by doc_id % 3, multiple 512-sample
+    frames per stream — is encoded from a closed-form int16 signal
+    (operators/multimodal.py:synthesize_flac_blobs), then the
+    production audio path (audio_features(decode="real") ->
+    operators/flac.py: metadata walk, CRC-8-checked frame headers,
+    Rice/fixed-predictor subframe decode, CRC-16 footers, STREAMINFO
+    MD5 verification, 16-bit normalization) recovers duration, sample
+    rate, and RMS.
+
+    Exactness needs no divisibility argument: FLAC is LOSSLESS, so the
+    decoded samples equal the closed form bit for bit; squared samples
+    are exact dyadics (t^2 / 2^30, t^2 < 2^31) and the float64 mean is
+    the exact integer sum of squares over n (n <= 899, sum < 2^41);
+    the oracle recomputes ss in pure SQL and divides in the same order
+    (sqrt((ss / 2^30) / n)).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale; FLAC frames are
+    independently decodable (self-contained headers + CRCs), the
+    property that lets a 100 TB audio corpus split inside files."""
+    from ..operators.multimodal import audio_features, synthesize_flac_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    flacs = synthesize_flac_blobs(d)
+    feats = audio_features(flacs, decode="real")
+    signal = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("triangle"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("noise"))
+        .otherwise(F.lit("constant"))
+    )
+    return feats.select(
+        "doc_id", signal.alias("signal"), "duration_s", "sample_rate", "rms"
+    )
+
+
 # --- REAL arithmetic-coded JPEG decode through the kernel gate -----------------------
 
 _JPEG_ARITH_ORACLE = """

@@ -2300,6 +2300,252 @@ def test_wav_adpcm_tables_and_kernels(spark):
         assert abs(r["rms"] - float(np.sqrt((arr**2).mean()))) < 1e-15, did
 
 
+def test_flac_roundtrips_and_kernels(spark):
+    """FLAC (round-9): CRC-8/CRC-16 pinned against published check
+    values, LOSSLESS encoder->decoder roundtrips across signal classes
+    (fixed predictors, verbatim/Rice, constant), stereo, partial last
+    frames, STREAMINFO MD5 verification, corrupt-stream rejection —
+    then the production audio kernel over synthesized FLAC blobs."""
+    import numpy as np
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.flac import (
+        _crc8,
+        _crc16,
+        decode_flac,
+        decode_flac_pcm,
+        encode_flac,
+    )
+    from bigdata_meteo_datalake_spark.operators.media_codecs import sniff_format
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_features,
+        synthesize_flac_blobs,
+    )
+
+    # published CRC check values ("123456789"): CRC-8/SMBUS poly 0x07
+    # init 0 -> 0xF4; CRC-16/UMTS poly 0x8005 non-reflected init 0 -> 0xFEE8
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+    rng = np.random.default_rng(19)
+    t = np.arange(9000)
+    smooth = (9000 * np.sin(2 * np.pi * t / 250)
+              + 500 * np.sin(2 * np.pi * t / 13)).astype(np.int16)
+    noise = rng.integers(-32768, 32768, size=4000).astype(np.int16)
+    const = np.full(700, -123, dtype=np.int16)
+    for sig, sr in ((smooth, 44100), (noise, 8000), (const, 16000),
+                    (smooth[:4097], 22050), (smooth[:1], 11025)):
+        b = encode_flac(sig, sr)
+        assert sniff_format(b) == "flac"
+        pcm, got_sr, bps = decode_flac_pcm(b)
+        assert got_sr == sr and bps == 16
+        assert np.array_equal(pcm[:, 0], sig), (len(sig), sr)
+    # smooth signals genuinely compress through the fixed predictors
+    assert len(encode_flac(smooth, 44100)) < 2 * len(smooth) * 0.5
+
+    st = np.stack([smooth[:3000], (smooth[:3000] // 3 - 50).astype(np.int16)],
+                  axis=1)
+    pcm, _, _ = decode_flac_pcm(encode_flac(st, 48000, block_size=1024))
+    assert np.array_equal(pcm, st)
+
+    f, _ = decode_flac(encode_flac(const, 16000))
+    assert abs(f[0, 0] - (-123) / 32768.0) < 1e-18
+
+    # integrity: a flipped PCM bit fails CRC-16; a flipped STREAMINFO
+    # MD5 byte fails the MD5 check; garbage fails the magic
+    good = bytearray(encode_flac(smooth[:600], 8000))
+    bad = bytearray(good)
+    bad[-3] ^= 0x10  # inside the last frame's payload
+    with pytest.raises(ValueError):
+        decode_flac_pcm(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[8 + 18] ^= 0xFF  # STREAMINFO md5 byte
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac_pcm(bytes(bad2))
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac_pcm(b"not a flac")
+    for cut in (3, 20, len(good) // 2, len(good) - 1):
+        with pytest.raises(ValueError):
+            decode_flac_pcm(bytes(good[:cut]))
+    for _ in range(40):
+        mut = bytearray(good)
+        mut[int(rng.integers(4, len(mut)))] ^= int(rng.integers(1, 256))
+        try:
+            pcm, _, _ = decode_flac_pcm(bytes(mut))
+            # survival is fine only if the samples are untouched
+            assert np.array_equal(pcm[:, 0], smooth[:600])
+        except ValueError:
+            pass
+
+    # production kernel over synthesized blobs matches the closed form
+    d = read_table(spark, SF0001, "documents").limit(21)
+    rows = {r["doc_id"]: r for r in
+            audio_features(synthesize_flac_blobs(d), decode="real").collect()}
+    for did, r in rows.items():
+        n = 400 + did % 500
+        sr = 8000 + (did % 4) * 2000
+        i = np.arange(n, dtype=np.int64)
+        v = did % 3
+        if v == 0:
+            s = (np.abs((i * 3 + did) % 2000 - 1000) - 500) * 30
+        elif v == 1:
+            s = (did * 37 + i * 11) % 65536 - 32768
+        else:
+            s = np.full(n, did * 29 % 65536 - 32768, dtype=np.int64)
+        arr = s.astype(np.float64) / 32768.0
+        assert r["sample_rate"] == sr
+        assert abs(r["duration_s"] - n / sr) < 1e-15
+        assert abs(r["rms"] - float(np.sqrt((arr**2).mean()))) < 1e-15, did
+
+
+def test_flac_hand_built_decoder_paths():
+    """Decoder against the SPEC, independent of our encoder: hand-built
+    streams exercising LPC subframes, all three stereo decorrelation
+    modes, wasted bits, the 5-bit residual method, multi-partition
+    residuals, escape partitions, 8-bit samples, and the blocksize /
+    sample-rate header escape codes."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.flac import (
+        _BitW,
+        _crc8,
+        _crc16,
+        decode_flac_pcm,
+    )
+
+    def streaminfo(sr, ch, bps, total, block):
+        si = _BitW()
+        si.write(block, 16)
+        si.write(block, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(sr, 20)
+        si.write(ch - 1, 3)
+        si.write(bps - 1, 5)
+        si.write(total, 36)
+        si.align()
+        return (b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:]
+                + bytes(si.out) + b"\x00" * 16)  # md5 zero = unchecked
+
+    def frame(head_writer, body_writer):
+        hdr = bytes(head_writer.out)
+        f = bytearray(hdr)
+        f.append(_crc8(hdr))
+        body_writer.align()
+        f += body_writer.out
+        f += struct.pack(">H", _crc16(bytes(f)))
+        return bytes(f)
+
+    def header(bs_code, sr_code, ca, ss_code, extras=()):
+        h = _BitW()
+        h.write(0x3FFE, 14)
+        h.write(0, 2)
+        h.write(bs_code, 4)
+        h.write(sr_code, 4)
+        h.write(ca, 4)
+        h.write(ss_code, 3)
+        h.write(0, 1)
+        h.write(0, 8)  # frame number 0
+        for v, k in extras:
+            h.write(v, k)
+        h.align()
+        return h
+
+    # 1) LPC subframe, order 2, qlp = [3, -1], shift 1:
+    #    s[k] = res[k] + (3*s[k-1] - s[k-2]) >> 1, warm-up [10, 12]
+    body = _BitW()
+    body.write(0, 1)
+    body.write(32 + 1, 6)  # LPC order 2 (100001 + order-1)
+    body.write(0, 1)
+    body.write(10, 16)
+    body.write(12, 16)
+    body.write(4, 4)   # precision-1 -> 5 bits
+    body.write(1, 5)   # shift 1
+    body.write(3, 5)
+    body.write(-1 & 0x1F, 5)
+    body.write(0, 2)   # rice method 0
+    body.write(0, 4)   # partition order 0
+    body.write(0, 4)   # rice param 0
+    for u in (2, 1):   # residuals +1, -1 (zigzag 2, 1), unary-coded
+        body.write(1, u + 1)
+    b = streaminfo(8000, 1, 16, 4, 4) + frame(
+        header(6, 0, 0, 4, extras=[(3, 8)]), body  # blocksize-1=3 via code 6
+    )
+    pcm, sr, bps = decode_flac_pcm(b)
+    # s2 = 1 + (3*12 - 10)>>1 = 14; s3 = -1 + (3*14 - 12)>>1 = 14
+    assert pcm[:, 0].tolist() == [10, 12, 14, 14]
+
+    # 2) stereo decorrelation: verify all three against the same L/R
+    left = np.array([100, 102, 101, 99], dtype=np.int64)
+    right = np.array([-50, -48, -52, -49], dtype=np.int64)
+    side = left - right
+
+    def verbatim(vals, bits):
+        w = _BitW()
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(int(v), bits)
+        return w
+
+    for ca, (c0, b0), (c1, b1) in (
+        (8, (left, 16), (side, 17)),          # left/side
+        (9, (side, 17), (right, 16)),         # right/side
+        (10, ((left + right) >> 1, 16), (side, 17)),  # mid/side
+    ):
+        body = _BitW()
+        for vals, bits in ((c0, b0), (c1, b1)):
+            w = verbatim(vals, bits)
+            for byte in w.out:
+                body.write(byte, 8)
+            if w.n:
+                body.write(w.buf, w.n)
+        b = streaminfo(44100, 2, 16, 4, 4) + frame(
+            header(6, 0, ca, 4, extras=[(3, 8)]), body
+        )
+        pcm, _, _ = decode_flac_pcm(b)
+        assert pcm[:, 0].tolist() == left.tolist(), ca
+        assert pcm[:, 1].tolist() == right.tolist(), ca
+
+    # 3) wasted bits (2 wasted -> samples shifted left by 2), constant
+    body = _BitW()
+    body.write(0, 1)
+    body.write(0, 6)   # CONSTANT
+    body.write(1, 1)   # wasted flag
+    body.write(1, 2)   # unary 1 -> wasted = 2
+    body.write(25, 14)  # constant 25 at 16-2 bits -> sample 100
+    b = streaminfo(32000, 1, 16, 5, 5) + frame(
+        header(6, 0, 0, 4, extras=[(4, 8)]), body
+    )
+    assert decode_flac_pcm(b)[0][:, 0].tolist() == [100] * 5
+
+    # 4) 5-bit residual method + 2 partitions + escape partition +
+    #    8-bit samples + 16-bit blocksize escape + sample-rate escapes
+    body = _BitW()
+    body.write(0, 1)
+    body.write(8, 6)   # FIXED order 0
+    body.write(0, 1)
+    body.write(1, 2)   # method 1: 5-bit params
+    body.write(1, 4)   # partition order 1 -> 2 partitions of 2
+    body.write(31, 5)  # partition 1: ESCAPE
+    body.write(6, 5)   # raw 6-bit
+    body.write(-20 & 0x3F, 6)
+    body.write(17 & 0x3F, 6)
+    body.write(2, 5)   # partition 2: rice param 2
+    for u in (5, 0):   # values -3 (zig 5), 0 (zig 0)
+        body.write(1, (u >> 2) + 1)
+        body.write(u & 3, 2)
+    b = streaminfo(12345, 1, 8, 4, 4) + frame(
+        header(7, 13, 0, 1, extras=[(3, 16), (12345, 16)]), body
+    )
+    pcm, sr, bps = decode_flac_pcm(b)
+    assert (sr, bps) == (12345, 8)
+    assert pcm[:, 0].tolist() == [-20, 17, -3, 0]
+
+
 def test_real_bmp_palette_and_rle8():
     """BMP 8-bit palette + RLE8 (round-8): roundtrips across shapes and
     both layouts, run compression on constant rows, small color tables

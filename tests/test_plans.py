@@ -211,6 +211,7 @@ def test_real_codec_queries_are_pure_map(spark):
                  "multimodal_jpeg_decode", "multimodal_jpeg12_decode",
                  "multimodal_jpeg_arith_decode",
                  "multimodal_wav_g711_decode", "multimodal_wav_adpcm_decode",
+                 "multimodal_flac_decode",
                  "multimodal_bmp_decode",
                  "multimodal_tiff_decode",
                  "multimodal_gif_frames",
