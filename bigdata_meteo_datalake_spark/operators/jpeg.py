@@ -18,8 +18,12 @@ Scope (declared, enforced loudly):
   correction bits), and EOB runs. ARITHMETIC coding (SOF9 extended
   sequential / SOF10 progressive, T.81 Annex D QM-coder + Annex F/G
   models, DAC conditioning segments) decodes AND encodes via
-  operators/jpeg_arith.py (round 9). Sampling factors > 2, lossless
-  (SOF3/SOF11), and hierarchical (SOF5-7/13-15) raise
+  operators/jpeg_arith.py (round 9). LOSSLESS (SOF3, T.81 Annex H:
+  predictors 1-7, differences modulo 2^16 with the +32768 category,
+  point transform, 2-16 bit precision, components coded directly with
+  no color transform) decodes AND encodes (encode_jpeg_lossless) —
+  exact on ARBITRARY images, also round 9. Sampling factors > 2,
+  arithmetic lossless (SOF11), and hierarchical (SOF5-7/13-15) raise
   NotImplementedError.
 - encode: grayscale or RGB with ``subsampling`` in {"444", "422",
   "420"} (box-average chroma downsampling), the spec Annex K example
@@ -49,7 +53,9 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg", "jpeg_precision"]
+__all__ = [
+    "decode_jpeg", "encode_jpeg", "encode_jpeg_lossless", "jpeg_precision",
+]
 
 
 def jpeg_precision(b: bytes) -> int:
@@ -435,6 +441,94 @@ def _ac_refine(br, coef, ss, se, al, eobrun, atab):
     return eobrun
 
 
+def _lossless_predict(s, y, x, sel, default, restart_at):
+    """T.81 H.1.2 prediction. ``restart_at`` is the (y, x) raster index
+    where the current restart interval began: that sample predicts from
+    the default value, the rest of ITS line uses Ra (the 'first line'
+    rule applies per restart interval), and column 0 of later lines
+    uses Rb."""
+    ry, rx = restart_at
+    if y == ry and x == rx:
+        return default
+    if y == ry:  # first line of the interval: one-dimensional Ra
+        return int(s[y, x - 1])
+    if x == 0:
+        return int(s[y - 1, x])
+    ra = int(s[y, x - 1])
+    rb = int(s[y - 1, x])
+    rc = int(s[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def _decode_scan_lossless(
+    b: bytes,
+    data_pos: int,
+    scan_comps: list,
+    sel: int,
+    pt: int,
+    huff_dc: dict,
+    samples: list,
+    dims: tuple,
+    restart_interval: int,
+    precision: int,
+) -> int:
+    """Lossless (SOF3) scan per T.81 Annex H: Huffman-coded prediction
+    differences modulo 2^16 (category 16 = +32768 with no extra bits),
+    predictors 1-7, point transform, restart intervals re-arming the
+    initial prediction. Returns the position of the following marker."""
+    height, width = dims
+    br = _BitReader(b, data_pos)
+    tabs = []
+    for c, td, _ta in scan_comps:
+        dtab = huff_dc.get(td)
+        if dtab is None:
+            raise ValueError(f"scan uses undefined DC table {td}")
+        tabs.append((c, dtab))
+    default = 1 << (precision - pt - 1)
+    restart_at = (0, 0)
+    mcu = 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_to_marker()
+                restart_at = (y, x)
+            for c, dtab in tabs:
+                t = _huff_read(br, dtab)
+                if t > 16:
+                    raise ValueError(
+                        f"invalid lossless difference category {t}"
+                    )
+                if t == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(t), t)
+                s = samples[c["idx"]]
+                px = _lossless_predict(s, y, x, sel, default, restart_at)
+                s[y, x] = (px + diff) & 0xFFFF
+            mcu += 1
+    p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("entropy stream ends without a terminating marker")
+
+
 def _decode_scan(
     b: bytes,
     data_pos: int,
@@ -578,6 +672,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     arithmetic = False
+    lossless = False
+    pt = 0
+    samples = None  # lossless per-component (H, W) sample store
     dac_dc: dict[int, tuple] = {}
     dac_ac: dict[int, int] = {}
     precision = 8
@@ -626,6 +723,27 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     bits, values
                 )
                 p += 17 + n
+        elif marker == 0xC3:
+            # SOF3 lossless (T.81 Annex H): predictive, no DCT/DQT
+            lossless = True
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                raise ValueError(f"invalid lossless precision {precision}")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component lossless JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv = seg[6 + 3 * i], seg[7 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampling (only 1x1 factors)"
+                    )
+                comps.append({"id": cid, "idx": i})
+            samples = [
+                np.zeros((height, width), dtype=np.int64) for _ in comps
+            ]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             # / SOF9 extended sequential arithmetic / SOF10 progressive
@@ -680,7 +798,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 chh = (height * c["v"] + vmax - 1) // vmax
                 c["nwb"] = (cw + 7) // 8
                 c["nhb"] = (chh + 7) // 8
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
@@ -722,6 +840,21 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
+            if lossless:
+                # T.81 H: Ss = predictor selector, Al = point transform
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"lossless predictor must be 1..7, got {ss}")
+                if se != 0 or ah != 0:
+                    raise ValueError("lossless scan must have Se=0 and Ah=0")
+                if al >= precision:
+                    raise ValueError("point transform exceeds sample precision")
+                pt = al
+                pos = _decode_scan_lossless(
+                    b, pos + seglen, scan_comps, ss, al, huff_dc,
+                    samples, (height, width), restart_interval, precision,
+                )
+                any_scan = True
+                continue
             if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("baseline scan must cover the full band")
             if progressive and ss == 0 and se != 0:
@@ -749,6 +882,16 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         pos += seglen
     if comps is None or not any_scan:
         raise ValueError("JPEG missing SOF0 or SOS")
+
+    if lossless:
+        # predictive mode stores components DIRECTLY (no YCbCr transform,
+        # no DCT): undo the point transform and stack. Casting wraps
+        # out-of-range values from corrupt streams deterministically.
+        dtype = np.uint8 if precision <= 8 else np.uint16
+        planes_ll = [(s << pt) & 0xFFFF for s in samples]
+        if len(planes_ll) == 1:
+            return planes_ll[0].astype(dtype)
+        return np.stack(planes_ll, axis=2).astype(dtype)
 
     # batched per component: zigzag -> raster, dequantize, IDCT over the
     # raster block grid, then crop / replicate-upsample to full resolution
@@ -869,6 +1012,101 @@ _AC_12 = (
     [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
     [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0xF0],
 )
+
+#: lossless difference categories reach 16 (the +32768 special case
+#: carries no extra bits), so the fixture table is 17 flat 5-bit codes
+_DC_LL = (
+    [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(17)),
+)
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    *,
+    precision: int = 8,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 3) integer samples in 0..2^precision-1 ->
+    LOSSLESS JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+    differences modulo 2^16, ``predictor`` 1-7, optional point
+    transform (samples are coded as v >> Pt and decode to
+    (v >> Pt) << Pt), optional restart intervals. Components are coded
+    directly — lossless JPEG applies NO color transform — so the
+    roundtrip is bit-exact on arbitrary images, not just block-constant
+    fixtures."""
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    pt = point_transform
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.int64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., i].astype(np.int64) for i in range(3)]
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) array, got {arr.shape}")
+    maxv = (1 << precision) - 1
+    if int(planes[0][0, 0]) < 0 or any(int(p.max(initial=0)) > maxv for p in planes):
+        raise ValueError(f"samples must be in 0..{maxv}")
+    h, w = arr.shape[:2]
+    nc = len(planes)
+    shifted = [p >> pt for p in planes]
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, bytes([0x00] + _DC_LL[0] + _DC_LL[1]))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    hdr = bytes([nc])
+    for i in range(nc):
+        hdr += bytes([i + 1, 0x00])
+    hdr += bytes([predictor, 0, pt])
+    out += _seg(0xDA, hdr)
+
+    enc = _huff_encode_table(*_DC_LL)
+    writer = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    restart_at = (0, 0)
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                restart_at = (y, x)
+            for s in shifted:
+                px = _lossless_predict(
+                    s, y, x, predictor, default, restart_at
+                )
+                d = (int(s[y, x]) - px) & 0xFFFF
+                if d == 32768:
+                    code, length = enc[16]
+                    writer.write(code, length)
+                    continue
+                if d >= 32768:
+                    d -= 65536
+                t = _category(d)
+                code, length = enc[t]
+                writer.write(code, length)
+                if t:
+                    writer.write(_mag_bits(d, t), t)
+            mcu += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
 
 #: subsampling name -> per-component (h, v) sampling factors (Y, Cb, Cr)
 _SUBSAMPLING = {

@@ -558,6 +558,66 @@ def synthesize_jpeg_arith_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_jpeg_lossless_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic LOSSLESS-JPEG source (SOF3, T.81 Annex H —
+    operators/jpeg.py:encode_jpeg_lossless). Unlike every lossy JPEG
+    fixture, the pixels are ARBITRARY per-pixel closed forms (no
+    block-constant trick needed — predictive coding is exact):
+
+      w = 8 + doc_id % 15,  h = 8 + doc_id % 11,
+      precision P = (8, 12, 16)[doc_id % 3],
+      pixel v(x, y, c) = (doc_id*53 + x*19 + y*31 + c*7) % 2^P,
+      RGB for even doc_ids (channels coded directly — lossless JPEG has
+      NO color transform), grayscale for odd,
+      predictor = 1 + doc_id % 7 (all seven Annex H predictors cycle),
+      every sixth document restarts every 3 samples.
+
+    The SQL oracle recomputes the exact pixel sums
+    (queries/ext_multimodal.py:multimodal_jpeg_lossless_decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg_lossless
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 15, 8 + did % 11
+                p = (8, 12, 16)[did % 3]
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                base = did * 53 + x * 19 + y * 31
+                if did % 2 == 0:
+                    arr = np.stack(
+                        [(base + c * 7) % (1 << p) for c in range(3)], axis=2
+                    )
+                else:
+                    arr = base % (1 << p)
+                arr = arr.astype(np.uint8 if p == 8 else np.uint16)
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_jpeg_lossless(
+                        arr,
+                        precision=p,
+                        predictor=1 + did % 7,
+                        restart_interval=3 if did % 6 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def synthesize_jpeg12_blobs(df: DataFrame) -> DataFrame:
     """Deterministic 12-BIT real-JPEG source (SOF1 extended sequential /
     SOF2 progressive, 16-bit DQT entries, level shift 2048), the

@@ -902,6 +902,74 @@ def multimodal_jpeg_arith_decode(spark, sf_dir):
     )
 
 
+# --- REAL lossless JPEG decode through the kernel gate -------------------------------
+
+_JPEG_LOSSLESS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 15 AS w,
+         8 + doc_id % 11 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+         CASE doc_id % 3 WHEN 0 THEN 256 WHEN 1 THEN 4096 ELSE 65536 END AS p2
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch, p2,
+         list_aggregate(list_transform(range(0, w * h * ch),
+           i -> (doc_id * 53 + ((i // ch) % w) * 19
+                 + (i // (ch * w)) * 31 + (i % ch) * 7) % p2), 'sum') AS s
+  FROM d
+)
+SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height,
+       ch = 3 AS is_rgb,
+       (cast(s AS double) / (w * h * ch)) / (p2 - 1) AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_jpeg_lossless_decode",
+    oracle=_JPEG_LOSSLESS_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_jpeg_lossless_decode(spark, sf_dir):
+    """REAL LOSSLESS JPEG decode end to end (round-9): per document a
+    genuine SOF3 predictive JPEG — all seven Annex H predictors cycle,
+    precision cycles 8/12/16 bits, RGB (coded directly, no color
+    transform) for even doc_ids, restart intervals every sixth — is
+    encoded from ARBITRARY per-pixel closed forms
+    (operators/multimodal.py:synthesize_jpeg_lossless_blobs), then the
+    production decode path (operators/jpeg.py:_decode_scan_lossless:
+    Huffman difference categories modulo 2^16 with the +32768 special
+    case, predictor reconstruction, point transform) recovers
+    dimensions and mean intensity normalized by 2^P - 1.
+
+    This is the first IMAGE oracle with non-block-constant pixels: the
+    codec is exact by construction, so no quantization-divisibility
+    argument is needed. The float argument still holds: the pixel sum
+    is < 2^27 so numpy's float64 mean is the exact integer sum over
+    w*h*ch, and the oracle divides in the same order
+    ((s / (w*h*ch)) / (2^P - 1)).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        synthesize_jpeg_lossless_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    jpegs = synthesize_jpeg_lossless_blobs(d)
+    feats = decode_image_features(jpegs, decode="real")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("doc_id") % 2 == 0).alias("is_rgb"),
+        "mean_intensity",
+    )
+
+
 # --- REAL IMA ADPCM WAV decode through the kernel gate -------------------------------
 
 

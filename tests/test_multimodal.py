@@ -805,6 +805,112 @@ def test_real_jpeg_arithmetic_sa_script_and_dac():
     assert np.array_equal(decode_jpeg(b), want)
 
 
+def test_real_jpeg_lossless_roundtrips(spark):
+    """Lossless JPEG (SOF3, round-9): bit-exact on ARBITRARY images —
+    all seven predictors, 2/8/12/16-bit precision, RGB coded with no
+    color transform, restart intervals, point transform, a hand-built
+    stream pinning the modulo-2^16 difference arithmetic, rejection of
+    malformed scans — then the production kernel over synthesized
+    blobs."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        _DC_LL,
+        _huff_encode_table,
+        _BitWriter,
+        _category,
+        _mag_bits,
+        _seg,
+        decode_jpeg,
+        encode_jpeg_lossless,
+        jpeg_precision,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_jpeg_lossless_blobs,
+    )
+
+    rng = np.random.default_rng(47)
+    for shape, p in [((13, 17), 8), ((9, 9), 12), ((21, 5), 16),
+                     ((1, 1), 8), ((8, 24), 2)]:
+        img = rng.integers(0, 1 << p, size=shape)
+        img = img.astype(np.uint16 if p > 8 else np.uint8)
+        for pred in range(1, 8):
+            b = encode_jpeg_lossless(img, precision=p, predictor=pred)
+            got = decode_jpeg(b)
+            assert got.shape == img.shape and (got == img).all(), (shape, p, pred)
+            assert jpeg_precision(b) == p
+
+    rgb = rng.integers(0, 256, size=(14, 11, 3)).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_lossless(rgb)) == rgb).all()
+
+    img = rng.integers(0, 256, size=(10, 10)).astype(np.uint8)
+    for ri in (1, 3, 7):
+        assert (decode_jpeg(encode_jpeg_lossless(img, restart_interval=ri))
+                == img).all(), ri
+
+    img16 = rng.integers(0, 65536, size=(6, 7)).astype(np.uint16)
+    got = decode_jpeg(encode_jpeg_lossless(img16, precision=16,
+                                           point_transform=3))
+    assert (got == (img16 >> 3) << 3).all()
+
+    # hand-built 2x2 stream, predictor 1, pinning the Annex H rules:
+    # (0,0) predicts 128 (2^7), (0,1) predicts Ra, row 1 col 0 predicts
+    # Rb, (1,1) predicts Ra; diffs wrap modulo 2^16
+    enc = _huff_encode_table(*_DC_LL)
+    bw = _BitWriter()
+    want = [[200, 50], [10, 250]]
+    preds = [128, 200, 200, 10]
+    for v, px in zip([200, 50, 10, 250], preds):
+        d = (v - px) & 0xFFFF
+        if d >= 32768:
+            d -= 65536
+        t = _category(d)
+        code, ln = enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(_mag_bits(d, t), t)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC3, struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00] + _DC_LL[0] + _DC_LL[1]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+    out += bw.out + b"\xff\xd9"
+    assert decode_jpeg(bytes(out)).tolist() == want
+
+    # malformed: predictor 0 and Se != 0 raise
+    bad = bytearray(out)
+    sos = bytes(out).find(b"\xff\xda")
+    bad[sos + 7] = 0  # Ss (predictor) = 0
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(out)
+    bad[sos + 8] = 63  # Se = 63 in a lossless scan
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(img, predictor=9)
+
+    # production kernel over synthesized blobs matches the closed form
+    d = read_table(spark, SF0001, "documents").limit(21)
+    feats = {r["doc_id"]: r for r in decode_image_features(
+        synthesize_jpeg_lossless_blobs(d), decode="real").collect()}
+    for did, r in feats.items():
+        w, h = 8 + did % 15, 8 + did % 11
+        p2 = (256, 4096, 65536)[did % 3]
+        ch = 3 if did % 2 == 0 else 1
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        s = sum(int(((did * 53 + x * 19 + y * 31 + c * 7) % p2).sum())
+                for c in range(ch))
+        want_mean = (s / (w * h * ch)) / (p2 - 1)
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_intensity"] - want_mean) < 1e-15, did
+
+
 def test_real_jpeg_arithmetic_rejects_corrupt():
     """Fuzz the arithmetic decode contract: truncations and random byte
     flips raise ValueError/NotImplementedError (never IndexError /

@@ -210,6 +210,7 @@ def test_real_codec_queries_are_pure_map(spark):
     for name in ("multimodal_png_decode", "multimodal_png_depths_decode",
                  "multimodal_jpeg_decode", "multimodal_jpeg12_decode",
                  "multimodal_jpeg_arith_decode",
+                 "multimodal_jpeg_lossless_decode",
                  "multimodal_wav_g711_decode", "multimodal_wav_adpcm_decode",
                  "multimodal_flac_decode",
                  "multimodal_bmp_decode",
