@@ -764,9 +764,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 h_i, v_i = hv >> 4, hv & 0xF
-                if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
-                    raise NotImplementedError(
-                        f"sampling factors {h_i}x{v_i} (only 1..2 per axis)"
+                if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+                    raise ValueError(
+                        f"sampling factors {h_i}x{v_i} outside T.81's 1..4"
                     )
                 comps.append({"id": cid, "tq": tq, "h": h_i, "v": v_i})
             if nc not in (1, 3):
@@ -780,6 +780,14 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             # component i, left-to-right then top-to-bottom
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            for c in comps:
+                # replication upsampling needs integral ratios (every
+                # real-world layout: 4:4:4, 4:2:2, 4:4:0, 4:2:0, 4:1:1)
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError(
+                        f"non-integral sampling ratio {c['h']}x{c['v']} "
+                        f"vs {hmax}x{vmax}"
+                    )
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             # frame-level coefficient store in BLOCK-RASTER order per
@@ -1112,7 +1120,9 @@ def encode_jpeg_lossless(
 _SUBSAMPLING = {
     "444": [(1, 1), (1, 1), (1, 1)],
     "422": [(2, 1), (1, 1), (1, 1)],
+    "440": [(1, 2), (1, 1), (1, 1)],
     "420": [(2, 2), (1, 1), (1, 1)],
+    "411": [(4, 1), (1, 1), (1, 1)],
 }
 
 

@@ -7,12 +7,13 @@ features derived from the bytes (the Spark-side plumbing — schema, batch
 iteration, partition sizing — is real and tested either way).
 ``decode=real`` now genuinely decodes the formats expressible with
 stdlib+numpy — BMP (truecolor/palette/RLE8), PNG at every legal IHDR
-combination (+ tRNS), JPEG (SOF0/SOF1/SOF2, 8/12-bit, 444/422/420),
-GIF (animated, LZW), TIFF (both byte orders, strips, PackBits), and
-WAV (PCM + G.711 mu-law/A-law) — and raises NotImplementedError only
-for formats that truly need a codec library (MP4 video decode,
-arithmetic-coded JPEG, LZW-in-TIFF, compressed audio codecs), sniffed
-by magic bytes per blob.
+combination (+ tRNS), JPEG in five coding processes (SOF0/SOF1/SOF2
+Huffman, SOF9/SOF10 QM arithmetic, SOF3 lossless; 8/12/16-bit;
+444/422/440/420/411), GIF (animated, LZW), TIFF (both byte orders,
+strips, PackBits), WAV (PCM + G.711 mu-law/A-law + IMA ADPCM), and
+FLAC — and raises NotImplementedError only for formats that truly need
+a codec library (MP4 video decode, MP3, LZW-in-TIFF), sniffed by magic
+bytes per blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -472,7 +473,7 @@ def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
                 sub = "444"
                 if did % 2 == 0:
                     arr = np.stack([arr, arr, arr], axis=2)
-                    sub = ("444", "420", "422")[(did // 2) % 3]
+                    sub = ("444", "420", "422", "411", "440")[(did // 2) % 5]
                 out["doc_id"].append(did)
                 out["blob"].append(
                     encode_jpeg(
@@ -535,7 +536,7 @@ def synthesize_jpeg_arith_blobs(df: DataFrame) -> DataFrame:
                 sub = "444"
                 if did % 2 == 0:
                     arr = np.stack([arr, arr, arr], axis=2)
-                    sub = ("444", "420", "422")[(did // 2) % 3]
+                    sub = ("444", "420", "422", "411", "440")[(did // 2) % 5]
                 out["doc_id"].append(did)
                 out["blob"].append(
                     encode_jpeg(
@@ -657,7 +658,7 @@ def synthesize_jpeg12_blobs(df: DataFrame) -> DataFrame:
                 sub = "444"
                 if did % 2 == 0:
                     arr = np.stack([arr, arr, arr], axis=2)
-                    sub = ("444", "420", "422")[(did // 2) % 3]
+                    sub = ("444", "420", "422", "411", "440")[(did // 2) % 5]
                 out["doc_id"].append(did)
                 out["blob"].append(
                     encode_jpeg(

@@ -498,11 +498,17 @@ def test_real_jpeg_rejects_nonbaseline_and_truncated():
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
-    # a genuinely unsupported coding process (SOF3 lossless) still
-    # raises the declared NotImplementedError
+    # a genuinely unsupported coding process (SOF5 differential
+    # sequential) still raises the declared NotImplementedError;
+    # SOF3 lossless is SUPPORTED since round 9, so the flipped frame
+    # now fails as a malformed lossless scan (Ss=0 predictor) instead
+    diff_seq = bytearray(good)
+    diff_seq[sof + 1] = 0xC5
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(diff_seq))
     lossless = bytearray(good)
     lossless[sof + 1] = 0xC3
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(lossless))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
@@ -1651,7 +1657,7 @@ def test_real_jpeg_subsampled_roundtrips():
         by = np.arange(h)[:, None] // 8
         tile = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.uint8)
         rgb = np.stack([tile] * 3, axis=2)
-        for sub in ("444", "422", "420"):
+        for sub in ("444", "422", "440", "420", "411"):
             for ri in (0, 2):
                 out = decode_jpeg(
                     encode_jpeg(rgb, quality=75, restart_interval=ri,
@@ -1662,14 +1668,14 @@ def test_real_jpeg_subsampled_roundtrips():
     rng = np.random.default_rng(17)
     img = (rng.integers(0, 256, size=(33, 41, 3)).astype(np.float64) * 0.2
            + 128 * 0.8).astype(np.uint8)
-    for sub in ("444", "422", "420"):
+    for sub in ("444", "422", "440", "420", "411"):
         out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
         assert out.shape == img.shape
         err = np.abs(out.astype(int) - img.astype(int)).mean()
         assert err < 16.0, (sub, err)
 
     with pytest.raises(ValueError, match="subsampling"):
-        encode_jpeg(img, subsampling="411")
+        encode_jpeg(img, subsampling="410")
 
 
 def test_png_all_legal_depth_color_combinations_roundtrip():
