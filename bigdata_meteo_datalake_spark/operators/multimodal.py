@@ -1242,6 +1242,82 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16_000,
     return df.select("doc_id", "blob").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
+RESAMPLE_SCHEMA = (
+    "doc_id long, sr_in int, sr_out int, n_out long, duration_out double, "
+    "rms double"
+)
+
+
+def audio_resample_features(
+    df: DataFrame, *, target_sr: int = 16_000
+) -> DataFrame:
+    """Resample decoded audio to ``target_sr`` (the standard
+    normalization step before audio tokenization / feature extraction)
+    by exact-rational LINEAR interpolation, then report the resampled
+    length, duration, and RMS — (doc_id, sr_in, sr_out, n_out,
+    duration_out, rms) via mapInPandas over real WAV/FLAC blobs.
+
+    Numerics are mirrored EXACTLY by the SQL oracle
+    (queries/ext_multimodal.py:audio_resample_16k): output position j
+    maps to input position idx = (j*sr_in)//target_sr with fractional
+    part frac = (j*sr_in % target_sr)/target_sr; the interpolated raw
+    value x = s[idx] + frac*(s[idx1] - s[idx]) (idx1 = min(idx+1, n-1))
+    is one float64 expression of integer inputs with an identical shape
+    on both engines, quantized with the house floor-form round-half-up
+    to an exact int64 whose squares sum exactly.
+
+    Scale: chained mapInPandas over (doc_id, blob) — zero exchanges;
+    the resampler is O(n_out) per blob with no state across blobs."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import decode_flac
+        from .media_codecs import decode_wav, sniff_format
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sr_in": [], "sr_out": [], "n_out": [],
+                "duration_out": [], "rms": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                fmt = sniff_format(b)
+                if fmt == "wav":
+                    samples, sr = decode_wav(b)
+                elif fmt == "flac":
+                    samples, sr = decode_flac(b)
+                else:
+                    raise NotImplementedError(
+                        "resample takes real WAV/FLAC audio"
+                    )
+                raw = samples[:, 0] * 32768.0  # exact: back to raw scale
+                n = len(raw)
+                if n == 0 or sr <= 0:
+                    raise ValueError("empty or invalid audio stream")
+                m = ((n - 1) * target_sr) // sr + 1
+                j = np.arange(m, dtype=np.int64)
+                idx = (j * sr) // target_sr
+                idx1 = np.minimum(idx + 1, n - 1)
+                frac = ((j * sr) % target_sr).astype(np.float64) / float(
+                    target_sr
+                )
+                x = raw[idx] + frac * (raw[idx1] - raw[idx])
+                q = np.floor(x + 0.5)  # house round-half-up, exact int
+                ss = float((q * q).sum())  # < 2^41: exact in float64
+                rms = float(np.sqrt((ss / 1073741824.0) / m))
+                out["doc_id"].append(doc_id)
+                out["sr_in"].append(sr)
+                out["sr_out"].append(target_sr)
+                out["n_out"].append(m)
+                out["duration_out"].append(m / target_sr)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, RESAMPLE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4,
                   decode: str = "fake") -> DataFrame:
     """Video frame sampling -> (doc_id, frame_idx, frame_hash) via

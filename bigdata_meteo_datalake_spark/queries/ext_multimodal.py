@@ -757,6 +757,75 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- audio resample-to-16k through the kernel gate -----------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         200 + doc_id % 300 AS n,
+         8000 + (doc_id % 4) * 2000 AS sr
+  FROM documents
+),
+mm AS (
+  SELECT doc_id, n, sr, ((n - 1) * 16000) // sr + 1 AS m FROM d
+),
+s AS (
+  SELECT doc_id, sr, m,
+         list_aggregate(list_transform(
+           list_transform(range(0, m), j -> floor(
+             (((doc_id * 37 + ((j * sr) // 16000) * 11) % 65536 - 32768)
+              + (cast((j * sr) % 16000 AS double) / 16000.0)
+                * (((doc_id * 37
+                     + least((j * sr) // 16000 + 1, n - 1) * 11)
+                    % 65536 - 32768)
+                   - ((doc_id * 37 + ((j * sr) // 16000) * 11)
+                      % 65536 - 32768))
+             ) + 0.5)),
+           v -> v * v), 'sum') AS ss
+  FROM mm
+)
+SELECT doc_id,
+       cast(sr AS int) AS sr_in,
+       cast(16000 AS int) AS sr_out,
+       cast(m AS bigint) AS n_out,
+       cast(m AS double) / 16000 AS duration_out,
+       sqrt((ss / 1073741824.0) / m) AS rms
+FROM s
+"""
+
+
+@register(
+    "audio_resample_16k",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("extension", "multimodal", "audio"),
+)
+def audio_resample_16k(spark, sf_dir):
+    """Audio resample-to-16 kHz (round-9): the standard normalization
+    step before audio tokenization. Per document a genuine PCM WAV at
+    8/10/12/14 kHz (synthesize_wav_blobs' closed-form full-range
+    signal) is decoded and UPSAMPLED to 16 kHz by exact-rational linear
+    interpolation (operators/multimodal.py:audio_resample_features);
+    reported are the resampled length, duration, and RMS.
+
+    Exactness: output position j maps to input idx = (j*sr)//16000 with
+    fractional part (j*sr % 16000)/16000 — ONE float64 expression of
+    integer inputs with an identical shape on both engines — and the
+    interpolated value quantizes through the house floor-form
+    round-half-up to an exact int64 (|q| <= 32768) whose squares sum
+    exactly (< 2^41); both engines then compute sqrt((ss/2^30)/m).
+
+    Scale: chained mapInPandas over (doc_id, blob) — zero exchanges,
+    O(n_out) per blob."""
+    from ..operators.multimodal import (
+        audio_resample_features,
+        synthesize_wav_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    wavs = synthesize_wav_blobs(d)
+    return audio_resample_features(wavs, target_sr=16_000)
+
+
 # --- REAL FLAC decode through the kernel gate ----------------------------------------
 
 _FLAC_ORACLE = """

@@ -2510,6 +2510,71 @@ def test_flac_roundtrips_and_kernels(spark):
         assert abs(r["rms"] - float(np.sqrt((arr**2).mean()))) < 1e-15, did
 
 
+def test_audio_resample_features(spark):
+    """Resample-to-16k (round-9): identity at a matching rate, pinned
+    linear interpolation on a hand WAV, FLAC input accepted, and the
+    production kernel against the closed form."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.flac import encode_flac
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_resample_features,
+        synthesize_wav_blobs,
+    )
+
+    def raw_wav(pcm, sr):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    def run_one(blob, target=16_000):
+        pdf = __import__("pandas").DataFrame({"doc_id": [0], "blob": [blob]})
+        df = spark.createDataFrame(pdf)
+        return audio_resample_features(df, target_sr=target).collect()[0]
+
+    # pinned interpolation: [0, 100] at 8 kHz -> [0, 50, 100] at 16 kHz
+    r = run_one(raw_wav([0, 100], 8000))
+    assert (r["sr_in"], r["sr_out"], r["n_out"]) == (8000, 16000, 3)
+    want = np.array([0, 50, 100], dtype=np.float64)
+    assert abs(r["rms"] - float(np.sqrt(((want / 32768) ** 2).mean()))) < 1e-15
+
+    # identity at a matching rate: RMS equals the input's RMS exactly
+    sig = np.arange(-300, 300, dtype=np.int16)
+    r = run_one(raw_wav(sig, 16000))
+    assert r["n_out"] == len(sig)
+    assert abs(r["rms"] - float(np.sqrt(((sig / 32768.0) ** 2).mean()))) < 1e-15
+
+    # FLAC input flows through the same kernel
+    r = run_one(encode_flac(sig, 8000))
+    assert r["sr_in"] == 8000 and r["n_out"] == 2 * len(sig) - 1
+
+    # production kernel over the WAV fixture matches the closed form
+    d = read_table(spark, SF0001, "documents").limit(12)
+    rows = audio_resample_features(synthesize_wav_blobs(d)).collect()
+    for r in rows:
+        did = r["doc_id"]
+        n = 200 + did % 300
+        sr = 8000 + (did % 4) * 2000
+        i = np.arange(n, dtype=np.int64)
+        raw = ((did * 37 + i * 11) % 65536 - 32768).astype(np.float64)
+        m = ((n - 1) * 16000) // sr + 1
+        j = np.arange(m, dtype=np.int64)
+        idx = (j * sr) // 16000
+        idx1 = np.minimum(idx + 1, n - 1)
+        frac = ((j * sr) % 16000).astype(np.float64) / 16000.0
+        q = np.floor(raw[idx] + frac * (raw[idx1] - raw[idx]) + 0.5)
+        assert r["n_out"] == m
+        want = float(np.sqrt((float((q * q).sum()) / 1073741824.0) / m))
+        assert abs(r["rms"] - want) < 1e-15, did
+
+
 def test_flac_hand_built_decoder_paths():
     """Decoder against the SPEC, independent of our encoder: hand-built
     streams exercising LPC subframes, all three stereo decorrelation

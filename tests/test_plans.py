@@ -217,7 +217,7 @@ def test_real_codec_queries_are_pure_map(spark):
                  "multimodal_tiff_decode",
                  "multimodal_gif_frames",
                  "multimodal_wav_decode", "multimodal_phash_real",
-                 "multimodal_mp4_probe"):
+                 "multimodal_mp4_probe", "audio_resample_16k"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()
