@@ -45,26 +45,40 @@ import numpy as np
 __all__ = ["decode_flac", "decode_flac_pcm", "encode_flac"]
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0, MSB-first."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc_table(poly: int, width: int) -> tuple:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    out = []
+    for b in range(256):
+        crc = b << (width - 8)
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        out.append(crc)
+    return tuple(out)
+
+
+_CRC8_TAB = _crc_table(0x07, 8)
+_CRC16_TAB = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0, MSB-first
+    (table-driven; check value over b"123456789" is the published 0xF4,
+    pinned in tests)."""
+    crc = 0
+    tab = _CRC8_TAB
+    for b in data:
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16, polynomial 0x8005, init 0, MSB-first (CRC-16/UMTS)."""
+    """CRC-16, polynomial 0x8005, init 0, MSB-first (CRC-16/UMTS;
+    table-driven; published check value 0xFEE8, pinned in tests)."""
     crc = 0
+    tab = _CRC16_TAB
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 

@@ -123,11 +123,25 @@ def main() -> None:
         print(f"near-dup clusters: {n_clusters}")
         cc.orderBy("cluster_rep", "node").show(10)
 
-    # 7. the same decode kernel dispatches JPEG by magic bytes
+    # 7. the same decode kernel dispatches JPEG by magic bytes — the
+    # fixture mix cycles Huffman baseline/progressive, QM ARITHMETIC
+    # (SOF9/SOF10), and every subsampling layout; lossless (SOF3) and
+    # compressed audio (ADPCM / FLAC) flow through the same gates
     jpegs = synthesize_jpeg_blobs(docs)
     jimg = decode_image_features(jpegs, decode="real")
     print("image features (real baseline-JPEG decode):")
     jimg.orderBy("doc_id").show(5)
+
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_resample_features,
+        synthesize_flac_blobs,
+    )
+
+    flacs = synthesize_flac_blobs(docs)
+    print("audio features (real FLAC decode, CRC/MD5-verified):")
+    audio_features(flacs, decode="real").orderBy("doc_id").show(5)
+    print("resample-to-16k (exact-rational linear interpolation):")
+    audio_resample_features(wavs).orderBy("doc_id").show(5)
 
     # 8. video container probe: one row per track, no ffmpeg needed
     mp4s = synthesize_mp4_blobs(docs)
