@@ -1318,6 +1318,141 @@ def audio_resample_features(
     return df.select("doc_id", "blob").mapInPandas(kernel, RESAMPLE_SCHEMA)
 
 
+FINGERPRINT_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def audio_fingerprint_bands(df: DataFrame) -> DataFrame:
+    """Audio fingerprint -> 64-bit signature as four 16-bit bands, the
+    audio twin of image_phash_bands: decode real WAV/FLAC, split the
+    signal into 17 equal frames x 5 equal time sub-bands, take exact
+    integer energies E(f, b) = sum of squared raw samples, and derive
+    the Haitsma-Kalker-style bit
+
+        bit(f-1, b) = [ (E(f,b) - E(f,b+1)) - (E(f-1,b) - E(f-1,b+1)) > 0 ]
+
+    for f in 1..16, b in 0..3 — the sign of the band-energy difference's
+    temporal delta, the published robust-audio-hash construction (here
+    over time-domain energy bands so every quantity is an EXACT int64
+    a SQL oracle recomputes; a spectral front-end would feed the same
+    bit derivation). Bit m = (f-1)*4 + b lands in band m // 16 at
+    position m % 16 (LSB-first), the join-ready LSH layout: hamming <= 3
+    over 4 bands pigeonholes into a shared band for the downstream
+    equi-join."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import decode_flac
+        from .media_codecs import decode_wav, sniff_format
+
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                fmt = sniff_format(b)
+                if fmt == "wav":
+                    samples, _sr = decode_wav(b)
+                elif fmt == "flac":
+                    samples, _sr = decode_flac(b)
+                else:
+                    raise NotImplementedError(
+                        "audio fingerprint takes real WAV/FLAC audio"
+                    )
+                raw = (samples[:, 0] * 32768.0).astype(np.int64)
+                n = len(raw)
+                frame = n // 17
+                sub = frame // 5
+                if sub == 0:
+                    raise ValueError(
+                        f"audio too short to fingerprint ({n} samples; "
+                        "needs >= 85)"
+                    )
+                # E[f, b]: exact int64 (sub * 2^30 < 2^63 for any real n)
+                e = (
+                    (raw[: 17 * frame] ** 2)
+                    .reshape(17, frame)[:, : 5 * sub]
+                    .reshape(17, 5, sub)
+                    .sum(axis=2)
+                )
+                d1 = e[:, :4] - e[:, 1:]  # (17, 4) band differences
+                bits = (d1[1:] - d1[:-1]) > 0  # (16, 4) temporal deltas
+                flat = bits.reshape(64)
+                vals = []
+                for k in range(4):
+                    v = 0
+                    for j in range(16):
+                        if flat[k * 16 + j]:
+                            v |= 1 << j
+                    vals.append(v)
+                out["doc_id"].append(doc_id)
+                for k in range(4):
+                    out[f"b{k}"].append(vals[k])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, FINGERPRINT_SCHEMA)
+
+
+def synthesize_dup_wav_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic WAV source WITH PLANTED DUPLICATES for the audio
+    near-dup path: documents pair up in groups of four — the first two
+    members of group g = doc_id // 4 carry the IDENTICAL closed-form
+    signal (n = 300 + (g*7) % 200, c0 = g*37, c1 = 11), the other two
+    carry unique signals (n = 300 + (doc_id*3) % 200, c0 = doc_id*41,
+    c1 = 13), where
+
+        h(i) = ((c0 + i*c1) * 2654435761) mod 2^32        (Knuth hash)
+        s(i) = ((h ^ (h >> 16)) mod 65536) - 32768        (mixed bits)
+
+    — the xor-fold is what makes the samples genuinely pseudo-random
+    (a bare multiplicative hash mod 2^16 stays a LINEAR ramp whose
+    energy bits degenerate identically across docs; measured: every
+    band went hot and zero pairs survived). Planted pairs fingerprint
+    identically (hamming 0), unrelated docs collide with probability
+    ~2^-50 at hamming <= 3 — and the SQL oracle recomputes the SAME
+    closed form, so even an accidental collision matches."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g = did // 4
+                if did % 4 < 2:
+                    n = 300 + (g * 7) % 200
+                    c0, c1 = g * 37, 11
+                else:
+                    n = 300 + (did * 3) % 200
+                    c0, c1 = did * 41, 13
+                i = np.arange(n, dtype=np.int64)
+                h = ((c0 + i * c1) * 2654435761) % 4294967296
+                s = ((h ^ (h >> 16)) % 65536) - 32768
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(s.astype("<i2").tobytes())
+                out["doc_id"].append(did)
+                out["blob"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4,
                   decode: str = "fake") -> DataFrame:
     """Video frame sampling -> (doc_id, frame_idx, frame_hash) via

@@ -757,6 +757,140 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- audio fingerprint near-dup through the kernel gate ------------------------------
+
+_AFP_HOT = 64
+_AFP_MAX_HD = 3
+
+_AFP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 < 2 THEN 300 + ((doc_id // 4) * 7) % 200
+              ELSE 300 + (doc_id * 3) % 200 END AS n,
+         CASE WHEN doc_id % 4 < 2 THEN (doc_id // 4) * 37
+              ELSE doc_id * 41 END AS c0,
+         CASE WHEN doc_id % 4 < 2 THEN 11 ELSE 13 END AS c1
+  FROM documents
+),
+geo AS (SELECT doc_id, c0, c1, n // 17 AS L, (n // 17) // 5 AS L5 FROM d),
+en AS (
+  SELECT doc_id, f.f, b.b,
+         list_aggregate(list_transform(
+           list_transform(range(0, L5),
+             k -> ((c0 + (f.f * L + b.b * L5 + k) * c1) * 2654435761)
+                  % 4294967296),
+           h -> (xor(h, h // 65536) % 65536 - 32768)
+              * (xor(h, h // 65536) % 65536 - 32768)), 'sum') AS e
+  FROM geo
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS f) f
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS b) b
+),
+ev AS (SELECT doc_id, list(e ORDER BY f, b) AS E FROM en GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, k.k AS b,
+         list_aggregate(list_transform(range(0, 16), j ->
+           CASE WHEN
+             (E[((k.k * 16 + j) // 4 + 1) * 5 + (k.k * 16 + j) % 4 + 1]
+              - E[((k.k * 16 + j) // 4 + 1) * 5 + (k.k * 16 + j) % 4 + 2])
+           - (E[((k.k * 16 + j) // 4) * 5 + (k.k * 16 + j) % 4 + 1]
+              - E[((k.k * 16 + j) // 4) * 5 + (k.k * 16 + j) % 4 + 2]) > 0
+           THEN 1 << j ELSE 0 END), 'sum') AS bv
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+),
+hot AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) > {_AFP_HOT}),
+bands2 AS (SELECT * FROM bands ANTI JOIN hot USING (b, bv)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands2 x JOIN bands2 y ON x.b = y.b AND x.bv = y.bv
+  WHERE x.doc_id < y.doc_id
+),
+bv AS (SELECT doc_id, list(bv ORDER BY b) AS bvs FROM bands GROUP BY doc_id)
+SELECT c2.doc_a, c2.doc_b,
+       cast(bit_count(xor(x.bvs[1], y.bvs[1]))
+          + bit_count(xor(x.bvs[2], y.bvs[2]))
+          + bit_count(xor(x.bvs[3], y.bvs[3]))
+          + bit_count(xor(x.bvs[4], y.bvs[4])) AS int) AS hamming
+FROM cand c2
+JOIN bv x ON x.doc_id = c2.doc_a
+JOIN bv y ON y.doc_id = c2.doc_b
+WHERE bit_count(xor(x.bvs[1], y.bvs[1])) + bit_count(xor(x.bvs[2], y.bvs[2]))
+    + bit_count(xor(x.bvs[3], y.bvs[3])) + bit_count(xor(x.bvs[4], y.bvs[4]))
+    <= {_AFP_MAX_HD}
+"""
+
+
+@register(
+    "audio_fingerprint_near_dup",
+    oracle=_AFP_ORACLE,
+    tags=("extension", "multimodal", "dedup", "audio"),
+)
+def audio_fingerprint_near_dup(spark, sf_dir):
+    """Audio near-duplicate detection by robust fingerprint, completing
+    the near-dup triangle (text MinHash/SimHash, image pHash, now
+    audio): REAL WAV decode -> 17x5 exact integer band energies ->
+    Haitsma-Kalker sign-of-temporal-delta bits -> 64-bit signature as
+    four 16-bit bands (operators/multimodal.py:audio_fingerprint_bands)
+    -> LSH band equi-join with the >64-member hot-band guard -> exact
+    hamming refilter <= 3 (pigeonhole-safe for 4 bands). The fixture
+    plants identical-signal pairs (doc 4g vs 4g+1), so the output
+    contains every planted pair at hamming 0 plus any chance
+    collisions — which the oracle, recomputing the SAME closed forms
+    and the SAME band/hot/hamming pipeline in SQL, reproduces exactly.
+
+    Scale: the fingerprint stage is a zero-exchange scan-map; the pair
+    stage shuffles only (band, value) keys — the same near-linear
+    bucketed shape as every other dedup in the registry."""
+    from ..operators.multimodal import (
+        audio_fingerprint_bands,
+        synthesize_dup_wav_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = audio_fingerprint_bands(synthesize_dup_wav_blobs(d))
+    bands = feats.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("b", "bv"),
+    )
+    hot = (
+        bands.groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > _AFP_HOT)
+        .select("b", "bv")
+    )
+    bands2 = bands.join(F.broadcast(hot), ["b", "bv"], "left_anti")
+    x, y = bands2.alias("x"), bands2.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hd = None
+    for c in ("b0", "b1", "b2", "b3"):
+        t = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hd = t if hd is None else hd + t
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= _AFP_MAX_HD)
+    )
+
+
 # --- audio resample-to-16k through the kernel gate -----------------------------------
 
 _RESAMPLE_ORACLE = """

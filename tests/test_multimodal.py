@@ -2575,6 +2575,85 @@ def test_audio_resample_features(spark):
         assert abs(r["rms"] - want) < 1e-15, did
 
 
+def test_audio_fingerprint_bands(spark):
+    """Audio fingerprint (round-9): the Haitsma-Kalker energy-delta
+    bits are deterministic, identical for identical signals regardless
+    of container (WAV vs FLAC), distinct for unrelated signals, and the
+    planted-duplicate fixture produces exactly its groups' matches."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.flac import encode_flac
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+        synthesize_dup_wav_blobs,
+    )
+
+    def raw_wav(pcm, sr=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(23)
+    sig = rng.integers(-32768, 32768, size=400).astype(np.int16)
+    other = rng.integers(-32768, 32768, size=400).astype(np.int16)
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "blob": [raw_wav(sig), raw_wav(sig), encode_flac(sig, 8000),
+                 raw_wav(other)],
+    })
+    rows = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in audio_fingerprint_bands(
+                spark.createDataFrame(pdf)).collect()}
+    assert rows[0] == rows[1]  # deterministic
+    assert rows[0] == rows[2]  # container-independent (WAV == FLAC)
+    assert rows[0] != rows[3]  # unrelated signal differs
+    for v in rows[0]:
+        assert 0 <= v < (1 << 16)
+
+    # too-short audio fails loudly (needs 17 frames x 5 sub-bands)
+    tiny = pd.DataFrame({"doc_id": [0], "blob": [raw_wav(sig[:50])]})
+    with pytest.raises(Exception, match="too short"):
+        audio_fingerprint_bands(spark.createDataFrame(tiny)).collect()
+
+    # planted-dup fixture: members 4g/4g+1 share a fingerprint; the
+    # kernel output matches an independent numpy recompute
+    d = read_table(spark, SF0001, "documents").limit(16)
+    feats = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+             for r in audio_fingerprint_bands(
+                 synthesize_dup_wav_blobs(d)).collect()}
+    for g in range(2):
+        assert feats[4 * g] == feats[4 * g + 1], g
+    for did, got in feats.items():
+        g = did // 4
+        if did % 4 < 2:
+            n, c0, c1 = 300 + (g * 7) % 200, g * 37, 11
+        else:
+            n, c0, c1 = 300 + (did * 3) % 200, did * 41, 13
+        i = np.arange(n, dtype=np.int64)
+        h = ((c0 + i * c1) * 2654435761) % 4294967296
+        s = ((h ^ (h >> 16)) % 65536) - 32768
+        L = n // 17
+        sub = L // 5
+        e = ((s[: 17 * L] ** 2).reshape(17, L)[:, : 5 * sub]
+             .reshape(17, 5, sub).sum(axis=2))
+        d1 = e[:, :4] - e[:, 1:]
+        bits = ((d1[1:] - d1[:-1]) > 0).reshape(64)
+        want = tuple(
+            sum(1 << j for j in range(16) if bits[k * 16 + j])
+            for k in range(4)
+        )
+        assert got == want, did
+
+
 def test_flac_hand_built_decoder_paths():
     """Decoder against the SPEC, independent of our encoder: hand-built
     streams exercising LPC subframes, all three stereo decorrelation
