@@ -113,6 +113,8 @@ def sniff_format(b: bytes) -> str | None:
         return "tiff"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     if b[:4] == b"fLaC":
         return "flac"
     if len(b) >= 12 and b[4:8] == b"ftyp":

@@ -10,10 +10,11 @@ stdlib+numpy — BMP (truecolor/palette/RLE8), PNG at every legal IHDR
 combination (+ tRNS), JPEG in five coding processes (SOF0/SOF1/SOF2
 Huffman, SOF9/SOF10 QM arithmetic, SOF3 lossless; 8/12/16-bit;
 444/422/440/420/411), GIF (animated, LZW), TIFF (both byte orders,
-strips, PackBits), WAV (PCM + G.711 mu-law/A-law + IMA ADPCM), and
-FLAC — and raises NotImplementedError only for formats that truly need
-a codec library (MP4 video decode, MP3, LZW-in-TIFF), sniffed by magic
-bytes per blob.
+strips, PackBits), WAV (PCM + G.711 mu-law/A-law + IMA ADPCM), FLAC,
+and AVI/MJPEG video (real demux + per-frame decode) — and raises
+NotImplementedError only for formats that truly need a codec library
+(MP4/H.264 video decode, MP3, LZW-in-TIFF), sniffed by magic bytes per
+blob.
 
 Scale notes: binary payloads dominate row size, so the operators
 repartition by a byte budget before the Pandas stage (each Arrow batch
@@ -416,6 +417,105 @@ def gif_frame_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, GIF_FRAME_SCHEMA)
+
+
+AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, usec_per_frame int, "
+    "mean_intensity double"
+)
+
+
+def avi_frame_features(df: DataFrame) -> DataFrame:
+    """REAL per-frame decode over (doc_id, blob) AVI/MJPEG videos: one
+    row PER FRAME with dimensions, the container frame duration, and
+    the frame's mean intensity — genuine video demux + frame decode
+    with no ffmpeg (operators/avi.py: RIFF walk + the full JPEG codec).
+    Non-AVI blobs raise at the codec gate."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .avi import decode_avi_mjpeg
+        from .media_codecs import sniff_format
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+                   "usec_per_frame": [], "mean_intensity": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                if sniff_format(b) != "avi":
+                    raise NotImplementedError(
+                        "real video frame decode beyond AVI/MJPEG and GIF "
+                        "needs ffmpeg/pyav (not in this container)"
+                    )
+                frames, usec = decode_avi_mjpeg(b)
+                for fi in range(frames.shape[0]):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(frames.shape[2])
+                    out["height"].append(frames.shape[1])
+                    out["usec_per_frame"].append(usec)
+                    # float64 mean of uint8 samples: exact sum / count
+                    out["mean_intensity"].append(
+                        float(frames[fi].mean()) / 255.0
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, AVI_FRAME_SCHEMA)
+
+
+def synthesize_avi_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic real-AVI/MJPEG source: for each ``doc_id`` emit
+    (doc_id, blob) where blob is a genuine AVI whose MJPEG frames are
+    BLOCK-CONSTANT JPEGs (bit-exact at q75, the house fixture trick) —
+
+      n_frames = 1 + doc_id % 4,   w = 9 + doc_id % 16,  h = 9 + doc_id % 12,
+      usec_per_frame = 40000 + doc_id % 1000,
+      frame k tile v(bx, by) = (doc_id*31 + bx*7 + by*13 + k*59) % 256
+      (grayscale; every third document's frames are RGB with R=G=B),
+
+    so the per-frame mean intensity is a pure function the SQL oracle
+    recomputes (queries/ext_multimodal.py:multimodal_avi_frames)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .avi import encode_avi_mjpeg
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 1 + did % 4
+                w, h = 9 + did % 16, 9 + did % 12
+                bx = np.arange(w)[None, :] // 8
+                by = np.arange(h)[:, None] // 8
+                frames = []
+                for k in range(nf):
+                    arr = ((did * 31 + bx * 7 + by * 13 + k * 59) % 256
+                           ).astype(np.uint8)
+                    if did % 3 == 0:
+                        arr = np.stack([arr, arr, arr], axis=2)
+                    frames.append(encode_jpeg(arr))
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    encode_avi_mjpeg(
+                        frames, w, h,
+                        usec_per_frame=40_000 + did % 1000,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
 
 
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
@@ -1456,11 +1556,12 @@ def synthesize_dup_wav_blobs(df: DataFrame) -> DataFrame:
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4,
                   decode: str = "fake") -> DataFrame:
     """Video frame sampling -> (doc_id, frame_idx, frame_hash) via
-    mapInPandas. In real mode, ANIMATED GIF frames genuinely decode
-    (operators/gif.py — frame_hash is the md5 of the composed RGB frame
-    bytes, every ``max_frames``-th frame kept); MP4 frame decode needs
-    ffmpeg/pyav and stays a loud boundary, with container METADATA
-    (duration, track mix) real already via
+    mapInPandas. In real mode, AVI/MJPEG videos (operators/avi.py) and
+    ANIMATED GIFs (operators/gif.py) genuinely demux and decode —
+    frame_hash is the md5 of the decoded frame bytes, at most
+    ``max_frames`` frames kept at an even stride; MP4/H.264 frame
+    decode needs ffmpeg/pyav and stays a loud boundary, with container
+    METADATA (duration, track mix) real already via
     :func:`probe_media_containers` / operators/mp4.py."""
 
     def kernel(batches: Iterator) -> Iterator:
@@ -1475,14 +1576,20 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
                 if decode == "real":
-                    if sniff_format(b) != "gif":
+                    fmt = sniff_format(b)
+                    if fmt == "gif":
+                        frames, _delays = decode_gif(b)
+                    elif fmt == "avi":
+                        from .avi import decode_avi_mjpeg
+
+                        frames, _usec = decode_avi_mjpeg(b)
+                    else:
                         raise NotImplementedError(
-                            "real frame sampling beyond GIF needs "
-                            "ffmpeg/pyav (codec insertion point); container "
-                            "metadata is available without it via "
+                            "real frame sampling beyond AVI/MJPEG and GIF "
+                            "needs ffmpeg/pyav (codec insertion point); "
+                            "container metadata is available without it via "
                             "probe_media_containers"
                         )
-                    frames, _delays = decode_gif(b)
                     n = frames.shape[0]
                     step = max(1, -(-n // max_frames))  # ceil: <= max_frames kept
                     for rank, fi in enumerate(range(0, n, step)):

@@ -757,6 +757,69 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- REAL AVI/MJPEG per-frame video decode through the kernel gate -------------------
+
+_AVI_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 4 AS nf,
+         9 + doc_id % 16 AS w,
+         9 + doc_id % 12 AS h,
+         40000 + doc_id % 1000 AS usec,
+         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+f AS (
+  SELECT doc_id, w, h, usec, ch, k.k AS frame_idx
+  FROM d CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+  WHERE k.k < nf
+),
+px AS (
+  SELECT doc_id, frame_idx, w, h, usec, ch,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 31 + ((i % w) // 8) * 7 + ((i // w) // 8) * 13
+                 + frame_idx * 59) % 256), 'sum') AS s
+  FROM f
+)
+SELECT doc_id, cast(frame_idx AS int) AS frame_idx,
+       cast(w AS int) AS width, cast(h AS int) AS height,
+       cast(usec AS int) AS usec_per_frame,
+       (cast(s * ch AS double) / (w * h * ch)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_avi_frames",
+    oracle=_AVI_ORACLE,
+    tags=("extension", "multimodal", "codec", "video"),
+)
+def multimodal_avi_frames(spark, sf_dir):
+    """REAL VIDEO demux + frame decode end to end (round-9), no ffmpeg:
+    per document a genuine AVI/MJPEG file — RIFF hdrl/movi structure,
+    1..4 complete baseline-JPEG frames (grayscale, RGB for every third
+    document), a legacy idx1 index — is synthesized from closed-form
+    BLOCK-CONSTANT tiles (operators/multimodal.py:synthesize_avi_blobs),
+    then the production path (avi_frame_features ->
+    operators/avi.py:decode_avi_mjpeg -> operators/jpeg.py) demuxes the
+    container, decodes every frame, validates header/stream consistency,
+    and emits one row PER FRAME with dimensions, container frame
+    duration, and mean intensity.
+
+    Bit-exactness is the JPEG fixture argument (lone DC coefficient,
+    q75 luma DC step exactly 8); the oracle recomputes per-frame tile
+    sums in pure SQL and divides in numpy-mean order
+    ((s*ch / (w*h*ch)) / 255).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges; frames demux independently within each blob."""
+    from ..operators.multimodal import avi_frame_features, synthesize_avi_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    avis = synthesize_avi_blobs(d)
+    return avi_frame_features(avis)
+
+
 # --- audio fingerprint near-dup through the kernel gate ------------------------------
 
 _AFP_HOT = 64

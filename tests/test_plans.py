@@ -215,7 +215,7 @@ def test_real_codec_queries_are_pure_map(spark):
                  "multimodal_flac_decode",
                  "multimodal_bmp_decode",
                  "multimodal_tiff_decode",
-                 "multimodal_gif_frames",
+                 "multimodal_gif_frames", "multimodal_avi_frames",
                  "multimodal_wav_decode", "multimodal_phash_real",
                  "multimodal_mp4_probe", "audio_resample_16k"):
         df = QS[name](spark, SF0001)
