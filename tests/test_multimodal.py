@@ -3029,6 +3029,106 @@ def test_codec_roundtrip_property_hypothesis():
     inner()
 
 
+def test_round9_codec_roundtrip_property_hypothesis():
+    """Property sweep over the round-9 codecs: ANY random input
+    round-trips exactly through lossless JPEG (every predictor, 8/12/16
+    bit), FLAC (mono/stereo, any block size), the ADPCM nibble-stream
+    container, AVI/MJPEG (block-constant frames, any frame count), and
+    the arithmetic JPEG entropy layer (arith decode == Huffman decode
+    on identical coefficients). Hypothesis shrinks failures to minimal
+    inputs."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_meteo_datalake_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.flac import (
+        decode_flac_pcm,
+        encode_flac,
+    )
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_lossless,
+    )
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_adpcm,
+        ima_adpcm_advance,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31),
+        mode=st.sampled_from(
+            ["jls8", "jls12", "jls16", "jls_rgb", "flac_mono", "flac_stereo",
+             "adpcm", "avi", "jpeg_arith"]
+        ),
+        knob=st.integers(0, 6),
+    )
+    def inner(w, h, seed, mode, knob):
+        rng = np.random.default_rng(seed)
+        if mode.startswith("jls"):
+            p = {"jls8": 8, "jls12": 12, "jls16": 16, "jls_rgb": 8}[mode]
+            shape = (h, w, 3) if mode == "jls_rgb" else (h, w)
+            a = rng.integers(0, 1 << p, size=shape)
+            a = a.astype(np.uint8 if p == 8 else np.uint16)
+            b = encode_jpeg_lossless(a, precision=p, predictor=1 + knob % 7,
+                                     restart_interval=knob % 3)
+            assert (decode_jpeg(b) == a).all()
+        elif mode.startswith("flac"):
+            n = 64 + int(rng.integers(0, 400))
+            ch = 2 if mode == "flac_stereo" else 1
+            s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+            if ch == 1:
+                s = s[:, 0]
+            bs = (64, 192, 4096)[knob % 3]
+            pcm, sr, _ = decode_flac_pcm(encode_flac(s, 8000, block_size=bs))
+            want = s if s.ndim == 2 else s[:, None]
+            assert sr == 8000 and np.array_equal(pcm, want)
+        elif mode == "adpcm":
+            nib = rng.integers(0, 16, size=2 * (20 + int(rng.integers(0, 200))),
+                               dtype=np.uint8)
+            pred0 = int(rng.integers(-32768, 32768))
+            idx0 = int(rng.integers(0, 89))
+            wav = encode_wav_adpcm(nib, 8000, block_align=12 + 4 * (knob % 4),
+                                   init_pred=pred0, init_index=idx0)
+            got, _ = decode_wav(wav)
+            nper = (12 + 4 * (knob % 4) - 4) * 2
+            pred, idx = pred0, idx0
+            ref = [pred]
+            for j, v in enumerate(nib):
+                if j and j % nper == 0:
+                    ref.append(pred)
+                pred, idx = ima_adpcm_advance(pred, idx, int(v))
+                ref.append(pred)
+            assert np.array_equal(got[:, 0] * 32768.0, np.array(ref, float))
+        elif mode == "avi":
+            nf = 1 + knob % 4
+            tiles = rng.integers(0, 256,
+                                 size=(nf, (h + 7) // 8, (w + 7) // 8))
+            imgs = [t.repeat(8, axis=0).repeat(8, axis=1)[:h, :w]
+                    .astype(np.uint8) for t in tiles]
+            dec, _ = decode_avi_mjpeg(
+                encode_avi_mjpeg([encode_jpeg(i) for i in imgs], w, h)
+            )
+            assert np.array_equal(dec, np.stack(imgs))
+        else:  # jpeg_arith: entropy layers agree on identical coefficients
+            a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            d_h = decode_jpeg(encode_jpeg(a, quality=90))
+            d_a = decode_jpeg(encode_jpeg(a, quality=90, arithmetic=True,
+                                          progressive=knob % 2 == 1))
+            # progressive vs sequential arith share coefficients too
+            assert np.array_equal(d_a, d_h)
+
+    inner()
+
+
 def test_real_tiff_roundtrips_and_guards():
     """TIFF (round-8): roundtrips across both byte orders, compression
     modes, and strip layouts for gray/RGB; PackBits actually compresses
