@@ -903,13 +903,19 @@ def audio_fingerprint_near_dup(spark, sf_dir):
     Scale: the fingerprint stage is a zero-exchange scan-map; the pair
     stage shuffles only (band, value) keys — the same near-linear
     bucketed shape as every other dedup in the registry."""
+    from ..operators.checkpointing import cut_lazy
     from ..operators.multimodal import (
         audio_fingerprint_bands,
         synthesize_dup_wav_blobs,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    feats = audio_fingerprint_bands(synthesize_dup_wav_blobs(d))
+    # the synthesize+decode+fingerprint kernels are the expensive stage
+    # and feed THREE consumers (band explode + both hamming join sides):
+    # cut lineage so they run once (signatures are 5 longs per doc)
+    feats = audio_fingerprint_bands(synthesize_dup_wav_blobs(d)).transform(
+        cut_lazy
+    )
     bands = feats.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("b", "bv"),
