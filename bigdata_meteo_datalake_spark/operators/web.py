@@ -1,0 +1,346 @@
+"""Web-ingestion operators — the entry point of a CommonCrawl-scale
+pretraining pipeline: WARC record parsing (the crawl container format)
+and HTML text extraction (stdlib ``html.parser``), both as Arrow-batched
+mapInPandas kernels over (doc_id, blob) with synthesizable fixtures so
+the full parse paths sit under DuckDB oracle hashes
+(queries/ext_multimodal.py:warc_response_report / html_extract_report).
+
+- WARC (ISO 28500): version line + CRLF headers + Content-Length-framed
+  payload + blank-line separators. The parser walks every record,
+  validates framing, and surfaces response records with their target
+  URI, HTTP status (parsed from the enclosed HTTP response), and body
+  size — the fields a crawl-filtering job keys on.
+- HTML: a tolerant ``HTMLParser`` subclass that drops <script>/<style>
+  content, captures <title>, collects body text nodes (entity-decoded
+  by the stdlib), normalizes whitespace, and counts/collects <a href>
+  links — the boilerplate-light extraction every web corpus starts
+  from. Real-world tag soup parses tolerantly (that is the stdlib
+  parser's contract); the oracle fixtures are well-formed by
+  construction.
+
+Scale: pure per-blob kernels — zero exchanges, the codec plan shape. A
+100 TB crawl arrives as pre-split WARC files; both parsers stream
+per-record with no cross-record state.
+
+Reference parity note: the reference repo has no web-ingestion layer
+(SURVEY.md section 4); these belong to the training-data pillar.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+__all__ = [
+    "extract_html",
+    "encode_warc",
+    "parse_warc",
+]
+
+_CRLF = b"\r\n"
+
+
+class _Extractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.chunks: list[str] = []
+        self.links: list[str] = []
+        self._skip = 0  # inside script/style
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style") and self._skip:
+            self._skip -= 1
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+        else:
+            self.chunks.append(data)
+
+
+def extract_html(html: str) -> dict:
+    """HTML -> {title, text, links}: script/style dropped, entities
+    decoded, whitespace normalized (any run -> one space, ends
+    stripped), links = href values of <a> in document order."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return {
+        "title": " ".join("".join(p.title_parts).split()),
+        "text": " ".join(" ".join(p.chunks).split()),
+        "links": p.links,
+    }
+
+
+def encode_warc(records: list[dict]) -> bytes:
+    """Record dicts -> a WARC/1.0 file. Each record:
+    {"type": "warcinfo"|"response"|..., "uri": str|None,
+    "payload": bytes} — headers are framed per ISO 28500 (Content-Length
+    + double-CRLF record separator)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        payload = r["payload"]
+        out += b"WARC/1.0" + _CRLF
+        out += b"WARC-Type: " + r["type"].encode() + _CRLF
+        out += (b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-"
+                + str(i).zfill(12).encode() + b">" + _CRLF)
+        out += b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+        if r.get("uri"):
+            out += b"WARC-Target-URI: " + r["uri"].encode() + _CRLF
+        if r["type"] == "response":
+            out += (b"Content-Type: application/http;msgtype=response"
+                    + _CRLF)
+        out += b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        out += _CRLF + payload + _CRLF + _CRLF
+    return bytes(out)
+
+
+def parse_warc(b: bytes) -> list[dict]:
+    """WARC file -> [{type, uri, headers, payload}] with framing
+    validated (version line, Content-Length, record separators)."""
+    records = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        eol = b.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("truncated WARC version line")
+        version = b[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line {version[:20]!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = b.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = b[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if b":" not in line:
+                raise ValueError(f"malformed WARC header {line[:40]!r}")
+            k, v = line.split(b":", 1)
+            headers[k.decode().strip().lower()] = v.decode().strip()
+        try:
+            ln = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing valid Content-Length")
+        payload = b[pos : pos + ln]
+        if len(payload) != ln:
+            raise ValueError("truncated WARC payload")
+        pos += ln
+        if b[pos : pos + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record missing the blank-line separator")
+        pos += 4
+        records.append(
+            {
+                "type": headers.get("warc-type", ""),
+                "uri": headers.get("warc-target-uri"),
+                "headers": headers,
+                "payload": payload,
+            }
+        )
+    if not records:
+        raise ValueError("empty WARC file")
+    return records
+
+
+def http_response_status(payload: bytes) -> int:
+    """Status code from an HTTP response payload's first line."""
+    eol = payload.find(_CRLF)
+    line = payload[: eol if eol >= 0 else len(payload)].decode(
+        "ascii", "replace"
+    )
+    parts = line.split(" ")
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"not an HTTP response payload: {line[:40]!r}")
+    try:
+        return int(parts[1])
+    except ValueError:
+        raise ValueError(f"bad HTTP status in {line[:40]!r}")
+
+
+def http_response_body(payload: bytes) -> bytes:
+    """Body bytes of an HTTP response payload (after the header block)."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("HTTP response payload missing header separator")
+    return payload[sep + 4 :]
+
+
+# --- Spark kernels (mapInPandas, the codec plan shape) --------------------------------
+
+
+def synthesize_html_blobs(df):
+    """Deterministic real-HTML source derived from each document's text:
+
+      title = 'Doc {doc_id}',
+      body  = the text's words split into 1 + doc_id % 4 contiguous
+              paragraphs (<p> inside nested <div>s),
+      footer with doc_id % 5 links (<a href="https://example.com/
+      {doc_id}/{i}">ref{i}</a>),
+      plus a <script> (containing a '<' to exercise CDATA handling),
+      a <style> block, and an HTML comment — all of which extraction
+      must DROP.
+
+    The extracted text is therefore the original normalized text plus
+    the ' ref{i}' anchors — a closed form the SQL oracle recomputes
+    (queries/ext_multimodal.py:html_extract_report)."""
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                words = str(text).split()
+                np_ = 1 + did % 4
+                paras = []
+                for i in range(np_):
+                    lo = len(words) * i // np_
+                    hi = len(words) * (i + 1) // np_
+                    paras.append(" ".join(words[lo:hi]))
+                links = "".join(
+                    f'<a href="https://example.com/{did}/{i}">ref{i}</a> '
+                    for i in range(did % 5)
+                )
+                html = (
+                    "<!DOCTYPE html><html><head>"
+                    f"<title>Doc {did}</title>"
+                    f"<style>p {{color: red}}</style>"
+                    f"<script>var x = {did} < 99;</script>"
+                    "</head><body><!-- synthesized fixture -->"
+                    + "".join(f"<div><p>{p}</p></div>" for p in paras)
+                    + f"<div>{links}</div>"
+                    "</body></html>"
+                )
+                out["doc_id"].append(did)
+                out["blob"].append(html.encode("utf-8"))
+            yield pd.DataFrame(out)
+
+    # the id+text spine is the actual source payload here (no blob
+    # exists yet); widen so a single-split table doesn't serialize
+    return widen(df.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def html_text_features(df):
+    """HTML extraction -> (doc_id, title, n_links, n_chars) via
+    mapInPandas over (doc_id, blob): stdlib-parser extraction with
+    script/style dropped and whitespace normalized."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "title": [], "n_links": [], "n_chars": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                r = extract_html(bytes(blob).decode("utf-8"))
+                out["doc_id"].append(doc_id)
+                out["title"].append(r["title"])
+                out["n_links"].append(len(r["links"]))
+                out["n_chars"].append(len(r["text"]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, "doc_id long, title string, n_links int, n_chars long"
+    )
+
+
+def synthesize_warc_blobs(df):
+    """Deterministic WARC source: per doc_id one WARC file holding a
+    warcinfo record plus 1 + doc_id % 3 HTTP response records —
+
+      record i: URI https://ex.com/{doc_id}/{i},
+                status (200, 404, 301)[(doc_id + i) % 3],
+                body 'body-{doc_id}-{i}-' + 'x' * ((doc_id*7 + i*13) % 50)
+
+    — every field a closed form the SQL oracle recomputes
+    (queries/ext_multimodal.py:warc_response_report)."""
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                records = [
+                    {"type": "warcinfo", "uri": None,
+                     "payload": b"software: fixture\r\n"},
+                ]
+                for i in range(1 + did % 3):
+                    status = (200, 404, 301)[(did + i) % 3]
+                    body = (f"body-{did}-{i}-"
+                            + "x" * ((did * 7 + i * 13) % 50)).encode()
+                    payload = (
+                        f"HTTP/1.1 {status} X\r\n"
+                        f"Content-Type: text/html\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode() + body
+                    records.append({
+                        "type": "response",
+                        "uri": f"https://ex.com/{did}/{i}",
+                        "payload": payload,
+                    })
+                out["doc_id"].append(did)
+                out["blob"].append(encode_warc(records))
+            yield pd.DataFrame(out)
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def warc_response_features(df):
+    """WARC parse -> one row per RESPONSE record: (doc_id, record_idx,
+    target_uri, http_status, body_bytes) via mapInPandas — the
+    crawl-filtering projection (non-response records are skipped, the
+    framing of every record is still validated)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "record_idx": [], "target_uri": [],
+                   "http_status": [], "body_bytes": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                idx = 0
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["record_idx"].append(idx)
+                    out["target_uri"].append(rec["uri"])
+                    out["http_status"].append(
+                        http_response_status(rec["payload"])
+                    )
+                    out["body_bytes"].append(
+                        len(http_response_body(rec["payload"]))
+                    )
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel,
+        "doc_id long, record_idx int, target_uri string, http_status int, "
+        "body_bytes long",
+    )

@@ -757,6 +757,92 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- web ingestion: HTML extraction + WARC parsing through the kernel gate -----------
+
+_HTML_ORACLE = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       cast(doc_id % 5 AS int) AS n_links,
+       cast(length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
+            + 5 * (doc_id % 5) AS bigint) AS n_chars
+FROM documents
+"""
+
+
+@register(
+    "html_extract_report",
+    oracle=_HTML_ORACLE,
+    tags=("extension", "web", "text"),
+)
+def html_extract_report(spark, sf_dir):
+    """HTML text extraction end to end (round-9) — the step every web
+    corpus starts from: per document a genuine HTML page (title, nested
+    paragraph divs, a link footer, plus <script> with a raw '<',
+    <style>, and comments that extraction must DROP) is synthesized
+    from the document's text (operators/web.py:synthesize_html_blobs),
+    then the stdlib-parser extraction kernel (html_text_features ->
+    extract_html: script/style skipping, entity decoding, whitespace
+    normalization, link collection) recovers the title, link count, and
+    extracted-text length.
+
+    The closed form: extracted text = the normalized document text plus
+    one ' ref{i}' anchor per link, so n_chars = normalized length +
+    5 * (doc_id % 5) — recomputed in pure SQL with the same
+    whitespace-collapse semantics.
+
+    Scale: two chained mapInPandas stages — zero exchanges (the widen
+    spine carries the source text, no HTML payload ever shuffles)."""
+    from ..operators.web import html_text_features, synthesize_html_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return html_text_features(synthesize_html_blobs(d))
+
+
+_WARC_ORACLE = """
+WITH r AS (
+  SELECT doc_id, i.i AS record_idx
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) i
+  WHERE i.i < 1 + doc_id % 3
+)
+SELECT doc_id,
+       cast(record_idx AS int) AS record_idx,
+       'https://ex.com/' || doc_id || '/' || record_idx AS target_uri,
+       cast(CASE (doc_id + record_idx) % 3
+            WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS int)
+         AS http_status,
+       cast(7 + length(cast(doc_id AS varchar))
+              + length(cast(record_idx AS varchar))
+              + (doc_id * 7 + record_idx * 13) % 50 AS bigint) AS body_bytes
+FROM r
+"""
+
+
+@register(
+    "warc_response_report",
+    oracle=_WARC_ORACLE,
+    tags=("extension", "web"),
+)
+def warc_response_report(spark, sf_dir):
+    """WARC crawl-container parsing end to end (round-9) — the entry
+    point of a CommonCrawl-scale pipeline: per document a genuine
+    WARC/1.0 file (warcinfo record + 1..3 HTTP response records with
+    Content-Length framing and double-CRLF separators,
+    operators/web.py:synthesize_warc_blobs) is parsed by the production
+    kernel (warc_response_features -> parse_warc: framing validated
+    record by record; non-response records skipped), emitting one row
+    per response with its target URI, the HTTP status parsed from the
+    enclosed response, and the body size — the fields a crawl filter
+    keys on, every one a closed form the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges; WARC records parse independently within each file."""
+    from ..operators.web import synthesize_warc_blobs, warc_response_features
+
+    d = read_table(spark, sf_dir, "documents")
+    return warc_response_features(synthesize_warc_blobs(d))
+
+
 # --- REAL AVI/MJPEG per-frame video decode through the kernel gate -------------------
 
 _AVI_ORACLE = """

@@ -2747,6 +2747,81 @@ def test_avi_mjpeg_video(spark):
             assert abs(r["mean_intensity"] - want) < 1e-15, (did, k)
 
 
+def test_web_ingestion_ops(spark):
+    """WARC parsing + HTML extraction (round-9): framing validated,
+    script/style/comments dropped, entities decoded, links collected,
+    truncations and malformed records raise — then the production
+    kernels over synthesized fixtures against the closed forms."""
+    import numpy as np
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.web import (
+        encode_warc,
+        extract_html,
+        http_response_body,
+        http_response_status,
+        html_text_features,
+        parse_warc,
+        synthesize_html_blobs,
+        synthesize_warc_blobs,
+        warc_response_features,
+    )
+
+    # HTML: CDATA script content with '<', entities, nested divs,
+    # attribute-less anchors ignored, title whitespace normalized
+    r = extract_html(
+        "<html><head><title> A  B </title><script>if (1 < 2) {}</script>"
+        "<style>p{}</style></head><body><!-- x --><div><div><p>a&amp;b\n"
+        "c</p></div></div><a href='u'>t</a><a name='n'>u</a></body></html>"
+    )
+    assert r == {"title": "A B", "text": "a&b c t u", "links": ["u"]}
+
+    # WARC: roundtrip + every framing failure raises
+    w = encode_warc([
+        {"type": "warcinfo", "uri": None, "payload": b"sw: x\r\n"},
+        {"type": "response", "uri": "https://a/b",
+         "payload": b"HTTP/1.1 301 Moved\r\nContent-Length: 2\r\n\r\nhi"},
+    ])
+    recs = parse_warc(w)
+    assert [r["type"] for r in recs] == ["warcinfo", "response"]
+    assert http_response_status(recs[1]["payload"]) == 301
+    assert http_response_body(recs[1]["payload"]) == b"hi"
+    for cut in (3, len(w) // 2, len(w) - 2):
+        with pytest.raises(ValueError):
+            parse_warc(w[:cut])
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"NOPE/1.0\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+    with pytest.raises(ValueError, match="HTTP"):
+        http_response_status(b"not http")
+
+    # production kernels vs the closed forms
+    d = read_table(spark, SF0001, "documents").limit(15)
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    rows = {r["doc_id"]: r for r in
+            html_text_features(synthesize_html_blobs(d)).collect()}
+    for did, r in rows.items():
+        norm = " ".join(texts[did].split())
+        k = did % 5
+        assert r["title"] == f"Doc {did}"
+        assert r["n_links"] == k
+        assert r["n_chars"] == len(norm) + 5 * k, did
+
+    wrows = warc_response_features(synthesize_warc_blobs(d)).collect()
+    by_doc = {}
+    for r in wrows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        assert len(rs) == 1 + did % 3
+        for r in sorted(rs, key=lambda r: r["record_idx"]):
+            i = r["record_idx"]
+            assert r["target_uri"] == f"https://ex.com/{did}/{i}"
+            assert r["http_status"] == (200, 404, 301)[(did + i) % 3]
+            assert r["body_bytes"] == len(
+                f"body-{did}-{i}-") + (did * 7 + i * 13) % 50
+
+
 def test_flac_hand_built_decoder_paths():
     """Decoder against the SPEC, independent of our encoder: hand-built
     streams exercising LPC subframes, all three stereo decorrelation
