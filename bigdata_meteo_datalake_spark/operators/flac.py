@@ -385,14 +385,20 @@ def decode_flac_pcm(b: bytes) -> tuple[np.ndarray, int, int]:
         pcm = pcm[: si["total"]]
     if si["md5"] != b"\x00" * 16:
         nbytes = (si["bps"] + 7) // 8
-        lo = pcm.astype(np.int64)
-        raw = bytearray()
-        flat = lo.reshape(-1)
+        flat = pcm.reshape(-1)
         # little-endian signed interleaved, bps/8 bytes per sample
-        arr = (flat & ((1 << (8 * nbytes)) - 1)).astype(object)
-        for v in arr:
-            raw += int(v).to_bytes(nbytes, "little")
-        if hashlib.md5(bytes(raw)).digest() != si["md5"]:
+        if nbytes == 1:
+            raw = flat.astype("<i1").tobytes()
+        elif nbytes == 2:
+            raw = flat.astype("<i2").tobytes()
+        elif nbytes == 4:
+            raw = flat.astype("<i4").tobytes()
+        else:  # 20/24-bit: 3 bytes per sample, no native dtype
+            le4 = (flat & 0xFFFFFFFF).astype("<u4").tobytes()
+            raw = bytes(
+                b for i, b in enumerate(le4) if i % 4 != 3
+            )
+        if hashlib.md5(raw).digest() != si["md5"]:
             raise ValueError("FLAC decoded PCM fails the STREAMINFO MD5")
     return pcm, si["sr"], si["bps"]
 
@@ -513,6 +519,14 @@ def encode_flac(
     n, ch = s.shape
     if n == 0:
         raise ValueError("empty signal")
+    if not 16 <= block_size <= 65535:
+        raise ValueError(
+            f"block_size {block_size} outside the 16-bit frame-header field"
+        )
+    if not 1 <= sample_rate < (1 << 20):
+        raise ValueError(
+            f"sample_rate {sample_rate} outside STREAMINFO's 20-bit field"
+        )
     bps = 16
     md5 = hashlib.md5(
         s.astype("<i2").tobytes()

@@ -1060,7 +1060,10 @@ def encode_jpeg_lossless(
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) array, got {arr.shape}")
     maxv = (1 << precision) - 1
-    if int(planes[0][0, 0]) < 0 or any(int(p.max(initial=0)) > maxv for p in planes):
+    if any(
+        int(p.min(initial=0)) < 0 or int(p.max(initial=0)) > maxv
+        for p in planes
+    ):
         raise ValueError(f"samples must be in 0..{maxv}")
     h, w = arr.shape[:2]
     nc = len(planes)

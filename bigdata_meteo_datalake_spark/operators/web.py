@@ -207,6 +207,8 @@ def synthesize_html_blobs(df):
     from ..sources.lake import widen
 
     def kernel(batches):
+        import html as _html
+
         for pdf in batches:
             out = {"doc_id": [], "blob": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -217,7 +219,10 @@ def synthesize_html_blobs(df):
                 for i in range(np_):
                     lo = len(words) * i // np_
                     hi = len(words) * (i + 1) // np_
-                    paras.append(" ".join(words[lo:hi]))
+                    # escape, so any future testdata content with <&>
+                    # survives: the extractor's entity decode inverts it,
+                    # keeping the closed form (and exercising that path)
+                    paras.append(_html.escape(" ".join(words[lo:hi])))
                 links = "".join(
                     f'<a href="https://example.com/{did}/{i}">ref{i}</a> '
                     for i in range(did % 5)
