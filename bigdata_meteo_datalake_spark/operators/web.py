@@ -349,3 +349,88 @@ def warc_response_features(df):
         "doc_id long, record_idx int, target_uri string, http_status int, "
         "body_bytes long",
     )
+
+
+#: query parameters that never affect content (tracking/campaign ids)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid")
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical URL form for crawl dedup/grouping: scheme and host
+    lowercased, default ports stripped (http:80, https:443), fragment
+    dropped, tracking parameters removed (utm_* and the click ids),
+    remaining query parameters sorted by (key, value), empty path
+    normalized to '/'. Percent-encoding and other octets pass through
+    untouched — canonicalization must never CHANGE what a URL
+    addresses, only collapse provably-equivalent spellings."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    p = urlsplit(url)
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    port = p.port
+    if port and not (
+        (scheme == "http" and port == 80)
+        or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = p.path or "/"
+    pairs = [
+        (k, v)
+        for k, v in parse_qsl(p.query, keep_blank_values=True)
+        if not k.startswith("utm_") and k not in TRACKING_PARAMS
+    ]
+    query = urlencode(sorted(pairs))
+    return urlunsplit((scheme, host, path, query, ""))
+
+
+def registered_domain(host: str) -> str:
+    """Naive registered domain: the last two dot-labels (a real
+    deployment swaps in the public-suffix list; the grouping shape is
+    identical)."""
+    labels = host.split(":")[0].split(".")
+    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+
+def synthesize_urls(df):
+    """Deterministic messy-URL source cycling six canonicalization
+    cases by doc_id % 6: mixed-case scheme/host, explicit default
+    ports, utm_*/click-id tracking params, unsorted query params,
+    fragments, and missing paths."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    v = did % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.COM/p/"), did))
+        .when(v == 1, F.concat(F.lit("HTTP://site"), did % 7,
+                               F.lit(".org:80/a/b?z=2&a=1")))
+        .when(v == 2, F.concat(F.lit("https://www.Data.NET:443/x?utm_source=t&q="), did))
+        .when(v == 3, F.concat(F.lit("https://ex.com/p#frag"), did))
+        .when(v == 4, F.concat(F.lit("http://H"), did % 9, F.lit(".io")))
+        .otherwise(F.concat(F.lit("https://a.b.c.org/d?b=2&a=1&utm_medium=m&fbclid=x"), did))
+    )
+    return df.select("doc_id", url.alias("url"))
+
+
+def canonical_urls(df):
+    """(doc_id, url) -> (doc_id, url_canonical, domain) via mapInPandas
+    (urllib is Python-side; the per-row work is pure string munging
+    with no cross-row state — a zero-shuffle scan-map at any scale)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            canon = [canonicalize_url(u) for u in pdf["url"]]
+            from urllib.parse import urlsplit
+
+            dom = [registered_domain(urlsplit(c).netloc) for c in canon]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "url_canonical": canon,
+                "domain": dom,
+            })
+
+    return df.select("doc_id", "url").mapInPandas(
+        kernel, "doc_id long, url_canonical string, domain string"
+    )

@@ -798,6 +798,51 @@ def html_extract_report(spark, sf_dir):
     return html_text_features(synthesize_html_blobs(d))
 
 
+_URL_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'https://example.com/p/' || doc_id
+         WHEN 1 THEN 'http://site' || (doc_id % 7) || '.org/a/b?a=1&z=2'
+         WHEN 2 THEN 'https://www.data.net/x?q=' || doc_id
+         WHEN 3 THEN 'https://ex.com/p'
+         WHEN 4 THEN 'http://h' || (doc_id % 9) || '.io/'
+         ELSE 'https://a.b.c.org/d?a=1&b=2'
+       END AS url_canonical,
+       CASE doc_id % 6
+         WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'site' || (doc_id % 7) || '.org'
+         WHEN 2 THEN 'data.net'
+         WHEN 3 THEN 'ex.com'
+         WHEN 4 THEN 'h' || (doc_id % 9) || '.io'
+         ELSE 'c.org'
+       END AS domain
+FROM documents
+"""
+
+
+@register(
+    "url_canonicalize_report",
+    oracle=_URL_ORACLE,
+    tags=("extension", "web"),
+)
+def url_canonicalize_report(spark, sf_dir):
+    """URL canonicalization (round-9) — the crawl-dedup prerequisite:
+    six messy-URL classes (mixed-case scheme/host, explicit default
+    ports, utm_*/click-id tracking params, unsorted query params,
+    fragments, missing paths) canonicalize through
+    operators/web.py:canonicalize_url plus a registered-domain
+    projection. The oracle is INDEPENDENT: it states the expected
+    canonical string for each variant outright (no shared
+    canonicalization code on the SQL side), so a normalization bug
+    cannot hide behind mirrored logic.
+
+    Scale: zero-shuffle scan-map (pure per-row string munging)."""
+    from ..operators.web import canonical_urls, synthesize_urls
+
+    d = read_table(spark, sf_dir, "documents")
+    return canonical_urls(synthesize_urls(d))
+
+
 _WARC_ORACLE = """
 WITH r AS (
   SELECT doc_id, i.i AS record_idx

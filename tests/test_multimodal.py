@@ -3281,3 +3281,46 @@ def test_real_tiff_through_kernel(spark):
         want = (float(v.sum()) / (w * h * ch)) / 255.0
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_intensity"] - want) < 1e-12, did
+
+
+def test_url_canonicalization(spark):
+    """URL canonicalization (round-9): the six messy classes collapse
+    to their stated canonical forms, non-default ports and unknown
+    params survive, and the Spark kernel agrees with the pure function
+    over the fixture."""
+    from bigdata_meteo_datalake_spark.operators.web import (
+        canonical_urls,
+        canonicalize_url,
+        registered_domain,
+        synthesize_urls,
+    )
+
+    cases = [
+        ("https://Example.COM/p/7", "https://example.com/p/7"),
+        ("HTTP://site3.org:80/a/b?z=2&a=1", "http://site3.org/a/b?a=1&z=2"),
+        ("https://www.Data.NET:443/x?utm_source=t&q=5",
+         "https://www.data.net/x?q=5"),
+        ("https://ex.com/p#frag9", "https://ex.com/p"),
+        ("http://H4.io", "http://h4.io/"),
+        ("https://a.b.c.org/d?b=2&a=1&utm_medium=m&fbclid=x1",
+         "https://a.b.c.org/d?a=1&b=2"),
+        # must-NOT-change cases: real port, unknown param, blank value
+        ("https://x.com:8443/p?a=1", "https://x.com:8443/p?a=1"),
+        ("https://x.com/p?keep=&b=1", "https://x.com/p?b=1&keep="),
+    ]
+    for u, want in cases:
+        assert canonicalize_url(u) == want, u
+    assert registered_domain("www.data.net") == "data.net"
+    assert registered_domain("x.com:8443") == "x.com"
+    assert registered_domain("localhost") == "localhost"
+
+    d = read_table(spark, SF0001, "documents").limit(18)
+    rows = canonical_urls(synthesize_urls(d)).collect()
+    assert len(rows) == 18
+    for r in rows:
+        did = r["doc_id"]
+        assert r["url_canonical"] == canonicalize_url(
+            synthesize_urls(d).where(f"doc_id = {did}").collect()[0]["url"]
+        )
+        assert "#" not in r["url_canonical"]
+        assert "utm_" not in r["url_canonical"]
