@@ -518,6 +518,98 @@ def synthesize_avi_blobs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_exif_jpeg_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic camera-style JPEG source: block-constant tiles
+    (w = 9 + doc_id % 16, h = 9 + doc_id % 12, tile value
+    (doc_id*43 + bx*17 + by*23) % 256, grayscale) with an APP1 Exif
+    segment attached — orientation 1 + doc_id % 8 (all eight), make
+    'Cam{doc_id % 3}', pixel dims, little-endian TIFF for even doc_ids
+    and BIG-endian for odd — the phone-photo shape an image pipeline
+    must auto-rotate (queries/ext_multimodal.py:multimodal_exif_report)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .exif import attach_exif
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 9 + did % 16, 9 + did % 12
+                bx = np.arange(w)[None, :] // 8
+                by = np.arange(h)[:, None] // 8
+                arr = ((did * 43 + bx * 17 + by * 23) % 256).astype(np.uint8)
+                out["doc_id"].append(did)
+                out["blob"].append(
+                    attach_exif(
+                        encode_jpeg(arr),
+                        orientation=1 + did % 8,
+                        make=f"Cam{did % 3}",
+                        pixel_x=w,
+                        pixel_y=h,
+                        byte_order="<" if did % 2 == 0 else ">",
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+EXIF_FEATURES_SCHEMA = (
+    "doc_id long, orientation int, make string, width int, height int, "
+    "mean_intensity double"
+)
+
+
+def image_exif_features(df: DataFrame) -> DataFrame:
+    """EXIF-aware image features: parse the APP1 metadata, decode the
+    pixels, APPLY THE ORIENTATION (the auto-rotate every camera-image
+    pipeline needs), and report the oriented dimensions + mean
+    intensity — (doc_id, orientation, make, width, height,
+    mean_intensity) via mapInPandas."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .exif import apply_exif_orientation, parse_exif
+        from .media_codecs import decode_jpeg, sniff_format
+
+        for pdf in batches:
+            out = {"doc_id": [], "orientation": [], "make": [],
+                   "width": [], "height": [], "mean_intensity": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                if sniff_format(b) != "jpeg":
+                    raise NotImplementedError(
+                        "EXIF metadata lives in JPEG APP1 segments"
+                    )
+                meta = parse_exif(b)
+                pix = apply_exif_orientation(
+                    decode_jpeg(b), meta["orientation"]
+                )
+                out["doc_id"].append(doc_id)
+                out["orientation"].append(meta["orientation"])
+                out["make"].append(meta["make"])
+                out["width"].append(pix.shape[1])
+                out["height"].append(pix.shape[0])
+                out["mean_intensity"].append(float(pix.mean()) / 255.0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, EXIF_FEATURES_SCHEMA
+    )
+
+
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     """Deterministic real-JPEG source for the real-decode path, the lossy
     twin of :func:`synthesize_png_blobs`: for each ``doc_id`` emit

@@ -757,6 +757,62 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- EXIF orientation-aware image features through the kernel gate -------------------
+
+_EXIF_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         9 + doc_id % 16 AS w,
+         9 + doc_id % 12 AS h,
+         1 + doc_id % 8 AS o
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, o,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 43 + ((i % w) // 8) * 17 + ((i // w) // 8) * 23)
+                % 256), 'sum') AS s
+  FROM d
+)
+SELECT doc_id,
+       cast(o AS int) AS orientation,
+       'Cam' || (doc_id % 3) AS make,
+       cast(CASE WHEN o >= 5 THEN h ELSE w END AS int) AS width,
+       cast(CASE WHEN o >= 5 THEN w ELSE h END AS int) AS height,
+       (cast(s AS double) / (w * h)) / 255.0 AS mean_intensity
+FROM px
+"""
+
+
+@register(
+    "multimodal_exif_report",
+    oracle=_EXIF_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_exif_report(spark, sf_dir):
+    """EXIF-aware image pipeline end to end (round-9): per document a
+    camera-style JPEG — an APP1 Exif segment (complete TIFF structure,
+    little-endian for even doc_ids and BIG-endian for odd) carrying
+    orientation 1..8, make, and pixel dims over block-constant pixels
+    (operators/multimodal.py:synthesize_exif_jpeg_blobs) — is parsed
+    (operators/exif.py: generic IFD walk, Exif sub-IFD pointer),
+    decoded, and AUTO-ROTATED through the published orientation
+    transforms; reported are the metadata and the ORIENTED dimensions
+    (orientations 5-8 transpose, so the rotation math is hash-gated)
+    plus the mean intensity (invariant under the eight transforms —
+    which the oracle exploits to stay a pure tile-sum closed form).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges, pure scan-map at any scale."""
+    from ..operators.multimodal import (
+        image_exif_features,
+        synthesize_exif_jpeg_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return image_exif_features(synthesize_exif_jpeg_blobs(d))
+
+
 # --- web ingestion: HTML extraction + WARC parsing through the kernel gate -----------
 
 _HTML_ORACLE = """

@@ -3324,3 +3324,69 @@ def test_url_canonicalization(spark):
         )
         assert "#" not in r["url_canonical"]
         assert "utm_" not in r["url_canonical"]
+
+
+def test_exif_orientation_pipeline(spark):
+    """EXIF (round-9): APP1 parse in both byte orders, all eight
+    published orientation transforms pinned on a 2x2 (involutions
+    compose to identity), auto-rotation through the kernel, and the
+    no-EXIF default."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.exif import (
+        apply_exif_orientation,
+        attach_exif,
+        parse_exif,
+    )
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        image_exif_features,
+        synthesize_exif_jpeg_blobs,
+    )
+
+    a = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    want = {
+        2: [[2, 1], [4, 3]], 3: [[4, 3], [2, 1]], 4: [[3, 4], [1, 2]],
+        5: [[1, 3], [2, 4]], 6: [[3, 1], [4, 2]], 7: [[4, 2], [3, 1]],
+        8: [[2, 4], [1, 3]],
+    }
+    for o, w in want.items():
+        assert apply_exif_orientation(a, o).tolist() == w, o
+    for o in (2, 3, 4, 5, 7):  # the involutions
+        assert np.array_equal(
+            apply_exif_orientation(apply_exif_orientation(a, o), o), a
+        )
+
+    img = (np.arange(48).reshape(6, 8) % 256).astype(np.uint8)
+    img = img.repeat(8, axis=0).repeat(8, axis=1)
+    for bo in ("<", ">"):
+        j = attach_exif(encode_jpeg(img), orientation=6, make="Cam",
+                        model="X", pixel_x=64, pixel_y=48, byte_order=bo)
+        m = parse_exif(j)
+        assert (m["orientation"], m["make"], m["model"]) == (6, "Cam", "X")
+        assert (m["pixel_x"], m["pixel_y"]) == (64, 48)
+        assert np.array_equal(decode_jpeg(j), img)  # APP1 is transparent
+    assert parse_exif(encode_jpeg(img))["orientation"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="orientation"):
+        attach_exif(encode_jpeg(img), orientation=9)
+    bad = attach_exif(encode_jpeg(img), orientation=6)
+    i = bad.find(b"Exif\x00\x00") + 6
+    bad = bad[:i] + b"XX" + bad[i + 2:]
+    with pytest.raises(ValueError, match="byte order"):
+        parse_exif(bad)
+
+    # kernel over the fixture matches the closed form (oriented dims)
+    d = read_table(spark, SF0001, "documents").limit(16)
+    rows = {r["doc_id"]: r for r in image_exif_features(
+        synthesize_exif_jpeg_blobs(d)).collect()}
+    for did, r in rows.items():
+        w, h = 9 + did % 16, 9 + did % 12
+        o = 1 + did % 8
+        assert r["orientation"] == o and r["make"] == f"Cam{did % 3}"
+        assert (r["width"], r["height"]) == ((h, w) if o >= 5 else (w, h))
