@@ -610,6 +610,100 @@ def image_exif_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_webdataset_shards(df: DataFrame) -> DataFrame:
+    """Deterministic WebDataset shard source: per ``doc_id`` one tar
+    shard holding 2 + doc_id % 3 (image, caption) sample pairs —
+
+      sample j: key = '{doc_id:05d}-{j}',
+                jpg = block-constant JPEG, w = 9 + (doc_id + j) % 16,
+                      h = 9 + (doc_id + j) % 12,
+                      tile v = (doc_id*47 + bx*7 + by*13 + j*29) % 256,
+                txt = 'cap-{doc_id}-{j}'
+
+    — the multimodal-training container shape, with every field a
+    closed form the SQL oracle recomputes
+    (queries/ext_multimodal.py:webdataset_samples_report)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg
+        from .webdataset import write_webdataset_shard
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                shard = []
+                for j in range(2 + did % 3):
+                    w, h = 9 + (did + j) % 16, 9 + (did + j) % 12
+                    bx = np.arange(w)[None, :] // 8
+                    by = np.arange(h)[:, None] // 8
+                    arr = ((did * 47 + bx * 7 + by * 13 + j * 29) % 256
+                           ).astype(np.uint8)
+                    shard.append({
+                        "key": f"{did:05d}-{j}",
+                        "jpg": encode_jpeg(arr),
+                        "txt": f"cap-{did}-{j}".encode(),
+                    })
+                out["doc_id"].append(did)
+                out["blob"].append(write_webdataset_shard(shard))
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE (longs only — blobs do not exist yet, so the
+    # no-payload-shuffle property holds) or a single-split local table
+    # would serialize the codec kernels on one core
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+WDS_SAMPLE_SCHEMA = (
+    "doc_id long, key string, width int, height int, "
+    "mean_intensity double, caption_chars int"
+)
+
+
+def webdataset_sample_features(df: DataFrame) -> DataFrame:
+    """WebDataset shard demux -> one row PER SAMPLE: (doc_id, key,
+    width, height, mean_intensity, caption_chars) via mapInPandas —
+    tar members grouped by stem, images decoded through the sniffing
+    codec dispatch, captions measured. A sample missing either half
+    raises (a broken shard must fail loudly)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import decode_jpeg
+        from .webdataset import read_webdataset_shard
+
+        for pdf in batches:
+            out = {"doc_id": [], "key": [], "width": [], "height": [],
+                   "mean_intensity": [], "caption_chars": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for s in read_webdataset_shard(bytes(blob)):
+                    if "jpg" not in s or "txt" not in s:
+                        raise ValueError(
+                            f"webdataset sample {s['key']!r} missing its "
+                            "image or caption member"
+                        )
+                    pix = decode_jpeg(s["jpg"])
+                    out["doc_id"].append(doc_id)
+                    out["key"].append(s["key"])
+                    out["width"].append(pix.shape[1])
+                    out["height"].append(pix.shape[0])
+                    out["mean_intensity"].append(float(pix.mean()) / 255.0)
+                    out["caption_chars"].append(
+                        len(s["txt"].decode("utf-8"))
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, WDS_SAMPLE_SCHEMA)
+
+
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     """Deterministic real-JPEG source for the real-decode path, the lossy
     twin of :func:`synthesize_png_blobs`: for each ``doc_id`` emit

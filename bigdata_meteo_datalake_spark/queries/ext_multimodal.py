@@ -757,6 +757,65 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- WebDataset tar shards through the kernel gate -----------------------------------
+
+_WDS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, j.j AS j
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+  WHERE j.j < 2 + doc_id % 3
+),
+g AS (
+  SELECT doc_id, j,
+         9 + (doc_id + j) % 16 AS w,
+         9 + (doc_id + j) % 12 AS h
+  FROM d
+),
+px AS (
+  SELECT doc_id, j, w, h,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 47 + ((i % w) // 8) * 7 + ((i // w) // 8) * 13
+                 + j * 29) % 256), 'sum') AS s
+  FROM g
+)
+SELECT doc_id,
+       lpad(cast(doc_id AS varchar), 5, '0') || '-' || j AS key,
+       cast(w AS int) AS width, cast(h AS int) AS height,
+       (cast(s AS double) / (w * h)) / 255.0 AS mean_intensity,
+       cast(5 + length(cast(doc_id AS varchar))
+              + length(cast(j AS varchar)) AS int) AS caption_chars
+FROM px
+"""
+
+
+@register(
+    "webdataset_samples_report",
+    oracle=_WDS_ORACLE,
+    tags=("extension", "multimodal"),
+)
+def webdataset_samples_report(spark, sf_dir):
+    """WebDataset shard processing end to end (round-9) — the de-facto
+    multimodal-training container: per document a genuine tar shard of
+    (image, caption) sample pairs (operators/multimodal.py:
+    synthesize_webdataset_shards) is demuxed by basename stem
+    (operators/webdataset.py, stdlib tarfile), every image decoded
+    through the real JPEG codec and every caption measured — one row
+    per SAMPLE with key, dimensions, mean intensity, and caption
+    length, all closed forms the oracle recomputes.
+
+    Scale: shards are the unit of parallelism (one blob = hundreds of
+    sequentially-read samples) — the exact shape WebDataset was
+    designed for; two chained mapInPandas stages, zero exchanges."""
+    from ..operators.multimodal import (
+        synthesize_webdataset_shards,
+        webdataset_sample_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return webdataset_sample_features(synthesize_webdataset_shards(d))
+
+
 # --- EXIF orientation-aware image features through the kernel gate -------------------
 
 _EXIF_ORACLE = """

@@ -3390,3 +3390,77 @@ def test_exif_orientation_pipeline(spark):
         o = 1 + did % 8
         assert r["orientation"] == o and r["make"] == f"Cam{did % 3}"
         assert (r["width"], r["height"]) == ((h, w) if o >= 5 else (w, h))
+
+
+def test_webdataset_shards(spark):
+    """WebDataset (round-9): tar roundtrip with stem grouping in tar
+    order, directory-prefixed member names, loud failures on
+    extension-less members / empty / non-tar shards and half-missing
+    samples — then the production per-sample kernel against the closed
+    form."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.webdataset import (
+        read_webdataset_shard,
+        write_webdataset_shard,
+    )
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        synthesize_webdataset_shards,
+        webdataset_sample_features,
+    )
+
+    shard = write_webdataset_shard([
+        {"key": "a", "jpg": b"J1", "txt": b"hello"},
+        {"key": "b", "txt": b"world", "jpg": b"J2", "json": b"{}"},
+    ])
+    got = read_webdataset_shard(shard)
+    assert [s["key"] for s in got] == ["a", "b"]
+    assert got[0]["jpg"] == b"J1" and got[1]["json"] == b"{}"
+
+    # directory-prefixed names group by basename stem
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("d/x.txt", b"t"), ("d/x.jpg", b"j")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = read_webdataset_shard(buf.getvalue())
+    assert got == [{"key": "x", "txt": b"t", "jpg": b"j"}]
+
+    with pytest.raises(ValueError, match="tar"):
+        read_webdataset_shard(b"not a tar at all")
+    with pytest.raises(ValueError, match="empty"):
+        # 1024 zero bytes = a valid tar end-of-archive with no members
+        read_webdataset_shard(b"\x00" * 1024)
+    # extension-less member
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo(name="noext")
+        info.size = 1
+        tf.addfile(info, io.BytesIO(b"x"))
+    with pytest.raises(ValueError, match="extension"):
+        read_webdataset_shard(buf.getvalue())
+
+    # kernel: per-sample rows match the closed form
+    import numpy as np
+
+    d = read_table(spark, SF0001, "documents").limit(12)
+    rows = webdataset_sample_features(synthesize_webdataset_shards(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        assert len(rs) == 2 + did % 3
+        for r in sorted(rs, key=lambda r: r["key"]):
+            j = int(r["key"].split("-")[1])
+            w, h = 9 + (did + j) % 16, 9 + (did + j) % 12
+            assert r["key"] == f"{did:05d}-{j}"
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["caption_chars"] == len(f"cap-{did}-{j}")
+            x = np.arange(w)[None, :] // 8
+            y = np.arange(h)[:, None] // 8
+            v = (did * 47 + x * 7 + y * 13 + j * 29) % 256
+            assert abs(r["mean_intensity"] - (int(v.sum()) / (w * h)) / 255.0) < 1e-15
