@@ -434,3 +434,104 @@ def canonical_urls(df):
     return df.select("doc_id", "url").mapInPandas(
         kernel, "doc_id long, url_canonical string, domain string"
     )
+
+
+# --- compressed JSONL corpus shards (the text-corpus shipping format) -----------------
+
+
+def compress_jsonl(lines: list[dict], codec: str = "gzip") -> bytes:
+    """JSON records -> one compressed JSONL shard (gzip / bz2 / xz —
+    the three formats text corpora actually ship in, all stdlib)."""
+    import bz2
+    import gzip
+    import json
+    import lzma
+
+    raw = ("\n".join(json.dumps(r, sort_keys=True) for r in lines) + "\n"
+           ).encode("utf-8")
+    if codec == "gzip":
+        return gzip.compress(raw, mtime=0)  # mtime=0: deterministic bytes
+    if codec == "bz2":
+        return bz2.compress(raw)
+    if codec == "xz":
+        return lzma.compress(raw)
+    raise ValueError(f"codec must be gzip/bz2/xz, got {codec!r}")
+
+
+def decompress_jsonl(b: bytes) -> list[dict]:
+    """Compressed JSONL shard -> records; the codec is sniffed from
+    magic bytes (gzip 1f8b, bz2 'BZh', xz fd377a58). Corrupt streams
+    and malformed JSON raise ValueError."""
+    import bz2
+    import gzip
+    import json
+    import lzma
+
+    try:
+        if b[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(b)
+        elif b[:3] == b"BZh":
+            raw = bz2.decompress(b)
+        elif b[:6] == b"\xfd7zXZ\x00":
+            raw = lzma.decompress(b)
+        else:
+            raise ValueError("unknown compression magic")
+    except (OSError, EOFError, lzma.LZMAError) as e:
+        raise ValueError(f"corrupt compressed shard ({e})") from e
+    out = []
+    for i, line in enumerate(raw.decode("utf-8").splitlines()):
+        if not line.strip():
+            continue
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError as e:
+            raise ValueError(f"malformed JSONL at line {i}: {e}") from e
+    if not out:
+        raise ValueError("empty JSONL shard")
+    return out
+
+
+def synthesize_jsonl_shards(df):
+    """Deterministic compressed-JSONL source: per doc_id one shard of
+    1 + doc_id % 4 records {"id": "{doc_id}-{i}", "n": doc_id*7 + i},
+    compression cycling gzip/bz2/xz by doc_id % 3."""
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                lines = [{"id": f"{did}-{i}", "n": did * 7 + i}
+                         for i in range(1 + did % 4)]
+                codec = ("gzip", "bz2", "xz")[did % 3]
+                out["doc_id"].append(did)
+                out["blob"].append(compress_jsonl(lines, codec))
+            yield pd.DataFrame(out)
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def jsonl_shard_records(df):
+    """Compressed-JSONL demux -> one row per record: (doc_id, line_idx,
+    record_id, n) via mapInPandas, codec sniffed per blob."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "line_idx": [], "record_id": [], "n": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, rec in enumerate(decompress_jsonl(bytes(blob))):
+                    out["doc_id"].append(doc_id)
+                    out["line_idx"].append(i)
+                    out["record_id"].append(str(rec.get("id", "")))
+                    out["n"].append(int(rec.get("n", 0)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, "doc_id long, line_idx int, record_id string, n long"
+    )

@@ -958,6 +958,44 @@ def url_canonicalize_report(spark, sf_dir):
     return canonical_urls(synthesize_urls(d))
 
 
+_JSONL_ORACLE = """
+WITH r AS (
+  SELECT doc_id, i.i AS line_idx
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+  WHERE i.i < 1 + doc_id % 4
+)
+SELECT doc_id,
+       cast(line_idx AS int) AS line_idx,
+       doc_id || '-' || line_idx AS record_id,
+       cast(doc_id * 7 + line_idx AS bigint) AS n
+FROM r
+"""
+
+
+@register(
+    "jsonl_shard_report",
+    oracle=_JSONL_ORACLE,
+    tags=("extension", "web"),
+)
+def jsonl_shard_report(spark, sf_dir):
+    """Compressed-JSONL corpus shards end to end (round-9) — the format
+    text corpora actually ship in: per document one shard of closed-form
+    JSON records, compression cycling gzip / bz2 / xz by doc_id % 3
+    (operators/web.py:synthesize_jsonl_shards; gzip written with mtime=0
+    so the bytes are deterministic), demuxed by the production kernel
+    (jsonl_shard_records -> decompress_jsonl: codec sniffed from magic
+    bytes, corrupt streams and malformed lines raise) into one row per
+    record — every field a closed form the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges; shards decompress independently."""
+    from ..operators.web import jsonl_shard_records, synthesize_jsonl_shards
+
+    d = read_table(spark, sf_dir, "documents")
+    return jsonl_shard_records(synthesize_jsonl_shards(d))
+
+
 _WARC_ORACLE = """
 WITH r AS (
   SELECT doc_id, i.i AS record_idx
