@@ -757,6 +757,51 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- SRT/WebVTT subtitle cues through the kernel gate --------------------------------
+
+_SUBS_ORACLE = """
+WITH r AS (
+  SELECT doc_id, i.i AS cue_idx
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i
+  WHERE i.i < 2 + doc_id % 4
+)
+SELECT doc_id,
+       cast(cue_idx AS int) AS cue_idx,
+       cast(doc_id * 100 + cue_idx * 2000 AS bigint) AS start_ms,
+       cast(doc_id * 100 + cue_idx * 2000
+            + 1500 + (doc_id + cue_idx) % 500 AS bigint) AS end_ms,
+       cast(1500 + (doc_id + cue_idx) % 500 AS bigint) AS duration_ms,
+       cast(5 + length(cast(doc_id AS varchar))
+              + length(cast(cue_idx AS varchar)) AS int) AS n_chars
+FROM r
+"""
+
+
+@register(
+    "subtitle_cues_report",
+    oracle=_SUBS_ORACLE,
+    tags=("extension", "multimodal", "video"),
+)
+def subtitle_cues_report(spark, sf_dir):
+    """Subtitle parsing end to end (round-9) — where video-caption
+    training pairs come from: per document a genuine cue file (SRT for
+    even doc_ids; WebVTT with a NOTE block and millisecond-dot
+    timestamps for odd, operators/subtitles.py) is parsed into one row
+    per cue with start/end/duration and text length — all closed forms
+    the oracle recomputes, with both format paths under one hash.
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges; cue files parse independently."""
+    from ..operators.subtitles import (
+        subtitle_cue_features,
+        synthesize_subtitle_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return subtitle_cue_features(synthesize_subtitle_blobs(d))
+
+
 # --- WebDataset tar shards through the kernel gate -----------------------------------
 
 _WDS_ORACLE = """

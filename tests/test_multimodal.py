@@ -3509,3 +3509,53 @@ def test_jsonl_compressed_shards(spark):
             i = r["line_idx"]
             assert r["record_id"] == f"{did}-{i}"
             assert r["n"] == did * 7 + i
+
+
+def test_subtitle_parsing(spark):
+    """SRT/WebVTT (round-9): both formats roundtrip through the
+    formatters, multi-line text joins, NOTE blocks and cue ids/settings
+    are tolerated, malformed timing / inverted cues / empty files
+    raise — then the production per-cue kernel against the closed
+    form."""
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.subtitles import (
+        format_srt,
+        format_vtt,
+        parse_subtitles,
+        subtitle_cue_features,
+        synthesize_subtitle_blobs,
+    )
+
+    cues = [{"start_ms": 1000, "end_ms": 4000, "text": "hello world"},
+            {"start_ms": 5500, "end_ms": 7250, "text": "two lines"}]
+    assert parse_subtitles(format_srt(cues)) == cues
+    assert parse_subtitles(format_vtt(cues)) == cues
+    multi = "1\n00:00:01,000 --> 00:00:02,000\nline one\nline two\n"
+    assert parse_subtitles(multi)[0]["text"] == "line one line two"
+    v = ("WEBVTT\n\nNOTE a comment\nstill comment\n\nid1\n"
+         "00:00:01.000 --> 00:00:02.000 align:start\ntext\n")
+    assert parse_subtitles(v) == [
+        {"start_ms": 1000, "end_ms": 2000, "text": "text"}
+    ]
+    for bad in ("garbage\nmore",
+                "1\n00:00:02,000 --> 00:00:01,000\nx\n",
+                "",
+                "1\n00:00:99,000 --> 00:01:00,000\nx\n"):
+        with pytest.raises(ValueError):
+            parse_subtitles(bad)
+
+    d = read_table(spark, SF0001, "documents").limit(14)
+    rows = subtitle_cue_features(synthesize_subtitle_blobs(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        assert len(rs) == 2 + did % 4
+        for r in sorted(rs, key=lambda r: r["cue_idx"]):
+            i = r["cue_idx"]
+            start = did * 100 + i * 2000
+            assert r["start_ms"] == start
+            assert r["end_ms"] == start + 1500 + (did + i) % 500
+            assert r["duration_ms"] == 1500 + (did + i) % 500
+            assert r["n_chars"] == len(f"cue {did} {i}")
