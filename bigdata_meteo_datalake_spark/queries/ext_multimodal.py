@@ -757,6 +757,44 @@ def multimodal_wav_g711_decode(spark, sf_dir):
     )
 
 
+# --- ID3v2 audio metadata through the kernel gate ------------------------------------
+
+_ID3_ORACLE = """
+SELECT doc_id,
+       cast(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS int) AS version,
+       'Track ' || doc_id AS title,
+       'Artist ' || (doc_id % 7) AS artist,
+       'Album ' || (doc_id % 5) AS album,
+       (1 + doc_id % 12) || '/12' AS track,
+       TRUE AS has_mpeg_sync
+FROM documents
+"""
+
+
+@register(
+    "mp3_metadata_report",
+    oracle=_ID3_ORACLE,
+    tags=("extension", "multimodal", "audio"),
+)
+def mp3_metadata_report(spark, sf_dir):
+    """ID3v2 audio metadata end to end (round-9) — the metadata-real /
+    decode-boundary split the MP4 probe uses, now for MP3: per document
+    a tagged MP3-shaped blob (ID3v2.3 for even doc_ids, v2.4 syncsafe
+    frame sizes for odd; text encodings cycling latin-1 / utf-16-BOM /
+    utf-8; variable padding; an MPEG frame-sync after the tag —
+    operators/id3.py) is probed for title/artist/album/track and the
+    frame sync — every field a closed form. MP3 AUDIO decode remains
+    the declared boundary (perceptual codec, genuinely needs a
+    library).
+
+    Scale: two chained mapInPandas stages over (doc_id, blob) — zero
+    exchanges."""
+    from ..operators.id3 import mp3_metadata_features, synthesize_mp3_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return mp3_metadata_features(synthesize_mp3_blobs(d))
+
+
 # --- SRT/WebVTT subtitle cues through the kernel gate --------------------------------
 
 _SUBS_ORACLE = """

@@ -3559,3 +3559,49 @@ def test_subtitle_parsing(spark):
             assert r["end_ms"] == start + 1500 + (did + i) % 500
             assert r["duration_ms"] == 1500 + (did + i) % 500
             assert r["n_chars"] == len(f"cue {did} {i}")
+
+
+def test_id3_metadata(spark):
+    """ID3v2 (round-9): v2.3/v2.4 x all three text encodings roundtrip
+    (including non-latin text), padding and MPEG sync handled,
+    truncations and unsupported versions raise — then the production
+    kernel against the closed form."""
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.id3 import (
+        build_id3v2,
+        mp3_metadata_features,
+        parse_id3v2,
+        synthesize_mp3_blobs,
+    )
+
+    for v in (3, 4):
+        for enc in (0, 1, 3):
+            tag = build_id3v2(version=v, title="Song A", artist="Band B",
+                              album="LP", track="3/12", encoding=enc,
+                              padding=16)
+            m = parse_id3v2(tag + b"\xff\xfb\x90\x00" + bytes(40))
+            assert (m["version"], m["title"], m["artist"]) == (v, "Song A",
+                                                               "Band B")
+            assert (m["album"], m["track"]) == ("LP", "3/12")
+            assert m["has_mpeg_sync"] and m["tag_bytes"] == len(tag)
+    for enc in (1, 3):
+        t = build_id3v2(title="uber-Grüße", encoding=enc)
+        assert parse_id3v2(t + b"\xff\xe0")["title"] == "uber-Grüße"
+    # no sync after the tag
+    assert not parse_id3v2(build_id3v2(title="t") + b"\x00\x00")["has_mpeg_sync"]
+    for bad in (b"XXX", build_id3v2(title="t")[:8],
+                b"ID3\x02\x00\x00\x00\x00\x00\x00"):
+        with pytest.raises(ValueError):
+            parse_id3v2(bad)
+
+    d = read_table(spark, SF0001, "documents").limit(16)
+    rows = {r["doc_id"]: r for r in
+            mp3_metadata_features(synthesize_mp3_blobs(d)).collect()}
+    for did, r in rows.items():
+        assert r["version"] == (3 if did % 2 == 0 else 4)
+        assert r["title"] == f"Track {did}"
+        assert r["artist"] == f"Artist {did % 7}"
+        assert r["album"] == f"Album {did % 5}"
+        assert r["track"] == f"{1 + did % 12}/12"
+        assert r["has_mpeg_sync"]
