@@ -85,15 +85,22 @@ def decode_avi_mjpeg(b: bytes) -> tuple[np.ndarray, int]:
                     w, h = struct.unpack_from("<II", b, p2 + 32)
                     dims = (h, w)
                 elif c2 == b"LIST:strl":
+                    # Track which stream this strl describes (strh fccType
+                    # precedes strf) so an audio stream's strf can never be
+                    # mistaken for the video BITMAPINFOHEADER.
+                    stream_type = None
                     for c3, p3, s3 in _chunks(b, p2, p2 + s2):
-                        if c3 == b"strh" and b[p3 : p3 + 4] == b"vids":
-                            handler = b[p3 + 4 : p3 + 8]
-                            if handler not in (b"MJPG", b"mjpg"):
-                                raise NotImplementedError(
-                                    f"AVI video handler {handler!r} needs "
-                                    "ffmpeg (only MJPG decodes here)"
-                                )
-                        elif c3 == b"strf" and s3 >= 40:
+                        if c3 == b"strh":
+                            stream_type = b[p3 : p3 + 4]
+                            if stream_type == b"vids":
+                                handler = b[p3 + 4 : p3 + 8]
+                                if handler not in (b"MJPG", b"mjpg"):
+                                    raise NotImplementedError(
+                                        f"AVI video handler {handler!r} needs "
+                                        "ffmpeg (only MJPG decodes here)"
+                                    )
+                        elif (c3 == b"strf" and s3 >= 40
+                              and stream_type == b"vids"):
                             compression = b[p3 + 16 : p3 + 20]
         elif cid == b"LIST:movi":
             for c2, p2, s2 in _chunks(b, p, p + sz):

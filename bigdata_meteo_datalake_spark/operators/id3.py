@@ -90,6 +90,17 @@ def parse_id3v2(b: bytes) -> dict:
             fsize = _unsyncsafe(b[pos + 4 : pos + 8])
         else:
             (fsize,) = struct.unpack_from(">I", b, pos + 4)
+        # Second flag byte = format flags (v2.3: compression/encryption/
+        # grouping; v2.4: grouping/compression/encryption/unsync/DLI).
+        # Any of them changes the payload layout — fail loud, don't
+        # parse the transformed bytes as raw text.
+        fmt_flags = b[pos + 9]
+        if fmt_flags:
+            raise NotImplementedError(
+                f"ID3 frame {fid!r} has format flags 0x{fmt_flags:02x} "
+                "(unsync/compression/encryption/grouping/data-length) — "
+                "transformed frame payloads are not supported"
+            )
         payload = b[pos + 10 : pos + 10 + fsize]
         if len(payload) != fsize:
             raise ValueError(f"truncated ID3 frame {fid!r}")

@@ -473,8 +473,14 @@ def decode_scan_arith(
 
     for unit in range(units_total):
         if restart_interval and unit and unit % restart_interval == 0:
-            # decoder stops feeding at the marker; skip RSTn and restart
+            # decoder stops feeding at the marker; skip RSTn and restart.
+            # T.81 D.1.8/D.1.9: the encoder MAY leave trailing zero flush
+            # bytes (and 0xFF00 stuffing) before the marker, so walk
+            # forward to the next real marker (same walk as end-of-scan)
+            # instead of requiring it at dec.pos exactly.
             p = dec.pos
+            while p + 1 < len(b) and not (b[p] == 0xFF and b[p + 1] != 0x00):
+                p += 1
             if not (p + 1 < len(b) and b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
                 raise ValueError("expected restart marker")
             dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh()

@@ -3605,3 +3605,123 @@ def test_id3_metadata(spark):
         assert r["album"] == f"Album {did % 5}"
         assert r["track"] == f"{1 + did % 12}/12"
         assert r["has_mpeg_sync"]
+
+
+def test_round10_advice_regressions(spark):
+    """Round-10 ADVICE fixes, pinned:
+
+    1. T.81 D.1.8/D.1.9 — an arithmetic JPEG that RETAINS its zero
+       flush bytes before an RSTn marker (removal is optional for a
+       conformant encoder) must still decode.
+    2. ID3v2 frames with nonzero FORMAT flags (unsync / compression /
+       encryption / grouping / data-length-indicator) transform the
+       payload layout — parsing must fail loud, not return garbage.
+    3. A multi-stream AVI whose AUDIO strl carries a >=40-byte strf
+       must not have that strf mistaken for the video
+       BITMAPINFOHEADER.
+    4. html_extract_report's oracle closed form survives a document
+       whose text normalizes to EMPTY (the first ' ref{i}' anchor then
+       has no leading space).
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.id3 import (
+        build_id3v2,
+        parse_id3v2,
+    )
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.web import (
+        html_text_features,
+        synthesize_html_blobs,
+    )
+
+    # -- 1. retained flush bytes before RSTn --------------------------------
+    rng = np.random.default_rng(101)
+    tile = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    img = tile.repeat(8, axis=0).repeat(8, axis=1)  # 32x40, 20 MCUs
+    good = encode_jpeg(img, arithmetic=True, restart_interval=4)
+    assert np.array_equal(decode_jpeg(good), img)
+    # retain two zero flush bytes before each RST whose preceding byte
+    # is not 0xFF (a zero after 0xFF would be byte stuffing, not flush)
+    mut = bytearray()
+    i = 0
+    while i < len(good):
+        if (good[i] == 0xFF and i + 1 < len(good)
+                and 0xD0 <= good[i + 1] <= 0xD7 and mut and mut[-1] != 0xFF):
+            mut += b"\x00\x00"
+        mut.append(good[i])
+        i += 1
+    assert len(mut) > len(good)  # at least one RST got flush bytes
+    assert np.array_equal(decode_jpeg(bytes(mut)), img)
+
+    # -- 2. ID3 format flags fail loud --------------------------------------
+    tag = bytearray(build_id3v2(version=3, title="Song"))
+    fpos = tag.find(b"TIT2")
+    assert fpos > 0
+    for fmt in (0x80, 0x40, 0x02):  # compression / encryption / v2.4 unsync
+        bad = bytearray(tag)
+        bad[fpos + 9] = fmt
+        with pytest.raises(NotImplementedError, match="format flags"):
+            parse_id3v2(bytes(bad))
+    # status-only flags (first flag byte) still parse fine
+    ok = bytearray(tag)
+    ok[fpos + 8] = 0x40  # v2.3 file-alter-preserve (status, not format)
+    assert parse_id3v2(bytes(ok))["title"] == "Song"
+
+    # -- 3. audio strf does not clobber the video compression ---------------
+    frame = encode_jpeg(img)
+    avi = encode_avi_mjpeg([frame], 40, 32)
+
+    def chunk(cid, payload):
+        return (cid + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    strh_a = (b"auds" + b"\x00\x00\x00\x00"
+              + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 8000, 0, 1, 4, 0, 0)
+              + struct.pack("<HHHH", 0, 0, 0, 0))
+    # 40-byte WAVEFORMATEX-ish strf whose bytes[16:20] are NOT 'MJPG'
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + bytes(24)
+    assert len(strf_a) >= 40 and strf_a[16:20] != b"MJPG"
+    strl_a = chunk(b"LIST", b"strl" + chunk(b"strh", strh_a)
+                   + chunk(b"strf", strf_a))
+    # splice the audio strl after the video strl, inside hdrl
+    h = avi.find(b"hdrl")
+    (hsz,) = struct.unpack_from("<I", avi, h - 4)
+    spliced = bytearray(avi)
+    spliced[h + hsz:h + hsz] = strl_a
+    struct.pack_into("<I", spliced, h - 4, hsz + len(strl_a))
+    struct.pack_into("<I", spliced, 4,
+                     struct.unpack_from("<I", avi, 4)[0] + len(strl_a))
+    dec, _ = decode_avi_mjpeg(bytes(spliced))
+    assert np.array_equal(dec[0], img)
+
+    # -- 4. HTML closed form on an empty-text document ----------------------
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 5], "text": ["   \t\n ", "", "real body text"]}
+    ))
+    rows = {r["doc_id"]: r for r in
+            html_text_features(synthesize_html_blobs(sdf)).collect()}
+    import duckdb
+
+    oracle = {r[0]: r for r in duckdb.sql(
+        "SELECT doc_id, cast(doc_id % 5 AS int) AS n_links, "
+        "cast(length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) "
+        "+ 5 * (doc_id % 5) "
+        "- CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', "
+        "'g'))) = 0 AND doc_id % 5 > 0 THEN 1 ELSE 0 END AS bigint) "
+        "AS n_chars FROM (VALUES (1, '   \t\n '), (2, ''), "
+        "(5, 'real body text')) t(doc_id, text)"
+    ).fetchall()}
+    for did in (1, 2, 5):
+        assert rows[did]["n_links"] == oracle[did][1], did
+        assert rows[did]["n_chars"] == oracle[did][2], did
