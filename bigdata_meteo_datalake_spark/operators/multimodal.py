@@ -704,6 +704,111 @@ def webdataset_sample_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "blob").mapInPandas(kernel, WDS_SAMPLE_SCHEMA)
 
 
+def synthesize_zip_shards(df: DataFrame) -> DataFrame:
+    """Deterministic ZIP shard source: per ``doc_id`` one ZIP archive
+    holding 2 + doc_id % 3 (image, caption) sample pairs —
+
+      sample j: key = 'z{doc_id:05d}-{j}',
+                jpg = block-constant JPEG, w = 9 + (doc_id + 2*j) % 16,
+                      h = 9 + (doc_id + j) % 12,
+                      tile v = (doc_id*53 + bx*7 + by*13 + j*37) % 256,
+                      STORED when (doc_id + j) % 2 == 0 else DEFLATED,
+                txt = 'zipcap-{doc_id}-{j}', always DEFLATED
+
+    — the same stem-paired multimodal layout as the tar shards but in
+    the other ubiquitous container, with BOTH ZIP storage methods under
+    the oracle hash (queries/ext_multimodal.py:zip_shard_report)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import zipfile
+
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg
+        from .zipshard import write_zip_shard
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                shard = []
+                for j in range(2 + did % 3):
+                    w, h = 9 + (did + 2 * j) % 16, 9 + (did + j) % 12
+                    bx = np.arange(w)[None, :] // 8
+                    by = np.arange(h)[:, None] // 8
+                    arr = ((did * 53 + bx * 7 + by * 13 + j * 37) % 256
+                           ).astype(np.uint8)
+                    shard.append({
+                        "key": f"z{did:05d}-{j}",
+                        "jpg": encode_jpeg(arr),
+                        "txt": f"zipcap-{did}-{j}".encode(),
+                        "methods": {
+                            "jpg": (zipfile.ZIP_STORED
+                                    if (did + j) % 2 == 0
+                                    else zipfile.ZIP_DEFLATED),
+                            "txt": zipfile.ZIP_DEFLATED,
+                        },
+                    })
+                out["doc_id"].append(did)
+                out["blob"].append(write_zip_shard(shard))
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    # widen the ID SPINE only (see synthesize_webdataset_shards)
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+ZIP_SAMPLE_SCHEMA = (
+    "doc_id long, key string, width int, height int, "
+    "mean_intensity double, caption_chars int, img_method int"
+)
+
+
+def zip_shard_features(df: DataFrame) -> DataFrame:
+    """ZIP shard demux -> one row PER SAMPLE: (doc_id, key, width,
+    height, mean_intensity, caption_chars, img_method) via mapInPandas
+    — members grouped by stem, CRC-verified and inflated by the stdlib,
+    images decoded through the sniffing codec dispatch, captions
+    measured, and the image member's storage method surfaced (so the
+    STORED-vs-DEFLATED split is hash-gated, not just exercised). A
+    sample missing either half raises."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import decode_jpeg
+        from .zipshard import read_zip_shard
+
+        for pdf in batches:
+            out = {"doc_id": [], "key": [], "width": [], "height": [],
+                   "mean_intensity": [], "caption_chars": [],
+                   "img_method": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for s in read_zip_shard(bytes(blob)):
+                    if "jpg" not in s or "txt" not in s:
+                        raise ValueError(
+                            f"zip sample {s['key']!r} missing its "
+                            "image or caption member"
+                        )
+                    pix = decode_jpeg(s["jpg"])
+                    out["doc_id"].append(doc_id)
+                    out["key"].append(s["key"])
+                    out["width"].append(pix.shape[1])
+                    out["height"].append(pix.shape[0])
+                    out["mean_intensity"].append(float(pix.mean()) / 255.0)
+                    out["caption_chars"].append(
+                        len(s["txt"].decode("utf-8"))
+                    )
+                    out["img_method"].append(s["methods"]["jpg"])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, ZIP_SAMPLE_SCHEMA)
+
+
 def synthesize_jpeg_blobs(df: DataFrame, *, quality: int = 75) -> DataFrame:
     """Deterministic real-JPEG source for the real-decode path, the lossy
     twin of :func:`synthesize_png_blobs`: for each ``doc_id`` emit

@@ -899,6 +899,72 @@ def webdataset_samples_report(spark, sf_dir):
     return webdataset_sample_features(synthesize_webdataset_shards(d))
 
 
+# --- ZIP-container shards through the kernel gate ------------------------------------
+
+_ZIP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, j.j AS j
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+  WHERE j.j < 2 + doc_id % 3
+),
+g AS (
+  SELECT doc_id, j,
+         9 + (doc_id + 2 * j) % 16 AS w,
+         9 + (doc_id + j) % 12 AS h
+  FROM d
+),
+px AS (
+  SELECT doc_id, j, w, h,
+         list_aggregate(list_transform(range(0, w * h),
+           i -> (doc_id * 53 + ((i % w) // 8) * 7 + ((i // w) // 8) * 13
+                 + j * 37) % 256), 'sum') AS s
+  FROM g
+)
+SELECT doc_id,
+       'z' || lpad(cast(doc_id AS varchar), 5, '0') || '-' || j AS key,
+       cast(w AS int) AS width, cast(h AS int) AS height,
+       (cast(s AS double) / (w * h)) / 255.0 AS mean_intensity,
+       -- 'zipcap-{doc_id}-{j}' = 8 literal chars + the two digit runs
+       cast(8 + length(cast(doc_id AS varchar))
+              + length(cast(j AS varchar)) AS int) AS caption_chars,
+       cast(CASE WHEN (doc_id + j) % 2 = 0 THEN 0 ELSE 8 END AS int)
+         AS img_method
+FROM px
+"""
+
+
+@register(
+    "zip_shard_report",
+    oracle=_ZIP_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def zip_shard_report(spark, sf_dir):
+    """ZIP-container shard processing end to end (round-10) — the other
+    ubiquitous training-data container next to tar WebDataset shards:
+    per document a genuine ZIP archive of stem-paired (image, caption)
+    samples mixing BOTH storage methods (STORED for the JPEGs on even
+    (doc_id + j), DEFLATED otherwise; captions always DEFLATED) is
+    demuxed by basename stem with CRC-32 verification
+    (operators/zipshard.py, stdlib zipfile), every image decoded
+    through the real JPEG codec and every caption measured — one row
+    per SAMPLE with key, dimensions, mean intensity, caption length,
+    and the image member's storage method, all closed forms the oracle
+    recomputes (the method split included, so the inflate path is
+    hash-gated).
+
+    Scale: shards are the unit of parallelism; two chained mapInPandas
+    stages over an id spine, zero exchanges — same shape as the tar
+    and WARC entries."""
+    from ..operators.multimodal import (
+        synthesize_zip_shards,
+        zip_shard_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return zip_shard_features(synthesize_zip_shards(d))
+
+
 # --- EXIF orientation-aware image features through the kernel gate -------------------
 
 _EXIF_ORACLE = """

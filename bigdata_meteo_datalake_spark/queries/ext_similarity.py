@@ -197,7 +197,10 @@ def _plane(j: int) -> list[float]:
 _PLANES = [_plane(j) for j in range(_N_PLANES)]
 
 
-def _lsh_oracle() -> str:
+def _bucket_sql() -> str:
+    """The 8-plane sign-signature bucket as a DuckDB expression over a
+    column named ``v`` (shared by the LSH top-k and semantic-dedup
+    oracles)."""
     bucket_terms = []
     for j, plane in enumerate(_PLANES):
         lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
@@ -205,7 +208,22 @@ def _lsh_oracle() -> str:
             f"(CASE WHEN list_aggregate(list_transform(list_zip(v, {lit}),"
             f" p -> p[1] * p[2]), 'sum') > 0 THEN {1 << j} ELSE 0 END)"
         )
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms)
+
+
+def _bucket_col():
+    """The same bucket signature as a Spark Column over a column ``v``."""
+    bucket = None
+    for j, plane in enumerate(_PLANES):
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        term = F.when(_dot(F.col("v"), plane_lit) > 0,
+                      F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+def _lsh_oracle() -> str:
+    bucket = _bucket_sql()
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
@@ -741,6 +759,129 @@ def semantic_dedup_survivors(spark, sf_dir):
     pairs = (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos_raw >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    cc = connected_components_two_phase(
+        pairs, src_col="vec_a", dst_col="vec_b"
+    ).withColumnRenamed("node", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_rep", F.col("vec_id")).alias("cluster_rep"),
+            (F.coalesce("cluster_rep", F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_survivor"
+            ),
+        )
+    )
+
+
+# --- semantic dedup, bucketed pair generator (the 100 TB form) ----------------------
+
+
+def _semantic_lsh_oracle() -> str:
+    from ..operators.dedup import LSH_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
+         cast({_bucket_sql()} AS bigint) AS bucket
+  FROM e
+),
+g AS (
+  SELECT * FROM n
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT a.vec_id AS s0, b.vec_id AS d0
+  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                       'sum') / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+),
+sym AS (
+  SELECT s0 AS s, d0 AS d FROM pairs
+  UNION
+  SELECT d0, s0 FROM pairs
+),
+reach(node, target) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.node, y.d FROM reach r JOIN sym y ON y.s = r.target
+),
+cc AS (
+  SELECT node, min(target) AS rep FROM reach GROUP BY node
+)
+SELECT emb.vec_id,
+       coalesce(cc.rep, emb.vec_id) AS cluster_rep,
+       (coalesce(cc.rep, emb.vec_id) = emb.vec_id) AS is_survivor
+FROM (SELECT vec_id FROM embeddings) emb
+LEFT JOIN cc ON cc.node = emb.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_lsh",
+    oracle=_semantic_lsh_oracle(),
+    tags=("extension", "dedup", "similarity", "lsh", "iterative"),
+)
+def semantic_dedup_lsh(spark, sf_dir):
+    """Semantic dedup with the BUCKETED pair generator — the form that
+    runs at 100 TB, over the FULL embeddings table (no vec_id cap):
+    random-hyperplane LSH buckets (the 8-plane sign signature shared
+    with emb_lsh_topk) -> hot-bucket guard (> LSH_MAX_BUCKET members
+    dropped, mirrored in the oracle so the guard's SEMANTICS are
+    checked) -> same-bucket equi-join candidates -> exact-cosine verify
+    >= threshold -> connected components (two-phase star contraction)
+    -> min-id survivor per cluster.
+
+    This is semantic_dedup_survivors with the pair stage swapped from
+    the bounded brute-force crossJoin to the LSH generator, the rest of
+    the pipeline unchanged — the swap the survivors query documents,
+    here oracle-locked. The only corpus-sized shuffle the pair stage
+    performs is the bucket equi-join (quadratic -> ~quadratic/256 at
+    uniform load, hot buckets structurally excluded); there is no
+    CartesianProduct anywhere in the plan (plan-fenced with the
+    registry-wide ban, tests/test_plans.py)."""
+    from ..operators.dedup import (
+        LSH_MAX_BUCKET,
+        connected_components_two_phase,
+    )
+
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
+    v = _double_vec()
+    base = emb.select(
+        F.col("vec_id"), v.alias("v")
+    ).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm"), _bucket_col().alias("bucket")
+    )
+    w = Window.partitionBy("bucket")
+    guarded = (
+        base.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") <= LSH_MAX_BUCKET)
+        .drop("__n")
+    )
+    a = guarded.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("bucket"),
+    )
+    b = guarded.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("cbucket"),
+    )
+    cos_raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("cbucket"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .where(cos_raw >= _NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b")
     )

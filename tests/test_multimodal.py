@@ -3725,3 +3725,85 @@ def test_round10_advice_regressions(spark):
     for did in (1, 2, 5):
         assert rows[did]["n_links"] == oracle[did][1], did
         assert rows[did]["n_chars"] == oracle[did][2], did
+
+
+def test_zip_shard_roundtrip_and_kernel(spark):
+    """ZIP-container shards (round-10): stored+deflated members
+    roundtrip byte-exact with deterministic shard bytes, stem grouping
+    follows central-directory order, CRC corruption / missing
+    extensions / empty shards / exotic methods fail loudly, and the
+    production per-sample kernel matches the closed form."""
+    import struct
+    import zipfile
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        synthesize_zip_shards,
+        zip_shard_features,
+    )
+    from bigdata_meteo_datalake_spark.operators.zipshard import (
+        read_zip_shard,
+        write_zip_shard,
+    )
+
+    samples = [
+        {"key": "a0", "jpg": b"\xff\xd8JJ", "txt": b"cap zero",
+         "methods": {"jpg": zipfile.ZIP_STORED,
+                     "txt": zipfile.ZIP_DEFLATED}},
+        {"key": "a1", "jpg": b"\xff\xd8KK" * 50, "txt": b"cap one",
+         "methods": {"jpg": zipfile.ZIP_DEFLATED}},
+    ]
+    shard = write_zip_shard(samples)
+    assert shard == write_zip_shard(samples)  # epoch-pinned determinism
+    back = read_zip_shard(shard)
+    assert [s["key"] for s in back] == ["a0", "a1"]
+    assert back[0]["jpg"] == b"\xff\xd8JJ" and back[0]["txt"] == b"cap zero"
+    assert back[1]["jpg"] == b"\xff\xd8KK" * 50
+    assert back[0]["methods"] == {"jpg": 0, "txt": 8}
+    assert back[1]["methods"]["jpg"] == 8
+    assert back[1]["methods"]["txt"] == 0  # default STORED
+
+    # rejection paths
+    with pytest.raises(ValueError, match="not a ZIP"):
+        read_zip_shard(b"PK\x03\x04 nope")
+    with pytest.raises(ValueError, match="empty"):
+        read_zip_shard(write_zip_shard([]))
+    with pytest.raises(ValueError, match="no extension"):
+        read_zip_shard(write_zip_shard([{"key": "k", "noext": b"x"}])
+                       .replace(b"k.noext", b"knoext\x00"))
+    # flip a payload byte of the STORED member -> CRC mismatch
+    bad = bytearray(shard)
+    i = bad.find(b"\xff\xd8JJ")
+    bad[i + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt|CRC"):
+        read_zip_shard(bytes(bad))
+    # exotic compression method (bzip2 = 12) rejected up front
+    buf = __import__("io").BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        info = zipfile.ZipInfo("x.bin", date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_BZIP2
+        zf.writestr(info, b"payload")
+    with pytest.raises(ValueError, match="unsupported"):
+        read_zip_shard(buf.getvalue())
+
+    # production kernel matches the closed form
+    d = read_table(spark, SF0001, "documents").limit(24)
+    rows = zip_shard_features(synthesize_zip_shards(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        assert len(rs) == 2 + did % 3
+        for r in sorted(rs, key=lambda r: r["key"]):
+            j = int(r["key"].rsplit("-", 1)[1])
+            w, h = 9 + (did + 2 * j) % 16, 9 + (did + j) % 12
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["key"] == f"z{did:05d}-{j}"
+            assert r["caption_chars"] == len(f"zipcap-{did}-{j}")
+            assert r["img_method"] == (0 if (did + j) % 2 == 0 else 8)
+            bx = np.arange(w)[None, :] // 8
+            by = np.arange(h)[:, None] // 8
+            v = (did * 53 + bx * 7 + by * 13 + j * 37) % 256
+            want = (int(v.sum()) / (w * h)) / 255.0
+            assert abs(r["mean_intensity"] - want) < 1e-15, (did, j)
