@@ -899,6 +899,64 @@ def webdataset_samples_report(spark, sf_dir):
     return webdataset_sample_features(synthesize_webdataset_shards(d))
 
 
+# --- PDF text extraction through the kernel gate -------------------------------------
+
+_PDF_ORACLE = """
+WITH p AS (
+  SELECT doc_id, j.j AS p
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+  WHERE j.j < 1 + doc_id % 3
+),
+t AS (
+  SELECT doc_id,
+         string_agg('Doc ' || doc_id || ' page ' || p || chr(10)
+                    || 'pay(load) ' || (doc_id * 7 + p) || ' '
+                    || chr(8364),
+                    chr(10) ORDER BY p) AS text,
+         count(*) AS n_pages
+  FROM p GROUP BY doc_id
+)
+SELECT doc_id,
+       cast(n_pages AS int) AS n_pages,
+       cast(length(text) AS bigint) AS n_chars,
+       text
+FROM t
+"""
+
+
+@register(
+    "pdf_text_report",
+    oracle=_PDF_ORACLE,
+    tags=("extension", "multimodal", "text", "codec"),
+)
+def pdf_text_report(spark, sf_dir):
+    """PDF text extraction end to end (round-10) — the largest untapped
+    document source for an LLM corpus: per document a COMPLETE PDF
+    (header, object graph, catalog -> page tree -> Helvetica/
+    WinAnsiEncoding pages, spec-exact xref table + trailer;
+    operators/pdf.py:build_pdf) with 1 + doc_id % 3 pages of two lines
+    each is parsed the real way — startxref -> xref walk -> page-tree
+    walk -> /Contents FlateDecode (even doc_ids compressed, odd raw) ->
+    content-stream BT..ET/Td/Tj/TJ text assembly (every third document
+    uses split TJ arrays with kerning numbers) -> cp1252 decoding
+    (escaped parentheses + the 0x80 euro in every payload line).
+
+    The COMPLETE extracted text is a result column, rebuilt
+    character-for-character by the SQL oracle (string_agg over the page
+    range) — the assembly rule itself is value-checked, not just
+    counts. Encrypted files, xref/object streams, CID fonts, and
+    non-Flate filters are loud declared boundaries (rejection-swept in
+    tests/test_multimodal.py).
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — documents parse independently, the WARC/HTML shape."""
+    from ..operators.pdf import pdf_text_features, synthesize_pdf_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return pdf_text_features(synthesize_pdf_blobs(d))
+
+
 # --- ZIP-container shards through the kernel gate ------------------------------------
 
 _ZIP_ORACLE = """

@@ -3807,3 +3807,188 @@ def test_zip_shard_roundtrip_and_kernel(spark):
             v = (did * 53 + bx * 7 + by * 13 + j * 37) % 256
             want = (int(v.sum()) / (w * h)) / 255.0
             assert abs(r["mean_intensity"] - want) < 1e-15, (did, j)
+
+
+def _mkpdf(objects: dict, *, trailer_extra: str = "") -> bytes:
+    """Assemble numbered PDF objects into a file with a correct xref
+    table (test helper for hand-built token-path pins)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        body = objects[num]
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_pos = len(out)
+    n = max(objects) + 1
+    out += b"xref\n0 " + str(n).encode() + b"\n0000000000 65535 f \n"
+    for num in range(1, n):
+        out += ("%010d 00000 n \n" % offsets[num]).encode()
+    out += (b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R "
+            + trailer_extra.encode() + b" >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+_PDF_SKEL = {
+    1: "<< /Type /Catalog /Pages 2 0 R >>",
+    2: "<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+    3: ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding /WinAnsiEncoding >>"),
+}
+
+
+def _page_obj(content_num: int = 5, font: str = "/F1 3 0 R") -> str:
+    return ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << {font} >> >> "
+            f"/Contents {content_num} 0 R >>")
+
+
+def _content_obj(ops: bytes) -> bytes:
+    return (b"<< /Length " + str(len(ops)).encode() + b" >>\nstream\n"
+            + ops + b"\nendstream")
+
+
+def test_pdf_build_extract_roundtrip():
+    """build_pdf -> extract_pdf_text pins: multipage, parens/euro
+    escapes, TJ arrays, Flate on and off — plus byte determinism."""
+    from bigdata_meteo_datalake_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [["Doc 7 page 0", "pay(load) 49 €"], ["Doc 7 page 1"]]
+    for compress in (False, True):
+        for tj in (False, True):
+            pdf = build_pdf(pages, compress=compress, use_tj_arrays=tj)
+            assert pdf == build_pdf(pages, compress=compress,
+                                    use_tj_arrays=tj)
+            r = extract_pdf_text(pdf)
+            assert r["n_pages"] == 2
+            assert r["text"] == "Doc 7 page 0\npay(load) 49 €\nDoc 7 page 1"
+    assert extract_pdf_text(build_pdf([[""]]))["text"] == ""
+
+
+def test_pdf_token_paths_hand_built():
+    """Hand-built content stream exercising the exotic tokenizer paths:
+    escaped parens, octal escapes, backslash line continuation, hex
+    strings, TJ kerning, T* and the ' next-line-show operator —
+    against a hand-derived expected string."""
+    from bigdata_meteo_datalake_spark.operators.pdf import extract_pdf_text
+
+    ops = (b"BT /F1 12 Tf\n"
+           b"(a\\)b) Tj\n"
+           b"[(c) -50 (d)] TJ\n"
+           b"0 -14 Td (e\\145f) Tj\n"
+           b"(g\\\nh) Tj\n"
+           b"<68693132> Tj\n"
+           b"T* (x) '\n"
+           b"ET")
+    pdf = _mkpdf({**_PDF_SKEL, 4: _page_obj(), 5: _content_obj(ops)})
+    r = extract_pdf_text(pdf)
+    assert r == {"n_pages": 1, "text": "a)bcd\neefghhi12\nx"}
+
+    # StandardEncoding (no /Encoding): ASCII passes, high bytes raise
+    std = {**_PDF_SKEL,
+           3: "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+           4: _page_obj(), 5: _content_obj(b"BT /F1 9 Tf (ok) Tj ET")}
+    assert extract_pdf_text(_mkpdf(std))["text"] == "ok"
+    std[5] = _content_obj(b"BT /F1 9 Tf (\x80bad) Tj ET")
+    with pytest.raises(NotImplementedError, match="StandardEncoding"):
+        extract_pdf_text(_mkpdf(std))
+
+
+def test_pdf_declared_boundaries_and_fuzz():
+    """Every declared boundary raises loudly with its specific message,
+    and random mutation/truncation never escapes the
+    ValueError/NotImplementedError contract."""
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    # encryption
+    enc = _mkpdf({**_PDF_SKEL, 4: _page_obj(),
+                  5: _content_obj(b"BT ET")},
+                 trailer_extra="/Encrypt 3 0 R")
+    with pytest.raises(NotImplementedError, match="ncrypt"):
+        extract_pdf_text(enc)
+    # CID font
+    cid = {**_PDF_SKEL,
+           3: "<< /Type /Font /Subtype /Type0 /BaseFont /Sub+X >>",
+           4: _page_obj(), 5: _content_obj(b"BT /F1 9 Tf (x) Tj ET")}
+    with pytest.raises(NotImplementedError, match="CID"):
+        extract_pdf_text(_mkpdf(cid))
+    # /Differences re-encoding
+    diff = dict(cid)
+    diff[3] = ("<< /Type /Font /Subtype /Type1 /Encoding "
+               "<< /Differences [65 /x] >> >>")
+    with pytest.raises(NotImplementedError, match="Differences"):
+        extract_pdf_text(_mkpdf(diff))
+    # non-Flate filter
+    lzw = {**_PDF_SKEL, 4: _page_obj(),
+           5: (b"<< /Length 4 /Filter /LZWDecode >>\nstream\nABCD"
+               b"\nendstream")}
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        extract_pdf_text(_mkpdf(lzw))
+    # inline image
+    bi = {**_PDF_SKEL, 4: _page_obj(),
+          5: _content_obj(b"BT ET BI /W 1 ID \x00 EI")}
+    with pytest.raises(NotImplementedError, match="inline image"):
+        extract_pdf_text(_mkpdf(bi))
+    # corrupt Flate data -> ValueError, not zlib.error
+    good = build_pdf([["fuzz seed page"]], compress=True)
+    i = good.find(b"stream\n") + 7
+    corrupt = good[:i] + b"\xff\xff" + good[i + 2:]
+    with pytest.raises(ValueError, match="FlateDecode"):
+        extract_pdf_text(corrupt)
+    # WinAnsi undefined slot
+    undef = {**_PDF_SKEL, 4: _page_obj(),
+             5: _content_obj(b"BT /F1 9 Tf (\x81) Tj ET")}
+    with pytest.raises(ValueError, match="undefined"):
+        extract_pdf_text(_mkpdf(undef))
+    # xref-stream marker (a number where 'xref' should be)
+    xs = bytearray(good)
+    j = xs.rfind(b"xref")
+    with pytest.raises((ValueError, NotImplementedError)):
+        extract_pdf_text(bytes(xs[:j]) + b"1 0 obj" + bytes(xs[j + 4:]))
+
+    # fuzz: truncations + random byte flips stay inside the contract
+    rng = np.random.default_rng(23)
+    for cut in (5, 60, len(good) // 2, len(good) - 3):
+        try:
+            extract_pdf_text(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(120):
+        mut = bytearray(good)
+        k = int(rng.integers(5, len(mut)))
+        mut[k] = int(rng.integers(0, 256))
+        try:
+            extract_pdf_text(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_pdf_incremental_update_prev_chain():
+    """An incremental update (second xref section with /Prev) resolves:
+    the NEWEST object body wins and the /Prev chain supplies the
+    untouched ones."""
+    from bigdata_meteo_datalake_spark.operators.pdf import extract_pdf_text
+
+    base = _mkpdf({**_PDF_SKEL, 4: _page_obj(),
+                   5: _content_obj(b"BT /F1 9 Tf (old text) Tj ET")})
+    old_xref = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    newobj = _content_obj(b"BT /F1 9 Tf (new text) Tj ET")
+    upd = bytearray(base)
+    off5 = len(upd)
+    upd += b"5 0 obj\n" + newobj + b"\nendobj\n"
+    xref_pos = len(upd)
+    upd += (b"xref\n5 1\n" + ("%010d 00000 n \n" % off5).encode()
+            + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+            + str(old_xref).encode() + b" >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n")
+    assert extract_pdf_text(bytes(upd))["text"] == "new text"
