@@ -899,6 +899,79 @@ def webdataset_samples_report(spark, sf_dir):
     return webdataset_sample_features(synthesize_webdataset_shards(d))
 
 
+# --- MP3 full frame walk through the kernel gate -------------------------------------
+
+_MP3_T1 = "[32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]"
+_MP3_T2 = "[8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]"
+
+_MP3_FRAMES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS nf,
+         doc_id % 2 = 0 AS is_v1, doc_id % 3 = 0 AS vbr
+  FROM documents
+),
+k AS (
+  SELECT *, CASE WHEN is_v1 THEN {_MP3_T1} ELSE {_MP3_T2} END AS t
+  FROM d
+),
+l AS (
+  SELECT *,
+         CASE WHEN vbr
+              THEN [t[14]] || list_transform(range(1, nf),
+                     j -> t[cast((doc_id + j) % 14 AS int) + 1])
+              ELSE list_transform(range(0, nf),
+                     j -> t[cast(doc_id % 14 AS int) + 1])
+         END AS kbps
+  FROM k
+)
+SELECT doc_id,
+       cast(CASE WHEN is_v1 THEN 1 ELSE 2 END AS int) AS version,
+       cast(CASE WHEN is_v1 THEN 44100 ELSE 22050 END AS int) AS samplerate,
+       cast(nf AS int) AS n_frames,
+       cast(list_aggregate(kbps, 'min') AS int) AS min_kbps,
+       cast(list_aggregate(kbps, 'max') AS int) AS max_kbps,
+       cast(len(list_distinct(kbps)) AS int) AS n_distinct_kbps,
+       vbr AS has_xing,
+       cast(CASE WHEN vbr THEN nf ELSE -1 END AS int) AS declared_frames,
+       cast((nf * CASE WHEN is_v1 THEN 1152 ELSE 576 END * 1000)
+            // CASE WHEN is_v1 THEN 44100 ELSE 22050 END AS bigint)
+         AS duration_ms
+FROM l
+"""
+
+
+@register(
+    "mp3_frames_report",
+    oracle=_MP3_FRAMES_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def mp3_frames_report(spark, sf_dir):
+    """MP3 deep frame walk end to end (round-10) — the audio-corpus
+    triage fields beyond the ID3 probe: per document an ID3v2-tagged
+    stream of 8 + doc_id % 5 GENUINE MPEG frame headers (MPEG1 Layer
+    III @ 44.1 kHz even doc_ids, MPEG2 @ 22.05 kHz odd; CBR at index
+    (doc_id % 14) + 1, or VBR with a frames-declaring Xing header when
+    doc_id % 3 == 0) is walked frame by frame
+    (operators/mp3.py:parse_mp3_frames): every header validated, frame
+    lengths computed from the public bitrate/sample-rate tables, stream
+    consistency enforced, Xing detected at the version/mode-dependent
+    side-info offset — reporting version, sample rate, frame count,
+    bitrate histogram summary, VBR declaration, and the exact-integer
+    duration estimate, all closed forms the oracle recomputes
+    (including both bitrate TABLES as SQL literals, so the table lookup
+    itself is hash-gated). Audio decode stays the declared boundary.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges."""
+    from ..operators.mp3 import (
+        mp3_frames_features,
+        synthesize_mp3_frame_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return mp3_frames_features(synthesize_mp3_frame_blobs(d))
+
+
 # --- PDF text extraction through the kernel gate -------------------------------------
 
 _PDF_ORACLE = """

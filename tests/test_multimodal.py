@@ -3992,3 +3992,91 @@ def test_pdf_incremental_update_prev_chain():
             + str(old_xref).encode() + b" >>\nstartxref\n"
             + str(xref_pos).encode() + b"\n%%EOF\n")
     assert extract_pdf_text(bytes(upd))["text"] == "new text"
+
+
+def test_mp3_frame_walk(spark):
+    """MP3 deep frame walk (round-10): header fields and frame-length
+    arithmetic pinned against hand-computed values, Xing offsets for
+    all four (version, mode) layouts, stream-consistency and
+    corruption rejection, and the production kernel against the closed
+    form."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.id3 import build_id3v2
+    from bigdata_meteo_datalake_spark.operators.mp3 import (
+        build_mp3_frames,
+        mp3_frames_features,
+        parse_mp3_frames,
+        synthesize_mp3_frame_blobs,
+    )
+
+    # hand-computed frame lengths: MPEG1 L3 128 kbps @ 44100 ->
+    # 144*128000/44100 = 417; MPEG2 L3 64 kbps @ 22050 -> 72*64000/22050
+    # = 208
+    b = build_mp3_frames(version=1, bitrate_indices=[9] * 3)  # 128 kbps
+    assert len(b) == 3 * 417
+    r = parse_mp3_frames(b)
+    assert (r["version"], r["samplerate"], r["n_frames"]) == (1, 44100, 3)
+    assert r["bitrates_kbps"] == [128, 128, 128] and not r["has_xing"]
+    assert r["duration_ms"] == 3 * 1152 * 1000 // 44100
+    b2 = build_mp3_frames(version=2, bitrate_indices=[8] * 2)  # 64 kbps
+    assert len(b2) == 2 * 208
+    assert parse_mp3_frames(b2)["duration_ms"] == 2 * 576 * 1000 // 22050
+
+    # Xing at all four side-info offsets
+    for v, mono, off in ((1, False, 36), (1, True, 21),
+                         (2, False, 21), (2, True, 13)):
+        s = build_mp3_frames(version=v, bitrate_indices=[14, 3],
+                             mono=mono, xing_frames=2)
+        assert s[4 + off : 8 + off] == b"Xing", (v, mono)
+        rr = parse_mp3_frames(s)
+        assert rr["has_xing"] and rr["declared_frames"] == 2, (v, mono)
+    # 'Info' tag (CBR-style) also detected
+    s = bytearray(build_mp3_frames(version=1, bitrate_indices=[14],
+                                   xing_frames=1))
+    s[4 + 36 : 8 + 36] = b"Info"
+    assert parse_mp3_frames(bytes(s))["has_xing"]
+
+    # ID3v2 tag skipped; rejections
+    tagged = build_mp3_frames(version=1, bitrate_indices=[5],
+                              id3_tag=build_id3v2(version=4, title="x"))
+    assert parse_mp3_frames(tagged)["n_frames"] == 1
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_frames(b"\x12\x34\x56\x78")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp3_frames(b[:-10])
+    with pytest.raises(ValueError, match="inconsistent"):
+        parse_mp3_frames(build_mp3_frames(version=1, bitrate_indices=[5])
+                         + build_mp3_frames(version=2, bitrate_indices=[5]))
+    bad = bytearray(b)
+    bad[2] = (bad[2] & 0x0F) | 0xF0  # bitrate index 15
+    with pytest.raises(ValueError, match="bitrate"):
+        parse_mp3_frames(bytes(bad))
+    free = bytearray(b)
+    free[2] = free[2] & 0x0F  # free-format
+    with pytest.raises(ValueError, match="free-format"):
+        parse_mp3_frames(bytes(free))
+
+    # production kernel vs closed form
+    d = read_table(spark, SF0001, "documents").limit(30)
+    rows = {r["doc_id"]: r for r in
+            mp3_frames_features(synthesize_mp3_frame_blobs(d)).collect()}
+    T1 = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    T2 = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+    for did, r in rows.items():
+        nf = 8 + did % 5
+        t = T1 if did % 2 == 0 else T2
+        rate = 44100 if did % 2 == 0 else 22050
+        spf = 1152 if did % 2 == 0 else 576
+        if did % 3 == 0:
+            ks = [t[13]] + [t[(did + j) % 14] for j in range(1, nf)]
+            assert r["has_xing"] and r["declared_frames"] == nf
+        else:
+            ks = [t[did % 14]] * nf
+            assert not r["has_xing"] and r["declared_frames"] == -1
+        assert (r["version"], r["samplerate"]) == (
+            1 if did % 2 == 0 else 2, rate)
+        assert r["n_frames"] == nf
+        assert (r["min_kbps"], r["max_kbps"]) == (min(ks), max(ks))
+        assert r["n_distinct_kbps"] == len(set(ks))
+        assert r["duration_ms"] == nf * spf * 1000 // rate
