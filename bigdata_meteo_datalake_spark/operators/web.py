@@ -535,3 +535,100 @@ def jsonl_shard_records(df):
     return df.select("doc_id", "blob").mapInPandas(
         kernel, "doc_id long, line_idx int, record_id string, n long"
     )
+
+
+# --- robots.txt crawl-policy admission (the corpus-admission gate) --------------------
+
+
+def build_robots_txt(site: int) -> str:
+    """Deterministic per-site robots.txt cycling three policy shapes by
+    site % 3 — 0: path rules (an Allow override above Disallow
+    prefixes), 1: full disallow, 2: empty disallow (allow all) — each
+    preceded by a specific-agent entry that blocks everything, so the
+    '*'-agent entry selection of urllib.robotparser is what the oracle
+    actually checks (a parser that matched the wrong entry would deny
+    every URL)."""
+    head = "User-agent: special-bot\nDisallow: /\n\n"
+    kind = site % 3
+    if kind == 0:
+        return (head + "User-agent: *\nAllow: /private/open/\n"
+                "Disallow: /private/\nDisallow: /tmp/\n")
+    if kind == 1:
+        return head + "User-agent: *\nDisallow: /\n"
+    return head + "User-agent: *\nDisallow:\n"
+
+
+def synthesize_crawl_urls(df):
+    """Deterministic crawl-frontier source (JVM-side concat, no
+    kernel): url = 'https://site{doc_id % 10}.example' + a path cycling
+    /public/{id}, /private/{id}, /tmp/x{id}, /private/open/{id} by
+    doc_id % 4 — one URL per document, hitting every (site policy,
+    path class) combination."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/public/"), did))
+        .when(did % 4 == 1, F.concat(F.lit("/private/"), did))
+        .when(did % 4 == 2, F.concat(F.lit("/tmp/x"), did))
+        .otherwise(F.concat(F.lit("/private/open/"), did))
+    )
+    domain = F.concat(F.lit("site"), did % 10, F.lit(".example"))
+    return df.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, path).alias("url"),
+    )
+
+
+def synthesize_robots_table(spark):
+    """The per-domain robots dimension: (domain, robots_txt) for the
+    ten fixture sites — the relation a crawler materializes once per
+    registered domain and joins against millions of frontier URLs."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "domain": [f"site{s}.example" for s in range(10)],
+        "robots_txt": [build_robots_txt(s) for s in range(10)],
+    })
+    return spark.createDataFrame(rows)
+
+
+def robots_admission(urls, robots):
+    """Crawl-policy admission — the missing step between WARC parsing
+    and corpus admission: broadcast-join the tiny per-domain robots
+    dimension onto the URL frontier, then evaluate each URL with
+    urllib.robotparser ('*' agent, genuine first-match/entry-selection
+    semantics) in an Arrow-batched kernel that parses each domain's
+    robots.txt ONCE per batch. -> (doc_id, url, domain, allowed).
+
+    Scale: the robots side is one row per registered domain (always
+    broadcastable); the URL side never shuffles — a scan-map pass with
+    a map-side join at any corpus size."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    joined = urls.join(F.broadcast(robots), "domain")
+
+    def kernel(batches):
+        from urllib.robotparser import RobotFileParser
+
+        for pdf in batches:
+            parsers: dict[str, RobotFileParser] = {}
+            allowed = []
+            for dom, txt, url in zip(pdf["domain"], pdf["robots_txt"],
+                                     pdf["url"]):
+                rp = parsers.get(dom)
+                if rp is None:
+                    rp = RobotFileParser()
+                    rp.parse(str(txt).splitlines())
+                    parsers[dom] = rp
+                allowed.append(bool(rp.can_fetch("*", str(url))))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "url": pdf["url"],
+                "domain": pdf["domain"], "allowed": allowed,
+            })
+
+    return joined.select("doc_id", "url", "domain", "robots_txt").mapInPandas(
+        kernel, "doc_id long, url string, domain string, allowed boolean"
+    )

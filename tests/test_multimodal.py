@@ -4080,3 +4080,59 @@ def test_mp3_frame_walk(spark):
         assert (r["min_kbps"], r["max_kbps"]) == (min(ks), max(ks))
         assert r["n_distinct_kbps"] == len(set(ks))
         assert r["duration_ms"] == nf * spf * 1000 // rate
+
+
+def test_robots_admission(spark):
+    """robots.txt admission (round-10): the urllib.robotparser kernel
+    against a HAND-WRITTEN expected-decision table (independent of the
+    SQL closed form), plus the entry-selection decoy: the specific
+    'special-bot' entry blocks everything, so a parser matching the
+    wrong entry denies every URL."""
+    import pandas as pd
+    from urllib.robotparser import RobotFileParser
+
+    from bigdata_meteo_datalake_spark.operators.web import (
+        build_robots_txt,
+        robots_admission,
+        synthesize_crawl_urls,
+        synthesize_robots_table,
+    )
+
+    # hand-written expectations: (site_kind = site % 3, path, allowed)
+    expected = [
+        (0, "/public/9", True),
+        (0, "/private/9", False),
+        (0, "/tmp/x9", False),
+        (0, "/private/open/9", True),
+        (1, "/public/9", False),
+        (1, "/private/open/9", False),
+        (2, "/public/9", True),
+        (2, "/private/9", True),
+    ]
+    for kind, path, want in expected:
+        rp = RobotFileParser()
+        rp.parse(build_robots_txt(kind).splitlines())
+        got = rp.can_fetch("*", f"https://site{kind}.example{path}")
+        assert got is want, (kind, path)
+        # the decoy entry denies its own agent everything
+        assert not rp.can_fetch("special-bot",
+                                f"https://site{kind}.example{path}")
+
+    # production pipeline decisions match the (policy, path) table
+    d = read_table(spark, SF0001, "documents").limit(40)
+    rows = robots_admission(
+        synthesize_crawl_urls(d), synthesize_robots_table(spark)
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        did = r["doc_id"]
+        s = did % 10
+        assert r["domain"] == f"site{s}.example"
+        assert r["url"].startswith(f"https://site{s}.example/")
+        if s % 3 == 1:
+            want = False
+        elif s % 3 == 2:
+            want = True
+        else:
+            want = did % 4 in (0, 3)
+        assert r["allowed"] is want, (did, r["url"])
