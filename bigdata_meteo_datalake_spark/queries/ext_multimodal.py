@@ -899,6 +899,121 @@ def webdataset_samples_report(spark, sf_dir):
     return webdataset_sample_features(synthesize_webdataset_shards(d))
 
 
+# --- sitemap / RSS / Atom discovery parsing ------------------------------------------
+
+_FEED_ORACLE = """
+WITH e AS (
+  SELECT doc_id, j.j AS i
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+  WHERE j.j < 1 + doc_id % 4
+)
+SELECT doc_id,
+       cast(i AS int) AS entry_idx,
+       CASE doc_id % 3 WHEN 0 THEN 'sitemap'
+                       WHEN 1 THEN 'rss'
+                       ELSE 'atom' END AS kind,
+       'https://s' || (doc_id % 10) || '.example/p/' || doc_id || '/' || i
+         AS url,
+       CASE WHEN doc_id % 3 = 0 THEN ''
+            ELSE 'Post ' || doc_id || '-' || i END AS title,
+       '2026-01-' || lpad(cast(1 + (doc_id + i) % 28 AS varchar), 2, '0')
+         AS published
+FROM e
+"""
+
+
+@register(
+    "feed_discovery_report",
+    oracle=_FEED_ORACLE,
+    tags=("extension", "web"),
+)
+def feed_discovery_report(spark, sf_dir):
+    """Crawl-frontier discovery parsing end to end (round-10) — the
+    seeding step before robots admission: per document a discovery
+    file cycling all three real formats by doc_id % 3 (sitemaps.org
+    urlset with lastmod/priority, RSS 2.0 with RFC 822 pubDates, Atom
+    with ISO 8601 updated stamps) is parsed namespace-aware by the
+    stdlib XML parser (operators/sitemap.py) — one row per discovered
+    entry with url, title, and the published date NORMALIZED to one
+    ISO day across all three date grammars (RFC 822 parsing included),
+    which is exactly what the oracle hash checks. DOCTYPE/ENTITY
+    declarations are rejected up front (XML-bomb guard — these are
+    untrusted crawler bytes), pinned in tests.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges."""
+    from ..operators.sitemap import (
+        feed_discovery_features,
+        synthesize_discovery_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return feed_discovery_features(synthesize_discovery_blobs(d))
+
+
+# --- MIME / EML email parsing through the kernel gate --------------------------------
+
+_EML_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN '7bit'
+                         WHEN 1 THEN 'quoted-printable'
+                         ELSE 'base64' END AS encoding,
+         1 + doc_id % 3 AS nl
+  FROM documents
+),
+t AS (
+  SELECT d.doc_id, d.encoding,
+         string_agg('mail ' || d.doc_id || ' line ' || j.j
+                    || CASE WHEN d.encoding = '7bit' THEN ''
+                            ELSE ' = 50% ü' END,
+                    chr(10) ORDER BY j.j) AS text
+  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+  WHERE j.j < d.nl
+  GROUP BY d.doc_id, d.encoding
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'Sale ü ' || doc_id
+            ELSE 'Report ' || doc_id END AS subject,
+       'user' || (doc_id % 7) || '@example.com' AS from_addr,
+       cast(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS int) AS n_parts,
+       encoding,
+       doc_id % 5 = 0 AS has_attachment,
+       cast(length(text) AS bigint) AS body_chars,
+       text
+FROM t
+"""
+
+
+@register(
+    "eml_text_report",
+    oracle=_EML_ORACLE,
+    tags=("extension", "multimodal", "text"),
+)
+def eml_text_report(spark, sf_dir):
+    """MIME / EML email parsing end to end (round-10) — mailing-list
+    and mailbox archives, a classic LLM corpus source: per document a
+    HAND-ROLLED raw MIME message (the writer never touches the email
+    library, so the stdlib parser meets independently-constructed
+    bytes): RFC 2047 encoded-word subjects every fourth document,
+    multipart/alternative text/plain + text/html siblings, transfer
+    encoding cycling 7bit / quoted-printable / base64 by doc_id % 3,
+    and a multipart/mixed base64 attachment every fifth. The kernel
+    (operators/mime.py:parse_eml) decodes headers, selects the
+    text/plain part, reverses the transfer encoding + charset, and
+    normalizes CRLF — the SAME closed-form text must come back from
+    all three encodings, which is exactly what the oracle hash checks
+    (full text surfaced as a column, rebuilt by string_agg in SQL).
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — messages parse independently."""
+    from ..operators.mime import eml_text_features, synthesize_eml_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return eml_text_features(synthesize_eml_blobs(d))
+
+
 # --- robots.txt crawl-policy admission -----------------------------------------------
 
 _ROBOTS_ORACLE = """

@@ -4136,3 +4136,134 @@ def test_robots_admission(spark):
         else:
             want = did % 4 in (0, 3)
         assert r["allowed"] is want, (did, r["url"])
+
+
+def test_eml_parsing(spark):
+    """MIME/EML parsing (round-10): all three transfer encodings
+    roundtrip the same text, RFC 2047 subjects decode, attachments are
+    flagged without polluting the text, and the declared boundaries
+    (no text/plain, deep nesting, unknown encodings, unparseable
+    input) raise loudly."""
+    from bigdata_meteo_datalake_spark.operators.mime import (
+        build_eml,
+        eml_text_features,
+        parse_eml,
+        synthesize_eml_blobs,
+    )
+
+    body = "line one = 50% ü\nline (two)"
+    for enc in ("quoted-printable", "base64"):
+        r = parse_eml(build_eml(from_addr="a@b.c", subject="Grüße",
+                                body=body, html="<p>x</p>", encoding=enc))
+        assert r["text"] == body and r["subject"] == "Grüße", enc
+        assert r["n_parts"] == 2 and not r["has_attachment"]
+    # 7bit requires ASCII and passes through
+    r = parse_eml(build_eml(from_addr="a@b.c", subject="plain",
+                            body="ascii only", encoding="7bit"))
+    assert r["text"] == "ascii only" and r["encoding"] == "7bit"
+    with pytest.raises(UnicodeEncodeError):
+        build_eml(from_addr="a@b.c", subject="s", body="ü", encoding="7bit")
+    # attachment flagged, text untouched
+    r = parse_eml(build_eml(from_addr="a@b.c", subject="s", body="t",
+                            html="<i>h</i>", encoding="base64",
+                            attachment=("f.bin", b"\x00\x01\x02")))
+    assert r["has_attachment"] and r["n_parts"] == 3 and r["text"] == "t"
+
+    # boundaries
+    with pytest.raises(ValueError, match="text/plain"):
+        parse_eml(b"From: a@b.c\r\nSubject: s\r\n"
+                  b"Content-Type: text/html\r\n\r\n<p>only html</p>")
+    with pytest.raises(ValueError, match="transfer encoding"):
+        parse_eml(b"From: a@b.c\r\nContent-Type: text/plain\r\n"
+                  b"Content-Transfer-Encoding: uuencode\r\n\r\nx")
+    deep = build_eml(from_addr="a@b.c", subject="s", body="t",
+                     encoding="7bit",
+                     attachment=("f.bin", b"x")).replace(
+        b"Content-Type: application/octet-stream",
+        b'Content-Type: multipart/related; boundary="inner"')
+    with pytest.raises(ValueError, match="nested"):
+        parse_eml(deep)
+
+    # production kernel vs closed form
+    d = read_table(spark, SF0001, "documents").limit(30)
+    rows = {r["doc_id"]: r for r in
+            eml_text_features(synthesize_eml_blobs(d)).collect()}
+    for did, r in rows.items():
+        enc = ("7bit", "quoted-printable", "base64")[did % 3]
+        suffix = "" if enc == "7bit" else " = 50% ü"
+        want = "\n".join(f"mail {did} line {i}{suffix}"
+                         for i in range(1 + did % 3))
+        assert r["text"] == want, did
+        assert r["body_chars"] == len(want)
+        assert r["subject"] == (f"Sale ü {did}" if did % 4 == 0
+                                else f"Report {did}")
+        assert r["from_addr"] == f"user{did % 7}@example.com"
+        assert r["encoding"] == enc
+        assert r["has_attachment"] == (did % 5 == 0)
+        assert r["n_parts"] == (3 if did % 5 == 0 else 2)
+
+
+def test_feed_discovery(spark):
+    """Sitemap/RSS/Atom discovery (round-10): all three formats parse
+    to one normalized entry shape, the three date grammars land on the
+    same ISO day, sitemap-index files are recognized, the XML-bomb
+    guard and malformed inputs raise, and the production kernel
+    matches the closed form."""
+    from bigdata_meteo_datalake_spark.operators.sitemap import (
+        build_atom,
+        build_rss,
+        build_sitemap,
+        feed_discovery_features,
+        parse_discovery_doc,
+        synthesize_discovery_blobs,
+    )
+
+    sm = parse_discovery_doc(build_sitemap(
+        [{"loc": "https://a/1", "lastmod": "2026-01-05"},
+         {"loc": "https://a/2"}]))
+    assert sm["kind"] == "sitemap"
+    assert sm["entries"][0] == {"url": "https://a/1", "title": "",
+                                "published": "2026-01-05"}
+    assert sm["entries"][1]["published"] == ""
+    rss = parse_discovery_doc(build_rss(
+        [{"title": "T", "link": "https://a/p",
+          "pubdate_rfc822": "Mon, 05 Jan 2026 12:30:00 +0000"}]))
+    assert rss["entries"][0]["published"] == "2026-01-05"
+    atom = parse_discovery_doc(build_atom(
+        [{"title": "T", "href": "https://a/e",
+          "updated_iso": "2026-01-05T23:59:59Z"}]))
+    assert atom["entries"][0]["published"] == "2026-01-05"
+    assert parse_discovery_doc(
+        build_sitemap([{"loc": "https://a/s.xml"}], index=True)
+    )["kind"] == "sitemap_index"
+
+    for bad, msg in (
+        (b"<foo/>", "unknown"),
+        (b"definitely not xml", "malformed"),
+        (b'<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "b">]><urlset/>',
+         "XML-bomb"),
+        (build_rss([{"title": "T", "link": "https://a/p",
+                     "pubdate_rfc822": "not a date"}]), "RFC 822"),
+        (build_sitemap([{"loc": "https://a/1",
+                         "lastmod": "Jan 5 2026"}]), "ISO 8601"),
+        (b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         b"<url></url></urlset>", "loc"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            parse_discovery_doc(bad)
+
+    d = read_table(spark, SF0001, "documents").limit(30)
+    rows = feed_discovery_features(synthesize_discovery_blobs(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        assert len(rs) == 1 + did % 4
+        kind = ("sitemap", "rss", "atom")[did % 3]
+        for r in sorted(rs, key=lambda r: r["entry_idx"]):
+            i = r["entry_idx"]
+            assert r["kind"] == kind
+            assert r["url"] == f"https://s{did % 10}.example/p/{did}/{i}"
+            assert r["title"] == ("" if kind == "sitemap"
+                                  else f"Post {did}-{i}")
+            assert r["published"] == f"2026-01-{1 + (did + i) % 28:02d}"
