@@ -899,6 +899,61 @@ def webdataset_samples_report(spark, sf_dir):
     return webdataset_sample_features(synthesize_webdataset_shards(d))
 
 
+# --- CSV dialect-sniffing ingestion --------------------------------------------------
+
+_CSV_SNIFF_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS n,
+         CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                         WHEN 2 THEN chr(9) ELSE '|' END AS delim,
+         CASE doc_id % 4 WHEN 0 THEN 'comma' WHEN 1 THEN 'semicolon'
+                         WHEN 2 THEN 'tab' ELSE 'pipe' END AS dname
+  FROM documents
+)
+SELECT doc_id,
+       dname AS delimiter_name,
+       cast(n AS int) AS n_rows,
+       cast(3 AS int) AS n_cols,
+       cast(n * doc_id * 10 + n * (n - 1) // 2 AS bigint) AS sum_id,
+       CASE WHEN (n - 1) % 2 = 0
+            THEN 'q"' || doc_id || '"' || (n - 1)
+            ELSE 'v' || delim || (n - 1)
+       END AS last_note
+FROM d
+"""
+
+
+@register(
+    "csv_sniff_report",
+    oracle=_CSV_SNIFF_ORACLE,
+    tags=("extension", "multimodal", "text"),
+)
+def csv_sniff_report(spark, sf_dir):
+    """CSV dialect-sniffing ingestion end to end (round-10) — tabular
+    dumps with UNKNOWN delimiters, the step Spark's own CSV reader
+    can't do (it needs the delimiter up front): per document a table
+    whose delimiter cycles comma/semicolon/tab/pipe, with doubled-quote
+    escapes and quoted embedded delimiters in the later rows, is
+    dialect-DETECTED (csv.Sniffer over a clean prefix sample with a
+    deterministic fallback ladder) and parsed through the real RFC 4180
+    quote grammar (operators/csvsniff.py). Reported: the detected
+    delimiter name, row/column counts, the id-column sum (proof every
+    row split correctly), and the last note field (proof the quote
+    grammar decoded) — all closed forms the oracle recomputes,
+    including the delimiter character itself inside last_note.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges."""
+    from ..operators.csvsniff import (
+        csv_sniff_features,
+        synthesize_csv_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return csv_sniff_features(synthesize_csv_blobs(d))
+
+
 # --- sitemap / RSS / Atom discovery parsing ------------------------------------------
 
 _FEED_ORACLE = """

@@ -4267,3 +4267,51 @@ def test_feed_discovery(spark):
             assert r["title"] == ("" if kind == "sitemap"
                                   else f"Post {did}-{i}")
             assert r["published"] == f"2026-01-{1 + (did + i) % 28:02d}"
+
+
+def test_csv_sniffing(spark):
+    """CSV dialect sniffing (round-10): all four delimiters detected,
+    RFC 4180 quote grammar (doubled quotes, embedded delimiters,
+    embedded newlines) decoded exactly, rejection paths (undetectable,
+    ragged rows, non-UTF-8, empty) raise, and the production kernel
+    matches the closed form."""
+    from bigdata_meteo_datalake_spark.operators.csvsniff import (
+        DELIMITERS,
+        build_csv,
+        csv_sniff_features,
+        sniff_parse_csv,
+        synthesize_csv_blobs,
+    )
+
+    for delim in DELIMITERS:
+        rows = [["a", "b"], ["1", "x y"], ["2", "p q"], ["3", "r s"],
+                ["4", f'has{delim}delim'], ["5", 'say "hi"'],
+                ["6", "multi\nline"]]
+        r = sniff_parse_csv(build_csv(rows, delimiter=delim))
+        assert r["delimiter"] == delim
+        assert r["rows"] == rows[1:], delim
+
+    with pytest.raises(ValueError, match="dialect"):
+        sniff_parse_csv(b"no delimiters here\njust words\nmore words\n")
+    with pytest.raises(ValueError, match="columns"):
+        sniff_parse_csv(b"a,b,c\n1,2,3\n4,5,6\n7,8,9\n10,11\n12,13,14\n")
+    with pytest.raises(ValueError, match="UTF-8"):
+        sniff_parse_csv(b"a,b\n\xff\xfe,2\n")
+    with pytest.raises(ValueError, match="empty"):
+        sniff_parse_csv(b"   \n ")
+    with pytest.raises(ValueError, match="data rows"):
+        sniff_parse_csv(b"a,b,a,b,a,b\n")
+
+    d = read_table(spark, SF0001, "documents").limit(30)
+    rows = {r["doc_id"]: r for r in
+            csv_sniff_features(synthesize_csv_blobs(d)).collect()}
+    names = {0: "comma", 1: "semicolon", 2: "tab", 3: "pipe"}
+    for did, r in rows.items():
+        n = 3 + did % 4
+        delim = DELIMITERS[did % 4]
+        assert r["delimiter_name"] == names[did % 4]
+        assert (r["n_rows"], r["n_cols"]) == (n, 3)
+        assert r["sum_id"] == n * did * 10 + n * (n - 1) // 2
+        want = (f'q"{did}"{n-1}' if (n - 1) % 2 == 0
+                else f"v{delim}{n-1}")
+        assert r["last_note"] == want, did
