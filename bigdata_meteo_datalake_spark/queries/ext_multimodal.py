@@ -7,6 +7,7 @@ the same hash-compare as every built-in operator."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
@@ -897,6 +898,118 @@ def webdataset_samples_report(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return webdataset_sample_features(synthesize_webdataset_shards(d))
+
+
+# --- Unicode NFKC normalization + control stripping ----------------------------------
+
+_UNICODE_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'café ' || doc_id
+         WHEN 1 THEN 'café ' || doc_id
+         WHEN 2 THEN 'file ' || doc_id
+         WHEN 3 THEN 'AB ' || doc_id
+         ELSE 'ab ' || doc_id
+       END AS text_clean,
+       cast(length(CASE doc_id % 5
+         WHEN 0 THEN 'café ' || doc_id
+         WHEN 1 THEN 'café ' || doc_id
+         WHEN 2 THEN 'file ' || doc_id
+         WHEN 3 THEN 'AB ' || doc_id
+         ELSE 'ab ' || doc_id
+       END) AS bigint) AS n_chars,
+       cast(CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 0 END AS int)
+         AS n_removed,
+       doc_id % 5 <> 0 AS changed
+FROM documents
+"""
+
+
+@register(
+    "unicode_clean_report",
+    oracle=_UNICODE_ORACLE,
+    tags=("extension", "text"),
+)
+def unicode_clean_report(spark, sf_dir):
+    """Unicode text normalization end to end (round-10) — the first
+    cleaning pass every LLM corpus runs: five real denormalization
+    classes (precomposed pass-through, combining-accent composition,
+    ligature expansion, fullwidth folding, NUL/zero-width stripping)
+    go through NFKC + Cc/Cf removal (operators/textnorm.py, stdlib
+    unicodedata) and the oracle states every expected CLEANED string
+    literally — so the exact compatibility mappings and category
+    stripping are hash-gated, not trusted. The spellings this collapses
+    are precisely the ones that defeat exact dedup upstream.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — pure per-row string work."""
+    from ..operators.textnorm import (
+        synthesize_dirty_text,
+        unicode_clean_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return unicode_clean_features(synthesize_dirty_text(d))
+
+
+# --- politeness-aware crawl scheduling ------------------------------------------------
+
+_CRAWL_SCHEDULE_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 10) || '.example' AS domain,
+         'https://site' || (doc_id % 10) || '.example' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/public/' || doc_id
+           WHEN 1 THEN '/private/' || doc_id
+           WHEN 2 THEN '/tmp/x' || doc_id
+           ELSE '/private/open/' || doc_id
+         END AS url
+  FROM documents
+),
+r AS (
+  SELECT doc_id, domain, url,
+         row_number() OVER (PARTITION BY domain ORDER BY url, doc_id)
+           - 1 AS rn
+  FROM u
+)
+SELECT doc_id, domain, url,
+       cast(rn // 4 AS int) AS fetch_round,
+       cast(rn % 4 AS int) AS slot_in_round
+FROM r
+"""
+
+
+@register(
+    "crawl_schedule_report",
+    oracle=_CRAWL_SCHEDULE_ORACLE,
+    tags=("extension", "web"),
+)
+def crawl_schedule_report(spark, sf_dir):
+    """Politeness-aware crawl scheduling (round-10) — after discovery
+    (feed_discovery_report) and admission (robots_admission_report),
+    the frontier is batched so no domain is fetched more than
+    ``rate`` times per round: a domain-partitioned row_number over a
+    deterministic (url, doc_id) order assigns each URL its fetch round
+    (rn // rate) and its slot within the round (rn %% rate). One
+    shuffle, on the politeness key itself — exactly the partitioning a
+    cluster-scale fetcher wants, since a round's fetches for one
+    domain land on one executor's rate limiter.
+
+    The window is PARTITIONED by domain (the repo-wide partition-less
+    window ban applies to this query like every other), and the oracle
+    recomputes the schedule with the identical SQL window."""
+    from ..operators.web import synthesize_crawl_urls
+
+    rate = 4
+    u = synthesize_crawl_urls(read_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("domain").orderBy(F.asc("url"), F.asc("doc_id"))
+    rn = F.row_number().over(w) - 1
+    return u.select(
+        "doc_id", "domain", "url",
+        (rn / rate).cast("int").alias("fetch_round"),
+        (rn % rate).cast("int").alias("slot_in_round"),
+    )
 
 
 # --- CSV dialect-sniffing ingestion --------------------------------------------------

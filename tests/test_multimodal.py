@@ -4315,3 +4315,55 @@ def test_csv_sniffing(spark):
         want = (f'q"{did}"{n-1}' if (n - 1) % 2 == 0
                 else f"v{delim}{n-1}")
         assert r["last_note"] == want, did
+
+
+def test_unicode_clean_and_crawl_schedule(spark):
+    """Unicode NFKC cleanup + politeness scheduling (round-10): the
+    five denormalization classes pinned against hand-stated expected
+    strings, newline/tab preserved while NUL/ZWSP strip, and the
+    domain-partitioned schedule respects the per-round rate with
+    every URL scheduled exactly once."""
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.operators.textnorm import (
+        clean_unicode,
+        synthesize_dirty_text,
+        unicode_clean_features,
+    )
+
+    assert clean_unicode("caf\u00e9 1") == {
+        "text": "caf\u00e9 1", "n_removed": 0, "changed": False}
+    assert clean_unicode("cafe\u0301 1")["text"] == "caf\u00e9 1"
+    assert clean_unicode("\ufb01le")["text"] == "file"
+    assert clean_unicode("\uff21\uff22")["text"] == "AB"
+    r = clean_unicode("a\u0000b\u200b\tc\nd\u202e")
+    assert r["text"] == "ab\tc\nd" and r["n_removed"] == 3 and r["changed"]
+
+    d = read_table(spark, SF0001, "documents").limit(25)
+    rows = {r["doc_id"]: r for r in
+            unicode_clean_features(synthesize_dirty_text(d)).collect()}
+    want = {0: "caf\u00e9 ", 1: "caf\u00e9 ", 2: "file ", 3: "AB ", 4: "ab "}
+    for did, r in rows.items():
+        assert r["text_clean"] == want[did % 5] + str(did), did
+        assert r["n_removed"] == (2 if did % 5 == 4 else 0)
+        assert r["changed"] == (did % 5 != 0)
+
+    # crawl schedule: rate respected, each URL scheduled exactly once
+    from __spark_entry__ import queries as _qs
+
+    sched = _qs()["crawl_schedule_report"](spark, SF0001).collect()
+    assert len(sched) == len({r["url"] for r in sched})
+    per_round = {}
+    for r in sched:
+        assert 0 <= r["slot_in_round"] < 4
+        k = (r["domain"], r["fetch_round"])
+        per_round[k] = per_round.get(k, 0) + 1
+    assert max(per_round.values()) <= 4
+    # rounds are dense per domain: round k+1 implies a FULL round k
+    by_dom = {}
+    for (dom, rnd), cnt in per_round.items():
+        by_dom.setdefault(dom, {})[rnd] = cnt
+    for dom, rounds in by_dom.items():
+        top = max(rounds)
+        for k in range(top):
+            assert rounds[k] == 4, (dom, k)
