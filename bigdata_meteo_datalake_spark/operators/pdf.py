@@ -3,12 +3,17 @@ source for an LLM corpus. Implements the ISO 32000 / PDF 1.4 subset
 that covers the overwhelming majority of born-digital text PDFs:
 
 - classic cross-reference TABLES (``xref`` sections chained by /Prev,
-  incremental updates included) located via ``startxref``;
+  incremental updates included) located via ``startxref``, AND PDF 1.5
+  cross-reference STREAMS (/Type /XRef with /W field widths, /Index
+  subsections, Flate + PNG predictors) with type-2 entries resolving
+  through compressed OBJECT STREAMS (/ObjStm header-pair layout) — the
+  container layout virtually all modern PDFs use;
 - the full object grammar: dicts, arrays, names (with #xx escapes),
   numbers, booleans, null, literal strings (all \\-escapes + octal +
   line continuations), hex strings, indirect references, streams;
 - stream filters: none or /FlateDecode (zlib — wrapped so corrupt
-  deflate data raises ValueError, never a bare zlib.error);
+  deflate data raises ValueError, never a bare zlib.error), plus
+  /DecodeParms PNG predictors (Sub/Up/Average/Paeth row filters);
 - page-tree walk (/Pages nodes with /Kids, /Contents single or array);
 - content-stream text operators: BT..ET blocks, Tj, TJ (kerning
   numbers skipped), ' and ", with Td/TD/T*/Tm/'/" starting a new line;
@@ -19,12 +24,11 @@ that covers the overwhelming majority of born-digital text PDFs:
   raise loudly instead of guessing).
 
 DECLARED boundaries (loud, specific raises — not silent wrong text):
-encrypted documents (/Encrypt), cross-reference STREAMS (PDF 1.5+),
-object streams (/ObjStm), composite/CID fonts (/Type0, the
+encrypted documents (/Encrypt), composite/CID fonts (/Type0, the
 subset-embedded-font case where bytes are glyph ids and text recovery
 needs the embedded /ToUnicode CMap), /Differences re-encoded fonts,
-non-Flate filters (DCT/LZW/ASCII85/...), and inline images (BI..EI —
-raw binary that breaks content tokenization).
+non-Flate filters (DCT/LZW/ASCII85/...), TIFF predictor 2, and inline
+images (BI..EI — raw binary that breaks content tokenization).
 
 Text assembly rule (deterministic, so a SQL oracle can rebuild it):
 every show operator appends its decoded string; a line break ("\\n")
@@ -223,6 +227,65 @@ class _Lexer:
         raise ValueError("unterminated hex string")
 
 
+def _unpredict(data: bytes, predictor: int, columns: int,
+               colors: int, bpc: int) -> bytes:
+    """Reverse stream predictors (ISO 32000 7.4.4.4): 1 = none,
+    10..15 = PNG per-row filters (each row carries its own tag byte —
+    None/Sub/Up/Average/Paeth). TIFF predictor 2 and sub-byte
+    components are out of scope and raise."""
+    if predictor == 1:
+        return data
+    if predictor == 2:
+        raise NotImplementedError("TIFF predictor 2 not supported")
+    if predictor < 10 or predictor > 15:
+        raise ValueError(f"unknown predictor {predictor}")
+    if bpc != 8:
+        raise NotImplementedError(
+            f"predictor with BitsPerComponent {bpc} not supported"
+        )
+    rowlen = columns * colors
+    if rowlen <= 0:
+        raise ValueError("predictor with non-positive row length")
+    if len(data) % (rowlen + 1):
+        raise ValueError(
+            f"predicted stream length {len(data)} is not a multiple of "
+            f"row length {rowlen + 1}"
+        )
+    out = bytearray()
+    prev = bytes(rowlen)
+    bpp = colors  # bytes per pixel at 8 bits/component
+    for r in range(0, len(data), rowlen + 1):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter tag {tag}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
 # --- object parser -------------------------------------------------------------------
 
 
@@ -279,9 +342,11 @@ def _parse_value(lx: _Lexer):
 class _Document:
     def __init__(self, b: bytes):
         self.b = b
-        self.xref: dict[int, int] = {}
+        # obj num -> ("off", byte_offset) | ("instream", stm_num, idx)
+        self.xref: dict[int, tuple] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
         self._load_xref()
 
     # -- xref walk --
@@ -304,10 +369,18 @@ class _Document:
             lx = _Lexer(b, offset)
             kind, val = lx.next_token()
             if kind == "number":
-                raise NotImplementedError(
-                    "cross-reference STREAM (PDF 1.5+) — only classic "
-                    "xref tables are supported"
-                )
+                trailer = self._load_xref_stream(offset)
+                if "Encrypt" in trailer:
+                    raise NotImplementedError(
+                        "encrypted PDF (/Encrypt) — decryption is out of "
+                        "scope"
+                    )
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                if "Prev" in trailer:
+                    offset = int(self.resolve(trailer["Prev"]))
+                    continue
+                return
             if kind != "kw" or val != "xref":
                 raise ValueError(f"no xref table at offset {offset}")
             while True:
@@ -327,7 +400,7 @@ class _Document:
                         raise ValueError("truncated xref entry")
                     off, _gen, typ = entry[:10], entry[11:16], entry[17:18]
                     if typ == b"n" and (start + i) not in self.xref:
-                        self.xref[start + i] = int(off)
+                        self.xref[start + i] = ("off", int(off))
                     elif typ not in (b"n", b"f"):
                         raise ValueError(f"bad xref entry type {typ!r}")
                     # entries are 20 bytes incl. the 2-byte terminator,
@@ -351,6 +424,100 @@ class _Document:
                 continue
             return
 
+    def _load_xref_stream(self, offset: int) -> dict:
+        """Cross-reference STREAM (ISO 32000 7.5.8): parse the 'N G
+        obj' stream at ``offset`` directly (bootstrap — the xref table
+        is not available yet, so /Length must be a direct integer),
+        decode it through its filters/predictor, and walk the /W-field
+        rows over the /Index subsections. Returns the stream dict,
+        which doubles as the trailer."""
+        lx = _Lexer(self.b, offset)
+        k1, n1 = lx.next_token()
+        k2, _g = lx.next_token()
+        k3, kw = lx.next_token()
+        if k1 != "number" or k2 != "number" or (k3, kw) != ("kw", "obj"):
+            raise ValueError(f"no xref stream object at offset {offset}")
+        d = _parse_value(lx)
+        k4, kw4 = lx.next_token()
+        if not isinstance(d, dict) or (k4, kw4) != ("kw", "stream"):
+            raise ValueError(f"object at offset {offset} is not a stream")
+        if self.resolve(d.get("Type")) != "XRef":
+            raise ValueError("xref stream object lacks /Type /XRef")
+        length = d.get("Length")
+        if not isinstance(length, int):
+            raise ValueError(
+                "xref stream /Length must be a direct integer "
+                "(indirect lengths cannot be resolved during bootstrap)"
+            )
+        p = lx.pos
+        if self.b[p : p + 2] == b"\r\n":
+            p += 2
+        elif self.b[p : p + 1] == b"\n":
+            p += 1
+        raw = self.b[p : p + length]
+        if len(raw) < length:
+            raise ValueError("truncated xref stream")
+        data = self.stream_data(("stream", d, raw))
+        w = [int(self.resolve(x)) for x in self.resolve(d.get("W", []))]
+        if len(w) != 3 or any(x < 0 for x in w) or w[1] == 0:
+            raise ValueError(f"bad xref stream /W {w}")
+        size = int(self.resolve(d.get("Size", 0)))
+        index = [int(self.resolve(x))
+                 for x in self.resolve(d.get("Index", [0, size]))]
+        if len(index) % 2:
+            raise ValueError("odd-length xref stream /Index")
+        rowlen = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for i in range(count):
+                if pos + rowlen > len(data):
+                    raise ValueError("xref stream data shorter than /Index")
+                fields = []
+                for width in w:
+                    v = int.from_bytes(data[pos : pos + width], "big")
+                    pos += width
+                    fields.append(v)
+                typ = fields[0] if w[0] else 1
+                num = start + i
+                if num in self.xref:
+                    continue  # newest update wins
+                if typ == 1:
+                    self.xref[num] = ("off", fields[1])
+                elif typ == 2:
+                    self.xref[num] = ("instream", fields[1], fields[2])
+                elif typ != 0:
+                    raise ValueError(f"bad xref stream entry type {typ}")
+        return d
+
+    def _objstm_objects(self, stm_num: int) -> dict[int, object]:
+        """Load and cache an object stream (/ObjStm, ISO 32000 7.5.7):
+        N (objnum, offset) integer pairs, then the object bodies
+        starting at /First."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        obj = self.get_object(stm_num)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"
+                and self.resolve(obj[1].get("Type")) == "ObjStm"):
+            raise ValueError(f"object {stm_num} is not an /ObjStm")
+        d = obj[1]
+        data = self.stream_data(obj, allow_objstm=True)
+        n = int(self.resolve(d.get("N", 0)))
+        first = int(self.resolve(d.get("First", 0)))
+        hlx = _Lexer(data[:first])
+        pairs = []
+        for _ in range(n):
+            ka, va = hlx.next_token()
+            kb, vb = hlx.next_token()
+            if ka != "number" or kb != "number":
+                raise ValueError("malformed /ObjStm header pairs")
+            pairs.append((va, vb))
+        out: dict[int, object] = {}
+        for num, off in pairs:
+            out[num] = _parse_value(_Lexer(data, first + off))
+        self._objstm_cache[stm_num] = out
+        return out
+
     # -- object access --
     def resolve(self, v):
         while isinstance(v, _Ref):
@@ -362,7 +529,16 @@ class _Document:
             return self._cache[num]
         if num not in self.xref:
             raise ValueError(f"object {num} not in xref table")
-        lx = _Lexer(self.b, self.xref[num])
+        entry = self.xref[num]
+        if entry[0] == "instream":
+            objs = self._objstm_objects(entry[1])
+            if num not in objs:
+                raise ValueError(
+                    f"object {num} not found in /ObjStm {entry[1]}"
+                )
+            self._cache[num] = objs[num]
+            return objs[num]
+        lx = _Lexer(self.b, entry[1])
         k1, n1 = lx.next_token()
         k2, _g = lx.next_token()
         k3, kw = lx.next_token()
@@ -391,14 +567,17 @@ class _Document:
         self._cache[num] = val
         return val
 
-    def stream_data(self, obj) -> bytes:
-        """Decode a ('stream', dict, raw) object through its filters."""
+    def stream_data(self, obj, *, allow_objstm: bool = False) -> bytes:
+        """Decode a ('stream', dict, raw) object through its filters
+        and predictor. /ObjStm payloads are only decodable through the
+        dedicated loader (``allow_objstm`` guards against a content
+        walk treating one as page data)."""
         if not (isinstance(obj, tuple) and obj[0] == "stream"):
             raise ValueError("expected a stream object")
         d, raw = obj[1], obj[2]
-        if d.get("Type") == "ObjStm":
-            raise NotImplementedError(
-                "object stream (/ObjStm, PDF 1.5+) not supported"
+        if d.get("Type") == "ObjStm" and not allow_objstm:
+            raise ValueError(
+                "/ObjStm used where a data stream was expected"
             )
         filt = self.resolve(d.get("Filter"))
         if filt is None:
@@ -416,9 +595,16 @@ class _Document:
                 raise NotImplementedError(
                     f"stream filter /{f} not supported (only FlateDecode)"
                 )
-        if "DecodeParms" in d and self.resolve(d["DecodeParms"]) is not None:
-            raise NotImplementedError(
-                "predictor /DecodeParms not supported"
+        parms = self.resolve(d.get("DecodeParms"))
+        if parms is not None:
+            if not isinstance(parms, dict):
+                raise ValueError("/DecodeParms is not a dictionary")
+            data = _unpredict(
+                data,
+                int(self.resolve(parms.get("Predictor", 1))),
+                int(self.resolve(parms.get("Columns", 1))),
+                int(self.resolve(parms.get("Colors", 1))),
+                int(self.resolve(parms.get("BitsPerComponent", 8))),
             )
         return data
 
@@ -643,21 +829,30 @@ def _esc_literal(s: str) -> bytes:
 
 
 def build_pdf(pages: list[list[str]], *, compress: bool = True,
-              use_tj_arrays: bool = False) -> bytes:
-    """[[line, ...] per page] -> a complete single-update PDF 1.4 file:
+              use_tj_arrays: bool = False, xref_stream: bool = False,
+              use_objstm: bool = False) -> bytes:
+    """[[line, ...] per page] -> a complete single-update PDF file:
     catalog -> /Pages -> one /Page per entry, Helvetica with
     /WinAnsiEncoding, each line shown at a Td-advanced position (Tj, or
     a split TJ array when ``use_tj_arrays``), content streams
-    Flate-compressed when ``compress``. The xref table and trailer are
-    spec-exact, so any conformant reader opens the output."""
+    Flate-compressed when ``compress``. With ``xref_stream`` the
+    cross-reference is written as a PDF 1.5 /XRef STREAM (W [1 4 2],
+    Flate + PNG Up predictor); with ``use_objstm`` (requires
+    ``xref_stream`` — type-2 entries only exist there) every
+    non-stream object is packed into a compressed /ObjStm. Classic
+    output keeps the spec-exact xref table + trailer; any conformant
+    reader opens either form."""
     if not pages:
         raise ValueError("need at least one page")
+    if use_objstm and not xref_stream:
+        raise ValueError("/ObjStm requires an xref stream (type-2 entries)")
     objects: dict[int, bytes] = {}
     font_num = 3
     objects[font_num] = (b"<< /Type /Font /Subtype /Type1 "
                          b"/BaseFont /Helvetica "
                          b"/Encoding /WinAnsiEncoding >>")
     page_nums = []
+    stream_nums: set[int] = set()
     next_num = 4
     for lines in pages:
         ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
@@ -684,6 +879,7 @@ def build_pdf(pages: list[list[str]], *, compress: bool = True,
         cnum = next_num
         next_num += 1
         objects[cnum] = sdict + b"\nstream\n" + data + b"\nendstream"
+        stream_nums.add(cnum)
         pnum = next_num
         next_num += 1
         objects[pnum] = (
@@ -697,18 +893,73 @@ def build_pdf(pages: list[list[str]], *, compress: bool = True,
                   + str(len(page_nums)).encode() + b" >>")
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
+    version = b"1.5" if xref_stream else b"1.4"
+    out = bytearray(b"%PDF-" + version + b"\n%\xe2\xe3\xcf\xd3\n")
+    entries: dict[int, tuple] = {}  # num -> (type, f2, f3)
+
+    if use_objstm:
+        packed = sorted(n_ for n_ in objects if n_ not in stream_nums)
+        stm_num = max(objects) + 1
+        offs, bodies, cur = [], [], 0
+        for n_ in packed:
+            body = objects[n_] + b"\n"
+            offs.append(cur)
+            bodies.append(body)
+            cur += len(body)
+        pairs = (" ".join(f"{n_} {o}" for n_, o in zip(packed, offs))
+                 .encode() + b"\n")
+        data = zlib.compress(pairs + b"".join(bodies), 6)
+        objects = {n_: v for n_, v in objects.items()
+                   if n_ in stream_nums}
+        objects[stm_num] = (
+            b"<< /Type /ObjStm /N " + str(len(packed)).encode()
+            + b" /First " + str(len(pairs)).encode()
+            + b" /Length " + str(len(data)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + data
+            + b"\nendstream"
+        )
+        for idx, n_ in enumerate(packed):
+            entries[n_] = (2, stm_num, idx)
+
     for num in sorted(objects):
-        offsets[num] = len(out)
+        entries[num] = (1, len(out), 0)
         out += (str(num).encode() + b" 0 obj\n" + objects[num]
                 + b"\nendobj\n")
+
+    if xref_stream:
+        xnum = max(entries) + 1
+        xref_pos = len(out)
+        entries[xnum] = (1, xref_pos, 0)
+        size = xnum + 1
+        rowlen = 1 + 4 + 2
+        raw = bytearray()
+        prev = bytes(rowlen)
+        for num in range(size):
+            t, f2, f3 = entries.get(num, (0, 0, 65535))
+            row = (bytes([t]) + f2.to_bytes(4, "big")
+                   + f3.to_bytes(2, "big"))
+            # PNG Up filter (predictor 12): delta against the prior row
+            raw.append(2)
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+            prev = row
+        data = zlib.compress(bytes(raw), 6)
+        out += (
+            str(xnum).encode() + b" 0 obj\n<< /Type /XRef /Size "
+            + str(size).encode() + b" /W [1 4 2] /Root 1 0 R /Length "
+            + str(len(data)).encode()
+            + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns " + str(rowlen).encode() + b" >> >>\nstream\n"
+            + data + b"\nendstream\nendobj\n"
+        )
+        out += (b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n")
+        return bytes(out)
+
     xref_pos = len(out)
     n = max(objects) + 1
     out += b"xref\n0 " + str(n).encode() + b"\n"
     out += b"0000000000 65535 f \n"
     for num in range(1, n):
-        out += ("%010d 00000 n \n" % offsets[num]).encode()
+        out += ("%010d 00000 n \n" % entries[num][1]).encode()
     out += (b"trailer\n<< /Size " + str(n).encode()
             + b" /Root 1 0 R >>\nstartxref\n"
             + str(xref_pos).encode() + b"\n%%EOF\n")
@@ -746,10 +997,17 @@ def synthesize_pdf_blobs(df):
                     for p in range(1 + did % 3)
                 ]
                 out["doc_id"].append(did)
+                # container style cycles too: two thirds of documents
+                # use the modern PDF 1.5 xref-stream layout, a third of
+                # those with every non-stream object packed in an
+                # /ObjStm — the oracle hash is container-independent,
+                # so all three layouts sit under one gate
                 out["blob"].append(build_pdf(
                     pages,
                     compress=(did % 2 == 0),
                     use_tj_arrays=(did % 3 == 0),
+                    xref_stream=(did % 3 != 2),
+                    use_objstm=(did % 3 == 0),
                 ))
             yield pd.DataFrame(out)
 

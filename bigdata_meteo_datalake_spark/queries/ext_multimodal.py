@@ -1360,12 +1360,18 @@ def pdf_text_report(spark, sf_dir):
     uses split TJ arrays with kerning numbers) -> cp1252 decoding
     (escaped parentheses + the 0x80 euro in every payload line).
 
+    Container layouts cycle too (round-10 extension): two thirds of
+    the fixtures use the PDF 1.5 xref-STREAM layout (W-field rows,
+    Flate + PNG Up predictor), a third of those with every non-stream
+    object packed into a compressed /ObjStm — so the modern container
+    path virtually all real PDFs use sits under the SAME hash as the
+    classic table.
+
     The COMPLETE extracted text is a result column, rebuilt
     character-for-character by the SQL oracle (string_agg over the page
     range) — the assembly rule itself is value-checked, not just
-    counts. Encrypted files, xref/object streams, CID fonts, and
-    non-Flate filters are loud declared boundaries (rejection-swept in
-    tests/test_multimodal.py).
+    counts. Encrypted files, CID fonts, and non-Flate filters are loud
+    declared boundaries (rejection-swept in tests/test_multimodal.py).
 
     Scale: two chained mapInPandas stages over an id spine, zero
     exchanges — documents parse independently, the WARC/HTML shape."""

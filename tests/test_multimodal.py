@@ -4367,3 +4367,87 @@ def test_unicode_clean_and_crawl_schedule(spark):
         top = max(rounds)
         for k in range(top):
             assert rounds[k] == 4, (dom, k)
+
+
+def test_pdf_xref_streams_and_objstm():
+    """PDF 1.5 container layouts (round-10): xref STREAMS (W fields,
+    Index, Flate + PNG Up predictor) and compressed /ObjStm object
+    packing extract byte-identically to the classic table; the PNG
+    row-filter inverter is pinned against hand-applied Sub/Up/Avg/
+    Paeth filters; mutation fuzz stays inside the error contract."""
+    import zlib
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.pdf import (
+        _unpredict,
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [["Doc 3 page 0", "pay(load) 21 €"], ["Doc 3 page 1"]]
+    want = extract_pdf_text(build_pdf(pages))
+    for xs, objstm in ((True, False), (True, True)):
+        got = extract_pdf_text(build_pdf(pages, xref_stream=xs,
+                                         use_objstm=objstm))
+        assert got == want, (xs, objstm)
+    with pytest.raises(ValueError, match="ObjStm requires"):
+        build_pdf(pages, use_objstm=True)
+
+    # PNG predictor inverter: forward-filter two rows by hand with
+    # every tag, then invert
+    rows = [bytes([10, 250, 7, 3]), bytes([200, 1, 128, 255])]
+    for tag in (0, 1, 2, 3, 4):
+        enc = bytearray()
+        prev = bytes(4)
+        for row in rows:
+            f = bytearray()
+            for i, x in enumerate(row):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if tag == 0:
+                    pred = 0
+                elif tag == 1:
+                    pred = a
+                elif tag == 2:
+                    pred = b
+                elif tag == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                f.append((x - pred) & 0xFF)
+            enc.append(tag)
+            enc += f
+            prev = row
+        assert _unpredict(bytes(enc), 12, 4, 1, 8) == b"".join(rows), tag
+    with pytest.raises(NotImplementedError, match="TIFF"):
+        _unpredict(b"\x00\x00", 2, 2, 1, 8)
+    with pytest.raises(ValueError, match="multiple"):
+        _unpredict(b"\x02\x00\x00", 12, 4, 1, 8)
+
+    # fuzz the modern layout like the classic one
+    good = build_pdf(pages, xref_stream=True, use_objstm=True)
+    rng = np.random.default_rng(31)
+    for cut in (8, len(good) // 2, len(good) - 4):
+        try:
+            extract_pdf_text(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(120):
+        mut = bytearray(good)
+        k = int(rng.integers(5, len(mut)))
+        mut[k] = int(rng.integers(0, 256))
+        try:
+            extract_pdf_text(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+    # corrupt the predictor declaration -> loud, typed error
+    bad = bytearray(good)
+    i = bad.find(b"/Predictor 12")
+    bad[i + 11 : i + 13] = b"77"
+    with pytest.raises((ValueError, NotImplementedError)):
+        extract_pdf_text(bytes(bad))
