@@ -176,12 +176,65 @@ def http_response_status(payload: bytes) -> int:
         raise ValueError(f"bad HTTP status in {line[:40]!r}")
 
 
+def _dechunk(b: bytes) -> bytes:
+    """Reverse HTTP/1.1 Transfer-Encoding: chunked (RFC 9112 7.1):
+    hex size lines (chunk extensions ignored), CRLF-terminated chunks,
+    a zero-size terminator. Malformed framing raises ValueError."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = b.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body missing a size line")
+        size_tok = b[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"bad chunk size line {size_tok!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers, if any, are ignorable here
+        if pos + size + 2 > len(b):
+            raise ValueError("truncated chunk")
+        out += b[pos : pos + size]
+        if b[pos + size : pos + size + 2] != _CRLF:
+            raise ValueError("chunk missing its CRLF terminator")
+        pos += size + 2
+
+
 def http_response_body(payload: bytes) -> bytes:
-    """Body bytes of an HTTP response payload (after the header block)."""
+    """DECODED body bytes of an HTTP response payload: header block
+    split off, Transfer-Encoding: chunked reversed, Content-Encoding:
+    gzip inflated — the two framings CommonCrawl responses actually
+    carry. Unknown transfer or content codings raise ValueError
+    (reporting a still-encoded body as text is silent corruption)."""
     sep = payload.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("HTTP response payload missing header separator")
-    return payload[sep + 4 :]
+    headers: dict[str, str] = {}
+    for line in payload[:sep].decode("latin-1").split("\r\n")[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    body = payload[sep + 4 :]
+    te = headers.get("transfer-encoding", "").lower()
+    if te:
+        if te != "chunked":
+            raise ValueError(f"unsupported Transfer-Encoding {te!r}")
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower()
+    if ce and ce != "identity":
+        if ce != "gzip":
+            raise ValueError(f"unsupported Content-Encoding {ce!r}")
+        import gzip as _gzip
+
+        try:
+            body = _gzip.decompress(body)
+        except OSError as e:
+            raise ValueError(f"corrupt gzip body ({e})") from e
+    return body
 
 
 # --- Spark kernels (mapInPandas, the codec plan shape) --------------------------------
@@ -297,11 +350,32 @@ def synthesize_warc_blobs(df):
                     status = (200, 404, 301)[(did + i) % 3]
                     body = (f"body-{did}-{i}-"
                             + "x" * ((did * 7 + i * 13) % 50)).encode()
+                    # body framing cycles the three real CommonCrawl
+                    # shapes; the DECODED length is the oracle's closed
+                    # form, so all three sit under one hash
+                    framing = (did + 2 * i) % 3
+                    if framing == 0:  # identity + Content-Length
+                        wire = body
+                        extra = f"Content-Length: {len(body)}\r\n"
+                    elif framing == 1:  # Transfer-Encoding: chunked
+                        half = len(body) // 2
+                        wire = b""
+                        for chunk in (body[:half], body[half:]):
+                            wire += (f"{len(chunk):x}\r\n".encode()
+                                     + chunk + b"\r\n")
+                        wire += b"0\r\n\r\n"
+                        extra = "Transfer-Encoding: chunked\r\n"
+                    else:  # Content-Encoding: gzip
+                        import gzip as _gzip
+
+                        wire = _gzip.compress(body, mtime=0)
+                        extra = ("Content-Encoding: gzip\r\n"
+                                 f"Content-Length: {len(wire)}\r\n")
                     payload = (
                         f"HTTP/1.1 {status} X\r\n"
                         f"Content-Type: text/html\r\n"
-                        f"Content-Length: {len(body)}\r\n\r\n"
-                    ).encode() + body
+                        f"{extra}\r\n"
+                    ).encode() + wire
                     records.append({
                         "type": "response",
                         "uri": f"https://ex.com/{did}/{i}",

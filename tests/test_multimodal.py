@@ -4451,3 +4451,47 @@ def test_pdf_xref_streams_and_objstm():
     bad[i + 11 : i + 13] = b"77"
     with pytest.raises((ValueError, NotImplementedError)):
         extract_pdf_text(bytes(bad))
+
+
+def test_http_body_decodings():
+    """HTTP body framing (round-10): chunked transfer decoding (with
+    chunk extensions), gzip content decoding, their combination, and
+    loud rejection of unknown codings / malformed framing — plus the
+    existing WARC test's kernel now exercising all three framings."""
+    import gzip
+
+    from bigdata_meteo_datalake_spark.operators.web import (
+        _dechunk,
+        http_response_body,
+    )
+
+    body = b"hello world body"
+    assert http_response_body(
+        b"HTTP/1.1 200 X\r\nContent-Length: 16\r\n\r\n" + body) == body
+    chunked = b"5;ext=a\r\nhello\r\nb\r\n world body\r\n0\r\n\r\n"
+    assert http_response_body(
+        b"HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + chunked) == body
+    gz = gzip.compress(body, mtime=0)
+    assert http_response_body(
+        b"HTTP/1.1 200 X\r\nContent-Encoding: gzip\r\n\r\n" + gz) == body
+    both = (f"{len(gz):x}".encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n")
+    assert http_response_body(
+        b"HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + both) == body
+    assert _dechunk(b"0\r\n\r\n") == b""
+
+    for bad, msg in (
+        (b"HTTP/1.1 200 X\r\nTransfer-Encoding: br\r\n\r\nx",
+         "Transfer-Encoding"),
+        (b"HTTP/1.1 200 X\r\nContent-Encoding: zstd\r\n\r\nx",
+         "Content-Encoding"),
+        (b"HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx",
+         "chunk size"),
+        (b"HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nhi",
+         "truncated"),
+        (b"HTTP/1.1 200 X\r\nContent-Encoding: gzip\r\n\r\nnope",
+         "gzip"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            http_response_body(bad)
