@@ -33,8 +33,11 @@ from __future__ import annotations
 
 import base64
 import quopri
+import re
 
-__all__ = ["build_eml", "parse_eml"]
+__all__ = ["build_eml", "build_mbox", "parse_eml", "split_mbox"]
+
+_FROM_RE = re.compile(rb"^>*From ")
 
 _BOUNDARY = "=-spark-fixture-boundary"
 
@@ -261,3 +264,129 @@ def eml_text_features(df):
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, EML_SCHEMA)
+
+
+# --- mbox archives (the mailing-list shipping container) -----------------------------
+
+
+def build_mbox(messages: list[bytes]) -> bytes:
+    """EML messages -> an mboxrd archive: each message introduced by a
+    'From ' envelope line, body lines matching ^>*From (space) quoted
+    with one more '>' (the mboxrd convention, reversible — plain mboxo
+    munging destroys '>From ' lines), a blank separator line after
+    each message."""
+    out = bytearray()
+    for i, msg in enumerate(messages):
+        out += f"From fixture@example Thu Jan  1 00:00:0{i % 10} 2026\n".encode()
+        for line in msg.replace(b"\r\n", b"\n").split(b"\n"):
+            if _FROM_RE.match(line):
+                out += b">"
+            out += line + b"\n"
+        out += b"\n"
+    return bytes(out)
+
+
+def split_mbox(b: bytes) -> list[bytes]:
+    """mboxrd archive -> the original EML message bytes (envelope
+    lines stripped, '>'-quoting reversed). A non-'From ' first line or
+    an empty archive raises ValueError."""
+    if not b.strip():
+        raise ValueError("empty mbox archive")
+    lines = b.split(b"\n")
+    if not lines[0].startswith(b"From "):
+        raise ValueError("mbox must start with a 'From ' envelope line")
+    messages: list[list[bytes]] = []
+    cur: list[bytes] | None = None
+    for line in lines:
+        if line.startswith(b"From "):
+            if cur is not None:
+                messages.append(cur)
+            cur = []
+            continue
+        if cur is None:
+            raise ValueError("content before the first envelope line")
+        if _FROM_RE.match(line):
+            line = line[1:]  # reverse one level of mboxrd quoting
+        cur.append(line)
+    if cur is not None:
+        messages.append(cur)
+    out = []
+    for msg in messages:
+        while msg and not msg[-1]:
+            msg.pop()  # the blank separator (and trailing EOF newline)
+        out.append(b"\n".join(msg) + b"\n")
+    return out
+
+
+def synthesize_mbox_blobs(df):
+    """Deterministic mbox source: per ``doc_id`` an mboxrd archive of
+    1 + doc_id % 3 hand-rolled MIME messages —
+
+      message j: from 'user{(doc_id+j) % 7}@example.com',
+                 subject 'Msg {doc_id}-{j}',
+                 body = 1 + (doc_id+j) % 2 lines
+                        'mb {doc_id}-{j} line {i}{suffix}',
+                 transfer encoding cycling by (doc_id+j) % 3 with
+                 suffix ' ü 50%' on the non-7bit encodings
+
+    — closed forms queries/ext_multimodal.py:mbox_messages_report
+    recomputes."""
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                msgs = []
+                for j in range(1 + did % 3):
+                    enc = ("7bit", "quoted-printable", "base64")[(did + j) % 3]
+                    suffix = "" if enc == "7bit" else " ü 50%"
+                    body = "\n".join(
+                        f"mb {did}-{j} line {i}{suffix}"
+                        for i in range(1 + (did + j) % 2)
+                    )
+                    msgs.append(build_eml(
+                        from_addr=f"user{(did + j) % 7}@example.com",
+                        subject=f"Msg {did}-{j}",
+                        body=body,
+                        encoding=enc,
+                    ))
+                out["doc_id"].append(did)
+                out["blob"].append(build_mbox(msgs))
+            yield pd.DataFrame(out)
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+MBOX_SCHEMA = (
+    "doc_id long, msg_idx int, subject string, from_addr string, "
+    "encoding string, text string"
+)
+
+
+def mbox_messages_features(df):
+    """mbox demux -> one row PER MESSAGE through the full EML parser:
+    (doc_id, msg_idx, subject, from_addr, encoding, text)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "msg_idx", "subject",
+                                   "from_addr", "encoding", "text")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for j, msg in enumerate(split_mbox(bytes(blob))):
+                    r = parse_eml(msg)
+                    out["doc_id"].append(doc_id)
+                    out["msg_idx"].append(j)
+                    out["subject"].append(r["subject"])
+                    out["from_addr"].append(r["from_addr"])
+                    out["encoding"].append(r["encoding"])
+                    out["text"].append(r["text"])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, MBOX_SCHEMA)

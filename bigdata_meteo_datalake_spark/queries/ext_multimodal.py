@@ -1182,6 +1182,64 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- mbox archives through the kernel gate -------------------------------------------
+
+_MBOX_ORACLE = """
+WITH m AS (
+  SELECT doc_id, j.j AS j
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+  WHERE j.j < 1 + doc_id % 3
+),
+e AS (
+  SELECT doc_id, j,
+         CASE (doc_id + j) % 3 WHEN 0 THEN '7bit'
+                               WHEN 1 THEN 'quoted-printable'
+                               ELSE 'base64' END AS encoding,
+         CASE WHEN (doc_id + j) % 3 = 0 THEN '' ELSE ' ü 50%' END AS sfx
+  FROM m
+)
+SELECT doc_id,
+       cast(j AS int) AS msg_idx,
+       'Msg ' || doc_id || '-' || j AS subject,
+       'user' || ((doc_id + j) % 7) || '@example.com' AS from_addr,
+       encoding,
+       'mb ' || doc_id || '-' || j || ' line 0' || sfx
+       || CASE WHEN (doc_id + j) % 2 = 1
+               THEN chr(10) || 'mb ' || doc_id || '-' || j
+                    || ' line 1' || sfx
+               ELSE '' END AS text
+FROM e
+"""
+
+
+@register(
+    "mbox_messages_report",
+    oracle=_MBOX_ORACLE,
+    tags=("extension", "multimodal", "text"),
+)
+def mbox_messages_report(spark, sf_dir):
+    """mbox archive demux end to end (round-10) — the container
+    mailing-list corpora actually ship in: per document an mboxrd
+    archive of 1 + doc_id % 3 hand-rolled MIME messages (envelope
+    'From ' lines, reversible '>'-quoting of ^>*From body lines) is
+    split back into its messages (operators/mime.py:split_mbox) and
+    each run through the FULL EML parser — one row per message with
+    subject, sender, transfer encoding, and the extracted text (all
+    three encodings converging on the closed form, as in
+    eml_text_report).
+
+    Scale: archives are the shard unit (one blob = a mailing list's
+    month); two chained mapInPandas stages, zero exchanges."""
+    from ..operators.mime import (
+        mbox_messages_features,
+        synthesize_mbox_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return mbox_messages_features(synthesize_mbox_blobs(d))
+
+
 # --- robots.txt crawl-policy admission -----------------------------------------------
 
 _ROBOTS_ORACLE = """

@@ -4495,3 +4495,48 @@ def test_http_body_decodings():
     ):
         with pytest.raises(ValueError, match=msg):
             http_response_body(bad)
+
+
+def test_mbox_archives(spark):
+    """mbox demux (round-10): mboxrd From-munging is REVERSIBLE
+    (bodies containing 'From ' and '>From ' lines roundtrip exactly),
+    envelope lines are stripped, malformed archives raise, and the
+    production kernel matches the closed form."""
+    from bigdata_meteo_datalake_spark.operators.mime import (
+        build_eml,
+        build_mbox,
+        mbox_messages_features,
+        parse_eml,
+        split_mbox,
+        synthesize_mbox_blobs,
+    )
+
+    tricky = "From the start\n>From quoted\n>>From deeper\nnormal"
+    msgs = [build_eml(from_addr="a@b.c", subject=f"S{j}", body=tricky,
+                      encoding="7bit") for j in range(3)]
+    back = split_mbox(build_mbox(msgs))
+    assert len(back) == 3
+    for j, m in enumerate(back):
+        r = parse_eml(m)
+        assert r["subject"] == f"S{j}" and r["text"] == tricky, j
+
+    with pytest.raises(ValueError, match="empty"):
+        split_mbox(b"  \n")
+    with pytest.raises(ValueError, match="envelope"):
+        split_mbox(b"not an mbox\nFrom x\n")
+
+    d = read_table(spark, SF0001, "documents").limit(24)
+    rows = {}
+    for r in mbox_messages_features(synthesize_mbox_blobs(d)).collect():
+        rows[(r["doc_id"], r["msg_idx"])] = r
+    for (did, j), r in rows.items():
+        enc = ("7bit", "quoted-printable", "base64")[(did + j) % 3]
+        sfx = "" if enc == "7bit" else " ü 50%"
+        want = "\n".join(f"mb {did}-{j} line {i}{sfx}"
+                         for i in range(1 + (did + j) % 2))
+        assert r["subject"] == f"Msg {did}-{j}"
+        assert r["from_addr"] == f"user{(did + j) % 7}@example.com"
+        assert r["encoding"] == enc and r["text"] == want, (did, j)
+    n_msgs = {did: 1 + did % 3 for did, _ in rows}
+    for did, n in n_msgs.items():
+        assert all((did, j) in rows for j in range(n)), did
