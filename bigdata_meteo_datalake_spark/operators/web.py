@@ -706,3 +706,135 @@ def robots_admission(urls, robots):
     return joined.select("doc_id", "url", "domain", "robots_txt").mapInPandas(
         kernel, "doc_id long, url string, domain string, allowed boolean"
     )
+
+
+# --- data-URI image extraction (HTML -> embedded media) -------------------------------
+
+
+def synthesize_html_with_images(df):
+    """Deterministic HTML-with-embedded-media source: per ``doc_id`` a
+    page carrying doc_id % 3 <img> tags whose src is a
+    data:image/jpeg;base64 URI holding a REAL block-constant JPEG
+    (w = 9 + (doc_id+i) % 16, h = 9 + (doc_id+i) % 12, tile
+    v = (doc_id*41 + bx*7 + by*13 + i*17) % 256), one external
+    <img src="https://..."> reference, and a decoy data:text/plain URI
+    — the extractor must decode exactly the embedded images and count
+    (not fetch) the external one."""
+    import base64
+
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        import numpy as np
+
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                imgs = []
+                for i in range(did % 3):
+                    w, h = 9 + (did + i) % 16, 9 + (did + i) % 12
+                    bx = np.arange(w)[None, :] // 8
+                    by = np.arange(h)[:, None] // 8
+                    arr = ((did * 41 + bx * 7 + by * 13 + i * 17) % 256
+                           ).astype(np.uint8)
+                    b64 = base64.b64encode(encode_jpeg(arr)).decode()
+                    imgs.append(
+                        f'<img alt="i{i}" '
+                        f'src="data:image/jpeg;base64,{b64}">'
+                    )
+                html = (
+                    "<!DOCTYPE html><html><body>"
+                    f"<p>Doc {did}</p>" + "".join(imgs)
+                    + f'<img src="https://cdn.example/{did}.jpg">'
+                    + '<img src="data:text/plain;base64,aGk=">'
+                    "</body></html>"
+                )
+                out["doc_id"].append(did)
+                out["blob"].append(html.encode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+DATA_URI_SCHEMA = (
+    "doc_id long, img_idx int, width int, height int, "
+    "mean_intensity double, n_external int"
+)
+
+
+def data_uri_image_features(df):
+    """HTML -> one row per EMBEDDED image: <img> tags collected with
+    the stdlib parser, data:image/*;base64 URIs decoded through the
+    sniffing codec dispatch (real JPEG decode), external references
+    counted but never fetched, non-image data URIs skipped. A
+    malformed data URI (bad base64, undecodable payload) raises —
+    silently dropping embedded media skews a multimodal corpus."""
+    import pandas as pd
+
+    def kernel(batches):
+        import base64
+        import binascii
+        from html.parser import HTMLParser
+
+        from .media_codecs import decode_jpeg, sniff_format
+
+        class _Imgs(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.srcs = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "img":
+                    for k, v in attrs:
+                        if k == "src" and v:
+                            self.srcs.append(v)
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "img_idx", "width", "height",
+                                   "mean_intensity", "n_external")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                p = _Imgs()
+                p.feed(bytes(blob).decode("utf-8"))
+                embedded = []
+                n_external = 0
+                for src in p.srcs:
+                    if not src.startswith("data:"):
+                        n_external += 1
+                        continue
+                    head, sep, payload = src.partition(",")
+                    if not sep:
+                        raise ValueError(f"malformed data URI {head[:40]!r}")
+                    if not head.startswith("data:image/"):
+                        continue  # non-image data URI (e.g. inline text)
+                    if not head.endswith(";base64"):
+                        raise ValueError(
+                            f"unsupported data URI encoding {head!r}"
+                        )
+                    try:
+                        embedded.append(base64.b64decode(payload,
+                                                         validate=True))
+                    except binascii.Error as e:
+                        raise ValueError(f"bad base64 in data URI ({e})") from e
+                for i, img in enumerate(embedded):
+                    if sniff_format(img) != "jpeg":
+                        raise ValueError(
+                            "embedded image is not a JPEG "
+                            f"(sniffed {sniff_format(img)!r})"
+                        )
+                    pix = decode_jpeg(img)
+                    out["doc_id"].append(doc_id)
+                    out["img_idx"].append(i)
+                    out["width"].append(pix.shape[1])
+                    out["height"].append(pix.shape[0])
+                    out["mean_intensity"].append(float(pix.mean()) / 255.0)
+                    out["n_external"].append(n_external)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, DATA_URI_SCHEMA)

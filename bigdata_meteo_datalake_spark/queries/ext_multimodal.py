@@ -1182,6 +1182,65 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- data-URI embedded-image extraction ----------------------------------------------
+
+_DATA_URI_ORACLE = """
+WITH d AS (
+  SELECT doc_id, j.j AS i
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+  WHERE j.j < doc_id % 3
+),
+g AS (
+  SELECT doc_id, i,
+         9 + (doc_id + i) % 16 AS w,
+         9 + (doc_id + i) % 12 AS h
+  FROM d
+),
+px AS (
+  SELECT doc_id, i, w, h,
+         list_aggregate(list_transform(range(0, w * h),
+           k -> (doc_id * 41 + ((k % w) // 8) * 7 + ((k // w) // 8) * 13
+                 + i * 17) % 256), 'sum') AS s
+  FROM g
+)
+SELECT doc_id,
+       cast(i AS int) AS img_idx,
+       cast(w AS int) AS width, cast(h AS int) AS height,
+       (cast(s AS double) / (w * h)) / 255.0 AS mean_intensity,
+       cast(1 AS int) AS n_external
+FROM px
+"""
+
+
+@register(
+    "data_uri_images_report",
+    oracle=_DATA_URI_ORACLE,
+    tags=("extension", "web", "multimodal", "codec"),
+)
+def data_uri_images_report(spark, sf_dir):
+    """Embedded-media extraction end to end (round-10) — the step that
+    turns a text crawl into a MULTIMODAL corpus: per document an HTML
+    page carrying doc_id % 3 data:image/jpeg;base64 <img> URIs (real
+    block-constant JPEGs), one external image reference, and a decoy
+    non-image data URI is parsed with the stdlib HTML parser; embedded
+    URIs are strict-base64-decoded and pushed through the REAL JPEG
+    decoder, external refs counted but never fetched, the decoy
+    skipped — one row per embedded image with dimensions and mean
+    intensity as tile-sum closed forms plus the external count, all
+    oracle-recomputed. Malformed data URIs fail loud.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — the HTML->media pivot is per-document work."""
+    from ..operators.web import (
+        data_uri_image_features,
+        synthesize_html_with_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return data_uri_image_features(synthesize_html_with_images(d))
+
+
 # --- mbox archives through the kernel gate -------------------------------------------
 
 _MBOX_ORACLE = """

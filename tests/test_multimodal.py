@@ -4540,3 +4540,66 @@ def test_mbox_archives(spark):
     n_msgs = {did: 1 + did % 3 for did, _ in rows}
     for did, n in n_msgs.items():
         assert all((did, j) in rows for j in range(n)), did
+
+
+def test_data_uri_image_extraction(spark):
+    """Data-URI embedded images (round-10): embedded JPEGs decode
+    through the real codec, the external ref is counted not fetched,
+    the non-image data URI is skipped, malformed URIs fail loud, and
+    the kernel matches the tile-sum closed form."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import encode_jpeg
+    from bigdata_meteo_datalake_spark.operators.web import (
+        data_uri_image_features,
+        synthesize_html_with_images,
+    )
+
+    def run(html):
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "blob": [html.encode()]}))
+        return data_uri_image_features(sdf).collect()
+
+    tile = (np.arange(16)[:, None] // 8 * 40 + 17).astype(np.uint8)
+    img = tile.repeat(1, axis=1).repeat(16, axis=1)[:16, :16]
+    b64 = base64.b64encode(encode_jpeg(img)).decode()
+    rows = run(f'<img src="data:image/jpeg;base64,{b64}">'
+               '<img src="https://x.example/a.jpg">'
+               '<img src="data:text/plain;base64,aGk=">')
+    assert len(rows) == 1
+    assert (rows[0]["width"], rows[0]["height"]) == (16, 16)
+    assert rows[0]["n_external"] == 1
+    assert abs(rows[0]["mean_intensity"]
+               - float(img.mean()) / 255.0) < 1e-12
+
+    with pytest.raises(Exception, match="base64"):
+        run('<img src="data:image/jpeg;base64,!!notb64!!">')
+    with pytest.raises(Exception, match="encoding"):
+        run('<img src="data:image/jpeg,rawdata">')
+    with pytest.raises(Exception, match="not a JPEG"):
+        run('<img src="data:image/png;base64,aGk=">')
+
+    # production kernel vs closed form
+    d = read_table(spark, SF0001, "documents").limit(27)
+    got = data_uri_image_features(synthesize_html_with_images(d)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    seen_docs = {r["doc_id"] for r in got}
+    for did in range(27):
+        assert (did in seen_docs) == (did % 3 != 0), did
+    for did, rs in by_doc.items():
+        assert len(rs) == did % 3
+        for r in rs:
+            i = r["img_idx"]
+            w, h = 9 + (did + i) % 16, 9 + (did + i) % 12
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["n_external"] == 1
+            bx = np.arange(w)[None, :] // 8
+            by = np.arange(h)[:, None] // 8
+            v = (did * 41 + bx * 7 + by * 13 + i * 17) % 256
+            want = (int(v.sum()) / (w * h)) / 255.0
+            assert abs(r["mean_intensity"] - want) < 1e-15, (did, i)
