@@ -838,3 +838,69 @@ def data_uri_image_features(df):
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, DATA_URI_SCHEMA)
+
+
+# --- host-level link graph (HTML -> edges -> degrees) ---------------------------------
+
+
+def synthesize_linked_pages(df):
+    """Deterministic cross-site page source: per ``doc_id`` an HTML
+    page on site{doc_id % 10}.example whose body links to sites
+    (doc_id + k) % 10 for k = 1 .. 1 + doc_id % 4 (self-loops only
+    when the ring wraps) — the link-graph shape a crawler's frontier
+    expansion and domain-authority scoring work on."""
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "src_domain": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                links = "".join(
+                    f'<a href="https://site{(did + k) % 10}.example'
+                    f'/p/{did}/{k}">ref{k}</a> '
+                    for k in range(1, 2 + did % 4)
+                )
+                html = ("<!DOCTYPE html><html><body>"
+                        f"<p>page {did}</p><div>{links}</div>"
+                        "</body></html>")
+                out["doc_id"].append(did)
+                out["src_domain"].append(f"site{did % 10}.example")
+                out["blob"].append(html.encode())
+            yield pd.DataFrame(out)
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, src_domain string, blob binary"
+    )
+
+
+def link_graph_edges(df):
+    """(doc_id, src_domain, blob) -> one row per outgoing link:
+    (doc_id, src_domain, dst_domain) — REAL HTML parsing
+    (extract_html), href hosts lowered through urlsplit."""
+    import pandas as pd
+
+    def kernel(batches):
+        from urllib.parse import urlsplit
+
+        for pdf in batches:
+            out = {"doc_id": [], "src_domain": [], "dst_domain": []}
+            for doc_id, src, blob in zip(pdf["doc_id"], pdf["src_domain"],
+                                         pdf["blob"]):
+                r = extract_html(bytes(blob).decode("utf-8"))
+                for href in r["links"]:
+                    host = (urlsplit(href).hostname or "").lower()
+                    if not host:
+                        raise ValueError(
+                            f"link without a host: {href[:60]!r}"
+                        )
+                    out["doc_id"].append(doc_id)
+                    out["src_domain"].append(src)
+                    out["dst_domain"].append(host)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "src_domain", "blob").mapInPandas(
+        kernel, "doc_id long, src_domain string, dst_domain string"
+    )

@@ -1182,6 +1182,57 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- host-level link graph -----------------------------------------------------------
+
+_LINK_GRAPH_ORACLE = """
+WITH e AS (
+  SELECT doc_id,
+         'site' || (doc_id % 10) || '.example' AS src,
+         'site' || ((doc_id + k.k) % 10) || '.example' AS dst
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(1, 5)) AS k) k
+  WHERE k.k < 2 + doc_id % 4
+)
+SELECT src AS src_domain,
+       cast(count(DISTINCT doc_id) AS bigint) AS n_pages,
+       cast(count(*) AS bigint) AS n_links,
+       cast(count(DISTINCT dst) AS int) AS n_distinct_dst
+FROM e
+GROUP BY src
+"""
+
+
+@register(
+    "link_graph_degree_report",
+    oracle=_LINK_GRAPH_ORACLE,
+    tags=("extension", "web", "graph"),
+)
+def link_graph_degree_report(spark, sf_dir):
+    """Host-level link graph end to end (round-10) — the frontier-
+    expansion / domain-authority input a crawler derives from its own
+    pages: per document a REAL HTML page on site{doc_id % 10} linking
+    to the next 1 + doc_id % 4 sites around the ring is parsed with
+    the production extractor (operators/web.py:extract_html), each
+    href's host recovered via urlsplit — then the edge list aggregates
+    to per-source-domain page counts, out-link counts, and distinct
+    destination degrees.
+
+    Scale: one mapInPandas parse pass (edges never carry the page
+    payload) followed by ONE hash aggregate on the domain key — the
+    same single-shuffle shape pricing_summary pins. The distinct
+    counts are map-side partial-aggregated by Spark's two-phase
+    distinct rewrite."""
+    from ..operators.web import link_graph_edges, synthesize_linked_pages
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = link_graph_edges(synthesize_linked_pages(d))
+    return edges.groupBy(F.col("src_domain")).agg(
+        F.countDistinct("doc_id").alias("n_pages"),
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("dst_domain").cast("int").alias("n_distinct_dst"),
+    )
+
+
 # --- image pixel-quality triage ------------------------------------------------------
 
 _IMG_QUALITY_ORACLE = """

