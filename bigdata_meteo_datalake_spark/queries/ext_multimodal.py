@@ -1218,10 +1218,12 @@ def link_graph_degree_report(spark, sf_dir):
     destination degrees.
 
     Scale: one mapInPandas parse pass (edges never carry the page
-    payload) followed by ONE hash aggregate on the domain key — the
-    same single-shuffle shape pricing_summary pins. The distinct
-    counts are map-side partial-aggregated by Spark's two-phase
-    distinct rewrite."""
+    payload), then Catalyst's Expand-based multi-distinct rewrite for
+    the two DISTINCT aggregates — two exchanges keyed on (domain x
+    distinct-column), with map-side partial aggregation on the
+    expanded rows. Three exchanges total including the id-spine widen;
+    every one carries only domain strings and ids, never page
+    content."""
     from ..operators.web import link_graph_edges, synthesize_linked_pages
 
     d = read_table(spark, sf_dir, "documents")
