@@ -33,10 +33,17 @@ TAG_MAKE = 0x010F
 TAG_MODEL = 0x0110
 TAG_ORIENTATION = 0x0112
 TAG_EXIF_IFD = 0x8769
+TAG_GPS_IFD = 0x8825
 TAG_PIXEL_X = 0xA002
 TAG_PIXEL_Y = 0xA003
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+#: GPS IFD tags (EXIF 2.3 Annex, public registry)
+GPS_LAT_REF = 0x0001
+GPS_LAT = 0x0002
+GPS_LON_REF = 0x0003
+GPS_LON = 0x0004
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _TYPE_CODES = {1: "B", 3: "H", 4: "I"}
 
 
@@ -53,7 +60,7 @@ def _read_ifd_at(b: bytes, e: str, off: int) -> dict[int, object]:
             raise ValueError("truncated EXIF IFD entry")
         tag, ftype, count = struct.unpack_from(e + "HHI", b, p)
         if ftype not in _TYPE_SIZES:
-            continue  # rationals etc.: not needed here, legal to skip
+            continue  # SRATIONAL/float etc.: not needed here, legal to skip
         size = _TYPE_SIZES[ftype] * count
         if size <= 4:
             vp = p + 8
@@ -65,6 +72,18 @@ def _read_ifd_at(b: bytes, e: str, off: int) -> dict[int, object]:
             out[tag] = b[vp : vp + count].split(b"\x00")[0].decode(
                 "ascii", "replace"
             )
+        elif ftype == 5:  # RATIONAL: (numerator, denominator) uint32 pairs
+            flat = struct.unpack_from(e + "II" * count, b, vp)
+            pairs = tuple(
+                (flat[2 * i], flat[2 * i + 1]) for i in range(count)
+            )
+            for num, den in pairs:
+                if den == 0:
+                    raise ValueError(
+                        f"EXIF rational tag 0x{tag:04x} has a zero "
+                        "denominator"
+                    )
+            out[tag] = pairs[0] if count == 1 else pairs
         else:
             vals = struct.unpack_from(e + _TYPE_CODES[ftype] * count, b, vp)
             out[tag] = vals[0] if count == 1 else vals
@@ -77,7 +96,8 @@ def parse_exif(jpeg: bytes) -> dict:
     when absent — cameraless JPEGs are normal, a malformed APP1 is
     not)."""
     out = {"orientation": 1, "make": "", "model": "",
-           "pixel_x": None, "pixel_y": None}
+           "pixel_x": None, "pixel_y": None,
+           "gps_lat": None, "gps_lon": None}
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -118,6 +138,34 @@ def parse_exif(jpeg: bytes) -> dict:
                 ex = _read_ifd_at(tiff, e, sub)
                 out["pixel_x"] = ex.get(TAG_PIXEL_X)
                 out["pixel_y"] = ex.get(TAG_PIXEL_Y)
+            gps_off = tags.get(TAG_GPS_IFD)
+            if isinstance(gps_off, int):
+                gps = _read_ifd_at(tiff, e, gps_off)
+                lat = gps.get(GPS_LAT)
+                lon = gps.get(GPS_LON)
+                if lat is not None and lon is not None:
+                    for trip, name in ((lat, "latitude"),
+                                       (lon, "longitude")):
+                        if len(trip) != 3:
+                            raise ValueError(
+                                f"GPS {name} needs 3 rationals, "
+                                f"got {len(trip)}"
+                            )
+                    lat_ref = str(gps.get(GPS_LAT_REF, "N")).upper()
+                    lon_ref = str(gps.get(GPS_LON_REF, "E")).upper()
+                    if lat_ref not in ("N", "S") or lon_ref not in ("E", "W"):
+                        raise ValueError(
+                            f"bad GPS refs {lat_ref!r}/{lon_ref!r}"
+                        )
+
+                    def dms(trip):
+                        (dn, dd), (mn, md), (sn, sd) = trip
+                        return dn / dd + (mn / md) / 60.0 + (sn / sd) / 3600.0
+
+                    out["gps_lat"] = dms(lat) * (1.0 if lat_ref == "N"
+                                                 else -1.0)
+                    out["gps_lon"] = dms(lon) * (1.0 if lon_ref == "E"
+                                                 else -1.0)
             return out
         pos += seglen
     return out
@@ -135,6 +183,11 @@ def _ifd(e: str, entries: list[tuple], base: int) -> bytes:
         if ftype == 2:
             raw = val.encode("ascii") + b"\x00"
             count = len(raw)
+        elif ftype == 5:  # RATIONAL pairs
+            pairs = val if isinstance(val[0], tuple) else (val,)
+            count = len(pairs)
+            raw = struct.pack(e + "II" * count,
+                              *[x for pr in pairs for x in pr])
         else:
             vals = val if isinstance(val, tuple) else (val,)
             count = len(vals)
@@ -156,10 +209,13 @@ def attach_exif(
     model: str = "",
     pixel_x: int | None = None,
     pixel_y: int | None = None,
+    gps: tuple | None = None,
     byte_order: str = "<",
 ) -> bytes:
-    """Insert an APP1 Exif segment (IFD0 + Exif sub-IFD) right after
-    SOI — the fixture writer, spec-shaped enough for any EXIF reader."""
+    """Insert an APP1 Exif segment (IFD0 + Exif sub-IFD + optional GPS
+    IFD) right after SOI — the fixture writer, spec-shaped enough for
+    any EXIF reader. ``gps`` = (lat_ref, lat_dms, lon_ref, lon_dms)
+    with each dms a triple of (numerator, denominator) rationals."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     if not 1 <= orientation <= 8:
@@ -175,25 +231,42 @@ def attach_exif(
         sub_entries.append((TAG_PIXEL_X, 4, int(pixel_x)))
     if pixel_y is not None:
         sub_entries.append((TAG_PIXEL_Y, 4, int(pixel_y)))
-    # two-pass: IFD0's size depends on whether the sub-IFD pointer exists
+    gps_entries = []
+    if gps is not None:
+        lat_ref, lat_dms, lon_ref, lon_dms = gps
+        gps_entries = [
+            (GPS_LAT_REF, 2, lat_ref),
+            (GPS_LAT, 5, tuple(tuple(p) for p in lat_dms)),
+            (GPS_LON_REF, 2, lon_ref),
+            (GPS_LON, 5, tuple(tuple(p) for p in lon_dms)),
+        ]
+    # two-pass: IFD0's size depends on which sub-IFD pointers exist
     if sub_entries:
         ifd0_entries.append((TAG_EXIF_IFD, 4, 0))  # patched below
+    if gps_entries:
+        ifd0_entries.append((TAG_GPS_IFD, 4, 0))  # patched below
     ifd0 = _ifd(e, ifd0_entries, 8)
     tiff = (b"II" if e == "<" else b"MM") + struct.pack(e + "H", 42)
     tiff += struct.pack(e + "I", 8) + ifd0
-    if sub_entries:
-        sub_off = len(tiff)
-        # patch the Exif-IFD pointer (find its entry in the table)
-        (n,) = struct.unpack_from(e + "H", tiff, 8)
+
+    def patch_pointer(buf: bytes, tag_wanted: int, off: int) -> bytes:
+        (n,) = struct.unpack_from(e + "H", buf, 8)
         for i in range(n):
             p = 10 + 12 * i
-            (tag,) = struct.unpack_from(e + "H", tiff, p)
-            if tag == TAG_EXIF_IFD:
-                tiff = (tiff[: p + 8]
-                        + struct.pack(e + "I", sub_off)
-                        + tiff[p + 12 :])
-                break
+            (tag,) = struct.unpack_from(e + "H", buf, p)
+            if tag == tag_wanted:
+                return (buf[: p + 8] + struct.pack(e + "I", off)
+                        + buf[p + 12 :])
+        raise AssertionError(f"pointer tag 0x{tag_wanted:04x} not found")
+
+    if sub_entries:
+        sub_off = len(tiff)
+        tiff = patch_pointer(tiff, TAG_EXIF_IFD, sub_off)
         tiff += _ifd(e, sub_entries, sub_off)
+    if gps_entries:
+        gps_off = len(tiff)
+        tiff = patch_pointer(tiff, TAG_GPS_IFD, gps_off)
+        tiff += _ifd(e, gps_entries, gps_off)
     payload = b"Exif\x00\x00" + tiff
     seg = struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
     return jpeg[:2] + seg + jpeg[2:]

@@ -2045,3 +2045,88 @@ def image_quality_features(df):
     return df.select("doc_id", "blob").mapInPandas(
         kernel, IMAGE_QUALITY_SCHEMA
     )
+
+
+def synthesize_geo_jpeg_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic geotagged-JPEG source: per ``doc_id`` a small real
+    JPEG whose APP1 carries a GPS IFD —
+
+      lat: D = doc_id % 90, M = doc_id*3 % 60,
+           S = (doc_id*7 % 6000) / 100, ref N on even doc_ids else S
+      lon: D = doc_id % 180, M = doc_id*5 % 60,
+           S = (doc_id*11 % 6000) / 100, ref W when doc_id % 3 == 0
+           else E
+      byte order alternates II/MM by doc_id % 2
+
+    — rational triples with a 1/100-second denominator, so the
+    rational-to-decimal math (not just integer passthrough) sits under
+    the oracle hash (queries/ext_multimodal.py:exif_geo_report)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .exif import attach_exif
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                img = np.full((16, 16), did % 256, dtype=np.uint8)
+                gps = (
+                    "N" if did % 2 == 0 else "S",
+                    ((did % 90, 1), (did * 3 % 60, 1),
+                     (did * 7 % 6000, 100)),
+                    "W" if did % 3 == 0 else "E",
+                    ((did % 180, 1), (did * 5 % 60, 1),
+                     (did * 11 % 6000, 100)),
+                )
+                out["doc_id"].append(did)
+                out["blob"].append(attach_exif(
+                    encode_jpeg(img), gps=gps,
+                    byte_order="<" if did % 2 == 0 else ">",
+                ))
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def exif_geo_features(df: DataFrame) -> DataFrame:
+    """Geotag extraction -> (doc_id, lat, lon, cell) via mapInPandas:
+    GPS IFD rationals to signed decimal degrees (floor-form rounded to
+    6 decimals) and the 1-degree grid cell a geo-dedup/bucketing job
+    joins on. A geotagged fixture missing its GPS IFD fails loud."""
+    import math
+
+    import pandas as pd
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    def kernel(batches: Iterator) -> Iterator:
+        from .exif import parse_exif
+
+        for pdf in batches:
+            out = {"doc_id": [], "lat": [], "lon": [], "cell": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                r = parse_exif(bytes(blob))
+                if r["gps_lat"] is None or r["gps_lon"] is None:
+                    raise ValueError(
+                        f"doc {doc_id}: geotagged fixture without GPS IFD"
+                    )
+                out["doc_id"].append(doc_id)
+                out["lat"].append(r6(r["gps_lat"]))
+                out["lon"].append(r6(r["gps_lon"]))
+                out["cell"].append(
+                    f"{math.floor(r['gps_lat'])}:{math.floor(r['gps_lon'])}"
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, "doc_id long, lat double, lon double, cell string"
+    )

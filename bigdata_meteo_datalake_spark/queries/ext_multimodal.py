@@ -1182,6 +1182,59 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- EXIF GPS geotags ----------------------------------------------------------------
+
+_EXIF_GEO_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         (cast(doc_id % 90 AS double)
+          + (doc_id * 3 % 60) / 60.0
+          + ((doc_id * 7 % 6000) / 100.0) / 3600.0)
+         * (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS lat_raw,
+         (cast(doc_id % 180 AS double)
+          + (doc_id * 5 % 60) / 60.0
+          + ((doc_id * 11 % 6000) / 100.0) / 3600.0)
+         * (CASE WHEN doc_id % 3 = 0 THEN -1.0 ELSE 1.0 END) AS lon_raw
+  FROM documents
+)
+SELECT doc_id,
+       floor(lat_raw * 1000000 + 0.5) / 1000000 AS lat,
+       floor(lon_raw * 1000000 + 0.5) / 1000000 AS lon,
+       cast(floor(lat_raw) AS bigint) || ':'
+         || cast(floor(lon_raw) AS bigint) AS cell
+FROM g
+"""
+
+
+@register(
+    "exif_geo_report",
+    oracle=_EXIF_GEO_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def exif_geo_report(spark, sf_dir):
+    """EXIF GPS geotag extraction end to end (round-10) — the geo
+    signal photo corpora bucket and dedup on: per document a real JPEG
+    whose APP1 carries a GPS IFD (RATIONAL degree/minute/second
+    triples with a 1/100-second denominator, N/S/E/W refs, byte order
+    alternating II/MM) is walked by the generic IFD reader
+    (operators/exif.py — rational type added round-10, zero
+    denominators fail loud) and converted to signed decimal degrees
+    plus the 1-degree grid cell — the rational arithmetic, ref signs,
+    and floor-form rounding all mirrored in the oracle expression
+    shapes.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges; the cell column is the join key a geo-bucketed dedup
+    shuffles on downstream."""
+    from ..operators.multimodal import (
+        exif_geo_features,
+        synthesize_geo_jpeg_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return exif_geo_features(synthesize_geo_jpeg_blobs(d))
+
+
 # --- host-level link graph -----------------------------------------------------------
 
 _LINK_GRAPH_ORACLE = """

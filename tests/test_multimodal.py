@@ -4683,3 +4683,53 @@ def test_link_graph(spark):
     }))
     with pytest.raises(Exception, match="without a host"):
         link_graph_edges(bad).collect()
+
+
+def test_exif_gps_geotags(spark):
+    """EXIF GPS (round-10): rational DMS triples roundtrip to signed
+    decimal degrees in both byte orders, refs sign correctly, zero
+    denominators and bad refs fail loud, and the production kernel
+    matches the closed form including the 1-degree cell."""
+    import math
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.exif import (
+        attach_exif,
+        parse_exif,
+    )
+    from bigdata_meteo_datalake_spark.operators.jpeg import encode_jpeg
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        exif_geo_features,
+        synthesize_geo_jpeg_blobs,
+    )
+
+    j = encode_jpeg(np.full((16, 16), 80, dtype=np.uint8))
+    for bo in ("<", ">"):
+        g = attach_exif(j, gps=("S", ((37, 1), (48, 1), (3012, 100)),
+                                "W", ((122, 1), (25, 1), (990, 100))),
+                        byte_order=bo)
+        r = parse_exif(g)
+        assert abs(r["gps_lat"] - -(37 + 48 / 60 + 30.12 / 3600)) < 1e-12
+        assert abs(r["gps_lon"] - -(122 + 25 / 60 + 9.9 / 3600)) < 1e-12
+    assert parse_exif(attach_exif(j))["gps_lat"] is None
+    with pytest.raises(ValueError, match="denominator"):
+        parse_exif(attach_exif(j, gps=("N", ((1, 1), (0, 0), (0, 1)),
+                                       "E", ((1, 1), (1, 1), (1, 1)))))
+    with pytest.raises(ValueError, match="refs"):
+        parse_exif(attach_exif(j, gps=("X", ((1, 1), (1, 1), (1, 1)),
+                                       "E", ((1, 1), (1, 1), (1, 1)))))
+
+    d = read_table(spark, SF0001, "documents").limit(24)
+    rows = {r["doc_id"]: r for r in
+            exif_geo_features(synthesize_geo_jpeg_blobs(d)).collect()}
+    for did, r in rows.items():
+        lat = (did % 90 + (did * 3 % 60) / 60.0
+               + ((did * 7 % 6000) / 100.0) / 3600.0)
+        lat *= 1.0 if did % 2 == 0 else -1.0
+        lon = (did % 180 + (did * 5 % 60) / 60.0
+               + ((did * 11 % 6000) / 100.0) / 3600.0)
+        lon *= -1.0 if did % 3 == 0 else 1.0
+        assert r["lat"] == math.floor(lat * 1e6 + 0.5) / 1e6, did
+        assert r["lon"] == math.floor(lon * 1e6 + 0.5) / 1e6, did
+        assert r["cell"] == f"{math.floor(lat)}:{math.floor(lon)}", did
