@@ -904,3 +904,124 @@ def link_graph_edges(df):
     return df.select("doc_id", "src_domain", "blob").mapInPandas(
         kernel, "doc_id long, src_domain string, dst_domain string"
     )
+
+
+# --- charset detection (bytes -> text, the step before any HTML parse) ----------------
+
+
+def detect_charset(b: bytes) -> tuple[str, str]:
+    """HTML bytes -> (charset, how): BOM first (UTF-8, UTF-16 LE/BE —
+    authoritative per WHATWG), then an ASCII pre-scan of the first 1024
+    bytes for <meta charset=...> / <meta http-equiv=Content-Type>
+    declarations, else the UTF-8 default. ``how`` is 'bom' / 'meta' /
+    'default' so ingest stats can report declaration coverage.
+    Unknown declared charsets raise ValueError (decoding with the
+    wrong codec is silent mojibake)."""
+    if b[:3] == b"\xef\xbb\xbf":
+        return ("utf-8-sig", "bom")
+    if b[:2] == b"\xff\xfe":
+        return ("utf-16-le", "bom")
+    if b[:2] == b"\xfe\xff":
+        return ("utf-16-be", "bom")
+    head = b[:1024].decode("latin-1").lower()
+    import re as _re
+
+    m = _re.search(r'<meta\s+charset\s*=\s*["\']?\s*([a-z0-9_\-]+)', head)
+    if not m:
+        m = _re.search(
+            r'<meta[^>]+http-equiv\s*=\s*["\']?content-type["\']?[^>]*'
+            r'charset\s*=\s*([a-z0-9_\-]+)',
+            head,
+        )
+    if m:
+        name = m.group(1)
+        aliases = {"utf-8": "utf-8", "utf8": "utf-8",
+                   "windows-1252": "cp1252", "cp1252": "cp1252",
+                   "iso-8859-1": "latin-1", "latin-1": "latin-1",
+                   "us-ascii": "ascii", "ascii": "ascii"}
+        if name not in aliases:
+            raise ValueError(f"unknown declared charset {name!r}")
+        return (aliases[name], "meta")
+    return ("utf-8", "default")
+
+
+def decode_html_bytes(b: bytes) -> tuple[str, str, str]:
+    """HTML bytes -> (text, charset, how) through detect_charset; a
+    payload that fails to decode under its OWN declared charset raises
+    (a lying declaration must surface, not mojibake silently)."""
+    charset, how = detect_charset(b)
+    if how == "bom" and charset in ("utf-16-le", "utf-16-be"):
+        b = b[2:]  # the BOM itself is not content
+    try:
+        return (b.decode(charset), charset, how)
+    except (UnicodeDecodeError, LookupError) as e:
+        raise ValueError(
+            f"payload does not decode as declared {charset} ({e})"
+        ) from e
+
+
+def synthesize_charset_pages(df):
+    """Deterministic mixed-charset page source cycling four real
+    declaration shapes by doc_id % 4:
+
+      0: UTF-8 BOM, body 'süd {doc_id}'
+      1: UTF-16 LE BOM, same body
+      2: <meta charset="windows-1252">, body 'café {doc_id}' in cp1252
+      3: no declaration (UTF-8 default), ASCII body 'plain {doc_id}'
+
+    — expected decoded TEXT stated per class by the oracle
+    (queries/ext_multimodal.py:charset_detect_report)."""
+    import pandas as pd
+
+    from ..sources.lake import widen
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = did % 4
+                if k == 0:
+                    blob = (b"\xef\xbb\xbf"
+                            + f"<html><body>süd {did}</body></html>"
+                            .encode("utf-8"))
+                elif k == 1:
+                    blob = (b"\xff\xfe"
+                            + f"<html><body>süd {did}</body></html>"
+                            .encode("utf-16-le"))
+                elif k == 2:
+                    blob = (f'<html><head><meta charset="windows-1252">'
+                            f"</head><body>café {did}</body></html>"
+                            ).encode("cp1252")
+                else:
+                    blob = (f"<html><body>plain {did}</body></html>"
+                            ).encode("ascii")
+                out["doc_id"].append(did)
+                out["blob"].append(blob)
+            yield pd.DataFrame(out)
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def charset_text_features(df):
+    """(doc_id, blob) -> (doc_id, charset, how, text) — detect, decode,
+    then run the standard HTML text extraction on the decoded page."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "charset": [], "how": [], "text": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                text, charset, how = decode_html_bytes(bytes(blob))
+                r = extract_html(text)
+                out["doc_id"].append(doc_id)
+                out["charset"].append(charset)
+                out["how"].append(how)
+                out["text"].append(r["text"])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, "doc_id long, charset string, how string, text string"
+    )

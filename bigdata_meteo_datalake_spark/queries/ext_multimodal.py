@@ -1182,6 +1182,57 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- charset detection ---------------------------------------------------------------
+
+_CHARSET_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'utf-16-le'
+         WHEN 2 THEN 'cp1252' ELSE 'utf-8'
+       END AS charset,
+       CASE doc_id % 4
+         WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+         WHEN 2 THEN 'meta' ELSE 'default'
+       END AS how,
+       CASE doc_id % 4
+         WHEN 0 THEN 'süd ' || doc_id
+         WHEN 1 THEN 'süd ' || doc_id
+         WHEN 2 THEN 'café ' || doc_id
+         ELSE 'plain ' || doc_id
+       END AS text
+FROM documents
+"""
+
+
+@register(
+    "charset_detect_report",
+    oracle=_CHARSET_ORACLE,
+    tags=("extension", "web", "text"),
+)
+def charset_detect_report(spark, sf_dir):
+    """Charset detection end to end (round-10) — the step BEFORE any
+    HTML parse on a real crawl, where pages arrive in whatever
+    encoding the server felt like: four declaration shapes (UTF-8 BOM,
+    UTF-16 LE BOM, <meta charset=windows-1252>, and undeclared UTF-8
+    default) are detected per WHATWG precedence (BOM authoritative,
+    then a 1024-byte ASCII pre-scan for meta declarations), decoded
+    under the DECLARED codec — a lying declaration raises instead of
+    emitting mojibake — and the decoded page runs through the standard
+    text extractor. The oracle states the expected charset, detection
+    source, and decoded text per class, so the non-UTF-8 decode paths
+    are value-checked character for character.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges."""
+    from ..operators.web import (
+        charset_text_features,
+        synthesize_charset_pages,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return charset_text_features(synthesize_charset_pages(d))
+
+
 # --- EXIF GPS geotags ----------------------------------------------------------------
 
 _EXIF_GEO_ORACLE = """

@@ -4733,3 +4733,46 @@ def test_exif_gps_geotags(spark):
         assert r["lat"] == math.floor(lat * 1e6 + 0.5) / 1e6, did
         assert r["lon"] == math.floor(lon * 1e6 + 0.5) / 1e6, did
         assert r["cell"] == f"{math.floor(lat)}:{math.floor(lon)}", did
+
+
+def test_charset_detection(spark):
+    """Charset detection (round-10): WHATWG precedence (BOM over meta
+    over default), both meta declaration forms, loud rejection of
+    unknown/lying declarations, and the production kernel against the
+    per-class expected texts."""
+    from bigdata_meteo_datalake_spark.operators.web import (
+        charset_text_features,
+        decode_html_bytes,
+        detect_charset,
+        synthesize_charset_pages,
+    )
+
+    assert detect_charset(b"\xef\xbb\xbfx") == ("utf-8-sig", "bom")
+    assert detect_charset(b"\xff\xfex\x00") == ("utf-16-le", "bom")
+    assert detect_charset(b"\xfe\xff\x00x") == ("utf-16-be", "bom")
+    # BOM wins over a contradicting meta declaration
+    assert detect_charset(
+        b"\xef\xbb\xbf<meta charset='windows-1252'>")[1] == "bom"
+    assert detect_charset(b'<META CHARSET="UTF8">'.lower()
+                          ) == ("utf-8", "meta")
+    assert detect_charset(
+        b"<meta http-equiv='content-type' "
+        b"content='text/html; charset=iso-8859-1'>") == ("latin-1", "meta")
+    assert detect_charset(b"<p>nothing declared</p>") == ("utf-8", "default")
+    with pytest.raises(ValueError, match="unknown declared"):
+        detect_charset(b'<meta charset="shift_jis">')
+    with pytest.raises(ValueError, match="does not decode"):
+        decode_html_bytes(b'<meta charset="us-ascii">caf\xe9')
+    # utf-16-be content decodes with the BOM stripped
+    t, c, h = decode_html_bytes(b"\xfe\xff" + "ok ü".encode("utf-16-be"))
+    assert (t, c, h) == ("ok ü", "utf-16-be", "bom")
+
+    d = read_table(spark, SF0001, "documents").limit(20)
+    rows = {r["doc_id"]: r for r in
+            charset_text_features(synthesize_charset_pages(d)).collect()}
+    want = {0: ("utf-8-sig", "bom", "süd"), 1: ("utf-16-le", "bom", "süd"),
+            2: ("cp1252", "meta", "café"), 3: ("utf-8", "default", "plain")}
+    for did, r in rows.items():
+        cs, how, word = want[did % 4]
+        assert (r["charset"], r["how"]) == (cs, how), did
+        assert r["text"] == f"{word} {did}", did
