@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     # LLM-pipeline family not continuously timed (baseline restated for
     # the 32-query set in BASELINE.md, same session as the set change)
     "pq_ann_topk",
+    # round-10 addition: the document-source pillar's flagship — full PDF
+    # parsing (xref tables AND 1.5 xref/object streams, FlateDecode + PNG
+    # predictors, content-stream text assembly) — the largest new-format
+    # family of the round (baseline restated for the 33-query set in
+    # BASELINE.md, same session as the set change)
+    "pdf_text_report",
 ]
 
 
