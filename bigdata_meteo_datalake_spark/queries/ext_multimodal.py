@@ -1182,6 +1182,56 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- TFRecord / tf.train.Example shards ----------------------------------------------
+
+_TFRECORD_ORACLE = """
+WITH e AS (
+  SELECT doc_id, j.j AS j
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+  WHERE j.j < 1 + doc_id % 3
+)
+SELECT doc_id,
+       cast(j AS int) AS ex_idx,
+       cast(doc_id * 99 AS bigint) AS id_sum,
+       doc_id * 0.25 + (j + 0.5) AS score_sum,
+       'w' || doc_id || '-' || j AS tok,
+       cast(3 AS int) AS n_features
+FROM e
+"""
+
+
+@register(
+    "tfrecord_report",
+    oracle=_TFRECORD_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def tfrecord_report(spark, sf_dir):
+    """TFRecord shard processing end to end (round-10) — the
+    TensorFlow training-data container, all stdlib: per document a
+    shard of tf.train.Example records goes through the published
+    framing (little-endian lengths, MASKED CRC32C over both the length
+    bytes and the payload — the Castagnoli CRC with its 0xE3069283
+    check value pinned in tests) and a real protobuf WIRE-FORMAT
+    parser (varints including 10-byte negative int64s, packed float32
+    and int64 lists, nested messages, unknown-field skipping) —
+    reporting per example the int64-feature sum (a negative value pins
+    the two's-complement varint path), the float32-exact score sum,
+    the bytes feature, and the feature count, all closed forms the
+    oracle recomputes.
+
+    Scale: shards are the unit of parallelism (exactly how TFRecord is
+    consumed by training jobs); two chained mapInPandas stages, zero
+    exchanges."""
+    from ..operators.tfrecord import (
+        synthesize_tfrecord_blobs,
+        tfrecord_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return tfrecord_features(synthesize_tfrecord_blobs(d))
+
+
 # --- charset detection ---------------------------------------------------------------
 
 _CHARSET_ORACLE = """

@@ -4776,3 +4776,78 @@ def test_charset_detection(spark):
         cs, how, word = want[did % 4]
         assert (r["charset"], r["how"]) == (cs, how), did
         assert r["text"] == f"{word} {did}", did
+
+
+def test_tfrecord_shards(spark):
+    """TFRecord + tf.train.Example (round-10): the CRC32C check value
+    and a byte-for-byte hand-assembled Example pin the wire format;
+    negative int64 varints, packed float32, unknown-field skipping,
+    CRC corruption/truncation rejection, and the production kernel
+    against the closed form."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.tfrecord import (
+        crc32c,
+        encode_example,
+        parse_example,
+        read_tfrecord,
+        synthesize_tfrecord_blobs,
+        tfrecord_features,
+        write_tfrecord,
+    )
+
+    # the published Castagnoli check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+    # hand-assembled Example {'a': int64_list [1]} — every tag byte
+    # derived from the proto wire spec by hand
+    hand = bytes([0x0A, 0x0C,              # Example.features, len 12
+                  0x0A, 0x0A,              # Features.feature entry, len 10
+                  0x0A, 0x01, 0x61,        # key 'a'
+                  0x12, 0x05,              # value Feature, len 5
+                  0x1A, 0x03,              # Feature.int64_list, len 3
+                  0x0A, 0x01, 0x01])       # packed varints [1]
+    assert encode_example({"a": [1]}) == hand
+    assert parse_example(hand) == {"a": ("int64", [1])}
+
+    # negative int64 roundtrips as a 10-byte varint
+    ex = encode_example({"n": [-3], "f": [2.5, -0.25], "b": [b"xy"]})
+    p = parse_example(ex)
+    assert p["n"] == ("int64", [-3])
+    assert p["f"] == ("float", [2.5, -0.25])
+    assert p["b"] == ("bytes", [b"xy"])
+
+    # unknown fields are skipped: prepend a varint field 7 and a
+    # fixed64 field 8 at the Example level
+    unknown = bytes([0x38, 0x2A, 0x41]) + struct.pack("<d", 1.5) + hand
+    assert parse_example(unknown) == {"a": ("int64", [1])}
+    # deprecated group wire type raises
+    with pytest.raises(NotImplementedError, match="group"):
+        parse_example(bytes([0x3B]) + hand)
+
+    # framing: roundtrip, corruption, truncation, both CRCs checked
+    shard = write_tfrecord([ex, hand])
+    assert read_tfrecord(shard) == [ex, hand]
+    for mut_at, msg in ((4, "length CRC"), (14, "CRC")):
+        bad = bytearray(shard)
+        bad[mut_at] ^= 0x01
+        with pytest.raises(ValueError, match=msg):
+            read_tfrecord(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        read_tfrecord(shard[:-1])
+    with pytest.raises(ValueError, match="empty"):
+        read_tfrecord(b"")
+
+    # production kernel vs closed form
+    d = read_table(spark, SF0001, "documents").limit(24)
+    rows = {}
+    for r in tfrecord_features(synthesize_tfrecord_blobs(d)).collect():
+        rows[(r["doc_id"], r["ex_idx"])] = r
+    for (did, j), r in rows.items():
+        assert r["id_sum"] == did * 99
+        assert r["score_sum"] == did * 0.25 + (j + 0.5)
+        assert r["tok"] == f"w{did}-{j}"
+        assert r["n_features"] == 3
+    for did in range(24):
+        assert sum(1 for (d2, _) in rows if d2 == did) == 1 + did % 3
