@@ -1182,6 +1182,64 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- safetensors checkpoint probe ----------------------------------------------------
+
+_SAFETENSORS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, k.k AS k
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+  WHERE k.k < 1 + doc_id % 3
+),
+g AS (
+  SELECT doc_id, k,
+         CASE (doc_id + k) % 3 WHEN 0 THEN 'F32'
+                               WHEN 1 THEN 'F16' ELSE 'I64' END AS dtype,
+         CASE (doc_id + k) % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 8 END
+           AS dsize,
+         (2 + doc_id % 3) * (1 + k) AS n_params
+  FROM t
+)
+SELECT doc_id,
+       't' || k AS name,
+       dtype,
+       cast(n_params AS bigint) AS n_params,
+       cast(n_params * dsize AS bigint) AS n_bytes,
+       cast(1 + doc_id % 3 AS int) AS n_tensors
+FROM g
+"""
+
+
+@register(
+    "safetensors_report",
+    oracle=_SAFETENSORS_ORACLE,
+    tags=("extension", "multimodal"),
+)
+def safetensors_report(spark, sf_dir):
+    """safetensors checkpoint inspection end to end (round-10) — the
+    weight-artifact probe a model-management pipeline runs (tensor
+    inventory, parameter counts, byte accounting): per document a
+    spec-shaped safetensors file (8-byte LE header length, JSON tensor
+    map, contiguous data spans) with dtypes cycling F32/F16/I64 is
+    parsed under the format's FULL contract — spans must equal
+    elements x dtype-size and tile the data section exactly; gaps,
+    overlaps, unknown dtypes, and lying headers all raise
+    (rejection-tested). One row per tensor, every field a closed form
+    the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — and on a real lake only the 8 + header-length PREFIX
+    of each multi-GB checkpoint needs fetching, which is the format's
+    design point."""
+    from ..operators.safetensors import (
+        safetensors_features,
+        synthesize_safetensors_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return safetensors_features(synthesize_safetensors_blobs(d))
+
+
 # --- TFRecord / tf.train.Example shards ----------------------------------------------
 
 _TFRECORD_ORACLE = """

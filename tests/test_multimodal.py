@@ -4851,3 +4851,70 @@ def test_tfrecord_shards(spark):
         assert r["n_features"] == 3
     for did in range(24):
         assert sum(1 for (d2, _) in rows if d2 == did) == 1 + did % 3
+
+
+def test_safetensors_probe(spark):
+    """safetensors (round-10): roundtrip inventory, metadata, and the
+    full contract enforcement — lying spans, gaps, overlaps, unknown
+    dtypes, uncovered data, malformed JSON all raise — plus the
+    production kernel against the closed form."""
+    import json
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.safetensors import (
+        build_safetensors,
+        parse_safetensors,
+        safetensors_features,
+        synthesize_safetensors_blobs,
+    )
+
+    b = build_safetensors(
+        [{"name": "w", "dtype": "F32", "shape": [3, 4]},
+         {"name": "b", "dtype": "I64", "shape": [4]}],
+        metadata={"format": "pt"})
+    r = parse_safetensors(b)
+    assert r["metadata"] == {"format": "pt"}
+    assert [(t["name"], t["n_params"], t["n_bytes"])
+            for t in r["tensors"]] == [("w", 12, 48), ("b", 4, 32)]
+    # scalar tensor (empty shape) = 1 param
+    s0 = parse_safetensors(build_safetensors(
+        [{"name": "s", "dtype": "F16", "shape": []}]))
+    assert s0["tensors"][0]["n_params"] == 1
+
+    def doctor(mutate):
+        (hlen,) = struct.unpack_from("<Q", b, 0)
+        h = json.loads(b[8 : 8 + hlen])
+        data = b[8 + hlen:]
+        h2, data = mutate(h, data)
+        hj = json.dumps(h2, separators=(",", ":")).encode()
+        return struct.pack("<Q", len(hj)) + hj + data
+
+    with pytest.raises(ValueError, match="span .* !=|!="):
+        parse_safetensors(doctor(lambda h, d: (
+            {**h, "w": {**h["w"], "shape": [3, 5]}}, d)))
+    with pytest.raises(ValueError, match="gap or overlap"):
+        parse_safetensors(doctor(lambda h, d: (
+            {**h, "b": {**h["b"],
+                        "data_offsets": [44, 76]}}, d + bytes(0))))
+    with pytest.raises(ValueError, match="unknown dtype"):
+        parse_safetensors(doctor(lambda h, d: (
+            {**h, "w": {**h["w"], "dtype": "F8"}}, d)))
+    with pytest.raises(ValueError, match="cover"):
+        parse_safetensors(b + bytes(4))
+    with pytest.raises(ValueError, match="malformed"):
+        parse_safetensors(struct.pack("<Q", 4) + b"nope" + bytes(2))
+    with pytest.raises(ValueError, match="exceeds"):
+        parse_safetensors(struct.pack("<Q", 999) + b"{}")
+
+    d = read_table(spark, SF0001, "documents").limit(24)
+    rows = {}
+    for r in safetensors_features(synthesize_safetensors_blobs(d)).collect():
+        rows[(r["doc_id"], r["name"])] = r
+    sizes = {"F32": 4, "F16": 2, "I64": 8}
+    for (did, name), r in rows.items():
+        k = int(name[1:])
+        dtype = ("F32", "F16", "I64")[(did + k) % 3]
+        n = (2 + did % 3) * (1 + k)
+        assert r["dtype"] == dtype and r["n_params"] == n
+        assert r["n_bytes"] == n * sizes[dtype]
+        assert r["n_tensors"] == 1 + did % 3
