@@ -2130,3 +2130,112 @@ def exif_geo_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "blob").mapInPandas(
         kernel, "doc_id long, lat double, lon double, cell string"
     )
+
+
+def synthesize_vad_wav_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic speech-shaped WAV source: per ``doc_id`` an 8 kHz
+    16-bit PCM mono file of 28 + doc_id % 7 frames x 80 samples, frame
+    f carrying a +/-A square wave (A = 1000 + doc_id % 100) when
+    f % 7 < 2 + doc_id % 4 and digital silence otherwise — cyclic
+    voice/silence runs whose segment counts are closed forms
+    (queries/ext_multimodal.py:audio_vad_report)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                amp = 1000 + did % 100
+                v = 2 + did % 4
+                nf = 28 + did % 7
+                pcm = np.zeros(nf * 80, dtype=np.int16)
+                sq = np.where(np.arange(80) % 2 == 0, amp, -amp
+                              ).astype(np.int16)
+                for f in range(nf):
+                    if f % 7 < v:
+                        pcm[f * 80 : (f + 1) * 80] = sq
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm.tobytes())
+                out["doc_id"].append(did)
+                out["blob"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+VAD_SCHEMA = (
+    "doc_id long, n_frames int, n_speech_frames int, n_segments int, "
+    "speech_ratio double"
+)
+
+
+def audio_vad_features(df: DataFrame, *, frame_len: int = 80,
+                       energy_threshold: int = 0) -> DataFrame:
+    """Energy-threshold voice-activity detection — the pre-ASR triage
+    every audio corpus runs (how much of this file is speech-like, in
+    how many segments): raw PCM int16 frames of ``frame_len`` samples,
+    EXACT integer frame energies (sum of squares, int64), a frame is
+    voiced iff energy > threshold, and segments are maximal voiced
+    runs. speech_ratio is the one float (voiced/total, floor-form
+    rounded to 6 decimals, expression mirrored in the oracle)."""
+    import math
+
+    import pandas as pd
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "n_speech_frames",
+                                   "n_segments", "speech_ratio")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as wf:
+                    if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                        raise ValueError(
+                            "VAD expects 16-bit mono PCM "
+                            f"(got width {wf.getsampwidth()}, "
+                            f"{wf.getnchannels()} ch)"
+                        )
+                    pcm = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                if len(pcm) % frame_len:
+                    raise ValueError(
+                        f"{len(pcm)} samples not a whole number of "
+                        f"{frame_len}-sample frames"
+                    )
+                frames = pcm.reshape(-1, frame_len)
+                energies = (frames * frames).sum(axis=1)
+                voiced = energies > energy_threshold
+                n = len(voiced)
+                nsp = int(voiced.sum())
+                segs = int(np.count_nonzero(
+                    voiced[1:] & ~voiced[:-1])) + int(voiced[0] if n else 0)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["n_speech_frames"].append(nsp)
+                out["n_segments"].append(segs)
+                out["speech_ratio"].append(
+                    math.floor(nsp / n * 1_000_000 + 0.5) / 1_000_000
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(kernel, VAD_SCHEMA)

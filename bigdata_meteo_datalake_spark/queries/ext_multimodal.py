@@ -1182,6 +1182,60 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- audio voice-activity triage -----------------------------------------------------
+
+_VAD_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         28 + doc_id % 7 AS nf,
+         2 + doc_id % 4 AS v,
+         doc_id % 7 AS extra
+  FROM documents
+),
+s AS (
+  SELECT doc_id, nf,
+         4 * v + CASE WHEN extra < v THEN extra ELSE v END AS nsp,
+         4 + CASE WHEN extra >= 1 THEN 1 ELSE 0 END AS nseg
+  FROM g
+)
+SELECT doc_id,
+       cast(nf AS int) AS n_frames,
+       cast(nsp AS int) AS n_speech_frames,
+       cast(nseg AS int) AS n_segments,
+       floor(cast(nsp AS double) / nf * 1000000 + 0.5) / 1000000
+         AS speech_ratio
+FROM s
+"""
+
+
+@register(
+    "audio_vad_report",
+    oracle=_VAD_ORACLE,
+    tags=("extension", "multimodal", "codec", "quality"),
+)
+def audio_vad_report(spark, sf_dir):
+    """Voice-activity triage end to end (round-10) — the pre-ASR
+    segmentation every audio corpus runs: per document a real 16-bit
+    PCM WAV with cyclic voice/silence runs (square-wave frames where
+    f %% 7 < 2 + doc_id %% 4) is framed into 80-sample windows, frame
+    energies computed as EXACT int64 sums of squares, voiced frames
+    thresholded, and maximal voiced runs counted — frame counts,
+    speech-frame counts, segment counts, and the speech ratio all
+    closed forms the oracle recomputes (segment arithmetic included:
+    four full cycles plus the partial-cycle segment when extra frames
+    exist).
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges."""
+    from ..operators.multimodal import (
+        audio_vad_features,
+        synthesize_vad_wav_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return audio_vad_features(synthesize_vad_wav_blobs(d))
+
+
 # --- safetensors checkpoint probe ----------------------------------------------------
 
 _SAFETENSORS_ORACLE = """

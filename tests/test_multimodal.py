@@ -4918,3 +4918,62 @@ def test_safetensors_probe(spark):
         assert r["dtype"] == dtype and r["n_params"] == n
         assert r["n_bytes"] == n * sizes[dtype]
         assert r["n_tensors"] == 1 + did % 3
+
+
+def test_audio_vad(spark):
+    """Audio VAD (round-10): segment counting pinned on hand-built
+    voiced/silence patterns (leading/trailing/single-frame segments,
+    all-silence, all-voice), rejection of stereo/odd-length inputs,
+    and the production kernel against the closed form."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_vad_features,
+        synthesize_vad_wav_blobs,
+    )
+
+    def wav(pcm, ch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    def run(frames_mask):
+        pcm = np.zeros(len(frames_mask) * 80, dtype=np.int16)
+        for f, on in enumerate(frames_mask):
+            if on:
+                pcm[f * 80 : (f + 1) * 80] = 500
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "blob": [wav(pcm)]}))
+        return audio_vad_features(sdf).collect()[0]
+
+    r = run([1, 1, 0, 1, 0, 0, 1])  # lead + mid + trailing single
+    assert (r["n_frames"], r["n_speech_frames"], r["n_segments"]) == (7, 4, 3)
+    assert run([0, 0, 0])["n_segments"] == 0
+    assert run([1, 1])["n_segments"] == 1
+    assert run([0, 1, 0])["n_segments"] == 1
+
+    with pytest.raises(Exception, match="mono"):
+        sdf = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1], "blob": [wav(np.zeros(160), ch=2)]}))
+        audio_vad_features(sdf).collect()
+    with pytest.raises(Exception, match="whole number"):
+        sdf = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1], "blob": [wav(np.zeros(81))]}))
+        audio_vad_features(sdf).collect()
+
+    d = read_table(spark, SF0001, "documents").limit(28)
+    rows = {r["doc_id"]: r for r in
+            audio_vad_features(synthesize_vad_wav_blobs(d)).collect()}
+    for did, r in rows.items():
+        v, e = 2 + did % 4, did % 7
+        assert r["n_frames"] == 28 + e
+        assert r["n_speech_frames"] == 4 * v + min(e, v), did
+        assert r["n_segments"] == 4 + (1 if e >= 1 else 0), did
