@@ -901,6 +901,142 @@ def semantic_dedup_lsh(spark, sf_dir):
     )
 
 
+def _semantic_ivf_oracle() -> str:
+    from ..operators.dedup import LSH_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_aggregate(list_transform(list_zip(n.v, c.cv),
+                                     p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'),
+                      c.cent_id) AS rn
+    FROM n, cent c
+  ) WHERE rn = 1
+),
+g AS (
+  SELECT a.vec_id, a.cent_id, n.v, n.nrm
+  FROM assign a JOIN n ON n.vec_id = a.vec_id
+  QUALIFY count(*) OVER (PARTITION BY a.cent_id) <= {LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT a.vec_id AS s0, b.vec_id AS d0
+  FROM g a JOIN g b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                       'sum') / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+),
+sym AS (
+  SELECT s0 AS s, d0 AS d FROM pairs
+  UNION
+  SELECT d0, s0 FROM pairs
+),
+reach(node, target) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.node, y.d FROM reach r JOIN sym y ON y.s = r.target
+),
+cc AS (
+  SELECT node, min(target) AS rep FROM reach GROUP BY node
+)
+SELECT emb.vec_id,
+       coalesce(cc.rep, emb.vec_id) AS cluster_rep,
+       (coalesce(cc.rep, emb.vec_id) = emb.vec_id) AS is_survivor
+FROM (SELECT vec_id FROM embeddings) emb
+LEFT JOIN cc ON cc.node = emb.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_ivf",
+    oracle=_semantic_ivf_oracle(),
+    tags=("extension", "dedup", "similarity", "ivf", "iterative"),
+)
+def semantic_dedup_ivf(spark, sf_dir):
+    """Semantic dedup with the CLUSTER-partitioned pair generator —
+    SemDeDup's actual published design (k-means cells, dedup WITHIN
+    each cell), the second independent bucketed generator proven into
+    the unchanged CC pipeline next to semantic_dedup_lsh: the coarse
+    quantizer assigns every vector to its nearest centroid (one
+    broadcast of the centroid table + an in-row L2 fold, exactly
+    emb_ivf_topk's assignment), oversized cells are dropped by the
+    same guard the LSH variant mirrors in its oracle, candidate pairs
+    are a within-cell equi-join, exact cosine verifies, and two-phase
+    star contraction finds the clusters. Full embeddings table, no
+    vec_id cap; no CartesianProduct on the corpus side (the only
+    crossJoin rides the broadcast centroid table, which the
+    registry-wide ban allows)."""
+    from ..operators.dedup import (
+        LSH_MAX_BUCKET,
+        connected_components_two_phase,
+    )
+
+    emb = widen(read_table(spark, sf_dir, "embeddings"))
+    base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
+    n = base.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = base.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "cent_id", l2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+    wc = Window.partitionBy("cent_id")
+    g = (
+        assign.withColumn("__n", F.count(F.lit(1)).over(wc))
+        .where(F.col("__n") <= LSH_MAX_BUCKET)
+        .drop("__n")
+    )
+    a = g.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"), F.col("cent_id"))
+    b = g.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"), F.col("cent_id").alias("cent_b"))
+    cos_raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, (F.col("cent_id") == F.col("cent_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos_raw >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    cc = connected_components_two_phase(
+        pairs, src_col="vec_a", dst_col="vec_b"
+    ).withColumnRenamed("node", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_rep", F.col("vec_id")).alias("cluster_rep"),
+            (F.coalesce("cluster_rep", F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_survivor"
+            ),
+        )
+    )
+
+
 # --- product quantization (PQ) ANN: codes + asymmetric distance ---------------------
 # (constants + oracle live earlier in the file so ann_recall_report's oracle
 # can embed the PQ CTE; the operator itself is defined here)
