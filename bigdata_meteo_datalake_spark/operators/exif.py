@@ -73,16 +73,15 @@ def _read_ifd_at(b: bytes, e: str, off: int) -> dict[int, object]:
                 "ascii", "replace"
             )
         elif ftype == 5:  # RATIONAL: (numerator, denominator) uint32 pairs
+            # zero denominators are NOT rejected here: real camera
+            # firmware writes 0/0 for unused rationals (ExposureBias,
+            # GPSAltitude, ...) and the generic walk must stay tolerant
+            # of tags it never consumes — validation belongs to the
+            # consumer (the GPS dms() conversion below)
             flat = struct.unpack_from(e + "II" * count, b, vp)
             pairs = tuple(
                 (flat[2 * i], flat[2 * i + 1]) for i in range(count)
             )
-            for num, den in pairs:
-                if den == 0:
-                    raise ValueError(
-                        f"EXIF rational tag 0x{tag:04x} has a zero "
-                        "denominator"
-                    )
             out[tag] = pairs[0] if count == 1 else pairs
         else:
             vals = struct.unpack_from(e + _TYPE_CODES[ftype] * count, b, vp)
@@ -160,6 +159,11 @@ def parse_exif(jpeg: bytes) -> dict:
 
                     def dms(trip):
                         (dn, dd), (mn, md), (sn, sd) = trip
+                        if 0 in (dd, md, sd):
+                            raise ValueError(
+                                "GPS coordinate rational has a zero "
+                                "denominator"
+                            )
                         return dn / dd + (mn / md) / 60.0 + (sn / sd) / 3600.0
 
                     out["gps_lat"] = dms(lat) * (1.0 if lat_ref == "N"

@@ -2217,10 +2217,10 @@ def audio_vad_features(df: DataFrame, *, frame_len: int = 80,
                     pcm = np.frombuffer(
                         wf.readframes(wf.getnframes()), dtype="<i2"
                     ).astype(np.int64)
-                if len(pcm) % frame_len:
+                if len(pcm) == 0 or len(pcm) % frame_len:
                     raise ValueError(
-                        f"{len(pcm)} samples not a whole number of "
-                        f"{frame_len}-sample frames"
+                        f"{len(pcm)} samples not a whole positive "
+                        f"number of {frame_len}-sample frames"
                     )
                 frames = pcm.reshape(-1, frame_len)
                 energies = (frames * frames).sum(axis=1)

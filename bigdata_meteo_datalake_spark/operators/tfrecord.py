@@ -182,22 +182,6 @@ def encode_example(features: dict) -> bytes:
     return _ld(1, bytes(entries))  # Example.features
 
 
-def _skip_field(b: bytes, pos: int, wire: int) -> int:
-    if wire == 0:
-        _, pos = _get_varint(b, pos)
-        return pos
-    if wire == 1:
-        return pos + 8
-    if wire == 2:
-        ln, pos = _get_varint(b, pos)
-        return pos + ln
-    if wire == 5:
-        return pos + 4
-    raise NotImplementedError(
-        f"deprecated proto group wire type {wire} not supported"
-    )
-
-
 def _fields(b: bytes):
     """Iterate (field_number, wire_type, value_bytes_or_int) over one
     message's wire bytes. Length-delimited values come back as bytes;
@@ -223,7 +207,9 @@ def _fields(b: bytes):
             yield field, wire, b[pos : pos + size]
             pos += size
         else:
-            pos = _skip_field(b, pos, wire)
+            raise NotImplementedError(
+                f"deprecated proto group wire type {wire} not supported"
+            )
 
 
 def _to_int64(v: int) -> int:
@@ -235,34 +221,44 @@ def parse_example(b: bytes) -> dict:
     in {'int64', 'float', 'bytes'}; float32 values widened exactly to
     double. Unknown fields anywhere are skipped; a Feature with no
     recognized list raises."""
-    features_msg = None
-    for field, wire, val in _fields(b):
-        if field == 1 and wire == 2:
-            features_msg = val
-    if features_msg is None:
+    # repeated occurrences of an embedded-message field MERGE
+    # (concatenate) per the proto spec — TF itself honors message
+    # concatenation, so last-wins would silently drop features
+    features_parts = [val for field, wire, val in _fields(b)
+                      if field == 1 and wire == 2]
+    if not features_parts:
         raise ValueError("Example has no features message")
     out: dict = {}
-    for field, wire, entry in _fields(features_msg):
+    for field, wire, entry in _fields(b"".join(features_parts)):
         if field != 1 or wire != 2:
             continue
         name = None
-        feature = None
+        feature_parts = []
         for f2, w2, v2 in _fields(entry):
             if f2 == 1 and w2 == 2:
                 name = v2.decode("utf-8")
             elif f2 == 2 and w2 == 2:
-                feature = v2
-        if name is None or feature is None:
+                feature_parts.append(v2)  # embedded messages merge
+        if name is None or not feature_parts:
             raise ValueError("map entry missing its key or Feature")
+        # oneof merge semantics: a repeated occurrence of the SAME list
+        # kind merges (values concatenate); a different kind replaces
         kind = values = None
-        for f3, w3, v3 in _fields(feature):
+
+        def fresh(new_kind):
+            nonlocal kind, values
+            if kind != new_kind:
+                kind, values = new_kind, []
+            return values
+
+        for f3, w3, v3 in _fields(b"".join(feature_parts)):
             if f3 == 1 and w3 == 2:  # BytesList
-                kind = "bytes"
-                values = [v4 for f4, w4, v4 in _fields(v3)
-                          if f4 == 1 and w4 == 2]
+                fresh("bytes").extend(
+                    v4 for f4, w4, v4 in _fields(v3)
+                    if f4 == 1 and w4 == 2
+                )
             elif f3 == 2 and w3 == 2:  # FloatList
-                kind = "float"
-                values = []
+                values = fresh("float")
                 for f4, w4, v4 in _fields(v3):
                     if f4 == 1 and w4 == 2:  # packed
                         if len(v4) % 4:
@@ -274,8 +270,7 @@ def parse_example(b: bytes) -> dict:
                     elif f4 == 1 and w4 == 5:  # unpacked
                         values.append(float(struct.unpack("<f", v4)[0]))
             elif f3 == 3 and w3 == 2:  # Int64List
-                kind = "int64"
-                values = []
+                values = fresh("int64")
                 for f4, w4, v4 in _fields(v3):
                     if f4 == 1 and w4 == 2:  # packed varints
                         p = 0
@@ -353,9 +348,14 @@ def tfrecord_features(df):
                 for j, payload in enumerate(read_tfrecord(bytes(blob))):
                     ex = parse_example(payload)
                     kind, ids = ex["id"]
-                    assert kind == "int64"
                     kindf, scores = ex["score"]
                     kindb, toks = ex["tok"]
+                    if (kind, kindf, kindb) != ("int64", "float", "bytes"):
+                        raise ValueError(
+                            f"example {j}: feature kinds "
+                            f"{(kind, kindf, kindb)} != "
+                            "('int64', 'float', 'bytes')"
+                        )
                     out["doc_id"].append(doc_id)
                     out["ex_idx"].append(j)
                     out["id_sum"].append(sum(ids))

@@ -935,10 +935,17 @@ def detect_charset(b: bytes) -> tuple[str, str]:
         )
     if m:
         name = m.group(1)
+        # WHATWG aliasing: iso-8859-1, latin1, AND us-ascii are all
+        # labels for windows-1252 (real pages declaring 8859-1 carry
+        # cp1252 smart quotes in 0x80-0x9F — decoding them as true
+        # latin-1 yields C1 controls, the exact mojibake the alias
+        # exists to prevent; cp1252's five undefined bytes also keep
+        # the lying-declaration check enforceable)
         aliases = {"utf-8": "utf-8", "utf8": "utf-8",
                    "windows-1252": "cp1252", "cp1252": "cp1252",
-                   "iso-8859-1": "latin-1", "latin-1": "latin-1",
-                   "us-ascii": "ascii", "ascii": "ascii"}
+                   "iso-8859-1": "cp1252", "latin-1": "cp1252",
+                   "latin1": "cp1252",
+                   "us-ascii": "cp1252", "ascii": "cp1252"}
         if name not in aliases:
             raise ValueError(f"unknown declared charset {name!r}")
         return (aliases[name], "meta")

@@ -4755,14 +4755,22 @@ def test_charset_detection(spark):
         b"\xef\xbb\xbf<meta charset='windows-1252'>")[1] == "bom"
     assert detect_charset(b'<META CHARSET="UTF8">'.lower()
                           ) == ("utf-8", "meta")
+    # WHATWG aliasing: iso-8859-1 (and us-ascii) are windows-1252 labels
     assert detect_charset(
         b"<meta http-equiv='content-type' "
-        b"content='text/html; charset=iso-8859-1'>") == ("latin-1", "meta")
+        b"content='text/html; charset=iso-8859-1'>") == ("cp1252", "meta")
+    assert detect_charset(b'<meta charset="us-ascii">') == ("cp1252", "meta")
     assert detect_charset(b"<p>nothing declared</p>") == ("utf-8", "default")
     with pytest.raises(ValueError, match="unknown declared"):
         detect_charset(b'<meta charset="shift_jis">')
+    # a lying declaration still raises: cp1252's undefined 0x81 slot
     with pytest.raises(ValueError, match="does not decode"):
-        decode_html_bytes(b'<meta charset="us-ascii">caf\xe9')
+        decode_html_bytes(b'<meta charset="us-ascii">x\x81y')
+    # ...while the aliasing does its job: 8859-1-declared smart quotes
+    # decode as cp1252 punctuation, not C1 controls
+    t, _, _ = decode_html_bytes(
+        b'<meta charset="iso-8859-1"><p>\x93hi\x94</p>')
+    assert "“hi”" in t
     # utf-16-be content decodes with the BOM stripped
     t, c, h = decode_html_bytes(b"\xfe\xff" + "ok ü".encode("utf-16-be"))
     assert (t, c, h) == ("ok ü", "utf-16-be", "bom")
@@ -4964,7 +4972,7 @@ def test_audio_vad(spark):
         sdf = spark.createDataFrame(pd.DataFrame(
             {"doc_id": [1], "blob": [wav(np.zeros(160), ch=2)]}))
         audio_vad_features(sdf).collect()
-    with pytest.raises(Exception, match="whole number"):
+    with pytest.raises(Exception, match="whole positive"):
         sdf = spark.createDataFrame(pd.DataFrame(
             {"doc_id": [1], "blob": [wav(np.zeros(81))]}))
         audio_vad_features(sdf).collect()
@@ -4977,3 +4985,76 @@ def test_audio_vad(spark):
         assert r["n_frames"] == 28 + e
         assert r["n_speech_frames"] == 4 * v + min(e, v), did
         assert r["n_segments"] == 4 + (1 if e >= 1 else 0), did
+
+
+def test_round10_review_regressions(spark):
+    """Round-10 self-review fixes, pinned:
+    1. an UNUSED 0/0 rational in any IFD is tolerated (real firmware
+       writes them) while GPS coordinate rationals still validate;
+    2. repeated/concatenated proto message fields MERGE per the spec
+       (features chunks and same-kind Feature lists concatenate, a
+       different oneof kind replaces);
+    3. a zero-sample WAV fails the VAD loudly instead of dividing by
+       zero."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.exif import _ifd, parse_exif
+    from bigdata_meteo_datalake_spark.operators.jpeg import encode_jpeg
+    from bigdata_meteo_datalake_spark.operators.multimodal import (
+        audio_vad_features,
+    )
+    from bigdata_meteo_datalake_spark.operators.tfrecord import (
+        encode_example,
+        parse_example,
+    )
+
+    # 1. unused 0/0 rational (ExposureBias-style) in IFD0: tolerated
+    j = encode_jpeg(np.full((16, 16), 50, dtype=np.uint8))
+    e = "<"
+    ifd0 = _ifd(e, [(0x0112, 3, 1), (0x9204, 5, (0, 0))], 8)
+    tiff = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8) + ifd0
+    payload = b"Exif\x00\x00" + tiff
+    seg = struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+    r = parse_exif(j[:2] + seg + j[2:])
+    assert r["orientation"] == 1 and r["gps_lat"] is None
+
+    # 2. proto merge semantics: concatenated Examples UNION their
+    # distinct feature keys (last-wins per key, the map rule), and a
+    # single map entry whose Feature message arrives in two chunks
+    # merges same-kind lists / replaces on a kind switch
+    from bigdata_meteo_datalake_spark.operators.tfrecord import _ld
+
+    a = encode_example({"x": [1, 2]})
+    merged = parse_example(a + encode_example({"y": [3]}))
+    assert merged["x"] == ("int64", [1, 2]) and merged["y"] == ("int64", [3])
+    assert parse_example(a + encode_example({"x": [9]}))["x"] == (
+        "int64", [9])  # duplicate map key: last wins
+
+    def int64_feature(vals):
+        packed = bytearray()
+        for v in vals:
+            packed += bytes([v])  # small positives: 1-byte varints
+        inner = bytearray([0x0A, len(packed)]) + packed
+        return _ld(3, bytes(inner))
+
+    entry = (_ld(1, b"v") + _ld(2, int64_feature([1, 2]))
+             + _ld(2, int64_feature([3])))  # Feature in TWO chunks
+    ex = _ld(1, _ld(1, entry))
+    assert parse_example(ex)["v"] == ("int64", [1, 2, 3])
+
+    # 3. zero-sample WAV -> loud ValueError, not ZeroDivisionError
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"")
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [buf.getvalue()]}))
+    with pytest.raises(Exception, match="whole positive"):
+        audio_vad_features(sdf).collect()
