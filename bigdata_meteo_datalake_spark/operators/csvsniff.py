@@ -57,17 +57,17 @@ def sniff_parse_csv(b: bytes) -> dict:
         raise ValueError(f"CSV is not UTF-8 ({e})") from e
     if not text.strip():
         raise ValueError("empty CSV input")
-    # Sniff on the full text, then on shrinking line-prefix samples:
-    # the Sniffer's frequency tables want uniform per-line delimiter
+    # Sniff on GROWING line-prefix samples, full text last: the
+    # Sniffer's frequency tables want uniform per-line delimiter
     # counts, and quoted fields with EMBEDDED delimiters deeper in the
-    # file break that uniformity — a prefix of clean rows is exactly
-    # what production ingesters hand the sniffer. Only the true
-    # delimiter can win (a wrong pick mis-splits and the column-count
-    # gate below raises), so the ladder is safe as well as
-    # deterministic.
+    # file break that uniformity — worse, a skewed full-text table can
+    # make the Sniffer GUESS WRONG rather than raise, so the clean
+    # prefix must be consulted first, not as a fallback. A wrong pick
+    # at any rung still can't survive: it mis-splits and the
+    # column-count gate below raises.
     dialect = None
     lines = text.splitlines(keepends=True)
-    for k in (len(lines), 10, 5, 3):
+    for k in (3, 5, 10, len(lines)):
         try:
             dialect = csv.Sniffer().sniff("".join(lines[:k]),
                                           delimiters=DELIMITERS)
@@ -76,8 +76,8 @@ def sniff_parse_csv(b: bytes) -> dict:
             continue
     if dialect is None:
         raise ValueError(
-            "cannot determine CSV dialect (sniffer failed on the full "
-            "text and on 10/5/3-line prefix samples)"
+            "cannot determine CSV dialect (sniffer failed on 3/5/10-line "
+            "prefix samples and on the full text)"
         )
     # take only the DELIMITER from the sniff; parse with standard
     # RFC 4180 quoting (the sniffer's doublequote guess is unreliable —

@@ -278,7 +278,10 @@ def build_mbox(messages: list[bytes]) -> bytes:
     out = bytearray()
     for i, msg in enumerate(messages):
         out += f"From fixture@example Thu Jan  1 00:00:0{i % 10} 2026\n".encode()
-        for line in msg.replace(b"\r\n", b"\n").split(b"\n"):
+        lines = msg.replace(b"\r\n", b"\n").split(b"\n")
+        if lines and lines[-1] == b"":
+            lines.pop()  # the trailing-newline split artifact, not a line
+        for line in lines:
             if _FROM_RE.match(line):
                 out += b">"
             out += line + b"\n"
@@ -311,9 +314,15 @@ def split_mbox(b: bytes) -> list[bytes]:
     if cur is not None:
         messages.append(cur)
     out = []
-    for msg in messages:
-        while msg and not msg[-1]:
-            msg.pop()  # the blank separator (and trailing EOF newline)
+    for i, msg in enumerate(messages):
+        # the archive's final message carries an extra empty element
+        # from the file's trailing newline; every message then ends
+        # with exactly ONE separator blank line — pop only that, so
+        # bodies that legitimately end in blank lines roundtrip
+        if i == len(messages) - 1 and msg and msg[-1] == b"":
+            msg.pop()
+        if msg and msg[-1] == b"":
+            msg.pop()  # the blank separator line
         out.append(b"\n".join(msg) + b"\n")
     return out
 

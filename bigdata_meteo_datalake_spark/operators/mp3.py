@@ -143,7 +143,11 @@ def parse_mp3_frames(b: bytes) -> dict:
         if pos + flen > n:
             raise ValueError(f"frame at offset {pos} overruns the file")
         if not bitrates and layer == 3:  # Xing lives in the first frame
-            off = pos + 4 + _xing_offset(version_key, mono=(mode == 3))
+            # _xing_offset is measured from the FRAME START, header
+            # included (MPEG1 stereo 36 = 4 header + 32 side info) —
+            # adding the header again would look 4 bytes too deep and
+            # miss every real-world LAME/Xing tag
+            off = pos + _xing_offset(version_key, mono=(mode == 3))
             tag = b[off : off + 4]
             if tag in (b"Xing", b"Info") and off + 8 <= pos + flen:
                 has_xing = True
@@ -202,7 +206,7 @@ def build_mp3_frames(
         if j == 0 and xing_frames is not None:
             if layer != 3:
                 raise ValueError("Xing headers are a Layer III feature")
-            off = 4 + _xing_offset(version, mono)
+            off = _xing_offset(version, mono)  # from frame start
             if off + 12 > flen:
                 raise ValueError(
                     f"first frame too small ({flen}B) for a Xing header"

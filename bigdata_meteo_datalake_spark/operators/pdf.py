@@ -27,8 +27,10 @@ DECLARED boundaries (loud, specific raises — not silent wrong text):
 encrypted documents (/Encrypt), composite/CID fonts (/Type0, the
 subset-embedded-font case where bytes are glyph ids and text recovery
 needs the embedded /ToUnicode CMap), /Differences re-encoded fonts,
-non-Flate filters (DCT/LZW/ASCII85/...), TIFF predictor 2, and inline
-images (BI..EI — raw binary that breaks content tokenization).
+non-Flate filters (DCT/LZW/ASCII85/...), TIFF predictor 2, Form
+XObjects (Do — text painted through an XObject must surface as a
+raise, not vanish), and inline images (BI..EI — raw binary that
+breaks content tokenization).
 
 Text assembly rule (deterministic, so a SQL oracle can rebuild it):
 every show operator appends its decoded string; a line break ("\\n")
@@ -401,7 +403,12 @@ class _Document:
                     off, _gen, typ = entry[:10], entry[11:16], entry[17:18]
                     if typ == b"n" and (start + i) not in self.xref:
                         self.xref[start + i] = ("off", int(off))
-                    elif typ not in (b"n", b"f"):
+                    elif typ == b"f":
+                        # record the tombstone: an older /Prev section
+                        # must not resurrect a freed object (ISO 32000
+                        # 7.5.4 — references to it resolve to null)
+                        self.xref.setdefault(start + i, ("free",))
+                    elif typ != b"n":
                         raise ValueError(f"bad xref entry type {typ!r}")
                     # entries are 20 bytes incl. the 2-byte terminator,
                     # but tolerate 19-byte single-char EOL writers
@@ -486,7 +493,10 @@ class _Document:
                     self.xref[num] = ("off", fields[1])
                 elif typ == 2:
                     self.xref[num] = ("instream", fields[1], fields[2])
-                elif typ != 0:
+                elif typ == 0:
+                    # freed-object tombstone (see the classic-table walk)
+                    self.xref[num] = ("free",)
+                else:
                     raise ValueError(f"bad xref stream entry type {typ}")
         return d
 
@@ -530,6 +540,8 @@ class _Document:
         if num not in self.xref:
             raise ValueError(f"object {num} not in xref table")
         entry = self.xref[num]
+        if entry[0] == "free":
+            return None  # ISO 32000 7.5.4: refs to freed objects are null
         if entry[0] == "instream":
             objs = self._objstm_objects(entry[1])
             if num not in objs:
@@ -663,7 +675,7 @@ _STATE_OPS = {  # operator -> operand count we silently consume
     "m": 2, "l": 2, "c": 6, "v": 4, "y": 4, "re": 4, "h": 0,
     "S": 0, "s": 0, "f": 0, "F": 0, "f*": 0, "B": 0, "B*": 0,
     "b": 0, "b*": 0, "n": 0, "W": 0, "W*": 0, "q": 0, "Q": 0,
-    "Do": 1, "MP": 1, "DP": 2, "BMC": 1, "BDC": 2, "EMC": 0,
+    "MP": 1, "DP": 2, "BMC": 1, "BDC": 2, "EMC": 0,
 }
 
 
@@ -752,6 +764,12 @@ def _page_text(doc: _Document, content: bytes, fonts: dict) -> str:
         elif op in _TEXT_POS_OPS:
             pending_break = True
             stack.clear()
+        elif op == "Do":
+            raise NotImplementedError(
+                "XObject paint (Do) — text inside Form XObjects is not "
+                "extracted, and dropping it silently would violate the "
+                "no-silent-wrong-text policy"
+            )
         elif op == "BI":
             raise NotImplementedError(
                 "inline image (BI..EI) — raw binary breaks content "
@@ -769,9 +787,11 @@ def _page_text(doc: _Document, content: bytes, fonts: dict) -> str:
 
 def extract_pdf_text(b: bytes) -> dict:
     """PDF blob -> {"n_pages": int, "text": str} with pages joined by
-    '\\n'. Raises ValueError for malformed files and
-    NotImplementedError at the declared boundaries (encryption, xref/
-    object streams, CID fonts, non-Flate filters, inline images)."""
+    '\\n'. Both container generations parse (classic xref tables AND
+    PDF 1.5 xref/object streams). Raises ValueError for malformed
+    files and NotImplementedError at the declared boundaries
+    (encryption, CID fonts, non-Flate filters, Form XObjects,
+    inline images)."""
     doc = _Document(b)
     root = doc.resolve(doc.trailer.get("Root"))
     if not isinstance(root, dict) or doc.resolve(root.get("Type")) != "Catalog":

@@ -187,12 +187,13 @@ def _dechunk(b: bytes) -> bytes:
         if eol < 0:
             raise ValueError("chunked body missing a size line")
         size_tok = b[pos:eol].split(b";")[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
-            raise ValueError(
-                f"bad chunk size line {size_tok!r}"
-            ) from None
+        # RFC 9112: 1*HEXDIG only — int(x, 16) would also accept
+        # signs, '0x' prefixes, and underscores, and a negative size
+        # silently swallows data instead of raising
+        if not size_tok or any(c not in b"0123456789abcdefABCDEF"
+                               for c in size_tok):
+            raise ValueError(f"bad chunk size line {size_tok!r}")
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             return bytes(out)  # trailers, if any, are ignorable here

@@ -4023,18 +4023,20 @@ def test_mp3_frame_walk(spark):
     assert len(b2) == 2 * 208
     assert parse_mp3_frames(b2)["duration_ms"] == 2 * 576 * 1000 // 22050
 
-    # Xing at all four side-info offsets
+    # Xing at all four side-info offsets — measured from FRAME START,
+    # header included (the spec's 36/21/21/13, where a real LAME tag
+    # lives), review-fixed from an off-by-4 double count
     for v, mono, off in ((1, False, 36), (1, True, 21),
                          (2, False, 21), (2, True, 13)):
         s = build_mp3_frames(version=v, bitrate_indices=[14, 3],
                              mono=mono, xing_frames=2)
-        assert s[4 + off : 8 + off] == b"Xing", (v, mono)
+        assert s[off : off + 4] == b"Xing", (v, mono)
         rr = parse_mp3_frames(s)
         assert rr["has_xing"] and rr["declared_frames"] == 2, (v, mono)
     # 'Info' tag (CBR-style) also detected
     s = bytearray(build_mp3_frames(version=1, bitrate_indices=[14],
                                    xing_frames=1))
-    s[4 + 36 : 8 + 36] = b"Info"
+    s[36:40] = b"Info"
     assert parse_mp3_frames(bytes(s))["has_xing"]
 
     # ID3v2 tag skipped; rejections
@@ -5058,3 +5060,57 @@ def test_round10_review_regressions(spark):
         pd.DataFrame({"doc_id": [1], "blob": [buf.getvalue()]}))
     with pytest.raises(Exception, match="whole positive"):
         audio_vad_features(sdf).collect()
+
+
+def test_round10_review_regressions_2():
+    """Second self-review round, pinned:
+    1. an incremental update that FREES an object tombstones it — the
+       older /Prev section cannot resurrect it (refs resolve to null);
+    2. the Do operator (Form XObject paint) raises instead of silently
+       dropping the XObject's text;
+    3. chunked size lines must be 1*HEXDIG — signed/prefixed tokens
+       that int(x, 16) would accept raise;
+    4. mboxrd roundtrips bodies that END in blank lines."""
+    from bigdata_meteo_datalake_spark.operators.mime import (
+        build_eml,
+        build_mbox,
+        parse_eml,
+        split_mbox,
+    )
+    from bigdata_meteo_datalake_spark.operators.pdf import extract_pdf_text
+    from bigdata_meteo_datalake_spark.operators.web import _dechunk
+
+    # 1. freed object: base defines page content obj 5, update frees it
+    base = _mkpdf({**_PDF_SKEL, 4: _page_obj(),
+                   5: _content_obj(b"BT /F1 9 Tf (deleted text) Tj ET")})
+    old_xref = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    upd = bytearray(base)
+    xref_pos = len(upd)
+    upd += (b"xref\n5 1\n0000000000 65535 f \n"
+            + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+            + str(old_xref).encode() + b" >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n")
+    # the page's /Contents ref resolves to null -> a contentless page
+    # (legal per spec), NOT the resurrected deleted text
+    r = extract_pdf_text(bytes(upd))
+    assert r == {"n_pages": 1, "text": ""}
+    assert extract_pdf_text(base)["text"] == "deleted text"
+
+    # 2. Do raises
+    do = _mkpdf({**_PDF_SKEL, 4: _page_obj(),
+                 5: _content_obj(b"q /Fm0 Do Q BT ET")})
+    with pytest.raises(NotImplementedError, match="XObject"):
+        extract_pdf_text(do)
+
+    # 3. RFC 9112 1*HEXDIG chunk sizes only
+    for bad in (b"-2\r\n\r\n0\r\n\r\n", b"0x10\r\n" + b"a" * 16 + b"\r\n",
+                b"+10\r\nxxxxxxxxxxxxxxxx\r\n", b"1_0\r\n"):
+        with pytest.raises(ValueError, match="chunk size"):
+            _dechunk(bad)
+
+    # 4. trailing blank lines survive the mbox roundtrip
+    body = "para one\n\npara two\n"  # body ENDING with a newline + blanks
+    msg = build_eml(from_addr="a@b.c", subject="s", body=body,
+                    encoding="quoted-printable")
+    for m in split_mbox(build_mbox([msg, msg])):
+        assert parse_eml(m)["text"] == parse_eml(msg)["text"]
