@@ -5114,3 +5114,80 @@ def test_round10_review_regressions_2():
                     encoding="quoted-printable")
     for m in split_mbox(build_mbox([msg, msg])):
         assert parse_eml(m)["text"] == parse_eml(msg)["text"]
+
+
+def test_foreign_writer_interop():
+    """Foreign-writer interop (round-10 lesson: fixture roundtrips
+    can't catch shared writer/parser spec mistakes): inputs generated
+    by INDEPENDENT serializers — the stdlib email library's own MIME
+    generator (folding, boundary generation, CTE selection all its
+    choices, not build_eml's), ElementTree's XML serializer, and
+    PAX-format tars — must parse through the production kernels."""
+    import io
+    import tarfile
+    import xml.etree.ElementTree as ET
+    from email.message import EmailMessage
+
+    from bigdata_meteo_datalake_spark.operators.mime import parse_eml
+    from bigdata_meteo_datalake_spark.operators.sitemap import (
+        parse_discovery_doc,
+    )
+    from bigdata_meteo_datalake_spark.operators.webdataset import (
+        read_webdataset_shard,
+    )
+
+    # email-library-generated MIME (8bit CTE, folded headers, its own
+    # boundaries) through parse_eml
+    m = EmailMessage()
+    m["From"] = "foreign@example.com"
+    m["Subject"] = "Grüße from an independent generator with a long subject line"
+    m.set_content("body line one\nbody ü line two")
+    m.add_alternative("<p>html twin</p>", subtype="html")
+    r = parse_eml(m.as_bytes())
+    assert r["text"] == "body line one\nbody ü line two"
+    assert r["subject"].startswith("Grüße")
+    assert r["n_parts"] == 2 and r["encoding"] == "8bit"
+    m2 = EmailMessage()
+    m2["From"] = "a@b.c"
+    m2["Subject"] = "s"
+    m2.set_content("plain body")
+    m2.add_attachment(b"\x00\x01", maintype="application",
+                      subtype="octet-stream", filename="f.bin")
+    r2 = parse_eml(m2.as_bytes())
+    assert (r2["text"], r2["has_attachment"]) == ("plain body", True)
+
+    # ElementTree-serialized sitemap and Atom (namespaced tags,
+    # xml declaration, self-closing links) through the discovery parser
+    NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    ET.register_namespace("", NS)
+    root = ET.Element(f"{{{NS}}}urlset")
+    u = ET.SubElement(root, f"{{{NS}}}url")
+    ET.SubElement(u, f"{{{NS}}}loc").text = "https://f.example/0"
+    ET.SubElement(u, f"{{{NS}}}lastmod").text = "2026-02-03"
+    sm = parse_discovery_doc(
+        ET.tostring(root, xml_declaration=True, encoding="utf-8"))
+    assert sm["kind"] == "sitemap"
+    assert sm["entries"][0] == {"url": "https://f.example/0", "title": "",
+                                "published": "2026-02-03"}
+    ANS = "http://www.w3.org/2005/Atom"
+    ET.register_namespace("", ANS)
+    feed = ET.Element(f"{{{ANS}}}feed")
+    e = ET.SubElement(feed, f"{{{ANS}}}entry")
+    ET.SubElement(e, f"{{{ANS}}}title").text = "E1"
+    ET.SubElement(e, f"{{{ANS}}}link", href="https://f.example/e1")
+    ET.SubElement(e, f"{{{ANS}}}updated").text = "2026-02-04T05:06:07Z"
+    at = parse_discovery_doc(
+        ET.tostring(feed, xml_declaration=True, encoding="utf-8"))
+    assert at["entries"][0]["published"] == "2026-02-04"
+
+    # PAX-format tar (extended headers the default writer never emits)
+    # through the WebDataset demux
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        for name, payload in (("k0.txt", b"cap"), ("k0.bin", b"\x01")):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    samples = read_webdataset_shard(buf.getvalue())
+    assert samples == [{"key": "k0", "txt": b"cap", "bin": b"\x01"}]
