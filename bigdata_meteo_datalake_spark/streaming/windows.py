@@ -740,3 +740,40 @@ def stream_ohlc_bars(
     beyond `watermark` are dropped — live market-data bar building on the
     exact batch semantics."""
     return ohlc_bars(stream.withWatermark("ts", watermark), duration=duration)
+
+
+def streaming_crawl_schedule(urls: DataFrame, *, rate: int = 4) -> DataFrame:
+    """Streaming twin of crawl_schedule_report (the politeness
+    scheduler): per-domain RUNNING sequence numbers via
+    applyInPandasWithState — each arriving URL takes the next slot in
+    its domain's token stream (deterministic within a micro-batch by
+    URL sort), fetch_round = seq // rate, slot = seq %% rate. State is
+    ONE counter per domain, so the store is bounded by the number of
+    registered domains, not by crawl volume — the continuous-frontier
+    form of the batch scheduler, where new discoveries keep arriving
+    and rounds must keep counting across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = ("domain string, url string, seq long, "
+                  "fetch_round int, slot_in_round int")
+    state_schema = "n long"
+
+    def update(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        out = {"domain": [], "url": [], "seq": [], "fetch_round": [],
+               "slot_in_round": []}
+        for pdf in pdfs:
+            for url in sorted(str(u) for u in pdf["url"]):
+                out["domain"].append(key[0])
+                out["url"].append(url)
+                out["seq"].append(n)
+                out["fetch_round"].append(n // rate)
+                out["slot_in_round"].append(n % rate)
+                n += 1
+        state.update((n,))
+        yield pd.DataFrame(out)
+
+    return urls.groupBy("domain").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

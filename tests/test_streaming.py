@@ -881,3 +881,73 @@ def test_stream_ohlc_matches_batch_query(spark, event_source, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_crawl_schedule_counts_across_batches(spark, tmp_path):
+    """The politeness scheduler's streaming twin: per-domain sequence
+    numbers CONTINUE across micro-batches (the state-continuity
+    property the batch window can't show), rounds stay dense under the
+    rate, and the assignment matches a hand-replayed arrival order."""
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.streaming.windows import (
+        streaming_crawl_schedule,
+    )
+
+    src = tmp_path / "frontier"
+    src.mkdir()
+    # two arrival waves for two domains; within a wave the kernel
+    # orders by url, so the expected replay is deterministic
+    wave1 = pd.DataFrame({
+        "domain": ["a.example"] * 5 + ["b.example"] * 2,
+        "url": [f"https://a.example/p{i}" for i in range(5)]
+        + [f"https://b.example/p{i}" for i in range(2)],
+    })
+    wave2 = pd.DataFrame({
+        "domain": ["a.example"] * 3 + ["b.example"] * 1,
+        "url": [f"https://a.example/q{i}" for i in range(3)]
+        + ["https://b.example/q0"],
+    })
+    wave1.to_parquet(src / "wave1.parquet")
+    wave2.to_parquet(src / "wave2.parquet")
+    # FileStreamSource orders by modification time: pin mtimes so the
+    # two waves can never tie within the filesystem's resolution
+    import os
+
+    os.utime(src / "wave1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "wave2.parquet", (1_700_000_600, 1_700_000_600))
+
+    stream = (
+        spark.readStream.schema("domain string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_crawl_schedule(stream, rate=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_sched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("crawl_sched").collect()
+    assert len(rows) == 11
+    got = {r["url"]: (r["seq"], r["fetch_round"], r["slot_in_round"])
+           for r in rows}
+
+    # hand replay: waves arrive in file order, urls sorted within a
+    # (wave, domain) group, counters CONTINUE across waves
+    seq = {}
+    want = {}
+    for wave in (wave1, wave2):
+        for dom in sorted(set(wave["domain"])):
+            for url in sorted(wave[wave["domain"] == dom]["url"]):
+                n = seq.get(dom, 0)
+                want[url] = (n, n // 4, n % 4)
+                seq[dom] = n + 1
+    assert got == want
+    # the continuity property itself: domain a's second wave starts at
+    # seq 5 (round 1), not back at 0
+    assert got["https://a.example/q0"] == (5, 1, 1)
