@@ -57,54 +57,62 @@ def sniff_parse_csv(b: bytes) -> dict:
         raise ValueError(f"CSV is not UTF-8 ({e})") from e
     if not text.strip():
         raise ValueError("empty CSV input")
-    # Sniff on GROWING line-prefix samples, full text last: the
-    # Sniffer's frequency tables want uniform per-line delimiter
-    # counts, and quoted fields with EMBEDDED delimiters deeper in the
-    # file break that uniformity — worse, a skewed full-text table can
-    # make the Sniffer GUESS WRONG rather than raise, so the clean
-    # prefix must be consulted first, not as a fallback. A wrong pick
-    # at any rung still can't survive: it mis-splits and the
-    # column-count gate below raises.
-    dialect = None
+    # A VALIDATED sniff ladder: try the full text first (it carries the
+    # Sniffer's strongest signal — the quoted-field heuristic — which a
+    # short prefix may lack), then shrinking clean-prefix samples whose
+    # uniform per-line delimiter counts rescue files where embedded
+    # quoted delimiters deeper in the file skew the full-text frequency
+    # tables. EVERY rung's guess must pass the full parse +
+    # column-consistency gate before it is accepted — a rung that
+    # sniffs confidently but mis-splits falls through to the next rung
+    # instead of either hard-failing (the gate-after-one-guess design)
+    # or silently winning (the accept-first-success design).
+    def parse_with(delimiter: str):
+        try:
+            parsed = list(csv.reader(io.StringIO(text),
+                                     delimiter=delimiter,
+                                     quotechar='"', doublequote=True))
+        except csv.Error as e:
+            raise ValueError(f"CSV parse failed ({e})") from e
+        parsed = [r for r in parsed if r]  # csv yields [] for blanks
+        if len(parsed) < 2:
+            raise ValueError("CSV has a header but no data rows")
+        width = len(parsed[0])
+        for i, r in enumerate(parsed):
+            if len(r) != width:
+                raise ValueError(
+                    f"row {i} has {len(r)} columns, header has {width} "
+                    "(mis-split or corrupt input)"
+                )
+        return parsed
+
     lines = text.splitlines(keepends=True)
-    for k in (3, 5, 10, len(lines)):
+    failures = []
+    for k in (len(lines), 10, 5, 3):
+        # take only the DELIMITER from the sniff; parse with standard
+        # RFC 4180 quoting (the sniffer's doublequote guess is
+        # unreliable — it returned False on doubled-quote fields)
         try:
             dialect = csv.Sniffer().sniff("".join(lines[:k]),
                                           delimiters=DELIMITERS)
-            break
         except csv.Error:
+            failures.append(f"{k} lines: no dialect")
             continue
-    if dialect is None:
-        raise ValueError(
-            "cannot determine CSV dialect (sniffer failed on 3/5/10-line "
-            "prefix samples and on the full text)"
-        )
-    # take only the DELIMITER from the sniff; parse with standard
-    # RFC 4180 quoting (the sniffer's doublequote guess is unreliable —
-    # it returned False on doubled-quote fields here — and RFC 4180
-    # doubling is the grammar tabular dumps actually use)
-    try:
-        parsed = list(csv.reader(io.StringIO(text),
-                                 delimiter=dialect.delimiter,
-                                 quotechar='"', doublequote=True))
-    except csv.Error as e:
-        raise ValueError(f"CSV parse failed ({e})") from e
-    parsed = [r for r in parsed if r]  # csv yields [] for blank lines
-    if len(parsed) < 2:
-        raise ValueError("CSV has a header but no data rows")
-    width = len(parsed[0])
-    for i, r in enumerate(parsed):
-        if len(r) != width:
-            raise ValueError(
-                f"row {i} has {len(r)} columns, header has {width} "
-                "(mis-split or corrupt input)"
-            )
-    return {
-        "delimiter": dialect.delimiter,
-        "delimiter_name": DELIMITER_NAMES[dialect.delimiter],
-        "header": parsed[0],
-        "rows": parsed[1:],
-    }
+        try:
+            parsed = parse_with(dialect.delimiter)
+        except ValueError as e:
+            failures.append(f"{k} lines -> {dialect.delimiter!r}: {e}")
+            continue
+        return {
+            "delimiter": dialect.delimiter,
+            "delimiter_name": DELIMITER_NAMES[dialect.delimiter],
+            "header": parsed[0],
+            "rows": parsed[1:],
+        }
+    raise ValueError(
+        "cannot determine CSV dialect; every sniff rung failed the "
+        f"consistency gate ({'; '.join(failures)})"
+    )
 
 
 # --- Spark kernels (mapInPandas, the codec plan shape) --------------------------------

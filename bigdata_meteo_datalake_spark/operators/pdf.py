@@ -679,7 +679,8 @@ _STATE_OPS = {  # operator -> operand count we silently consume
 }
 
 
-def _page_text(doc: _Document, content: bytes, fonts: dict) -> str:
+def _page_text(doc: _Document, content: bytes, fonts: dict,
+               xobjects: dict | None = None) -> str:
     """One page's content stream -> extracted text (see module
     docstring for the deterministic assembly rule)."""
     lx = _Lexer(content)
@@ -765,11 +766,27 @@ def _page_text(doc: _Document, content: bytes, fonts: dict) -> str:
             pending_break = True
             stack.clear()
         elif op == "Do":
-            raise NotImplementedError(
-                "XObject paint (Do) — text inside Form XObjects is not "
-                "extracted, and dropping it silently would violate the "
-                "no-silent-wrong-text policy"
-            )
+            # Image XObjects are a paint with NO text — consuming them
+            # silently is correct (pages embedding pictures next to
+            # text are among the most common real-world shapes). Only
+            # FORM XObjects can hide text, and those must fail loud.
+            if not stack or stack[-1][0] != "name":
+                raise ValueError("Do without a name operand")
+            xname = stack[-1][1]
+            xo = doc.resolve((xobjects or {}).get(xname))
+            if xo is None:
+                raise ValueError(f"Do references unknown XObject /{xname}")
+            sub = None
+            if isinstance(xo, tuple) and xo[0] == "stream":
+                sub = doc.resolve(xo[1].get("Subtype"))
+            if sub != "Image":
+                raise NotImplementedError(
+                    f"XObject /{xname} has /Subtype /{sub} — text inside "
+                    "Form XObjects is not extracted, and dropping it "
+                    "silently would violate the no-silent-wrong-text "
+                    "policy"
+                )
+            stack.clear()
         elif op == "BI":
             raise NotImplementedError(
                 "inline image (BI..EI) — raw binary breaks content "
@@ -823,7 +840,8 @@ def extract_pdf_text(b: bytes) -> dict:
             data = b"".join(
                 doc.stream_data(doc.resolve(p)) for p in parts
             )
-            page_texts.append(_page_text(doc, data, fonts))
+            xobjects = doc.resolve(res.get("XObject")) or {}
+            page_texts.append(_page_text(doc, data, fonts, xobjects))
         else:
             raise ValueError(f"unexpected page-tree node type {t!r}")
 

@@ -755,22 +755,34 @@ def streaming_crawl_schedule(urls: DataFrame, *, rate: int = 4) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
+    if rate < 1:
+        raise ValueError(f"rate must be >= 1, got {rate}")
+
     out_schema = ("domain string, url string, seq long, "
                   "fetch_round int, slot_in_round int")
     state_schema = "n long"
 
     def update(key, pdfs, state: GroupState):
         (n,) = state.get if state.exists else (0,)
+        # pdfs is an ITERATOR of Arrow-sized chunks for ONE micro-batch
+        # of this key — sorting per chunk would let a later chunk's
+        # lexically-earlier URL take a later seq, breaking the
+        # deterministic-within-micro-batch contract (and checkpoint
+        # replay). Materialize the whole group, sort ONCE. State stays
+        # one counter; the transient buffer is one micro-batch of one
+        # domain's URLs, which the politeness rate itself keeps small.
+        urls = sorted(
+            str(u) for pdf in pdfs for u in pdf["url"]
+        )
         out = {"domain": [], "url": [], "seq": [], "fetch_round": [],
                "slot_in_round": []}
-        for pdf in pdfs:
-            for url in sorted(str(u) for u in pdf["url"]):
-                out["domain"].append(key[0])
-                out["url"].append(url)
-                out["seq"].append(n)
-                out["fetch_round"].append(n // rate)
-                out["slot_in_round"].append(n % rate)
-                n += 1
+        for url in urls:
+            out["domain"].append(key[0])
+            out["url"].append(url)
+            out["seq"].append(n)
+            out["fetch_round"].append(n // rate)
+            out["slot_in_round"].append(n % rate)
+            n += 1
         state.update((n,))
         yield pd.DataFrame(out)
 

@@ -5096,11 +5096,28 @@ def test_round10_review_regressions_2():
     assert r == {"n_pages": 1, "text": ""}
     assert extract_pdf_text(base)["text"] == "deleted text"
 
-    # 2. Do raises
-    do = _mkpdf({**_PDF_SKEL, 4: _page_obj(),
-                 5: _content_obj(b"q /Fm0 Do Q BT ET")})
-    with pytest.raises(NotImplementedError, match="XObject"):
-        extract_pdf_text(do)
+    # 2. Do at the right altitude: an IMAGE XObject next to text is a
+    # silent paint (the common real-world page shape) while a FORM
+    # XObject — which can hide text — fails loud, as does an
+    # unresolvable name
+    page_x = ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+              "/Resources << /Font << /F1 3 0 R >> "
+              "/XObject << /Im0 6 0 R /Fm0 7 0 R >> >> /Contents 5 0 R >>")
+    im = (b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+          b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>"
+          b"\nstream\nA\nendstream")
+    fm = (b"<< /Type /XObject /Subtype /Form /Length 8 >>"
+          b"\nstream\nBT ET zz\nendstream")
+    objs = {**_PDF_SKEL, 4: page_x, 6: im, 7: fm,
+            5: _content_obj(b"q 100 0 0 100 10 10 cm /Im0 Do Q "
+                            b"BT /F1 9 Tf (hi) Tj ET")}
+    assert extract_pdf_text(_mkpdf(objs))["text"] == "hi"
+    objs[5] = _content_obj(b"/Fm0 Do BT ET")
+    with pytest.raises(NotImplementedError, match="Form XObjects"):
+        extract_pdf_text(_mkpdf(objs))
+    objs[5] = _content_obj(b"/Nope Do")
+    with pytest.raises(ValueError, match="unknown XObject"):
+        extract_pdf_text(_mkpdf(objs))
 
     # 3. RFC 9112 1*HEXDIG chunk sizes only
     for bad in (b"-2\r\n\r\n0\r\n\r\n", b"0x10\r\n" + b"a" * 16 + b"\r\n",
