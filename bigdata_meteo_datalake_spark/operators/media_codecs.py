@@ -1156,3 +1156,47 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         wf.setframerate(sample_rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def sniff_payload(b: bytes) -> str:
+    """The corpus front door: magic-byte dispatch across EVERY format
+    this engine parses — the media formats (sniff_format) plus the
+    document/container formats the round-10 pillar added. Returns
+    'unknown' rather than raising: the whole point of a sniffer is to
+    route unrecognized payloads to quarantine, not to die on them."""
+    media = sniff_format(b)
+    if media is not None:
+        return media
+    if b[:5] == b"%PDF-":
+        return "pdf"
+    if b[:4] == b"PK\x03\x04":
+        return "zip"
+    if b[:2] == b"\x1f\x8b":
+        return "gzip"
+    if b[:3] == b"BZh":
+        return "bzip2"
+    if b[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF
+                           and (b[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if b[:5] == b"WARC/":
+        return "warc"
+    if b[257:262] == b"ustar":
+        return "tar"
+    if b[:8] == b"safetens":  # no magic in the spec; heuristic below
+        return "safetensors"
+    if len(b) > 9 and b[8:9] == b"{":
+        import struct
+
+        (hlen,) = struct.unpack_from("<Q", b, 0)
+        if 0 < hlen <= len(b) - 8:
+            return "safetensors"
+    head = b[:256].lstrip().lower()
+    if head.startswith((b"<!doctype html", b"<html")):
+        return "html"
+    if head.startswith(b"<?xml"):
+        return "xml"
+    if head.startswith((b"from:", b"received:", b"return-path:")):
+        return "email"
+    return "unknown"

@@ -2239,3 +2239,91 @@ def audio_vad_features(df: DataFrame, *, frame_len: int = 80,
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "blob").mapInPandas(kernel, VAD_SCHEMA)
+
+
+_SNIFF_FORMATS = ("jpeg", "png", "wav", "flac", "gif", "pdf", "zip",
+                  "gzip", "mp3", "warc")
+
+
+def synthesize_mixed_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic MIXED-format source — the undifferentiated pile a
+    corpus ingest actually receives: per ``doc_id`` one genuine payload
+    whose format cycles jpeg/png/wav/flac/gif/pdf/zip/gzip/mp3/warc by
+    doc_id % 10, each produced by the corresponding REAL encoder
+    (queries/ext_multimodal.py:format_sniff_report)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import gzip as _gzip
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.flac import encode_flac
+        from ..operators.gif import encode_gif
+        from ..operators.id3 import build_id3v2
+        from ..operators.pdf import build_pdf
+        from ..operators.web import encode_warc
+        from ..operators.zipshard import write_zip_shard
+        from .jpeg import encode_jpeg
+        from .media_codecs import encode_png, encode_wav
+
+        def blob_for(did: int) -> bytes:
+            k = did % 10
+            img = np.full((8, 8), did % 256, dtype=np.uint8)
+            if k == 0:
+                return encode_jpeg(img)
+            if k == 1:
+                return encode_png(img)
+            if k == 2:
+                return encode_wav(np.zeros(64), 8000)
+            if k == 3:
+                return encode_flac(np.zeros(64, dtype=np.int16), 8000)
+            if k == 4:
+                pal = np.stack([np.arange(256)] * 3, axis=1
+                               ).astype(np.uint8)
+                return encode_gif(img[None, :, :], pal)
+            if k == 5:
+                return build_pdf([[f"doc {did}"]])
+            if k == 6:
+                return write_zip_shard([{"key": "a", "txt": b"x"}])
+            if k == 7:
+                return _gzip.compress(f"line {did}\n".encode(), mtime=0)
+            if k == 8:
+                return build_id3v2(title=f"T{did}") + b"\xff\xfb\x90\x00"
+            return encode_warc([{"type": "warcinfo", "uri": None,
+                                 "payload": b"software: x\r\n"}])
+
+        for pdf_batch in batches:
+            out = {"doc_id": [], "blob": []}
+            for doc_id in pdf_batch["doc_id"]:
+                did = int(doc_id)
+                out["doc_id"].append(did)
+                out["blob"].append(blob_for(did))
+            yield pd.DataFrame(out)
+
+    from ..sources.lake import widen
+
+    return widen(df.select("doc_id")).mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def format_sniff_features(df: DataFrame) -> DataFrame:
+    """(doc_id, blob) -> (doc_id, detected) through the corpus front
+    door (media_codecs.sniff_payload) — the dispatch every mixed-pile
+    ingest runs before routing payloads to their parsers."""
+    import pandas as pd
+
+    def kernel(batches: Iterator) -> Iterator:
+        from .media_codecs import sniff_payload
+
+        for pdf_batch in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf_batch["doc_id"],
+                "detected": [sniff_payload(bytes(b))
+                             for b in pdf_batch["blob"]],
+            })
+
+    return df.select("doc_id", "blob").mapInPandas(
+        kernel, "doc_id long, detected string"
+    )

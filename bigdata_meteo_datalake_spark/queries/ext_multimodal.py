@@ -1182,6 +1182,49 @@ def eml_text_report(spark, sf_dir):
     return eml_text_features(synthesize_eml_blobs(d))
 
 
+# --- corpus front door: format sniffing over a mixed pile ----------------------------
+
+_SNIFF_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 10
+         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+         WHEN 3 THEN 'flac' WHEN 4 THEN 'gif' WHEN 5 THEN 'pdf'
+         WHEN 6 THEN 'zip' WHEN 7 THEN 'gzip' WHEN 8 THEN 'mp3'
+         ELSE 'warc'
+       END AS detected
+FROM documents
+"""
+
+
+@register(
+    "format_sniff_report",
+    oracle=_SNIFF_ORACLE,
+    tags=("extension", "multimodal", "codec"),
+)
+def format_sniff_report(spark, sf_dir):
+    """The corpus front door end to end (round-10 capstone): a MIXED
+    pile of genuine payloads — one per document, format cycling
+    jpeg/png/wav/flac/gif/pdf/zip/gzip/mp3/warc through the REAL
+    encoders this engine ships — is routed by the magic-byte dispatch
+    (media_codecs.sniff_payload: the nine media signatures plus the
+    document/container signatures, 'unknown' for quarantine rather
+    than a raise). Every detection is a closed form the oracle
+    recomputes, so the dispatch table itself sits under one hash —
+    the step every undifferentiated ingest runs before handing
+    payloads to the per-format parsers the rest of this registry
+    value-checks.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — sniffing reads a fixed-size prefix per blob."""
+    from ..operators.multimodal import (
+        format_sniff_features,
+        synthesize_mixed_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return format_sniff_features(synthesize_mixed_blobs(d))
+
+
 # --- audio voice-activity triage -----------------------------------------------------
 
 _VAD_ORACLE = """

@@ -228,7 +228,8 @@ def test_real_codec_queries_are_pure_map(spark):
                  "mbox_messages_report", "data_uri_images_report",
                  "image_quality_report", "exif_geo_report",
                  "charset_detect_report", "tfrecord_report",
-                 "safetensors_report", "audio_vad_report"):
+                 "safetensors_report", "audio_vad_report",
+                 "format_sniff_report"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()
