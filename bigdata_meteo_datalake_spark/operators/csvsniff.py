@@ -64,9 +64,13 @@ def sniff_parse_csv(b: bytes) -> dict:
     # quoted delimiters deeper in the file skew the full-text frequency
     # tables. EVERY rung's guess must pass the full parse +
     # column-consistency gate before it is accepted — a rung that
-    # sniffs confidently but mis-splits falls through to the next rung
-    # instead of either hard-failing (the gate-after-one-guess design)
-    # or silently winning (the accept-first-success design).
+    # sniffs confidently but mis-splits INCONSISTENTLY falls through to
+    # the next rung instead of either hard-failing (the
+    # gate-after-one-guess design) or silently winning (the
+    # accept-first-success design). Known limit shared by any
+    # delimiter-free gate: a wrong delimiter that splits EVERY line
+    # into the same column count is indistinguishable from a right one
+    # without schema knowledge.
     def parse_with(delimiter: str):
         try:
             parsed = list(csv.reader(io.StringIO(text),
@@ -88,7 +92,11 @@ def sniff_parse_csv(b: bytes) -> dict:
 
     lines = text.splitlines(keepends=True)
     failures = []
-    for k in (len(lines), 10, 5, 3):
+    # distinct sample sizes only (a 3-line file would otherwise sniff
+    # and full-parse the identical text four times), largest first
+    rungs = sorted({min(k, len(lines))
+                    for k in (len(lines), 10, 5, 3)}, reverse=True)
+    for k in rungs:
         # take only the DELIMITER from the sniff; parse with standard
         # RFC 4180 quoting (the sniffer's doublequote guess is
         # unreliable — it returned False on doubled-quote fields)

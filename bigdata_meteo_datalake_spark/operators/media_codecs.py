@@ -1177,15 +1177,12 @@ def sniff_payload(b: bytes) -> str:
         return "bzip2"
     if b[:6] == b"\xfd7zXZ\x00":
         return "xz"
-    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF
-                           and (b[1] & 0xE0) == 0xE0):
+    if b[:3] == b"ID3":
         return "mp3"
     if b[:5] == b"WARC/":
         return "warc"
     if b[257:262] == b"ustar":
         return "tar"
-    if b[:8] == b"safetens":  # no magic in the spec; heuristic below
-        return "safetensors"
     if len(b) > 9 and b[8:9] == b"{":
         import struct
 
@@ -1199,4 +1196,35 @@ def sniff_payload(b: bytes) -> str:
         return "xml"
     if head.startswith((b"from:", b"received:", b"return-path:")):
         return "email"
+    # bare MPEG frame sync LAST, and only when a FULL first frame
+    # checks out (valid header fields AND the frame length lands on
+    # EOF or on another same-version sync) — a 2-byte sync test alone
+    # misroutes UTF-16LE BOMs (FF FE parses as a plausible MPEG1
+    # Layer-I header) and any blob whose first bytes carry the 11
+    # sync bits
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        vbits = (b[1] >> 3) & 3
+        lbits = (b[1] >> 1) & 3
+        bidx = (b[2] >> 4) & 0xF
+        ridx = (b[2] >> 2) & 3
+        if vbits != 1 and lbits != 0 and 1 <= bidx <= 14 and ridx != 3:
+            from .mp3 import (
+                BITRATE_KBPS,
+                SAMPLE_RATES,
+                _frame_len,
+            )
+
+            version_key = {0: 25, 2: 2, 3: 1}[vbits]
+            layer = 4 - lbits
+            rate = SAMPLE_RATES[version_key][ridx]
+            kbps = BITRATE_KBPS[(1 if version_key == 1 else 2,
+                                 layer)][bidx - 1]
+            flen = _frame_len(version_key, layer, kbps, rate,
+                              (b[2] >> 1) & 1)
+            if flen <= len(b) and (
+                flen == len(b)
+                or (flen + 2 <= len(b) and b[flen] == 0xFF
+                    and (b[flen + 1] & 0xE0) == 0xE0)
+            ):
+                return "mp3"
     return "unknown"

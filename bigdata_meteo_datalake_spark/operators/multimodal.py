@@ -2241,10 +2241,6 @@ def audio_vad_features(df: DataFrame, *, frame_len: int = 80,
     return df.select("doc_id", "blob").mapInPandas(kernel, VAD_SCHEMA)
 
 
-_SNIFF_FORMATS = ("jpeg", "png", "wav", "flac", "gif", "pdf", "zip",
-                  "gzip", "mp3", "warc")
-
-
 def synthesize_mixed_blobs(df: DataFrame) -> DataFrame:
     """Deterministic MIXED-format source — the undifferentiated pile a
     corpus ingest actually receives: per ``doc_id`` one genuine payload

@@ -776,9 +776,11 @@ def _page_text(doc: _Document, content: bytes, fonts: dict,
             xo = doc.resolve((xobjects or {}).get(xname))
             if xo is None:
                 raise ValueError(f"Do references unknown XObject /{xname}")
-            sub = None
-            if isinstance(xo, tuple) and xo[0] == "stream":
-                sub = doc.resolve(xo[1].get("Subtype"))
+            if not (isinstance(xo, tuple) and xo[0] == "stream"):
+                raise ValueError(
+                    f"XObject /{xname} is not a stream (corrupt input)"
+                )
+            sub = doc.resolve(xo[1].get("Subtype"))
             if sub != "Image":
                 raise NotImplementedError(
                     f"XObject /{xname} has /Subtype /{sub} — text inside "
@@ -816,21 +818,25 @@ def extract_pdf_text(b: bytes) -> dict:
     pages_obj = doc.resolve(root.get("Pages"))
     page_texts: list[str] = []
 
-    def walk(node, depth=0):
+    def walk(node, depth=0, inherited_res=None):
         node = doc.resolve(node)
         if depth > 64:
             raise ValueError("page tree too deep (cycle?)")
         if not isinstance(node, dict):
             raise ValueError("page-tree node is not a dictionary")
         t = doc.resolve(node.get("Type"))
+        # /Resources is INHERITABLE (ISO 32000 7.7.3.4): a page without
+        # its own dict uses the nearest ancestor /Pages node's
+        own_res = doc.resolve(node.get("Resources"))
+        res = own_res if own_res is not None else inherited_res
         if t == "Pages":
             kids = doc.resolve(node.get("Kids"))
             if not isinstance(kids, list):
                 raise ValueError("/Pages node without /Kids array")
             for k in kids:
-                walk(k, depth + 1)
+                walk(k, depth + 1, res)
         elif t == "Page":
-            res = doc.resolve(node.get("Resources")) or {}
+            res = res or {}
             fonts = doc.resolve(res.get("Font")) or {}
             contents = doc.resolve(node.get("Contents"))
             if contents is None:

@@ -5229,7 +5229,9 @@ def test_format_sniff_front_door(spark):
         b"%PDF-1.4\n%x": "pdf", b"PK\x03\x04rest": "zip",
         gzip.compress(b"x", mtime=0): "gzip", b"BZh91AY&SY": "bzip2",
         b"\xfd7zXZ\x00\x00": "xz", b"ID3\x04\x00": "mp3",
-        b"\xff\xfb\x90\x00": "mp3", b"WARC/1.0\r\nW": "warc",
+        b"\xff\xfb\x90\x00": "unknown",  # 4B fragment: not a full frame
+        b"\xff\xfeU\x00T\x00" + bytes(600): "unknown",  # UTF-16LE BOM
+        b"WARC/1.0\r\nW": "warc",
         b"  <!DOCTYPE HTML><html>": "html",
         b"<?xml version='1.0'?><feed/>": "xml",
         b"Received: by relay\r\n": "email",
@@ -5239,6 +5241,12 @@ def test_format_sniff_front_door(spark):
     }
     for blob, want in cases.items():
         assert sniff_payload(blob) == want, (blob[:10], want)
+    # a genuine headerless CBR stream sniffs as mp3 (full first frame
+    # validated, next sync confirmed)
+    from bigdata_meteo_datalake_spark.operators.mp3 import build_mp3_frames
+
+    assert sniff_payload(build_mp3_frames(version=1,
+                                          bitrate_indices=[5, 5])) == "mp3"
 
     d = read_table(spark, SF0001, "documents").limit(30)
     rows = {r["doc_id"]: r["detected"] for r in
