@@ -475,11 +475,23 @@ def decode_scan_arith(
         if restart_interval and unit and unit % restart_interval == 0:
             # decoder stops feeding at the marker; skip RSTn and restart.
             # T.81 D.1.8/D.1.9: the encoder MAY leave trailing zero flush
-            # bytes (and 0xFF00 stuffing) before the marker, so walk
-            # forward to the next real marker (same walk as end-of-scan)
-            # instead of requiring it at dec.pos exactly.
+            # bytes (and 0xFF00 stuffing) before the marker — ONLY those.
+            # Walk forward requiring every skipped byte to be 0x00 or a
+            # stuffed 0xFF00 pair; any other byte between the decoder
+            # stop position and the marker is stream corruption, not
+            # permitted flush, and must raise rather than be skipped.
             p = dec.pos
-            while p + 1 < len(b) and not (b[p] == 0xFF and b[p + 1] != 0x00):
+            while p + 1 < len(b):
+                if b[p] == 0xFF:
+                    if b[p + 1] == 0x00:
+                        p += 2  # stuffed 0xFF00
+                        continue
+                    break  # a real marker
+                if b[p] != 0x00:
+                    raise ValueError(
+                        f"non-flush byte 0x{b[p]:02x} before restart "
+                        f"marker at offset {p}"
+                    )
                 p += 1
             if not (p + 1 < len(b) and b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
                 raise ValueError("expected restart marker")

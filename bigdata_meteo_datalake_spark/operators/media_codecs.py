@@ -1158,6 +1158,21 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _tar_header_checksum_ok(b: bytes) -> bool:
+    """Corroborate a positional 'ustar' hit: the POSIX tar header
+    checksum (bytes 148..155, octal ASCII) must equal the unsigned sum
+    of the 512-byte header block with the checksum field itself read as
+    eight spaces. A JSON/text blob that happens to carry 'ustar' at
+    offset 257 effectively never satisfies this."""
+    if len(b) < 512:
+        return False
+    stored = b[148:156].replace(b"\x00", b" ").strip()
+    if not stored or any(c not in b"01234567" for c in stored):
+        return False
+    hdr_sum = sum(b[:148]) + 8 * 0x20 + sum(b[156:512])
+    return hdr_sum == int(stored, 8)
+
+
 def sniff_payload(b: bytes) -> str:
     """The corpus front door: magic-byte dispatch across EVERY format
     this engine parses — the media formats (sniff_format) plus the
@@ -1181,14 +1196,21 @@ def sniff_payload(b: bytes) -> str:
         return "mp3"
     if b[:5] == b"WARC/":
         return "warc"
-    if b[257:262] == b"ustar":
-        return "tar"
     if len(b) > 9 and b[8:9] == b"{":
         import struct
 
         (hlen,) = struct.unpack_from("<Q", b, 0)
         if 0 < hlen <= len(b) - 8:
             return "safetensors"
+    # tar's magic is POSITIONAL (offset 257 inside the first header
+    # block), so any blob >= 262 bytes can carry 'ustar' there by
+    # coincidence — e.g. a large safetensors JSON header or a text
+    # blob. Test it AFTER the structured rungs and corroborate with
+    # the header checksum (sum of the 512 header bytes with the
+    # checksum field read as spaces, stored as octal ASCII) before
+    # claiming tar.
+    if b[257:262] == b"ustar" and _tar_header_checksum_ok(b):
+        return "tar"
     head = b[:256].lstrip().lower()
     if head.startswith((b"<!doctype html", b"<html")):
         return "html"

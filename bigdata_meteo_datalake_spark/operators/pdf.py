@@ -411,11 +411,18 @@ class _Document:
                     elif typ != b"n":
                         raise ValueError(f"bad xref entry type {typ!r}")
                     # entries are 20 bytes incl. the 2-byte terminator,
-                    # but tolerate 19-byte single-char EOL writers
-                    step = 20
-                    if entry[18:19] not in b"\r\n ":
-                        step = 19
-                    lx.pos += step
+                    # but tolerate 19-byte single-char-EOL writers:
+                    # consume the 18 fixed data bytes, then skip AT MOST
+                    # two trailing EOL/space bytes. (Testing entry[18]
+                    # alone can't detect the short form — in a 19-byte
+                    # entry byte 18 IS the lone EOL, which looks exactly
+                    # like the start of a 2-byte terminator.)
+                    lx.pos += 18
+                    for _ in range(2):
+                        if b[lx.pos : lx.pos + 1] in (b"\r", b"\n", b" "):
+                            lx.pos += 1
+                        else:
+                            break
             trailer = _parse_value(lx)
             if not isinstance(trailer, dict):
                 raise ValueError("trailer is not a dictionary")

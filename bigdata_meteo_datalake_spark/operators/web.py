@@ -677,13 +677,21 @@ def robots_admission(urls, robots):
     semantics) in an Arrow-batched kernel that parses each domain's
     robots.txt ONCE per batch. -> (doc_id, url, domain, allowed).
 
+    A frontier domain MISSING from the robots dimension is admitted
+    (allowed = true): per the web convention (RFC 9309 section 2.3.1.2
+    — no robots.txt means unrestricted access), and a LEFT join keeps
+    the row so unmatched domains surface in the output instead of
+    silently vanishing from the frontier (the repo's fail-loud policy;
+    an inner join here would make a fetch-failure look like a
+    disallow).
+
     Scale: the robots side is one row per registered domain (always
     broadcastable); the URL side never shuffles — a scan-map pass with
     a map-side join at any corpus size."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    joined = urls.join(F.broadcast(robots), "domain")
+    joined = urls.join(F.broadcast(robots), "domain", "left")
 
     def kernel(batches):
         from urllib.robotparser import RobotFileParser
@@ -693,6 +701,11 @@ def robots_admission(urls, robots):
             allowed = []
             for dom, txt, url in zip(pdf["domain"], pdf["robots_txt"],
                                      pdf["url"]):
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    # domain absent from the robots dimension: no
+                    # robots.txt -> everything is fetchable
+                    allowed.append(True)
+                    continue
                 rp = parsers.get(dom)
                 if rp is None:
                     rp = RobotFileParser()

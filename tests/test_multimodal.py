@@ -5210,6 +5210,20 @@ def test_foreign_writer_interop():
     assert samples == [{"key": "k0", "txt": b"cap", "bin": b"\x01"}]
 
 
+def _real_tar_blob() -> bytes:
+    """A genuine single-member tar (stdlib tarfile writer) — valid
+    positional magic AND header checksum."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo(name="member.txt")
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+    return buf.getvalue()
+
+
 def test_format_sniff_front_door(spark):
     """The corpus front door (round-10 capstone): every document/
     container signature routes correctly, unknowns quarantine instead
@@ -5236,8 +5250,17 @@ def test_format_sniff_front_door(spark):
         b"<?xml version='1.0'?><feed/>": "xml",
         b"Received: by relay\r\n": "email",
         b"\x00\x01\x02 garbage": "unknown", b"": "unknown",
-        bytes(257) + b"ustar\x00" + bytes(50): "tar",
+        _real_tar_blob(): "tar",
+        # 'ustar' at offset 257 WITHOUT a valid header checksum is not
+        # tar (a positional magic alone misroutes e.g. large
+        # safetensors JSON headers carrying the substring)
+        bytes(257) + b"ustar\x00" + bytes(250): "unknown",
         struct.pack("<Q", 2) + b"{}": "safetensors",
+        # a safetensors header large enough to place arbitrary text at
+        # offset 257 must still sniff as safetensors, even when that
+        # text is 'ustar'
+        struct.pack("<Q", 601) + b'{"w": "' + b" " * 242 + b"ustar"
+        + b" " * 345 + b'"}': "safetensors",
     }
     for blob, want in cases.items():
         assert sniff_payload(blob) == want, (blob[:10], want)
@@ -5255,3 +5278,101 @@ def test_format_sniff_front_door(spark):
             "mp3", "warc"]
     for did, got in rows.items():
         assert got == want[did % 10], did
+
+
+def test_round11_advice_regressions(spark):
+    """Round-11 ADVICE fixes, pinned:
+
+    1. A classic-xref PDF written with 19-byte single-LF xref entries
+       (the tolerance's intended case — testing entry[18] alone can't
+       detect it, since in a 19-byte entry byte 18 IS the lone EOL)
+       must parse with every entry aligned.
+    2. Nonzero garbage between the arithmetic decoder's stop position
+       and an RSTn marker is stream corruption, not T.81 flush — it
+       must raise, not be skipped.
+    3. A frontier URL whose domain has no row in the robots dimension
+       must SURVIVE robots_admission with allowed=true (RFC 9309
+       2.3.1.2: no robots.txt means unrestricted), not silently vanish
+       through an inner join.
+    4. A positional 'ustar' at offset 257 is only tar when the POSIX
+       header checksum corroborates it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_meteo_datalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        sniff_payload,
+    )
+    from bigdata_meteo_datalake_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+    from bigdata_meteo_datalake_spark.operators.web import (
+        robots_admission,
+        synthesize_crawl_urls,
+        synthesize_robots_table,
+    )
+
+    # -- 1. 19-byte single-LF xref entries -----------------------------------
+    pages = [["alpha line", "beta line"], ["gamma"], ["delta delta"]]
+    good = build_pdf(pages, compress=True, xref_stream=False)
+    want = extract_pdf_text(good)
+    xs = good.rindex(b"xref\n0 ")
+    tr = good.index(b"trailer", xs)
+    block = good[xs:tr]
+    short = block.replace(b" n \n", b" n\n").replace(b" f \n", b" f\n")
+    assert len(short) == len(block) - block.count(b" \n")
+    mut = good[:xs] + short + good[tr:]
+    # startxref still points at the unchanged 'xref' keyword offset;
+    # only the per-entry terminators shrank — a misaligned walk would
+    # read garbage offsets and fail loudly downstream
+    got = extract_pdf_text(mut)
+    assert got["text"] == want["text"] and got["n_pages"] == want["n_pages"]
+
+    # -- 2. nonzero byte before RSTn raises ----------------------------------
+    rng = np.random.default_rng(111)
+    tile = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    img = tile.repeat(8, axis=0).repeat(8, axis=1)  # 32x40, 20 MCUs
+    blob = encode_jpeg(img, arithmetic=True, restart_interval=4)
+    assert np.array_equal(decode_jpeg(blob), img)
+    i = blob.index(b"\xff\xd0")  # first restart marker
+    while blob[i - 1] == 0xFF:  # never split a stuffed/marker pair
+        i = blob.index(b"\xff\xd0", i + 1)
+    # zeros around the garbage keep any decoder lookahead inside legal
+    # flush bytes, so the failure is attributable to the 0x01 itself
+    bad = blob[:i] + b"\x00\x00\x00\x00\x01\x00\x00" + blob[i:]
+    with pytest.raises(ValueError, match="non-flush byte"):
+        decode_jpeg(bad)
+    # pure zero flush bytes in the same position still decode
+    ok = blob[:i] + b"\x00\x00\x00" + blob[i:]
+    assert np.array_equal(decode_jpeg(ok), img)
+
+    # -- 3. unknown domain survives admission as allow-all -------------------
+    base = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(8))}))
+    urls = synthesize_crawl_urls(base).union(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": [999],
+            "domain": ["unregistered.example"],
+            "url": ["https://unregistered.example/private/1"],
+        }))
+    )
+    robots = synthesize_robots_table(spark)
+    rows = {r["doc_id"]: r for r in
+            robots_admission(urls, robots).collect()}
+    assert len(rows) == 9  # nothing vanished
+    assert rows[999]["allowed"] is True
+    assert rows[999]["domain"] == "unregistered.example"
+    # registered domains still evaluate their real policy: doc 1 maps
+    # to /private/1 on site1.example, whose policy is full disallow
+    assert rows[1]["allowed"] is False
+
+    # -- 4. tar needs the checksum corroboration -----------------------------
+    real = _real_tar_blob()
+    assert sniff_payload(real) == "tar"
+    corrupt = bytearray(real)
+    corrupt[0] ^= 0x01  # name byte flips -> stored checksum no longer matches
+    assert sniff_payload(bytes(corrupt)) == "unknown"
