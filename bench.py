@@ -81,6 +81,14 @@ BENCH_QUERIES = [
     # family of the round (baseline restated for the 33-query set in
     # BASELINE.md, same session as the set change)
     "pdf_text_report",
+    # round-11 addition: the similarity pillar's flagship 100 TB dedup
+    # path — SemDeDup over the full embeddings table via the LSH
+    # sign-bucket pair generator into two-phase-star connected
+    # components — was the engine's most expensive registered query
+    # (4.5 s at sf0.1 in SCALE.md) without continuous per-round timing
+    # (baseline restated for the 34-query set in BASELINE.md, same
+    # session as the set change)
+    "semantic_dedup_lsh",
 ]
 
 

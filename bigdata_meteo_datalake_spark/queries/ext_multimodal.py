@@ -3067,3 +3067,75 @@ def multimodal_phash_real(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     pngs = synthesize_png_blobs(d)
     return image_phash_bands(pngs, decode="real")
+
+
+# --- Ogg container page walk through the kernel gate ----------------------------------
+
+_OGG_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS n_audio,
+         doc_id % 2 = 0 AS is_vorbis,
+         doc_id % 3 AS layout
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN is_vorbis THEN 'vorbis' ELSE 'opus' END AS codec,
+       cast(1 + doc_id % 2 AS int) AS channels,
+       cast(CASE WHEN is_vorbis
+                 THEN [8000, 16000, 22050, 44100, 48000][doc_id % 5 + 1]
+                 ELSE 48000 END AS int) AS sample_rate,
+       cast(2 + CASE layout WHEN 0 THEN (n_audio + 2) // 3
+                            WHEN 1 THEN (n_audio + 1) // 2
+                            ELSE n_audio + 1 END AS int) AS n_pages,
+       cast(n_audio + CASE WHEN is_vorbis THEN 3 ELSE 2 END AS int)
+         AS n_packets,
+       cast(doc_id % 4 AS int) AS n_comments,
+       cast(13 AS int) AS vendor_chars,
+       cast(list_aggregate(list_transform(range(0, n_audio),
+              j -> 260 + (doc_id * 13 + j * 37) % 360), 'sum') AS bigint)
+         AS payload_bytes,
+       cast(CASE WHEN is_vorbis
+                 THEN 320 * n_audio * 1000
+                      // [8000, 16000, 22050, 44100, 48000][doc_id % 5 + 1]
+                 ELSE 20 * n_audio END AS bigint) AS duration_ms,
+       true AS has_eos
+FROM p
+"""
+
+
+@register(
+    "ogg_pages_report",
+    oracle=_OGG_ORACLE,
+    tags=("extension", "multimodal", "audio", "codec"),
+)
+def ogg_pages_report(spark, sf_dir):
+    """Ogg container page walk end to end (round-11) — the audio-corpus
+    front door next to multimodal_mp4_probe: real podcast/speech shards
+    arrive as Ogg/Opus and Ogg/Vorbis, and triage needs page structure,
+    codec identity, and duration WITHOUT decoding audio. Per document a
+    genuine single-stream Ogg file (operators/ogg.py:build_ogg — pages
+    with spec-exact lacing tables and the RFC 3533 non-reflected
+    CRC-32, Vorbis id/comment/setup or RFC 7845 OpusHead/OpusTags
+    headers) of 6 + doc_id % 5 audio packets, each > 255 bytes so
+    multi-segment lacing is always live, page layout cycling by
+    doc_id % 3 (3 packets/page, 2 packets/page, or a packet SPANNING
+    two pages via terminal-255 lacing + the continued flag) is walked
+    page by page: every capture pattern, version byte, CRC, sequence
+    number, and continued flag validated; packets reassembled from
+    lacing values; codec headers parsed; the duration derived from the
+    final granule position in exact integer math (Opus: 48 kHz samples
+    minus pre-skip per RFC 7845 section 4).
+
+    The report columns are all closed forms the oracle recomputes —
+    n_pages per layout arm gates the page-split arithmetic itself, and
+    payload_bytes (a sum over per-packet lengths) gates the lacing
+    reassembly byte-for-byte. Audio decode (Vorbis MDCT, Opus
+    SILK+CELT) is the declared boundary, same as MP3.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — files parse independently, the WARC/PDF shape."""
+    from ..operators.ogg import ogg_pages_features, synthesize_ogg_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return ogg_pages_features(synthesize_ogg_blobs(d))

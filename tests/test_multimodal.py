@@ -5376,3 +5376,169 @@ def test_round11_advice_regressions(spark):
     corrupt = bytearray(real)
     corrupt[0] ^= 0x01  # name byte flips -> stored checksum no longer matches
     assert sniff_payload(bytes(corrupt)) == "unknown"
+
+
+# --- Ogg container (round 11) ---------------------------------------------------------
+
+
+def test_ogg_crc_published_vectors():
+    """The RFC 3533 page CRC (poly 0x04C11DB7, init 0, non-reflected,
+    no final XOR) pinned to PUBLISHED check vectors — the same
+    discipline as tfrecord.py's masked CRC32C. The table is shared, so
+    either vector failing means the polynomial/shift direction is
+    wrong, not the fixture:
+    - CRC-32/CKSUM (POSIX cksum) is this algorithm + final complement:
+      check("123456789") = 0x765E7680.
+    - CRC-32/MPEG-2 is this table under init 0xFFFFFFFF:
+      check("123456789") = 0x0376E6E7.
+    """
+    from bigdata_meteo_datalake_spark.operators.ogg import (
+        _crc_update,
+        ogg_crc,
+    )
+
+    assert ogg_crc(b"123456789") ^ 0xFFFFFFFF == 0x765E7680
+    assert _crc_update(0xFFFFFFFF, b"123456789") == 0x0376E6E7
+    assert ogg_crc(b"") == 0
+
+
+def _ogg_fixture(did: int) -> tuple[bytes, list[bytes]]:
+    from bigdata_meteo_datalake_spark.operators.ogg import build_ogg
+
+    n = 6 + did % 5
+    pkts = [bytes((did + j + k) % 256
+                  for k in range(260 + (did * 13 + j * 37) % 360))
+            for j in range(n)]
+    layout = did % 3
+    return build_ogg(
+        codec="vorbis" if did % 2 == 0 else "opus",
+        channels=1 + did % 2,
+        sample_rate=[8000, 16000, 22050, 44100, 48000][did % 5]
+        if did % 2 == 0 else 48000,
+        audio_packets=pkts,
+        samples_per_packet=320 if did % 2 == 0 else 960,
+        comments=[f"k{i}=v{did}" for i in range(did % 4)],
+        packets_per_page=3 - layout,
+        span_first=(layout == 2),
+    ), pkts
+
+
+def test_ogg_roundtrip_layouts():
+    """Packet reassembly is framing-invariant: the same packets through
+    all three page layouts (3/page, 2/page, spanning) parse to the same
+    packet stream, page counts match the per-layout closed form, and a
+    packet of exactly k*255 bytes gets its explicit 0 lacing
+    terminator."""
+    from bigdata_meteo_datalake_spark.operators.ogg import (
+        build_ogg,
+        parse_ogg,
+    )
+
+    for did in range(9):
+        blob, pkts = _ogg_fixture(did)
+        r = parse_ogg(blob)
+        n = len(pkts)
+        layout = did % 3
+        want_pages = {0: 2 + (n + 2) // 3, 1: 2 + (n + 1) // 2,
+                      2: n + 3}[layout]
+        assert r["n_pages"] == want_pages, did
+        assert r["payload_bytes"] == sum(len(p) for p in pkts), did
+        assert r["n_packets"] == n + (3 if did % 2 == 0 else 2), did
+        assert len(r["comments"]) == did % 4
+        assert r["comments"] == [f"k{i}=v{did}" for i in range(did % 4)]
+        assert r["has_eos"] is True
+
+    # multiple-of-255 packet: lacing must end with an explicit 0
+    blob = build_ogg(codec="opus", channels=1, sample_rate=48000,
+                     audio_packets=[bytes(510), b"xy"],
+                     samples_per_packet=960, comments=[])
+    assert b"\xff\xff\x00" in blob
+    r = parse_ogg(blob)
+    assert r["n_packets"] == 4 and r["payload_bytes"] == 512
+    # opus duration subtracts pre-skip: 2 packets * 960 / 48k = 40 ms
+    assert r["duration_ms"] == 40
+
+
+def test_ogg_rejections():
+    """Every malformation fails loud: corrupt CRC, lost capture,
+    nonzero version, missing BOS, sequence gaps, multiplexed serials,
+    inconsistent continued flag, truncation, trailing data after EOS,
+    mid-packet EOF, unknown codec, missing OpusTags, and comment
+    overruns."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.ogg import (
+        ogg_crc,
+        parse_ogg,
+    )
+
+    blob, _ = _ogg_fixture(1)  # opus, 2 packets/page
+
+    def mutate(b, pos, val):
+        m = bytearray(b)
+        m[pos] = val
+        return bytes(m)
+
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_ogg(mutate(blob, 60, blob[60] ^ 1))
+    with pytest.raises(ValueError, match="capture pattern"):
+        parse_ogg(mutate(blob, 0, ord("X")))
+    with pytest.raises(ValueError, match="version"):
+        # re-CRC a version-1 page so the version check itself fires
+        m = bytearray(blob)
+        m[4] = 1
+        m[22:26] = b"\x00\x00\x00\x00"
+        nseg = m[26]
+        end = 27 + nseg + sum(m[27:27 + nseg])
+        struct.pack_into("<I", m, 22, ogg_crc(bytes(m[:end])))
+        parse_ogg(bytes(m))
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        parse_ogg(blob[:30])
+    with pytest.raises(ValueError, match="data after the EOS"):
+        parse_ogg(blob + b"junk")
+    with pytest.raises(ValueError, match="not BOS"):
+        # second page (no BOS flag) presented as the stream start
+        second = blob.index(b"OggS", 4)
+        parse_ogg(blob[second:])
+    with pytest.raises(ValueError, match="unknown codec"):
+        # valid page framing, unrecognized first packet
+        from bigdata_meteo_datalake_spark.operators.ogg import _page
+
+        pg = _page(7, 0, 0, 0x02 | 0x04, b"\x08", b"notacode")
+        parse_ogg(pg)
+    with pytest.raises(ValueError, match="OpusTags"):
+        from bigdata_meteo_datalake_spark.operators.ogg import _page
+
+        head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 0, 48000, 0, 0)
+        pg = _page(7, 0, 0, 0x02 | 0x04, bytes([len(head)]), head)
+        parse_ogg(pg)
+    with pytest.raises(ValueError, match="declares"):
+        from bigdata_meteo_datalake_spark.operators.ogg import _page
+
+        tags = (b"OpusTags" + struct.pack("<I", 1) + b"v"
+                + struct.pack("<I", 1 << 30))
+        head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 0, 48000, 0, 0)
+        p0 = _page(7, 0, 0, 0x02, bytes([len(head)]), head)
+        p1 = _page(7, 1, 0, 0x04, bytes([len(tags)]), tags)
+        parse_ogg(p0 + p1)
+    with pytest.raises(ValueError, match="mid-packet"):
+        from bigdata_meteo_datalake_spark.operators.ogg import _page
+
+        head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 0, 48000, 0, 0)
+        p0 = _page(7, 0, 0, 0x02, bytes([len(head)]), head)
+        # a page whose last lacing value is 255 with nothing after it
+        p1 = _page(7, 1, -1, 0x04, b"\xff", bytes(255))
+        parse_ogg(p0 + p1)
+    from bigdata_meteo_datalake_spark.operators.ogg import _page
+
+    head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 0, 48000, 0, 0)
+    tags = b"OpusTags" + struct.pack("<I", 1) + b"v" + struct.pack("<I", 0)
+    p0 = _page(7, 0, 0, 0x02, bytes([len(head)]), head)
+    with pytest.raises(ValueError, match="multiplexed"):
+        parse_ogg(p0 + _page(8, 1, 0, 0x04, bytes([len(tags)]), tags))
+    with pytest.raises(ValueError, match="sequence gap"):
+        parse_ogg(p0 + _page(7, 2, 0, 0x04, bytes([len(tags)]), tags))
+    with pytest.raises(ValueError, match="continued-packet flag"):
+        parse_ogg(p0 + _page(7, 1, 0, 0x04 | 0x01, bytes([len(tags)]), tags))
+    with pytest.raises(ValueError, match="BOS flag on non-first"):
+        parse_ogg(p0 + _page(7, 1, 0, 0x04 | 0x02, bytes([len(tags)]), tags))
