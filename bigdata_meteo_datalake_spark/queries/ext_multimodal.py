@@ -3139,3 +3139,70 @@ def ogg_pages_report(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return ogg_pages_features(synthesize_ogg_blobs(d))
+
+
+# --- Matroska/WebM EBML probe through the kernel gate ----------------------------------
+
+_MKV_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doc_type,
+       cast(1000 + (doc_id * 37) % 60000 AS bigint) AS duration_ms,
+       'writer-' || doc_id AS writing_app,
+       cast(CASE WHEN doc_id % 7 = 0 THEN 1
+                 WHEN doc_id % 5 = 0 THEN 1
+                 ELSE 2 END AS int) AS n_tracks,
+       CASE WHEN doc_id % 7 = 0 THEN ''
+            ELSE ['V_VP8', 'V_VP9', 'V_AV1'][doc_id % 3 + 1]
+            END AS video_codec,
+       cast(CASE WHEN doc_id % 7 = 0 THEN 0
+                 ELSE 320 + 16 * (doc_id % 8) END AS int) AS width,
+       cast(CASE WHEN doc_id % 7 = 0 THEN 0
+                 ELSE 240 + 16 * (doc_id % 5) END AS int) AS height,
+       CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN ''
+            WHEN doc_id % 2 = 0 THEN 'A_OPUS'
+            ELSE 'A_VORBIS' END AS audio_codec,
+       cast(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 0
+                 ELSE 1 + doc_id % 2 END AS int) AS channels,
+       cast(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 0
+                 ELSE 48000 END AS int) AS sampling_hz,
+       cast(1 + doc_id % 4 AS int) AS n_clusters,
+       cast(40 * (doc_id % 4) AS bigint) AS last_cluster_ms,
+       cast(2 * (1 + doc_id % 4) AS int) AS n_blocks
+FROM documents
+"""
+
+
+@register(
+    "mkv_probe_report",
+    oracle=_MKV_ORACLE,
+    tags=("extension", "multimodal", "video", "codec"),
+)
+def mkv_probe_report(spark, sf_dir):
+    """Matroska/WebM container probe end to end (round-11) — the
+    web-video container next to multimodal_mp4_probe and
+    multimodal_avi_frames: WebM is what WARC piles actually contain.
+    Per document a spec-shaped EBML file (operators/mkv.py:build_mkv)
+    — EBML header with DocType, Segment with Info (TimestampScale,
+    integral Duration float, WritingApp), video / audio / both
+    TrackEntries (codec ids, pixel dimensions, channels, 48 kHz
+    sampling float), and 1 + doc_id % 4 Clusters of 2 SimpleBlocks —
+    is walked by the real EBML grammar: variable-size integers
+    (marker-kept ids, marker-stripped sizes), every child size
+    validated against its parent, unknown ids skipped by size (the
+    spec's extensibility rule), and the streamed unknown-size-Segment
+    layout (every fourth document) accepted exactly where RFC 8794
+    allows it. Frame decode (VP8/VP9/AV1/H.264) stays the declared
+    boundary.
+
+    Every report column is a closed form the oracle recomputes —
+    including the track-layout CASE arms (audio-only every seventh
+    document, video-only every fifth other), so a walk that mistook
+    an audio strf... (AVI lesson) or misattributed a track type flips
+    the hash.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — files probe independently, the WARC/PDF shape."""
+    from ..operators.mkv import mkv_probe_features, synthesize_mkv_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return mkv_probe_features(synthesize_mkv_blobs(d))

@@ -5542,3 +5542,114 @@ def test_ogg_rejections():
         parse_ogg(p0 + _page(7, 1, 0, 0x04 | 0x01, bytes([len(tags)]), tags))
     with pytest.raises(ValueError, match="BOS flag on non-first"):
         parse_ogg(p0 + _page(7, 1, 0, 0x04 | 0x02, bytes([len(tags)]), tags))
+
+
+# --- Matroska/WebM EBML probe (round 11) -----------------------------------------------
+
+
+def test_mkv_hand_pinned_bytes():
+    """Byte-level EBML pinned BY HAND (not via build_mkv — the round-10
+    lesson: writer/parser roundtrips can't catch shared spec mistakes):
+    a webm with unknown-size Segment, ms TimestampScale, 2000 ms
+    Duration, one Opus audio track, one 40 ms cluster with one
+    SimpleBlock. Every varint width and size byte below is hand
+    computed from RFC 8794."""
+    from bigdata_meteo_datalake_spark.operators.mkv import parse_mkv
+
+    blob = bytes.fromhex(
+        "1a45dfa3" "87" "4282" "84" "7765626d"          # EBML{DocType 'webm'}
+        "18538067" "ff"                                  # Segment, unknown size
+        "1549a966" "92"                                  # Info, 18 bytes
+        "2ad7b1" "83" "0f4240"                           #   TimestampScale 1e6
+        "4489" "88" "409f400000000000"                   #   Duration 2000.0 (f64)
+        "1654ae6b" "98"                                  # Tracks, 24 bytes
+        "ae" "96"                                        #   TrackEntry, 22 bytes
+        "83" "81" "02"                                   #     TrackType audio
+        "86" "86" "415f4f505553"                         #     CodecID 'A_OPUS'
+        "e1" "89"                                        #     Audio, 9 bytes
+        "b5" "84" "473b8000"                             #       Sampling 48000 (f32)
+        "9f" "81" "01"                                   #       Channels 1
+        "1f43b675" "89"                                  # Cluster, 9 bytes
+        "e7" "81" "28"                                   #   Timestamp 40
+        "a3" "84" "81000080"                             #   SimpleBlock
+    )
+    r = parse_mkv(blob)
+    assert r["doc_type"] == "webm"
+    assert r["timestamp_scale"] == 1_000_000
+    assert r["duration_ms"] == 2000
+    assert r["n_tracks"] == 1 and r["video_codec"] == "" and r["width"] == 0
+    assert r["audio_codec"] == "A_OPUS"
+    assert r["channels"] == 1 and r["sampling_hz"] == 48000
+    assert r["n_clusters"] == 1 and r["last_cluster_ms"] == 40
+    assert r["n_blocks"] == 1
+    # unknown ids are SKIPPED by size (EBML extensibility): a Void
+    # element (0xEC) of garbage spliced between Info and Tracks
+    # changes nothing
+    info_end = blob.index(bytes.fromhex("1654ae6b"))
+    spliced = blob[:info_end] + bytes.fromhex("ec85") + b"\xde" * 5 + blob[info_end:]
+    assert parse_mkv(spliced) == r
+
+
+def test_mkv_roundtrip_and_rejections():
+    from bigdata_meteo_datalake_spark.operators.mkv import (
+        build_mkv,
+        parse_mkv,
+    )
+
+    for did in (0, 1, 3, 4, 5, 7, 10, 14, 15, 35):
+        audio_only = did % 7 == 0
+        video_only = (not audio_only) and did % 5 == 0
+        nclus = 1 + did % 4
+        blob = build_mkv(
+            doc_type="webm" if did % 2 == 0 else "matroska",
+            duration_ms=1000 + (did * 37) % 60000,
+            video_codec=None if audio_only
+            else ["V_VP8", "V_VP9", "V_AV1"][did % 3],
+            width=320 + 16 * (did % 8), height=240 + 16 * (did % 5),
+            audio_codec=None if video_only
+            else ("A_OPUS" if did % 2 == 0 else "A_VORBIS"),
+            channels=1 + did % 2, sampling_hz=48000,
+            writing_app=f"writer-{did}",
+            cluster_timestamps_ms=[40 * j for j in range(nclus)],
+            unknown_size_segment=(did % 4 == 0),
+        )
+        r = parse_mkv(blob)
+        assert r["duration_ms"] == 1000 + (did * 37) % 60000, did
+        assert r["n_tracks"] == (1 if audio_only or video_only else 2), did
+        assert r["n_clusters"] == nclus, did
+        assert r["last_cluster_ms"] == 40 * (nclus - 1), did
+        assert r["writing_app"] == f"writer-{did}", did
+
+    good = build_mkv(duration_ms=500, cluster_timestamps_ms=[0])
+    # truncation anywhere raises
+    with pytest.raises(ValueError):
+        parse_mkv(good[:-3])
+    with pytest.raises(ValueError, match="EBML"):
+        parse_mkv(b"\x00\x00\x00\x00")
+    # data after a known-size Segment
+    with pytest.raises(ValueError, match="after the Segment"):
+        parse_mkv(good + b"x")
+    # a child size overrunning its parent
+    bad = bytearray(good)
+    pos = bad.index(bytes.fromhex("2ad7b1")) + 3
+    bad[pos] = 0xFF  # TimestampScale's 1-byte size -> unknown (all-ones)
+    with pytest.raises(ValueError, match="only Segment"):
+        parse_mkv(bytes(bad))
+    bad = bytearray(good)
+    bad[pos] = 0xBF  # size 63 overruns Info
+    with pytest.raises(ValueError, match="overruns its parent"):
+        parse_mkv(bytes(bad))
+    # DocType gate
+    with pytest.raises(ValueError, match="DocType"):
+        parse_mkv(build_mkv(doc_type="avif", duration_ms=1,
+                            cluster_timestamps_ms=[]))
+    # non-integral Duration in scale units is a loud boundary
+    from bigdata_meteo_datalake_spark.operators import mkv as mkvmod
+    import struct as _s
+
+    frac = bytearray(build_mkv(duration_ms=2, cluster_timestamps_ms=[]))
+    dpos = frac.index(bytes.fromhex("4489"))
+    frac[dpos + 3 : dpos + 11] = _s.pack(">d", 2.5)
+    with pytest.raises(ValueError, match="non-integral Duration"):
+        parse_mkv(bytes(frac))
+    assert mkvmod.parse_mkv(good)["duration_ms"] == 500
