@@ -789,3 +789,85 @@ def streaming_crawl_schedule(urls: DataFrame, *, rate: int = 4) -> DataFrame:
     return urls.groupBy("domain").applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def document_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> the fingerprint relation incremental dedup
+    keys on: one kind='md5' row (full-text hash, the exact-dup probe)
+    plus one kind='tile' row per DISTINCT 8-token md5 shingle tile (the
+    near-dup probe) — the SAME fingerprint rules as the batch screen
+    queries/ext_governance.py:dedup_incremental_batch, shared so the
+    streaming twin is equivalence-testable against it. Works on batch
+    and streaming frames alike (pure per-row expressions)."""
+    from ..operators.dedup import word_tokens
+
+    tile_tokens = 8
+    t = word_tokens(F.col("text"))
+    ntiles = F.floor(F.size(t) / F.lit(tile_tokens)).cast("int")
+    tiles = F.when(
+        ntiles >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ntiles),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(t, (i - 1) * tile_tokens + 1, tile_tokens)
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    md5_rows = docs.select(
+        "doc_id", F.lit("md5").alias("kind"), F.md5("text").alias("h")
+    )
+    tile_rows = docs.select(
+        "doc_id", F.lit("tile").alias("kind"),
+        F.explode(tiles).alias("h"),
+    )
+    return md5_rows.unionByName(tile_rows)
+
+
+def streaming_dedup_admission(fps: DataFrame) -> DataFrame:
+    """Streaming incremental-dedup screen via applyInPandasWithState —
+    the shape a continuous 100 TB ingest actually runs: today's crawl
+    is screened against the accumulated corpus WITHOUT recomputing it.
+    Input is the fingerprint relation (doc_id, kind, h) from
+    :func:`document_fingerprints`; state is keyed by (kind, h) and
+    holds one counter, so the store is bounded by the number of
+    distinct fingerprints (the tile store a production pipeline keeps
+    in RocksDB), never by per-document payload.
+
+    Semantics match the batch screen exactly: ``seen_before`` is true
+    iff the fingerprint arrived in a STRICTLY EARLIER micro-batch —
+    all rows of one micro-batch read the state as it stood before the
+    batch, then the state updates once. Two new documents sharing a
+    tile within the same batch therefore do NOT flag each other,
+    which is precisely dedup_incremental_batch's new-vs-old contract
+    (the corpus is the earlier batch, the daily increment the later
+    one). Per-document verdicts (is_exact_dup, n_shared_tiles,
+    is_near_dup) are an aggregation over this output — grouped
+    downstream or in foreachBatch; equivalence with the batch screen
+    is pinned in tests/test_streaming.py."""
+    import pandas as pd
+
+    out_schema = "kind string, h string, doc_id long, seen_before boolean"
+    state_schema = "n long"
+
+    def update(key, pdfs, state):
+        seen = state.exists
+        (n,) = state.get if seen else (0,)
+        kind, h = key
+        rows = {"kind": [], "h": [], "doc_id": [], "seen_before": []}
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                rows["kind"].append(kind)
+                rows["h"].append(h)
+                rows["doc_id"].append(int(d))
+                rows["seen_before"].append(bool(seen))
+                n += 1
+        state.update((n,))
+        yield pd.DataFrame(rows)
+
+    return fps.groupBy("kind", "h").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

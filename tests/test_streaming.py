@@ -951,3 +951,82 @@ def test_streaming_crawl_schedule_counts_across_batches(spark, tmp_path):
     # the continuity property itself: domain a's second wave starts at
     # seq 5 (round 1), not back at 0
     assert got["https://a.example/q0"] == (5, 1, 1)
+
+
+def test_streaming_dedup_admission_matches_batch_screen(spark, tmp_path):
+    """The incremental-dedup streaming twin (round-11): feeding the
+    existing corpus as micro-batch 1 and the daily increment as
+    micro-batch 2 through the stateful (kind, h) seen-set must produce
+    EXACTLY the admissions of the batch screen dedup_incremental_batch
+    on the same fixture — is_exact_dup, n_shared_tiles, and
+    is_near_dup per incoming document. Also pins the strictly-earlier-
+    micro-batch semantics: fingerprints shared only WITHIN the
+    increment do not flag each other (the batch screen never compares
+    new-vs-new)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.queries import queries
+    from bigdata_meteo_datalake_spark.streaming.windows import (
+        document_fingerprints,
+        streaming_dedup_admission,
+    )
+
+    docs = read_table(spark, SF0001, "documents").select("doc_id", "text")
+    fps = document_fingerprints(docs)
+    src = tmp_path / "fps"
+    src.mkdir()
+    # wave 1 = the accumulated corpus, wave 2 = today's increment
+    fps.where(F.col("doc_id") % 5 != 0).toPandas().to_parquet(
+        src / "wave1.parquet")
+    fps.where(F.col("doc_id") % 5 == 0).toPandas().to_parquet(
+        src / "wave2.parquet")
+    os.utime(src / "wave1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "wave2.parquet", (1_700_000_600, 1_700_000_600))
+
+    stream = (
+        spark.readStream.schema("doc_id long, kind string, h string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup_admission(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_adm")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_adm")
+    got = {
+        r["doc_id"]: (bool(r["is_exact_dup"]), int(r["n_shared_tiles"]),
+                      bool(r["is_near_dup"]))
+        for r in (
+            out.where(F.col("doc_id") % 5 == 0)
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.when((F.col("kind") == "md5") & F.col("seen_before"),
+                             True).otherwise(False)).alias("is_exact_dup"),
+                F.sum(F.when((F.col("kind") == "tile") & F.col("seen_before"),
+                             1).otherwise(0)).alias("n_shared_tiles"),
+            )
+            .withColumn("is_near_dup", F.col("n_shared_tiles") >= 1)
+            .collect()
+        )
+    }
+    want = {
+        r["doc_id"]: (bool(r["is_exact_dup"]), int(r["n_shared_tiles"]),
+                      bool(r["is_near_dup"]))
+        for r in queries()["dedup_incremental_batch"](spark, SF0001).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # the corpus wave itself read an empty state: nothing in wave 1 is
+    # flagged (its own internal duplicates arrived in the same batch)
+    assert (
+        out.where((F.col("doc_id") % 5 != 0) & F.col("seen_before")).count()
+        == 0
+    )
