@@ -1873,3 +1873,111 @@ def spearman_qty_price(spark, sf_dir):
         F.col("n").alias("n_rows"),
         (F.floor(rho * 1000000 + 0.5) / 1000000).alias("spearman_rho"),
     )
+
+
+# --- hashed-linear quality classifier (fastText-style model-based filtering) ----------
+
+_QC_DIM = 256
+#: public deterministic weight table: Knuth multiplicative scramble of
+#: the bucket id into [-998, 998] — a stand-in for trained fastText /
+#: CCNet quality-classifier weights, embedded as the SAME literal array
+#: in both engines (the broadcast-literal form a real deployment uses:
+#: the model rides the closure, never a join).
+_QC_WEIGHTS = [((i * 2654435761) % 1997) - 998 for i in range(_QC_DIM)]
+_QC_THRESH_MILLI = 25  # admit when 1000 * score >= THRESH * n_features
+
+_QC_W_SQL = "[" + ", ".join(str(w) for w in _QC_WEIGHTS) + "]"
+
+_QC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         cast(len(toks) + greatest(len(toks) - 1, 0) AS int) AS n_features,
+         cast(
+           list_aggregate(list_transform(toks,
+             x -> ({_QC_W_SQL})[{token_hash_sql('x')} % {_QC_DIM} + 1]),
+             'sum')
+           + coalesce(list_aggregate(list_transform(range(1, len(toks)),
+               i -> ({_QC_W_SQL})[
+                 {token_hash_sql("toks[i] || ' ' || toks[i + 1]")}
+                 % {_QC_DIM} + 1]),
+               'sum'), 0)
+           AS bigint) AS score
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_features, score,
+       score * 1000 >= {_QC_THRESH_MILLI} * n_features AS admitted
+FROM s
+"""
+
+
+@register(
+    "quality_classifier_admission",
+    oracle=_QC_ORACLE,
+    tags=("extension", "selection", "quality", "classifier"),
+)
+def quality_classifier_admission(spark, sf_dir):
+    """Hashed-linear quality-classifier scoring (round-11) — the
+    model-based corpus filter next to DSIR: CCNet/RefinedWeb-style
+    pipelines admit documents by a fastText-family linear classifier
+    over hashed word n-grams. Features are the document's unigrams plus
+    adjacent bigrams, each hashed into a {dim}-bucket space
+    (token_hash mod {dim}); the score is the integer sum of the
+    per-bucket weights (a {dim}-entry literal table standing in for
+    trained weights); admission is the per-feature mean threshold
+    score/n_features >= {thr}/1000, spelled in cross-multiplied
+    integer math so neither engine divides. The oracle recomputes the
+    hash, the table lookup, and the fold closed-form — the classifier
+    inference path itself is hash-gated.
+
+    Scale: no aggregation, no join — tokenize, hash, and fold are
+    in-row expressions inside one projection over the documents scan
+    (the only exchange anywhere is the small-input widen, a no-op on a
+    pre-split lake), and the model weights ride the plan as a literal
+    (at real dims, a broadcast variable): the whole filter is a pure
+    scan-map pass at any corpus size, the defining property that lets
+    model-based filtering run inline with ingest instead of as a join
+    stage. n_features is derived arithmetically from the token count
+    (2n-1) so the feature array has exactly ONE consumer — the fold —
+    and CollapseProject can't make the hash pipeline materialize
+    twice. Zero-token documents have no features and are not scored
+    (the CCNet convention: length filters run upstream of the
+    classifier).
+    """.format(dim=_QC_DIM, thr=_QC_THRESH_MILLI)
+    d = widen(read_table(spark, sf_dir, "documents"))
+    w = F.array(*[F.lit(int(x)) for x in _QC_WEIGHTS])
+    uni = F.transform(F.col("toks"), lambda x: token_hash(x) % _QC_DIM)
+    bi = F.when(
+        F.size("toks") > 1,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: token_hash(F.concat(a, F.lit(" "), b)) % _QC_DIM,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    score = F.aggregate(
+        F.concat(uni, bi),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w, (b + 1).cast("int")),
+    )
+    n_features = (
+        F.when(F.size("toks") > 1, 2 * F.size("toks") - 1)
+        .otherwise(F.size("toks"))
+        .cast("int")
+    )
+    return (
+        d.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            n_features.alias("n_features"),
+            score.alias("score"),
+        )
+        .select(
+            "doc_id", "n_features", "score",
+            (F.col("score") * 1000 >= _QC_THRESH_MILLI * F.col("n_features"))
+            .alias("admitted"),
+        )
+    )

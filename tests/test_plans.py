@@ -241,3 +241,14 @@ def test_real_codec_queries_are_pure_map(spark):
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "blob" not in line, (name, line)
+
+
+def test_quality_classifier_is_pure_projection(spark):
+    """The hashed-linear classifier must be a pure scan-map pass: no
+    hash aggregate, no join — the only exchange allowed is the
+    small-input widen (round-robin, a no-op on a pre-split lake)."""
+    df = QS["quality_classifier_admission"](spark, SF0001)
+    assert n_shuffle_exchanges(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
