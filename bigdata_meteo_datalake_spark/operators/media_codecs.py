@@ -1196,6 +1196,10 @@ def sniff_payload(b: bytes) -> str:
         return "mp3"
     if b[:5] == b"WARC/":
         return "warc"
+    if b[:4] == b"OggS":
+        return "ogg"
+    if b[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"
     if len(b) > 9 and b[8:9] == b"{":
         import struct
 

@@ -5250,6 +5250,8 @@ def test_format_sniff_front_door(spark):
         b"<?xml version='1.0'?><feed/>": "xml",
         b"Received: by relay\r\n": "email",
         b"\x00\x01\x02 garbage": "unknown", b"": "unknown",
+        b"OggS\x00\x02" + bytes(30): "ogg",
+        bytes.fromhex("1a45dfa3") + bytes(8): "mkv",
         _real_tar_blob(): "tar",
         # 'ustar' at offset 257 WITHOUT a valid header checksum is not
         # tar (a positional magic alone misroutes e.g. large
