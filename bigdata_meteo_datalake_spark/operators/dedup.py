@@ -65,6 +65,32 @@ def word_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+")
 
 
+def tile_fingerprints(text: Column, *, tile_tokens: int = 8) -> Column:
+    """The document's DISTINCT non-overlapping ``tile_tokens``-token md5
+    tiles as one array<string> column (empty when the document is
+    shorter than one tile) — the shared fingerprint rule of the
+    incremental dedup screen: the batch form
+    (queries/ext_governance.py:dedup_incremental_batch) and the
+    streaming twin (streaming/windows.py:document_fingerprints) both
+    key on exactly this expression, so the rule cannot silently
+    diverge between them."""
+    t = word_tokens(text)
+    ntiles = F.floor(F.size(t) / F.lit(tile_tokens)).cast("int")
+    return F.when(
+        ntiles >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ntiles),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(t, (i - 1) * tile_tokens + 1, tile_tokens)
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # widen() graduated to sources/lake.py (generic scan utility, also used by
 # the similarity queries); re-exported here for its original callers.
 from ..sources.lake import widen  # noqa: E402,F401

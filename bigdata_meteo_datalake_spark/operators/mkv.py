@@ -10,8 +10,10 @@ EBML primitives (RFC 8794):
   first 1 bit in the first byte gives the total width (1..8 bytes).
   Element IDs keep their marker bit (0x1A45DFA3 is a 4-byte ID compared
   as written); element SIZES strip it, and an all-ones size payload
-  means "unknown size" (streamed files — legal on Segment, which then
-  extends to end of file; rejected elsewhere).
+  means "unknown size" (streamed/unfinalized files — RFC 9559 permits
+  it on Segment, which then extends to end of file, and on Cluster,
+  which is bounded by the first non-Cluster-child id; rejected
+  everywhere else).
 - Unsigned integers are 0..8 big-endian bytes (0 bytes = 0); floats are
   0, 4, or 8 big-endian bytes; strings are raw UTF-8.
 - Unknown element IDs are SKIPPED by size — EBML is explicitly
@@ -125,9 +127,63 @@ def _walk(b: bytes, pos: int, end: int):
         size, pos = _read_vint(b, pos, keep_marker=False)
         if size == _UNKNOWN:
             raise ValueError(
-                f"unknown-size element 0x{eid:x} (only Segment may "
-                "be unknown-size)"
+                f"unknown-size element 0x{eid:x} (only Segment and "
+                "Cluster may be unknown-size)"
             )
+        if pos + size > end:
+            raise ValueError(
+                f"element 0x{eid:x} at offset {pos} overruns its parent"
+            )
+        yield eid, pos, pos + size
+        pos = pos + size
+
+
+#: ids legal INSIDE a Cluster (RFC 9559 section 8.1.4) — the stop set
+#: that bounds an unknown-size Cluster: the first id NOT in this set
+#: ends it (the RFC's "first non-descendant element" rule).
+_CLUSTER_CHILDREN = frozenset({
+    _CLUSTER_TS, _SIMPLE_BLOCK,
+    0x5854,  # SilentTracks
+    0xA7,    # Position
+    0xAB,    # PrevSize
+    0xA0,    # BlockGroup
+    0xAF,    # EncryptedBlock
+})
+
+
+def _walk_segment(b: bytes, pos: int, end: int):
+    """The Segment-level child walk: like :func:`_walk`, but RFC 9559
+    also permits UNKNOWN-SIZE on Cluster (streamed/unfinalized WebM —
+    MediaRecorder output and live remuxes write exactly this). An
+    unknown-size Cluster extends to the first id that is not a legal
+    Cluster child (typically the next Cluster, or segment end)."""
+    while pos < end:
+        eid, pos = _read_vint(b, pos, keep_marker=True)
+        size, pos = _read_vint(b, pos, keep_marker=False)
+        if size == _UNKNOWN:
+            if eid != _CLUSTER:
+                raise ValueError(
+                    f"unknown-size element 0x{eid:x} (only Segment and "
+                    "Cluster may be unknown-size)"
+                )
+            e = pos
+            while e < end:
+                nid, q = _read_vint(b, e, keep_marker=True)
+                if nid not in _CLUSTER_CHILDREN:
+                    break
+                nsize, q = _read_vint(b, q, keep_marker=False)
+                if nsize == _UNKNOWN:
+                    raise ValueError(
+                        f"unknown-size element 0x{nid:x} inside a Cluster"
+                    )
+                if q + nsize > end:
+                    raise ValueError(
+                        f"element 0x{nid:x} at offset {q} overruns its parent"
+                    )
+                e = q + nsize
+            yield eid, pos, e
+            pos = e
+            continue
         if pos + size > end:
             raise ValueError(
                 f"element 0x{eid:x} at offset {pos} overruns its parent"
@@ -185,7 +241,7 @@ def parse_mkv(b: bytes) -> dict:
     n_clusters = 0
     n_blocks = 0
     last_cluster_ts = None
-    for cid, s, e in _walk(b, pos, seg_end):
+    for cid, s, e in _walk_segment(b, pos, seg_end):
         if cid == _INFO:
             for iid, is_, ie in _walk(b, s, e):
                 if iid == _TS_SCALE:
@@ -232,13 +288,19 @@ def parse_mkv(b: bytes) -> dict:
     audio = next((t for t in tracks if t["type"] == 2), None)
     if duration_units is None:
         duration_ms = 0
-    else:
-        if duration_units != int(duration_units) or duration_units < 0:
-            raise ValueError(
-                f"non-integral Duration {duration_units!r} in scale units "
-                "not supported (exact-integer reporting)"
-            )
+    elif duration_units < 0 or duration_units != duration_units:  # neg/NaN
+        raise ValueError(f"invalid Duration {duration_units!r}")
+    elif duration_units == int(duration_units):
+        # integral scale units (our fixtures, most muxers): exact int math
         duration_ms = int(duration_units) * scale // 1_000_000
+    else:
+        # fractional scale units are legal (Duration is typed float) —
+        # real muxers write them; round-half-up to whole ms
+        import math
+
+        duration_ms = int(
+            math.floor(duration_units * scale / 1_000_000 + 0.5)
+        )
     sampling = audio["sampling"] if audio else 0.0
     if sampling != int(sampling):
         raise ValueError(f"non-integral SamplingFrequency {sampling!r}")
@@ -302,6 +364,7 @@ def build_mkv(
     cluster_timestamps_ms: list[int] = (),
     blocks_per_cluster: int = 2,
     unknown_size_segment: bool = False,
+    unknown_size_clusters: bool = False,
 ) -> bytes:
     """Spec-shaped Matroska/WebM file (fixture writer): EBML header,
     Segment (known-size, or the streamed unknown-size layout) with
@@ -353,7 +416,13 @@ def build_mkv(
                 + bytes([(ts + i + j) % 256] * 4))
             for j in range(blocks_per_cluster)
         )
-        clusters += _el(_CLUSTER, _el(_CLUSTER_TS, _uint_bytes(ts)) + blocks)
+        payload = _el(_CLUSTER_TS, _uint_bytes(ts)) + blocks
+        if unknown_size_clusters:
+            # the streamed layout: each Cluster declares no size and is
+            # bounded by the next non-child id (RFC 9559)
+            clusters += _CLUSTER.to_bytes(4, "big") + b"\xff" + payload
+        else:
+            clusters += _el(_CLUSTER, payload)
     body = info + tracks + clusters
     sid = _SEGMENT.to_bytes(4, "big")
     if unknown_size_segment:
@@ -374,8 +443,10 @@ def synthesize_mkv_blobs(df):
     (A_OPUS even / A_VORBIS odd, 1 + doc_id % 2 channels, 48 kHz)
     except every fifth non-audio-only document which is video-only;
     1 + doc_id % 4 clusters at 40 ms spacing with 2 SimpleBlocks each;
-    WritingApp 'writer-{doc_id}'; every fourth document uses the
-    streamed unknown-size-Segment layout — closed forms
+    WritingApp 'writer-{doc_id}'; framing cycles by doc_id % 4 — 0:
+    unknown-size Segment, 1: unknown-size Clusters (the MediaRecorder
+    streamed layout), 2-3: fully sized — all under one oracle hash
+    (the report is framing-invariant) — closed forms
     queries/ext_multimodal.py:mkv_probe_report recomputes in SQL."""
     import pandas as pd
 
@@ -404,6 +475,7 @@ def synthesize_mkv_blobs(df):
                     writing_app=f"writer-{did}",
                     cluster_timestamps_ms=[40 * j for j in range(nclus)],
                     unknown_size_segment=(did % 4 == 0),
+                    unknown_size_clusters=(did % 4 == 1),
                 ))
             yield pd.DataFrame(out)
 

@@ -126,7 +126,7 @@ def parse_ogg(b: bytes) -> dict:
     the final granule position (Vorbis: samples at the id-header rate;
     Opus: 48 kHz samples minus pre-skip per RFC 7845 section 4)."""
     packets: list[bytes] = []
-    partial = b""
+    partial: list[bytes] = []  # segments of the open packet (join on close)
     continued_open = False
     n_pages = 0
     serial = None
@@ -182,12 +182,19 @@ def parse_ogg(b: bytes) -> dict:
             )
         seg_pos = body_start
         for lace in lacing:
-            partial += b[seg_pos : seg_pos + lace]
+            # list-accumulate + join on close: O(packet) total, not the
+            # O(n^2) of repeated bytes concatenation (real Opus files
+            # carry 100 KB-1 MB cover-art comment packets laced into
+            # thousands of 255-byte segments)
+            partial.append(b[seg_pos : seg_pos + lace])
             seg_pos += lace
             if lace < 255:
-                packets.append(partial)
-                partial = b""
-        continued_open = bool(lacing) and lacing[-1] == 255
+                packets.append(b"".join(partial))
+                partial = []
+        if lacing:
+            # a NIL page (zero segments, RFC 3533 allows them) carries
+            # no lacing and must NOT clear an open packet's state
+            continued_open = lacing[-1] == 255
         if granule != -1:
             last_granule = granule
         if flags & 0x04:
@@ -304,9 +311,13 @@ def build_ogg(
     with the identification header, a header page with the comment
     header (plus, for Vorbis, a minimal setup header), then the audio
     packets at ``packets_per_page`` per page, the last page flagged
-    EOS. With ``span_first`` the first audio packet instead spans TWO
-    pages (terminal 255 lacing + continued flag on the next page, one
-    packet per page thereafter) — the cross-page reassembly layout.
+    EOS. A packet group whose lacing exceeds 255 values spans onward
+    automatically (terminal-255 pages + continued flags — packets of
+    any size lay out per RFC 3533). With ``span_first`` the first
+    audio packet instead spans TWO pages explicitly (terminal 255
+    lacing + continued flag on the next page, one packet per page
+    thereafter) — the deterministic cross-page layout the oracle's
+    page-count closed form covers.
     Granule positions advance ``samples_per_packet`` per audio packet
     (for Opus this is 48 kHz samples, and ``preskip`` is added per
     RFC 7845 section 4)."""
@@ -367,16 +378,41 @@ def build_ogg(
     else:
         rest, done = audio_packets, 0
         per_page = packets_per_page
+    cont_flag = 0
     for i in range(0, len(rest), per_page):
         group = rest[i : i + per_page]
+        # general RFC 3533 pagination: the group's lacing values chunk
+        # into pages of <= 255 segments; a group overflowing one page
+        # spans onward (terminal-255 pages, continued flags), so
+        # packets of ANY size — e.g. a 300 KB cover-art comment — lay
+        # out correctly. Each page's granule is the cumulative sample
+        # position of the packets COMPLETED by that page, or -1 when
+        # none completes on it (the spec's nothing-finishes marker).
+        laces: list[int] = []
+        for p in group:
+            laces.extend([255] * (len(p) // 255))
+            laces.append(len(p) % 255)
+        body = b"".join(group)
+        chunks = [laces[j : j + 255] for j in range(0, len(laces), 255)]
+        completed = done
         done += len(group)
-        granule = base_granule + samples_per_packet * done
-        flags = 0x04 if done == n_audio else 0
-        out += _page(
-            serial, seq, granule, flags,
-            b"".join(_lacing(len(p)) for p in group), b"".join(group),
-        )
-        seq += 1
+        boff = 0
+        for ci, ch in enumerate(chunks):
+            blen = sum(ch)
+            ncomplete = sum(1 for v in ch if v < 255)
+            completed += ncomplete
+            granule = (
+                base_granule + samples_per_packet * completed
+                if ncomplete else -1
+            )
+            flags = cont_flag
+            if done == n_audio and ci == len(chunks) - 1:
+                flags |= 0x04
+            out += _page(serial, seq, granule, flags, bytes(ch),
+                         body[boff : boff + blen])
+            seq += 1
+            boff += blen
+            cont_flag = 0x01 if ch[-1] == 255 else 0
     return bytes(out)
 
 

@@ -338,6 +338,18 @@ def footer_column_stats(df, *, micro: int = 1_000_000):
                 if fo is None:
                     fo = footers[path] = read_footer_from_path(str(path))
                 chunks = [c for c in fo["columns"] if c["path"] == col]
+                if fo["num_rows"] == 0:
+                    # an EMPTY file legitimately has no statistics (and
+                    # possibly no row groups at all): report it as empty
+                    # with NULL bounds — exactly what min()/max() over
+                    # the data produce — rather than refusing the audit
+                    out["tbl"].append(tbl)
+                    out["col"].append(col)
+                    out["num_rows"].append(0)
+                    out["null_count"].append(0)
+                    out["min_micro"].append(None)
+                    out["max_micro"].append(None)
+                    continue
                 if not chunks:
                     raise ValueError(f"{tbl}: no column {col!r} in footer")
                 nulls = 0

@@ -320,22 +320,10 @@ def dedup_incremental_batch(spark, sf_dir):
     equi-joins keyed on md5 fingerprints (uniform, no skew); the batch
     side is small, so at cluster scale Spark broadcasts it and the
     existing-corpus tile store is scanned once, map-side."""
+    from ..operators.dedup import tile_fingerprints
+
     d = widen(read_table(spark, sf_dir, "documents"))
-    t = word_tokens(F.col("text"))
-    ntiles = F.floor(F.size(t) / F.lit(_TILE_TOKENS)).cast("int")
-    tiles = F.when(
-        ntiles >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), ntiles),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", F.slice(t, (i - 1) * _TILE_TOKENS + 1, _TILE_TOKENS)
-                    )
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tiles = tile_fingerprints(F.col("text"), tile_tokens=_TILE_TOKENS)
     base = d.select("doc_id", F.md5("text").alias("m"), tiles.alias("hs"))
     is_new = F.col("doc_id") % _INC_MOD == 0
     new_tiles = base.where(is_new).select("doc_id", F.explode("hs").alias("h"))

@@ -3189,10 +3189,12 @@ def mkv_probe_report(spark, sf_dir):
     is walked by the real EBML grammar: variable-size integers
     (marker-kept ids, marker-stripped sizes), every child size
     validated against its parent, unknown ids skipped by size (the
-    spec's extensibility rule), and the streamed unknown-size-Segment
-    layout (every fourth document) accepted exactly where RFC 8794
-    allows it. Frame decode (VP8/VP9/AV1/H.264) stays the declared
-    boundary.
+    spec's extensibility rule), and the streamed unknown-size layouts
+    accepted exactly where the specs allow them — unknown-size Segment
+    (every fourth document) and unknown-size Clusters bounded by the
+    first non-Cluster-child id (every fourth other, the MediaRecorder
+    shape; RFC 9559). Frame decode (VP8/VP9/AV1/H.264) stays the
+    declared boundary.
 
     Every report column is a closed form the oracle recomputes —
     including the track-layout CASE arms (audio-only every seventh

@@ -799,24 +799,9 @@ def document_fingerprints(docs: DataFrame) -> DataFrame:
     queries/ext_governance.py:dedup_incremental_batch, shared so the
     streaming twin is equivalence-testable against it. Works on batch
     and streaming frames alike (pure per-row expressions)."""
-    from ..operators.dedup import word_tokens
+    from ..operators.dedup import tile_fingerprints
 
-    tile_tokens = 8
-    t = word_tokens(F.col("text"))
-    ntiles = F.floor(F.size(t) / F.lit(tile_tokens)).cast("int")
-    tiles = F.when(
-        ntiles >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), ntiles),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", F.slice(t, (i - 1) * tile_tokens + 1, tile_tokens)
-                    )
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tiles = tile_fingerprints(F.col("text"))
     md5_rows = docs.select(
         "doc_id", F.lit("md5").alias("kind"), F.md5("text").alias("h")
     )

@@ -5645,13 +5645,75 @@ def test_mkv_roundtrip_and_rejections():
     with pytest.raises(ValueError, match="DocType"):
         parse_mkv(build_mkv(doc_type="avif", duration_ms=1,
                             cluster_timestamps_ms=[]))
-    # non-integral Duration in scale units is a loud boundary
-    from bigdata_meteo_datalake_spark.operators import mkv as mkvmod
-    import struct as _s
+    # fractional Duration handling is pinned in test_round11_review_fixes
+    assert parse_mkv(good)["duration_ms"] == 500
 
-    frac = bytearray(build_mkv(duration_ms=2, cluster_timestamps_ms=[]))
+
+def test_round11_review_fixes():
+    """Self-review fixes, pinned:
+
+    1. A NIL page (zero lacing values, RFC 3533 allows it) arriving
+       MID-PACKET must not clear the open-packet state.
+    2. A giant packet laced into thousands of 255-byte segments
+       reassembles correctly (and in O(packet), not O(n^2)).
+    3. Unknown-size CLUSTERS (RFC 9559 — the MediaRecorder streamed
+       layout) parse identically to sized ones.
+    4. A fractional Duration (legal: the field is typed float) rounds
+       half-up to ms instead of raising.
+    """
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.mkv import (
+        build_mkv,
+        parse_mkv,
+    )
+    from bigdata_meteo_datalake_spark.operators.ogg import (
+        _lacing,
+        _page,
+        build_ogg,
+        parse_ogg,
+    )
+
+    # -- 1. nil page mid-packet ----------------------------------------------
+    head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 0, 48000, 0, 0)
+    tags = b"OpusTags" + struct.pack("<I", 1) + b"v" + struct.pack("<I", 0)
+    body = bytes(range(256)) * 2  # one 512-byte audio packet
+    p0 = _page(7, 0, 0, 0x02, bytes([len(head)]), head)
+    p1 = _page(7, 1, 0, 0, bytes([len(tags)]), tags)
+    p2 = _page(7, 2, -1, 0, b"\xff", body[:255])       # opens the packet
+    p3 = _page(7, 3, -1, 0x01, b"", b"")               # NIL page, continued
+    p4 = _page(7, 4, 960, 0x04 | 0x01, _lacing(len(body) - 255), body[255:])
+    r = parse_ogg(p0 + p1 + p2 + p3 + p4)
+    assert r["n_packets"] == 3 and r["payload_bytes"] == 512
+    assert r["n_pages"] == 5
+
+    # -- 2. giant multi-segment packet ---------------------------------------
+    big = bytes(i % 251 for i in range(300_000))  # ~1177 lacing segments
+    blob = build_ogg(codec="opus", channels=1, sample_rate=48000,
+                     audio_packets=[big, b"tail"], samples_per_packet=960,
+                     comments=[], packets_per_page=1)
+    r = parse_ogg(blob)
+    assert r["payload_bytes"] == len(big) + 4
+
+    # -- 3. unknown-size clusters --------------------------------------------
+    kw = dict(doc_type="webm", duration_ms=777,
+              cluster_timestamps_ms=[0, 40, 80], blocks_per_cluster=2)
+    sized = parse_mkv(build_mkv(**kw))
+    streamed = parse_mkv(build_mkv(**kw, unknown_size_clusters=True))
+    assert streamed == sized
+    assert streamed["n_clusters"] == 3 and streamed["n_blocks"] == 6
+    assert streamed["last_cluster_ms"] == 80
+    # and under an unknown-size Segment simultaneously (fully streamed)
+    both = parse_mkv(build_mkv(**kw, unknown_size_clusters=True,
+                               unknown_size_segment=True))
+    assert both == sized
+
+    # -- 4. fractional Duration rounds, integral stays exact -----------------
+    frac = bytearray(build_mkv(doc_type="webm", duration_ms=2,
+                               cluster_timestamps_ms=[]))
     dpos = frac.index(bytes.fromhex("4489"))
-    frac[dpos + 3 : dpos + 11] = _s.pack(">d", 2.5)
-    with pytest.raises(ValueError, match="non-integral Duration"):
+    frac[dpos + 3 : dpos + 11] = struct.pack(">d", 1234.5)
+    assert parse_mkv(bytes(frac))["duration_ms"] == 1235
+    frac[dpos + 3 : dpos + 11] = struct.pack(">d", -1.0)
+    with pytest.raises(ValueError, match="invalid Duration"):
         parse_mkv(bytes(frac))
-    assert mkvmod.parse_mkv(good)["duration_ms"] == 500
