@@ -65,7 +65,12 @@ def word_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+")
 
 
-def tile_fingerprints(text: Column, *, tile_tokens: int = 8) -> Column:
+#: the incremental-dedup tile size — single-sourced here so the batch
+#: screen, its SQL oracle, and the streaming twin can never diverge.
+TILE_TOKENS = 8
+
+
+def tile_fingerprints(text: Column, *, tile_tokens: int = TILE_TOKENS) -> Column:
     """The document's DISTINCT non-overlapping ``tile_tokens``-token md5
     tiles as one array<string> column (empty when the document is
     shorter than one tile) — the shared fingerprint rule of the

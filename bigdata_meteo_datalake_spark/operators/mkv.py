@@ -33,9 +33,9 @@ Elements walked (Matroska registry ids):
         Audio 0xE1 { SamplingFrequency 0xB5 (float), Channels 0x9F } } }
     Cluster 0x1F43B675 { Timestamp 0xE7, SimpleBlock 0xA3 (opaque) } }
 
-The companion writer ``build_mkv`` emits spec-shaped files (known-size
-and unknown-size-Segment layouts) used for oracle fixtures
-(queries/ext_multimodal.py:mkv_probe_report).
+The companion writer ``build_mkv`` emits spec-shaped files (known-size,
+unknown-size-Segment, and unknown-size-Cluster layouts) used for
+oracle fixtures (queries/ext_multimodal.py:mkv_probe_report).
 
 Reference parity note: the reference repo has no video layer (SURVEY.md
 section 4); this module belongs to the multimodal training-data pillar.
@@ -120,8 +120,9 @@ def _read_float(payload: bytes) -> float:
 def _walk(b: bytes, pos: int, end: int):
     """Yield (element_id, payload_start, payload_end) for the children
     of [pos, end); validates every child size against the parent
-    boundary. Unknown-size children are rejected here (only Segment,
-    handled by the caller, may be unknown-size)."""
+    boundary. Unknown-size children are rejected here — only Segment
+    and Cluster may be unknown-size, and both are handled by their
+    callers (:func:`parse_mkv` and :func:`_walk_segment`)."""
     while pos < end:
         eid, pos = _read_vint(b, pos, keep_marker=True)
         size, pos = _read_vint(b, pos, keep_marker=False)
@@ -140,7 +141,9 @@ def _walk(b: bytes, pos: int, end: int):
 
 #: ids legal INSIDE a Cluster (RFC 9559 section 8.1.4) — the stop set
 #: that bounds an unknown-size Cluster: the first id NOT in this set
-#: ends it (the RFC's "first non-descendant element" rule).
+#: ends it (the RFC's "first non-descendant element" rule). The EBML
+#: GLOBAL elements Void and CRC-32 are descendants of every master
+#: element (RFC 8794 section 11.3), so they must not end the cluster.
 _CLUSTER_CHILDREN = frozenset({
     _CLUSTER_TS, _SIMPLE_BLOCK,
     0x5854,  # SilentTracks
@@ -148,6 +151,8 @@ _CLUSTER_CHILDREN = frozenset({
     0xAB,    # PrevSize
     0xA0,    # BlockGroup
     0xAF,    # EncryptedBlock
+    0xEC,    # Void (EBML global)
+    0xBF,    # CRC-32 (EBML global)
 })
 
 
@@ -199,11 +204,13 @@ def parse_mkv(b: bytes) -> dict:
        writing_app, n_tracks, video_codec, width, height, audio_codec,
        channels, sampling_hz, n_clusters, last_cluster_ms, n_blocks}
 
-    duration_ms is exact integer math: Duration (float, in
-    TimestampScale units) is validated integral, then scaled by
-    timestamp_scale // 1_000_000 ns. Files must lead with a complete
+    duration_ms is exact integer math when Duration (float, in
+    TimestampScale units) is integral — the common muxer output — and
+    rounds half-up to whole ms for legal fractional values; negative,
+    NaN, or infinite durations raise. Files must lead with a complete
     EBML header declaring a matroska/webm DocType; Segment may be
-    unknown-size (extends to EOF). Missing video or audio tracks
+    unknown-size (extends to EOF), and so may Clusters (bounded by the
+    first non-Cluster-child id, RFC 9559). Missing video or audio tracks
     report empty codec / zero dimensions (a real corpus has
     video-only and audio-only files); every structural violation
     raises ValueError."""
@@ -286,9 +293,11 @@ def parse_mkv(b: bytes) -> dict:
 
     video = next((t for t in tracks if t["type"] == 1), None)
     audio = next((t for t in tracks if t["type"] == 2), None)
+    import math
+
     if duration_units is None:
         duration_ms = 0
-    elif duration_units < 0 or duration_units != duration_units:  # neg/NaN
+    elif not math.isfinite(duration_units) or duration_units < 0:
         raise ValueError(f"invalid Duration {duration_units!r}")
     elif duration_units == int(duration_units):
         # integral scale units (our fixtures, most muxers): exact int math

@@ -288,6 +288,10 @@ def read_parquet_footer(b: bytes) -> dict:
         "num_rows": num_rows,
         "created_by": created_by,
         "n_row_groups": len(row_groups),
+        # declared field names minus the schema root — lets callers
+        # validate a column EXISTS even when the file is empty and
+        # carries no row groups (and therefore no column chunks)
+        "schema_names": {e.get(4, b"").decode() for e in schema[1:]},
         "columns": columns,
     }
 
@@ -337,7 +341,11 @@ def footer_column_stats(df, *, micro: int = 1_000_000):
                 fo = footers.get(path)
                 if fo is None:
                     fo = footers[path] = read_footer_from_path(str(path))
-                chunks = [c for c in fo["columns"] if c["path"] == col]
+                if str(col) not in fo["schema_names"]:
+                    # the existence check must not depend on chunks: an
+                    # empty file has none, and a misspelled audit column
+                    # must stay loud there too
+                    raise ValueError(f"{tbl}: no column {col!r} in footer")
                 if fo["num_rows"] == 0:
                     # an EMPTY file legitimately has no statistics (and
                     # possibly no row groups at all): report it as empty
@@ -350,6 +358,7 @@ def footer_column_stats(df, *, micro: int = 1_000_000):
                     out["min_micro"].append(None)
                     out["max_micro"].append(None)
                     continue
+                chunks = [c for c in fo["columns"] if c["path"] == col]
                 if not chunks:
                     raise ValueError(f"{tbl}: no column {col!r} in footer")
                 nulls = 0

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
-from ..operators.dedup import token_hash, token_hash_sql, word_tokens
+from ..operators.dedup import (
+    TILE_TOKENS as _TILE_TOKENS,  # single-sourced with tile_fingerprints
+    token_hash,
+    token_hash_sql,
+    word_tokens,
+)
 from ..sources.lake import read_table, widen
 from . import register
 
@@ -261,7 +266,6 @@ def filter_cascade_summary(spark, sf_dir):
 # --- incremental batch dedup ---------------------------------------------------------
 
 _INC_MOD = 5  # doc_id % 5 == 0 is the incoming batch (~20%), rest is the corpus
-_TILE_TOKENS = 8
 
 _INC_ORACLE = f"""
 WITH toks AS (

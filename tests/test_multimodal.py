@@ -5717,3 +5717,66 @@ def test_round11_review_fixes():
     frac[dpos + 3 : dpos + 11] = struct.pack(">d", -1.0)
     with pytest.raises(ValueError, match="invalid Duration"):
         parse_mkv(bytes(frac))
+
+
+def test_round11_review_pass2_fixes():
+    """Second-pass review fixes, pinned:
+
+    1. EBML GLOBAL elements (Void 0xEC, CRC-32 0xBF) inside an
+       unknown-size Cluster must not end it (RFC 8794 section 11.3:
+       globals are descendants of every master element).
+    2. Duration = +inf raises ValueError, not OverflowError.
+    3. A misspelled audit column against an EMPTY parquet file still
+       fails loud (existence is checked against the footer SCHEMA, not
+       the chunk list).
+    """
+    import struct
+
+    import duckdb
+
+    from bigdata_meteo_datalake_spark.operators.mkv import (
+        _CLUSTER,
+        _CLUSTER_TS,
+        _SIMPLE_BLOCK,
+        _el,
+        _uint_bytes,
+        build_mkv,
+        parse_mkv,
+    )
+
+    # -- 1. Void inside an unknown-size Cluster ------------------------------
+    base = build_mkv(doc_type="webm", duration_ms=100,
+                     cluster_timestamps_ms=[0], blocks_per_cluster=1,
+                     unknown_size_clusters=True, unknown_size_segment=True)
+    # splice [Void(5 bytes) + SimpleBlock] after the existing block of
+    # the (unknown-size) cluster, i.e. at end of file (the segment is
+    # unknown-size too, so the appended bytes are inside it)
+    block = _el(_SIMPLE_BLOCK, b"\x81" + struct.pack(">h", 9) + b"\x80"
+                + bytes(4))
+    spliced = base + bytes.fromhex("ec85") + b"\x00" * 5 + block
+    r = parse_mkv(spliced)
+    assert r["n_blocks"] == 2  # the post-Void block still counts
+
+    # -- 2. infinite Duration raises ValueError ------------------------------
+    import pytest as _pytest
+
+    frac = bytearray(build_mkv(doc_type="webm", duration_ms=2,
+                               cluster_timestamps_ms=[]))
+    dpos = frac.index(bytes.fromhex("4489"))
+    frac[dpos + 3 : dpos + 11] = struct.pack(">d", float("inf"))
+    with _pytest.raises(ValueError, match="invalid Duration"):
+        parse_mkv(bytes(frac))
+
+    # -- 3. misspelled column vs an empty file fails loud --------------------
+    import tempfile, os
+
+    from bigdata_meteo_datalake_spark.operators.parquet_footer import (
+        read_footer_from_path,
+    )
+
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "empty.parquet")
+    duckdb.sql(f"COPY (SELECT 1 AS a WHERE false) TO '{p}' (FORMAT PARQUET)")
+    fo = read_footer_from_path(p)
+    assert fo["num_rows"] == 0 and "a" in fo["schema_names"]
+    assert "misspelled" not in fo["schema_names"]
