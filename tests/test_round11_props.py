@@ -1,0 +1,174 @@
+"""Hypothesis property tests for the round-11 parsers: the Ogg and
+EBML writer/parser pairs must roundtrip on GENERATED inputs (not just
+the fixture closed forms), the thrift footer reader must agree with
+pyarrow on generated tables, and the quality-classifier fold must
+equal a hand-computed reference on arbitrary token lists."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# deadlines off: first-call JIT (Spark-free here, but duckdb/pyarrow
+# imports and table writes inside examples trip the 200ms default)
+_S = settings(deadline=None, max_examples=50)
+
+
+@_S
+@given(
+    st.lists(st.integers(min_value=0, max_value=1200), min_size=1,
+             max_size=8),
+    st.sampled_from(["vorbis", "opus"]),
+    st.integers(min_value=1, max_value=3),
+    st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=4),
+)
+def test_ogg_roundtrip_generated(sizes, codec, per_page, comments):
+    """Any packet-size list (0-byte, sub-255, multi-segment, and
+    >64 KB page-spanning packets via the general pagination) and any
+    comment list roundtrips: packet payloads, counts, page accounting,
+    and duration all reconstruct."""
+    from bigdata_meteo_datalake_spark.operators.ogg import (
+        build_ogg,
+        parse_ogg,
+    )
+
+    pkts = [bytes((i + j) % 256 for j in range(n))
+            for i, n in enumerate(sizes)]
+    blob = build_ogg(
+        codec=codec, channels=2,
+        sample_rate=16000 if codec == "vorbis" else 48000,
+        audio_packets=pkts, samples_per_packet=320,
+        comments=comments, packets_per_page=per_page,
+    )
+    r = parse_ogg(blob)
+    n_headers = 3 if codec == "vorbis" else 2
+    assert r["n_packets"] == len(pkts) + n_headers
+    assert r["payload_bytes"] == sum(sizes)
+    assert r["comments"] == comments
+    assert r["has_eos"] is True
+    if codec == "vorbis":
+        assert r["duration_ms"] == 320 * len(pkts) * 1000 // 16000
+    else:
+        assert r["duration_ms"] == 320 * len(pkts) * 1000 // 48000
+
+
+@_S
+@given(
+    st.integers(min_value=0, max_value=10_000_000),
+    st.integers(min_value=0, max_value=8000),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=8),
+    st.booleans(),
+    st.booleans(),
+    st.text(min_size=0, max_size=20),
+)
+def test_mkv_roundtrip_generated(dur, w, h, nclus, unk_seg, unk_clus, app):
+    """Any (duration, dimensions, cluster count, framing, writing app)
+    combination roundtrips through build_mkv/parse_mkv, across all four
+    size-layout combinations."""
+    from bigdata_meteo_datalake_spark.operators.mkv import (
+        build_mkv,
+        parse_mkv,
+    )
+
+    blob = build_mkv(
+        doc_type="webm", duration_ms=dur, video_codec="V_VP9",
+        width=w, height=h, audio_codec="A_OPUS", channels=2,
+        sampling_hz=48000, writing_app=app,
+        cluster_timestamps_ms=[17 * j for j in range(nclus)],
+        blocks_per_cluster=1, unknown_size_segment=unk_seg,
+        unknown_size_clusters=unk_clus,
+    )
+    r = parse_mkv(blob)
+    assert r["duration_ms"] == dur
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["n_clusters"] == nclus and r["n_blocks"] == nclus
+    assert r["last_cluster_ms"] == (17 * (nclus - 1) if nclus else 0)
+    assert r["writing_app"] == app
+    assert r["n_tracks"] == 2
+
+
+@_S
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.floats(allow_nan=False, allow_infinity=False, width=64,
+                      min_value=-1e12, max_value=1e12),
+        ),
+        min_size=0, max_size=200,
+    ),
+    st.integers(min_value=64, max_value=4096),
+)
+def test_parquet_footer_agrees_with_pyarrow(rows, rg_size):
+    """The thrift footer reader agrees with pyarrow on GENERATED
+    tables (arbitrary int/double data, arbitrary row-group sizes,
+    empty tables included): row counts, row-group counts, null counts,
+    and exact fixed-width min/max."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_meteo_datalake_spark.operators.parquet_footer import (
+        read_footer_from_path,
+    )
+
+    tbl = pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+        "v": pa.array([r[1] for r in rows], type=pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "t.parquet")
+        pq.write_table(tbl, p, row_group_size=rg_size)
+        mine = read_footer_from_path(p)
+        ref = pq.ParquetFile(p).metadata
+    assert mine["num_rows"] == ref.num_rows == len(rows)
+    assert mine["n_row_groups"] == ref.num_row_groups
+    if rows:
+        ks = [c for c in mine["columns"] if c["path"] == "k"]
+        assert min(c["min_value"] for c in ks) == min(r[0] for r in rows)
+        assert max(c["max_value"] for c in ks) == max(r[0] for r in rows)
+        vs = [c for c in mine["columns"] if c["path"] == "v"]
+        assert min(c["min_value"] for c in vs) == min(r[1] for r in rows)
+        assert max(c["max_value"] for c in vs) == max(r[1] for r in rows)
+    else:
+        assert "k" in mine["schema_names"] and "v" in mine["schema_names"]
+
+
+@_S
+@given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6),
+                min_size=1, max_size=30))
+def test_quality_classifier_fold_matches_reference(tokens):
+    """The in-row hashed-linear fold equals a plain-python reference
+    (same md5-prefix hash, same weight table, same bigram rule) on
+    arbitrary token lists — checked through DuckDB so the ORACLE
+    expression itself is the thing property-tested."""
+    import hashlib
+
+    import duckdb
+
+    from bigdata_meteo_datalake_spark.queries.ext_selection import (
+        _QC_DIM,
+        _QC_ORACLE,
+        _QC_WEIGHTS,
+    )
+
+    def th(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    feats = list(tokens) + [
+        f"{a} {b}" for a, b in zip(tokens, tokens[1:])
+    ]
+    want_score = sum(_QC_WEIGHTS[th(f) % _QC_DIM] for f in feats)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (0, ?)", [" ".join(tokens)])
+    got = con.execute(_QC_ORACLE).fetchall()
+    con.close()
+    assert len(got) == 1
+    _, n_features, score, admitted = got[0]
+    assert n_features == len(feats)
+    assert score == want_score
+    assert admitted == (score * 1000 >= 25 * n_features)
