@@ -18,20 +18,25 @@ _S = settings(deadline=None, max_examples=50)
 @given(
     st.lists(st.integers(min_value=0, max_value=1200), min_size=1,
              max_size=8),
+    st.integers(min_value=0, max_value=75_000),
     st.sampled_from(["vorbis", "opus"]),
     st.integers(min_value=1, max_value=3),
     st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=4),
 )
-def test_ogg_roundtrip_generated(sizes, codec, per_page, comments):
-    """Any packet-size list (0-byte, sub-255, multi-segment, and
-    >64 KB page-spanning packets via the general pagination) and any
-    comment list roundtrips: packet payloads, counts, page accounting,
-    and duration all reconstruct."""
+def test_ogg_roundtrip_generated(sizes, big, codec, per_page, comments):
+    """Any packet-size list (0-byte, sub-255, multi-segment — and,
+    when ``big`` exceeds ~65 KB, a packet whose group overflows 255
+    lacing values and takes the general multi-page spanning path:
+    terminal-255 pages, continued flags, granule -1) and any comment
+    list roundtrips: packet payloads, counts, page accounting, and
+    duration all reconstruct."""
     from bigdata_meteo_datalake_spark.operators.ogg import (
         build_ogg,
         parse_ogg,
     )
 
+    if big:
+        sizes = [big] + sizes
     pkts = [bytes((i + j) % 256 for j in range(n))
             for i, n in enumerate(sizes)]
     blob = build_ogg(
@@ -93,8 +98,11 @@ def test_mkv_roundtrip_generated(dur, w, h, nclus, unk_seg, unk_clus, app):
     st.lists(
         st.tuples(
             st.integers(min_value=-(2**31), max_value=2**31 - 1),
-            st.floats(allow_nan=False, allow_infinity=False, width=64,
-                      min_value=-1e12, max_value=1e12),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64,
+                          min_value=-1e12, max_value=1e12),
+            ),
         ),
         min_size=0, max_size=200,
     ),
@@ -102,9 +110,9 @@ def test_mkv_roundtrip_generated(dur, w, h, nclus, unk_seg, unk_clus, app):
 )
 def test_parquet_footer_agrees_with_pyarrow(rows, rg_size):
     """The thrift footer reader agrees with pyarrow on GENERATED
-    tables (arbitrary int/double data, arbitrary row-group sizes,
-    empty tables included): row counts, row-group counts, null counts,
-    and exact fixed-width min/max."""
+    tables (arbitrary int/double data WITH NULLS, arbitrary row-group
+    sizes, empty and all-null tables included): row counts, row-group
+    counts, per-chunk null counts, and exact fixed-width min/max."""
     import os
     import tempfile
 
@@ -126,25 +134,48 @@ def test_parquet_footer_agrees_with_pyarrow(rows, rg_size):
         ref = pq.ParquetFile(p).metadata
     assert mine["num_rows"] == ref.num_rows == len(rows)
     assert mine["n_row_groups"] == ref.num_row_groups
+    # null accounting vs pyarrow, chunk for chunk
+    byrg = {(c["row_group"], c["path"]): c for c in mine["columns"]}
+    for g in range(ref.num_row_groups):
+        rg = ref.row_group(g)
+        for i in range(rg.num_columns):
+            rc = rg.column(i)
+            st_ = rc.statistics
+            if st_ is not None and st_.has_null_count:
+                assert byrg[(g, rc.path_in_schema)]["null_count"] \
+                    == st_.null_count
+    vals = [r[1] for r in rows if r[1] is not None]
+    # (an empty table's single 0-row chunk carries no statistics at
+    # all — its None null_count counts as 0 here)
+    assert sum(c["null_count"] or 0 for c in mine["columns"]
+               if c["path"] == "v") == len(rows) - len(vals)
     if rows:
         ks = [c for c in mine["columns"] if c["path"] == "k"]
         assert min(c["min_value"] for c in ks) == min(r[0] for r in rows)
         assert max(c["max_value"] for c in ks) == max(r[0] for r in rows)
-        vs = [c for c in mine["columns"] if c["path"] == "v"]
-        assert min(c["min_value"] for c in vs) == min(r[1] for r in rows)
-        assert max(c["max_value"] for c in vs) == max(r[1] for r in rows)
-    else:
+    if vals:
+        vs = [c for c in mine["columns"] if c["path"] == "v"
+              and c["min_value"] is not None]
+        assert min(c["min_value"] for c in vs) == min(vals)
+        assert max(c["max_value"] for c in vs) == max(vals)
+    if not rows:
         assert "k" in mine["schema_names"] and "v" in mine["schema_names"]
 
 
 @_S
-@given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6),
-                min_size=1, max_size=30))
-def test_quality_classifier_fold_matches_reference(tokens):
+@given(
+    st.lists(st.text(alphabet="abcXYZ", min_size=1, max_size=6),
+             min_size=1, max_size=30),
+    st.lists(st.sampled_from([" ", "  ", "\t", "\n", " \t "]),
+             min_size=0, max_size=30),
+)
+def test_quality_classifier_fold_matches_reference(tokens, seps):
     """The in-row hashed-linear fold equals a plain-python reference
-    (same md5-prefix hash, same weight table, same bigram rule) on
-    arbitrary token lists — checked through DuckDB so the ORACLE
-    expression itself is the thing property-tested."""
+    (same md5-prefix hash, same weight table, same bigram rule, and
+    the SAME lower()/trim()/whitespace-collapse tokenizer) on
+    arbitrary mixed-case tokens joined by arbitrary whitespace —
+    checked through DuckDB so the ORACLE expression itself is the
+    thing property-tested."""
     import hashlib
 
     import duckdb
@@ -158,13 +189,18 @@ def test_quality_classifier_fold_matches_reference(tokens):
     def th(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
-    feats = list(tokens) + [
-        f"{a} {b}" for a, b in zip(tokens, tokens[1:])
-    ]
+    # the oracle tokenizer lowercases, trims, and splits on whitespace
+    # runs — the reference must apply the same normalization
+    norm = [t.lower() for t in tokens]
+    feats = list(norm) + [f"{a} {b}" for a, b in zip(norm, norm[1:])]
     want_score = sum(_QC_WEIGHTS[th(f) % _QC_DIM] for f in feats)
+    seps = (seps + [" "] * len(tokens))[: len(tokens) - 1]
+    text = "  " + "".join(
+        t + s for t, s in zip(tokens, seps + [""])
+    ) + "\t"
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
-    con.execute("INSERT INTO documents VALUES (0, ?)", [" ".join(tokens)])
+    con.execute("INSERT INTO documents VALUES (0, ?)", [text])
     got = con.execute(_QC_ORACLE).fetchall()
     con.close()
     assert len(got) == 1
