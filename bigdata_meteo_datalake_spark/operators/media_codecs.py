@@ -115,6 +115,8 @@ def sniff_format(b: bytes) -> str | None:
         return "wav"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "avi"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
     if b[:4] == b"fLaC":
         return "flac"
     if len(b) >= 12 and b[4:8] == b"ftyp":

@@ -3208,3 +3208,67 @@ def mkv_probe_report(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return mkv_probe_features(synthesize_mkv_blobs(d))
+
+
+# --- WebP container probe through the kernel gate --------------------------------------
+
+_WEBP_ORACLE = """
+SELECT doc_id,
+       ['vp8', 'vp8l', 'vp8x'][doc_id % 3 + 1] AS format,
+       CASE WHEN doc_id % 3 = 1 THEN 'vp8l'
+            WHEN doc_id % 3 = 2 AND doc_id % 4 = 0 THEN 'vp8l'
+            ELSE 'vp8' END AS codec,
+       cast(16 + doc_id % 300 AS int) AS width,
+       cast(16 + doc_id % 200 AS int) AS height,
+       (doc_id % 3 = 1 AND doc_id % 2 = 1)
+         OR (doc_id % 3 = 2 AND doc_id % 2 = 1) AS has_alpha,
+       doc_id % 3 = 2 AND doc_id % 2 = 0 AS is_animated,
+       cast(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
+                 THEN 1 + doc_id % 4 ELSE 1 END AS int) AS n_frames,
+       cast(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
+                 THEN 40 * (1 + doc_id % 4) ELSE 0 END AS bigint)
+         AS total_duration_ms,
+       doc_id % 3 = 2 AND doc_id % 7 = 0 AS has_icc,
+       doc_id % 3 = 2 AND doc_id % 5 = 0 AS has_exif,
+       doc_id % 3 = 2 AND doc_id % 11 = 0 AS has_xmp,
+       cast(CASE WHEN doc_id % 3 = 2 THEN
+              1 + cast(doc_id % 7 = 0 AS int) + cast(doc_id % 5 = 0 AS int)
+                + cast(doc_id % 11 = 0 AS int)
+                + CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 4 ELSE 2 END
+            ELSE 1 END AS int) AS n_chunks
+FROM documents
+"""
+
+
+@register(
+    "webp_probe_report",
+    oracle=_WEBP_ORACLE,
+    tags=("extension", "multimodal", "image", "codec"),
+)
+def webp_probe_report(spark, sf_dir):
+    """WebP container probe end to end (round-11) — after JPEG/PNG/GIF
+    the image format a web crawl actually contains: per document a
+    spec-shaped container (operators/webp.py:build_webp) cycling the
+    three top-level layouts — simple lossy VP8 (RFC 6386 keyframe
+    header: frame tag, 9D 01 2A start code, 14-bit dims), simple
+    lossless VP8L (signature byte + packed dims/alpha/version), and
+    extended VP8X (flags + u24 canvas, ICCP / ANIM+ANMF frames /
+    ALPH+still / EXIF / XMP in spec order, RIFF even-padding
+    exercised by odd-size metadata) — walked by the real RIFF chunk
+    grammar: sizes validated, unknown chunks skipped, and VP8X flags
+    cross-checked against the chunks actually present (a flag
+    promising an absent chunk raises — lying layout flags are how
+    image parsers get exploited). Pixel decode (VP8/VP8L entropy
+    coding) stays the declared boundary, like H.264 in the MP4 probe.
+
+    Every column is a closed form the oracle recomputes — including
+    the n_chunks arithmetic per layout arm and the per-frame duration
+    sum, so a walk that miscounted padding or swallowed a frame flips
+    the hash.
+
+    Scale: two chained mapInPandas stages over an id spine, zero
+    exchanges — the WARC/PDF shape."""
+    from ..operators.webp import synthesize_webp_blobs, webp_probe_features
+
+    d = read_table(spark, sf_dir, "documents")
+    return webp_probe_features(synthesize_webp_blobs(d))

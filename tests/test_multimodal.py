@@ -5780,3 +5780,104 @@ def test_round11_review_pass2_fixes():
     fo = read_footer_from_path(p)
     assert fo["num_rows"] == 0 and "a" in fo["schema_names"]
     assert "misspelled" not in fo["schema_names"]
+
+
+# --- WebP container (round 11) ----------------------------------------------------------
+
+
+def test_webp_roundtrip_and_rejections():
+    """All three WebP layouts roundtrip with closed-form chunk/frame
+    accounting, and the container fails loud on: wrong magics,
+    inconsistent RIFF size, bad VP8 start code, non-keyframe stills,
+    bad VP8L signature/version, truncated chunks, and VP8X layout
+    flags that lie about the chunks present (both directions)."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.webp import (
+        build_webp,
+        parse_webp,
+    )
+
+    for did in range(24):
+        layout = ["vp8", "vp8l", "vp8x"][did % 3]
+        animated = layout == "vp8x" and did % 2 == 0
+        r = parse_webp(build_webp(
+            layout=layout, width=16 + did % 300, height=16 + did % 200,
+            alpha=(layout == "vp8l" and did % 2 == 1)
+            or (layout == "vp8x" and not animated),
+            animated=animated, n_frames=1 + did % 4, lossless=did % 4 == 0,
+            icc=layout == "vp8x" and did % 7 == 0,
+            exif=layout == "vp8x" and did % 5 == 0,
+            xmp=layout == "vp8x" and did % 11 == 0,
+        ))
+        assert r["format"] == layout, did
+        assert (r["width"], r["height"]) == (16 + did % 300, 16 + did % 200)
+        if animated:
+            assert r["n_frames"] == 1 + did % 4
+            assert r["total_duration_ms"] == 40 * (1 + did % 4)
+
+    good = build_webp(layout="vp8x", width=20, height=20,
+                      animated=True, n_frames=2)
+    with pytest.raises(ValueError, match="not a WebP"):
+        parse_webp(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="not a WebP"):
+        parse_webp(good[:8] + b"WAVE" + good[12:])
+    with pytest.raises(ValueError, match="inconsistent"):
+        parse_webp(good[:4] + struct.pack("<I", 5) + good[8:])
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_webp(good[:4] + struct.pack("<I", len(good) - 10)
+                   + good[8:-2])
+    # VP8X anim flag cleared but ANIM chunks present
+    m = bytearray(good)
+    off = m.index(b"VP8X") + 8
+    m[off] &= ~0x02
+    with pytest.raises(ValueError, match="flag/chunk mismatch"):
+        parse_webp(bytes(m))
+    # ICC flag set but no ICCP chunk
+    m = bytearray(good)
+    m[off] |= 0x20
+    with pytest.raises(ValueError, match="flag/chunk mismatch"):
+        parse_webp(bytes(m))
+    # still VP8 must be a keyframe; start code must match
+    still = build_webp(layout="vp8", width=32, height=24)
+    vp8 = bytearray(still)
+    p = vp8.index(b"VP8 ") + 8
+    vp8[p] |= 1  # frame type bit -> interframe
+    with pytest.raises(ValueError, match="keyframe"):
+        parse_webp(bytes(vp8))
+    vp8 = bytearray(still)
+    vp8[p + 3] = 0x00  # clobber the 9D 01 2A start code
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp(bytes(vp8))
+    # VP8L signature / version
+    ll = bytearray(build_webp(layout="vp8l", width=10, height=10))
+    q = ll.index(b"VP8L") + 8
+    ll[q] = 0x30
+    with pytest.raises(ValueError, match="signature"):
+        parse_webp(bytes(ll))
+    ll = bytearray(build_webp(layout="vp8l", width=10, height=10))
+    ll[q + 4] |= 0xE0  # version bits 29-31
+    with pytest.raises(ValueError, match="version"):
+        parse_webp(bytes(ll))
+    # unknown chunks are SKIPPED (the RIFF extensibility rule)
+    extra = bytearray(still)
+    splice = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = bytes(extra) + splice
+    spliced = (spliced[:4]
+               + struct.pack("<I", struct.unpack_from("<I", spliced, 4)[0]
+                             + len(splice))
+               + spliced[8:])
+    r = parse_webp(spliced)
+    assert r["width"] == 32 and r["n_chunks"] == 2  # VP8 + JUNK
+
+
+def test_webp_sniff_routes():
+    from bigdata_meteo_datalake_spark.operators.media_codecs import (
+        sniff_payload,
+    )
+    from bigdata_meteo_datalake_spark.operators.webp import build_webp
+
+    assert sniff_payload(build_webp(layout="vp8l", width=4, height=4)) \
+        == "webp"
+    # WAV and AVI RIFFs still route to themselves
+    assert sniff_payload(b"RIFF\x04\x00\x00\x00WAVE") == "wav"

@@ -208,3 +208,43 @@ def test_quality_classifier_fold_matches_reference(tokens, seps):
     assert n_features == len(feats)
     assert score == want_score
     assert admitted == (score * 1000 >= 25 * n_features)
+
+
+@_S
+@given(
+    st.sampled_from(["vp8", "vp8l", "vp8x"]),
+    st.integers(min_value=1, max_value=0x3FFF),
+    st.integers(min_value=1, max_value=0x3FFF),
+    st.booleans(),
+    st.booleans(),
+    st.integers(min_value=1, max_value=6),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+)
+def test_webp_roundtrip_generated(layout, w, h, alpha, animated, nf,
+                                  icc, exif, xmp):
+    """Any (layout, 14-bit dims, alpha/animation/metadata combination)
+    roundtrips through build_webp/parse_webp with flags and chunk
+    counts consistent."""
+    from bigdata_meteo_datalake_spark.operators.webp import (
+        build_webp,
+        parse_webp,
+    )
+
+    animated = animated and layout == "vp8x"
+    r = parse_webp(build_webp(
+        layout=layout, width=w, height=h,
+        alpha=alpha and not animated, animated=animated, n_frames=nf,
+        icc=icc and layout == "vp8x", exif=exif and layout == "vp8x",
+        xmp=xmp and layout == "vp8x",
+    ))
+    assert r["format"] == layout
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["n_frames"] == (nf if animated else 1)
+    if layout == "vp8x":
+        assert r["has_icc"] == icc and r["has_exif"] == exif
+        assert r["has_xmp"] == xmp
+        assert r["is_animated"] == animated
+    if layout != "vp8":
+        assert r["has_alpha"] == (alpha and not animated)
