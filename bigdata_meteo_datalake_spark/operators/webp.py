@@ -57,8 +57,13 @@ _F_ANIM = 0x02
 
 def _chunks(b: bytes, pos: int, end: int):
     """Yield (fourcc, payload_start, payload_end) walking RIFF chunks
-    in [pos, end); validates sizes and consumes the even-padding
-    byte."""
+    in [pos, end); validates sizes and consumes the even-padding byte.
+
+    Deliberately NOT shared with avi.py:_chunks (LIST-aware, tolerates
+    a trailing sub-8-byte tail) or media_codecs.py:_riff_chunks
+    (first-occurrence dict): this probe's flag-vs-chunk consistency
+    posture needs every byte accounted for, so a trailing fragment
+    raises here where the decoders' walkers stop."""
     while pos < end:
         if pos + 8 > end:
             raise ValueError(f"truncated chunk header at offset {pos}")
@@ -162,6 +167,9 @@ def parse_webp(b: bytes) -> dict:
             )
     if bool(flags & _F_ALPHA) and not is_animated and b"ALPH" not in seen:
         raise ValueError("VP8X alpha flag set but no ALPH chunk")
+    if b"ALPH" in seen and not flags & _F_ALPHA:
+        # the other lying direction: an alpha plane the flags disown
+        raise ValueError("ALPH chunk present but VP8X alpha flag clear")
 
     codec = None
     n_frames = 0
@@ -173,18 +181,20 @@ def parse_webp(b: bytes) -> dict:
             n_frames += 1
             total_duration += _u24(b, cs + 12)
             for fcc, fs, fe in _chunks(b, cs + 16, ce):
-                if fcc == b"VP8 " and codec is None:
-                    codec = "vp8"
-                    _parse_vp8_dims(b[fs:fe])  # header must validate
-                elif fcc == b"VP8L" and codec is None:
-                    codec = "vp8l"
+                # EVERY frame's bitstream header must validate, not
+                # just the one that sets the codec
+                if fcc == b"VP8 ":
+                    _parse_vp8_dims(b[fs:fe])
+                    codec = codec or "vp8"
+                elif fcc == b"VP8L":
                     _parse_vp8l_dims(b[fs:fe])
-        elif cc == b"VP8 " and codec is None:
-            codec = "vp8"
+                    codec = codec or "vp8l"
+        elif cc == b"VP8 ":
             _parse_vp8_dims(b[cs:ce])
-        elif cc == b"VP8L" and codec is None:
-            codec = "vp8l"
+            codec = codec or "vp8"
+        elif cc == b"VP8L":
             _parse_vp8l_dims(b[cs:ce])
+            codec = codec or "vp8l"
     if is_animated:
         if n_frames == 0:
             raise ValueError("animated WebP with no ANMF frames")

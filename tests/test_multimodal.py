@@ -5881,3 +5881,33 @@ def test_webp_sniff_routes():
         == "webp"
     # WAV and AVI RIFFs still route to themselves
     assert sniff_payload(b"RIFF\x04\x00\x00\x00WAVE") == "wav"
+    assert sniff_payload(b"RIFF\x04\x00\x00\x00AVI ") == "avi"
+
+
+def test_webp_review_fixes():
+    """WebP review fixes, pinned: (1) a top-level ALPH chunk the VP8X
+    alpha flag disowns raises (the flag-lie direction the sibling
+    flags already reject); (2) EVERY animation frame's bitstream
+    header validates, not just the codec-setting first one."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.webp import (
+        build_webp,
+        parse_webp,
+    )
+
+    # ALPH present, alpha flag clear
+    still = bytearray(build_webp(layout="vp8x", width=20, height=20,
+                                 alpha=True))
+    off = still.index(b"VP8X") + 8
+    still[off] &= ~0x10
+    with pytest.raises(ValueError, match="alpha flag clear"):
+        parse_webp(bytes(still))
+
+    # corrupt start code in the SECOND frame of an animation
+    anim = bytearray(build_webp(layout="vp8x", width=20, height=20,
+                                animated=True, n_frames=3))
+    second = anim.index(b"VP8 ", anim.index(b"VP8 ") + 1)
+    anim[second + 8 + 3] = 0x00  # 9D -> 00 in frame 2's start code
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp(bytes(anim))
