@@ -187,6 +187,13 @@ def _decode_stat(raw: bytes | None, physical: str):
     and are returned as None rather than trusted)."""
     if raw is None:
         return None
+    want = {"INT32": 4, "INT64": 8, "FLOAT": 4, "DOUBLE": 8,
+            "BOOLEAN": 1}.get(physical)
+    if want is not None and len(raw) != want:
+        raise ValueError(
+            f"{physical} statistic payload is {len(raw)} bytes, "
+            f"expected {want}"
+        )
     if physical == "INT32":
         return struct.unpack("<i", raw)[0]
     if physical == "INT64":
@@ -198,6 +205,22 @@ def _decode_stat(raw: bytes | None, physical: str):
     if physical == "BOOLEAN":
         return raw == b"\x01"
     return None
+
+
+def _typed(container: dict, fid: int, types, what: str, default=None):
+    """Field ``fid`` from a decoded struct, VALIDATED against the
+    python type its thrift schema implies. Compact protocol carries
+    the type in each field header, so a corrupt nibble silently
+    re-types a field — without this gate the mapping layer leaks
+    AttributeError/TypeError instead of the contracted ValueError
+    (found by mutation fuzzing, tests/test_round11_props.py)."""
+    v = container.get(fid, default)
+    if v is not None and not isinstance(v, types):
+        raise ValueError(
+            f"footer field {what} has thrift type "
+            f"{type(v).__name__}, expected {types}"
+        )
+    return v
 
 
 def read_parquet_footer(b: bytes) -> dict:
@@ -223,13 +246,19 @@ def read_parquet_footer(b: bytes) -> dict:
         )
     meta = b[len(b) - 8 - flen : len(b) - 8]
     fields, _ = _read_struct(meta, 0)
-    version = fields.get(1)
-    schema = fields.get(2, [])
-    num_rows = fields.get(3)
-    row_groups = fields.get(4, [])
-    created_by = fields.get(6, b"").decode("utf-8", "replace")
+    version = _typed(fields, 1, int, "version")
+    schema = _typed(fields, 2, list, "schema", [])
+    num_rows = _typed(fields, 3, int, "num_rows")
+    row_groups = _typed(fields, 4, list, "row_groups", [])
+    created_by = _typed(fields, 6, bytes, "created_by", b"").decode(
+        "utf-8", "replace"
+    )
     if num_rows is None or not schema:
         raise ValueError("footer missing num_rows or schema")
+    if not all(isinstance(e, dict) for e in schema):
+        raise ValueError("schema list carries a non-struct element")
+    for e in schema:
+        _typed(e, 4, bytes, "SchemaElement.name")
     # repeated fields (lists) make num_values per chunk exceed the row
     # count legitimately; collect repeated leaf paths from the schema
     # tree so the accounting check skips them
@@ -237,22 +266,32 @@ def read_parquet_footer(b: bytes) -> dict:
     rg_rows_total = 0
     columns = []
     for gi, rg in enumerate(row_groups):
-        rg_rows = rg.get(3)
+        if not isinstance(rg, dict):
+            raise ValueError(f"row group {gi} is not a struct")
+        rg_rows = _typed(rg, 3, int, "RowGroup.num_rows")
         if rg_rows is None:
             raise ValueError(f"row group {gi} missing num_rows")
         rg_rows_total += rg_rows
-        for chunk in rg.get(1, []):
-            md = chunk.get(3)
+        for chunk in _typed(rg, 1, list, "RowGroup.columns", []):
+            if not isinstance(chunk, dict):
+                raise ValueError("column chunk is not a struct")
+            md = _typed(chunk, 3, dict, "ColumnChunk.meta_data")
             if md is None:
                 raise ValueError("column chunk without ColumnMetaData")
-            path = ".".join(p.decode() for p in md.get(3, []))
-            physical = _PHYSICAL.get(md.get(1), f"type{md.get(1)}")
-            stats = md.get(12, {})
+            path_parts = _typed(md, 3, list, "path_in_schema", [])
+            if not all(isinstance(p, bytes) for p in path_parts):
+                raise ValueError("path_in_schema carries a non-binary part")
+            path = ".".join(p.decode() for p in path_parts)
+            ptype = _typed(md, 1, int, "ColumnMetaData.type")
+            physical = _PHYSICAL.get(ptype, f"type{ptype}")
+            stats = _typed(md, 12, dict, "statistics", {})
             # prefer the modern min_value/max_value (5/6); fall back to
             # the legacy fields (1/2 — same bytes for signed ints)
-            raw_max = stats.get(5, stats.get(1))
-            raw_min = stats.get(6, stats.get(2))
-            num_values = md.get(5)
+            raw_max = _typed(stats, 5, bytes, "max_value",
+                             _typed(stats, 1, bytes, "max"))
+            raw_min = _typed(stats, 6, bytes, "min_value",
+                             _typed(stats, 2, bytes, "min"))
+            num_values = _typed(md, 5, int, "num_values")
             leaf = path.split(".", 1)[0]
             # num_values counts leaf values incl. nulls: for flat
             # (non-repeated) top-level fields it must equal the group's
@@ -263,17 +302,23 @@ def read_parquet_footer(b: bytes) -> dict:
                         f"column {path!r} num_values {num_values} != row "
                         f"group rows {rg_rows}"
                     )
+            codec_id = _typed(md, 4, int, "codec")
+            encodings = _typed(md, 2, list, "encodings", [])
+            if not all(isinstance(e, int) for e in encodings):
+                raise ValueError("encodings list carries a non-int")
             columns.append({
                 "path": path,
                 "physical_type": physical,
-                "codec": _CODECS.get(md.get(4), f"codec{md.get(4)}"),
+                "codec": _CODECS.get(codec_id, f"codec{codec_id}"),
                 "encodings": sorted(
-                    _ENCODINGS.get(e, f"enc{e}") for e in md.get(2, [])
+                    _ENCODINGS.get(e, f"enc{e}") for e in encodings
                 ),
                 "num_values": num_values,
-                "total_compressed_size": md.get(7),
-                "total_uncompressed_size": md.get(6),
-                "null_count": stats.get(3),
+                "total_compressed_size": _typed(
+                    md, 7, int, "total_compressed_size"),
+                "total_uncompressed_size": _typed(
+                    md, 6, int, "total_uncompressed_size"),
+                "null_count": _typed(stats, 3, int, "null_count"),
                 "min_value": _decode_stat(raw_min, physical),
                 "max_value": _decode_stat(raw_max, physical),
                 "row_group": gi,

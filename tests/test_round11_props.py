@@ -248,3 +248,65 @@ def test_webp_roundtrip_generated(layout, w, h, alpha, animated, nf,
         assert r["is_animated"] == animated
     if layout != "vp8":
         assert r["has_alpha"] == (alpha and not animated)
+
+
+def _r11_fixture_blobs():
+    """One valid blob per round-11 parser, for mutation fuzzing."""
+    from bigdata_meteo_datalake_spark.operators.mkv import build_mkv
+    from bigdata_meteo_datalake_spark.operators.ogg import build_ogg
+    from bigdata_meteo_datalake_spark.operators.webp import build_webp
+
+    ogg = build_ogg(codec="opus", channels=1, sample_rate=48000,
+                    audio_packets=[bytes(300), bytes(20)],
+                    samples_per_packet=960, comments=["k=v"])
+    mkv = build_mkv(doc_type="webm", duration_ms=1234,
+                    cluster_timestamps_ms=[0, 40])
+    webp = build_webp(layout="vp8x", width=33, height=21,
+                      animated=True, n_frames=2, exif=True)
+    return {"ogg": ogg, "mkv": mkv, "webp": webp}
+
+
+@_S
+@given(st.binary(min_size=0, max_size=400))
+def test_round11_parsers_never_leak_on_garbage(blob):
+    """Arbitrary bytes through every round-11 parser either parse or
+    raise the CONTRACTED exception (ValueError family) — never
+    IndexError/struct.error/KeyError/OverflowError. The fail-loud
+    contract is only loud if the exception type is the promised one."""
+    from bigdata_meteo_datalake_spark.operators.mkv import parse_mkv
+    from bigdata_meteo_datalake_spark.operators.ogg import parse_ogg
+    from bigdata_meteo_datalake_spark.operators.parquet_footer import (
+        read_parquet_footer,
+    )
+    from bigdata_meteo_datalake_spark.operators.webp import parse_webp
+
+    for parse in (parse_ogg, parse_mkv, parse_webp, read_parquet_footer):
+        try:
+            parse(blob)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@_S
+@given(st.data())
+def test_round11_parsers_never_leak_on_mutations(data):
+    """Byte-flip mutations of VALID files (which reach far deeper
+    parser states than random garbage) hold the same exception
+    contract, and when a mutation happens to still parse, the result
+    is a plain dict (no partial/poisoned state escapes)."""
+    from bigdata_meteo_datalake_spark.operators.mkv import parse_mkv
+    from bigdata_meteo_datalake_spark.operators.ogg import parse_ogg
+    from bigdata_meteo_datalake_spark.operators.webp import parse_webp
+
+    blobs = _r11_fixture_blobs()
+    parsers = {"ogg": parse_ogg, "mkv": parse_mkv, "webp": parse_webp}
+    kind = data.draw(st.sampled_from(sorted(blobs)))
+    blob = bytearray(blobs[kind])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+    try:
+        r = parsers[kind](bytes(blob))
+    except (ValueError, NotImplementedError):
+        return
+    assert isinstance(r, dict) and r
