@@ -137,27 +137,45 @@ def parse_eml(b: bytes) -> dict:
         raise ValueError(f"unparseable MIME message ({e})") from e
     if msg.defects:
         raise ValueError(f"MIME structure defects: {msg.defects}")
-    subject = str(msg["Subject"] or "")
-    from_addr = str(msg["From"] or "")
+    import email.errors as _ee
 
-    parts = list(msg.iter_parts()) if msg.is_multipart() else [msg]
-    has_attachment = False
-    flat = []
-    for p in parts:
-        if p.get_content_type() == "multipart/alternative":
-            flat.extend(p.iter_parts())
-        elif p.get_content_maintype() == "multipart":
-            raise ValueError(
-                f"nested {p.get_content_type()} beyond one mixed level"
-            )
-        elif p.get_content_disposition() == "attachment":
-            has_attachment = True
-            flat.append(p)
-        else:
-            flat.append(p)
-    plain = [p for p in flat
-             if p.get_content_type() == "text/plain"
-             and p.get_content_disposition() != "attachment"]
+    try:
+        # headers parse LAZILY in these accessors, so the stdlib's
+        # failure zoo surfaces here, not in parsebytes: unknown RFC 2047
+        # charsets raise LookupError from codecs, structured-header
+        # grammar errors raise email.errors.MessageError subclasses,
+        # and one known CPython defect-accounting bug escapes as a bare
+        # AttributeError (found by mutation fuzzing,
+        # tests/test_round11_props.py) — normalize all of them to the
+        # module's contracted failure type
+        subject = str(msg["Subject"] or "")
+        from_addr = str(msg["From"] or "")
+    except (LookupError, AttributeError, _ee.MessageError) as e:
+        raise ValueError(f"malformed message headers ({e})") from e
+
+    try:
+        # same lazy-parse surface as the header block above:
+        # Content-Type / Content-Disposition parse on first access
+        parts = list(msg.iter_parts()) if msg.is_multipart() else [msg]
+        has_attachment = False
+        flat = []
+        for p in parts:
+            if p.get_content_type() == "multipart/alternative":
+                flat.extend(p.iter_parts())
+            elif p.get_content_maintype() == "multipart":
+                raise ValueError(
+                    f"nested {p.get_content_type()} beyond one mixed level"
+                )
+            elif p.get_content_disposition() == "attachment":
+                has_attachment = True
+                flat.append(p)
+            else:
+                flat.append(p)
+        plain = [p for p in flat
+                 if p.get_content_type() == "text/plain"
+                 and p.get_content_disposition() != "attachment"]
+    except (LookupError, AttributeError, _ee.MessageError) as e:
+        raise ValueError(f"malformed MIME structure ({e})") from e
     if not plain:
         raise ValueError("message has no text/plain part")
     part = plain[0]
@@ -166,7 +184,14 @@ def parse_eml(b: bytes) -> dict:
         raise ValueError(f"unknown transfer encoding {cte!r}")
     if part.defects:
         raise ValueError(f"text part defects: {part.defects}")
-    text = part.get_content().replace("\r\n", "\n")
+    try:
+        content = part.get_content()
+    except (LookupError, AttributeError, _ee.MessageError) as e:
+        # a Content-Type charset naming no real codec (or a header the
+        # stdlib chokes on mid-decode) is a malformed message, not an
+        # internal error (mutation-fuzz finding)
+        raise ValueError(f"undecodable text part ({e})") from e
+    text = content.replace("\r\n", "\n")
     if text.endswith("\n"):
         text = text[:-1]
     return {

@@ -250,20 +250,40 @@ def test_webp_roundtrip_generated(layout, w, h, alpha, animated, nf,
         assert r["has_alpha"] == (alpha and not animated)
 
 
-def _r11_fixture_blobs():
-    """One valid blob per round-11 parser, for mutation fuzzing."""
+def _fuzz_fixture_blobs():
+    """One valid blob per fuzzed parser (round-11 formats plus the
+    round-10 document parsers the same campaign was extended to —
+    which is how the parse_eml LookupError/AttributeError leaks were
+    found)."""
+    from bigdata_meteo_datalake_spark.operators.id3 import build_id3v2
+    from bigdata_meteo_datalake_spark.operators.mime import build_eml
     from bigdata_meteo_datalake_spark.operators.mkv import build_mkv
+    from bigdata_meteo_datalake_spark.operators.mp3 import (
+        build_mp3_frames,
+    )
     from bigdata_meteo_datalake_spark.operators.ogg import build_ogg
+    from bigdata_meteo_datalake_spark.operators.pdf import build_pdf
+    from bigdata_meteo_datalake_spark.operators.tfrecord import (
+        write_tfrecord,
+    )
     from bigdata_meteo_datalake_spark.operators.webp import build_webp
 
-    ogg = build_ogg(codec="opus", channels=1, sample_rate=48000,
-                    audio_packets=[bytes(300), bytes(20)],
-                    samples_per_packet=960, comments=["k=v"])
-    mkv = build_mkv(doc_type="webm", duration_ms=1234,
-                    cluster_timestamps_ms=[0, 40])
-    webp = build_webp(layout="vp8x", width=33, height=21,
-                      animated=True, n_frames=2, exif=True)
-    return {"ogg": ogg, "mkv": mkv, "webp": webp}
+    return {
+        "ogg": build_ogg(codec="opus", channels=1, sample_rate=48000,
+                         audio_packets=[bytes(300), bytes(20)],
+                         samples_per_packet=960, comments=["k=v"]),
+        "mkv": build_mkv(doc_type="webm", duration_ms=1234,
+                         cluster_timestamps_ms=[0, 40]),
+        "webp": build_webp(layout="vp8x", width=33, height=21,
+                           animated=True, n_frames=2, exif=True),
+        "pdf": build_pdf([["hello world"]], compress=True),
+        "mp3": build_mp3_frames(
+            version=1, bitrate_indices=[5, 6], xing_frames=2,
+            id3_tag=build_id3v2(version=3, title="T")),
+        "tfrecord": write_tfrecord([b"abc", b"defgh"]),
+        "eml": build_eml(from_addr="a@b.c", subject="S\u00fc",
+                         body="hello", encoding="base64"),
+    }
 
 
 @_S
@@ -273,14 +293,24 @@ def test_round11_parsers_never_leak_on_garbage(blob):
     raise the CONTRACTED exception (ValueError family) — never
     IndexError/struct.error/KeyError/OverflowError. The fail-loud
     contract is only loud if the exception type is the promised one."""
+    from bigdata_meteo_datalake_spark.operators.mime import parse_eml
     from bigdata_meteo_datalake_spark.operators.mkv import parse_mkv
+    from bigdata_meteo_datalake_spark.operators.mp3 import (
+        parse_mp3_frames,
+    )
     from bigdata_meteo_datalake_spark.operators.ogg import parse_ogg
     from bigdata_meteo_datalake_spark.operators.parquet_footer import (
         read_parquet_footer,
     )
+    from bigdata_meteo_datalake_spark.operators.pdf import extract_pdf_text
+    from bigdata_meteo_datalake_spark.operators.tfrecord import (
+        read_tfrecord,
+    )
     from bigdata_meteo_datalake_spark.operators.webp import parse_webp
 
-    for parse in (parse_ogg, parse_mkv, parse_webp, read_parquet_footer):
+    for parse in (parse_ogg, parse_mkv, parse_webp, read_parquet_footer,
+                  extract_pdf_text, parse_mp3_frames, read_tfrecord,
+                  parse_eml):
         try:
             parse(blob)
         except (ValueError, NotImplementedError):
@@ -293,13 +323,23 @@ def test_round11_parsers_never_leak_on_mutations(data):
     """Byte-flip mutations of VALID files (which reach far deeper
     parser states than random garbage) hold the same exception
     contract, and when a mutation happens to still parse, the result
-    is a plain dict (no partial/poisoned state escapes)."""
+    is a plain value (no partial/poisoned state escapes)."""
+    from bigdata_meteo_datalake_spark.operators.mime import parse_eml
     from bigdata_meteo_datalake_spark.operators.mkv import parse_mkv
+    from bigdata_meteo_datalake_spark.operators.mp3 import (
+        parse_mp3_frames,
+    )
     from bigdata_meteo_datalake_spark.operators.ogg import parse_ogg
+    from bigdata_meteo_datalake_spark.operators.pdf import extract_pdf_text
+    from bigdata_meteo_datalake_spark.operators.tfrecord import (
+        read_tfrecord,
+    )
     from bigdata_meteo_datalake_spark.operators.webp import parse_webp
 
-    blobs = _r11_fixture_blobs()
-    parsers = {"ogg": parse_ogg, "mkv": parse_mkv, "webp": parse_webp}
+    blobs = _fuzz_fixture_blobs()
+    parsers = {"ogg": parse_ogg, "mkv": parse_mkv, "webp": parse_webp,
+               "pdf": extract_pdf_text, "mp3": parse_mp3_frames,
+               "tfrecord": read_tfrecord, "eml": parse_eml}
     kind = data.draw(st.sampled_from(sorted(blobs)))
     blob = bytearray(blobs[kind])
     for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
@@ -309,4 +349,4 @@ def test_round11_parsers_never_leak_on_mutations(data):
         r = parsers[kind](bytes(blob))
     except (ValueError, NotImplementedError):
         return
-    assert isinstance(r, dict) and r
+    assert r is not None
