@@ -65,14 +65,28 @@ def read_zip_shard(b: bytes) -> list[dict]:
     an unsupported compression method, or a CRC-32 mismatch raises
     ValueError (a broken shard must fail loudly, not yield zero or
     garbage samples silently)."""
+    import zlib
+
+    # zipfile's failure zoo beyond BadZipFile (mutation-fuzz findings,
+    # tests/test_round11_props.py): a flipped GP flag bit makes a member
+    # "encrypted" (RuntimeError), truncation inside a member raises
+    # EOFError, a corrupt deflate stream leaks raw zlib.error, and a
+    # mangled central directory can drive index arithmetic into
+    # IndexError — all are corrupt-shard conditions, normalized to the
+    # module's contracted ValueError
+    _CORRUPT = (zipfile.BadZipFile, RuntimeError, EOFError, IndexError,
+                OSError, zlib.error)
     try:
         zf = zipfile.ZipFile(io.BytesIO(b), mode="r")
-    except zipfile.BadZipFile as e:
+    except _CORRUPT as e:
         raise ValueError(f"not a ZIP shard ({e})") from e
     samples: dict[str, dict] = {}
     order: list[str] = []
     with zf:
         for info in zf.infolist():
+            if not info.filename:
+                # stdlib is_dir() IndexErrors on an empty name
+                raise ValueError("zip member with empty filename")
             if info.is_dir():
                 continue
             name = info.filename.rsplit("/", 1)[-1]
@@ -90,7 +104,7 @@ def read_zip_shard(b: bytes) -> list[dict]:
             stem, ext = name.rsplit(".", 1)
             try:
                 payload = zf.read(info)  # verifies CRC-32
-            except zipfile.BadZipFile as e:
+            except _CORRUPT as e:
                 raise ValueError(
                     f"zip member {info.filename!r} corrupt ({e})"
                 ) from e

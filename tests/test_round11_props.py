@@ -263,10 +263,16 @@ def _fuzz_fixture_blobs():
     )
     from bigdata_meteo_datalake_spark.operators.ogg import build_ogg
     from bigdata_meteo_datalake_spark.operators.pdf import build_pdf
+    from bigdata_meteo_datalake_spark.operators.safetensors import (
+        build_safetensors,
+    )
     from bigdata_meteo_datalake_spark.operators.tfrecord import (
         write_tfrecord,
     )
     from bigdata_meteo_datalake_spark.operators.webp import build_webp
+    from bigdata_meteo_datalake_spark.operators.zipshard import (
+        write_zip_shard,
+    )
 
     return {
         "ogg": build_ogg(codec="opus", channels=1, sample_rate=48000,
@@ -283,6 +289,10 @@ def _fuzz_fixture_blobs():
         "tfrecord": write_tfrecord([b"abc", b"defgh"]),
         "eml": build_eml(from_addr="a@b.c", subject="S\u00fc",
                          body="hello", encoding="base64"),
+        "zip": write_zip_shard(
+            [{"key": "k0", "txt": b"hello", "bin": b"\x00\x01"}]),
+        "safetensors": build_safetensors(
+            [{"name": "w", "dtype": "F32", "shape": [2, 3]}]),
     }
 
 
@@ -331,15 +341,22 @@ def test_round11_parsers_never_leak_on_mutations(data):
     )
     from bigdata_meteo_datalake_spark.operators.ogg import parse_ogg
     from bigdata_meteo_datalake_spark.operators.pdf import extract_pdf_text
+    from bigdata_meteo_datalake_spark.operators.safetensors import (
+        parse_safetensors,
+    )
     from bigdata_meteo_datalake_spark.operators.tfrecord import (
         read_tfrecord,
     )
     from bigdata_meteo_datalake_spark.operators.webp import parse_webp
+    from bigdata_meteo_datalake_spark.operators.zipshard import (
+        read_zip_shard,
+    )
 
     blobs = _fuzz_fixture_blobs()
     parsers = {"ogg": parse_ogg, "mkv": parse_mkv, "webp": parse_webp,
                "pdf": extract_pdf_text, "mp3": parse_mp3_frames,
-               "tfrecord": read_tfrecord, "eml": parse_eml}
+               "tfrecord": read_tfrecord, "eml": parse_eml,
+               "zip": read_zip_shard, "safetensors": parse_safetensors}
     kind = data.draw(st.sampled_from(sorted(blobs)))
     blob = bytearray(blobs[kind])
     for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
