@@ -541,6 +541,7 @@ def decompress_jsonl(b: bytes) -> list[dict]:
     import gzip
     import json
     import lzma
+    import zlib
 
     try:
         if b[:2] == b"\x1f\x8b":
@@ -551,7 +552,10 @@ def decompress_jsonl(b: bytes) -> list[dict]:
             raw = lzma.decompress(b)
         else:
             raise ValueError("unknown compression magic")
-    except (OSError, EOFError, lzma.LZMAError) as e:
+    except (OSError, EOFError, lzma.LZMAError, zlib.error) as e:
+        # zlib.error: gzip.decompress leaks it raw for DEFLATE-stream
+        # corruption (BadGzipFile/OSError covers only the gzip header
+        # and trailer) — mutation-fuzz finding
         raise ValueError(f"corrupt compressed shard ({e})") from e
     out = []
     for i, line in enumerate(raw.decode("utf-8").splitlines()):

@@ -367,3 +367,22 @@ def test_round11_parsers_never_leak_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert r is not None
+
+
+def test_jsonl_gzip_deflate_corruption_contract():
+    """decompress_jsonl's gzip arm: DEFLATE-stream corruption (which
+    the stdlib surfaces as raw zlib.error, unlike header corruption's
+    BadGzipFile/OSError) raises the contracted ValueError — pinned via
+    a saved mutation-fuzz example shape: valid gzip header, mangled
+    deflate block type bits."""
+    import pytest
+
+    from bigdata_meteo_datalake_spark.operators.web import (
+        compress_jsonl,
+        decompress_jsonl,
+    )
+
+    blob = bytearray(compress_jsonl([{"a": 1}], codec="gzip"))
+    blob[11] ^= 0xFF  # first deflate byte: block-type bits
+    with pytest.raises(ValueError, match="corrupt compressed shard"):
+        decompress_jsonl(bytes(blob))
