@@ -114,6 +114,10 @@ def parse_exif(jpeg: bytes) -> dict:
             raise ValueError("invalid JPEG segment length")
         if marker == 0xE1 and jpeg[pos + 2 : pos + 8] == b"Exif\x00\x00":
             tiff = jpeg[pos + 8 : pos + seglen]
+            if len(tiff) < 8:
+                # byte order + magic + IFD0 offset need 8 bytes; a
+                # truncated segment must not leak struct.error
+                raise ValueError("truncated EXIF TIFF header")
             if tiff[:2] == b"II":
                 e = "<"
             elif tiff[:2] == b"MM":
@@ -125,18 +129,40 @@ def parse_exif(jpeg: bytes) -> dict:
                 raise ValueError("EXIF TIFF header magic != 42")
             (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
             tags = _read_ifd_at(tiff, e, ifd0)
-            out["orientation"] = int(tags.get(TAG_ORIENTATION, 1))
+            orient = tags.get(TAG_ORIENTATION, 1)
+            if not isinstance(orient, int):
+                # a corrupt field TYPE re-types the value (e.g. to a
+                # rational tuple) — that's a malformed tag, not an
+                # internal error (mutation-fuzz finding)
+                raise ValueError(
+                    f"EXIF orientation has non-integer type "
+                    f"{type(orient).__name__}"
+                )
+            out["orientation"] = orient
             if not 1 <= out["orientation"] <= 8:
                 raise ValueError(
                     f"EXIF orientation {out['orientation']} outside 1..8"
                 )
-            out["make"] = tags.get(TAG_MAKE, "") or ""
-            out["model"] = tags.get(TAG_MODEL, "") or ""
+            for key, tag in (("make", TAG_MAKE), ("model", TAG_MODEL)):
+                v = tags.get(tag, "") or ""
+                if not isinstance(v, str):
+                    raise ValueError(
+                        f"EXIF {key} has non-string type "
+                        f"{type(v).__name__}"
+                    )
+                out[key] = v
             sub = tags.get(TAG_EXIF_IFD)
             if isinstance(sub, int):
                 ex = _read_ifd_at(tiff, e, sub)
-                out["pixel_x"] = ex.get(TAG_PIXEL_X)
-                out["pixel_y"] = ex.get(TAG_PIXEL_Y)
+                for key, tag in (("pixel_x", TAG_PIXEL_X),
+                                 ("pixel_y", TAG_PIXEL_Y)):
+                    v = ex.get(tag)
+                    if v is not None and not isinstance(v, int):
+                        raise ValueError(
+                            f"EXIF {key} has non-integer type "
+                            f"{type(v).__name__}"
+                        )
+                    out[key] = v
             gps_off = tags.get(TAG_GPS_IFD)
             if isinstance(gps_off, int):
                 gps = _read_ifd_at(tiff, e, gps_off)
@@ -145,10 +171,18 @@ def parse_exif(jpeg: bytes) -> dict:
                 if lat is not None and lon is not None:
                     for trip, name in ((lat, "latitude"),
                                        (lon, "longitude")):
-                        if len(trip) != 3:
+                        # shape-validate before unpacking: a corrupt
+                        # field type can deliver an int or a flat tuple
+                        # here, and unpacking those leaks TypeError
+                        if (not isinstance(trip, tuple)
+                                or len(trip) != 3
+                                or not all(isinstance(r, tuple)
+                                           and len(r) == 2
+                                           and all(isinstance(x, int)
+                                                   for x in r)
+                                           for r in trip)):
                             raise ValueError(
-                                f"GPS {name} needs 3 rationals, "
-                                f"got {len(trip)}"
+                                f"GPS {name} is not 3 rational pairs"
                             )
                     lat_ref = str(gps.get(GPS_LAT_REF, "N")).upper()
                     lon_ref = str(gps.get(GPS_LON_REF, "E")).upper()
