@@ -152,6 +152,14 @@ def parse_exif(jpeg: bytes) -> dict:
                     )
                 out[key] = v
             sub = tags.get(TAG_EXIF_IFD)
+            if sub is not None and not isinstance(sub, int):
+                # a re-typed IFD POINTER is the same corruption class
+                # as a re-typed value — dropping the sub-IFD silently
+                # would be quiet data loss, not tolerance
+                raise ValueError(
+                    f"EXIF sub-IFD pointer has non-integer type "
+                    f"{type(sub).__name__}"
+                )
             if isinstance(sub, int):
                 ex = _read_ifd_at(tiff, e, sub)
                 for key, tag in (("pixel_x", TAG_PIXEL_X),
@@ -164,6 +172,11 @@ def parse_exif(jpeg: bytes) -> dict:
                         )
                     out[key] = v
             gps_off = tags.get(TAG_GPS_IFD)
+            if gps_off is not None and not isinstance(gps_off, int):
+                raise ValueError(
+                    f"EXIF GPS-IFD pointer has non-integer type "
+                    f"{type(gps_off).__name__}"
+                )
             if isinstance(gps_off, int):
                 gps = _read_ifd_at(tiff, e, gps_off)
                 lat = gps.get(GPS_LAT)

@@ -215,7 +215,12 @@ def _typed(container: dict, fid: int, types, what: str, default=None):
     AttributeError/TypeError instead of the contracted ValueError
     (found by mutation fuzzing, tests/test_round11_props.py)."""
     v = container.get(fid, default)
-    if v is not None and not isinstance(v, types):
+    bad = v is not None and not isinstance(v, types)
+    # bool passes isinstance(..., int), so a BOOL_TRUE/BOOL_FALSE
+    # nibble would slip through an int gate as True/False — reject it
+    if not bad and isinstance(v, bool) and types is int:
+        bad = True
+    if bad:
         raise ValueError(
             f"footer field {what} has thrift type "
             f"{type(v).__name__}, expected {types}"

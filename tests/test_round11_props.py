@@ -250,11 +250,18 @@ def test_webp_roundtrip_generated(layout, w, h, alpha, animated, nf,
         assert r["has_alpha"] == (alpha and not animated)
 
 
+_FUZZ_BLOBS: dict | None = None
+
+
 def _fuzz_fixture_blobs():
     """One valid blob per fuzzed parser (round-11 formats plus the
     round-10 document parsers the same campaign was extended to —
     which is how the parse_eml LookupError/AttributeError leaks were
-    found)."""
+    found). Deterministic, so built ONCE and memoized — the mutation
+    property calls this per example, and mutations copy the blob."""
+    global _FUZZ_BLOBS
+    if _FUZZ_BLOBS is not None:
+        return _FUZZ_BLOBS
     from bigdata_meteo_datalake_spark.operators.id3 import build_id3v2
     from bigdata_meteo_datalake_spark.operators.mime import build_eml
     from bigdata_meteo_datalake_spark.operators.mkv import build_mkv
@@ -294,6 +301,8 @@ def _fuzz_fixture_blobs():
         "safetensors": build_safetensors(
             [{"name": "w", "dtype": "F32", "shape": [2, 3]}]),
     }
+    _FUZZ_BLOBS = blobs
+    return blobs
 
 
 @_S
@@ -382,7 +391,16 @@ def test_jsonl_gzip_deflate_corruption_contract():
         decompress_jsonl,
     )
 
+    import gzip as _gzip
+    import zlib as _zlib
+
     blob = bytearray(compress_jsonl([{"a": 1}], codec="gzip"))
-    blob[11] ^= 0xFF  # first deflate byte: block-type bits
+    # gzip.compress(mtime=0) emits a 10-byte header, so index 10 is
+    # the FIRST deflate byte — flipping it provably raises raw
+    # zlib.error (flipping byte 11 instead decompresses fully and
+    # fails the CRC as BadGzipFile, the path that was already caught)
+    blob[10] ^= 0xFF
+    with pytest.raises(_zlib.error):
+        _gzip.decompress(bytes(blob))
     with pytest.raises(ValueError, match="corrupt compressed shard"):
         decompress_jsonl(bytes(blob))
