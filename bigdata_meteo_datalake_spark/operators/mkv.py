@@ -220,13 +220,15 @@ def parse_mkv(b: bytes) -> dict:
     size, pos = _read_vint(b, pos, keep_marker=False)
     if size == _UNKNOWN or pos + size > len(b):
         raise ValueError("truncated or unknown-size EBML header")
-    doc_type = "matroska"  # spec default
+    doc_type = None  # RFC 8794 section 11.2.6 makes DocType mandatory
     doc_type_version = 1
     for cid, s, e in _walk(b, pos, pos + size):
         if cid == _DOCTYPE:
             doc_type = b[s:e].decode("utf-8")
         elif cid == _DOCTYPE_VERSION:
             doc_type_version = _read_uint(b[s:e])
+    if doc_type is None:
+        raise ValueError("EBML header missing the mandatory DocType element")
     if doc_type not in ("matroska", "webm"):
         raise ValueError(f"unsupported DocType {doc_type!r}")
     pos += size

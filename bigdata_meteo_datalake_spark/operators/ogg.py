@@ -144,6 +144,13 @@ def parse_ogg(b: bytes) -> dict:
             raise ValueError(f"unsupported Ogg version {version}")
         flags = b[pos + 5]
         (granule,) = struct.unpack_from("<q", b, pos + 6)
+        # RFC 3533 gives -1 one meaning (no packet finishes on this page);
+        # any other negative granule is corrupt and would otherwise flow
+        # into a negative duration_ms below — fail loud instead
+        if granule < -1:
+            raise ValueError(
+                f"invalid granule position {granule} at offset {pos}"
+            )
         (pserial, pseq, crc) = struct.unpack_from("<III", b, pos + 14)
         nseg = b[pos + 26]
         body_start = pos + 27 + nseg

@@ -207,6 +207,41 @@ def _decode_stat(raw: bytes | None, physical: str):
     return None
 
 
+def _top_level_repetition(schema: list[dict]) -> dict[str, int | None]:
+    """Map name -> repetition_type for the ROOT'S DIRECT CHILDREN of a
+    flattened pre-order SchemaElement list, walked with a
+    remaining-children stack (num_children is field 5, repetition_type
+    field 3, name field 4). Nested elements never enter the map, so a
+    nested leaf sharing a top-level column's name cannot overwrite its
+    repetition; a tree whose num_children accounting does not exactly
+    cover the element list raises."""
+    repetition: dict[str, int | None] = {}
+    pending: list[int] = []  # remaining-children count per open level
+    for idx, e in enumerate(schema):
+        nch = _typed(e, 5, int, "SchemaElement.num_children", 0) or 0
+        if nch < 0:
+            raise ValueError(f"schema element {idx} has negative num_children")
+        if idx == 0:
+            if nch:
+                pending.append(nch)
+            continue
+        if not pending:
+            raise ValueError(
+                "schema carries more elements than its num_children tree"
+            )
+        if len(pending) == 1:  # a direct child of the root
+            repetition[e.get(4, b"").decode()] = e.get(3)
+        pending[-1] -= 1
+        if nch:
+            pending.append(nch)
+        else:
+            while pending and pending[-1] == 0:
+                pending.pop()
+    if pending:
+        raise ValueError("schema tree truncated: num_children unsatisfied")
+    return repetition
+
+
 def _typed(container: dict, fid: int, types, what: str, default=None):
     """Field ``fid`` from a decoded struct, VALIDATED against the
     python type its thrift schema implies. Compact protocol carries
@@ -265,9 +300,12 @@ def read_parquet_footer(b: bytes) -> dict:
     for e in schema:
         _typed(e, 4, bytes, "SchemaElement.name")
     # repeated fields (lists) make num_values per chunk exceed the row
-    # count legitimately; collect repeated leaf paths from the schema
-    # tree so the accounting check skips them
-    repetition = {e.get(4, b"").decode(): e.get(3) for e in schema}
+    # count legitimately; collect repetition_type for the ROOT'S DIRECT
+    # CHILDREN only — keying the whole flattened schema by bare name
+    # would let a nested element that shares a top-level leaf's name
+    # overwrite its repetition_type and corrupt the
+    # num_values == row-group-rows accounting check below
+    repetition = _top_level_repetition(schema)
     rg_rows_total = 0
     columns = []
     for gi, rg in enumerate(row_groups):

@@ -75,7 +75,16 @@ def _chunks(b: bytes, pos: int, end: int):
                 f"chunk {fourcc!r} at offset {pos} overruns its parent"
             )
         yield fourcc, s, s + size
-        pos = s + size + (size & 1)  # RIFF pads payloads to even
+        pos = s + size
+        if size & 1:
+            # RIFF pads odd payloads to even, and the pad byte is part
+            # of the parent's accounted size — an absent pad would step
+            # pos past `end`, silently accepting a spec-violating tail
+            if pos >= end:
+                raise ValueError(
+                    f"odd-sized chunk {fourcc!r} missing its RIFF pad byte"
+                )
+            pos += 1
 
 
 def _parse_vp8_dims(p: bytes) -> tuple[int, int]:
