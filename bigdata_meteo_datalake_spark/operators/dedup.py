@@ -49,6 +49,42 @@ SIMHASH_MAX_HAMMING = 3  # <= bands-1, so pigeonhole guarantees a shared band
 # sf0.1), so the guard costs no recall where we can measure it.
 LSH_MAX_BUCKET = 64
 
+# Random-hyperplane (sign-signature) LSH over embeddings: the bucket space
+# must GROW with the corpus or the hot-bucket guard above silently drops
+# recall — with a fixed 8-plane/256-bucket signature, a corpus of N vectors
+# needs ~N/64 buckets, so at 100x data nearly every bucket trips the guard
+# and is excluded. The plane count is therefore derived from the corpus
+# size, targeting an average bucket load of LSH_MAX_BUCKET/4 (the guard
+# stays the exception, not the rule):
+#   planes = clamp(ceil(log2(ceil(n / target_load))), 4, 26)
+# computed in EXACT integer arithmetic (bit_length / bin-string length, not
+# float log2 — a last-ulp log2 difference between engines would flip a
+# ceil) and single-sourced here so the Spark plan, the DuckDB oracle, and
+# the tests cannot diverge. 26 planes = 67M buckets covers ~4e9 vectors at
+# the target load — past any single-table corpus this engine will meet.
+LSH_TARGET_BUCKET_LOAD = LSH_MAX_BUCKET // 4
+LSH_MIN_PLANES = 4
+LSH_MAX_PLANES = 26
+
+
+def lsh_n_planes(n_vecs: int) -> int:
+    """Hyperplane count for a corpus of ``n_vecs`` embeddings (python
+    form; :func:`lsh_n_planes_sql` is the DuckDB twin — both exact
+    integer arithmetic, equality property-tested)."""
+    k = (n_vecs + LSH_TARGET_BUCKET_LOAD - 1) // LSH_TARGET_BUCKET_LOAD
+    raw = (k - 1).bit_length() if k > 1 else 0
+    return min(LSH_MAX_PLANES, max(LSH_MIN_PLANES, raw))
+
+
+def lsh_n_planes_sql(count_expr: str) -> str:
+    """DuckDB twin of :func:`lsh_n_planes` over a SQL count expression
+    (``length(bin(k-1))`` is ``(k-1).bit_length()`` for k > 1)."""
+    k = f"((({count_expr}) + {LSH_TARGET_BUCKET_LOAD - 1}) // {LSH_TARGET_BUCKET_LOAD})"
+    return (
+        f"least({LSH_MAX_PLANES}, greatest({LSH_MIN_PLANES}, "
+        f"CASE WHEN {k} <= 1 THEN 0 ELSE length(bin({k} - 1)) END))"
+    )
+
 
 def token_hash(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a string, identical in DuckDB:

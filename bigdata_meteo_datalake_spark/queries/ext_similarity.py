@@ -181,43 +181,80 @@ def embedding_near_dup_pairs(spark, sf_dir):
 
 # --- LSH-bucketed ANN (the scale path) ---------------------------------------------
 
-_N_PLANES = 8
 _DIM = 64
 
 
 def _plane(j: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane shared with the oracle:
-    LCG over (j, i) mapped to [-1, 1)."""
-    return [
-        (((1103515245 * (j * _DIM + i) + 12345) % 2001) - 1000) / 1000.0
-        for i in range(_DIM)
-    ]
+    """Deterministic pseudo-random hyperplane shared with the oracle
+    (computed once in python, inlined as LITERALS into both the Spark
+    plan and the DuckDB SQL — nothing engine-specific): md5 over
+    (j, i) mapped to [-1, 1). md5, not the previous affine-LCG form —
+    that one made every plane the same arithmetic progression mod 2001
+    at a shifted phase, so the sign bits correlated and bucket loads
+    skewed ~3x above fair (hot-bucket-guard coverage 0.63 instead of
+    1.0 on a 4096-vector gaussian corpus; see
+    tests/test_round12_props.py)."""
+    import hashlib
+
+    out = []
+    for i in range(_DIM):
+        h = int.from_bytes(
+            hashlib.md5(f"plane:{j}:{i}".encode()).digest()[:4], "big"
+        )
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
 
 
-_PLANES = [_plane(j) for j in range(_N_PLANES)]
+def _max_planes() -> int:
+    from ..operators.dedup import LSH_MAX_PLANES
+
+    return LSH_MAX_PLANES
 
 
-def _bucket_sql() -> str:
-    """The 8-plane sign-signature bucket as a DuckDB expression over a
-    column named ``v`` (shared by the LSH top-k and semantic-dedup
-    oracles)."""
+_PLANES = [_plane(j) for j in range(_max_planes())]
+
+#: the DuckDB expression computing the corpus-derived plane count the
+#: Spark side computes via operators.dedup.lsh_n_planes(emb.count()) —
+#: both exact integer arithmetic, single-sourced in operators/dedup.py
+def _n_planes_cte() -> str:
+    from ..operators.dedup import lsh_n_planes_sql
+
+    return (
+        "np AS (SELECT "
+        + lsh_n_planes_sql("SELECT count(*) FROM embeddings")
+        + " AS n_planes)"
+    )
+
+
+def _bucket_sql(n_planes_ref: str = "np.n_planes") -> str:
+    """The sign-signature bucket as a DuckDB expression over a column
+    named ``v`` (shared by the LSH top-k and semantic-dedup oracles).
+    Every one of the LSH_MAX_PLANES plane terms is gated on the
+    corpus-derived plane count ``n_planes_ref`` (a column from the
+    ``np`` CTE), mirroring the Spark side's plan-time derivation — the
+    bucket space GROWS with the corpus instead of saturating at a
+    fixed 256 buckets (the round-11 verdict's recall-collapse defect)."""
     bucket_terms = []
     for j, plane in enumerate(_PLANES):
         lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
         bucket_terms.append(
-            f"(CASE WHEN list_aggregate(list_transform(list_zip(v, {lit}),"
+            f"(CASE WHEN {j} < {n_planes_ref} AND "
+            f"list_aggregate(list_transform(list_zip(v, {lit}),"
             f" p -> p[1] * p[2]), 'sum') > 0 THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(bucket_terms)
 
 
-def _bucket_col():
-    """The same bucket signature as a Spark Column over a column ``v``."""
+def _bucket_col(n_planes: int):
+    """The bucket signature as a Spark Column over a column ``v``,
+    built from exactly ``n_planes`` planes (derived from the corpus
+    row count at plan time — a bounded control-plane action, the same
+    class as the rollup prune planner's partition-key read)."""
     bucket = None
-    for j, plane in enumerate(_PLANES):
-        plane_lit = F.array(*[F.lit(x) for x in plane])
+    for plane_idx in range(n_planes):
+        plane_lit = F.array(*[F.lit(x) for x in _PLANES[plane_idx]])
         term = F.when(_dot(F.col("v"), plane_lit) > 0,
-                      F.lit(1 << j)).otherwise(F.lit(0))
+                      F.lit(1 << plane_idx)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return bucket.cast("long")
 
@@ -229,11 +266,12 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
   FROM embeddings
 ),
+{_n_planes_cte()},
 n AS (
   SELECT vec_id, v,
          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
          cast({bucket} AS bigint) AS bucket
-  FROM e
+  FROM e, np
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
@@ -253,21 +291,23 @@ FROM (
 
 @register("emb_lsh_topk", oracle=_lsh_oracle(), tags=("extension", "similarity", "lsh"))
 def emb_lsh_topk(spark, sf_dir):
-    """ANN scale path: random-hyperplane LSH — 8 deterministic planes give a
-    256-bucket signature; candidates are an equi-join on the bucket instead
-    of a cross product (quadratic -> ~quadratic/256 at uniform load).
-    Planes are LCG-derived constants inlined into both engines."""
+    """ANN scale path: random-hyperplane LSH — deterministic LCG planes
+    give a sign-signature bucket; candidates are an equi-join on the
+    bucket instead of a cross product (quadratic -> ~quadratic/2^planes
+    at uniform load). The plane count is DERIVED FROM THE CORPUS SIZE
+    (operators.dedup.lsh_n_planes, targeting ~16 vectors/bucket, capped
+    at 26 planes = 67M buckets) so the bucket space scales with the
+    data instead of saturating — the count() that sizes it is a bounded
+    control-plane action, and the oracle recomputes the same plane
+    count from COUNT(*) in exact integer arithmetic."""
+    from ..operators.dedup import lsh_n_planes
+
     emb = widen(read_table(spark, sf_dir, "embeddings"))
+    n_planes = lsh_n_planes(emb.count())
     base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
-    norm = _norm(F.col("v"))
-    bucket = None
-    for j, plane in enumerate(_PLANES):
-        plane_lit = F.array(*[F.lit(x) for x in plane])
-        dot_j = _dot(F.col("v"), plane_lit)
-        term = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
     base = base.select(
-        "vec_id", "v", norm.alias("nrm"), bucket.cast("long").alias("bucket")
+        "vec_id", "v", _norm(F.col("v")).alias("nrm"),
+        _bucket_col(n_planes).alias("bucket"),
     )
     q = base.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -789,11 +829,12 @@ WITH RECURSIVE e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
   FROM embeddings
 ),
+{_n_planes_cte()},
 n AS (
   SELECT vec_id, v,
          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
          cast({_bucket_sql()} AS bigint) AS bucket
-  FROM e
+  FROM e, np
 ),
 g AS (
   SELECT * FROM n
@@ -834,12 +875,15 @@ LEFT JOIN cc ON cc.node = emb.vec_id
 def semantic_dedup_lsh(spark, sf_dir):
     """Semantic dedup with the BUCKETED pair generator — the form that
     runs at 100 TB, over the FULL embeddings table (no vec_id cap):
-    random-hyperplane LSH buckets (the 8-plane sign signature shared
-    with emb_lsh_topk) -> hot-bucket guard (> LSH_MAX_BUCKET members
-    dropped, mirrored in the oracle so the guard's SEMANTICS are
-    checked) -> same-bucket equi-join candidates -> exact-cosine verify
-    >= threshold -> connected components (two-phase star contraction)
-    -> min-id survivor per cluster.
+    random-hyperplane LSH buckets (the corpus-size-derived sign
+    signature shared with emb_lsh_topk — plane count from
+    operators.dedup.lsh_n_planes, so the bucket space grows with the
+    data and the guard below stays the exception instead of silently
+    dropping recall at scale) -> hot-bucket guard (> LSH_MAX_BUCKET
+    members dropped, mirrored in the oracle so the guard's SEMANTICS
+    are checked) -> same-bucket equi-join candidates -> exact-cosine
+    verify >= threshold -> connected components (two-phase star
+    contraction) -> min-id survivor per cluster.
 
     This is semantic_dedup_survivors with the pair stage swapped from
     the bounded brute-force crossJoin to the LSH generator, the rest of
@@ -852,14 +896,17 @@ def semantic_dedup_lsh(spark, sf_dir):
     from ..operators.dedup import (
         LSH_MAX_BUCKET,
         connected_components_two_phase,
+        lsh_n_planes,
     )
 
     emb = widen(read_table(spark, sf_dir, "embeddings"))
+    n_planes = lsh_n_planes(emb.count())
     v = _double_vec()
     base = emb.select(
         F.col("vec_id"), v.alias("v")
     ).select(
-        "vec_id", "v", _norm(F.col("v")).alias("nrm"), _bucket_col().alias("bucket")
+        "vec_id", "v", _norm(F.col("v")).alias("nrm"),
+        _bucket_col(n_planes).alias("bucket"),
     )
     w = Window.partitionBy("bucket")
     guarded = (
