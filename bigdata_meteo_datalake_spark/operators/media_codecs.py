@@ -1202,6 +1202,8 @@ def sniff_payload(b: bytes) -> str:
         return "ogg"
     if b[:4] == b"\x1a\x45\xdf\xa3":
         return "mkv"
+    if b[:4] == b"Obj\x01":
+        return "avro"
     if len(b) > 9 and b[8:9] == b"{":
         import struct
 

@@ -154,6 +154,11 @@ def _load_all() -> None:
     # BEHIND the older never-confirmed queries in the sweep head.
     from . import ext_metrics  # noqa: F401
 
+    # round-12 additions (arrival/lakehouse file formats: Avro OCF,
+    # Delta log snapshots, ORC footers) — never-confirmed, so they join
+    # the sweep head behind the r5-stale rows already queued there.
+    from . import ext_formats  # noqa: F401
+
     newest = _driver_confirmed_rounds()
     # never-confirmed queries carry round 0, sorting ahead of everything;
     # among confirmed ones, round-1-era evidence re-sweeps before round-3's.

@@ -1,0 +1,86 @@
+"""Round-12 arrival/lakehouse file formats: Avro Object Container
+Files (and, added alongside, Delta-log snapshots and ORC footers) —
+the remaining shard formats a training-data pipeline meets at the
+ingest edge next to TFRecord/WebDataset/ZIP/Parquet.
+
+Every query follows the codec-pillar pattern: a deterministic
+synthesizer builds spec-shaped files per document (so the parser runs
+under the driver's correctness gate, not just unit tests), the parser
+enforces the format's full contract fail-loud, and the report columns
+are closed forms the DuckDB oracle recomputes from first principles.
+
+Scale: chained mapInPandas stages over the id spine — zero exchanges;
+shards are the unit of parallelism, exactly how these containers are
+consumed by ingest jobs.
+
+Reference parity note: the reference repo has no container-file layer
+(SURVEY.md section 4); these belong to the training-data pillar.
+"""
+
+from __future__ import annotations
+
+from ..sources.lake import read_table
+from . import register
+
+# --- Avro Object Container Files -------------------------------------------------
+
+_AVRO_ORACLE = """
+WITH e AS (
+  SELECT doc_id, j.j AS j
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS j) j
+  WHERE j.j < 1 + doc_id % 5
+),
+g AS (
+  SELECT doc_id, j, j // 2 AS block_idx FROM e
+)
+SELECT doc_id,
+       cast(block_idx AS int) AS block_idx,
+       cast(count(*) AS int) AS n_records,
+       CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                       ELSE 'snappy' END AS codec,
+       cast(7 AS int) AS n_fields,
+       cast(sum(doc_id * 10 + j) AS bigint) AS id_sum,
+       sum(doc_id * 0.5 + j * 0.25) AS score_sum,
+       string_agg('n' || doc_id || '-' || j, ',' ORDER BY j) AS name_cat,
+       cast(sum(j % 3) AS bigint) AS n_tags,
+       cast(sum(CASE WHEN j % 2 = 0 THEN doc_id + j END) AS bigint)
+         AS opt_sum,
+       cast(coalesce(sum(CASE WHEN j % 3 = 0 THEN doc_id + 3 * j END), 0)
+            AS bigint) AS meta_sum,
+       string_agg(CASE j % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                             ELSE 'gamma' END, ',' ORDER BY j) AS kind_cat
+FROM g
+GROUP BY doc_id, block_idx
+"""
+
+
+@register(
+    "avro_shard_report",
+    oracle=_AVRO_ORACLE,
+    tags=("extension", "formats", "codec"),
+)
+def avro_shard_report(spark, sf_dir):
+    """Avro Object Container File processing end to end (round-12) —
+    the row-oriented arrival format, all stdlib from the public Avro
+    1.11 spec: per document a shard whose records exercise every avro
+    type family in one schema (long, double, string, array, null|long
+    union, map, enum), two records per block, codec cycling
+    null / raw-deflate / HAND-ROLLED snappy (varint preamble, literal
+    and 1-2-4-byte-offset copy tags, avro's big-endian CRC32 suffix)
+    by doc_id % 3. The reader enforces the full contract — magic,
+    mandatory schema metadata, per-block sync-marker equality, records
+    consuming each block's bytes EXACTLY, typed decode with bounded
+    counts — and the report emits one row per data block with
+    per-column aggregates of the DECODED values, all closed forms the
+    oracle recomputes (the decode is only hash-right if every layer,
+    codec included, is right).
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; OCF blocks are independently decodable, so at 100 TB
+    the same kernel fans out per (file, block) split exactly like the
+    Spark-Avro reader's own partitioning."""
+    from ..operators.avro_ocf import avro_features, synthesize_avro_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return avro_features(synthesize_avro_blobs(d))

@@ -230,7 +230,8 @@ def test_real_codec_queries_are_pure_map(spark):
                  "charset_detect_report", "tfrecord_report",
                  "safetensors_report", "audio_vad_report",
                  "format_sniff_report", "ogg_pages_report",
-                 "mkv_probe_report", "webp_probe_report"):
+                 "mkv_probe_report", "webp_probe_report",
+                 "avro_shard_report"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()
