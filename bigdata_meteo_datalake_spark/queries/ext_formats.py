@@ -84,3 +84,65 @@ def avro_shard_report(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return avro_features(synthesize_avro_blobs(d))
+
+
+# --- Delta _delta_log snapshot reconstruction -------------------------------------
+
+_DELTA_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS nv FROM documents
+),
+lv AS (
+  -- live versions: the last two (one for single-version tables);
+  -- identifiers stay case-distinct (DuckDB is case-insensitive)
+  SELECT doc_id, nv,
+         unnest(CASE WHEN nv = 1 THEN [0] ELSE [nv - 2, nv - 1] END) AS ver
+  FROM p
+)
+SELECT doc_id,
+       cast(nv - 1 AS int) AS table_version,
+       cast(count(*) AS int) AS n_live_files,
+       cast(sum(100 * (ver + 1) + doc_id) AS bigint) AS live_bytes,
+       cast(sum(10 + ver + doc_id % 7) AS bigint) AS live_rows,
+       cast(count(DISTINCT ver % 3) AS int) AS n_partitions,
+       cast(1 AS int) AS min_reader,
+       cast(3 AS int) AS n_schema_fields,
+       (doc_id % 3 = 2 AND nv >= 3) AS used_checkpoint,
+       string_agg('f' || ver || '.parquet', ',' ORDER BY ver) AS live_path_cat
+FROM lv
+GROUP BY doc_id, nv
+"""
+
+
+@register(
+    "delta_log_snapshot",
+    oracle=_DELTA_ORACLE,
+    tags=("extension", "formats", "lakehouse"),
+)
+def delta_log_snapshot(spark, sf_dir):
+    """Delta Lake ``_delta_log`` snapshot reconstruction end to end
+    (round-12) — the lakehouse table audit, from the public Delta
+    transaction-log protocol: per document a synthetic table history
+    (1 + doc_id % 4 versions of add/remove/metaData/protocol/
+    commitInfo JSON actions; every third eligible table CHECKPOINTED
+    as parquet with its pre-checkpoint JSON cleaned, so the
+    ``_last_checkpoint`` branch is load-bearing, not decorative) is
+    replayed under the protocol's contract — contiguous versions,
+    one action per object, last-writer-wins per path, checkpoint
+    size accounting — into one snapshot row per table: version,
+    live-file set (paths, bytes, stats rows), partition spread, and
+    protocol/schema facts, all closed forms the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; one table's log replay is inherently sequential (the
+    protocol is a serial history) but tables are independent — at a
+    million-table estate the kernel IS the per-table unit of
+    parallelism, and within one giant table the checkpoint bounds
+    the JSON tail to O(retention window)."""
+    from ..operators.delta_log import (
+        delta_snapshot_features,
+        synthesize_delta_logs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return delta_snapshot_features(synthesize_delta_logs(d))

@@ -321,3 +321,141 @@ def test_avro_reader_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert r["n_records"] >= 1
+
+
+# --- Delta _delta_log snapshot reconstruction ----------------------------------------
+
+
+def test_delta_snapshot_rejections():
+    import json
+
+    import pytest as _pytest
+
+    from bigdata_meteo_datalake_spark.operators.delta_log import (
+        build_delta_log,
+        parse_delta_snapshot,
+    )
+
+    files = build_delta_log(11)  # 4 versions, checkpointed at 1
+    parse_delta_snapshot(files)  # the fixture is valid
+
+    # version gap: drop a middle commit
+    gap = dict(files)
+    del gap[f"{2:020d}.json"]
+    with _pytest.raises(ValueError, match="jump"):
+        parse_delta_snapshot(gap)
+
+    # _last_checkpoint pointing at a missing checkpoint
+    dangling = dict(files)
+    del dangling[f"{1:020d}.checkpoint.parquet"]
+    with _pytest.raises(ValueError, match="missing version"):
+        parse_delta_snapshot(dangling)
+
+    # checkpoint size lie
+    lied = dict(files)
+    lied["_last_checkpoint"] = json.dumps({"version": 1, "size": 9}).encode()
+    with _pytest.raises(ValueError, match="size"):
+        parse_delta_snapshot(lied)
+
+    # no-checkpoint log must start at version 0
+    tail_only = {k: v for k, v in files.items()
+                 if k.endswith(".json")}
+    with _pytest.raises(ValueError, match="starts after version 0"):
+        parse_delta_snapshot(tail_only)
+
+    # checkpoint parquet present without the pointer
+    unpointed = dict(files)
+    del unpointed["_last_checkpoint"]
+    with _pytest.raises(ValueError, match="without _last_checkpoint"):
+        parse_delta_snapshot(unpointed)
+
+    # an action object carrying two action keys
+    v0 = build_delta_log(0)
+    twin = dict(v0)
+    twin[f"{0:020d}.json"] = json.dumps(
+        {"add": {"path": "x", "size": 1, "dataChange": True},
+         "remove": {"path": "y"}}).encode()
+    with _pytest.raises(ValueError, match="exactly one"):
+        parse_delta_snapshot(twin)
+
+    # unknown action / unknown member name
+    unk = dict(v0)
+    unk[f"{0:020d}.json"] = b'{"compactInfo": {}}'
+    with _pytest.raises(ValueError, match="exactly one"):
+        parse_delta_snapshot(unk)
+    stray = dict(v0)
+    stray["README.txt"] = b"hi"
+    with _pytest.raises(ValueError, match="unrecognized"):
+        parse_delta_snapshot(stray)
+
+    # future reader protocol is a declared boundary
+    fut = dict(v0)
+    lines = v0[f"{0:020d}.json"].decode().split("\n")
+    lines[0] = json.dumps({"protocol": {"minReaderVersion": 4,
+                                        "minWriterVersion": 7}})
+    fut[f"{0:020d}.json"] = "\n".join(lines).encode()
+    with _pytest.raises(NotImplementedError, match="protocol version 4"):
+        parse_delta_snapshot(fut)
+
+    # a snapshot must end with metaData + protocol seen
+    headless = {f"{0:020d}.json": json.dumps(
+        {"add": {"path": "x", "size": 1, "dataChange": True,
+                 "partitionValues": {}}}).encode()}
+    with _pytest.raises(ValueError, match="metaData|protocol"):
+        parse_delta_snapshot(headless)
+
+
+def test_delta_last_writer_wins_and_readd():
+    """Per-path replay semantics: a re-added path leaves the tombstone
+    set and returns to the live set with its NEW size."""
+    import json
+
+    from bigdata_meteo_datalake_spark.operators.delta_log import (
+        build_delta_log,
+        parse_delta_snapshot,
+    )
+
+    files = build_delta_log(0)  # single version, live = {f0}
+    files[f"{1:020d}.json"] = json.dumps(
+        {"remove": {"path": "f0.parquet", "dataChange": True}}).encode()
+    snap = parse_delta_snapshot(files)
+    assert snap["n_live_files"] == 0 and snap["n_tombstones"] == 1
+    files[f"{2:020d}.json"] = json.dumps(
+        {"add": {"path": "f0.parquet", "size": 777, "dataChange": True,
+                 "partitionValues": {"ds": "2024-01-09"}}}).encode()
+    snap = parse_delta_snapshot(files)
+    assert snap["version"] == 2
+    assert snap["live_paths"] == ["f0.parquet"]
+    assert snap["live_bytes"] == 777
+    assert snap["n_tombstones"] == 0
+
+
+@_S
+@given(st.data())
+def test_delta_parser_never_leaks_on_mutations(data):
+    """Byte mutations of any log member (JSON commits, the checkpoint
+    parquet — a pyarrow surface, so its failure zoo must be wrapped —
+    and the _last_checkpoint pointer) hold the contract."""
+    from bigdata_meteo_datalake_spark.operators.delta_log import (
+        build_delta_log,
+        parse_delta_snapshot,
+    )
+
+    files = dict(build_delta_log(data.draw(st.integers(0, 23))))
+    name = data.draw(st.sampled_from(sorted(files)))
+    blob = bytearray(files[name])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=max(len(blob) - 1, 0)))
+        if op == "flip" and blob:
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del" and blob:
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    files[name] = bytes(blob)
+    try:
+        snap = parse_delta_snapshot(files)
+    except (ValueError, NotImplementedError):
+        return
+    assert snap["version"] >= 0
