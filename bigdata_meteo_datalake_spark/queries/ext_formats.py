@@ -146,3 +146,98 @@ def delta_log_snapshot(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return delta_snapshot_features(synthesize_delta_logs(d))
+
+
+# --- ORC postscript/footer audit ---------------------------------------------------
+
+#: audited (table, column, kind) — the SAME fixed-width set the parquet
+#: footer audit uses (queries/ext_layout.py), so the two columnar-footer
+#: readers are held to one standard
+def _orc_columns():
+    from .ext_layout import _PQF_COLUMNS
+
+    return _PQF_COLUMNS
+
+
+def _orc_codec_by_table() -> dict[str, str]:
+    cols = _orc_columns()
+    tables = sorted({t for t, _, _ in cols})
+    return {t: ("none", "zlib", "snappy")[i % 3]
+            for i, t in enumerate(tables)}
+
+
+def _orc_arm(tbl: str, col: str, kind: str, codec: str) -> str:
+    if kind == "int":
+        mn = f"cast(min({col}) * 1000000 AS bigint)"
+        mx = f"cast(max({col}) * 1000000 AS bigint)"
+    else:
+        mn = f"cast(floor(min({col}) * 1000000 + 0.5) AS bigint)"
+        mx = f"cast(floor(max({col}) * 1000000 + 0.5) AS bigint)"
+    return (
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, '{codec.upper()}' AS codec, "
+        f"cast(count(*) AS bigint) AS num_rows, "
+        f"cast(count(*) - count({col}) AS bigint) AS null_count, "
+        f"{mn} AS min_micro, {mx} AS max_micro FROM {tbl}"
+    )
+
+
+def _orc_oracle() -> str:
+    codecs = _orc_codec_by_table()
+    return "\nUNION ALL\n".join(
+        _orc_arm(t, c, k, codecs[t]) for t, c, k in _orc_columns()
+    )
+
+
+@register(
+    "orc_footer_report",
+    oracle=_orc_oracle(),
+    tags=("extension", "formats", "footer", "metadata"),
+)
+def orc_footer_report(spark, sf_dir):
+    """ORC postscript/footer introspection (round-12) — the protobuf
+    twin of parquet_footer_report, closing the read-back loop on the
+    engine's own ORC sink: every audited table is first written as
+    ORC by Spark's native writer (codec cycling none/zlib/snappy per
+    table — the snappy chunks come from the JAVA writer, so the
+    hand-rolled snappy decoder is held to foreign-file interop here,
+    not just its own compressor), then per (table, column) the row
+    count, null count, and min/max zone-map bounds are read straight
+    from the FOOTER PROTOBUF (operators/orc_footer.py: varint/zigzag/
+    fixed64 wire walk, chunked stream decompression, stripe-row and
+    type-tree accounting re-checked) — never touching a data page.
+    The oracle recomputes every fact from the DATA, so a misparsed
+    zigzag, a wrong chunk header, or a misaligned statistics list
+    hash-mismatches: footer-vs-data equality is the zone-map trust
+    property, held to the same standard as the parquet twin.
+
+    Scale: one footer read per file via a bounded tail window; the
+    file list fans out over executors (here one per audited table; on
+    a Hive estate, the metastore's partition manifest)."""
+    import glob
+    import tempfile
+
+    from ..operators.orc_footer import orc_footer_column_stats
+
+    cols = _orc_columns()
+    codecs = _orc_codec_by_table()
+    base = tempfile.mkdtemp(prefix="orc_audit_")
+    rows = []
+    for tbl in sorted({t for t, _, _ in cols}):
+        audited = [c for t, c, _ in cols if t == tbl]
+        out = f"{base}/{tbl}"
+        (read_table(spark, sf_dir, tbl)
+         .select(*audited)
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("compression", codecs[tbl])
+         .orc(out))
+        files = glob.glob(out + "/*.orc")
+        if len(files) != 1:
+            raise ValueError(
+                f"expected one ORC part for {tbl}, found {len(files)}"
+            )
+        rows += [(t, c, k, files[0]) for t, c, k in cols if t == tbl]
+    df = spark.createDataFrame(
+        rows, "tbl string, col string, kind string, path string"
+    )
+    return orc_footer_column_stats(df.repartition(len(rows)))

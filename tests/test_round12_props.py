@@ -459,3 +459,178 @@ def test_delta_parser_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert snap["version"] >= 0
+
+
+# --- ORC postscript/footer reader ------------------------------------------------------
+
+
+def _pb_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        byte = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def _pbf(fid: int, v: int) -> bytes:  # varint field
+    return _pb_varint((fid << 3) | 0) + _pb_varint(v)
+
+
+def _pbm(fid: int, payload: bytes) -> bytes:  # length-delimited field
+    return _pb_varint((fid << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _hand_orc(*, num_rows=3, stripe_rows=3, root_kind=12, subtype=1,
+              n_stats=2, n_values=3, has_null=0) -> bytes:
+    """Minimal hand-encoded ORC: one long column 'a', uncompressed."""
+    types = (_pbm(4, _pbf(1, root_kind) + _pbm(2, _pb_varint(subtype))
+                  + _pbm(3, b"a"))
+             + _pbm(4, _pbf(1, 4)))  # long
+    stripes = _pbm(3, _pbf(1, 3) + _pbf(5, stripe_rows))
+    stats = b""
+    if n_stats >= 1:
+        stats += _pbm(7, _pbf(1, num_rows) + _pbf(10, 0))
+    if n_stats >= 2:
+        stats += _pbm(7, _pbf(1, n_values) + _pbf(10, has_null)
+                      + _pbm(2, _pbf(1, _zz(-5)) + _pbf(2, _zz(40))))
+    footer = stripes + types + _pbf(6, num_rows) + stats
+    ps = _pbf(1, len(footer)) + _pbf(2, 0) + _pbm(8000, b"ORC")
+    return b"ORC" + footer + ps + bytes([len(ps)])
+
+
+def test_orc_hand_encoded_roundtrip():
+    from bigdata_meteo_datalake_spark.operators.orc_footer import (
+        read_orc_footer,
+    )
+
+    fo = read_orc_footer(_hand_orc())
+    assert fo["num_rows"] == 3 and fo["codec"] == "NONE"
+    assert fo["columns"]["a"] == {
+        "type": "long", "n_values": 3, "null_count": 0,
+        "min": -5, "max": 40, "has_null": False,
+    }
+
+
+def test_orc_footer_rejections():
+    import pytest as _pytest
+
+    from bigdata_meteo_datalake_spark.operators.orc_footer import (
+        read_orc_footer,
+    )
+
+    with _pytest.raises(ValueError, match="stripes sum"):
+        read_orc_footer(_hand_orc(num_rows=4, n_values=4))
+    with _pytest.raises(ValueError, match="statistics for"):
+        read_orc_footer(_hand_orc(n_stats=1))
+    with _pytest.raises(ValueError, match="not a struct"):
+        read_orc_footer(_hand_orc(root_kind=4))
+    with _pytest.raises(ValueError, match="points at type id"):
+        read_orc_footer(_hand_orc(subtype=5))
+    with _pytest.raises(ValueError, match="claims"):
+        read_orc_footer(_hand_orc(n_values=9))
+    with _pytest.raises(ValueError, match="non-boolean"):
+        read_orc_footer(_hand_orc(has_null=7))
+    # postscript magic
+    blob = bytearray(_hand_orc())
+    blob[-3] ^= 0x01  # inside the trailing "ORC" magic
+    with _pytest.raises(ValueError, match="magic"):
+        read_orc_footer(bytes(blob))
+
+
+def test_orc_declared_codecs_raise():
+    import pytest as _pytest
+
+    from bigdata_meteo_datalake_spark.operators.orc_footer import (
+        read_orc_footer,
+    )
+
+    for kind, name in ((3, "LZO"), (4, "LZ4"), (5, "ZSTD")):
+        footer = b"\x00"
+        ps = _pbf(1, len(footer)) + _pbf(2, kind) + _pbm(8000, b"ORC")
+        blob = b"ORC" + footer + ps + bytes([len(ps)])
+        with _pytest.raises(NotImplementedError, match=name):
+            read_orc_footer(blob)
+
+
+def _orc_fuzz_blobs() -> dict[str, bytes]:
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    t = pa.table({
+        "a": pa.array([1, -7, 3, None], pa.int64()),
+        "b": pa.array([0.5, 2.25, None, -1.0], pa.float64()),
+    })
+    out = {}
+    for comp in ("UNCOMPRESSED", "ZLIB", "SNAPPY"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        out[comp] = buf.getvalue()
+    return out
+
+
+def test_orc_reader_agrees_with_pyarrow_writer():
+    """Cross-writer interop: pyarrow's liborc files (all three codecs)
+    parse and their footer facts match the data pyarrow wrote."""
+    from bigdata_meteo_datalake_spark.operators.orc_footer import (
+        read_orc_footer,
+    )
+
+    for comp, blob in _orc_fuzz_blobs().items():
+        fo = read_orc_footer(blob)
+        assert fo["codec"] == {"UNCOMPRESSED": "NONE"}.get(comp, comp)
+        assert fo["num_rows"] == 4
+        assert fo["columns"]["a"] == {
+            "type": "long", "n_values": 3, "null_count": 1,
+            "min": -7, "max": 3, "has_null": True,
+        }
+        b = fo["columns"]["b"]
+        assert (b["min"], b["max"], b["null_count"]) == (-1.0, 2.25, 1)
+
+
+@_S
+@given(st.binary(min_size=0, max_size=400))
+def test_orc_reader_never_leaks_on_garbage(blob):
+    from bigdata_meteo_datalake_spark.operators.orc_footer import (
+        read_orc_footer,
+    )
+
+    try:
+        read_orc_footer(blob)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@_S
+@given(st.data())
+def test_orc_reader_never_leaks_on_mutations(data):
+    from bigdata_meteo_datalake_spark.operators.orc_footer import (
+        read_orc_footer,
+    )
+
+    blobs = _orc_fuzz_blobs()
+    blobs["hand"] = _hand_orc()
+    blob = bytearray(blobs[data.draw(st.sampled_from(sorted(blobs)))])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=max(len(blob) - 1, 0)))
+        if op == "flip" and blob:
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del" and blob:
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        fo = read_orc_footer(bytes(blob))
+    except (ValueError, NotImplementedError):
+        return
+    assert fo["num_rows"] >= 0
