@@ -1204,6 +1204,10 @@ def sniff_payload(b: bytes) -> str:
         return "mkv"
     if b[:4] == b"Obj\x01":
         return "avro"
+    if b[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
+    if b[:4] == b"\x04\x22\x4d\x18":
+        return "lz4"
     if len(b) > 9 and b[8:9] == b"{":
         import struct
 

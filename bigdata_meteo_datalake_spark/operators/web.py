@@ -515,8 +515,10 @@ def canonical_urls(df):
 
 
 def compress_jsonl(lines: list[dict], codec: str = "gzip") -> bytes:
-    """JSON records -> one compressed JSONL shard (gzip / bz2 / xz —
-    the three formats text corpora actually ship in, all stdlib)."""
+    """JSON records -> one compressed JSONL shard (gzip / bz2 / xz via
+    stdlib, plus lz4 frames — hand-rolled full codec — and zstd frames
+    in the raw-block form, operators/lz4zstd.py: legal zstd any
+    decoder accepts, entropy coding deliberately absent)."""
     import bz2
     import gzip
     import json
@@ -530,18 +532,31 @@ def compress_jsonl(lines: list[dict], codec: str = "gzip") -> bytes:
         return bz2.compress(raw)
     if codec == "xz":
         return lzma.compress(raw)
-    raise ValueError(f"codec must be gzip/bz2/xz, got {codec!r}")
+    if codec == "lz4":
+        from .lz4zstd import lz4_frame_compress
+
+        return lz4_frame_compress(raw)
+    if codec == "zstd":
+        from .lz4zstd import build_zstd_frame
+
+        return build_zstd_frame(raw, block_size=256)
+    raise ValueError(f"codec must be gzip/bz2/xz/lz4/zstd, got {codec!r}")
 
 
 def decompress_jsonl(b: bytes) -> list[dict]:
     """Compressed JSONL shard -> records; the codec is sniffed from
-    magic bytes (gzip 1f8b, bz2 'BZh', xz fd377a58). Corrupt streams
-    and malformed JSON raise ValueError."""
+    magic bytes (gzip 1f8b, bz2 'BZh', xz fd377a58, lz4 0x184D2204,
+    zstd 0xFD2FB528). Corrupt streams and malformed JSON raise
+    ValueError; a zstd shard whose blocks are entropy-coded raises
+    NotImplementedError (the declared boundary — raw/RLE-block zstd
+    decodes fully)."""
     import bz2
     import gzip
     import json
     import lzma
     import zlib
+
+    from .lz4zstd import LZ4_FRAME_MAGIC, ZSTD_FRAME_MAGIC
 
     try:
         if b[:2] == b"\x1f\x8b":
@@ -550,6 +565,14 @@ def decompress_jsonl(b: bytes) -> list[dict]:
             raw = bz2.decompress(b)
         elif b[:6] == b"\xfd7zXZ\x00":
             raw = lzma.decompress(b)
+        elif b[:4] == LZ4_FRAME_MAGIC:
+            from .lz4zstd import lz4_frame_decompress
+
+            raw = lz4_frame_decompress(b)
+        elif b[:4] == ZSTD_FRAME_MAGIC:
+            from .lz4zstd import zstd_decompress
+
+            raw = zstd_decompress(b)
         else:
             raise ValueError("unknown compression magic")
     except (OSError, EOFError, lzma.LZMAError, zlib.error) as e:
@@ -573,7 +596,9 @@ def decompress_jsonl(b: bytes) -> list[dict]:
 def synthesize_jsonl_shards(df):
     """Deterministic compressed-JSONL source: per doc_id one shard of
     1 + doc_id % 4 records {"id": "{doc_id}-{i}", "n": doc_id*7 + i},
-    compression cycling gzip/bz2/xz by doc_id % 3."""
+    compression cycling gzip/bz2/xz/lz4/zstd by doc_id % 5 (the report
+    oracle is codec-independent by design — the records are what's
+    checked, so the cycle can grow with the front door)."""
     import pandas as pd
 
     from ..sources.lake import widen
@@ -585,7 +610,7 @@ def synthesize_jsonl_shards(df):
                 did = int(doc_id)
                 lines = [{"id": f"{did}-{i}", "n": did * 7 + i}
                          for i in range(1 + did % 4)]
-                codec = ("gzip", "bz2", "xz")[did % 3]
+                codec = ("gzip", "bz2", "xz", "lz4", "zstd")[did % 5]
                 out["doc_id"].append(did)
                 out["blob"].append(compress_jsonl(lines, codec))
             yield pd.DataFrame(out)

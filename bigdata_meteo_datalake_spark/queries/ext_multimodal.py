@@ -2172,9 +2172,11 @@ FROM r
 def jsonl_shard_report(spark, sf_dir):
     """Compressed-JSONL corpus shards end to end (round-9) — the format
     text corpora actually ship in: per document one shard of closed-form
-    JSON records, compression cycling gzip / bz2 / xz by doc_id % 3
-    (operators/web.py:synthesize_jsonl_shards; gzip written with mtime=0
-    so the bytes are deterministic), demuxed by the production kernel
+    JSON records, compression cycling gzip / bz2 / xz / lz4 / zstd by
+    doc_id % 5 (operators/web.py:synthesize_jsonl_shards; gzip written
+    with mtime=0 so the bytes are deterministic; lz4 is the hand-rolled
+    full frame codec and zstd the raw-block frame form of
+    operators/lz4zstd.py), demuxed by the production kernel
     (jsonl_shard_records -> decompress_jsonl: codec sniffed from magic
     bytes, corrupt streams and malformed lines raise) into one row per
     record — every field a closed form the oracle recomputes.
