@@ -510,7 +510,7 @@ def _decode_meta(b: bytes, pos: int) -> tuple[dict[str, bytes], int]:
 
 
 def read_avro_ocf(b: bytes) -> dict:
-    """Object Container File -> {schema, schema_json, codec, sync,
+    """Object Container File -> {schema, schema_json, meta, codec, sync,
     n_blocks, n_records, blocks: [{n_records, byte_size, records}]}
     under the format's full contract: magic, mandatory avro.schema
     metadata, per-block sync-marker equality, records consuming each
@@ -587,6 +587,7 @@ def read_avro_ocf(b: bytes) -> dict:
     return {
         "schema": schema,
         "schema_json": schema_json,
+        "meta": meta,
         "codec": codec,
         "sync": sync,
         "n_blocks": len(blocks),

@@ -86,6 +86,70 @@ def avro_shard_report(spark, sf_dir):
     return avro_features(synthesize_avro_blobs(d))
 
 
+# --- LZ4 / Zstandard frame probes ---------------------------------------------------
+
+_FRAME_PROBE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         repeat('rec-' || doc_id || '-', cast(1 + doc_id % 7 AS int))
+           AS payload,
+         repeat('z', cast(1 + doc_id % 9 AS int)) AS tail
+  FROM documents
+)
+SELECT doc_id, 'lz4' AS fmt,
+       cast(ceil(length(payload) / 32.0) AS int) AS n_blocks,
+       cast(length(payload) AS bigint) AS content_size,
+       cast(0 AS bigint) AS dict_id,
+       md5(payload) AS payload_md5
+FROM d
+UNION ALL
+SELECT doc_id, 'zstd' AS fmt,
+       cast(ceil(length(payload) / 32.0) AS int) + 1 AS n_blocks,
+       cast(length(payload) + length(tail) AS bigint) AS content_size,
+       cast(CASE WHEN doc_id % 5 = 0 THEN doc_id + 1 ELSE 0 END AS bigint)
+         AS dict_id,
+       md5(payload || tail) AS payload_md5
+FROM d
+"""
+
+
+@register(
+    "compressed_frame_probe_report",
+    oracle=_FRAME_PROBE_ORACLE,
+    tags=("extension", "formats", "codec"),
+)
+def compressed_frame_probe_report(spark, sf_dir):
+    """LZ4 and Zstandard frame walks end to end (round-12) — the two
+    modern shard compressions next to gzip/bz2/xz at the corpus front
+    door, all stdlib from the public specs (lz4_Frame_format.md /
+    lz4_Block_format.md / RFC 8878 / the xxHash spec): per document one
+    LZ4 frame (32-byte blocks, content size + per-block and content
+    XXH32s all present — LZ4 carries no entropy coding, so the FULL
+    block codec is implemented and on the hash path) and one zstd frame
+    (32-byte raw blocks plus an RLE tail block, XXH64-low32 content
+    checksum, a dictionary id on every fifth document; FSE/Huffman
+    block CONTENT is the declared boundary, but these frames carry
+    none) over the same closed-form payload
+    (operators/lz4zstd.py:synthesize_frame_blobs). The walker
+    (frame_probe_features) verifies every checksum and reconciles every
+    declared size, emitting block accounting, decoded content size,
+    dictionary id, and the md5 of the DECODED payload — so a wrong
+    xxHash lane, a misparsed block header, or a bad LZ77 copy
+    hash-mismatches against the oracle's from-first-principles string
+    recomputation.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; frames decompress independently, exactly how compressed
+    shards fan out over a cluster's ingest tasks."""
+    from ..operators.lz4zstd import (
+        frame_probe_features,
+        synthesize_frame_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return frame_probe_features(synthesize_frame_blobs(d))
+
+
 # --- Delta _delta_log snapshot reconstruction -------------------------------------
 
 _DELTA_ORACLE = """
@@ -146,6 +210,81 @@ def delta_log_snapshot(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     return delta_snapshot_features(synthesize_delta_logs(d))
+
+
+# --- Iceberg table-metadata snapshot ------------------------------------------------
+
+_ICEBERG_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS nv,
+         1 + (doc_id + doc_id % 3) % 2 AS nm
+  FROM documents
+),
+m AS (
+  SELECT doc_id, nv, nm, mi.mi AS mi
+  FROM d CROSS JOIN (SELECT unnest(range(0, 2)) AS mi) mi
+  WHERE mi.mi < nm
+),
+f AS (
+  SELECT doc_id, nv, nm, mi, j.j AS fj
+  FROM m CROSS JOIN (SELECT unnest(range(0, 5)) AS j) j
+  WHERE j.j < 2 + (doc_id + mi) % 3
+),
+live AS (SELECT * FROM f WHERE fj % 3 != 2)
+SELECT doc_id,
+       cast(2 AS int) AS format_version,
+       cast(1000 + doc_id * 10 + nv - 1 AS bigint) AS current_snapshot_id,
+       cast(nv AS int) AS n_snapshots,
+       cast(nv AS bigint) AS last_sequence_number,
+       cast(nm AS int) AS n_manifests,
+       cast(count(*) AS int) AS n_live_files,
+       cast(sum(10 + doc_id % 7 + mi + fj) AS bigint) AS live_rows,
+       cast(sum(100 * (mi + 1) + doc_id % 100 + fj) AS bigint) AS live_bytes,
+       cast(count(DISTINCT (mi + fj) % 3) AS int) AS n_partitions,
+       cast(3 AS int) AS n_schema_fields,
+       cast(1 AS int) AS n_spec_fields
+FROM live
+GROUP BY doc_id, nv, nm
+"""
+
+
+@register(
+    "iceberg_snapshot_report",
+    oracle=_ICEBERG_ORACLE,
+    tags=("extension", "formats", "lakehouse"),
+)
+def iceberg_snapshot_report(spark, sf_dir):
+    """Apache Iceberg snapshot reconstruction end to end (round-12) —
+    the third lakehouse protocol next to delta_log_snapshot and the
+    parquet/ORC footer audits, from the public Iceberg table spec: per
+    document a synthetic v2 table directory (version-hint ->
+    vN.metadata.json -> the current snapshot's manifest LIST -> its
+    manifests, where both avro layers are REAL Object Container Files
+    decoded by operators/avro_ocf.py with codec cycling
+    null/deflate/snappy — the whole Avro reader, hand-rolled snappy
+    included, sits on this audit's hash path). The reader
+    (operators/iceberg_meta.py:parse_iceberg_snapshot) verifies the
+    full chain — hint resolution, format-version/schema/spec/snapshot
+    referential integrity, sequence-number ordering, declared manifest
+    lengths, and the manifest-list's added/existing/deleted file and
+    row accounting RECONCILED against each manifest's actual entries —
+    then emits one snapshot-facts row per table, every column a closed
+    form the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; one table's metadata chain is small and sequential but
+    tables are independent — at a million-table estate the kernel IS
+    the per-table unit of parallelism, and within one table the
+    manifest list bounds what must be read (that bound is the spec's
+    own scan-planning design)."""
+    from ..operators.iceberg_meta import (
+        iceberg_snapshot_features,
+        synthesize_iceberg_tables,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return iceberg_snapshot_features(synthesize_iceberg_tables(d))
 
 
 # --- ORC postscript/footer audit ---------------------------------------------------

@@ -3467,7 +3467,9 @@ def test_webdataset_shards(spark):
 
 
 def test_jsonl_compressed_shards(spark):
-    """Compressed JSONL (round-9): all three stdlib codecs roundtrip
+    """Compressed JSONL (round-9, widened round-12): all five codecs —
+    three stdlib plus the hand-rolled LZ4 frame codec and the raw-block
+    zstd frame form (operators/lz4zstd.py) — roundtrip
     deterministically (gzip mtime pinned), magic-byte sniffing, corrupt
     streams and malformed lines raise — then the production kernel
     against the closed form."""
@@ -3481,7 +3483,7 @@ def test_jsonl_compressed_shards(spark):
     )
 
     recs = [{"id": "a", "n": 1}, {"id": "b", "n": 2}]
-    for codec in ("gzip", "bz2", "xz"):
+    for codec in ("gzip", "bz2", "xz", "lz4", "zstd"):
         b = compress_jsonl(recs, codec)
         assert decompress_jsonl(b) == recs
         assert b == compress_jsonl(recs, codec)  # deterministic bytes
@@ -3496,7 +3498,17 @@ def test_jsonl_compressed_shards(spark):
     with pytest.raises(ValueError, match="empty"):
         decompress_jsonl(gzip.compress(b"\n\n"))
     with pytest.raises(ValueError, match="codec"):
-        compress_jsonl(recs, "zstd")
+        compress_jsonl(recs, "brotli")
+    # an entropy-coded zstd shard is the declared boundary
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        ZSTD_FRAME_MAGIC,
+    )
+
+    entropy = (ZSTD_FRAME_MAGIC + bytes([0x00, 0x00])
+               + ((4 << 3) | (2 << 1) | 1).to_bytes(3, "little")
+               + b"\xde\xad\xbe\xef")
+    with pytest.raises(NotImplementedError, match="boundary"):
+        decompress_jsonl(entropy)
 
     d = read_table(spark, SF0001, "documents").limit(12)
     rows = jsonl_shard_records(synthesize_jsonl_shards(d)).collect()
@@ -5252,6 +5264,9 @@ def test_format_sniff_front_door(spark):
         b"\x00\x01\x02 garbage": "unknown", b"": "unknown",
         b"OggS\x00\x02" + bytes(30): "ogg",
         bytes.fromhex("1a45dfa3") + bytes(8): "mkv",
+        b"Obj\x01\x04meta": "avro",
+        b"\x28\xb5\x2f\xfd\x00\x00": "zstd",
+        b"\x04\x22\x4d\x18\x60\x40": "lz4",
         _real_tar_blob(): "tar",
         # 'ustar' at offset 257 WITHOUT a valid header checksum is not
         # tar (a positional magic alone misroutes e.g. large

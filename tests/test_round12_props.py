@@ -634,3 +634,479 @@ def test_orc_reader_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert fo["num_rows"] >= 0
+
+
+# --- LZ4 / Zstandard frames (operators/lz4zstd.py) ------------------------------------
+
+
+def test_xxhash_spec_vectors():
+    """Pinned to the xxHash spec's published check values (empty input
+    at seed 0 and at the spec's prime seed) plus the classic doc
+    vectors — xxh32 carries every LZ4 checksum and xxh64-low32 every
+    zstd content checksum, so a single wrong lane breaks both walkers."""
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import xxh32, xxh64
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"", 0x9E3779B1) == 0x36B78AE7
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"", 0x9E3779B1) == 0xAC75FDA2929B17EF
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"Nobody inspects the spammish repetition") == 0xFBCEA83C8A378BF1
+
+
+def test_xxh64_matches_spark_xxhash64(spark):
+    """Cross-verification against an INDEPENDENT implementation this
+    container happens to ship: Spark's xxhash64 SQL function (seed 42,
+    signed-long result) — the JVM's own XxHash64, not our code. One
+    batched DataFrame pass computes the JVM side for 301 seeded-random
+    byte strings spanning every length class of the algorithm
+    (empty, <8, <32, stripe remainders)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import xxh64
+
+    rng = random.Random(0xC0FFEE)
+    samples = [b""] + [
+        rng.randbytes(rng.randrange(0, 400)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(samples)],
+        "i int, b binary",
+    )
+    rows = df.select("i", F.xxhash64("b").alias("h")).collect()
+    jvm = {r["i"]: r["h"] for r in rows}
+    for i, s in enumerate(samples):
+        assert xxh64(s, seed=42) == jvm[i] % (1 << 64), f"sample {i}"
+
+
+@_S
+@given(st.binary(min_size=0, max_size=1000))
+def test_lz4_block_roundtrip_random(data):
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    comp = lz4_block_compress(data)
+    assert lz4_block_decompress(comp, max_out=len(data)) == data
+
+
+@_S
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=1, max_size=8),
+                  st.integers(min_value=1, max_value=60)),
+        min_size=0, max_size=12,
+    )
+)
+def test_lz4_block_roundtrip_repetitive(runs):
+    """Repetitive payloads exercise the match path (incl. overlapping
+    copies, offset < match length) that random bytes rarely reach."""
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    data = b"".join(tok * rep for tok, rep in runs)
+    comp = lz4_block_compress(data)
+    assert lz4_block_decompress(comp, max_out=len(data)) == data
+
+
+@_S
+@given(
+    st.binary(min_size=0, max_size=600),
+    st.sampled_from([16, 32, 64, 100]),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+)
+def test_lz4_frame_roundtrip(data, bs, csize, bsum, csum):
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    frame = lz4_frame_compress(
+        data, block_size=bs, content_size=csize,
+        block_checksums=bsum, content_checksum=csum,
+    )
+    stats: dict = {}
+    assert lz4_frame_decompress(frame, stats) == data
+    assert stats["n_frames"] == 1
+    want_blocks = max(1, -(-len(data) // bs))
+    assert stats["n_blocks"] == want_blocks
+    assert stats["content_size_declared"] == (len(data) if csize else None)
+
+
+def test_lz4_frame_concatenated_and_skippable():
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    a = lz4_frame_compress(b"alpha" * 10)
+    skip = b"\x5a\x2a\x4d\x18" + (7).to_bytes(4, "little") + b"x" * 7
+    b = lz4_frame_compress(b"beta" * 9)
+    stats: dict = {}
+    assert lz4_frame_decompress(a + skip + b, stats) == \
+        b"alpha" * 10 + b"beta" * 9
+    assert stats["n_frames"] == 2
+
+
+def test_lz4_frame_rejections():
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+        xxh32,
+    )
+
+    good = bytearray(lz4_frame_compress(b"payload" * 8))
+    with pytest.raises(ValueError, match="legacy"):
+        lz4_frame_decompress(b"\x02\x21\x4c\x18" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00")
+    bad = bytearray(good)
+    bad[4] |= 0x02  # FLG reserved bit
+    with pytest.raises(ValueError, match="reserved|checksum"):
+        lz4_frame_decompress(bytes(bad))
+    bad = bytearray(good)
+    bad[6] ^= 0x01  # low byte of the declared content size -> HC mismatch
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(bad))
+    # content checksum mismatch: flip the last byte (trailing XXH32)
+    bad = bytearray(good)
+    bad[-1] ^= 0x01
+    with pytest.raises(ValueError, match="checksum"):
+        lz4_frame_decompress(bytes(bad))
+    # truncation anywhere near the tail
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(good[:-3]))
+    # EndMark missing entirely
+    frame = lz4_frame_compress(b"q" * 5, content_checksum=False)
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(frame[:-4])
+    # declared content size lies: build with content_size then splice
+    # a frame body from different data of the same block count
+    f1 = bytearray(lz4_frame_compress(b"x" * 40, block_checksums=False,
+                                      content_checksum=False))
+    (declared,) = struct.unpack_from("<Q", f1, 6)
+    assert declared == 40
+    struct.pack_into("<Q", f1, 6, 41)
+    f1[14] = (xxh32(bytes(f1[4:14])) >> 8) & 0xFF  # re-seal HC
+    with pytest.raises(ValueError, match="declares"):
+        lz4_frame_decompress(bytes(f1))
+
+
+def test_zstd_build_probe_roundtrip():
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        build_zstd_frame,
+        zstd_decompress,
+        zstd_frame_probe,
+    )
+
+    data = b"0123456789" * 13
+    frame = build_zstd_frame(data, block_size=32, rle_tail=b"qqqq",
+                             dict_id=77)
+    probe = zstd_frame_probe(frame)
+    assert probe["n_frames"] == 1
+    f = probe["frames"][0]
+    assert f["dict_id"] == 77
+    assert f["content_size"] == len(data) + 4
+    assert f["n_raw"] == -(-len(data) // 32) and f["n_rle"] == 1
+    assert probe["decoded"] == data + b"qqqq"
+    assert zstd_decompress(frame) == data + b"qqqq"
+
+
+def test_zstd_probe_rejections_and_boundary():
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        ZSTD_FRAME_MAGIC,
+        build_zstd_frame,
+        zstd_decompress,
+        zstd_frame_probe,
+    )
+
+    good = bytearray(build_zstd_frame(b"hello world" * 5))
+    with pytest.raises(ValueError, match="magic"):
+        zstd_frame_probe(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+    with pytest.raises(ValueError, match="no zstd frames"):
+        zstd_frame_probe(b"")
+    bad = bytearray(good)
+    bad[4] |= 0x08  # frame-header reserved bit
+    with pytest.raises(ValueError, match="reserved"):
+        zstd_frame_probe(bytes(bad))
+    bad = bytearray(good)
+    bad[-1] ^= 0x01  # content checksum
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_frame_probe(bytes(bad))
+    with pytest.raises(ValueError):
+        zstd_frame_probe(bytes(good[:-6]))
+    # a compressed (entropy-coded) block probes but cannot decode:
+    # magic + FHD(fcs code 0, not single-segment -> no FCS) + window +
+    # one btype=2 last block of 4 junk bytes
+    frame = (ZSTD_FRAME_MAGIC + bytes([0x00, 0x00])
+             + ((4 << 3) | (2 << 1) | 1).to_bytes(3, "little")
+             + b"\xde\xad\xbe\xef")
+    probe = zstd_frame_probe(frame)
+    assert probe["frames"][0]["n_compressed"] == 1
+    assert probe["decoded"] is None
+    with pytest.raises(NotImplementedError, match="boundary"):
+        zstd_decompress(frame)
+    # reserved block type raises
+    frame = (ZSTD_FRAME_MAGIC + bytes([0x00, 0x00])
+             + ((4 << 3) | (3 << 1) | 1).to_bytes(3, "little") + b"xxxx")
+    with pytest.raises(ValueError, match="reserved block"):
+        zstd_frame_probe(frame)
+
+
+def _frame_fuzz_blobs() -> dict[str, bytes]:
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        build_zstd_frame,
+        lz4_frame_compress,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog " * 4
+    return {
+        "lz4": lz4_frame_compress(payload, block_size=32),
+        "zstd": build_zstd_frame(payload, block_size=32, rle_tail=b"zzz",
+                                 dict_id=513),
+    }
+
+
+@_S
+@given(st.binary(min_size=0, max_size=300))
+def test_frame_walkers_never_leak_on_garbage(blob):
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_frame_decompress,
+        zstd_frame_probe,
+    )
+
+    for parse in (lz4_frame_decompress, zstd_frame_probe):
+        try:
+            parse(blob)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@_S
+@given(st.data())
+def test_frame_walkers_never_leak_on_mutations(data):
+    """Byte-flip/insert/delete mutations of valid LZ4 and zstd frames
+    hold the ValueError/NotImplementedError contract — same campaign
+    the round-11 parsers went through."""
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        lz4_frame_decompress,
+        zstd_frame_probe,
+    )
+
+    blobs = _frame_fuzz_blobs()
+    kind = data.draw(st.sampled_from(["lz4", "zstd"]))
+    blob = bytearray(blobs[kind])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    parse = lz4_frame_decompress if kind == "lz4" else zstd_frame_probe
+    try:
+        parse(bytes(blob))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+# --- Iceberg table-metadata snapshots (operators/iceberg_meta.py) ---------------------
+
+
+def test_iceberg_closed_forms_roundtrip():
+    from bigdata_meteo_datalake_spark.operators.iceberg_meta import (
+        build_iceberg_table,
+        parse_iceberg_snapshot,
+    )
+
+    for did in range(0, 40):
+        snap = parse_iceberg_snapshot(build_iceberg_table(did))
+        nv = 1 + did % 3
+        nm = 1 + (did + nv - 1) % 2
+        live = [(mi, j) for mi in range(nm)
+                for j in range(2 + (did + mi) % 3) if j % 3 != 2]
+        assert snap["n_snapshots"] == nv and snap["n_manifests"] == nm
+        assert snap["current_snapshot_id"] == 1000 + did * 10 + nv - 1
+        assert snap["n_live_files"] == len(live)
+        assert snap["live_rows"] == sum(10 + did % 7 + mi + j
+                                        for mi, j in live)
+        assert snap["live_bytes"] == sum(100 * (mi + 1) + did % 100 + j
+                                         for mi, j in live)
+        assert snap["n_partitions"] == len({(mi + j) % 3 for mi, j in live})
+        assert snap["last_sequence_number"] == nv
+        assert (snap["n_schema_fields"], snap["n_spec_fields"]) == (3, 1)
+
+
+def test_iceberg_rejections():
+    """Each spec invariant violated one at a time -> ValueError with a
+    pointed message; the untouched fixture parses before and after."""
+    import json
+
+    from bigdata_meteo_datalake_spark.operators.avro_ocf import (
+        build_avro_ocf,
+    )
+    from bigdata_meteo_datalake_spark.operators.iceberg_meta import (
+        MANIFEST_FILE_SCHEMA,
+        build_iceberg_table,
+        parse_iceberg_snapshot,
+    )
+
+    base = build_iceberg_table(5)  # nv=3, current snap 1052, 2 manifests
+    parse_iceberg_snapshot(dict(base))
+    meta_name = "v3.metadata.json"
+    meta = json.loads(base[meta_name])
+
+    def with_meta(**patch):
+        m = {**meta, **patch}
+        f = dict(base)
+        f[meta_name] = json.dumps(m).encode()
+        return f
+
+    f = dict(base)
+    del f["version-hint.text"]
+    with pytest.raises(ValueError, match="version-hint"):
+        parse_iceberg_snapshot(f)
+    f = dict(base)
+    f["version-hint.text"] = b"9"
+    with pytest.raises(ValueError, match="hinted metadata"):
+        parse_iceberg_snapshot(f)
+    f = dict(base)
+    f[meta_name] = b"{not json"
+    with pytest.raises(ValueError, match="invalid"):
+        parse_iceberg_snapshot(f)
+    with pytest.raises(ValueError, match="format-version"):
+        parse_iceberg_snapshot(with_meta(**{"format-version": 3}))
+    with pytest.raises(ValueError, match="current-snapshot-id"):
+        parse_iceberg_snapshot(with_meta(**{"current-snapshot-id": 4}))
+    f = dict(base)
+    f["version-hint.text"] = b"3 "  # whitespace tolerated
+    parse_iceberg_snapshot(f)
+    with pytest.raises(ValueError, match="not an integer"):
+        parse_iceberg_snapshot(with_meta(**{"current-schema-id": [0],
+                                            "schemas": [{"schema-id": [0]}]}))
+    with pytest.raises(ValueError, match="last-sequence-number"):
+        parse_iceberg_snapshot(with_meta(**{"last-sequence-number": None}))
+    # snapshot sequence above last-sequence-number
+    snaps = json.loads(json.dumps(meta["snapshots"]))
+    snaps[-1]["sequence-number"] = 99
+    with pytest.raises(ValueError, match="sequence-number"):
+        parse_iceberg_snapshot(with_meta(snapshots=snaps))
+    # v2 snapshot without a summary operation
+    snaps = json.loads(json.dumps(meta["snapshots"]))
+    del snaps[0]["summary"]
+    with pytest.raises(ValueError, match="summary"):
+        parse_iceberg_snapshot(with_meta(snapshots=snaps))
+    # manifest length lie: truncate a manifest the current snapshot uses
+    ml = [n for n in base if n.startswith("m-1052-")][0]
+    f = dict(base)
+    f[ml] = base[ml][:-1]
+    with pytest.raises(ValueError, match="declared"):
+        parse_iceberg_snapshot(f)
+    # manifest-list accounting lie: rewrite the list with a wrong
+    # added_files_count (same length achieved by padding another field)
+    snap_name = "snap-1052.avro"
+    cur_len = len(base[snap_name])
+    from bigdata_meteo_datalake_spark.operators.avro_ocf import (
+        read_avro_ocf,
+    )
+
+    recs = [r for blk in read_avro_ocf(base[snap_name])["blocks"]
+            for r in blk["records"]]
+    recs[0]["added_files_count"] += 1
+    recs[0]["existing_files_count"] -= 1
+    f = dict(base)
+    f[snap_name] = build_avro_ocf(
+        MANIFEST_FILE_SCHEMA, recs, codec="snappy", records_per_block=2,
+        meta_extra={"snapshot-id": b"1052", "sequence-number": b"3",
+                    "format-version": b"2"},
+    )
+    assert cur_len  # the list itself is not length-checked, only manifests
+    with pytest.raises(ValueError, match="counts .*disagree|disagree"):
+        parse_iceberg_snapshot(f)
+    # duplicate live path across manifests (doc 7's current snapshot has
+    # two manifests): point manifest 1's path at manifest 0's file
+    recs = [r for blk in read_avro_ocf(base[snap_name])["blocks"]
+            for r in blk["records"]]
+    if len(recs) >= 2:
+        recs[1]["manifest_path"] = recs[0]["manifest_path"]
+        recs[1]["manifest_length"] = recs[0]["manifest_length"]
+        f = dict(base)
+        f[snap_name] = build_avro_ocf(
+            MANIFEST_FILE_SCHEMA, recs, codec="snappy",
+            records_per_block=2,
+            meta_extra={"snapshot-id": b"1052", "sequence-number": b"3",
+                        "format-version": b"2"},
+        )
+        with pytest.raises(ValueError, match="live twice|disagree"):
+            parse_iceberg_snapshot(f)
+    # the base fixture still parses (no cross-test mutation)
+    parse_iceberg_snapshot(dict(base))
+
+
+def _iceberg_fuzz_blobs() -> dict[str, bytes]:
+    from bigdata_meteo_datalake_spark.operators.delta_log import _pack_dir
+    from bigdata_meteo_datalake_spark.operators.iceberg_meta import (
+        build_iceberg_table,
+    )
+
+    # doc ids covering all three manifest codecs
+    return {str(d): _pack_dir(build_iceberg_table(d)) for d in (0, 1, 2, 7)}
+
+
+@_S
+@given(st.binary(min_size=0, max_size=300))
+def test_iceberg_parser_never_leaks_on_garbage(blob):
+    from bigdata_meteo_datalake_spark.operators.delta_log import _unpack_dir
+    from bigdata_meteo_datalake_spark.operators.iceberg_meta import (
+        parse_iceberg_snapshot,
+    )
+
+    try:
+        parse_iceberg_snapshot(_unpack_dir(blob))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@_S
+@given(st.data())
+def test_iceberg_parser_never_leaks_on_mutations(data):
+    """Byte-flip/insert/delete mutations of packed table directories
+    (all three manifest codecs) hold the ValueError/NotImplementedError
+    contract through the zip envelope, the metadata JSON, and both
+    avro layers."""
+    from bigdata_meteo_datalake_spark.operators.delta_log import _unpack_dir
+    from bigdata_meteo_datalake_spark.operators.iceberg_meta import (
+        parse_iceberg_snapshot,
+    )
+
+    blobs = _iceberg_fuzz_blobs()
+    blob = bytearray(blobs[data.draw(st.sampled_from(sorted(blobs)))])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        snap = parse_iceberg_snapshot(_unpack_dir(bytes(blob)))
+    except (ValueError, NotImplementedError):
+        return
+    assert snap["n_live_files"] >= 0
