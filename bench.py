@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     # (baseline restated for the 34-query set in BASELINE.md, same
     # session as the set change)
     "semantic_dedup_lsh",
+    # round-12 addition: the arrival-format pillar's flagship — Avro
+    # Object Container File decode (every avro type family, three block
+    # codecs incl. hand-rolled snappy, per-block aggregate report) — the
+    # largest new-format family of the round (baseline restated for the
+    # 35-query set in BASELINE.md, same session as the set change)
+    "avro_shard_report",
 ]
 
 
