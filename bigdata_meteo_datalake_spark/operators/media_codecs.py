@@ -1204,6 +1204,8 @@ def sniff_payload(b: bytes) -> str:
         return "mkv"
     if b[:4] == b"Obj\x01":
         return "avro"
+    if b[:8] == b"ARROW1\x00\x00":
+        return "arrow"
     if b[:4] == b"\x28\xb5\x2f\xfd":
         return "zstd"
     if b[:4] == b"\x04\x22\x4d\x18":

@@ -212,6 +212,66 @@ def delta_log_snapshot(spark, sf_dir):
     return delta_snapshot_features(synthesize_delta_logs(d))
 
 
+# --- Arrow IPC files ------------------------------------------------------------------
+
+_ARROW_ORACLE = """
+WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS nr FROM documents),
+r AS (
+  SELECT doc_id, nr, j.j AS j
+  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS j) j
+  WHERE j.j < nr
+)
+SELECT doc_id,
+       cast(j // 2 AS int) AS batch_idx,
+       cast(count(*) AS int) AS n_rows,
+       cast(sum(CASE WHEN j % 4 = 3 THEN 1 ELSE 0 END) AS int) AS id_nulls,
+       cast(coalesce(sum(CASE WHEN j % 4 != 3 THEN doc_id * 10 + j END), 0)
+            AS bigint) AS id_sum,
+       sum(doc_id * 0.5 + j * 0.25) AS val_sum,
+       cast(coalesce(sum(CASE WHEN j % 5 != 4
+                         THEN length('n' || doc_id || '-' || j) END), 0)
+            AS bigint) AS name_chars,
+       string_agg(CASE WHEN j % 5 != 4 THEN 'n' || doc_id || '-' || j END,
+                  ',' ORDER BY j) AS name_cat,
+       (doc_id % 2 = 1) AS compressed
+FROM r
+GROUP BY doc_id, j // 2
+"""
+
+
+@register(
+    "arrow_ipc_report",
+    oracle=_ARROW_ORACLE,
+    tags=("extension", "formats", "codec"),
+)
+def arrow_ipc_report(spark, sf_dir):
+    """Arrow IPC file decode end to end (round-12) — the columnar
+    arrival/interchange format, read by a HAND-ROLLED FlatBuffers walk
+    (operators/arrow_ipc.py: vtable field lookup, footer/Block layout,
+    Message envelopes, FieldNode/Buffer accounting, validity-bitmap
+    popcount vs declared null_count, monotone utf8 offsets) of files
+    written by PYARROW — the real C++ writer, so this is
+    cross-implementation interop on every document, not a roundtrip of
+    our own encoder. Odd documents are written with LZ4_FRAME body
+    compression, putting the hand-rolled LZ4 frame codec
+    (operators/lz4zstd.py) up against pyarrow's C++ lz4 output on the
+    hash path. One report row per (document, record batch) with row
+    and null accounting plus per-column aggregates of the decoded
+    values, all closed forms the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; IPC files (and, via the footer's block index, even
+    batches within one file) decode independently — the same
+    random-access property Arrow Flight and dataset scanners exploit."""
+    from ..operators.arrow_ipc import (
+        arrow_batch_features,
+        synthesize_arrow_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return arrow_batch_features(synthesize_arrow_blobs(d))
+
+
 # --- Iceberg table-metadata snapshot ------------------------------------------------
 
 _ICEBERG_ORACLE = """

@@ -5265,6 +5265,7 @@ def test_format_sniff_front_door(spark):
         b"OggS\x00\x02" + bytes(30): "ogg",
         bytes.fromhex("1a45dfa3") + bytes(8): "mkv",
         b"Obj\x01\x04meta": "avro",
+        b"ARROW1\x00\x00\xff\xff": "arrow",
         b"\x28\xb5\x2f\xfd\x00\x00": "zstd",
         b"\x04\x22\x4d\x18\x60\x40": "lz4",
         _real_tar_blob(): "tar",

@@ -231,7 +231,9 @@ def test_real_codec_queries_are_pure_map(spark):
                  "safetensors_report", "audio_vad_report",
                  "format_sniff_report", "ogg_pages_report",
                  "mkv_probe_report", "webp_probe_report",
-                 "avro_shard_report", "delta_log_snapshot"):
+                 "avro_shard_report", "delta_log_snapshot",
+                 "compressed_frame_probe_report", "iceberg_snapshot_report",
+                 "arrow_ipc_report"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1110,3 +1110,179 @@ def test_iceberg_parser_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert snap["n_live_files"] >= 0
+
+
+# --- Arrow IPC files (operators/arrow_ipc.py) ------------------------------------------
+
+
+def _pa_file(table, compression=None, chunk=2) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.ipc.new_file(sink, table.schema, options=opts) as w:
+        w.write_table(table, max_chunksize=chunk)
+    return sink.getvalue()
+
+
+@_S
+@given(
+    st.lists(
+        st.tuples(
+            st.none() | st.integers(min_value=-(1 << 63),
+                                    max_value=(1 << 63) - 1),
+            st.none() | st.floats(allow_nan=False, allow_infinity=False),
+            st.none() | st.text(max_size=12),
+            st.none() | st.booleans(),
+        ),
+        min_size=1, max_size=9,
+    ),
+    st.sampled_from([None, "lz4"]),
+    st.integers(min_value=1, max_value=4),
+)
+def test_arrow_ipc_interop_roundtrip(rows, comp, chunk):
+    """Files written by PYARROW (the foreign C++ implementation) with
+    arbitrary values/nulls/chunkings, decoded exactly by the
+    hand-rolled FlatBuffers walk — with LZ4 body compression the
+    pyarrow-written frames additionally exercise our LZ4 frame
+    decoder against a foreign compressor."""
+    import pyarrow as pa
+
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_file,
+    )
+
+    t = pa.table({
+        "i": pa.array([r[0] for r in rows], pa.int64()),
+        "f": pa.array([r[1] for r in rows], pa.float64()),
+        "s": pa.array([r[2] for r in rows], pa.utf8()),
+        "b": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+    r = read_arrow_file(_pa_file(t, comp, chunk))
+    assert [k for k, _, _ in r["fields"]] == ["i", "f", "s", "b"]
+    assert r["compression"] == ("lz4" if comp else "none")
+    got = {k: [] for k in ("i", "f", "s", "b")}
+    total = 0
+    for bt in r["batches"]:
+        total += bt["n_rows"]
+        for k in got:
+            got[k].extend(bt["columns"][k])
+    assert total == len(rows)
+    assert got["i"] == [r[0] for r in rows]
+    assert got["s"] == [r[2] for r in rows]
+    assert got["b"] == [r[3] for r in rows]
+    for g, w in zip(got["f"], [r[1] for r in rows]):
+        assert (g is None) == (w is None)
+        if w is not None:
+            assert g == w
+
+
+def test_arrow_ipc_declared_boundaries():
+    """Out-of-scope shapes raise the CONTRACTED NotImplementedError,
+    each produced by pyarrow itself: zstd body compression,
+    dictionary-encoded columns, nested lists, non-64-bit ints."""
+    import pyarrow as pa
+
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_file,
+    )
+
+    base = pa.table({"i": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(NotImplementedError, match="zstd"):
+        read_arrow_file(_pa_file(base, "zstd"))
+    dict_t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        read_arrow_file(_pa_file(dict_t))
+    nested = pa.table({"l": pa.array([[1], [2, 3], []],
+                                     pa.list_(pa.int64()))})
+    with pytest.raises(NotImplementedError, match="boundary"):
+        read_arrow_file(_pa_file(nested))
+    small = pa.table({"i": pa.array([1, 2], pa.int32())})
+    with pytest.raises(NotImplementedError, match="bitWidth=32"):
+        read_arrow_file(_pa_file(small))
+
+
+def test_arrow_ipc_rejections():
+    import pyarrow as pa
+
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_file,
+    )
+
+    good = _pa_file(pa.table({"i": pa.array([1, None, 3], pa.int64()),
+                              "s": pa.array(["x", "yy", None], pa.utf8())}))
+    read_arrow_file(good)
+    with pytest.raises(ValueError, match="leading magic"):
+        read_arrow_file(b"NOTARROW" + good[8:])
+    with pytest.raises(ValueError, match="trailing magic"):
+        read_arrow_file(good[:-6] + b"XXXXXX")
+    with pytest.raises(ValueError, match="too short|bounds|magic"):
+        read_arrow_file(b"ARROW1\x00\x00ARROW1")
+    # truncating the body shifts the footer window onto garbage
+    with pytest.raises((ValueError, NotImplementedError)):
+        read_arrow_file(good[:20] + good[40:])
+    # flipped continuation marker ON A RECORD BATCH (byte 8 starts the
+    # stream's schema message, which a random-access reader never
+    # touches — the footer points straight at batch blocks): the first
+    # batch message follows the schema message
+    import struct
+
+    schema_msize = struct.unpack_from("<I", good, 12)[0]
+    batch_off = 8 + 8 + schema_msize
+    assert good[batch_off : batch_off + 4] == b"\xff\xff\xff\xff"
+    bad = bytearray(good)
+    bad[batch_off] ^= 0xFF
+    with pytest.raises(ValueError, match="continuation"):
+        read_arrow_file(bytes(bad))
+
+
+def _arrow_fuzz_blobs() -> dict[str, bytes]:
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        build_arrow_blob,
+    )
+
+    return {"plain": build_arrow_blob(2), "lz4": build_arrow_blob(3)}
+
+
+@_S
+@given(st.binary(min_size=0, max_size=300))
+def test_arrow_reader_never_leaks_on_garbage(blob):
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_file,
+    )
+
+    try:
+        read_arrow_file(blob)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@_S
+@given(st.data())
+def test_arrow_reader_never_leaks_on_mutations(data):
+    """Byte-flip/insert/delete mutations of real pyarrow files (both
+    compressions) hold the ValueError/NotImplementedError contract
+    through the FlatBuffers walk, the bitmap checks, and the LZ4
+    frames."""
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_file,
+    )
+
+    blobs = _arrow_fuzz_blobs()
+    blob = bytearray(blobs[data.draw(st.sampled_from(sorted(blobs)))])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        r = read_arrow_file(bytes(blob))
+    except (ValueError, NotImplementedError):
+        return
+    assert r["n_batches"] >= 0
