@@ -212,6 +212,89 @@ def delta_log_snapshot(spark, sf_dir):
     return delta_snapshot_features(synthesize_delta_logs(d))
 
 
+# --- Parquet split-block bloom filter audit --------------------------------------------
+
+#: audited (table, column, kind) — longs and strings across four tables
+_BLOOM_COLUMNS = (
+    ("orders", "o_custkey", "long"),
+    ("orders", "o_orderpriority", "string"),
+    ("lineitem", "l_partkey", "long"),
+    ("lineitem", "l_returnflag", "string"),
+    ("customer", "c_name", "string"),
+    ("part", "p_partkey", "long"),
+    ("part", "p_brand", "string"),
+)
+
+
+def _bloom_oracle() -> str:
+    arms = [
+        (f"SELECT '{t}' AS tbl, '{c}' AS col, "
+         f"cast(count(DISTINCT {c}) AS bigint) AS n_distinct, "
+         f"cast(count(DISTINCT {c}) AS bigint) AS present_hits, "
+         f"true AS all_present FROM {t}")
+        for t, c, _ in _BLOOM_COLUMNS
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
+@register(
+    "parquet_bloom_probe_report",
+    oracle=_bloom_oracle(),
+    tags=("extension", "formats", "footer", "metadata"),
+)
+def parquet_bloom_probe_report(spark, sf_dir):
+    """Parquet split-block bloom filter audit (round-12) — the
+    data-skipping sidecar next to the footer zone maps, held to the
+    format's trust property: a bloom may false-positive but NEVER
+    false-negative. Every audited table is written by Spark's own
+    parquet writer with per-column bloom filters enabled (dictionary
+    encoding disabled — parquet-mr silently omits blooms on
+    all-dictionary chunks, and a missing bloom raises rather than
+    vacuously passing); then per (table, column) every distinct value
+    actually in the data (re-read via pyarrow, the independent reader)
+    is probed against the file's own SBBF
+    (operators/parquet_bloom.py: thrift header contract, 256-bit
+    block math, the spec's eight salt constants, XXH64 over plain
+    encodings — the JAVA writer's bits reproduced by our own xxh64).
+    present_hits == n_distinct is exactly the no-false-negative
+    guarantee; one wrong salt, nibble, or hash lane and the row
+    hash-mismatches.
+
+    Scale: one bounded footer+bloom read per file plus one column scan
+    per audit; the file list fans out over executors (here one per
+    audited table; on a real lake, the catalog's manifest), and the
+    probe never touches other columns' pages."""
+    import glob
+    import tempfile
+
+    from ..operators.parquet_bloom import bloom_probe_column_stats
+
+    base = tempfile.mkdtemp(prefix="bloom_audit_")
+    rows = []
+    for tbl in sorted({t for t, _, _ in _BLOOM_COLUMNS}):
+        audited = [(c, k) for t, c, k in _BLOOM_COLUMNS if t == tbl]
+        out = f"{base}/{tbl}"
+        w = (read_table(spark, sf_dir, tbl)
+             .select(*[c for c, _ in audited])
+             .coalesce(1)
+             .write.mode("overwrite")
+             .option("parquet.enable.dictionary", "false"))
+        for c, _ in audited:
+            w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                  .option(f"parquet.bloom.filter.expected.ndv#{c}", "32768"))
+        w.parquet(out)
+        files = glob.glob(out + "/*.parquet")
+        if len(files) != 1:
+            raise ValueError(
+                f"expected one parquet part for {tbl}, found {len(files)}"
+            )
+        rows += [(tbl, c, k, files[0]) for c, k in audited]
+    df = spark.createDataFrame(
+        rows, "tbl string, col string, kind string, path string"
+    )
+    return bloom_probe_column_stats(df.repartition(len(rows)))
+
+
 # --- Arrow IPC files ------------------------------------------------------------------
 
 _ARROW_ORACLE = """

@@ -1286,3 +1286,149 @@ def test_arrow_reader_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert r["n_batches"] >= 0
+
+
+# --- Parquet split-block bloom filters (operators/parquet_bloom.py) --------------------
+
+
+def _bloom_file(spark, tmpdir: str) -> str:
+    import glob
+
+    df = spark.range(0, 500).selectExpr(
+        "cast(id % 83 as long) as k", "concat('usr-', id % 47) as s")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.enable.dictionary", "false")
+     .option("parquet.bloom.filter.enabled#k", "true")
+     .option("parquet.bloom.filter.expected.ndv#k", "83")
+     .option("parquet.bloom.filter.enabled#s", "true")
+     .option("parquet.bloom.filter.expected.ndv#s", "47")
+     .parquet(tmpdir + "/t"))
+    return glob.glob(tmpdir + "/t/*.parquet")[0]
+
+
+def test_parquet_bloom_no_false_negatives_and_sane_fp(spark, tmp_path):
+    """The format's guarantee, against Spark's own java-written blooms:
+    every present value hits (false negatives impossible), and absent
+    probes stay mostly negative (the filter is doing real work — a
+    parser bug that returned all-true would pass the first check but
+    not this one)."""
+    from bigdata_meteo_datalake_spark.operators.parquet_bloom import (
+        file_bloom_probe,
+    )
+
+    path = _bloom_file(spark, str(tmp_path))
+    r = file_bloom_probe(path, "k", "long", range(83))
+    assert (r["n_distinct"], r["present_hits"]) == (83, 83)
+    r = file_bloom_probe(path, "s", "string",
+                         [f"usr-{i}" for i in range(47)])
+    assert (r["n_distinct"], r["present_hits"]) == (47, 47)
+    absent = file_bloom_probe(path, "k", "long", range(10_000, 14_000))
+    assert absent["present_hits"] < 0.25 * absent["n_distinct"], (
+        "absent probes mostly positive — the membership test is "
+        "degenerate"
+    )
+    absent_s = file_bloom_probe(path, "s", "string",
+                                [f"ghost-{i}" for i in range(4000)])
+    assert absent_s["present_hits"] < 0.25 * absent_s["n_distinct"]
+
+
+def test_parquet_bloom_rejections(spark, tmp_path):
+    import glob
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.parquet_bloom import (
+        file_bloom_probe,
+        read_bloom_filter,
+        sbbf_contains,
+    )
+
+    path = _bloom_file(spark, str(tmp_path))
+    # a column written WITHOUT bloom filters must raise, not pass
+    df = spark.range(0, 100).selectExpr("id as plain")
+    (df.coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp_path) + "/nobloom"))
+    nb = glob.glob(str(tmp_path) + "/nobloom/*.parquet")[0]
+    with pytest.raises(ValueError, match="no bloom filter"):
+        file_bloom_probe(nb, "plain", "long", [1])
+    with pytest.raises(ValueError, match="not found"):
+        file_bloom_probe(path, "ghost_col", "long", [1])
+    # header/bitset contract on raw bytes
+    b = open(path, "rb").read()
+    with pytest.raises(ValueError, match="bounds"):
+        read_bloom_filter(b, len(b) - 4, 64)
+    with pytest.raises(ValueError):
+        read_bloom_filter(b, 0, 32)  # PAR1 magic is not a thrift header
+    # bitset must be whole power-of-two blocks
+    with pytest.raises(ValueError, match="whole 32-byte blocks"):
+        sbbf_contains(b"\x00" * 33, 12345)
+    with pytest.raises(ValueError, match="whole 32-byte blocks"):
+        sbbf_contains(b"", 12345)
+    # truncating the file clips the bloom region
+    from bigdata_meteo_datalake_spark.operators.parquet_bloom import (
+        _bloom_regions,
+    )
+
+    (off, ln) = _bloom_regions(b, "k")[0]
+    with pytest.raises(ValueError, match="bounds|length|header"):
+        read_bloom_filter(b[: off + 10], off, ln)
+    # corrupting the header's numBytes breaks the length reconciliation
+    bad = bytearray(b)
+    # find the varint after field header at off: flip it wholesale
+    bad[off + 1] ^= 0x7F
+    with pytest.raises((ValueError, NotImplementedError)):
+        read_bloom_filter(bytes(bad), off, ln)
+
+
+@_S
+@given(st.data())
+def test_parquet_bloom_reader_never_leaks_on_mutations(data):
+    """Mutations of a valid bloom region (header + bitset) hold the
+    ValueError/NotImplementedError contract; bitset-only corruption
+    can also legally parse (a bloom with flipped bits is still a
+    bloom — it may only lose the membership guarantee, which the
+    probe test pins separately)."""
+    from bigdata_meteo_datalake_spark.operators.parquet_bloom import (
+        read_bloom_filter,
+    )
+
+    blob = bytearray(_hand_bloom_region())
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        read_bloom_filter(bytes(blob), 0, len(blob))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def _hand_bloom_region() -> bytes:
+    """A spec-shaped BloomFilterHeader in hand-written thrift compact
+    (numBytes=64 i32; BLOCK/XXHASH/UNCOMPRESSED unions as single-member
+    structs) + a 64-byte bitset — byte-level independent of any
+    writer."""
+    header = (
+        b"\x15\x80\x01"      # field 1, i32, zigzag(64)
+        + b"\x1c\x1c\x00\x00"  # field 2: struct{field 1: empty struct}
+        + b"\x1c\x1c\x00\x00"  # field 3: same shape
+        + b"\x1c\x1c\x00\x00"  # field 4: same shape
+        + b"\x00"              # stop
+    )
+    return header + bytes(range(64))
+
+
+def test_parquet_bloom_hand_region_parses():
+    """The hand-written thrift header (used by the mutation gate) is
+    accepted and yields exactly the 64-byte bitset — so the gate
+    mutates from a known-valid baseline."""
+    from bigdata_meteo_datalake_spark.operators.parquet_bloom import (
+        read_bloom_filter,
+    )
+
+    region = _hand_bloom_region()
+    assert read_bloom_filter(region, 0, len(region)) == bytes(range(64))
