@@ -212,6 +212,104 @@ def delta_log_snapshot(spark, sf_dir):
     return delta_snapshot_features(synthesize_delta_logs(d))
 
 
+# --- Parquet page index audit -----------------------------------------------------------
+
+_PAGE_ROW_LIMIT = 500
+
+
+def _pageindex_columns():
+    from .ext_layout import _PQF_COLUMNS
+
+    return _PQF_COLUMNS
+
+
+def _pageindex_arm(tbl: str, col: str, kind: str) -> str:
+    if kind == "int":
+        mn = f"cast(min({col}) * 1000000 AS bigint)"
+        mx = f"cast(max({col}) * 1000000 AS bigint)"
+    else:
+        mn = f"cast(floor(min({col}) * 1000000 + 0.5) AS bigint)"
+        mx = f"cast(floor(max({col}) * 1000000 + 0.5) AS bigint)"
+    return (
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, "
+        f"cast(ceil(count(*) / {_PAGE_ROW_LIMIT}.0) AS int) AS n_pages, "
+        f"cast(count(*) AS bigint) AS num_rows, "
+        f"cast(count(*) - count({col}) AS bigint) AS null_count, "
+        f"{mn} AS min_micro, {mx} AS max_micro FROM {tbl}"
+    )
+
+
+def _pageindex_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        _pageindex_arm(t, c, k) for t, c, k in _pageindex_columns()
+    )
+
+
+@register(
+    "parquet_pageindex_report",
+    oracle=_pageindex_oracle(),
+    tags=("extension", "formats", "footer", "metadata"),
+)
+def parquet_pageindex_report(spark, sf_dir):
+    """Parquet page index audit (round-12) — ColumnIndex/OffsetIndex,
+    the page-granular data-skipping sidecar that completes the parquet
+    trio after the footer zone maps (parquet_footer_report) and the
+    bloom filters (parquet_bloom_probe_report), over the SAME audited
+    column set so all three readers are held to one standard. Every
+    audited table is re-written by Spark's java writer with
+    ``parquet.page.row.count.limit`` as the binding page splitter
+    (page.size 8 MiB, block.size 1 GiB — so the page count is a closed
+    form, ceil(rows/500), the oracle recomputes); then per column the
+    thrift page indexes are parsed by our compact-protocol walk and
+    every claim is verified against the pyarrow-read data
+    (operators/parquet_pageindex.py:verify_page_index): per-page
+    declared min/max EQUAL the actual bounds of the rows the
+    OffsetIndex assigns to the page, null_counts match, first_row_index
+    walks from zero strictly monotonically, page regions ascend within
+    bounds, and a claimed boundary_order actually holds. The report's
+    numbers all come from the INDEX — page-level zone-map honesty is
+    the property page skipping (and Spark's own parquet filter
+    pushdown) rests on.
+
+    Scale: one bounded index read + one single-column scan per audit;
+    the file list fans out over executors (here one per audited table;
+    on a real lake, the catalog's manifest), and no other column's
+    pages are touched."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.parquet_pageindex import pageindex_column_stats
+
+    cols = _pageindex_columns()
+    base = tempfile.mkdtemp(prefix="pageindex_audit_")
+    rows = []
+    for tbl in sorted({t for t, _, _ in cols}):
+        audited = [(c, k) for t, c, k in cols if t == tbl]
+        out = f"{base}/{tbl}"
+        (read_table(spark, sf_dir, tbl)
+         .select(*[F.col(c).cast("long" if k == "int" else "double")
+                   .alias(c) for c, k in audited])
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
+         .option("parquet.page.size", str(1 << 23))
+         .option("parquet.block.size", str(1 << 30))
+         .parquet(out))
+        files = glob.glob(out + "/*.parquet")
+        if len(files) != 1:
+            raise ValueError(
+                f"expected one parquet part for {tbl}, found {len(files)}"
+            )
+        rows += [(t, c, k, files[0]) for t, c, k in cols if t == tbl]
+    df = spark.createDataFrame(
+        rows, "tbl string, col string, kind string, path string"
+    )
+    return pageindex_column_stats(df.repartition(len(rows)),
+                                  row_limit=_PAGE_ROW_LIMIT)
+
+
 # --- Parquet split-block bloom filter audit --------------------------------------------
 
 #: audited (table, column, kind) — longs and strings across four tables
