@@ -528,6 +528,82 @@ def iceberg_snapshot_report(spark, sf_dir):
     return iceberg_snapshot_features(synthesize_iceberg_tables(d))
 
 
+# --- Hudi timeline snapshot -------------------------------------------------------------
+
+_HUDI_ORACLE = """
+WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS nc FROM documents),
+w AS (
+  SELECT doc_id, nc, i.i AS i, m.m AS m
+  FROM d
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS m) m
+  WHERE i.i < nc AND m.m < 1 + (doc_id + i.i) % 2
+),
+latest AS (
+  SELECT doc_id, m, max(i) AS li FROM w GROUP BY doc_id, m
+),
+agg AS (
+  SELECT doc_id,
+         cast(sum(10 + doc_id % 7 + i + m) AS bigint) AS total_writes
+  FROM w GROUP BY doc_id
+),
+lb AS (
+  SELECT doc_id,
+         cast(count(*) AS int) AS n_file_groups,
+         cast(sum(100 * (li + 1) + doc_id % 50 + m) AS bigint)
+           AS live_bytes,
+         cast(count(DISTINCT m % 2) AS int) AS n_partitions
+  FROM latest GROUP BY doc_id
+)
+SELECT d.doc_id,
+       cast(d.nc AS int) AS n_completed,
+       '20240101' || lpad(cast(d.nc - 1 AS varchar), 2, '0') || '0000'
+         AS latest_instant,
+       (d.doc_id % 3 = 0) AS pending,
+       lb.n_file_groups,
+       lb.live_bytes,
+       agg.total_writes,
+       lb.n_partitions
+FROM d
+JOIN lb ON d.doc_id = lb.doc_id
+JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+@register(
+    "hudi_timeline_report",
+    oracle=_HUDI_ORACLE,
+    tags=("extension", "formats", "lakehouse"),
+)
+def hudi_timeline_report(spark, sf_dir):
+    """Apache Hudi timeline replay end to end (round-12) — the third
+    lakehouse table protocol, completing the trio with
+    delta_log_snapshot and iceberg_snapshot_report: per document a
+    synthetic copy-on-write table whose ``.hoodie`` timeline carries
+    the full requested -> inflight -> completed transition files for
+    1 + doc_id % 3 commits (every third document also has an INFLIGHT
+    tail commit — a concurrent writer mid-commit — that the snapshot
+    must ignore: the MVCC visibility rule this audit pins). The reader
+    (operators/hudi_timeline.py:parse_hudi_snapshot) enforces the
+    transition contract (a completed instant must retain its
+    requested/inflight markers), validates every write stat, and
+    cross-checks that each base file's name embeds its fileId and
+    instant time — then resolves copy-on-write state: per file group,
+    the base file of the LATEST completed commit. Every report column
+    is a closed form the oracle recomputes.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; tables replay independently, and within one table the
+    timeline is small by design (Hudi archives old instants)."""
+    from ..operators.hudi_timeline import (
+        hudi_snapshot_features,
+        synthesize_hudi_timelines,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return hudi_snapshot_features(synthesize_hudi_timelines(d))
+
+
 # --- ORC postscript/footer audit ---------------------------------------------------
 
 #: audited (table, column, kind) — the SAME fixed-width set the parquet

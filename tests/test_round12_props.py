@@ -1563,3 +1563,143 @@ def test_pageindex_reader_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert len(idx["pages"]) >= 1
+
+
+# --- Hudi timeline (operators/hudi_timeline.py) -----------------------------------------
+
+
+def test_hudi_closed_forms_roundtrip():
+    from bigdata_meteo_datalake_spark.operators.hudi_timeline import (
+        build_hudi_timeline,
+        parse_hudi_snapshot,
+    )
+
+    for did in range(40):
+        s = parse_hudi_snapshot(build_hudi_timeline(did))
+        nc = 1 + did % 3
+        writes = [(i, m) for i in range(nc)
+                  for m in range(1 + (did + i) % 2)]
+        latest: dict = {}
+        for i, m in writes:
+            latest[m] = i
+        assert s["n_completed"] == nc
+        assert s["latest_instant"] == f"20240101{nc - 1:02d}0000"
+        assert s["pending"] == (did % 3 == 0)
+        assert s["n_file_groups"] == len(latest)
+        assert s["live_bytes"] == sum(100 * (i + 1) + did % 50 + m
+                                      for m, i in latest.items())
+        assert s["total_writes"] == sum(10 + did % 7 + i + m
+                                        for i, m in writes)
+
+
+def test_hudi_mvcc_visibility():
+    """The core property: an inflight tail commit is INVISIBLE — the
+    snapshot equals the table without it; completing the commit makes
+    it visible."""
+    import json
+
+    from bigdata_meteo_datalake_spark.operators.hudi_timeline import (
+        build_hudi_timeline,
+        parse_hudi_snapshot,
+    )
+
+    base = build_hudi_timeline(3)  # doc 3: pending tail (3 % 3 == 0)
+    s = parse_hudi_snapshot(base)
+    assert s["pending"] and s["n_completed"] == 1
+    # completing the tail advances the snapshot
+    ts = "20240101010000"
+    done = dict(base)
+    done[f".hoodie/{ts}.commit"] = json.dumps({
+        "partitionToWriteStats": {"p=0": [{
+            "fileId": "fg-0", "path": f"p=0/fg-0_0-0-0_{ts}.parquet",
+            "numWrites": 5, "totalWriteBytes": 777}]},
+        "operation": "upsert",
+    }).encode()
+    s2 = parse_hudi_snapshot(done)
+    assert not s2["pending"]
+    assert s2["n_completed"] == 2
+    assert s2["latest_instant"] == ts
+    # fg-0's base file is replaced (777); fg-1 keeps commit 0's base
+    # file (100*1 + 3%50 + 1 = 104) — copy-on-write is per file group
+    assert s2["live_bytes"] == 777 + 104
+    assert s2["total_writes"] == s["total_writes"] + 5
+
+
+def test_hudi_rejections():
+    import json
+
+    from bigdata_meteo_datalake_spark.operators.hudi_timeline import (
+        build_hudi_timeline,
+        parse_hudi_snapshot,
+    )
+
+    base = build_hudi_timeline(4)  # nc=2, no pending
+    parse_hudi_snapshot(dict(base))
+    f = dict(base)
+    del f[".hoodie/20240101000000.commit.requested"]
+    with pytest.raises(ValueError, match="requested"):
+        parse_hudi_snapshot(f)
+    f = dict(base)
+    del f[".hoodie/20240101010000.commit.inflight"]
+    with pytest.raises(ValueError, match="inflight"):
+        parse_hudi_snapshot(f)
+    f = dict(base)
+    f[".hoodie/2024.commit"] = b"{}"
+    with pytest.raises(ValueError, match="unparseable"):
+        parse_hudi_snapshot(f)
+    f = dict(base)
+    f[".hoodie/20240101990000.clean.requested"] = b""
+    with pytest.raises(NotImplementedError, match="declared boundary"):
+        parse_hudi_snapshot(f)
+    f = dict(base)
+    f[".hoodie/20240101010000.commit"] = b"{not json"
+    with pytest.raises(ValueError, match="not JSON"):
+        parse_hudi_snapshot(f)
+    # base-file name not embedding the instant time
+    meta = json.loads(base[".hoodie/20240101010000.commit"])
+    stat = next(iter(meta["partitionToWriteStats"].values()))[0]
+    stat["path"] = "p=0/fg-0_0-0-0_20990101000000.parquet"
+    f = dict(base)
+    f[".hoodie/20240101010000.commit"] = json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="embed"):
+        parse_hudi_snapshot(f)
+    # duplicate file group within one commit+partition
+    meta = json.loads(base[".hoodie/20240101010000.commit"])
+    part, stats = next(iter(meta["partitionToWriteStats"].items()))
+    stats.append(dict(stats[0]))
+    f = dict(base)
+    f[".hoodie/20240101010000.commit"] = json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="twice"):
+        parse_hudi_snapshot(f)
+    with pytest.raises(ValueError, match="no timeline instants"):
+        parse_hudi_snapshot({"other": b""})
+
+
+@_S
+@given(st.data())
+def test_hudi_parser_never_leaks_on_mutations(data):
+    from bigdata_meteo_datalake_spark.operators.delta_log import (
+        _pack_dir,
+        _unpack_dir,
+    )
+    from bigdata_meteo_datalake_spark.operators.hudi_timeline import (
+        build_hudi_timeline,
+        parse_hudi_snapshot,
+    )
+
+    blob = bytearray(_pack_dir(build_hudi_timeline(
+        data.draw(st.sampled_from([0, 1, 2, 5])))))
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        s = parse_hudi_snapshot(_unpack_dir(bytes(blob)))
+    except (ValueError, NotImplementedError):
+        return
+    assert s["n_file_groups"] >= 1
