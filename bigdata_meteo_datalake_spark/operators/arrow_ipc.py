@@ -44,6 +44,7 @@ import struct
 __all__ = [
     "ARROW_FILE_MAGIC",
     "read_arrow_file",
+    "read_arrow_stream",
 ]
 
 ARROW_FILE_MAGIC = b"ARROW1"
@@ -221,12 +222,133 @@ def _decompressed(body: bytes, off: int, ln: int, codec: str | None,
     return out
 
 
+def _decode_batch(b: bytes, hdr: int, body: bytes,
+                  fields: list) -> tuple[dict, str | None]:
+    """One RecordBatch header table + its body -> ({n_rows, columns},
+    codec) with every node/buffer/bitmap claim checked."""
+    from .lz4zstd import lz4_frame_decompress
+
+    nrows = _scalarf(b, hdr, 0, _i64, 0)
+    if nrows < 0:
+        raise ValueError("arrow ipc: negative batch length")
+    nv = _vecf(b, hdr, 1)
+    bufv = _vecf(b, hdr, 2)
+    if nv is None or bufv is None:
+        raise ValueError("arrow ipc: record batch without nodes/buffers")
+    if nv[1] != len(fields):
+        raise ValueError(
+            f"arrow ipc: {nv[1]} field nodes for {len(fields)} fields"
+        )
+    want_bufs = sum(3 if k == "utf8" else 2 for _, k, _ in fields)
+    if bufv[1] != want_bufs:
+        raise ValueError(
+            f"arrow ipc: {bufv[1]} buffers, schema needs {want_bufs}"
+        )
+    nodes = [(_i64(b, nv[0] + 16 * i), _i64(b, nv[0] + 16 * i + 8))
+             for i in range(nv[1])]
+    bufs = [(_i64(b, bufv[0] + 16 * i), _i64(b, bufv[0] + 16 * i + 8))
+            for i in range(bufv[1])]
+
+    codec = None
+    comp = _tbl(b, hdr, 3)  # BodyCompression
+    if comp is not None:
+        cid = _scalarf(b, comp, 0, _u8, 0)
+        if _scalarf(b, comp, 1, _u8, 0) != 0:  # method: BUFFER
+            raise NotImplementedError(
+                "arrow ipc: non-buffer compression method is a "
+                "declared boundary"
+            )
+        if cid == 1:
+            raise NotImplementedError(
+                "arrow ipc: zstd body compression is a declared "
+                "boundary (entropy-coded; no zstd library in-container)"
+            )
+        if cid != 0:
+            raise ValueError(f"arrow ipc: unknown codec id {cid}")
+        codec = "lz4"
+
+    cols: dict[str, list] = {}
+    cur = 0
+
+    def buf(i: int) -> bytes:
+        return _decompressed(body, bufs[i][0], bufs[i][1], codec,
+                             lz4_frame_decompress)
+
+    for (name, kind, _nullable), (nlen, nnull) in zip(fields, nodes):
+        if nlen != nrows:
+            raise ValueError(
+                "arrow ipc: field node length differs from the batch "
+                "length"
+            )
+        if nnull < 0 or nnull > nlen:
+            raise ValueError("arrow ipc: impossible null_count")
+        validity = buf(cur)
+        cur += 1
+        if nnull == 0 and len(validity) == 0:
+            valid = [True] * nlen
+        else:
+            if len(validity) < (nlen + 7) // 8:
+                raise ValueError("arrow ipc: validity bitmap too short")
+            valid = [bool((validity[i >> 3] >> (i & 7)) & 1)
+                     for i in range(nlen)]
+            if nlen - sum(valid) != nnull:
+                raise ValueError(
+                    "arrow ipc: null_count disagrees with the bitmap"
+                )
+        if kind in ("int64", "float64"):
+            data = buf(cur)
+            cur += 1
+            if len(data) < 8 * nlen:
+                raise ValueError("arrow ipc: data buffer too short")
+            fmt = "<q" if kind == "int64" else "<d"
+            vals = [
+                struct.unpack_from(fmt, data, 8 * i)[0]
+                if valid[i] else None
+                for i in range(nlen)
+            ]
+        elif kind == "bool":
+            data = buf(cur)
+            cur += 1
+            if len(data) < (nlen + 7) // 8:
+                raise ValueError("arrow ipc: bool buffer too short")
+            vals = [
+                bool((data[i >> 3] >> (i & 7)) & 1) if valid[i] else None
+                for i in range(nlen)
+            ]
+        else:  # utf8
+            offs = buf(cur)
+            cur += 1
+            data = buf(cur)
+            cur += 1
+            if len(offs) < 4 * (nlen + 1):
+                raise ValueError("arrow ipc: offsets buffer too short")
+            o = [struct.unpack_from("<i", offs, 4 * i)[0]
+                 for i in range(nlen + 1)]
+            if o[0] != 0 or any(o[i] > o[i + 1] for i in range(nlen)):
+                raise ValueError(
+                    "arrow ipc: offsets not monotone from zero"
+                )
+            if o[-1] > len(data):
+                raise ValueError("arrow ipc: string data overrun")
+            try:
+                vals = [
+                    data[o[i]:o[i + 1]].decode("utf-8")
+                    if valid[i] else None
+                    for i in range(nlen)
+                ]
+            except UnicodeDecodeError as exc:
+                raise ValueError(
+                    f"arrow ipc: utf8 column carries invalid utf-8: "
+                    f"{exc}"
+                ) from exc
+        cols[name] = vals
+    return {"n_rows": nrows, "columns": cols}, codec
+
+
 def read_arrow_file(b: bytes) -> dict:
     """Arrow IPC file bytes -> {version, fields, n_batches, batches:
     [{n_rows, columns: {name: [python values]}}], compression} under
     the format's full contract (see the module docstring)."""
-    from .lz4zstd import lz4_frame_decompress
-
     if b[:8] != ARROW_FILE_MAGIC + b"\x00\x00":
         raise ValueError("arrow ipc: bad leading magic")
     if b[-6:] != ARROW_FILE_MAGIC:
@@ -285,123 +407,10 @@ def read_arrow_file(b: bytes) -> dict:
             raise ValueError("arrow ipc: body start misaligned")
         _need(b, bstart, blen, "body")
         body = b[bstart : bstart + blen]
-
-        nrows = _scalarf(b, hdr, 0, _i64, 0)
-        if nrows < 0:
-            raise ValueError("arrow ipc: negative batch length")
-        nv = _vecf(b, hdr, 1)
-        bufv = _vecf(b, hdr, 2)
-        if nv is None or bufv is None:
-            raise ValueError("arrow ipc: record batch without nodes/buffers")
-        if nv[1] != len(fields):
-            raise ValueError(
-                f"arrow ipc: {nv[1]} field nodes for {len(fields)} fields"
-            )
-        want_bufs = sum(3 if k == "utf8" else 2 for _, k, _ in fields)
-        if bufv[1] != want_bufs:
-            raise ValueError(
-                f"arrow ipc: {bufv[1]} buffers, schema needs {want_bufs}"
-            )
-        nodes = [(_i64(b, nv[0] + 16 * i), _i64(b, nv[0] + 16 * i + 8))
-                 for i in range(nv[1])]
-        bufs = [(_i64(b, bufv[0] + 16 * i), _i64(b, bufv[0] + 16 * i + 8))
-                for i in range(bufv[1])]
-
-        codec = None
-        comp = _tbl(b, hdr, 3)  # BodyCompression
-        if comp is not None:
-            cid = _scalarf(b, comp, 0, _u8, 0)
-            if _scalarf(b, comp, 1, _u8, 0) != 0:  # method: BUFFER
-                raise NotImplementedError(
-                    "arrow ipc: non-buffer compression method is a "
-                    "declared boundary"
-                )
-            if cid == 1:
-                raise NotImplementedError(
-                    "arrow ipc: zstd body compression is a declared "
-                    "boundary (entropy-coded; no zstd library in-container)"
-                )
-            if cid != 0:
-                raise ValueError(f"arrow ipc: unknown codec id {cid}")
-            codec = "lz4"
-            compression = "lz4"
-
-        cols: dict[str, list] = {}
-        cur = 0
-
-        def buf(i: int) -> bytes:
-            return _decompressed(body, bufs[i][0], bufs[i][1], codec,
-                                 lz4_frame_decompress)
-
-        for (name, kind, _nullable), (nlen, nnull) in zip(fields, nodes):
-            if nlen != nrows:
-                raise ValueError(
-                    "arrow ipc: field node length differs from the batch "
-                    "length"
-                )
-            if nnull < 0 or nnull > nlen:
-                raise ValueError("arrow ipc: impossible null_count")
-            validity = buf(cur)
-            cur += 1
-            if nnull == 0 and len(validity) == 0:
-                valid = [True] * nlen
-            else:
-                if len(validity) < (nlen + 7) // 8:
-                    raise ValueError("arrow ipc: validity bitmap too short")
-                valid = [bool((validity[i >> 3] >> (i & 7)) & 1)
-                         for i in range(nlen)]
-                if nlen - sum(valid) != nnull:
-                    raise ValueError(
-                        "arrow ipc: null_count disagrees with the bitmap"
-                    )
-            if kind in ("int64", "float64"):
-                data = buf(cur)
-                cur += 1
-                if len(data) < 8 * nlen:
-                    raise ValueError("arrow ipc: data buffer too short")
-                fmt = "<q" if kind == "int64" else "<d"
-                vals = [
-                    struct.unpack_from(fmt, data, 8 * i)[0]
-                    if valid[i] else None
-                    for i in range(nlen)
-                ]
-            elif kind == "bool":
-                data = buf(cur)
-                cur += 1
-                if len(data) < (nlen + 7) // 8:
-                    raise ValueError("arrow ipc: bool buffer too short")
-                vals = [
-                    bool((data[i >> 3] >> (i & 7)) & 1) if valid[i] else None
-                    for i in range(nlen)
-                ]
-            else:  # utf8
-                offs = buf(cur)
-                cur += 1
-                data = buf(cur)
-                cur += 1
-                if len(offs) < 4 * (nlen + 1):
-                    raise ValueError("arrow ipc: offsets buffer too short")
-                o = [struct.unpack_from("<i", offs, 4 * i)[0]
-                     for i in range(nlen + 1)]
-                if o[0] != 0 or any(o[i] > o[i + 1] for i in range(nlen)):
-                    raise ValueError(
-                        "arrow ipc: offsets not monotone from zero"
-                    )
-                if o[-1] > len(data):
-                    raise ValueError("arrow ipc: string data overrun")
-                try:
-                    vals = [
-                        data[o[i]:o[i + 1]].decode("utf-8")
-                        if valid[i] else None
-                        for i in range(nlen)
-                    ]
-                except UnicodeDecodeError as exc:
-                    raise ValueError(
-                        f"arrow ipc: utf8 column carries invalid utf-8: "
-                        f"{exc}"
-                    ) from exc
-            cols[name] = vals
-        batches.append({"n_rows": nrows, "columns": cols})
+        batch, codec = _decode_batch(b, hdr, body, fields)
+        if codec:
+            compression = codec
+        batches.append(batch)
 
     return {
         "version": version,
@@ -412,10 +421,88 @@ def read_arrow_file(b: bytes) -> dict:
     }
 
 
+def read_arrow_stream(b: bytes) -> dict:
+    """Arrow IPC STREAM bytes -> the same shape as read_arrow_file —
+    the footer-less sequential twin: a Schema message must lead,
+    RecordBatch messages follow, and the stream ends at the
+    end-of-stream marker (continuation + zero length) or EOF. Without
+    a footer there is no random access — exactly why the FILE format
+    exists — so this walk is the Flight/socket-arrival shape while
+    read_arrow_file is the lake shape."""
+    pos = 0
+    n = len(b)
+    fields = None
+    batches = []
+    compression = "none"
+    while True:
+        if pos == n:
+            break  # EOF without an explicit EOS marker is legal
+        if _u32(b, pos) != 0xFFFFFFFF:
+            raise ValueError("arrow ipc: missing continuation marker")
+        msize = _u32(b, pos + 4)
+        if msize == 0:
+            pos += 8
+            if pos != n:
+                raise ValueError(
+                    "arrow ipc: bytes after the end-of-stream marker"
+                )
+            break
+        mroot = _root(b, pos + 8)
+        htype = _scalarf(b, mroot, 1, _u8, 0)
+        blen = _scalarf(b, mroot, 3, _i64, 0)
+        if blen < 0:
+            raise ValueError("arrow ipc: negative bodyLength")
+        bstart = pos + 8 + msize
+        if bstart % 8:
+            raise ValueError("arrow ipc: body start misaligned")
+        _need(b, bstart, blen, "body")
+        if fields is None:
+            if htype != 1:  # MessageHeader.Schema
+                raise ValueError(
+                    f"arrow ipc: stream starts with header type {htype}, "
+                    "not a Schema message"
+                )
+            hdr = _tbl(b, mroot, 2)
+            if hdr is None:
+                raise ValueError("arrow ipc: message without a header")
+            fields = _parse_schema(b, hdr)
+            if blen != 0:
+                raise ValueError("arrow ipc: schema message with a body")
+        elif htype == 2:
+            raise NotImplementedError(
+                "arrow ipc: dictionary batches are a declared boundary"
+            )
+        elif htype == _RECORD_BATCH:
+            hdr = _tbl(b, mroot, 2)
+            if hdr is None:
+                raise ValueError("arrow ipc: message without a header")
+            body = b[bstart : bstart + blen]
+            batch, codec = _decode_batch(b, hdr, body, fields)
+            if codec:
+                compression = codec
+            batches.append(batch)
+            if len(batches) > _MAX_BATCHES:
+                raise ValueError("arrow ipc: absurd batch count")
+        else:
+            raise ValueError(
+                f"arrow ipc: unexpected stream header type {htype}"
+            )
+        pos = bstart + blen
+    if fields is None:
+        raise ValueError("arrow ipc: empty stream (no schema message)")
+    return {
+        "version": None,
+        "fields": fields,
+        "n_batches": len(batches),
+        "batches": batches,
+        "compression": compression,
+    }
+
+
 # --- deterministic fixture (pyarrow IS the foreign writer) -----------------------------
 
 
-def build_arrow_blob(doc_id: int) -> bytes:
+def build_arrow_blob(doc_id: int, *, stream: bool = False) -> bytes:
     """One Arrow IPC file per document, written by PYARROW (the
     foreign C++ writer, not our code): 3 + doc_id % 5 rows of closed
     forms split into 2-row batches, LZ4-frame body compression on odd
@@ -439,7 +526,8 @@ def build_arrow_blob(doc_id: int) -> bytes:
     opts = pa.ipc.IpcWriteOptions(
         compression="lz4" if doc_id % 2 else None)
     sink = io.BytesIO()
-    with pa.ipc.new_file(sink, t.schema, options=opts) as w:
+    opener = pa.ipc.new_stream if stream else pa.ipc.new_file
+    with opener(sink, t.schema, options=opts) as w:
         w.write_table(t, max_chunksize=2)
     return sink.getvalue()
 
@@ -447,9 +535,10 @@ def build_arrow_blob(doc_id: int) -> bytes:
 # --- Spark kernels (mapInPandas, the codec plan shape) --------------------------------
 
 
-def synthesize_arrow_blobs(df):
+def synthesize_arrow_blobs(df, *, stream: bool = False):
     """Deterministic source: per ``doc_id`` one pyarrow-written IPC
-    file (build_arrow_blob)."""
+    file — or, with ``stream=True``, the footer-less stream encoding
+    of the SAME batches (build_arrow_blob)."""
     import pandas as pd
 
     from ..sources.lake import widen
@@ -460,7 +549,7 @@ def synthesize_arrow_blobs(df):
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 out["doc_id"].append(did)
-                out["blob"].append(build_arrow_blob(did))
+                out["blob"].append(build_arrow_blob(did, stream=stream))
             yield pd.DataFrame(out)
 
     return widen(df.select("doc_id")).mapInPandas(
@@ -474,12 +563,14 @@ ARROW_REPORT_SCHEMA = (
 )
 
 
-def arrow_batch_features(df):
-    """File walk -> one fact row per (document, record batch): row and
-    null accounting plus per-column aggregates of the DECODED values —
-    a wrong vtable lookup, a bad validity popcount, or a mis-decoded
-    LZ4 buffer all land on the hash path."""
+def arrow_batch_features(df, *, stream: bool = False):
+    """File (or stream) walk -> one fact row per (document, record
+    batch): row and null accounting plus per-column aggregates of the
+    DECODED values — a wrong vtable lookup, a bad validity popcount,
+    or a mis-decoded LZ4 buffer all land on the hash path."""
     import pandas as pd
+
+    reader = read_arrow_stream if stream else read_arrow_file
 
     def kernel(batches):
         cols = ("doc_id", "batch_idx", "n_rows", "id_nulls", "id_sum",
@@ -487,7 +578,7 @@ def arrow_batch_features(df):
         for pdf in batches:
             out = {k: [] for k in cols}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                r = read_arrow_file(bytes(blob))
+                r = reader(bytes(blob))
                 want = [("id", "int64", True), ("val", "float64", True),
                         ("name", "utf8", True)]
                 if r["fields"] != want:

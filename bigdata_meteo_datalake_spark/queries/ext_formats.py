@@ -453,6 +453,39 @@ def arrow_ipc_report(spark, sf_dir):
     return arrow_batch_features(synthesize_arrow_blobs(d))
 
 
+@register(
+    "arrow_stream_report",
+    oracle=_ARROW_ORACLE,
+    tags=("extension", "formats", "codec"),
+)
+def arrow_stream_report(spark, sf_dir):
+    """Arrow IPC STREAM decode end to end (round-12) — the footer-less
+    sequential twin of arrow_ipc_report, the shape Arrow Flight and
+    socket arrivals use: a Schema message must lead, RecordBatch
+    messages follow, and the end-of-stream marker closes the walk
+    (operators/arrow_ipc.py:read_arrow_stream, sharing the
+    FlatBuffers access layer and the batch decoder — including the
+    pyarrow-written LZ4_FRAME body compression on odd documents — with
+    the file reader). Same pyarrow foreign-writer interop, same
+    closed-form oracle: the two container framings must decode the
+    same batches to the same hashes.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; a stream is sequential WITHIN itself (that is the
+    format's trade-off, and why the audit also ships the random-access
+    file twin), but streams fan out per document exactly like any
+    arriving shard."""
+    from ..operators.arrow_ipc import (
+        arrow_batch_features,
+        synthesize_arrow_blobs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return arrow_batch_features(
+        synthesize_arrow_blobs(d, stream=True), stream=True
+    )
+
+
 # --- Iceberg table-metadata snapshot ------------------------------------------------
 
 _ICEBERG_ORACLE = """

@@ -233,7 +233,8 @@ def test_real_codec_queries_are_pure_map(spark):
                  "mkv_probe_report", "webp_probe_report",
                  "avro_shard_report", "delta_log_snapshot",
                  "compressed_frame_probe_report", "iceberg_snapshot_report",
-                 "arrow_ipc_report", "hudi_timeline_report"):
+                 "arrow_ipc_report", "hudi_timeline_report",
+                 "arrow_stream_report"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1703,3 +1703,111 @@ def test_hudi_parser_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert s["n_file_groups"] >= 1
+
+
+# --- Arrow IPC stream format -------------------------------------------------------------
+
+
+def _pa_stream(table, compression=None, chunk=2) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
+        w.write_table(table, max_chunksize=chunk)
+    return sink.getvalue()
+
+
+@_S
+@given(
+    st.lists(
+        st.tuples(
+            st.none() | st.integers(min_value=-(1 << 63),
+                                    max_value=(1 << 63) - 1),
+            st.none() | st.text(max_size=12),
+        ),
+        min_size=1, max_size=9,
+    ),
+    st.sampled_from([None, "lz4"]),
+    st.integers(min_value=1, max_value=4),
+)
+def test_arrow_stream_interop_roundtrip(rows, comp, chunk):
+    """Stream-encoded pyarrow output decodes to the same values as the
+    file form — both container framings over the foreign writer."""
+    import pyarrow as pa
+
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_stream,
+    )
+
+    t = pa.table({
+        "i": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.utf8()),
+    })
+    r = read_arrow_stream(_pa_stream(t, comp, chunk))
+    got_i: list = []
+    got_s: list = []
+    for bt in r["batches"]:
+        got_i.extend(bt["columns"]["i"])
+        got_s.extend(bt["columns"]["s"])
+    assert got_i == [x[0] for x in rows]
+    assert got_s == [x[1] for x in rows]
+    assert r["compression"] == ("lz4" if comp else "none")
+
+
+def test_arrow_stream_rejections():
+    import pyarrow as pa
+
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_stream,
+    )
+
+    t = pa.table({"i": pa.array([1, 2, 3], pa.int64())})
+    good = _pa_stream(t)
+    read_arrow_stream(good)
+    with pytest.raises(ValueError, match="empty stream"):
+        read_arrow_stream(b"")
+    with pytest.raises(ValueError, match="continuation"):
+        read_arrow_stream(b"\x00\x00\x00\x00" + good[4:])
+    # trailing garbage after the end-of-stream marker
+    with pytest.raises(ValueError, match="after the end-of-stream"):
+        read_arrow_stream(good + b"junk")
+    # a stream that opens with a RecordBatch (no schema message):
+    # strip the schema message (first envelope)
+    import struct
+
+    msize = struct.unpack_from("<I", good, 4)[0]
+    with pytest.raises(ValueError, match="not a Schema"):
+        read_arrow_stream(good[8 + msize:])
+    # dictionary batches are the declared boundary
+    dict_t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        read_arrow_stream(_pa_stream(dict_t))
+
+
+@_S
+@given(st.data())
+def test_arrow_stream_never_leaks_on_mutations(data):
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        build_arrow_blob,
+        read_arrow_stream,
+    )
+
+    blob = bytearray(build_arrow_blob(
+        data.draw(st.sampled_from([2, 3])), stream=True))
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        r = read_arrow_stream(bytes(blob))
+    except (ValueError, NotImplementedError):
+        return
+    assert r["n_batches"] >= 0
