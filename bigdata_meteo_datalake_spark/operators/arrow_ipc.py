@@ -25,12 +25,16 @@ OCF (avro_ocf.py):
   int64 uncompressed-length prefix plus a REAL LZ4 frame — are decoded
   by our own lz4zstd.py frame codec, giving the hand-rolled LZ4
   decoder foreign-file interop against pyarrow's C++ writer; ZSTD
-  bodies and dictionary-encoded columns are declared boundaries
-  (NotImplementedError).
+  bodies are a declared boundary (NotImplementedError);
+- Dictionary encoding: DictionaryBatch messages (footer dictionary
+  blocks in the file form; interleaved messages, with delta append
+  and stream-only replacement, in the stream form) deliver value
+  vectors that index-mapped columns resolve through, with signed
+  8/16/32/64-bit index types and out-of-range indices rejected.
 
 Supported logical types are the audit fixture's int64 / float64 /
-utf8 / bool; other type ids raise the declared-boundary error with
-the id named.
+utf8 / bool (plain or dictionary-encoded); other type ids raise the
+declared-boundary error with the id named.
 
 Reference parity note: the reference repo has no columnar-IPC layer
 (SURVEY.md section 4); this belongs to the training-data pillar's
@@ -139,7 +143,13 @@ def _scalarf(b: bytes, tpos: int, idx: int, rd, default):
     return default if p is None else rd(b, p)
 
 
-def _parse_schema(b: bytes, spos: int) -> list[tuple[str, str, bool]]:
+def _parse_schema(
+    b: bytes, spos: int
+) -> tuple[list[tuple[str, str, bool]], list]:
+    """Schema table -> (fields, encodings): fields as (name, kind,
+    nullable) with kind ``dict<valuekind>`` for dictionary-encoded
+    columns, and a parallel ``encodings`` list of None or
+    (dictionary id, index bit width, value kind)."""
     fv = _vecf(b, spos, 1)  # Schema.fields
     if fv is None:
         raise ValueError("arrow ipc: schema without fields")
@@ -147,6 +157,7 @@ def _parse_schema(b: bytes, spos: int) -> list[tuple[str, str, bool]]:
     if n > _MAX_FIELDS:
         raise ValueError(f"arrow ipc: absurd field count {n}")
     fields = []
+    encodings: list = []
     for i in range(n):
         fpos = base + 4 * i + _u32(b, base + 4 * i)
         name = _stringf(b, fpos, 0)
@@ -155,10 +166,6 @@ def _parse_schema(b: bytes, spos: int) -> list[tuple[str, str, bool]]:
         nullable = bool(_scalarf(b, fpos, 1, _u8, 0))
         tt = _scalarf(b, fpos, 2, _u8, 0)  # Type union tag
         tpos = _tbl(b, fpos, 3)
-        if _tbl(b, fpos, 4) is not None:
-            raise NotImplementedError(
-                "arrow ipc: dictionary encoding is a declared boundary"
-            )
         ch = _vecf(b, fpos, 5)
         if ch is not None and ch[1] > 0:
             raise NotImplementedError(
@@ -192,8 +199,28 @@ def _parse_schema(b: bytes, spos: int) -> list[tuple[str, str, bool]]:
             raise NotImplementedError(
                 f"arrow ipc: type id {tt} is a declared boundary"
             )
-        fields.append((name, kind, nullable))
-    return fields
+        # DictionaryEncoding (Field.dictionary): the field's type above
+        # is the dictionary's VALUE type; data batches carry indices of
+        # the encoding's Int indexType (int32 signed by default)
+        dpos = _tbl(b, fpos, 4)
+        if dpos is None:
+            fields.append((name, kind, nullable))
+            encodings.append(None)
+        else:
+            did = _scalarf(b, dpos, 0, _i64, 0)
+            bits, signed = 32, True
+            itpos = _tbl(b, dpos, 1)
+            if itpos is not None:
+                bits = _scalarf(b, itpos, 0, _i32, 0)
+                signed = bool(_scalarf(b, itpos, 1, _u8, 0))
+            if bits not in (8, 16, 32, 64) or not signed:
+                raise NotImplementedError(
+                    f"arrow ipc: dictionary index int{bits} signed="
+                    f"{signed} is a declared boundary"
+                )
+            fields.append((name, f"dict<{kind}>", nullable))
+            encodings.append((did, bits, kind))
+    return fields, encodings
 
 
 def _decompressed(body: bytes, off: int, ln: int, codec: str | None,
@@ -222,12 +249,22 @@ def _decompressed(body: bytes, off: int, ln: int, codec: str | None,
     return out
 
 
-def _decode_batch(b: bytes, hdr: int, body: bytes,
-                  fields: list) -> tuple[dict, str | None]:
+_IDX_FMT = {8: "<b", 16: "<h", 32: "<i", 64: "<q"}
+
+
+def _decode_batch(b: bytes, hdr: int, body: bytes, fields: list,
+                  encodings: list | None = None,
+                  dicts: dict | None = None) -> tuple[dict, str | None]:
     """One RecordBatch header table + its body -> ({n_rows, columns},
-    codec) with every node/buffer/bitmap claim checked."""
+    codec) with every node/buffer/bitmap claim checked. Dictionary-
+    encoded columns decode their index buffer and map through
+    ``dicts`` (id -> value list, accumulated from dictionary
+    batches)."""
     from .lz4zstd import lz4_frame_decompress
 
+    if encodings is None:
+        encodings = [None] * len(fields)
+    dicts = dicts or {}
     nrows = _scalarf(b, hdr, 0, _i64, 0)
     if nrows < 0:
         raise ValueError("arrow ipc: negative batch length")
@@ -239,7 +276,10 @@ def _decode_batch(b: bytes, hdr: int, body: bytes,
         raise ValueError(
             f"arrow ipc: {nv[1]} field nodes for {len(fields)} fields"
         )
-    want_bufs = sum(3 if k == "utf8" else 2 for _, k, _ in fields)
+    want_bufs = sum(
+        2 if enc is not None else (3 if k == "utf8" else 2)
+        for (_, k, _), enc in zip(fields, encodings)
+    )
     if bufv[1] != want_bufs:
         raise ValueError(
             f"arrow ipc: {bufv[1]} buffers, schema needs {want_bufs}"
@@ -274,7 +314,8 @@ def _decode_batch(b: bytes, hdr: int, body: bytes,
         return _decompressed(body, bufs[i][0], bufs[i][1], codec,
                              lz4_frame_decompress)
 
-    for (name, kind, _nullable), (nlen, nnull) in zip(fields, nodes):
+    for (name, kind, _nullable), enc, (nlen, nnull) in zip(fields,
+                                                           encodings, nodes):
         if nlen != nrows:
             raise ValueError(
                 "arrow ipc: field node length differs from the batch "
@@ -295,7 +336,33 @@ def _decode_batch(b: bytes, hdr: int, body: bytes,
                 raise ValueError(
                     "arrow ipc: null_count disagrees with the bitmap"
                 )
-        if kind in ("int64", "float64"):
+        if enc is not None:
+            did, bits, _vkind = enc
+            if did not in dicts:
+                raise ValueError(
+                    f"arrow ipc: column {name!r} references dictionary "
+                    f"{did} before any dictionary batch delivered it"
+                )
+            dvals = dicts[did]
+            data = buf(cur)
+            cur += 1
+            width = bits // 8
+            if len(data) < width * nlen:
+                raise ValueError("arrow ipc: index buffer too short")
+            fmt = _IDX_FMT[bits]
+            vals = []
+            for i in range(nlen):
+                if not valid[i]:
+                    vals.append(None)
+                    continue
+                (idx,) = struct.unpack_from(fmt, data, width * i)
+                if not 0 <= idx < len(dvals):
+                    raise ValueError(
+                        f"arrow ipc: dictionary index {idx} outside the "
+                        f"{len(dvals)}-entry dictionary {did}"
+                    )
+                vals.append(dvals[idx])
+        elif kind in ("int64", "float64"):
             data = buf(cur)
             cur += 1
             if len(data) < 8 * nlen:
@@ -345,6 +412,41 @@ def _decode_batch(b: bytes, hdr: int, body: bytes,
     return {"n_rows": nrows, "columns": cols}, codec
 
 
+def _apply_dictionary_message(b: bytes, mroot: int, body: bytes,
+                              encodings: list, dicts: dict,
+                              *, allow_replace: bool) -> None:
+    """DictionaryBatch message -> update ``dicts``. The inner
+    RecordBatch carries ONE column of the dictionary's value type;
+    isDelta appends, otherwise the id is defined (stream format may
+    replace; the file format forbids replacement)."""
+    hdr = _tbl(b, mroot, 2)
+    if hdr is None:
+        raise ValueError("arrow ipc: dictionary message without a header")
+    did = _scalarf(b, hdr, 0, _i64, 0)
+    by_id = {e[0]: e[2] for e in encodings if e is not None}
+    if did not in by_id:
+        raise ValueError(
+            f"arrow ipc: dictionary batch for id {did} that no schema "
+            "field references"
+        )
+    data = _tbl(b, hdr, 1)
+    if data is None:
+        raise ValueError("arrow ipc: dictionary batch without data")
+    batch, _ = _decode_batch(b, data, body, [("v", by_id[did], True)])
+    vals = batch["columns"]["v"]
+    if any(v is None for v in vals):
+        raise ValueError(f"arrow ipc: dictionary {did} contains nulls")
+    if bool(_scalarf(b, hdr, 2, _u8, 0)):  # isDelta
+        dicts[did] = dicts.get(did, []) + vals
+    elif did in dicts and not allow_replace:
+        raise ValueError(
+            f"arrow ipc: dictionary {did} redefined in the file format "
+            "(replacement is stream-only)"
+        )
+    else:
+        dicts[did] = vals
+
+
 def read_arrow_file(b: bytes) -> dict:
     """Arrow IPC file bytes -> {version, fields, n_batches, batches:
     [{n_rows, columns: {name: [python values]}}], compression} under
@@ -364,12 +466,7 @@ def read_arrow_file(b: bytes) -> dict:
     spos = _tbl(b, fb, 1)
     if spos is None:
         raise ValueError("arrow ipc: footer without a schema")
-    fields = _parse_schema(b, spos)
-    dv = _vecf(b, fb, 2)
-    if dv is not None and dv[1] > 0:
-        raise NotImplementedError(
-            "arrow ipc: dictionary batches are a declared boundary"
-        )
+    fields, encodings = _parse_schema(b, spos)
     rv = _vecf(b, fb, 3)
     if rv is None:
         raise ValueError("arrow ipc: footer without recordBatches")
@@ -377,11 +474,7 @@ def read_arrow_file(b: bytes) -> dict:
     if rn > _MAX_BATCHES:
         raise ValueError(f"arrow ipc: absurd batch count {rn}")
 
-    batches = []
-    compression = "none"
-    for bi in range(rn):
-        sp = rbase + 24 * bi  # inline Block struct
-        boff, blen = _i64(b, sp), _i64(b, sp + 16)
+    def envelope(boff: int, blen: int, bi: int, want: int) -> tuple:
         if boff < 8:
             raise ValueError("arrow ipc: block offset inside the magic")
         if _u32(b, boff) != 0xFFFFFFFF:
@@ -389,14 +482,11 @@ def read_arrow_file(b: bytes) -> dict:
         msize = _u32(b, boff + 4)
         mroot = _root(b, boff + 8)
         htype = _scalarf(b, mroot, 1, _u8, 0)
-        if htype != _RECORD_BATCH:
+        if htype != want:
             raise ValueError(
-                f"arrow ipc: block {bi} header type {htype} is not a "
-                "RecordBatch"
+                f"arrow ipc: block {bi} header type {htype} is not "
+                f"{'a RecordBatch' if want == _RECORD_BATCH else 'a DictionaryBatch'}"
             )
-        hdr = _tbl(b, mroot, 2)
-        if hdr is None:
-            raise ValueError("arrow ipc: message without a header")
         if _scalarf(b, mroot, 3, _i64, 0) != blen:
             raise ValueError(
                 "arrow ipc: message bodyLength differs from the footer's "
@@ -406,8 +496,31 @@ def read_arrow_file(b: bytes) -> dict:
         if bstart % 8:
             raise ValueError("arrow ipc: body start misaligned")
         _need(b, bstart, blen, "body")
-        body = b[bstart : bstart + blen]
-        batch, codec = _decode_batch(b, hdr, body, fields)
+        return mroot, b[bstart : bstart + blen]
+
+    dicts: dict = {}
+    dv = _vecf(b, fb, 2)
+    if dv is not None:
+        dbase, dn = dv
+        if dn > _MAX_BATCHES:
+            raise ValueError(f"arrow ipc: absurd dictionary count {dn}")
+        for bi in range(dn):
+            sp = dbase + 24 * bi  # inline Block struct
+            mroot, body = envelope(_i64(b, sp), _i64(b, sp + 16), bi, 2)
+            _apply_dictionary_message(b, mroot, body, encodings, dicts,
+                                      allow_replace=False)
+
+    batches = []
+    compression = "none"
+    for bi in range(rn):
+        sp = rbase + 24 * bi  # inline Block struct
+        mroot, body = envelope(_i64(b, sp), _i64(b, sp + 16), bi,
+                               _RECORD_BATCH)
+        hdr = _tbl(b, mroot, 2)
+        if hdr is None:
+            raise ValueError("arrow ipc: message without a header")
+        batch, codec = _decode_batch(b, hdr, body, fields, encodings,
+                                     dicts)
         if codec:
             compression = codec
         batches.append(batch)
@@ -432,6 +545,8 @@ def read_arrow_stream(b: bytes) -> dict:
     pos = 0
     n = len(b)
     fields = None
+    encodings: list = []
+    dicts: dict = {}
     batches = []
     compression = "none"
     while True:
@@ -465,19 +580,20 @@ def read_arrow_stream(b: bytes) -> dict:
             hdr = _tbl(b, mroot, 2)
             if hdr is None:
                 raise ValueError("arrow ipc: message without a header")
-            fields = _parse_schema(b, hdr)
+            fields, encodings = _parse_schema(b, hdr)
             if blen != 0:
                 raise ValueError("arrow ipc: schema message with a body")
         elif htype == 2:
-            raise NotImplementedError(
-                "arrow ipc: dictionary batches are a declared boundary"
-            )
+            body = b[bstart : bstart + blen]
+            _apply_dictionary_message(b, mroot, body, encodings, dicts,
+                                      allow_replace=True)
         elif htype == _RECORD_BATCH:
             hdr = _tbl(b, mroot, 2)
             if hdr is None:
                 raise ValueError("arrow ipc: message without a header")
             body = b[bstart : bstart + blen]
-            batch, codec = _decode_batch(b, hdr, body, fields)
+            batch, codec = _decode_batch(b, hdr, body, fields, encodings,
+                                         dicts)
             if codec:
                 compression = codec
             batches.append(batch)
@@ -522,6 +638,9 @@ def build_arrow_blob(doc_id: int, *, stream: bool = False) -> bytes:
         "name": pa.array(
             [None if j % 5 == 4 else f"n{doc_id}-{j}" for j in range(nr)],
             pa.utf8()),
+        "cat": pa.array(
+            [None if j % 6 == 5 else f"cat{j % 3}" for j in range(nr)],
+            pa.utf8()).dictionary_encode(),
     })
     opts = pa.ipc.IpcWriteOptions(
         compression="lz4" if doc_id % 2 else None)
@@ -559,7 +678,8 @@ def synthesize_arrow_blobs(df, *, stream: bool = False):
 
 ARROW_REPORT_SCHEMA = (
     "doc_id long, batch_idx int, n_rows int, id_nulls int, id_sum long, "
-    "val_sum double, name_chars long, name_cat string, compressed boolean"
+    "val_sum double, name_chars long, name_cat string, cat_nulls int, "
+    "cat_cat string, compressed boolean"
 )
 
 
@@ -574,13 +694,14 @@ def arrow_batch_features(df, *, stream: bool = False):
 
     def kernel(batches):
         cols = ("doc_id", "batch_idx", "n_rows", "id_nulls", "id_sum",
-                "val_sum", "name_chars", "name_cat", "compressed")
+                "val_sum", "name_chars", "name_cat", "cat_nulls",
+                "cat_cat", "compressed")
         for pdf in batches:
             out = {k: [] for k in cols}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 r = reader(bytes(blob))
                 want = [("id", "int64", True), ("val", "float64", True),
-                        ("name", "utf8", True)]
+                        ("name", "utf8", True), ("cat", "dict<utf8>", True)]
                 if r["fields"] != want:
                     raise ValueError(
                         f"unexpected audit schema {r['fields']}"
@@ -589,7 +710,9 @@ def arrow_batch_features(df, *, stream: bool = False):
                     ids = bt["columns"]["id"]
                     vals = bt["columns"]["val"]
                     names = bt["columns"]["name"]
+                    cats = bt["columns"]["cat"]
                     kept = [s for s in names if s is not None]
+                    ckept = [c for c in cats if c is not None]
                     out["doc_id"].append(doc_id)
                     out["batch_idx"].append(bi)
                     out["n_rows"].append(bt["n_rows"])
@@ -600,6 +723,10 @@ def arrow_batch_features(df, *, stream: bool = False):
                     out["name_chars"].append(sum(len(s) for s in kept))
                     out["name_cat"].append(
                         ",".join(kept) if kept else None)
+                    out["cat_nulls"].append(
+                        sum(1 for c in cats if c is None))
+                    out["cat_cat"].append(
+                        ",".join(ckept) if ckept else None)
                     out["compressed"].append(r["compression"] == "lz4")
             yield pd.DataFrame(out)
 

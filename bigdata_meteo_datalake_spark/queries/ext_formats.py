@@ -414,6 +414,9 @@ SELECT doc_id,
             AS bigint) AS name_chars,
        string_agg(CASE WHEN j % 5 != 4 THEN 'n' || doc_id || '-' || j END,
                   ',' ORDER BY j) AS name_cat,
+       cast(sum(CASE WHEN j % 6 = 5 THEN 1 ELSE 0 END) AS int) AS cat_nulls,
+       string_agg(CASE WHEN j % 6 != 5 THEN 'cat' || (j % 3) END,
+                  ',' ORDER BY j) AS cat_cat,
        (doc_id % 2 = 1) AS compressed
 FROM r
 GROUP BY doc_id, j // 2

@@ -1181,8 +1181,11 @@ def test_arrow_ipc_interop_roundtrip(rows, comp, chunk):
 
 def test_arrow_ipc_declared_boundaries():
     """Out-of-scope shapes raise the CONTRACTED NotImplementedError,
-    each produced by pyarrow itself: zstd body compression,
-    dictionary-encoded columns, nested lists, non-64-bit ints."""
+    each produced by pyarrow itself: zstd body compression, nested
+    lists, non-64-bit ints. (Unsigned dictionary indices cannot be
+    produced — pyarrow normalizes them to signed per the IPC spec's
+    recommendation, so that branch stays covered by the parse-layer
+    mutation gate only.)"""
     import pyarrow as pa
 
     from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
@@ -1192,9 +1195,6 @@ def test_arrow_ipc_declared_boundaries():
     base = pa.table({"i": pa.array([1, 2, 3], pa.int64())})
     with pytest.raises(NotImplementedError, match="zstd"):
         read_arrow_file(_pa_file(base, "zstd"))
-    dict_t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        read_arrow_file(_pa_file(dict_t))
     nested = pa.table({"l": pa.array([[1], [2, 3], []],
                                      pa.list_(pa.int64()))})
     with pytest.raises(NotImplementedError, match="boundary"):
@@ -1781,10 +1781,13 @@ def test_arrow_stream_rejections():
     msize = struct.unpack_from("<I", good, 4)[0]
     with pytest.raises(ValueError, match="not a Schema"):
         read_arrow_stream(good[8 + msize:])
-    # dictionary batches are the declared boundary
-    dict_t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        read_arrow_stream(_pa_stream(dict_t))
+    # dictionary-encoded columns decode through the dictionary message
+    dict_t = pa.table({"d": pa.array(["a", "b", None, "a"],
+                                     pa.dictionary(pa.int8(), pa.utf8()))})
+    r = read_arrow_stream(_pa_stream(dict_t))
+    got = [v for bt in r["batches"] for v in bt["columns"]["d"]]
+    assert got == ["a", "b", None, "a"]
+    assert r["fields"] == [("d", "dict<utf8>", True)]
 
 
 @_S
@@ -1811,3 +1814,29 @@ def test_arrow_stream_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert r["n_batches"] >= 0
+
+
+def test_arrow_delta_dictionaries_stream():
+    """isDelta dictionary messages APPEND: a stream whose dictionary
+    grows across batches (pyarrow's emit_dictionary_deltas) resolves
+    later indices through the accumulated value vector."""
+    import io
+
+    import pyarrow as pa
+
+    from bigdata_meteo_datalake_spark.operators.arrow_ipc import (
+        read_arrow_stream,
+    )
+
+    opts = pa.ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    schema = pa.schema([("d", pa.dictionary(pa.int32(), pa.utf8()))])
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, schema, options=opts) as w:
+        w.write_batch(pa.record_batch(
+            [pa.array(["a", "b"]).dictionary_encode()], schema=schema))
+        w.write_batch(pa.record_batch(
+            [pa.array(["a", "b", "c", "c"]).dictionary_encode()],
+            schema=schema))
+    r = read_arrow_stream(buf.getvalue())
+    got = [v for bt in r["batches"] for v in bt["columns"]["d"]]
+    assert got == ["a", "b", "a", "b", "c", "c"]
