@@ -216,6 +216,18 @@ def bloom_probe_column_stats(df):
                 distinct = sorted(
                     {v for v in vals.to_pylist() if v is not None}
                 )
+                if not distinct:
+                    # an EMPTY file legitimately has no bloom filter
+                    # (parquet-mr writes none without pages) — report it
+                    # as vacuously satisfied, exactly what the oracle's
+                    # count(DISTINCT) produces; the loud missing-bloom
+                    # path stays for files that DO have values
+                    out["tbl"].append(tbl)
+                    out["col"].append(col)
+                    out["n_distinct"].append(0)
+                    out["present_hits"].append(0)
+                    out["all_present"].append(True)
+                    continue
                 r = file_bloom_probe(path, col, kind, distinct)
                 out["tbl"].append(tbl)
                 out["col"].append(col)

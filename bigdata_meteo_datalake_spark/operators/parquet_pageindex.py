@@ -255,6 +255,18 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
                 with open(path, "rb") as f:
                     b = f.read()
                 values = pq.read_table(path, columns=[col])[col].to_pylist()
+                if not values:
+                    # an EMPTY file has no pages and no page index:
+                    # report zero pages with NULL bounds — exactly what
+                    # ceil(0/limit) and min()/max() over no rows produce
+                    out["tbl"].append(tbl)
+                    out["col"].append(col)
+                    out["n_pages"].append(0)
+                    out["num_rows"].append(0)
+                    out["null_count"].append(0)
+                    out["min_micro"].append(None)
+                    out["max_micro"].append(None)
+                    continue
                 r = verify_page_index(b, col, kind, values)
                 if r["n_pages"] != -(-r["num_rows"] // row_limit):
                     raise ValueError(
