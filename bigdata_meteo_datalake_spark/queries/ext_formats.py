@@ -212,6 +212,102 @@ def delta_log_snapshot(spark, sf_dir):
     return delta_snapshot_features(synthesize_delta_logs(d))
 
 
+# --- ORC row-group index + bloom audit --------------------------------------------------
+
+_ORC_STRIDE = 1000
+
+
+def _orc_index_arm(tbl: str, col: str, kind: str) -> str:
+    if kind == "int":
+        mn = f"cast(min({col}) * 1000000 AS bigint)"
+        mx = f"cast(max({col}) * 1000000 AS bigint)"
+    else:
+        mn = f"cast(floor(min({col}) * 1000000 + 0.5) AS bigint)"
+        mx = f"cast(floor(max({col}) * 1000000 + 0.5) AS bigint)"
+    return (
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, "
+        f"cast(ceil(count(*) / {_ORC_STRIDE}.0) AS int) AS n_strides, "
+        f"cast(count(*) AS bigint) AS num_rows, "
+        f"cast(count(*) - count({col}) AS bigint) AS null_count, "
+        f"{mn} AS min_micro, {mx} AS max_micro, "
+        f"true AS bloom_present FROM {tbl}"
+    )
+
+
+def _orc_index_oracle() -> str:
+    from .ext_layout import _PQF_COLUMNS
+
+    return "\nUNION ALL\n".join(
+        _orc_index_arm(t, c, k) for t, c, k in _PQF_COLUMNS
+    )
+
+
+@register(
+    "orc_index_report",
+    oracle=_orc_index_oracle(),
+    tags=("extension", "formats", "footer", "metadata"),
+)
+def orc_index_report(spark, sf_dir):
+    """ORC row-group index + bloom filter audit (round-12) — the ORC
+    twins of parquet_pageindex_report and parquet_bloom_probe_report,
+    over the SAME audited column set, so both columnar estates'
+    data-skipping sidecars answer to one standard. Every audited table
+    is re-written by Spark's java ORC writer (row-index stride pinned
+    to 1000 so the stride count is a closed form the oracle
+    recomputes; one stripe forced; codec cycling none/zlib/snappy per
+    table); then per column the stripe index region is walked by our
+    protobuf reader (operators/orc_index.py) and held to the
+    pyarrow-read data: every stride's declared min/max/value-count/
+    hasNull must EQUAL its actual rows, and every value present in a
+    stride must hit that stride's BLOOM_FILTER_UTF8 — longs/doubles
+    through ORC's signed-shift Wang mixer (an implementation fact
+    verified against the shipped writer's bytecode: lshr, not lushr —
+    0 hashes to 0), strings through ORC's Murmur3-64 (seed 104729).
+    These are the guarantees ORC SearchArgument row-group skipping
+    rests on.
+
+    Scale: one bounded index-region read + one single-column scan per
+    audit; the file list fans out over executors (here one per audited
+    table; on a Hive estate, the metastore's partition manifest)."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.orc_index import orc_index_column_stats
+    from .ext_layout import _PQF_COLUMNS
+
+    codecs = _orc_codec_by_table()
+    base = tempfile.mkdtemp(prefix="orc_index_audit_")
+    rows = []
+    for tbl in sorted({t for t, _, _ in _PQF_COLUMNS}):
+        audited = [(c, k) for t, c, k in _PQF_COLUMNS if t == tbl]
+        out = f"{base}/{tbl}"
+        (read_table(spark, sf_dir, tbl)
+         .select(*[F.col(c).cast("long" if k == "int" else "double")
+                   .alias(c) for c, k in audited])
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("compression", codecs.get(tbl, "zlib"))
+         .option("orc.bloom.filter.columns",
+                 ",".join(c for c, _ in audited))
+         .option("orc.row.index.stride", str(_ORC_STRIDE))
+         .option("orc.stripe.size", str(1 << 30))
+         .orc(out))
+        files = glob.glob(out + "/*.orc")
+        if len(files) != 1:
+            raise ValueError(
+                f"expected one ORC part for {tbl}, found {len(files)}"
+            )
+        rows += [(t, c, k, files[0]) for t, c, k in _PQF_COLUMNS
+                 if t == tbl]
+    df = spark.createDataFrame(
+        rows, "tbl string, col string, kind string, path string"
+    )
+    return orc_index_column_stats(df.repartition(len(rows)),
+                                  stride=_ORC_STRIDE)
+
+
 # --- Parquet page index audit -----------------------------------------------------------
 
 _PAGE_ROW_LIMIT = 500

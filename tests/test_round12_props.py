@@ -1840,3 +1840,181 @@ def test_arrow_delta_dictionaries_stream():
     r = read_arrow_stream(buf.getvalue())
     got = [v for bt in r["batches"] for v in bt["columns"]["d"]]
     assert got == ["a", "b", "a", "b", "c", "c"]
+
+
+# --- ORC row-group indexes + blooms (operators/orc_index.py) ---------------------------
+
+
+def test_orc_long_hash_pinned_to_writer_bytecode():
+    """Ground-truth values extracted from the shipped orc-core's own
+    BloomFilter.getLongHash (via reflection) — the signed-shift Wang
+    variant; classic Wang (unsigned shifts) disagrees on 0, negatives,
+    and large keys, so these seven pins are load-bearing."""
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        orc_long_hash,
+    )
+
+    want = {
+        0: 0x0,
+        1: 0x5BCA7C69B794F8CE,
+        7: 0x828A4CC485149963,
+        (1 << 64) - 1: 0x5BCA868437950D03,  # -1 as a java long
+        97: 0xCA602E0214C059F5,
+        123456789: 0xE61EF031A43FDAF8,
+        (1 << 40) + 5: 0x740B35AA27FD76A0,
+    }
+    for k, v in want.items():
+        assert orc_long_hash(k) == v, hex(k)
+
+
+def test_orc_murmur3_matches_jvm(spark):
+    """Cross-verification against the INDEPENDENT implementation this
+    container ships: org.apache.orc.util.Murmur3.hash64 (the JVM's own
+    bytes, called directly), over seeded-random byte strings spanning
+    every length class (empty, sub-block tails, multi-block)."""
+    import random
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        murmur3_64,
+    )
+
+    jvm = spark.sparkContext._jvm
+    rng = random.Random(0x0C0FFEE)
+    samples = [b""] + [rng.randbytes(rng.randrange(0, 70))
+                       for _ in range(120)]
+    for s in samples:
+        # py4j converts python bytes/bytearray to byte[] directly
+        got = jvm.org.apache.orc.util.Murmur3.hash64(bytearray(s))
+        assert murmur3_64(s) == got & ((1 << 64) - 1), s.hex()
+
+
+def _orc_index_file(spark, tmpdir: str, expr: str, bloom_cols: str,
+                    stride: int = 1000) -> str:
+    import glob
+
+    df = spark.range(0, 2750).selectExpr(expr)
+    w = (df.coalesce(1).write.mode("overwrite")
+         .option("compression", "zlib")
+         .option("orc.row.index.stride", str(stride))
+         .option("orc.stripe.size", str(1 << 30)))
+    if bloom_cols:
+        w = w.option("orc.bloom.filter.columns", bloom_cols)
+    w.orc(tmpdir + "/t")
+    return glob.glob(tmpdir + "/t/*.orc")[0]
+
+
+def test_orc_index_nulls_and_string_blooms(spark, tmp_path):
+    """Null accounting at stride granularity (scattered nulls plus an
+    entire all-null stride) and the string-bloom no-false-negative
+    guarantee — neither is on the oracle's numeric-column path."""
+    import pyarrow.orc as po
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        murmur3_64,
+        orc_bloom_test,
+        read_orc_indexes,
+        verify_orc_indexes,
+    )
+
+    path = _orc_index_file(
+        spark, str(tmp_path),
+        "CASE WHEN id BETWEEN 1000 AND 1999 THEN NULL "
+        "WHEN id % 7 = 3 THEN NULL ELSE id + 5000 END AS v",
+        bloom_cols="v",
+    )
+    b = open(path, "rb").read()
+    values = po.ORCFile(path).read(columns=["v"])["v"].to_pylist()
+    r = verify_orc_indexes(b, "v", "int", values)
+    assert r["n_strides"] == 3
+    assert r["num_rows"] == 2750
+    want_nulls = sum(1 for i in range(2750)
+                     if 1000 <= i <= 1999 or i % 7 == 3)
+    assert r["null_count"] == want_nulls
+    assert (r["min_val"], r["max_val"]) == (5000, 5000 + 2749)
+
+    # string blooms: every present value hits, absent probes mostly miss
+    spath = _orc_index_file(
+        spark, str(tmp_path) + "/s",
+        "concat('usr-', id % 47) AS s", bloom_cols="s")
+    sb = open(spath, "rb").read()
+    idx = read_orc_indexes(sb, "s")
+    bl = idx["stripes"][0]["blooms"][0]
+    hits = sum(orc_bloom_test(bl["longs"], bl["n_hash"],
+                              murmur3_64(f"usr-{i}".encode()))
+               for i in range(47))
+    assert hits == 47
+    fp = sum(orc_bloom_test(bl["longs"], bl["n_hash"],
+                            murmur3_64(f"ghost-{i}".encode()))
+             for i in range(2000))
+    assert fp < 500, "absent probes mostly positive — degenerate test"
+
+
+def test_orc_index_rejections(spark, tmp_path):
+    import pyarrow.orc as po
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        read_orc_indexes,
+        verify_orc_indexes,
+    )
+
+    path = _orc_index_file(spark, str(tmp_path), "id + 5000 AS v",
+                           bloom_cols="v")
+    b = open(path, "rb").read()
+    values = po.ORCFile(path).read(columns=["v"])["v"].to_pylist()
+    verify_orc_indexes(b, "v", "int", values)
+    with pytest.raises(ValueError, match="not in the ORC schema"):
+        read_orc_indexes(b, "ghost")
+    with pytest.raises(ValueError, match="not an ORC file"):
+        read_orc_indexes(b"XXX" + b[3:], "v")
+    # a file written WITHOUT blooms must refuse, never pass vacuously
+    nb = _orc_index_file(spark, str(tmp_path) + "/nb", "id AS v",
+                         bloom_cols="")
+    with pytest.raises(ValueError, match="BLOOM_FILTER_UTF8"):
+        read_orc_indexes(open(nb, "rb").read(), "v")
+    # data that contradicts the index: stats verification must fire
+    with pytest.raises(ValueError, match="declared bounds|declared"):
+        verify_orc_indexes(b, "v", "int", list(reversed(values)))
+    with pytest.raises(ValueError, match="cover"):
+        verify_orc_indexes(b, "v", "int", values[:100])
+
+
+_ORC_INDEX_FILE: dict = {"bytes": b""}
+
+
+def test_orc_index_capture_for_mutations(spark, tmp_path):
+    """Captures a real indexed ORC file for the mutation gate below."""
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        read_orc_indexes,
+    )
+
+    path = _orc_index_file(spark, str(tmp_path), "id + 11 AS v",
+                           bloom_cols="v")
+    _ORC_INDEX_FILE["bytes"] = open(path, "rb").read()
+    idx = read_orc_indexes(_ORC_INDEX_FILE["bytes"], "v")
+    assert len(idx["stripes"][0]["entries"]) == 3
+
+
+@_S
+@given(st.data())
+def test_orc_index_reader_never_leaks_on_mutations(data):
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        read_orc_indexes,
+    )
+
+    blob = bytearray(_ORC_INDEX_FILE["bytes"])
+    if not blob:
+        pytest.skip("capture test did not run first")
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        idx = read_orc_indexes(bytes(blob), "v")
+    except (ValueError, NotImplementedError):
+        return
+    assert idx["row_stride"] >= 1
