@@ -1590,3 +1590,234 @@ def simpsons_paradox_check(spark, sf_dir):
             & (F.signum(cross.cast("double")).cast("long") * F.col("pooled_sign") < 0)
         ).alias("is_reversed"),
     )
+
+
+# --- SFT conversation shaping (round-12) -----------------------------------------------
+
+_SFT_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 = 0 AS has_system,
+         1 + doc_id % 3 AS np
+  FROM documents
+),
+t AS (
+  SELECT doc_id, has_system, np, j.j AS j,
+         3 + (doc_id + j.j) % 5 AS u_chars,
+         4 + (doc_id + 2 * j.j) % 6 AS a_chars
+  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+  WHERE j.j < np
+),
+agg AS (
+  SELECT doc_id, has_system, np,
+         sum(u_chars) AS user_chars,
+         sum(a_chars) AS assistant_chars,
+         max(CASE WHEN j = np - 1 THEN a_chars END) AS completion_chars
+  FROM t GROUP BY doc_id, has_system, np
+)
+SELECT doc_id,
+       cast(CASE WHEN has_system THEN 1 ELSE 0 END + 2 * np AS int)
+         AS n_messages,
+       cast(np AS int) AS n_user,
+       cast(np AS int) AS n_assistant,
+       has_system,
+       true AS valid_alternation,
+       cast(user_chars AS bigint) AS user_chars,
+       cast(assistant_chars AS bigint) AS assistant_chars,
+       cast(completion_chars AS bigint) AS completion_chars,
+       cast(CASE WHEN has_system THEN 7 + 5 + doc_id % 4 ELSE 0 END
+            + np * 15 + user_chars + assistant_chars
+            AS bigint) AS template_chars,
+       cast(CASE WHEN has_system THEN 7 + 5 + doc_id % 4 ELSE 0 END
+            + np * 15 + user_chars + assistant_chars - completion_chars
+            AS bigint) AS completion_start
+FROM agg
+"""
+
+
+@register(
+    "sft_turns_report",
+    oracle=_SFT_ORACLE,
+    tags=("extension", "training", "text"),
+)
+def sft_turns_report(spark, sf_dir):
+    """SFT/chat conversation shaping (round-12) — the instruction-
+    tuning data-prep step the training pillar lacked: per document a
+    chat transcript arrives as a JSON string (optional system turn,
+    then strictly alternating user/assistant pairs — the handoff
+    format every SFT corpus ships in), and the operator does the
+    trainer-facing work ENTIRELY JVM-side, no Python in the hot path:
+    ``from_json`` with the messages schema, higher-order functions
+    (filter/aggregate/transform) for role accounting and character
+    sums, a declarative alternation validator (system only first,
+    roles alternate, transcript ends on assistant), and the rendered
+    training template with the COMPLETION SPAN offsets — the
+    completion-start/length pair a loss-masked SFT trainer needs to
+    supervise only the final assistant turn.
+
+    Scale: pure projection over the id spine — zero shuffles, whole-
+    stage-codegen friendly; conversations shape independently, and the
+    alternation check is a forall over the parsed array, not a join."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    np_ = F.lit(1) + F.col("doc_id") % 3
+    has_sys = F.col("doc_id") % 3 == 0
+    pair = F.transform(
+        F.sequence(F.lit(0), np_ - 1),
+        lambda j: F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.repeat(F.lit("u"),
+                         (F.lit(3) + (F.col("doc_id") + j) % 5)
+                         .cast("int")).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.repeat(F.lit("a"),
+                         (F.lit(4) + (F.col("doc_id") + 2 * j) % 6)
+                         .cast("int")).alias("content"),
+            ),
+        ),
+    )
+    msgs = F.flatten(pair)
+    msgs = F.when(has_sys, F.concat(
+        F.array(F.struct(
+            F.lit("system").alias("role"),
+            F.repeat(F.lit("s"),
+                     (F.lit(5) + F.col("doc_id") % 4).cast("int"))
+            .alias("content"),
+        )), msgs)).otherwise(msgs)
+    raw = d.select("doc_id", F.to_json(msgs).alias("conversation_json"))
+    return shape_sft_conversations(raw)
+
+
+def shape_sft_conversations(raw):
+    """The operator proper, reusable on any (doc_id, conversation_json)
+    frame: parse the JSON handoff and shape it for an SFT trainer —
+    declarative throughout (from_json + higher-order functions), so it
+    stays inside whole-stage codegen with zero exchanges."""
+    from pyspark.sql import functions as F
+
+    schema = "array<struct<role string, content string>>"
+    m = F.from_json(F.col("conversation_json"), schema)
+    parsed = raw.select("doc_id", m.alias("m"))
+    n = F.size("m")
+    role = lambda i: F.col("m")[i]["role"]  # noqa: E731
+    # alternation: optional leading system, then user/assistant pairs,
+    # ending on assistant — checked declaratively over the array
+    start = F.when(role(0) == "system", F.lit(1)).otherwise(F.lit(0))
+    valid = (
+        (n > start)
+        & ((n - start) % 2 == 0)
+        & F.forall(
+            F.sequence(start, n - 1),
+            lambda i: F.when(
+                (i - start) % 2 == 0, role(i) == "user"
+            ).otherwise(role(i) == "assistant"),
+        )
+    )
+    chars_of = lambda r: F.aggregate(  # noqa: E731
+        F.filter("m", lambda x: x["role"] == r),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x["content"]),
+    )
+    rendered = F.concat(
+        F.when(role(0) == "system",
+               F.concat(F.lit("<|sys|>"), F.col("m")[0]["content"]))
+        .otherwise(F.lit("")),
+        F.aggregate(
+            F.filter("m", lambda x: x["role"] != "system"),
+            F.lit("").cast("string"),
+            lambda acc, x: F.concat(
+                acc,
+                F.when(x["role"] == "user", F.lit("<|usr|>"))
+                .otherwise(F.lit("<|asst|>")),
+                x["content"],
+            ),
+        ),
+    )
+    completion = F.element_at("m", -1)["content"]
+    return parsed.select(
+        "doc_id",
+        n.cast("int").alias("n_messages"),
+        F.size(F.filter("m", lambda x: x["role"] == "user"))
+        .cast("int").alias("n_user"),
+        F.size(F.filter("m", lambda x: x["role"] == "assistant"))
+        .cast("int").alias("n_assistant"),
+        (role(0) == "system").alias("has_system"),
+        valid.alias("valid_alternation"),
+        chars_of("user").alias("user_chars"),
+        chars_of("assistant").alias("assistant_chars"),
+        F.length(completion).cast("long").alias("completion_chars"),
+        F.length(rendered).cast("long").alias("template_chars"),
+        (F.length(rendered) - F.length(completion)).cast("long")
+        .alias("completion_start"),
+    )
+
+
+# --- preference-pair (DPO) dataset construction (round-12) ------------------------------
+
+_DPO_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         doc_id // 4 AS prompt_id,
+         cast(doc_id * 37 % 101 AS int) AS score
+  FROM documents
+)
+SELECT cast(prompt_id AS bigint) AS prompt_id,
+       cast(count(*) AS int) AS n_candidates,
+       cast(arg_max(doc_id, score) AS bigint) AS chosen_doc,
+       cast(max(score) AS int) AS chosen_score,
+       cast(arg_min(doc_id, score) AS bigint) AS rejected_doc,
+       cast(min(score) AS int) AS rejected_score,
+       cast(max(score) - min(score) AS int) AS margin,
+       count(*) >= 2 AND max(score) > min(score) AS valid_pair
+FROM c
+GROUP BY prompt_id
+"""
+
+
+@register(
+    "dpo_pairs_report",
+    oracle=_DPO_ORACLE,
+    tags=("extension", "training"),
+)
+def dpo_pairs_report(spark, sf_dir):
+    """Preference-pair (DPO/RLHF) dataset construction (round-12) —
+    the reward-data step next to sft_turns_report: per prompt group
+    (four scored completion candidates), pick the best and worst
+    scoring completions as the (chosen, rejected) pair with the score
+    margin a DPO trainer weights by, and flag groups that cannot form
+    a pair (fewer than two candidates or a zero margin). Selection is
+    max_by/min_by — scores are distinct within a group by construction
+    here, and at 100 TB the deterministic-tie-break form is the same
+    aggregate over a (score, doc_id) struct.
+
+    Scale: ONE map-side-combined hash aggregate on prompt_id — the
+    single shuffle a pair builder fundamentally needs; no window, no
+    self-join (the classic anti-pattern here is a per-prompt window
+    sort followed by a self-join on rank — strictly worse than one
+    partial-aggregated groupBy)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lake import read_table
+
+    c = (read_table(spark, sf_dir, "documents")
+         .select(
+             "doc_id",
+             (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+             (F.col("doc_id") * 37 % 101).cast("int").alias("score"),
+         ))
+    return (c.groupBy("prompt_id").agg(
+        F.count("*").cast("int").alias("n_candidates"),
+        F.expr("max_by(doc_id, score)").alias("chosen_doc"),
+        F.max("score").alias("chosen_score"),
+        F.expr("min_by(doc_id, score)").alias("rejected_doc"),
+        F.min("score").alias("rejected_score"),
+        (F.max("score") - F.min("score")).alias("margin"),
+        ((F.count("*") >= 2) & (F.max("score") > F.min("score")))
+        .alias("valid_pair"),
+    ))

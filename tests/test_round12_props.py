@@ -2018,3 +2018,79 @@ def test_orc_index_reader_never_leaks_on_mutations(data):
     except (ValueError, NotImplementedError):
         return
     assert idx["row_stride"] >= 1
+
+
+# --- SFT conversation shaping (queries/ext_training.py) --------------------------------
+
+
+def test_sft_alternation_validator(spark):
+    """The declarative validator against adversarial transcripts: the
+    five illegal shapes flag false, the two legal ones true — and the
+    completion span always points at the LAST message's content."""
+    import json
+
+    from bigdata_meteo_datalake_spark.queries.ext_training import (
+        shape_sft_conversations,
+    )
+
+    def conv(*turns):
+        return json.dumps([{"role": r, "content": c} for r, c in turns])
+
+    cases = [
+        (conv(("user", "hi"), ("assistant", "yo")), True),
+        (conv(("system", "be kind"), ("user", "hi"),
+              ("assistant", "yo"), ("user", "more"),
+              ("assistant", "sure")), True),
+        (conv(("assistant", "yo")), False),          # starts on assistant
+        (conv(("user", "hi")), False),               # ends on user
+        (conv(("user", "a"), ("user", "b"),
+              ("assistant", "c"), ("assistant", "d")), False),  # doubles
+        (conv(("user", "hi"), ("system", "late"),
+              ("assistant", "yo")), False),          # system mid-stream
+        (conv(("system", "s")), False),              # system only
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)],
+        "doc_id long, conversation_json string",
+    )
+    rows = {r["doc_id"]: r for r in shape_sft_conversations(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert rows[i]["valid_alternation"] == want, i
+    # span math on the legal system case
+    r = rows[1]
+    assert r["n_messages"] == 5 and r["has_system"]
+    assert r["completion_chars"] == len("sure")
+    # <|sys|>be kind <|usr|>hi <|asst|>yo <|usr|>more <|asst|>sure
+    want_template = len("<|sys|>be kind<|usr|>hi<|asst|>yo<|usr|>more"
+                        "<|asst|>sure")
+    assert r["template_chars"] == want_template
+    assert r["completion_start"] == want_template - len("sure")
+
+
+def test_sft_report_is_pure_projection(spark):
+    """Zero exchanges, zero Python: the shaping must compile to scan +
+    project only (the whole point of the declarative form)."""
+    from bigdata_meteo_datalake_spark.queries import REGISTRY
+
+    df = REGISTRY["sft_turns_report"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dpo_pairs_single_aggregate_exchange(spark):
+    """One map-side-combined hash aggregate on prompt_id — the single
+    shuffle a pair builder needs; scan pruned to doc_id alone."""
+    from bigdata_meteo_datalake_spark.queries import REGISTRY
+
+    df = REGISTRY["dpo_pairs_report"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_max_by" in plan  # map-side combine of the argmax
+    assert "Window" not in plan and "Join" not in plan
+    rows = {r["prompt_id"]: r for r in df.collect()}
+    # closed-form spot check: prompt 0 = docs 0..3, scores 0,37,74,10
+    r = rows[0]
+    assert (r["chosen_doc"], r["chosen_score"]) == (2, 74)
+    assert (r["rejected_doc"], r["rejected_score"]) == (0, 0)
+    assert r["margin"] == 74 and r["valid_pair"]
