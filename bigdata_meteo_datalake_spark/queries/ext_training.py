@@ -1821,3 +1821,136 @@ def dpo_pairs_report(spark, sf_dir):
         ((F.count("*") >= 2) & (F.max("score") > F.min("score")))
         .alias("valid_pair"),
     ))
+
+
+# --- Bradley-Terry preference strengths (round-12) ---------------------------------------
+
+_BT_SCALE = 1_000_000_000_000  # integer quantization per MM stage
+
+_BT_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id % 8 AS i, (doc_id // 8) % 8 AS j,
+         CASE WHEN (doc_id * 13) % 2 = 0 THEN doc_id % 8
+              ELSE (doc_id // 8) % 8 END AS w
+  FROM documents
+  WHERE doc_id % 8 != (doc_id // 8) % 8
+),
+wins AS (SELECT w AS item, count(*) AS n_wins FROM m GROUP BY w),
+pair AS (
+  SELECT least(i, j) AS a, greatest(i, j) AS b, count(*) AS n
+  FROM m GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS i, b AS j, n FROM pair
+  UNION ALL
+  SELECT b AS i, a AS j, n FROM pair
+),
+matches AS (SELECT i AS item, sum(n) AS n_matches FROM edges GROUP BY i),
+p0 AS (SELECT item, cast(1000000 AS bigint) AS p FROM wins),
+d1 AS (
+  SELECT e.i AS item,
+         sum(cast(floor(e.n * {_BT_SCALE}.0 / (pi.p + pj.p)) AS bigint))
+           AS denom
+  FROM edges e
+  JOIN p0 pi ON e.i = pi.item
+  JOIN p0 pj ON e.j = pj.item
+  GROUP BY e.i
+),
+p1 AS (
+  SELECT w.item,
+         cast(floor(w.n_wins * {_BT_SCALE}.0 / d1.denom) AS bigint) AS p
+  FROM wins w JOIN d1 ON w.item = d1.item
+),
+d2 AS (
+  SELECT e.i AS item,
+         sum(cast(floor(e.n * {_BT_SCALE}.0 / (pi.p + pj.p)) AS bigint))
+           AS denom
+  FROM edges e
+  JOIN p1 pi ON e.i = pi.item
+  JOIN p1 pj ON e.j = pj.item
+  GROUP BY e.i
+),
+p2 AS (
+  SELECT w.item,
+         cast(floor(w.n_wins * {_BT_SCALE}.0 / d2.denom) AS bigint) AS p
+  FROM wins w JOIN d2 ON w.item = d2.item
+)
+SELECT cast(p2.item AS int) AS item,
+       cast(w.n_wins AS bigint) AS n_wins,
+       cast(mt.n_matches AS bigint) AS n_matches,
+       p2.p AS strength_q
+FROM p2
+JOIN wins w ON p2.item = w.item
+JOIN matches mt ON p2.item = mt.item
+"""
+
+
+@register(
+    "bt_preference_strengths",
+    oracle=_BT_ORACLE,
+    tags=("extension", "training", "metrics"),
+)
+def bt_preference_strengths(spark, sf_dir):
+    """Bradley-Terry strength estimation over pairwise preferences
+    (round-12) — the judge-panel aggregation step of an RLHF/eval
+    pipeline: pairwise outcomes (one comparison per document, eight
+    items, closed-form winners) reduce to win counts and pair-match
+    counts, then TWO unrolled minorization-maximization iterations
+    (Hunter 2004: p_i' = W_i / sum_j n_ij / (p_i + p_j)) produce item
+    strengths. Every stage quantizes to INTEGERS (floor of a double
+    quotient is identically rounded on any IEEE engine; bigint sums
+    are order-free), so the iterative float math is exactly
+    reproducible between Spark and the oracle — the same discipline
+    the house micro-unit rule applies to one-shot aggregates.
+
+    Scale: comparisons reduce ONCE with a map-side-combined aggregate
+    (the only corpus-sized shuffle); the iteration state is one row
+    per ITEM — broadcast-sized by construction — so each MM step is a
+    broadcast join against the tiny edge list, never a re-shuffle of
+    the comparison corpus."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    i = (F.col("doc_id") % 8).alias("i")
+    j = ((F.col("doc_id") / 8).cast("long") % 8).alias("j")
+    m = (d.select(i, j,
+                  F.when((F.col("doc_id") * 13) % 2 == 0,
+                         F.col("doc_id") % 8)
+                  .otherwise((F.col("doc_id") / 8).cast("long") % 8)
+                  .alias("w"))
+         .where(F.col("i") != F.col("j")))
+    wins = m.groupBy(F.col("w").alias("item")).agg(
+        F.count("*").alias("n_wins"))
+    pair = (m.select(F.least("i", "j").alias("a"),
+                     F.greatest("i", "j").alias("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n")))
+    edges = pair.select(F.col("a").alias("i"), F.col("b").alias("j"), "n") \
+        .unionByName(pair.select(F.col("b").alias("i"),
+                                 F.col("a").alias("j"), "n"))
+    matches = edges.groupBy(F.col("i").alias("item")).agg(
+        F.sum("n").alias("n_matches"))
+
+    p = wins.select("item", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(2):
+        pb = F.broadcast(p)
+        denom = (edges
+                 .join(pb.withColumnRenamed("item", "i")
+                       .withColumnRenamed("p", "p_i"), "i")
+                 .join(pb.withColumnRenamed("item", "j")
+                       .withColumnRenamed("p", "p_j"), "j")
+                 .groupBy(F.col("i").alias("item"))
+                 .agg(F.sum(F.floor(F.col("n") * float(_BT_SCALE)
+                                    / (F.col("p_i") + F.col("p_j"))))
+                      .alias("denom")))
+        p = (wins.join(F.broadcast(denom), "item")
+             .select("item",
+                     F.floor(F.col("n_wins") * float(_BT_SCALE)
+                             / F.col("denom")).alias("p")))
+    return (p.join(F.broadcast(wins), "item")
+            .join(F.broadcast(matches), "item")
+            .select(F.col("item").cast("int").alias("item"),
+                    F.col("n_wins").cast("long").alias("n_wins"),
+                    F.col("n_matches").cast("long").alias("n_matches"),
+                    F.col("p").alias("strength_q")))

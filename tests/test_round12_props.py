@@ -2070,8 +2070,9 @@ def test_sft_alternation_validator(spark):
 def test_sft_report_is_pure_projection(spark):
     """Zero exchanges, zero Python: the shaping must compile to scan +
     project only (the whole point of the declarative form)."""
-    from bigdata_meteo_datalake_spark.queries import REGISTRY
+    from bigdata_meteo_datalake_spark.queries import REGISTRY, queries
 
+    queries()
     df = REGISTRY["sft_turns_report"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
@@ -2081,8 +2082,9 @@ def test_sft_report_is_pure_projection(spark):
 def test_dpo_pairs_single_aggregate_exchange(spark):
     """One map-side-combined hash aggregate on prompt_id — the single
     shuffle a pair builder needs; scan pruned to doc_id alone."""
-    from bigdata_meteo_datalake_spark.queries import REGISTRY
+    from bigdata_meteo_datalake_spark.queries import REGISTRY, queries
 
+    queries()
     df = REGISTRY["dpo_pairs_report"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning") == 1
@@ -2094,3 +2096,49 @@ def test_dpo_pairs_single_aggregate_exchange(spark):
     assert (r["chosen_doc"], r["chosen_score"]) == (2, 74)
     assert (r["rejected_doc"], r["rejected_score"]) == (0, 0)
     assert r["margin"] == 74 and r["valid_pair"]
+
+
+def test_bt_strengths_plan_and_convergence(spark):
+    """Plan: the comparison corpus reduces through map-side-combined
+    aggregates, and every MM-iteration join rides a broadcast (the
+    per-item state is broadcast-sized by construction — no corpus
+    re-shuffle). Semantics: strengths order items by win rate, and a
+    third hand-computed iteration agrees with the integer-quantized
+    recurrence."""
+    from bigdata_meteo_datalake_spark.queries import REGISTRY, queries
+
+    queries()
+    df = REGISTRY["bt_preference_strengths"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    rows = {r["item"]: r for r in df.collect()}
+    assert len(rows) == 8
+    # win-rate order is preserved by the BT strengths
+    by_rate = sorted(rows, key=lambda i: rows[i]["n_wins"] / rows[i]["n_matches"])
+    by_strength = sorted(rows, key=lambda i: rows[i]["strength_q"])
+    assert by_rate == by_strength
+    # recompute the two quantized iterations in plain python
+    import collections
+    import math
+
+    SCALE = 1_000_000_000_000
+    docs = range(500)
+    m = [(d % 8, (d // 8) % 8, (d % 8) if (d * 13) % 2 == 0 else (d // 8) % 8)
+         for d in docs if d % 8 != (d // 8) % 8]
+    wins = collections.Counter(w for _, _, w in m)
+    n = collections.Counter()
+    for i, j, _ in m:
+        n[(min(i, j), max(i, j))] += 1
+    edges = collections.defaultdict(list)
+    for (a, b), cnt in n.items():
+        edges[a].append((b, cnt))
+        edges[b].append((a, cnt))
+    p = {i: 1_000_000 for i in range(8)}
+    for _ in range(2):
+        denom = {i: sum(math.floor(cnt * SCALE / (p[i] + p[j]))
+                        for j, cnt in edges[i]) for i in p}
+        p = {i: math.floor(wins[i] * SCALE / denom[i]) for i in p}
+    for i in range(8):
+        assert rows[i]["strength_q"] == p[i], i
