@@ -22,6 +22,10 @@ Stages:
                         uncertainty + the binned identity)
 5. experiment readout — Bayesian Beta-Binomial A/B posterior next to the
                         frequentist z-test on the same arms
+6. post-training data — SFT chat shaping (alternation-validated,
+                        loss-mask completion spans), DPO preference
+                        pairs (chosen/rejected + margin), and
+                        Bradley-Terry strengths from pairwise outcomes
 
 Each number the script prints is one Spark DAG over the parquet tables;
 the only driver-side state is the 4-float weight vector.
@@ -106,6 +110,32 @@ def main() -> None:
         f"  z-test:    uplift {z['uplift']} CI [{z['ci_low']}, {z['ci_high']}]"
         f" z {z['z']} significant={z['significant']}"
     )
+
+    # 6. post-training data: SFT turns -> DPO pairs -> BT strengths
+    from bigdata_meteo_datalake_spark.queries.ext_training import (
+        bt_preference_strengths,
+        dpo_pairs_report,
+        sft_turns_report,
+    )
+
+    sft = sft_turns_report(spark, sf_dir)
+    agg = sft.agg(
+        F.count("*").alias("convs"),
+        F.sum(F.col("valid_alternation").cast("int")).alias("valid"),
+        F.sum("completion_chars").alias("completion_chars"),
+    ).collect()[0]
+    print(f"SFT: {agg.convs} conversations, {agg.valid} alternation-valid, "
+          f"{agg.completion_chars} loss-masked completion chars")
+    pairs = dpo_pairs_report(spark, sf_dir)
+    pa = pairs.agg(F.count("*").alias("prompts"),
+                   F.sum(F.col("valid_pair").cast("int")).alias("pairs"),
+                   F.avg("margin").alias("margin")).collect()[0]
+    print(f"DPO: {pa.prompts} prompts -> {pa.pairs} usable pairs, "
+          f"mean margin {pa.margin:.1f}")
+    for r in bt_preference_strengths(spark, sf_dir).orderBy(
+            F.desc("strength_q")).collect()[:3]:
+        print(f"BT:  item {r.item} strength {r.strength_q} "
+              f"({r.n_wins}/{r.n_matches} wins)")
 
     assert any(r["is_best"] for r in rows)
     assert n > 0
