@@ -2142,3 +2142,151 @@ def test_bt_strengths_plan_and_convergence(spark):
         p = {i: math.floor(wins[i] * SCALE / denom[i]) for i in p}
     for i in range(8):
         assert rows[i]["strength_q"] == p[i], i
+
+
+# --- Parquet data-page decode (operators/parquet_pages.py) ------------------------------
+
+
+def _page_file(spark, tmpdir: str, expr: str, codec: str = "snappy",
+               **opts) -> str:
+    import glob
+
+    w = (spark.range(0, 2750).selectExpr(expr)
+         .coalesce(1).write.mode("overwrite")
+         .option("parquet.enable.dictionary", "false")
+         .option("parquet.page.row.count.limit", "500")
+         .option("compression", codec))
+    for k, v in opts.items():
+        w = w.option(k.replace("__", "."), v)
+    w.parquet(tmpdir + "/t")
+    return glob.glob(tmpdir + "/t/*.parquet")[0]
+
+
+def test_page_decode_all_types_and_codecs(spark, tmp_path):
+    """Hand decode == pyarrow decode, row for row: int64 (REQUIRED and
+    OPTIONAL with nulls), double, byte arrays, booleans, across
+    uncompressed/gzip/snappy."""
+    import pyarrow.parquet as pq
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    cases = [
+        ("id + 9 AS v", "v", "uncompressed"),          # REQUIRED int64
+        ("CASE WHEN id % 7 = 3 THEN NULL ELSE id END AS v", "v", "gzip"),
+        ("cast(id AS double)/4 AS v", "v", "snappy"),
+        ("concat('s', id % 13) AS v", "v", "snappy"),  # byte arrays
+        ("id % 3 = 0 AS v", "v", "gzip"),              # booleans
+    ]
+    for i, (expr, col, codec) in enumerate(cases):
+        path = _page_file(spark, str(tmp_path / str(i)), expr, codec)
+        b = open(path, "rb").read()
+        got = decode_parquet_column(b, col)
+        ref = pq.read_table(path, columns=[col])[col].to_pylist()
+        vals = got["values"]
+        if isinstance(next((v for v in vals if v is not None), None),
+                      bytes):
+            vals = [v.decode() if v is not None else None for v in vals]
+        assert vals == ref, (i, codec)
+        assert got["n_pages"] == 6  # ceil(2750/500)
+
+
+def test_page_decode_boundaries_and_rejections(spark, tmp_path):
+    import glob
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+        rle_bp_hybrid,
+    )
+
+    plain = _page_file(spark, str(tmp_path / "p"), "id + 9 AS v")
+    b = open(plain, "rb").read()
+    decode_parquet_column(b, "v")
+    with pytest.raises(ValueError, match="not in the schema"):
+        decode_parquet_column(b, "ghost")
+    with pytest.raises(ValueError, match="not a parquet file"):
+        decode_parquet_column(b"XXXX" + b[4:], "v")
+    # dictionary-encoded chunk is the declared boundary
+    (spark.range(0, 100).selectExpr("id % 5 AS v").coalesce(1)
+     .write.mode("overwrite").parquet(str(tmp_path / "d")))
+    db = open(glob.glob(str(tmp_path / "d") + "/*.parquet")[0],
+              "rb").read()
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        decode_parquet_column(db, "v")
+    # v2 data pages are the declared boundary
+    v2 = _page_file(spark, str(tmp_path / "v2"), "id AS v", "snappy",
+                    parquet__writer__version="v2")
+    with pytest.raises(NotImplementedError, match="v2|boundary"):
+        decode_parquet_column(open(v2, "rb").read(), "v")
+    # zstd pages are the declared boundary
+    z = _page_file(spark, str(tmp_path / "z"), "id AS v", "zstd")
+    with pytest.raises(NotImplementedError, match="ZSTD"):
+        decode_parquet_column(open(z, "rb").read(), "v")
+    # a flipped data byte must trip the page CRC
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.parquet_footer import (
+        _read_struct,
+    )
+
+    (flen,) = struct.unpack_from("<I", b, len(b) - 8)
+    fm, _ = _read_struct(b[len(b) - 8 - flen : len(b) - 8], 0)
+    off = fm[4][0][1][0][3][9]  # first chunk's data_page_offset
+    ph, hend = _read_struct(b, off)
+    bad = bytearray(b)
+    bad[hend + 10] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_parquet_column(bytes(bad), "v")
+    # hybrid decoder contract
+    with pytest.raises(ValueError, match="overruns"):
+        rle_bp_hybrid(b"\x08", 1, 4)  # RLE run without its value byte
+    with pytest.raises(ValueError, match="zero-length"):
+        rle_bp_hybrid(b"\x00\x01", 1, 4)
+    assert rle_bp_hybrid(b"\x08\x01", 1, 4) == [1, 1, 1, 1]
+    assert rle_bp_hybrid(b"\x03\x0b\x00\x00", 3, 8) == [3, 1, 0, 0, 0,
+                                                        0, 0, 0]
+
+
+def _pagefile_fuzz() -> bytes:
+    return _PAGE_DECODE_FILE["bytes"]
+
+
+_PAGE_DECODE_FILE: dict = {"bytes": b""}
+
+
+def test_page_decode_capture_for_mutations(spark, tmp_path):
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    path = _page_file(spark, str(tmp_path), "id + 3 AS v", "snappy")
+    _PAGE_DECODE_FILE["bytes"] = open(path, "rb").read()
+    assert decode_parquet_column(_PAGE_DECODE_FILE["bytes"],
+                                 "v")["n_pages"] == 6
+
+
+@_S
+@given(st.data())
+def test_page_decoder_never_leaks_on_mutations(data):
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    blob = bytearray(_pagefile_fuzz())
+    if not blob:
+        pytest.skip("capture test did not run first")
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        r = decode_parquet_column(bytes(blob), "v")
+    except (ValueError, NotImplementedError):
+        return
+    assert r["n_pages"] >= 0
