@@ -1,0 +1,396 @@
+"""ORC data decoder — the ORC twin of the parquet data-page decoder
+(parquet_pages.py), closing the full-stack loop on the SECOND
+columnar estate: with ORC footers (orc_footer.py) and row-group
+indexes/blooms (orc_index.py) already audited, this reads the VALUES
+from real Spark-written ORC with no ORC library in the path, from the
+PUBLIC ORC v1 spec:
+
+- stripe stream walk (the stripe footer's stream list positions every
+  stream; index-region streams precede the data region), chunked
+  decompression via the existing codec layer (none/zlib/snappy);
+- PRESENT streams: ORC boolean encoding — byte-level RLE (control
+  byte < 128: a run of control+3 copies; >= 128: 256-control literal
+  bytes) over MSB-first bit-packed bytes;
+- integer DATA streams: RLEv2 / DIRECT_V2, all four sub-encodings
+  implemented and exercised against the writer — SHORT REPEAT
+  (3-bit byte width, 3-bit count, big-endian value, zigzag), DIRECT
+  (5-bit width code through the closest-fixed-bit table, 9-bit run
+  length, big-endian bit-packing), DELTA (zigzag base varint, signed
+  delta-base varint whose SIGN directs the unsigned packed deltas,
+  width code 0 = fixed delta), and PATCHED BASE (sign-magnitude
+  big-endian base, packed values, a gap+patch list that ORs high bits
+  back in);
+- double DATA streams: raw IEEE 754 little-endian;
+- dictionary column encodings and other type trees are declared
+  boundaries raised loudly.
+
+Bit-unpacking pulls each run through one big-integer ``int.from_bytes``
+and extracts by shift — no per-bit python loop — which is what keeps
+the sf1 audit sub-linear.
+
+Reference parity note: the reference repo delegates all storage to
+Postgres (SURVEY.md section 4); this completes the ORC trio in the
+lakehouse estate audits.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from .orc_footer import (
+    _decompress_stream,
+    _parse_postscript,
+    _parse_stripe,
+    _pb_fields,
+)
+
+__all__ = [
+    "bool_decode",
+    "byte_rle_decode",
+    "decode_orc_column",
+    "rlev2_decode",
+]
+
+#: the spec's closest-fixed-bit width table for 5-bit width codes
+WIDTH_TABLE = tuple(range(1, 25)) + (26, 28, 30, 32, 40, 48, 56, 64)
+
+_PRESENT, _DATA = 0, 1
+_INDEX_KINDS = {6, 7, 8}
+
+
+def _varint_u(b: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("ORC varint overruns the stream")
+        byte = b[pos]
+        pos += 1
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("ORC varint too long")
+
+
+def _zigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _unpack_be(b: bytes, pos: int, width: int, count: int) -> tuple:
+    """``count`` big-endian bit-packed values of ``width`` bits from
+    byte offset ``pos`` — one big-int read, shift-extracted."""
+    nbits = width * count
+    nbytes = (nbits + 7) // 8
+    if pos + nbytes > len(b):
+        raise ValueError("bit-packed run overruns the stream")
+    big = int.from_bytes(b[pos : pos + nbytes], "big")
+    pad = nbytes * 8 - nbits
+    big >>= pad
+    mask = (1 << width) - 1
+    out = [0] * count
+    for i in range(count - 1, -1, -1):
+        out[i] = big & mask
+        big >>= width
+    return out, pos + nbytes
+
+
+def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
+    """RLEv2 stream -> exactly ``n`` integers; anything else raises."""
+    out: list[int] = []
+    pos = 0
+    while len(out) < n:
+        if pos >= len(b):
+            raise ValueError("RLEv2 stream exhausted early")
+        h = b[pos]
+        kind = h >> 6
+        if kind == 0:  # short repeat
+            w = ((h >> 3) & 7) + 1
+            cnt = (h & 7) + 3
+            if pos + 1 + w > len(b):
+                raise ValueError("short-repeat value overruns")
+            v = int.from_bytes(b[pos + 1 : pos + 1 + w], "big")
+            if signed:
+                v = _zigzag(v)
+            out.extend([v] * cnt)
+            pos += 1 + w
+        elif kind == 1:  # direct
+            w = WIDTH_TABLE[(h >> 1) & 0x1F]
+            if pos + 2 > len(b):
+                raise ValueError("direct header overruns")
+            length = ((h & 1) << 8 | b[pos + 1]) + 1
+            pos += 2
+            vals, pos = _unpack_be(b, pos, w, length)
+            if signed:
+                out.extend(_zigzag(v) for v in vals)
+            else:
+                out.extend(vals)
+        elif kind == 3:  # delta
+            wcode = (h >> 1) & 0x1F
+            if pos + 2 > len(b):
+                raise ValueError("delta header overruns")
+            length = ((h & 1) << 8 | b[pos + 1]) + 1
+            pos += 2
+            u, pos = _varint_u(b, pos)
+            base = _zigzag(u) if signed else u
+            du, pos = _varint_u(b, pos)
+            delta_base = _zigzag(du)
+            vals = [base]
+            if length > 1:
+                vals.append(base + delta_base)
+            if wcode == 0:
+                while len(vals) < length:
+                    vals.append(vals[-1] + delta_base)
+            else:
+                w = WIDTH_TABLE[wcode]
+                rem = length - 2
+                if rem < 0:
+                    raise ValueError("delta run shorter than its header")
+                deltas, pos = _unpack_be(b, pos, w, rem)
+                sign = 1 if delta_base >= 0 else -1
+                for d in deltas:
+                    vals.append(vals[-1] + sign * d)
+            out.extend(vals)
+        else:  # kind == 2: patched base
+            w = WIDTH_TABLE[(h >> 1) & 0x1F]
+            if pos + 4 > len(b):
+                raise ValueError("patched-base header overruns")
+            length = ((h & 1) << 8 | b[pos + 1]) + 1
+            b3, b4 = b[pos + 2], b[pos + 3]
+            bw = ((b3 >> 5) & 7) + 1
+            pw = WIDTH_TABLE[b3 & 0x1F]
+            pgw = ((b4 >> 5) & 7) + 1
+            pll = b4 & 0x1F
+            pos += 4
+            if pos + bw > len(b):
+                raise ValueError("patched base value overruns")
+            base = int.from_bytes(b[pos : pos + bw], "big")
+            msb = 1 << (bw * 8 - 1)
+            if base & msb:  # sign-magnitude, not two's complement
+                base = -(base & (msb - 1))
+            pos += bw
+            vals, pos = _unpack_be(b, pos, w, length)
+            patches, pos = _unpack_be(b, pos, pgw + pw, pll)
+            idx = 0
+            pmask = (1 << pw) - 1
+            for e in patches:
+                idx += e >> pw
+                if idx >= length:
+                    raise ValueError("patch index overruns the run")
+                vals[idx] |= (e & pmask) << w
+            out.extend(base + v for v in vals)
+    if len(out) != n:
+        raise ValueError(f"RLEv2 decodes {len(out)} values, wanted {n}")
+    return out
+
+
+def byte_rle_decode(b: bytes, n: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < n:
+        if pos >= len(b):
+            raise ValueError("byte-RLE stream exhausted early")
+        c = b[pos]
+        pos += 1
+        if c < 128:
+            if pos >= len(b):
+                raise ValueError("byte-RLE run value overruns")
+            out.extend(bytes([b[pos]]) * (c + 3))
+            pos += 1
+        else:
+            lit = 256 - c
+            if pos + lit > len(b):
+                raise ValueError("byte-RLE literals overrun")
+            out.extend(b[pos : pos + lit])
+            pos += lit
+    return bytes(out[:n])
+
+
+def bool_decode(b: bytes, n: int) -> list[bool]:
+    """ORC boolean stream: byte-RLE over MSB-first bit-packed bytes."""
+    bb = byte_rle_decode(b, (n + 7) // 8)
+    return [bool((bb[i >> 3] >> (7 - (i & 7))) & 1) for i in range(n)]
+
+
+_TYPE_LONG = {3, 4}  # INT, LONG type kinds decode through RLEv2
+_TYPE_DOUBLE = {6}
+_DIRECT, _DICT, _DIRECT_V2, _DICT_V2 = 0, 1, 2, 3
+
+
+def decode_orc_column(b: bytes, column: str) -> dict:
+    """ORC file bytes + column name -> {values (None for nulls, file
+    row order), n_stripes} decoded entirely by this module."""
+    if len(b) < 4 or b[:3] != b"ORC":
+        raise ValueError("not an ORC file")
+    ps_len = b[-1]
+    if ps_len < 1 or 1 + ps_len > len(b):
+        raise ValueError("postscript length overruns the file")
+    ps = _parse_postscript(b[len(b) - 1 - ps_len : len(b) - 1])
+    codec = ps["codec"]
+    flen = ps["footer_length"]
+    if flen <= 0 or 1 + ps_len + flen > len(b):
+        raise ValueError("footer length overruns the file")
+    footer = _decompress_stream(
+        b[len(b) - 1 - ps_len - flen : len(b) - 1 - ps_len], codec
+    )
+    stripes = []
+    types = []
+    for fid, wire, v in _pb_fields(footer):
+        if fid == 3 and wire == 2:
+            stripes.append(_parse_stripe(v))
+        elif fid == 4 and wire == 2:
+            types.append(v)
+    if not types:
+        raise ValueError("footer missing the type tree")
+    names = []
+    for f2, w2, v2 in _pb_fields(types[0]):
+        if f2 == 3 and w2 == 2:
+            names.append(v2.decode("utf-8", "replace"))
+    if column not in names:
+        raise ValueError(f"column {column!r} not in the ORC schema")
+    col_id = names.index(column) + 1
+    if col_id >= len(types):
+        raise ValueError("type tree shorter than the root's children")
+    tkind = None
+    for f2, w2, v2 in _pb_fields(types[col_id]):
+        if f2 == 1 and w2 == 0:
+            tkind = v2
+    if tkind in _TYPE_LONG:
+        physical = "long"
+    elif tkind in _TYPE_DOUBLE:
+        physical = "double"
+    else:
+        raise NotImplementedError(
+            f"ORC type kind {tkind} decode is a declared boundary "
+            "(long and double columns)"
+        )
+
+    values: list = []
+    for st in stripes:
+        sf_off = st["offset"] + st["index_length"] + st["data_length"]
+        if sf_off + st["footer_length"] > len(b):
+            raise ValueError("stripe footer overruns the file")
+        sf = _decompress_stream(
+            b[sf_off : sf_off + st["footer_length"]], codec
+        )
+        streams = []
+        encodings = []
+        for fid, wire, v in _pb_fields(sf):
+            if fid == 1 and wire == 2:
+                s = {"kind": 0, "column": 0, "length": 0}
+                for f2, w2, v2 in _pb_fields(v):
+                    if f2 == 1:
+                        s["kind"] = v2
+                    elif f2 == 2:
+                        s["column"] = v2
+                    elif f2 == 3:
+                        s["length"] = v2
+                streams.append(s)
+            elif fid == 2 and wire == 2:
+                e = 0
+                for f2, w2, v2 in _pb_fields(v):
+                    if f2 == 1 and w2 == 0:
+                        e = v2
+                encodings.append(e)
+        if col_id >= len(encodings):
+            raise ValueError("stripe footer lacks the column's encoding")
+        enc = encodings[col_id]
+        if enc in (_DICT, _DICT_V2):
+            raise NotImplementedError(
+                "ORC dictionary column encodings are a declared boundary"
+            )
+        if physical == "long" and enc != _DIRECT_V2:
+            raise NotImplementedError(
+                f"ORC integer encoding {enc} is a declared boundary "
+                "(DIRECT_V2 / RLEv2)"
+            )
+        pos = st["offset"]
+        present_raw = data_raw = None
+        for s in streams:
+            if pos + s["length"] > len(b):
+                raise ValueError("stream overruns the file")
+            if s["column"] == col_id and s["kind"] == _PRESENT:
+                present_raw = b[pos : pos + s["length"]]
+            elif s["column"] == col_id and s["kind"] == _DATA:
+                data_raw = b[pos : pos + s["length"]]
+            pos += s["length"]
+        if data_raw is None:
+            raise ValueError(f"column {column!r} has no DATA stream")
+        n = st["n_rows"]
+        if present_raw is not None:
+            present = bool_decode(
+                _decompress_stream(present_raw, codec), n
+            )
+        else:
+            present = [True] * n
+        nn = sum(present)
+        data = _decompress_stream(data_raw, codec)
+        if physical == "long":
+            vals = rlev2_decode(data, nn)
+        else:
+            if len(data) < 8 * nn:
+                raise ValueError("double DATA stream too short")
+            vals = list(struct.unpack_from(f"<{nn}d", data, 0))
+            if any(v != v for v in vals):
+                raise ValueError("NaN in a double DATA stream")
+        it = iter(vals)
+        values.extend(next(it) if p else None for p in present)
+    return {"values": values, "n_stripes": len(stripes)}
+
+
+ORC_DECODE_REPORT_SCHEMA = (
+    "tbl string, col string, num_rows long, null_count long, "
+    "sum_micro long, min_micro long, max_micro long"
+)
+
+
+def orc_decode_column_stats(df, *, micro: int = 1_000_000):
+    """(tbl, col, kind, path) rows -> one audit row each, every number
+    computed from values THIS module decoded; pyarrow.orc is consulted
+    as an in-kernel row-for-row cross-check first."""
+    import pandas as pd
+
+    def kernel(batches):
+        import pyarrow.orc as po
+
+        for pdf in batches:
+            out = {k: [] for k in ("tbl", "col", "num_rows", "null_count",
+                                   "sum_micro", "min_micro", "max_micro")}
+            for tbl, col, kind, path in zip(pdf["tbl"], pdf["col"],
+                                            pdf["kind"], pdf["path"]):
+                with open(path, "rb") as f:
+                    b = f.read()
+                ref = po.ORCFile(path).read(columns=[col])[col].to_pylist()
+                if not ref:
+                    out["tbl"].append(tbl)
+                    out["col"].append(col)
+                    out["num_rows"].append(0)
+                    out["null_count"].append(0)
+                    out["sum_micro"].append(None)
+                    out["min_micro"].append(None)
+                    out["max_micro"].append(None)
+                    continue
+                vals = decode_orc_column(b, str(col))["values"]
+                if vals != ref:
+                    raise ValueError(
+                        f"{tbl}.{col}: hand decode disagrees with pyarrow"
+                    )
+                present = [v for v in vals if v is not None]
+                if kind == "int":
+                    q = [int(v) * micro for v in present]
+                else:
+                    q = [math.floor(v * micro + 0.5) for v in present]
+                out["tbl"].append(tbl)
+                out["col"].append(col)
+                out["num_rows"].append(len(vals))
+                out["null_count"].append(len(vals) - len(present))
+                out["sum_micro"].append(sum(q))
+                out["min_micro"].append(min(q))
+                out["max_micro"].append(max(q))
+            yield pd.DataFrame(out)
+
+    return df.select("tbl", "col", "kind", "path").mapInPandas(
+        kernel, ORC_DECODE_REPORT_SCHEMA
+    )

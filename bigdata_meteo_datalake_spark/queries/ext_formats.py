@@ -406,6 +406,91 @@ def parquet_pageindex_report(spark, sf_dir):
                                   row_limit=_PAGE_ROW_LIMIT)
 
 
+# --- ORC data decode -----------------------------------------------------------------------
+
+
+def _orc_decode_arm(tbl: str, col: str, kind: str) -> str:
+    if kind == "int":
+        s = f"cast(sum({col}) * 1000000 AS bigint)"
+        mn = f"cast(min({col}) * 1000000 AS bigint)"
+        mx = f"cast(max({col}) * 1000000 AS bigint)"
+    else:
+        s = (f"cast(sum(cast(floor({col} * 1000000 + 0.5) AS bigint)) "
+             f"AS bigint)")
+        mn = f"cast(floor(min({col}) * 1000000 + 0.5) AS bigint)"
+        mx = f"cast(floor(max({col}) * 1000000 + 0.5) AS bigint)"
+    return (
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, "
+        f"cast(count(*) AS bigint) AS num_rows, "
+        f"cast(count(*) - count({col}) AS bigint) AS null_count, "
+        f"{s} AS sum_micro, {mn} AS min_micro, {mx} AS max_micro "
+        f"FROM {tbl}"
+    )
+
+
+def _orc_decode_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        _orc_decode_arm(t, c, k) for t, c, k in _pageindex_columns()
+    )
+
+
+@register(
+    "orc_data_decode_report",
+    oracle=_orc_decode_oracle(),
+    tags=("extension", "formats", "codec"),
+)
+def orc_data_decode_report(spark, sf_dir):
+    """ORC DATA decode end to end (round-12) — the ORC twin of
+    parquet_page_decode_report, closing the full-stack loop on the
+    second columnar estate: the VALUES are read from Spark-written ORC
+    with no ORC library in the path (operators/orc_data.py: stripe
+    stream walk, chunked codec layer cycling none/zlib/hand-rolled
+    snappy per table, byte-RLE PRESENT bitmaps, RLEv2 integers with
+    all four sub-encodings — short-repeat, direct, PATCHED BASE with
+    its sign-magnitude base and gap/patch list, and delta with
+    sign-directed unsigned deltas — plus raw little-endian doubles).
+    The kernel cross-checks the hand decode against pyarrow.orc row
+    for row before reporting, and the oracle recomputes every
+    aggregate with per-value micro-quantized integer sums, so large
+    double sums compare exactly regardless of addition order.
+
+    Scale: one sequential pass per column's streams per stripe — the
+    unit an ORC scan parallelizes by; bit-unpacking goes through one
+    big-int read per run, not per-bit python loops."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.orc_data import orc_decode_column_stats
+
+    cols = _pageindex_columns()
+    codecs = _orc_codec_by_table()
+    base = tempfile.mkdtemp(prefix="orc_decode_audit_")
+    rows = []
+    for tbl in sorted({t for t, _, _ in cols}):
+        audited = [(c, k) for t, c, k in cols if t == tbl]
+        out = f"{base}/{tbl}"
+        (read_table(spark, sf_dir, tbl)
+         .select(*[F.col(c).cast("long" if k == "int" else "double")
+                   .alias(c) for c, k in audited])
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("compression", codecs.get(tbl, "zlib"))
+         .option("orc.stripe.size", str(1 << 30))
+         .orc(out))
+        files = glob.glob(out + "/*.orc")
+        if len(files) != 1:
+            raise ValueError(
+                f"expected one ORC part for {tbl}, found {len(files)}"
+            )
+        rows += [(tbl, c, k, files[0]) for c, k in audited]
+    df = spark.createDataFrame(
+        rows, "tbl string, col string, kind string, path string"
+    )
+    return orc_decode_column_stats(df.repartition(len(rows)))
+
+
 # --- Parquet data-page decode -------------------------------------------------------------
 
 
