@@ -218,6 +218,8 @@ def _top_level_repetition(schema: list[dict]) -> dict[str, int | None]:
     repetition: dict[str, int | None] = {}
     pending: list[int] = []  # remaining-children count per open level
     for idx, e in enumerate(schema):
+        if not isinstance(e, dict):
+            raise ValueError(f"schema element {idx} is not a struct")
         nch = _typed(e, 5, int, "SchemaElement.num_children", 0) or 0
         if nch < 0:
             raise ValueError(f"schema element {idx} has negative num_children")
@@ -230,7 +232,10 @@ def _top_level_repetition(schema: list[dict]) -> dict[str, int | None]:
                 "schema carries more elements than its num_children tree"
             )
         if len(pending) == 1:  # a direct child of the root
-            repetition[e.get(4, b"").decode()] = e.get(3)
+            name = _typed(e, 4, bytes, "SchemaElement.name", b"")
+            repetition[(name or b"").decode("utf-8", "replace")] = _typed(
+                e, 3, int, "SchemaElement.repetition_type"
+            )
         pending[-1] -= 1
         if nch:
             pending.append(nch)

@@ -169,9 +169,13 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
     n_pages = 0
     physical = None
     for rg in row_groups or []:
+        if not isinstance(rg, dict):
+            raise ValueError("row group is not a struct")
         cols = _typed(rg, 1, list, "RowGroup.columns")
         meta = None
         for c in cols or []:
+            if not isinstance(c, dict):
+                raise ValueError("column chunk is not a struct")
             m = _typed(c, 3, dict, "ColumnChunk.meta_data")
             if m is None:
                 continue
