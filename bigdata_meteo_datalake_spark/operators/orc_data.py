@@ -21,8 +21,11 @@ PUBLIC ORC v1 spec:
   big-endian base, packed values, a gap+patch list that ORs high bits
   back in);
 - double DATA streams: raw IEEE 754 little-endian;
-- dictionary column encodings and other type trees are declared
-  boundaries raised loudly.
+- string DATA streams: DIRECT_V2 (concatenated UTF-8 + an unsigned
+  RLEv2 LENGTH stream) and DICTIONARY_V2 (unsigned RLEv2 indices into
+  a DICTIONARY_DATA blob sliced by the dictionary's LENGTH stream,
+  sized by the column encoding's dictionarySize, bounds-checked);
+  other type trees are declared boundaries raised loudly.
 
 Bit-unpacking pulls each run through one big-integer ``int.from_bytes``
 and extracts by shift — no per-bit python loop — which is what keeps
@@ -216,7 +219,9 @@ def bool_decode(b: bytes, n: int) -> list[bool]:
 
 _TYPE_LONG = {3, 4}  # INT, LONG type kinds decode through RLEv2
 _TYPE_DOUBLE = {6}
+_TYPE_STRING = {7}
 _DIRECT, _DICT, _DIRECT_V2, _DICT_V2 = 0, 1, 2, 3
+_LENGTH, _DICT_DATA = 2, 3
 
 
 def decode_orc_column(b: bytes, column: str) -> dict:
@@ -261,10 +266,12 @@ def decode_orc_column(b: bytes, column: str) -> dict:
         physical = "long"
     elif tkind in _TYPE_DOUBLE:
         physical = "double"
+    elif tkind in _TYPE_STRING:
+        physical = "string"
     else:
         raise NotImplementedError(
             f"ORC type kind {tkind} decode is a declared boundary "
-            "(long and double columns)"
+            "(long, double, and string columns)"
         )
 
     values: list = []
@@ -289,52 +296,108 @@ def decode_orc_column(b: bytes, column: str) -> dict:
                         s["length"] = v2
                 streams.append(s)
             elif fid == 2 and wire == 2:
-                e = 0
+                e, dsz = 0, 0
                 for f2, w2, v2 in _pb_fields(v):
                     if f2 == 1 and w2 == 0:
                         e = v2
-                encodings.append(e)
+                    elif f2 == 2 and w2 == 0:
+                        dsz = v2
+                encodings.append((e, dsz))
         if col_id >= len(encodings):
             raise ValueError("stripe footer lacks the column's encoding")
-        enc = encodings[col_id]
-        if enc in (_DICT, _DICT_V2):
-            raise NotImplementedError(
-                "ORC dictionary column encodings are a declared boundary"
-            )
+        enc, dict_size = encodings[col_id]
         if physical == "long" and enc != _DIRECT_V2:
             raise NotImplementedError(
                 f"ORC integer encoding {enc} is a declared boundary "
                 "(DIRECT_V2 / RLEv2)"
             )
+        if physical == "double" and enc != _DIRECT:
+            raise NotImplementedError(
+                f"ORC double encoding {enc} is a declared boundary"
+            )
+        if physical == "string" and enc not in (_DIRECT_V2, _DICT_V2):
+            raise NotImplementedError(
+                f"ORC string encoding {enc} is a declared boundary "
+                "(DIRECT_V2 / DICTIONARY_V2)"
+            )
         pos = st["offset"]
-        present_raw = data_raw = None
+        raws: dict[int, bytes] = {}
         for s in streams:
             if pos + s["length"] > len(b):
                 raise ValueError("stream overruns the file")
-            if s["column"] == col_id and s["kind"] == _PRESENT:
-                present_raw = b[pos : pos + s["length"]]
-            elif s["column"] == col_id and s["kind"] == _DATA:
-                data_raw = b[pos : pos + s["length"]]
+            if s["column"] == col_id and s["kind"] in (
+                _PRESENT, _DATA, _LENGTH, _DICT_DATA
+            ):
+                raws[s["kind"]] = b[pos : pos + s["length"]]
             pos += s["length"]
-        if data_raw is None:
+        if _DATA not in raws:
             raise ValueError(f"column {column!r} has no DATA stream")
         n = st["n_rows"]
-        if present_raw is not None:
+        if _PRESENT in raws:
             present = bool_decode(
-                _decompress_stream(present_raw, codec), n
+                _decompress_stream(raws[_PRESENT], codec), n
             )
         else:
             present = [True] * n
         nn = sum(present)
-        data = _decompress_stream(data_raw, codec)
+        data = _decompress_stream(raws[_DATA], codec)
         if physical == "long":
             vals = rlev2_decode(data, nn)
-        else:
+        elif physical == "double":
             if len(data) < 8 * nn:
                 raise ValueError("double DATA stream too short")
             vals = list(struct.unpack_from(f"<{nn}d", data, 0))
             if any(v != v for v in vals):
                 raise ValueError("NaN in a double DATA stream")
+        elif enc == _DIRECT_V2:  # string, inline
+            if _LENGTH not in raws:
+                raise ValueError("string column without a LENGTH stream")
+            lens = rlev2_decode(
+                _decompress_stream(raws[_LENGTH], codec), nn,
+                signed=False,
+            )
+            if any(ln < 0 for ln in lens):
+                raise ValueError("negative string length")
+            if sum(lens) > len(data):
+                raise ValueError("string DATA stream too short")
+            vals = []
+            off = 0
+            try:
+                for ln in lens:
+                    vals.append(data[off : off + ln].decode("utf-8"))
+                    off += ln
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"invalid utf-8 in string data: {exc}") from exc
+        else:  # string, DICTIONARY_V2
+            if _LENGTH not in raws or _DICT_DATA not in raws:
+                raise ValueError(
+                    "dictionary string column missing LENGTH or "
+                    "DICTIONARY_DATA"
+                )
+            dlens = rlev2_decode(
+                _decompress_stream(raws[_LENGTH], codec), dict_size,
+                signed=False,
+            )
+            dbytes = _decompress_stream(raws[_DICT_DATA], codec)
+            if sum(dlens) > len(dbytes):
+                raise ValueError("dictionary data stream too short")
+            entries = []
+            off = 0
+            try:
+                for ln in dlens:
+                    entries.append(dbytes[off : off + ln].decode("utf-8"))
+                    off += ln
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"invalid utf-8 in dictionary: {exc}") from exc
+            idxs = rlev2_decode(data, nn, signed=False)
+            vals = []
+            for i in idxs:
+                if not 0 <= i < len(entries):
+                    raise ValueError(
+                        f"dictionary index {i} outside the "
+                        f"{len(entries)}-entry dictionary"
+                    )
+                vals.append(entries[i])
         it = iter(vals)
         values.extend(next(it) if p else None for p in present)
     return {"values": values, "n_stripes": len(stripes)}
@@ -393,4 +456,58 @@ def orc_decode_column_stats(df, *, micro: int = 1_000_000):
 
     return df.select("tbl", "col", "kind", "path").mapInPandas(
         kernel, ORC_DECODE_REPORT_SCHEMA
+    )
+
+
+ORC_STRING_REPORT_SCHEMA = (
+    "tbl string, col string, num_rows long, null_count long, "
+    "total_chars long, n_distinct long, min_val string, max_val string"
+)
+
+
+def orc_string_column_stats(df):
+    """(tbl, col, path) rows -> one audit row each over values THIS
+    module decoded; pyarrow.orc is the in-kernel row-for-row
+    cross-check."""
+    import pandas as pd
+
+    def kernel(batches):
+        import pyarrow.orc as po
+
+        for pdf in batches:
+            out = {k: [] for k in ("tbl", "col", "num_rows", "null_count",
+                                   "total_chars", "n_distinct", "min_val",
+                                   "max_val")}
+            for tbl, col, path in zip(pdf["tbl"], pdf["col"], pdf["path"]):
+                with open(path, "rb") as f:
+                    b = f.read()
+                ref = po.ORCFile(path).read(columns=[col])[col].to_pylist()
+                if not ref:
+                    out["tbl"].append(tbl)
+                    out["col"].append(col)
+                    out["num_rows"].append(0)
+                    out["null_count"].append(0)
+                    out["total_chars"].append(None)
+                    out["n_distinct"].append(0)
+                    out["min_val"].append(None)
+                    out["max_val"].append(None)
+                    continue
+                vals = decode_orc_column(b, str(col))["values"]
+                if vals != ref:
+                    raise ValueError(
+                        f"{tbl}.{col}: hand decode disagrees with pyarrow"
+                    )
+                present = [v for v in vals if v is not None]
+                out["tbl"].append(tbl)
+                out["col"].append(col)
+                out["num_rows"].append(len(vals))
+                out["null_count"].append(len(vals) - len(present))
+                out["total_chars"].append(sum(len(v) for v in present))
+                out["n_distinct"].append(len(set(present)))
+                out["min_val"].append(min(present) if present else None)
+                out["max_val"].append(max(present) if present else None)
+            yield pd.DataFrame(out)
+
+    return df.select("tbl", "col", "path").mapInPandas(
+        kernel, ORC_STRING_REPORT_SCHEMA
     )

@@ -491,6 +491,81 @@ def orc_data_decode_report(spark, sf_dir):
     return orc_decode_column_stats(df.repartition(len(rows)))
 
 
+# --- ORC string decode -----------------------------------------------------------------
+
+_ORC_STRING_COLUMNS = (
+    ("customer", "c_name"),
+    ("part", "p_brand"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("nation", "n_name"),
+    ("region", "r_name"),
+    ("supplier", "s_name"),
+    ("documents", "lang"),
+    ("events", "event_type"),
+)
+
+
+def _orc_string_arm(tbl: str, col: str) -> str:
+    return (
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, "
+        f"cast(count(*) AS bigint) AS num_rows, "
+        f"cast(count(*) - count({col}) AS bigint) AS null_count, "
+        f"cast(sum(length({col})) AS bigint) AS total_chars, "
+        f"cast(count(DISTINCT {col}) AS bigint) AS n_distinct, "
+        f"min({col}) AS min_val, max({col}) AS max_val FROM {tbl}"
+    )
+
+
+@register(
+    "orc_string_decode_report",
+    oracle="\nUNION ALL\n".join(_orc_string_arm(t, c)
+                                for t, c in _ORC_STRING_COLUMNS),
+    tags=("extension", "formats", "codec"),
+)
+def orc_string_decode_report(spark, sf_dir):
+    """ORC STRING decode end to end (round-12) — the string half of
+    orc_data_decode_report, exercising the writer's BOTH string
+    encodings: DIRECT_V2 (concatenated UTF-8 sliced by an unsigned
+    RLEv2 LENGTH stream — high-cardinality columns like c_name) and
+    DICTIONARY_V2 (unsigned RLEv2 indices into a LENGTH-sliced
+    DICTIONARY_DATA blob, bounds-checked — low-cardinality columns
+    like l_returnflag; the java writer picks per column, so both paths
+    run in every sweep). The kernel cross-checks against pyarrow.orc
+    row for row; the oracle recomputes row/null/char/distinct counts
+    and the lexical extremes from the data.
+
+    Scale: one sequential pass per column's streams per stripe —
+    dictionary columns decode the dictionary once per stripe and then
+    stream indices, the exact reason the encoding exists."""
+    import glob
+    import tempfile
+
+    from ..operators.orc_data import orc_string_column_stats
+
+    codecs = _orc_codec_by_table()
+    base = tempfile.mkdtemp(prefix="orc_string_audit_")
+    rows = []
+    for tbl in sorted({t for t, _ in _ORC_STRING_COLUMNS}):
+        audited = [c for t, c in _ORC_STRING_COLUMNS if t == tbl]
+        out = f"{base}/{tbl}"
+        (read_table(spark, sf_dir, tbl)
+         .select(*audited)
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("compression", codecs.get(tbl, "zlib"))
+         .option("orc.stripe.size", str(1 << 30))
+         .orc(out))
+        files = glob.glob(out + "/*.orc")
+        if len(files) != 1:
+            raise ValueError(
+                f"expected one ORC part for {tbl}, found {len(files)}"
+            )
+        rows += [(tbl, c, files[0]) for c in audited]
+    df = spark.createDataFrame(rows, "tbl string, col string, path string")
+    return orc_string_column_stats(df.repartition(len(rows)))
+
+
 # --- Parquet data-page decode -------------------------------------------------------------
 
 

@@ -2330,6 +2330,10 @@ def test_orc_decode_all_rlev2_subencodings(spark, tmp_path):
         ("cast(id AS double)/4 AS v", "zlib"),
         ("CASE WHEN id % 11 = 5 THEN NULL "
          "ELSE cast(id AS double)/8 END AS v", "none"),
+        # strings: DIRECT_V2 (high cardinality) and DICTIONARY_V2
+        ("concat('unique-', id) AS v", "zlib"),
+        ("CASE WHEN id % 9 = 4 THEN NULL "
+         "ELSE concat('cat', id % 5) END AS v", "snappy"),
     ]
     for i, (expr, codec) in enumerate(cases):
         path = _orc_data_file(spark, str(tmp_path / str(i)), expr, codec)
@@ -2353,12 +2357,15 @@ def test_orc_decode_rejections(spark, tmp_path):
         decode_orc_column(b, "ghost")
     with pytest.raises(ValueError, match="not an ORC file"):
         decode_orc_column(b"XXX" + b[3:], "v")
-    # string columns are the declared decode boundary (dictionary or
-    # DIRECT_V2-with-length trees)
-    sp = _orc_data_file(spark, str(tmp_path) + "/s",
-                        "concat('u', id % 9) AS v")
+    # timestamps remain the declared decode boundary
+    import glob as _glob
+
+    (spark.range(0, 50).selectExpr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS v")
+     .coalesce(1).write.mode("overwrite")
+     .option("compression", "zlib").orc(str(tmp_path) + "/ts"))
+    tsf = _glob.glob(str(tmp_path) + "/ts/*.orc")[0]
     with pytest.raises(NotImplementedError, match="boundary"):
-        decode_orc_column(open(sp, "rb").read(), "v")
+        decode_orc_column(open(tsf, "rb").read(), "v")
     # primitive decoders fail loud
     with pytest.raises(ValueError, match="exhausted"):
         rlev2_decode(b"", 5)
@@ -2416,4 +2423,7 @@ def test_orc_decoder_never_leaks_on_mutations(data):
         r = decode_orc_column(bytes(blob), "v")
     except (ValueError, NotImplementedError):
         return
-    assert r["n_stripes"] >= 1
+    # a mutation may legally empty the stripe list (an empty ORC file
+    # has zero stripes); anything parsed must still be self-consistent
+    assert r["n_stripes"] >= 0
+    assert isinstance(r["values"], list)
