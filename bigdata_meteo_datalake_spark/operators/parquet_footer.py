@@ -145,6 +145,11 @@ def _read_value(b: bytes, pos: int, ttype: int):
             raise ValueError("truncated map types byte")
         ktype, vtype = b[pos] >> 4, b[pos] & 0x0F
         pos += 1
+        if ktype in (_LIST, _SET, _MAP, _STRUCT):
+            # a corrupted type nibble can claim container-typed map
+            # keys, whose decoded python values are unhashable — the
+            # contract demands ValueError, not TypeError at out[k]
+            raise ValueError("thrift map with non-scalar keys")
         out = {}
         for _ in range(size):
             k, pos = _read_value(b, pos, ktype)

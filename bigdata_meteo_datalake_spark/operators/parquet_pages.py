@@ -17,11 +17,22 @@ path, from the PUBLIC parquet-format spec:
   values, LSB-first), behind the v1 data page's 4-byte length prefix
   — REQUIRED columns carry no levels and decode straight;
 - PLAIN values: int64/double as 8-byte LE, byte arrays as 4-byte
-  length + bytes, booleans bit-packed LSB-first. Dictionary pages,
-  v2 data pages, and non-PLAIN value encodings (DELTA_*,
-  RLE_DICTIONARY) are declared boundaries — the audit writes with
-  dictionary encoding disabled, exactly like the bloom audit, and a
-  boundary page raises rather than skipping silently.
+  length + bytes, booleans bit-packed LSB-first;
+- dictionary encoding, the writer's DEFAULT path: the chunk-leading
+  dictionary page PLAIN-decodes, and PLAIN_DICTIONARY/RLE_DICTIONARY
+  data pages carry a bit-width byte plus hybrid-packed indices mapped
+  through it (bounds-checked; PLAIN fallback pages mixing into the
+  same chunk are handled per page, exactly the parquet-mr
+  dictionary-overflow behavior);
+- v2 data pages (DataPageHeaderV2): uncompressed prefix-free levels
+  sized by the header, a declared null count reconciled against the
+  decoded levels, per-page is_compressed, and DELTA_BINARY_PACKED
+  integers (block/miniblock geometry validated, zigzag first value
+  and min-deltas, LSB-first packed delta offsets), plus the v2 string
+  encodings DELTA_LENGTH_BYTE_ARRAY (a DBP length run + concatenated
+  bytes) and DELTA_BYTE_ARRAY (front-coded: DBP prefix lengths over a
+  DELTA_LENGTH suffix run). Nested repetition levels and
+  BYTE_STREAM_SPLIT are declared boundaries raised loudly.
 
 Every page's value count is reconciled against the chunk's declared
 num_values, and every byte of every page is consumed exactly.
@@ -42,14 +53,132 @@ from .parquet_footer import _read_struct, _top_level_repetition, _typed
 
 __all__ = [
     "decode_parquet_column",
+    "delta_binary_packed",
+    "delta_byte_array",
+    "delta_length_byte_array",
     "rle_bp_hybrid",
 ]
 
 _CODECS = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP"}
 _DECLARED_CODECS = {3: "LZO", 4: "BROTLI", 5: "LZ4", 6: "ZSTD",
                     7: "LZ4_RAW"}
-_PLAIN = 0
+_PLAIN, _PLAIN_DICT, _DELTA_BP, _DELTA_LBA, _DELTA_BA, _RLE_DICT = \
+    0, 2, 5, 6, 7, 8
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
+
+
+def _uvarint(b: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("varint overruns the page")
+        byte = b[pos]
+        pos += 1
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def delta_binary_packed(buf: bytes, n: int) -> list[int]:
+    """DELTA_BINARY_PACKED decode of exactly ``n`` values (the v2
+    writer's integer encoding): header varints (block size, miniblocks
+    per block, total count, zigzag first value), then per block a
+    zigzag min-delta varint, one width byte per miniblock, and
+    LSB-first bit-packed unsigned delta offsets."""
+    vals, _ = _dbp_at(buf, 0, n)
+    return vals
+
+
+def _dbp_at(buf: bytes, pos: int, n: int) -> tuple[list[int], int]:
+    """delta_binary_packed from ``pos``, returning the end position —
+    the byte-array encodings embed DBP runs mid-page."""
+    bs, pos = _uvarint(buf, pos)
+    nmb, pos = _uvarint(buf, pos)
+    total, pos = _uvarint(buf, pos)
+    fu, pos = _uvarint(buf, pos)
+    first = (fu >> 1) ^ -(fu & 1)
+    if total != n:
+        raise ValueError(
+            f"DELTA_BINARY_PACKED carries {total} values, the page "
+            f"needs {n}"
+        )
+    if total == 0:
+        return [], pos
+    if bs <= 0 or nmb <= 0 or bs % nmb or (bs // nmb) % 8:
+        raise ValueError(
+            f"illegal delta block geometry {bs}/{nmb}"
+        )
+    vpm = bs // nmb
+    out = [first]
+    while len(out) < total:
+        mdu, pos = _uvarint(buf, pos)
+        min_delta = (mdu >> 1) ^ -(mdu & 1)
+        if pos + nmb > len(buf):
+            raise ValueError("miniblock width list overruns the page")
+        widths = buf[pos : pos + nmb]
+        pos += nmb
+        for w in widths:
+            if len(out) >= total:
+                # trailing miniblocks may be absent once the count is met
+                continue
+            if w > 64:
+                raise ValueError(f"delta miniblock width {w} > 64")
+            if w == 0:
+                deltas = [0] * vpm
+            else:
+                nbytes = vpm * w // 8
+                if pos + nbytes > len(buf):
+                    raise ValueError("delta miniblock overruns the page")
+                bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+                pos += nbytes
+                mask = (1 << w) - 1
+                deltas = [(bits >> (i * w)) & mask for i in range(vpm)]
+            for d in deltas:
+                if len(out) >= total:
+                    break
+                out.append(out[-1] + min_delta + d)
+    return out[:n], pos
+
+
+def delta_length_byte_array(buf: bytes, n: int) -> list[bytes]:
+    """DELTA_LENGTH_BYTE_ARRAY (the v2 writer's string encoding):
+    a DBP run of lengths, then the concatenated bytes."""
+    lens, pos = _dbp_at(buf, 0, n)
+    if any(ln < 0 for ln in lens):
+        raise ValueError("negative byte-array length")
+    if pos + sum(lens) > len(buf):
+        raise ValueError("byte-array data overruns the page")
+    out = []
+    for ln in lens:
+        out.append(buf[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def delta_byte_array(buf: bytes, n: int) -> list[bytes]:
+    """DELTA_BYTE_ARRAY (incremental/front-coded strings): a DBP run
+    of shared-prefix lengths, then a DELTA_LENGTH_BYTE_ARRAY of
+    suffixes; each value reuses its predecessor's prefix."""
+    plens, pos = _dbp_at(buf, 0, n)
+    slens, pos = _dbp_at(buf, pos, n)
+    if any(ln < 0 for ln in plens) or any(ln < 0 for ln in slens):
+        raise ValueError("negative prefix/suffix length")
+    if pos + sum(slens) > len(buf):
+        raise ValueError("suffix data overruns the page")
+    out: list[bytes] = []
+    prev = b""
+    for pl, sl in zip(plens, slens):
+        if pl > len(prev):
+            raise ValueError("prefix length exceeds the previous value")
+        v = prev[:pl] + buf[pos : pos + sl]
+        pos += sl
+        out.append(v)
+        prev = v
+    return out
 
 
 def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
@@ -203,13 +332,9 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
             raise ValueError(f"unknown parquet codec {codec_id}")
         chunk_values = _typed(meta, 5, int, "num_values")
         total = _typed(meta, 7, int, "total_compressed_size")
-        off = _typed(meta, 11, int, "dictionary_page_offset")
-        if off is not None:
-            raise NotImplementedError(
-                "dictionary-encoded chunks are a declared boundary (the "
-                "audit writes with parquet.enable.dictionary=false)"
-            )
-        off = _typed(meta, 9, int, "data_page_offset")
+        dict_off = _typed(meta, 11, int, "dictionary_page_offset")
+        data_off = _typed(meta, 9, int, "data_page_offset")
+        off = dict_off if dict_off is not None else data_off
         if None in (chunk_values, total, off):
             raise ValueError("column chunk missing offsets/counts")
         if off < 0 or total <= 0 or off + total > len(b):
@@ -217,6 +342,7 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
 
         pos = off
         seen = 0
+        dictionary = None
         while pos < off + total:
             ph, hend = _read_struct(b, pos)
             ptype_pg = _typed(ph, 1, int, "PageHeader.type")
@@ -230,64 +356,169 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
             crc = _typed(ph, 4, int, "PageHeader.crc")
             if crc is not None and zlib.crc32(comp) != crc & 0xFFFFFFFF:
                 raise ValueError("page CRC32 mismatch")
-            if ptype_pg == _PAGE_DICT:
-                raise NotImplementedError(
-                    "dictionary pages are a declared boundary"
-                )
-            if ptype_pg == _PAGE_DATA_V2:
-                raise NotImplementedError(
-                    "v2 data pages are a declared boundary (the audit "
-                    "writes PARQUET_1_0)"
-                )
-            if ptype_pg != _PAGE_DATA:
-                raise ValueError(f"unexpected page type {ptype_pg}")
-            dph = _typed(ph, 5, dict, "data_page_header")
-            if dph is None:
-                raise ValueError("data page without its header")
-            nv = _typed(dph, 1, int, "num_values")
-            enc = _typed(dph, 2, int, "encoding")
-            if nv is None or nv <= 0:
-                raise ValueError("data page without a value count")
-            if enc != _PLAIN:
-                raise NotImplementedError(
-                    f"value encoding {enc} is a declared boundary "
-                    "(PLAIN only)"
-                )
-            if codec == "SNAPPY":
-                data = snappy_uncompress(comp)
-            elif codec == "GZIP":
-                import gzip
+            def inflate(payload: bytes, want: int) -> bytes:
+                if codec == "SNAPPY":
+                    data = snappy_uncompress(payload)
+                elif codec == "GZIP":
+                    import gzip
 
-                try:
-                    data = gzip.decompress(comp)
-                except (OSError, EOFError, zlib.error) as exc:
+                    try:
+                        data = gzip.decompress(payload)
+                    except (OSError, EOFError, zlib.error) as exc:
+                        raise ValueError(
+                            f"corrupt GZIP page: {exc}"
+                        ) from exc
+                else:
+                    data = payload
+                if len(data) != want:
                     raise ValueError(
-                        f"corrupt GZIP page: {exc}"
-                    ) from exc
-            else:
-                data = comp
-            if len(data) != usize:
-                raise ValueError(
-                    f"page inflates to {len(data)} bytes, header "
-                    f"declares {usize}"
+                        f"page inflates to {len(data)} bytes, header "
+                        f"declares {want}"
+                    )
+                return data
+
+            def decode_values(data: bytes, enc: int, present: int) -> list:
+                if enc == _PLAIN:
+                    return _plain_values(data, 0, present, physical)
+                if enc in (_PLAIN_DICT, _RLE_DICT):
+                    if dictionary is None:
+                        raise ValueError(
+                            "dictionary-encoded page before any "
+                            "dictionary page"
+                        )
+                    if not data:
+                        raise ValueError("empty dictionary-index page")
+                    bw = data[0]
+                    if bw == 0 or bw > 32:
+                        raise ValueError(
+                            f"dictionary index bit width {bw} out of "
+                            "range"
+                        )
+                    idxs = rle_bp_hybrid(data[1:], bw, present)
+                    out = []
+                    for i in idxs:
+                        if not 0 <= i < len(dictionary):
+                            raise ValueError(
+                                f"dictionary index {i} outside the "
+                                f"{len(dictionary)}-entry dictionary"
+                            )
+                        out.append(dictionary[i])
+                    return out
+                if enc == _DELTA_BP:
+                    if physical not in ("int64", "int32"):
+                        raise NotImplementedError(
+                            "DELTA_BINARY_PACKED on non-integer types "
+                            "is a declared boundary"
+                        )
+                    return delta_binary_packed(data, present)
+                if enc == _DELTA_LBA:
+                    if physical != "byte_array":
+                        raise ValueError(
+                            "DELTA_LENGTH_BYTE_ARRAY on a non-byte-array "
+                            "column"
+                        )
+                    return delta_length_byte_array(data, present)
+                if enc == _DELTA_BA:
+                    if physical != "byte_array":
+                        raise ValueError(
+                            "DELTA_BYTE_ARRAY on a non-byte-array column"
+                        )
+                    return delta_byte_array(data, present)
+                raise NotImplementedError(
+                    f"value encoding {enc} is a declared boundary"
                 )
-            vpos = 0
-            if optional:
-                if len(data) < 4:
-                    raise ValueError("missing definition-level length")
-                (dlen,) = struct.unpack_from("<I", data, 0)
-                if 4 + dlen > len(data):
-                    raise ValueError("definition levels overrun the page")
-                levels = rle_bp_hybrid(data[4 : 4 + dlen], 1, nv)
-                vpos = 4 + dlen
+
+            if ptype_pg == _PAGE_DICT:
+                dph = _typed(ph, 7, dict, "dictionary_page_header")
+                if dph is None:
+                    raise ValueError("dictionary page without its header")
+                dn = _typed(dph, 1, int, "dictionary num_values")
+                denc = _typed(dph, 2, int, "dictionary encoding")
+                if dn is None or dn < 0:
+                    raise ValueError("dictionary page without a count")
+                if denc not in (_PLAIN, _PLAIN_DICT):
+                    raise NotImplementedError(
+                        f"dictionary page encoding {denc} is a declared "
+                        "boundary"
+                    )
+                if dictionary is not None:
+                    raise ValueError("second dictionary page in a chunk")
+                data = inflate(comp, usize)
+                dictionary = _plain_values(data, 0, dn, physical)
+            elif ptype_pg == _PAGE_DATA:
+                dph = _typed(ph, 5, dict, "data_page_header")
+                if dph is None:
+                    raise ValueError("data page without its header")
+                nv = _typed(dph, 1, int, "num_values")
+                enc = _typed(dph, 2, int, "encoding")
+                if nv is None or nv <= 0:
+                    raise ValueError("data page without a value count")
+                data = inflate(comp, usize)
+                vpos = 0
+                if optional:
+                    if len(data) < 4:
+                        raise ValueError("missing definition-level length")
+                    (dlen,) = struct.unpack_from("<I", data, 0)
+                    if 4 + dlen > len(data):
+                        raise ValueError(
+                            "definition levels overrun the page"
+                        )
+                    levels = rle_bp_hybrid(data[4 : 4 + dlen], 1, nv)
+                    vpos = 4 + dlen
+                else:
+                    levels = [1] * nv
+                present = sum(levels)
+                vals = decode_values(data[vpos:], enc, present)
+                it = iter(vals)
+                values.extend(next(it) if lv else None for lv in levels)
+                seen += nv
+                n_pages += 1
+            elif ptype_pg == _PAGE_DATA_V2:
+                dph = _typed(ph, 8, dict, "data_page_header_v2")
+                if dph is None:
+                    raise ValueError("v2 data page without its header")
+                nv = _typed(dph, 1, int, "num_values")
+                nnulls = _typed(dph, 2, int, "num_nulls", 0) or 0
+                enc = _typed(dph, 4, int, "encoding")
+                dll = _typed(dph, 5, int, "definition_levels_byte_length",
+                             0) or 0
+                rll = _typed(dph, 6, int, "repetition_levels_byte_length",
+                             0) or 0
+                is_comp = _typed(dph, 7, bool, "is_compressed", True)
+                if is_comp is None:
+                    is_comp = True
+                if nv is None or nv <= 0:
+                    raise ValueError("v2 data page without a value count")
+                if rll:
+                    raise NotImplementedError(
+                        "repetition levels (nested data) are a declared "
+                        "boundary"
+                    )
+                if dll > len(comp):
+                    raise ValueError("v2 levels overrun the page")
+                # v2: levels are stored UNCOMPRESSED, no length prefix,
+                # ahead of the (possibly compressed) values
+                if optional:
+                    levels = rle_bp_hybrid(comp[:dll], 1, nv)
+                else:
+                    levels = [1] * nv
+                present = sum(levels)
+                if nv - present != nnulls:
+                    raise ValueError(
+                        f"v2 page declares {nnulls} nulls, levels "
+                        f"give {nv - present}"
+                    )
+                body = comp[dll:]
+                data = inflate(body, usize - dll) if is_comp else body
+                if not is_comp and len(data) != usize - dll:
+                    raise ValueError("v2 uncompressed size mismatch")
+                vals = decode_values(data, enc, present)
+                it = iter(vals)
+                values.extend(next(it) if lv else None for lv in levels)
+                seen += nv
+                n_pages += 1
             else:
-                levels = [1] * nv
-            present = sum(levels)
-            vals = _plain_values(data[vpos:], 0, present, physical)
-            it = iter(vals)
-            values.extend(next(it) if lv else None for lv in levels)
-            seen += nv
-            n_pages += 1
+                raise ValueError(f"unexpected page type {ptype_pg}")
             pos = hend + csize
         if pos != off + total:
             raise ValueError("pages do not consume the chunk exactly")

@@ -607,8 +607,11 @@ def parquet_page_decode_report(spark, sf_dir):
     library in the path (operators/parquet_pages.py: thrift page
     headers with CRC32 verification, codec cycling uncompressed/GZIP/
     hand-rolled SNAPPY per table, RLE/bit-packed definition levels,
-    PLAIN value decode, every byte of every page consumed exactly and
-    every page count reconciled). The kernel additionally cross-checks
+    PLAIN + dictionary (RLE_DICTIONARY indices through a PLAIN-decoded
+    dictionary page) + v2 DELTA_BINARY_PACKED value decode with writer
+    modes cycling plain-v1/dictionary-v1/v2 per table, every byte of
+    every page consumed exactly and every page count reconciled). The
+    kernel additionally cross-checks
     the hand decode against pyarrow row for row before reporting, and
     the ORACLE recomputes every aggregate from the data — sums are
     per-value micro-quantized integers on both sides, so 60k-row
@@ -628,24 +631,32 @@ def parquet_page_decode_report(spark, sf_dir):
 
     cols = _pageindex_columns()
     codecs = {}
+    modes = {}
     for i, tbl in enumerate(sorted({t for t, _, _ in cols})):
         codecs[tbl] = ("uncompressed", "gzip", "snappy")[i % 3]
+        # writer-mode cycling: PLAIN v1, dictionary v1 (the writer's
+        # default path), and v2 (DELTA_BINARY_PACKED ints, per-page
+        # is_compressed) — so every decode path runs in every sweep
+        modes[tbl] = ("plain", "dict", "v2")[i % 3]
     base = tempfile.mkdtemp(prefix="page_decode_audit_")
     rows = []
     for tbl in sorted({t for t, _, _ in cols}):
         audited = [(c, k) for t, c, k in cols if t == tbl]
         out = f"{base}/{tbl}"
-        (read_table(spark, sf_dir, tbl)
-         .select(*[F.col(c).cast("long" if k == "int" else "double")
-                   .alias(c) for c, k in audited])
-         .coalesce(1)
-         .write.mode("overwrite")
-         .option("parquet.enable.dictionary", "false")
-         .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
-         .option("parquet.page.size", str(1 << 23))
-         .option("parquet.block.size", str(1 << 30))
-         .option("compression", codecs[tbl])
-         .parquet(out))
+        w = (read_table(spark, sf_dir, tbl)
+             .select(*[F.col(c).cast("long" if k == "int" else "double")
+                       .alias(c) for c, k in audited])
+             .coalesce(1)
+             .write.mode("overwrite")
+             .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
+             .option("parquet.page.size", str(1 << 23))
+             .option("parquet.block.size", str(1 << 30))
+             .option("compression", codecs[tbl]))
+        if modes[tbl] != "dict":
+            w = w.option("parquet.enable.dictionary", "false")
+        if modes[tbl] == "v2":
+            w = w.option("parquet.writer.version", "v2")
+        w.parquet(out)
         files = glob.glob(out + "/*.parquet")
         if len(files) != 1:
             raise ValueError(

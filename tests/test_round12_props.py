@@ -2207,18 +2207,30 @@ def test_page_decode_boundaries_and_rejections(spark, tmp_path):
         decode_parquet_column(b, "ghost")
     with pytest.raises(ValueError, match="not a parquet file"):
         decode_parquet_column(b"XXXX" + b[4:], "v")
-    # dictionary-encoded chunk is the declared boundary
+    # dictionary-encoded chunks (the writer default) now decode
+    import pyarrow.parquet as _pq
+
     (spark.range(0, 100).selectExpr("id % 5 AS v").coalesce(1)
      .write.mode("overwrite").parquet(str(tmp_path / "d")))
-    db = open(glob.glob(str(tmp_path / "d") + "/*.parquet")[0],
-              "rb").read()
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        decode_parquet_column(db, "v")
-    # v2 data pages are the declared boundary
-    v2 = _page_file(spark, str(tmp_path / "v2"), "id AS v", "snappy",
+    dfp = glob.glob(str(tmp_path / "d") + "/*.parquet")[0]
+    db = open(dfp, "rb").read()
+    assert decode_parquet_column(db, "v")["values"] == \
+        _pq.read_table(dfp, columns=["v"])["v"].to_pylist()
+    # v2 data pages (DELTA_BINARY_PACKED) now decode
+    v2 = _page_file(spark, str(tmp_path / "v2"),
+                    "CASE WHEN id % 7 = 3 THEN NULL "
+                    "ELSE id * 37 - 5000 END AS v", "snappy",
+                    parquet__enable__dictionary="false",
                     parquet__writer__version="v2")
-    with pytest.raises(NotImplementedError, match="v2|boundary"):
-        decode_parquet_column(open(v2, "rb").read(), "v")
+    got = decode_parquet_column(open(v2, "rb").read(), "v")["values"]
+    assert got == _pq.read_table(v2, columns=["v"])["v"].to_pylist()
+    # v2 dictionary strings also roundtrip (RLE_DICTIONARY inside v2)
+    v2d = _page_file(spark, str(tmp_path / "v2d"),
+                     "concat('s', id % 7) AS v", "gzip",
+                     parquet__writer__version="v2")
+    got = decode_parquet_column(open(v2d, "rb").read(), "v")["values"]
+    got = [g.decode() if g is not None else None for g in got]
+    assert got == _pq.read_table(v2d, columns=["v"])["v"].to_pylist()
     # zstd pages are the declared boundary
     z = _page_file(spark, str(tmp_path / "z"), "id AS v", "zstd")
     with pytest.raises(NotImplementedError, match="ZSTD"):
