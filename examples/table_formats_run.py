@@ -42,7 +42,11 @@ from bigdata_meteo_datalake_spark.queries.ext_formats import (
     delta_log_snapshot,
     hudi_timeline_report,
     iceberg_snapshot_report,
+    orc_data_decode_report,
+    orc_index_report,
+    orc_string_decode_report,
     parquet_bloom_probe_report,
+    parquet_page_decode_report,
     parquet_pageindex_report,
 )
 from bigdata_meteo_datalake_spark.queries.ext_layout import (
@@ -88,6 +92,25 @@ def main(sf_dir: str) -> None:
     ).collect()[0]
     print(f"page indexes: {pages.c} column audits, {pages.p} pages, "
           "every page's bounds held to its rows")
+    strides = orc_index_report(spark, sf_dir).agg(
+        F.sum("n_strides").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    print(f"ORC row-group indexes: {strides.c} column audits, "
+          f"{strides.s} strides, per-stride stats AND blooms verified")
+
+    # 2b. the capstones: read the VALUES with no format library
+    for name, fn in (("parquet decode", parquet_page_decode_report),
+                     ("ORC decode", orc_data_decode_report)):
+        a = fn(spark, sf_dir).agg(
+            F.count("*").alias("c"), F.sum("num_rows").alias("r")
+        ).collect()[0]
+        print(f"{name}: {a.c} columns / {a.r} rows hand-decoded, "
+              "pyarrow-cross-checked, oracle-hash-locked")
+    sd = orc_string_decode_report(spark, sf_dir).agg(
+        F.count("*").alias("c"), F.sum("total_chars").alias("ch")
+    ).collect()[0]
+    print(f"ORC string decode: {sd.c} columns / {sd.ch} chars through "
+          "both string encodings")
 
     # 3. arrival formats: front-door decode accounting
     avro = avro_shard_report(spark, sf_dir).agg(

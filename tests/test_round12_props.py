@@ -2439,3 +2439,41 @@ def test_orc_decoder_never_leaks_on_mutations(data):
     # has zero stripes); anything parsed must still be self-consistent
     assert r["n_stripes"] >= 0
     assert isinstance(r["values"], list)
+
+
+def test_data_decoders_triangulate_with_spark_reader(spark, tmp_path):
+    """Third-reader triangulation: the hand decoders must agree not
+    just with pyarrow (the in-kernel cross-check) but with SPARK'S own
+    scans of the same files — three independent implementations
+    converging on identical values, parquet and ORC alike."""
+    import glob
+
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        decode_orc_column,
+    )
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    df = spark.range(0, 2750).selectExpr(
+        "CASE WHEN id % 7 = 3 THEN NULL ELSE id * 37 - 5000 END AS v")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("compression", "snappy")
+     .parquet(str(tmp_path / "pq")))
+    pf = glob.glob(str(tmp_path / "pq") + "/*.parquet")[0]
+    got = decode_parquet_column(open(pf, "rb").read(), "v")["values"]
+    want = [r["v"] for r in spark.read.parquet(str(tmp_path / "pq"))
+            .orderBy("v").collect()]
+    assert sorted((g for g in got if g is not None)) == \
+        [w for w in want if w is not None]
+    assert got.count(None) == sum(1 for w in want if w is None)
+
+    (df.coalesce(1).write.mode("overwrite")
+     .option("compression", "zlib").orc(str(tmp_path / "orc")))
+    of = glob.glob(str(tmp_path / "orc") + "/*.orc")[0]
+    got = decode_orc_column(open(of, "rb").read(), "v")["values"]
+    want = [r["v"] for r in spark.read.orc(str(tmp_path / "orc"))
+            .orderBy("v").collect()]
+    assert sorted((g for g in got if g is not None)) == \
+        [w for w in want if w is not None]
+    assert got.count(None) == sum(1 for w in want if w is None)
