@@ -150,6 +150,56 @@ def compressed_frame_probe_report(spark, sf_dir):
     return frame_probe_features(synthesize_frame_blobs(d))
 
 
+# --- CBOR event shards --------------------------------------------------------------
+
+_CBOR_ORACLE = """
+WITH r AS (
+  SELECT doc_id, j.j AS j
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+  WHERE j.j < 1 + doc_id % 4
+)
+SELECT doc_id,
+       cast(j AS int) AS rec_idx,
+       cast(doc_id * 10 + j AS bigint) AS id,
+       cast(-1 - (doc_id + j) AS bigint) AS neg,
+       'ev' || doc_id || '-' || j AS name,
+       (j % 2 = 0) AS ok,
+       doc_id * 0.5 + j * 0.25 AS score,
+       cast(j % 3 AS int) AS n_tags,
+       cast(1 + j % 4 AS int) AS blob_bytes,
+       cast(1700000000 + doc_id + j AS bigint) AS ts
+FROM r
+"""
+
+
+@register(
+    "cbor_events_report",
+    oracle=_CBOR_ORACLE,
+    tags=("extension", "formats", "codec"),
+)
+def cbor_events_report(spark, sf_dir):
+    """CBOR event-shard decode end to end (round-12) — RFC 8949, the
+    IETF binary serialization telemetry/COSE/WebAuthn payloads arrive
+    in: per document one CBOR array of event records exercising the
+    whole type surface (full unsigned/negative argument ladder, byte
+    and text strings, arrays, string-keyed maps with duplicate keys
+    rejected, epoch tags, null, bools, double floats — halves and
+    singles decode too, with RFC appendix D's half ladder). The
+    decoder (operators/cbor.py) runs in CANONICAL mode here, so
+    non-minimal arguments — the classic CBOR smuggling vector — and
+    trailing bytes raise; indefinite-length items and unknown tags are
+    declared boundaries. Every report field is a closed form the
+    oracle recomputes.
+
+    Scale: two chained mapInPandas stages over the id spine, zero
+    exchanges; shards decode independently."""
+    from ..operators.cbor import cbor_event_features, synthesize_cbor_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return cbor_event_features(synthesize_cbor_blobs(d))
+
+
 # --- Delta _delta_log snapshot reconstruction -------------------------------------
 
 _DELTA_ORACLE = """

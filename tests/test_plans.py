@@ -234,7 +234,7 @@ def test_real_codec_queries_are_pure_map(spark):
                  "avro_shard_report", "delta_log_snapshot",
                  "compressed_frame_probe_report", "iceberg_snapshot_report",
                  "arrow_ipc_report", "hudi_timeline_report",
-                 "arrow_stream_report"):
+                 "arrow_stream_report", "cbor_events_report"):
         df = QS[name](spark, SF0001)
         assert n_shuffle_exchanges(df) <= 1, name
         plan = df._jdf.queryExecution().executedPlan().toString()

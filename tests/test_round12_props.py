@@ -2477,3 +2477,134 @@ def test_data_decoders_triangulate_with_spark_reader(spark, tmp_path):
     assert sorted((g for g in got if g is not None)) == \
         [w for w in want if w is not None]
     assert got.count(None) == sum(1 for w in want if w is None)
+
+
+# --- CBOR (operators/cbor.py) ------------------------------------------------------------
+
+
+_CBOR_VALUES = st.recursive(
+    st.none() | st.booleans()
+    | st.integers(min_value=-(1 << 64), max_value=(1 << 64) - 1)
+    | st.floats(allow_nan=False)
+    | st.text(max_size=12) | st.binary(max_size=12),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=6), children, max_size=4),
+    max_leaves=20,
+)
+
+
+@_S
+@given(_CBOR_VALUES)
+def test_cbor_roundtrip_generated(v):
+    """Any JSON-shaped value (64-bit-extreme ints, arbitrary unicode,
+    bytes, nesting) roundtrips through the deterministic encoder and
+    the CANONICAL decoder — so the encoder emits only minimal forms."""
+    from bigdata_meteo_datalake_spark.operators.cbor import (
+        decode_cbor,
+        encode_cbor,
+    )
+
+    got = decode_cbor(encode_cbor(v), canonical=True)
+    assert got == v or (isinstance(v, float) and got == v)
+
+
+def test_cbor_rfc_vectors():
+    """Pinned to RFC 8949 appendix A examples, including the half-float
+    ladder (subnormal minimum, infinity) and the argument widths."""
+    from bigdata_meteo_datalake_spark.operators.cbor import (
+        decode_cbor,
+        encode_cbor,
+    )
+
+    vecs = {
+        bytes.fromhex("00"): 0,
+        bytes.fromhex("17"): 23,
+        bytes.fromhex("1818"): 24,
+        bytes.fromhex("1903e8"): 1000,
+        bytes.fromhex("1a000f4240"): 1000000,
+        bytes.fromhex("1b000000e8d4a51000"): 1000000000000,
+        bytes.fromhex("20"): -1,
+        bytes.fromhex("3863"): -100,
+        bytes.fromhex("f90001"): 5.960464477539063e-8,
+        bytes.fromhex("f97c00"): float("inf"),
+        bytes.fromhex("fa47c35000"): 100000.0,
+        bytes.fromhex("fb7e37e43c8800759c"): 1.0e300,
+        bytes.fromhex("f4"): False,
+        bytes.fromhex("f6"): None,
+        bytes.fromhex("6449455446"): "IETF",
+        bytes.fromhex("83010203"): [1, 2, 3],
+        bytes.fromhex("a26161016162820203"): {"a": 1, "b": [2, 3]},
+    }
+    for raw, want in vecs.items():
+        assert decode_cbor(raw) == want, raw.hex()
+    # encoder minimality against the same vectors (where types match)
+    assert encode_cbor(1000) == bytes.fromhex("1903e8")
+    assert encode_cbor(-100) == bytes.fromhex("3863")
+    assert encode_cbor([1, 2, 3]) == bytes.fromhex("83010203")
+
+
+def test_cbor_rejections():
+    from bigdata_meteo_datalake_spark.operators.cbor import decode_cbor
+
+    with pytest.raises(ValueError, match="empty"):
+        decode_cbor(b"")
+    with pytest.raises(ValueError, match="trailing"):
+        decode_cbor(bytes.fromhex("0000"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_cbor(bytes.fromhex("19"))
+    with pytest.raises(ValueError, match="overruns"):
+        decode_cbor(bytes.fromhex("6449455446")[:-1])
+    # non-minimal argument under canonical mode (24 encoded in 2 bytes)
+    decode_cbor(bytes.fromhex("190018"))
+    with pytest.raises(ValueError, match="non-minimal"):
+        decode_cbor(bytes.fromhex("190018"), canonical=True)
+    with pytest.raises(NotImplementedError, match="indefinite"):
+        decode_cbor(bytes.fromhex("9f01ff"))
+    with pytest.raises(ValueError, match="duplicate"):
+        decode_cbor(bytes.fromhex("a2616101616102"))  # {"a":1,"a":2}
+    with pytest.raises(ValueError, match="non-text map key"):
+        decode_cbor(bytes.fromhex("a10102"))  # {1: 2}
+    with pytest.raises(NotImplementedError, match="tag"):
+        decode_cbor(bytes.fromhex("d81e820102"))  # tag 30
+    with pytest.raises(ValueError, match="invalid utf-8"):
+        decode_cbor(b"\x62\xff\xfe")
+    with pytest.raises(ValueError, match="break"):
+        decode_cbor(b"\xff")
+
+
+@_S
+@given(st.binary(min_size=0, max_size=200))
+def test_cbor_never_leaks_on_garbage(blob):
+    from bigdata_meteo_datalake_spark.operators.cbor import decode_cbor
+
+    try:
+        decode_cbor(blob, canonical=True)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@_S
+@given(st.data())
+def test_cbor_never_leaks_on_mutations(data):
+    from bigdata_meteo_datalake_spark.operators.cbor import (
+        decode_cbor,
+        encode_cbor,
+    )
+
+    base = encode_cbor([{"id": 7, "name": "ev", "tags": ["a", "b"],
+                         "blob": b"\x01\x02", "ok": True, "x": -5,
+                         "f": 1.5, "n": None}])
+    blob = bytearray(base)
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        decode_cbor(bytes(blob), canonical=True)
+    except (ValueError, NotImplementedError):
+        pass
