@@ -14,10 +14,14 @@ genuine deterministic bitstreams, exactly like the codec pillar):
   implements RFC 8949 appendix D's ladder including subnormals and
   infinities);
 - canonical-form enforcement hooks: indefinite-length items are a
-  declared boundary (the streaming profile), arguments must use the
-  shortest form when ``canonical=True`` (the deterministic-encoding
-  check in section 4.2.1), depth and size budgets bound crafted
-  nesting;
+  declared boundary (the streaming profile); when ``canonical=True``
+  arguments must use the shortest form and map keys must be
+  bytewise-sorted on their encoded form (the section 4.2.1
+  deterministic-encoding checks). Shortest-form FLOAT width
+  (half < single < double preference) is deliberately NOT enforced —
+  a declared non-check: this profile's fixtures encode all floats as
+  doubles, and all three widths decode. Depth and size budgets bound
+  crafted nesting;
 - every byte of the buffer must be consumed (``decode_cbor``) — a
   trailing-garbage tolerance is how smuggled payloads hide.
 
@@ -129,13 +133,27 @@ def _decode(b: bytes, pos: int, depth: int, canonical: bool):
         if n > _MAX_ITEMS:
             raise ValueError(f"cbor: absurd map length {n}")
         out = {}
+        prev_enc: bytes | None = None
         for _ in range(n):
+            kstart = pos
             k, pos = _decode(b, pos, depth + 1, canonical)
             if not isinstance(k, str):
                 raise ValueError(
                     f"cbor: non-text map key of type "
                     f"{type(k).__name__} (this profile is JSON-shaped)"
                 )
+            if canonical:
+                # RFC 8949 section 4.2.1: deterministic encoding sorts
+                # map keys bytewise on their ENCODED form (length-first
+                # for short text keys, since the initial byte carries
+                # the length).
+                kenc = b[kstart:pos]
+                if prev_enc is not None and kenc <= prev_enc:
+                    raise ValueError(
+                        f"cbor: map key {k!r} out of canonical "
+                        "(bytewise-encoded) order"
+                    )
+                prev_enc = kenc
             if k in out:
                 raise ValueError(f"cbor: duplicate map key {k!r}")
             v, pos = _decode(b, pos, depth + 1, canonical)
@@ -234,10 +252,15 @@ def encode_cbor(v) -> bytes:
         if "__tag__" in v and set(v) == {"__tag__", "value"}:
             return _encode_arg(6, v["__tag__"]) + encode_cbor(v["value"])
         out = _encode_arg(5, len(v))
-        for k, val in v.items():
+        for k in v:
             if not isinstance(k, str):
                 raise ValueError("cbor: map keys must be text")
-            out += encode_cbor(k) + encode_cbor(val)
+        # RFC 8949 section 4.2.1 deterministic order: bytewise on the
+        # encoded key, so the fixtures decode under canonical=True.
+        for ke, val in sorted(
+            ((encode_cbor(k), val) for k, val in v.items())
+        ):
+            out += ke + encode_cbor(val)
         return out
     raise ValueError(f"cbor: unencodable type {type(v).__name__}")
 

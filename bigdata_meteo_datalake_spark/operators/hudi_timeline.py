@@ -91,7 +91,7 @@ def parse_hudi_snapshot(files: dict[str, bytes]) -> dict:
             pending += 1
     _require(bool(completed), "no completed instants")
 
-    latest_by_group: dict[str, tuple[str, str, dict]] = {}
+    latest_by_group: dict[tuple[str, str], tuple[str, str, dict]] = {}
     total_writes = 0
     for ts in completed:
         raw = files[f".hoodie/{ts}.commit"]
@@ -140,11 +140,14 @@ def parse_hudi_snapshot(files: dict[str, bytes]) -> dict:
                          f"in partition {part!r}")
                 seen_groups.add(key)
                 total_writes += nw
-                latest_by_group[f"{part}/{fid}"] = (ts, path, st)
+                # Keyed by the (partitionPath, fileId) tuple, never a joined
+                # string: real Hudi partition paths contain slashes
+                # ('2024/01/01'), so any string split would miscount.
+                latest_by_group[(part, fid)] = (ts, path, st)
 
     live_bytes = sum(st["totalWriteBytes"]
                      for _, _, st in latest_by_group.values())
-    parts = {key.rsplit("/", 2)[0] for key in latest_by_group}
+    parts = {part for (part, _fid) in latest_by_group}
     return {
         "n_completed": len(completed),
         "latest_instant": completed[-1],

@@ -175,7 +175,15 @@ def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
                 base = -(base & (msb - 1))
             pos += bw
             vals, pos = _unpack_be(b, pos, w, length)
-            patches, pos = _unpack_be(b, pos, pgw + pw, pll)
+            # The Java writer packs patch entries at
+            # getClosestFixedBits(pgw + pw), not the raw sum — e.g. a
+            # 25- or 27-bit combined width is stored as 26/28 bits
+            # (ADVICE r12: decoding at the raw sum desyncs the stream).
+            if pgw + pw > 64:
+                raise ValueError(
+                    f"patch gap+value width {pgw + pw} exceeds 64 bits")
+            pew = min(fw for fw in WIDTH_TABLE if fw >= pgw + pw)
+            patches, pos = _unpack_be(b, pos, pew, pll)
             idx = 0
             pmask = (1 << pw) - 1
             for e in patches:

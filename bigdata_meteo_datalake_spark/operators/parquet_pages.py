@@ -456,6 +456,19 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
                 data = inflate(comp, usize)
                 vpos = 0
                 if optional:
+                    # DataPageHeader.definition_level_encoding (field 3 in
+                    # parquet.thrift; verified against parquet-mr output —
+                    # field 4 is repetition_level_encoding): anything but
+                    # RLE (3) — legacy BIT_PACKED — is a declared boundary,
+                    # raised here rather than surfacing as a confusing
+                    # level-overrun (ADVICE r12).
+                    dl_enc = _typed(dph, 3, int,
+                                    "definition_level_encoding")
+                    if dl_enc is not None and dl_enc != 3:
+                        raise NotImplementedError(
+                            f"definition-level encoding {dl_enc} is a "
+                            "declared boundary (RLE only)"
+                        )
                     if len(data) < 4:
                         raise ValueError("missing definition-level length")
                     (dlen,) = struct.unpack_from("<I", data, 0)

@@ -1592,6 +1592,48 @@ def test_hudi_closed_forms_roundtrip():
                                         for i, m in writes)
 
 
+def test_hudi_slashed_partition_paths():
+    """Real Hudi partition paths contain slashes ('2024/01/01'); the
+    snapshot must count partitions by path, not by path segment
+    (ADVICE r12: string-key rsplit miscounted these)."""
+    import json
+
+    from bigdata_meteo_datalake_spark.operators.hudi_timeline import (
+        parse_hudi_snapshot,
+    )
+
+    ts = "20240101000000"
+    p2w = {
+        "2024/01/01": [{
+            "fileId": "fg-a",
+            "path": "2024/01/01/fg-a_0-0-0_" + ts + ".parquet",
+            "numWrites": 5, "totalWriteBytes": 500,
+        }],
+        "2024/01/02": [{
+            "fileId": "fg-b",
+            "path": "2024/01/02/fg-b_0-0-0_" + ts + ".parquet",
+            "numWrites": 7, "totalWriteBytes": 700,
+        }],
+        # Same fileId as above but a different partition: distinct group.
+        "2025/01/02": [{
+            "fileId": "fg-b",
+            "path": "2025/01/02/fg-b_0-0-0_" + ts + ".parquet",
+            "numWrites": 1, "totalWriteBytes": 100,
+        }],
+    }
+    files = {
+        f".hoodie/{ts}.commit.requested": b"",
+        f".hoodie/{ts}.commit.inflight": b"{}",
+        f".hoodie/{ts}.commit": json.dumps(
+            {"partitionToWriteStats": p2w}, sort_keys=True).encode(),
+    }
+    s = parse_hudi_snapshot(files)
+    assert s["n_partitions"] == 3
+    assert s["n_file_groups"] == 3
+    assert s["live_bytes"] == 1300
+    assert s["total_writes"] == 13
+
+
 def test_hudi_mvcc_visibility():
     """The core property: an inflight tail commit is INVISIBLE — the
     snapshot equals the table without it; completing the commit makes
@@ -2192,6 +2234,38 @@ def test_page_decode_all_types_and_codecs(spark, tmp_path):
         assert got["n_pages"] == 6  # ceil(2750/500)
 
 
+def test_page_decode_bitpacked_deflevels_boundary(spark, tmp_path):
+    """A v1 data page whose DataPageHeader.definition_level_encoding
+    (field 3) is legacy BIT_PACKED must raise the declared boundary,
+    not a confusing level-overrun (ADVICE r12). Built by byte-patching
+    a real parquet-mr header: compact-thrift `15 06` (field 3, i32,
+    zigzag(RLE=3)) -> `15 08` (BIT_PACKED=4)."""
+    import struct
+
+    from bigdata_meteo_datalake_spark.operators.parquet_footer import (
+        _read_struct,
+    )
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    path = _page_file(spark, str(tmp_path / "bp"),
+                      "CASE WHEN id % 7 = 3 THEN NULL ELSE id END AS v")
+    b = open(path, "rb").read()
+    (flen,) = struct.unpack_from("<I", b, len(b) - 8)
+    fm, _ = _read_struct(b[len(b) - 8 - flen : len(b) - 8], 0)
+    off = fm[4][0][1][0][3][9]  # first chunk's data_page_offset
+    ph, hend = _read_struct(b, off)
+    assert ph[5][3] == 3 and ph[5][4] == 4  # def RLE, rep BIT_PACKED
+    head = bytearray(b[off:hend])
+    idx = bytes(head).find(b"\x15\x06\x15\x08\x00")
+    assert idx != -1, "expected def/rep encoding tail in the header"
+    head[idx + 1] = 0x08  # definition_level_encoding -> BIT_PACKED
+    patched = b[:off] + bytes(head) + b[hend:]
+    with pytest.raises(NotImplementedError, match="definition-level"):
+        decode_parquet_column(patched, "v")
+
+
 def test_page_decode_boundaries_and_rejections(spark, tmp_path):
     import glob
 
@@ -2352,6 +2426,41 @@ def test_orc_decode_all_rlev2_subencodings(spark, tmp_path):
         got = decode_orc_column(open(path, "rb").read(), "v")["values"]
         ref = po.ORCFile(path).read(columns=["v"])["v"].to_pylist()
         assert got == ref, (i, codec)
+
+
+def test_orc_patched_base_closest_fixed_bits():
+    """RLEv2 PATCHED_BASE packs its patch list at
+    getClosestFixedBits(pgw + pw): a 25-bit combined width is stored
+    at 26 bits by the Java writer (ADVICE r12 — decoding at the raw
+    sum desyncs on legal writer output)."""
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        rlev2_decode,
+    )
+
+    def pack_be(values, width):
+        nbits = width * len(values)
+        nbytes = (nbits + 7) // 8
+        big = 0
+        for v in values:
+            big = (big << width) | v
+        big <<= nbytes * 8 - nbits
+        return big.to_bytes(nbytes, "big")
+
+    length, w, pw, pgw = 10, 8, 24, 1  # pgw + pw = 25 -> stored at 26
+    low = [(i * 37) % 251 for i in range(length)]
+    patch_a, patch_b = 0xABCDEF, 0x00F00D
+    expected = list(low)
+    expected[3] |= patch_a << w
+    expected[5] |= patch_b << w
+    run = bytes([
+        (2 << 6) | (7 << 1) | ((length - 1) >> 8),  # w=8 -> code 7
+        (length - 1) & 0xFF,
+        (0 << 5) | 23,          # bw=1; pw=24 -> code 23
+        (0 << 5) | 2,           # pgw=1; two patch entries
+        0x00,                   # base = 0
+    ]) + pack_be(low, w) + pack_be(
+        [(3 << pw) | patch_a, (2 << pw) | patch_b], 26)
+    assert rlev2_decode(run, length, signed=False) == expected
 
 
 def test_orc_decode_rejections(spark, tmp_path):
@@ -2570,6 +2679,34 @@ def test_cbor_rejections():
         decode_cbor(b"\x62\xff\xfe")
     with pytest.raises(ValueError, match="break"):
         decode_cbor(b"\xff")
+
+
+def test_cbor_canonical_map_key_order():
+    """RFC 8949 section 4.2.1: canonical mode enforces bytewise-sorted
+    ENCODED map keys (length-first for short text keys) — non-canonical
+    decoding stays permissive; the encoder emits sorted keys
+    (ADVICE r12)."""
+    from bigdata_meteo_datalake_spark.operators.cbor import (
+        decode_cbor,
+        encode_cbor,
+    )
+
+    unsorted_ab = bytes.fromhex("a2616201616102")  # {"b":1,"a":2}
+    assert decode_cbor(unsorted_ab) == {"b": 1, "a": 2}
+    with pytest.raises(ValueError, match="canonical"):
+        decode_cbor(unsorted_ab, canonical=True)
+    # length-first: encoded "b" (0x6162) sorts before "aa" (0x626161)
+    long_first = bytes.fromhex("a262616101616202")  # {"aa":1,"b":2}
+    assert decode_cbor(long_first) == {"aa": 1, "b": 2}
+    with pytest.raises(ValueError, match="canonical"):
+        decode_cbor(long_first, canonical=True)
+    assert decode_cbor(bytes.fromhex("a261620262616101"),
+                       canonical=True) == {"b": 2, "aa": 1}
+    # the encoder now emits the deterministic order
+    assert encode_cbor({"aa": 1, "b": 2}) == \
+        bytes.fromhex("a2616202626161" + "01")
+    assert decode_cbor(encode_cbor({"zz": 1, "a": 2, "mm": 3}),
+                       canonical=True) == {"zz": 1, "a": 2, "mm": 3}
 
 
 @_S
