@@ -214,8 +214,9 @@ def _max_planes() -> int:
 _PLANES = [_plane(j) for j in range(_max_planes())]
 
 #: the DuckDB expression computing the corpus-derived plane count the
-#: Spark side computes via operators.dedup.lsh_n_planes(emb.count()) —
-#: both exact integer arithmetic, single-sourced in operators/dedup.py
+#: Spark side computes via operators.dedup.lsh_n_planes over the parquet
+#: footer-stat row count (sources.lake.table_row_count) — both exact
+#: integer arithmetic, single-sourced in operators/dedup.py
 def _n_planes_cte() -> str:
     from ..operators.dedup import lsh_n_planes_sql
 
@@ -297,13 +298,15 @@ def emb_lsh_topk(spark, sf_dir):
     at uniform load). The plane count is DERIVED FROM THE CORPUS SIZE
     (operators.dedup.lsh_n_planes, targeting ~16 vectors/bucket, capped
     at 26 planes = 67M buckets) so the bucket space scales with the
-    data instead of saturating — the count() that sizes it is a bounded
-    control-plane action, and the oracle recomputes the same plane
-    count from COUNT(*) in exact integer arithmetic."""
+    data instead of saturating — the sizing count comes from parquet
+    FOOTER stats (sources.lake.table_row_count: the catalog statistic,
+    zero Spark jobs — round-12 advice), and the oracle recomputes the
+    same plane count from COUNT(*) in exact integer arithmetic."""
     from ..operators.dedup import lsh_n_planes
+    from ..sources.lake import table_row_count
 
     emb = widen(read_table(spark, sf_dir, "embeddings"))
-    n_planes = lsh_n_planes(emb.count())
+    n_planes = lsh_n_planes(table_row_count(spark, sf_dir, "embeddings"))
     base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
     base = base.select(
         "vec_id", "v", _norm(F.col("v")).alias("nrm"),
@@ -898,9 +901,13 @@ def semantic_dedup_lsh(spark, sf_dir):
         connected_components_two_phase,
         lsh_n_planes,
     )
+    from ..sources.lake import table_row_count
 
     emb = widen(read_table(spark, sf_dir, "embeddings"))
-    n_planes = lsh_n_planes(emb.count())
+    # Footer-stat sizing (round-12 advice): the plane count needs the
+    # corpus size BEFORE the plan exists; parquet num_rows is the
+    # catalog statistic, so no per-invocation count() job.
+    n_planes = lsh_n_planes(table_row_count(spark, sf_dir, "embeddings"))
     v = _double_vec()
     base = emb.select(
         F.col("vec_id"), v.alias("v")

@@ -65,6 +65,47 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (path, mtime_ns, size) -> row count; footer stats are immutable for a
+#: given file version, so the cache never serves stale counts.
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — the lake's catalog
+    statistic — with no Spark job and no data I/O.
+
+    Sizing parameters (LSH plane counts, bucket fan-outs) need the corpus
+    size before the plan is built; running ``df.count()`` for it costs a
+    full scan-shape job per invocation (round-12 advice on
+    semantic_dedup_lsh). Parquet already stores ``num_rows`` per file
+    footer — at cluster scale this is exactly the statistic a metastore /
+    table format serves from its manifest, so reading it driver-side is
+    the honest local stand-in, cached by (path, mtime, size). Falls back
+    to a Spark count for non-parquet or unreadable paths."""
+    import glob as _glob
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = sorted(_glob.glob(path)) if not os.path.isdir(path) else sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                st = os.stat(f)
+                key = (f, st.st_mtime_ns, st.st_size)
+                if key not in _ROW_COUNT_CACHE:
+                    _ROW_COUNT_CACHE[key] = pq.read_metadata(f).num_rows
+                total += _ROW_COUNT_CACHE[key]
+            return total
+        except Exception:
+            pass
+    return read_table(spark, sf_dir, name).count()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
