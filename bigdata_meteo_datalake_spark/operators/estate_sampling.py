@@ -1,0 +1,118 @@
+"""Deterministic file sampling for the estate audits.
+
+The full-estate audits (parquet_pageindex_report, orc_index_report)
+verify every page/stride of every audited column — the right gate for
+a fixture zoo, but the round-12 review's two acknowledged
+scale-killers at 100 TB: their cost is the estate size. A production
+estate AUDITS A SAMPLE: pick a deterministic, seeded-by-path subset of
+files per table, verify those exhaustively, and rotate coverage by
+re-seeding. This module is that knob, shared by both audits:
+
+- the sample key is a 60-bit integer from md5 of the file's
+  catalog-relative key (``{tbl}/shard={s}`` here; any stable path
+  works) — deterministic across runs, uncorrelated with write order,
+  identical in DuckDB (``md5`` hex prefix cast), so the choice itself
+  is oracle-checkable;
+- ``choose_shards`` ranks shards by (key, shard) and keeps the first
+  ``max_files`` — the python form; :func:`chosen_shards_sql` is the
+  DuckDB twin (equality property-tested);
+- ``sample_audit_manifest`` is the Spark-side form over an audit
+  manifest DataFrame — a per-table rank window over the (small,
+  metadata-sized) manifest, never over data.
+
+Shard files are sized by rows (``AUDIT_SHARD_ROWS``), so the shard
+count grows with the data and a ``max_files`` cap bounds the audit's
+absolute cost at ANY scale — the sf1 audit reads the same bytes as
+the sf0.01 audit.
+
+Reference parity note: the reference repo trusts Postgres for all
+storage (SURVEY.md section 4); sampling is the operational layer the
+lakehouse estate audits need at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "AUDIT_MAX_FILES",
+    "AUDIT_SHARD_ROWS",
+    "choose_shards",
+    "chosen_shards_sql",
+    "file_sample_key",
+    "sample_audit_manifest",
+]
+
+#: rows per audit shard file — constant, so shard count scales with the
+#: data and max_files bounds audit cost absolutely
+AUDIT_SHARD_ROWS = 4000
+
+#: shards audited per table by the sampled queries
+AUDIT_MAX_FILES = 3
+
+
+def file_sample_key(tbl: str, shard: int) -> int:
+    """60-bit deterministic sample key of one shard file — first 15 hex
+    chars of md5 over the catalog-relative key, the same integer
+    ``token_hash``/DuckDB compute."""
+    key = f"{tbl}/shard={shard}".encode()
+    return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+
+def choose_shards(tbl: str, n_shards: int, max_files: int) -> list[int]:
+    """The ``max_files`` shards of ``tbl`` with the smallest
+    (sample_key, shard) — returned in shard order. Deterministic;
+    :func:`chosen_shards_sql` is the DuckDB twin."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    ranked = sorted(
+        range(n_shards), key=lambda s: (file_sample_key(tbl, s), s)
+    )
+    return sorted(ranked[:max_files])
+
+
+def chosen_shards_sql(tbl: str, n_expr: str, max_files: int) -> str:
+    """DuckDB twin of :func:`choose_shards`: a relation of the chosen
+    ``shard`` values for table literal ``tbl`` whose shard count is the
+    SQL expression ``n_expr``."""
+    key = (
+        "cast(concat('0x', substr(md5(concat('"
+        + tbl
+        + "/shard=', shard)), 1, 15)) AS bigint)"
+    )
+    return (
+        f"SELECT shard FROM (SELECT unnest(range({n_expr})) AS shard) "
+        f"ORDER BY {key}, shard LIMIT {max_files}"
+    )
+
+
+def sample_audit_manifest(
+    df,
+    *,
+    max_files_per_table: int,
+    table_col: str = "tbl",
+    key_col: str = "path",
+):
+    """Spark form: keep the ``max_files_per_table`` manifest rows per
+    table with the smallest (md5-60bit(key), key) — the same ranking as
+    :func:`choose_shards` when ``key_col`` holds the catalog-relative
+    key. A manifest may carry several rows per file (one per audited
+    column) — ``dense_rank`` keeps every row of each chosen FILE. The
+    manifest is file metadata (rows ~ files x columns), so the
+    per-table window runs over catalog-sized input, never data."""
+    if max_files_per_table <= 0:
+        raise ValueError("max_files_per_table must be positive")
+    key = F.conv(
+        F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(table_col).orderBy(
+        key.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.dense_rank().over(w))
+        .where(F.col("__rk") <= max_files_per_table)
+        .drop("__rk")
+    )

@@ -388,11 +388,29 @@ ORC_INDEX_REPORT_SCHEMA = (
 
 
 def orc_index_column_stats(df, *, micro: int = 1_000_000,
-                           stride: int = 1000):
+                           stride: int = 1000,
+                           id_cols: tuple = (),
+                           max_files_per_table: int | None = None,
+                           sample_key_col: str = "path"):
     """(tbl, col, kind, path) rows -> one audit row each, every number
     INDEX-derived after verify_orc_indexes held each stride's stats
-    and bloom to the pyarrow-read data."""
+    and bloom to the pyarrow-read data.
+
+    ``max_files_per_table`` is the SAMPLED-audit knob (round-12
+    verdict): keep only the deterministic md5-ranked file subset per
+    table (operators/estate_sampling.py) before any file is opened.
+    ``id_cols`` passes manifest identity columns (``"name type"`` DDL
+    strings) through to the report 1:1."""
     import pandas as pd
+
+    if max_files_per_table is not None:
+        from .estate_sampling import sample_audit_manifest
+
+        df = sample_audit_manifest(
+            df, max_files_per_table=max_files_per_table,
+            key_col=sample_key_col,
+        )
+    id_names = tuple(c.split()[0] for c in id_cols)
 
     def kernel(batches):
         import pyarrow.orc as po
@@ -401,8 +419,13 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
             out = {k: [] for k in ("tbl", "col", "n_strides", "num_rows",
                                    "null_count", "min_micro", "max_micro",
                                    "bloom_present")}
-            for tbl, col, kind, path in zip(pdf["tbl"], pdf["col"],
-                                            pdf["kind"], pdf["path"]):
+            for n_ in id_names:
+                out[n_] = []
+            for j, (tbl, col, kind, path) in enumerate(
+                zip(pdf["tbl"], pdf["col"], pdf["kind"], pdf["path"])
+            ):
+                for n_ in id_names:
+                    out[n_].append(pdf[n_].iloc[j])
                 with open(path, "rb") as f:
                     b = f.read()
                 values = po.ORCFile(path).read(
@@ -440,6 +463,9 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
                 out["bloom_present"].append(True)
             yield pd.DataFrame(out)
 
-    return df.select("tbl", "col", "kind", "path").mapInPandas(
-        kernel, ORC_INDEX_REPORT_SCHEMA
+    schema = ORC_INDEX_REPORT_SCHEMA
+    if id_cols:
+        schema += ", " + ", ".join(id_cols)
+    return df.select("tbl", "col", "kind", "path", *id_names).mapInPandas(
+        kernel, schema
     )

@@ -237,12 +237,31 @@ PAGEINDEX_REPORT_SCHEMA = (
 
 
 def pageindex_column_stats(df, *, micro: int = 1_000_000,
-                           row_limit: int = 500):
+                           row_limit: int = 500,
+                           id_cols: tuple = (),
+                           max_files_per_table: int | None = None,
+                           sample_key_col: str = "path"):
     """(tbl, col, kind, path) rows -> one audit row each, every number
     derived from the INDEX (page count, summed null_counts, aggregated
     page bounds in the house micro units) after verify_page_index has
-    held each page's claims to the pyarrow-read data."""
+    held each page's claims to the pyarrow-read data.
+
+    ``max_files_per_table`` is the SAMPLED-audit knob (round-12
+    verdict): keep only the deterministic md5-ranked file subset per
+    table (operators/estate_sampling.py) before any file is opened —
+    the production estate's bounded audit. ``id_cols`` passes manifest
+    identity columns (each a ``"name type"`` DDL string, e.g.
+    ``"shard int"``) through to the report 1:1."""
     import pandas as pd
+
+    if max_files_per_table is not None:
+        from .estate_sampling import sample_audit_manifest
+
+        df = sample_audit_manifest(
+            df, max_files_per_table=max_files_per_table,
+            key_col=sample_key_col,
+        )
+    id_names = tuple(c.split()[0] for c in id_cols)
 
     def kernel(batches):
         import pyarrow.parquet as pq
@@ -250,8 +269,13 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
         for pdf in batches:
             out = {k: [] for k in ("tbl", "col", "n_pages", "num_rows",
                                    "null_count", "min_micro", "max_micro")}
-            for tbl, col, kind, path in zip(pdf["tbl"], pdf["col"],
-                                            pdf["kind"], pdf["path"]):
+            for n_ in id_names:
+                out[n_] = []
+            for j, (tbl, col, kind, path) in enumerate(
+                zip(pdf["tbl"], pdf["col"], pdf["kind"], pdf["path"])
+            ):
+                for n_ in id_names:
+                    out[n_].append(pdf[n_].iloc[j])
                 with open(path, "rb") as f:
                     b = f.read()
                 values = pq.read_table(path, columns=[col])[col].to_pylist()
@@ -288,6 +312,9 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
                 out["max_micro"].append(mx_u)
             yield pd.DataFrame(out)
 
-    return df.select("tbl", "col", "kind", "path").mapInPandas(
-        kernel, PAGEINDEX_REPORT_SCHEMA
+    schema = PAGEINDEX_REPORT_SCHEMA
+    if id_cols:
+        schema += ", " + ", ".join(id_cols)
+    return df.select("tbl", "col", "kind", "path", *id_names).mapInPandas(
+        kernel, schema
     )

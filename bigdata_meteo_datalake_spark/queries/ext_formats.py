@@ -456,6 +456,224 @@ def parquet_pageindex_report(spark, sf_dir):
                                   row_limit=_PAGE_ROW_LIMIT)
 
 
+# --- SAMPLED estate audits (round-13) ---------------------------------------------------
+#
+# The full audits above read every audited column of every file back —
+# the right gate for a fixture zoo, but the acknowledged scale-killers
+# of a 100 TB estate (round-12 verdict). The sampled variants are the
+# production form: tables are sharded into AUDIT_SHARD_ROWS-row files
+# (so the shard count grows with the data), a deterministic md5-ranked
+# subset of AUDIT_MAX_FILES shards per table is chosen
+# (operators/estate_sampling.py — python chooser and DuckDB twin
+# property-tested equal), and ONLY those files are written and
+# verified. Audit cost is therefore bounded by
+# tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS rows at ANY scale — the
+# sf1 audit reads the same bytes as the sf0.01 audit. The shard
+# assignment (pk % n_shards) and the choice itself are closed forms
+# the oracle recomputes, so the sampled path is oracle-locked, not
+# just smoke-tested.
+
+#: (table, column, kind, shard-key expression) — the audited set for
+#: the sampled variants: the three big fact tables plus documents;
+#: the pk expression is valid verbatim in BOTH Spark SQL and DuckDB.
+_SAMPLED_COLUMNS = [
+    ("documents", "n_chars", "int", "doc_id"),
+    ("events", "user_id", "int", "event_id"),
+    ("events", "value", "double", "event_id"),
+    ("lineitem", "l_linenumber", "int",
+     "l_orderkey * 8 + l_linenumber"),
+    ("lineitem", "l_quantity", "double",
+     "l_orderkey * 8 + l_linenumber"),
+    ("orders", "o_totalprice", "double", "o_orderkey"),
+]
+
+
+def _sampled_shard_manifest(spark, sf_dir, write_one_shard):
+    """Shared fixture-writer for both sampled audits: per table, derive
+    the shard count from FOOTER stats (no count job), choose the
+    deterministic sample, write ONLY the chosen shards (one file each
+    via ``write_one_shard(df, out_dir)``), and return manifest rows
+    ``(tbl, col, kind, path, file_key, shard, n_shards)``."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ..operators.estate_sampling import (
+        AUDIT_MAX_FILES,
+        AUDIT_SHARD_ROWS,
+        choose_shards,
+    )
+    from ..sources.lake import table_row_count
+
+    rows = []
+    for tbl in sorted({t for t, _, _, _ in _SAMPLED_COLUMNS}):
+        audited = [(c, k) for t, c, k, _ in _SAMPLED_COLUMNS if t == tbl]
+        pk = next(p for t, _, _, p in _SAMPLED_COLUMNS if t == tbl)
+        cnt = table_row_count(spark, sf_dir, tbl)
+        n = max(1, -(-cnt // AUDIT_SHARD_ROWS))
+        src = read_table(spark, sf_dir, tbl)
+        for s in choose_shards(tbl, n, AUDIT_MAX_FILES):
+            out = write_one_shard(
+                src.where(F.expr(f"(({pk}) % {n}) = {s}"))
+                .select(*[F.col(c).cast("long" if k == "int" else "double")
+                          .alias(c) for c, k in audited]),
+                tbl, s,
+            )
+            exts = glob.glob(out + "/*.parquet") + glob.glob(out + "/*.orc")
+            if len(exts) != 1:
+                raise ValueError(
+                    f"expected one shard part in {out}, found {len(exts)}"
+                )
+            rows += [(tbl, c, k, exts[0], f"{tbl}/shard={s}", s, n)
+                     for c, k in audited]
+    return rows
+
+
+_SAMPLED_MANIFEST_SCHEMA = (
+    "tbl string, col string, kind string, path string, "
+    "file_key string, shard int, n_shards int"
+)
+
+
+def _sampled_arm(tbl: str, col: str, kind: str, pk: str,
+                 per_unit: int, unit_col: str, extra: str = "") -> str:
+    from ..operators.estate_sampling import (
+        AUDIT_MAX_FILES,
+        AUDIT_SHARD_ROWS,
+        chosen_shards_sql,
+    )
+
+    ns = (f"(SELECT greatest(1, cast(ceil(count(*) / "
+          f"{AUDIT_SHARD_ROWS}.0) AS bigint)) FROM {tbl})")
+    if kind == "int":
+        mn = "cast(g.mnv * 1000000 AS bigint)"
+        mx = "cast(g.mxv * 1000000 AS bigint)"
+    else:
+        mn = "cast(floor(g.mnv * 1000000 + 0.5) AS bigint)"
+        mx = "cast(floor(g.mxv * 1000000 + 0.5) AS bigint)"
+    return (
+        f"SELECT '{tbl}' AS tbl, '{col}' AS col, "
+        f"cast(c.shard AS int) AS shard, "
+        f"cast({ns} AS int) AS n_shards, "
+        f"cast(coalesce(ceil(g.cnt / {per_unit}.0), 0) AS int) "
+        f"AS {unit_col}, "
+        f"cast(coalesce(g.cnt, 0) AS bigint) AS num_rows, "
+        f"cast(coalesce(g.cnt - g.nn, 0) AS bigint) AS null_count, "
+        f"{mn} AS min_micro, {mx} AS max_micro{extra} "
+        f"FROM ({chosen_shards_sql(tbl, ns, AUDIT_MAX_FILES)}) c "
+        f"LEFT JOIN (SELECT (({pk}) % {ns}) AS shard, "
+        f"count(*) AS cnt, count({col}) AS nn, "
+        f"min({col}) AS mnv, max({col}) AS mxv "
+        f"FROM {tbl} GROUP BY 1) g ON g.shard = c.shard"
+    )
+
+
+def _pageindex_sampled_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        _sampled_arm(t, c, k, p, _PAGE_ROW_LIMIT, "n_pages")
+        for t, c, k, p in _SAMPLED_COLUMNS
+    )
+
+
+@register(
+    "parquet_pageindex_sampled",
+    oracle=_pageindex_sampled_oracle(),
+    tags=("extension", "formats", "footer", "metadata", "sampled"),
+)
+def parquet_pageindex_sampled(spark, sf_dir):
+    """Parquet page-index audit, SAMPLED form (round-13) — the shape
+    the full parquet_pageindex_report runs in at 100 TB: shard count
+    from footer stats, a deterministic md5-ranked file sample per
+    table (operators/estate_sampling.py), and exhaustive page-level
+    verification of ONLY the sampled files — per-page declared
+    min/max/null_count held to the pyarrow-read rows, page regions and
+    first_row_index walked, the page count a closed form. The sample
+    CHOICE, the shard assignment, and every report number are
+    recomputed by the oracle, so sampling semantics — not just the
+    sampled files' honesty — are what's locked.
+
+    Scale: audit cost is tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS
+    rows at any estate size; the manifest sample is a per-table rank
+    over file metadata, never data."""
+    import tempfile
+
+    from ..operators.estate_sampling import AUDIT_MAX_FILES
+    from ..operators.parquet_pageindex import pageindex_column_stats
+
+    base = tempfile.mkdtemp(prefix="pageindex_sampled_")
+
+    def write_one(df, tbl, s):
+        out = f"{base}/{tbl}/shard={s}"
+        (df.coalesce(1).write.mode("overwrite")
+         .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
+         .option("parquet.page.size", str(1 << 23))
+         .option("parquet.block.size", str(1 << 30))
+         .parquet(out))
+        return out
+
+    rows = _sampled_shard_manifest(spark, sf_dir, write_one)
+    df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
+    return pageindex_column_stats(
+        df.repartition(max(1, len(rows))),
+        row_limit=_PAGE_ROW_LIMIT,
+        id_cols=("shard int", "n_shards int"),
+        max_files_per_table=AUDIT_MAX_FILES,
+        sample_key_col="file_key",
+    )
+
+
+def _orc_index_sampled_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        _sampled_arm(t, c, k, p, _ORC_STRIDE, "n_strides",
+                     extra=", true AS bloom_present")
+        for t, c, k, p in _SAMPLED_COLUMNS
+    )
+
+
+@register(
+    "orc_index_sampled",
+    oracle=_orc_index_sampled_oracle(),
+    tags=("extension", "formats", "footer", "metadata", "sampled"),
+)
+def orc_index_sampled(spark, sf_dir):
+    """ORC row-group index + bloom audit, SAMPLED form (round-13) —
+    the ORC twin of parquet_pageindex_sampled and the scale shape of
+    orc_index_report: deterministic md5-ranked file sample per table,
+    then full stride-stats + bloom no-false-negative verification of
+    only the sampled files. Sample choice, shard assignment, and all
+    report numbers are oracle-recomputed closed forms.
+
+    Scale: bounded by tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS rows
+    at any estate size."""
+    import tempfile
+
+    from ..operators.estate_sampling import AUDIT_MAX_FILES
+    from ..operators.orc_index import orc_index_column_stats
+
+    codecs = _orc_codec_by_table()
+    base = tempfile.mkdtemp(prefix="orc_index_sampled_")
+
+    def write_one(df, tbl, s):
+        out = f"{base}/{tbl}/shard={s}"
+        (df.coalesce(1).write.mode("overwrite")
+         .option("compression", codecs.get(tbl, "zlib"))
+         .option("orc.bloom.filter.columns", ",".join(df.columns))
+         .option("orc.row.index.stride", str(_ORC_STRIDE))
+         .option("orc.stripe.size", str(1 << 30))
+         .orc(out))
+        return out
+
+    rows = _sampled_shard_manifest(spark, sf_dir, write_one)
+    df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
+    return orc_index_column_stats(
+        df.repartition(max(1, len(rows))),
+        stride=_ORC_STRIDE,
+        id_cols=("shard int", "n_shards int"),
+        max_files_per_table=AUDIT_MAX_FILES,
+        sample_key_col="file_key",
+    )
+
+
 # --- ORC data decode -----------------------------------------------------------------------
 
 

@@ -28,6 +28,73 @@ def test_table_row_count_matches_scan(spark):
     assert _ROW_COUNT_CACHE == before  # second call served from cache
 
 
+# --- deterministic estate sampling (operators/estate_sampling.py) ----------------------
+
+
+def test_choose_shards_matches_duckdb_twin():
+    """The python chooser and its DuckDB twin pick the SAME file subset
+    for every (table, shard-count) — the property the sampled audits'
+    oracles rest on."""
+    import duckdb
+
+    from bigdata_meteo_datalake_spark.operators.estate_sampling import (
+        choose_shards,
+        chosen_shards_sql,
+    )
+
+    for tbl in ("lineitem", "orders", "events", "documents", "zz"):
+        for n in (1, 2, 3, 7, 16, 120):
+            for mf in (1, 3, 5):
+                sql = chosen_shards_sql(tbl, str(n), mf)
+                got = sorted(r[0] for r in duckdb.sql(sql).fetchall())
+                assert got == choose_shards(tbl, n, mf), (tbl, n, mf)
+
+
+def test_choose_shards_properties():
+    from bigdata_meteo_datalake_spark.operators.estate_sampling import (
+        choose_shards,
+    )
+
+    assert choose_shards("t", 1, 3) == [0]
+    assert choose_shards("t", 2, 5) == [0, 1]  # max_files > n: all
+    got = choose_shards("t", 100, 4)
+    assert len(got) == 4 and got == sorted(set(got))
+    assert all(0 <= s < 100 for s in got)
+    # deterministic, table-keyed: another table gets another subset
+    assert choose_shards("t", 100, 4) == got
+    assert choose_shards("u", 100, 4) != got
+    with pytest.raises(ValueError, match="positive"):
+        choose_shards("t", 0, 3)
+
+
+def test_sample_audit_manifest_matches_chooser(spark):
+    """The Spark manifest filter keeps exactly the files the python
+    chooser picks — including every per-column row of a chosen file
+    (dense_rank, not row_number)."""
+    from bigdata_meteo_datalake_spark.operators.estate_sampling import (
+        choose_shards,
+        sample_audit_manifest,
+    )
+
+    rows = []
+    for tbl, n in (("a", 7), ("b", 3), ("c", 1)):
+        for s in range(n):
+            for col in ("x", "y"):
+                rows.append((tbl, col, f"{tbl}/shard={s}", s))
+    df = spark.createDataFrame(
+        rows, "tbl string, col string, file_key string, shard int"
+    )
+    got = (sample_audit_manifest(df, max_files_per_table=2,
+                                 key_col="file_key")
+           .select("tbl", "col", "shard").collect())
+    want = {(tbl, col, s)
+            for tbl, n in (("a", 7), ("b", 3), ("c", 1))
+            for s in choose_shards(tbl, n, 2)
+            for col in ("x", "y")}
+    assert {(r.tbl, r.col, r.shard) for r in got} == want
+    assert len(got) == len(want)  # both columns of each chosen file
+
+
 def test_table_row_count_falls_back_to_scan(spark, tmp_path):
     """A multi-file parquet directory (the cluster layout) sums file
     footers; an unreadable path raises through the Spark fallback."""
