@@ -85,13 +85,53 @@ def _driver_confirmed_rounds() -> dict[str, int]:
     return newest
 
 
+#: priority queries (parity core + headline bench set) must re-sweep at
+#: least this often, regardless of global age ordering — with 300+
+#: registered queries and a 50-slot sweep, pure age rotation takes ~7
+#: rounds to cycle, which left the parity flagships' driver rows 5
+#: rounds stale by round 12 (verdict item: re-sweep every <= 3 rounds).
+PRIORITY_RESWEEP_ROUNDS = 3
+
+
+def _bench_query_names() -> set[str]:
+    """The headline bench set, read from bench.py's BENCH_QUERIES by AST
+    parse (no import — bench.py imports this package, so importing it
+    back would cycle). Missing/unparseable file -> empty set."""
+    import ast
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "bench.py"
+    try:
+        tree = ast.parse(path.read_text())
+    except (OSError, SyntaxError):
+        return set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if getattr(tgt, "id", None) == "BENCH_QUERIES":
+                    try:
+                        val = ast.literal_eval(node.value)
+                    except ValueError:
+                        return set()
+                    return {v for v in val if isinstance(v, str)}
+    return set()
+
+
 def _load_all() -> None:
     """Import every query module exactly once (population side-effect),
     then order the registry for the driver's 50-entry correctness sweep
-    (registry order IS sweep order): never-driver-confirmed queries first,
-    then confirmed queries by the round of their newest green row ascending
-    (oldest evidence re-confirms first) — stable within each age bucket, so
-    registration order still breaks ties.
+    (registry order IS sweep order), in three bands:
+
+    1. never-driver-confirmed queries (no green row in any
+       CORRECTNESS_r*.json);
+    2. PRIORITY queries — tagged ``parity`` or in bench.py's headline
+       set — whose newest green row is PRIORITY_RESWEEP_ROUNDS or more
+       rounds old: the load-bearing core re-confirms on a fixed cadence
+       instead of waiting its turn behind 300 extension queries;
+    3. everything else by newest-green-round ascending (oldest evidence
+       re-confirms first).
+
+    Stable within each band, so registration order still breaks ties.
     """
     global _LOADED
     if _LOADED:
@@ -160,9 +200,22 @@ def _load_all() -> None:
     from . import ext_formats  # noqa: F401
 
     newest = _driver_confirmed_rounds()
-    # never-confirmed queries carry round 0, sorting ahead of everything;
-    # among confirmed ones, round-1-era evidence re-sweeps before round-3's.
-    ordered = sorted(REGISTRY.items(), key=lambda kv: newest.get(kv[0], 0))
+    bench_names = _bench_query_names()
+    # the round the CURRENT sweep will be recorded as: newest round with
+    # a driver artifact on disk, plus one
+    cur = max(newest.values(), default=0) + 1
+
+    def band(kv):
+        name, q = kv
+        n = newest.get(name, 0)
+        if n == 0:
+            return (0, 0)  # never confirmed: always first
+        priority = "parity" in q.tags or name in bench_names
+        if priority and n <= cur - PRIORITY_RESWEEP_ROUNDS:
+            return (1, n)  # stale priority core: ahead of the long tail
+        return (2, n)
+
+    ordered = sorted(REGISTRY.items(), key=band)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     _LOADED = True

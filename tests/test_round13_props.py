@@ -95,6 +95,49 @@ def test_sample_audit_manifest_matches_chooser(spark):
     assert len(got) == len(want)  # both columns of each chosen file
 
 
+# --- sweep rotation bands (queries/__init__.py) ----------------------------------------
+
+
+def test_sweep_order_bands():
+    """Registry order (= driver sweep order) is banded: never-confirmed
+    queries first, then parity/bench queries whose driver evidence is
+    PRIORITY_RESWEEP_ROUNDS+ old, then the long tail oldest-first — so
+    the load-bearing core re-confirms on a fixed cadence (r12 verdict
+    items 4 and 8)."""
+    from bigdata_meteo_datalake_spark.queries import (
+        PRIORITY_RESWEEP_ROUNDS,
+        REGISTRY,
+        _bench_query_names,
+        _driver_confirmed_rounds,
+        queries,
+    )
+
+    queries()  # force load + ordering
+    newest = _driver_confirmed_rounds()
+    bench = _bench_query_names()
+    assert bench, "bench.py BENCH_QUERIES must parse"
+    cur = max(newest.values(), default=0) + 1
+
+    def band(name):
+        n = newest.get(name, 0)
+        if n == 0:
+            return (0, 0)
+        pri = "parity" in REGISTRY[name].tags or name in bench
+        if pri and n <= cur - PRIORITY_RESWEEP_ROUNDS:
+            return (1, n)
+        return (2, n)
+
+    keys = [band(n) for n in REGISTRY]
+    assert keys == sorted(keys), "sweep order must be band-sorted"
+    # every parity query is either freshly confirmed or inside the
+    # 50-slot sweep window
+    head = set(list(REGISTRY)[:50])
+    for name, q in REGISTRY.items():
+        if "parity" in q.tags:
+            n = newest.get(name, 0)
+            assert n > cur - PRIORITY_RESWEEP_ROUNDS or name in head, name
+
+
 def test_table_row_count_falls_back_to_scan(spark, tmp_path):
     """A multi-file parquet directory (the cluster layout) sums file
     footers; an unreadable path raises through the Spark fallback."""
