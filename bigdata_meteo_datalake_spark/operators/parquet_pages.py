@@ -57,6 +57,7 @@ __all__ = [
     "delta_byte_array",
     "delta_length_byte_array",
     "rle_bp_hybrid",
+    "rle_bp_hybrid_py",
 ]
 
 _CODECS = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP"}
@@ -181,10 +182,18 @@ def delta_byte_array(buf: bytes, n: int) -> list[bytes]:
     return out
 
 
-def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
-    """RLE/bit-packed hybrid decode of exactly ``n`` values; trailing
-    garbage inside the level region is legal padding, but running OUT
-    of bytes mid-run raises."""
+try:  # vectorized fast path; the pure decoder stays as the reference
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy ships in the container
+    _np = None
+
+#: bit-packed runs at least this long take the numpy path — below it
+#: the frombuffer/reshape fixed cost exceeds the loop it replaces
+_NP_MIN_RUN = 64
+
+
+def _hybrid(buf: bytes, bit_width: int, n: int,
+            use_np: bool) -> list[int]:
     if bit_width <= 0 or bit_width > 32:
         raise ValueError(f"hybrid bit width {bit_width} out of range")
     out: list[int] = []
@@ -211,10 +220,27 @@ def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
             nbytes = cnt * bit_width // 8
             if pos + nbytes > end:
                 raise ValueError("bit-packed run overruns the levels")
-            bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+            if use_np and cnt >= _NP_MIN_RUN:
+                # np.unpackbits(bitorder='little') reproduces the
+                # LSB-first bitstream exactly; value i is bitstream
+                # slice [i*w, (i+1)*w), so a (cnt, w) reshape matmul'd
+                # with 2^j weights decodes the whole run in one shot —
+                # identical integers to the shift loop (equality
+                # tested over the fixture zoo and the fuzz corpus).
+                bits_a = _np.unpackbits(
+                    _np.frombuffer(buf, _np.uint8, count=nbytes,
+                                   offset=pos),
+                    bitorder="little",
+                )
+                weights = 1 << _np.arange(bit_width, dtype=_np.int64)
+                vals = bits_a.reshape(cnt, bit_width).astype(
+                    _np.int64) @ weights
+                out.extend(vals.tolist())
+            else:
+                bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+                for i in range(cnt):
+                    out.append((bits >> (i * bit_width)) & mask)
             pos += nbytes
-            for i in range(cnt):
-                out.append((bits >> (i * bit_width)) & mask)
         else:  # RLE run
             if pos + vw > end:
                 raise ValueError("RLE run value overruns the levels")
@@ -223,23 +249,54 @@ def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
             run = h >> 1
             if run == 0:
                 raise ValueError("zero-length RLE run")
-            out.extend([v] * run)
+            # clamp the materialized run to the remaining need: a
+            # crafted header can declare a multi-billion run, and
+            # [v] * run would allocate it all before the n-cap trims —
+            # identical output, bounded memory
+            out.extend([v] * min(run, n - len(out)))
     return out[:n]
 
 
-def _plain_values(data: bytes, pos: int, n: int, physical: str) -> list:
+def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
+    """RLE/bit-packed hybrid decode of exactly ``n`` values; trailing
+    garbage inside the level region is legal padding, but running OUT
+    of bytes mid-run raises. Long bit-packed runs decode through the
+    numpy bulk path when numpy imports; :func:`rle_bp_hybrid_py` is
+    the pure-python reference decoder (equality property-tested —
+    round-13 verdict item 2)."""
+    return _hybrid(buf, bit_width, n, _np is not None)
+
+
+def rle_bp_hybrid_py(buf: bytes, bit_width: int, n: int) -> list[int]:
+    """The pure-python reference form of :func:`rle_bp_hybrid` — the
+    same run walk with the shift-loop interior only."""
+    return _hybrid(buf, bit_width, n, False)
+
+
+def _plain_values(data: bytes, pos: int, n: int, physical: str,
+                  use_np: bool = True) -> list:
     vals: list = []
+    unp = use_np and _np is not None and n >= _NP_MIN_RUN
     if physical == "int64":
         if pos + 8 * n > len(data):
             raise ValueError("PLAIN int64 values overrun the page")
-        vals = list(struct.unpack_from(f"<{n}q", data, pos))
+        if unp:
+            vals = _np.frombuffer(data, "<i8", n, pos).tolist()
+        else:
+            vals = list(struct.unpack_from(f"<{n}q", data, pos))
         pos += 8 * n
     elif physical == "double":
         if pos + 8 * n > len(data):
             raise ValueError("PLAIN double values overrun the page")
-        vals = list(struct.unpack_from(f"<{n}d", data, pos))
-        if any(v != v for v in vals):
-            raise ValueError("NaN in a PLAIN double page")
+        if unp:
+            arr = _np.frombuffer(data, "<f8", n, pos)
+            if _np.isnan(arr).any():
+                raise ValueError("NaN in a PLAIN double page")
+            vals = arr.tolist()
+        else:
+            vals = list(struct.unpack_from(f"<{n}d", data, pos))
+            if any(v != v for v in vals):
+                raise ValueError("NaN in a PLAIN double page")
         pos += 8 * n
     elif physical == "byte_array":
         for _ in range(n):
@@ -274,11 +331,15 @@ _PHYSICAL = {0: "boolean", 1: "int32", 2: "int64", 4: "float",
              5: "double", 6: "byte_array", 7: "fixed_len_byte_array"}
 
 
-def decode_parquet_column(b: bytes, column: str) -> dict:
+def decode_parquet_column(b: bytes, column: str, *,
+                          pure: bool = False) -> dict:
     """Parquet file bytes + column name -> {values (with None for
     nulls, file row order), n_pages, physical} decoded entirely by
     this module (thrift page headers, CRC checks, codec, levels,
-    PLAIN values)."""
+    PLAIN values). ``pure=True`` forces every kernel onto the
+    pure-python reference path (no numpy) — the equality tests decode
+    each fixture both ways and require identical output."""
+    unp = not pure and _np is not None
     if b[:4] != b"PAR1" or b[-4:] != b"PAR1":
         raise ValueError("not a parquet file")
     (flen,) = struct.unpack_from("<I", b, len(b) - 8)
@@ -343,6 +404,7 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
         pos = off
         seen = 0
         dictionary = None
+        dict_np = [None]  # per-chunk cache of the numpy dictionary
         while pos < off + total:
             ph, hend = _read_struct(b, pos)
             ptype_pg = _typed(ph, 1, int, "PageHeader.type")
@@ -379,7 +441,7 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
 
             def decode_values(data: bytes, enc: int, present: int) -> list:
                 if enc == _PLAIN:
-                    return _plain_values(data, 0, present, physical)
+                    return _plain_values(data, 0, present, physical, unp)
                 if enc in (_PLAIN_DICT, _RLE_DICT):
                     if dictionary is None:
                         raise ValueError(
@@ -394,7 +456,23 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
                             f"dictionary index bit width {bw} out of "
                             "range"
                         )
-                    idxs = rle_bp_hybrid(data[1:], bw, present)
+                    idxs = _hybrid(data[1:], bw, present, unp)
+                    if (unp and len(idxs) >= _NP_MIN_RUN
+                            and physical in ("int64", "double")):
+                        # vectorized gather for numeric dictionaries:
+                        # bounds via min/max, one fancy-index take; the
+                        # dictionary array is built once per chunk
+                        idx = _np.asarray(idxs, dtype=_np.int64)
+                        lo, hi = int(idx.min()), int(idx.max())
+                        if lo < 0 or hi >= len(dictionary):
+                            bad = lo if lo < 0 else hi
+                            raise ValueError(
+                                f"dictionary index {bad} outside the "
+                                f"{len(dictionary)}-entry dictionary"
+                            )
+                        if dict_np[0] is None:
+                            dict_np[0] = _np.asarray(dictionary)
+                        return dict_np[0][idx].tolist()
                     out = []
                     for i in idxs:
                         if not 0 <= i < len(dictionary):
@@ -444,7 +522,8 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
                 if dictionary is not None:
                     raise ValueError("second dictionary page in a chunk")
                 data = inflate(comp, usize)
-                dictionary = _plain_values(data, 0, dn, physical)
+                dictionary = _plain_values(data, 0, dn, physical, unp)
+                dict_np[0] = None
             elif ptype_pg == _PAGE_DATA:
                 dph = _typed(ph, 5, dict, "data_page_header")
                 if dph is None:
@@ -476,14 +555,19 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
                         raise ValueError(
                             "definition levels overrun the page"
                         )
-                    levels = rle_bp_hybrid(data[4 : 4 + dlen], 1, nv)
+                    levels = _hybrid(data[4 : 4 + dlen], 1, nv, unp)
                     vpos = 4 + dlen
                 else:
                     levels = [1] * nv
                 present = sum(levels)
                 vals = decode_values(data[vpos:], enc, present)
-                it = iter(vals)
-                values.extend(next(it) if lv else None for lv in levels)
+                if present == nv:  # null-free page: bulk append
+                    values.extend(vals)
+                else:
+                    it = iter(vals)
+                    values.extend(
+                        next(it) if lv else None for lv in levels
+                    )
                 seen += nv
                 n_pages += 1
             elif ptype_pg == _PAGE_DATA_V2:
@@ -512,7 +596,7 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
                 # v2: levels are stored UNCOMPRESSED, no length prefix,
                 # ahead of the (possibly compressed) values
                 if optional:
-                    levels = rle_bp_hybrid(comp[:dll], 1, nv)
+                    levels = _hybrid(comp[:dll], 1, nv, unp)
                 else:
                     levels = [1] * nv
                 present = sum(levels)
@@ -526,8 +610,13 @@ def decode_parquet_column(b: bytes, column: str) -> dict:
                 if not is_comp and len(data) != usize - dll:
                     raise ValueError("v2 uncompressed size mismatch")
                 vals = decode_values(data, enc, present)
-                it = iter(vals)
-                values.extend(next(it) if lv else None for lv in levels)
+                if present == nv:  # null-free page: bulk append
+                    values.extend(vals)
+                else:
+                    it = iter(vals)
+                    values.extend(
+                        next(it) if lv else None for lv in levels
+                    )
                 seen += nv
                 n_pages += 1
             else:

@@ -95,6 +95,139 @@ def test_sample_audit_manifest_matches_chooser(spark):
     assert len(got) == len(want)  # both columns of each chosen file
 
 
+# --- vectorized parquet page decode (operators/parquet_pages.py) -----------------------
+
+
+def test_page_decode_pure_equals_vectorized(spark, tmp_path):
+    """decode_parquet_column(pure=True) == the numpy fast path, value
+    for value, over the fixture zoo: PLAIN int64/double (REQUIRED and
+    OPTIONAL with nulls), dictionary ints/doubles/strings, booleans,
+    v2 DELTA pages, across codecs (round-13 verdict item 2)."""
+    import glob
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    cases = [
+        ("id + 9 AS v", "uncompressed", {}),
+        ("CASE WHEN id % 7 = 3 THEN NULL ELSE id END AS v", "gzip", {}),
+        ("cast(id AS double)/4 AS v", "snappy", {}),
+        ("concat('s', id % 13) AS v", "snappy", {}),
+        ("id % 3 = 0 AS v", "gzip", {}),
+        ("id % 5 AS v", "uncompressed", {}),  # dictionary ints
+        ("cast(id % 7 AS double)/2 AS v", "gzip", {}),  # dict doubles
+        ("CASE WHEN id % 7 = 3 THEN NULL ELSE id * 37 - 5000 END AS v",
+         "snappy", {"parquet__enable__dictionary": "false",
+                    "parquet__writer__version": "v2"}),
+    ]
+    for i, (expr, codec, opts) in enumerate(cases):
+        path = _pp_file(spark, str(tmp_path / str(i)), expr, codec,
+                        **opts)
+        b = open(path, "rb").read()
+        fast = decode_parquet_column(b, "v")
+        pure = decode_parquet_column(b, "v", pure=True)
+        assert fast == pure, (i, expr)
+
+
+def test_hybrid_pure_equals_vectorized_generated():
+    """rle_bp_hybrid == rle_bp_hybrid_py on generated hybrid streams
+    across bit widths — including runs crossing the numpy threshold."""
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        rle_bp_hybrid,
+        rle_bp_hybrid_py,
+    )
+
+    def encode(runs, bit_width):
+        # runs: list of ("rle", value, count) | ("bp", [values])
+        out = bytearray()
+        vw = (bit_width + 7) // 8
+        for r in runs:
+            if r[0] == "rle":
+                _, v, cnt = r
+                out += _uvarint(cnt << 1) + v.to_bytes(vw, "little")
+            else:
+                vals = r[1]
+                assert len(vals) % 8 == 0
+                out += _uvarint(((len(vals) // 8) << 1) | 1)
+                bits = 0
+                for i, v in enumerate(vals):
+                    bits |= v << (i * bit_width)
+                out += bits.to_bytes(len(vals) * bit_width // 8,
+                                     "little")
+        return bytes(out)
+
+    def _uvarint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    import random
+
+    rng = random.Random(13)
+    for bit_width in (1, 2, 3, 5, 7, 8, 12, 16, 20, 24, 31, 32):
+        mask = (1 << bit_width) - 1
+        runs = []
+        n = 0
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                cnt = rng.randint(1, 300)
+                runs.append(("rle", rng.randint(0, mask), cnt))
+                n += cnt
+            else:
+                groups = rng.choice([1, 2, 8, 16, 64])
+                vals = [rng.randint(0, mask) for _ in range(groups * 8)]
+                runs.append(("bp", vals))
+                n += len(vals)
+        buf = encode(runs, bit_width)
+        assert rle_bp_hybrid(buf, bit_width, n) == \
+            rle_bp_hybrid_py(buf, bit_width, n), bit_width
+
+
+def test_hybrid_pure_equals_vectorized_on_garbage():
+    """On arbitrary byte soup both paths agree: same values on success,
+    same exception type on failure — the fuzz-corpus equality gate."""
+    import random
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        rle_bp_hybrid,
+        rle_bp_hybrid_py,
+    )
+
+    rng = random.Random(1313)
+    for _ in range(400):
+        buf = bytes(rng.randrange(256)
+                    for _ in range(rng.randrange(0, 120)))
+        w = rng.choice([1, 2, 4, 8, 16, 32])
+        n = rng.randrange(0, 600)
+        try:
+            a = ("ok", rle_bp_hybrid(buf, w, n))
+        except ValueError:
+            a = ("err", None)
+        try:
+            b = ("ok", rle_bp_hybrid_py(buf, w, n))
+        except ValueError:
+            b = ("err", None)
+        assert a == b, (w, n, buf.hex())
+
+
+def _pp_file(spark, tmpdir, expr, codec, **opts):
+    import glob
+
+    df = spark.range(0, 2750).selectExpr(expr)
+    w = (df.coalesce(1).write.mode("overwrite")
+         .option("parquet.page.row.count.limit", "500")
+         .option("compression", codec))
+    for k, v in opts.items():
+        w = w.option(k.replace("__", "."), v)
+    w.parquet(tmpdir + "/t")
+    return glob.glob(tmpdir + "/t/*.parquet")[0]
+
+
 # --- sweep rotation bands (queries/__init__.py) ----------------------------------------
 
 
