@@ -27,9 +27,10 @@ PUBLIC ORC v1 spec:
   sized by the column encoding's dictionarySize, bounds-checked);
   other type trees are declared boundaries raised loudly.
 
-Bit-unpacking pulls each run through one big-integer ``int.from_bytes``
-and extracts by shift — no per-bit python loop — which is what keeps
-the sf1 audit sub-linear.
+Bit-unpacking decodes long runs through numpy (unpackbits +
+MSB-first reshape-matmul) with the one-bignum shift-extract loop kept
+as the pure-python reference (``decode_orc_column(pure=True)``,
+equality-tested) — which is what keeps the sf1 audit sub-linear.
 
 Reference parity note: the reference repo delegates all storage to
 Postgres (SURVEY.md section 4); this completes the ORC trio in the
@@ -82,13 +83,35 @@ def _zigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
-def _unpack_be(b: bytes, pos: int, width: int, count: int) -> tuple:
+try:  # vectorized fast path; the pure decoder stays as the reference
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy ships in the container
+    _np = None
+
+#: bit-packed runs at least this long take the numpy path
+_NP_MIN_RUN = 64
+
+
+def _unpack_be(b: bytes, pos: int, width: int, count: int,
+               use_np: bool = True) -> tuple:
     """``count`` big-endian bit-packed values of ``width`` bits from
-    byte offset ``pos`` — one big-int read, shift-extracted."""
+    byte offset ``pos``. Long runs decode through numpy (unpackbits in
+    stream order + MSB-first reshape-matmul — the shift loop over one
+    bignum is quadratic in run length); the pure form stays as the
+    reference, equality-tested (round-13)."""
     nbits = width * count
     nbytes = (nbits + 7) // 8
     if pos + nbytes > len(b):
         raise ValueError("bit-packed run overruns the stream")
+    if use_np and _np is not None and count >= _NP_MIN_RUN:
+        bits = _np.unpackbits(
+            _np.frombuffer(b, _np.uint8, count=nbytes, offset=pos)
+        )[:nbits]
+        weights = (_np.uint64(1)
+                   << _np.arange(width - 1, -1, -1, dtype=_np.uint64))
+        vals = bits[: count * width].reshape(count, width).astype(
+            _np.uint64) @ weights
+        return vals.tolist(), pos + nbytes
     big = int.from_bytes(b[pos : pos + nbytes], "big")
     pad = nbytes * 8 - nbits
     big >>= pad
@@ -100,8 +123,11 @@ def _unpack_be(b: bytes, pos: int, width: int, count: int) -> tuple:
     return out, pos + nbytes
 
 
-def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
-    """RLEv2 stream -> exactly ``n`` integers; anything else raises."""
+def rlev2_decode(b: bytes, n: int, *, signed: bool = True,
+                 use_np: bool = True) -> list[int]:
+    """RLEv2 stream -> exactly ``n`` integers; anything else raises.
+    ``use_np=False`` forces the pure-python reference interior
+    (equality-tested against the numpy path, round-13)."""
     out: list[int] = []
     pos = 0
     while len(out) < n:
@@ -125,7 +151,7 @@ def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
                 raise ValueError("direct header overruns")
             length = ((h & 1) << 8 | b[pos + 1]) + 1
             pos += 2
-            vals, pos = _unpack_be(b, pos, w, length)
+            vals, pos = _unpack_be(b, pos, w, length, use_np)
             if signed:
                 out.extend(_zigzag(v) for v in vals)
             else:
@@ -151,7 +177,7 @@ def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
                 rem = length - 2
                 if rem < 0:
                     raise ValueError("delta run shorter than its header")
-                deltas, pos = _unpack_be(b, pos, w, rem)
+                deltas, pos = _unpack_be(b, pos, w, rem, use_np)
                 sign = 1 if delta_base >= 0 else -1
                 for d in deltas:
                     vals.append(vals[-1] + sign * d)
@@ -174,7 +200,7 @@ def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
             if base & msb:  # sign-magnitude, not two's complement
                 base = -(base & (msb - 1))
             pos += bw
-            vals, pos = _unpack_be(b, pos, w, length)
+            vals, pos = _unpack_be(b, pos, w, length, use_np)
             # The Java writer packs patch entries at
             # getClosestFixedBits(pgw + pw), not the raw sum — e.g. a
             # 25- or 27-bit combined width is stored as 26/28 bits
@@ -183,7 +209,7 @@ def rlev2_decode(b: bytes, n: int, *, signed: bool = True) -> list[int]:
                 raise ValueError(
                     f"patch gap+value width {pgw + pw} exceeds 64 bits")
             pew = min(fw for fw in WIDTH_TABLE if fw >= pgw + pw)
-            patches, pos = _unpack_be(b, pos, pew, pll)
+            patches, pos = _unpack_be(b, pos, pew, pll, use_np)
             idx = 0
             pmask = (1 << pw) - 1
             for e in patches:
@@ -232,9 +258,13 @@ _DIRECT, _DICT, _DIRECT_V2, _DICT_V2 = 0, 1, 2, 3
 _LENGTH, _DICT_DATA = 2, 3
 
 
-def decode_orc_column(b: bytes, column: str) -> dict:
+def decode_orc_column(b: bytes, column: str, *,
+                      pure: bool = False) -> dict:
     """ORC file bytes + column name -> {values (None for nulls, file
-    row order), n_stripes} decoded entirely by this module."""
+    row order), n_stripes} decoded entirely by this module.
+    ``pure=True`` forces the pure-python reference kernels (no numpy)
+    — the equality tests decode each fixture both ways."""
+    unp = not pure
     if len(b) < 4 or b[:3] != b"ORC":
         raise ValueError("not an ORC file")
     ps_len = b[-1]
@@ -350,7 +380,7 @@ def decode_orc_column(b: bytes, column: str) -> dict:
         nn = sum(present)
         data = _decompress_stream(raws[_DATA], codec)
         if physical == "long":
-            vals = rlev2_decode(data, nn)
+            vals = rlev2_decode(data, nn, use_np=unp)
         elif physical == "double":
             if len(data) < 8 * nn:
                 raise ValueError("double DATA stream too short")
@@ -362,7 +392,7 @@ def decode_orc_column(b: bytes, column: str) -> dict:
                 raise ValueError("string column without a LENGTH stream")
             lens = rlev2_decode(
                 _decompress_stream(raws[_LENGTH], codec), nn,
-                signed=False,
+                signed=False, use_np=unp,
             )
             if any(ln < 0 for ln in lens):
                 raise ValueError("negative string length")
@@ -384,7 +414,7 @@ def decode_orc_column(b: bytes, column: str) -> dict:
                 )
             dlens = rlev2_decode(
                 _decompress_stream(raws[_LENGTH], codec), dict_size,
-                signed=False,
+                signed=False, use_np=unp,
             )
             dbytes = _decompress_stream(raws[_DICT_DATA], codec)
             if sum(dlens) > len(dbytes):
@@ -397,7 +427,7 @@ def decode_orc_column(b: bytes, column: str) -> dict:
                     off += ln
             except UnicodeDecodeError as exc:
                 raise ValueError(f"invalid utf-8 in dictionary: {exc}") from exc
-            idxs = rlev2_decode(data, nn, signed=False)
+            idxs = rlev2_decode(data, nn, signed=False, use_np=unp)
             vals = []
             for i in idxs:
                 if not 0 <= i < len(entries):

@@ -228,6 +228,69 @@ def _pp_file(spark, tmpdir, expr, codec, **opts):
     return glob.glob(tmpdir + "/t/*.parquet")[0]
 
 
+# --- vectorized ORC RLEv2 decode (operators/orc_data.py) -------------------------------
+
+
+def test_orc_decode_pure_equals_vectorized(spark, tmp_path):
+    """decode_orc_column(pure=True) == the numpy fast path over the
+    RLEv2 fixture zoo: direct/delta/patched-base/short-repeat longs,
+    doubles, nulls, DIRECT_V2 and DICTIONARY_V2 strings, across
+    codecs."""
+    import glob
+
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        decode_orc_column,
+    )
+
+    cases = [
+        ("id + 9 AS v", "zlib"),
+        ("cast(id % 50 AS long) + CASE WHEN id % 100 = 7 "
+         "THEN 1000000 ELSE 0 END AS v", "none"),  # patched base
+        ("cast(3000 - id AS long) AS v", "snappy"),
+        ("CASE WHEN id % 7 = 3 THEN NULL ELSE id * 1234567 END AS v",
+         "snappy"),
+        ("cast(id AS double)/4 AS v", "zlib"),
+        ("concat('unique-', id) AS v", "zlib"),
+        ("CASE WHEN id % 9 = 4 THEN NULL "
+         "ELSE concat('cat', id % 5) END AS v", "snappy"),
+    ]
+    for i, (expr, codec) in enumerate(cases):
+        out = str(tmp_path / str(i))
+        (spark.range(0, 3000).selectExpr(expr).coalesce(1)
+         .write.mode("overwrite").option("compression", codec).orc(out))
+        p = glob.glob(out + "/*.orc")[0]
+        b = open(p, "rb").read()
+        assert decode_orc_column(b, "v") == \
+            decode_orc_column(b, "v", pure=True), (i, expr)
+
+
+def test_rlev2_pure_equals_vectorized_on_garbage():
+    """Both RLEv2 paths agree on arbitrary byte soup: same values on
+    success, same exception type on failure."""
+    import random
+
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        rlev2_decode,
+    )
+
+    rng = random.Random(4242)
+    for _ in range(400):
+        buf = bytes(rng.randrange(256)
+                    for _ in range(rng.randrange(0, 120)))
+        n = rng.randrange(0, 600)
+        signed = rng.random() < 0.5
+        try:
+            a = ("ok", rlev2_decode(buf, n, signed=signed))
+        except (ValueError, NotImplementedError):
+            a = ("err", None)
+        try:
+            b = ("ok", rlev2_decode(buf, n, signed=signed,
+                                    use_np=False))
+        except (ValueError, NotImplementedError):
+            b = ("err", None)
+        assert a == b, (n, signed, buf.hex())
+
+
 # --- sweep rotation bands (queries/__init__.py) ----------------------------------------
 
 
