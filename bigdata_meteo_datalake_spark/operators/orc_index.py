@@ -55,9 +55,12 @@ from .orc_footer import (
 __all__ = [
     "murmur3_64",
     "orc_bloom_test",
+    "orc_bloom_test_np",
     "orc_long_hash",
+    "orc_long_hash_np",
     "read_orc_indexes",
     "verify_orc_indexes",
+    "verify_orc_indexes_np",
 ]
 
 _M64 = (1 << 64) - 1
@@ -380,6 +383,139 @@ def verify_orc_indexes(b: bytes, column: str, kind: str,
     }
 
 
+try:  # vectorized verification; the pure loop stays as the reference
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy ships in the container
+    _np = None
+
+
+def orc_long_hash_np(keys):
+    """Vectorized :func:`orc_long_hash` over an int64 array — numpy
+    int64 arithmetic IS java long arithmetic (two's-complement wrap,
+    arithmetic right shift), so the mixer transcribes 1:1; returns the
+    hash as int64 (the unsigned result's two's-complement view).
+    Equality property-tested against the scalar form."""
+    with _np.errstate(over="ignore"):
+        k = keys.astype(_np.int64)
+        k = (~k) + (k << 21)
+        k = k ^ (k >> 24)
+        k = k + (k << 3) + (k << 8)
+        k = k ^ (k >> 14)
+        k = k + (k << 2) + (k << 4)
+        k = k ^ (k >> 28)
+        k = k + (k << 31)
+    return k
+
+
+def orc_bloom_test_np(bitset_longs: tuple, n_hash: int, h64):
+    """Vectorized :func:`orc_bloom_test` over an int64 hash array ->
+    per-value membership bool array (the audit's no-false-negative
+    claim checks ``.all()``; a failure indexes the offending value)."""
+    nbits = 64 * len(bitset_longs)
+    if not nbits:
+        raise ValueError("empty ORC bloom bitset")
+    bs = _np.asarray(bitset_longs, dtype=_np.int64)
+    h1 = h64.astype(_np.int32)
+    h2 = (h64.view(_np.uint64) >> _np.uint64(32)).astype(
+        _np.uint32).view(_np.int32)
+    ok = _np.ones(h64.shape, dtype=bool)
+    with _np.errstate(over="ignore"):
+        for i in range(1, n_hash + 1):
+            ch = (h1.astype(_np.int64)
+                  + i * h2.astype(_np.int64)).astype(_np.int32)
+            ch = _np.where(ch < 0, ~ch, ch)
+            pos = ch.astype(_np.int64) % nbits
+            bit = (bs[pos >> 6] >> (pos & 63)) & 1
+            ok &= bit.astype(bool)
+    return ok
+
+
+def verify_orc_indexes_np(b: bytes, column: str, kind: str,
+                          vals_np, nulls_np) -> dict:
+    """Vectorized twin of :func:`verify_orc_indexes` (round-13): the
+    same structural walk (shared ``read_orc_indexes``) and the same
+    per-stride claims — stats reduced by numpy slices, bloom membership
+    through the vectorized Wang mixer over each stride's distinct
+    values. int/double kinds only (the audited set); strings keep the
+    pure path. Equality-tested against the pure form."""
+    if kind not in ("int", "double"):
+        raise ValueError(
+            f"vectorized ORC verify supports int/double, got {kind!r}"
+        )
+    idx = read_orc_indexes(b, column)
+    stride = idx["row_stride"]
+    total = sum(s["n_rows"] for s in idx["stripes"])
+    n_rows = int(vals_np.shape[0])
+    if total != n_rows:
+        raise ValueError(
+            f"indexes cover {total} rows, data has {n_rows}"
+        )
+    n_strides = 0
+    null_total = 0
+    mins: list = []
+    maxs: list = []
+    row = 0
+    for st in idx["stripes"]:
+        for i, (ent, bl) in enumerate(zip(st["entries"], st["blooms"])):
+            lo = row + i * stride
+            hi = min(row + (i + 1) * stride, row + st["n_rows"])
+            msk = nulls_np[lo:hi]
+            n_null = int(msk.sum())
+            n_present = (hi - lo) - n_null
+            cs = ent["stats"]
+            n_strides += 1
+            nv = cs["n_values"]
+            if nv != n_present:
+                raise ValueError(
+                    f"stride {n_strides - 1}: declared {nv} values, "
+                    f"actual {n_present}"
+                )
+            null_total += n_null
+            if cs["has_null"] != (n_present < hi - lo):
+                raise ValueError(
+                    f"stride {n_strides - 1}: hasNull flag lies"
+                )
+            if not n_present:
+                continue
+            st_block = cs["int"] if kind == "int" else cs["double"]
+            if st_block is None:
+                raise ValueError(
+                    f"stride {n_strides - 1}: missing {kind} statistics"
+                )
+            sl = vals_np[lo:hi]
+            if n_null:
+                sl = sl[~msk]
+            mn, mx = st_block["min"], st_block["max"]
+            mn_act = sl.min().item()
+            mx_act = sl.max().item()
+            if mn != mn_act or mx != mx_act:
+                raise ValueError(
+                    f"stride {n_strides - 1}: declared bounds "
+                    f"[{mn}, {mx}] != actual [{mn_act}, {mx_act}]"
+                )
+            mins.append(mn)
+            maxs.append(mx)
+            uniq = _np.unique(sl)
+            keys = (uniq.view(_np.int64) if kind == "double"
+                    else uniq.astype(_np.int64))
+            ok = orc_bloom_test_np(bl["longs"], bl["n_hash"],
+                                   orc_long_hash_np(keys))
+            if not ok.all():
+                bad = uniq[~ok][0].item()
+                raise ValueError(
+                    f"stride {n_strides - 1}: present value {bad!r} "
+                    "missing from its bloom filter (false negative)"
+                )
+        row += st["n_rows"]
+    return {
+        "n_strides": n_strides,
+        "num_rows": n_rows,
+        "null_count": null_total,
+        "min_val": min(mins) if mins else None,
+        "max_val": max(maxs) if maxs else None,
+    }
+
+
 ORC_INDEX_REPORT_SCHEMA = (
     "tbl string, col string, n_strides int, num_rows long, "
     "null_count long, min_micro long, max_micro long, "
@@ -428,9 +564,8 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
                     out[n_].append(pdf[n_].iloc[j])
                 with open(path, "rb") as f:
                     b = f.read()
-                values = po.ORCFile(path).read(
-                    columns=[col])[col].to_pylist()
-                if not values:
+                col_arr = po.ORCFile(path).read(columns=[col])[col]
+                if len(col_arr) == 0:
                     # an EMPTY file has no strides and no index claims
                     out["tbl"].append(tbl)
                     out["col"].append(col)
@@ -441,7 +576,15 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
                     out["max_micro"].append(None)
                     out["bloom_present"].append(True)
                     continue
-                r = verify_orc_indexes(b, col, kind, values)
+                if _np is not None and kind in ("int", "double"):
+                    from .parquet_pageindex import column_as_numpy
+
+                    vals_np, nulls_np = column_as_numpy(col_arr)
+                    r = verify_orc_indexes_np(b, col, kind,
+                                              vals_np, nulls_np)
+                else:  # pragma: no cover - numpy ships here
+                    r = verify_orc_indexes(b, col, kind,
+                                           col_arr.to_pylist())
                 if r["n_strides"] != -(-r["num_rows"] // stride):
                     raise ValueError(
                         f"{tbl}.{col}: {r['n_strides']} strides for "

@@ -38,8 +38,10 @@ import struct
 from .parquet_footer import _read_struct, _typed
 
 __all__ = [
+    "column_as_numpy",
     "read_page_index",
     "verify_page_index",
+    "verify_page_index_np",
 ]
 
 _BOUNDARY_ORDERS = {0: "UNORDERED", 1: "ASCENDING", 2: "DESCENDING"}
@@ -230,6 +232,90 @@ def verify_page_index(b: bytes, column: str, kind: str,
     }
 
 
+try:  # vectorized verification; the pure loop stays as the reference
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy ships in the container
+    _np = None
+
+
+def verify_page_index_np(b: bytes, column: str, kind: str,
+                         vals_np, nulls_np) -> dict:
+    """Vectorized twin of :func:`verify_page_index` (round-13): the
+    same structural walk (shared ``read_page_index``) and the same
+    per-page claims, with each page's null-count/min/max reduced by
+    numpy over ``vals_np`` (nulls filled with 0) + ``nulls_np`` (bool
+    mask) instead of a python loop per value. Equality-tested against
+    the pure form over the fixture zoo; at sf1 the pure loop is the
+    full audit's dominant cost."""
+    idx = read_page_index(b, column)
+    pages = idx["pages"]
+    n_rows = int(vals_np.shape[0])
+    if pages[-1]["first_row"] >= n_rows:
+        raise ValueError("last page starts past the end of the data")
+    null_total = 0
+    mins: list = []
+    maxs: list = []
+    bounds = [pg["first_row"] for pg in pages] + [n_rows]
+    for i, pg in enumerate(pages):
+        lo, hi = bounds[i], bounds[i + 1]
+        n_null = int(nulls_np[lo:hi].sum())
+        n_present = (hi - lo) - n_null
+        if n_null != pg["null_count"]:
+            raise ValueError(
+                f"page {i}: declared null_count {pg['null_count']} != "
+                f"actual {n_null}"
+            )
+        null_total += pg["null_count"]
+        if pg["null_page"]:
+            if n_present:
+                raise ValueError(
+                    f"page {i} claims all-null but has values"
+                )
+            continue
+        if not n_present:
+            raise ValueError(
+                f"page {i} has no values but is not marked a null page"
+            )
+        mn = _decode_plain(pg["min_raw"], kind)
+        mx = _decode_plain(pg["max_raw"], kind)
+        sl = vals_np[lo:hi]
+        if n_null:
+            sl = sl[~nulls_np[lo:hi]]
+        mn_act = sl.min().item()
+        mx_act = sl.max().item()
+        if mn != mn_act or mx != mx_act:
+            raise ValueError(
+                f"page {i}: declared bounds [{mn}, {mx}] != actual "
+                f"[{mn_act}, {mx_act}]"
+            )
+        mins.append(mn)
+        maxs.append(mx)
+    order = idx["boundary_order"]
+    if order == 1 and (mins != sorted(mins) or maxs != sorted(maxs)):
+        raise ValueError("ASCENDING boundary_order does not hold")
+    if order == 2 and (mins != sorted(mins, reverse=True)
+                       or maxs != sorted(maxs, reverse=True)):
+        raise ValueError("DESCENDING boundary_order does not hold")
+    return {
+        "n_pages": len(pages),
+        "num_rows": n_rows,
+        "null_count": null_total,
+        "min_val": min(mins) if mins else None,
+        "max_val": max(maxs) if maxs else None,
+        "boundary_order": _BOUNDARY_ORDERS[order],
+    }
+
+
+def column_as_numpy(col):
+    """pyarrow column -> (values int64/float64 with nulls filled as 0,
+    null bool mask) — exact (no int->float widening on nullable int
+    columns, the ``to_numpy`` trap)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    nulls = _np.asarray(arr.is_null())
+    vals = _np.asarray(arr.fill_null(0))
+    return vals, nulls
+
+
 PAGEINDEX_REPORT_SCHEMA = (
     "tbl string, col string, n_pages int, num_rows long, null_count long, "
     "min_micro long, max_micro long"
@@ -278,8 +364,8 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
                     out[n_].append(pdf[n_].iloc[j])
                 with open(path, "rb") as f:
                     b = f.read()
-                values = pq.read_table(path, columns=[col])[col].to_pylist()
-                if not values:
+                col_arr = pq.read_table(path, columns=[col])[col]
+                if len(col_arr) == 0:
                     # an EMPTY file has no pages and no page index:
                     # report zero pages with NULL bounds — exactly what
                     # ceil(0/limit) and min()/max() over no rows produce
@@ -291,7 +377,13 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
                     out["min_micro"].append(None)
                     out["max_micro"].append(None)
                     continue
-                r = verify_page_index(b, col, kind, values)
+                if _np is not None:
+                    vals_np, nulls_np = column_as_numpy(col_arr)
+                    r = verify_page_index_np(b, col, kind,
+                                             vals_np, nulls_np)
+                else:  # pragma: no cover - numpy ships here
+                    r = verify_page_index(b, col, kind,
+                                          col_arr.to_pylist())
                 if r["n_pages"] != -(-r["num_rows"] // row_limit):
                     raise ValueError(
                         f"{tbl}.{col}: {r['n_pages']} pages for "

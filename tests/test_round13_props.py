@@ -291,6 +291,124 @@ def test_rlev2_pure_equals_vectorized_on_garbage():
         assert a == b, (n, signed, buf.hex())
 
 
+# --- vectorized estate-audit verification -----------------------------------------------
+
+
+def test_orc_long_hash_np_matches_scalar():
+    """The numpy Wang mixer == the scalar form over the hostile key
+    set: 0 (hashes to 0), negatives, +/-2^63 edges, random 64-bit."""
+    import random
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        orc_long_hash,
+        orc_long_hash_np,
+    )
+
+    rng = random.Random(99)
+    keys = [0, 1, -1, 2**63 - 1, -(2**63), 42, -42] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(5000)
+    ]
+    got = orc_long_hash_np(np.asarray(keys, dtype=np.int64))
+    for k, g in zip(keys, got.tolist()):
+        assert (g & ((1 << 64) - 1)) == orc_long_hash(k), k
+
+
+def test_orc_bloom_test_np_matches_scalar():
+    import random
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        orc_bloom_test,
+        orc_bloom_test_np,
+        orc_long_hash,
+        orc_long_hash_np,
+    )
+
+    rng = random.Random(7)
+    bitset = tuple(rng.randint(-(2**63), 2**63 - 1) for _ in range(16))
+    keys = [rng.randint(-(2**63), 2**63 - 1) for _ in range(2000)]
+    for n_hash in (1, 3, 7):
+        ok_np = orc_bloom_test_np(
+            bitset, n_hash,
+            orc_long_hash_np(np.asarray(keys, dtype=np.int64)))
+        for k, o in zip(keys, ok_np.tolist()):
+            assert o == orc_bloom_test(bitset, n_hash,
+                                       orc_long_hash(k)), (n_hash, k)
+
+
+def test_verify_page_index_np_matches_pure(spark, tmp_path):
+    """The numpy page-index verify returns the same report as the pure
+    loop over the zoo, and both reject the same corrupted index."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pageindex import (
+        column_as_numpy,
+        verify_page_index,
+        verify_page_index_np,
+    )
+
+    cases = [
+        ("id + 9 AS v", "int"),
+        ("CASE WHEN id % 7 = 3 THEN NULL ELSE id END AS v", "int"),
+        ("cast(id AS double)/4 AS v", "double"),
+        ("CASE WHEN id < 1000 THEN NULL ELSE cast(id AS double) END "
+         "AS v", "double"),
+    ]
+    for i, (expr, kind) in enumerate(cases):
+        out = str(tmp_path / str(i))
+        (spark.range(0, 2750).selectExpr(expr)
+         .coalesce(1).write.mode("overwrite")
+         .option("parquet.page.row.count.limit", "500")
+         .option("parquet.page.size", str(1 << 23))
+         .option("parquet.block.size", str(1 << 30)).parquet(out))
+        p = glob.glob(out + "/*.parquet")[0]
+        b = open(p, "rb").read()
+        col = pq.read_table(p, columns=["v"])["v"]
+        vals_np, nulls_np = column_as_numpy(col)
+        assert verify_page_index_np(b, "v", kind, vals_np, nulls_np) \
+            == verify_page_index(b, "v", kind, col.to_pylist()), i
+
+
+def test_verify_orc_indexes_np_matches_pure(spark, tmp_path):
+    import glob
+
+    import pyarrow.orc as po
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        verify_orc_indexes,
+        verify_orc_indexes_np,
+    )
+    from bigdata_meteo_datalake_spark.operators.parquet_pageindex import (
+        column_as_numpy,
+    )
+
+    cases = [
+        ("id + 9 AS v", "int", "zlib"),
+        ("CASE WHEN id % 7 = 3 THEN NULL ELSE id * -37 END AS v",
+         "int", "snappy"),
+        ("cast(id AS double)/4 AS v", "double", "none"),
+    ]
+    for i, (expr, kind, codec) in enumerate(cases):
+        out = str(tmp_path / str(i))
+        (spark.range(0, 3000).selectExpr(expr)
+         .coalesce(1).write.mode("overwrite")
+         .option("compression", codec)
+         .option("orc.bloom.filter.columns", "v")
+         .option("orc.row.index.stride", "1000")
+         .option("orc.stripe.size", str(1 << 30)).orc(out))
+        p = glob.glob(out + "/*.orc")[0]
+        b = open(p, "rb").read()
+        col = po.ORCFile(p).read(columns=["v"])["v"]
+        vals_np, nulls_np = column_as_numpy(col)
+        assert verify_orc_indexes_np(b, "v", kind, vals_np, nulls_np) \
+            == verify_orc_indexes(b, "v", kind, col.to_pylist()), i
+
+
 # --- sweep rotation bands (queries/__init__.py) ----------------------------------------
 
 
