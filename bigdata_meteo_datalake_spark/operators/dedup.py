@@ -86,6 +86,33 @@ def lsh_n_planes_sql(count_expr: str) -> str:
     )
 
 
+#: IVF coarse-quantizer sizing: the deterministic codebook keeps a
+#: roughly CONSTANT centroid count (~IVF_CENTROID_TARGET) instead of a
+#: fixed sampling rate — a fixed rate makes centroid count grow with
+#: the corpus and the assignment crossJoin quadratic (round-13: 26 s
+#: at sf1). Floor of 23 preserves the historical small-corpus rule.
+IVF_CENTROID_TARGET = 256
+IVF_CENTROID_MIN_MOD = 23
+
+
+def ivf_centroid_mod(n_vecs: int) -> int:
+    """Sampling modulus for the deterministic IVF codebook: vectors
+    with ``vec_id % mod == 0`` are centroids, sized so centroid count
+    is ~IVF_CENTROID_TARGET at any corpus size (python form;
+    :func:`ivf_centroid_mod_sql` is the DuckDB twin)."""
+    return max(IVF_CENTROID_MIN_MOD,
+               -(-n_vecs // IVF_CENTROID_TARGET))
+
+
+def ivf_centroid_mod_sql(count_expr: str) -> str:
+    """DuckDB twin of :func:`ivf_centroid_mod` over a SQL count."""
+    return (
+        f"greatest({IVF_CENTROID_MIN_MOD}, "
+        f"CAST(ceil(({count_expr}) / {IVF_CENTROID_TARGET}.0) "
+        f"AS BIGINT))"
+    )
+
+
 def token_hash(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a string, identical in DuckDB:
     first 15 hex chars of md5 -> bigint."""

@@ -344,7 +344,16 @@ def emb_lsh_topk(spark, sf_dir):
 
 # --- IVF (inverted-file) ANN: coarse quantizer + probed cells -----------------------
 
-_IVF_CENTROID_MOD = 23  # centroids = vectors with vec_id % 23 == 0 (~4%)
+#: the deterministic codebook modulus: sized from the corpus so the
+#: CENTROID COUNT stays ~constant (operators.dedup.ivf_centroid_mod,
+#: floor 23 == the historical small-corpus rule, unchanged at the
+#: driver's test SFs) — a fixed sampling rate made centroid count grow
+#: with the corpus and the assignment quadratic (round-13, 26 s sf1)
+def _ivf_mod_sql() -> str:
+    from ..operators.dedup import ivf_centroid_mod_sql
+
+    return ("(SELECT " + ivf_centroid_mod_sql("count(*)")
+            + " FROM embeddings)")
 _IVF_NPROBE = 2
 
 
@@ -359,7 +368,7 @@ n AS (
          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
   FROM e
 ),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {_ivf_mod_sql()} = 0),
 -- assign every vector to its nearest centroid (L2; ties -> lower cent_id)
 assign AS (
   SELECT vec_id, cent_id FROM (
@@ -414,7 +423,11 @@ def emb_ivf_topk(spark, sf_dir):
     base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
     norm = _norm(F.col("v"))
     n = base.select("vec_id", "v", norm.alias("nrm"))
-    cent = base.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+    from ..operators.dedup import ivf_centroid_mod
+    from ..sources.lake import table_row_count
+
+    mod = ivf_centroid_mod(table_row_count(spark, sf_dir, "embeddings"))
+    cent = base.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     l2 = F.aggregate(
@@ -970,7 +983,7 @@ n AS (
 ),
 cent AS (
   SELECT vec_id AS cent_id, v AS cv FROM e
-  WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+  WHERE vec_id % {_ivf_mod_sql()} = 0
 ),
 assign AS (
   SELECT vec_id, cent_id FROM (
@@ -1042,7 +1055,11 @@ def semantic_dedup_ivf(spark, sf_dir):
     emb = widen(read_table(spark, sf_dir, "embeddings"))
     base = emb.select(F.col("vec_id"), _double_vec().alias("v"))
     n = base.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cent = base.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+    from ..operators.dedup import ivf_centroid_mod
+    from ..sources.lake import table_row_count
+
+    mod = ivf_centroid_mod(table_row_count(spark, sf_dir, "embeddings"))
+    cent = base.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     l2 = F.aggregate(

@@ -409,6 +409,29 @@ def test_verify_orc_indexes_np_matches_pure(spark, tmp_path):
             == verify_orc_indexes(b, "v", kind, col.to_pylist()), i
 
 
+def test_ivf_centroid_mod_matches_duckdb_twin():
+    """Python IVF codebook modulus == the DuckDB twin, and the floor
+    preserves the historical small-corpus rule (mod 23) at the
+    driver's test scales."""
+    import duckdb
+
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        IVF_CENTROID_MIN_MOD,
+        ivf_centroid_mod,
+        ivf_centroid_mod_sql,
+    )
+
+    for n in (1, 22, 23, 500, 5000, 5888, 5889, 50_000, 10**7):
+        sql = "SELECT " + ivf_centroid_mod_sql(str(n))
+        assert duckdb.sql(sql).fetchone()[0] == ivf_centroid_mod(n), n
+    assert ivf_centroid_mod(500) == IVF_CENTROID_MIN_MOD   # sf0.01
+    assert ivf_centroid_mod(5000) == IVF_CENTROID_MIN_MOD  # sf0.1
+    assert ivf_centroid_mod(50_000) == 196                 # sf1: ~256 cells
+    # centroid count stays ~constant at any scale
+    for n in (10**5, 10**6, 10**8):
+        assert n // ivf_centroid_mod(n) <= 257
+
+
 # --- sweep rotation bands (queries/__init__.py) ----------------------------------------
 
 
