@@ -409,6 +409,84 @@ def test_verify_orc_indexes_np_matches_pure(spark, tmp_path):
             == verify_orc_indexes(b, "v", kind, col.to_pylist()), i
 
 
+def test_verify_twins_agree_under_mutation(spark, tmp_path):
+    """Corrupt real files and require the pure and vectorized
+    verifiers to AGREE: both accept or both raise ValueError — the
+    vectorized path must never pass corruption the pure loop catches
+    (nor invent failures). 240 deterministic byte flips per format."""
+    import glob
+    import random
+
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        verify_orc_indexes,
+        verify_orc_indexes_np,
+    )
+    from bigdata_meteo_datalake_spark.operators.parquet_pageindex import (
+        column_as_numpy,
+        verify_page_index,
+        verify_page_index_np,
+    )
+
+    rng = random.Random(131313)
+
+    out = str(tmp_path / "p")
+    (spark.range(0, 2750)
+     .selectExpr("CASE WHEN id % 7 = 3 THEN NULL ELSE id END AS v")
+     .coalesce(1).write.mode("overwrite")
+     .option("parquet.page.row.count.limit", "500")
+     .option("parquet.page.size", str(1 << 23))
+     .option("parquet.block.size", str(1 << 30)).parquet(out))
+    p = glob.glob(out + "/*.parquet")[0]
+    b = open(p, "rb").read()
+    col = pq.read_table(p, columns=["v"])["v"]
+    vals_np, nulls_np = column_as_numpy(col)
+    values = col.to_pylist()
+    for _ in range(240):
+        mb = bytearray(b)
+        mb[rng.randrange(len(mb))] ^= 1 << rng.randrange(8)
+        mb = bytes(mb)
+        try:
+            ra = ("ok", verify_page_index(mb, "v", "int", values))
+        except (ValueError, NotImplementedError):
+            ra = ("err",)
+        try:
+            rb = ("ok", verify_page_index_np(mb, "v", "int",
+                                             vals_np, nulls_np))
+        except (ValueError, NotImplementedError):
+            rb = ("err",)
+        assert ra == rb
+
+    out = str(tmp_path / "o")
+    (spark.range(0, 3000).selectExpr("id * 7 - 900 AS v")
+     .coalesce(1).write.mode("overwrite")
+     .option("compression", "none")
+     .option("orc.bloom.filter.columns", "v")
+     .option("orc.row.index.stride", "1000")
+     .option("orc.stripe.size", str(1 << 30)).orc(out))
+    p = glob.glob(out + "/*.orc")[0]
+    b = open(p, "rb").read()
+    col = po.ORCFile(p).read(columns=["v"])["v"]
+    vals_np, nulls_np = column_as_numpy(col)
+    values = col.to_pylist()
+    for _ in range(240):
+        mb = bytearray(b)
+        mb[rng.randrange(len(mb))] ^= 1 << rng.randrange(8)
+        mb = bytes(mb)
+        try:
+            ra = ("ok", verify_orc_indexes(mb, "v", "int", values))
+        except (ValueError, NotImplementedError):
+            ra = ("err",)
+        try:
+            rb = ("ok", verify_orc_indexes_np(mb, "v", "int",
+                                              vals_np, nulls_np))
+        except (ValueError, NotImplementedError):
+            rb = ("err",)
+        assert ra == rb
+
+
 def test_ivf_centroid_mod_matches_duckdb_twin():
     """Python IVF codebook modulus == the DuckDB twin, and the floor
     preserves the historical small-corpus rule (mod 23) at the
