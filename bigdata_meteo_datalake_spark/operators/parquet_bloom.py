@@ -44,6 +44,7 @@ __all__ = [
     "SBBF_SALT",
     "read_bloom_filter",
     "sbbf_contains",
+    "sbbf_contains_np",
 ]
 
 SBBF_SALT = (
@@ -114,6 +115,33 @@ def sbbf_contains(bitset: bytes, h: int) -> bool:
     return True
 
 
+try:  # vectorized probe; the scalar test stays as the reference
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy ships in the container
+    _np = None
+
+
+def sbbf_contains_np(bitset: bytes, h):
+    """Vectorized :func:`sbbf_contains` over a uint64 hash array ->
+    per-value membership bools: block index from the upper 32 bits,
+    the 8x32 salt mask from the lower 32 — all in uint32/uint64 numpy
+    arithmetic (wrap == the spec's modular math). Equality
+    property-tested against the scalar form (round-13)."""
+    n_blocks = len(bitset) >> 5
+    if not n_blocks or len(bitset) & 31:
+        raise ValueError("SBBF bitset is not whole 32-byte blocks")
+    words = _np.frombuffer(bitset, "<u4").reshape(n_blocks, 8)
+    bi = ((h >> _np.uint64(32)) * _np.uint64(n_blocks)) >> _np.uint64(32)
+    x = (h & _np.uint64(0xFFFFFFFF)).astype(_np.uint32)
+    blk = words[bi.astype(_np.int64)]
+    ok = _np.ones(h.shape, dtype=bool)
+    with _np.errstate(over="ignore"):
+        for i in range(8):
+            bit = (x * _np.uint32(SBBF_SALT[i])) >> _np.uint32(27)
+            ok &= ((blk[:, i] >> bit) & _np.uint32(1)).astype(bool)
+    return ok
+
+
 def _plain_bytes(v, kind: str) -> bytes:
     if kind == "long":
         return struct.pack("<q", int(v))
@@ -180,6 +208,26 @@ def file_bloom_probe(path: str, column: str, kind: str,
         b = f.read()
     bitsets = [read_bloom_filter(b, off, ln)
                for off, ln in _bloom_regions(b, column)]
+    if _np is not None and kind in ("long", "double"):
+        # vectorized probe (round-13): 8-byte keys hash through
+        # xxh64_u64_np on their uint64 bit view — zero per-value
+        # packing — and each row group's SBBF answers the whole batch
+        from .lz4zstd import xxh64_u64_np
+
+        vals = list(values)
+        if kind == "long":
+            lanes = _np.asarray(vals, dtype=_np.int64).view(_np.uint64)
+        else:
+            lanes = _np.asarray(vals, dtype=_np.float64).view(
+                _np.uint64)
+        h = xxh64_u64_np(lanes)
+        ok = _np.zeros(h.shape, dtype=bool)
+        for bs in bitsets:
+            ok |= sbbf_contains_np(bs, h)
+        return {"n_distinct": int(h.shape[0]),
+                "present_hits": int(ok.sum()),
+                "n_row_groups": len(bitsets),
+                "bitset_bytes": sum(len(bs) for bs in bitsets)}
     n = 0
     hits = 0
     for v in values:

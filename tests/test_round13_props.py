@@ -487,6 +487,54 @@ def test_verify_twins_agree_under_mutation(spark, tmp_path):
         assert ra == rb
 
 
+def test_xxh64_u64_np_matches_scalar():
+    """The vectorized XXH64 of 8-byte keys == the scalar hash of the
+    packed bytes — for int64 (incl. 0, negatives, 2^63 edges) and
+    float64 (incl. +/-0.0) bit views."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        xxh64,
+        xxh64_u64_np,
+    )
+
+    rng = random.Random(3)
+    iv = [0, 1, -1, 2**63 - 1, -(2**63)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(4000)]
+    got = xxh64_u64_np(np.asarray(iv, dtype=np.int64).view(np.uint64))
+    for v, g in zip(iv, got.tolist()):
+        assert g == xxh64(struct.pack("<q", v)), v
+    dv = [0.0, -0.0, 1.5, -2.25e300] + [
+        rng.uniform(-1e12, 1e12) for _ in range(2000)]
+    got = xxh64_u64_np(np.asarray(dv, dtype=np.float64).view(np.uint64))
+    for v, g in zip(dv, got.tolist()):
+        assert g == xxh64(struct.pack("<d", v)), v
+
+
+def test_sbbf_contains_np_matches_scalar():
+    """Vectorized SBBF membership == the scalar spec test over a random
+    bitset and hostile hash values (block-index extremes included)."""
+    import random
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.parquet_bloom import (
+        sbbf_contains,
+        sbbf_contains_np,
+    )
+
+    rng = random.Random(77)
+    bitset = bytes(rng.randrange(256) for _ in range(32 * 8))
+    hs = [0, 1, (1 << 64) - 1, 1 << 63, (1 << 32) - 1] + [
+        rng.getrandbits(64) for _ in range(4000)]
+    got = sbbf_contains_np(bitset, np.asarray(hs, dtype=np.uint64))
+    for h, g in zip(hs, got.tolist()):
+        assert g == sbbf_contains(bitset, h), h
+
+
 def test_ivf_centroid_mod_matches_duckdb_twin():
     """Python IVF codebook modulus == the DuckDB twin, and the floor
     preserves the historical small-corpus rule (mod 23) at the
