@@ -488,12 +488,16 @@ _SAMPLED_COLUMNS = [
 ]
 
 
-def _sampled_shard_manifest(spark, sf_dir, write_one_shard):
+def _sampled_shard_manifest(spark, sf_dir, write_shards):
     """Shared fixture-writer for both sampled audits: per table, derive
     the shard count from FOOTER stats (no count job), choose the
-    deterministic sample, write ONLY the chosen shards (one file each
-    via ``write_one_shard(df, out_dir)``), and return manifest rows
-    ``(tbl, col, kind, path, file_key, shard, n_shards)``."""
+    deterministic sample, and write ONLY the chosen shards in ONE
+    source scan (``__shard`` filter + repartition + partitionBy via
+    ``write_shards(df, tbl)`` -> base dir) — one file per shard, since
+    each shard value lives in exactly one task after the repartition.
+    Returns manifest rows ``(tbl, col, kind, path, file_key, shard,
+    n_shards)``; a chosen shard the key distribution left empty gets
+    an explicit empty single-file write so the audit still covers it."""
     import glob
 
     from pyspark.sql import functions as F
@@ -511,15 +515,27 @@ def _sampled_shard_manifest(spark, sf_dir, write_one_shard):
         pk = next(p for t, _, _, p in _SAMPLED_COLUMNS if t == tbl)
         cnt = table_row_count(spark, sf_dir, tbl)
         n = max(1, -(-cnt // AUDIT_SHARD_ROWS))
-        src = read_table(spark, sf_dir, tbl)
-        for s in choose_shards(tbl, n, AUDIT_MAX_FILES):
-            out = write_one_shard(
-                src.where(F.expr(f"(({pk}) % {n}) = {s}"))
-                .select(*[F.col(c).cast("long" if k == "int" else "double")
-                          .alias(c) for c, k in audited]),
-                tbl, s,
-            )
-            exts = glob.glob(out + "/*.parquet") + glob.glob(out + "/*.orc")
+        chosen = choose_shards(tbl, n, AUDIT_MAX_FILES)
+        cast_cols = [F.col(c).cast("long" if k == "int" else "double")
+                     .alias(c) for c, k in audited]
+        sel = (read_table(spark, sf_dir, tbl)
+               .withColumn("__shard", F.expr(f"(({pk}) % {n})"))
+               .where(F.col("__shard").isin([int(s) for s in chosen]))
+               .select(*cast_cols, "__shard")
+               .repartition(len(chosen), "__shard"))
+        base = write_shards(sel, tbl)
+        for s in chosen:
+            out = f"{base}/__shard={s}"
+            exts = (glob.glob(out + "/*.parquet")
+                    + glob.glob(out + "/*.orc"))
+            if not exts:  # key distribution missed this residue
+                empty = spark.createDataFrame(
+                    [], ", ".join(
+                        f"{c} {'long' if k == 'int' else 'double'}"
+                        for c, k in audited))
+                write_shards(empty.coalesce(1), tbl, shard=s)
+                exts = (glob.glob(out + "/*.parquet")
+                        + glob.glob(out + "/*.orc"))
             if len(exts) != 1:
                 raise ValueError(
                     f"expected one shard part in {out}, found {len(exts)}"
@@ -602,16 +618,19 @@ def parquet_pageindex_sampled(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="pageindex_sampled_")
 
-    def write_one(df, tbl, s):
-        out = f"{base}/{tbl}/shard={s}"
-        (df.coalesce(1).write.mode("overwrite")
-         .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
-         .option("parquet.page.size", str(1 << 23))
-         .option("parquet.block.size", str(1 << 30))
-         .parquet(out))
+    def write_shards(df, tbl, shard=None):
+        out = (f"{base}/{tbl}" if shard is None
+               else f"{base}/{tbl}/__shard={shard}")
+        w = (df.write.mode("overwrite")
+             .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
+             .option("parquet.page.size", str(1 << 23))
+             .option("parquet.block.size", str(1 << 30)))
+        if shard is None:
+            w = w.partitionBy("__shard")
+        w.parquet(out)
         return out
 
-    rows = _sampled_shard_manifest(spark, sf_dir, write_one)
+    rows = _sampled_shard_manifest(spark, sf_dir, write_shards)
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return pageindex_column_stats(
         df.repartition(max(1, len(rows))),
@@ -653,17 +672,21 @@ def orc_index_sampled(spark, sf_dir):
     codecs = _orc_codec_by_table()
     base = tempfile.mkdtemp(prefix="orc_index_sampled_")
 
-    def write_one(df, tbl, s):
-        out = f"{base}/{tbl}/shard={s}"
-        (df.coalesce(1).write.mode("overwrite")
-         .option("compression", codecs.get(tbl, "zlib"))
-         .option("orc.bloom.filter.columns", ",".join(df.columns))
-         .option("orc.row.index.stride", str(_ORC_STRIDE))
-         .option("orc.stripe.size", str(1 << 30))
-         .orc(out))
+    def write_shards(df, tbl, shard=None):
+        out = (f"{base}/{tbl}" if shard is None
+               else f"{base}/{tbl}/__shard={shard}")
+        bloom_cols = ",".join(c for c in df.columns if c != "__shard")
+        w = (df.write.mode("overwrite")
+             .option("compression", codecs.get(tbl, "zlib"))
+             .option("orc.bloom.filter.columns", bloom_cols)
+             .option("orc.row.index.stride", str(_ORC_STRIDE))
+             .option("orc.stripe.size", str(1 << 30)))
+        if shard is None:
+            w = w.partitionBy("__shard")
+        w.orc(out)
         return out
 
-    rows = _sampled_shard_manifest(spark, sf_dir, write_one)
+    rows = _sampled_shard_manifest(spark, sf_dir, write_shards)
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return orc_index_column_stats(
         df.repartition(max(1, len(rows))),
