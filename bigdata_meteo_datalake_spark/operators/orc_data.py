@@ -371,22 +371,43 @@ def decode_orc_column(b: bytes, column: str, *,
         if _DATA not in raws:
             raise ValueError(f"column {column!r} has no DATA stream")
         n = st["n_rows"]
-        if _PRESENT in raws:
+        all_present = _PRESENT not in raws
+        if all_present:
+            present = [True] * n
+            nn = n
+        elif unp and _np is not None:
+            # vectorized PRESENT decode: byte-RLE expands in python
+            # (runs are already bulk ops), the MSB-first bit unpack is
+            # one np.unpackbits — equality-tested against bool_decode
+            bb = byte_rle_decode(
+                _decompress_stream(raws[_PRESENT], codec), (n + 7) // 8
+            )
+            pres_np = _np.unpackbits(
+                _np.frombuffer(bb, _np.uint8))[:n].astype(bool)
+            present = pres_np.tolist()
+            nn = int(pres_np.sum())
+            all_present = nn == n
+        else:
             present = bool_decode(
                 _decompress_stream(raws[_PRESENT], codec), n
             )
-        else:
-            present = [True] * n
-        nn = sum(present)
+            nn = sum(present)
+            all_present = nn == n
         data = _decompress_stream(raws[_DATA], codec)
         if physical == "long":
             vals = rlev2_decode(data, nn, use_np=unp)
         elif physical == "double":
             if len(data) < 8 * nn:
                 raise ValueError("double DATA stream too short")
-            vals = list(struct.unpack_from(f"<{nn}d", data, 0))
-            if any(v != v for v in vals):
-                raise ValueError("NaN in a double DATA stream")
+            if unp and _np is not None and nn >= _NP_MIN_RUN:
+                arr = _np.frombuffer(data, "<f8", nn, 0)
+                if _np.isnan(arr).any():
+                    raise ValueError("NaN in a double DATA stream")
+                vals = arr.tolist()
+            else:
+                vals = list(struct.unpack_from(f"<{nn}d", data, 0))
+                if any(v != v for v in vals):
+                    raise ValueError("NaN in a double DATA stream")
         elif enc == _DIRECT_V2:  # string, inline
             if _LENGTH not in raws:
                 raise ValueError("string column without a LENGTH stream")
@@ -436,8 +457,11 @@ def decode_orc_column(b: bytes, column: str, *,
                         f"{len(entries)}-entry dictionary"
                     )
                 vals.append(entries[i])
-        it = iter(vals)
-        values.extend(next(it) if p else None for p in present)
+        if all_present:  # null-free stripe: bulk append
+            values.extend(vals)
+        else:
+            it = iter(vals)
+            values.extend(next(it) if p else None for p in present)
     return {"values": values, "n_stripes": len(stripes)}
 
 
