@@ -487,6 +487,56 @@ def test_verify_twins_agree_under_mutation(spark, tmp_path):
         assert ra == rb
 
 
+def test_decoders_pure_equals_fast_under_mutation(spark, tmp_path):
+    """Full-decoder agreement under corruption: decode_parquet_column
+    and decode_orc_column, pure vs fast, on 200 byte-flipped copies of
+    real files each — same values or same exception type. The
+    decoder-level complement of the verifier mutation gate."""
+    import glob
+    import random
+
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        decode_orc_column,
+    )
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    rng = random.Random(424242)
+
+    out = str(tmp_path / "p")
+    (spark.range(0, 3000)
+     .selectExpr("CASE WHEN id % 7 = 3 THEN NULL ELSE id % 97 END AS v")
+     .coalesce(1).write.mode("overwrite").parquet(out))
+    pb = open(glob.glob(out + "/*.parquet")[0], "rb").read()
+    out = str(tmp_path / "o")
+    (spark.range(0, 3000)
+     .selectExpr("CASE WHEN id % 9 = 4 THEN NULL ELSE id * 31 END AS v")
+     .coalesce(1).write.mode("overwrite")
+     .option("compression", "zlib").orc(out))
+    ob = open(glob.glob(out + "/*.orc")[0], "rb").read()
+
+    for fn, blob in ((decode_parquet_column, pb),
+                     (decode_orc_column, ob)):
+        for _ in range(200):
+            mb = bytearray(blob)
+            mb[rng.randrange(len(mb))] ^= 1 << rng.randrange(8)
+            mb = bytes(mb)
+            try:
+                a = ("ok", fn(mb, "v"))
+            except (ValueError, NotImplementedError):
+                a = ("err",)
+            except Exception as exc:  # other leak: must match too
+                a = ("exc", type(exc).__name__)
+            try:
+                b = ("ok", fn(mb, "v", pure=True))
+            except (ValueError, NotImplementedError):
+                b = ("err",)
+            except Exception as exc:
+                b = ("exc", type(exc).__name__)
+            assert a == b
+
+
 def test_xxh64_u64_np_matches_scalar():
     """The vectorized XXH64 of 8-byte keys == the scalar hash of the
     packed bytes — for int64 (incl. 0, negatives, 2^63 edges) and
