@@ -4,8 +4,12 @@ vectorized decode fast paths — each locked against its pure twin."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from .conftest import TEST_SF_DIR
+
+_H = settings(max_examples=60, deadline=None)
 
 
 # --- footer-stat row counts (sources/lake.py:table_row_count) --------------------------
@@ -485,6 +489,73 @@ def test_verify_twins_agree_under_mutation(spark, tmp_path):
         except (ValueError, NotImplementedError):
             rb = ("err",)
         assert ra == rb
+
+
+# --- hypothesis twins (rotating seeds, unlike the fixed-seed campaigns) ----------------
+
+
+@_H
+@given(st.binary(max_size=160), st.sampled_from([1, 2, 4, 8, 16, 32]),
+       st.integers(min_value=0, max_value=600))
+def test_hybrid_twins_hypothesis(buf, w, n):
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        rle_bp_hybrid,
+        rle_bp_hybrid_py,
+    )
+
+    try:
+        a = ("ok", rle_bp_hybrid(buf, w, n))
+    except ValueError:
+        a = ("err",)
+    try:
+        b = ("ok", rle_bp_hybrid_py(buf, w, n))
+    except ValueError:
+        b = ("err",)
+    assert a == b
+
+
+@_H
+@given(st.binary(max_size=160), st.integers(min_value=0, max_value=600),
+       st.booleans())
+def test_rlev2_twins_hypothesis(buf, n, signed):
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        rlev2_decode,
+    )
+
+    try:
+        a = ("ok", rlev2_decode(buf, n, signed=signed))
+    except (ValueError, NotImplementedError):
+        a = ("err",)
+    try:
+        b = ("ok", rlev2_decode(buf, n, signed=signed, use_np=False))
+    except (ValueError, NotImplementedError):
+        b = ("err",)
+    assert a == b
+
+
+@_H
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=300))
+def test_xxh64_and_wang_twins_hypothesis(keys):
+    import struct
+
+    import numpy as np
+
+    from bigdata_meteo_datalake_spark.operators.lz4zstd import (
+        xxh64,
+        xxh64_u64_np,
+    )
+    from bigdata_meteo_datalake_spark.operators.orc_index import (
+        orc_long_hash,
+        orc_long_hash_np,
+    )
+
+    arr = np.asarray(keys, dtype=np.int64)
+    hx = xxh64_u64_np(arr.view(np.uint64)).tolist()
+    hw = orc_long_hash_np(arr).tolist()
+    for k, gx, gw in zip(keys, hx, hw):
+        assert gx == xxh64(struct.pack("<q", k))
+        assert (gw & ((1 << 64) - 1)) == orc_long_hash(k)
 
 
 def test_decoders_pure_equals_fast_under_mutation(spark, tmp_path):
