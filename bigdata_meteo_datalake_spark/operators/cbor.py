@@ -148,7 +148,10 @@ def _decode(b: bytes, pos: int, depth: int, canonical: bool):
                 # for short text keys, since the initial byte carries
                 # the length).
                 kenc = b[kstart:pos]
-                if prev_enc is not None and kenc <= prev_enc:
+                # strict <: an EQUAL encoding is a duplicate key, not an
+                # ordering violation — let it fall through to the
+                # dedicated duplicate-key check below (round-13 advice)
+                if prev_enc is not None and kenc < prev_enc:
                     raise ValueError(
                         f"cbor: map key {k!r} out of canonical "
                         "(bytewise-encoded) order"

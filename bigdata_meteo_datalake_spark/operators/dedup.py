@@ -105,11 +105,15 @@ def ivf_centroid_mod(n_vecs: int) -> int:
 
 
 def ivf_centroid_mod_sql(count_expr: str) -> str:
-    """DuckDB twin of :func:`ivf_centroid_mod` over a SQL count."""
+    """DuckDB twin of :func:`ivf_centroid_mod` over a SQL count.
+
+    Integer ceil via ``(n + T - 1) // T`` — NOT ``ceil(n / T.0)``, whose
+    double division loses exactness past 2^53 and would diverge from the
+    python twin's exact integer arithmetic (round-13 advice)."""
     return (
         f"greatest({IVF_CENTROID_MIN_MOD}, "
-        f"CAST(ceil(({count_expr}) / {IVF_CENTROID_TARGET}.0) "
-        f"AS BIGINT))"
+        f"CAST((({count_expr}) + {IVF_CENTROID_TARGET - 1}) "
+        f"// {IVF_CENTROID_TARGET} AS BIGINT))"
     )
 
 

@@ -527,7 +527,8 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
                            stride: int = 1000,
                            id_cols: tuple = (),
                            max_files_per_table: int | None = None,
-                           sample_key_col: str = "path"):
+                           sample_key_col: str = "path",
+                           sample_epoch: int = 0):
     """(tbl, col, kind, path) rows -> one audit row each, every number
     INDEX-derived after verify_orc_indexes held each stride's stats
     and bloom to the pyarrow-read data.
@@ -544,7 +545,7 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
 
         df = sample_audit_manifest(
             df, max_files_per_table=max_files_per_table,
-            key_col=sample_key_col,
+            key_col=sample_key_col, epoch=sample_epoch,
         )
     id_names = tuple(c.split()[0] for c in id_cols)
 
@@ -590,7 +591,12 @@ def orc_index_column_stats(df, *, micro: int = 1_000_000,
                         f"{tbl}.{col}: {r['n_strides']} strides for "
                         f"{r['num_rows']} rows at stride {stride}"
                     )
-                if kind == "int":
+                if r["min_val"] is None:
+                    # non-empty file, all-null column: strides carry no
+                    # bounds — NULL min/max, same as the oracle's
+                    # min()/max() over no present values (r13 advice)
+                    mn_u = mx_u = None
+                elif kind == "int":
                     mn_u = int(r["min_val"]) * micro
                     mx_u = int(r["max_val"]) * micro
                 else:

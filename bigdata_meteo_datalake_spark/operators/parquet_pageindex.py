@@ -326,7 +326,8 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
                            row_limit: int = 500,
                            id_cols: tuple = (),
                            max_files_per_table: int | None = None,
-                           sample_key_col: str = "path"):
+                           sample_key_col: str = "path",
+                           sample_epoch: int = 0):
     """(tbl, col, kind, path) rows -> one audit row each, every number
     derived from the INDEX (page count, summed null_counts, aggregated
     page bounds in the house micro units) after verify_page_index has
@@ -345,7 +346,7 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
 
         df = sample_audit_manifest(
             df, max_files_per_table=max_files_per_table,
-            key_col=sample_key_col,
+            key_col=sample_key_col, epoch=sample_epoch,
         )
     id_names = tuple(c.split()[0] for c in id_cols)
 
@@ -389,7 +390,12 @@ def pageindex_column_stats(df, *, micro: int = 1_000_000,
                         f"{tbl}.{col}: {r['n_pages']} pages for "
                         f"{r['num_rows']} rows at limit {row_limit}"
                     )
-                if kind == "int":
+                if r["min_val"] is None:
+                    # non-empty file, all-null column: pages carry no
+                    # bounds — NULL min/max, same as the oracle's
+                    # min()/max() over no present values (r13 advice)
+                    mn_u = mx_u = None
+                elif kind == "int":
                     mn_u = int(r["min_val"]) * micro
                     mx_u = int(r["max_val"]) * micro
                 else:

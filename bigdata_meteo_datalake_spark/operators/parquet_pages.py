@@ -451,12 +451,23 @@ def decode_parquet_column(b: bytes, column: str, *,
                     if not data:
                         raise ValueError("empty dictionary-index page")
                     bw = data[0]
-                    if bw == 0 or bw > 32:
+                    if bw > 32:
                         raise ValueError(
                             f"dictionary index bit width {bw} out of "
                             "range"
                         )
-                    idxs = _hybrid(data[1:], bw, present, unp)
+                    if bw == 0:
+                        # legal per the format: 0 bits when the
+                        # dictionary has <= 1 entry (all indices are 0;
+                        # an all-null page has no present values at all)
+                        if present and not dictionary:
+                            raise ValueError(
+                                "0-bit dictionary indices with present "
+                                "values but an empty dictionary"
+                            )
+                        idxs = [0] * present
+                    else:
+                        idxs = _hybrid(data[1:], bw, present, unp)
                     if (unp and len(idxs) >= _NP_MIN_RUN
                             and physical in ("int64", "double")):
                         # vectorized gather for numeric dictionaries:
@@ -638,13 +649,34 @@ PAGE_DECODE_REPORT_SCHEMA = (
 
 
 def page_decode_column_stats(df, *, micro: int = 1_000_000,
-                             row_limit: int = 500):
+                             row_limit: int = 500,
+                             id_cols: tuple = (),
+                             max_files_per_table: int | None = None,
+                             sample_key_col: str = "path",
+                             sample_epoch: int = 0):
     """(tbl, col, kind, path) rows -> one audit row each, every number
     computed from values THIS module decoded (pyarrow is additionally
     consulted as an independent cross-check inside the kernel: a
     decode that disagrees with it fails loud before the oracle ever
-    sees a row)."""
+    sees a row).
+
+    ``max_files_per_table`` is the SAMPLED-audit knob (round-13
+    verdict item 1): keep only the deterministic md5-ranked file
+    subset per table (operators/estate_sampling.py) before any file is
+    opened — the production estate's bounded decode audit.
+    ``id_cols`` passes manifest identity columns (``"name type"`` DDL
+    strings) through to the report 1:1; ``sample_epoch`` rotates which
+    files the sample covers."""
     import pandas as pd
+
+    if max_files_per_table is not None:
+        from .estate_sampling import sample_audit_manifest
+
+        df = sample_audit_manifest(
+            df, max_files_per_table=max_files_per_table,
+            key_col=sample_key_col, epoch=sample_epoch,
+        )
+    id_names = tuple(c.split()[0] for c in id_cols)
 
     def kernel(batches):
         import pyarrow.parquet as pq
@@ -653,8 +685,13 @@ def page_decode_column_stats(df, *, micro: int = 1_000_000,
             out = {k: [] for k in ("tbl", "col", "n_pages", "num_rows",
                                    "null_count", "sum_micro", "min_micro",
                                    "max_micro")}
-            for tbl, col, kind, path in zip(pdf["tbl"], pdf["col"],
-                                            pdf["kind"], pdf["path"]):
+            for n_ in id_names:
+                out[n_] = []
+            for j, (tbl, col, kind, path) in enumerate(
+                zip(pdf["tbl"], pdf["col"], pdf["kind"], pdf["path"])
+            ):
+                for n_ in id_names:
+                    out[n_].append(pdf[n_].iloc[j])
                 with open(path, "rb") as f:
                     b = f.read()
                 ref = pq.read_table(path, columns=[col])[col].to_pylist()
@@ -690,11 +727,16 @@ def page_decode_column_stats(df, *, micro: int = 1_000_000,
                 out["n_pages"].append(r["n_pages"])
                 out["num_rows"].append(len(vals))
                 out["null_count"].append(len(vals) - len(present))
-                out["sum_micro"].append(sum(q))
-                out["min_micro"].append(min(q))
-                out["max_micro"].append(max(q))
+                # all-null column: SQL sum/min/max over no present
+                # values are NULL — mirror that, don't crash (r13 advice)
+                out["sum_micro"].append(sum(q) if q else None)
+                out["min_micro"].append(min(q) if q else None)
+                out["max_micro"].append(max(q) if q else None)
             yield pd.DataFrame(out)
 
-    return df.select("tbl", "col", "kind", "path").mapInPandas(
-        kernel, PAGE_DECODE_REPORT_SCHEMA
+    schema = PAGE_DECODE_REPORT_SCHEMA
+    if id_cols:
+        schema += ", " + ", ".join(id_cols)
+    return df.select("tbl", "col", "kind", "path", *id_names).mapInPandas(
+        kernel, schema
     )

@@ -92,6 +92,11 @@ def _driver_confirmed_rounds() -> dict[str, int]:
 #: rounds stale by round 12 (verdict item: re-sweep every <= 3 rounds).
 PRIORITY_RESWEEP_ROUNDS = 3
 
+#: the driver's per-round correctness sweep size — used only by the
+#: starvation guard in :func:`_load_all` (round-13 advice: band 0 can
+#: crowd band 1 out of the window invisibly).
+SWEEP_WINDOW = 50
+
 
 def _bench_query_names() -> set[str]:
     """The headline bench set, read from bench.py's BENCH_QUERIES by AST
@@ -216,6 +221,22 @@ def _load_all() -> None:
         return (2, n)
 
     ordered = sorted(REGISTRY.items(), key=band)
+    # starvation guard (round-13 advice): band 1 (stale priority) sorts
+    # BEHIND band 0 (never-confirmed), so if never-confirmed queries
+    # ever crowd the driver's sweep window, the <= PRIORITY_RESWEEP_ROUNDS
+    # cadence promise silently breaks — make that visible.
+    n0 = sum(1 for kv in ordered if band(kv)[0] == 0)
+    n1 = sum(1 for kv in ordered if band(kv)[0] == 1)
+    if n0 + n1 > SWEEP_WINDOW:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sweep-order starvation: %d never-confirmed + %d stale-priority "
+            "queries exceed the %d-slot driver sweep — %d stale priority "
+            "queries will miss their %d-round re-sweep cadence this round",
+            n0, n1, SWEEP_WINDOW, max(0, n0 + n1 - SWEEP_WINDOW),
+            PRIORITY_RESWEEP_ROUNDS,
+        )
     REGISTRY.clear()
     REGISTRY.update(ordered)
     _LOADED = True

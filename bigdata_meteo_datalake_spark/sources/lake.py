@@ -9,9 +9,13 @@ overwrite so re-running one snapshot day replaces only that partition.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 #: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -65,9 +69,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: (path, mtime_ns, size) -> row count; footer stats are immutable for a
-#: given file version, so the cache never serves stale counts.
-_ROW_COUNT_CACHE: dict[tuple, int] = {}
+#: path -> (mtime_ns, size, num_rows); the (mtime, size) stamp is checked
+#: on every hit and the entry REPLACED when the file version changes, so
+#: the cache never serves stale counts and never accumulates dead entries
+#: for superseded versions of a rewritten table (round-13 advice).
+_ROW_COUNT_CACHE: dict[str, tuple[int, int, int]] = {}
 
 
 def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
@@ -96,13 +102,22 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
             total = 0
             for f in files:
                 st = os.stat(f)
-                key = (f, st.st_mtime_ns, st.st_size)
-                if key not in _ROW_COUNT_CACHE:
-                    _ROW_COUNT_CACHE[key] = pq.read_metadata(f).num_rows
-                total += _ROW_COUNT_CACHE[key]
+                stamp = (st.st_mtime_ns, st.st_size)
+                hit = _ROW_COUNT_CACHE.get(f)
+                if hit is None or hit[:2] != stamp:
+                    hit = (*stamp, pq.read_metadata(f).num_rows)
+                    _ROW_COUNT_CACHE[f] = hit
+                total += hit[2]
             return total
-        except Exception:
-            pass
+        except Exception as exc:
+            # loud fallback (round-13 verdict item 6): a silent
+            # environment change must not reintroduce per-invocation
+            # count jobs invisibly — the "no count job" property of the
+            # footer path is observable only if its loss is logged
+            _LOG.warning(
+                "table_row_count(%s/%s): footer stats unreadable (%s); "
+                "falling back to a Spark count() job", sf_dir, name, exc,
+            )
     return read_table(spark, sf_dir, name).count()
 
 
