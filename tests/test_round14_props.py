@@ -387,3 +387,73 @@ def test_orc_string_decode_pure_vs_fast_twin(spark, tmp_path):
         pure = decode_orc_column(b, col, pure=True)["values"]
         assert fast == ref
         assert pure == ref
+
+
+# --- string-decoder mutation agreement gate (verdict item 8 re-fuzz) ---------------------
+
+_ORC_STRING_FILE: dict = {"bytes": b""}
+
+
+def test_orc_string_capture_for_mutations(spark, tmp_path):
+    """Capture a Spark-written ORC file with BOTH string encodings and
+    nulls — the corpus for the mutation agreement gate below."""
+    import glob
+
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        decode_orc_column,
+    )
+
+    n = 3000
+    rows = [
+        (
+            f"k-{i:04d}-{(i * 37) % 101}" if i % 9 else None,
+            ("aa", "bb", "cc")[i % 3] if i % 5 else None,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "hi string, lo string")
+    out = str(tmp_path / "mstrs.orc")
+    df.coalesce(1).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).orc(out)
+    [path] = glob.glob(out + "/*.orc")
+    _ORC_STRING_FILE["bytes"] = open(path, "rb").read()
+    assert len(decode_orc_column(_ORC_STRING_FILE["bytes"],
+                                 "hi")["values"]) == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_orc_string_pure_fast_agree_on_mutations(data):
+    """Bit-flip / delete / insert mutations of the string ORC file:
+    the vectorized decode and the pure reference agree on every
+    mutant — same values or an error from both, for both encodings.
+    (The round-13 protocol: new fast-path surface gets its own
+    mutation campaign.)"""
+    from bigdata_meteo_datalake_spark.operators.orc_data import (
+        decode_orc_column,
+    )
+
+    blob = bytearray(_ORC_STRING_FILE["bytes"])
+    if not blob:
+        pytest.skip("capture test did not run first")
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    b = bytes(blob)
+    for col in ("hi", "lo"):
+        try:
+            fast = ("ok", decode_orc_column(b, col)["values"])
+        except (ValueError, NotImplementedError):
+            fast = ("err",)
+        try:
+            pure = ("ok", decode_orc_column(b, col, pure=True)["values"])
+        except (ValueError, NotImplementedError):
+            pure = ("err",)
+        assert fast == pure
