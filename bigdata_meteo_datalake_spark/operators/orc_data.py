@@ -92,32 +92,18 @@ except ImportError:  # pragma: no cover - numpy ships in the container
 _NP_MIN_RUN = 64
 
 
-def _utf8_slices(data: bytes, lens, use_np: bool) -> list:
+def _utf8_slices(data: bytes, lens) -> list:
     """lengths -> list[str]: length-sliced UTF-8 decode of a
-    concatenated blob — the DIRECT_V2 value / DICTIONARY_DATA interior
-    (round-14, verdict item 7: the last interpreter-bound string
-    residual). Fast path builds ONE pyarrow large_string array from an
-    int64 offsets vector — a single C-level full validation (offsets +
-    UTF-8) and decode instead of a per-string python slice loop; pure
-    path is the reference, equality property-tested over the zoo."""
-    if use_np and _np is not None and len(lens) >= _NP_MIN_RUN:
-        import pyarrow as pa
+    concatenated blob — the DIRECT_V2 value / DICTIONARY_DATA interior.
 
-        off = _np.empty(len(lens) + 1, dtype=_np.int64)
-        off[0] = 0
-        _np.cumsum(_np.asarray(lens, dtype=_np.int64), out=off[1:])
-        total = int(off[-1])
-        arr = pa.Array.from_buffers(
-            pa.large_string(), len(lens),
-            [None, pa.py_buffer(off.tobytes()),
-             pa.py_buffer(data[:total])],
-        )
-        try:
-            arr.validate(full=True)
-        except pa.lib.ArrowInvalid as exc:
-            raise ValueError(
-                f"invalid utf-8 in string data: {exc}") from exc
-        return arr.to_pylist()
+    MEASURED NEGATIVE RESULT (round-14, verdict item 7): a pyarrow
+    ``large_string.from_buffers`` + ``validate(full)`` + ``to_pylist``
+    vectorization of this loop was built, equality-tested, and timed
+    at 4x SLOWER than this form (0.112s vs 0.027s for 150k ~25-char
+    strings) — the output must be python str objects either way, so
+    the cost is PyObject creation, which ``bytes.decode`` already does
+    with less overhead. The value shape defeats vectorization; the
+    per-string loop IS the fast path. See SCALE.md round-14 notes."""
     vals = []
     off = 0
     try:
@@ -456,7 +442,7 @@ def decode_orc_column(b: bytes, column: str, *,
                 raise ValueError("negative string length")
             if sum(lens) > len(data):
                 raise ValueError("string DATA stream too short")
-            vals = _utf8_slices(data, lens, unp)
+            vals = _utf8_slices(data, lens)
         else:  # string, DICTIONARY_V2
             if _LENGTH not in raws or _DICT_DATA not in raws:
                 raise ValueError(
@@ -473,43 +459,29 @@ def decode_orc_column(b: bytes, column: str, *,
             if sum(dlens) > len(dbytes):
                 raise ValueError("dictionary data stream too short")
             try:
-                entries = _utf8_slices(dbytes, dlens, unp)
+                entries = _utf8_slices(dbytes, dlens)
             except ValueError as exc:
                 raise ValueError(
                     f"invalid utf-8 in dictionary: {exc}") from exc
             idxs = rlev2_decode(data, nn, signed=False, use_np=unp)
-            if unp and _np is not None and nn >= _NP_MIN_RUN:
-                # vectorized gather: bounds via min/max, one C-level
-                # fancy-index take over an object array (round-14)
-                idx = _np.asarray(idxs, dtype=_np.int64)
-                lo, hi = int(idx.min()), int(idx.max())
-                if lo < 0 or hi >= len(entries):
-                    bad = lo if lo < 0 else hi
+            # MEASURED NEGATIVE RESULT (round-14): an np object-array
+            # fancy-index gather was built and profiled — np.asarray
+            # over the python-int index list costs more than the whole
+            # checked loop (0.64s vs 0.64s for 6M indices, before the
+            # take), because rlev2_decode returns python ints either
+            # way. The decode is run-header-bound (cProfile: 2.4s of
+            # 3.3s in rlev2_decode for 836k short runs), not
+            # gather-bound; see SCALE.md round-14 notes.
+            vals = []
+            for i in idxs:
+                if not 0 <= i < len(entries):
                     raise ValueError(
-                        f"dictionary index {bad} outside the "
+                        f"dictionary index {i} outside the "
                         f"{len(entries)}-entry dictionary"
                     )
-                vals = _np.asarray(entries, dtype=object)[idx].tolist()
-            else:
-                vals = []
-                for i in idxs:
-                    if not 0 <= i < len(entries):
-                        raise ValueError(
-                            f"dictionary index {i} outside the "
-                            f"{len(entries)}-entry dictionary"
-                        )
-                    vals.append(entries[i])
+                vals.append(entries[i])
         if all_present:  # null-free stripe: bulk append
             values.extend(vals)
-        elif unp and _np is not None and n >= _NP_MIN_RUN:
-            # vectorized null interleave: one C-level boolean scatter
-            # into an object array instead of a per-row generator
-            out = _np.full(n, None, dtype=object)
-            if nn:
-                scattered = _np.empty(nn, dtype=object)
-                scattered[:] = vals
-                out[_np.asarray(present, dtype=bool)] = scattered
-            values.extend(out.tolist())
         else:
             it = iter(vals)
             values.extend(next(it) if p else None for p in present)

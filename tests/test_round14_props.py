@@ -306,51 +306,45 @@ def test_sweep_window_constant_matches_driver():
         max_size=200,
     ),
 )
-def test_utf8_slices_fast_equals_pure(strs):
-    """The pyarrow-backed length-slicer equals the per-string pure
-    loop on arbitrary unicode, including empty strings and multibyte
-    codepoints, above and below the fast-path threshold."""
+def test_utf8_slices_roundtrip(strs):
+    """The length-slicer reconstructs arbitrary unicode exactly,
+    including empty strings and multibyte codepoints. (A pyarrow
+    from_buffers vectorization of this loop was built and MEASURED 4x
+    slower — see the _utf8_slices docstring; the per-string loop is
+    the production form.)"""
     from bigdata_meteo_datalake_spark.operators.orc_data import (
         _utf8_slices,
     )
 
     data = b"".join(s.encode("utf-8") for s in strs)
     lens = [len(s.encode("utf-8")) for s in strs]
-    assert _utf8_slices(data, lens, True) == strs
-    assert _utf8_slices(data, lens, False) == strs
+    assert _utf8_slices(data, lens) == strs
 
 
 @_H
 @given(blob=st.binary(min_size=1, max_size=64), seed=st.integers(0, 10**6))
-def test_utf8_slices_garbage_agreement(blob, seed):
-    """On arbitrary bytes both paths agree: same decoded values or
-    ValueError from both (never a crash, never a silent divergence)."""
+def test_utf8_slices_garbage_never_crashes(blob, seed):
+    """On arbitrary byte splits the slicer either decodes or raises
+    ValueError — never an unhandled UnicodeDecodeError or crash."""
     import random
 
     from bigdata_meteo_datalake_spark.operators.orc_data import (
-        _NP_MIN_RUN,
         _utf8_slices,
     )
 
     rng = random.Random(seed)
-    # repeat the blob so the total clears the fast-path threshold
-    reps = _NP_MIN_RUN + rng.randrange(8)
-    data = blob * reps
+    data = blob * 70
     lens = []
     remaining = len(data)
-    while remaining > 0 and len(lens) < reps * 4:
+    while remaining > 0 and len(lens) < 280:
         ln = rng.randrange(0, min(remaining, len(blob)) + 1)
         lens.append(ln)
         remaining -= ln
     try:
-        fast = ("ok", _utf8_slices(data, lens, True))
+        got = _utf8_slices(data, lens)
+        assert len(got) == len(lens)
     except ValueError:
-        fast = ("err", None)
-    try:
-        pure = ("ok", _utf8_slices(data, lens, False))
-    except ValueError:
-        pure = ("err", None)
-    assert fast == pure
+        pass
 
 
 def test_orc_string_decode_pure_vs_fast_twin(spark, tmp_path):
