@@ -451,3 +451,68 @@ def test_orc_string_pure_fast_agree_on_mutations(data):
         except (ValueError, NotImplementedError):
             pure = ("err",)
         assert fast == pure
+
+
+# --- bit-width-0 dictionary pages: decode + mutation robustness -------------------------
+
+_ALLNULL_PQ: dict = {"bytes": b""}
+
+
+def test_bitwidth0_dictionary_pages_decode(tmp_path):
+    """pyarrow writes 0-bit dictionary-index pages for all-null
+    columns (and the spec allows them for <=1-entry dictionaries);
+    they decode instead of raising, and a constant column (1-entry
+    dictionary, 1-bit indices) round-trips too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    p = str(tmp_path / "allnull.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array([None] * 500, type=pa.int64())}),
+        p, data_page_size=128,
+    )
+    b = open(p, "rb").read()
+    r = decode_parquet_column(b, "x")
+    assert r["values"] == [None] * 500
+    _ALLNULL_PQ["bytes"] = b
+
+    p2 = str(tmp_path / "const.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array([7] * 500, type=pa.int64())}),
+        p2, data_page_size=128,
+    )
+    r2 = decode_parquet_column(open(p2, "rb").read(), "x")
+    assert r2["values"] == [7] * 500
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_bitwidth0_decoder_never_leaks_on_mutations(data):
+    """Bit-flip/delete/insert mutations of the all-null (0-bit
+    dictionary page) file: the decoder either returns values or raises
+    ValueError/NotImplementedError — never crashes, never loops."""
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    blob = bytearray(_ALLNULL_PQ["bytes"])
+    if not blob:
+        pytest.skip("capture test did not run first")
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    try:
+        r = decode_parquet_column(bytes(blob), "x")
+        assert isinstance(r["values"], list)
+    except (ValueError, NotImplementedError):
+        pass
