@@ -492,8 +492,36 @@ _SAMPLED_COLUMNS = [
 _SAMPLED_DDL = {"int": "long", "double": "double", "string": "string"}
 
 
+def _write_empty_shard(out_dir: str, audited, fmt: str) -> str:
+    """Driver-side empty shard file for a chosen residue the key
+    distribution left empty (e.g. pk = 8*orderkey + linenumber never
+    hits residues divisible by gcd(8, n)). A Spark write JOB for an
+    empty DataFrame costs whole seconds of committer/JVM overhead on
+    occasion (measured round-14: 0.7-6.8 s per empty shard); a
+    pyarrow footer-only file is <10 ms of driver work and the audit
+    kernels' empty-file branches read it identically."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    typ = {"int": pa.int64(), "double": pa.float64(),
+           "string": pa.string()}
+    tbl = pa.table({c: pa.array([], type=typ[k]) for c, k in audited})
+    path = f"{out_dir}/part-empty.{fmt}"
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, path)
+    else:
+        from pyarrow import orc as pa_orc
+
+        pa_orc.write_table(tbl, path)
+    return path
+
+
 def _sampled_shard_manifest(spark, sf_dir, write_shards,
-                            columns=None, epoch=0):
+                            columns=None, epoch=0, fmt="parquet"):
     """Shared fixture-writer for the sampled audits: per table, derive
     the shard count from FOOTER stats (no count job), choose the
     deterministic sample for audit ``epoch``, and write ONLY the
@@ -539,12 +567,7 @@ def _sampled_shard_manifest(spark, sf_dir, write_shards,
             exts = (glob.glob(out + "/*.parquet")
                     + glob.glob(out + "/*.orc"))
             if not exts:  # key distribution missed this residue
-                empty = spark.createDataFrame(
-                    [], ", ".join(f"{c} {_SAMPLED_DDL[k]}"
-                                  for c, k in audited))
-                write_shards(empty.coalesce(1), tbl, shard=s)
-                exts = (glob.glob(out + "/*.parquet")
-                        + glob.glob(out + "/*.orc"))
+                exts = [_write_empty_shard(out, audited, fmt)]
             if len(exts) != 1:
                 raise ValueError(
                     f"expected one shard part in {out}, found {len(exts)}"
@@ -611,16 +634,13 @@ def _pageindex_sampled_impl(spark, sf_dir, epoch: int):
 
     base = tempfile.mkdtemp(prefix="pageindex_sampled_")
 
-    def write_shards(df, tbl, shard=None):
-        out = (f"{base}/{tbl}" if shard is None
-               else f"{base}/{tbl}/__shard={shard}")
-        w = (df.write.mode("overwrite")
-             .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
-             .option("parquet.page.size", str(1 << 23))
-             .option("parquet.block.size", str(1 << 30)))
-        if shard is None:
-            w = w.partitionBy("__shard")
-        w.parquet(out)
+    def write_shards(df, tbl):
+        out = f"{base}/{tbl}"
+        (df.write.mode("overwrite")
+         .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
+         .option("parquet.page.size", str(1 << 23))
+         .option("parquet.block.size", str(1 << 30))
+         .partitionBy("__shard").parquet(out))
         return out
 
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
@@ -710,21 +730,19 @@ def orc_index_sampled(spark, sf_dir):
     codecs = _orc_codec_by_table()
     base = tempfile.mkdtemp(prefix="orc_index_sampled_")
 
-    def write_shards(df, tbl, shard=None):
-        out = (f"{base}/{tbl}" if shard is None
-               else f"{base}/{tbl}/__shard={shard}")
+    def write_shards(df, tbl):
+        out = f"{base}/{tbl}"
         bloom_cols = ",".join(c for c in df.columns if c != "__shard")
-        w = (df.write.mode("overwrite")
-             .option("compression", codecs.get(tbl, "zlib"))
-             .option("orc.bloom.filter.columns", bloom_cols)
-             .option("orc.row.index.stride", str(_ORC_STRIDE))
-             .option("orc.stripe.size", str(1 << 30)))
-        if shard is None:
-            w = w.partitionBy("__shard")
-        w.orc(out)
+        (df.write.mode("overwrite")
+         .option("compression", codecs.get(tbl, "zlib"))
+         .option("orc.bloom.filter.columns", bloom_cols)
+         .option("orc.row.index.stride", str(_ORC_STRIDE))
+         .option("orc.stripe.size", str(1 << 30))
+         .partitionBy("__shard").orc(out))
         return out
 
-    rows = _sampled_shard_manifest(spark, sf_dir, write_shards)
+    rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
+                                   fmt="orc")
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return orc_index_column_stats(
         df.repartition(max(1, len(rows))),
@@ -1107,9 +1125,8 @@ def parquet_page_decode_sampled(spark, sf_dir):
              for i, t in enumerate(tbls)}
     base = tempfile.mkdtemp(prefix="page_decode_sampled_")
 
-    def write_shards(df, tbl, shard=None):
-        out = (f"{base}/{tbl}" if shard is None
-               else f"{base}/{tbl}/__shard={shard}")
+    def write_shards(df, tbl):
+        out = f"{base}/{tbl}"
         w = (df.write.mode("overwrite")
              .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
              .option("parquet.page.size", str(1 << 23))
@@ -1119,9 +1136,7 @@ def parquet_page_decode_sampled(spark, sf_dir):
             w = w.option("parquet.enable.dictionary", "false")
         if modes[tbl] == "v2":
             w = w.option("parquet.writer.version", "v2")
-        if shard is None:
-            w = w.partitionBy("__shard")
-        w.parquet(out)
+        w.partitionBy("__shard").parquet(out)
         return out
 
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards)
@@ -1194,19 +1209,17 @@ def orc_string_decode_sampled(spark, sf_dir):
     codecs = _orc_codec_by_table()
     base = tempfile.mkdtemp(prefix="orc_string_sampled_")
 
-    def write_shards(df, tbl, shard=None):
-        out = (f"{base}/{tbl}" if shard is None
-               else f"{base}/{tbl}/__shard={shard}")
-        w = (df.write.mode("overwrite")
-             .option("compression", codecs.get(tbl, "zlib"))
-             .option("orc.stripe.size", str(1 << 30)))
-        if shard is None:
-            w = w.partitionBy("__shard")
-        w.orc(out)
+    def write_shards(df, tbl):
+        out = f"{base}/{tbl}"
+        (df.write.mode("overwrite")
+         .option("compression", codecs.get(tbl, "zlib"))
+         .option("orc.stripe.size", str(1 << 30))
+         .partitionBy("__shard").orc(out))
         return out
 
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
-                                   columns=_SAMPLED_STRING_COLUMNS)
+                                   columns=_SAMPLED_STRING_COLUMNS,
+                                   fmt="orc")
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return orc_string_column_stats(
         df.repartition(max(1, len(rows))),
