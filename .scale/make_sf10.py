@@ -34,8 +34,14 @@ COPY (
          length(CASE WHEN k.k = 0 THEN text
               ELSE regexp_replace(text, '(\\S+)', '\\1x' || k.k, 'g') END) AS n_chars
   FROM read_parquet('{S}/documents.parquet'), (SELECT unnest(range({K})) AS k) k
-) TO '{D}/documents.parquet' (FORMAT parquet, COMPRESSION snappy)
+) TO '{D}/documents.parquet'
+  (FORMAT parquet, COMPRESSION snappy, ROW_GROUP_SIZE 15000)
 """)
+# ROW_GROUP_SIZE on the small-row/CPU-heavy tables: parquet splits at
+# row-group boundaries, so a 500k-row single file at duckdb's default
+# 122880-row groups caps Spark at ~4 tasks — measured round-14:
+# text_quality_score read 36 s at sf10 (111x) purely from running its
+# regex map on 5 of 32 cores. 15000-row groups -> 30+ splits.
 con.execute(f"""
 COPY (
   SELECT o_orderkey + k.k * 1000000 AS o_orderkey,
@@ -83,7 +89,8 @@ COPY (
     FROM read_parquet('{S}/embeddings.parquet'),
          (SELECT unnest(range({K})) AS k) k
   )
-) TO '{D}/embeddings.parquet' (FORMAT parquet, COMPRESSION snappy)
+) TO '{D}/embeddings.parquet'
+  (FORMAT parquet, COMPRESSION snappy, ROW_GROUP_SIZE 6250)
 """)
 con.execute(f"""
 COPY (
