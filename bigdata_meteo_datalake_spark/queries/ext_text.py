@@ -56,7 +56,13 @@ def text_stats(spark, sf_dir):
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)))
         .cast("int")
         .alias("n_word_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9 \t\n\r\f]"), F.lit(0)))
+        # translate, not a negated-class regex: measured round-14, the
+        # negated class is ~70x slower in Spark's regex path and
+        # extract_all allocates per match — see text_quality_score
+        F.length(F.translate(
+            F.col("text"),
+            "abcdefghijklmnopqrstuvwxyz"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\r\f", ""))
         .cast("int")
         .alias("n_punct"),
     )
@@ -127,9 +133,18 @@ def text_quality_score(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     n_chars = F.length("text").cast("double")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("double")
-    n_punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9 \t\n\r\f]"), F.lit(0))
-    ).cast("double")
+    # count punctuation by length difference over TRANSLATE — regex-free.
+    # Measured round-14 at sf10 (226 MB of text, local[32]): a NEGATED
+    # character class is pathological in Spark's regex path (37 s for
+    # regexp_replace('[^a-zA-Z0-9 \\t\\n\\r\\f]') vs 0.5 s for a positive
+    # class and 0.8 s for translate) — and regexp_extract_all + size
+    # additionally allocates a string per match just to count it.
+    # translate deletes the listed alnum/ws chars in one linear pass, so
+    # the residue length IS the punctuation count, bit-identical to the
+    # old regex count.
+    _keep = ("abcdefghijklmnopqrstuvwxyz"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\r\f")
+    n_punct = F.length(F.translate(F.col("text"), _keep, "")).cast("double")
     score = (
         0.5 * F.least(n_chars / 400.0, F.lit(1.0))
         + 0.3 * F.least(n_tokens / 80.0, F.lit(1.0))
