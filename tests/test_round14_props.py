@@ -573,3 +573,39 @@ def test_sampled_manifest_empty_residues_driver_side(spark, tmp_path):
     for s in (1, 2):
         assert got[s].num_rows == 0 and got[s].n_pages == 0
         assert got[s].min_micro is None and got[s].max_micro is None
+
+
+# --- translate-based punctuation count == the regex it replaced --------------------------
+
+
+def test_translate_punct_count_equals_regex(spark):
+    """The translate() punctuation count (round-14 perf fix: the
+    negated-class regex it replaced measured ~70x slower) is
+    bit-identical to the regex count on ADVERSARIAL unicode — the
+    driver testdata is ASCII-ish, so divergence on multibyte
+    codepoints, emoji, or exotic whitespace would hide from the
+    oracle gate."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "plain ascii text, with punct!",
+        "",
+        "    ",
+        "tabs\tand\nnewlines\r\fkept",
+        "unicode: naïve café — em-dash… ß ☃ 🎉",
+        "digits123 MIXED case XYZ",
+        "all-punct: !@#$%^&*()_+{}|:\"<>?",
+        "nbsp and em-space are punct (not in the class)",
+        "combining: é (accent) and ZWJ: a‍b",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    keep = ("abcdefghijklmnopqrstuvwxyz"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\r\f")
+    got = df.select(
+        F.length(F.translate(F.col("text"), keep, "")).alias("t"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[^a-zA-Z0-9 \t\n\r\f]"), F.lit(0)
+        )).alias("r"),
+    ).collect()
+    for case, row in zip(cases, got):
+        assert row.t == row.r, (case, row.t, row.r)
