@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "AUDIT_MAX_FILES",
     "AUDIT_SHARD_ROWS",
+    "audit_epoch_for_date",
     "choose_shards",
     "chosen_shards_sql",
     "epoch_salt",
@@ -65,6 +66,20 @@ def epoch_salt(epoch: int) -> str:
     if epoch < 0:
         raise ValueError(f"epoch must be >= 0, got {epoch}")
     return "" if epoch == 0 else f"#e{epoch}"
+
+
+def audit_epoch_for_date(snapshot_date: str) -> int:
+    """Derive the audit epoch from a pipeline run date (round-14
+    verdict item 6): the proleptic-Gregorian ordinal of the ISO date,
+    so consecutive daily runs step the epoch by exactly one and a
+    continuous-audit loop rotates its sampled coverage without code
+    edits. Every derived epoch is > 0 (ordinals start at year 1), so
+    the unsalted historical epoch-0 keys are never aliased by a date;
+    each date's choice is individually deterministic and
+    oracle-checkable (the DuckDB twin salts identically)."""
+    from datetime import date
+
+    return date.fromisoformat(snapshot_date).toordinal()
 
 
 def file_sample_key(tbl: str, shard: int, epoch: int = 0) -> int:

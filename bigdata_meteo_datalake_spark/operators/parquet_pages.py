@@ -257,6 +257,45 @@ def _hybrid(buf: bytes, bit_width: int, n: int,
     return out[:n]
 
 
+def _zero_width_runs(buf: bytes, n: int) -> None:
+    """Consume the run headers of a 0-bit-width hybrid stream.
+
+    parquet-mr still writes RLE/bit-packed run headers when the index
+    bit width is 0 (each RLE value is ceil(0/8) = 0 bytes; each
+    bit-packed group is 0 bytes), so a well-formed 0-bit page is a
+    sequence of varint headers whose runs cover ``n`` values. Parsing
+    them keeps the module's every-byte-consumed invariant: trailing
+    garbage or a truncated header raises instead of being silently
+    accepted. Mirrors :func:`_hybrid`'s overrun/zero-run checks with
+    zero-byte values."""
+    got = 0
+    pos = 0
+    end = len(buf)
+    while got < n:
+        h = 0
+        shift = 0
+        while True:
+            if pos >= end:
+                raise ValueError(
+                    "0-bit hybrid run header overruns the page"
+                )
+            byte = buf[pos]
+            pos += 1
+            h |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 35:
+                raise ValueError("hybrid varint header too long")
+        if h & 1:
+            got += (h >> 1) * 8
+        else:
+            run = h >> 1
+            if run == 0:
+                raise ValueError("zero-length RLE run")
+            got += run
+
+
 def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
     """RLE/bit-packed hybrid decode of exactly ``n`` values; trailing
     garbage inside the level region is legal padding, but running OUT
@@ -457,14 +496,22 @@ def decode_parquet_column(b: bytes, column: str, *,
                             "range"
                         )
                     if bw == 0:
-                        # legal per the format: 0 bits when the
-                        # dictionary has <= 1 entry (all indices are 0;
-                        # an all-null page has no present values at all)
-                        if present and not dictionary:
+                        # legal per the format ONLY when the dictionary
+                        # has exactly 1 entry (all indices are 0; an
+                        # all-null page has no present values at all).
+                        # A corrupt width byte on a multi-entry
+                        # dictionary would otherwise silently map every
+                        # value to entry 0.
+                        if present and len(dictionary) != 1:
                             raise ValueError(
                                 "0-bit dictionary indices with present "
-                                "values but an empty dictionary"
+                                f"values but a {len(dictionary)}-entry "
+                                "dictionary"
                             )
+                        # parquet-mr still writes run headers at bw=0;
+                        # parse them so truncated/garbage payloads
+                        # raise instead of decoding silently
+                        _zero_width_runs(data[1:], present)
                         idxs = [0] * present
                     else:
                         idxs = _hybrid(data[1:], bw, present, unp)

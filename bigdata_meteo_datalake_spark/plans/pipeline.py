@@ -244,3 +244,71 @@ def run(
     if enforce_quality:
         assert_checks(res.quality_report)
     return res
+
+
+@dataclass
+class EstateAuditRun:
+    """One continuous-audit tick: the run date, the epoch it derived,
+    and per-audit (report DataFrame, DuckDB oracle SQL) pairs — the
+    oracle recomputes the SAME epoch-salted sample choice, so every
+    tick is independently checkable."""
+
+    snapshot_date: str
+    epoch: int
+    reports: dict[str, DataFrame] = field(default_factory=dict)
+    oracles: dict[str, str] = field(default_factory=dict)
+
+
+#: the sampled estate audits the continuous loop rotates through —
+#: name -> (impl(spark, sf_dir, epoch), oracle_builder(epoch))
+_ESTATE_AUDITS = (
+    "parquet_pageindex",
+    "parquet_page_decode",
+    "orc_index",
+    "orc_string_decode",
+)
+
+
+def run_estate_audit(
+    spark: SparkSession,
+    estate_dir: str,
+    snapshot_date: str,
+    *,
+    audits: tuple[str, ...] = _ESTATE_AUDITS,
+) -> EstateAuditRun:
+    """Continuous-audit entry point (round-14 verdict item 6): derive
+    the audit epoch FROM THE RUN DATE (``audit_epoch_for_date`` — the
+    date's ordinal, so consecutive daily runs step the epoch by one)
+    and run the sampled estate audits at that epoch. Epoch rotation
+    thus happens by scheduling alone — the daily trigger that runs
+    :func:`run` can call this with the same ``snapshot_date`` and each
+    day verifies a different deterministic file subset, every one
+    oracle-checkable via the returned per-audit SQL (the DuckDB twin
+    salts the md5 sample key identically).
+
+    Scale: each audit is bounded at tables x AUDIT_MAX_FILES x
+    AUDIT_SHARD_ROWS rows regardless of estate size; rotation changes
+    WHICH files are read, never how many."""
+    from ..operators.estate_sampling import audit_epoch_for_date
+    from ..queries import ext_formats as xf
+
+    impls = {
+        "parquet_pageindex": (
+            xf._pageindex_sampled_impl, xf._pageindex_sampled_oracle),
+        "parquet_page_decode": (
+            xf._page_decode_sampled_impl, xf._page_decode_sampled_oracle),
+        "orc_index": (
+            xf._orc_index_sampled_impl, xf._orc_index_sampled_oracle),
+        "orc_string_decode": (
+            xf._orc_string_sampled_impl, xf._orc_string_sampled_oracle),
+    }
+    unknown = set(audits) - set(impls)
+    if unknown:
+        raise ValueError(f"unknown estate audits: {sorted(unknown)}")
+    epoch = audit_epoch_for_date(snapshot_date)
+    out = EstateAuditRun(snapshot_date, epoch)
+    for name in audits:
+        impl, oracle = impls[name]
+        out.reports[name] = impl(spark, estate_dir, epoch)
+        out.oracles[name] = oracle(epoch=epoch)
+    return out

@@ -513,10 +513,36 @@ def _write_empty_shard(out_dir: str, audited, fmt: str) -> str:
         import pyarrow.parquet as pq
 
         pq.write_table(tbl, path)
+        # the writer options here (snappy, default page/row-group
+        # geometry, no page index) differ from the Spark-written real
+        # shards. That is safe ONLY because the file carries zero
+        # VALUES — pyarrow 16.1 emits one 0-row row group whose column
+        # chunks hold no data pages the audit kernels would decode, so
+        # no writer-option byte can reach an audit number (pinned
+        # end-to-end by the sampled-audit oracle rows). Fail loudly if
+        # a future pyarrow writes actual rows or value-bearing chunks.
+        md = pq.read_metadata(path)
+        if md.num_rows != 0 or any(
+            md.row_group(g).column(c).num_values != 0
+            for g in range(md.num_row_groups)
+            for c in range(md.row_group(g).num_columns)
+        ):
+            raise AssertionError(
+                "empty-shard parquet file carries values; its writer "
+                "defaults would diverge from the Spark-written shards"
+            )
     else:
         from pyarrow import orc as pa_orc
 
         pa_orc.write_table(tbl, path)
+        # same invariant for ORC; pyarrow 16.1 writes zero stripes
+        # outright for a 0-row table
+        f = pa_orc.ORCFile(path)
+        if f.nrows != 0 or f.nstripes != 0:
+            raise AssertionError(
+                "empty-shard ORC file carries stripes/rows; its writer "
+                "defaults would diverge from the Spark-written shards"
+            )
     return path
 
 
@@ -699,10 +725,10 @@ def parquet_pageindex_sampled_e1(spark, sf_dir):
     return _pageindex_sampled_impl(spark, sf_dir, epoch=1)
 
 
-def _orc_index_sampled_oracle() -> str:
+def _orc_index_sampled_oracle(epoch: int = 0) -> str:
     return "\nUNION ALL\n".join(
         _sampled_arm(t, c, k, p, _ORC_STRIDE, "n_strides",
-                     extra=", true AS bloom_present")
+                     extra=", true AS bloom_present", epoch=epoch)
         for t, c, k, p in _SAMPLED_COLUMNS
     )
 
@@ -722,6 +748,10 @@ def orc_index_sampled(spark, sf_dir):
 
     Scale: bounded by tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS rows
     at any estate size."""
+    return _orc_index_sampled_impl(spark, sf_dir, epoch=0)
+
+
+def _orc_index_sampled_impl(spark, sf_dir, epoch: int):
     import tempfile
 
     from ..operators.estate_sampling import AUDIT_MAX_FILES
@@ -742,7 +772,7 @@ def orc_index_sampled(spark, sf_dir):
         return out
 
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
-                                   fmt="orc")
+                                   epoch=epoch, fmt="orc")
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return orc_index_column_stats(
         df.repartition(max(1, len(rows))),
@@ -750,6 +780,7 @@ def orc_index_sampled(spark, sf_dir):
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
+        sample_epoch=epoch,
     )
 
 
@@ -1113,6 +1144,10 @@ def parquet_page_decode_sampled(spark, sf_dir):
 
     Scale: decode cost is tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS
     rows at any estate size — the bound the full report lacks."""
+    return _page_decode_sampled_impl(spark, sf_dir, epoch=0)
+
+
+def _page_decode_sampled_impl(spark, sf_dir, epoch: int):
     import tempfile
 
     from ..operators.estate_sampling import AUDIT_MAX_FILES
@@ -1139,7 +1174,8 @@ def parquet_page_decode_sampled(spark, sf_dir):
         w.partitionBy("__shard").parquet(out)
         return out
 
-    rows = _sampled_shard_manifest(spark, sf_dir, write_shards)
+    rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
+                                   epoch=epoch)
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return page_decode_column_stats(
         df.repartition(max(1, len(rows))),
@@ -1147,6 +1183,7 @@ def parquet_page_decode_sampled(spark, sf_dir):
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
+        sample_epoch=epoch,
     )
 
 
@@ -1201,6 +1238,10 @@ def orc_string_decode_sampled(spark, sf_dir):
 
     Scale: bounded by tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS rows
     at any estate size — the bound the full report lacks."""
+    return _orc_string_sampled_impl(spark, sf_dir, epoch=0)
+
+
+def _orc_string_sampled_impl(spark, sf_dir, epoch: int):
     import tempfile
 
     from ..operators.estate_sampling import AUDIT_MAX_FILES
@@ -1219,13 +1260,14 @@ def orc_string_decode_sampled(spark, sf_dir):
 
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
                                    columns=_SAMPLED_STRING_COLUMNS,
-                                   fmt="orc")
+                                   epoch=epoch, fmt="orc")
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
     return orc_string_column_stats(
         df.repartition(max(1, len(rows))),
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
+        sample_epoch=epoch,
     )
 
 

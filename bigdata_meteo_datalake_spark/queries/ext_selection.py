@@ -986,6 +986,142 @@ def spatial_radius_pairs(spark, sf_dir):
     )
 
 
+_GEO_D2 = "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+
+_GEO_STATS_ORACLE = f"""
+WITH pts AS ({_GEO_PT_SQL}),
+probe AS (
+  SELECT p.key, p.x, p.y,
+         p.x // {_GEO_RADIUS} + dx.v AS cx,
+         p.y // {_GEO_RADIUS} + dy.v AS cy
+  FROM pts p,
+       (VALUES (-1), (0), (1)) dx(v),
+       (VALUES (-1), (0), (1)) dy(v)
+),
+home AS (
+  SELECT key, x, y, x // {_GEO_RADIUS} AS cx, y // {_GEO_RADIUS} AS cy
+  FROM pts
+),
+pairs AS (
+  SELECT b.cx AS cx, b.cy AS cy, {_GEO_D2} AS d2,
+         a.key AS ka, b.key AS kb
+  FROM probe a JOIN home b ON a.cx = b.cx AND a.cy = b.cy
+  WHERE a.key < b.key
+    AND {_GEO_D2} <= {_GEO_RADIUS} * {_GEO_RADIUS}
+),
+agg AS (
+  SELECT cx, cy, cast(count(*) AS bigint) AS n_pairs,
+         cast(min(d2) AS bigint) AS min_d2,
+         cast(max(d2) AS bigint) AS max_d2
+  FROM pairs GROUP BY cx, cy
+),
+near AS (
+  SELECT cx, cy, ka, kb,
+         row_number() OVER (PARTITION BY cx, cy
+                            ORDER BY d2, ka, kb) AS rn
+  FROM pairs
+)
+SELECT agg.cx AS cell_x, agg.cy AS cell_y, agg.n_pairs,
+       floor(sqrt(cast(agg.min_d2 AS double)) * 1000 + 0.5) / 1000
+         AS min_dist_m,
+       floor(sqrt(cast(agg.max_d2 AS double)) * 1000 + 0.5) / 1000
+         AS max_dist_m,
+       near.ka AS nearest_a, near.kb AS nearest_b
+FROM agg JOIN near ON agg.cx = near.cx AND agg.cy = near.cy
+WHERE near.rn = 1
+"""
+
+
+@register(
+    "spatial_radius_stats",
+    oracle=_GEO_STATS_ORACLE,
+    tags=("extension", "spatial", "join", "agg"),
+)
+def spatial_radius_stats(spark, sf_dir):
+    """Bounded-output twin of :func:`spatial_radius_pairs` — the form a
+    100 TB user actually runs (round-14 verdict item 1). The
+    pair-materializing query's OUTPUT grows quadratically with point
+    density at fixed area (sf10 measured 350M pairs, 437x wall for
+    100x rows — linear in its own output, but the output itself is the
+    product); this twin runs the identical grid-bucketed generator and
+    collapses the pair stream per HOME CELL into (pair count, min/max
+    distance, deterministic nearest pair), so the result is bounded by
+    the number of occupied r-sized cells — a property of the AREA, not
+    the density. Each within-radius pair lands in exactly one group:
+    the higher-key point's home cell (the key < bkey orientation of
+    the one probe/home meeting).
+
+    All aggregation state is exact int64 (squared distances, keys);
+    the nearest pair is the lexicographic min of (d2, key_a, key_b) so
+    ties break identically in both engines; the only float op is the
+    final correctly-rounded sqrt on the already-aggregated bounds.
+
+    Scale: the pairs never materialize — partial (map-side) aggregation
+    collapses them into <= occupied-cell-count rows per task before the
+    single groupBy shuffle, so the shuffle volume is O(cells), not
+    O(pairs). The pair-materializing form stays registered as the
+    correctness gate for the generator itself."""
+    pts = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (token_hash(F.concat_ws("|", F.lit("x"), F.col("c_custkey"))) % _GEO_SPAN)
+        .alias("x"),
+        (token_hash(F.concat_ws("|", F.lit("y"), F.col("c_custkey"))) % _GEO_SPAN)
+        .alias("y"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").cast("long").alias("v"))
+    probe = (
+        pts.crossJoin(F.broadcast(off.select(F.col("v").alias("dxv"))))
+        .crossJoin(F.broadcast(off.select(F.col("v").alias("dyv"))))
+        .select(
+            "key",
+            "x",
+            "y",
+            (F.floor(F.col("x") / _GEO_RADIUS) + F.col("dxv")).alias("cx"),
+            (F.floor(F.col("y") / _GEO_RADIUS) + F.col("dyv")).alias("cy"),
+        )
+    )
+    home = pts.select(
+        F.col("key").alias("bkey"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.floor(F.col("x") / _GEO_RADIUS).alias("cx"),
+        F.floor(F.col("y") / _GEO_RADIUS).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    pairs = (
+        probe.join(home, ["cx", "cy"])
+        .where((F.col("key") < F.col("bkey")) & (d2 <= _GEO_RADIUS * _GEO_RADIUS))
+        .select(
+            F.col("cx"),
+            F.col("cy"),
+            d2.alias("d2"),
+            F.col("key").alias("ka"),
+            F.col("bkey").alias("kb"),
+        )
+    )
+    dist = lambda c: F.floor(F.sqrt(c.cast("double")) * 1000 + 0.5) / 1000  # noqa: E731
+    return (
+        pairs.groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+            F.min(F.struct("d2", "ka", "kb")).alias("nearest"),
+        )
+        .select(
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            "n_pairs",
+            dist(F.col("min_d2")).alias("min_dist_m"),
+            dist(F.col("max_d2")).alias("max_dist_m"),
+            F.col("nearest.ka").alias("nearest_a"),
+            F.col("nearest.kb").alias("nearest_b"),
+        )
+    )
+
+
 # --- embedding covariance (PCA prep) ------------------------------------------------
 
 _COV_DIM = 64
