@@ -542,6 +542,7 @@ def connected_components_two_phase(
     max_iter: int = 20,
     distinct_bipartite_input: bool = False,
     reliable: bool | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce and
@@ -566,7 +567,14 @@ def connected_components_two_phase(
     reliable ``checkpoint()`` into the registered checkpoint directory
     (see :func:`..operators.checkpointing.cut_lineage`): executor-local
     blocks die with a lost executor, which on a real cluster would kill
-    the whole loop; the local default is right for local[n]."""
+    the whole loop; the local default is right for local[n].
+
+    ``stats``, if given a dict, receives ``stats["rounds"]`` — the
+    number of large-star/small-star rounds run before the checksum
+    fixed point (the convergence-detection round included). This is
+    the observable the log-round scale claim is property-tested on
+    (tests/test_round15_props.py: rounds grow logarithmically, not
+    linearly, in path-graph diameter)."""
     from pyspark.sql import Observation
 
     from .checkpointing import cut_lineage
@@ -618,7 +626,7 @@ def connected_components_two_phase(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
 
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
         m = nmin(e)
         large = (
             e.join(m, "u")
@@ -639,6 +647,8 @@ def connected_components_two_phase(
             resym(small.union(m.select("u", F.col("m").alias("v"))))
         )
         if cur == prev:
+            if stats is not None:
+                stats["rounds"] = rnd
             final = nmin(e)
             return final.select(
                 F.col("u").alias("node"), F.col("m").alias("cluster_rep")

@@ -199,3 +199,149 @@ def test_spatial_stats_consistent_with_pairs(spark):
     pair_set = set(zip(pairs["custkey_a"], pairs["custkey_b"]))
     assert set(zip(stats["nearest_a"], stats["nearest_b"])) <= pair_set
     assert (stats["min_dist_m"] <= stats["max_dist_m"]).all()
+
+
+# --- rotating-seed re-fuzz of the round-14/15 surface (verdict item 7) --------------------
+
+_H = settings(max_examples=60, deadline=None)
+
+
+@_H
+@given(
+    tbl=st.sampled_from(["lineitem", "orders", "events", "documents"]),
+    n_shards=st.integers(min_value=1, max_value=40),
+    max_files=st.integers(min_value=1, max_value=6),
+    epoch=st.one_of(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=700_000, max_value=800_000),  # date ordinals
+    ),
+)
+def test_choose_shards_duckdb_twin_at_date_scale_epochs(
+    tbl, n_shards, max_files, epoch
+):
+    """The r14 epoch-equality campaign ran epochs 0-50; date-derived
+    epochs (round-15) are proleptic-Gregorian ordinals (~739k for
+    2026), so the python/DuckDB twin equality must also hold in that
+    range — the salt is a string suffix, but the untested range is
+    exactly where a formatting or overflow divergence would hide."""
+    import duckdb
+
+    from bigdata_meteo_datalake_spark.operators.estate_sampling import (
+        choose_shards,
+    )
+    from bigdata_meteo_datalake_spark.operators.estate_sampling import (
+        chosen_shards_sql,
+    )
+
+    py = choose_shards(tbl, n_shards, max_files, epoch)
+    sql = chosen_shards_sql(tbl, str(n_shards), max_files, epoch)
+    got = sorted(r[0] for r in duckdb.execute(sql).fetchall())
+    assert got == py
+
+
+_AUDIT_SHAPED_PQ: dict = {"bytes": {}}
+
+
+def test_capture_audit_shaped_parquet_fixtures(tmp_path, spark):
+    """Write small parquet files WITH the sampled-audit writer options
+    (page row limit, v1 dictionary / v2 writer, gzip) — the exact
+    shapes parquet_page_decode_sampled reads — decode them clean, and
+    capture the bytes for the mutation campaign below."""
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS pk",
+        "cast(id % 97 AS double) / 7 AS val",
+        "concat('row-', id % 50) AS name",
+    )
+    shapes = {
+        "dict_v1_gzip": {"parquet.enable.dictionary": "true",
+                         "compression": "gzip"},
+        "plain_v2": {"parquet.enable.dictionary": "false",
+                     "parquet.writer.version": "v2",
+                     "compression": "uncompressed"},
+    }
+    for label, opts in shapes.items():
+        out = str(tmp_path / label)
+        w = (df.coalesce(1).write.mode("overwrite")
+             .option("parquet.page.row.count.limit", "500"))
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.parquet(out)
+        import glob
+
+        [f] = glob.glob(out + "/*.parquet")
+        b = open(f, "rb").read()
+        for col in ("pk", "val", "name"):
+            r = decode_parquet_column(b, col)
+            assert len(r["values"]) == 3000
+        _AUDIT_SHAPED_PQ["bytes"][label] = b
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_audit_shaped_parquet_mutations_never_crash(data):
+    """Rotating-seed mutation campaign over the audit-shaped files:
+    byte flips/deletions/insertions anywhere (headers, dictionary
+    pages, page-index region, data pages) must decode or raise
+    ValueError/NotImplementedError — never crash or hang."""
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    if not _AUDIT_SHAPED_PQ["bytes"]:
+        pytest.skip("capture test did not run first")
+    label = data.draw(st.sampled_from(sorted(_AUDIT_SHAPED_PQ["bytes"])))
+    blob = bytearray(_AUDIT_SHAPED_PQ["bytes"][label])
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        op = data.draw(st.sampled_from(["flip", "del", "ins"]))
+        pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        if op == "flip":
+            blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+        elif op == "del":
+            del blob[pos]
+        else:
+            blob.insert(pos, data.draw(st.integers(min_value=0, max_value=255)))
+    col = data.draw(st.sampled_from(["pk", "val", "name"]))
+    try:
+        r = decode_parquet_column(bytes(blob), col)
+        assert isinstance(r["values"], list)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+# --- star-contraction rounds vs diameter (verdict item 3) ---------------------------------
+
+
+def test_two_phase_cc_rounds_logarithmic_in_diameter(spark):
+    """connected_components_two_phase on PATH graphs (diameter n-1,
+    label propagation's worst case — it needs n rounds): the
+    large-star/small-star round count must stay logarithmic. Pins the
+    measured band (.scale/cc_diameter15.py: 11 rounds at n=1e3 ...
+    21 at n=1e6, sequential ids — the adversarial labeling) with
+    rounds <= 2*ceil(log2(n)) per size and <= +4 rounds per 16x
+    diameter growth."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    rounds = {}
+    for n in (256, 4096):
+        edges = spark.range(0, n - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        stats: dict = {}
+        cc = connected_components_two_phase(edges, max_iter=40, stats=stats)
+        assert cc.select("cluster_rep").distinct().count() == 1
+        rounds[n] = stats["rounds"]
+        assert stats["rounds"] <= 2 * math.ceil(math.log2(n)), (
+            f"path of {n} nodes took {stats['rounds']} rounds — "
+            "star contraction is no longer log-round"
+        )
+    assert rounds[4096] - rounds[256] <= 4, rounds
