@@ -345,3 +345,32 @@ def test_two_phase_cc_rounds_logarithmic_in_diameter(spark):
             "star contraction is no longer log-round"
         )
     assert rounds[4096] - rounds[256] <= 4, rounds
+
+
+def test_rotation_coverage_accumulates_over_consecutive_dates():
+    """The continuous-audit promise behind the date-derived epoch: a
+    daily loop auditing max_files=3 of lineitem's 15 sf0.01 shards
+    must reach FULL estate coverage as the dates roll — pinned at <=
+    30 consecutive days from three different start dates (measured:
+    15 days from 2026-08-16; coupon-collector expectation ~12-15)."""
+    from datetime import date, timedelta
+
+    from bigdata_meteo_datalake_spark.operators.estate_sampling import (
+        audit_epoch_for_date,
+        choose_shards,
+    )
+
+    n_shards, max_files = 15, 3
+    for start in ("2026-08-16", "2027-01-01", "2030-06-15"):
+        seen: set = set()
+        d = date.fromisoformat(start)
+        for day in range(1, 31):
+            epoch = audit_epoch_for_date(d.isoformat())
+            seen |= set(choose_shards("lineitem", n_shards, max_files, epoch))
+            if len(seen) == n_shards:
+                break
+            d += timedelta(days=1)
+        assert len(seen) == n_shards, (
+            f"rotation from {start} covered only {len(seen)}/{n_shards} "
+            "shards in 30 days"
+        )
