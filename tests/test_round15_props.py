@@ -374,3 +374,29 @@ def test_rotation_coverage_accumulates_over_consecutive_dates():
             f"rotation from {start} covered only {len(seen)}/{n_shards} "
             "shards in 30 days"
         )
+
+
+def test_estate_audit_all_four_oracle_green_at_date_epoch(spark):
+    """Every audit family the continuous loop runs — pageindex, page
+    decode, ORC index, ORC string decode — must be oracle-green at a
+    DATE-DERIVED epoch (not just the hand-pinned e0/e1 fixtures): the
+    epoch threads through the shard manifest, the kernel's sampler,
+    and the DuckDB twin identically for all four."""
+    from bigdata_meteo_datalake_spark.oracle import (
+        compare_frames,
+        duckdb_connect,
+    )
+    from bigdata_meteo_datalake_spark.plans.pipeline import run_estate_audit
+
+    res = run_estate_audit(spark, SF_MID, "2026-08-18")
+    assert set(res.reports) == {
+        "parquet_pageindex", "parquet_page_decode",
+        "orc_index", "orc_string_decode",
+    }
+    con = duckdb_connect(SF_MID)
+    try:
+        for name, rep in res.reports.items():
+            expected = con.execute(res.oracles[name]).df()
+            compare_frames(rep.toPandas(), expected)
+    finally:
+        con.close()
