@@ -33,9 +33,12 @@ SIZES = (1_000, 10_000, 100_000, 1_000_000)
 
 
 def path_edges(spark, n: int, labeling: str):
-    """Edges (i, i+1) for i in [0, n-2]; 'hashed' relabels node k as a
-    60-bit xxhash-derived id (collision-free for these sizes is checked
-    by the component count assertion downstream)."""
+    """Edges (i, i+1) for i in [0, n-2]; 'hashed' relabels node k as an
+    xxhash-derived id. A hash collision would merge path nodes —
+    shrinking the effective diameter and deflating the measured round
+    count while still leaving one component — so collision-freedom is
+    checked by the NODE count assertion downstream (cc.count() == n),
+    not the component count."""
     e = spark.range(0, n - 1).select(
         F.col("id").alias("u_raw"), (F.col("id") + 1).alias("v_raw")
     )
@@ -57,7 +60,9 @@ def main():
             cc = connected_components_two_phase(
                 edges, max_iter=60, stats=stats
             )
-            n_comp = cc.select("cluster_rep").distinct().count()
+            n_nodes, n_comp = cc.agg(
+                F.count(F.lit(1)), F.countDistinct("cluster_rep")
+            ).first()
             dt = round(time.perf_counter() - t0, 2)
             row = {
                 "n": n,
@@ -69,6 +74,9 @@ def main():
                 "wall_sec": dt,
             }
             assert n_comp == 1, row  # one path -> one component
+            # no hash collision shortened the path (a collision would
+            # deflate the measured rounds while keeping one component)
+            assert n_nodes == n, row
             out.append(row)
             print(json.dumps(row), flush=True)
             spark.catalog.clearCache()

@@ -194,7 +194,13 @@ _NP_MIN_RUN = 64
 
 def _hybrid(buf: bytes, bit_width: int, n: int,
             use_np: bool) -> list[int]:
-    if bit_width <= 0 or bit_width > 32:
+    # bit_width 0 is legal (0-bit dictionary indices: parquet-mr picks
+    # the width per page from the dictionary size AT FLUSH TIME, so an
+    # early all-one-value page carries bw=0 even when the chunk's final
+    # dictionary has more entries); every run then decodes to value 0
+    # with 0-byte RLE values / 0-byte bit-packed groups, and the run
+    # headers still get the same overrun/zero-run validation.
+    if bit_width < 0 or bit_width > 32:
         raise ValueError(f"hybrid bit width {bit_width} out of range")
     out: list[int] = []
     pos = 0
@@ -220,6 +226,13 @@ def _hybrid(buf: bytes, bit_width: int, n: int,
             nbytes = cnt * bit_width // 8
             if pos + nbytes > end:
                 raise ValueError("bit-packed run overruns the levels")
+            if bit_width == 0:
+                # 0-bit groups occupy no bytes, so the overrun check
+                # above cannot bound a crafted multi-billion group
+                # count — clamp materialization to the remaining need
+                # (same memory-DoS guard as the RLE branch below)
+                out.extend([0] * min(cnt, n - len(out)))
+                continue
             if use_np and cnt >= _NP_MIN_RUN:
                 # np.unpackbits(bitorder='little') reproduces the
                 # LSB-first bitstream exactly; value i is bitstream
@@ -255,45 +268,6 @@ def _hybrid(buf: bytes, bit_width: int, n: int,
             # identical output, bounded memory
             out.extend([v] * min(run, n - len(out)))
     return out[:n]
-
-
-def _zero_width_runs(buf: bytes, n: int) -> None:
-    """Consume the run headers of a 0-bit-width hybrid stream.
-
-    parquet-mr still writes RLE/bit-packed run headers when the index
-    bit width is 0 (each RLE value is ceil(0/8) = 0 bytes; each
-    bit-packed group is 0 bytes), so a well-formed 0-bit page is a
-    sequence of varint headers whose runs cover ``n`` values. Parsing
-    them keeps the module's every-byte-consumed invariant: trailing
-    garbage or a truncated header raises instead of being silently
-    accepted. Mirrors :func:`_hybrid`'s overrun/zero-run checks with
-    zero-byte values."""
-    got = 0
-    pos = 0
-    end = len(buf)
-    while got < n:
-        h = 0
-        shift = 0
-        while True:
-            if pos >= end:
-                raise ValueError(
-                    "0-bit hybrid run header overruns the page"
-                )
-            byte = buf[pos]
-            pos += 1
-            h |= (byte & 0x7F) << shift
-            if not byte & 0x80:
-                break
-            shift += 7
-            if shift > 35:
-                raise ValueError("hybrid varint header too long")
-        if h & 1:
-            got += (h >> 1) * 8
-        else:
-            run = h >> 1
-            if run == 0:
-                raise ValueError("zero-length RLE run")
-            got += run
 
 
 def rle_bp_hybrid(buf: bytes, bit_width: int, n: int) -> list[int]:
@@ -495,26 +469,24 @@ def decode_parquet_column(b: bytes, column: str, *,
                             f"dictionary index bit width {bw} out of "
                             "range"
                         )
-                    if bw == 0:
-                        # legal per the format ONLY when the dictionary
-                        # has exactly 1 entry (all indices are 0; an
-                        # all-null page has no present values at all).
-                        # A corrupt width byte on a multi-entry
-                        # dictionary would otherwise silently map every
-                        # value to entry 0.
-                        if present and len(dictionary) != 1:
-                            raise ValueError(
-                                "0-bit dictionary indices with present "
-                                f"values but a {len(dictionary)}-entry "
-                                "dictionary"
-                            )
-                        # parquet-mr still writes run headers at bw=0;
-                        # parse them so truncated/garbage payloads
-                        # raise instead of decoding silently
-                        _zero_width_runs(data[1:], present)
-                        idxs = [0] * present
-                    else:
-                        idxs = _hybrid(data[1:], bw, present, unp)
+                    if bw == 0 and present and not dictionary:
+                        # all indices decode to entry 0, which an empty
+                        # dictionary cannot supply. A MULTI-entry
+                        # dictionary with a 0-bit page is legal and
+                        # must NOT be rejected: parquet-mr sizes the
+                        # width per page from the dictionary AT FLUSH
+                        # TIME, so an early constant page gets bw=0
+                        # while the chunk's final dictionary holds more
+                        # entries (regression-pinned on a Spark-written
+                        # file in tests/test_round15_props.py).
+                        raise ValueError(
+                            "0-bit dictionary indices with present "
+                            "values but an empty dictionary"
+                        )
+                    # bw == 0 yields [0] * present; _hybrid still
+                    # parses the run headers, so truncated or
+                    # under-covering 0-bit payloads raise
+                    idxs = _hybrid(data[1:], bw, present, unp)
                     if (unp and len(idxs) >= _NP_MIN_RUN
                             and physical in ("int64", "double")):
                         # vectorized gather for numeric dictionaries:

@@ -260,13 +260,21 @@ class EstateAuditRun:
 
 
 #: the sampled estate audits the continuous loop rotates through —
-#: name -> (impl(spark, sf_dir, epoch), oracle_builder(epoch))
-_ESTATE_AUDITS = (
-    "parquet_pageindex",
-    "parquet_page_decode",
-    "orc_index",
-    "orc_string_decode",
-)
+#: name -> (impl attr, oracle-builder attr) on queries.ext_formats,
+#: resolved lazily in run_estate_audit (the queries package imports at
+#: call time, not module-import time). Single source: the default
+#: audit tuple derives from this mapping.
+_ESTATE_AUDIT_IMPLS = {
+    "parquet_pageindex": (
+        "_pageindex_sampled_impl", "_pageindex_sampled_oracle"),
+    "parquet_page_decode": (
+        "_page_decode_sampled_impl", "_page_decode_sampled_oracle"),
+    "orc_index": (
+        "_orc_index_sampled_impl", "_orc_index_sampled_oracle"),
+    "orc_string_decode": (
+        "_orc_string_sampled_impl", "_orc_string_sampled_oracle"),
+}
+_ESTATE_AUDITS = tuple(_ESTATE_AUDIT_IMPLS)
 
 
 def run_estate_audit(
@@ -292,23 +300,13 @@ def run_estate_audit(
     from ..operators.estate_sampling import audit_epoch_for_date
     from ..queries import ext_formats as xf
 
-    impls = {
-        "parquet_pageindex": (
-            xf._pageindex_sampled_impl, xf._pageindex_sampled_oracle),
-        "parquet_page_decode": (
-            xf._page_decode_sampled_impl, xf._page_decode_sampled_oracle),
-        "orc_index": (
-            xf._orc_index_sampled_impl, xf._orc_index_sampled_oracle),
-        "orc_string_decode": (
-            xf._orc_string_sampled_impl, xf._orc_string_sampled_oracle),
-    }
-    unknown = set(audits) - set(impls)
+    unknown = set(audits) - set(_ESTATE_AUDIT_IMPLS)
     if unknown:
         raise ValueError(f"unknown estate audits: {sorted(unknown)}")
     epoch = audit_epoch_for_date(snapshot_date)
     out = EstateAuditRun(snapshot_date, epoch)
     for name in audits:
-        impl, oracle = impls[name]
-        out.reports[name] = impl(spark, estate_dir, epoch)
-        out.oracles[name] = oracle(epoch=epoch)
+        impl_name, oracle_name = _ESTATE_AUDIT_IMPLS[name]
+        out.reports[name] = getattr(xf, impl_name)(spark, estate_dir, epoch)
+        out.oracles[name] = getattr(xf, oracle_name)(epoch=epoch)
     return out

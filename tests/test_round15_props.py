@@ -31,54 +31,98 @@ def _rle_header(run: int) -> bytes:
             return bytes(out)
 
 
-def test_zero_width_runs_accepts_wellformed_streams():
+def test_hybrid_width0_accepts_wellformed_streams():
     """parquet-mr-shaped 0-bit payloads: RLE runs and bit-packed groups
-    (both 0 value bytes) covering n values parse cleanly; trailing
-    bytes BEYOND the needed count are tolerated exactly like _hybrid
-    (which stops once n values are decoded)."""
+    (both 0 value bytes) covering n values decode to [0]*n; trailing
+    bytes BEYOND the needed count are tolerated (the decoder stops
+    once n values are decoded, at any width)."""
     from bigdata_meteo_datalake_spark.operators.parquet_pages import (
-        _zero_width_runs,
+        rle_bp_hybrid,
+        rle_bp_hybrid_py,
     )
 
-    _zero_width_runs(_rle_header(500), 500)
-    _zero_width_runs(_rle_header(200) + _rle_header(300), 500)
-    # bit-packed: header (g << 1) | 1 covers g*8 values with 0 bytes
-    _zero_width_runs(bytes([(63 << 1) | 1]), 500)  # 504 >= 500
-    _zero_width_runs(b"", 0)  # all-null page: no present values
-    # over-coverage then trailing garbage: _hybrid stops at n too
-    _zero_width_runs(_rle_header(500) + b"\xff\xff", 500)
+    for fn in (rle_bp_hybrid, rle_bp_hybrid_py):
+        assert fn(_rle_header(500), 0, 500) == [0] * 500
+        assert fn(_rle_header(200) + _rle_header(300), 0, 500) == [0] * 500
+        # bit-packed: header (g << 1) | 1 covers g*8 values, 0 bytes
+        assert fn(bytes([(63 << 1) | 1]), 0, 500) == [0] * 500
+        assert fn(b"", 0, 0) == []  # all-null page: no present values
+        assert fn(_rle_header(500) + b"\xff\xff", 0, 500) == [0] * 500
 
 
-def test_zero_width_runs_rejects_malformed_streams():
+def test_hybrid_width0_rejects_malformed_streams():
     from bigdata_meteo_datalake_spark.operators.parquet_pages import (
-        _zero_width_runs,
+        rle_bp_hybrid,
+        rle_bp_hybrid_py,
     )
 
-    with pytest.raises(ValueError):
-        _zero_width_runs(b"", 1)  # no header at all
-    with pytest.raises(ValueError):
-        _zero_width_runs(_rle_header(100), 500)  # runs under-cover n
-    with pytest.raises(ValueError):
-        _zero_width_runs(_rle_header(0), 1)  # zero-length RLE run
-    with pytest.raises(ValueError):
-        _zero_width_runs(b"\x80\x80\x80\x80\x80\x80", 1)  # endless varint
+    for fn in (rle_bp_hybrid, rle_bp_hybrid_py):
+        with pytest.raises(ValueError):
+            fn(b"", 0, 1)  # no header at all
+        with pytest.raises(ValueError):
+            fn(_rle_header(100), 0, 500)  # runs under-cover n
+        with pytest.raises(ValueError):
+            fn(_rle_header(0), 0, 1)  # zero-length RLE run
+        with pytest.raises(ValueError):
+            fn(b"\x80\x80\x80\x80\x80\x80", 0, 1)  # endless varint
 
 
 @settings(max_examples=300, deadline=None)
 @given(st.binary(min_size=0, max_size=24),
        st.integers(min_value=0, max_value=600))
-def test_zero_width_runs_never_crashes(buf, n):
-    """Garbage payloads either parse (cover n) or raise ValueError —
-    never crash, never loop (every header consumes >= 1 byte and a
-    parsed run advances coverage or raises)."""
+def test_hybrid_width0_never_crashes_and_twins_agree(buf, n):
+    """Garbage 0-bit payloads either decode (to all zeros) or raise
+    ValueError — never crash, never loop — and the numpy/pure twins
+    agree exactly."""
     from bigdata_meteo_datalake_spark.operators.parquet_pages import (
-        _zero_width_runs,
+        rle_bp_hybrid,
+        rle_bp_hybrid_py,
     )
 
     try:
-        _zero_width_runs(buf, n)
+        a = ("ok", rle_bp_hybrid(buf, 0, n))
+        assert a[1] == [0] * len(a[1])
     except ValueError:
-        pass
+        a = ("err",)
+    try:
+        b = ("ok", rle_bp_hybrid_py(buf, 0, n))
+    except ValueError:
+        b = ("err",)
+    assert a == b
+
+
+def test_bw0_page_with_multi_entry_dictionary_decodes(spark, tmp_path):
+    """Regression (round-15 review): parquet-mr sizes the dictionary
+    index bit width PER PAGE from the dictionary size at flush time,
+    so a chunk whose first 500 rows hold one value gets a bw=0 first
+    page while the chunk's final dictionary has 2 entries — a legal
+    Spark-written shape (the sampled audits' own page.row.count.limit
+    writer option) that a stricter <=1-entry guard falsely rejected."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.when(F.col("id") < 500, F.lit("a")).otherwise(F.lit("b")).alias("x")
+        )
+        .coalesce(1)
+        .sortWithinPartitions("x")
+    )
+    out = str(tmp_path / "t")
+    (df.write.mode("overwrite")
+     .option("parquet.page.row.count.limit", "500")
+     .option("compression", "uncompressed")
+     .parquet(out))
+    [f] = glob.glob(out + "/*.parquet")
+    r = decode_parquet_column(open(f, "rb").read(), "x")
+    assert r["n_pages"] >= 2
+    assert r["values"] == [b"a"] * 500 + [b"b"] * 500
 
 
 def test_bitwidth0_allnull_and_constant_still_decode(tmp_path):
