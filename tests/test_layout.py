@@ -206,3 +206,26 @@ def test_parquet_footer_rejections(tmp_path):
         f.write(b"XXXX" + good[4:])
     with pytest.raises(ValueError, match="leading PAR1"):
         read_footer_from_path(bad2)
+
+
+def test_multifile_table_scan_parallelizes(spark, tmp_path):
+    """The round-14 sf10 finding, pinned engine-side (round-15 verdict
+    item 5): a table laid out as N files must yield >= min(N, cores)
+    scan partitions under the session's file-split conf, so a
+    CPU-heavy map parallelizes — a single-file layout serializes the
+    scan (ceil(bytes / maxPartitionBytes) = 1 task for anything under
+    128 MB) and a future conf/layout change must not silently
+    reintroduce that."""
+    cores = spark.sparkContext.defaultParallelism
+    n_files = 8
+    multi = str(tmp_path / "multi")
+    spark.range(0, 80_000).repartition(n_files).write.parquet(multi)
+    got = spark.read.parquet(multi).rdd.getNumPartitions()
+    assert got >= min(n_files, cores), (
+        f"{n_files}-file table scanned in {got} partition(s) on "
+        f"{cores} cores — multi-file scans must parallelize"
+    )
+    # the contrast that motivated the rule: one file, one task
+    single = str(tmp_path / "single")
+    spark.range(0, 80_000).coalesce(1).write.parquet(single)
+    assert spark.read.parquet(single).rdd.getNumPartitions() == 1

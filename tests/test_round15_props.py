@@ -149,31 +149,6 @@ def test_bitwidth0_allnull_and_constant_still_decode(tmp_path):
     assert decode_parquet_column(open(p2, "rb").read(), "x")["values"] == [9] * 300
 
 
-# --- scan parallelism on multi-file tables (verdict item 5) ------------------------------
-
-
-def test_multifile_table_scan_parallelizes(spark, tmp_path):
-    """The round-14 sf10 finding, pinned engine-side: a table laid out
-    as N files must yield >= min(N, cores) scan partitions under the
-    session's file-split conf, so a CPU-heavy map parallelizes — a
-    single-file layout serializes the scan (ceil(bytes /
-    maxPartitionBytes) = 1 task for anything under 128 MB) and a
-    future conf/layout change must not silently reintroduce that."""
-    cores = spark.sparkContext.defaultParallelism
-    n_files = 8
-    multi = str(tmp_path / "multi")
-    spark.range(0, 80_000).repartition(n_files).write.parquet(multi)
-    got = spark.read.parquet(multi).rdd.getNumPartitions()
-    assert got >= min(n_files, cores), (
-        f"{n_files}-file table scanned in {got} partition(s) on "
-        f"{cores} cores — multi-file scans must parallelize"
-    )
-    # the contrast that motivated the rule: one file, one task
-    single = str(tmp_path / "single")
-    spark.range(0, 80_000).coalesce(1).write.parquet(single)
-    assert spark.read.parquet(single).rdd.getNumPartitions() == 1
-
-
 # --- date-derived audit epoch (verdict item 6) --------------------------------------------
 
 
