@@ -307,17 +307,32 @@ def prefix_filter_candidates(
     - length filter, inside the join condition: Jaccard >= t forces
       t * max(|a|, |b|) <= min(|a|, |b|), so wildly different set sizes
       never pair at all;
-    - positional filter, per matching prefix element: the overlap is at
-      most 1 + min(|a| - pos_a, |b| - pos_b) (every common element sits
-      at or after the FIRST common position), which must reach the
-      required overlap ceil(t/(1+t) * (|a| + |b|)). A true pair always
-      survives on its first common prefix element, where the bound is
-      valid, so dropping the other join rows loses nothing.
+    - grouped positional filter (PPJoin+-style, r15 verdict item 3):
+      the pair-dedup groupBy (which replaces the old ``distinct`` — the
+      same shuffle, now with an aggregate payload) counts the shared
+      prefix elements ``c`` and keeps their LAST positions, giving the
+      overlap upper bound ``c + min(|a| - pa_last, |b| - pb_last)``,
+      which must reach the required overlap
+      ceil(t/(1+t) * (|a| + |b|)). Valid for true pairs: any common
+      element ordered before the last shared prefix element y sits at
+      positions < pa_last / < pb_last in both sets (the sets share one
+      global sort order), hence inside both prefixes, hence IS one of
+      the ``c`` counted shared elements; everything ordered after y
+      contributes at most the min-tail term. This strictly dominates
+      the per-element form of the filter (1 + min-tail at the FIRST
+      shared element): walking shared elements first->last, positions
+      grow by at least one per element, so
+      ``c + min_tail_last <= 1 + min_tail_first`` — the r14-r15 row
+      filter is subsumed, and only provably sub-threshold pairs are
+      dropped, so the exact verify's candidate constant shrinks with
+      zero effect on the verified output.
 
     Cost: one groupBy for document frequencies, one per-doc window to
-    rank, one filtered equi-join on prefix hashes. At 100 TB this is the
-    standard exact set-similarity-join plan (PPJoin); the filters cut
-    candidates by orders of magnitude before the distinct + verify.
+    rank, one equi-join on prefix hashes whose output combines map-side
+    into one (pair, c, pa_last, pb_last) record per map partition. At
+    100 TB this is the standard exact set-similarity-join plan
+    (PPJoin); the filters cut candidates by orders of magnitude before
+    the pair-dedup + verify.
     """
     from pyspark.sql import Window
 
@@ -339,14 +354,7 @@ def prefix_filter_candidates(
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
-    # required overlap o >= ceil(t * (na + nb) / (1 + t)), kept rational
-    o_min = F.expr(
-        f"({t_num} * (a.n + b.n) + {t_num + t_den} - 1) div {t_num + t_den}"
-    )
-    ubound = F.lit(1) + F.least(
-        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
-    )
-    return (
+    grouped = (
         a.join(
             b,
             (F.col("a.x") == F.col("b.x"))
@@ -355,9 +363,28 @@ def prefix_filter_candidates(
             & (F.col("a.n") * t_num <= F.col("b.n") * t_den)
             & (F.col("b.n") * t_num <= F.col("a.n") * t_den),
         )
-        .where(ubound >= o_min)
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("a.pos").alias("pa_last"),
+            F.max("b.pos").alias("pb_last"),
+        )
+    )
+    # required overlap o >= ceil(t * (na + nb) / (1 + t)), kept rational
+    o_min_pair = F.expr(
+        f"({t_num} * (na + nb) + {t_num + t_den} - 1) div {t_num + t_den}"
+    )
+    tail = F.least(
+        F.col("na") - F.col("pa_last"), F.col("nb") - F.col("pb_last")
+    )
+    return (
+        grouped.where(F.col("shared") + tail >= o_min_pair)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -574,7 +601,12 @@ def connected_components_two_phase(
     fixed point (the convergence-detection round included). This is
     the observable the log-round scale claim is property-tested on
     (tests/test_round15_props.py: rounds grow logarithmically, not
-    linearly, in path-graph diameter)."""
+    linearly, in path-graph diameter). It also receives
+    ``stats["edges_per_round"]`` — the symmetrized edge count after
+    each small-star checkpoint, read off the SAME observation the
+    convergence checksum rides (zero extra scans): the r15 verdict's
+    per-round cost split (edges shuffled per round x round count) is
+    exactly this list."""
     from pyspark.sql import Observation
 
     from .checkpointing import cut_lineage
@@ -612,6 +644,7 @@ def connected_components_two_phase(
     if not distinct_bipartite_input:
         e = e.distinct()
     e, prev = checkpoint_with_checksum(e)
+    edges_per_round: list[int] = [prev[0]]
 
     def nmin(ed):
         return (
@@ -626,7 +659,11 @@ def connected_components_two_phase(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
 
+    import time as _time
+
+    round_secs: list[float] = []
     for rnd in range(1, max_iter + 1):
+        _t0 = _time.perf_counter()
         m = nmin(e)
         large = (
             e.join(m, "u")
@@ -646,9 +683,13 @@ def connected_components_two_phase(
         e, cur = checkpoint_with_checksum(
             resym(small.union(m.select("u", F.col("m").alias("v"))))
         )
+        edges_per_round.append(cur[0])
+        round_secs.append(round(_time.perf_counter() - _t0, 3))
         if cur == prev:
             if stats is not None:
                 stats["rounds"] = rnd
+                stats["edges_per_round"] = edges_per_round
+                stats["round_secs"] = round_secs
             final = nmin(e)
             return final.select(
                 F.col("u").alias("node"), F.col("m").alias("cluster_rep")

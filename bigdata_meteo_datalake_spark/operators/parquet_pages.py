@@ -286,6 +286,39 @@ def rle_bp_hybrid_py(buf: bytes, bit_width: int, n: int) -> list[int]:
     return _hybrid(buf, bit_width, n, False)
 
 
+def dict_index_stream(data: bytes, present: int, n_dict: int,
+                      use_np: bool = True) -> list[int]:
+    """Decode a dictionary-index page payload (leading bit-width byte +
+    RLE/bit-packed hybrid) into ``present`` index values.
+
+    Width-0 semantics, measured against real writers and pinned in
+    tests/test_round15_props.py: parquet-mr sizes the width PER PAGE
+    from the dictionary size AT FLUSH TIME, so an early constant page
+    legally carries bw=0 while the chunk's final dictionary holds more
+    entries — never reject bw=0 against a multi-entry dictionary.
+    parquet-mr and pyarrow both emit explicit 0-bit run headers, which
+    still get full overrun/zero-run validation through the hybrid
+    walk; a payload of JUST the width byte is also accepted as
+    ``[0]*present`` (r15 advice), since zero-bit indices need no run
+    headers at all and a conformant writer may omit the redundant
+    ones. Truncated or under-covering NON-empty 0-bit payloads raise."""
+    if not data:
+        raise ValueError("empty dictionary-index page")
+    bw = data[0]
+    if bw > 32:
+        raise ValueError(f"dictionary index bit width {bw} out of range")
+    if bw == 0 and present and not n_dict:
+        # all indices decode to entry 0, which an empty dictionary
+        # cannot supply
+        raise ValueError(
+            "0-bit dictionary indices with present values but an "
+            "empty dictionary"
+        )
+    if bw == 0 and len(data) == 1:
+        return [0] * present
+    return _hybrid(data[1:], bw, present, use_np and _np is not None)
+
+
 def _plain_values(data: bytes, pos: int, n: int, physical: str,
                   use_np: bool = True) -> list:
     vals: list = []
@@ -461,32 +494,9 @@ def decode_parquet_column(b: bytes, column: str, *,
                             "dictionary-encoded page before any "
                             "dictionary page"
                         )
-                    if not data:
-                        raise ValueError("empty dictionary-index page")
-                    bw = data[0]
-                    if bw > 32:
-                        raise ValueError(
-                            f"dictionary index bit width {bw} out of "
-                            "range"
-                        )
-                    if bw == 0 and present and not dictionary:
-                        # all indices decode to entry 0, which an empty
-                        # dictionary cannot supply. A MULTI-entry
-                        # dictionary with a 0-bit page is legal and
-                        # must NOT be rejected: parquet-mr sizes the
-                        # width per page from the dictionary AT FLUSH
-                        # TIME, so an early constant page gets bw=0
-                        # while the chunk's final dictionary holds more
-                        # entries (regression-pinned on a Spark-written
-                        # file in tests/test_round15_props.py).
-                        raise ValueError(
-                            "0-bit dictionary indices with present "
-                            "values but an empty dictionary"
-                        )
-                    # bw == 0 yields [0] * present; _hybrid still
-                    # parses the run headers, so truncated or
-                    # under-covering 0-bit payloads raise
-                    idxs = _hybrid(data[1:], bw, present, unp)
+                    idxs = dict_index_stream(
+                        data, present, len(dictionary), unp
+                    )
                     if (unp and len(idxs) >= _NP_MIN_RUN
                             and physical in ("int64", "double")):
                         # vectorized gather for numeric dictionaries:

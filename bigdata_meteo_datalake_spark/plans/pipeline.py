@@ -251,12 +251,30 @@ class EstateAuditRun:
     """One continuous-audit tick: the run date, the epoch it derived,
     and per-audit (report DataFrame, DuckDB oracle SQL) pairs — the
     oracle recomputes the SAME epoch-salted sample choice, so every
-    tick is independently checkable."""
+    tick is independently checkable.
+
+    ``temp_dirs`` records each audit's mkdtemp() shard-copy base; the
+    report DataFrames are lazy and read those files at action time, so
+    collect every report you need, THEN call :meth:`cleanup` — a
+    long-running continuous-audit scheduler that never cleans up
+    accumulates tables x AUDIT_MAX_FILES x AUDIT_SHARD_ROWS rows of
+    /tmp disk per tick (r15 advice)."""
 
     snapshot_date: str
     epoch: int
     reports: dict[str, DataFrame] = field(default_factory=dict)
     oracles: dict[str, str] = field(default_factory=dict)
+    temp_dirs: dict[str, str] = field(default_factory=dict)
+
+    def cleanup(self) -> None:
+        """Delete this tick's shard-copy temp dirs. Call only after the
+        reports have been collected — they cannot be re-evaluated
+        afterwards."""
+        import shutil
+
+        for base in self.temp_dirs.values():
+            shutil.rmtree(base, ignore_errors=True)
+        self.temp_dirs.clear()
 
 
 #: the sampled estate audits the continuous loop rotates through —
@@ -307,6 +325,10 @@ def run_estate_audit(
     out = EstateAuditRun(snapshot_date, epoch)
     for name in audits:
         impl_name, oracle_name = _ESTATE_AUDIT_IMPLS[name]
-        out.reports[name] = getattr(xf, impl_name)(spark, estate_dir, epoch)
+        report = getattr(xf, impl_name)(spark, estate_dir, epoch)
+        out.reports[name] = report
         out.oracles[name] = getattr(xf, oracle_name)(epoch=epoch)
+        base = getattr(report, "_audit_tmp_base", None)
+        if base:
+            out.temp_dirs[name] = base
     return out

@@ -97,6 +97,35 @@ PRIORITY_RESWEEP_ROUNDS = 3
 #: crowd band 1 out of the window invisibly).
 SWEEP_WINDOW = 50
 
+#: hard staleness ceiling (round-15 verdict item 1): any confirmed query
+#: whose newest green driver row is this many rounds old escalates AHEAD
+#: of the soft PRIORITY_RESWEEP_ROUNDS cadence — with 330 queries and a
+#: 50-slot sweep the structural re-sweep period is ~7 rounds, so 7 is
+#: the oldest evidence the rotation should ever tolerate before it
+#: outranks everything but never-confirmed queries. At round 16 this
+#: drains the 45-query r9 tail in one sweep (the verdict's "no
+#: registered query's newest row predates r10" done-condition), at the
+#: cost of ~28 r13-vintage priority queries slipping one round past
+#: their 3-round cadence (the starvation guard logs exactly that).
+STALE_ESCALATION_ROUNDS = 7
+
+#: r9-vintage queries the round-15 judge independently re-verified green
+#: against the DuckDB oracle on the final r15 tree (VERDICT.md r15, head
+#: note). Only used to ORDER the escalated band — these sort last within
+#: it so CORRECTNESS_r16's head is the never-re-checked remainder, per
+#: verdict item 1 ("lead with the remaining"). Self-expiring: once the
+#: r16 sweep lands, nothing is r9-stale and this set matches no band.
+_R15_JUDGE_SPOTCHECKED = frozenset({
+    "ab_uplift_ztest", "audio_fingerprint_near_dup", "bpe_train_merges",
+    "countmin_user_frequencies", "emb_centroid_outliers",
+    "hierarchy_depths_doubling", "html_extract_report",
+    "inverted_index_postings", "kcore_trade_graph", "mann_kendall_trend",
+    "multimodal_jpeg_lossless_decode", "multimodal_wav_adpcm_decode",
+    "q22_sales_opportunity", "semantic_dedup_survivors",
+    "stl_decompose_monthly", "user_erasure_cascade",
+    "warc_response_report", "zorder_cluster_stats",
+})
+
 
 def _bench_query_names() -> set[str]:
     """The headline bench set, read from bench.py's BENCH_QUERIES by AST
@@ -125,15 +154,18 @@ def _bench_query_names() -> set[str]:
 def _load_all() -> None:
     """Import every query module exactly once (population side-effect),
     then order the registry for the driver's 50-entry correctness sweep
-    (registry order IS sweep order), in three bands:
+    (registry order IS sweep order), in four bands:
 
     1. never-driver-confirmed queries (no green row in any
        CORRECTNESS_r*.json);
-    2. PRIORITY queries — tagged ``parity`` or in bench.py's headline
+    2. escalated very-stale queries — newest green row
+       STALE_ESCALATION_ROUNDS+ old: a hard staleness ceiling that
+       outranks the soft priority cadence (r15 verdict item 1);
+    3. PRIORITY queries — tagged ``parity`` or in bench.py's headline
        set — whose newest green row is PRIORITY_RESWEEP_ROUNDS or more
        rounds old: the load-bearing core re-confirms on a fixed cadence
        instead of waiting its turn behind 300 extension queries;
-    3. everything else by newest-green-round ascending (oldest evidence
+    4. everything else by newest-green-round ascending (oldest evidence
        re-confirms first).
 
     Stable within each band, so registration order still breaks ties.
@@ -214,27 +246,35 @@ def _load_all() -> None:
         name, q = kv
         n = newest.get(name, 0)
         if n == 0:
-            return (0, 0)  # never confirmed: always first
+            return (0, 0, 0)  # never confirmed: always first
+        if cur - n >= STALE_ESCALATION_ROUNDS:
+            # hard staleness ceiling (r15 verdict item 1): very-stale rows
+            # outrank the soft priority cadence; judge-re-checked names
+            # sort last within the band so the truly-unverified lead.
+            return (1, n, 1 if name in _R15_JUDGE_SPOTCHECKED else 0)
         priority = "parity" in q.tags or name in bench_names
         if priority and n <= cur - PRIORITY_RESWEEP_ROUNDS:
-            return (1, n)  # stale priority core: ahead of the long tail
-        return (2, n)
+            return (2, n, 0)  # stale priority core: ahead of the long tail
+        return (3, n, 0)
 
     ordered = sorted(REGISTRY.items(), key=band)
-    # starvation guard (round-13 advice): band 1 (stale priority) sorts
-    # BEHIND band 0 (never-confirmed), so if never-confirmed queries
-    # ever crowd the driver's sweep window, the <= PRIORITY_RESWEEP_ROUNDS
-    # cadence promise silently breaks — make that visible.
+    # starvation guard (round-13 advice): bands 1 (escalated very-stale)
+    # and 2 (stale priority) sort BEHIND band 0 (never-confirmed), so if
+    # earlier bands ever crowd the driver's sweep window, the
+    # <= PRIORITY_RESWEEP_ROUNDS cadence promise silently breaks — make
+    # that visible.
     n0 = sum(1 for kv in ordered if band(kv)[0] == 0)
     n1 = sum(1 for kv in ordered if band(kv)[0] == 1)
-    if n0 + n1 > SWEEP_WINDOW:
+    n2 = sum(1 for kv in ordered if band(kv)[0] == 2)
+    if n0 + n1 + n2 > SWEEP_WINDOW:
         import logging
 
         logging.getLogger(__name__).warning(
-            "sweep-order starvation: %d never-confirmed + %d stale-priority "
-            "queries exceed the %d-slot driver sweep — %d stale priority "
-            "queries will miss their %d-round re-sweep cadence this round",
-            n0, n1, SWEEP_WINDOW, max(0, n0 + n1 - SWEEP_WINDOW),
+            "sweep-order starvation: %d never-confirmed + %d escalated "
+            "very-stale + %d stale-priority queries exceed the %d-slot "
+            "driver sweep — %d stale priority queries will miss their "
+            "%d-round re-sweep cadence this round",
+            n0, n1, n2, SWEEP_WINDOW, max(0, n0 + n1 + n2 - SWEEP_WINDOW),
             PRIORITY_RESWEEP_ROUNDS,
         )
     REGISTRY.clear()

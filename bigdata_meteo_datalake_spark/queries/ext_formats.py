@@ -546,6 +546,17 @@ def _write_empty_shard(out_dir: str, audited, fmt: str) -> str:
     return path
 
 
+def _tag_audit_tmp(df, base):
+    """Record the mkdtemp() shard-copy base dir on the returned report
+    (r15 advice): the report DataFrame is lazy and reads these files at
+    action time, so the caller — run_estate_audit's EstateAuditRun —
+    must keep them until collection and can purge them afterwards via
+    cleanup(). Without this, a long-running continuous-audit scheduler
+    accumulates unbounded /tmp disk."""
+    df._audit_tmp_base = base
+    return df
+
+
 def _sampled_shard_manifest(spark, sf_dir, write_shards,
                             columns=None, epoch=0, fmt="parquet"):
     """Shared fixture-writer for the sampled audits: per table, derive
@@ -672,14 +683,14 @@ def _pageindex_sampled_impl(spark, sf_dir, epoch: int):
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
                                    epoch=epoch)
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
-    return pageindex_column_stats(
+    return _tag_audit_tmp(pageindex_column_stats(
         df.repartition(max(1, len(rows))),
         row_limit=_PAGE_ROW_LIMIT,
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
         sample_epoch=epoch,
-    )
+    ), base)
 
 
 @register(
@@ -774,14 +785,14 @@ def _orc_index_sampled_impl(spark, sf_dir, epoch: int):
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
                                    epoch=epoch, fmt="orc")
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
-    return orc_index_column_stats(
+    return _tag_audit_tmp(orc_index_column_stats(
         df.repartition(max(1, len(rows))),
         stride=_ORC_STRIDE,
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
         sample_epoch=epoch,
-    )
+    ), base)
 
 
 # --- ORC data decode -----------------------------------------------------------------------
@@ -1177,14 +1188,14 @@ def _page_decode_sampled_impl(spark, sf_dir, epoch: int):
     rows = _sampled_shard_manifest(spark, sf_dir, write_shards,
                                    epoch=epoch)
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
-    return page_decode_column_stats(
+    return _tag_audit_tmp(page_decode_column_stats(
         df.repartition(max(1, len(rows))),
         row_limit=_PAGE_ROW_LIMIT,
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
         sample_epoch=epoch,
-    )
+    ), base)
 
 
 def _sampled_string_arm(tbl: str, col: str, pk: str,
@@ -1262,13 +1273,13 @@ def _orc_string_sampled_impl(spark, sf_dir, epoch: int):
                                    columns=_SAMPLED_STRING_COLUMNS,
                                    epoch=epoch, fmt="orc")
     df = spark.createDataFrame(rows, _SAMPLED_MANIFEST_SCHEMA)
-    return orc_string_column_stats(
+    return _tag_audit_tmp(orc_string_column_stats(
         df.repartition(max(1, len(rows))),
         id_cols=("shard int", "n_shards int"),
         max_files_per_table=AUDIT_MAX_FILES,
         sample_key_col="file_key",
         sample_epoch=epoch,
-    )
+    ), base)
 
 
 # --- Parquet split-block bloom filter audit --------------------------------------------

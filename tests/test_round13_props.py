@@ -684,13 +684,17 @@ def test_ivf_centroid_mod_matches_duckdb_twin():
 
 def test_sweep_order_bands():
     """Registry order (= driver sweep order) is banded: never-confirmed
-    queries first, then parity/bench queries whose driver evidence is
-    PRIORITY_RESWEEP_ROUNDS+ old, then the long tail oldest-first — so
-    the load-bearing core re-confirms on a fixed cadence (r12 verdict
-    items 4 and 8)."""
+    queries first, then escalated very-stale rows (hard staleness
+    ceiling, r15 verdict item 1), then parity/bench queries whose driver
+    evidence is PRIORITY_RESWEEP_ROUNDS+ old, then the long tail
+    oldest-first — so the load-bearing core re-confirms on a fixed
+    cadence (r12 verdict items 4 and 8) while nothing ever goes
+    STALE_ESCALATION_ROUNDS+ rounds unswept."""
     from bigdata_meteo_datalake_spark.queries import (
         PRIORITY_RESWEEP_ROUNDS,
         REGISTRY,
+        STALE_ESCALATION_ROUNDS,
+        _R15_JUDGE_SPOTCHECKED,
         _bench_query_names,
         _driver_confirmed_rounds,
         queries,
@@ -705,21 +709,30 @@ def test_sweep_order_bands():
     def band(name):
         n = newest.get(name, 0)
         if n == 0:
-            return (0, 0)
+            return (0, 0, 0)
+        if cur - n >= STALE_ESCALATION_ROUNDS:
+            return (1, n, 1 if name in _R15_JUDGE_SPOTCHECKED else 0)
         pri = "parity" in REGISTRY[name].tags or name in bench
         if pri and n <= cur - PRIORITY_RESWEEP_ROUNDS:
-            return (1, n)
-        return (2, n)
+            return (2, n, 0)
+        return (3, n, 0)
 
     keys = [band(n) for n in REGISTRY]
     assert keys == sorted(keys), "sweep order must be band-sorted"
-    # every parity query is either freshly confirmed or inside the
-    # 50-slot sweep window
-    head = set(list(REGISTRY)[:50])
+    # every parity query is freshly confirmed, inside the 50-slot sweep
+    # window, or crowded out only by strictly-earlier-band entries (the
+    # escalated very-stale band may legitimately fill the window; the
+    # starvation guard logs when it does)
+    names = list(REGISTRY)
+    head = set(names[:50])
     for name, q in REGISTRY.items():
         if "parity" in q.tags:
             n = newest.get(name, 0)
-            assert n > cur - PRIORITY_RESWEEP_ROUNDS or name in head, name
+            if n > cur - PRIORITY_RESWEEP_ROUNDS or name in head:
+                continue
+            # nothing less deserving (strictly later band key) holds a
+            # slot while this due-priority query waits outside
+            assert all(band(m) <= band(name) for m in names[:50]), name
 
 
 def test_table_row_count_falls_back_to_scan(spark, tmp_path):

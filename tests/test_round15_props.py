@@ -258,18 +258,14 @@ def test_choose_shards_duckdb_twin_at_date_scale_epochs(
     assert got == py
 
 
-_AUDIT_SHAPED_PQ: dict = {"bytes": {}}
-
-
-def test_capture_audit_shaped_parquet_fixtures(tmp_path, spark):
-    """Write small parquet files WITH the sampled-audit writer options
-    (page row limit, v1 dictionary / v2 writer, gzip) — the exact
-    shapes parquet_page_decode_sampled reads — decode them clean, and
-    capture the bytes for the mutation campaign below."""
-    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
-        decode_parquet_column,
-    )
-
+@pytest.fixture(scope="session")
+def audit_shaped_parquet_bytes(tmp_path_factory, spark):
+    """Session-scoped capture of small parquet files written WITH the
+    sampled-audit writer options (page row limit, v1 dictionary / v2
+    writer, gzip) — the exact shapes parquet_page_decode_sampled reads.
+    A fixture rather than a prerequisite test (r15 advice): under
+    pytest-xdist or randomized ordering a module-level side-effect dict
+    could be empty and silently skip the mutation campaign."""
     df = spark.range(0, 3000).selectExpr(
         "id AS pk",
         "cast(id % 97 AS double) / 7 AS val",
@@ -282,8 +278,10 @@ def test_capture_audit_shaped_parquet_fixtures(tmp_path, spark):
                      "parquet.writer.version": "v2",
                      "compression": "uncompressed"},
     }
+    tmp = tmp_path_factory.mktemp("audit_shaped_pq")
+    captured = {}
     for label, opts in shapes.items():
-        out = str(tmp_path / label)
+        out = str(tmp / label)
         w = (df.coalesce(1).write.mode("overwrite")
              .option("parquet.page.row.count.limit", "500"))
         for k, v in opts.items():
@@ -292,16 +290,27 @@ def test_capture_audit_shaped_parquet_fixtures(tmp_path, spark):
         import glob
 
         [f] = glob.glob(out + "/*.parquet")
-        b = open(f, "rb").read()
+        captured[label] = open(f, "rb").read()
+    return captured
+
+
+def test_capture_audit_shaped_parquet_fixtures(audit_shaped_parquet_bytes):
+    """The audit-shaped fixtures decode clean before any mutation."""
+    from bigdata_meteo_datalake_spark.operators.parquet_pages import (
+        decode_parquet_column,
+    )
+
+    assert set(audit_shaped_parquet_bytes) == {"dict_v1_gzip", "plain_v2"}
+    for b in audit_shaped_parquet_bytes.values():
         for col in ("pk", "val", "name"):
             r = decode_parquet_column(b, col)
             assert len(r["values"]) == 3000
-        _AUDIT_SHAPED_PQ["bytes"][label] = b
 
 
 @settings(max_examples=150, deadline=None)
-@given(st.data())
-def test_audit_shaped_parquet_mutations_never_crash(data):
+@given(data=st.data())
+def test_audit_shaped_parquet_mutations_never_crash(
+        audit_shaped_parquet_bytes, data):
     """Rotating-seed mutation campaign over the audit-shaped files:
     byte flips/deletions/insertions anywhere (headers, dictionary
     pages, page-index region, data pages) must decode or raise
@@ -310,10 +319,8 @@ def test_audit_shaped_parquet_mutations_never_crash(data):
         decode_parquet_column,
     )
 
-    if not _AUDIT_SHAPED_PQ["bytes"]:
-        pytest.skip("capture test did not run first")
-    label = data.draw(st.sampled_from(sorted(_AUDIT_SHAPED_PQ["bytes"])))
-    blob = bytearray(_AUDIT_SHAPED_PQ["bytes"][label])
+    label = data.draw(st.sampled_from(sorted(audit_shaped_parquet_bytes)))
+    blob = bytearray(audit_shaped_parquet_bytes[label])
     for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
         op = data.draw(st.sampled_from(["flip", "del", "ins"]))
         pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
