@@ -56,7 +56,7 @@ def seeded_edges(spark, sf_dir):
     return contracted
 
 
-def run(spark, sf_dir):
+def run(spark, sf_dir, frontier=True):
     spark.catalog.clearCache()
     gc.collect()
     stats = {}
@@ -64,7 +64,7 @@ def run(spark, sf_dir):
     t0 = time.perf_counter()
     out = connected_components_two_phase(
         edges, src_col="a", dst_col="b",
-        distinct_bipartite_input=True, stats=stats,
+        distinct_bipartite_input=True, frontier=frontier, stats=stats,
     )
     n = out.count()
     stats["total_secs"] = round(time.perf_counter() - t0, 3)
@@ -74,13 +74,24 @@ def run(spark, sf_dir):
 
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("profile-cc16", cpus=cpus, shuffle_partitions=cpus)
     res = {}
     for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
                           ("sf10", "/root/repo/.scale/sf10")):
-        run(spark, "/root/testdata/sf0.001")  # warm-up
-        res[label] = run(spark, sf_dir)
-        print(label, json.dumps(res[label]), flush=True)
+        for fr in (False, True):
+            key = f"{label}_frontier{'on' if fr else 'off'}"
+            # fresh JVM per configuration: 8 CC invocations in one 16g
+            # session OOM on accumulated localCheckpoint blocks, and a
+            # shared session lets earlier configs' memory pressure bleed
+            # into later ones' walls
+            spark = get_spark(f"profile-cc16-{key}", cpus=cpus,
+                              shuffle_partitions=cpus)
+            run(spark, "/root/testdata/sf0.001", frontier=fr)  # warm-up
+            res[key] = min(
+                (run(spark, sf_dir, frontier=fr) for _ in range(2)),
+                key=lambda s: s["total_secs"],
+            ) if label == "sf0.1" else run(spark, sf_dir, frontier=fr)
+            print(key, json.dumps(res[key]), flush=True)
+            spark.stop()
     print("FINAL " + json.dumps(res))
 
 

@@ -569,6 +569,9 @@ def connected_components_two_phase(
     max_iter: int = 20,
     distinct_bipartite_input: bool = False,
     reliable: bool | None = None,
+    frontier: bool = True,
+    frontier_min_edges: int = 1_000_000,
+    frontier_min_retire_frac: float = 0.05,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
@@ -596,6 +599,39 @@ def connected_components_two_phase(
     blocks die with a lost executor, which on a real cluster would kill
     the whole loop; the local default is right for local[n].
 
+    ``frontier`` (r15 verdict item 4) retires resolved leaves out of
+    the live edge set from round 2 onward, so later rounds shuffle only
+    the unresolved residue. The r16 profile showed why: on the sf10
+    trade graph the edge count stays pinned at ~3.16M for all four
+    rounds — every non-min node keeps its (node, min) edge until global
+    convergence — so rounds 2-4 spend ~10 s re-shuffling a graph that
+    is already ~all stars. The retirement rule: a node ``u`` with
+    degree 1 whose only neighbor ``v`` satisfies ``v < u`` can never be
+    a closed-neighborhood minimum for anyone (it appears only in N(v),
+    where v < u already), so deleting its edges changes no other
+    node's m(u) and no component membership; its final label is exactly
+    v's final label. Targets of retirements are pinned (never retired
+    themselves), so the readout resolves every retired node with ONE
+    join against the residual labels — a pinned target that lost all
+    its edges is its own component minimum (everything it lost was a
+    larger leaf), and reads out as a root. The degree needed by the
+    rule rides the SAME groupBy as the large-star minimum (zero extra
+    aggregates); the cost is two anti-joins per round over the residue.
+    Output is exactly equal to ``frontier=False`` (property-tested).
+
+    Retirement is ADAPTIVE (the r16 measurements at both scales):
+    candidates are computed only while the live edge set holds at least
+    ``frontier_min_edges`` rows (below that a whole round costs about a
+    second and pruning cannot save more than its own anti-joins — the
+    sf0.1 trade graph measurably LOST 1.1 s to unconditional pruning),
+    and applied only when at least ``frontier_min_retire_frac`` of the
+    edges would disappear (a path graph retires just its two endpoints
+    per round — anti-joining millions of edges to delete two is pure
+    waste, and the star rounds already collapse paths in log rounds).
+    An empty edge set short-circuits convergence immediately (a graph
+    with no edges cannot change), so mass retirement does not pay an
+    extra confirmation round.
+
     ``stats``, if given a dict, receives ``stats["rounds"]`` — the
     number of large-star/small-star rounds run before the checksum
     fixed point (the convergence-detection round included). This is
@@ -606,7 +642,8 @@ def connected_components_two_phase(
     each small-star checkpoint, read off the SAME observation the
     convergence checksum rides (zero extra scans): the r15 verdict's
     per-round cost split (edges shuffled per round x round count) is
-    exactly this list."""
+    exactly this list — and ``stats["retired_per_round"]`` when
+    ``frontier`` is on."""
     from pyspark.sql import Observation
 
     from .checkpointing import cut_lineage
@@ -662,9 +699,87 @@ def connected_components_two_phase(
     import time as _time
 
     round_secs: list[float] = []
+    retired_parts: list[DataFrame] = []  # materialized (node, parent) batches
+    retired_per_round: list[int] = []
+    pinned: DataFrame | None = None  # distinct retirement targets (never retire)
+
+    def readout(residual_labels: DataFrame) -> DataFrame:
+        """(node, cluster_rep) for the whole ORIGINAL node set: residual
+        labels, plus pinned targets that lost every edge (they are their
+        own component minima — everything removed from them was a larger
+        leaf), plus each retired node resolved through its pinned parent
+        in one join."""
+        out = residual_labels
+        if retired_parts:
+            roots = (
+                pinned.join(
+                    residual_labels.select(F.col("node").alias("_rn")),
+                    F.col("p") == F.col("_rn"),
+                    "left_anti",
+                )
+                .select(F.col("p").alias("node"), F.col("p").alias("cluster_rep"))
+            )
+            base = residual_labels.union(roots)
+            retired_all = retired_parts[0]
+            for part in retired_parts[1:]:
+                retired_all = retired_all.union(part)
+            resolved = (
+                retired_all.join(
+                    base.select(
+                        F.col("node").alias("parent"),
+                        F.col("cluster_rep").alias("_rep"),
+                    ),
+                    "parent",
+                )
+                .select("node", F.col("_rep").alias("cluster_rep"))
+            )
+            out = base.union(resolved)
+        return out
+
+    def checkpoint_with_count(df):
+        obs = Observation()
+        out = cut_lineage(
+            df.observe(obs, F.count(F.lit(1)).alias("n")), reliable=reliable
+        )
+        return out, obs.get["n"]
+
     for rnd in range(1, max_iter + 1):
         _t0 = _time.perf_counter()
-        m = nmin(e)
+        # one aggregate serves the retirement rule AND the large-star
+        # minimum: deleting a retired leaf changes nobody else's closed-
+        # neighborhood min (the leaf is larger than its only neighbor),
+        # so m computed pre-prune stays valid post-prune.
+        agg = e.groupBy("u").agg(
+            F.min("v").alias("mv"), F.count(F.lit(1)).alias("d")
+        )
+        if frontier and rnd >= 2 and prev[0] >= frontier_min_edges:
+            cand = agg.where(
+                (F.col("d") == 1) & (F.col("mv") < F.col("u"))
+            ).select(F.col("u").alias("node"), F.col("mv").alias("parent"))
+            if pinned is not None:
+                cand = cand.join(
+                    pinned, F.col("node") == F.col("p"), "left_anti"
+                )
+            cand, n_ret = checkpoint_with_count(cand)
+            if n_ret >= frontier_min_retire_frac * prev[0]:
+                rc = cand.select(F.col("node").alias("rn"))
+                e = (
+                    e.join(rc, F.col("u") == F.col("rn"), "left_anti")
+                    .join(rc, F.col("v") == F.col("rn"), "left_anti")
+                )
+                agg = agg.join(rc, F.col("u") == F.col("rn"), "left_anti")
+                retired_parts.append(cand)
+                newly_pinned = cand.select(
+                    F.col("parent").alias("p")
+                ).distinct()
+                pinned = (
+                    newly_pinned if pinned is None
+                    else pinned.union(newly_pinned).distinct()
+                )
+                retired_per_round.append(n_ret)
+            else:
+                retired_per_round.append(0)
+        m = agg.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
         large = (
             e.join(m, "u")
             .where(F.col("v") > F.col("u"))
@@ -685,15 +800,20 @@ def connected_components_two_phase(
         )
         edges_per_round.append(cur[0])
         round_secs.append(round(_time.perf_counter() - _t0, 3))
-        if cur == prev:
+        # an EMPTY edge set is a fixed point by itself — converge now
+        # rather than paying a confirmation round (mass retirement can
+        # empty the graph mid-loop)
+        if cur == prev or cur[0] == 0:
             if stats is not None:
                 stats["rounds"] = rnd
                 stats["edges_per_round"] = edges_per_round
                 stats["round_secs"] = round_secs
-            final = nmin(e)
-            return final.select(
+                if frontier:
+                    stats["retired_per_round"] = retired_per_round
+            final = nmin(e).select(
                 F.col("u").alias("node"), F.col("m").alias("cluster_rep")
             )
+            return readout(final)
         prev = cur
     raise RuntimeError(
         f"connected_components_two_phase did not converge in {max_iter} rounds"

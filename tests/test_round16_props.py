@@ -11,6 +11,7 @@ import os
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 SF_MID = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
@@ -213,3 +214,196 @@ def test_grouped_positional_filter_complete_on_random_corpus(spark):
     }
     missing = true_pairs - got
     assert not missing, f"pruned true pairs: {sorted(missing)}"
+
+
+# --- multi-day pipeline soak with audit rotation (r15 verdict item 5) ---------------------
+
+
+def test_multiday_pipeline_soak_with_audit_rotation(spark, tmp_path_factory):
+    """Ten consecutive logical dates through the daily pipeline in ONE
+    session (r15 verdict item 5): every tick passes its quality gate,
+    re-runs are idempotent (spot-checked on three days), and the
+    continuous estate audit — epoch derived from the run date — rotates
+    its sampled coverage (at sf0.01 — sf0.001 tables mostly fit in one
+    shard, which cannot rotate) (per-day picks accumulate across days, each
+    day oracle-green) while cleanup() keeps /tmp flat."""
+    from datetime import date, timedelta
+
+    from bigdata_meteo_datalake_spark.oracle import (
+        compare_frames,
+        duckdb_connect,
+    )
+    from bigdata_meteo_datalake_spark.plans import pipeline
+    from bigdata_meteo_datalake_spark.plans.pipeline import (
+        _ESTATE_AUDITS,
+        run_estate_audit,
+    )
+    from bigdata_meteo_datalake_spark.sources.rest import ingest_omdb, ingest_tmdb
+
+    lake = str(tmp_path_factory.mktemp("soak_lake"))
+    d0 = date(2026, 3, 1)
+    days = [(d0 + timedelta(days=i)).isoformat() for i in range(10)]
+
+    def day_data(i):
+        base = 1000 + 10 * i
+        popular = [
+            {"id": base + k, "title": f"Soak {i}-{k}",
+             "release_date": (d0 + timedelta(days=i)).isoformat(),
+             "popularity": 20.0 + 7 * k, "vote_average": 5.0 + 0.5 * k,
+             "vote_count": 50 + 10 * k, "original_language": "en",
+             "genre_ids": [18]}
+            for k in range(3)
+        ]
+        details = {
+            m["id"]: {"id": m["id"], "imdb_id": f"tt{m['id']}",
+                      "title": m["title"], "release_date": m["release_date"],
+                      "runtime": "100", "status": "Released",
+                      "original_language": "en",
+                      "genres": [{"id": 18, "name": "Drama"}],
+                      "production_countries": []}
+            for m in popular
+        }
+        omdb = {
+            f"tt{m['id']}": {"Title": m["title"], "Year": "2026", "Rated": "PG",
+                             "Type": "movie", "Country": "US", "Genre": "Drama",
+                             "Director": "D", "Actors": "A, B",
+                             "imdbRating": "7.0", "imdbVotes": "1,000",
+                             "Metascore": "60", "Ratings": [],
+                             "Response": "True"}
+            for m in popular
+        }
+        return popular, details, omdb
+
+    def enriched_snapshot(day):
+        df = spark.read.parquet(f"{lake}/usage/movies_enriched_daily").where(
+            F.col("snapshot_date") == day
+        )
+        return sorted(map(str, df.collect()))
+
+    picks_by_day = []
+    for i, day in enumerate(days):
+        popular, details, omdb = day_data(i)
+        ingest_tmdb(
+            lambda ep, params, popular=popular, details=details: (
+                {"page": 1, "results": popular}
+                if ep == "movie/popular" else details[int(ep.split("/")[1])]
+            ),
+            lake, snapshot_date=day, run_id=f"soak{i}",
+            extracted_at_utc=f"{day}T19:00:00+00:00",
+        )
+        ingest_omdb(
+            lambda ep, params, omdb=omdb: omdb[params["i"]],
+            lake, sorted(omdb), snapshot_date=day, run_id=f"soak{i}",
+            extracted_at_utc=f"{day}T19:00:01+00:00",
+        )
+        # quality gate enforced: a violation raises and fails the soak
+        res = pipeline.run(spark, lake, day, run_id=f"soak{i}", retry=None)
+        rep = res.quality_report.collect()
+        assert rep and all(r["n_violations"] == 0 for r in rep), (
+            f"quality gate, {day}"
+        )
+
+        if i in (0, 4, 9):  # idempotent re-run spot checks
+            before = enriched_snapshot(day)
+            pipeline.run(spark, lake, day, run_id=f"soak{i}-rerun", retry=None)
+            assert enriched_snapshot(day) == before, f"re-run changed {day}"
+
+        # continuous estate audit, family rotating with the day
+        fam = _ESTATE_AUDITS[i % len(_ESTATE_AUDITS)]
+        audit = run_estate_audit(spark, SF_MID, day, audits=(fam,))
+        rep_df = audit.reports[fam].toPandas()
+        con = duckdb_connect(SF_MID)
+        try:
+            compare_frames(rep_df, con.execute(audit.oracles[fam]).df())
+        finally:
+            con.close()
+        picks_by_day.append({fam: set(zip(rep_df["tbl"], rep_df["shard"]))})
+        tmp = dict(audit.temp_dirs)
+        audit.cleanup()
+        assert all(not os.path.exists(p) for p in tmp.values())
+
+    # rotation accumulates coverage: within each audit family, the union
+    # of (table, shard) picks across its days exceeds any single day's
+    for fam in _ESTATE_AUDITS:
+        daily = [p[fam] for p in picks_by_day if fam in p]
+        if len(daily) >= 2:
+            union = set().union(*daily)
+            assert len(union) > max(len(d) for d in daily), (
+                f"audit family {fam} never rotated its sampled coverage"
+            )
+
+
+# --- CC frontier shrinking (r15 verdict item 4) -------------------------------------------
+
+
+def test_cc_frontier_output_exactly_equals_unfrontiered(spark):
+    """Leaf retirement must not change a single output row: across the
+    adversarial topologies (pair, path, star, cycle, random, many tiny
+    components — the near-dup shape), frontier=True and frontier=False
+    return identical (node, cluster_rep) sets, and the frontier run
+    actually retires nodes where the shape allows it."""
+    import random
+
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(16)
+    shapes = {
+        "pair": [(1, 2)],
+        "path": [(i, i + 1) for i in range(40)],
+        "star": [(0, i) for i in range(1, 25)],
+        "cycle": [(i, (i + 1) % 30) for i in range(30)],
+        "random": [
+            (a, b)
+            for a, b in ((rng.randrange(300), rng.randrange(300))
+                         for _ in range(250))
+            if a != b
+        ],
+        "many_triples": [
+            e for c in range(60)
+            for e in ((1000 * c, 1000 * c + 1), (1000 * c + 1, 1000 * c + 2))
+        ],
+    }
+    any_retired = False
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        stats = {}
+        plain = sorted(
+            map(tuple, connected_components_two_phase(df, frontier=False).collect())
+        )
+        # thresholds forced to zero so retirement engages on these tiny
+        # graphs (the production defaults gate it to >= 1M-edge graphs)
+        shrunk = sorted(
+            map(tuple,
+                connected_components_two_phase(
+                    df, frontier=True, frontier_min_edges=0,
+                    frontier_min_retire_frac=0.0, stats=stats,
+                ).collect())
+        )
+        assert plain == shrunk, name
+        any_retired = any_retired or any(stats.get("retired_per_round", []))
+    assert any_retired, "frontier never retired a node on any shape"
+
+
+def test_cc_frontier_default_thresholds_stay_inert_on_small_graphs(spark):
+    """With the production thresholds, a small graph never pays the
+    pruning anti-joins (retired_per_round stays absent/zero) and the
+    result still matches — the sf0.1 bench path is byte-identical to
+    the pre-frontier operator."""
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    edges = [(i, i + 1) for i in range(100)] + [(5000, 5001)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats = {}
+    out = sorted(
+        map(tuple,
+            connected_components_two_phase(df, stats=stats).collect())
+    )
+    assert not any(stats.get("retired_per_round", []))
+    plain = sorted(
+        map(tuple, connected_components_two_phase(df, frontier=False).collect())
+    )
+    assert out == plain
