@@ -19,9 +19,8 @@ names = list(qs)[:N]
 failed = []
 for i, name in enumerate(names):
     try:
-        compare_to_oracle(qs[name](spark, sf), oracles[name], sf) if name in oracles \
-            else (_ for _ in ()).throw(AssertionError("rows-only")) if False else None
         if name in oracles:
+            compare_to_oracle(qs[name](spark, sf), oracles[name], sf)
             print(f"OK    {i+1:3d}/{len(names)} {name}", flush=True)
         else:
             rows = qs[name](spark, sf).count()
