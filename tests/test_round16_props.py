@@ -407,3 +407,40 @@ def test_cc_frontier_default_thresholds_stay_inert_on_small_graphs(spark):
         map(tuple, connected_components_two_phase(df, frontier=False).collect())
     )
     assert out == plain
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_cc_frontier_equality_rotating_random_graphs(spark, data):
+    """Rotating-seed soak (fresh graphs every suite run): on arbitrary
+    small random multigraph edge lists — duplicates and both
+    orientations included, exactly what upstream pair generators emit —
+    forced-threshold frontier retirement returns byte-identical
+    components to the plain operator."""
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    n_nodes = data.draw(st.integers(min_value=2, max_value=40))
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n_nodes - 1),
+                st.integers(min_value=0, max_value=n_nodes - 1),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    plain = sorted(
+        map(tuple, connected_components_two_phase(df, frontier=False).collect())
+    )
+    shrunk = sorted(
+        map(tuple,
+            connected_components_two_phase(
+                df, frontier=True, frontier_min_edges=0,
+                frontier_min_retire_frac=0.0,
+            ).collect())
+    )
+    assert plain == shrunk
