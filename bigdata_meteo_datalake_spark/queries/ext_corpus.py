@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import vec
 from ..functions.numeric import oracle_avg, round_half_up, rounded_avg, rounded_sum
 from ..sources.lake import read_table, widen
 from . import register
@@ -461,11 +462,7 @@ def emb_centroid_outliers(spark, sf_dir):
             lambda s: s.comp,
         ).alias("cvec")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = vec.fold_sqdist(F.col("v"), F.col("cvec"))
     dist = e.join(F.broadcast(cv), "label").select(
         "vec_id", "label", F.sqrt(d2).alias("d")
     )
@@ -1213,9 +1210,8 @@ def hard_negative_mining(spark, sf_dir):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    nrm = F.sqrt(
-        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    # per-row norm over the derived vector expression: collapse-safe fold
+    nrm = F.sqrt(vec.fold_sum_sq(F.col("v")))
     n = e.select("vec_id", "label", "v", nrm.alias("nrm"))
     q = (
         n.where(F.col("vec_id") < _HN_QUERIES)
@@ -1227,11 +1223,7 @@ def hard_negative_mining(spark, sf_dir):
         )
     )
     c = widen(n)
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = vec.fold_dot(F.col("qv"), F.col("v"))
     scored = (
         c.join(F.broadcast(q), F.col("query_label") != F.col("label"))
         .select(

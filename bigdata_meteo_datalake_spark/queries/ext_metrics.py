@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import vec
 from ..functions.numeric import count_if, project_fence, round_half_up
 from ..operators.dedup import (
     LSH_MAX_BUCKET,
@@ -1194,11 +1195,9 @@ def ts_motif_top_pairs(spark, sf_dir):
         F.col("vec").alias("vb"),
     )
     j = a.join(b, F.col("start_b") == F.date_add(F.col("start_a"), F.col("g")))
-    sxy = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # integer dot over the fixed-length motif windows, unrolled
+    # (functions.vec): exact, same fold order, codegen instead of HOF
+    sxy = vec.dot_long(F.col("va"), F.col("vb"), dim=_MOTIF_W)
     num = (_MOTIF_W * sxy - F.col("sxa") * F.col("sxb")).cast("double")
     dena = (_MOTIF_W * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast("double")
     denb = (_MOTIF_W * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast("double")

@@ -30,6 +30,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import vec
 from ..sources.lake import read_table, widen
 from . import register
 from ..operators.checkpointing import cut_eager
@@ -210,18 +211,15 @@ def _candidate_ranks(spark, sf_dir, materialize=False):
     base = emb.select(
         "vec_id",
         v.alias("v"),
-        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+        F.sqrt(vec.fold_sum_sq(v)).alias("nrm"),
     )
     q = base.where(F.col("vec_id") == _RRF_QVEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     # sequential left-fold dot product: same fold order as the oracle's
-    # list_aggregate, hence bit-identical doubles (ext_similarity convention)
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # list_aggregate, hence bit-identical doubles (ext_similarity
+    # convention)
+    dot = vec.fold_dot(F.col("qv"), F.col("v"))
     vec_cand = (
         base.crossJoin(F.broadcast(q))
         .select(

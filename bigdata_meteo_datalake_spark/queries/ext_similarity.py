@@ -22,6 +22,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import vec
 from ..functions.numeric import round_half_up
 from ..operators.dedup import widen
 from ..sources.lake import read_table
@@ -38,15 +39,16 @@ def _double_vec():
 
 
 def _norm(v):
-    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(vec.fold_sum_sq(v))
 
 
 def _dot(a, b):
     """Sequential left-fold dot product — same fold order as the oracle's
-    list_aggregate, hence bit-identical doubles."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    list_aggregate, hence bit-identical doubles. Stays on the general
+    fold at this 64-dim size: the round-16 unrolled-kernel experiment
+    (functions/vec.py) measured dim-64 unrolling SLOWER in every real
+    query (knn 0.64 -> 1.13 s stable), see OPTIMIZATION_r16.md."""
+    return vec.fold_dot(a, b)
 
 
 _KNN_ORACLE = f"""
@@ -254,7 +256,11 @@ def _bucket_col(n_planes: int):
     bucket = None
     for plane_idx in range(n_planes):
         plane_lit = F.array(*[F.lit(x) for x in _PLANES[plane_idx]])
-        term = F.when(_dot(F.col("v"), plane_lit) > 0,
+        # per-ROW signature over the derived vector expression: general
+        # fold, NOT the unrolled kernel (vec.fold_dot's collapse-safety
+        # note — unrolling here multiplied the inlined transform by the
+        # term count and tripled the query wall)
+        term = F.when(vec.fold_dot(F.col("v"), plane_lit) > 0,
                       F.lit(1 << plane_idx)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return bucket.cast("long")
@@ -430,11 +436,8 @@ def emb_ivf_topk(spark, sf_dir):
     cent = base.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    l2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )  # squared-L2 fold (distinct from _dot: different element combiner)
+    # squared-L2 fold (distinct from _dot: different element combiner)
+    l2 = vec.fold_sqdist(F.col("v"), F.col("cv"))
     ranked = n.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", l2.alias("d2")
     )
@@ -681,11 +684,7 @@ def kmeans_ivf_train(spark, sf_dir):
     e = emb.select("vec_id", _double_vec().alias("v"))
 
     def assign(cents):
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d2 = vec.fold_sqdist(F.col("v"), F.col("cv"))
         ranked = e.crossJoin(F.broadcast(cents)).select(
             "vec_id", "cent_id", d2.alias("d2")
         )
@@ -1062,11 +1061,7 @@ def semantic_dedup_ivf(spark, sf_dir):
     cent = base.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    l2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    l2 = vec.fold_sqdist(F.col("v"), F.col("cv"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
     assign = (
         n.crossJoin(F.broadcast(cent))
@@ -1168,14 +1163,8 @@ def pq_ann_topk(spark, sf_dir):
         F.col("sv").alias("cv"),
     )
 
-    zero = F.lit(0).cast("long")
-
     def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            zero,
-            lambda acc, x: acc + x,
-        )
+        return vec.fold_sqdist_long(a, b)
 
     codes = (
         sub.join(F.broadcast(cent), "m")

@@ -444,3 +444,78 @@ def test_cc_frontier_equality_rotating_random_graphs(spark, data):
             ).collect())
     )
     assert plain == shrunk
+
+
+# --- unrolled vector kernels == general fold (r16 optimization §1) ------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_vec_unrolled_kernels_equal_fold(spark, data):
+    """functions.vec unrolled kernels are bit-identical to the general
+    fold on ANY array shape — exact dim (unrolled path), shorter/longer
+    arrays and null elements (guard fallback path). Doubles compared by
+    exact bit pattern, not approximately: the unroll preserves the
+    fold's left-to-right association order."""
+    from bigdata_meteo_datalake_spark.functions import vec
+
+    dim = data.draw(st.sampled_from([1, 4, 7, 64]))
+    elem = st.one_of(
+        st.none(),
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+    )
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.lists(elem, min_size=0, max_size=dim + 2),
+                st.lists(elem, min_size=0, max_size=dim + 2),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    df = spark.createDataFrame(
+        rows, "a array<double>, b array<double>"
+    )
+    out = df.select(
+        F.col("a").cast("string").alias("ka"),
+        F.col("b").cast("string").alias("kb"),
+        vec.dot(F.col("a"), F.col("b"), dim=dim).alias("u_dot"),
+        vec.fold_dot(F.col("a"), F.col("b")).alias("f_dot"),
+        vec.sum_sq(F.col("a"), dim=dim).alias("u_ss"),
+        vec.fold_sum_sq(F.col("a")).alias("f_ss"),
+        vec.sqdist(F.col("a"), F.col("b"), dim=dim).alias("u_sq"),
+        vec.fold_sqdist(F.col("a"), F.col("b")).alias("f_sq"),
+    ).collect()
+    import struct
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    for r in out:
+        assert bits(r.u_dot) == bits(r.f_dot), (dim, r.ka, r.kb, "dot")
+        assert bits(r.u_ss) == bits(r.f_ss), (dim, r.ka, "sum_sq")
+        assert bits(r.u_sq) == bits(r.f_sq), (dim, r.ka, r.kb, "sqdist")
+
+    ints = st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000))
+    irows = data.draw(
+        st.lists(
+            st.tuples(
+                st.lists(ints, min_size=0, max_size=dim + 2),
+                st.lists(ints, min_size=0, max_size=dim + 2),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    idf = spark.createDataFrame(irows, "a array<long>, b array<long>")
+    iout = idf.select(
+        vec.dot_long(F.col("a"), F.col("b"), dim=dim).alias("u_dot"),
+        vec.fold_dot(F.col("a"), F.col("b")).alias("f_dot"),
+        vec.sqdist_long(F.col("a"), F.col("b"), dim=dim).alias("u_sq"),
+        vec.fold_sqdist_long(F.col("a"), F.col("b")).alias("f_sq"),
+    ).collect()
+    for r in iout:
+        assert r.u_dot == r.f_dot
+        assert r.u_sq == r.f_sq
