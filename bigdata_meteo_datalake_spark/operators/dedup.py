@@ -268,18 +268,6 @@ def lsh_candidate_pairs(
             .where(F.col("__n") <= max_bucket_size)
             .drop("__n")
         )
-    # self-join strategy (r16 optimization): force the shuffle form so
-    # the band relation's exchange is REUSED across both sides — with
-    # the default broadcast pick (local size estimates are tiny) the
-    # build side re-runs the whole signature-fold + band-explode +
-    # window subtree a second time. At 100 TB the banded relation is
-    # corpus-sized and cannot be broadcast at all, so the shuffle form
-    # is also the only plan that exists at the design point; AQE may
-    # still locally convert to broadcast FROM the written shuffle data,
-    # which keeps the single computation. The hint goes on the SHARED
-    # relation before both sides derive — hinting one side makes the
-    # subtrees canonically unequal and forfeits the reuse.
-    banded = banded.hint("shuffle_merge")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -471,8 +459,6 @@ def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         id_col, "simhash", F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_key").alias("band_key"),
     )
-    # shuffle self-join for exchange reuse (see lsh_candidate_pairs)
-    banded = banded.hint("shuffle_merge")
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

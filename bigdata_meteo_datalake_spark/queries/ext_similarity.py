@@ -933,15 +933,6 @@ def semantic_dedup_lsh(spark, sf_dir):
         .where(F.col("__n") <= LSH_MAX_BUCKET)
         .drop("__n")
     )
-    # shuffle self-join so the windowed-guard exchange is REUSED by both
-    # sides (r16 optimization): the default local broadcast pick re-runs
-    # the whole scan + plane-signature + window subtree to BUILD the
-    # broadcast; at 100 TB this side is the corpus and the shuffle form
-    # is the only plan that exists (measured equal rows, plan shows
-    # ReusedExchange; details in OPTIMIZATION_r16.md). The hint goes on
-    # the SHARED relation before both sides derive: hinting one side
-    # makes the two subtrees canonically unequal and forfeits the reuse.
-    guarded = guarded.hint("shuffle_merge")
     a = guarded.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), F.col("bucket"),
@@ -1085,13 +1076,6 @@ def semantic_dedup_ivf(spark, sf_dir):
         .where(F.col("__n") <= LSH_MAX_BUCKET)
         .drop("__n")
     )
-    # shuffle self-join for exchange reuse (r16 optimization, same as
-    # semantic_dedup_lsh — hint the SHARED relation before both sides
-    # derive): the broadcast build side would re-run the ENTIRE
-    # centroid-assignment crossJoin + two windows a second time — the
-    # costliest subtree of this query — and at 100 TB the assigned
-    # corpus cannot be broadcast anyway.
-    g = g.hint("shuffle_merge")
     a = g.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"), F.col("cent_id"))
     b = g.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
