@@ -62,8 +62,11 @@ def _unroll_enabled() -> bool:
     )
 
 #: the embeddings corpus dimension — a fixed property of the data
-#: generator (TESTDATA.md), used as the default unroll width. The size
-#: guard makes a wrong value a performance miss, never a wrong answer.
+#: generator (TESTDATA.md). NOT a default unroll width: unrolling at 64
+#: measured ~2x SLOWER than the fold (module docstring), so every
+#: unrolled kernel requires an explicit ``dim`` and callers must choose
+#: a width the measurements support (small dims only). Kept as the
+#: documented corpus constant for fold-path callers and tests.
 EMB_DIM = 64
 
 
@@ -93,6 +96,15 @@ def fold_sqdist(a: Column, b: Column) -> Column:
 def fold_sqdist_long(a: Column, b: Column) -> Column:
     """General integer fold squared-L2 — see :func:`fold_dot`."""
     return _fold_sqdist(a, b, F.lit(0).cast("long"))
+
+
+def fold_dot_long(a: Column, b: Column) -> Column:
+    """General integer fold dot product (exact long accumulation) — the
+    fold twin of :func:`dot_long`, matching the fold_sqdist_long
+    pattern so integer kernels can be property-tested against a fold
+    that accumulates in the SAME type (a double-zero fold rounds past
+    2^53 and would mask or fake differences)."""
+    return _fold_dot(a, b, F.lit(0).cast("long"))
 
 
 def _fold_dot(a: Column, b: Column, zero: Column) -> Column:
@@ -125,7 +137,7 @@ def _guarded2(
     ).otherwise(fold)
 
 
-def dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+def dot(a: Column, b: Column, *, dim: int) -> Column:
     """Sequential left-fold dot product, unrolled at ``dim`` —
     bit-identical to ``aggregate(zip_with(a, b, *), 0.0, +)`` and to the
     oracle's ``list_aggregate`` (same fold order)."""
@@ -137,7 +149,7 @@ def dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return _guarded2(a, b, dim, acc, _fold_dot(a, b, F.lit(0.0)))
 
 
-def dot_long(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+def dot_long(a: Column, b: Column, *, dim: int) -> Column:
     """Integer dot product (exact), unrolled at ``dim``."""
     zero = F.lit(0).cast("long")
     if not _unroll_enabled():
@@ -148,7 +160,7 @@ def dot_long(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return _guarded2(a, b, dim, acc, _fold_dot(a, b, zero))
 
 
-def sum_sq(v: Column, dim: int = EMB_DIM) -> Column:
+def sum_sq(v: Column, *, dim: int) -> Column:
     """Sum of squares (the norm kernel), unrolled at ``dim``."""
     if not _unroll_enabled():
         return _fold_sum_sq(v, F.lit(0.0))
@@ -158,7 +170,7 @@ def sum_sq(v: Column, dim: int = EMB_DIM) -> Column:
     return _guarded(v, dim, acc, _fold_sum_sq(v, F.lit(0.0)))
 
 
-def sqdist(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+def sqdist(a: Column, b: Column, *, dim: int) -> Column:
     """Squared L2 distance, unrolled at ``dim``."""
     if not _unroll_enabled():
         return _fold_sqdist(a, b, F.lit(0.0))
@@ -169,7 +181,7 @@ def sqdist(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return _guarded2(a, b, dim, acc, _fold_sqdist(a, b, F.lit(0.0)))
 
 
-def sqdist_long(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+def sqdist_long(a: Column, b: Column, *, dim: int) -> Column:
     """Integer squared L2 distance (exact), unrolled at ``dim``."""
     zero = F.lit(0).cast("long")
     if not _unroll_enabled():

@@ -21,6 +21,7 @@ recall only, never correctness of reported pairs.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -185,6 +186,71 @@ def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def _shingle_arrow_enabled() -> bool:
+    """A/B lever for the Arrow shingle-hash kernel (read at plan build
+    time). Default OFF until the sf10 measurement decides (r16 verdict
+    item: trade JVM-side per-gram md5 for a Python-boundary batch kernel
+    computing the SAME bytes)."""
+    return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW", "0").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _doc_shingle_hash_sets_arrow(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """mapInArrow twin of :func:`doc_shingle_hash_sets`: same tokens, same
+    grams, same md5-derived hashes mod P, same first-occurrence-distinct
+    order — computed per Arrow batch with CPython's C md5 instead of the
+    JVM's per-gram expression chain (guide §4.2: hand whole batches to
+    native code). Semantics pinned to the JVM form expression by
+    expression: trim strips SPACES only (Spark F.trim default), the
+    tokenizer keeps empty tokens exactly like Java regex split with
+    limit -1, grams join with a single space, hashes are
+    int(md5_hex[:15], 16) % P (both operands positive, so Spark/Python %
+    agree), and docs with fewer than ``n`` tokens (or null text) drop."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import hashlib
+        import re as _re
+
+        split = _re.compile(r"[ \t\n\r\f]+").split
+        md5 = hashlib.md5
+        p = MINHASH_P
+        join = " ".join
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_sets: list[list[int]] = []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                toks = split(txt.strip(" ").lower())
+                m = len(toks) - (n - 1)
+                if m < 1:
+                    continue
+                seen: dict[int, None] = {}
+                for i in range(m):
+                    h = int(
+                        md5(join(toks[i : i + n]).encode("utf-8")).hexdigest()[:15],
+                        16,
+                    ) % p
+                    if h not in seen:
+                        seen[h] = None
+                out_ids.append(did)
+                out_sets.append(list(seen))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()), pa.array(out_sets, pa.list_(pa.int64()))],
+                [id_col, "xs"],
+            )
+
+    return widen(df.select(F.col(id_col), F.col(text_col))).mapInArrow(
+        kernel, f"{id_col} long, xs array<long>"
+    )
+
+
 def doc_shingle_hash_sets(df: DataFrame, *, id_col: str = "doc_id",
                           text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, xs): the document's distinct hashed word-n-gram shingle SET as
@@ -198,6 +264,10 @@ def doc_shingle_hash_sets(df: DataFrame, *, id_col: str = "doc_id",
     Jaccard over hashed shingle sets is the standard MinHash formulation;
     the oracle hashes identically, so the rare mod-P collision is
     bit-identical on both engines."""
+    if _shingle_arrow_enabled():
+        return _doc_shingle_hash_sets_arrow(
+            df, id_col=id_col, text_col=text_col, n=n
+        )
     toks = word_tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -416,28 +486,115 @@ def jaccard_verify_sets(
 # --- SimHash -----------------------------------------------------------------
 
 
+def _simhash_packed_enabled() -> bool:
+    """A/B lever for the lane-packed SimHash bit counter (read at
+    expression build time, like functions/vec.py's unroll lever).
+    ``0`` restores the r16 production form verbatim (32 per-bit folds,
+    unfenced projection)."""
+    return os.environ.get("SPARK_GRAFT_SIMHASH_PACKED", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _simhash_bits_perbit(hs: Column) -> Column:
+    """The per-bit formulation: 32 interpreted array folds, one per
+    SimHash bit — s_b = sum over tokens of (2*bit_b(h) - 1), bit set iff
+    s_b > 0. Kept verbatim as the A/B lever's baseline
+    (SPARK_GRAFT_SIMHASH_PACKED=0)."""
+
+    # closure factory, NOT a default arg: F.aggregate counts the lambda's
+    # parameters (defaults included) to build the HOF
+    def merge(b):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    sh = None
+    for b in range(SIMHASH_BITS):
+        s_b = F.aggregate(hs, F.lit(0).cast("long"), merge(b))
+        bit = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return sh
+
+
+def _simhash_packed_accs(hs: Column) -> list[Column]:
+    """16 fold accumulators, each counting 2 of the 32 hash bits in the
+    32-bit lanes of one long: fold g adds, per token hash h,
+    ((h >> 2g) & 1) + (((h >> (2g+1)) & 1) << 32). UNCONDITIONALLY
+    exact — no guard, no fallback: each lane's count is bounded by the
+    array length, which Spark caps below 2^31, so the low lane can never
+    carry into the high lane and the high lane can never reach the sign
+    bit. (A denser 16-bit-lane packing needs a per-row overflow guard,
+    and the guard's untaken 32-fold fallback branch alone measured
+    ~+2 s at sf0.1 — plan/codegen weight, not row work; the 32-bit-lane
+    form was within noise of the guarded one and needs neither.)"""
+
+    def lane_sum(g):
+        def merge(acc, h):
+            lo = F.shiftright(h, 2 * g).bitwiseAND(F.lit(1))
+            hi = F.shiftleft(
+                F.shiftright(h, 2 * g + 1).bitwiseAND(F.lit(1)), 32
+            )
+            return acc + lo + hi
+        return merge
+
+    return [
+        F.aggregate(hs, F.lit(0).cast("long"), lane_sum(g))
+        for g in range(SIMHASH_BITS // 2)
+    ]
+
+
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): 32-bit SimHash over word unigrams, unit weights.
     bit_b(doc) = 1 iff sum over tokens of (2*bit_b(h(token)) - 1) > 0.
 
     Computed entirely on the in-row token array (hash once per distinct
-    token, then 32 bit-sum folds) — a pure map over the corpus scan, like
-    the MinHash signature: the whole dedup family shuffles nothing until
-    its banding self-join."""
+    token) — a pure map over the corpus scan, like the MinHash signature:
+    the whole dedup family shuffles nothing until its banding self-join.
+
+    Round-17 (guide §4, §1.2 per-task work), two measured changes:
+
+    - The projection stages are FENCED (functions/numeric.project_fence)
+      so the token-hash transform materializes once per row instead of
+      being re-evaluated through the merged projection — the fence alone
+      took the sf0.1 signature stage from a 2.9 s minimum to 1.0 s.
+    - The 32 per-bit folds are replaced by 16 lane-packed COUNT folds
+      (32-bit lanes, :func:`_simhash_packed_accs`): with c_b = count of
+      tokens with bit b set and n = token count, the per-bit fold's sum
+      is s_b = 2*c_b - n, so s_b > 0 <=> 2*c_b > n — the packed readout
+      tests exactly that, hence bit-identical simhashes (property-tested
+      row-for-row, tests/test_round17_props.py). Halves the fold passes
+      over the token array; exact at ANY document length, no guard."""
+    from ..functions.numeric import project_fence
+
     hs = F.transform(
         F.array_distinct(word_tokens(F.col(text_col))), lambda t: token_hash(t)
     )
     base = widen(df).select(F.col(id_col), hs.alias("hs"))
+    if not _simhash_packed_enabled():
+        return base.select(
+            F.col(id_col), _simhash_bits_perbit(F.col("hs")).cast("long").alias("simhash")
+        )
+    with_accs = base.transform(project_fence).select(
+        F.col(id_col),
+        F.size(F.col("hs")).alias("_n"),
+        *[
+            acc.alias(f"_acc{g}")
+            for g, acc in enumerate(_simhash_packed_accs(F.col("hs")))
+        ],
+    )
+    n = F.col("_n")
     sh = None
     for b in range(SIMHASH_BITS):
-        s_b = F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        g, j = divmod(b, 2)
+        c = F.shiftright(F.col(f"_acc{g}"), 32 * j).bitwiseAND(
+            F.lit(0xFFFFFFFF)
         )
-        bit = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(c * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
         sh = bit if sh is None else sh + bit
-    return base.select(F.col(id_col), sh.cast("long").alias("simhash"))
+    return with_accs.transform(project_fence).select(
+        F.col(id_col), sh.cast("long").alias("simhash")
+    )
 
 
 def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -480,6 +637,18 @@ def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 
 
 # --- connected components (cluster the near-dup pair graph) -------------------
+
+
+def _cc_midcut_lazy() -> bool:
+    """A/B lever (round-17): materialize the per-round LARGE-star edge set
+    lazily — the small-star checkpoint's job computes and caches it in the
+    SAME action — instead of paying a separate eager localCheckpoint job
+    per round. Read at loop build time; default OFF until the interleaved
+    measurement decides (the risk: within one job, parallel map stages
+    over the not-yet-cached lazy checkpoint can duplicate its compute)."""
+    return os.environ.get("SPARK_GRAFT_CC_MIDCUT_LAZY", "0").lower() not in (
+        "0", "false", "no",
+    )
 
 
 def connected_components(
@@ -785,9 +954,15 @@ def connected_components_two_phase(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
+        # the large-star edge set must be MATERIALIZED once per round (it
+        # feeds resym's two branches plus the small-star min and join);
+        # lazily checkpointing it folds that materialization into the
+        # small-star checkpoint's job — one driver/job round-trip per CC
+        # round instead of two (r17, guide §1.2 per-round fixed cost)
         e = cut_lineage(
             resym(large.union(m.select("u", F.col("m").alias("v")))),
             reliable=reliable,
+            eager=not _cc_midcut_lazy(),
         )
         m = nmin(e)
         small = (

@@ -459,6 +459,13 @@ def test_vec_unrolled_kernels_equal_fold(spark, data):
     fold's left-to-right association order."""
     from bigdata_meteo_datalake_spark.functions import vec
 
+    # the kernels read the env at expression build time: a leftover
+    # SPARK_GRAFT_VEC_UNROLL=0 (e.g. from an A/B run) would silently turn
+    # this into fold-vs-fold, testing nothing (r16 advice)
+    import os as _os
+    _os.environ["SPARK_GRAFT_VEC_UNROLL"] = "1"
+    assert vec._unroll_enabled()
+
     dim = data.draw(st.sampled_from([1, 4, 7, 64]))
     elem = st.one_of(
         st.none(),
@@ -512,7 +519,11 @@ def test_vec_unrolled_kernels_equal_fold(spark, data):
     idf = spark.createDataFrame(irows, "a array<long>, b array<long>")
     iout = idf.select(
         vec.dot_long(F.col("a"), F.col("b"), dim=dim).alias("u_dot"),
-        vec.fold_dot(F.col("a"), F.col("b")).alias("f_dot"),
+        # fold_dot_long, not fold_dot: the double-zero fold accumulates in
+        # double and is exact here only because test values are small —
+        # a long-zero fold compares exact integers at any magnitude
+        # (r16 advice)
+        vec.fold_dot_long(F.col("a"), F.col("b")).alias("f_dot"),
         vec.sqdist_long(F.col("a"), F.col("b"), dim=dim).alias("u_sq"),
         vec.fold_sqdist_long(F.col("a"), F.col("b")).alias("f_sq"),
     ).collect()

@@ -1,0 +1,129 @@
+"""Round-17 optimization-equivalence properties.
+
+Every round-17 optimization is a build-time-levered rewrite of an
+operator's internals with a proof obligation that the OUTPUT is
+bit-identical; these tests pin that obligation row-for-row on adversarial
+inputs (whitespace runs, empty docs, unicode, null text), independent of
+the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+_TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n\r\fxyz0")),
+            min_size=0,
+            max_size=60,
+        ),
+        st.text(min_size=0, max_size=30),  # arbitrary unicode
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_TEXTS)
+def test_simhash_packed_equals_perbit(spark, texts):
+    """The lane-packed SimHash bit counter (8 folds, 16-bit lanes) is
+    row-identical to the 32 per-bit folds on arbitrary text — the
+    2*count > n readout is the same sign test as the +/-1 sum."""
+    import os
+
+    from bigdata_meteo_datalake_spark.operators import dedup as D
+
+    df = _docs_df(spark, texts)
+    prev = os.environ.get("SPARK_GRAFT_SIMHASH_PACKED")
+    try:
+        os.environ["SPARK_GRAFT_SIMHASH_PACKED"] = "0"
+        legacy = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+        os.environ["SPARK_GRAFT_SIMHASH_PACKED"] = "1"
+        packed = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SIMHASH_PACKED", None)
+        else:
+            os.environ["SPARK_GRAFT_SIMHASH_PACKED"] = prev
+    assert packed == legacy
+
+
+def test_simhash_packed_equals_perbit_on_long_docs(spark, monkeypatch):
+    """The packed counter has NO length guard (32-bit lanes are exact up
+    to Spark's array-size cap); pin equality on documents with thousands
+    of distinct tokens, where per-bit counts stress many lanes at once."""
+    from bigdata_meteo_datalake_spark.operators import dedup as D
+
+    import random
+
+    rng = random.Random(17)
+    texts = [
+        " ".join(f"tok{rng.randrange(100000)}" for _ in range(4000)),
+        " ".join(f"w{i}" for i in range(2500)),
+    ]
+    df = _docs_df(spark, texts)
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_PACKED", "0")
+    legacy = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_PACKED", "1")
+    packed = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert packed == legacy
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_TEXTS)
+def test_shingle_arrow_kernel_equals_jvm_sets(spark, texts):
+    """The mapInArrow shingle-hash kernel returns EXACTLY the JVM
+    expression form's rows: same surviving doc_ids, same hashed shingle
+    set, same first-occurrence element order — trim/split/lower/md5/mod
+    semantics pinned one by one."""
+    import os
+
+    from bigdata_meteo_datalake_spark.operators import dedup as D
+
+    df = _docs_df(spark, texts)
+    prev = os.environ.get("SPARK_GRAFT_SHINGLE_ARROW")
+    try:
+        os.environ["SPARK_GRAFT_SHINGLE_ARROW"] = "0"
+        jvm = {r.doc_id: r.xs for r in D.doc_shingle_hash_sets(df).collect()}
+        os.environ["SPARK_GRAFT_SHINGLE_ARROW"] = "1"
+        arrow = {r.doc_id: r.xs for r in D.doc_shingle_hash_sets(df).collect()}
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SHINGLE_ARROW", None)
+        else:
+            os.environ["SPARK_GRAFT_SHINGLE_ARROW"] = prev
+    assert arrow == jvm
+
+
+def test_cc_midcut_lazy_equals_eager(spark, monkeypatch):
+    """connected_components_two_phase output is independent of whether
+    the per-round large-star edge set is checkpointed eagerly (its own
+    job) or lazily (materialized by the small-star checkpoint's job)."""
+    import random
+
+    from bigdata_meteo_datalake_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(1717)
+    edges = [
+        (rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(60)
+    ] + [(100, 101), (101, 102), (102, 103)]  # a path component
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_MIDCUT_LAZY", "0")
+    eager = sorted(map(tuple, connected_components_two_phase(df).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_CC_MIDCUT_LAZY", "1")
+    lazy = sorted(map(tuple, connected_components_two_phase(df).collect()))
+    assert eager == lazy
