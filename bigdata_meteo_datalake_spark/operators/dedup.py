@@ -188,10 +188,16 @@ def doc_shingles(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
 
 def _shingle_arrow_enabled() -> bool:
     """A/B lever for the Arrow shingle-hash kernel (read at plan build
-    time). Default OFF until the sf10 measurement decides (r16 verdict
-    item: trade JVM-side per-gram md5 for a Python-boundary batch kernel
-    computing the SAME bytes)."""
-    return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW", "0").lower() not in (
+    time). Default ON — the r16-verdict sf10 measurement decided KEEP:
+    interleaved same-session A/B on dedup_minhash_lsh at sf10 (500k
+    docs) read min 60.5 / med 70.5 s for the JVM expression chain vs
+    min 7.4 / med 9.0 s for the Arrow kernel (~8x; the JVM minimum
+    matches its r16 quiet band of 64.6 s, so the contended host did not
+    manufacture the gap), with the full result set EXACTLY equal at
+    sf10 (count + order-free row-hash digests, `.round17/eq_check.py`).
+    At sf0.1 (fixed-cost-bound): 1.77 vs 2.27 s minima, same direction.
+    ``0`` restores the r16 JVM expression form verbatim."""
+    return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW", "1").lower() not in (
         "0", "false", "no",
     )
 

@@ -69,6 +69,71 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def _span_arrow_enabled() -> bool:
+    """A/B lever for the Arrow span-fingerprint kernel (read at plan
+    build time; same decision pattern as operators/dedup.py's shingle
+    kernel — the md5-per-tile expression chain is the dominant per-row
+    cost at scale, and CPython's C md5 over Arrow batches computes the
+    SAME hex digests)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SPAN_ARROW", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _doc_span_hashes_arrow(d, span_tokens: int):
+    """mapInArrow twin of the JVM tile pipeline in span_dedup_report:
+    emits (doc_id, span_idx, h) with span_idx 0-based in document order
+    (exactly the posexplode rows) and h = md5 hex of the space-joined
+    tile — tokenizer semantics pinned to F.split(lower(trim(text)))
+    (trim strips spaces only; empty tokens kept like Java regex split
+    with limit -1). Docs with fewer than ``span_tokens`` tokens (or
+    null text) emit nothing, exactly like the ``when(nsp >= 1)`` guard."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import hashlib
+        import re as _re
+
+        split = _re.compile(r"[ \t\n\r\f]+").split
+        md5 = hashlib.md5
+        join = " ".join
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            out_h: list[str] = []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                toks = split(txt.strip(" ").lower())
+                nsp = len(toks) // span_tokens
+                for i in range(nsp):
+                    out_ids.append(did)
+                    out_idx.append(i)
+                    out_h.append(
+                        md5(
+                            join(
+                                toks[i * span_tokens : (i + 1) * span_tokens]
+                            ).encode("utf-8")
+                        ).hexdigest()
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.int64()),
+                    pa.array(out_idx, pa.int32()),
+                    pa.array(out_h, pa.string()),
+                ],
+                ["doc_id", "span_idx", "h"],
+            )
+
+    return widen(d.select("doc_id", "text")).mapInArrow(
+        kernel, "doc_id long, span_idx int, h string"
+    )
+
+
 @register(
     "span_dedup_report",
     oracle=_SPAN_ORACLE,
@@ -88,31 +153,35 @@ def span_dedup_report(spark, sf_dir):
     restored by the doc_id-keyed left join). Everything before it is
     in-row array math inside codegen."""
     d = read_table(spark, sf_dir, "documents")
-    # materialize the token array as its own projection so the regex split
-    # runs ONCE per row (referenced inside the tile lambda, it would
-    # otherwise re-split per tile), and widen so the per-row md5/regex
-    # work uses every core instead of the scan's single input split
-    tokd = widen(d.select("doc_id", "text")).select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+").alias("t"),
-    )
-    toks = F.col("t")
-    nsp = F.floor(F.size(toks) / F.lit(_SPAN_TOKENS)).cast("int")
-    spans = F.when(
-        nsp >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nsp),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(toks, (i - 1) * _SPAN_TOKENS + 1, _SPAN_TOKENS),
-                )
+    if _span_arrow_enabled():
+        flat = _doc_span_hashes_arrow(d, _SPAN_TOKENS)
+    else:
+        # materialize the token array as its own projection so the regex
+        # split runs ONCE per row (referenced inside the tile lambda, it
+        # would otherwise re-split per tile), and widen so the per-row
+        # md5/regex work uses every core instead of the scan's single
+        # input split
+        tokd = widen(d.select("doc_id", "text")).select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+").alias("t"),
+        )
+        toks = F.col("t")
+        nsp = F.floor(F.size(toks) / F.lit(_SPAN_TOKENS)).cast("int")
+        spans = F.when(
+            nsp >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nsp),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(toks, (i - 1) * _SPAN_TOKENS + 1, _SPAN_TOKENS),
+                    )
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    flat = tokd.select("doc_id", spans.alias("hs")).select(
-        "doc_id", F.posexplode("hs").alias("span_idx", "h")
-    )
+        ).otherwise(F.array().cast("array<string>"))
+        flat = tokd.select("doc_id", spans.alias("hs")).select(
+            "doc_id", F.posexplode("hs").alias("span_idx", "h")
+        )
     w = Window.partitionBy("h").orderBy("doc_id", "span_idx")
     agg = (
         flat.withColumn("rn", F.row_number().over(w))

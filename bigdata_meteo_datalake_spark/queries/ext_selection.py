@@ -48,6 +48,120 @@ def _toks():
     )
 
 
+def _ngram_arrow_enabled() -> bool:
+    """A/B lever for the Arrow hashed-n-gram stream kernels below (read
+    at plan build time) — the same JVM-md5 -> batch-C-md5 boundary move
+    measured ~8x at sf10 on the dedup shingle kernel
+    (operators/dedup.py:_shingle_arrow_enabled)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_NGRAM_ARROW", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _py_toks(txt: str) -> list[str]:
+    """Python twin of :func:`_toks` (module docstring tokenizer): split
+    on the same whitespace class after space-only trim + lower, empties
+    filtered — so leading/trailing-separator artifacts cannot differ."""
+    import re as _re
+
+    return [t for t in _re.split(r"[ \t\n\r\f]+", txt.strip(" ").lower()) if t]
+
+
+def _dsir_feats_arrow(d):
+    """mapInArrow twin of the dsir feature stream: per document, the
+    unigram hashes then the bigram hashes (token_hash % _DSIR_DIM), with
+    the is_target flag echoed per row — exactly the rows of
+    explode(concat(uni, bi)). Zero-token documents emit nothing, like
+    exploding an empty array."""
+    import pyarrow as pa
+
+    target = _DSIR_TARGET_SOURCE
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+
+        def h(s):
+            return int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % _DSIR_DIM
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            srcs = batch.column(1).to_pylist()
+            texts = batch.column(2).to_pylist()
+            out_id, out_t, out_fb = [], [], []
+            for did, src, txt in zip(ids, srcs, texts):
+                if txt is None:
+                    continue
+                toks = _py_toks(txt)
+                if not toks:
+                    continue
+                is_t = src == target
+                for x in toks:
+                    out_id.append(did)
+                    out_t.append(is_t)
+                    out_fb.append(h(x))
+                for a, b in zip(toks, toks[1:]):
+                    out_id.append(did)
+                    out_t.append(is_t)
+                    out_fb.append(h(a + " " + b))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_t, pa.bool_()),
+                    pa.array(out_fb, pa.int64()),
+                ],
+                ["doc_id", "is_target", "fb"],
+            )
+
+    return widen(d.select("doc_id", "source", "text")).mapInArrow(
+        kernel, "doc_id long, is_target boolean, fb long"
+    )
+
+
+def _gram_hash_stream_arrow(d, n: int):
+    """mapInArrow twin of the hashed word-n-gram stream: per document,
+    token_hash of each n-token window (space-joined), document order,
+    docs with fewer than n tokens absent — exactly the rows of
+    explode(transform(sequence(...), token_hash(concat_ws(' ', slice))))
+    over the filtered tokenizer."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        join = " ".join
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_gh = [], []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                toks = _py_toks(txt)
+                m = len(toks) - (n - 1)
+                for i in range(max(m, 0)):
+                    out_id.append(did)
+                    out_gh.append(
+                        int(
+                            md5(join(toks[i : i + n]).encode("utf-8"))
+                            .hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.int64()), pa.array(out_gh, pa.int64())],
+                ["doc_id", "gh"],
+            )
+
+    return widen(d.select("doc_id", "text")).mapInArrow(
+        kernel, "doc_id long, gh long"
+    )
+
+
 # --- DSIR hashed-n-gram importance weights ------------------------------------------
 
 _DSIR_DIM = 1024
@@ -121,27 +235,32 @@ def dsir_importance_weights(spark, sf_dir):
     pool by construction.
     """.format(dim=_DSIR_DIM, k=_DSIR_TOPK)
     d = widen(read_table(spark, sf_dir, "documents"))
-    toks = _toks()
-    uni = F.transform(F.col("toks"), lambda x: token_hash(x) % _DSIR_DIM)
-    bi = F.when(
-        F.size("toks") > 1,
-        F.zip_with(
-            F.slice(F.col("toks"), 1, F.size("toks") - 1),
-            F.slice(F.col("toks"), 2, F.size("toks") - 1),
-            lambda a, b: token_hash(F.concat(a, F.lit(" "), b)) % _DSIR_DIM,
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     # the feature stream feeds BOTH the bucket counts and the score join.
     # Deliberately NOT materialized: the exploded (doc, feature) stream is
     # larger than the compressed columnar source it comes from, so two
     # pipelined scans that re-tokenize beat one checkpoint write + two
     # block reads (measured ~2.6 -> 2.2 s at sf0.1, and the gap widens
     # with corpus size).
-    feats = d.select(
-        "doc_id",
-        (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
-        toks.alias("toks"),
-    ).select("doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("fb"))
+    if _ngram_arrow_enabled():
+        feats = _dsir_feats_arrow(d)
+    else:
+        toks = _toks()
+        uni = F.transform(F.col("toks"), lambda x: token_hash(x) % _DSIR_DIM)
+        bi = F.when(
+            F.size("toks") > 1,
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: token_hash(F.concat(a, F.lit(" "), b)) % _DSIR_DIM,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        feats = d.select(
+            "doc_id",
+            (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
+            toks.alias("toks"),
+        ).select(
+            "doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("fb")
+        )
     counts = feats.groupBy("fb").agg(
         F.count(F.lit(1)).alias("q_f"), count_if(F.col("is_target")).alias("t_f")
     )
@@ -240,22 +359,27 @@ def boilerplate_ngram_coverage(spark, sf_dir):
     gram-string shuffle.
     """.format(df=_BP_DF_MIN)
     d = widen(read_table(spark, sf_dir, "documents"))
-    toks = _toks()
-    grams = F.when(
-        F.size("toks") >= _BP_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (_BP_N - 1)),
-            lambda i: token_hash(F.concat_ws(" ", F.slice(F.col("toks"), i, _BP_N))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     # gram stream feeds both the DF aggregate and the coverage join.
     # Deliberately NOT materialized: the exploded (doc, gram-hash) stream
     # is larger than the compressed source, so two pipelined scans that
     # re-tokenize beat one checkpoint write + two block reads (measured
     # ~2.4 -> 2.0 s at sf0.1; same trade as dsir_importance_weights).
-    g = d.select("doc_id", toks.alias("toks")).select(
-        "doc_id", F.explode(grams).alias("gh")
-    )
+    if _ngram_arrow_enabled():
+        g = _gram_hash_stream_arrow(d, _BP_N)
+    else:
+        toks = _toks()
+        grams = F.when(
+            F.size("toks") >= _BP_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_BP_N - 1)),
+                lambda i: token_hash(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, _BP_N))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        g = d.select("doc_id", toks.alias("toks")).select(
+            "doc_id", F.explode(grams).alias("gh")
+        )
     boiler = (
         g.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -37,7 +37,7 @@ _TEXTS = st.lists(
 @settings(max_examples=10, deadline=None)
 @given(texts=_TEXTS)
 def test_simhash_packed_equals_perbit(spark, texts):
-    """The lane-packed SimHash bit counter (8 folds, 16-bit lanes) is
+    """The lane-packed SimHash bit counter (16 folds, 32-bit lanes) is
     row-identical to the 32 per-bit folds on arbitrary text — the
     2*count > n readout is the same sign test as the +/-1 sum."""
     import os
@@ -127,3 +127,114 @@ def test_cc_midcut_lazy_equals_eager(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CC_MIDCUT_LAZY", "1")
     lazy = sorted(map(tuple, connected_components_two_phase(df).collect()))
     assert eager == lazy
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_TEXTS)
+def test_span_arrow_kernel_equals_jvm_tiles(spark, texts):
+    """The mapInArrow span-fingerprint kernel emits EXACTLY the JVM tile
+    pipeline's rows: same (doc_id, span_idx, h) multiset — md5 hex per
+    8-token non-overlapping tile, 0-based tile order, short/null docs
+    absent."""
+    import os
+
+    from bigdata_meteo_datalake_spark.queries import ext_corpus as C
+
+    df = _docs_df(spark, texts)
+    # the JVM form, built verbatim (the query's lever-off branch)
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.sources.lake import widen
+
+    tokd = widen(df.select("doc_id", "text")).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+").alias("t"),
+    )
+    toks = F.col("t")
+    nsp = F.floor(F.size(toks) / F.lit(8)).cast("int")
+    spans = F.when(
+        nsp >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nsp),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    jvm = sorted(
+        map(
+            tuple,
+            tokd.select("doc_id", spans.alias("hs"))
+            .select("doc_id", F.posexplode("hs").alias("span_idx", "h"))
+            .collect(),
+        )
+    )
+    arrow = sorted(
+        map(tuple, C._doc_span_hashes_arrow(df, 8).collect())
+    )
+    assert arrow == jvm
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_TEXTS)
+def test_ngram_arrow_streams_equal_jvm(spark, texts):
+    """The Arrow dsir-feature and n-gram-hash stream kernels emit exactly
+    the JVM expression forms' row multisets (filtered tokenizer, unigram+
+    bigram bucket hashes with the is_target echo, 5-gram 60-bit hashes)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.operators.dedup import token_hash
+    from bigdata_meteo_datalake_spark.queries import ext_selection as S
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    # dsir feature stream, JVM form verbatim
+    toks = S._toks()
+    uni = F.transform(F.col("toks"), lambda x: token_hash(x) % S._DSIR_DIM)
+    bi = F.when(
+        F.size("toks") > 1,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: token_hash(F.concat(a, F.lit(" "), b)) % S._DSIR_DIM,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    jvm_feats = sorted(
+        map(
+            tuple,
+            df.select(
+                "doc_id",
+                (F.col("source") == S._DSIR_TARGET_SOURCE).alias("is_target"),
+                toks.alias("toks"),
+            )
+            .select("doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("fb"))
+            .collect(),
+        )
+    )
+    arrow_feats = sorted(map(tuple, S._dsir_feats_arrow(df).collect()))
+    assert arrow_feats == jvm_feats
+
+    # 5-gram hash stream, JVM form verbatim
+    grams = F.when(
+        F.size("toks") >= S._BP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (S._BP_N - 1)),
+            lambda i: token_hash(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, S._BP_N))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    jvm_g = sorted(
+        map(
+            tuple,
+            df.select("doc_id", toks.alias("toks"))
+            .select("doc_id", F.explode(grams).alias("gh"))
+            .collect(),
+        )
+    )
+    arrow_g = sorted(
+        map(tuple, S._gram_hash_stream_arrow(df, S._BP_N).collect())
+    )
+    assert arrow_g == jvm_g
