@@ -100,6 +100,67 @@ FROM (
 """
 
 
+def _bm25_arrow_enabled() -> bool:
+    """A/B lever for the Arrow per-doc token-stats kernel (read at plan
+    build time) — the 3 interpreted HOF term filters over the token
+    array are the query's dominant per-row cost at scale (the r16
+    verdict's interpreted-HOF residual list); the kernel computes the
+    same (dl, tf0..tf2) with C-speed list.count per Arrow batch."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_BM25_ARROW", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _bm25_per_doc_arrow(d):
+    """mapInArrow twin of the per-doc BM25 token stats: one row per
+    document (null text included — dl/tf null exactly like
+    size(split(null))), dl = token count of the UNFILTERED split (empty
+    tokens kept, as in the JVM form and the oracle), tf_i = exact count
+    of query term i."""
+    import pyarrow as pa
+
+    terms = _Q_TERMS
+    cols = ["doc_id", "dl"] + [f"tf{i}" for i in range(len(terms))]
+    # size(split(NULL)) is session-policy-dependent: -1 under the legacy
+    # sizeOfNull behavior (the default when ANSI is off — the engine's
+    # session policy), NULL under ANSI. Resolve the session's answer at
+    # plan build time and bake it into the kernel so the twin matches
+    # the JVM form on ANY session.
+    conf = d.sparkSession.conf
+    ansi = conf.get("spark.sql.ansi.enabled", "false").lower() == "true"
+    legacy = conf.get("spark.sql.legacy.sizeOfNull", "true").lower() == "true"
+    null_size = None if ansi or not legacy else -1
+
+    def kernel(batches):
+        import re as _re
+
+        split = _re.compile(r"[ \t\n\r\f]+").split
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = {c: [] for c in cols}
+            out["doc_id"] = ids
+            for txt in texts:
+                if txt is None:
+                    out["dl"].append(null_size)
+                    for i in range(len(terms)):
+                        out[f"tf{i}"].append(null_size)
+                    continue
+                toks = split(txt.strip(" ").lower())
+                out["dl"].append(len(toks))
+                for i, term in enumerate(terms):
+                    out[f"tf{i}"].append(toks.count(term))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[c], pa.int64()) for c in cols], cols
+            )
+
+    return widen(d.select("doc_id", "text")).mapInArrow(
+        kernel, ", ".join(f"{c} long" for c in cols)
+    )
+
+
 def _bm25_scored(spark, sf_dir):
     """(doc_id, dl, tf0.., s_q): int64-quantized BM25 for every document.
 
@@ -114,11 +175,17 @@ def _bm25_scored(spark, sf_dir):
         # higher-order-function arity detection (2 args = value+index)
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
-    per_doc = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[_tf(term).cast("long").alias(f"tf{i}") for i, term in enumerate(_Q_TERMS)],
-    )
+    if _bm25_arrow_enabled():
+        per_doc = _bm25_per_doc_arrow(d)
+    else:
+        per_doc = d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            *[
+                _tf(term).cast("long").alias(f"tf{i}")
+                for i, term in enumerate(_Q_TERMS)
+            ],
+        )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -238,3 +238,36 @@ def test_ngram_arrow_streams_equal_jvm(spark, texts):
         map(tuple, S._gram_hash_stream_arrow(df, S._BP_N).collect())
     )
     assert arrow_g == jvm_g
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_TEXTS)
+def test_bm25_per_doc_arrow_equals_jvm(spark, texts):
+    """The Arrow per-doc BM25 token-stats kernel returns exactly the JVM
+    rows: one row per document INCLUDING null text (null dl/tf), dl over
+    the unfiltered split (empty tokens kept), exact term counts."""
+    from pyspark.sql import functions as F
+
+    from bigdata_meteo_datalake_spark.queries import ext_search as S
+
+    df = _docs_df(spark, texts)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+
+    def _tf(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    jvm = sorted(
+        map(
+            tuple,
+            df.select(
+                "doc_id",
+                F.size(toks).cast("long").alias("dl"),
+                *[
+                    _tf(t).cast("long").alias(f"tf{i}")
+                    for i, t in enumerate(S._Q_TERMS)
+                ],
+            ).collect(),
+        )
+    )
+    arrow = sorted(map(tuple, S._bm25_per_doc_arrow(df).collect()))
+    assert arrow == jvm
