@@ -645,6 +645,32 @@ def simhash_near_pairs(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 # --- connected components (cluster the near-dup pair graph) -------------------
 
 
+#: adaptive loop-partitioning target (edges per reduce partition). The
+#: loop's per-round relations are (u, v) long pairs — 16 B of data per
+#: row — so 100k rows is ~2 MB: far below the guide's 100 MB-1 GB
+#: band, chosen because the loop's cost at SMALL residues is per-stage
+#: task/scheduler overhead, not bytes. Any residue >= 100k x (session
+#: width) edges keeps the session's full width (the sf10 trade graph's
+#: 3.2M edges stay at 32 on the 32-core bench), so at-scale rounds are
+#: unaffected; only the small tail narrows.
+_CC_EDGES_PER_PART = 100_000
+
+
+def _cc_adaptive_parts() -> bool:
+    """Lever (round-17, guide §2: make partitioning scale-adaptive):
+    inside the CC loop, size `spark.sql.shuffle.partitions` from the
+    OBSERVED per-round edge count (known for free from the convergence
+    checksum) instead of the session constant — a 32k-edge round on 32
+    partitions runs every stage as 32 near-empty tasks, and the loop's
+    wall is exactly that per-task overhead times stages times rounds.
+    Never widens beyond the session setting (the 8-core bench keeps its
+    8), derived from data size (not the local core count), restored
+    after the loop."""
+    return os.environ.get("SPARK_GRAFT_CC_ADAPTIVE_PARTS", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
 def _cc_midcut_lazy() -> bool:
     """A/B lever (round-17): materialize the per-round LARGE-star edge set
     lazily — the small-star checkpoint's job computes and caches it in the
@@ -858,6 +884,29 @@ def connected_components_two_phase(
     e, prev = checkpoint_with_checksum(e)
     edges_per_round: list[int] = [prev[0]]
 
+    # scale-adaptive loop partitioning (guide §2): per-round shuffle
+    # width sized from the OBSERVED edge count (already collected for
+    # the convergence checksum), never wider than the session setting;
+    # restored in the finally below. The readout DataFrame returned to
+    # the caller plans its exchanges at action time, after the restore.
+    sess = edges.sparkSession
+    _saved_parts: str | None = None
+    if _cc_adaptive_parts():
+        try:
+            _saved_parts = sess.conf.get("spark.sql.shuffle.partitions")
+            int(_saved_parts)
+        except Exception:
+            _saved_parts = None
+
+    def _tune_parts(n_edges: int) -> None:
+        if _saved_parts is None:
+            return
+        want = max(1, (n_edges + _CC_EDGES_PER_PART - 1) // _CC_EDGES_PER_PART)
+        sess.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(_saved_parts), want)),
+        )
+
     def nmin(ed):
         return (
             ed.groupBy("u")
@@ -918,84 +967,91 @@ def connected_components_two_phase(
         )
         return out, obs.get["n"]
 
-    for rnd in range(1, max_iter + 1):
-        _t0 = _time.perf_counter()
-        # one aggregate serves the retirement rule AND the large-star
-        # minimum: deleting a retired leaf changes nobody else's closed-
-        # neighborhood min (the leaf is larger than its only neighbor),
-        # so m computed pre-prune stays valid post-prune.
-        agg = e.groupBy("u").agg(
-            F.min("v").alias("mv"), F.count(F.lit(1)).alias("d")
-        )
-        if frontier and rnd >= 2 and prev[0] >= frontier_min_edges:
-            cand = agg.where(
-                (F.col("d") == 1) & (F.col("mv") < F.col("u"))
-            ).select(F.col("u").alias("node"), F.col("mv").alias("parent"))
-            if pinned is not None:
-                cand = cand.join(
-                    pinned, F.col("node") == F.col("p"), "left_anti"
-                )
-            cand, n_ret = checkpoint_with_count(cand)
-            if n_ret >= frontier_min_retire_frac * prev[0]:
-                rc = cand.select(F.col("node").alias("rn"))
-                e = (
-                    e.join(rc, F.col("u") == F.col("rn"), "left_anti")
-                    .join(rc, F.col("v") == F.col("rn"), "left_anti")
-                )
-                agg = agg.join(rc, F.col("u") == F.col("rn"), "left_anti")
-                retired_parts.append(cand)
-                newly_pinned = cand.select(
-                    F.col("parent").alias("p")
-                ).distinct()
-                pinned = (
-                    newly_pinned if pinned is None
-                    else pinned.union(newly_pinned).distinct()
-                )
-                retired_per_round.append(n_ret)
-            else:
-                retired_per_round.append(0)
-        m = agg.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
-        large = (
-            e.join(m, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # the large-star edge set must be MATERIALIZED once per round (it
-        # feeds resym's two branches plus the small-star min and join);
-        # lazily checkpointing it folds that materialization into the
-        # small-star checkpoint's job — one driver/job round-trip per CC
-        # round instead of two (r17, guide §1.2 per-round fixed cost)
-        e = cut_lineage(
-            resym(large.union(m.select("u", F.col("m").alias("v")))),
-            reliable=reliable,
-            eager=not _cc_midcut_lazy(),
-        )
-        m = nmin(e)
-        small = (
-            e.join(m, "u")
-            .where(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        e, cur = checkpoint_with_checksum(
-            resym(small.union(m.select("u", F.col("m").alias("v"))))
-        )
-        edges_per_round.append(cur[0])
-        round_secs.append(round(_time.perf_counter() - _t0, 3))
-        # an EMPTY edge set is a fixed point by itself — converge now
-        # rather than paying a confirmation round (mass retirement can
-        # empty the graph mid-loop)
-        if cur == prev or cur[0] == 0:
-            if stats is not None:
-                stats["rounds"] = rnd
-                stats["edges_per_round"] = edges_per_round
-                stats["round_secs"] = round_secs
-                if frontier:
-                    stats["retired_per_round"] = retired_per_round
-            final = nmin(e).select(
-                F.col("u").alias("node"), F.col("m").alias("cluster_rep")
+    try:
+        for rnd in range(1, max_iter + 1):
+            _t0 = _time.perf_counter()
+            _tune_parts(prev[0])
+            # one aggregate serves the retirement rule AND the large-star
+            # minimum: deleting a retired leaf changes nobody else's closed-
+            # neighborhood min (the leaf is larger than its only neighbor),
+            # so m computed pre-prune stays valid post-prune.
+            agg = e.groupBy("u").agg(
+                F.min("v").alias("mv"), F.count(F.lit(1)).alias("d")
             )
-            return readout(final)
-        prev = cur
-    raise RuntimeError(
-        f"connected_components_two_phase did not converge in {max_iter} rounds"
-    )
+            if frontier and rnd >= 2 and prev[0] >= frontier_min_edges:
+                cand = agg.where(
+                    (F.col("d") == 1) & (F.col("mv") < F.col("u"))
+                ).select(F.col("u").alias("node"), F.col("mv").alias("parent"))
+                if pinned is not None:
+                    cand = cand.join(
+                        pinned, F.col("node") == F.col("p"), "left_anti"
+                    )
+                cand, n_ret = checkpoint_with_count(cand)
+                if n_ret >= frontier_min_retire_frac * prev[0]:
+                    rc = cand.select(F.col("node").alias("rn"))
+                    e = (
+                        e.join(rc, F.col("u") == F.col("rn"), "left_anti")
+                        .join(rc, F.col("v") == F.col("rn"), "left_anti")
+                    )
+                    agg = agg.join(rc, F.col("u") == F.col("rn"), "left_anti")
+                    retired_parts.append(cand)
+                    newly_pinned = cand.select(
+                        F.col("parent").alias("p")
+                    ).distinct()
+                    pinned = (
+                        newly_pinned if pinned is None
+                        else pinned.union(newly_pinned).distinct()
+                    )
+                    retired_per_round.append(n_ret)
+                else:
+                    retired_per_round.append(0)
+            m = agg.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+            large = (
+                e.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # the large-star edge set must be MATERIALIZED once per round (it
+            # feeds resym's two branches plus the small-star min and join);
+            # lazily checkpointing it folds that materialization into the
+            # small-star checkpoint's job — one driver/job round-trip per CC
+            # round instead of two (r17, guide §1.2 per-round fixed cost)
+            e = cut_lineage(
+                resym(large.union(m.select("u", F.col("m").alias("v")))),
+                reliable=reliable,
+                eager=not _cc_midcut_lazy(),
+            )
+            m = nmin(e)
+            small = (
+                e.join(m, "u")
+                .where(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            e, cur = checkpoint_with_checksum(
+                resym(small.union(m.select("u", F.col("m").alias("v"))))
+            )
+            edges_per_round.append(cur[0])
+            round_secs.append(round(_time.perf_counter() - _t0, 3))
+            # an EMPTY edge set is a fixed point by itself — converge now
+            # rather than paying a confirmation round (mass retirement can
+            # empty the graph mid-loop)
+            if cur == prev or cur[0] == 0:
+                if stats is not None:
+                    stats["rounds"] = rnd
+                    stats["edges_per_round"] = edges_per_round
+                    stats["round_secs"] = round_secs
+                    if frontier:
+                        stats["retired_per_round"] = retired_per_round
+                final = nmin(e).select(
+                    F.col("u").alias("node"), F.col("m").alias("cluster_rep")
+                )
+                return readout(final)
+            prev = cur
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iter} rounds"
+        )
+    finally:
+        # restore the session's shuffle width even on a mid-loop failure
+        if _saved_parts is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", _saved_parts)
+

@@ -49,13 +49,32 @@ def _toks():
 
 
 def _ngram_arrow_enabled() -> bool:
-    """A/B lever for the Arrow hashed-n-gram stream kernels below (read
+    """A/B lever for the Arrow hashed-n-gram stream kernel below (read
     at plan build time) — the same JVM-md5 -> batch-C-md5 boundary move
     measured ~8x at sf10 on the dedup shingle kernel
-    (operators/dedup.py:_shingle_arrow_enabled)."""
+    (operators/dedup.py:_shingle_arrow_enabled). Governs the 5-gram
+    stream (boilerplate_ngram_coverage: 2.4x at sf10, flat at sf0.1)."""
     import os
 
     return os.environ.get("SPARK_GRAFT_NGRAM_ARROW", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _dsir_arrow_enabled() -> bool:
+    """Separate lever for the DSIR feature stream's Arrow twin, DEFAULT
+    OFF: unlike every other md5 stream, the Arrow form measured SLOWER
+    at BOTH scales (sf0.1 interleaved min 1.67 JVM vs 2.29 Arrow; sf10
+    quiet rounds 13.1/14.1 JVM vs 16.4/15.2 Arrow —
+    .round17/ab_dsir_sf01.out, ab_dsir_sf10_quiet.out). The stream's
+    features are single tokens and bigrams: per-feature md5 work is
+    tiny, so the per-row Python list-building overhead dominates the
+    boundary saving, and the un-materialized stream feeds two consumers
+    so the kernel runs twice. Kept behind the lever with its row-for-row
+    equivalence test as the recorded negative result."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_DSIR_ARROW", "0").lower() not in (
         "0", "false", "no",
     )
 
@@ -241,7 +260,7 @@ def dsir_importance_weights(spark, sf_dir):
     # pipelined scans that re-tokenize beat one checkpoint write + two
     # block reads (measured ~2.6 -> 2.2 s at sf0.1, and the gap widens
     # with corpus size).
-    if _ngram_arrow_enabled():
+    if _dsir_arrow_enabled():
         feats = _dsir_feats_arrow(d)
     else:
         toks = _toks()

@@ -51,6 +51,66 @@ def _dot(a, b):
     return vec.fold_dot(a, b)
 
 
+def _guard_agg_enabled() -> bool:
+    """A/B lever (round-17) for the hot-bucket guard's shape, read at
+    plan build time — DEFAULT OFF: the aggregate+broadcast-anti-join
+    form (count buckets on a metadata shuffle, drop members of hot
+    buckets without moving the payload) MEASURED SLOWER at both scales
+    on semantic_dedup_lsh (sf0.1 min 4.80 window vs 4.99 agg; sf10
+    12.96 vs 15.61 — .round17/ab_guard_sem_sf{01,10}.out, result sets
+    exactly equal). Why: the anti-join duplicates the bucket-signature
+    subtree (the n_planes x 64-dim dot per vector) into the count
+    branch AND both join sides, while the window form computes the
+    signature once and its bucket exchange is reused for the count,
+    the probe side and the broadcast build. The window's payload
+    shuffle is cheaper than recomputing the signature — kept as the
+    recorded negative result (guide §1: a fresh 'ideal' plan is often
+    slower because of a gotcha; here the gotcha is subtree reuse)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_LSH_GUARD_AGG", "0").lower() not in (
+        "0", "false", "no",
+    )
+
+
+def _drop_hot_buckets(df, key: str, limit: int):
+    """Rows of ``df`` whose ``key`` group has at most ``limit`` members —
+    the guard semantics of `QUALIFY count(*) OVER (PARTITION BY key) <=
+    limit`, including the null group (eqNullSafe matches the window's
+    treatment of a null key as one countable partition)."""
+    if _guard_agg_enabled():
+        hot = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > limit)
+            .select(F.col(key).alias("__hot_key"))
+        )
+        return df.join(
+            F.broadcast(hot),
+            F.col(key).eqNullSafe(F.col("__hot_key")),
+            "left_anti",
+        )
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") <= limit)
+        .drop("__n")
+    )
+
+
+def _ivf_assign_agg_enabled() -> bool:
+    """A/B lever (round-17): nearest-centroid assignment as a
+    map-side-combined min(struct) aggregate instead of a row_number
+    window over the broadcast crossJoin product (which shuffles
+    n x n_centroids rows carrying the full vector). Read at plan build
+    time."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_IVF_ASSIGN_AGG", "1").lower() not in (
+        "0", "false", "no",
+    )
+
+
 _KNN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id,
@@ -927,12 +987,7 @@ def semantic_dedup_lsh(spark, sf_dir):
         "vec_id", "v", _norm(F.col("v")).alias("nrm"),
         _bucket_col(n_planes).alias("bucket"),
     )
-    w = Window.partitionBy("bucket")
-    guarded = (
-        base.withColumn("__n", F.count(F.lit(1)).over(w))
-        .where(F.col("__n") <= LSH_MAX_BUCKET)
-        .drop("__n")
-    )
+    guarded = _drop_hot_buckets(base, "bucket", LSH_MAX_BUCKET)
     a = guarded.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), F.col("bucket"),
@@ -1062,20 +1117,36 @@ def semantic_dedup_ivf(spark, sf_dir):
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     l2 = vec.fold_sqdist(F.col("v"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
-    assign = (
-        n.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "nrm", "cent_id", l2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cent_id")
-    )
-    wc = Window.partitionBy("cent_id")
-    g = (
-        assign.withColumn("__n", F.count(F.lit(1)).over(wc))
-        .where(F.col("__n") <= LSH_MAX_BUCKET)
-        .drop("__n")
-    )
+    if _ivf_assign_agg_enabled():
+        # nearest-centroid pick as a partial-aggregable min(struct):
+        # the broadcast-nested-loop product never crosses an exchange —
+        # each map task collapses its vec_ids to one row BEFORE the
+        # shuffle, so n rows (not n x n_cent rows of 550 B carrying the
+        # vector) move. min(struct(d2, cent_id)) is exactly the
+        # row_number pick: same (d2 asc, cent_id asc) total order, and
+        # v/nrm are functionally dependent on vec_id so any() is THE
+        # value (guide §2.3: aggregate before you shuffle).
+        assign = (
+            n.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "nrm", "cent_id", l2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cent_id")).alias("__best"),
+                F.any_value("v").alias("v"),
+                F.any_value("nrm").alias("nrm"),
+            )
+            .select("vec_id", "v", "nrm", F.col("__best.cent_id").alias("cent_id"))
+        )
+    else:
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+        assign = (
+            n.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "nrm", "cent_id", l2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "nrm", "cent_id")
+        )
+    g = _drop_hot_buckets(assign, "cent_id", LSH_MAX_BUCKET)
     a = g.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"), F.col("cent_id"))
     b = g.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),

@@ -271,3 +271,63 @@ def test_bm25_per_doc_arrow_equals_jvm(spark, texts):
     )
     arrow = sorted(map(tuple, S._bm25_per_doc_arrow(df).collect()))
     assert arrow == jvm
+
+
+def test_hot_bucket_guard_agg_equals_window(spark, monkeypatch):
+    """The aggregate+broadcast-anti-join hot-bucket guard keeps exactly
+    the window guard's rows, including a null key group (eqNullSafe)
+    and a group exactly at the limit."""
+    import os
+
+    from bigdata_meteo_datalake_spark.queries import ext_similarity as S
+
+    rows = (
+        [(i, "hot") for i in range(80)]          # over the limit -> dropped
+        + [(100 + i, "warm") for i in range(64)]  # exactly at the limit -> kept
+        + [(200 + i, "cool") for i in range(3)]
+        + [(300 + i, None) for i in range(70)]    # null group over limit
+    )
+    df = spark.createDataFrame(rows, "vec_id long, bucket string")
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_LSH_GUARD_AGG", "0")
+    win = sorted(map(tuple, S._drop_hot_buckets(df, "bucket", 64).collect()))
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_LSH_GUARD_AGG", "1")
+    agg = sorted(map(tuple, S._drop_hot_buckets(df, "bucket", 64).collect()))
+    assert agg == win
+    kept = {b for _, b in win}
+    assert kept == {"warm", "cool"}  # hot and the null group dropped
+
+
+def test_ivf_assign_agg_equals_window_query_level(spark, monkeypatch):
+    """semantic_dedup_ivf under the min(struct) assignment lever returns
+    exactly the window-assignment rows on the real sf0.001 corpus (the
+    full query, so the guard + pair + CC pipeline all see the same
+    assignment)."""
+    import os
+
+    from bigdata_meteo_datalake_spark.queries import ext_similarity as S
+
+    from .conftest import SF0001
+
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_IVF_ASSIGN_AGG", "0")
+    win = sorted(map(tuple, S.semantic_dedup_ivf(spark, SF0001).collect()))
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_IVF_ASSIGN_AGG", "1")
+    agg = sorted(map(tuple, S.semantic_dedup_ivf(spark, SF0001).collect()))
+    assert agg == win
+    assert len(win) > 0
+
+
+def test_semantic_dedup_lsh_guard_lever_query_level(spark, monkeypatch):
+    """semantic_dedup_lsh under the aggregate guard returns exactly the
+    window-guard rows on the real sf0.001 corpus."""
+    import os
+
+    from bigdata_meteo_datalake_spark.queries import ext_similarity as S
+
+    from .conftest import SF0001
+
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_LSH_GUARD_AGG", "0")
+    win = sorted(map(tuple, S.semantic_dedup_lsh(spark, SF0001).collect()))
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_LSH_GUARD_AGG", "1")
+    agg = sorted(map(tuple, S.semantic_dedup_lsh(spark, SF0001).collect()))
+    assert agg == win
+    assert len(win) > 0
